@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PrestoAggregates
+
+/** Aggregate-function coverage beyond the relational pack: statistical
+  * moments, min_by/max_by, boolean/bitwise aggregates, count variants,
+  * exact quantiles, collected lists/sets, and the custom Presto aggregates
+  * (geometric_mean / entropy / checksum).
+  *
+  * Reference registry: `presto-main/.../metadata/
+  * BuiltInFunctionNamespaceManager.java:433-687`, implementations under
+  * `presto-main/.../operator/aggregation/`.
+  */
+object Aggregates extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.view(s, dir, n)
+
+  override def defs: Map[String, Q] = Map(
+    "q60_stat_moments" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+          round(var_samp(col("l_quantity")), 6).as("v_samp"),
+          round(var_pop(col("l_quantity")), 6).as("v_pop"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar_pop"))
+        .orderBy(col("l_returnflag"))),
+
+    // Spark reports population skewness/kurtosis; the oracle converts
+    // DuckDB's sample statistics to population form.
+    "q61_skew_kurt" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(skewness(col("l_quantity")), 6).as("skew"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt"))
+        .orderBy(col("l_returnflag"))),
+
+    "q62_minmax_by" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          max_by(col("c_name"), col("c_acctbal")).as("richest"),
+          min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          round(min(col("c_acctbal")), 2).as("min_bal"))
+        .orderBy(col("c_nationkey"))),
+
+    "q63_bool_bit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 1).as("all_qty_gt1"),
+          bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+          bit_and(col("l_linenumber")).as("ln_and"),
+          bit_or(col("l_linenumber")).as("ln_or"),
+          bit_xor(col("l_linenumber")).as("ln_xor"))
+        .orderBy(col("l_returnflag"))),
+
+    "q64_count_variants" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_partkey")).as("n_partkey"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count_if(col("l_quantity") > 25).as("n_big"))
+        .orderBy(col("l_linestatus"))),
+
+    "q65_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 6).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // Custom Presto aggregates (graft.functions.PrestoAggregates).
+    "q66_custom_aggs" -> ((s, dir) => {
+      val perSupp = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+      perSupp.groupBy(col("l_returnflag"))
+        .agg(round(PrestoAggregates.entropy(col("cnt")), 6).as("supp_entropy"),
+          round(PrestoAggregates.geometricMean(col("cnt")), 6).as("geo_mean_cnt"),
+          PrestoAggregates.checksum(col("l_suppkey")).as("supp_checksum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q67_collect" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 40)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
+          sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .orderBy(col("l_orderkey")))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q60_stat_moments" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_samp,
+        | round(stddev_pop(l_quantity), 6) AS sd_pop,
+        | round(var_samp(l_quantity), 6) AS v_samp,
+        | round(var_pop(l_quantity), 6) AS v_pop,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+        | round(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_pop
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q61_skew_kurt" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(skewness(l_quantity) * (count(*) - 2)
+        |   / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+        | round((kurtosis(l_quantity) * (count(*) - 2) * (count(*) - 3)
+        |   / (count(*) - 1.0) - 6) / (count(*) + 1.0), 6) AS kurt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q62_minmax_by" ->
+      """SELECT c_nationkey,
+        | max_by(c_name, c_acctbal) AS richest,
+        | min_by(c_name, c_acctbal) AS poorest,
+        | round(max(c_acctbal), 2) AS max_bal,
+        | round(min(c_acctbal), 2) AS min_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q63_bool_bit" ->
+      """SELECT l_returnflag,
+        | bool_and(l_quantity > 1) AS all_qty_gt1,
+        | bool_or(l_discount > 0.09) AS any_high_disc,
+        | bit_and(l_linenumber) AS ln_and,
+        | bit_or(l_linenumber) AS ln_or,
+        | bit_xor(l_linenumber) AS ln_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q64_count_variants" ->
+      """SELECT l_linestatus,
+        | count(*) AS n_rows,
+        | count(l_partkey) AS n_partkey,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count_if(l_quantity > 25) AS n_big
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q65_quantiles" ->
+      """SELECT l_returnflag,
+        | round(median(l_quantity), 6) AS med_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q66_custom_aggs" ->
+      """WITH per_supp AS (
+        |  SELECT l_returnflag, l_suppkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        | round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) AS supp_entropy,
+        | round(exp(avg(ln(cnt))), 6) AS geo_mean_cnt,
+        | bit_xor(CAST(concat('0x',
+        |   substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS supp_checksum
+        |FROM per_supp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q67_collect" ->
+      """SELECT l_orderkey,
+        | list_sort(array_agg(l_linenumber)) AS linenumbers,
+        | list_sort(list_distinct(array_agg(l_returnflag))) AS flags
+        |FROM lineitem WHERE l_orderkey <= 40
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+}

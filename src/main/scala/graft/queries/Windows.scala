@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window functions: ranking, analytic (lag/lead/first/last/nth), aggregates
+  * over ROWS and RANGE frames, and rank-based top-N-per-group.
+  *
+  * Reference surface: PrestoDB's WindowOperator
+  * (`presto-main/.../operator/WindowOperator.java:47`, frame logic in
+  * `window/WindowPartition.java:166-180`) and the specialized
+  * RowNumberOperator/TopNRowNumberOperator (`RowNumberOperator.java:41`,
+  * `TopNRowNumberOperator.java:38`).
+  *
+  * Scale notes: each window spec shuffles once on its partition keys; all
+  * functions sharing a spec evaluate in one WindowExec pass. The
+  * top-N-per-group query relies on Spark's WindowGroupLimit rule so the
+  * rank filter prunes before the full sort materializes per partition —
+  * the Spark analog of Presto's TopNRowNumberOperator.
+  */
+object Windows extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.view(s, dir, n)
+
+  override def defs: Map[String, Q] = Map(
+    // All six ranking functions over one window spec (single shuffle+sort).
+    "q30_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(
+          col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    // Running aggregates over a ROWS frame.
+    "q31_running_sum" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_qty"),
+          round(avg(col("l_extendedprice"))
+            .over(ord.rowsBetween(-3, Window.currentRow)), 4)
+            .as("moving_avg_price"))
+    }),
+
+    "q32_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1, 0.0).over(w).as("next_price"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1, 0.0).over(w)).as("price_delta"))
+    }),
+
+    "q33_first_last_nth" -> ((s, dir) => {
+      val full = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(full).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+    }),
+
+    // RANGE frame over a numeric order key: peers counted by value distance.
+    // (SQL form: the typed rangeBetween API only accepts long offsets.)
+    "q34_range_frame" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderkey, o_totalprice,
+          | count(*) OVER w AS n_within_5k,
+          | round(avg(o_totalprice) OVER w, 4) AS avg_within_5k
+          |FROM orders WHERE o_custkey <= 50
+          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |  RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }),
+
+    // Top-3 per group via row_number filter (WindowGroupLimit path).
+    "q35_top3_per_nation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // Unordered whole-partition aggregate window: share-of-total.
+    "q36_revenue_share" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("rev"), 2).as("revenue"),
+          round(col("rev") / sum(col("rev")).over(w), 6).as("share"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q30_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        | row_number() OVER w AS rn,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cdist
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+    "q31_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+        | round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_price
+        |FROM lineitem WHERE l_suppkey <= 5""".stripMargin,
+
+    "q32_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1, 0.0) OVER w AS prev_price,
+        | lead(o_totalprice, 1, 0.0) OVER w AS next_price,
+        | o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS price_delta
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q33_first_last_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q34_range_frame" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        | count(*) OVER w AS n_within_5k,
+        | round(avg(o_totalprice) OVER w, 4) AS avg_within_5k
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q35_top3_per_nation" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |   row_number() OVER (PARTITION BY c_nationkey
+        |     ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q36_revenue_share" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(rev, 2) AS revenue,
+        | round(rev / sum(rev) OVER (PARTITION BY l_returnflag), 6) AS share
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        sum(l_extendedprice) AS rev
+        |      FROM lineitem GROUP BY 1, 2) t
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
