@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Presto scalar functions with no direct Spark builtin, composed from
+  * codegen'd built-in expressions (Spark-first preference: compose before
+  * custom `Expression`, custom `Expression` before UDF — every function
+  * here stays inside whole-stage codegen).
+  *
+  * Reference implementations:
+  *  - width_bucket: `presto-main/.../scalar/MathFunctions.java` (widthBucket)
+  *  - cosine_similarity: `MathFunctions.java` (map form); array form used by
+  *    the similarity operators over the `embeddings` fixture
+  *  - from_base/to_base: `MathFunctions.java`
+  *  - date_parse/date_format (MySQL patterns): `DateTimeFunctions.java`
+  *    with pattern table from `presto-main/.../type/DateTimeOperators` usage
+  */
+object PrestoScalars {
+
+  /** Presto width_bucket(x, lo, hi, n): 0 below, n+1 at/above hi, else
+    * 1-based equal-width bucket. */
+  def widthBucket(x: Column, lo: Column, hi: Column, n: Column): Column =
+    when(x < lo, lit(0L))
+      .when(x >= hi, n.cast("long") + 1L)
+      .otherwise((floor((x - lo) / ((hi - lo) / n.cast("double"))) + 1L).cast("long"))
+
+  /** Cosine similarity of two numeric arrays (the embeddings hot path).
+    * zip_with + aggregate stay codegen'd; no UDF deserialization. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** L2 (Euclidean) distance of two numeric arrays. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Presto to_base(x, radix): number → string in radix. */
+  def toBase(x: Column, radix: Int): Column = conv(x.cast("string"), 10, radix)
+
+  /** Presto from_base(s, radix): string in radix → bigint. */
+  def fromBase(s: Column, radix: Int): Column =
+    conv(s, radix, 10).cast("long")
+
+  /** MySQL → java.time pattern translation for Presto's date_parse /
+    * date_format family (%Y-%m-%d ↔ yyyy-MM-dd). */
+  def mysqlToJavaPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 1 < p.length) {
+        sb.append(p.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'h' | 'I' => "hh"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'W' => "EEEE"
+          case 'a' => "EEE"
+          case 'M' => "MMMM"
+          case 'b' => "MMM"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case '%' => "%"
+          case other => other.toString
+        })
+        i += 2
+      } else {
+        // literal chars that are pattern letters in java.time need quoting
+        if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Presto date_parse(string, mysqlPattern) — pattern must be a literal. */
+  def dateParse(s: Column, mysqlPattern: String): Column =
+    to_timestamp(s, mysqlToJavaPattern(mysqlPattern))
+
+  /** Presto date_format(ts, mysqlPattern) — pattern must be a literal. */
+  def dateFormatMysql(ts: Column, mysqlPattern: String): Column =
+    date_format(ts, mysqlToJavaPattern(mysqlPattern))
+}
