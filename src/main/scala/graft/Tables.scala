@@ -23,14 +23,17 @@ object Tables {
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  // Remember (sessionId, sfDir) pairs already registered so repeated query
-  // invocations (bench loops) skip the parquet-footer reads.
-  private val registered = scala.collection.mutable.Set[(String, String)]()
+  // Temp views are session-global, so track the single sfDir currently
+  // registered per session and re-register on any change — a Set of
+  // (session, dir) pairs would let a stale dir hit the cache and silently
+  // serve another scale factor's data (r1 ADVICE). Keyed by the session
+  // reference itself (identity map) rather than identityHashCode, which can
+  // be reused after GC and wrongly skip registration for a new session.
+  private val registered = new java.util.IdentityHashMap[SparkSession, String]()
 
   /** Registers every fixture table as a temp view named after the table. */
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
-    val key = (System.identityHashCode(spark).toString, sfDir)
-    if (!registered.contains(key)) {
+    if (registered.get(spark) != sfDir) {
       // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
       // read the raw int64 nanos and convert to a microsecond timestamp
       // (integer division — nanos-since-2024 exceed double precision).
@@ -43,7 +46,7 @@ object Tables {
           else raw
         v.createOrReplaceTempView(n)
       }
-      registered += key
+      registered.put(spark, sfDir)
     }
   }
 

@@ -200,13 +200,22 @@ object Relational extends QueryPack {
     }),
 
     // TPC-H Q17: correlated scalar-agg subquery → per-key avg join.
+    // Restrict lineitem to the Brand#13 parts (broadcast semi-join) BEFORE
+    // the per-part threshold aggregation: the per-part avg only depends on
+    // that part's own rows, so pre-filtering is semantics-preserving and at
+    // 100 TB avoids a full-fact-table shuffle that would discard ~96% of
+    // its output (r1 VERDICT item 9; Presto gets this via
+    // `optimizations/PredicatePushDown.java:109` through the subquery).
     "q16_small_quantity_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val part = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
-      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+      val liBrand = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPart = liBrand.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((avg(col("l_quantity")) * 0.5).as("qty_threshold"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(perPart, col("l_partkey") === col("ap_partkey"))
+      // perPart has one row per brand part (small) → broadcast back.
+      liBrand.join(broadcast(perPart), col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < col("qty_threshold"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
