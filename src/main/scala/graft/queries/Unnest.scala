@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Unnest / lateral generators, inline VALUES, sampling, and unique-id
+  * assignment — the reference's generator surface.
+  *
+  * Reference: `presto-main/.../operator/unnest/UnnestOperator.java:48`
+  * (arrays, maps, zipped multi-column, WITH ORDINALITY),
+  * `operator/ValuesOperator.java:27`, `plan/SampleNode.java`,
+  * `operator/AssignUniqueIdOperator.java:29`.
+  *
+  * Spark-first: `explode`/`posexplode` are Catalyst `Generate` nodes —
+  * pipelined, no shuffle, fully parallel per input partition; at 100 TB an
+  * unnest is scan-speed row expansion. Zipped unnest composes `zip_with` +
+  * `posexplode` (Presto zips implicitly when UNNEST gets several arrays).
+  */
+object Unnest extends QueryPack {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.view(s, dir, n)
+
+  override def defs: Map[String, Q] = Map(
+    // UNNEST WITH ORDINALITY over a real array column (float widening to
+    // double is exact, so values hash identically).
+    "q80_unnest_ordinality" -> ((s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") <= 20)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(
+          col("vec_id"),
+          (col("pos0") + 1).cast("long").as("ord"),
+          col("v").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("ord"))),
+
+    // LATERAL-style word expansion + re-aggregation (the canonical
+    // token-count shape for a 100 TB corpus: generate → partial agg →
+    // final agg, one shuffle).
+    "q81_word_unnest" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    // Multi-column zipped unnest (Presto UNNEST(a, b) semantics) via
+    // zip_with + posexplode.
+    "q82_zip_unnest" -> ((s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") <= 10)
+        .select(col("vec_id"),
+          expr("""posexplode(zip_with(slice(embedding, 1, 4),
+                 slice(reverse(embedding), 1, 4),
+                 (x, y) -> struct(x AS a, y AS b)))"""))
+        .select(
+          col("vec_id"),
+          (col("pos") + 1).cast("long").as("ord"),
+          col("col.a").cast("double").as("a"),
+          col("col.b").cast("double").as("b"),
+          (col("col.a").cast("double") * col("col.b").cast("double")).as("ab"))
+        .orderBy(col("vec_id"), col("ord"))),
+
+    // Inline literal rows (reference: ValuesOperator → Spark LocalTableScan).
+    "q83_values" -> ((s, dir) =>
+      s.sql("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
+               FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(id, tag)
+               ORDER BY id""")),
+
+    // Bernoulli TABLESAMPLE + AssignUniqueId. Sampling is seeded but the
+    // sampled set is engine-specific and monotonically_increasing_id is
+    // partition-dependent → no oracle entry (driver's rows-only check),
+    // matching the QueryPack contract for non-SQL-reproducible ops.
+    "q84_sample_unique_id" -> ((s, dir) =>
+      t(s, dir, "documents").sample(withReplacement = false, 0.5, 42L)
+        .select(col("doc_id"), monotonically_increasing_id().as("uid"))
+        .orderBy(col("doc_id")))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q80_unnest_ordinality" ->
+      """SELECT vec_id,
+        | CAST(generate_subscripts(embedding, 1) AS BIGINT) AS ord,
+        | CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE vec_id <= 20 ORDER BY vec_id, ord""".stripMargin,
+
+    "q81_word_unnest" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q82_zip_unnest" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS ord,
+        | CAST(embedding[i] AS DOUBLE) AS a,
+        | CAST(embedding[len(embedding) - i + 1] AS DOUBLE) AS b,
+        | CAST(embedding[i] AS DOUBLE)
+        |   * CAST(embedding[len(embedding) - i + 1] AS DOUBLE) AS ab
+        |FROM embeddings CROSS JOIN UNNEST([1, 2, 3, 4]) AS t(i)
+        |WHERE vec_id <= 10 ORDER BY vec_id, ord""".stripMargin,
+
+    "q83_values" ->
+      """SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
+        |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, tag)
+        |ORDER BY id""".stripMargin
+  )
+}
