@@ -51,4 +51,32 @@ object PrestoAggregates {
   def countIf(c: Column): Column = count_if(c)
   def boolAnd(c: Column): Column = bool_and(c)
   def boolOr(c: Column): Column = bool_or(c)
+
+  /** Presto `arbitrary(x)` ≈ any non-null value of the group. Spark's
+    * `first(ignoreNulls = true)` has the same contract (nondeterministic
+    * under distribution — oracle checks must feed it group-constant input).
+    * Reference: `aggregation/ArbitraryAggregationFunction.java`. */
+  def arbitrary(c: Column): Column = first(c, ignoreNulls = true)
+
+  /** Presto `reduce_agg(x, 1, (a, b) -> a * b, (a, b) -> a * b)` instantiated
+    * for multiplication: a genuine two-phase `Aggregator` — `reduce` is the
+    * input lambda, `merge` the combine lambda — so partial states flow
+    * map-side exactly like Presto's partial/final Step machinery.
+    * Reference: `aggregation/ReduceAggregationFunction.java`. */
+  object ProductAgg extends org.apache.spark.sql.expressions.Aggregator[java.lang.Double, Double, Double] {
+    override def zero: Double = 1.0
+    override def reduce(b: Double, a: java.lang.Double): Double =
+      if (a == null) b else b * a.doubleValue()
+    override def merge(b1: Double, b2: Double): Double = b1 * b2
+    override def finish(b: Double): Double = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** DataFrame-callable product aggregate built from [[ProductAgg]]. */
+  lazy val productAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(ProductAgg,
+      org.apache.spark.sql.Encoders.DOUBLE)
 }
