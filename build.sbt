@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Dev-only probe mains live outside the library sources.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "tools" / "scala"

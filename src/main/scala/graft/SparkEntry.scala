@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    Relational, Windows, SetOps, Aggregates, Scalars, Json, Unnest, ApproxMaps)
+    Relational, Windows, SetOps, Aggregates, Scalars, Json, Unnest, ApproxMaps,
+    Dedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

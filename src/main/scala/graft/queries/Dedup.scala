@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MinHash
+
+/** Deduplication operators over the `documents` corpus — the
+  * training-data-pipeline surface: exact dedup, MinHash-LSH and SimHash
+  * near-dup pair detection, and inverted-index n-gram Jaccard probe search.
+  *
+  * Reference building blocks: `presto-main/.../scalar/ArrayFunctions`
+  * (intersect/union set ops), `StringFunctions.java` (ngrams/split); the
+  * LSH composition is the standard MMDS construction.
+  *
+  * Oracle strategy: LSH internals (xxhash64 signatures) are not
+  * reproducible in DuckDB, but the *verified* output — candidate pairs
+  * confirmed by exact shingle-Jaccard >= 0.8 — equals the brute-force
+  * exact answer whenever LSH recall is 1, which holds deterministically on
+  * the fixture (planted near-dups sit at jac >= 0.96; 16 bands x 4 rows
+  * miss such a pair with p ~= 2e-7, and the seeds are fixed). DuckDB
+  * computes the brute-force answer as the oracle, so any recall loss
+  * fails loudly rather than silently.
+  *
+  * Scale: candidate generation is an equi-join on (band, band_hash) /
+  * (chunk idx, chunk value) — shuffle grows linearly with corpus size,
+  * never an all-pairs crossJoin. Verification touches candidates only.
+  */
+object Dedup extends QueryPack {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.view(s, dir, n)
+
+  private val JacThreshold = 0.8
+
+  override def defs: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+    // At 100 TB one would group on a content digest (md5 below) instead of
+    // the full text to keep shuffle rows narrow — both shown here.
+    "q90_exact_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy(col("keep_id"))),
+
+    // MinHash-LSH near-dup pairs, exact-verified.
+    "q91_minhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
+      val sigs = docs.select(col("doc_id"),
+        MinHash.signature(col("sh"), numHashes = 64).as("sig"))
+      val banded = MinHash.bandize(sigs, "doc_id", "sig",
+        bands = 16, rowsPerBand = 4)
+      val cands = MinHash.candidatePairs(banded, "doc_id")
+      MinHash.verifyJaccard(cands, docs, "doc_id", JacThreshold)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash near-dup pairs: 60-bit shingle fingerprint (md5-derived so
+    // the oracle mirrors it bit-for-bit), 4x15-bit chunk banding (hamming
+    // <= 3 guaranteed caught), exact-verified to the q91 output contract.
+    // Unlike q91 the oracle replays the simhash algorithm itself, so
+    // recall differences can't hide: both engines must produce the
+    // identical candidate set.
+    "q92_simhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
+      val chunked = MinHash.simhashChunks(docs, "doc_id")
+      val cands = MinHash.simhashCandidates(chunked, "doc_id", maxHamming = 3)
+      MinHash.verifyJaccard(cands, docs, "doc_id", JacThreshold)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Inverted-index n-gram Jaccard probe search: for each probe doc, the
+    // best-matching corpus doc by word-bigram Jaccard. The shared-shingle
+    // equi-join (inverted index) replaces the naive probe x corpus scoring
+    // loop; at 100 TB add a document-frequency cap on hot shingles.
+    "q93_ngram_jaccard_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), MinHash.shingles(col("text"), k = 2).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val probes = inv.filter(col("doc_id") < 20)
+        .withColumnRenamed("doc_id", "a_id")
+      val shared = probes.join(inv.withColumnRenamed("doc_id", "b_id"), "g")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val scored = shared
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("n", "na")), "a_id")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("n", "nb")), "b_id")
+        .withColumn("jac",
+          col("n_common") / (col("na") + col("nb") - col("n_common")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("jac").desc, col("b_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("best_id"),
+          round(col("jac"), 3).as("jac"))
+        .orderBy(col("a_id"))
+    })
+  )
+
+  private val shingleCte =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w) - 1)]) AS s
+      |  FROM docs)""".stripMargin
+
+  private val bruteForcePairs =
+    s"""$shingleCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_total,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))), 3) AS jac
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q90_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q91_minhash_dedup" -> bruteForcePairs,
+
+    // Mirrors the simhash pipeline: md5-derived 60-bit feature hash, +-1
+    // bit sums, 4x15-bit sign chunks, any-chunk collision + hamming<=3,
+    // exact-Jaccard verify. Bit-identical to the Spark implementation.
+    "q92_simhash_dedup" ->
+      s"""$shingleCte,
+         |feat AS (SELECT doc_id, unnest(s) AS f FROM sh),
+         |fh AS (SELECT doc_id,
+         |        ('0x' || substr(md5(f), 1, 15))::BIGINT AS h FROM feat),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+         |  FROM fh CROSS JOIN range(60) r(i)
+         |  GROUP BY doc_id, i),
+         |sig AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN bs > 0 AND i < 15
+         |        THEN (1::BIGINT << i) ELSE 0 END) AS c0,
+         |    sum(CASE WHEN bs > 0 AND i >= 15 AND i < 30
+         |        THEN (1::BIGINT << (i - 15)) ELSE 0 END) AS c1,
+         |    sum(CASE WHEN bs > 0 AND i >= 30 AND i < 45
+         |        THEN (1::BIGINT << (i - 30)) ELSE 0 END) AS c2,
+         |    sum(CASE WHEN bs > 0 AND i >= 45
+         |        THEN (1::BIGINT << (i - 45)) ELSE 0 END) AS c3
+         |  FROM bits GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+         |    AND bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+         |      + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_total,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.s, b.s))), 3) AS jac
+         |FROM cand c JOIN sh a ON a.doc_id = c.a_id
+         |            JOIN sh b ON b.doc_id = c.b_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q93_ngram_jaccard_match" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+        |  FROM docs),
+        |scored AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < 20 AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0)
+        |SELECT a_id, b_id AS best_id, round(jac, 3) AS jac
+        |FROM (SELECT *, row_number()
+        |        OVER (PARTITION BY a_id ORDER BY jac DESC, b_id) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 ORDER BY a_id""".stripMargin
+  )
+}
