@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PrestoScalars
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` fixture — the ANN surface of a
+  * training-data pipeline: brute-force cosine top-k (the correctness
+  * baseline), hyperplane-LSH bucketed ANN (the scale path), and LSH-blocked
+  * embedding near-duplicate pairs (the dedup-by-embedding path).
+  *
+  * Reference: `presto-main/.../scalar/MathFunctions.java`
+  * (cosine_similarity) and the array function family; composition is
+  * random-projection LSH (see `graft.operators.Similarity`).
+  *
+  * Scale notes per query:
+  *  - q94: probe set is small and broadcast; cost is one linear scan of the
+  *    corpus per batch of probes (O(N·P) map work, one shuffle for top-k).
+  *    This is the exact-answer baseline you run on a sample, not the corpus.
+  *  - q95: candidates come from an equi-join on the LSH bucket id —
+  *    shuffle rows ∝ corpus size; cost per probe ∝ bucket occupancy
+  *    (N / 2^planes expected). This is the 100 TB shape.
+  *  - q96: all-pairs near-dup restricted to same-bucket pairs across 4
+  *    independent plane-tables; the self-join key (table, bucket) bounds
+  *    pair generation to bucket-local work, and exact cosine verifies.
+  *
+  * Oracle: every query is bit-reproducible in DuckDB because the planes are
+  * md5-derived (no RNG) and all math runs in doubles with the same
+  * summation order (`list_dot_product` ↔ sequential `aggregate`).
+  */
+object Ann extends QueryPack {
+
+  private val Dims = 64
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.view(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"))
+
+  override def defs: Map[String, Q] = Map(
+    // Exact cosine top-3 neighbors for a 10-probe set: broadcast the
+    // probes, one codegen'd scan over the corpus, window top-k.
+    "q94_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("nn_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN: 6-plane (64-bucket) signature, candidates from the
+    // bucket equi-join, exact cosine rerank, best neighbor per probe.
+    "q95_lsh_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("bucket", Similarity.bucket(col("e"), 0, 6, Dims))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("bucket"))
+      val cands = e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val n = Window.partitionBy(col("probe_id"))
+      cands.withColumn("n_cand", count(lit(1)).over(n))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("bucket"), col("n_cand"),
+          col("vec_id").as("nn_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // Embedding near-dup pairs: 4 plane-tables × 3 planes block the
+    // self-join; same-block pairs verified by exact cosine >= 0.4.
+    // Recall at cos 0.4 ≈ 1-(1-0.63^3)^4 ≈ 0.68 per table math — the
+    // oracle replays the same blocking, so the output is deterministic
+    // and recall is a documented knob (more tables → higher recall).
+    "q96_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val blocked = e.select(col("vec_id"),
+          posexplode(Similarity.bucketTables(col("e"), 4, 3, Dims))
+            .as(Seq("t", "bv")))
+      val a = blocked.select(col("t"), col("bv"), col("vec_id").as("a_id"))
+      val b = blocked.select(col("t"), col("bv"), col("vec_id").as("b_id"))
+      val cands = a.join(b, Seq("t", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val ea = e.select(col("vec_id").as("a_id"), col("e").as("ea"))
+      val eb = e.select(col("vec_id").as("b_id"), col("e").as("eb"))
+      ea.join(broadcast(cands), "a_id").join(eb, "b_id")
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  /** DuckDB replay of `Similarity.planeWeight` + per-plane dots for planes
+    * [0, nPlanes) — the md5 formula is the contract (see Similarity doc). */
+  private def weightsCte(nPlanes: Int): String =
+    s"""WITH w AS (
+       |  SELECT p, i,
+       |    ((('0x' || substr(md5(p || '_' || i), 1, 15))::BIGINT % 2001)
+       |     - 1000) / 1000.0 AS wt
+       |  FROM range($nPlanes) tp(p) CROSS JOIN range(64) ti(i)),
+       |el AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |         unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p, sum(x * wt) AS dp
+       |  FROM el JOIN w USING (i) GROUP BY vec_id, p),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  private val cosExpr =
+    """list_dot_product(a.v, b.v)
+      |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+      .stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q94_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM p CROSS JOIN e WHERE vec_id <> probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT probe_id, rank, vec_id AS nn_id, round(c, 4) AS cos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "q95_lsh_ann" ->
+      s"""${weightsCte(6)},
+         |b AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+         |         AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |pr AS (
+         |  SELECT e.vec_id AS probe_id, e.v AS pv, b.bucket
+         |  FROM e JOIN b USING (vec_id) WHERE e.vec_id < 10),
+         |cand AS (
+         |  SELECT pr.probe_id, pr.bucket, e.vec_id,
+         |    list_dot_product(pv, v)
+         |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+         |  FROM pr JOIN b ON b.bucket = pr.bucket
+         |          JOIN e ON e.vec_id = b.vec_id
+         |  WHERE e.vec_id <> pr.probe_id),
+         |r AS (
+         |  SELECT probe_id, bucket, vec_id, c,
+         |    count(*) OVER (PARTITION BY probe_id) AS n_cand,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rn
+         |  FROM cand)
+         |SELECT probe_id, bucket, n_cand, vec_id AS nn_id, round(c, 4) AS cos
+         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q96_embedding_neardup" ->
+      s"""${weightsCte(12)},
+         |b AS (
+         |  SELECT vec_id, p // 3 AS t,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << (p % 3)) ELSE 0 END)
+         |         AS BIGINT) AS bv
+         |  FROM d GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM b x JOIN b y ON x.t = y.t AND x.bv = y.bv
+         |  WHERE x.vec_id < y.vec_id),
+         |scored AS (
+         |  SELECT c.a_id, c.b_id, $cosExpr AS cos
+         |  FROM cand c JOIN e a ON a.vec_id = c.a_id
+         |              JOIN e b ON b.vec_id = c.b_id)
+         |SELECT a_id, b_id, round(cos, 4) AS cos
+         |FROM scored WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin
+  )
+}
