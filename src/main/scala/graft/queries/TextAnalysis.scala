@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MinHash
+
+/** Text-analysis operators over the `documents` corpus — the per-document
+  * scoring surface of a training-data pipeline: language-ID heuristics,
+  * quality scoring, tokenizer statistics, and content fingerprinting.
+  *
+  * Reference building blocks: `presto-main/.../scalar/StringFunctions.java`
+  * (split/length/hamming), `JoniRegexpFunctions.java` (regexp_extract_all),
+  * `ArrayFunctions` (distinct/filter); the composed heuristics are the
+  * standard corpus-curation recipes (CCNet/Gopher-style quality signals).
+  *
+  * Scale: every query is per-row map work (split/filter/regex — all
+  * codegen'd built-ins, no UDFs) followed by one aggregation keyed on a
+  * low-cardinality column (lang/source) or a fingerprint; nothing joins or
+  * shuffles the corpus against itself. This is exactly the shape that
+  * streams through 100 TB: scan → project scores → partial agg → final agg.
+  *
+  * All heuristics are deterministic integer/boolean math or single-pass
+  * ratios, so the DuckDB oracle replays them exactly.
+  */
+object TextAnalysis extends QueryPack {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.view(s, dir, "documents")
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. The
+    * fixture corpus is synthetic word-salad, so the profiles are defined
+    * over its actual vocabulary — the *mechanism* (per-profile hit ratios,
+    * arg-max with thresholds) is the real language-ID shape. */
+  private val FunctionWords = Seq("the", "a")
+  private val TechWords = Seq("spark", "query", "table", "join", "scan",
+    "hash", "agg", "sort")
+
+  private def hitRatio(words: org.apache.spark.sql.Column, set: Seq[String]) =
+    size(filter(words, w => set.map(s => w === s).reduce(_ || _)))
+      .cast("double") / size(words)
+
+  override def defs: Map[String, Q] = Map(
+    // Language-ID heuristic: stopword-profile hit ratios -> predicted
+    // class, reported as a confusion matrix against the labeled lang.
+    "q97_langid_confusion" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("fn_ratio", hitRatio(col("w"), FunctionWords))
+        .withColumn("tech_ratio", hitRatio(col("w"), TechWords))
+        .withColumn("predicted",
+          when(col("fn_ratio") >= 0.10, lit("en"))
+            .when(col("tech_ratio") >= 0.30, lit("tech"))
+            .otherwise(lit("other")))
+      scored.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("fn_ratio")), 4).as("avg_fn_ratio"),
+          round(avg(col("tech_ratio")), 4).as("avg_tech_ratio"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Gopher-style quality signals: token count, type-token ratio, mean
+    // word length, rare-token share -> composite score, summarized per
+    // source (the dedup/filter decision unit of a curation pipeline).
+    "q98_quality_score" -> ((s, dir) => {
+      val q = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("ttr",
+          size(array_distinct(col("w"))).cast("double") / col("n_tok"))
+        .withColumn("mean_wlen",
+          (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+        .withColumn("dup_share",
+          size(filter(col("w"), x => x === "dup")).cast("double") / col("n_tok"))
+        .withColumn("score",
+          col("ttr") * 0.5
+            + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.3
+            + when(col("mean_wlen").between(3.0, 6.0), 0.2).otherwise(0.0)
+            - col("dup_share"))
+      q.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 4).as("avg_score"),
+          round(min(col("score")), 4).as("min_score"),
+          sum(when(col("score") < 0.45, 1L).otherwise(0L)).as("n_low"))
+        .orderBy(col("source"))
+    }),
+
+    // Tokenizer statistics: whitespace tokens vs a BPE-ish regex chunker
+    // (words split into <=4-char pieces), chars-per-token — the
+    // token-budget accounting of a training pipeline, per lang.
+    "q99_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("ws_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bpe_tok",
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+            .cast("long"))
+        .withColumn("cpt", col("n_chars").cast("double") / col("bpe_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws_tok")).as("total_ws_tok"),
+          sum(col("bpe_tok")).as("total_bpe_tok"),
+          round(avg(col("cpt")), 4).as("avg_chars_per_tok"),
+          round(sum(col("bpe_tok")).cast("double")
+            / sum(col("ws_tok")), 4).as("bpe_expansion"))
+        .orderBy(col("lang"))),
+
+    // Content fingerprinting: 1-permutation min-hash over word 4-grams
+    // (md5-derived so the oracle replays it) -> collision clusters, the
+    // cheap first pass of a fuzzy-dedup cascade.
+    "qa0_doc_fingerprint" -> ((s, dir) => {
+      val fp = docs(s, dir)
+        .withColumn("sh", MinHash.shingles(col("text"), k = 4))
+        .withColumn("fp", array_min(transform(col("sh"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+      fp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("fp"))
+    })
+  )
+
+  private def hitRatioSql(set: Seq[String]): String =
+    s"len(list_filter(w, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))::DOUBLE / len(w)"
+
+  override def oracles: Map[String, String] = Map(
+    "q97_langid_confusion" ->
+      s"""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         |r AS (SELECT lang,
+         |        ${hitRatioSql(FunctionWords)} AS fn_ratio,
+         |        ${hitRatioSql(TechWords)} AS tech_ratio
+         |      FROM d),
+         |p AS (SELECT lang, fn_ratio, tech_ratio,
+         |        CASE WHEN fn_ratio >= 0.10 THEN 'en'
+         |             WHEN tech_ratio >= 0.30 THEN 'tech'
+         |             ELSE 'other' END AS predicted
+         |      FROM r)
+         |SELECT lang, predicted, count(*) AS n,
+         |  round(avg(fn_ratio), 4) AS avg_fn_ratio,
+         |  round(avg(tech_ratio), 4) AS avg_tech_ratio
+         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q98_quality_score" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT source, len(w) AS n_tok,
+        |    len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+        |    (n_chars - (len(w) - 1))::DOUBLE / len(w) AS mean_wlen,
+        |    len(list_filter(w, x -> x = 'dup'))::DOUBLE / len(w) AS dup_share
+        |  FROM d),
+        |q AS (
+        |  SELECT source,
+        |    ttr * 0.5 + least(n_tok::DOUBLE / 100.0, 1.0) * 0.3
+        |      + CASE WHEN mean_wlen BETWEEN 3.0 AND 6.0
+        |             THEN 0.2 ELSE 0.0 END
+        |      - dup_share AS score
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_score,
+        |  round(min(score), 4) AS min_score,
+        |  CAST(sum(CASE WHEN score < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    "q99_token_stats" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS ws_tok,
+        |    len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tok
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(ws_tok) AS BIGINT) AS total_ws_tok,
+        |  CAST(sum(bpe_tok) AS BIGINT) AS total_bpe_tok,
+        |  round(avg(n_chars::DOUBLE / bpe_tok), 4) AS avg_chars_per_tok,
+        |  round(sum(bpe_tok)::DOUBLE / sum(ws_tok), 4) AS bpe_expansion
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qa0_doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                 for i in range(1, len(w) - 2)]) AS s
+        |  FROM d),
+        |fp AS (SELECT doc_id,
+        |  list_min(list_transform(s,
+        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS fp
+        |  FROM sh)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM fp GROUP BY fp HAVING count(*) > 1
+        |ORDER BY n_docs DESC, fp""".stripMargin
+  )
+}
