@@ -15,6 +15,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Wide sketch aggregates (64-min minhash, 60-sum simhash) must stay
+      // in whole-stage codegen; the default maxFields=100 silently drops
+      // them to interpreted evaluation.
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep wide sketch aggregates in whole-stage codegen (see Bench)
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

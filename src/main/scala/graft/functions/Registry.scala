@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+/** SQL-visible registry of PrestoDB function names, so reference SQL runs
+  * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
+  *
+  * Every function is an expression TEMPLATE: a SQL fragment parsed once and
+  * re-instantiated per call site with the argument expressions substituted
+  * for `__a`/`__b`/`__c` placeholders. The result is a tree of Spark
+  * built-in expressions — fully codegen'd, no UDFs, indistinguishable from
+  * hand-written `functions._` calls after analysis. Functions whose Presto
+  * name and semantics already exist in Spark (length, reverse, power,
+  * split_part, width_bucket, …) are intentionally absent.
+  *
+  * Name sources: `presto-main/.../scalar/StringFunctions.java`,
+  * `MathFunctions.java`, `DateTimeFunctions.java`, `UrlFunctions.java`,
+  * `VarbinaryFunctions.java`; aggregate names from
+  * `presto-main/.../aggregation/`.
+  */
+object Registry {
+
+  /** Presto name → (arity, SQL template over __a/__b/__c). */
+  private val templates: Seq[(String, Int, String)] = Seq(
+    // --- string (StringFunctions.java) ---
+    ("strpos", 2, "instr(__a, __b)"),
+    ("codepoint", 1, "ascii(__a)"),
+    ("chr", 1, "char(__a)"),
+    ("levenshtein_distance", 2, "levenshtein(__a, __b)"),
+    ("starts_with", 2, "startswith(__a, __b)"),
+    ("ends_with", 2, "endswith(__a, __b)"),
+    // --- math (MathFunctions.java) ---
+    ("from_base", 2, "cast(conv(__a, __b, 10) as bigint)"),
+    ("to_base", 2, "lower(conv(cast(__a as string), 10, __b))"),
+    ("infinity", 0, "cast('Infinity' as double)"),
+    ("nan", 0, "cast('NaN' as double)"),
+    ("is_nan", 1, "isnan(cast(__a as double))"),
+    ("is_finite", 1,
+      "not isnan(cast(__a as double)) and abs(cast(__a as double)) <> cast('Infinity' as double)"),
+    ("is_infinite", 1, "abs(cast(__a as double)) = cast('Infinity' as double)"),
+    ("truncate", 1, "sign(__a) * floor(abs(__a))"),
+    ("cosine_similarity", 2,
+      """aggregate(zip_with(__a, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)
+        | / (sqrt(aggregate(zip_with(__a, __a, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t))
+        |    * sqrt(aggregate(zip_with(__b, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)))"""
+        .stripMargin),
+    ("dot_product", 2,
+      "aggregate(zip_with(__a, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)"),
+    ("l2_distance", 2,
+      "sqrt(aggregate(zip_with(__a, __b, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (s, t) -> s + t))"),
+    // --- bitwise (BitwiseFunctions.java) ---
+    ("bitwise_and", 2, "cast(__a as bigint) & cast(__b as bigint)"),
+    ("bitwise_or", 2, "cast(__a as bigint) | cast(__b as bigint)"),
+    ("bitwise_xor", 2, "cast(__a as bigint) ^ cast(__b as bigint)"),
+    ("bitwise_not", 1, "~cast(__a as bigint)"),
+    ("bitwise_left_shift", 2, "shiftleft(cast(__a as bigint), cast(__b as int))"),
+    ("bitwise_right_shift", 2, "shiftright(cast(__a as bigint), cast(__b as int))"),
+    // --- date/time (DateTimeFunctions.java); ISO day numbering ---
+    ("day_of_week", 1, "((dayofweek(__a) + 5) % 7) + 1"),
+    ("dow", 1, "((dayofweek(__a) + 5) % 7) + 1"),
+    ("day_of_year", 1, "dayofyear(__a)"),
+    ("doy", 1, "dayofyear(__a)"),
+    ("week_of_year", 1, "weekofyear(__a)"),
+    ("year_of_week", 1, "extract(YEAROFWEEK FROM __a)"),
+    ("yow", 1, "extract(YEAROFWEEK FROM __a)"),
+    ("to_unixtime", 1, "cast(unix_micros(cast(__a as timestamp)) as double) / 1e6"),
+    ("from_unixtime", 1, "timestamp_seconds(__a)"),
+    ("last_day_of_month", 1, "last_day(__a)"),
+    // --- array (ArrayFunctions + lambdas) ---
+    ("contains", 2, "array_contains(__a, __b)"),
+    ("array_sum", 1, "aggregate(__a, 0D, (s, x) -> s + cast(x as double))"),
+    ("array_average", 1,
+      "aggregate(__a, 0D, (s, x) -> s + cast(x as double)) / size(__a)"),
+    // --- JSON / URL (JsonFunctions.java, UrlFunctions.java) ---
+    ("json_extract_scalar", 2, "get_json_object(__a, __b)"),
+    ("url_extract_protocol", 1, "parse_url(__a, 'PROTOCOL')"),
+    ("url_extract_host", 1, "parse_url(__a, 'HOST')"),
+    ("url_extract_path", 1, "parse_url(__a, 'PATH')"),
+    ("url_extract_query", 1, "parse_url(__a, 'QUERY')"),
+    ("url_extract_parameter", 2, "parse_url(__a, 'QUERY', __b)"),
+    // --- binary (VarbinaryFunctions.java; Presto returns varbinary) ---
+    ("to_hex", 1, "upper(hex(__a))"),
+    ("from_hex", 1, "unhex(__a)"),
+    ("to_utf8", 1, "encode(__a, 'UTF-8')"),
+    ("from_utf8", 1, "decode(__a, 'UTF-8')"),
+    ("sha256", 1, "unhex(sha2(__a, 256))"),
+    // --- aggregates (aggregation/*.java) ---
+    ("arbitrary", 1, "any_value(__a)"),
+    ("approx_distinct", 1, "approx_count_distinct(__a)"),
+    ("approx_percentile", 2, "percentile_approx(__a, __b, 10000)"),
+    ("geometric_mean", 1, "exp(avg(ln(__a)))")
+  )
+
+  private val argNames = Seq("__a", "__b", "__c")
+
+  private val installed =
+    new java.util.IdentityHashMap[SparkSession, Boolean]()
+
+  /** Installs every Presto-named function into the session's
+    * FunctionRegistry (temp functions — they win name resolution but touch
+    * no global state). Idempotent per session. */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed.containsKey(spark)) {
+      val registry = spark.sessionState.functionRegistry
+      templates.foreach { case (name, arity, sql) =>
+        val template = spark.sessionState.sqlParser.parseExpression(sql)
+        val builder: Seq[Expression] => Expression = { args =>
+          require(args.length == arity,
+            s"$name expects $arity args, got ${args.length}")
+          template.transformUp {
+            case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
+              args(argNames.indexOf(n))
+          }
+        }
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), builder)
+      }
+      // date_parse / date_format translate the (literal) MySQL pattern at
+      // plan time, then delegate to Spark's java.time expressions.
+      // date_format shadows a Spark builtin of the same name, so its
+      // delegate must be the Catalyst expression class directly — a
+      // name-based template would resolve back into this registry and loop.
+      def mysqlPatternFn(name: String)
+                        (delegate: (Expression, String) => Expression): Unit = {
+        val builder: Seq[Expression] => Expression = { args =>
+          val pattern = args(1) match {
+            case Literal(v, StringType) =>
+              PrestoScalars.mysqlToJavaPattern(v.toString)
+            case other => sys.error(
+              s"$name requires a literal pattern, got $other")
+          }
+          delegate(args.head, pattern)
+        }
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), builder)
+      }
+      mysqlPatternFn("date_parse") { (arg, pattern) =>
+        spark.sessionState.sqlParser
+          .parseExpression(s"to_timestamp(__a, '$pattern')")
+          .transformUp { case UnresolvedAttribute(Seq("__a")) => arg }
+      }
+      mysqlPatternFn("date_format") { (arg, pattern) =>
+        DateFormatClass(arg, Literal(pattern))
+      }
+      installed.put(spark, true)
+    }
+  }
+}

@@ -31,12 +31,27 @@ object MinHash {
       i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
   }
 
-  /** MinHash signature: array of `numHashes` minima of per-seed xxhash64
-    * over the shingle set. One pass per seed over an in-memory array —
-    * codegen'd, no shuffle. */
-  def signature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))): _*)
+  /** MinHash signatures via one explode + a codegen'd hash-aggregate:
+    * (idCol, sig array<long>) from (idCol, "sh" array<string>).
+    *
+    * The shingle string is hashed ONCE (xxhash64), then the `numHashes`
+    * independent functions are cheap long remixes `xxhash64(seed_i, h)`
+    * minimized per document. Spark's higher-order functions
+    * (transform/aggregate) are CodegenFallback — a per-seed `transform`
+    * over the shingle array evaluates interpreted with per-element boxing
+    * — so the hot path here is explode → hash → 64 `min` aggregates,
+    * which stays in whole-stage codegen and gets map-side partial
+    * aggregation for free at cluster scale. */
+  def signatures(withShingles: DataFrame, idCol: String,
+                 numHashes: Int): DataFrame = {
+    val base = withShingles.select(col(idCol), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Explode a signature into (band, band_hash) rows: `bands` groups of
     * `rowsPerBand` signature slots hashed together. A pair agreeing on any

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity building blocks over embedding columns
@@ -43,26 +43,46 @@ object Similarity {
     * must run in doubles so Spark and the oracle agree bit-for-bit. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Signed projection of a double-array embedding onto plane `p`.
-    * Sequential left-to-right aggregate — same summation order as the
-    * oracle's dot product, so the sign (all the bucket needs) matches. */
-  def planeDot(emb: Column, p: Int, dims: Int): Column = {
-    val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
-    aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Per-plane signed projections for planes [0, nPlanes): one posexplode
+    * + a codegen'd hash-aggregate producing (idCol, d0..d{n-1}).
+    *
+    * Spark's higher-order functions are CodegenFallback (interpreted with
+    * per-element boxing), so a per-plane `aggregate(zip_with(...))` over
+    * the corpus scan is the slow shape; explode → literal-weight lookup →
+    * `sum` aggregates stays in whole-stage codegen and partial-aggregates
+    * map-side. Summation order is engine-dependent, but the bucket only
+    * consumes the SIGN of each dot — random projections sit far from 0
+    * relative to fp noise, so Spark and the oracle agree. */
+  def planeDots(emb: DataFrame, idCol: String, embCol: String,
+                nPlanes: Int, dims: Int): DataFrame = {
+    val el = emb.select(col(idCol), posexplode(col(embCol)).as(Seq("i", "x")))
+    val dots = (0 until nPlanes).map { p =>
+      val w = array((0 until dims).map(i => lit(planeWeight(p, i))): _*)
+      sum(col("x") * element_at(w, col("i") + 1)).as(s"d$p")
+    }
+    el.groupBy(col(idCol)).agg(dots.head, dots.tail: _*)
   }
 
-  /** LSH bucket id: `planes` sign bits from planes [pFrom, pFrom+planes)
-    * packed into a long. 2^planes buckets. */
-  def bucket(emb: Column, pFrom: Int, planes: Int, dims: Int): Column =
+  /** Packs sign bits of d{pFrom}..d{pFrom+planes-1} into a bucket id. */
+  private def bucketCol(pFrom: Int, planes: Int): Column =
     (0 until planes).map(j =>
-      when(planeDot(emb, pFrom + j, dims) > 0, lit(1L << j)).otherwise(lit(0L)))
+      when(col(s"d${pFrom + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Multi-table bucketing: `tables` independent bucket ids of
-    * `planesPerTable` bits each, as (table, bucket) pairs for posexplode.
-    * Recall at threshold θ: 1 - (1 - (1-θ/π)^planesPerTable)^tables. */
-  def bucketTables(emb: Column, tables: Int, planesPerTable: Int,
-                   dims: Int): Column =
-    array((0 until tables).map(t =>
-      bucket(emb, t * planesPerTable, planesPerTable, dims)): _*)
+  /** Single-table LSH bucketing: (idCol, bucket), 2^planes buckets. */
+  def buckets(emb: DataFrame, idCol: String, embCol: String,
+              planes: Int, dims: Int): DataFrame =
+    planeDots(emb, idCol, embCol, planes, dims)
+      .select(col(idCol), bucketCol(0, planes).as("bucket"))
+
+  /** Multi-table bucketing: (idCol, t, bv) — `tables` independent bucket
+    * ids of `planesPerTable` bits each.
+    * Recall at angle θ: 1 - (1 - (1-θ/π)^planesPerTable)^tables. */
+  def bucketTables(emb: DataFrame, idCol: String, embCol: String,
+                   tables: Int, planesPerTable: Int, dims: Int): DataFrame =
+    planeDots(emb, idCol, embCol, tables * planesPerTable, dims)
+      .select(col(idCol),
+        posexplode(array((0 until tables).map(t =>
+          bucketCol(t * planesPerTable, planesPerTable)): _*))
+          .as(Seq("t", "bv")))
 }

@@ -61,8 +61,8 @@ object Ann extends QueryPack {
     // LSH-bucketed ANN: 6-plane (64-bucket) signature, candidates from the
     // bucket equi-join, exact cosine rerank, best neighbor per probe.
     "q95_lsh_ann" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("bucket", Similarity.bucket(col("e"), 0, 6, Dims))
+      val e0 = emb(s, dir)
+      val e = e0.join(Similarity.buckets(e0, "vec_id", "e", 6, Dims), "vec_id")
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("bucket"))
       val cands = e.join(broadcast(probes), Seq("bucket"))
@@ -86,9 +86,7 @@ object Ann extends QueryPack {
     // and recall is a documented knob (more tables → higher recall).
     "q96_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val blocked = e.select(col("vec_id"),
-          posexplode(Similarity.bucketTables(col("e"), 4, 3, Dims))
-            .as(Seq("t", "bv")))
+      val blocked = Similarity.bucketTables(e, "vec_id", "e", 4, 3, Dims)
       val a = blocked.select(col("t"), col("bv"), col("vec_id").as("a_id"))
       val b = blocked.select(col("t"), col("bv"), col("vec_id").as("b_id"))
       val cands = a.join(b, Seq("t", "bv"))

@@ -48,8 +48,7 @@ object Dedup extends QueryPack {
     "q91_minhash_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), MinHash.shingles(col("text")).as("sh"))
-      val sigs = docs.select(col("doc_id"),
-        MinHash.signature(col("sh"), numHashes = 64).as("sig"))
+      val sigs = MinHash.signatures(docs, "doc_id", numHashes = 64)
       val banded = MinHash.bandize(sigs, "doc_id", "sig",
         bands = 16, rowsPerBand = 4)
       val cands = MinHash.candidatePairs(banded, "doc_id")

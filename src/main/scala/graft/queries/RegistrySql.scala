@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Registry
+
+/** Queries written as raw Presto SQL against `spark.sql(...)` — proof that
+  * the `Registry` makes reference SQL run unmodified (SURVEY §7.1). Every
+  * function name below is a Presto name with no Spark builtin equivalent
+  * (or different semantics), resolved through the expression-template
+  * registry into pure built-in Catalyst trees (codegen'd, no UDFs).
+  *
+  * Reference names: `presto-main/.../scalar/StringFunctions.java`,
+  * `MathFunctions.java`, `DateTimeFunctions.java` (ISO dow/doy numbering),
+  * `BitwiseFunctions.java`.
+  */
+object RegistrySql extends QueryPack {
+
+  private def sql(s: org.apache.spark.sql.SparkSession, dir: String,
+                  q: String) = {
+    Tables.register(s, dir)
+    Registry.install(s)
+    s.sql(q)
+  }
+
+  override def defs: Map[String, Q] = Map(
+    // String/math/bitwise Presto names over `part`.
+    "qa1_presto_sql_scalars" -> ((s, dir) => sql(s, dir,
+      """SELECT p_partkey,
+        |  cast(strpos(p_type, 'BRASS') as bigint) AS pos_brass,
+        |  to_base(p_size, 2) AS size_bin,
+        |  from_base(to_base(p_size, 16), 16) AS size_roundtrip,
+        |  truncate(p_retailprice / 100.0) AS price_h,
+        |  cast(codepoint(substr(p_brand, 7, 1)) as bigint) AS brand_cp,
+        |  bitwise_xor(p_size, p_partkey) AS bx,
+        |  bitwise_left_shift(p_size, 3) AS size_x8
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
+
+    // Presto date/time names (ISO numbering) over `orders`.
+    "qa2_presto_sql_datetime" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey,
+        |  cast(day_of_week(o_orderdate) as bigint) AS dow,
+        |  cast(day_of_year(o_orderdate) as bigint) AS doy,
+        |  cast(week_of_year(o_orderdate) as bigint) AS woy,
+        |  cast(year_of_week(o_orderdate) as bigint) AS yow,
+        |  to_unixtime(o_orderdate) AS epoch_s,
+        |  date_format(o_orderdate, '%Y-%m-%d') AS d_str,
+        |  date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)),
+
+    // Vector math via registry lambdas over `embeddings` pairs.
+    "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(cosine_similarity(a.embedding, b.embedding), 4) AS cos,
+        |  round(dot_product(a.embedding, b.embedding), 4) AS dot,
+        |  round(l2_distance(a.embedding, b.embedding), 4) AS l2
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 5
+        |WHERE a.vec_id < 5 ORDER BY a_id""".stripMargin))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "qa1_presto_sql_scalars" ->
+      """SELECT p_partkey,
+        |  strpos(p_type, 'BRASS') AS pos_brass,
+        |  bin(p_size) AS size_bin,
+        |  ('0x' || lower(hex(p_size)))::BIGINT AS size_roundtrip,
+        |  trunc(p_retailprice / 100.0) AS price_h,
+        |  CAST(ascii(substr(p_brand, 7, 1)) AS BIGINT) AS brand_cp,
+        |  xor(p_size::BIGINT, p_partkey) AS bx,
+        |  (p_size::BIGINT << 3) AS size_x8
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "qa2_presto_sql_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        |  CAST(isoyear(o_orderdate) AS BIGINT) AS yow,
+        |  epoch_ms(o_orderdate) / 1000.0 AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "qa3_presto_sql_vector" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))), 4) AS cos,
+        |  round(list_dot_product(a.v, b.v), 4) AS dot,
+        |  round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+        |    x -> (x[1] - x[2]) * (x[1] - x[2])))), 4) AS l2
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 5
+        |WHERE a.vec_id < 5 ORDER BY a_id""".stripMargin
+  )
+}
