@@ -25,18 +25,18 @@ object PrestoScalars {
       .when(x >= hi, n.cast("long") + 1L)
       .otherwise((floor((x - lo) / ((hi - lo) / n.cast("double"))) + 1L).cast("long"))
 
-  /** Cosine similarity of two numeric arrays (the embeddings hot path).
-    * zip_with + aggregate stay codegen'd; no UDF deserialization. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two double arrays (the embeddings hot path):
+    * a native codegen'd expression — one fused multiply-accumulate loop,
+    * same sequential summation order as the DuckDB oracle's
+    * `list_dot_product`, so results match bit-for-bit. (The
+    * `aggregate(zip_with(...))` composition this replaces is
+    * CodegenFallback — interpreted with per-element boxing.) */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    VectorExpressions.cosine(a, b)
 
-  /** L2 (Euclidean) distance of two numeric arrays. */
+  /** L2 (Euclidean) distance of two double arrays — codegen'd. */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
-      lit(0.0), (acc, v) => acc + v))
+    VectorExpressions.l2(a, b)
 
   /** Presto to_base(x, radix): number → string in radix. */
   def toBase(x: Column, radix: Int): Column = conv(x.cast("string"), 10, radix)

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
   * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
@@ -43,15 +43,8 @@ object Registry {
       "not isnan(cast(__a as double)) and abs(cast(__a as double)) <> cast('Infinity' as double)"),
     ("is_infinite", 1, "abs(cast(__a as double)) = cast('Infinity' as double)"),
     ("truncate", 1, "sign(__a) * floor(abs(__a))"),
-    ("cosine_similarity", 2,
-      """aggregate(zip_with(__a, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)
-        | / (sqrt(aggregate(zip_with(__a, __a, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t))
-        |    * sqrt(aggregate(zip_with(__b, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)))"""
-        .stripMargin),
-    ("dot_product", 2,
-      "aggregate(zip_with(__a, __b, (x, y) -> cast(x as double) * y), 0D, (s, t) -> s + t)"),
-    ("l2_distance", 2,
-      "sqrt(aggregate(zip_with(__a, __b, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (s, t) -> s + t))"),
+    // cosine_similarity / dot_product / l2_distance are registered below
+    // as native codegen expressions (VectorExpressions), not templates.
     // --- bitwise (BitwiseFunctions.java) ---
     ("bitwise_and", 2, "cast(__a as bigint) & cast(__b as bigint)"),
     ("bitwise_or", 2, "cast(__a as bigint) | cast(__b as bigint)"),
@@ -146,6 +139,19 @@ object Registry {
       mysqlPatternFn("date_format") { (arg, pattern) =>
         DateFormatClass(arg, Literal(pattern))
       }
+      // Native codegen'd vector math (see VectorExpressions) — the one
+      // place composition genuinely can't match a fused primitive loop.
+      def vectorFn(name: String)(mk: (Expression, Expression) => Expression): Unit = {
+        val builder: Seq[Expression] => Expression = { args =>
+          val Seq(a, b) = args.map(e => Cast(e, ArrayType(DoubleType)))
+          mk(a, b)
+        }
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), builder)
+      }
+      vectorFn("cosine_similarity")(CosineSimilarity(_, _))
+      vectorFn("dot_product")(DotProduct(_, _))
+      vectorFn("l2_distance")(L2Distance(_, _))
       installed.put(spark, true)
     }
   }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-shingles of a text column, as a single native
+  * expression.
+  *
+  * Replaces the composed
+  * `array_distinct(transform(sequence(...), i -> concat_ws(element_at...)))`
+  * pipeline: higher-order functions are CodegenFallback, so that chain
+  * walks an interpreted expression tree with boxing for every shingle of
+  * every row. This expression does the same work in one compiled pass over
+  * the row's `UTF8String` (split → sliding concat → hash-set distinct) —
+  * order-preserving first-occurrence distinct, identical output.
+  * (CodegenFallback itself, but ONE virtual call per row; the loop body is
+  * plain JVM code the JIT compiles.)
+  *
+  * Reference: Presto's `ngrams()` (`presto-main/.../scalar/ArrayFunctions`)
+  * + `split` — same shingle semantics the dedup pipeline composes there.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + k <= words.length) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = words(i + j)
+        j += 1
+      }
+      out.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, k: Int): Column =
+    ColumnBridge.toCol(WordShingles(ColumnBridge.toExpr(text), k))
+}

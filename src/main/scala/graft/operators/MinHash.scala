@@ -23,13 +23,11 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** Distinct word k-shingles of a text column (lowercase-free: fixture is
-    * already normalized). n-2 shingles for n words at k=3. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(w) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
-  }
+    * already normalized). n-k+1 shingles for n words. Native single-pass
+    * expression — see `graft.functions.WordShingles` for why the
+    * higher-order-function composition was replaced. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.TextExpressions.wordShingles(text, k)
 
   /** MinHash signatures via one explode + a codegen'd hash-aggregate:
     * (idCol, sig array<long>) from (idCol, "sh" array<string>).

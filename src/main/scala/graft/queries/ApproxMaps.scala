@@ -30,13 +30,33 @@ object ApproxMaps extends QueryPack {
 
   override def defs: Map[String, Q] = Map(
     "q85_approx_aggs" -> ((s, dir) => {
+      // Separate aggregations joined at the end (4-row join keys): mixing
+      // countDistinct (Expand-based) with the TypedImperative
+      // percentile_approx in ONE agg forces the whole input through an
+      // ObjectHashAggregate over expanded rows (~20x slower, measured).
+      // The exact median uses a window row_number instead of `percentile`
+      // — sort-based and codegen'd rather than a per-group value map.
+      import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("acd"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      val counts = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val acd = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("acd"))
+      val papprox = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"))
+      val byPrice = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val grp = Window.partitionBy(col("l_returnflag"))
+      val median = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("n", count(lit(1)).over(grp))
+        .filter(col("rn") === ((col("n") + 1) / 2).cast("long") ||
+          col("rn") === ((col("n") + 2) / 2).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("p50_exact"))
+      counts.join(acd, "l_returnflag").join(papprox, "l_returnflag")
+        .join(median, "l_returnflag")
         .select(
           col("l_returnflag"),
           col("exact_parts"),

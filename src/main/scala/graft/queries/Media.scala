@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal-column queries: binary media + typed metadata, frame
+  * sampling, and batch feature extraction (see
+  * `graft.operators.Multimodal` for the stubbed-codec contract).
+  *
+  * Oracle strategy: the binary column is derived from `documents.text`
+  * (utf-8), and the fake decoder is a byte histogram — so DuckDB replays
+  * frame arithmetic directly and histogram bins as character-class counts
+  * over the source text (the corpus is ascii lowercase + space, so only
+  * bins 2 (space), 6 (a–o) and 7 (p–z) are populated).
+  */
+object Media extends QueryPack {
+
+  private val FrameBytes = 64
+  private val Stride = 2
+
+  override def defs: Map[String, Q] = Map(
+    // Expression path: opaque-binary stats + fixed-stride frame sampling.
+    "qa4_media_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(s, dir).filter(col("doc_id") < 50)
+      Multimodal.sampleFrames(media, FrameBytes, Stride)
+        .groupBy(col("doc_id"), col("n_bytes"), col("n_frames"),
+          md5(col("media")).as("media_md5"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame")).cast("long")).as("sampled_bytes"))
+        .select(col("doc_id"), col("n_bytes"), col("media_md5"),
+          col("n_frames"), col("n_sampled"), col("sampled_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Typed mapPartitions path: one decoder per partition, fixed-width
+    // feature vector out (the real-codec shape, deterministic fake body).
+    "qa5_media_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = Multimodal.mediaTable(s, dir).filter(col("doc_id") < 50)
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, () => Multimodal.FakeDecoder)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("histogram"), 3).as("n_space"),
+          element_at(col("histogram"), 7).as("n_a_o"),
+          element_at(col("histogram"), 8).as("n_p_z"),
+          round(col("feat_norm"), 4).as("feat_norm"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "qa4_media_frames" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars AS n_bytes, md5(text) AS media_md5,
+         |    CAST(ceil(n_chars / $FrameBytes.0) AS BIGINT) AS n_frames
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, n_bytes, media_md5, n_frames,
+         |  CAST(len(range(0, n_frames, $Stride)) AS BIGINT) AS n_sampled,
+         |  CAST(list_sum(list_transform(range(0, n_frames, $Stride),
+         |    k -> least($FrameBytes, n_bytes - $FrameBytes * k))) AS BIGINT)
+         |    AS sampled_bytes
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "qa5_media_features" ->
+      """SELECT doc_id, n_chars AS n_bytes,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |    AS n_space,
+        |  CAST(len(regexp_extract_all(text, '[a-o]')) AS BIGINT) AS n_a_o,
+        |  CAST(len(regexp_extract_all(text, '[p-z]')) AS BIGINT) AS n_p_z,
+        |  round(sqrt(
+        |    (length(text) - length(replace(text, ' ', '')))^2
+        |    + len(regexp_extract_all(text, '[a-o]'))^2
+        |    + len(regexp_extract_all(text, '[p-z]'))^2), 4) AS feat_norm
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream (the fixture's
+  * north-star streaming table): watermarked windowed aggregation and
+  * stateful sessionization.
+  *
+  * Reference semantics: the windowed aggregation mirrors what the
+  * reference runs as repeated batch queries over an append-only events
+  * table; sessionization is the gaps-and-islands operator (see the batch
+  * twin in `graft.queries.Events` — both produce the same sessions, one
+  * incrementally with state + timeouts, one with window functions).
+  *
+  * Scale: both operators key state by (window, type) / user — state size
+  * is bounded by active keys × gap, and the watermark lets Spark drop
+  * state for closed windows/sessions. At 100 TB/day the same code runs
+  * with more shuffle partitions; nothing here is local-mode-specific.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long,
+                     total_value: Double)
+
+  private case class SessionState(start: Long, last: Long, n: Long,
+                                  total: Double)
+
+  /** Watermarked tumbling-window counts per event type. Late data beyond
+    * the watermark is dropped; closed windows emit exactly once under
+    * Append mode. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful sessionization: events grouped by user, sessions closed
+    * after `gapMinutes` of event-time silence (event-time timeout driven
+    * by the watermark). One state object per active user. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 360,
+                 watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption.orNull
+      if (state.hasTimedOut) {
+        if (cur != null) {
+          out += Session(userId, new Timestamp(cur.start),
+            new Timestamp(cur.last), cur.n, cur.total)
+        }
+        state.remove()
+        cur = null
+      }
+      // Sort within the micro-batch: arrival order is not event-time order.
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (cur == null) {
+          cur = SessionState(t, t, 1L, e.value)
+        } else if (t - cur.last > gapMs) {
+          out += Session(userId, new Timestamp(cur.start),
+            new Timestamp(cur.last), cur.n, cur.total)
+          cur = SessionState(t, t, 1L, e.value)
+        } else {
+          cur = SessionState(cur.start, math.max(cur.last, t), cur.n + 1,
+            cur.total + e.value)
+        }
+      }
+      if (cur != null) {
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.last + gapMs)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
