@@ -61,10 +61,14 @@ object Registry {
     ("year_of_week", 1, "extract(YEAROFWEEK FROM __a)"),
     ("yow", 1, "extract(YEAROFWEEK FROM __a)"),
     ("to_unixtime", 1, "cast(unix_micros(cast(__a as timestamp)) as double) / 1e6"),
-    ("from_unixtime", 1, "timestamp_seconds(__a)"),
     ("last_day_of_month", 1, "last_day(__a)"),
+    // NOT registered: Presto's from_unixtime (returns timestamp) and
+    // contains (array membership) share names with Spark builtins of
+    // DIFFERENT semantics (string from_unixtime, string contains) — and in
+    // Spark 4 the Column API resolves builtin names through the session
+    // registry too, so shadowing them would silently break every other
+    // query in the session. Use timestamp_seconds / array_contains.
     // --- array (ArrayFunctions + lambdas) ---
-    ("contains", 2, "array_contains(__a, __b)"),
     ("array_sum", 1, "aggregate(__a, 0D, (s, x) -> s + cast(x as double))"),
     ("array_average", 1,
       "aggregate(__a, 0D, (s, x) -> s + cast(x as double)) / size(__a)"),
@@ -84,7 +88,6 @@ object Registry {
     // --- aggregates (aggregation/*.java) ---
     ("arbitrary", 1, "any_value(__a)"),
     ("approx_distinct", 1, "approx_count_distinct(__a)"),
-    ("approx_percentile", 2, "percentile_approx(__a, __b, 10000)"),
     ("geometric_mean", 1, "exp(avg(ln(__a)))")
   )
 
@@ -121,8 +124,14 @@ object Registry {
                         (delegate: (Expression, String) => Expression): Unit = {
         val builder: Seq[Expression] => Expression = { args =>
           val pattern = args(1) match {
-            case Literal(v, StringType) =>
+            // Translate only MySQL-style patterns ('%' directives). A
+            // plain java.time pattern passes through untouched: in Spark 4
+            // the Column API resolves `date_format` through this registry
+            // too, and re-translating an already-Java pattern would quote
+            // its letters into garbage.
+            case Literal(v, StringType) if v.toString.contains("%") =>
               PrestoScalars.mysqlToJavaPattern(v.toString)
+            case Literal(v, StringType) => v.toString
             case other => sys.error(
               s"$name requires a literal pattern, got $other")
           }
@@ -138,6 +147,23 @@ object Registry {
       }
       mysqlPatternFn("date_format") { (arg, pattern) =>
         DateFormatClass(arg, Literal(pattern))
+      }
+      // approx_percentile: Spark builtin of the same name takes an
+      // optional accuracy — mirror both arities, defaulting to Presto's
+      // effective precision, so shadowing stays semantics-compatible.
+      locally {
+        val name = "approx_percentile"
+        val builder: Seq[Expression] => Expression = { args =>
+          val full = if (args.length == 2) args :+ Literal(10000) else args
+          spark.sessionState.sqlParser
+            .parseExpression("percentile_approx(__a, __b, __c)")
+            .transformUp {
+              case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
+                full(argNames.indexOf(n))
+            }
+        }
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), builder)
       }
       // Native codegen'd vector math (see VectorExpressions) — the one
       // place composition genuinely can't match a fused primitive loop.

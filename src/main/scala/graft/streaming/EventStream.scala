@@ -30,8 +30,10 @@ object EventStream {
                      session_end: Timestamp, n_events: Long,
                      total_value: Double)
 
-  private case class SessionState(start: Long, last: Long, n: Long,
-                                  total: Double)
+  /** Public top-level shape: the state encoder's generated code (Janino)
+    * must resolve the accessors. */
+  case class SessionState(startMs: Long, lastMs: Long, nEvents: Long,
+                          valueSum: Double)
 
   /** Watermarked tumbling-window counts per event type. Late data beyond
     * the watermark is dropped; closed windows emit exactly once under
@@ -59,8 +61,8 @@ object EventStream {
       var cur = state.getOption.orNull
       if (state.hasTimedOut) {
         if (cur != null) {
-          out += Session(userId, new Timestamp(cur.start),
-            new Timestamp(cur.last), cur.n, cur.total)
+          out += Session(userId, new Timestamp(cur.startMs),
+            new Timestamp(cur.lastMs), cur.nEvents, cur.valueSum)
         }
         state.remove()
         cur = null
@@ -70,18 +72,18 @@ object EventStream {
         val t = e.ts.getTime
         if (cur == null) {
           cur = SessionState(t, t, 1L, e.value)
-        } else if (t - cur.last > gapMs) {
-          out += Session(userId, new Timestamp(cur.start),
-            new Timestamp(cur.last), cur.n, cur.total)
+        } else if (t - cur.lastMs > gapMs) {
+          out += Session(userId, new Timestamp(cur.startMs),
+            new Timestamp(cur.lastMs), cur.nEvents, cur.valueSum)
           cur = SessionState(t, t, 1L, e.value)
         } else {
-          cur = SessionState(cur.start, math.max(cur.last, t), cur.n + 1,
-            cur.total + e.value)
+          cur = SessionState(cur.startMs, math.max(cur.lastMs, t),
+            cur.nEvents + 1, cur.valueSum + e.value)
         }
       }
       if (cur != null) {
         state.update(cur)
-        state.setTimeoutTimestamp(cur.last + gapMs)
+        state.setTimeoutTimestamp(cur.lastMs + gapMs)
       }
       out.iterator
     }

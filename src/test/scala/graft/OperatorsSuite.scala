@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MinHash, Multimodal, Similarity}
+
+/** Behavioral tests for the dedup/similarity/multimodal operators on
+  * in-memory corpora with planted structure (the parquet fixtures carry no
+  * true near-dups at every similarity level these operators target). */
+class OperatorsSuite extends GraftSuite {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river shore"), // near-dup of 0
+    (2L, "completely different words about spark query engines and columnar data"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (4L, "spark streaming watermarks sessionize grouped state for event pipelines"))
+    .toDF("doc_id", "text")
+
+  test("minhash-LSH finds planted near-dup and exact-dup pairs, nothing else") {
+    val docs = corpus.select(col("doc_id"),
+      MinHash.shingles(col("text"), 3).as("sh"))
+    val sigs = MinHash.signatures(docs, "doc_id", 64)
+    val banded = MinHash.bandize(sigs, "doc_id", "sig", 16, 4)
+    val cands = MinHash.candidatePairs(banded, "doc_id")
+    val verified = MinHash.verifyJaccard(cands, docs, "doc_id", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(verified.contains((0L, 1L)))
+    assert(verified.contains((0L, 3L)))
+    assert(verified.contains((1L, 3L)))
+    assert(!verified.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact dup has jaccard 1.0; near-dup below 1") {
+    val docs = corpus.select(col("doc_id"),
+      MinHash.shingles(col("text"), 3).as("sh"))
+    val cands = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
+    val rows = MinHash.verifyJaccard(cands, docs, "doc_id", 0.0)
+      .select("a_id", "b_id", "jac").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows((0L, 3L)) == 1.0)
+    assert(rows((0L, 1L)) < 1.0 && rows((0L, 1L)) > 0.5)
+  }
+
+  test("simhash: exact dups collide at hamming 0") {
+    val docs = corpus.select(col("doc_id"),
+      MinHash.shingles(col("text"), 3).as("sh"))
+    val chunked = MinHash.simhashChunks(docs, "doc_id")
+    val pairs = MinHash.simhashCandidates(chunked, "doc_id", maxHamming = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("similarity planeWeight is deterministic and in [-1, 1]") {
+    val w1 = Similarity.planeWeight(3, 17)
+    val w2 = Similarity.planeWeight(3, 17)
+    assert(w1 == w2)
+    assert((0 until 8).forall(p => (0 until 64).forall { i =>
+      val w = Similarity.planeWeight(p, i); w >= -1.0 && w <= 1.0
+    }))
+  }
+
+  test("identical vectors share an LSH bucket; negation lands elsewhere") {
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => 1.0 / (i + 1))),
+      (1L, Array.tabulate(8)(i => 1.0 / (i + 1))),
+      (2L, Array.tabulate(8)(i => -1.0 / (i + 1))))
+      .toDF("vec_id", "e")
+    val b = Similarity.buckets(vecs, "vec_id", "e", 6, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // all 6 sign bits flip for the negated vector
+  }
+
+  test("fake decoder histogram: counts and norm") {
+    val h = Multimodal.FakeDecoder.decode("aaa bb".getBytes("UTF-8"))
+    assert(h.sum == 6)
+    assert(h(6) == 5) // 'a','b' in 0x60 block
+    assert(h(2) == 1) // space in 0x20 block
+  }
+
+  test("frame sampling covers all bytes with stride 1, half with stride 2") {
+    val media = Multimodal.mediaTable(spark, SfDir).filter(col("doc_id") < 5)
+    val full = Multimodal.sampleFrames(media, 64, 1)
+      .groupBy(col("doc_id"), col("n_bytes"))
+      .agg(sum(length(col("frame"))).as("tot"))
+      .select((col("tot") === col("n_bytes")).as("ok")).as[Boolean].collect()
+    assert(full.forall(identity))
+    val sampled = Multimodal.sampleFrames(media, 64, 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+        max(col("n_frames")).as("nf"))
+      .select((col("n") === ceil(col("nf") / 2.0)).as("ok"))
+      .as[Boolean].collect()
+    assert(sampled.nonEmpty)
+  }
+}

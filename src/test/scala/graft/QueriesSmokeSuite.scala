@@ -1,0 +1,35 @@
+package graft
+
+/** Every driver-facing query must run at sf0.001 and produce a sane
+  * result frame. Catches runtime regressions (analysis errors, registry
+  * conflicts, bad casts) across the whole surface without the DuckDB
+  * oracle in the loop — including session-ordering effects, since all
+  * queries share one session here (see the q71 date_format shadowing
+  * regression this would have caught). */
+class QueriesSmokeSuite extends GraftSuite {
+
+  // Queries that legitimately return zero rows at sf0.001 (tiny corpus:
+  // no near-dup pair / threshold survivor may exist).
+  private val mayBeEmpty = Set(
+    "q91_minhash_dedup", "q92_simhash_dedup", "q96_embedding_neardup",
+    "qa0_doc_fingerprint")
+
+  test("every query has a matching oracle or documented rows-only status") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os.diff(qs)}")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, SfDir)
+      assert(df.schema.fields.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

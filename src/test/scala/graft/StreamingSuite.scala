@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured-Streaming behavior: watermarked windowed aggregation and
+  * stateful sessionization driven through a MemoryStream micro-batch at a
+  * time (the streaming execution paths the batch differential gate cannot
+  * exercise). */
+class StreamingSuite extends GraftSuite {
+
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("windowedCounts aggregates tumbling windows under append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedCounts(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(3), 10, "click", 2.0),
+        Event(3, ts(7), 11, "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far past watermark so the first windows close
+      in.addData(Event(4, ts(60), 10, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .selectExpr("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gap and emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionize(in.toDS(), gapMinutes = 30,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two bursts 100 minutes apart -> two sessions
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(110), 1, "view", 3.0),
+        Event(4, ts(115), 1, "view", 4.0))
+      q.processAllAvailable()
+      // push watermark far ahead so the second session times out too
+      in.addData(Event(5, ts(500), 2, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(6, ts(1000), 2, "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(0).session_start == ts(0) &&
+        sessions(0).session_end == ts(10))
+      assert(sessions(1).n_events == 2 && sessions(1).total_value == 7.0)
+    } finally q.stop()
+  }
+
+  test("batch twin qa7 agrees with streaming sessionize on the fixture") {
+    // Run the stateful sessionizer in a single batch over sf0.001 events
+    // and compare per-user session counts with the window-function twin.
+    val events = Tables.view(spark, SfDir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    // batch flatMapGroupsWithState: group and fold directly
+    val streaming = events.groupByKey(_.user_id).flatMapGroups {
+      (uid, it) =>
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        val gapMs = 360 * 60000L
+        var sessions = 0
+        var last = Long.MinValue
+        sorted.foreach { e =>
+          if (last == Long.MinValue || e.ts.getTime - last > gapMs)
+            sessions += 1
+          last = e.ts.getTime
+        }
+        Iterator((uid, sessions.toLong))
+    }.toDF("user_id", "n_sessions")
+    val twin = SparkEntry.queries("qa7_sessionize")(spark, SfDir)
+      .select("user_id", "n_sessions")
+    val diff = streaming.filter("user_id < 50")
+      .except(twin).count()
+    assert(diff == 0)
+  }
+}

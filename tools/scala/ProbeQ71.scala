@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ProbeQ71 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    def run(n: String): Unit =
+      try {
+        SparkEntry.queries(n)(spark, sf).write.format("noop").mode("overwrite").save()
+        println(s"[probe] $n OK")
+      } catch { case e: Throwable =>
+        println(s"[probe] $n FAILED: ${e.getClass.getName}: ${e.getMessage.take(300)}")
+      }
+    SparkEntry.queries.keys.toSeq.sorted.foreach(run)
+    run("q71_datetime_funcs")
+    spark.stop()
+  }
+}
