@@ -72,6 +72,37 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events fixture matches batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file source streams a DIRECTORY of arriving files — stage the
+    // fixture into one (read-only testdata can't be re-laid-out).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val batchSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(batchSchema).parquet(path)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    // Complete mode: a single input file means the watermark only advances
+    // after the one-and-only batch, so Append would emit nothing.
+    val q = EventStream.windowedCounts(stream, "1 day", "30 minutes")
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filewc")
+        .groupBy().sum("n_events").as[Long].collect()(0)
+      val batchTotal = spark.read.parquet(path).count()
+      assert(streamed == batchTotal)
+    } finally {
+      q.stop()
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.

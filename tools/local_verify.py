@@ -93,8 +93,21 @@ def main(sf_dir, out_dir):
             n_fail += 1
             failed.append(name)
         else:
+            # dtype drift warning (r1 ADVICE): values can match while the
+            # driver's hash still differs on column types (e.g. DuckDB
+            # HUGEINT vs Spark BIGINT). Integer-vs-integer width diffs are
+            # fine; flag float/decimal/object family mismatches.
+            warn = []
+            gt = {d[0]: str(d[1]) for d in got.description}
+            et = {d[0]: str(d[1]) for d in exp.description}
+            INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+            for c in gt:
+                a, b = gt[c], et.get(c, "?")
+                if a != b and not (a in INT and b in INT):
+                    warn.append(f"{c}: spark={a} oracle={b}")
             note = " (0 rows!)" if len(g) == 0 else ""
-            print(f"PASS {name}: {len(g)} rows{note}")
+            wnote = f" DTYPE-WARN [{'; '.join(warn)}]" if warn else ""
+            print(f"PASS {name}: {len(g)} rows{note}{wnote}")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     if failed:
