@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
@@ -33,6 +33,8 @@ object Registry {
     ("levenshtein_distance", 2, "levenshtein(__a, __b)"),
     ("starts_with", 2, "startswith(__a, __b)"),
     ("ends_with", 2, "endswith(__a, __b)"),
+    ("regexp_like", 2, "__a rlike __b"),
+    ("split_to_map", 3, "str_to_map(__a, __b, __c)"),
     // --- math (MathFunctions.java) ---
     ("from_base", 2, "cast(conv(__a, __b, 10) as bigint)"),
     ("to_base", 2, "lower(conv(cast(__a as string), 10, __b))"),
@@ -178,6 +180,10 @@ object Registry {
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))
+      // format(fmt, args...) is variadic — delegate to FormatString.
+      registry.registerFunction(FunctionIdentifier("format"),
+        new ExpressionInfo(getClass.getCanonicalName, "format"),
+        (args: Seq[Expression]) => FormatString(args: _*))
       installed.put(spark, true)
     }
   }

@@ -77,14 +77,34 @@ object Aggregates extends QueryPack {
           count_if(col("l_quantity") > 25).as("n_big"))
         .orderBy(col("l_linestatus"))),
 
-    "q65_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(median(col("l_quantity")), 6).as("med_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price"))
-        .orderBy(col("l_returnflag"))),
+    "q65_quantiles" -> ((s, dir) => {
+      // Exact interpolated quantiles via window sort + row_number rather
+      // than the `percentile`/`median` aggregates: those are
+      // TypedImperative (ObjectHashAggregate, per-group value maps, no
+      // codegen) and dominated the bench; the window shape is sort-based,
+      // codegen'd, and computes the same linear interpolation
+      // v_lo + frac * (v_hi - v_lo) at pos = 1 + (n-1) * q.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      def cquantile(valCol: String, q: Double, out: String) = {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
+        val g = Window.partitionBy(col("l_returnflag"))
+        li.select(col("l_returnflag"), col(valCol))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nxt", lead(col(valCol), 1).over(w))
+          .withColumn("pos", lit(1.0) + (count(lit(1)).over(g) - 1) * q)
+          .filter(col("rn") === floor(col("pos")))
+          .withColumn("frac", col("pos") - col("rn"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(min(when(col("frac") > 0,
+            col(valCol) + col("frac") * (col("nxt") - col(valCol)))
+            .otherwise(col(valCol))), 6).as(out))
+      }
+      cquantile("l_quantity", 0.5, "med_qty")
+        .join(cquantile("l_extendedprice", 0.25, "p25_price"), "l_returnflag")
+        .join(cquantile("l_extendedprice", 0.75, "p75_price"), "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Custom Presto aggregates (graft.functions.PrestoAggregates).
     "q66_custom_aggs" -> ((s, dir) => {

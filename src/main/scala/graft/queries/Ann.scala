@@ -99,6 +99,42 @@ object Ann extends QueryPack {
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // IVF (inverted-file) ANN: a coarse quantizer (centroids = the
+    // vec_id % 50 == 0 stride of the corpus — deterministic, no k-means
+    // RNG) partitions vectors into cells; probes scan only their
+    // nprobe=2 nearest cells. The centroid set is small and broadcast;
+    // cell assignment is one scan; the probe-side search shuffles only
+    // matching cells — the 100 TB shape (cells ≈ partitions).
+    "qb4_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val byDist = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
+        .withColumn("cr", row_number().over(byDist))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("e"), col("cent_id"))
+      val probes = e.filter(col("vec_id") < 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
+        .withColumn("cr", row_number().over(byDist))
+        .filter(col("cr") <= 2) // nprobe = 2
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("cent_id"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(probes, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("vec_id").as("nn_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("probe_id"))
     })
   )
 
@@ -164,6 +200,45 @@ object Ann extends QueryPack {
          |  FROM cand)
          |SELECT probe_id, bucket, n_cand, vec_id AS nn_id, round(c, 4) AS cos
          |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "qb4_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asgn AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v))
+        |             * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cent_id) AS cr
+        |    FROM e CROSS JOIN c)
+        |  WHERE cr = 1),
+        |pr AS (
+        |  SELECT probe_id, cent_id FROM (
+        |    SELECT e.vec_id AS probe_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v))
+        |             * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cent_id) AS cr
+        |    FROM e CROSS JOIN c WHERE e.vec_id < 10)
+        |  WHERE cr <= 2),
+        |scored AS (
+        |  SELECT pr.probe_id, a.vec_id,
+        |    list_dot_product(p.v, t.v)
+        |      / (sqrt(list_dot_product(p.v, p.v))
+        |         * sqrt(list_dot_product(t.v, t.v))) AS cos
+        |  FROM pr JOIN asgn a ON a.cent_id = pr.cent_id
+        |          JOIN e p ON p.vec_id = pr.probe_id
+        |          JOIN e t ON t.vec_id = a.vec_id
+        |  WHERE a.vec_id <> pr.probe_id)
+        |SELECT probe_id, vec_id AS nn_id, round(cos, 4) AS cos FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY probe_id""".stripMargin,
 
     "q96_embedding_neardup" ->
       s"""${weightsCte(12)},

@@ -18,6 +18,10 @@ class RegistrySuite extends GraftSuite {
     spark.sql(s"SELECT $q AS r").collect()(0).getAs[T]("r")
 
   test("string functions resolve under Presto names") {
+    assert(sql1[Boolean]("regexp_like('lineitem', '^line')"))
+    assert(sql1[String]("format('%s-%03d', 'x', 7)") == "x-007")
+    assert(spark.sql("SELECT split_to_map('a=1,b=2', ',', '=') AS r")
+      .selectExpr("r['b']").collect()(0).getString(0) == "2")
     assert(sql1[Int]("strpos('hello world', 'world')") == 7)
     assert(sql1[Int]("strpos('hello', 'xyz')") == 0)
     assert(sql1[Int]("codepoint('A')") == 65)
