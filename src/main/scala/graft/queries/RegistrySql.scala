@@ -47,6 +47,33 @@ object RegistrySql extends QueryPack {
         |  date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)),
 
+    // TPC-H Q1 verbatim (Presto/ANSI text, adapted only for the slim
+    // fixture schema which carries every column Q1 needs) — the flagship
+    // "reference SQL runs unmodified" check.
+    "qb5_tpch_q1_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= date '1998-12-01' - interval '90' day
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q6 verbatim.
+    "qb6_tpch_q6_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= date '1994-01-01'
+        |  AND l_shipdate < date '1994-01-01' + interval '1' year
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -79,6 +106,29 @@ object RegistrySql extends QueryPack {
         |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
         |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "qb5_tpch_q1_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= date '1998-12-01' - interval '90' day
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "qb6_tpch_q6_sql" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= date '1994-01-01'
+        |  AND l_shipdate < date '1994-01-01' + interval '1' year
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

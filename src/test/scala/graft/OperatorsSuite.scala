@@ -82,6 +82,18 @@ class OperatorsSuite extends GraftSuite {
     assert(h(2) == 1) // space in 0x20 block
   }
 
+  test("CTAS partitioned output prunes partitions on read") {
+    SparkEntry.queries("qa8_ctas_roundtrip")(spark, SfDir).count()
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ctas_${Integer.toHexString(SfDir.hashCode)}").getAbsolutePath
+    val pruned = spark.read.parquet(out).filter(col("ship_year") === 1995)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("ship_year"), s"no partition pruning in:\n$scan")
+    assert(pruned.count() > 0)
+  }
+
   test("frame sampling covers all bytes with stride 1, half with stride 2") {
     val media = Multimodal.mediaTable(spark, SfDir).filter(col("doc_id") < 5)
     val full = Multimodal.sampleFrames(media, 64, 1)

@@ -103,6 +103,25 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("streaming exact dedup via dropDuplicatesWithinWatermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0), // dup within watermark -> dropped
+        Event(3, ts(2), 1, "view", 3.0),
+        Event(4, ts(3), 2, "click", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 3)
+    } finally q.stop()
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.
