@@ -82,6 +82,18 @@ class OperatorsSuite extends GraftSuite {
     assert(h(2) == 1) // space in 0x20 block
   }
 
+  test("filters and projections push into the parquet scan") {
+    val plan = SparkEntry.queries("q02_scan_filter_project")(spark, SfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
+    assert(!plan.contains("PushedFilters: []"),
+      "filter list empty — predicate not reaching the scan")
+    // projection pruning: the scan must not read every lineitem column
+    assert(!plan.contains("l_tax") || plan.contains("ReadSchema"),
+      "scan appears unpruned")
+  }
+
   test("CTAS partitioned output prunes partitions on read") {
     SparkEntry.queries("qa8_ctas_roundtrip")(spark, SfDir).count()
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
