@@ -67,6 +67,27 @@ object ApproxMaps extends QueryPack {
     }),
 
     // map_agg(k, v): per-nation map segment→customer-count, serialized.
+    // Map higher-order functions (transform_values / map_filter —
+    // Presto's map lambda family, `MapTransformValuesFunction` etc.):
+    // per-nation segment-count map, values doubled, small entries
+    // filtered out, serialized sorted for the driver compare.
+    "q7a_map_lambda" -> ((s, dir) => {
+      val per = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      per.groupBy(col("c_nationkey"))
+        .agg(map_from_entries(
+          collect_list(struct(col("c_mktsegment"), col("n")))).as("m"))
+        .select(col("c_nationkey"), expr(
+          """array_join(transform(
+            |  sort_array(map_entries(
+            |    transform_values(map_filter(m, (k, v) -> v > 5),
+            |                     (k, v) -> v * 2))),
+            |  e -> concat(e.key, '=', e.value)), ',')""".stripMargin)
+          .as("doubled_big_segs"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q86_map_agg" -> ((s, dir) => {
       val per = t(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -127,6 +148,15 @@ object ApproxMaps extends QueryPack {
         | TRUE AS acd_ok,
         | TRUE AS pctl_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q7a_map_lambda" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  coalesce(string_agg(c_mktsegment || '=' || (n * 2), ','
+        |    ORDER BY c_mktsegment) FILTER (n > 5), '') AS doubled_big_segs
+        |FROM per GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q86_map_agg" ->
       """WITH per AS (

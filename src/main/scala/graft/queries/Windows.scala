@@ -117,10 +117,58 @@ object Windows extends QueryPack {
           round(col("rev"), 2).as("revenue"),
           round(col("rev") / sum(col("rev")).over(w), 6).as("share"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+    }),
+
+    // IGNORE NULLS window variants (Presto lead/last_value IGNORE NULLS,
+    // `WindowNode` frame semantics): forward-fill of the last known
+    // positive balance + next positive balance, nulls planted at negative
+    // balances.
+    "q37_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("pos_bal",
+          when(col("c_acctbal") >= 0, col("c_acctbal")))
+        .select(col("c_custkey"), col("c_nationkey"), col("pos_bal"),
+          last(col("pos_bal"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("filled"),
+          lead(col("pos_bal"), 1, null, ignoreNulls = true).over(w)
+            .as("next_pos"))
+        .filter(col("c_custkey") <= 300)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Explicit null ordering (Presto defaults NULLS LAST on ASC, Spark
+    // NULLS FIRST — a real portability trap; both sides are explicit
+    // here so the contract is pinned, not inherited).
+    "q38_null_ordering" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("pos_bal",
+          when(col("c_acctbal") >= 0, col("c_acctbal")))
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("pos_bal"))
+        .orderBy(col("pos_bal").asc_nulls_last, col("c_custkey")))
   )
 
   override def oracles: Map[String, String] = Map(
+    "q37_ignore_nulls" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS pos_bal,
+        |  last_value(CASE WHEN c_acctbal >= 0 THEN c_acctbal END IGNORE NULLS)
+        |    OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+        |          ROWS UNBOUNDED PRECEDING) AS filled,
+        |  lead(CASE WHEN c_acctbal >= 0 THEN c_acctbal END IGNORE NULLS)
+        |    OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS next_pos
+        |FROM customer
+        |QUALIFY c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q38_null_ordering" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS pos_bal
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY pos_bal ASC NULLS LAST, c_custkey""".stripMargin,
+
     "q30_window_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         | row_number() OVER w AS rn,
