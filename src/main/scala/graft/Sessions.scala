@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction — one place for the engine's Spark configuration.
+  *
+  * Local defaults mirror what the cluster deployment would set, scaled to
+  * one machine:
+  *  - `shuffle.partitions` = cores (cluster: ~2-3x total executor cores;
+  *    AQE coalesces down, so err high at scale)
+  *  - AQE on (default in Spark 4): runtime re-plan, skew-join splitting,
+  *    partition coalescing — the mechanisms this engine leans on instead
+  *    of hand-scheduling (SURVEY §4)
+  *  - `codegen.maxFields` raised so the wide sketch aggregates (64-min
+  *    minhash, 60-sum simhash) stay in whole-stage codegen
+  *  - UTC session timezone (the oracle compares timestamps)
+  *
+  * At 100 TB additionally set `spark.sql.files.maxPartitionBytes` (128-256
+  * MB so a scan task's columns fit in memory), bucket the fact tables on
+  * their join keys, and leave `autoBroadcastJoinThreshold` defaulted — the
+  * query packs place explicit `broadcast()` hints where dimension sides
+  * are known-small.
+  */
+object Sessions {
+
+  def local(cores: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

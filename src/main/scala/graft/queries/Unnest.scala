@@ -64,6 +64,22 @@ object Unnest extends QueryPack {
         .orderBy(col("vec_id"), col("ord"))),
 
     // Inline literal rows (reference: ValuesOperator → Spark LocalTableScan).
+    // Array-function family breadth (Presto ArrayFunctions: position,
+    // overlap, slice, flatten, remove) over the document token arrays.
+    "q7b_array_funcs" -> ((s, dir) =>
+      Tables.view(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_position(col("w"), "the").as("pos_the"),
+          arrays_overlap(col("w"),
+            array(lit("join"), lit("merge"))).as("has_join"),
+          array_join(slice(col("w"), 3, 4), "_").as("mid"),
+          size(flatten(array(col("w"), col("w")))).cast("long").as("flat_n"),
+          size(array_remove(col("w"), "the")).cast("long").as("n_no_the"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))),
+
     "q83_values" -> ((s, dir) =>
       s.sql("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
                FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(id, tag)
@@ -100,6 +116,19 @@ object Unnest extends QueryPack {
         |   * CAST(embedding[len(embedding) - i + 1] AS DOUBLE) AS ab
         |FROM embeddings CROSS JOIN UNNEST([1, 2, 3, 4]) AS t(i)
         |WHERE vec_id <= 10 ORDER BY vec_id, ord""".stripMargin,
+
+    "q7b_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS pos_the,
+        |  len(list_intersect(w, ['join', 'merge'])) > 0 AS has_join,
+        |  array_to_string(w[3:6], '_') AS mid,
+        |  CAST(2 * len(w) AS BIGINT) AS flat_n,
+        |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q83_values" ->
       """SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
