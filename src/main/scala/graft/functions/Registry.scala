@@ -184,6 +184,13 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("format"),
         new ExpressionInfo(getClass.getCanonicalName, "format"),
         (args: Seq[Expression]) => FormatString(args: _*))
+      // NOT registrable: Presto date_add('unit', n, ts) /
+      // date_diff('unit', a, b). Spark's grammar special-cases these
+      // names as timestampadd/timestampdiff aliases and validates the
+      // unit BEFORE function resolution, so a registry override never
+      // sees the call. Reference SQL must use timestampadd/timestampdiff
+      // (identifier unit) — the one datetime rewrite this registry
+      // cannot absorb.
       installed.put(spark, true)
     }
   }

@@ -40,6 +40,17 @@ class RegistrySuite extends GraftSuite {
     assert(sql1[Long]("bitwise_left_shift(3, 4)") == 48L)
   }
 
+  test("timestampadd/timestampdiff cover Presto date_add/date_diff") {
+    // date_add/date_diff themselves are grammar-reserved in Spark (unit
+    // validated pre-resolution) — the supported spelling:
+    assert(sql1[java.sql.Timestamp](
+      "timestampadd(DAY, 10, TIMESTAMP '2024-03-05 00:00:00')")
+      == java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))
+    assert(sql1[Long](
+      "timestampdiff(HOUR, TIMESTAMP '2024-03-05 00:00:00', TIMESTAMP '2024-03-06 12:00:00')")
+      == 36L)
+  }
+
   test("datetime: ISO numbering and MySQL patterns") {
     // 2024-03-05 is a Tuesday: ISO dow = 2 (Spark dayofweek would say 3)
     assert(sql1[Int]("day_of_week(DATE '2024-03-05')") == 2)
