@@ -135,6 +135,38 @@ object Ann extends QueryPack {
         .select(col("probe_id"), col("vec_id").as("nn_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy(col("probe_id"))
+    }),
+
+    // k-NN label classification (the eval-pipeline operator): predict
+    // each probe's label by majority vote of its 5 nearest neighbors
+    // (ties -> smallest label), report a per-label accuracy table.
+    "qb7_knn_classify" -> ((s, dir) => {
+      val labeled = Tables.view(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"),
+          col("label"))
+      val probes = labeled.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("label").as("actual"))
+      val byCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top5 = labeled.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+        .withColumn("rn", row_number().over(byCos))
+        .filter(col("rn") <= 5)
+      val byVotes = Window.partitionBy(col("probe_id"))
+        .orderBy(col("votes").desc, col("label"))
+      val pred = top5.groupBy(col("probe_id"), col("actual"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(byVotes))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("actual"),
+          col("label").as("predicted"))
+      pred.groupBy(col("actual"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy(col("actual"))
     })
   )
 
@@ -239,6 +271,32 @@ object Ann extends QueryPack {
         |      ORDER BY cos DESC, vec_id) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "qb7_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, label AS actual
+        |      FROM e WHERE vec_id < 100),
+        |top5 AS (
+        |  SELECT probe_id, actual, label FROM (
+        |    SELECT p.probe_id, p.actual, e.label,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        list_dot_product(pv, v)
+        |          / (sqrt(list_dot_product(pv, pv))
+        |             * sqrt(list_dot_product(v, v))) DESC,
+        |        e.vec_id) AS rn
+        |    FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id)
+        |  WHERE rn <= 5),
+        |pred AS (
+        |  SELECT probe_id, actual, label AS predicted FROM (
+        |    SELECT probe_id, actual, label, count(*) AS votes,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY count(*) DESC, label) AS vr
+        |    FROM top5 GROUP BY probe_id, actual, label)
+        |  WHERE vr = 1)
+        |SELECT actual, count(*) AS n,
+        |  CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM pred GROUP BY actual ORDER BY actual""".stripMargin,
 
     "q96_embedding_neardup" ->
       s"""${weightsCte(12)},

@@ -103,6 +103,35 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("stream-stream interval join within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val left = clicks.toDF().select(col("user_id"), col("ts").as("click_ts"),
+      col("value").as("click_v")).withWatermark("click_ts", "10 minutes")
+    val right = views.toDF().select(col("user_id").as("v_user"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "10 minutes")
+    // view attributed to a click within the following 5 minutes
+    val joined = left.join(right,
+      expr("""user_id = v_user AND
+             |view_ts >= click_ts AND
+             |view_ts <= click_ts + interval 5 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 1.0))
+      views.addData(Event(2, ts(3), 7, "view", 0.0),   // within 5 min -> match
+        Event(3, ts(8), 7, "view", 0.0))               // outside -> no match
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts(60), 8, "click", 1.0)) // advance watermark
+      views.addData(Event(5, ts(60), 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("user_id").as[Long].collect()
+      assert(rows.toSeq == Seq(7L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup via dropDuplicatesWithinWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
