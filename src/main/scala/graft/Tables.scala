@@ -27,9 +27,11 @@ object Tables {
   // registered per session and re-register on any change — a Set of
   // (session, dir) pairs would let a stale dir hit the cache and silently
   // serve another scale factor's data (r1 ADVICE). Keyed by the session
-  // reference itself (identity map) rather than identityHashCode, which can
-  // be reused after GC and wrongly skip registration for a new session.
-  private val registered = new java.util.IdentityHashMap[SparkSession, String]()
+  // reference itself rather than identityHashCode, which can be reused
+  // after GC and wrongly skip registration for a new session. Weak keys so
+  // stopped sessions aren't pinned for the JVM lifetime (sessions have no
+  // equals override, so WeakHashMap's equals-based lookup IS identity).
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Registers every fixture table as a temp view named after the table. */
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {

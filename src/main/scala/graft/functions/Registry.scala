@@ -95,8 +95,10 @@ object Registry {
 
   private val argNames = Seq("__a", "__b", "__c")
 
+  // Weak keys: sessions are compared by identity (no equals override) and
+  // must not be pinned for the JVM lifetime once stopped.
   private val installed =
-    new java.util.IdentityHashMap[SparkSession, Boolean]()
+    new java.util.WeakHashMap[SparkSession, Boolean]()
 
   /** Installs every Presto-named function into the session's
     * FunctionRegistry (temp functions — they win name resolution but touch
@@ -143,8 +145,12 @@ object Registry {
           new ExpressionInfo(getClass.getCanonicalName, name), builder)
       }
       mysqlPatternFn("date_parse") { (arg, pattern) =>
+        // The translated pattern can contain single quotes (java.time
+        // quoting of literal letters, e.g. %YT%m -> yyyy'T'MM) — escape
+        // them for the SQL string literal or parseExpression throws.
+        val quoted = pattern.replace("'", "''")
         spark.sessionState.sqlParser
-          .parseExpression(s"to_timestamp(__a, '$pattern')")
+          .parseExpression(s"to_timestamp(__a, '$quoted')")
           .transformUp { case UnresolvedAttribute(Seq("__a")) => arg }
       }
       mysqlPatternFn("date_format") { (arg, pattern) =>

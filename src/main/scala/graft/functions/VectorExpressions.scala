@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd vector math over `array<double>` columns.
   *
@@ -25,8 +26,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 abstract class VectorFoldExpression extends BinaryExpression {
 
-  // Inputs must already be array<double> — the Column constructors below
-  // are the only entry points and callers cast (Similarity.toDouble).
+  // The Column constructors below insert casts, but validate anyway:
+  // a direct constructor call with array<float> would otherwise read
+  // 4-byte floats as doubles and return garbage without erroring.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
   override def dataType: DataType = DoubleType
 
   /** Scala body: fold over the two arrays. */
@@ -166,8 +180,13 @@ case class L2Distance(left: Expression, right: Expression)
 object VectorExpressions {
   import ColumnBridge.{toCol, toExpr}
 
-  def dot(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+  // Cast to array<double> at construction: float embeddings keep working
+  // through the Column API (no-op when already double).
+  private def d(c: Column): Expression =
+    Cast(toExpr(c), ArrayType(DoubleType))
+
+  def dot(a: Column, b: Column): Column = toCol(DotProduct(d(a), d(b)))
   def cosine(a: Column, b: Column): Column =
-    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
-  def l2(a: Column, b: Column): Column = toCol(L2Distance(toExpr(a), toExpr(b)))
+    toCol(CosineSimilarity(d(a), d(b)))
+  def l2(a: Column, b: Column): Column = toCol(L2Distance(d(a), d(b)))
 }

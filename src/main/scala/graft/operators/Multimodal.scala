@@ -87,6 +87,10 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(col("n_bytes").cast("double") / frameBytes).cast("long"))
+      // n_frames = 0 must yield no rows: sequence(0, -1) would produce a
+      // DESCENDING [0, -1] (Spark defaults to step -1 when start > stop)
+      // and emit a phantom empty frame.
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(filter(sequence(lit(0L), col("n_frames") - 1),
           i => i % stride === 0)))

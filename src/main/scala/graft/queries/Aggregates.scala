@@ -86,23 +86,31 @@ object Aggregates extends QueryPack {
       // v_lo + frac * (v_hi - v_lo) at pos = 1 + (n-1) * q.
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
-      def cquantile(valCol: String, q: Double, out: String) = {
+      // One sorted window pass per VALUE COLUMN serves every quantile of
+      // that column (only `pos` differs per q).
+      def cquantiles(valCol: String, qs: Seq[(Double, String)]) = {
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
         val g = Window.partitionBy(col("l_returnflag"))
-        li.select(col("l_returnflag"), col(valCol))
+        val ranked = li.select(col("l_returnflag"), col(valCol))
           .withColumn("rn", row_number().over(w))
           .withColumn("nxt", lead(col(valCol), 1).over(w))
-          .withColumn("pos", lit(1.0) + (count(lit(1)).over(g) - 1) * q)
-          .filter(col("rn") === floor(col("pos")))
-          .withColumn("frac", col("pos") - col("rn"))
+          .withColumn("n", count(lit(1)).over(g))
+        val poss = qs.map { case (q, _) => lit(1.0) + (col("n") - 1) * q }
+        val aggs = qs.zip(poss).map { case ((_, out), pos) =>
+          val frac = pos - floor(pos)
+          round(min(when(col("rn") === floor(pos),
+            when(frac > 0,
+              col(valCol) + frac * (col("nxt") - col(valCol)))
+              .otherwise(col(valCol)))), 6).as(out)
+        }
+        ranked
+          .filter(poss.map(p => col("rn") === floor(p)).reduce(_ || _))
           .groupBy(col("l_returnflag"))
-          .agg(round(min(when(col("frac") > 0,
-            col(valCol) + col("frac") * (col("nxt") - col(valCol)))
-            .otherwise(col(valCol))), 6).as(out))
+          .agg(aggs.head, aggs.tail: _*)
       }
-      cquantile("l_quantity", 0.5, "med_qty")
-        .join(cquantile("l_extendedprice", 0.25, "p25_price"), "l_returnflag")
-        .join(cquantile("l_extendedprice", 0.75, "p75_price"), "l_returnflag")
+      cquantiles("l_quantity", Seq(0.5 -> "med_qty"))
+        .join(cquantiles("l_extendedprice",
+          Seq(0.25 -> "p25_price", 0.75 -> "p75_price")), "l_returnflag")
         .orderBy(col("l_returnflag"))
     }),
 

@@ -49,7 +49,17 @@ object EventStream {
 
   /** Stateful sessionization: events grouped by user, sessions closed
     * after `gapMinutes` of event-time silence (event-time timeout driven
-    * by the watermark). One state object per active user. */
+    * by the watermark). One state object per active user.
+    *
+    * Approximation note: state holds a single pending session, and a
+    * within-batch gap closes the earlier session eagerly — a late event
+    * (still inside the watermark) arriving in a LATER micro-batch that
+    * would have bridged two already-split bursts cannot re-merge them.
+    * The exact variant buffers events until the watermark passes (what
+    * Spark's built-in `session_window` aggregation does); this shape is
+    * the custom-state template for session payloads `session_window`
+    * can't express. The batch twin (`queries/Events.scala` qa7) is exact
+    * and is the correctness reference. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 360,
                  watermark: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -77,8 +87,10 @@ object EventStream {
             new Timestamp(cur.lastMs), cur.nEvents, cur.valueSum)
           cur = SessionState(t, t, 1L, e.value)
         } else {
-          cur = SessionState(cur.startMs, math.max(cur.lastMs, t),
-            cur.nEvents + 1, cur.valueSum + e.value)
+          // min() on the start: a late (in-watermark) event from an
+          // earlier micro-batch may precede the session's current start.
+          cur = SessionState(math.min(cur.startMs, t),
+            math.max(cur.lastMs, t), cur.nEvents + 1, cur.valueSum + e.value)
         }
       }
       if (cur != null) {

@@ -8,13 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate dedups across suites). */
 trait GraftSuite extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.codegen.maxFields", "256")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = Sessions.local("4")
 
   val SfDir = "/root/testdata/sf0.001"
 

@@ -89,9 +89,12 @@ class OperatorsSuite extends GraftSuite {
     assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
     assert(!plan.contains("PushedFilters: []"),
       "filter list empty — predicate not reaching the scan")
-    // projection pruning: the scan must not read every lineitem column
-    assert(!plan.contains("l_tax") || plan.contains("ReadSchema"),
-      "scan appears unpruned")
+    // projection pruning: the scan's ReadSchema must exclude untouched
+    // lineitem columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_tax"),
+      s"scan appears unpruned: $readSchema")
   }
 
   test("CTAS partitioned output prunes partitions on read") {

@@ -59,6 +59,11 @@ class RegistrySuite extends GraftSuite {
       == "05/03/2024")
     assert(sql1[java.sql.Timestamp]("date_parse('2024-03-05', '%Y-%m-%d')")
       == java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    // literal letters in the pattern get java.time single-quoting — the
+    // builder must escape them for the SQL string (ISO 'T' form)
+    assert(sql1[java.sql.Timestamp](
+      "date_parse('2024-03-05T10:30:00', '%Y-%m-%dT%H:%i:%s')")
+      == java.sql.Timestamp.valueOf("2024-03-05 10:30:00"))
   }
 
   test("date_format keeps working with java patterns after install") {

@@ -2,11 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object ProbeQ71 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("4")
     val sf = "/root/testdata/sf0.1"
     def run(n: String): Unit =
       try {
