@@ -36,6 +36,21 @@ object Events extends QueryPack {
         .filter(hour(col("w_start")) < 6)
         .orderBy(col("w_start"), col("event_type"))),
 
+    // Time-based trailing RANGE frame: rolling 1-hour event count and
+    // value sum per user at every event (Presto RANGE BETWEEN INTERVAL
+    // PRECEDING; Spark rangeBetween over epoch-micros ordering).
+    "qb8_time_range_window" -> ((s, dir) => {
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(us)
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.view(s, dir, "events")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("v_1h", round(sum(col("value")).over(w), 4))
+        .filter(col("user_id") < 10)
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("v_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gaps-and-islands sessionization, summarized per user (batch twin of
     // EventStream.sessionize — identical session boundaries).
     "qa7_sessionize" -> ((s, dir) => {
@@ -73,6 +88,16 @@ object Events extends QueryPack {
         |FROM events
         |WHERE hour(date_trunc('hour', ts)) < 6
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "qb8_time_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 4) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |QUALIFY user_id < 10
+        |ORDER BY event_id""".stripMargin,
 
     "qa7_sessionize" ->
       """WITH g AS (
