@@ -51,29 +51,20 @@ object DevTime {
     time("q85_pexact")(li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.5)").as("x")))
     time("q85_full")(SparkEntry.queries("q85_approx_aggs")(spark, sfDir))
-    locally {
-      import org.apache.spark.sql.expressions.Window
-      val counts = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("acd"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
-      time("q85_counts")(counts)
-      val byPrice = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val grp = Window.partitionBy(col("l_returnflag"))
-      val median = li.select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(byPrice))
-        .withColumn("n", count(lit(1)).over(grp))
-        .filter(col("rn") === ((col("n") + 1) / 2).cast("long") ||
-          col("rn") === ((col("n") + 2) / 2).cast("long"))
-        .groupBy(col("l_returnflag")).agg(avg(col("l_extendedprice")).as("p50_exact"))
-      time("q85_median")(median)
-      time("q85_join")(counts.join(median, "l_returnflag"))
-    }
 
     time("q92_full")(SparkEntry.queries("q92_simhash_dedup")(spark, sfDir))
     val perFeature = docs.select(col("doc_id"), explode(col("sh")).as("f"))
       .withColumn("h", conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"))
     time("q92_features")(perFeature)
+    time("q92_bitsums_exploded") {
+      // variant: explode bit index -> (doc_id, k, +-1) rows, 2-col agg
+      val bits = perFeature.select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("k"))
+        .withColumn("s", when(expr("shiftright(h, k)")
+          .bitwiseAND(1) === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("k")).agg(sum(col("s")).as("bs"))
+      bits.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    }
     time("q92_bitsums") {
       val bitSums = (0 until 60).map(k =>
         sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
