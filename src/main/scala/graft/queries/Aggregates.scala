@@ -114,6 +114,22 @@ object Aggregates extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact DECIMAL aggregation (Presto's exact-numeric type family,
+    // `presto-common/.../type/DecimalType` — SURVEY §1.2): fixed-point
+    // sums are order-independent, so unlike double sums the result is
+    // bit-identical across engines with no rounding crutch.
+    "qb9_decimal_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("p")).cast("decimal(18,2)").as("sum_price"),
+          sum(col("q")).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Custom Presto aggregates (graft.functions.PrestoAggregates).
     "q66_custom_aggs" -> ((s, dir) => {
       val perSupp = t(s, dir, "lineitem")
@@ -195,6 +211,15 @@ object Aggregates extends QueryPack {
         | round(median(l_quantity), 6) AS med_qty,
         | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qb9_decimal_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_qty,
+        |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q66_custom_aggs" ->
