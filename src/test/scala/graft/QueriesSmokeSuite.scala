@@ -32,4 +32,17 @@ class QueriesSmokeSuite extends GraftSuite {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query plans a CartesianProduct") {
+    // The scale contract: candidate generation and scoring are broadcast
+    // or bucket equi-joins; an unbroadcast all-pairs join would appear
+    // here as CartesianProductExec. (BroadcastNestedLoopJoin with a tiny
+    // probe side is fine and intended for q94/qb7/q19.)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, SfDir).queryExecution.executedPlan.treeString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
 }
