@@ -74,6 +74,18 @@ object RegistrySql extends QueryPack {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin)),
 
+    // Correlated LATERAL subquery (Presto LateralJoinNode,
+    // `sql/planner/plan/LateralJoinNode`): top-2 orders per customer.
+    "qc0_lateral_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -129,6 +141,16 @@ object RegistrySql extends QueryPack {
         |  AND l_shipdate < date '1994-01-01' + interval '1' year
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "qc0_lateral_sql" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
