@@ -35,6 +35,25 @@ object StructOps extends QueryPack {
           col("n"))
         .orderBy(col("c_nationkey"))),
 
+    // Null-safe comparison semantics (Presto IS [NOT] DISTINCT FROM,
+    // `presto-common/.../function/OperatorType.IS_DISTINCT_FROM`;
+    // null-skipping greatest/least): Spark's <=> over planted nulls.
+    "qc1_nullsafe_ops" -> ((s, dir) => {
+      val base = Tables.view(s, dir, "customer")
+        .withColumn("nb", when(col("c_acctbal") >= 0, col("c_acctbal")))
+      val a = base.select(col("c_custkey"), col("nb").as("a_nb"))
+      val b = base.select((col("c_custkey") - 1).as("c_custkey"),
+        col("nb").as("b_nb"))
+      a.join(b, "c_custkey")
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          (col("a_nb") <=> col("b_nb")).as("same_bal"),
+          greatest(col("a_nb"), col("b_nb")).as("hi"),
+          least(col("a_nb"), col("b_nb")).as("lo"),
+          coalesce(col("a_nb"), col("b_nb"), lit(0.0)).as("first_known"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Salted shuffle join on the 3-value l_returnflag key (the canonical
     // hot-key shape), aggregated after the join; output == plain join.
     "qb3_salted_join" -> ((s, dir) => {
@@ -69,6 +88,20 @@ object StructOps extends QueryPack {
         |  min(CASE WHEN rhi = 1 THEN c_name END) AS hi_name,
         |  CAST(min(n) AS BIGINT) AS n
         |FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "qc1_nullsafe_ops" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS nb
+        |  FROM customer)
+        |SELECT a.c_custkey,
+        |  a.nb IS NOT DISTINCT FROM b.nb AS same_bal,
+        |  greatest(a.nb, b.nb) AS hi,
+        |  least(a.nb, b.nb) AS lo,
+        |  coalesce(a.nb, b.nb, 0.0) AS first_known
+        |FROM base a JOIN base b ON b.c_custkey = a.c_custkey + 1
+        |WHERE a.c_custkey <= 300
+        |ORDER BY a.c_custkey""".stripMargin,
 
     "qb3_salted_join" ->
       """WITH dim(l_returnflag, flag_name) AS (

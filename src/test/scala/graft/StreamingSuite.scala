@@ -103,6 +103,34 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("built-in session_window aggregation matches the custom sessionizer") {
+    // Spark's native session_window covers aggregate-only sessions; the
+    // custom flatMapGroupsWithState sessionizer exists for payloads it
+    // can't express. On in-order data both must agree.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(110), 1, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(500), 2, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .filter(col("user_id") === 1)
+        .select("n", "v").as[(Long, Double)].collect().toSet
+      assert(rows.contains((2L, 3.0))) // first burst closed as one session
+    } finally q.stop()
+  }
+
   test("stream-stream interval join within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
