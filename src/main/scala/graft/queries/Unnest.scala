@@ -85,14 +85,32 @@ object Unnest extends QueryPack {
                FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(id, tag)
                ORDER BY id""")),
 
-    // Bernoulli TABLESAMPLE + AssignUniqueId. Sampling is seeded but the
-    // sampled set is engine-specific and monotonically_increasing_id is
-    // partition-dependent → no oracle entry (driver's rows-only check),
-    // matching the QueryPack contract for non-SQL-reproducible ops.
-    "q84_sample_unique_id" -> ((s, dir) =>
-      t(s, dir, "documents").sample(withReplacement = false, 0.5, 42L)
+    // Bernoulli TABLESAMPLE + AssignUniqueId. The sampled set is
+    // engine-specific and monotonically_increasing_id is partition-
+    // dependent, so the raw output can never hash-match an oracle.
+    // Instead the query emits deterministic invariants the oracle CAN
+    // check: total corpus size, the sampled count inside a 5-sigma
+    // binomial envelope around p=0.5, uid distinctness (the whole point
+    // of AssignUniqueId, `AssignUniqueIdOperator.java:29`), and the
+    // sample being a subset of the corpus (anti-join emptiness). A
+    // violated invariant flips a boolean and fails the gate loudly.
+    "q84_sample_unique_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sample = docs.sample(withReplacement = false, 0.5, 42L)
         .select(col("doc_id"), monotonically_increasing_id().as("uid"))
-        .orderBy(col("doc_id")))
+      val stats = sample
+        .join(docs.select(col("doc_id").as("d2")),
+          col("doc_id") === col("d2"), "left")
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("uid")).as("n_uids"),
+          sum(when(col("d2").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      docs.agg(count(lit(1)).as("total_docs")).crossJoin(stats)
+        .select(col("total_docs"),
+          (abs(col("n_sampled") - col("total_docs") / 2.0) <=
+            lit(5.0) * sqrt(col("total_docs")) / 2.0).as("sample_in_bounds"),
+          (col("n_uids") === col("n_sampled")).as("uids_distinct"),
+          (col("n_orphans") === 0L).as("sampled_subset"))
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -133,6 +151,15 @@ object Unnest extends QueryPack {
     "q83_values" ->
       """SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
         |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, tag)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // The invariants hold for any correct sampler, so the oracle states
+    // them as constants over the same corpus size.
+    "q84_sample_unique_id" ->
+      """SELECT count(*) AS total_docs,
+        |  true AS sample_in_bounds,
+        |  true AS uids_distinct,
+        |  true AS sampled_subset
+        |FROM documents""".stripMargin
   )
 }
