@@ -1,36 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one timed pass over every SparkEntry query after an
-  * untimed prewarm pass (JVM/codegen/scan warm-up — the reference benchmarks
-  * do the same, `presto-benchto-benchmarks/.../tpch.yaml` `prewarm-runs: 2`).
+/** Benchmark main: per query, one untimed prewarm pass then two timed
+  * passes (min), all consecutive — the reference benchmarks prewarm the
+  * same way (`presto-benchto-benchmarks/.../tpch.yaml` `prewarm-runs: 2`).
+  *
+  * Passes are grouped per-query rather than pass-wise across the whole
+  * suite: with ~100 queries x several stages each, a suite-wide pass order
+  * evicts every entry of Spark's generated-class cache
+  * (`spark.sql.codegen.cache.maxEntries`, default 100) between a query's
+  * prewarm and its timed runs, so timed runs re-pay janino compilation —
+  * measured 5x phantom regressions on multi-join queries (round-3 q17/q43
+  * read 4.6 s / 2.2 s in-suite vs 0.9 s / 0.4 s isolated). Consecutive
+  * passes plus a raised cache measure the engine, not the cache churn.
+  *
   * Results sink to the noop datasource so Catalyst can't prune
-  * projection-only work the way it can under `count()`.
+  * projection-only work the way it can under `count()`. The JSON line is
+  * ALSO written to bench_out.json — stdout capture truncated 41 of 102
+  * per-query timings in round 3.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.queries.foreach { case (n, fn) => runOnce(n, fn) } // prewarm
-    // Two timed passes, min per query: single-pass local timings carry
-    // multi-second GC/compilation noise that reads as false regressions.
-    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> runOnce(n, fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t2 = runOnce(name, fn)
-      val t1 = pass1(name)
+      System.gc() // drain prior queries' garbage outside the timed region
+      runOnce(fn) // prewarm: scan + codegen warm, untimed
+      val t1 = runOnce(fn)
+      val t2 = runOnce(fn)
       name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -29,6 +29,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "256")
+      // Generated-class cache sized to the whole query surface (~100
+      // queries x several stages); the 100-entry default thrashes when a
+      // session runs the full pack and re-pays janino compilation.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
