@@ -30,6 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Bucket-width knob derived from corpus size: the smallest plane count
+    * with expected bucket occupancy `n / 2^planes <= targetBucketSize`,
+    * i.e. `ceil(log2(n / target))`, floored at 1.
+    *
+    * Fixed plane counts are the #1 scale hazard in LSH blocking: the
+    * ProbeScale run (SURVEY §2.4) measured ~100x candidate-pair growth at
+    * 10x corpus when bits stay constant, because occupancy doubles with
+    * every corpus doubling and pair work grows with occupancy². Deriving
+    * planes from n keeps occupancy — and so per-bucket pair work — flat,
+    * the same plan-parameter-from-statistics discipline the reference
+    * applies to join distribution (`DetermineJoinDistributionType.java`).
+    *
+    * Integer loop, not floating log2: `ceil(ln(x)/ln 2)` misrounds at
+    * exact powers of two in IEEE doubles, and a one-plane disagreement
+    * with the oracle's replay would silently change every bucket. The
+    * oracle computes the identical value as
+    * `GREATEST(1, CEIL(LOG2(CEIL(n / CAST(target AS DOUBLE)))))` —
+    * equal because `ceil(log2(ceil(x))) = ceil(log2(x))` for x > 1 (an
+    * integer ceiling never crosses the next power of two), and libm log2
+    * is exact on integer powers of two. */
+  def planesFor(n: Long, targetBucketSize: Long): Int = {
+    var p = 0
+    var cap = targetBucketSize
+    while (cap < n) { cap <<= 1; p += 1 }
+    math.max(1, p)
+  }
+
   /** Deterministic pseudo-random weight in [-1, 1] for plane `p`, dim `i`,
     * bit-reproducible in DuckDB SQL (see object doc). */
   def planeWeight(p: Int, i: Int): Double = {

@@ -58,11 +58,18 @@ object Ann extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN: 6-plane (64-bucket) signature, candidates from the
-    // bucket equi-join, exact cosine rerank, best neighbor per probe.
+    // LSH-bucketed ANN: candidates from the bucket equi-join, exact
+    // cosine rerank, best neighbor per probe. The plane count is NOT a
+    // constant: it derives from the corpus row count (parquet metadata,
+    // no data scan) so expected bucket occupancy stays ~32 at any scale
+    // (Similarity.planesFor — 4 planes at 500 vectors, 6 at 2k, 21 at
+    // 100M). The oracle derives the same count from count(*).
     "q95_lsh_ann" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val e = e0.join(Similarity.buckets(e0, "vec_id", "e", 6, Dims), "vec_id")
+      val planes = Similarity.planesFor(
+        Tables.view(s, dir, "embeddings").count(), 32)
+      val e = e0.join(
+        Similarity.buckets(e0, "vec_id", "e", planes, Dims), "vec_id")
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("bucket"))
       val cands = e.join(broadcast(probes), Seq("bucket"))
@@ -79,14 +86,17 @@ object Ann extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
-    // Embedding near-dup pairs: 4 plane-tables × 3 planes block the
-    // self-join; same-block pairs verified by exact cosine >= 0.4.
-    // Recall at cos 0.4 ≈ 1-(1-0.63^3)^4 ≈ 0.68 per table math — the
-    // oracle replays the same blocking, so the output is deterministic
-    // and recall is a documented knob (more tables → higher recall).
+    // Embedding near-dup pairs: 4 plane-tables × planesFor(n, 64) planes
+    // block the self-join; same-block pairs verified by exact cosine >=
+    // 0.4. Tables stay fixed (the recall knob: more tables → higher
+    // recall, ≈ 1-(1-(1-θ/π)^ppt)^4); bits-per-table scale with the
+    // corpus so per-bucket pair work stays flat (see planesFor). The
+    // oracle replays the same derivation, so recall loss fails loudly.
     "q96_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val blocked = Similarity.bucketTables(e, "vec_id", "e", 4, 3, Dims)
+      val ppt = Similarity.planesFor(
+        Tables.view(s, dir, "embeddings").count(), 64)
+      val blocked = Similarity.bucketTables(e, "vec_id", "e", 4, ppt, Dims)
       val a = blocked.select(col("t"), col("bv"), col("vec_id").as("a_id"))
       val b = blocked.select(col("t"), col("bv"), col("vec_id").as("b_id"))
       val cands = a.join(b, Seq("t", "bv"))
@@ -101,15 +111,22 @@ object Ann extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // IVF (inverted-file) ANN: a coarse quantizer (centroids = the
-    // vec_id % 50 == 0 stride of the corpus — deterministic, no k-means
-    // RNG) partitions vectors into cells; probes scan only their
-    // nprobe=2 nearest cells. The centroid set is small and broadcast;
-    // cell assignment is one scan; the probe-side search shuffles only
+    // IVF (inverted-file) ANN: a coarse quantizer (centroids = a
+    // deterministic vec_id stride of the corpus — no k-means RNG)
+    // partitions vectors into cells; probes scan only their nprobe=2
+    // nearest cells. Stride = floor(sqrt(n)) so centroid count AND cell
+    // occupancy both grow as √n — the balance that minimizes total work
+    // (assignment cost n·√n vs probe cost √n per cell); a constant
+    // stride would grow cells linearly and probes would rescan the
+    // corpus. IEEE sqrt is correctly rounded, so DuckDB's FLOOR(SQRT())
+    // replays it exactly. Centroids stay broadcastable (√n rows); cell
+    // assignment is one scan; the probe-side search shuffles only
     // matching cells — the 100 TB shape (cells ≈ partitions).
     "qb4_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val stride = math.floor(math.sqrt(
+        Tables.view(s, dir, "embeddings").count().toDouble)).toLong
+      val cents = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
       val byDist = Window.partitionBy(col("vec_id"))
         .orderBy(col("cd").desc, col("cent_id"))
@@ -170,14 +187,23 @@ object Ann extends QueryPack {
     })
   )
 
-  /** DuckDB replay of `Similarity.planeWeight` + per-plane dots for planes
-    * [0, nPlanes) — the md5 formula is the contract (see Similarity doc). */
-  private def weightsCte(nPlanes: Int): String =
-    s"""WITH w AS (
+  /** DuckDB replay of `Similarity.planeWeight` + per-plane dots with the
+    * planes-per-table count derived from count(*) exactly as
+    * `Similarity.planesFor(n, target)` — see that doc for why
+    * `GREATEST(1, CEIL(LOG2(CEIL(n/target))))` agrees bit-for-bit with
+    * the integer loop. `tables * ppt` total planes; the md5 weight
+    * formula is the contract (see Similarity doc). */
+  private def weightsCte(target: Int, tables: Int): String =
+    s"""WITH params AS (
+       |  SELECT GREATEST(1, CAST(CEIL(LOG2(CEIL(count(*) / $target.0)))
+       |    AS INT)) AS ppt
+       |  FROM embeddings),
+       |w AS (
        |  SELECT p, i,
        |    ((('0x' || substr(md5(p || '_' || i), 1, 15))::BIGINT % 2001)
        |     - 1000) / 1000.0 AS wt
-       |  FROM range($nPlanes) tp(p) CROSS JOIN range(64) ti(i)),
+       |  FROM range(${tables * 24}) tp(p) CROSS JOIN range(64) ti(i)
+       |  WHERE p < $tables * (SELECT ppt FROM params)),
        |el AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
        |         unnest(embedding)::DOUBLE AS x
@@ -209,7 +235,7 @@ object Ann extends QueryPack {
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "q95_lsh_ann" ->
-      s"""${weightsCte(6)},
+      s"""${weightsCte(32, 1)},
          |b AS (
          |  SELECT vec_id,
          |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
@@ -235,7 +261,10 @@ object Ann extends QueryPack {
 
     "qb4_ivf_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |st AS (SELECT CAST(FLOOR(SQRT(count(*))) AS BIGINT) AS stride
+        |       FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT stride FROM st) = 0),
         |asgn AS (
         |  SELECT vec_id, cent_id FROM (
         |    SELECT e.vec_id, c.cent_id,
@@ -299,11 +328,12 @@ object Ann extends QueryPack {
         |FROM pred GROUP BY actual ORDER BY actual""".stripMargin,
 
     "q96_embedding_neardup" ->
-      s"""${weightsCte(12)},
+      s"""${weightsCte(64, 4)},
          |b AS (
-         |  SELECT vec_id, p // 3 AS t,
-         |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << (p % 3)) ELSE 0 END)
-         |         AS BIGINT) AS bv
+         |  SELECT vec_id, p // (SELECT ppt FROM params) AS t,
+         |    CAST(sum(CASE WHEN dp > 0
+         |         THEN (1::BIGINT << (p % (SELECT ppt FROM params)))
+         |         ELSE 0 END) AS BIGINT) AS bv
          |  FROM d GROUP BY vec_id, t),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id

@@ -42,14 +42,29 @@ object ProbeScale {
         transform(col("e"), x => x + lit(k * 1e-4)).as("e")))
       .reduce(_ unionAll _)
 
-    def lshPipeline(e: DataFrame): Long = {
-      val blocked = Similarity.bucketTables(e, "vec_id", "e", 4, 3, 64)
+    def lshPipeline(e: DataFrame, ppt: Int): Long = {
+      val blocked = Similarity.bucketTables(e, "vec_id", "e", 4, ppt, 64)
       val a = blocked.select(col("t"), col("bv"), col("vec_id").as("a_id"))
       val b = blocked.select(col("t"), col("bv"), col("vec_id").as("b_id"))
       a.join(b, Seq("t", "bv")).filter(col("a_id") < col("b_id")).count()
     }
-    time("lsh_cands_2k")(lshPipeline(emb0))
-    time("lsh_cands_20k")(lshPipeline(emb10))
+    // Fixed 3 bits/table: occupancy doubles with the corpus, pair work
+    // grows ~quadratically — the shape q95/q96 must NOT have.
+    time("lsh_cands_fixed3_2k")(lshPipeline(emb0, 3))
+    time("lsh_cands_fixed3_20k")(lshPipeline(emb10, 3))
+    // Adaptive planesFor(n, 64): bits grow with log2(n), occupancy stays
+    // ~64 — candidate growth must be near-linear in corpus size.
+    var c2k = 0L; var c20k = 0L
+    time("lsh_cands_adaptive_2k") {
+      c2k = lshPipeline(emb0, Similarity.planesFor(emb0.count(), 64)); c2k
+    }
+    time("lsh_cands_adaptive_20k") {
+      c20k = lshPipeline(emb10, Similarity.planesFor(emb10.count(), 64)); c20k
+    }
+    val growth = c20k.toDouble / c2k
+    val verdict = if (growth <= 15.0) "PASS" else "FAIL"
+    println(f"[scale] adaptive candidate growth at 10x corpus: $growth%.1fx " +
+      f"(linear = 10x, bound 15x) -> $verdict")
     spark.stop()
   }
 }
