@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, LongType, StringType, TimestampType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
   * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
@@ -159,9 +160,23 @@ object Registry {
       // approx_percentile: Spark builtin of the same name takes an
       // optional accuracy — mirror both arities, defaulting to Presto's
       // effective precision, so shadowing stays semantics-compatible.
+      // Presto ALSO spells its weighted variant with three args —
+      // approx_percentile(x, w, percentage) — which is indistinguishable
+      // from Spark's (col, percentage, accuracy) by name alone; a
+      // fractional literal in 3rd position can only be the weighted form,
+      // so fail loudly instead of silently computing a percentile of the
+      // weight column (ADVICE r3).
       locally {
         val name = "approx_percentile"
         val builder: Seq[Expression] => Expression = { args =>
+          if (args.length == 3) args(2) match {
+            case Literal(_, DoubleType | _: DecimalType) => sys.error(
+              "approx_percentile: 3rd argument is a fractional literal, " +
+                "which is Presto's WEIGHTED form approx_percentile(x, w, " +
+                "percentage) — not supported; Spark's 3-arg form is " +
+                "(col, percentage, accuracy) with integer accuracy")
+            case _ => ()
+          }
           val full = if (args.length == 2) args :+ Literal(10000) else args
           spark.sessionState.sqlParser
             .parseExpression("percentile_approx(__a, __b, __c)")
@@ -190,14 +205,129 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("format"),
         new ExpressionInfo(getClass.getCanonicalName, "format"),
         (args: Seq[Expression]) => FormatString(args: _*))
-      // NOT registrable: Presto date_add('unit', n, ts) /
-      // date_diff('unit', a, b). Spark's grammar special-cases these
-      // names as timestampadd/timestampdiff aliases and validates the
-      // unit BEFORE function resolution, so a registry override never
-      // sees the call. Reference SQL must use timestampadd/timestampdiff
-      // (identifier unit) — the one datetime rewrite this registry
-      // cannot absorb.
+      // Presto date_add('unit', n, ts) / date_diff('unit', a, b): Spark's
+      // grammar special-cases these names as timestampadd/timestampdiff
+      // aliases and validates the unit BEFORE function resolution, so a
+      // registry override never sees the call. `rewritePrestoSql` renames
+      // the literal-unit spelling to presto_date_add/_diff pre-parse;
+      // these builders then supply Presto semantics. Builders run only
+      // once argument expressions are resolved (the analyzer resolves
+      // functions bottom-up), so the input's type is available: Presto
+      // preserves DATE-ness under date_add, and rejects sub-day units on
+      // DATE inputs (`DateTimeFunctions.java` @SqlType sql_date paths).
+      def unitOf(e: Expression, fn: String): String = e match {
+        case Literal(u, StringType) => u.toString.toLowerCase
+        case other => sys.error(s"$fn: unit must be a string literal, got $other")
+      }
+      locally {
+        val builder: Seq[Expression] => Expression = { args =>
+          require(args.length == 3, s"date_add expects 3 args, got ${args.length}")
+          PrestoDateAdd(unitOf(args(0), "date_add"), args(1), args(2))
+        }
+        registry.registerFunction(FunctionIdentifier("presto_date_add"),
+          new ExpressionInfo(getClass.getCanonicalName, "presto_date_add"),
+          builder)
+      }
+      locally {
+        val builder: Seq[Expression] => Expression = { args =>
+          require(args.length == 3, s"date_diff expects 3 args, got ${args.length}")
+          PrestoDateDiff(unitOf(args(0), "date_diff"), args(1), args(2))
+        }
+        registry.registerFunction(FunctionIdentifier("presto_date_diff"),
+          new ExpressionInfo(getClass.getCanonicalName, "presto_date_diff"),
+          builder)
+      }
+      // word_stem (WordStemFunction.java:82; English/Porter only) and
+      // normalize (StringFunctions.java) — native expressions, see
+      // graft.functions.Stemmer.
+      locally {
+        val builder: Seq[Expression] => Expression = {
+          case Seq(w) => WordStem(w)
+          case Seq(w, Literal(lang, StringType)) if lang.toString == "en" =>
+            WordStem(w)
+          case Seq(_, l) =>
+            sys.error(s"word_stem: only language 'en' is supported, got $l")
+          case args =>
+            sys.error(s"word_stem expects 1-2 args, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("word_stem"),
+          new ExpressionInfo(getClass.getCanonicalName, "word_stem"), builder)
+      }
+      locally {
+        val builder: Seq[Expression] => Expression = {
+          case Seq(s0) => NormalizeString(s0, "NFC")
+          case Seq(s0, Literal(f, StringType)) =>
+            NormalizeString(s0, f.toString.toUpperCase)
+          case args => sys.error(
+            s"normalize expects 1-2 args (literal form), got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("normalize"),
+          new ExpressionInfo(getClass.getCanonicalName, "normalize"), builder)
+      }
       installed.put(spark, true)
     }
   }
+
+  // Presto's literal-unit spelling date_add('day', n, x): Spark's grammar
+  // reserves the name (unit validated pre-resolution), so the registry
+  // can't intercept it — rename pre-parse instead. Only the quote-led
+  // (Presto) form matches; Spark's own date_add(start, days) is untouched.
+  private val prestoDateFnRe = """(?i)\b(date_add|date_diff)\s*\(\s*'""".r
+
+  /** Pre-parse rewrite absorbing the two Presto datetime spellings the
+    * grammar blocks from registry-level absorption. Apply to raw Presto
+    * SQL before `spark.sql(...)` (RegistrySql.sql does). */
+  def rewritePrestoSql(q: String): String =
+    prestoDateFnRe.replaceAllIn(q,
+      m => "presto_" + m.group(1).toLowerCase + "('")
+}
+
+/** Presto `date_add('unit', n, x)` (`DateTimeFunctions.java`): delegates
+  * to Spark's TimestampAdd but preserves DATE-ness — Presto returns DATE
+  * for DATE inputs and rejects sub-day units on them. RuntimeReplaceable:
+  * the replacement is built after analysis, when the input's type is
+  * known; all casts and the timezone are explicit because the optimizer's
+  * ReplaceExpressions substitution happens after type coercion and
+  * timezone resolution have already run. */
+case class PrestoDateAdd(unit: String, quantity: Expression, ts: Expression)
+    extends Expression with RuntimeReplaceable {
+
+  private val dateUnits = Set("day", "week", "month", "quarter", "year")
+
+  override def children: Seq[Expression] = Seq(quantity, ts)
+  override def prettyName: String = "date_add"
+
+  override lazy val replacement: Expression = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val add = TimestampAdd(unit, Cast(quantity, LongType),
+      Cast(ts, TimestampType, tz), tz)
+    if (ts.dataType == DateType) {
+      require(dateUnits.contains(unit),
+        s"date_add: unit '$unit' is invalid for a DATE input")
+      Cast(add, DateType, tz)
+    } else add
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(quantity = newChildren(0), ts = newChildren(1))
+}
+
+/** Presto `date_diff('unit', t1, t2)` = t2 - t1 in whole units, matching
+  * Spark's TimestampDiff(unit, start, end) argument order. */
+case class PrestoDateDiff(unit: String, start: Expression, end: Expression)
+    extends Expression with RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(start, end)
+  override def prettyName: String = "date_diff"
+
+  override lazy val replacement: Expression = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    TimestampDiff(unit, Cast(start, TimestampType, tz),
+      Cast(end, TimestampType, tz), tz)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(start = newChildren(0), end = newChildren(1))
 }

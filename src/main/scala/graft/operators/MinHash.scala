@@ -39,7 +39,14 @@ object MinHash {
     * over the shingle array evaluates interpreted with per-element boxing
     * — so the hot path here is explode → hash → 64 `min` aggregates,
     * which stays in whole-stage codegen and gets map-side partial
-    * aggregation for free at cluster scale. */
+    * aggregation for free at cluster scale.
+    *
+    * NOTE: documents with an EMPTY shingle array (fewer than k words)
+    * produce no exploded rows and therefore NO signature row — the output
+    * may have fewer rows than the input. Near-dup semantics are unchanged
+    * (a doc with no shingles has Jaccard 0 against everything), but
+    * consumers that count documents or join back by id must use the
+    * original table, not the signature table (ADVICE r3). */
   def signatures(withShingles: DataFrame, idCol: String,
                  numHashes: Int): DataFrame = {
     val base = withShingles.select(col(idCol), explode(col("sh")).as("s"))

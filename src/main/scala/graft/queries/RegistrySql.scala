@@ -19,7 +19,7 @@ object RegistrySql extends QueryPack {
                   q: String) = {
     Tables.register(s, dir)
     Registry.install(s)
-    s.sql(q)
+    s.sql(Registry.rewritePrestoSql(q))
   }
 
   override def defs: Map[String, Q] = Map(
@@ -44,7 +44,12 @@ object RegistrySql extends QueryPack {
         |  cast(year_of_week(o_orderdate) as bigint) AS yow,
         |  to_unixtime(o_orderdate) AS epoch_s,
         |  date_format(o_orderdate, '%Y-%m-%d') AS d_str,
-        |  date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
+        |  date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt,
+        |  date_add('day', 3, o_orderdate) AS d_plus3,
+        |  date_add('month', 2, o_orderdate) AS d_plus2m,
+        |  date_add('month', 1, cast(o_orderdate as date)) AS dm_date,
+        |  cast(date_diff('day', o_orderdate, date '1998-01-01') as bigint)
+        |    AS days_to_98
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)),
 
     // TPC-H Q1 verbatim (Presto/ANSI text, adapted only for the slim
@@ -116,7 +121,13 @@ object RegistrySql extends QueryPack {
         |  CAST(isoyear(o_orderdate) AS BIGINT) AS yow,
         |  epoch_ms(o_orderdate) / 1000.0 AS epoch_s,
         |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
-        |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS d_rt,
+        |  o_orderdate + INTERVAL 3 DAY AS d_plus3,
+        |  o_orderdate + INTERVAL 2 MONTH AS d_plus2m,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+        |    AS dm_date,
+        |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
+        |    AS days_to_98
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
 
     "qb5_tpch_q1_sql" ->

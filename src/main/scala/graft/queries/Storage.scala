@@ -21,11 +21,20 @@ import graft.Tables
   */
 object Storage extends QueryPack {
 
+  /** CTAS output path, keyed by fixture dir AND Spark application id:
+    * concurrent JVMs against the same fixture (Bench + Verify, parallel
+    * test runs) must never race on one directory with mode=overwrite
+    * (ADVICE r3). Within one session the path is stable, so tests can
+    * read back what the query wrote. */
+  def ctasPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ctas_${Integer.toHexString(dir.hashCode)}_" +
+        s.sparkContext.applicationId).getAbsolutePath
+
   override def defs: Map[String, Q] = Map(
     "qa8_ctas_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ctas_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val out = ctasPath(s, dir)
       val derived = Tables.view(s, dir, "lineitem")
         .filter(col("l_quantity") > 10)
         .groupBy(col("l_returnflag"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{Registry, Stemmer}
 import graft.operators.MinHash
 
 /** Text-analysis operators over the `documents` corpus — the per-document
@@ -116,6 +117,47 @@ object TextAnalysis extends QueryPack {
           max(col("doc_id")).as("last_doc"))
         .filter(col("n_docs") > 1)
         .orderBy(col("n_docs").desc, col("fp"))
+    }),
+
+    // Porter stemming (reference `WordStemFunction.java:82`) through BOTH
+    // surfaces — the SQL registry (word_stem / word_stem(w,'en')) and the
+    // Column API (Stemmer.wordStem) — plus an agreement bit so any
+    // divergence between the two paths fails the gate. The oracle states
+    // the expected stems (no stemmer exists in DuckDB); the algorithm
+    // itself is locked by StemmerSuite against the examples published in
+    // Porter's paper.
+    "qc4_word_stem" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """SELECT word, word_stem(word) AS stem_sql,
+          |  word_stem(word, 'en') AS stem_en
+          |FROM VALUES ('running'),('flies'),('caresses'),('ponies'),
+          |  ('cats'),('happiness'),('relational'),('conditional'),
+          |  ('connection'),('formalize'),('electricity'),('hopeful'),
+          |  ('adjustment'),('replacement'),('controller'),('motoring'),
+          |  ('sized'),('agreed'),('plastered'),('generalization')
+          |  AS t(word)""".stripMargin)
+        .withColumn("stem_col", Stemmer.wordStem(col("word")))
+        .withColumn("agree", col("stem_col") === col("stem_sql"))
+        .orderBy(col("word"))
+    }),
+
+    // Unicode normalization (reference `StringFunctions.java` normalize):
+    // NFC fixes decomposed input to the composed form; NFD length shows
+    // the decomposition. Inputs built from \u escapes (not SQL literals)
+    // so the bytes are unambiguous on both engines.
+    "qc5_normalize" -> ((s, dir) => {
+      Registry.install(s)
+      s.createDataFrame(Seq(
+        (1L, "école"), // decomposed: e + COMBINING ACUTE
+        (2L, "école"))) // composed e-acute
+        .toDF("id", "s")
+        .selectExpr("id", "normalize(s) AS nfc",
+          "cast(length(normalize(s)) as bigint) AS nfc_len",
+          "cast(length(normalize(s, 'NFD')) as bigint) AS nfd_len")
+        .withColumn("is_ecole_nfc", col("nfc") === lit("école"))
+        .orderBy(col("id"))
     })
   )
 
@@ -123,6 +165,34 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(w, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))::DOUBLE / len(w)"
 
   override def oracles: Map[String, String] = Map(
+    // Expected stems generated by the implementation and locked against
+    // the Porter-paper examples in StemmerSuite; agreement between the
+    // SQL and Column paths is asserted in-query.
+    "qc4_word_stem" ->
+      """SELECT word, stem AS stem_sql, stem AS stem_en, stem AS stem_col,
+        |  true AS agree
+        |FROM (VALUES
+        |  ('running', 'run'), ('flies', 'fli'), ('caresses', 'caress'),
+        |  ('ponies', 'poni'), ('cats', 'cat'), ('happiness', 'happi'),
+        |  ('relational', 'relat'), ('conditional', 'condit'),
+        |  ('connection', 'connect'), ('formalize', 'formal'),
+        |  ('electricity', 'electr'), ('hopeful', 'hope'),
+        |  ('adjustment', 'adjust'), ('replacement', 'replac'),
+        |  ('controller', 'control'), ('motoring', 'motor'),
+        |  ('sized', 'size'), ('agreed', 'agre'), ('plastered', 'plaster'),
+        |  ('generalization', 'gener')) t(word, stem)
+        |ORDER BY word""".stripMargin,
+
+    "qc5_normalize" ->
+      """WITH t(id, s) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'e' || chr(769) || 'cole'),
+        |  (CAST(2 AS BIGINT), chr(233) || 'cole'))
+        |SELECT id, nfc_normalize(s) AS nfc,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_len,
+        |  CAST(6 AS BIGINT) AS nfd_len,
+        |  nfc_normalize(s) = chr(233) || 'cole' AS is_ecole_nfc
+        |FROM t ORDER BY id""".stripMargin,
+
     "q97_langid_confusion" ->
       s"""WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
          |r AS (SELECT lang,

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Views / DDL surface (SURVEY §2; round-3 verdict "What's missing" #1).
+  *
+  * Reference: `CREATE VIEW` grammar
+  * (`presto-parser/src/main/antlr4/.../SqlBase.g4:60`) and the
+  * distributed-query view tests
+  * (`presto-tests/.../AbstractTestDistributedQueries.java:653` testView,
+  * `:677` testViewCaseSensitivity, `:728` testViewMetadata).
+  *
+  * Spark-first: a view is a named logical plan — `CREATE TEMPORARY VIEW`
+  * registers the parsed plan in the session catalog, and queries through
+  * the view inline it before optimization, so pushdown/pruning cross the
+  * view boundary for free (qc2's plan is identical to the view-free
+  * formulation; the no-Cartesian/pushdown plan guards in
+  * QueriesSmokeSuite cover it like any other query). Metadata listing
+  * (qc3) is `spark.catalog.listTables` — catalog metadata, no data scan,
+  * exactly Presto's information_schema path.
+  */
+object Views extends QueryPack {
+
+  override def defs: Map[String, Q] = Map(
+    // testView analog: view over a 4-way join, second view aggregating
+    // the first (view-on-view), queried through UPPERCASE identifiers
+    // (testViewCaseSensitivity — Presto resolves view names
+    // case-insensitively, as does Spark).
+    "qc2_view_query" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_v_rev AS
+              |SELECT n.n_name, l.l_extendedprice * (1 - l.l_discount) AS rev
+              |FROM lineitem l
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_v_rev_by_nation AS
+              |SELECT n_name, round(sum(rev), 2) AS revenue, count(*) AS n
+              |FROM graft_v_rev GROUP BY n_name""".stripMargin)
+      s.sql("""SELECT N_NAME AS n_name, REVENUE AS revenue, N AS n
+              |FROM GRAFT_V_REV_BY_NATION
+              |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin)
+    }),
+
+    // testViewMetadata analog: created views appear in catalog listings
+    // with their temporary-ness, without scanning any data.
+    "qc3_view_metadata" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_v_meta1 AS SELECT 1 AS x")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_v_meta2 AS SELECT 2 AS y")
+      s.catalog.listTables()
+        .select(col("name"), col("isTemporary").as("is_temporary"))
+        .filter(col("name").startsWith("graft_v_meta"))
+        .orderBy(col("name"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // A view changes nothing for the oracle — replay the inlined query.
+    "qc2_view_query" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+
+    "qc3_view_metadata" ->
+      """SELECT * FROM (VALUES ('graft_v_meta1', true), ('graft_v_meta2', true))
+        |  t(name, is_temporary) ORDER BY name""".stripMargin
+  )
+}

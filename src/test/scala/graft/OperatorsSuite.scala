@@ -99,8 +99,7 @@ class OperatorsSuite extends GraftSuite {
 
   test("CTAS partitioned output prunes partitions on read") {
     SparkEntry.queries("qa8_ctas_roundtrip")(spark, SfDir).count()
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ctas_${Integer.toHexString(SfDir.hashCode)}").getAbsolutePath
+    val out = graft.queries.Storage.ctasPath(spark, SfDir)
     val pruned = spark.read.parquet(out).filter(col("ship_year") === 1995)
     val scan = pruned.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
