@@ -71,10 +71,29 @@ object MinHash {
   }
 
   /** Candidate pairs via the LSH bucket self-join (id_a < id_b, distinct).
-    * This is the scale-critical step: an equi-join on (band, band_hash). */
-  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
-    val b = banded.select(col("band"), col("band_hash"), col(idCol).as("b_id"))
+    * This is the scale-critical step: an equi-join on (band, band_hash).
+    *
+    * `maxBucketSize` caps pathological buckets BEFORE the self-join: a
+    * boilerplate-heavy corpus (license headers, templated pages) can put
+    * millions of documents into one band bucket, and that single bucket's
+    * O(size²) pair expansion would dominate the whole job. A bucket above
+    * the cap is dropped — its members still reach each other through
+    * their other (more selective) bands, the standard LSH treatment for
+    * stop-shingles. The bucket-size window reuses the same hash
+    * partitioning as the join, so the cap costs no extra shuffle. The
+    * fixture corpus has no bucket anywhere near the default cap, so
+    * q91/q92 output is unchanged; OperatorsSuite plants a hot bucket to
+    * prove the bound. */
+  def candidatePairs(banded: DataFrame, idCol: String,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val bounded = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val a = bounded.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
+    val b = bounded.select(col("band"), col("band_hash"), col(idCol).as("b_id"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()

@@ -18,8 +18,12 @@ import graft.Tables
   * property that matters at scale: sketch per partition, union across
   * partitions, one small state per group ever shuffled.
   *
-  * (qdigest/tdigest remain deferred: Spark ships no quantile-sketch type;
-  * `percentile_approx` covers the use case in q85.)
+  * Quantile sketches (the qdigest/tdigest side of the reference,
+  * `QuantileDigestFunctions.java`, `tdigest/TDigest.java`) follow the
+  * same pattern via `graft.functions.QuantileSketch` — a DDSketch-style
+  * TypedImperativeAggregate with binary state whose merge is exact
+  * (bucket-wise sums are order-independent), proven by qc7's equality
+  * check between merged and directly-built estimates.
   */
 object Sketches extends QueryPack {
 
@@ -54,6 +58,60 @@ object Sketches extends QueryPack {
           (abs(col("merged_est") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("merge_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Quantile sketch build + estimate: p50/p95 of extendedprice per
+    // flag, tolerance-checked against the exact interpolated percentile
+    // (sketch guarantees relative value error <= alpha = 1%; the rank
+    // convention differs from interpolation by < 1 order statistic, so
+    // 2% absorbs both).
+    "qc6_qdigest_quantile" -> ((s, dir) => {
+      val li = Tables.view(s, dir, "lineitem")
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.QuantileSketch
+          .sketch(col("l_extendedprice"), 0.01).as("sk"))
+        .select(col("l_returnflag"),
+          graft.functions.QuantileSketch.valueAt(col("sk"), 0.5).as("p50_est"),
+          graft.functions.QuantileSketch.valueAt(col("sk"), 0.95).as("p95_est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_ex"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_ex"))
+      exact.join(est, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50_ex"), 6).as("p50_exact"),
+          (abs(col("p50_est") - col("p50_ex")) <= col("p50_ex") * 0.02)
+            .as("p50_ok"),
+          round(col("p95_ex"), 6).as("p95_exact"),
+          (abs(col("p95_est") - col("p95_ex")) <= col("p95_ex") * 0.02)
+            .as("p95_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Re-aggregation: per-supplier partial sketches merged per flag must
+    // estimate EXACTLY what the direct sketch estimates (bucket sums are
+    // order-independent), and stay within tolerance of exact — the
+    // property that lets 100 TB pipelines pre-sketch per partition/day
+    // and merge later (Presto merge(qdigest) semantics).
+    "qc7_qdigest_merge" -> ((s, dir) => {
+      val li = Tables.view(s, dir, "lineitem")
+      val qs = graft.functions.QuantileSketch
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(qs.sketch(col("l_extendedprice"), 0.01).as("sk"))
+        .select(col("l_returnflag"), qs.valueAt(col("sk"), 0.5).as("p50_direct"))
+      val merged = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(qs.sketch(col("l_extendedprice"), 0.01).as("psk"))
+        .groupBy(col("l_returnflag"))
+        .agg(qs.merge(col("psk")).as("msk"))
+        .select(col("l_returnflag"), qs.valueAt(col("msk"), 0.5).as("p50_merged"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_ex"))
+      exact.join(direct, "l_returnflag").join(merged, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50_ex"), 6).as("p50_exact"),
+          (col("p50_merged") === col("p50_direct")).as("merge_exact_ok"),
+          (abs(col("p50_merged") - col("p50_ex")) <= col("p50_ex") * 0.02)
+            .as("merge_tol_ok"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -65,6 +123,18 @@ object Sketches extends QueryPack {
     "qb1_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qc6_qdigest_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_ok,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+        |  TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qc7_qdigest_merge" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  TRUE AS merge_exact_ok, TRUE AS merge_tol_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

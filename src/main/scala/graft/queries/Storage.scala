@@ -46,6 +46,45 @@ object Storage extends QueryPack {
         .select(col("l_returnflag"), col("ship_year").cast("int"),
           col("n"), col("revenue"))
         .orderBy(col("l_returnflag"), col("ship_year"))
+    }),
+
+    // Second and third file formats (reference: the Hive connector's
+    // multi-format scan, `presto-hive/.../HivePageSourceProvider.java:75`
+    // — ORC and text are first-class storage formats there). The engine
+    // itself writes the copy, then the same aggregation must match the
+    // parquet-derived oracle: a lossless write→scan round-trip through
+    // each format's serializer. ORC carries types natively; CSV is read
+    // back under an EXPLICIT schema — the 100 TB discipline (schema
+    // inference is a full extra pass over text data).
+    "qc8_orc_roundtrip" -> ((s, dir) => {
+      val out = ctasPath(s, dir) + "_orc"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("rev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "qc9_csv_roundtrip" -> ((s, dir) => {
+      val out = ctasPath(s, dir) + "_csv"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("l_orderkey BIGINT, l_returnflag STRING, " +
+          "l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .option("header", "true").csv(out)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("rev"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -54,6 +93,21 @@ object Storage extends QueryPack {
       """SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
         |  count(*) AS n, round(sum(l_extendedprice), 4) AS revenue
         |FROM lineitem WHERE l_quantity > 10
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Format round-trips are lossless, so the oracle is the parquet
+    // original — any serializer drift (CSV double formatting, ORC type
+    // mapping) shows up as a value mismatch.
+    "qc8_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qc9_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

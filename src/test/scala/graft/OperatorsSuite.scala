@@ -34,6 +34,20 @@ class OperatorsSuite extends GraftSuite {
     assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hot LSH bucket above the cap is dropped, small buckets survive") {
+    // 100 docs share one (band, band_hash) bucket; 3 docs share another.
+    val hot = (0L until 100L).map(id => (0, 42L, id))
+    val small = Seq((1, 7L, 200L), (1, 7L, 201L), (1, 7L, 202L))
+    val banded = (hot ++ small).toDF("band", "band_hash", "doc_id")
+    val capped = MinHash.candidatePairs(banded, "doc_id", maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    // hot bucket contributes nothing; the small bucket's 3 pairs remain
+    assert(capped == Set((200L, 201L), (200L, 202L), (201L, 202L)))
+    // default cap leaves everything intact: C(100,2) + 3 pairs
+    val uncapped = MinHash.candidatePairs(banded, "doc_id").count()
+    assert(uncapped == 100L * 99 / 2 + 3)
+  }
+
   test("exact dup has jaccard 1.0; near-dup below 1") {
     val docs = corpus.select(col("doc_id"),
       MinHash.shingles(col("text"), 3).as("sh"))
