@@ -91,7 +91,21 @@ object Registry {
     // --- aggregates (aggregation/*.java) ---
     ("arbitrary", 1, "any_value(__a)"),
     ("approx_distinct", 1, "approx_count_distinct(__a)"),
-    ("geometric_mean", 1, "exp(avg(ln(__a)))")
+    ("geometric_mean", 1, "exp(avg(ln(__a)))"),
+    // --- IP functions (IpPrefixFunctions.java; IPv4 over varchar —
+    // Presto's IPADDRESS/IPPREFIX types carry the same dotted-quad
+    // text form). Pure integer bit math, fully codegen'd; the repeated
+    // dotted-quad parse collapses under codegen subexpression
+    // elimination. ---
+    ("ip_prefix", 2, {
+      val m = IpTemplates.masked("__a", "__b")
+      s"concat(${IpTemplates.ntoa(m)}, '/', cast(__b as string))"
+    }),
+    ("is_subnet_of", 2, {
+      val bits = "cast(element_at(split(__a, '/'), 2) as bigint)"
+      val paddr = "element_at(split(__a, '/'), 1)"
+      s"${IpTemplates.masked(paddr, bits)} = ${IpTemplates.masked("__b", bits)}"
+    })
   )
 
   private val argNames = Seq("__a", "__b", "__c")
@@ -280,6 +294,31 @@ object Registry {
   def rewritePrestoSql(q: String): String =
     prestoDateFnRe.replaceAllIn(q,
       m => "presto_" + m.group(1).toLowerCase + "('")
+}
+
+/** SQL-fragment builders for the IPv4 templates: dotted-quad → bigint,
+  * prefix masking, bigint → dotted-quad. Kept as plain strings so the
+  * registry's template machinery (parse once, substitute args) applies
+  * unchanged. */
+private[functions] object IpTemplates {
+  /** a.b.c.d → 32-bit integer (as bigint). */
+  def aton(e: String): String =
+    s"(cast(element_at(split($e, '\\\\.'), 1) as bigint) * 16777216 + " +
+      s"cast(element_at(split($e, '\\\\.'), 2) as bigint) * 65536 + " +
+      s"cast(element_at(split($e, '\\\\.'), 3) as bigint) * 256 + " +
+      s"cast(element_at(split($e, '\\\\.'), 4) as bigint))"
+
+  /** Network address of `ip` under a `bits`-wide prefix. */
+  def masked(ip: String, bits: String): String =
+    s"shiftleft(shiftright(${aton(ip)}, cast(32 - $bits as int)), " +
+      s"cast(32 - $bits as int))"
+
+  /** 32-bit integer expression `m` → dotted-quad string. */
+  def ntoa(m: String): String =
+    s"concat(cast(shiftright($m, 24) & 255 as string), '.', " +
+      s"cast(shiftright($m, 16) & 255 as string), '.', " +
+      s"cast(shiftright($m, 8) & 255 as string), '.', " +
+      s"cast($m & 255 as string))"
 }
 
 /** Presto `date_add('unit', n, x)` (`DateTimeFunctions.java`): delegates

@@ -91,6 +91,19 @@ object RegistrySql extends QueryPack {
         |WHERE c.c_custkey <= 100
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
 
+    // IP functions (reference `presto-main/.../scalar/IpPrefixFunctions
+    // .java`): prefix masking and subnet membership over dotted-quad
+    // IPv4, as registry templates compiling to pure integer bit math.
+    "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id, ip,
+        |  ip_prefix(ip, 24) AS net24,
+        |  ip_prefix(ip, 12) AS net12,
+        |  is_subnet_of('10.0.0.0/8', ip) AS in_10,
+        |  is_subnet_of('192.168.0.0/16', ip) AS in_192168
+        |FROM VALUES (1, '10.1.2.3'), (2, '192.168.77.200'), (3, '8.8.8.8'),
+        |  (4, '172.16.254.1') AS t(id, ip)
+        |ORDER BY id""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -162,6 +175,28 @@ object RegistrySql extends QueryPack {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_custkey <= 100
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+
+    "qd2_presto_sql_ip" ->
+      """WITH t(id, ip) AS (VALUES (1, '10.1.2.3'), (2, '192.168.77.200'),
+        |  (3, '8.8.8.8'), (4, '172.16.254.1')),
+        |n AS (SELECT id, ip,
+        |  (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        |   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        |   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        |   + CAST(string_split(ip, '.')[4] AS BIGINT)) AS a
+        |  FROM t),
+        |m AS (SELECT id, ip, (a >> 8) << 8 AS m24, (a >> 20) << 20 AS m12, a
+        |  FROM n)
+        |SELECT CAST(id AS BIGINT) AS id, ip,
+        |  ((m24 >> 24) & 255)::VARCHAR || '.' || ((m24 >> 16) & 255)::VARCHAR
+        |    || '.' || ((m24 >> 8) & 255)::VARCHAR || '.'
+        |    || (m24 & 255)::VARCHAR || '/24' AS net24,
+        |  ((m12 >> 24) & 255)::VARCHAR || '.' || ((m12 >> 16) & 255)::VARCHAR
+        |    || '.' || ((m12 >> 8) & 255)::VARCHAR || '.'
+        |    || (m12 & 255)::VARCHAR || '/12' AS net12,
+        |  ((a >> 24) << 24) = 167772160 AS in_10,
+        |  ((a >> 16) << 16) = 3232235520 AS in_192168
+        |FROM m ORDER BY id""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -152,7 +152,26 @@ object Scalars extends QueryPack {
             .otherwise("high").as("bal_class"),
           expr("if(c_nationkey % 2 = 0, 'even', 'odd')").as("nat_parity"),
           expr("ifnull(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR')").as("seg2"))
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // CHAR(n) padded-comparison semantics (reference
+    // `presto-common/.../type/Chars.java:33` padSpaces; SURVEY §7.4 ranks
+    // this the top semantic-fidelity hazard): Presto compares CHAR values
+    // after right-padding to the type width, so 'ab' = 'ab ' under
+    // CHAR(5) but not under VARCHAR. Spark has no CHAR runtime type
+    // (strings keep trailing blanks), so the engine expresses CHAR
+    // comparison as explicit rpad-to-width on both operands — the
+    // documented, plan-visible translation a migrating user applies.
+    "qd0_char_padding" -> ((s, dir) =>
+      s.sql("""SELECT a, b,
+              |  a = b AS varchar_eq,
+              |  rpad(a, 5, ' ') = rpad(b, 5, ' ') AS char5_eq,
+              |  cast(length(a) as bigint) AS a_len,
+              |  cast(length(rpad(a, 5, ' ')) as bigint) AS a_char_len,
+              |  rpad(a, 5, ' ') < rpad(b, 5, ' ') AS char5_lt
+              |FROM VALUES ('ab', 'ab '), ('ab', 'ab'), ('ab', 'ac'),
+              |  ('xy ', 'xy') AS t(a, b)
+              |ORDER BY a, b""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -255,6 +274,17 @@ object Scalars extends QueryPack {
         |      ELSE 'high' END AS bal_class,
         | CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nat_parity,
         | coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg2
-        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+
+    "qd0_char_padding" ->
+      """SELECT a, b,
+        |  a = b AS varchar_eq,
+        |  rpad(a, 5, ' ') = rpad(b, 5, ' ') AS char5_eq,
+        |  CAST(length(a) AS BIGINT) AS a_len,
+        |  CAST(length(rpad(a, 5, ' ')) AS BIGINT) AS a_char_len,
+        |  rpad(a, 5, ' ') < rpad(b, 5, ' ') AS char5_lt
+        |FROM (VALUES ('ab', 'ab '), ('ab', 'ab'), ('ab', 'ac'),
+        |  ('xy ', 'xy')) t(a, b)
+        |ORDER BY a, b""".stripMargin
   )
 }

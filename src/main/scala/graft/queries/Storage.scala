@@ -70,6 +70,31 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Row-level DML: DELETE FROM t WHERE pred (reference
+    // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
+    // are immutable, so the engine implements DELETE as copy-on-write —
+    // rewrite the table minus matching rows into a new version directory,
+    // the same mechanism ACID table formats layer over object stores.
+    // SQL DELETE semantics: only WHERE-true rows go; NULL predicates keep
+    // the row (hence the coalesce).
+    "qd1_delete_rows" -> ((s, dir) => {
+      val base = ctasPath(s, dir) + "_delbase"
+      val v2 = ctasPath(s, dir) + "_delv2"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_discount"), col("l_extendedprice"))
+        .write.mode("overwrite").parquet(base)
+      val t = s.read.parquet(base)
+      val pred = col("l_discount") > 0.05 && col("l_quantity") < 30
+      t.filter(coalesce(pred, lit(false)) === false)
+        .write.mode("overwrite").parquet(v2)
+      s.read.parquet(v2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_remaining"),
+          round(sum(col("l_extendedprice")), 4).as("rev_remaining"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "qc9_csv_roundtrip" -> ((s, dir) => {
       val out = ctasPath(s, dir) + "_csv"
       Tables.view(s, dir, "lineitem")
@@ -108,6 +133,13 @@ object Storage extends QueryPack {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 4) AS rev
         |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qd1_delete_rows" ->
+      """SELECT l_returnflag, count(*) AS n_remaining,
+        |  round(sum(l_extendedprice), 4) AS rev_remaining
+        |FROM lineitem
+        |WHERE NOT coalesce(l_discount > 0.05 AND l_quantity < 30, false)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
