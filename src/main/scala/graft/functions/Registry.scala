@@ -215,6 +215,14 @@ object Registry {
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))
+      // hamming_distance: native codegen expression (TextExpressions).
+      registry.registerFunction(FunctionIdentifier("hamming_distance"),
+        new ExpressionInfo(getClass.getCanonicalName, "hamming_distance"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"hamming_distance expects 2 args, got ${args.length}")
+          HammingDistance(args(0), args(1))
+        })
       // format(fmt, args...) is variadic — delegate to FormatString.
       registry.registerFunction(FunctionIdentifier("format"),
         new ExpressionInfo(getClass.getCanonicalName, "format"),

@@ -56,7 +56,65 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Presto `hamming_distance(s1, s2)` (`StringFunctions.java`): number of
+  * differing code points; inputs must have equal code-point length, as in
+  * the reference. Static-call codegen like WordStem — one compiled call
+  * per row, no interpreted fallback. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "hamming_distance"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("hamming_distance expects two string arguments")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExpressions.hammingDistance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextExpressions.hammingDistance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.toCol(WordShingles(ColumnBridge.toExpr(text), k))
+
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.toCol(
+      HammingDistance(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+
+  /** Static entry point for generated code: code-point-wise difference
+    * count, equal-length required (Presto contract). */
+  def hammingDistance(a: UTF8String, b: UTF8String): Long = {
+    val sa = a.toString
+    val sb = b.toString
+    var i = 0
+    var j = 0
+    var d = 0L
+    while (i < sa.length && j < sb.length) {
+      val ca = sa.codePointAt(i)
+      val cb = sb.codePointAt(j)
+      if (ca != cb) d += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    if (i < sa.length || j < sb.length)
+      throw new IllegalArgumentException(
+        "hamming_distance: inputs must have the same length")
+    d
+  }
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MinHash
+
+/** Dataset-curation operators — the selection half of a training-data
+  * pipeline, complementing the dedup/scoring packs: stratified sampling
+  * for class-balanced subsets, deterministic train/test splitting, and
+  * per-duplicate-cluster retention policy.
+  *
+  * Reference building blocks: TABLESAMPLE (`plan/SampleNode.java`),
+  * row_number windows (`WindowNode.java`), the scalar md5/hash surface
+  * (`VarbinaryFunctions.java`). The compositions are the standard corpus
+  * recipes (C4/Gopher-style pipeline stages).
+  *
+  * Scale: qd4/qd5 are map-only projections plus one low-cardinality
+  * aggregation (scan-speed at 100 TB). qd6 is one window over the
+  * fingerprint partitioning — the same single shuffle the dedup grouping
+  * already pays; retention adds no extra pass.
+  */
+object Curation extends QueryPack {
+
+  override def defs: Map[String, Q] = Map(
+    // Stratified (per-class) Bernoulli sampling — class-balanced eval
+    // subsets. The sampled set is engine-specific (seeded RNG), so like
+    // q84 the output is deterministic invariants: per-class counts and a
+    // 5-sigma binomial envelope around the 50% target rate. The class
+    // list is tiny metadata (like IVF centroids), collected driver-side.
+    "qd4_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.view(s, dir, "documents")
+      val langs = docs.select("lang").distinct()
+        .collect().map(_.getString(0))
+      val sample = docs.stat.sampleBy("lang",
+        langs.map(l => l -> 0.5).toMap, 42L)
+      val sCnt = sample.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        .join(sCnt, Seq("lang"), "left")
+        .select(col("lang"), col("n_lang"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - col("n_lang") / 2.0) <=
+            lit(5.0) * sqrt(col("n_lang")) / 2.0).as("in_bounds"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic hash-based train/test split (80/20): the md5-derived
+    // bucket is a pure function of doc_id, so membership is stable across
+    // runs, engines, and repartitions — and the oracle replays it
+    // exactly (full hash-match gate, not just invariants).
+    "qd5_train_test_split" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+      Tables.view(s, dir, "documents")
+        .withColumn("split", when(h < 80, "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
+    // Duplicate-cluster retention: group documents by content
+    // fingerprint (qa0's min-hash), keep the "best" doc per cluster
+    // (longest text, doc_id tie-break) — the canonical keep-one-of-dups
+    // policy. Exact oracle: the fingerprint and the argmax both replay.
+    "qd6_cluster_retention" -> ((s, dir) => {
+      val fp = Tables.view(s, dir, "documents")
+        .withColumn("sh", MinHash.shingles(col("text"), 4))
+        .withColumn("fp", array_min(transform(col("sh"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))))
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(length(col("text")).desc, col("doc_id"))
+      fp.withColumn("rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_clusters"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "qd4_stratified_sample" ->
+      """SELECT lang, count(*) AS n_lang, true AS in_bounds
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qd5_train_test_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              ::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, count(DISTINCT doc_id) AS n_ids,
+        |  min(doc_id) AS min_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "qd6_cluster_retention" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+        |  string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, len,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                 for i in range(1, len(w) - 2)]) AS s
+        |  FROM d),
+        |fp AS (SELECT doc_id, len,
+        |  list_min(list_transform(s,
+        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS fp
+        |  FROM sh),
+        |r AS (SELECT doc_id, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rn
+        |  FROM fp)
+        |SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_clusters,
+        |  CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM r""".stripMargin
+  )
+}

@@ -32,7 +32,8 @@ object RegistrySql extends QueryPack {
         |  truncate(p_retailprice / 100.0) AS price_h,
         |  cast(codepoint(substr(p_brand, 7, 1)) as bigint) AS brand_cp,
         |  bitwise_xor(p_size, p_partkey) AS bx,
-        |  bitwise_left_shift(p_size, 3) AS size_x8
+        |  bitwise_left_shift(p_size, 3) AS size_x8,
+        |  hamming_distance(p_brand, reverse(p_brand)) AS ham_rev
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
 
     // Presto date/time names (ISO numbering) over `orders`.
@@ -123,7 +124,8 @@ object RegistrySql extends QueryPack {
         |  trunc(p_retailprice / 100.0) AS price_h,
         |  CAST(ascii(substr(p_brand, 7, 1)) AS BIGINT) AS brand_cp,
         |  xor(p_size::BIGINT, p_partkey) AS bx,
-        |  (p_size::BIGINT << 3) AS size_x8
+        |  (p_size::BIGINT << 3) AS size_x8,
+        |  CAST(hamming(p_brand, reverse(p_brand)) AS BIGINT) AS ham_rev
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "qa2_presto_sql_datetime" ->

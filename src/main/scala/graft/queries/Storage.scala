@@ -70,6 +70,23 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    "qd3_json_roundtrip" -> ((s, dir) => {
+      val out = ctasPath(s, dir) + "_json"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("l_orderkey BIGINT, l_returnflag STRING, " +
+          "l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .json(out)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("rev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -130,6 +147,12 @@ object Storage extends QueryPack {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "qc9_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qd3_json_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 4) AS rev
         |FROM lineitem WHERE l_quantity > 25
