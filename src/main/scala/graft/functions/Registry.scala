@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff}
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, LongType, StringType, TimestampType}
 
@@ -72,6 +72,10 @@ object Registry {
     // registry too, so shadowing them would silently break every other
     // query in the session. Use timestamp_seconds / array_contains.
     // --- array (ArrayFunctions + lambdas) ---
+    ("ngrams", 2,
+      "case when size(__a) >= __b then " +
+        "transform(sequence(1, size(__a) - __b + 1), i -> slice(__a, i, __b)) " +
+        "else array() end"),
     ("array_sum", 1, "aggregate(__a, 0D, (s, x) -> s + cast(x as double))"),
     ("array_average", 1,
       "aggregate(__a, 0D, (s, x) -> s + cast(x as double)) / size(__a)"),
@@ -128,6 +132,11 @@ object Registry {
             s"$name expects $arity args, got ${args.length}")
           template.transformUp {
             case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
+              args(argNames.indexOf(n))
+            // Inside a lambda body the parser wraps every name as a
+            // lambda variable, so placeholders there arrive as
+            // UnresolvedNamedLambdaVariable, not UnresolvedAttribute.
+            case UnresolvedNamedLambdaVariable(Seq(n)) if argNames.contains(n) =>
               args(argNames.indexOf(n))
           }
         }

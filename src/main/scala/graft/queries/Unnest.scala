@@ -66,7 +66,8 @@ object Unnest extends QueryPack {
     // Inline literal rows (reference: ValuesOperator → Spark LocalTableScan).
     // Array-function family breadth (Presto ArrayFunctions: position,
     // overlap, slice, flatten, remove) over the document token arrays.
-    "q7b_array_funcs" -> ((s, dir) =>
+    "q7b_array_funcs" -> ((s, dir) => {
+      graft.functions.Registry.install(s)
       Tables.view(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .withColumn("w", split(col("text"), " "))
@@ -77,8 +78,13 @@ object Unnest extends QueryPack {
           array_join(slice(col("w"), 3, 4), "_").as("mid"),
           size(flatten(array(col("w"), col("w")))).cast("long").as("flat_n"),
           size(array_remove(col("w"), "the")).cast("long").as("n_no_the"),
-          size(array_distinct(col("w"))).cast("long").as("n_distinct"))
-        .orderBy(col("doc_id"))),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          // Presto ngrams() via the registry (bigrams, serialized for
+          // the gate's array-free row hashing)
+          expr("array_join(transform(ngrams(w, 2), g -> array_join(g, ' ')), ',')")
+            .as("bigrams_str"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q83_values" -> ((s, dir) =>
       s.sql("""SELECT CAST(id AS BIGINT) AS id, tag, CAST(id * 2 AS BIGINT) AS twice
@@ -145,7 +151,9 @@ object Unnest extends QueryPack {
         |  array_to_string(w[3:6], '_') AS mid,
         |  CAST(2 * len(w) AS BIGINT) AS flat_n,
         |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
-        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  array_to_string([array_to_string(w[i:i+1], ' ')
+        |                   for i in range(1, len(w))], ',') AS bigrams_str
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q83_values" ->

@@ -44,6 +44,21 @@ object Views extends QueryPack {
               |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin)
     }),
 
+    // PREPARE / EXECUTE ... USING analog (reference grammar
+    // `SqlBase.g4` prepare/execute statements): Spark's parameterized
+    // SQL binds named markers at execution, the same
+    // plan-once-bind-later contract. The oracle replays with literals.
+    "qd7_prepared_params" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > :minprice
+          |  AND o_orderdate >= cast(:mindate as timestamp)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minprice" -> 150000.0, "mindate" -> "1996-01-01"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -72,6 +87,13 @@ object Views extends QueryPack {
 
     "qc3_view_metadata" ->
       """SELECT * FROM (VALUES ('graft_v_meta1', true), ('graft_v_meta2', true))
-        |  t(name, is_temporary) ORDER BY name""".stripMargin
+        |  t(name, is_temporary) ORDER BY name""".stripMargin,
+
+    "qd7_prepared_params" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > 150000.0
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
