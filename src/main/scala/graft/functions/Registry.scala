@@ -112,7 +112,7 @@ object Registry {
     })
   )
 
-  private val argNames = Seq("__a", "__b", "__c")
+  private val argNames = Seq("__a", "__b", "__c", "__d")
 
   // Weak keys: sessions are compared by identity (no equals override) and
   // must not be pinned for the JVM lifetime once stopped.
@@ -224,6 +224,19 @@ object Registry {
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))
+      // reduce: Presto's name for Spark's 4-arg aggregate HOF — must
+      // resolve DIRECTLY to the Catalyst HigherOrderFunction class: a
+      // template would return a nested UnresolvedFunction, and the
+      // analyzer rejects LambdaFunction arguments whose parent isn't a
+      // resolved higher-order function.
+      registry.registerFunction(FunctionIdentifier("reduce"),
+        new ExpressionInfo(getClass.getCanonicalName, "reduce"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4,
+            s"reduce expects 4 args (array, init, merge, finish), got ${args.length}")
+          org.apache.spark.sql.catalyst.expressions.ArrayAggregate(
+            args(0), args(1), args(2), args(3))
+        })
       // hamming_distance: native codegen expression (TextExpressions).
       registry.registerFunction(FunctionIdentifier("hamming_distance"),
         new ExpressionInfo(getClass.getCanonicalName, "hamming_distance"),

@@ -151,6 +151,26 @@ object Aggregates extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // min_by/max_by N-variants (reference
+    // `aggregation/MinMaxByNAggregationFunction.java`): the n poorest /
+    // richest customer names per nation. Deterministic tie-break by
+    // (balance, name) lexicographic struct sort; serialized as csv for
+    // the gate. The collect+sort composition is the Spark-first shape:
+    // the struct list partial-aggregates map-side, and per-group n is
+    // tiny (Presto bounds n at 10k for the same reason).
+    "qd8_minmax_by_n" -> ((s, dir) => {
+      val sorted = array_sort(collect_list(struct(col("c_acctbal"), col("c_name"))))
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(sorted.as("sorted"))
+        .select(col("c_nationkey"),
+          expr("array_join(transform(slice(sorted, 1, 3), s -> s.c_name), ',')")
+            .as("poorest3"),
+          expr("array_join(transform(slice(reverse(sorted), 1, 3), s -> s.c_name), ',')")
+            .as("richest3"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Collected lists serialized to csv strings: the driver's pandas-based
     // row sort can't hash numpy arrays, so both sides project canonical
     // strings (VERDICT r1: q67 harness error).
@@ -246,6 +266,20 @@ object Aggregates extends QueryPack {
         | bit_xor(CAST(concat('0x',
         |   substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS supp_checksum
         |FROM per_supp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qd8_minmax_by_n" ->
+      """WITH r AS (SELECT c_nationkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_name) AS rn,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_name DESC) AS rd
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal, c_name)
+        |    FILTER (WHERE rn <= 3) AS poorest3,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name DESC)
+        |    FILTER (WHERE rd <= 3) AS richest3
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q67_collect" ->
       """SELECT l_orderkey,

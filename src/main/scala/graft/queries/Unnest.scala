@@ -82,7 +82,10 @@ object Unnest extends QueryPack {
           // Presto ngrams() via the registry (bigrams, serialized for
           // the gate's array-free row hashing)
           expr("array_join(transform(ngrams(w, 2), g -> array_join(g, ' ')), ',')")
-            .as("bigrams_str"))
+            .as("bigrams_str"),
+          // Presto reduce() via the registry: total character count
+          expr("reduce(w, 0L, (s, x) -> s + length(x), s -> s)")
+            .as("red_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -153,7 +156,8 @@ object Unnest extends QueryPack {
         |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
         |  array_to_string([array_to_string(w[i:i+1], ' ')
-        |                   for i in range(1, len(w))], ',') AS bigrams_str
+        |                   for i in range(1, len(w))], ',') AS bigrams_str,
+        |  CAST(len(array_to_string(w, '')) AS BIGINT) AS red_chars
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q83_values" ->

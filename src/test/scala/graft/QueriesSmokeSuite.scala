@@ -33,6 +33,29 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("view query inlines: lineitem scan pruned through two view layers") {
+    // qc2 reads lineitem through graft_v_rev -> graft_v_rev_by_nation;
+    // Catalyst must inline both views so column pruning reaches the scan
+    // (a view is a named plan, not an optimization barrier).
+    val df = SparkEntry.queries("qc2_view_query")(spark, SfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val li = scans.find(_.contains("lineitem")).getOrElse("")
+    assert(li.nonEmpty, "no lineitem scan found")
+    assert(li.contains("l_extendedprice") && !li.contains("l_quantity") &&
+      !li.contains("l_shipdate"),
+      s"lineitem scan not pruned through views:\n$li")
+  }
+
+  test("ORC round-trip scan gets filter pushdown") {
+    val df = SparkEntry.queries("qc8_orc_roundtrip")(spark, SfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val orc = scans.find(s => s.contains("orc") || s.contains("Orc"))
+      .getOrElse("")
+    assert(orc.nonEmpty, "no ORC scan found")
+    assert(orc.contains("PushedFilters") && orc.contains("l_quantity"),
+      s"filter not pushed to ORC scan:\n$orc")
+  }
+
   test("no query plans a CartesianProduct") {
     // The scale contract: candidate generation and scoring are broadcast
     // or bucket equi-joins; an unbroadcast all-pairs join would appear
