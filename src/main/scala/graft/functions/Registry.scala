@@ -65,6 +65,9 @@ object Registry {
     ("yow", 1, "extract(YEAROFWEEK FROM __a)"),
     ("to_unixtime", 1, "cast(unix_micros(cast(__a as timestamp)) as double) / 1e6"),
     ("last_day_of_month", 1, "last_day(__a)"),
+    ("from_iso8601_date", 1, "to_date(__a)"),
+    ("from_iso8601_timestamp", 1, "to_timestamp(__a)"),
+    ("regexp_split", 2, "split(__a, __b)"),
     // NOT registered: Presto's from_unixtime (returns timestamp) and
     // contains (array membership) share names with Spark builtins of
     // DIFFERENT semantics (string from_unixtime, string contains) — and in

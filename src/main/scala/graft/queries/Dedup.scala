@@ -101,6 +101,45 @@ object Dedup extends QueryPack {
         .select(col("a_id"), col("b_id").as("best_id"),
           round(col("jac"), 3).as("jac"))
         .orderBy(col("a_id"))
+    }),
+
+    // TF-IDF cosine near-dup pairs — the sparse-vector similarity
+    // operator (Presto's cosine_similarity takes sparse maps;
+    // `MathFunctions.java`), expressed RELATIONALLY: term weights as
+    // rows, dot products via the inverted-index equi-join on the word,
+    // norms per doc. The document-frequency cap is CODE here (words in
+    // more than half the corpus are dropped before the self-join) — the
+    // hot-key bound that keeps the join linear when a stopword would
+    // otherwise pair every document with every other.
+    "qd9_tfidf_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // corpus size for idf — parquet metadata count
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= n / 2) // df cap: corpus-stopword bound
+      val weighted = tf.join(broadcast(dfreq), "w")
+        .withColumn("wt", col("tf") * log(lit(n.toDouble) / col("df")))
+      val norms = weighted.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val a = weighted.select(col("w"), col("doc_id").as("a_id"),
+        col("wt").as("wa"))
+      val b = weighted.select(col("w"), col("doc_id").as("b_id"),
+        col("wt").as("wb"))
+      val dots = a.join(b, "w").filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(broadcast(norms.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("nrm", "na")), "a_id")
+        .join(broadcast(norms.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("nrm", "nb")), "b_id")
+        .withColumn("cos", col("dot") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -170,6 +209,29 @@ object Dedup extends QueryPack {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "qd9_tfidf_cosine" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w
+        |        HAVING count(*) <= (SELECT n FROM nn) / 2),
+        |wt AS (SELECT doc_id, tf.w,
+        |         tf * ln((SELECT n FROM nn)::DOUBLE / df) AS wt
+        |       FROM tf JOIN dfx USING (w)),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt
+        |        GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           sum(a.wt * b.wt) AS dot
+        |         FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        |         GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, round(dot / (x.nrm * y.nrm), 3) AS cos
+        |FROM dots JOIN nrm x ON x.doc_id = a_id
+        |          JOIN nrm y ON y.doc_id = b_id
+        |WHERE dot / (x.nrm * y.nrm) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q93_ngram_jaccard_match" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -49,6 +49,7 @@ object RegistrySql extends QueryPack {
         |  date_add('day', 3, o_orderdate) AS d_plus3,
         |  date_add('month', 2, o_orderdate) AS d_plus2m,
         |  date_add('month', 1, cast(o_orderdate as date)) AS dm_date,
+        |  from_iso8601_date(date_format(o_orderdate, '%Y-%m-%d')) AS iso_rt,
         |  cast(date_diff('day', o_orderdate, date '1998-01-01') as bigint)
         |    AS days_to_98
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)),
@@ -141,6 +142,7 @@ object RegistrySql extends QueryPack {
         |  o_orderdate + INTERVAL 2 MONTH AS d_plus2m,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
         |    AS dm_date,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS iso_rt,
         |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
         |    AS days_to_98
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,

@@ -12,7 +12,7 @@ class QueriesSmokeSuite extends GraftSuite {
   // no near-dup pair / threshold survivor may exist).
   private val mayBeEmpty = Set(
     "q91_minhash_dedup", "q92_simhash_dedup", "q96_embedding_neardup",
-    "qa0_doc_fingerprint")
+    "qa0_doc_fingerprint", "qd9_tfidf_cosine")
 
   test("every query has a matching oracle or documented rows-only status") {
     val qs = SparkEntry.queries.keySet
