@@ -1,104 +1,96 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.functions.Registry
 
-/** Presto-name SQL resolution through the expression-template registry,
-  * including the builtin-shadowing compatibility rules (Spark 4 resolves
-  * Column-API builtin names through the same session registry). */
+/** Behavioral tests of the Presto-name registry: semantics of the
+  * absorbed spellings and the loud-failure guards. */
 class RegistrySuite extends GraftSuite {
 
   import spark.implicits._
 
-  override protected def beforeAll(): Unit = {
-    super.beforeAll()
-    Registry.install(spark)
+  Registry.install(spark)
+
+  private def one[T: org.apache.spark.sql.Encoder](sql: String): T =
+    spark.sql(Registry.rewritePrestoSql(s"SELECT $sql AS v")).as[T].head()
+
+  test("date_add preserves DATE for date inputs, TIMESTAMP for timestamps") {
+    val d = spark.sql(Registry.rewritePrestoSql(
+      "SELECT date_add('month', 1, date '2020-01-31') AS v"))
+    assert(d.schema.head.dataType.typeName == "date")
+    assert(d.as[java.sql.Date].head().toString == "2020-02-29")
+    val t = spark.sql(Registry.rewritePrestoSql(
+      "SELECT date_add('hour', 3, timestamp '2020-01-01 01:00:00') AS v"))
+    assert(t.schema.head.dataType.typeName == "timestamp")
   }
 
-  private def sql1[T](q: String): T =
-    spark.sql(s"SELECT $q AS r").collect()(0).getAs[T]("r")
-
-  test("string functions resolve under Presto names") {
-    assert(sql1[Boolean]("regexp_like('lineitem', '^line')"))
-    assert(sql1[String]("format('%s-%03d', 'x', 7)") == "x-007")
-    assert(spark.sql("SELECT split_to_map('a=1,b=2', ',', '=') AS r")
-      .selectExpr("r['b']").collect()(0).getString(0) == "2")
-    assert(sql1[Int]("strpos('hello world', 'world')") == 7)
-    assert(sql1[Int]("strpos('hello', 'xyz')") == 0)
-    assert(sql1[Int]("codepoint('A')") == 65)
-    assert(sql1[Int]("levenshtein_distance('kitten', 'sitting')") == 3)
-    assert(sql1[Boolean]("starts_with('presto', 'pre')"))
+  test("date_add rejects sub-day units on DATE inputs (Presto contract)") {
+    val e = intercept[Exception] {
+      spark.sql(Registry.rewritePrestoSql(
+        "SELECT date_add('hour', 3, date '2020-01-01') AS v")).collect()
+    }
+    assert(e.getMessage.contains("invalid for a DATE input"))
   }
 
-  test("math and bitwise functions") {
-    assert(sql1[Long]("from_base('ff', 16)") == 255L)
-    assert(sql1[String]("to_base(255, 16)") == "ff")
-    assert(sql1[Double]("truncate(-3.7)") == -3.0)
-    assert(sql1[Boolean]("is_finite(1.0)"))
-    assert(!sql1[Boolean]("is_finite(infinity())"))
-    assert(sql1[Boolean]("is_nan(nan())"))
-    assert(sql1[Long]("bitwise_xor(5, 9)") == 12L)
-    assert(sql1[Long]("bitwise_left_shift(3, 4)") == 48L)
+  test("date_diff is t2 minus t1 in whole units") {
+    assert(one[Long](
+      "date_diff('day', date '2020-01-01', date '2020-03-01')") == 60L)
+    assert(one[Long](
+      "date_diff('day', date '2020-03-01', date '2020-01-01')") == -60L)
   }
 
-  test("timestampadd/timestampdiff cover Presto date_add/date_diff") {
-    // date_add/date_diff themselves are grammar-reserved in Spark (unit
-    // validated pre-resolution) — the supported spelling:
-    assert(sql1[java.sql.Timestamp](
-      "timestampadd(DAY, 10, TIMESTAMP '2024-03-05 00:00:00')")
-      == java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))
-    assert(sql1[Long](
-      "timestampdiff(HOUR, TIMESTAMP '2024-03-05 00:00:00', TIMESTAMP '2024-03-06 12:00:00')")
-      == 36L)
+  test("rewrite only touches the literal-unit Presto spelling") {
+    assert(Registry.rewritePrestoSql("date_add('day', 1, x)") ==
+      "presto_date_add('day', 1, x)")
+    assert(Registry.rewritePrestoSql("DATE_DIFF('day', a, b)") ==
+      "presto_date_diff('day', a, b)")
+    // Spark's own 2-arg date_add has no leading quote — untouched
+    assert(Registry.rewritePrestoSql("date_add(d, 3)") == "date_add(d, 3)")
   }
 
-  test("datetime: ISO numbering and MySQL patterns") {
-    // 2024-03-05 is a Tuesday: ISO dow = 2 (Spark dayofweek would say 3)
-    assert(sql1[Int]("day_of_week(DATE '2024-03-05')") == 2)
-    assert(sql1[Int]("day_of_year(DATE '2024-03-05')") == 65)
-    assert(sql1[String]("date_format(TIMESTAMP '2024-03-05 10:30:00', '%d/%m/%Y')")
-      == "05/03/2024")
-    assert(sql1[java.sql.Timestamp]("date_parse('2024-03-05', '%Y-%m-%d')")
-      == java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
-    // literal letters in the pattern get java.time single-quoting — the
-    // builder must escape them for the SQL string (ISO 'T' form)
-    assert(sql1[java.sql.Timestamp](
-      "date_parse('2024-03-05T10:30:00', '%Y-%m-%dT%H:%i:%s')")
-      == java.sql.Timestamp.valueOf("2024-03-05 10:30:00"))
+  test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
+        "FROM VALUES (1.0, 2.0) t(x, w)").collect()
+    }
+    assert(e.getMessage.contains("WEIGHTED"))
   }
 
-  test("date_format keeps working with java patterns after install") {
-    // the shadowed builtin must still accept java.time patterns (no '%')
-    assert(sql1[String]("date_format(TIMESTAMP '2024-03-05 10:30:00', 'yyyy-MM')")
-      == "2024-03")
-    import org.apache.spark.sql.functions._
-    val viaColumnApi = Seq(java.sql.Timestamp.valueOf("2024-03-05 10:30:00"))
-      .toDF("ts").select(date_format(col("ts"), "yyyy-MM-dd").as("s"))
-      .as[String].collect()(0)
-    assert(viaColumnApi == "2024-03-05")
+  test("word_stem accepts only English") {
+    assert(one[String]("word_stem('running')") == "run")
+    assert(one[String]("word_stem('Motoring', 'en')") == "motor")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_stem('laufen', 'de') AS v").collect()
+    }
+    assert(e.getMessage.contains("only language 'en'"))
   }
 
-  test("vector functions are the native codegen expressions") {
-    assert(math.abs(sql1[Double](
-      "cosine_similarity(array(1.0, 0.0), array(1.0, 0.0))") - 1.0) < 1e-12)
-    assert(sql1[Double]("dot_product(array(1.0, 2.0), array(3.0, 4.0))") == 11.0)
-    val plan = spark.sql(
-      "SELECT cosine_similarity(array(1.0), array(1.0))")
-      .queryExecution.analyzed.toString
-    assert(plan.contains("vec_cosine"))
+  test("ip functions: prefix masking and subnet membership") {
+    assert(one[String]("ip_prefix('10.1.2.3', 24)") == "10.1.2.0/24")
+    assert(one[String]("ip_prefix('255.255.255.255', 12)") == "255.240.0.0/12")
+    assert(one[String]("ip_prefix('8.8.8.8', 32)") == "8.8.8.8/32")
+    assert(one[Boolean]("is_subnet_of('10.0.0.0/8', '10.255.0.1')"))
+    assert(!one[Boolean]("is_subnet_of('10.0.0.0/8', '11.0.0.1')"))
+    assert(one[Boolean]("is_subnet_of('192.168.77.0/24', '192.168.77.200')"))
   }
 
-  test("aggregates and url functions") {
-    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
-    df.createOrReplaceTempView("t_reg")
-    val r = spark.sql(
-      """SELECT approx_distinct(x) AS ad, arbitrary(x) AS arb,
-        |approx_percentile(x, 0.5) AS ap FROM t_reg""".stripMargin).collect()(0)
-    assert(r.getAs[Long]("ad") == 4L)
-    assert(Set(1.0, 2.0, 3.0, 4.0).contains(r.getAs[Double]("arb")))
-    assert(sql1[String](
-      "url_extract_host('https://spark.apache.org/docs/latest?q=1')")
-      == "spark.apache.org")
-    assert(sql1[String](
-      "url_extract_parameter('https://x.org/p?a=1&b=2', 'b')") == "2")
+  test("hamming_distance counts differing positions, rejects length mismatch") {
+    assert(one[Long]("hamming_distance('karolin', 'kathrin')") == 3L)
+    assert(one[Long]("hamming_distance('abc', 'abc')") == 0L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT hamming_distance('ab', 'abc') AS v").collect()
+    }
+    assert(e.getMessage.contains("same length"))
+  }
+
+  test("ngrams and reduce templates") {
+    val bi = spark.sql(
+      "SELECT ngrams(array('a','b','c'), 2) AS v").as[Seq[Seq[String]]].head()
+    assert(bi == Seq(Seq("a", "b"), Seq("b", "c")))
+    assert(spark.sql("SELECT size(ngrams(array('a'), 2)) AS v")
+      .as[Int].head() == 0)
+    assert(one[Long](
+      "reduce(array(1L, 2L, 3L), 0L, (s, x) -> s + x, s -> s)") == 6L)
   }
 }
