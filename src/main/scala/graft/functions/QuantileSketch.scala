@@ -4,11 +4,12 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DecimalType, DoubleType, NumericType}
 
 /** Mergeable relative-error quantile sketch — the Presto qdigest/tdigest
   * workflow (`qdigest_agg` / `merge` / `value_at_quantile`,
@@ -20,8 +21,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * The sketch is the log-bucketed histogram of the DDSketch paper (Masson,
   * Rim, Lee — VLDB 2019): positive values land in geometric buckets of
   * ratio γ = (1+α)/(1−α), so any quantile is answered with relative value
-  * error ≤ α; zeros (and the fixture has no negatives) get an exact
-  * counter. Two properties matter at 100 TB:
+  * error ≤ α; negatives land in a mirrored bucket map (the paper's
+  * two-one-sided-sketches construction) and zeros get an exact counter.
+  * Two properties matter at 100 TB:
   *  - state is bounded (≤ a few KB at α=0.01 over any double range) and
   *    merge is bucket-wise addition — partial aggregation map-side, one
   *    small binary per group ever shuffled, exactly like the HLL pack;
@@ -36,14 +38,20 @@ object QuantileSketch {
     private[functions] val gamma = (1 + alpha) / (1 - alpha)
     private val logGamma = math.log(gamma)
     private[functions] val buckets = scala.collection.mutable.HashMap.empty[Int, Long]
+    // mirrored store for x < 0: negBuckets(i) counts values with -x in
+    // geometric bucket i (DDSketch paper §2.3 — two one-sided sketches)
+    private[functions] val negBuckets = scala.collection.mutable.HashMap.empty[Int, Long]
     private[functions] var zeroCount = 0L
     private[functions] var totalCount = 0L
 
     def insert(x: Double): Unit = {
-      if (x <= 0.0) zeroCount += 1
-      else {
+      if (x == 0.0) zeroCount += 1
+      else if (x > 0.0) {
         val idx = math.ceil(math.log(x) / logGamma).toInt
         buckets.update(idx, buckets.getOrElse(idx, 0L) + 1L)
+      } else {
+        val idx = math.ceil(math.log(-x) / logGamma).toInt
+        negBuckets.update(idx, negBuckets.getOrElse(idx, 0L) + 1L)
       }
       totalCount += 1
     }
@@ -55,31 +63,59 @@ object QuantileSketch {
       o.buckets.foreach { case (k, v) =>
         buckets.update(k, buckets.getOrElse(k, 0L) + v)
       }
+      o.negBuckets.foreach { case (k, v) =>
+        negBuckets.update(k, negBuckets.getOrElse(k, 0L) + v)
+      }
     }
 
+    private def midpoint(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
+
     /** Lower empirical quantile at rank ceil(q*n); bucket midpoint
-      * 2γ^i/(γ+1) is within α of every value in bucket i. */
+      * 2γ^i/(γ+1) is within α of every value in bucket i. Requires
+      * 0 <= q <= 1 (Presto value_at_quantile: INVALID_FUNCTION_ARGUMENT
+      * outside that range). */
     def quantile(q: Double): Double = {
+      require(q >= 0.0 && q <= 1.0,
+        s"quantile must be between 0 and 1, got $q")
       if (totalCount == 0) return Double.NaN
       val rank = math.max(1L, math.ceil(q * totalCount).toLong)
-      if (rank <= zeroCount) return 0.0
-      var acc = zeroCount
-      val keys = buckets.keys.toArray.sorted
+      var acc = 0L
+      // ascending value order: most-negative first (mirrored buckets walk
+      // from the largest magnitude down), then zeros, then positives up
+      val negKeys = negBuckets.keys.toArray.sorted.reverse
       var i = 0
-      while (i < keys.length) {
-        acc += buckets(keys(i))
-        if (acc >= rank) return 2.0 * math.pow(gamma, keys(i)) / (gamma + 1)
+      while (i < negKeys.length) {
+        acc += negBuckets(negKeys(i))
+        if (acc >= rank) return -midpoint(negKeys(i))
         i += 1
       }
-      2.0 * math.pow(gamma, keys.last) / (gamma + 1)
+      acc += zeroCount
+      if (acc >= rank) return 0.0
+      val keys = buckets.keys.toArray.sorted
+      i = 0
+      while (i < keys.length) {
+        acc += buckets(keys(i))
+        if (acc >= rank) return midpoint(keys(i))
+        i += 1
+      }
+      // unreachable when counts are consistent (rank <= totalCount); keep
+      // a defined answer for a corrupt/inconsistent sketch
+      if (keys.nonEmpty) midpoint(keys.last)
+      else if (zeroCount > 0) 0.0
+      else if (negKeys.nonEmpty) -midpoint(negKeys.last)
+      else Double.NaN
     }
 
     def serialize(): Array[Byte] = {
-      val buf = ByteBuffer.allocate(8 + 8 + 4 + 12 * buckets.size)
+      val buf = ByteBuffer.allocate(
+        8 + 8 + 4 + 12 * buckets.size + 4 + 12 * negBuckets.size)
       buf.putDouble(alpha).putLong(zeroCount).putInt(buckets.size)
       // canonical (sorted) order so equal sketches have equal bytes
       buckets.keys.toArray.sorted
         .foreach(k => { buf.putInt(k); buf.putLong(buckets(k)) })
+      buf.putInt(negBuckets.size)
+      negBuckets.keys.toArray.sorted
+        .foreach(k => { buf.putInt(k); buf.putLong(negBuckets(k)) })
       buf.array()
     }
   }
@@ -95,6 +131,15 @@ object QuantileSketch {
       val k = buf.getInt
       val v = buf.getLong
       st.buckets.update(k, v)
+      total += v
+      i += 1
+    }
+    val nn = buf.getInt
+    i = 0
+    while (i < nn) {
+      val k = buf.getInt
+      val v = buf.getLong
+      st.negBuckets.update(k, v)
       total += v
       i += 1
     }
@@ -129,12 +174,26 @@ case class DDSketchAgg(child: Expression, alpha: Double,
   override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
 
+  // analysis-time contract: any numeric child works (converted per its
+  // static type below), anything non-numeric is rejected before execution
+  // instead of a per-row ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric argument, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val toDouble: Any => Double = child.dataType match {
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+    case _ => v => v.asInstanceOf[Number].doubleValue()
+  }
+
   override def createAggregationBuffer(): QuantileSketch.State =
     new QuantileSketch.State(alpha)
 
   override def update(b: QuantileSketch.State, input: InternalRow): QuantileSketch.State = {
     val v = child.eval(input)
-    if (v != null) b.insert(v.asInstanceOf[Double])
+    if (v != null) b.insert(toDouble(v))
     b
   }
 
@@ -165,6 +224,12 @@ case class DDSketchMergeAgg(child: Expression,
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a serialized sketch (binary), got ${dt.catalogString}")
+  }
 
   // alpha comes from the first sketch seen; an empty buffer is a neutral
   // element that adopts the other side's alpha on merge.
@@ -207,6 +272,14 @@ case class DDSketchValueAt(left: Expression, right: Expression)
 
   override def prettyName: String = "ddsketch_value_at"
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override def nullSafeEval(sketch: Any, q: Any): Any =
     QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])

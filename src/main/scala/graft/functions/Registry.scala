@@ -75,10 +75,13 @@ object Registry {
     // registry too, so shadowing them would silently break every other
     // query in the session. Use timestamp_seconds / array_contains.
     // --- array (ArrayFunctions + lambdas) ---
+    // When n exceeds the array length the reference clamps n to the
+    // length and returns a single n-gram of the whole array
+    // (ArrayNgramsFunction.java: ngrams(['a'], 2) = [['a']]).
     ("ngrams", 2,
       "case when size(__a) >= __b then " +
         "transform(sequence(1, size(__a) - __b + 1), i -> slice(__a, i, __b)) " +
-        "else array() end"),
+        "else array(__a) end"),
     ("array_sum", 1, "aggregate(__a, 0D, (s, x) -> s + cast(x as double))"),
     ("array_average", 1,
       "aggregate(__a, 0D, (s, x) -> s + cast(x as double)) / size(__a)"),
@@ -319,14 +322,21 @@ object Registry {
   // reserves the name (unit validated pre-resolution), so the registry
   // can't intercept it — rename pre-parse instead. Only the quote-led
   // (Presto) form matches; Spark's own date_add(start, days) is untouched.
-  private val prestoDateFnRe = """(?i)\b(date_add|date_diff)\s*\(\s*'""".r
+  // Anchored on a known unit keyword after the opening quote so that
+  // Spark's own 2-arg date_add('2020-01-01', 3) (string-literal start
+  // date) and occurrences of the bare names inside other text are left
+  // alone — only the Presto 3-arg literal-unit spelling matches.
+  private val prestoDateFnRe =
+    ("""(?i)\b(date_add|date_diff)\s*\(\s*'""" +
+      """(millisecond|second|minute|hour|day|week|month|quarter|year)'""").r
 
   /** Pre-parse rewrite absorbing the two Presto datetime spellings the
     * grammar blocks from registry-level absorption. Apply to raw Presto
     * SQL before `spark.sql(...)` (RegistrySql.sql does). */
   def rewritePrestoSql(q: String): String =
     prestoDateFnRe.replaceAllIn(q,
-      m => "presto_" + m.group(1).toLowerCase + "('")
+      m => "presto_" + m.group(1).toLowerCase + "('" +
+        m.group(2).toLowerCase + "'")
 }
 
 /** SQL-fragment builders for the IPv4 templates: dotted-quad → bigint,

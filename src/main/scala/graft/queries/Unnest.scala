@@ -155,8 +155,10 @@ object Unnest extends QueryPack {
         |  CAST(2 * len(w) AS BIGINT) AS flat_n,
         |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        |  array_to_string([array_to_string(w[i:i+1], ' ')
-        |                   for i in range(1, len(w))], ',') AS bigrams_str,
+        |  CASE WHEN len(w) >= 2
+        |       THEN array_to_string([array_to_string(w[i:i+1], ' ')
+        |                             for i in range(1, len(w))], ',')
+        |       ELSE array_to_string(w, ' ') END AS bigrams_str,
         |  CAST(len(array_to_string(w, '')) AS BIGINT) AS red_chars
         |FROM t ORDER BY doc_id""".stripMargin,
 

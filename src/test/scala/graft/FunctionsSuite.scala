@@ -92,4 +92,21 @@ class FunctionsSuite extends GraftSuite {
       .select(TextExpressions.wordShingles(col("t"), 2)).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("ddsketch: int/decimal children accepted, strings fail analysis") {
+    import graft.functions.QuantileSketch
+    // integer column: converted per static type, no runtime CCE
+    val est = Seq(1, 2, 3, 4, 5).toDF("x")
+      .agg(QuantileSketch.valueAt(QuantileSketch.sketch(col("x")), 0.5)
+        .as("m")).as[Double].head()
+    assert(math.abs(est - 3.0) <= 0.05)
+    val dec = Seq(BigDecimal("1.50"), BigDecimal("2.50")).toDF("x")
+      .agg(QuantileSketch.valueAt(QuantileSketch.sketch(col("x")), 1.0)
+        .as("m")).as[Double].head()
+    assert(math.abs(dec - 2.5) <= 0.03)
+    // non-numeric input is an analysis-time error, not a per-row crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("a").toDF("x").agg(QuantileSketch.sketch(col("x"))).collect()
+    }
+  }
 }

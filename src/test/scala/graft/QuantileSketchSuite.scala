@@ -48,4 +48,27 @@ class QuantileSketchSuite extends AnyFunSuite {
     assert(st.quantile(0.5) == 0.0)
     assert(math.abs(st.quantile(0.95) - 5.0) <= 0.06)
   }
+
+  test("negatives land in the mirrored store with the same error bound") {
+    val xs = (-5000 to 5000).map(_ * 0.7)
+    val st = build(xs)
+    for ((q, exact) <- Seq(0.1 -> -2800.0, 0.5 -> 0.0, 0.9 -> 2800.0)) {
+      val est = st.quantile(q)
+      assert(math.abs(est - exact) <= math.abs(exact) * 0.011 + 0.8,
+        s"q=$q est=$est exact=$exact")
+    }
+    // merge keeps the mirrored buckets byte-identical to a direct build
+    val a = build(xs.take(3000)); val b = build(xs.drop(3000))
+    a.mergeWith(b)
+    assert(java.util.Arrays.equals(a.serialize(), st.serialize()))
+  }
+
+  test("quantile validates q and stays defined on all-zero sketches") {
+    val zeros = build(Seq.fill(10)(0.0))
+    assert(zeros.quantile(1.0) == 0.0)
+    assert(zeros.quantile(0.0) == 0.0)
+    for (bad <- Seq(-0.1, 1.5))
+      intercept[IllegalArgumentException](zeros.quantile(bad))
+    assert(build(Seq.empty).quantile(0.5).isNaN)
+  }
 }

@@ -47,6 +47,13 @@ class RegistrySuite extends GraftSuite {
       "presto_date_diff('day', a, b)")
     // Spark's own 2-arg date_add has no leading quote — untouched
     assert(Registry.rewritePrestoSql("date_add(d, 3)") == "date_add(d, 3)")
+    // Spark 2-arg with a string-literal start date: the quote is there but
+    // the word after it is not a unit keyword — untouched
+    assert(Registry.rewritePrestoSql("date_add('2020-01-01', 3)") ==
+      "date_add('2020-01-01', 3)")
+    // the names inside a string literal stay untouched too
+    assert(Registry.rewritePrestoSql("SELECT 'call date_add(''x'') here'") ==
+      "SELECT 'call date_add(''x'') here'")
   }
 
   test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
@@ -88,8 +95,9 @@ class RegistrySuite extends GraftSuite {
     val bi = spark.sql(
       "SELECT ngrams(array('a','b','c'), 2) AS v").as[Seq[Seq[String]]].head()
     assert(bi == Seq(Seq("a", "b"), Seq("b", "c")))
-    assert(spark.sql("SELECT size(ngrams(array('a'), 2)) AS v")
-      .as[Int].head() == 0)
+    // n > length clamps to one whole-array n-gram (ArrayNgramsFunction.java)
+    assert(spark.sql("SELECT ngrams(array('a'), 2) AS v")
+      .as[Seq[Seq[String]]].head() == Seq(Seq("a")))
     assert(one[Long](
       "reduce(array(1L, 2L, 3L), 0L, (s, x) -> s + x, s -> s)") == 6L)
   }
