@@ -119,13 +119,15 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("n_docs").desc, col("fp"))
     }),
 
-    // Porter stemming (reference `WordStemFunction.java:82`) through BOTH
-    // surfaces — the SQL registry (word_stem / word_stem(w,'en')) and the
-    // Column API (Stemmer.wordStem) — plus an agreement bit so any
-    // divergence between the two paths fails the gate. The oracle states
-    // the expected stems (no stemmer exists in DuckDB); the algorithm
-    // itself is locked by StemmerSuite against the examples published in
-    // Porter's paper.
+    // Snowball English ("Porter2") stemming — the exact algorithm behind
+    // the reference (`WordStemFunction.java:82` delegates to Lucene's
+    // Snowball EnglishStemmer, no case folding) — through BOTH surfaces:
+    // the SQL registry (word_stem / word_stem(w,'en')) and the Column API
+    // (Stemmer.wordStem), plus an agreement bit so any divergence between
+    // the two paths fails the gate. The oracle states the expected stems
+    // (no stemmer exists in DuckDB); the algorithm itself is locked by
+    // StemmerSuite, including the Porter1-divergent cases (ties, dying,
+    // news, generalization).
     "qc4_word_stem" -> ((s, dir) => {
       Tables.register(s, dir)
       Registry.install(s)
@@ -136,7 +138,8 @@ object TextAnalysis extends QueryPack {
           |  ('cats'),('happiness'),('relational'),('conditional'),
           |  ('connection'),('formalize'),('electricity'),('hopeful'),
           |  ('adjustment'),('replacement'),('controller'),('motoring'),
-          |  ('sized'),('agreed'),('plastered'),('generalization')
+          |  ('sized'),('agreed'),('plastered'),('generalization'),
+          |  ('ties'),('dying'),('news'),('communication')
           |  AS t(word)""".stripMargin)
         .withColumn("stem_col", Stemmer.wordStem(col("word")))
         .withColumn("agree", col("stem_col") === col("stem_sql"))
@@ -165,8 +168,8 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(w, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))::DOUBLE / len(w)"
 
   override def oracles: Map[String, String] = Map(
-    // Expected stems generated by the implementation and locked against
-    // the Porter-paper examples in StemmerSuite; agreement between the
+    // Expected Snowball-English (Porter2) stems, locked per-step in
+    // StemmerSuite against the published algorithm; agreement between the
     // SQL and Column paths is asserted in-query.
     "qc4_word_stem" ->
       """SELECT word, stem AS stem_sql, stem AS stem_en, stem AS stem_col,
@@ -180,7 +183,9 @@ object TextAnalysis extends QueryPack {
         |  ('adjustment', 'adjust'), ('replacement', 'replac'),
         |  ('controller', 'control'), ('motoring', 'motor'),
         |  ('sized', 'size'), ('agreed', 'agre'), ('plastered', 'plaster'),
-        |  ('generalization', 'gener')) t(word, stem)
+        |  ('generalization', 'general'), ('ties', 'tie'),
+        |  ('dying', 'die'), ('news', 'news'),
+        |  ('communication', 'communic')) t(word, stem)
         |ORDER BY word""".stripMargin,
 
     "qc5_normalize" ->

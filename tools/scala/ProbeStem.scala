@@ -6,8 +6,9 @@ object ProbeStem {
     val words = Seq("running", "flies", "caresses", "ponies", "cats",
       "happiness", "relational", "conditional", "connection", "formalize",
       "electricity", "hopeful", "adjustment", "replacement", "controller",
-      "motoring", "sized", "agreed", "plastered", "generalization")
+      "motoring", "sized", "agreed", "plastered", "generalization",
+      "ties", "dying", "news", "communication")
     words.foreach(w =>
-      println(s"[stem] ('$w', '${graft.functions.PorterStemmer.stem(w)}'),"))
+      println(s"[stem] ('$w', '${graft.functions.Porter2Stemmer.stem(w)}'),"))
   }
 }
