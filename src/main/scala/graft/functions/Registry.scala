@@ -115,7 +115,37 @@ object Registry {
       val bits = "cast(element_at(split(__a, '/'), 2) as bigint)"
       val paddr = "element_at(split(__a, '/'), 1)"
       s"${IpTemplates.masked(paddr, bits)} = ${IpTemplates.masked("__b", bits)}"
-    })
+    }),
+    // --- geospatial core (presto-geospatial GeoFunctions.java; point
+    // subset). A point is a struct<x:double,y:double> — the Spark-native
+    // re-expression of Presto's GEOMETRY type for the point workflows
+    // (the full Esri geometry model stays descoped, SURVEY §2). Every
+    // template compiles to builtin arithmetic: codegen'd, pushdown-safe,
+    // no UDF. ---
+    ("st_point", 2,
+      "named_struct('x', cast(__a as double), 'y', cast(__b as double))"),
+    ("st_x", 1, "__a.x"),
+    ("st_y", 1, "__a.y"),
+    ("st_astext", 1,
+      "concat('POINT (', cast(__a.x as string), ' ', cast(__a.y as string), ')')"),
+    ("st_geometryfromtext", 1,
+      "named_struct(" +
+        "'x', cast(regexp_extract(__a, 'POINT \\\\(([-0-9.]+) ([-0-9.]+)\\\\)', 1) as double), " +
+        "'y', cast(regexp_extract(__a, 'POINT \\\\(([-0-9.]+) ([-0-9.]+)\\\\)', 2) as double))"),
+    ("st_distance", 2,
+      "sqrt((__a.x - __b.x) * (__a.x - __b.x) + (__a.y - __b.y) * (__a.y - __b.y))"),
+    ("st_equals", 2, "__a.x = __b.x and __a.y = __b.y"),
+    // great_circle_distance(lat1, lon1, lat2, lon2) in km — the Vincenty
+    // arctan form of SphericalGeographyUtils.greatCircleDistance:82 with
+    // its EARTH_RADIUS_KM = 6371.01.
+    ("great_circle_distance", 4,
+      "atan2(sqrt(" +
+        "pow(cos(radians(__c)) * sin(radians(__b) - radians(__d)), 2) + " +
+        "pow(cos(radians(__a)) * sin(radians(__c)) - " +
+        "sin(radians(__a)) * cos(radians(__c)) * cos(radians(__b) - radians(__d)), 2)), " +
+        "sin(radians(__a)) * sin(radians(__c)) + " +
+        "cos(radians(__a)) * cos(radians(__c)) * cos(radians(__b) - radians(__d))" +
+        ") * 6371.01")
   )
 
   private val argNames = Seq("__a", "__b", "__c", "__d")
@@ -139,6 +169,15 @@ object Registry {
           template.transformUp {
             case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
               args(argNames.indexOf(n))
+            // `__a.x` parses as ONE multi-part attribute: substitute the
+            // head and turn the remaining parts into field extraction
+            // (struct-typed args, e.g. the geo point templates).
+            case UnresolvedAttribute(n +: rest)
+                if rest.nonEmpty && argNames.contains(n) =>
+              rest.foldLeft(args(argNames.indexOf(n))) { (e, field) =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedExtractValue(e, Literal(field))
+              }
             // Inside a lambda body the parser wraps every name as a
             // lambda variable, so placeholders there arrive as
             // UnresolvedNamedLambdaVariable, not UnresolvedAttribute.

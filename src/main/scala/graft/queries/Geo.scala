@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Registry
+import graft.operators.SpatialJoin
+
+/** Geospatial core — the point subset of the reference's geo plugin
+  * (`presto-geospatial/.../GeoFunctions.java`: ST_Point/ST_X/ST_Y/
+  * ST_AsText/ST_GeometryFromText/ST_Distance;
+  * `SphericalGeographyUtils.java:82` great_circle_distance) plus the
+  * spatial-join operator (`presto-main/.../SpatialJoinOperator.java`)
+  * re-expressed as a grid-cell equi-join.
+  *
+  * Representation: a point is `struct<x:double,y:double>` — Spark-native,
+  * codegen-friendly, shuffle-safe. The full Esri geometry model
+  * (linestrings, multipolygons, relates) stays descoped per SURVEY §2;
+  * convex-polygon containment is covered compositionally (edge sign
+  * tests, `SpatialJoin.containsConvex`).
+  *
+  * The fixture tables carry no coordinates, so both engines derive them
+  * with the same integer-modular formula over the keys — exact in double,
+  * so every comparison below hash-matches bitwise (sqrt is IEEE
+  * correctly-rounded on both engines; only the libm trig result is
+  * rounded before comparing).
+  *
+  * Scale: qe0/qe2 are map-only projections (scan-speed). qe1's candidate
+  * generation is an equi-join on grid cells — partition-parallel,
+  * broadcastable small side, never a cross product; candidates grow with
+  * local density, not corpus size² (same shape as the LSH dedup family).
+  */
+object Geo extends QueryPack {
+
+  /** Deterministic coordinates in a 100x100 box from an integer key —
+    * replayed verbatim by the DuckDB oracle. */
+  private def coordSql(key: String): (String, String) =
+    (s"(($key * 7919) % 1000) / 10.0", s"(($key * 104729) % 1000) / 10.0")
+
+  // geofence quad, counter-clockwise
+  private val Fence = Seq((20.0, 20.0), (80.0, 30.0), (70.0, 80.0), (30.0, 70.0))
+
+  override def defs: Map[String, Q] = Map(
+    // Point scalar surface as raw Presto SQL through the registry:
+    // construct/accessors, WKT round-trip, planar distance, great-circle
+    // distance (Vincenty form, EARTH_RADIUS_KM = 6371.01).
+    "qe0_geo_scalars" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      val (x, y) = coordSql("c_custkey")
+      s.sql(
+        s"""SELECT c_custkey,
+           |  st_x(pt) AS px, st_y(pt) AS py,
+           |  st_astext(pt) AS wkt,
+           |  st_equals(st_geometryfromtext(st_astext(pt)), pt) AS rt_ok,
+           |  st_distance(pt, st_point(50.0, 50.0)) AS dist_center,
+           |  round(great_circle_distance(st_y(pt) - 50.0, st_x(pt), 0.0, 0.0), 4)
+           |    AS gc_km
+           |FROM (SELECT c_custkey, st_point($x, $y) AS pt FROM customer
+           |      WHERE c_custkey <= 30) t
+           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Radius join supplier->customer via the grid-cell operator; the
+    // oracle replays the same pairs with a brute-force distance join
+    // (fixture-sized), so any candidate the grid misses fails the gate.
+    "qe1_spatial_join" -> ((s, dir) => {
+      val (xS, yS) = coordSql("s_suppkey")
+      val (xC, yC) = coordSql("c_custkey")
+      val sup = Tables.view(s, dir, "supplier")
+        .selectExpr("s_suppkey", s"$xS AS x", s"$yS AS y")
+      val cust = Tables.view(s, dir, "customer")
+        .selectExpr("c_custkey", s"$xC AS x", s"$yC AS y")
+      SpatialJoin.withinRadius(sup, cust, "x", "y", radius = 5.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_within"), min(col("dist")).as("min_dist"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Geofence containment: convex point-in-polygon as edge sign tests
+    // (pure builtin arithmetic), aggregated per market segment.
+    "qe2_geofence" -> ((s, dir) => {
+      val (x, y) = coordSql("c_custkey")
+      val pts = Tables.view(s, dir, "customer")
+        .selectExpr("c_custkey", "c_mktsegment", s"$x AS x", s"$y AS y")
+      pts.withColumn("inside",
+          SpatialJoin.containsConvex(Fence, col("x"), col("y")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+
+  override def oracles: Map[String, String] = {
+    val (xC, yC) = coordSql("c_custkey")
+    val (xS, yS) = coordSql("s_suppkey")
+    Map(
+      "qe0_geo_scalars" ->
+        s"""WITH t AS (SELECT c_custkey, $xC AS x, $yC AS y FROM customer
+           |           WHERE c_custkey <= 30)
+           |SELECT c_custkey, x AS px, y AS py,
+           |  'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')'
+           |    AS wkt,
+           |  true AS rt_ok,
+           |  sqrt((x - 50.0) * (x - 50.0) + (y - 50.0) * (y - 50.0))
+           |    AS dist_center,
+           |  round(atan2(sqrt(
+           |      pow(cos(radians(0.0)) * sin(radians(x) - radians(0.0)), 2) +
+           |      pow(cos(radians(y - 50.0)) * sin(radians(0.0)) -
+           |          sin(radians(y - 50.0)) * cos(radians(0.0)) *
+           |          cos(radians(x) - radians(0.0)), 2)),
+           |    sin(radians(y - 50.0)) * sin(radians(0.0)) +
+           |    cos(radians(y - 50.0)) * cos(radians(0.0)) *
+           |    cos(radians(x) - radians(0.0))) * 6371.01, 4) AS gc_km
+           |FROM t ORDER BY c_custkey""".stripMargin,
+
+      "qe1_spatial_join" ->
+        s"""WITH s AS (SELECT s_suppkey, $xS AS x, $yS AS y FROM supplier),
+           |c AS (SELECT c_custkey, $xC AS x, $yC AS y FROM customer)
+           |SELECT s.s_suppkey, count(*) AS n_within,
+           |  min(sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)))
+           |    AS min_dist
+           |FROM s, c
+           |WHERE sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+           |  <= 5.0
+           |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin,
+
+      "qe2_geofence" ->
+        s"""WITH t AS (SELECT c_mktsegment, $xC AS x, $yC AS y FROM customer)
+           |SELECT c_mktsegment, count(*) AS n_total,
+           |  CAST(sum(CASE WHEN ${SpatialJoin.containsConvexSql(Fence, "x", "y")}
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+           |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    )
+  }
+}
