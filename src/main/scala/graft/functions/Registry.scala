@@ -102,6 +102,21 @@ object Registry {
     ("arbitrary", 1, "any_value(__a)"),
     ("approx_distinct", 1, "approx_count_distinct(__a)"),
     ("geometric_mean", 1, "exp(avg(ln(__a)))"),
+    // entropy(c) over per-row counts (EntropyAggregation.java): Shannon
+    // entropy in bits, algebraic over (sum c, sum c*log2 c) so it rides
+    // partial aggregation; zero counts contribute nothing, as there.
+    ("entropy", 1,
+      "log2(sum(cast(__a as double))) - " +
+        "sum(CASE WHEN __a > 0 THEN cast(__a as double) * log2(__a) " +
+        "ELSE 0.0D END) / sum(cast(__a as double))"),
+    // checksum(x) (ChecksumAggregationFunction.java): order-independent
+    // digest via XOR of per-row hashes. Same contract (any permutation of
+    // the same multiset collides; nulls skipped), different bytes: the
+    // reference XORs its block hashes into varbinary, here it's the
+    // md5-derived 60-bit int so the DuckDB oracle can replay it exactly.
+    ("checksum", 1,
+      "bit_xor(cast(conv(substring(md5(cast(__a as string)), 1, 15), 16, 10) " +
+        "as bigint))"),
     // --- IP functions (IpPrefixFunctions.java; IPv4 over varchar —
     // Presto's IPADDRESS/IPPREFIX types carry the same dotted-quad
     // text form). Pure integer bit math, fully codegen'd; the repeated
@@ -369,13 +384,20 @@ object Registry {
     ("""(?i)\b(date_add|date_diff)\s*\(\s*'""" +
       """(millisecond|second|minute|hour|day|week|month|quarter|year)'""").r
 
-  /** Pre-parse rewrite absorbing the two Presto datetime spellings the
-    * grammar blocks from registry-level absorption. Apply to raw Presto
-    * SQL before `spark.sql(...)` (RegistrySql.sql does). */
-  def rewritePrestoSql(q: String): String =
-    prestoDateFnRe.replaceAllIn(q,
+  // Presto's unparameterized VARCHAR (`cast(x as varchar)`) is unbounded;
+  // Spark's grammar requires a length there (its plain-`varchar` is only
+  // valid in DDL). `varchar(n)` forms are left alone — both dialects agree.
+  private val bareVarcharRe = """(?i)\b(as\s+)varchar(\s*\))""".r
+
+  /** Pre-parse rewrite absorbing the Presto spellings the grammar blocks
+    * from registry-level absorption (reserved names, type grammar). Apply
+    * to raw Presto SQL before `spark.sql(...)` (RegistrySql.sql does). */
+  def rewritePrestoSql(q: String): String = {
+    val dated = prestoDateFnRe.replaceAllIn(q,
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
+    bareVarcharRe.replaceAllIn(dated, m => m.group(1) + "string" + m.group(2))
+  }
 }
 
 /** SQL-fragment builders for the IPv4 templates: dotted-quad → bigint,

@@ -106,6 +106,29 @@ object RegistrySql extends QueryPack {
         |  (4, '172.16.254.1') AS t(id, ip)
         |ORDER BY id""".stripMargin)),
 
+    // Remaining reference aggregate families: linear regression
+    // (DoubleRegressionAggregation — Spark ships the same regr_* names),
+    // Shannon entropy over counts (EntropyAggregation), and the
+    // order-independent checksum digest (ChecksumAggregationFunction).
+    // Rounded per the gate rules (aggregate sums are order-sensitive in
+    // the last ulps); checksum is exact integer XOR, unrounded.
+    "qe3_regr_entropy_checksum" -> ((s, dir) => sql(s, dir,
+      """WITH cnts AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |ent AS (
+        |  SELECT l_returnflag, round(entropy(cnt), 6) AS h_bits
+        |  FROM cnts GROUP BY l_returnflag),
+        |reg AS (
+        |  SELECT l_returnflag,
+        |    round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |    round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |    checksum(cast(l_orderkey * 10 + l_linenumber as varchar)) AS ck
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT ent.l_returnflag, h_bits, slope, icept, ck
+        |FROM ent JOIN reg ON ent.l_returnflag = reg.l_returnflag
+        |ORDER BY ent.l_returnflag""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -201,6 +224,28 @@ object RegistrySql extends QueryPack {
         |  ((a >> 24) << 24) = 167772160 AS in_10,
         |  ((a >> 16) << 16) = 3232235520 AS in_192168
         |FROM m ORDER BY id""".stripMargin,
+
+    "qe3_regr_entropy_checksum" ->
+      """WITH cnts AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |ent AS (
+        |  SELECT l_returnflag,
+        |    round(log2(sum(CAST(cnt AS DOUBLE)))
+        |      - sum(CASE WHEN cnt > 0 THEN CAST(cnt AS DOUBLE) * log2(cnt)
+        |            ELSE 0.0 END) / sum(CAST(cnt AS DOUBLE)), 6) AS h_bits
+        |  FROM cnts GROUP BY l_returnflag),
+        |reg AS (
+        |  SELECT l_returnflag,
+        |    round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |    round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |    bit_xor(CAST(concat('0x', substring(md5(
+        |      CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))
+        |      AS BIGINT)) AS ck
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT ent.l_returnflag, h_bits, slope, icept, ck
+        |FROM ent JOIN reg ON ent.l_returnflag = reg.l_returnflag
+        |ORDER BY ent.l_returnflag""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

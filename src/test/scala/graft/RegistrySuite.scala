@@ -56,6 +56,36 @@ class RegistrySuite extends GraftSuite {
       "SELECT 'call date_add(''x'') here'")
   }
 
+  test("entropy matches Shannon bits over counts; zero counts contribute 0") {
+    // Uniform 4-way split: exactly 2 bits regardless of zero-count rows
+    // (EntropyAggregation.java skips non-positive counts the same way).
+    val h = spark.sql(Registry.rewritePrestoSql(
+      "SELECT entropy(c) AS v FROM VALUES (5), (5), (5), (5), (0) AS t(c)"))
+      .as[Double].head()
+    assert(math.abs(h - 2.0) < 1e-12)
+    // Single nonzero class: zero entropy.
+    val h1 = spark.sql(Registry.rewritePrestoSql(
+      "SELECT entropy(c) AS v FROM VALUES (7), (0) AS t(c)")).as[Double].head()
+    assert(math.abs(h1) < 1e-12)
+  }
+
+  test("checksum is order-independent and value-sensitive") {
+    def ck(vals: String): Long = spark.sql(Registry.rewritePrestoSql(
+      s"SELECT checksum(x) AS v FROM VALUES $vals AS t(x)")).as[Long].head()
+    assert(ck("('a'), ('b'), ('c')") == ck("('c'), ('a'), ('b')"))
+    assert(ck("('a'), ('b'), ('c')") != ck("('a'), ('b'), ('d')"))
+  }
+
+  test("bare varchar cast rewrites to string; varchar(n) untouched") {
+    assert(Registry.rewritePrestoSql("cast(x as varchar)") ==
+      "cast(x as string)")
+    assert(Registry.rewritePrestoSql("CAST(x AS VARCHAR )") ==
+      "CAST(x AS string )")
+    assert(Registry.rewritePrestoSql("cast(x as varchar(10))") ==
+      "cast(x as varchar(10))")
+    assert(one[String]("cast(42 as varchar)") == "42")
+  }
+
   test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
