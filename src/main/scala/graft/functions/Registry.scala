@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
   * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
@@ -367,6 +367,28 @@ object Registry {
         }
         registry.registerFunction(FunctionIdentifier("normalize"),
           new ExpressionInfo(getClass.getCanonicalName, "normalize"), builder)
+      }
+      // approx_most_frequent(buckets, value, capacity)
+      // (ApproxMostFrequent.java) — space-saving sketch aggregate; buckets
+      // and capacity must be literals (they size the state, as there).
+      locally {
+        def lit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other =>
+            sys.error(s"approx_most_frequent: $what must be an integer " +
+              s"literal, got $other")
+        }
+        val builder: Seq[Expression] => Expression = {
+          case Seq(b, v, cap) =>
+            ApproxMostFrequentAgg(v, lit(b, "buckets"), lit(cap, "capacity"))
+              .toAggregateExpression()
+          case args =>
+            sys.error(s"approx_most_frequent expects 3 args, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("approx_most_frequent"),
+          new ExpressionInfo(getClass.getCanonicalName, "approx_most_frequent"),
+          builder)
       }
       installed.put(spark, true)
     }

@@ -136,6 +136,25 @@ object Sketches extends QueryPack {
           (abs(col("p50_merged") - col("p50_ex")) <= col("p50_ex") * 0.02)
             .as("merge_tol_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Heavy hitters: Presto approx_most_frequent(buckets, value, capacity)
+    // as a space-saving TypedImperativeAggregate (bounded state, map-side
+    // partial aggregation — the partial/final merge path runs inside this
+    // very query across the 32 shuffle partitions). capacity=64 exceeds
+    // the 50 distinct quantities, so counts are exact and the top-5 rows
+    // replay in the oracle; tie-break (count desc, key asc) is enforced
+    // identically on both sides.
+    "qe4_approx_most_frequent" -> ((s, dir) => {
+      val li = Tables.view(s, dir, "lineitem")
+      val m = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.ApproxMostFrequent(
+          5, col("l_quantity").cast("long"), 64).as("m"))
+      m.select(col("l_returnflag"), posexplode(col("m")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("key").as("qty"), col("value").as("cnt"))
+        .orderBy(col("l_returnflag"), col("rnk"))
     })
   )
 
@@ -159,6 +178,17 @@ object Sketches extends QueryPack {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
         |  TRUE AS merge_exact_ok, TRUE AS merge_tol_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qe4_approx_most_frequent" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, qty, cnt, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cnt DESC, qty) AS rnk
+        |  FROM c)
+        |SELECT l_returnflag, rnk, qty, cnt FROM r WHERE rnk <= 5
+        |ORDER BY l_returnflag, rnk""".stripMargin
   )
 }

@@ -109,4 +109,52 @@ class FunctionsSuite extends GraftSuite {
       Seq("a").toDF("x").agg(QuantileSketch.sketch(col("x"))).collect()
     }
   }
+
+  test("space-saving: exact when capacity >= distinct, invariants under eviction") {
+    import graft.functions.ApproxMostFrequent
+    // capacity >= distinct keys: counts exact, deterministic tie order
+    val exact = new ApproxMostFrequent.State(8)
+    Seq("a", "b", "a", "c", "a", "b").foreach(exact.insert)
+    assert(exact.top(3) == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // forced eviction: space-saving guarantees est >= true >= est - err,
+    // and a key with true count > n/capacity is retained
+    val st = new ApproxMostFrequent.State(3)
+    val truth = scala.collection.mutable.HashMap.empty[String, Long]
+    val stream = (1 to 60).map(i => s"k${i % 7}") ++ Seq.fill(40)("hh")
+    stream.foreach { k =>
+      st.insert(k); truth.update(k, truth.getOrElse(k, 0L) + 1)
+    }
+    truth.foreach { case (k, t) =>
+      val (est, err) = st.estimate(k)
+      assert(est >= t, s"$k est $est < true $t")
+      assert(est - err <= t, s"$k lower bound ${est - err} > true $t")
+    }
+    assert(st.top(3).map(_._1).contains("hh")) // 40 > 100/3: must survive
+    // merge: exact path (no evictions either side) sums exactly
+    val a = new ApproxMostFrequent.State(8)
+    val b = new ApproxMostFrequent.State(8)
+    Seq("x", "y", "x").foreach(a.insert)
+    Seq("y", "z").foreach(b.insert)
+    a.mergeWith(b)
+    assert(a.top(3) == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+  }
+
+  test("approx_most_frequent: long keys, map output, partial-merge path") {
+    import graft.functions.ApproxMostFrequent
+    // 200 rows over 32 partitions: Spark's partial/final split exercises
+    // serialize + merge; capacity 16 > 10 distinct keys keeps it exact.
+    val df = spark.range(200).repartition(32)
+      .select((col("id") % 10).as("k"))
+      .agg(ApproxMostFrequent(3, col("k"), 16).as("m"))
+    val m = df.as[Map[Long, Long]].head()
+    assert(m == Map(0L -> 20L, 1L -> 20L, 2L -> 20L)) // ties → smallest keys
+    // analysis-time rejection: double child, buckets > capacity
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).select(col("id").cast("double").as("d"))
+        .agg(ApproxMostFrequent(2, col("d"), 4)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).agg(ApproxMostFrequent(8, col("id"), 4)).collect()
+    }
+  }
 }

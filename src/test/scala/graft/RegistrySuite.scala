@@ -86,6 +86,20 @@ class RegistrySuite extends GraftSuite {
     assert(one[String]("cast(42 as varchar)") == "42")
   }
 
+  test("approx_most_frequent SQL spelling: literal sizes, Presto arg order") {
+    val m = spark.sql(Registry.rewritePrestoSql(
+      "SELECT approx_most_frequent(2, x, 8) AS v FROM VALUES " +
+        "('a'), ('b'), ('a'), ('c'), ('a'), ('b') AS t(x)"))
+      .as[Map[String, Long]].head()
+    assert(m == Map("a" -> 3L, "b" -> 2L))
+    val e = intercept[Exception] {
+      spark.sql(Registry.rewritePrestoSql(
+        "SELECT approx_most_frequent(2, x, y) FROM VALUES (1, 2) AS t(x, y)"))
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
