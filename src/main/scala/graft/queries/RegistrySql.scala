@@ -81,6 +81,68 @@ object RegistrySql extends QueryPack {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin)),
 
+    // More verbatim TPC-H texts (dates shifted into the fixture's
+    // 1995-2001 span; Q3/Q10 drop only columns the slim fixture lacks —
+    // o_shippriority, c_address/c_phone/c_comment). Q5 and Q14 run
+    // letter-for-letter: implicit-join FROM lists, date ± interval
+    // arithmetic, LIKE, correlated aggregation — the Presto parser
+    // surface a migrating user exercises most.
+    "qe5_tpch_q3_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < date '1998-03-15'
+        |  AND l_shipdate > date '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)),
+
+    "qe6_tpch_q5_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= date '1996-01-01'
+        |  AND o_orderdate < date '1996-01-01' + interval '1' year
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin)),
+
+    "qe7_tpch_q14_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT 100.00 * sum(CASE
+        |    WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount)
+        |    ELSE 0
+        |  END) / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= date '1996-09-01'
+        |  AND l_shipdate < date '1996-09-01' + interval '1' month""".stripMargin)),
+
+    "qe8_tpch_q10_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= date '1995-10-01'
+        |  AND o_orderdate < date '1995-10-01' + interval '3' month
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
+
     // Correlated LATERAL subquery (Presto LateralJoinNode,
     // `sql/planner/plan/LateralJoinNode`): top-2 orders per customer.
     "qc0_lateral_sql" -> ((s, dir) => sql(s, dir,
@@ -224,6 +286,62 @@ object RegistrySql extends QueryPack {
         |  ((a >> 24) << 24) = 167772160 AS in_10,
         |  ((a >> 16) << 16) = 3232235520 AS in_192168
         |FROM m ORDER BY id""".stripMargin,
+
+    "qe5_tpch_q3_sql" ->
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < date '1998-03-15'
+        |  AND l_shipdate > date '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "qe6_tpch_q5_sql" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= date '1996-01-01'
+        |  AND o_orderdate < date '1996-01-01' + interval '1' year
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin,
+
+    "qe7_tpch_q14_sql" ->
+      """SELECT 100.00 * sum(CASE
+        |    WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount)
+        |    ELSE 0
+        |  END) / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= date '1996-09-01'
+        |  AND l_shipdate < date '1996-09-01' + interval '1' month""".stripMargin,
+
+    "qe8_tpch_q10_sql" ->
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= date '1995-10-01'
+        |  AND o_orderdate < date '1995-10-01' + interval '3' month
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "qe3_regr_entropy_checksum" ->
       """WITH cnts AS (
