@@ -25,6 +25,42 @@ import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType,
   */
 object Registry {
 
+  // parse_duration's '<num><unit>' grammar (DateTimeFunctions.java
+  // parseDuration; Duration.java VALID_UNITS) — SQL-literal regex, so
+  // doubled backslashes survive Spark's string-escape processing.
+  private val durationRe =
+    "'^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*(ns|us|ms|s|m|h|d)\\\\s*$'"
+  private val durationSecs =
+    s"cast(regexp_extract(__a, $durationRe, 1) as double) * " +
+      s"CASE regexp_extract(__a, $durationRe, 2) " +
+      "WHEN 'ns' THEN 0.000000001 WHEN 'us' THEN 0.000001 " +
+      "WHEN 'ms' THEN 0.001 WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 " +
+      "WHEN 'h' THEN 3600.0 WHEN 'd' THEN 86400.0 END"
+
+  // One '<n> <unit>[s]' segment of human_readable_seconds; NULL when the
+  // count is zero so concat_ws drops it.
+  private def hrSegment(count: String, unit: String): String =
+    s"CASE WHEN $count > 0 THEN concat($count, " +
+      s"CASE WHEN $count = 1 THEN ' $unit' ELSE ' ${unit}s' END) END"
+
+  // Wilson score interval bound (MathFunctions.java wilsonIntervalLower/
+  // Upper): identical arithmetic tree on the oracle side gives bitwise-
+  // equal doubles, so qe9 compares unrounded.
+  // __c (the z-score) is forced to double: a bare 1.96 literal parses as
+  // DECIMAL in both engines but decimal division scale rules differ, so
+  // the arithmetic must happen in IEEE doubles on both sides.
+  private def wilson(sign: String): String =
+    "CASE WHEN __b <= 0 OR __a < 0 OR __a > __b OR __c < 0 THEN " +
+      "raise_error('wilson_interval: requires 0 <= successes <= trials, " +
+      "z >= 0') ELSE " +
+      "(cast(__a as double) / __b " +
+      "+ cast(__c as double) * cast(__c as double) / (2 * __b) " +
+      s"$sign cast(__c as double) * sqrt(cast(__a as double) / __b * " +
+      "(1 - cast(__a as double) / __b) / __b " +
+      "+ cast(__c as double) * cast(__c as double) / " +
+      "(4 * cast(__b as double) * __b))) " +
+      "/ (1 + cast(__c as double) * cast(__c as double) / __b) END"
+
   /** Presto name → (arity, SQL template over __a/__b/__c). */
   private val templates: Seq[(String, Int, String)] = Seq(
     // --- string (StringFunctions.java) ---
@@ -68,6 +104,34 @@ object Registry {
     ("from_iso8601_date", 1, "to_date(__a)"),
     ("from_iso8601_timestamp", 1, "to_timestamp(__a)"),
     ("regexp_split", 2, "split(__a, __b)"),
+    // parse_duration('2.25h') → day-time interval; invalid strings raise,
+    // as Presto's INVALID_FUNCTION_ARGUMENT (no silent nulls).
+    ("parse_duration", 1,
+      s"CASE WHEN __a rlike $durationRe THEN " +
+        s"make_dt_interval(0, 0, 0, $durationSecs) " +
+        "ELSE raise_error(concat('duration is not a valid data duration " +
+        "string: ', __a)) END"),
+    // to_milliseconds(interval): whole seconds via the bigint cast (Spark
+    // truncates to the SECOND end field) plus the sub-second remainder of
+    // EXTRACT(SECOND), which keeps the fraction.
+    ("to_milliseconds", 1,
+      "cast(cast(__a as bigint) * 1000 + " +
+        "round((extract(second from __a) % 1) * 1000) as bigint)"),
+    ("human_readable_seconds", 1,
+      "CASE WHEN __a < 0 THEN raise_error('human_readable_seconds: " +
+        "negative duration') " +
+        "WHEN cast(round(__a) as bigint) = 0 THEN '0 seconds' " +
+        "ELSE concat_ws(', ', " +
+        hrSegment("(cast(round(__a) as bigint) div 604800)", "week") + ", " +
+        hrSegment("(cast(round(__a) as bigint) % 604800 div 86400)", "day") +
+        ", " +
+        hrSegment("(cast(round(__a) as bigint) % 86400 div 3600)", "hour") +
+        ", " +
+        hrSegment("(cast(round(__a) as bigint) % 3600 div 60)", "minute") +
+        ", " +
+        hrSegment("cast(round(__a) as bigint) % 60", "second") + ") END"),
+    ("wilson_interval_lower", 3, wilson("-")),
+    ("wilson_interval_upper", 3, wilson("+")),
     // NOT registered: Presto's from_unixtime (returns timestamp) and
     // contains (array membership) share names with Spark builtins of
     // DIFFERENT semantics (string from_unixtime, string contains) — and in

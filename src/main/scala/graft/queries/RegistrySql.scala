@@ -191,6 +191,24 @@ object RegistrySql extends QueryPack {
         |FROM ent JOIN reg ON ent.l_returnflag = reg.l_returnflag
         |ORDER BY ent.l_returnflag""".stripMargin)),
 
+    // Duration parsing/formatting (DateTimeFunctions.java parse_duration /
+    // to_milliseconds / human_readable_seconds) and the Wilson score
+    // interval (MathFunctions.java) — Presto spellings end-to-end; the
+    // oracle replays the same IEEE arithmetic so bounds compare unrounded.
+    "qe9_duration_stats" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  to_milliseconds(parse_duration(dur)) AS ms,
+        |  human_readable_seconds(secs) AS hr,
+        |  wilson_interval_lower(succ, trials, 1.96) AS wl,
+        |  wilson_interval_upper(succ, trials, 1.96) AS wu
+        |FROM VALUES
+        |  (1, '3.5m',  0,       9,  10),
+        |  (2, '90s',   1000000, 60, 100),
+        |  (3, '2.25h', 694861,  39, 40),
+        |  (4, '750ms', 59,      0,  7),
+        |  (5, '1d',    604800,  1,  1) AS t(id, dur, secs, succ, trials)
+        |ORDER BY id""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -364,6 +382,61 @@ object RegistrySql extends QueryPack {
         |SELECT ent.l_returnflag, h_bits, slope, icept, ck
         |FROM ent JOIN reg ON ent.l_returnflag = reg.l_returnflag
         |ORDER BY ent.l_returnflag""".stripMargin,
+
+    "qe9_duration_stats" ->
+      """WITH t(id, dur, secs, succ, trials) AS (VALUES
+        |  (1, '3.5m',  0,       9,  10),
+        |  (2, '90s',   1000000, 60, 100),
+        |  (3, '2.25h', 694861,  39, 40),
+        |  (4, '750ms', 59,      0,  7),
+        |  (5, '1d',    604800,  1,  1)),
+        |d AS (SELECT *,
+        |  CAST(regexp_extract(dur,
+        |    '^\s*([0-9]+(?:\.[0-9]+)?)\s*(ns|us|ms|s|m|h|d)\s*$', 1)
+        |    AS DOUBLE) *
+        |  CASE regexp_extract(dur,
+        |    '^\s*([0-9]+(?:\.[0-9]+)?)\s*(ns|us|ms|s|m|h|d)\s*$', 2)
+        |    WHEN 'ns' THEN 0.000000001 WHEN 'us' THEN 0.000001
+        |    WHEN 'ms' THEN 0.001 WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0
+        |    WHEN 'h' THEN 3600.0 WHEN 'd' THEN 86400.0 END AS dsec
+        |  FROM t)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(round(dsec * 1000) AS BIGINT) AS ms,
+        |  CASE WHEN secs = 0 THEN '0 seconds' ELSE concat_ws(', ',
+        |    CASE WHEN secs // 604800 > 0 THEN concat(secs // 604800,
+        |      CASE WHEN secs // 604800 = 1 THEN ' week'
+        |        ELSE ' weeks' END) END,
+        |    CASE WHEN secs % 604800 // 86400 > 0 THEN
+        |      concat(secs % 604800 // 86400,
+        |      CASE WHEN secs % 604800 // 86400 = 1 THEN ' day'
+        |        ELSE ' days' END) END,
+        |    CASE WHEN secs % 86400 // 3600 > 0 THEN
+        |      concat(secs % 86400 // 3600,
+        |      CASE WHEN secs % 86400 // 3600 = 1 THEN ' hour'
+        |        ELSE ' hours' END) END,
+        |    CASE WHEN secs % 3600 // 60 > 0 THEN concat(secs % 3600 // 60,
+        |      CASE WHEN secs % 3600 // 60 = 1 THEN ' minute'
+        |        ELSE ' minutes' END) END,
+        |    CASE WHEN secs % 60 > 0 THEN concat(secs % 60,
+        |      CASE WHEN secs % 60 = 1 THEN ' second'
+        |        ELSE ' seconds' END) END) END AS hr,
+        |  (CAST(succ AS DOUBLE) / trials
+        |    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * trials)
+        |    - CAST(1.96 AS DOUBLE) * sqrt(CAST(succ AS DOUBLE) / trials
+        |      * (1 - CAST(succ AS DOUBLE) / trials) / trials
+        |      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        |        / (4 * CAST(trials AS DOUBLE) * trials)))
+        |    / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / trials)
+        |    AS wl,
+        |  (CAST(succ AS DOUBLE) / trials
+        |    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * trials)
+        |    + CAST(1.96 AS DOUBLE) * sqrt(CAST(succ AS DOUBLE) / trials
+        |      * (1 - CAST(succ AS DOUBLE) / trials) / trials
+        |      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        |        / (4 * CAST(trials AS DOUBLE) * trials)))
+        |    / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / trials)
+        |    AS wu
+        |FROM d ORDER BY id""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

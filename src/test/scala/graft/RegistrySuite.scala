@@ -100,6 +100,43 @@ class RegistrySuite extends GraftSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("parse_duration/to_milliseconds: units, fractions, loud invalids") {
+    assert(one[Long]("to_milliseconds(parse_duration('1.5s'))") == 1500L)
+    assert(one[Long]("to_milliseconds(parse_duration('750ms'))") == 750L)
+    assert(one[Long]("to_milliseconds(parse_duration('2.25h'))") == 8100000L)
+    assert(one[Long]("to_milliseconds(parse_duration('1d'))") == 86400000L)
+    assert(one[Long]("to_milliseconds(parse_duration(' 42 us '))") == 0L)
+    // interval type comes back out, usable in timestamp arithmetic
+    assert(one[java.sql.Timestamp](
+      "timestamp '2020-01-01 00:00:00' + parse_duration('90m')").toString
+      .startsWith("2020-01-01 01:30:00"))
+    val e = intercept[Exception] { one[Long]("to_milliseconds(parse_duration('5 parsecs'))") }
+    assert(e.getMessage.contains("not a valid data duration"))
+  }
+
+  test("human_readable_seconds matches Presto formatting") {
+    assert(one[String]("human_readable_seconds(96)") == "1 minute, 36 seconds")
+    assert(one[String]("human_readable_seconds(0)") == "0 seconds")
+    assert(one[String]("human_readable_seconds(604800)") == "1 week")
+    assert(one[String]("human_readable_seconds(694861)") ==
+      "1 week, 1 day, 1 hour, 1 minute, 1 second")
+    assert(one[String]("human_readable_seconds(3762)") ==
+      "1 hour, 2 minutes, 42 seconds")
+    // double input rounds first (Presto Math.round semantics)
+    assert(one[String]("human_readable_seconds(59.6)") == "1 minute")
+  }
+
+  test("wilson interval: known value, ordering, loud domain errors") {
+    val wl = one[Double]("wilson_interval_lower(9, 10, 1.96)")
+    val wu = one[Double]("wilson_interval_upper(9, 10, 1.96)")
+    // hand-computed Wilson bounds for 9/10 at z=1.96
+    assert(math.abs(wl - 0.5958) < 5e-4, s"wl=$wl")
+    assert(math.abs(wu - 0.9821) < 5e-4, s"wu=$wu")
+    assert(wl < 0.9 && 0.9 < wu)
+    val e = intercept[Exception] { one[Double]("wilson_interval_lower(5, 4, 1.96)") }
+    assert(e.getMessage.contains("wilson_interval"))
+  }
+
   test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
