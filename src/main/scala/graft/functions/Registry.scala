@@ -61,6 +61,23 @@ object Registry {
       "(4 * cast(__b as double) * __b))) " +
       "/ (1 + cast(__c as double) * cast(__c as double) / __b) END"
 
+  // Shoelace signed-sum fold over an implicit-closed ring of
+  // struct<x,y> vertices — shared by st_area and st_centroid. All terms
+  // are products/sums of the inputs, so on a dyadic-coordinate fixture
+  // the fold is exact in double and the oracle replays it bitwise.
+  private def cross(i: String): String =
+    s"element_at(__a, $i).x * element_at(__a, $i % size(__a) + 1).y - " +
+      s"element_at(__a, $i % size(__a) + 1).x * element_at(__a, $i).y"
+  private val shoelace =
+    s"aggregate(sequence(1, size(__a)), 0D, (s, i) -> s + ${cross("i")})"
+  // Σ (c_i + c_{i+1}) * cross_i for coordinate c — the polygon-centroid
+  // numerator (the /6 is folded into the 3 * shoelace denominator since
+  // shoelace here is twice the signed area).
+  private def centroidSum(c: String): String =
+    s"aggregate(sequence(1, size(__a)), 0D, (s, i) -> s + " +
+      s"(element_at(__a, i).$c + element_at(__a, i % size(__a) + 1).$c) * " +
+      s"(${cross("i")}))"
+
   /** Presto name → (arity, SQL template over __a/__b/__c). */
   private val templates: Seq[(String, Int, String)] = Seq(
     // --- string (StringFunctions.java) ---
@@ -165,6 +182,15 @@ object Registry {
     // --- aggregates (aggregation/*.java) ---
     ("arbitrary", 1, "any_value(__a)"),
     ("approx_distinct", 1, "approx_count_distinct(__a)"),
+    // set_agg / set_union (SetAggregationFunction.java /
+    // SetUnionFunction.java). Presto leaves element order unspecified;
+    // sorted output is a valid instance and makes results deterministic
+    // under any partitioning. set_union's collect_list-then-flatten keeps
+    // it a single aggregate expression; distinct-state partial
+    // aggregation still bounds what shuffles when inputs repeat.
+    ("set_agg", 1, "sort_array(collect_set(__a))"),
+    ("set_union", 1,
+      "sort_array(array_distinct(flatten(collect_list(__a))))"),
     ("geometric_mean", 1, "exp(avg(ln(__a)))"),
     // entropy(c) over per-row counts (EntropyAggregation.java): Shannon
     // entropy in bits, algebraic over (sum c, sum c*log2 c) so it rides
@@ -224,7 +250,23 @@ object Registry {
         "sin(radians(__a)) * cos(radians(__c)) * cos(radians(__b) - radians(__d)), 2)), " +
         "sin(radians(__a)) * sin(radians(__c)) + " +
         "cos(radians(__a)) * cos(radians(__c)) * cos(radians(__b) - radians(__d))" +
-        ") * 6371.01")
+        ") * 6371.01"),
+    // Polygon/linestring measures over array<point> rings (GeoFunctions
+    // ST_Area / ST_Centroid / ST_Length). The ring is implicit-closed
+    // (first vertex not repeated), matching the shoelace wraparound
+    // i % n + 1. HOF folds are CodegenFallback, but run once per row over
+    // small vertex arrays — geometry scalar work, not a hot aggregate.
+    ("st_area", 1, s"abs($shoelace) / 2"),
+    ("st_centroid", 1,
+      "named_struct(" +
+        s"'x', ${centroidSum("x")} / (3 * $shoelace), " +
+        s"'y', ${centroidSum("y")} / (3 * $shoelace))"),
+    ("st_length", 1,
+      "aggregate(sequence(2, size(__a)), 0D, (s, i) -> s + sqrt(" +
+        "(element_at(__a, i).x - element_at(__a, i - 1).x) * " +
+        "(element_at(__a, i).x - element_at(__a, i - 1).x) + " +
+        "(element_at(__a, i).y - element_at(__a, i - 1).y) * " +
+        "(element_at(__a, i).y - element_at(__a, i - 1).y)))")
   )
 
   private val argNames = Seq("__a", "__b", "__c", "__d")

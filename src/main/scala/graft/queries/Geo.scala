@@ -77,6 +77,31 @@ object Geo extends QueryPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Polygon measures (GeoFunctions ST_Area/ST_Centroid/ST_Length) over
+    // implicit-closed quad rings on a dyadic (.5-step) coordinate grid:
+    // every shoelace/centroid term is exact in double, so the oracle's
+    // replay of the same formulas hash-matches bitwise, division included.
+    "qf1_geo_polygon" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """SELECT c_custkey,
+          |  st_area(ring) AS area,
+          |  st_x(st_centroid(ring)) AS cx,
+          |  st_y(st_centroid(ring)) AS cy,
+          |  st_length(ring) AS path_len
+          |FROM (SELECT c_custkey,
+          |        array(st_point(x, y), st_point(x + w, y),
+          |              st_point(x + w, y + h), st_point(x, y + h)) AS ring
+          |      FROM (SELECT c_custkey,
+          |              ((c_custkey * 7919) % 200) / 2.0 AS x,
+          |              ((c_custkey * 104729) % 200) / 2.0 AS y,
+          |              cast(1 + c_custkey % 5 as double) AS w,
+          |              cast(1 + c_custkey % 3 as double) AS h
+          |            FROM customer WHERE c_custkey <= 25) a) b
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Geofence containment: convex point-in-polygon as edge sign tests
     // (pure builtin arithmetic), aggregated per market segment.
     "qe2_geofence" -> ((s, dir) => {
@@ -125,6 +150,30 @@ object Geo extends QueryPack {
            |WHERE sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
            |  <= 5.0
            |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin,
+
+      "qf1_geo_polygon" ->
+        """WITH a AS (SELECT c_custkey,
+          |    ((c_custkey * 7919) % 200) / 2.0 AS x,
+          |    ((c_custkey * 104729) % 200) / 2.0 AS y,
+          |    CAST(1 + c_custkey % 5 AS DOUBLE) AS w,
+          |    CAST(1 + c_custkey % 3 AS DOUBLE) AS h
+          |  FROM customer WHERE c_custkey <= 25),
+          |t AS (SELECT c_custkey, x, y, w, h,
+          |    (x * y - (x + w) * y) AS t1,
+          |    ((x + w) * (y + h) - (x + w) * y) AS t2,
+          |    ((x + w) * (y + h) - x * (y + h)) AS t3,
+          |    (x * y - x * (y + h)) AS t4
+          |  FROM a)
+          |SELECT c_custkey,
+          |  abs(t1 + t2 + t3 + t4) / 2 AS area,
+          |  ((x + (x + w)) * t1 + ((x + w) + (x + w)) * t2
+          |    + ((x + w) + x) * t3 + (x + x) * t4)
+          |    / (3 * (t1 + t2 + t3 + t4)) AS cx,
+          |  ((y + y) * t1 + (y + (y + h)) * t2
+          |    + ((y + h) + (y + h)) * t3 + ((y + h) + y) * t4)
+          |    / (3 * (t1 + t2 + t3 + t4)) AS cy,
+          |  w + h + w AS path_len
+          |FROM t ORDER BY c_custkey""".stripMargin,
 
       "qe2_geofence" ->
         s"""WITH t AS (SELECT c_mktsegment, $xC AS x, $yC AS y FROM customer)

@@ -209,6 +209,18 @@ object RegistrySql extends QueryPack {
         |  (5, '1d',    604800,  1,  1) AS t(id, dur, secs, succ, trials)
         |ORDER BY id""".stripMargin)),
 
+    // Distinct-set aggregates (SetAggregationFunction.java /
+    // SetUnionFunction.java); arrays serialize via array_join for the
+    // gate (pandas cannot sort array cells).
+    "qf0_set_aggregates" -> ((s, dir) => sql(s, dir,
+      """SELECT source,
+        |  array_join(set_agg(lang), ',') AS langs,
+        |  array_join(set_union(slice(split(text, ' '), 1, 2)), ',')
+        |    AS lead_words,
+        |  cast(cardinality(set_agg(lang)) as bigint) AS n_langs
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -437,6 +449,15 @@ object RegistrySql extends QueryPack {
         |    / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / trials)
         |    AS wu
         |FROM d ORDER BY id""".stripMargin,
+
+    "qf0_set_aggregates" ->
+      """SELECT source,
+        |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+        |  array_to_string(list_sort(list_distinct(flatten(
+        |    list(string_split(text, ' ')[1:2])))), ',') AS lead_words,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -71,6 +71,21 @@ class GeoSuite extends GraftSuite {
     assert(one[Double]("great_circle_distance(10.0, 20.0, 10.0, 20.0)") == 0.0)
   }
 
+  test("polygon measures: area, centroid, open-path length") {
+    Registry.install(spark)
+    // unit square, CCW, implicit-closed
+    val sq = "array(st_point(0.0,0.0), st_point(1.0,0.0), " +
+      "st_point(1.0,1.0), st_point(0.0,1.0))"
+    assert(one[Double](s"st_area($sq)") == 1.0)
+    assert(one[Double](s"st_x(st_centroid($sq))") == 0.5)
+    assert(one[Double](s"st_y(st_centroid($sq))") == 0.5)
+    assert(one[Double](s"st_length($sq)") == 3.0) // 3 open-path segments
+    // orientation-independent area (CW ring), 3-4-5 triangle ring
+    val tri = "array(st_point(0.0,0.0), st_point(0.0,3.0), st_point(4.0,0.0))"
+    assert(one[Double](s"st_area($tri)") == 6.0)
+    assert(one[Double](s"st_length($tri)") == 8.0) // 3 + 5
+  }
+
   test("spatial join plan is an equi-join (no cartesian product)") {
     val left = (1 to 50).map(i => (i.toLong, i / 2.0, i / 3.0))
       .toDF("id", "x", "y")

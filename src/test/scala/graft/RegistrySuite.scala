@@ -137,6 +137,15 @@ class RegistrySuite extends GraftSuite {
     assert(e.getMessage.contains("wilson_interval"))
   }
 
+  test("set_agg and set_union dedupe and sort deterministically") {
+    assert(one[Seq[String]](
+      "(SELECT set_agg(x) FROM VALUES ('b'), ('a'), ('b') AS t(x))")
+      == Seq("a", "b"))
+    assert(one[Seq[Long]](
+      "(SELECT set_union(x) FROM VALUES (array(3L, 1L)), (array(1L, 2L)) " +
+        "AS t(x))") == Seq(1L, 2L, 3L))
+  }
+
   test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
