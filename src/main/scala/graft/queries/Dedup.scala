@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.MinHash
+import graft.operators.{ConnectedComponents, MinHash}
 
 /** Deduplication operators over the `documents` corpus — the
   * training-data-pipeline surface: exact dedup, MinHash-LSH and SimHash
@@ -140,6 +140,38 @@ object Dedup extends QueryPack {
         .filter(col("cos") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("cos"), 3).as("cos"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Duplicate-cluster transitive closure: star edges to each bucket's
+    // min doc over two bucket families ((lang, source) and
+    // (source, n_chars div 64) — stand-ins for the LSH band buckets of
+    // q91/q92, which are deterministic here), then min-label propagation
+    // to components. The oracle recomputes the closure with a recursive
+    // CTE, so a propagation bug (missed merge, non-convergence) fails the
+    // gate, not just a smoke test.
+    "qf2_dedup_components" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 64").as("bin"))
+      def starEdges(parts: Seq[String]) = d
+        .withColumn("root",
+          min(col("doc_id")).over(
+            Window.partitionBy(parts.map(col): _*)))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("src"), col("root").as("dst"))
+      val edges = starEdges(Seq("lang", "source"))
+        .union(starEdges(Seq("source", "bin")))
+      val comps = ConnectedComponents.run(edges)
+      val assign = d.select(col("doc_id"))
+        .join(comps, d("doc_id") === comps("v"), "left_outer")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("comp"))
+      val sizes = assign.groupBy(col("comp"))
+        .agg(count(lit(1)).as("comp_size"))
+      assign.join(sizes, "comp")
+        .filter(col("doc_id") <= 300)
+        .select(col("doc_id"), col("comp"), col("comp_size"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -166,6 +198,33 @@ object Dedup extends QueryPack {
     "q90_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "qf2_dedup_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, n_chars // 64 AS bin FROM documents),
+        |f1 AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY lang, source) AS root FROM d),
+        |f2 AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY source, bin) AS root FROM d),
+        |e AS (
+        |  SELECT doc_id AS src, root AS dst FROM f1 WHERE doc_id <> root
+        |  UNION
+        |  SELECT root AS src, doc_id AS dst FROM f1 WHERE doc_id <> root
+        |  UNION
+        |  SELECT doc_id AS src, root AS dst FROM f2 WHERE doc_id <> root
+        |  UNION
+        |  SELECT root AS src, doc_id AS dst FROM f2 WHERE doc_id <> root),
+        |reach(v, c) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.dst, r.c FROM reach r JOIN e ON e.src = r.v),
+        |assign AS (SELECT v AS doc_id, min(c) AS comp FROM reach GROUP BY v),
+        |sizes AS (SELECT comp, count(*) AS comp_size FROM assign
+        |          GROUP BY comp)
+        |SELECT a.doc_id, a.comp, s.comp_size
+        |FROM assign a JOIN sizes s ON a.comp = s.comp
+        |WHERE a.doc_id <= 300
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q91_minhash_dedup" -> bruteForcePairs,
 

@@ -136,4 +136,21 @@ class OperatorsSuite extends GraftSuite {
       .as[Boolean].collect()
     assert(sampled.nonEmpty)
   }
+
+  test("connected components: chain needs multiple rounds, labels converge") {
+    import graft.operators.ConnectedComponents
+    // 1-2-3-4-5 chain (diameter 4, so one propagation round is NOT
+    // enough) plus a separate 10-11 pair; labels must reach the global
+    // component min either way.
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(v => got(v) == 1L), got.toString)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    // maxIter cap: a single round leaves the far chain end unconverged —
+    // proves the loop is actually iterating to fixpoint above
+    val one = ConnectedComponents.run(edges, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(5L) != 1L)
+  }
 }
