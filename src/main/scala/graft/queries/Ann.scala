@@ -184,6 +184,29 @@ object Ann extends QueryPack {
           sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
             .as("n_correct"))
         .orderBy(col("actual"))
+    }),
+
+    // Symmetric int8 quantization (per-vector absmax scale) with dequant
+    // error bounds — the storage-shrink step of an embedding pipeline
+    // (~4x over float32 before ANN indexing). Map-only per row; the
+    // oracle replays the identical double arithmetic, so scale/err
+    // hash-match unrounded and the bound booleans are exact. The HOF
+    // lambdas here are CodegenFallback, acceptable for a projection-only
+    // scan (the hot aggregate paths keep native expressions per §2.4).
+    "qf3_embedding_quantize" -> ((s, dir) => {
+      Tables.view(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"))
+        .withColumn("scale",
+          expr("array_max(transform(e, x -> abs(x))) / 127D"))
+        .withColumn("q",
+          expr("transform(e, x -> cast(round(x / scale) as int))"))
+        .withColumn("err",
+          expr("array_max(zip_with(e, q, (x, v) -> abs(x - v * scale)))"))
+        .select(col("vec_id"), col("scale"), col("err"),
+          (col("err") <= col("scale") * 0.5 + lit(1e-12)).as("err_ok"),
+          expr("array_max(transform(q, v -> abs(v))) <= 127").as("range_ok"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -219,6 +242,22 @@ object Ann extends QueryPack {
       .stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "qf3_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_max(list_transform(list_zip(v, qv),
+        |    p -> abs(p[1] - p[2] * scale))) AS err,
+        |  list_max(list_transform(list_zip(v, qv),
+        |    p -> abs(p[1] - p[2] * scale))) <= scale * 0.5 + 1e-12 AS err_ok,
+        |  list_max(list_transform(qv, x -> abs(x))) <= 127 AS range_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q94_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
