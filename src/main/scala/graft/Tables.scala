@@ -48,6 +48,24 @@ object Tables {
           else raw
         v.createOrReplaceTempView(n)
       }
+      // partsupp: the slim fixture omits TPC-H's partsupp table; derive it
+      // deterministically (4 suppliers per part, arithmetic-derived
+      // cost/qty) the way the reference's TPC-H connector generates tables
+      // on the fly (presto-tpch/.../TpchMetadata.java:95-99). Lazy view —
+      // no action at registration; the 1-row supplier count and the 4-row
+      // generator both broadcast. The DuckDB oracle replays the identical
+      // integer arithmetic as a CTE, so both engines see identical rows.
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW partsupp AS
+          |SELECT p_partkey AS ps_partkey,
+          |  ((p_partkey + i * GREATEST(1, s_cnt DIV 4)) % s_cnt) + 1
+          |    AS ps_suppkey,
+          |  (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+          |  CAST((p_partkey * 31 + i * 17) % 10000 AS DOUBLE) / 100.0 + 1.0
+          |    AS ps_supplycost
+          |FROM part
+          |CROSS JOIN (SELECT explode(sequence(0, 3)) AS i) gen
+          |CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc""".stripMargin)
       registered.put(spark, sfDir)
     }
   }
