@@ -496,6 +496,36 @@ object Registry {
           new ExpressionInfo(getClass.getCanonicalName, "approx_most_frequent"),
           builder)
       }
+      // SetDigest family (SetDigestFunctions.java / SetDigest.java):
+      // make_set_digest / merge_set_digest aggregates plus jaccard_index /
+      // intersection_cardinality scalars, and the binary leg of Presto's
+      // cardinality() overload (array/map inputs keep Spark's builtin via
+      // CardinalityDispatch — semantics-compatible shadowing).
+      locally {
+        def agg1(name: String)(mk: Expression => Expression): Unit = {
+          val builder: Seq[Expression] => Expression = {
+            case Seq(v) => mk(v)
+            case args => sys.error(s"$name expects 1 arg, got ${args.length}")
+          }
+          registry.registerFunction(FunctionIdentifier(name),
+            new ExpressionInfo(getClass.getCanonicalName, name), builder)
+        }
+        agg1("make_set_digest")(v =>
+          SetDigestAgg(v, SetDigest.DefaultK).toAggregateExpression())
+        agg1("merge_set_digest")(v =>
+          SetDigestMergeAgg(v).toAggregateExpression())
+        agg1("cardinality")(CardinalityDispatch)
+        def bin2(name: String)(mk: (Expression, Expression) => Expression): Unit = {
+          val builder: Seq[Expression] => Expression = {
+            case Seq(a, b) => mk(a, b)
+            case args => sys.error(s"$name expects 2 args, got ${args.length}")
+          }
+          registry.registerFunction(FunctionIdentifier(name),
+            new ExpressionInfo(getClass.getCanonicalName, name), builder)
+        }
+        bin2("jaccard_index")(JaccardIndexExpr)
+        bin2("intersection_cardinality")(IntersectionCardinality)
+      }
       installed.put(spark, true)
     }
   }

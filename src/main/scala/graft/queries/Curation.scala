@@ -77,6 +77,67 @@ object Curation extends QueryPack {
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
             .as("kept_id_sum"))
+    }),
+
+    // PII redaction — the scrub stage every corpus pipeline runs before
+    // training: emails, then dotted-quad IPs, then long digit runs, each
+    // masked by a typed token, with per-category match counts. Map-only
+    // regexp_replace/extract chains (scan-speed at 100 TB). The fixture
+    // corpus is synthetic word-salad with no PII (planted rows prove the
+    // operator; the regex dialect stays in the Java∩RE2 subset so the
+    // oracle replays it).
+    "qh2_pii_redaction" -> ((s, dir) => s.sql(
+      """WITH t(id, txt) AS (VALUES
+        |  (1, 'contact john.doe@example.com or jane_22@mail.co.uk today'),
+        |  (2, 'server at 10.1.2.3 and backup at 192.168.77.200 rebooted'),
+        |  (3, 'card 4111111111111111 expires soon, call +1 555 0100'),
+        |  (4, 'no sensitive content in this row at all'),
+        |  (5, 'mixed: bob@corp.io from 172.16.254.1 sent 123456789012')),
+        |r1 AS (SELECT id, txt, regexp_replace(txt,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>')
+        |  AS s1 FROM t),
+        |r2 AS (SELECT id, txt, regexp_replace(s1,
+        |  '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>') AS s2 FROM r1)
+        |SELECT cast(id as bigint) AS id,
+        |  regexp_replace(s2, '[0-9]{9,}', '<NUM>') AS redacted,
+        |  cast(size(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) as bigint)
+        |    AS n_email,
+        |  cast(size(regexp_extract_all(txt,
+        |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', 0)) as bigint) AS n_ip,
+        |  cast(size(regexp_extract_all(s2, '[0-9]{9,}', 0)) as bigint)
+        |    AS n_num
+        |FROM r2 ORDER BY id""".stripMargin)),
+
+    // Repetition signals (the Gopher repetition filters): most-frequent
+    // word-bigram count and duplicate-trigram fraction per document.
+    // Multiplicity-preserving n-grams via transform(sequence(...)) —
+    // unlike WordShingles these must NOT dedup. One explode+count for the
+    // top bigram (partial agg map-side); the trigram fraction is pure
+    // array math, no shuffle.
+    "qh3_repetition_signals" -> ((s, dir) => {
+      val base = Tables.view(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        // sequence(0, n) flips to a DESCENDING range when n < 0 — guard
+        // out sub-trigram docs instead of emitting corrupt n-grams
+        .filter(size(col("ws")) >= 3)
+        .withColumn("bgs", expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .withColumn("tgs", expr(
+          "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      val top = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))
+      base.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(col("tgs")).cast("long").as("n_tri"),
+          size(array_distinct(col("tgs"))).cast("long").as("n_tri_d"))
+        .join(top, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("top_bigram_cnt"),
+          round(lit(1.0) - col("n_tri_d").cast("double") / col("n_tri"), 6)
+            .as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -113,6 +174,51 @@ object Curation extends QueryPack {
         |  CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS kept_id_sum
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "qh2_pii_redaction" ->
+      """WITH t(id, txt) AS (VALUES
+        |  (1, 'contact john.doe@example.com or jane_22@mail.co.uk today'),
+        |  (2, 'server at 10.1.2.3 and backup at 192.168.77.200 rebooted'),
+        |  (3, 'card 4111111111111111 expires soon, call +1 555 0100'),
+        |  (4, 'no sensitive content in this row at all'),
+        |  (5, 'mixed: bob@corp.io from 172.16.254.1 sent 123456789012')),
+        |r1 AS (SELECT id, txt, regexp_replace(txt,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |  AS s1 FROM t),
+        |r2 AS (SELECT id, txt, regexp_replace(s1,
+        |  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS s2 FROM r1)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  regexp_replace(s2, '[0-9]{9,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(s2, '[0-9]{9,}')) AS BIGINT) AS n_num
+        |FROM r2 ORDER BY id""".stripMargin,
+
+    "qh3_repetition_signals" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 3),
+        |b AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |bc AS (
+        |  SELECT doc_id, max(c) AS top_bigram_cnt
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |t3 AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(ws) - 2 AS BIGINT) AS n_tri,
+        |    CAST(len(list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS BIGINT)
+        |      AS n_tri_d
+        |  FROM w)
+        |SELECT t3.doc_id, n_words, top_bigram_cnt,
+        |  round(1.0 - CAST(n_tri_d AS DOUBLE) / n_tri, 6) AS dup_trigram_frac
+        |FROM t3 JOIN bc ON bc.doc_id = t3.doc_id
+        |ORDER BY t3.doc_id""".stripMargin
   )
 }

@@ -155,6 +155,46 @@ object Sketches extends QueryPack {
           (col("pos") + 1).cast("long").as("rnk"),
           col("key").as("qty"), col("value").as("cnt"))
         .orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
+    // SetDigest family through the SQL surface (SetDigestFunctions.java:
+    // make_set_digest / cardinality / jaccard_index /
+    // intersection_cardinality). Below saturation (distinct suppliers per
+    // flag << k=8192) every answer is exact, so the oracle replays them
+    // with plain set algebra — estimator drift fails the hash, loudly.
+    "qh0_set_digest" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(
+        """WITH d AS (
+          |  SELECT l_returnflag, make_set_digest(l_suppkey) AS sd
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+          |  cardinality(a.sd) AS card_a,
+          |  jaccard_index(a.sd, b.sd) AS jac,
+          |  intersection_cardinality(a.sd, b.sd) AS icard
+          |FROM d a JOIN d b ON a.l_returnflag < b.l_returnflag
+          |ORDER BY flag_a, flag_b""".stripMargin)
+    }),
+
+    // SetDigest re-aggregation: per-(flag, linestatus) partial digests
+    // merged per flag must be BYTE-identical to the directly-built digest
+    // (KMV state is order/partition independent and serialization is
+    // canonical) — the pre-digest-per-day-then-merge property at 100 TB.
+    "qh1_set_digest_merge" -> ((s, dir) => {
+      val li = Tables.view(s, dir, "lineitem")
+      val sd = graft.functions.SetDigest
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(sd.make(col("l_suppkey")).as("d"))
+      val merged = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sd.make(col("l_suppkey")).as("pd"))
+        .groupBy(col("l_returnflag"))
+        .agg(sd.merge(col("pd")).as("m"))
+      direct.join(merged, "l_returnflag")
+        .select(col("l_returnflag"),
+          sd.card(col("d")).as("card_direct"),
+          (col("d") === col("m")).as("merge_bytes_equal"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -189,6 +229,24 @@ object Sketches extends QueryPack {
         |    PARTITION BY l_returnflag ORDER BY cnt DESC, qty) AS rnk
         |  FROM c)
         |SELECT l_returnflag, rnk, qty, cnt FROM r WHERE rnk <= 5
-        |ORDER BY l_returnflag, rnk""".stripMargin
+        |ORDER BY l_returnflag, rnk""".stripMargin,
+    "qh0_set_digest" ->
+      """WITH s AS (
+        |  SELECT DISTINCT l_returnflag AS f, l_suppkey AS k FROM lineitem),
+        |c AS (SELECT f, count(*) AS n FROM s GROUP BY f),
+        |i AS (
+        |  SELECT x.f AS fa, y.f AS fb, count(*) AS icnt
+        |  FROM s x JOIN s y ON x.k = y.k AND x.f < y.f
+        |  GROUP BY x.f, y.f)
+        |SELECT ca.f AS flag_a, cb.f AS flag_b,
+        |  ca.n AS card_a,
+        |  CAST(icnt AS DOUBLE) / (ca.n + cb.n - icnt) AS jac,
+        |  icnt AS icard
+        |FROM i JOIN c ca ON ca.f = i.fa JOIN c cb ON cb.f = i.fb
+        |ORDER BY flag_a, flag_b""".stripMargin,
+    "qh1_set_digest_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS card_direct,
+        |  TRUE AS merge_bytes_equal
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
