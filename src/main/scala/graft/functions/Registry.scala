@@ -89,6 +89,33 @@ object Registry {
     ("ends_with", 2, "endswith(__a, __b)"),
     ("regexp_like", 2, "__a rlike __b"),
     ("split_to_map", 3, "str_to_map(__a, __b, __c)"),
+    // split_to_multimap (SplitToMultimapFunction.java): entries keep
+    // duplicate keys as an array of values in entry order; each entry
+    // splits at its FIRST key-value delimiter. Distinct-keys transform is
+    // O(k^2) per row in the worst case — fine for config-string shapes.
+    ("split_to_multimap", 3,
+      "map_from_entries(transform(" +
+        "array_distinct(transform(split(__a, __b), " +
+        "kv -> split_part(kv, __c, 1))), " +
+        "k -> struct(k AS key, transform(" +
+        "filter(split(__a, __b), kv -> split_part(kv, __c, 1) = k), " +
+        "kv -> substring(kv, instr(kv, __c) + length(__c))) AS value)))"),
+    // parse_presto_data_size (DataSizeFunctions.java): binary (1024-base)
+    // unit factors, case-sensitive unit symbols, error on malformed input.
+    // Values kept <= TB stay exact in double; reference returns
+    // decimal(38,0), bigint covers the practical range.
+    ("parse_presto_data_size", 1,
+      "CASE WHEN __a rlike '^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([kMGTPEZY]?B)\\\\s*$' THEN " +
+        "cast(round(cast(regexp_extract(__a, " +
+        "'^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([kMGTPEZY]?B)\\\\s*$', 1) as double) * " +
+        "CASE regexp_extract(__a, " +
+        "'^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([kMGTPEZY]?B)\\\\s*$', 2) " +
+        "WHEN 'B' THEN 1.0 WHEN 'kB' THEN 1024.0 WHEN 'MB' THEN 1048576.0 " +
+        "WHEN 'GB' THEN 1073741824.0 WHEN 'TB' THEN 1099511627776.0 " +
+        "WHEN 'PB' THEN 1125899906842624.0 " +
+        "WHEN 'EB' THEN 1152921504606846976.0 " +
+        "ELSE raise_error(concat('Invalid data size: ', __a)) END) as bigint) " +
+        "ELSE raise_error(concat('Invalid data size: ', __a)) END"),
     // --- math (MathFunctions.java) ---
     ("from_base", 2, "cast(conv(__a, __b, 10) as bigint)"),
     ("to_base", 2, "lower(conv(cast(__a as string), 10, __b))"),
@@ -156,6 +183,10 @@ object Registry {
     // registry too, so shadowing them would silently break every other
     // query in the session. Use timestamp_seconds / array_contains.
     // --- array (ArrayFunctions + lambdas) ---
+    // zip (ZipFunction.java): pairs by position, null-padded to the longer
+    // side, row fields named field0/field1 as in the reference.
+    ("zip", 2,
+      "zip_with(__a, __b, (x, y) -> struct(x AS field0, y AS field1))"),
     // When n exceeds the array length the reference clamps n to the
     // length and returns a single n-gram of the whole array
     // (ArrayNgramsFunction.java: ngrams(['a'], 2) = [['a']]).
@@ -494,6 +525,40 @@ object Registry {
         }
         registry.registerFunction(FunctionIdentifier("approx_most_frequent"),
           new ExpressionInfo(getClass.getCanonicalName, "approx_most_frequent"),
+          builder)
+      }
+      // FNV hashes + HMACs (FnvHash.java / HmacFunctions.java) and
+      // combinations (ArrayCombinationsFunction.java) — native
+      // expressions; combinations' size must be a literal (it shapes the
+      // result like approx_most_frequent's capacity).
+      locally {
+        HashCombinatorics.FnvVariants.keys.foreach { name =>
+          val builder: Seq[Expression] => Expression = {
+            case Seq(v) => FnvHashExpr(v, name)
+            case args => sys.error(s"$name expects 1 arg, got ${args.length}")
+          }
+          registry.registerFunction(FunctionIdentifier(name),
+            new ExpressionInfo(getClass.getCanonicalName, name), builder)
+        }
+        HashCombinatorics.HmacAlgos.keys.foreach { name =>
+          val builder: Seq[Expression] => Expression = {
+            case Seq(d, k) => HmacExpr(d, k, name)
+            case args => sys.error(s"$name expects 2 args, got ${args.length}")
+          }
+          registry.registerFunction(FunctionIdentifier(name),
+            new ExpressionInfo(getClass.getCanonicalName, name), builder)
+        }
+        val builder: Seq[Expression] => Expression = {
+          case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)
+          case Seq(a, Literal(k: Long, LongType)) =>
+            ArrayCombinations(a, k.toInt)
+          case Seq(_, other) => sys.error(
+            s"combinations: size must be an integer literal, got $other")
+          case args =>
+            sys.error(s"combinations expects 2 args, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("combinations"),
+          new ExpressionInfo(getClass.getCanonicalName, "combinations"),
           builder)
       }
       // SetDigest family (SetDigestFunctions.java / SetDigest.java):

@@ -221,6 +221,62 @@ object RegistrySql extends QueryPack {
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Array-pack extras (ArrayCombinationsFunction.java, ZipFunction.java,
+    // ArraySortComparatorFunction.java, SplitToMultimapFunction.java,
+    // DataSizeFunctions.java): combinations in lexicographic index order,
+    // null-padded zip with field0/field1 row names, comparator-lambda
+    // array_sort (the Presto lambda text runs unchanged on Spark's
+    // builtin), first-delimiter multimap split, binary-unit data sizes.
+    // Arrays stringify for the gate (array cells don't hash).
+    "qh4_array_extras_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  array_join(transform(combinations(arr, 2),
+        |    c -> array_join(c, '+')), ',') AS pairs,
+        |  array_join(transform(zip(arr, slice(arr, 2, 10)),
+        |    p -> concat(coalesce(p.field0, '_'), '|',
+        |                coalesce(p.field1, '_'))), ',') AS zipped,
+        |  array_join(array_sort(arr,
+        |    (x, y) -> IF(x < y, 1, IF(x = y, 0, -1))), ',') AS sorted_desc,
+        |  cast(cardinality(split_to_multimap(cfg, ';', '=')) as bigint)
+        |    AS n_keys,
+        |  array_join(element_at(split_to_multimap(cfg, ';', '='), 'a'), ',')
+        |    AS a_vals,
+        |  parse_presto_data_size(sz) AS bytes
+        |FROM VALUES
+        |  (1, array('d', 'b', 'c', 'a'), 'a=1;b=2;a=3', '2.3MB'),
+        |  (2, array('x', 'y'), 'a=7;k=v', '750kB'),
+        |  (3, array('m', 'n', 'o'), 'a=9;c=4;a=5;c=6', '1GB'),
+        |  (4, array('z'), 'a=0', '0B') AS t(id, arr, cfg, sz)
+        |ORDER BY id""".stripMargin)),
+
+    // FNV hashes + HMACs (FnvHash.java, HmacFunctions.java). HMAC rows
+    // are the public RFC 2202/4231 test vectors (the oracle carries the
+    // published digests); FNV is replayed computationally by the oracle
+    // (list_reduce over bytes with the same multiply/xor recurrences).
+    "qh5_hash_hmac_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  lower(hex(CASE algo
+        |    WHEN 'sha256' THEN hmac_sha256(to_utf8(data), from_hex(keyhex))
+        |    WHEN 'sha1' THEN hmac_sha1(to_utf8(data), from_hex(keyhex))
+        |    WHEN 'md5' THEN hmac_md5(to_utf8(data), from_hex(keyhex))
+        |  END)) AS mac,
+        |  fnv1_32(to_utf8(data)) AS f1_32,
+        |  fnv1a_32(to_utf8(data)) AS f1a_32,
+        |  fnv1_64(to_utf8(data)) AS f1_64,
+        |  fnv1a_64(to_utf8(data)) AS f1a_64
+        |FROM VALUES
+        |  (1, 'sha256', '0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b',
+        |   'Hi There'),
+        |  (2, 'sha1', '0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b',
+        |   'Hi There'),
+        |  (3, 'md5', '0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b',
+        |   'Hi There'),
+        |  (4, 'sha256', '4a656665', 'what do ya want for nothing?'),
+        |  (5, 'sha1', '4a656665', 'what do ya want for nothing?'),
+        |  (6, 'md5', '4a656665', 'what do ya want for nothing?')
+        |  AS t(id, algo, keyhex, data)
+        |ORDER BY id""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -458,6 +514,77 @@ object RegistrySql extends QueryPack {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "qh4_array_extras_sql" ->
+      """WITH t(id, arr, cfg, sz) AS (VALUES
+        |  (1, ['d', 'b', 'c', 'a'], 'a=1;b=2;a=3', '2.3MB'),
+        |  (2, ['x', 'y'], 'a=7;k=v', '750kB'),
+        |  (3, ['m', 'n', 'o'], 'a=9;c=4;a=5;c=6', '1GB'),
+        |  (4, ['z'], 'a=0', '0B')),
+        |pairs AS (
+        |  SELECT id, string_agg(arr[i] || '+' || arr[j], ','
+        |    ORDER BY i, j) AS pairs
+        |  FROM t, UNNEST(range(1, len(arr) + 1)) AS ti(i),
+        |    UNNEST(range(1, len(arr) + 1)) AS tj(j)
+        |  WHERE i < j GROUP BY id),
+        |kv AS (SELECT id, string_split(cfg, ';') AS es FROM t)
+        |SELECT CAST(t.id AS BIGINT) AS id,
+        |  coalesce(pairs.pairs, '') AS pairs,
+        |  array_to_string(list_transform(range(1, len(arr) + 1),
+        |    i -> arr[i] || '|' || coalesce(arr[i + 1], '_')), ',') AS zipped,
+        |  array_to_string(list_sort(arr, 'DESC'), ',') AS sorted_desc,
+        |  CAST(len(list_distinct(list_transform(es,
+        |    kv0 -> string_split(kv0, '=')[1]))) AS BIGINT) AS n_keys,
+        |  array_to_string(list_transform(list_filter(es,
+        |    kv0 -> string_split(kv0, '=')[1] = 'a'),
+        |    kv0 -> substr(kv0, strpos(kv0, '=') + 1)), ',') AS a_vals,
+        |  CAST(round(CAST(regexp_extract(sz,
+        |    '^\s*([0-9]+(?:\.[0-9]+)?)\s*([kMGTPEZY]?B)\s*$', 1) AS DOUBLE) *
+        |    CASE regexp_extract(sz,
+        |      '^\s*([0-9]+(?:\.[0-9]+)?)\s*([kMGTPEZY]?B)\s*$', 2)
+        |      WHEN 'B' THEN 1.0 WHEN 'kB' THEN 1024.0
+        |      WHEN 'MB' THEN 1048576.0 WHEN 'GB' THEN 1073741824.0
+        |      WHEN 'TB' THEN 1099511627776.0 END) AS BIGINT) AS bytes
+        |FROM t LEFT JOIN pairs ON pairs.id = t.id
+        |JOIN kv ON kv.id = t.id
+        |ORDER BY t.id""".stripMargin,
+
+    "qh5_hash_hmac_sql" ->
+      """WITH t(id, algo, mac, data) AS (VALUES
+        |  (1, 'sha256', 'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7', 'Hi There'),
+        |  (2, 'sha1', 'b617318655057264e28bc0b6fb378c8ef146be00', 'Hi There'),
+        |  (3, 'md5', '9294727a3638bb1c13f48ef8158bfc9d', 'Hi There'),
+        |  (4, 'sha256', '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843', 'what do ya want for nothing?'),
+        |  (5, 'sha1', 'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79', 'what do ya want for nothing?'),
+        |  (6, 'md5', '750c783e6ab0b503eaa86e310a5db738', 'what do ya want for nothing?')),
+        |b AS (SELECT id, mac, list_transform(range(1, length(data) + 1),
+        |  i -> CAST(ord(data[i]) AS BIGINT)) AS bs FROM t),
+        |f AS (SELECT id, mac,
+        |  list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+        |    (h, x) -> xor((h * 16777619) % 4294967296, x)) AS f1_32,
+        |  list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+        |    (h, x) -> (xor(h, x) * 16777619) % 4294967296) AS f1a_32,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+        |    (h, x) -> (h * 1099511628211) % 18446744073709551616
+        |      - ((h * 1099511628211) % 18446744073709551616) % 256
+        |      + xor(CAST(((h * 1099511628211) % 18446744073709551616) % 256
+        |            AS BIGINT), x)) AS f1_64,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+        |    (h, x) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), x))
+        |      * 1099511628211) % 18446744073709551616) AS f1a_64
+        |  FROM b)
+        |SELECT CAST(id AS BIGINT) AS id, mac,
+        |  CAST(CASE WHEN f1_32 >= 2147483648 THEN f1_32 - 4294967296
+        |    ELSE f1_32 END AS BIGINT) AS f1_32,
+        |  CAST(CASE WHEN f1a_32 >= 2147483648 THEN f1a_32 - 4294967296
+        |    ELSE f1a_32 END AS BIGINT) AS f1a_32,
+        |  CAST(CASE WHEN f1_64 >= 9223372036854775808
+        |    THEN f1_64 - 18446744073709551616 ELSE f1_64 END AS BIGINT)
+        |    AS f1_64,
+        |  CAST(CASE WHEN f1a_64 >= 9223372036854775808
+        |    THEN f1a_64 - 18446744073709551616 ELSE f1a_64 END AS BIGINT)
+        |    AS f1a_64
+        |FROM f ORDER BY id""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
