@@ -87,6 +87,37 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // JDBC connector round-trip (reference: the base-jdbc connector
+    // family, `presto-base-jdbc/.../JdbcConnectorFactory.java:35` →
+    // mysql/postgres/...): write a derived table to embedded Derby (the
+    // JDBC engine shipped in Spark's jars), read it back through the
+    // JDBC scan with a pushed predicate, and match the parquet-derived
+    // oracle — a lossless round-trip through the JDBC type mapping.
+    // String columns get explicit VARCHAR DDL (Derby's default CLOB
+    // mapping can't be compared or pushed down).
+    "qh6_jdbc_roundtrip" -> ((s, dir) => {
+      val home = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_derby_home")
+      home.mkdirs()
+      // keep derby.log out of the repo working dir
+      System.setProperty("derby.system.home", home.getAbsolutePath)
+      val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby;create=true"
+      Tables.view(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_extendedprice")).as("rev"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "li_summary")
+        .option("createTableColumnTypes",
+          "l_returnflag VARCHAR(1), l_linestatus VARCHAR(1)")
+        .save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "li_summary").load()
+        .filter(col("cnt") > 0)
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          col("rev"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -163,6 +194,12 @@ object Storage extends QueryPack {
         |  round(sum(l_extendedprice), 4) AS rev_remaining
         |FROM lineitem
         |WHERE NOT coalesce(l_discount > 0.05 AND l_quantity < 30, false)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "qh6_jdbc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_extendedprice) AS rev
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

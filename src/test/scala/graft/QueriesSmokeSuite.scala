@@ -56,6 +56,22 @@ class QueriesSmokeSuite extends GraftSuite {
       s"filter not pushed to ORC scan:\n$orc")
   }
 
+  test("Q21's EXISTS/NOT EXISTS plan as semi/anti hash joins") {
+    // the scale contract for the TPC-H texts: correlated EXISTS must
+    // decorrelate to set-based joins, never a per-row subquery loop
+    val plan = SparkEntry.queries("qg8_tpch_q21_sql")(spark, SfDir)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n${plan.take(1500)}")
+  }
+
+  test("Q2's correlated MIN decorrelates into an aggregate join") {
+    val plan = SparkEntry.queries("qf4_tpch_q2_sql")(spark, SfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("scalar-subquery"),
+      s"correlated subquery survived optimization:\n${plan.take(1500)}")
+  }
+
   test("no query plans a CartesianProduct") {
     // The scale contract: candidate generation and scoring are broadcast
     // or bucket equi-joins; an unbroadcast all-pairs join would appear
