@@ -591,6 +591,48 @@ object Registry {
         bin2("jaccard_index")(JaccardIndexExpr)
         bin2("intersection_cardinality")(IntersectionCardinality)
       }
+      // KHyperLogLog (type/khyperloglog/KHyperLogLogFunctions.java):
+      // khyperloglog_agg(x, uii), merge_khll (the reference's
+      // type-overloaded `merge`), uniqueness_distribution,
+      // reidentification_potential; cardinality / jaccard_index /
+      // intersection_cardinality above accept both digest kinds.
+      locally {
+        val agg2: Seq[Expression] => Expression = {
+          case Seq(x, u) =>
+            KHllAgg(x, u, KHll.DefaultMaxSize).toAggregateExpression()
+          case args =>
+            sys.error(s"khyperloglog_agg expects 2 args, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("khyperloglog_agg"),
+          new ExpressionInfo(getClass.getCanonicalName, "khyperloglog_agg"),
+          agg2)
+        val mergeB: Seq[Expression] => Expression = {
+          case Seq(v) => KHllMergeAgg(v).toAggregateExpression()
+          case args =>
+            sys.error(s"merge_khll expects 1 arg, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("merge_khll"),
+          new ExpressionInfo(getClass.getCanonicalName, "merge_khll"), mergeB)
+        val uniq: Seq[Expression] => Expression = {
+          case Seq(d) => UniquenessDistribution(d, Cast(Literal(256), LongType))
+          case Seq(d, s0) => UniquenessDistribution(d, Cast(s0, LongType))
+          case args => sys.error(
+            s"uniqueness_distribution expects 1-2 args, got ${args.length}")
+        }
+        registry.registerFunction(
+          FunctionIdentifier("uniqueness_distribution"),
+          new ExpressionInfo(getClass.getCanonicalName,
+            "uniqueness_distribution"), uniq)
+        val reid: Seq[Expression] => Expression = {
+          case Seq(d, t) => ReidentificationPotential(d, Cast(t, LongType))
+          case args => sys.error(
+            s"reidentification_potential expects 2 args, got ${args.length}")
+        }
+        registry.registerFunction(
+          FunctionIdentifier("reidentification_potential"),
+          new ExpressionInfo(getClass.getCanonicalName,
+            "reidentification_potential"), reid)
+      }
       installed.put(spark, true)
     }
   }

@@ -243,8 +243,12 @@ case class SetDigestCardinality(child: Expression)
       s"$prettyName expects a serialized digest (binary), got ${dt.catalogString}")
   }
 
-  override def nullSafeEval(d: Any): Any =
-    SetDigest.deserialize(d.asInstanceOf[Array[Byte]]).cardinality
+  override def nullSafeEval(d: Any): Any = {
+    val bytes = d.asInstanceOf[Array[Byte]]
+    // accepts both digest kinds, like the reference's type overloads
+    if (KHll.isKhll(bytes)) KHll.deserialize(bytes).cardinality
+    else SetDigest.deserialize(bytes).cardinality
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -286,8 +290,8 @@ case class JaccardIndexExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SetDigest.jaccard(
-      SetDigest.deserialize(a.asInstanceOf[Array[Byte]]),
-      SetDigest.deserialize(b.asInstanceOf[Array[Byte]]))
+      KHll.anyKeyDigest(a.asInstanceOf[Array[Byte]]),
+      KHll.anyKeyDigest(b.asInstanceOf[Array[Byte]]))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -310,8 +314,8 @@ case class IntersectionCardinality(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SetDigest.intersectionCardinality(
-      SetDigest.deserialize(a.asInstanceOf[Array[Byte]]),
-      SetDigest.deserialize(b.asInstanceOf[Array[Byte]]))
+      KHll.anyKeyDigest(a.asInstanceOf[Array[Byte]]),
+      KHll.anyKeyDigest(b.asInstanceOf[Array[Byte]]))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -181,6 +181,36 @@ object Sketches extends QueryPack {
     // merged per flag must be BYTE-identical to the directly-built digest
     // (KMV state is order/partition independent and serialization is
     // canonical) — the pre-digest-per-day-then-merge property at 100 TB.
+    // KHyperLogLog through the SQL surface: how identifying is l_partkey
+    // for l_orderkey. Unsaturated regime (2000 parts < 4096 keys, ~30
+    // orders per part < 256 per-key sketch) ⇒ cardinality, the
+    // uniqueness histogram, and reidentification potential are all exact
+    // and the oracle replays them by counting; the merged-from-partials
+    // digest must be byte-identical to the direct build.
+    "qh7_khll" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(
+        """WITH d AS (
+          |  SELECT l_linestatus, khyperloglog_agg(l_partkey, l_orderkey)
+          |    AS kh
+          |  FROM lineitem GROUP BY l_linestatus),
+          |m AS (SELECT merge_khll(kh) AS kh FROM d),
+          |direct AS (
+          |  SELECT khyperloglog_agg(l_partkey, l_orderkey) AS kh
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT cardinality(m.kh) AS n_parts,
+          |    reidentification_potential(m.kh, 25) AS reident25,
+          |    m.kh = direct.kh AS merge_ok,
+          |    uniqueness_distribution(m.kh, 8) AS dist
+          |  FROM m, direct)
+          |SELECT n_parts, reident25, merge_ok,
+          |  cast(bucket as bigint) AS bucket, frac
+          |FROM s LATERAL VIEW explode(dist) t AS bucket, frac
+          |ORDER BY bucket""".stripMargin)
+    }),
+
     "qh1_set_digest_merge" -> ((s, dir) => {
       val li = Tables.view(s, dir, "lineitem")
       val sd = graft.functions.SetDigest
@@ -247,6 +277,21 @@ object Sketches extends QueryPack {
     "qh1_set_digest_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS card_direct,
         |  TRUE AS merge_bytes_equal
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qh7_khll" ->
+      """WITH u AS (
+        |  SELECT l_partkey, count(DISTINCT l_orderkey) AS nu
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_parts FROM u),
+        |buckets AS (SELECT unnest(range(1, 9)) AS bucket),
+        |c AS (SELECT LEAST(nu, 8) AS b, count(*) AS cnt FROM u GROUP BY 1)
+        |SELECT tot.n_parts,
+        |  (SELECT CAST(count(*) FILTER (nu <= 25) AS DOUBLE) / count(*)
+        |   FROM u) AS reident25,
+        |  TRUE AS merge_ok,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  coalesce(CAST(cnt AS DOUBLE) / tot.n_parts, 0.0) AS frac
+        |FROM buckets LEFT JOIN c ON c.b = buckets.bucket, tot
+        |ORDER BY bucket""".stripMargin
   )
 }
