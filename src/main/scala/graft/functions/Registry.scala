@@ -89,6 +89,11 @@ object Registry {
     ("ends_with", 2, "endswith(__a, __b)"),
     ("regexp_like", 2, "__a rlike __b"),
     ("split_to_map", 3, "str_to_map(__a, __b, __c)"),
+    // --- Teradata compat plugin (presto-teradata-functions/
+    // .../TeradataStringFunctions.java): index = strpos; char2hexint =
+    // uppercase hex of the UTF-16BE encoding ---
+    ("index", 2, "instr(__a, __b)"),
+    ("char2hexint", 1, "upper(hex(encode(__a, 'UTF-16BE')))"),
     // split_to_multimap (SplitToMultimapFunction.java): entries keep
     // duplicate keys as an array of values in entry order; each entry
     // splits at its FIRST key-value delimiter. Distinct-keys transform is

@@ -277,6 +277,16 @@ object RegistrySql extends QueryPack {
         |  AS t(id, algo, keyhex, data)
         |ORDER BY id""".stripMargin)),
 
+    // Teradata compat plugin (presto-teradata-functions): index,
+    // char2hexint (uppercase UTF-16BE hex).
+    "qh9_teradata_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(index(s, 'lo') as bigint) AS idx,
+        |  char2hexint(s) AS hx
+        |FROM VALUES (1, 'hello'), (2, 'world'), (3, 'Spark')
+        |  AS t(id, s)
+        |ORDER BY id""".stripMargin)),
+
     // Vector math via registry lambdas over `embeddings` pairs.
     "qa3_presto_sql_vector" -> ((s, dir) => sql(s, dir,
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -585,6 +595,14 @@ object RegistrySql extends QueryPack {
         |    THEN f1a_64 - 18446744073709551616 ELSE f1a_64 END AS BIGINT)
         |    AS f1a_64
         |FROM f ORDER BY id""".stripMargin,
+
+    "qh9_teradata_sql" ->
+      """WITH t(id, s) AS (VALUES (1, 'hello'), (2, 'world'), (3, 'Spark'))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(strpos(s, 'lo') AS BIGINT) AS idx,
+        |  array_to_string(list_transform(range(1, length(s) + 1),
+        |    i -> '00' || upper(lpad(hex(ord(s[i])), 2, '0'))), '') AS hx
+        |FROM t ORDER BY id""".stripMargin,
 
     "qa3_presto_sql_vector" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -104,6 +104,37 @@ object TextAnalysis extends QueryPack {
             / sum(col("ws_tok")), 4).as("bpe_expansion"))
         .orderBy(col("lang"))),
 
+    // Bigram-LM cross-entropy scoring — the CCNet-style perplexity
+    // quality filter: train add-1-smoothed bigram/unigram counts on the
+    // corpus, score each document by its average -log2 P(w_i | w_{i-1}).
+    // The LM tables are aggregates of the corpus (tiny next to it after
+    // the count groupBy), joined back by bigram key — Catalyst/AQE picks
+    // broadcast at this scale and a shuffle join when the vocabulary is
+    // genuinely large; either plan is bucket-local, never all-pairs.
+    "qh8_ngram_perplexity" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bi = words.select(col("doc_id"), expr(
+          "explode(transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2)))").as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val ucnt = words.select(explode(col("ws")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val vocab = ucnt.agg(count(lit(1)).as("v"))
+      bi.filter(col("doc_id") < 20)
+        .join(bcnt, Seq("w1", "w2"))
+        .join(ucnt, Seq("w1"))
+        .crossJoin(vocab)
+        .withColumn("bits",
+          -log2((col("cb") + 1).cast("double") / (col("cu") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("bits")), 4).as("xent_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Content fingerprinting: 1-permutation min-hash over word 4-grams
     // (md5-derived so the oracle replays it) -> collision clusters, the
     // cheap first pass of a fuzzy-dedup cascade.
@@ -262,6 +293,24 @@ object TextAnalysis extends QueryPack {
         |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc,
         |  max(doc_id) AS last_doc
         |FROM fp GROUP BY fp HAVING count(*) > 1
-        |ORDER BY n_docs DESC, fp""".stripMargin
+        |ORDER BY n_docs DESC, fp""".stripMargin,
+
+    "qh8_ngram_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT u.w1, count(*) AS cu
+        |  FROM (SELECT unnest(ws) AS w1 FROM w) u GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uc)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-log2((cb + 1.0) / (cu + v.v))), 4) AS xent_bits
+        |FROM bi JOIN bc USING (w1, w2) JOIN uc ON uc.w1 = bi.w1, v
+        |WHERE bi.doc_id < 20
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
   )
 }
