@@ -596,6 +596,19 @@ object Registry {
         bin2("jaccard_index")(JaccardIndexExpr)
         bin2("intersection_cardinality")(IntersectionCardinality)
       }
+      // Presto TRY(expr) special form (scalar/TryFunction.java): NULL on
+      // runtime error instead of failing the query. Syntactically a
+      // function call, so the registry absorbs it directly — Spark's
+      // TryEval supplies the catch (the same codegen try/catch the
+      // try_* family compiles to), so verbatim Presto TRY text runs.
+      locally {
+        val builder: Seq[Expression] => Expression = {
+          case Seq(e) => org.apache.spark.sql.catalyst.expressions.TryEval(e)
+          case args => sys.error(s"try expects 1 arg, got ${args.length}")
+        }
+        registry.registerFunction(FunctionIdentifier("try"),
+          new ExpressionInfo(getClass.getCanonicalName, "try"), builder)
+      }
       // KHyperLogLog (type/khyperloglog/KHyperLogLogFunctions.java):
       // khyperloglog_agg(x, uii), merge_khll (the reference's
       // type-overloaded `merge`), uniqueness_distribution,

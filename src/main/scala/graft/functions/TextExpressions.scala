@@ -56,6 +56,44 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** All word k-grams of a text column IN ORDER WITH MULTIPLICITY — the
+  * repetition-analysis sibling of [[WordShingles]] (which dedups, and so
+  * can't feed duplicate-fraction / top-n-gram counts). Same single-pass
+  * native loop replacing the interpreted
+  * `transform(sequence(...), i -> concat(...))` chain (measured 2.1 s →
+  * interpreted HOFs on 500 docs in qh3; SURVEY §2.4's known fallback). */
+case class WordNgrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"ngram size must be >= 1, got $k")
+
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = math.max(0, words.length - k + 1)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = words(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Presto `hamming_distance(s1, s2)` (`StringFunctions.java`): number of
   * differing code points; inputs must have equal code-point length, as in
   * the reference. Static-call codegen like WordStem — one compiled call

@@ -111,21 +111,22 @@ object Curation extends QueryPack {
 
     // Repetition signals (the Gopher repetition filters): most-frequent
     // word-bigram count and duplicate-trigram fraction per document.
-    // Multiplicity-preserving n-grams via transform(sequence(...)) —
-    // unlike WordShingles these must NOT dedup. One explode+count for the
-    // top bigram (partial agg map-side); the trigram fraction is pure
-    // array math, no shuffle.
+    // Multiplicity-preserving n-grams via the native WordNgrams pass —
+    // unlike WordShingles these must NOT dedup, and the interpreted
+    // transform(sequence(...)) chain costs 2.1 s on 500 docs (SURVEY
+    // §2.4's CodegenFallback HOF trap). One explode+count for the top
+    // bigram (partial agg map-side); the trigram fraction is pure array
+    // math, no shuffle.
     "qh3_repetition_signals" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+      def ngrams(c: org.apache.spark.sql.Column, k: Int) =
+        toCol(graft.functions.WordNgrams(toExpr(c), k))
       val base = Tables.view(s, dir, "documents")
         .filter(col("doc_id") < 20)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        // sequence(0, n) flips to a DESCENDING range when n < 0 — guard
-        // out sub-trigram docs instead of emitting corrupt n-grams
+        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+          ngrams(col("text"), 2).as("bgs"), ngrams(col("text"), 3).as("tgs"))
+        // keep parity with the oracle's >= 3-word guard
         .filter(size(col("ws")) >= 3)
-        .withColumn("bgs", expr(
-          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
-        .withColumn("tgs", expr(
-          "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
       val top = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))

@@ -277,6 +277,18 @@ object RegistrySql extends QueryPack {
         |  AS t(id, algo, keyhex, data)
         |ORDER BY id""".stripMargin)),
 
+    // Verbatim Presto TRY(...) special form over ANSI error paths: cast
+    // failure, out-of-bounds element_at, unparseable date — each yields
+    // NULL through TryEval instead of failing the query (qb0 covers the
+    // try_* spellings; this is the reference's own syntax).
+    "qi0_try_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT p_partkey,
+        |  TRY(cast(substr(p_type, 1, 3) as integer)) AS bad_int,
+        |  TRY(cast(cast(p_size as string) as integer)) AS good_int,
+        |  TRY(element_at(split(p_type, ' '), 99)) AS oob,
+        |  TRY(date_parse(p_brand, '%Y-%m-%d')) AS bad_date
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
+
     // Teradata compat plugin (presto-teradata-functions): index,
     // char2hexint (uppercase UTF-16BE hex).
     "qh9_teradata_sql" -> ((s, dir) => sql(s, dir,
@@ -595,6 +607,14 @@ object RegistrySql extends QueryPack {
         |    THEN f1a_64 - 18446744073709551616 ELSE f1a_64 END AS BIGINT)
         |    AS f1a_64
         |FROM f ORDER BY id""".stripMargin,
+
+    "qi0_try_sql" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(substr(p_type, 1, 3) AS INTEGER) AS bad_int,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS good_int,
+        |  CAST(NULL AS VARCHAR) AS oob,
+        |  CAST(NULL AS TIMESTAMP) AS bad_date
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "qh9_teradata_sql" ->
       """WITH t(id, s) AS (VALUES (1, 'hello'), (2, 'world'), (3, 'Spark'))
