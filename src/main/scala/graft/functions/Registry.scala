@@ -89,6 +89,29 @@ object Registry {
     ("ends_with", 2, "endswith(__a, __b)"),
     ("regexp_like", 2, "__a rlike __b"),
     ("split_to_map", 3, "str_to_map(__a, __b, __c)"),
+    // --- JSON extras (JsonFunctions.java) ---
+    // json_size: element count of the array/object at path, 0 for
+    // scalars, NULL when the path misses.
+    ("json_size", 2,
+      "cast(CASE WHEN get_json_object(__a, __b) IS NULL THEN NULL " +
+        "WHEN startswith(ltrim(get_json_object(__a, __b)), '[') " +
+        "THEN json_array_length(get_json_object(__a, __b)) " +
+        "WHEN startswith(ltrim(get_json_object(__a, __b)), '{') " +
+        "THEN size(json_object_keys(get_json_object(__a, __b))) " +
+        "ELSE 0 END as bigint)"),
+    // json_array_get with Presto's negative-index-from-end; scalars come
+    // back unquoted (get_json_object rendering — the reference returns
+    // the JSON-quoted form for string elements; divergence documented).
+    ("json_array_get", 2,
+      "get_json_object(__a, concat('$[', " +
+        "CASE WHEN __b < 0 THEN json_array_length(__a) + __b " +
+        "ELSE __b END, ']'))"),
+    // json_array_contains via string-normalized element compare (the
+    // reference has per-type overloads; '1.0' vs '1' style numeric
+    // renderings can diverge — exact for strings/booleans/integers).
+    ("json_array_contains", 2,
+      "exists(from_json(__a, 'array<string>'), " +
+        "x -> x = cast(__b as string))"),
     // --- Teradata compat plugin (presto-teradata-functions/
     // .../TeradataStringFunctions.java): index = strpos; char2hexint =
     // uppercase hex of the UTF-16BE encoding ---

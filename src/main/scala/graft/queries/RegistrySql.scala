@@ -289,6 +289,23 @@ object RegistrySql extends QueryPack {
         |  TRY(date_parse(p_brand, '%Y-%m-%d')) AS bad_date
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
 
+    // JSON extras (JsonFunctions.java): element counts at a path,
+    // index-from-end array access, membership.
+    "qi1_json_extras_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  json_size(j, '$') AS sz_root,
+        |  json_size(j, '$.a') AS sz_a,
+        |  json_array_get(arr, 1) AS second,
+        |  json_array_get(arr, -1) AS last,
+        |  json_array_contains(arr, 'x') AS has_x,
+        |  json_array_contains(nums, 3) AS has_3
+        |FROM VALUES
+        |  (1, '{"a": [1,2,3], "b": 1}', '["x","y","z"]', '[1,2,3]'),
+        |  (2, '{"a": {"k": 1, "m": 2}}', '["p"]', '[4,5]'),
+        |  (3, '{"a": 7}', '["x"]', '[]')
+        |  AS t(id, j, arr, nums)
+        |ORDER BY id""".stripMargin)),
+
     // Teradata compat plugin (presto-teradata-functions): index,
     // char2hexint (uppercase UTF-16BE hex).
     "qh9_teradata_sql" -> ((s, dir) => sql(s, dir,
@@ -615,6 +632,26 @@ object RegistrySql extends QueryPack {
         |  CAST(NULL AS VARCHAR) AS oob,
         |  CAST(NULL AS TIMESTAMP) AS bad_date
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "qi1_json_extras_sql" ->
+      """WITH t(id, j, arr, nums) AS (VALUES
+        |  (1, '{"a": [1,2,3], "b": 1}', '["x","y","z"]', '[1,2,3]'),
+        |  (2, '{"a": {"k": 1, "m": 2}}', '["p"]', '[4,5]'),
+        |  (3, '{"a": 7}', '["x"]', '[]'))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(len(json_keys(j)) AS BIGINT) AS sz_root,
+        |  CAST(CASE WHEN json_extract(j, '$.a') IS NULL THEN NULL
+        |    WHEN starts_with(CAST(json_extract(j, '$.a') AS VARCHAR), '[')
+        |      THEN json_array_length(j, '$.a')
+        |    WHEN starts_with(CAST(json_extract(j, '$.a') AS VARCHAR), '{')
+        |      THEN len(json_keys(j, '$.a'))
+        |    ELSE 0 END AS BIGINT) AS sz_a,
+        |  json_extract_string(arr, '$[1]') AS second,
+        |  json_extract_string(arr,
+        |    concat('$[', json_array_length(arr) - 1, ']')) AS last,
+        |  list_contains(json_extract_string(arr, '$[*]'), 'x') AS has_x,
+        |  list_contains(json_extract_string(nums, '$[*]'), '3') AS has_3
+        |FROM t ORDER BY id""".stripMargin,
 
     "qh9_teradata_sql" ->
       """WITH t(id, s) AS (VALUES (1, 'hello'), (2, 'world'), (3, 'Spark'))
