@@ -89,6 +89,14 @@ object Registry {
     ("ends_with", 2, "endswith(__a, __b)"),
     ("regexp_like", 2, "__a rlike __b"),
     ("split_to_map", 3, "str_to_map(__a, __b, __c)"),
+    // multimap_from_entries (MultimapFromEntriesFunction.java): entries
+    // are row(key, value) structs; duplicate keys collect values in
+    // entry order. Same distinct-keys transform as split_to_multimap.
+    ("multimap_from_entries", 1,
+      "map_from_entries(transform(" +
+        "array_distinct(transform(__a, e -> e.key)), " +
+        "k -> struct(k AS key, transform(" +
+        "filter(__a, e -> e.key = k), e -> e.value) AS value)))"),
     // --- JSON extras (JsonFunctions.java) ---
     // json_size: element count of the array/object at path, 0 for
     // scalars, NULL when the path misses.

@@ -289,6 +289,26 @@ object RegistrySql extends QueryPack {
         |  TRY(date_parse(p_brand, '%Y-%m-%d')) AS bad_date
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin)),
 
+    // multimap_from_entries over row(key, value) arrays — fed here from
+    // map_entries (whose structs carry the key/value field names the
+    // reference's row type implies) and from explicit struct literals.
+    "qi2_multimap_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(cardinality(multimap_from_entries(es)) as bigint) AS n_keys,
+        |  array_join(element_at(multimap_from_entries(es), 'a'), ',')
+        |    AS a_vals,
+        |  array_join(map_keys(multimap_from_entries(es)), ',') AS keys
+        |FROM VALUES
+        |  (1, array(struct('a' AS key, 1 AS value),
+        |            struct('b' AS key, 2 AS value),
+        |            struct('a' AS key, 3 AS value))),
+        |  (2, array(struct('a' AS key, 7 AS value))),
+        |  (3, array(struct('z' AS key, 0 AS value),
+        |            struct('a' AS key, 5 AS value),
+        |            struct('z' AS key, 9 AS value)))
+        |  AS t(id, es)
+        |ORDER BY id""".stripMargin)),
+
     // JSON extras (JsonFunctions.java): element counts at a path,
     // index-from-end array access, membership.
     "qi1_json_extras_sql" -> ((s, dir) => sql(s, dir,
@@ -632,6 +652,23 @@ object RegistrySql extends QueryPack {
         |  CAST(NULL AS VARCHAR) AS oob,
         |  CAST(NULL AS TIMESTAMP) AS bad_date
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "qi2_multimap_sql" ->
+      """WITH t(id, es) AS (VALUES
+        |  (1, [{'key': 'a', 'value': 1}, {'key': 'b', 'value': 2},
+        |       {'key': 'a', 'value': 3}]),
+        |  (2, [{'key': 'a', 'value': 7}]),
+        |  (3, [{'key': 'z', 'value': 0}, {'key': 'a', 'value': 5},
+        |       {'key': 'z', 'value': 9}]))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(len(list_distinct(list_transform(es, e -> e.key)))
+        |    AS BIGINT) AS n_keys,
+        |  array_to_string(list_transform(
+        |    list_filter(es, e -> e.key = 'a'), e -> e.value), ',') AS a_vals,
+        |  array_to_string(list_transform(list_filter(es, (e, i) ->
+        |    list_position(list_transform(es, x -> x.key), e.key) = i),
+        |    e -> e.key), ',') AS keys
+        |FROM t ORDER BY id""".stripMargin,
 
     "qi1_json_extras_sql" ->
       """WITH t(id, j, arr, nums) AS (VALUES

@@ -47,6 +47,15 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment join — the canonical dimension-lookup
+    * shape (events joined to a user/segment table by key). The static
+    * side is re-planned per micro-batch, so Catalyst broadcasts a
+    * dim-sized table and a 100 TB stream pays no shuffle and keeps no
+    * state; left join preserves events with no dimension row. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Stateful sessionization: events grouped by user, sessions closed
     * after `gapMinutes` of event-time silence (event-time timeout driven
     * by the watermark). One state object per active user.

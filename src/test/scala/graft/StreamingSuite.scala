@@ -42,6 +42,28 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "segment")
+    val q = EventStream.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 11, "view", 2.0),
+        Event(3, ts(2), 99, "view", 3.0)) // no dim row -> null segment
+      q.processAllAvailable()
+      val rows = spark.table("enr")
+        .selectExpr("event_id", "segment")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(2L).contains("basic"))
+      assert(rows(3L).isEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap and emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
