@@ -109,6 +109,74 @@ object Curation extends QueryPack {
         |    AS n_num
         |FROM r2 ORDER BY id""".stripMargin)),
 
+    // Benchmark decontamination — the train/eval overlap scrub every
+    // pretraining pipeline runs (the GPT-3/PaLM n-gram recipe): a training
+    // document is contaminated if it shares any 6-word-gram with the eval
+    // set (here: doc_id % 50 = 0 plays the benchmark). Eval n-grams are a
+    // tiny distinct set (benchmarks are ~1e5 docs at most) — broadcast to
+    // the train-side explode, then a semi-join-shaped distinct; never an
+    // all-pairs comparison, so the train side stays one scan at 100 TB.
+    "qi3_decontamination" -> ((s, dir) => {
+      val docs = Tables.view(s, dir, "documents")
+      val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(MinHash.shingles(col("text"), 6)).as("g")).distinct()
+      val contaminated = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(MinHash.shingles(col("text"), 6)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_train"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"),
+          coalesce(sum(when(col("hit") === 1L, col("doc_id"))), lit(0L))
+            .as("contam_id_sum"))
+    }),
+
+    // Domain-mixture resampling — balanced mixture by downsampling every
+    // source to the smallest source's size, with DETERMINISTIC membership:
+    // the accept test is an md5 threshold on doc_id (qd5's split trick),
+    // compared integer-exactly (h * n_src < n_min * 1e6, no float rate).
+    // Per-source counts are tiny metadata (broadcast); the data pass is
+    // map-only filter — scan-speed at 100 TB, and the oracle replays the
+    // exact membership, not an envelope.
+    "qi4_mixture_resample" -> ((s, dir) => {
+      val docs = Tables.view(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val rates = counts.crossJoin(counts.agg(min(col("n_src")).as("n_min")))
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L
+      docs.join(broadcast(rates), "source")
+        .withColumn("keep", h * col("n_src") < col("n_min") * 1000000L)
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_src"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequence packing — concatenate documents in deterministic order and
+    // chunk into fixed token budgets (the GPT-style pretraining packer): a
+    // doc's pack is where its first token lands in the per-lang running
+    // stream (floor(exclusive-cumsum / budget)). One window shuffle on
+    // (lang) — at 100 TB partition the stream further by a shard key and
+    // pack per (lang, shard); the policy is unchanged. Exact oracle: the
+    // window replays in SQL.
+    "qi5_sequence_packing" -> ((s, dir) => {
+      val toks = Tables.view(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("toks")).over(w), lit(0L)) / lit(256)))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("fill"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("nd")).as("n_docs"),
+          sum(col("fill")).as("total_toks"), max(col("fill")).as("max_fill"))
+        .orderBy(col("lang"))
+    }),
+
     // Repetition signals (the Gopher repetition filters): most-frequent
     // word-bigram count and duplicate-trigram fraction per document.
     // Multiplicity-preserving n-grams via the native WordNgrams pass —
@@ -198,6 +266,48 @@ object Curation extends QueryPack {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(s2, '[0-9]{9,}')) AS BIGINT) AS n_num
         |FROM r2 ORDER BY id""".stripMargin,
+
+    "qi3_decontamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |  [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]
+        |   for i in range(1, len(w) - 4)])) AS g FROM d),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (g)
+        |      WHERE doc_id % 50 <> 0)
+        |SELECT (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0)
+        |         AS n_train,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_contaminated,
+        |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM c)
+        |         AS contam_id_sum""".stripMargin,
+
+    "qi4_mixture_resample" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents
+        |           GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |k AS (SELECT d.source, c.n_src,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000) * c.n_src < m.n_min * 1000000 AS keep
+        |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN m)
+        |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+        |  CAST(count_if(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "qi5_sequence_packing" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |p AS (SELECT lang, toks, CAST(floor(coalesce(sum(toks) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+        |  AS BIGINT) AS pack_id FROM d),
+        |g AS (SELECT lang, pack_id, count(*) AS nd, sum(toks) AS fill
+        |      FROM p GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_toks,
+        |  CAST(max(fill) AS BIGINT) AS max_fill
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     "qh3_repetition_signals" ->
       """WITH w AS (
