@@ -333,8 +333,86 @@ object Registry {
         "(element_at(__a, i).x - element_at(__a, i - 1).x) * " +
         "(element_at(__a, i).x - element_at(__a, i - 1).x) + " +
         "(element_at(__a, i).y - element_at(__a, i - 1).y) * " +
-        "(element_at(__a, i).y - element_at(__a, i - 1).y)))")
+        "(element_at(__a, i).y - element_at(__a, i - 1).y)))"),
+
+    // Bing tile functions (presto-geospatial BingTileFunctions.java:115-376,
+    // BingTile.java:86-124; Web-Mercator math per the Microsoft quadkey
+    // spec). A tile is struct<x:int, y:int, zoom:int> — the same struct
+    // convention as the st_* point pack; Presto's opaque BingTile type and
+    // its bigint cast are a storage detail we don't reproduce.
+    ("bing_tile", 3,
+      "named_struct('x', cast(__a as int), 'y', cast(__b as int), " +
+        "'zoom', cast(__c as int))"),
+    // quadkey → tile (BingTile.fromQuadKey): char i (1-indexed, most
+    // significant first) contributes bit (zoom - i) of x (digit & 1) and
+    // y ((digit >> 1) & 1).
+    ("bing_tile", 1,
+      "named_struct(" +
+        "'x', cast(case when length(__a) = 0 then 0 else aggregate(" +
+        "sequence(1, length(__a)), 0, (s, i) -> s + shiftleft(" +
+        "(ascii(substr(__a, i, 1)) - 48) & 1, length(__a) - i)) end as int), " +
+        "'y', cast(case when length(__a) = 0 then 0 else aggregate(" +
+        "sequence(1, length(__a)), 0, (s, i) -> s + shiftleft(" +
+        "shiftright(ascii(substr(__a, i, 1)) - 48, 1) & 1, length(__a) - i)) " +
+        "end as int), " +
+        "'zoom', length(__a))"),
+    ("bing_tile_quadkey", 1,
+      "case when __a.zoom = 0 then '' else array_join(transform(" +
+        "sequence(__a.zoom, 1, -1), i -> cast(" +
+        "(shiftright(__a.x, i - 1) & 1) + 2 * (shiftright(__a.y, i - 1) & 1) " +
+        "as string)), '') end"),
+    ("bing_tile_coordinates", 1, "named_struct('x', __a.x, 'y', __a.y)"),
+    ("bing_tile_zoom_level", 1, "__a.zoom"),
+    // bing_tile_at(lat, lon, zoom): pixel-axis projection then truncating
+    // division by the 256-pixel tile size, with the reference's clip to
+    // [0, mapSize-1] (BingTileFunctions.java:637-658).
+    ("bing_tile_at", 3,
+      s"named_struct('x', cast(${bingTileX("__b", "__c")} as int), " +
+        s"'y', cast(${bingTileY("__a", "__c")} as int), " +
+        "'zoom', cast(__c as int))"),
+    // 3x3 neighborhood clipped to the tile grid (BingTileFunctions.java:198).
+    ("bing_tiles_around", 3,
+      "filter(transform(sequence(0, 8), k -> named_struct(" +
+        s"'x', cast(${bingTileX("__b", "__c")} + (k % 3) - 1 as int), " +
+        s"'y', cast(${bingTileY("__a", "__c")} + (k div 3) - 1 as int), " +
+        "'zoom', cast(__c as int))), t -> " +
+        "t.x >= 0 and t.x <= shiftleft(1, cast(__c as int)) - 1 and " +
+        "t.y >= 0 and t.y <= shiftleft(1, cast(__c as int)) - 1)"),
+    // Tile envelope as a closed CCW ring of our struct points (the geo
+    // pack's polygon convention, composable with st_area/st_length);
+    // corner latitudes via the inverse Mercator (BingTileFunctions.java:601).
+    ("bing_tile_polygon", 1,
+      "array(" +
+        s"named_struct('x', ${bingTileLon("__a.x")}, 'y', ${bingTileLat("__a.y + 1")}), " +
+        s"named_struct('x', ${bingTileLon("__a.x + 1")}, 'y', ${bingTileLat("__a.y + 1")}), " +
+        s"named_struct('x', ${bingTileLon("__a.x + 1")}, 'y', ${bingTileLat("__a.y")}), " +
+        s"named_struct('x', ${bingTileLon("__a.x")}, 'y', ${bingTileLat("__a.y")}), " +
+        s"named_struct('x', ${bingTileLon("__a.x")}, 'y', ${bingTileLat("__a.y + 1")}))")
   )
+
+  // Web-Mercator building blocks for the bing_tile templates. `zoom` is an
+  // int-typed SQL fragment; axis values are clipped to [0, mapSize-1] then
+  // truncated and divided by the 256-pixel tile size, exactly the
+  // reference's axisToCoordinates (BingTileFunctions.java:655).
+  private def bingMapSize(zoom: String): String =
+    s"shiftleft(cast(256 as bigint), cast($zoom as int))"
+  private def bingAxisToTile(axis: String, zoom: String): String =
+    s"(cast(least(greatest(($axis) * ${bingMapSize(zoom)}, 0D), " +
+      s"cast(${bingMapSize(zoom)} - 1 as double)) as bigint) div 256)"
+  private def bingTileX(lon: String, zoom: String): String =
+    bingAxisToTile(s"(($lon) + 180D) / 360D", zoom)
+  private def bingTileY(lat: String, zoom: String): String =
+    bingAxisToTile(
+      s"0.5D - ln((1D + sin(($lat) * pi() / 180D)) / " +
+        s"(1D - sin(($lat) * pi() / 180D))) / (4D * pi())",
+      zoom)
+  // Inverse: tile corner → lon/lat (BingTileFunctions.java:601-610).
+  private def bingTileLon(x: String): String =
+    s"360D * (cast($x as double) / " +
+      "shiftleft(cast(1 as bigint), __a.zoom) - 0.5D)"
+  private def bingTileLat(y: String): String =
+    s"90D - 360D * atan(exp(-(0.5D - cast($y as double) / " +
+      "shiftleft(cast(1 as bigint), __a.zoom)) * 2D * pi())) / pi()"
 
   private val argNames = Seq("__a", "__b", "__c", "__d")
 
@@ -349,11 +427,17 @@ object Registry {
   def install(spark: SparkSession): Unit = synchronized {
     if (!installed.containsKey(spark)) {
       val registry = spark.sessionState.functionRegistry
-      templates.foreach { case (name, arity, sql) =>
-        val template = spark.sessionState.sqlParser.parseExpression(sql)
+      // Same-name templates with different arities are overloads (Presto
+      // overloads e.g. bing_tile(x, y, zoom) / bing_tile(quadkey)); the
+      // one registered builder dispatches on argument count.
+      templates.groupBy(_._1).foreach { case (name, overloads) =>
+        val byArity = overloads.map { case (_, arity, sql) =>
+          arity -> spark.sessionState.sqlParser.parseExpression(sql)
+        }.toMap
         val builder: Seq[Expression] => Expression = { args =>
-          require(args.length == arity,
-            s"$name expects $arity args, got ${args.length}")
+          val template = byArity.getOrElse(args.length, sys.error(
+            s"$name expects ${byArity.keys.toSeq.sorted.mkString(" or ")} " +
+              s"args, got ${args.length}"))
           template.transformUp {
             case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
               args(argNames.indexOf(n))
@@ -371,6 +455,14 @@ object Registry {
             // UnresolvedNamedLambdaVariable, not UnresolvedAttribute.
             case UnresolvedNamedLambdaVariable(Seq(n)) if argNames.contains(n) =>
               args(argNames.indexOf(n))
+            // ... and `__a.x` inside a lambda arrives as a MULTI-part
+            // lambda variable (the bing_tile templates hit this).
+            case UnresolvedNamedLambdaVariable(n +: rest)
+                if rest.nonEmpty && argNames.contains(n) =>
+              rest.foldLeft(args(argNames.indexOf(n))) { (e, field) =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedExtractValue(e, Literal(field))
+              }
           }
         }
         registry.registerFunction(FunctionIdentifier(name),

@@ -102,6 +102,52 @@ object Geo extends QueryPack {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Bing tile surface (BingTileFunctions.java): tile-at-point, quadkey
+    // encode/decode round-trip, constructor equality, clipped 3x3
+    // neighborhood, and the tile envelope (inverse Mercator corners,
+    // rounded to 9 dp — atan/exp are libm, not IEEE-exact across
+    // engines; the integer tile indices are floor-protected against ulp
+    // jitter except within ~1e-10 of a tile edge, which the fixture
+    // points avoid). Map-only (scan-speed); edge rows pin the clip
+    // branches at both map poles and zoom 1/23.
+    "qi6_bing_tiles" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH base AS (
+          |  SELECT c_custkey AS id,
+          |    ((c_custkey * 7919) % 1600) / 10.0 - 80.0 AS lat,
+          |    ((c_custkey * 104729) % 3600) / 10.0 - 180.0 AS lon,
+          |    cast(4 + c_custkey % 12 as int) AS z
+          |  FROM customer WHERE c_custkey <= 20
+          |  UNION ALL
+          |  SELECT * FROM VALUES
+          |    (1001L, 85.05112878D, -180.0D, 4),
+          |    (1002L, -85.05112878D, 179.9999D, 4),
+          |    (1003L, 0.0D, 0.0D, 1),
+          |    (1004L, 47.6097D, -122.3331D, 23) AS v(id, lat, lon, z)),
+          |t AS (SELECT id, lat, lon, z,
+          |        bing_tile_at(lat, lon, z) AS tile,
+          |        bing_tiles_around(lat, lon, z) AS around
+          |      FROM base),
+          |p AS (SELECT id, z, tile, around,
+          |        bing_tile_polygon(tile) AS poly,
+          |        bing_tile_quadkey(tile) AS qk
+          |      FROM t)
+          |SELECT id, tile.x AS tx, tile.y AS ty,
+          |  bing_tile_zoom_level(tile) AS zl, qk,
+          |  bing_tile(qk) = tile AS rt_ok,
+          |  bing_tile(tile.x, tile.y, z) = tile AS ctor_ok,
+          |  size(around) AS n_around,
+          |  aggregate(transform(around, a -> a.x + a.y), 0,
+          |            (s, v) -> s + v) AS around_sum,
+          |  round(element_at(poly, 1).x, 9) AS min_lon,
+          |  round(element_at(poly, 1).y, 9) AS min_lat,
+          |  round(element_at(poly, 3).x, 9) AS max_lon,
+          |  round(element_at(poly, 3).y, 9) AS max_lat
+          |FROM p ORDER BY id""".stripMargin)
+    }),
+
     // Geofence containment: convex point-in-polygon as edge sign tests
     // (pure builtin arithmetic), aggregated per market segment.
     "qe2_geofence" -> ((s, dir) => {
@@ -174,6 +220,54 @@ object Geo extends QueryPack {
           |    / (3 * (t1 + t2 + t3 + t4)) AS cy,
           |  w + h + w AS path_len
           |FROM t ORDER BY c_custkey""".stripMargin,
+
+      "qi6_bing_tiles" ->
+        """WITH base AS (
+          |  SELECT c_custkey AS id,
+          |    ((c_custkey * 7919) % 1600) / 10.0 - 80.0 AS lat,
+          |    ((c_custkey * 104729) % 3600) / 10.0 - 180.0 AS lon,
+          |    CAST(4 + c_custkey % 12 AS INT) AS z
+          |  FROM customer WHERE c_custkey <= 20
+          |  UNION ALL
+          |  SELECT * FROM (VALUES
+          |    (CAST(1001 AS BIGINT), 85.05112878, -180.0, CAST(4 AS INT)),
+          |    (1002, -85.05112878, 179.9999, 4),
+          |    (1003, 0.0, 0.0, 1),
+          |    (1004, 47.6097, -122.3331, 23)) AS v(id, lat, lon, z)),
+          |t AS (SELECT id, lat, lon, z,
+          |    ((CAST(256 AS BIGINT) << z)) AS ms,
+          |    ((1 << z) - 1) AS mt
+          |  FROM base),
+          |u AS (SELECT id, z, ms, mt,
+          |    CAST(floor(least(greatest(((lon + 180) / 360) * ms, 0),
+          |      ms - 1) / 256) AS INT) AS tx,
+          |    CAST(floor(least(greatest(
+          |      (0.5 - ln((1 + sin(lat * pi() / 180)) /
+          |                (1 - sin(lat * pi() / 180))) / (4 * pi())) * ms,
+          |      0), ms - 1) / 256) AS INT) AS ty
+          |  FROM t),
+          |a AS (SELECT id, z, tx, ty, mt,
+          |    greatest(tx - 1, 0) AS xa, least(tx + 1, mt) AS xb,
+          |    greatest(ty - 1, 0) AS ya, least(ty + 1, mt) AS yb
+          |  FROM u)
+          |SELECT id, tx, ty, z AS zl,
+          |  array_to_string([CAST(((tx >> (z - i)) & 1) +
+          |    2 * ((ty >> (z - i)) & 1) AS VARCHAR)
+          |    for i in range(1, z + 1)], '') AS qk,
+          |  true AS rt_ok, true AS ctor_ok,
+          |  CAST((xb - xa + 1) * (yb - ya + 1) AS INT) AS n_around,
+          |  CAST((yb - ya + 1) * (((xa + xb) * (xb - xa + 1)) // 2) +
+          |       (xb - xa + 1) * (((ya + yb) * (yb - ya + 1)) // 2)
+          |    AS INT) AS around_sum,
+          |  round(360 * (CAST(tx AS DOUBLE) / (1::BIGINT << z) - 0.5), 9)
+          |    AS min_lon,
+          |  round(90 - 360 * atan(exp(-(0.5 - CAST(ty + 1 AS DOUBLE) /
+          |    (1::BIGINT << z)) * 2 * pi())) / pi(), 9) AS min_lat,
+          |  round(360 * (CAST(tx + 1 AS DOUBLE) / (1::BIGINT << z) - 0.5), 9)
+          |    AS max_lon,
+          |  round(90 - 360 * atan(exp(-(0.5 - CAST(ty AS DOUBLE) /
+          |    (1::BIGINT << z)) * 2 * pi())) / pi(), 9) AS max_lat
+          |FROM a ORDER BY id""".stripMargin,
 
       "qe2_geofence" ->
         s"""WITH t AS (SELECT c_mktsegment, $xC AS x, $yC AS y FROM customer)

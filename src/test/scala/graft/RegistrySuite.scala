@@ -193,4 +193,28 @@ class RegistrySuite extends GraftSuite {
     assert(one[Long](
       "reduce(array(1L, 2L, 3L), 0L, (s, x) -> s + x, s -> s)") == 6L)
   }
+
+  test("bing tiles: quadkey spec example, round-trips, clip at poles") {
+    // The Microsoft quadkey doc's example: tile (3, 5) at zoom 3 <-> "213"
+    assert(one[String](
+      "bing_tile_quadkey(bing_tile(3, 5, 3))") == "213")
+    assert(one[Boolean](
+      "bing_tile(bing_tile_quadkey(bing_tile(3, 5, 3))) = bing_tile(3, 5, 3)"))
+    assert(one[Int]("bing_tile_zoom_level(bing_tile('213'))") == 3)
+    // bing_tile_at at the lat/lon extremes clips into the last/first tile
+    assert(one[Int]("bing_tile_at(-85.05112878, 0.0, 4).y") == 15)
+    assert(one[Int]("bing_tile_at(85.05112878, -180.0, 4).x") == 0)
+    // interior point: 3x3 neighborhood complete; corner point: clipped
+    assert(one[Int](
+      "size(bing_tiles_around(47.6097, -122.3331, 10))") == 9)
+    assert(one[Int](
+      "size(bing_tiles_around(85.05112878, -180.0, 4))") == 4)
+    // envelope corners invert the projection (zoom 1: hemispheres)
+    assert(one[Double](
+      "round(element_at(bing_tile_polygon(bing_tile(0, 0, 1)), 1).x, 9)")
+      == -180.0)
+    assert(one[Double](
+      "round(element_at(bing_tile_polygon(bing_tile(0, 0, 1)), 1).y, 9)")
+      == 0.0)
+  }
 }
