@@ -549,6 +549,45 @@ object Registry {
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))
+      // Presto color/render/bar pack (ColorFunctions.java) — native
+      // expressions; arity-dispatching builders mirror the reference
+      // overload sets.
+      def colorPack(name: String)(mk: Seq[Expression] => Expression): Unit =
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), mk)
+      colorPack("color") {
+        case Seq(a) => ColorFromString(a)
+        case Seq(f, lo, hi) =>
+          ColorInterpolate(Cast(f, DoubleType), Cast(lo, LongType),
+            Cast(hi, LongType))
+        // color(value, low, high, lowColor, highColor): rescale then
+        // interpolate (ColorFunctions.java:126-134)
+        case Seq(v, low, high, lc, hc) =>
+          import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract}
+          ColorInterpolate(
+            Divide(Subtract(Cast(v, DoubleType), Cast(low, DoubleType)),
+              Subtract(Cast(high, DoubleType), Cast(low, DoubleType))),
+            Cast(lc, LongType), Cast(hc, LongType))
+        case args => sys.error(s"color expects 1, 3 or 5 args, got ${args.length}")
+      }
+      colorPack("rgb") {
+        case Seq(r, g, b) =>
+          RgbColor(Cast(r, LongType), Cast(g, LongType), Cast(b, LongType))
+        case args => sys.error(s"rgb expects 3 args, got ${args.length}")
+      }
+      colorPack("render") {
+        case Seq(b) => RenderBoolean(b)
+        case Seq(v, c) => RenderColor(Cast(v, StringType), Cast(c, LongType))
+        case args => sys.error(s"render expects 1 or 2 args, got ${args.length}")
+      }
+      colorPack("bar") {
+        // 2-arg default gradient red -> green (ColorFunctions.java:196)
+        case Seq(p, w) => AnsiBar(Seq(Cast(p, DoubleType), Cast(w, LongType),
+          Literal(0xFF0000L), Literal(0x00FF00L)))
+        case Seq(p, w, lo, hi) => AnsiBar(Seq(Cast(p, DoubleType),
+          Cast(w, LongType), Cast(lo, LongType), Cast(hi, LongType)))
+        case args => sys.error(s"bar expects 2 or 4 args, got ${args.length}")
+      }
       // reduce: Presto's name for Spark's 4-arg aggregate HOF — must
       // resolve DIRECTLY to the Catalyst HigherOrderFunction class: a
       // template would return a nested UnresolvedFunction, and the

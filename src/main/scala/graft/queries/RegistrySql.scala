@@ -249,6 +249,75 @@ object RegistrySql extends QueryPack {
         |  (4, array('z'), 'a=0', '0B') AS t(id, arr, cfg, sz)
         |ORDER BY id""".stripMargin)),
 
+    // Color/render/bar pack (ColorFunctions.java) as verbatim Presto SQL:
+    // packed-bigint colors (system colors encode negative), ANSI 256-color
+    // render, HSB-interpolated color(), and block bars. The oracle carries
+    // hand-derived expected values: the ANSI cube index is integer math
+    // (16 + 36r' + 6g' + b', x' = x*6/256) and the interpolation rows sit
+    // on HSB sector boundaries (f = 0, 0.5, 1) where the float math is
+    // exactly representable. Gradient-bar escapes vary per block, so that
+    // column is gated on its block count.
+    "qi7_color_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  color(cname) AS c_sys,
+        |  color(hex3) AS c_hex,
+        |  rgb(r, g, b) AS c_rgb,
+        |  color(frac, color('#f00'), color('#0f0')) AS c_interp,
+        |  render(txt, color(hex3)) AS rendered,
+        |  render(flag) AS rendered_bool,
+        |  bar(frac, 6, color('#00f'), color('#00f')) AS bar_flat,
+        |  length(regexp_replace(bar(frac, 8), '[^█]', '')) AS grad_blocks
+        |FROM VALUES
+        |  (1, 'red', '#f00', 255L, 0L, 0L, 0.0D, 'hot', true),
+        |  (2, 'green', '#0f0', 0L, 255L, 0L, 0.5D, 'mid', false),
+        |  (3, 'blue', '#00f', 0L, 0L, 255L, 1.0D, 'cold', true),
+        |  (4, 'magenta', '#fa0', 250L, 128L, 7L, 1.0D, 'warm', false)
+        |  AS t(id, cname, hex3, r, g, b, frac, txt, flag)
+        |ORDER BY id""".stripMargin)),
+
+    // Verbatim lock of the remaining same-name array/map surface
+    // (ArrayUnionFunction.java, ArrayIntersectFunction.java,
+    // ArrayExceptFunction.java, ArrayMaxFunction/ArrayMinFunction.java,
+    // SequenceFunction.java, ArrayElementAtFunction.java,
+    // MapConcatFunction.java, MapZipWithFunction.java,
+    // MapTransformKeyFunction.java, MapEntriesFunction.java,
+    // TypeOfFunction.java): these resolve to Spark builtins unchanged, and
+    // this query pins their semantics (dedup on set algebra, negative
+    // element_at from the end, map-concat merge, zip over the key union).
+    // Outputs serialize sorted so neither engine's container order leaks.
+    // Divergences kept: typeof renders Spark type names ('array<string>'
+    // vs Presto 'array(varchar)'); map_concat on duplicate keys raises
+    // under Spark's default dedup policy where Presto's last-map-wins.
+    "qi8_array_map_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  array_join(array_sort(array_union(a, b)), ',') AS arr_u,
+        |  array_join(array_sort(array_intersect(a, b)), ',') AS arr_i,
+        |  array_join(array_sort(array_except(a, b)), ',') AS arr_e,
+        |  array_max(a) AS amax, array_min(a) AS amin,
+        |  array_join(reverse(a), ',') AS arev,
+        |  array_join(sequence(1, n), ',') AS seqs,
+        |  element_at(a, 1) AS a_first, element_at(a, -1) AS a_last,
+        |  array_join(array_sort(transform(map_entries(map_concat(m1, m2)),
+        |    e -> concat(e.key, '=', cast(e.value as string)))), ',')
+        |    AS mconcat,
+        |  array_join(array_sort(transform(map_entries(
+        |    map_zip_with(m1, m3, (k, v1, v2) ->
+        |      coalesce(v1, 0) + coalesce(v2, 0))),
+        |    e -> concat(e.key, '=', cast(e.value as string)))), ',') AS mzip,
+        |  array_join(array_sort(transform(map_entries(
+        |    transform_keys(m1, (k, v) -> upper(k))),
+        |    e -> concat(e.key, '=', cast(e.value as string)))), ',') AS mkeys,
+        |  typeof(a) AS t_arr, typeof(m1) AS t_map
+        |FROM VALUES
+        |  (1, array('b', 'a', 'c'), array('c', 'd'), 3,
+        |   map('x', 1, 'y', 2), map('z', 9), map('x', 5, 'q', 7)),
+        |  (2, array('m'), array('m', 'm', 'n'), 1,
+        |   map('k', 0), map('l', 1), map('k', 2)),
+        |  (3, array('z', 'z', 'y'), cast(array() as array<string>), 4,
+        |   map('a', 1), map('b', 2), map('c', 3))
+        |  AS t(id, a, b, n, m1, m2, m3)
+        |ORDER BY id""".stripMargin)),
+
     // FNV hashes + HMACs (FnvHash.java, HmacFunctions.java). HMAC rows
     // are the public RFC 2202/4231 test vectors (the oracle carries the
     // published digests); FNV is replayed computationally by the oracle
@@ -607,6 +676,56 @@ object RegistrySql extends QueryPack {
         |FROM t LEFT JOIN pairs ON pairs.id = t.id
         |JOIN kv ON kv.id = t.id
         |ORDER BY t.id""".stripMargin,
+
+    "qi7_color_sql" ->
+      """WITH t(id, c_sys, c_hex, c_rgb, c_interp, ansi, txt, bsym, bansi,
+        |       cnt, blocks) AS (VALUES
+        |  (1, -2, 16711680, 16711680, 16711680, 196, 'hot', '✓', 2, 0, 0),
+        |  (2, -3, 65280, 65280, 16776960, 46, 'mid', '✗', 1, 3, 4),
+        |  (3, -5, 255, 255, 65280, 21, 'cold', '✓', 2, 6, 8),
+        |  (4, -6, 16755200, 16416775, 65280, 214, 'warm', '✗', 1, 6, 8))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(c_sys AS BIGINT) AS c_sys, CAST(c_hex AS BIGINT) AS c_hex,
+        |  CAST(c_rgb AS BIGINT) AS c_rgb,
+        |  CAST(c_interp AS BIGINT) AS c_interp,
+        |  chr(27) || '[38;5;' || CAST(ansi AS VARCHAR) || 'm' || txt ||
+        |    chr(27) || '[0m' AS rendered,
+        |  chr(27) || '[38;5;' || CAST(bansi AS VARCHAR) || 'm' || bsym ||
+        |    chr(27) || '[0m' AS rendered_bool,
+        |  repeat(chr(27) || '[38;5;21m█', cnt) || chr(27) || '[0m' ||
+        |    repeat(' ', 6 - cnt) AS bar_flat,
+        |  CAST(blocks AS INT) AS grad_blocks
+        |FROM t ORDER BY id""".stripMargin,
+
+    "qi8_array_map_sql" ->
+      """WITH t(id, a, b, n, m1, m2, m3) AS (VALUES
+        |  (1, ['b', 'a', 'c'], ['c', 'd'], 3,
+        |   MAP{'x': 1, 'y': 2}, MAP{'z': 9}, MAP{'x': 5, 'q': 7}),
+        |  (2, ['m'], ['m', 'm', 'n'], 1,
+        |   MAP{'k': 0}, MAP{'l': 1}, MAP{'k': 2}),
+        |  (3, ['z', 'z', 'y'], CAST([] AS VARCHAR[]), 4,
+        |   MAP{'a': 1}, MAP{'b': 2}, MAP{'c': 3}))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  array_to_string(list_sort(list_distinct(a || b)), ',') AS arr_u,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> list_contains(b, x))), ','), '') AS arr_i,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> NOT list_contains(b, x))), ','), '') AS arr_e,
+        |  list_aggregate(a, 'max') AS amax, list_aggregate(a, 'min') AS amin,
+        |  array_to_string(list_reverse(a), ',') AS arev,
+        |  array_to_string(range(1, n + 1), ',') AS seqs,
+        |  a[1] AS a_first, a[-1] AS a_last,
+        |  array_to_string(list_sort([e.key || '=' || CAST(e.value AS VARCHAR)
+        |    for e in map_entries(map_concat(m1, m2))]), ',') AS mconcat,
+        |  array_to_string([k || '=' ||
+        |    CAST(coalesce(m1[k][1], 0) + coalesce(m3[k][1], 0) AS VARCHAR)
+        |    for k in list_sort(list_distinct(map_keys(m1) || map_keys(m3)))],
+        |    ',') AS mzip,
+        |  array_to_string(list_sort([upper(e.key) || '=' ||
+        |    CAST(e.value AS VARCHAR) for e in map_entries(m1)]), ',')
+        |    AS mkeys,
+        |  'array<string>' AS t_arr, 'map<string,int>' AS t_map
+        |FROM t ORDER BY id""".stripMargin,
 
     "qh5_hash_hmac_sql" ->
       """WITH t(id, algo, mac, data) AS (VALUES

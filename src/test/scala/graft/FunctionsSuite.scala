@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PrestoScalars, TextExpressions, VectorExpressions}
+import graft.functions.{ColorMath, PrestoScalars, TextExpressions, VectorExpressions}
 
 /** Unit tests for the scalar/vector function layer: edge cases the
   * differential oracle's fixture data cannot reach (nulls, unicode, empty
@@ -156,5 +156,27 @@ class FunctionsSuite extends GraftSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.range(3).agg(ApproxMostFrequent(8, col("id"), 4)).collect()
     }
+  }
+
+  test("color pack: parse forms, ANSI cube index, HSB endpoints, bar") {
+    assert(ColorMath.parse("#f00") == 0xFF0000L)
+    assert(ColorMath.parse("#fa0") == 0xFFAA00L) // CSS nibble replication
+    assert(ColorMath.parse("red") == -2L)
+    assert(ColorMath.parse("WHITE") == -8L) // case-insensitive system name
+    intercept[IllegalArgumentException](ColorMath.parse("#ff0000")) // 6-digit
+    intercept[IllegalArgumentException](ColorMath.parse("mauve"))
+    intercept[IllegalArgumentException](ColorMath.rgb(256, 0, 0))
+    // interpolation pins the endpoints and the sector-boundary midpoint
+    assert(ColorMath.interpolate(0.0, 0xFF0000L, 0x00FF00L) == 0xFF0000L)
+    assert(ColorMath.interpolate(1.0, 0xFF0000L, 0x00FF00L) == 0x00FF00L)
+    assert(ColorMath.interpolate(0.5, 0xFF0000L, 0x00FF00L) == 0xFFFF00L)
+    assert(ColorMath.interpolate(2.0, 0xFF0000L, 0x00FF00L) == 0x00FF00L)
+    // render: ESC[38;5;<cube>m prefix, reset suffix; 255,0,0 -> 196
+    assert(ColorMath.render("x", 0xFF0000L) == "\u001b[38;5;196mx\u001b[0m")
+    assert(ColorMath.renderBool(true) == "\u001b[38;5;2m✓\u001b[0m")
+    // bar: count = trunc(percent*width) blocks, then reset, then padding
+    val b = ColorMath.bar(0.5, 4, 0xFF0000L, 0xFF0000L)
+    assert(b.count(_ == '█') == 2 && b.endsWith("\u001b[0m  "))
+    assert(ColorMath.bar(-1.0, 3, 0L, 0L) == "\u001b[0m   ")
   }
 }
