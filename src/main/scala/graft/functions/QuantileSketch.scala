@@ -106,6 +106,29 @@ object QuantileSketch {
       else Double.NaN
     }
 
+    /** Approximate CDF — Presto quantile_at_value(qdigest, x)
+      * (QuantileDigestFunctions.java): fraction of mass at or below x,
+      * counting every bucket whose value range lies at/below x's bucket.
+      * Value-relative α error translates to rank error proportional to
+      * local density. */
+    def cdf(x: Double): Double = {
+      if (totalCount == 0) return Double.NaN
+      var acc = 0L
+      if (x >= 0.0) {
+        negBuckets.valuesIterator.foreach(acc += _)
+        acc += zeroCount
+        if (x > 0.0) {
+          val idx = math.ceil(math.log(x) / logGamma).toInt
+          buckets.foreach { case (k, v) => if (k <= idx) acc += v }
+        }
+      } else {
+        val idx = math.ceil(math.log(-x) / logGamma).toInt
+        // values <= x are negatives with magnitude >= -x: buckets >= idx
+        negBuckets.foreach { case (k, v) => if (k >= idx) acc += v }
+      }
+      acc.toDouble / totalCount
+    }
+
     def serialize(): Array[Byte] = {
       val buf = ByteBuffer.allocate(
         8 + 8 + 4 + 12 * buckets.size + 4 + 12 * negBuckets.size)
@@ -162,6 +185,12 @@ object QuantileSketch {
     ColumnBridge.toCol(DDSketchValueAt(
       ColumnBridge.toExpr(sketchCol),
       org.apache.spark.sql.catalyst.expressions.Literal(q)))
+
+  /** Column API: approximate rank of a value (Presto quantile_at_value). */
+  def quantileAt(sketchCol: Column, x: Double): Column =
+    ColumnBridge.toCol(DDSketchQuantileAt(
+      ColumnBridge.toExpr(sketchCol),
+      org.apache.spark.sql.catalyst.expressions.Literal(x)))
 }
 
 /** Sketch-build aggregate: double input → binary sketch state. */
@@ -284,6 +313,30 @@ case class DDSketchValueAt(left: Expression, right: Expression)
   override def nullSafeEval(sketch: Any, q: Any): Any =
     QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
       .quantile(q.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** quantile_at_value(qdigest, x): approximate rank of x in the sketch. */
+case class DDSketchQuantileAt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "ddsketch_quantile_at"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    QuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+      .cdf(x.asInstanceOf[Double])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

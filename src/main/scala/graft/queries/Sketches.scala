@@ -99,16 +99,24 @@ object Sketches extends QueryPack {
           .sketch(col("l_extendedprice"), 0.01).as("sk"))
         .select(col("l_returnflag"),
           graft.functions.QuantileSketch.valueAt(col("sk"), 0.5).as("p50_est"),
-          graft.functions.QuantileSketch.valueAt(col("sk"), 0.95).as("p95_est"))
+          graft.functions.QuantileSketch.valueAt(col("sk"), 0.95).as("p95_est"),
+          graft.functions.QuantileSketch.quantileAt(col("sk"), 40000.0)
+            .as("q_at_40k"))
+      val cdfExact = li.groupBy(col("l_returnflag"))
+        .agg(avg(when(col("l_extendedprice") <= 40000.0, 1.0).otherwise(0.0))
+          .as("cdf_ex"))
       val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"))
-      exact.join(est, "l_returnflag")
+      exact.join(est, "l_returnflag").join(cdfExact, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("p50_ex"), 6).as("p50_exact"),
           (abs(col("p50_est") - col("p50_ex")) <= col("p50_ex") * 0.02)
             .as("p50_ok"),
           round(col("p95_ex"), 6).as("p95_exact"),
           (abs(col("p95_est") - col("p95_ex")) <= col("p95_ex") * 0.02)
-            .as("p95_ok"))
+            .as("p95_ok"),
+          // quantile_at_value (QuantileDigestFunctions.java): rank of
+          // 40000 within tolerance of the exact data fraction
+          (abs(col("q_at_40k") - col("cdf_ex")) <= lit(0.02)).as("cdf_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -135,6 +143,52 @@ object Sketches extends QueryPack {
           (col("p50_merged") === col("p50_direct")).as("merge_exact_ok"),
           (abs(col("p50_merged") - col("p50_ex")) <= col("p50_ex") * 0.02)
             .as("merge_tol_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // t-digest (TDigest.java, TDigestFunctions.java): the second digest
+    // family, rank-accurate at the tails. Gates: value_at_quantile within
+    // 2% of exact at p50/p95; quantile_at_value of the exact median lands
+    // in [0.45, 0.55]; per-supplier partials merged via merge_tdigest stay
+    // within 2%; scale_tdigest (uniform weight rescale) leaves quantiles
+    // unchanged. Centroid layout is merge-order-dependent by construction,
+    // so unlike qc7 the merge gate is tolerance, not byte equality.
+    "qi9_tdigest" -> ((s, dir) => {
+      val td = graft.functions.TDigest
+      val li = Tables.view(s, dir, "lineitem")
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(td.sketch(col("l_extendedprice")).as("sk"))
+        .select(col("l_returnflag"),
+          td.valueAt(col("sk"), 0.5).as("p50_est"),
+          td.valueAt(col("sk"), 0.95).as("p95_est"),
+          td.quantileAt(col("sk"), 40000.0).as("q_at_40k"),
+          td.valueAt(col("sk"), 0.5).as("p50_unscaled"),
+          td.valueAt(td.scaled(col("sk"), 3.0), 0.5).as("p50_scaled"))
+      val merged = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(td.sketch(col("l_extendedprice")).as("psk"))
+        .groupBy(col("l_returnflag"))
+        .agg(td.merge(col("psk")).as("msk"))
+        .select(col("l_returnflag"),
+          td.valueAt(col("msk"), 0.5).as("p50_merged"))
+      val cdfExact = li.groupBy(col("l_returnflag"))
+        .agg(avg(when(col("l_extendedprice") <= 40000.0, 1.0).otherwise(0.0))
+          .as("cdf_ex"))
+      val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"))
+      exact.join(direct, "l_returnflag").join(merged, "l_returnflag")
+        .join(cdfExact, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50_ex"), 6).as("p50_exact"),
+          (abs(col("p50_est") - col("p50_ex")) <= col("p50_ex") * 0.02)
+            .as("p50_ok"),
+          (abs(col("p95_est") - col("p95_ex")) <= col("p95_ex") * 0.02)
+            .as("p95_ok"),
+          (abs(col("p50_merged") - col("p50_ex")) <= col("p50_ex") * 0.02)
+            .as("merge_ok"),
+          // inverse lookup: sketch CDF at 40000 within rank tolerance of
+          // the exact data fraction
+          (abs(col("q_at_40k") - col("cdf_ex")) <= lit(0.02)).as("cdf_ok"),
+          (abs(col("p50_scaled") - col("p50_unscaled")) <=
+            abs(col("p50_unscaled")) * 1e-9).as("scale_invariant_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -242,12 +296,18 @@ object Sketches extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
         |  TRUE AS p50_ok,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
-        |  TRUE AS p95_ok
+        |  TRUE AS p95_ok, TRUE AS cdf_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "qc7_qdigest_merge" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
         |  TRUE AS merge_exact_ok, TRUE AS merge_tol_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qi9_tdigest" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS merge_ok,
+        |  TRUE AS cdf_ok, TRUE AS scale_invariant_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "qe4_approx_most_frequent" ->
       """WITH c AS (

@@ -71,4 +71,61 @@ class QuantileSketchSuite extends AnyFunSuite {
       intercept[IllegalArgumentException](zeros.quantile(bad))
     assert(build(Seq.empty).quantile(0.5).isNaN)
   }
+
+  test("cdf: rank within alpha-induced tolerance, signs and edges") {
+    val xs = (1 to 1000).map(_.toDouble)
+    val st = build(xs)
+    assert(math.abs(st.cdf(500.0) - 0.5) <= 0.02)
+    assert(st.cdf(0.5) == 0.0) // below every value
+    assert(st.cdf(2000.0) == 1.0)
+    val mixed = build(Seq(-5.0, -1.0, 0.0, 1.0, 5.0))
+    assert(math.abs(mixed.cdf(0.0) - 0.6) <= 0.01) // -5, -1, 0
+    assert(math.abs(mixed.cdf(-1.0) - 0.4) <= 0.01) // -5, -1
+    assert(build(Seq.empty).cdf(1.0).isNaN)
+  }
+
+  test("tdigest: quantiles, cdf inverse, weighted, merge, scale") {
+    import graft.functions.TDigest
+    // deterministic pseudo-shuffled stream, no Random (replayable)
+    val xs = (0 until 20000).map(i => ((i * 7919) % 20000).toDouble)
+    val st = new TDigest.State(100.0)
+    xs.foreach(st.insert(_))
+    for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+      val exact = q * 19999.0
+      assert(math.abs(st.quantile(q) - exact) <= 19999.0 * 0.01,
+        s"q=$q est=${st.quantile(q)} exact=$exact")
+    }
+    // min/max pinned exactly at the extremes
+    assert(st.quantile(0.0) == 0.0 && st.quantile(1.0) == 19999.0)
+    // cdf is the approximate inverse of quantile
+    for (x <- Seq(1000.0, 10000.0, 19000.0)) {
+      assert(math.abs(st.cdf(x) - (x + 1) / 20000.0) <= 0.01)
+    }
+    // bounded state after compression
+    st.compress()
+    assert(st.means.length <= 200)
+    // weight w behaves like w duplicate inserts
+    val a = new TDigest.State(100.0)
+    val b = new TDigest.State(100.0)
+    (1 to 500).foreach { i => a.insert(i.toDouble, 3.0) }
+    (1 to 500).foreach { i => (1 to 3).foreach(_ => b.insert(i.toDouble)) }
+    assert(math.abs(a.quantile(0.5) - b.quantile(0.5)) <= 500 * 0.02)
+    // merge of disjoint halves covers the union
+    val lo = new TDigest.State(100.0)
+    val hi = new TDigest.State(100.0)
+    (0 until 5000).foreach(i => lo.insert(i.toDouble))
+    (5000 until 10000).foreach(i => hi.insert(i.toDouble))
+    lo.mergeWith(hi)
+    assert(math.abs(lo.quantile(0.5) - 4999.5) <= 9999 * 0.02)
+    assert(lo.quantile(1.0) == 9999.0)
+    // scale preserves quantiles, multiplies mass
+    val sc = st.scale(5.0)
+    assert(math.abs(sc.quantile(0.5) - st.quantile(0.5)) <= 1e-9)
+    assert(math.abs(sc.total - st.total * 5.0) <= 1e-6)
+    // serialization round-trips
+    val rt = TDigest.deserialize(st.serialize())
+    assert(rt.quantile(0.5) == st.quantile(0.5))
+    intercept[IllegalArgumentException](st.quantile(1.5))
+    intercept[IllegalArgumentException](st.insert(1.0, -1.0))
+  }
 }
