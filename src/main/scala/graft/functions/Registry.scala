@@ -184,6 +184,21 @@ object Registry {
     ("from_iso8601_date", 1, "to_date(__a)"),
     ("from_iso8601_timestamp", 1, "to_timestamp(__a)"),
     ("regexp_split", 2, "split(__a, __b)"),
+    // Timezone surface (DateTimeFunctions.java at_timezone/with_timezone,
+    // timezone_hour/timezone_minute). Spark timestamps carry no zone, so
+    // the 1-arg Presto forms (which read the value's embedded zone) become
+    // 2-arg (ts, zone) spellings over the UTC session: at_timezone shifts
+    // an instant to the zone's wall clock, with_timezone interprets a wall
+    // clock IN the zone as an instant; the offset extractors truncate
+    // toward zero so -3:30 zones report (-3, -30) like the reference.
+    ("at_timezone", 2, "convert_timezone('UTC', __b, __a)"),
+    ("with_timezone", 2, "convert_timezone(__b, 'UTC', __a)"),
+    ("timezone_hour", 2,
+      "(cast(cast(convert_timezone('UTC', __b, __a) as timestamp) as long) " +
+        "- cast(cast(__a as timestamp) as long)) div 3600"),
+    ("timezone_minute", 2,
+      "((cast(cast(convert_timezone('UTC', __b, __a) as timestamp) as long) " +
+        "- cast(cast(__a as timestamp) as long)) % 3600) div 60"),
     // parse_duration('2.25h') → day-time interval; invalid strings raise,
     // as Presto's INVALID_FUNCTION_ARGUMENT (no silent nulls).
     ("parse_duration", 1,

@@ -186,6 +186,40 @@ object Ann extends QueryPack {
         .orderBy(col("actual"))
     }),
 
+    // Classification-metric aggregates (ClassificationPrecisionAggregation,
+    // ClassificationRecallAggregation, ClassificationFallOutAggregation,
+    // ClassificationMissRateAggregation, ClassificationThresholdsAggregation
+    // — presto-main/.../aggregation/): precision/recall/fall-out/miss-rate
+    // at 10 evenly spaced thresholds over a [0,1] prediction score. The
+    // reference returns one array per metric; here each threshold is a row
+    // (the same information, joinable downstream). Plan: one bucket
+    // aggregation over the fact table (map-side partial), then a 10x10
+    // threshold x bucket cross of TINY aggregates — the data pass is a
+    // single scan at 100 TB. Ratios stay unrounded: integer-count
+    // divisions are IEEE-exact, so the oracle hash-matches bitwise.
+    "qj3_classification_metrics" -> ((s, dir) => {
+      val li = Tables.view(s, dir, "lineitem")
+      // outcome: returned line; score: discount mapped onto [0,1]
+      val bk = li.select((col("l_returnflag") === "R").as("pos"),
+          floor(col("l_discount") * 100).cast("int").as("bk"))
+        .groupBy(col("bk"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n"))
+      val th = s.range(10).select(col("id").cast("int").as("t"))
+      th.crossJoin(broadcast(bk))
+        .groupBy(col("t"))
+        .agg(sum(when(col("bk") >= col("t"), col("p")).otherwise(0L)).as("tp"),
+          sum(when(col("bk") >= col("t"), col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("bk") < col("t"), col("p")).otherwise(0L)).as("fn"),
+          sum(when(col("bk") < col("t"), col("n")).otherwise(0L)).as("tn"))
+        .select((col("t") / 10.0).as("threshold"),
+          (col("tp") / (col("tp") + col("fp")).cast("double")).as("precision"),
+          (col("tp") / (col("tp") + col("fn")).cast("double")).as("recall"),
+          (col("fp") / (col("fp") + col("tn")).cast("double")).as("fall_out"),
+          (col("fn") / (col("tp") + col("fn")).cast("double")).as("miss_rate"))
+        .orderBy(col("threshold"))
+    }),
+
     // Symmetric int8 quantization (per-vector absmax scale) with dequant
     // error bounds — the storage-shrink step of an embedding pipeline
     // (~4x over float32 before ANN indexing). Map-only per row; the
@@ -242,6 +276,26 @@ object Ann extends QueryPack {
       .stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "qj3_classification_metrics" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_discount * 100) AS INT) AS bk,
+        |    count_if(l_returnflag = 'R') AS p,
+        |    count_if(l_returnflag <> 'R') AS n
+        |  FROM lineitem GROUP BY 1),
+        |th AS (SELECT CAST(i AS INT) AS t FROM range(0, 10) r(i)),
+        |c AS (SELECT t,
+        |    sum(CASE WHEN bk >= t THEN p ELSE 0 END) AS tp,
+        |    sum(CASE WHEN bk >= t THEN n ELSE 0 END) AS fp,
+        |    sum(CASE WHEN bk < t THEN p ELSE 0 END) AS fn,
+        |    sum(CASE WHEN bk < t THEN n ELSE 0 END) AS tn
+        |  FROM th CROSS JOIN b GROUP BY t)
+        |SELECT CAST(t AS DOUBLE) / 10.0 AS threshold,
+        |  tp / CAST(tp + fp AS DOUBLE) AS precision,
+        |  tp / CAST(tp + fn AS DOUBLE) AS recall,
+        |  fp / CAST(fp + tn AS DOUBLE) AS fall_out,
+        |  fn / CAST(tp + fn AS DOUBLE) AS miss_rate
+        |FROM c ORDER BY threshold""".stripMargin,
+
     "qf3_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings WHERE vec_id < 100),

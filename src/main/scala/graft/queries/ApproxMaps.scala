@@ -119,6 +119,33 @@ object ApproxMaps extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // numeric_histogram(buckets, x) (NumericHistogram.java via
+    // DoubleHistogramAggregation): adaptive Ben-Haim/Tom-Tov bins as
+    // map<double,double>. Bin placement is arrival-order-dependent, so
+    // the gate tests the algorithm's exact invariants instead: bin count
+    // pinned at capacity (50 distinct quantities > 10 bins), total
+    // weight conserved exactly, weighted mean equal to the true mean up
+    // to float rounding, bins inside the observed range.
+    "qj1_numeric_histogram" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.NumericHistogram.agg(10, col("l_quantity"))
+            .as("h"),
+          count(lit(1)).as("n"), avg(col("l_quantity")).as("mean"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+        .select(col("l_returnflag"),
+          size(col("h")).as("n_bins"),
+          expr("cast(aggregate(map_values(h), 0D, (s, x) -> s + x) as bigint)")
+            .as("total_w"),
+          expr("""abs(aggregate(map_entries(h), 0D,
+                |      (s, e) -> s + e.key * e.value)
+                |    / aggregate(map_values(h), 0D, (s, x) -> s + x)
+                |    - mean) <= mean * 1e-9""".stripMargin).as("wmean_ok"),
+          expr("array_min(map_keys(h)) >= mn AND array_max(map_keys(h)) <= mx")
+            .as("span_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // arbitrary() over a group-constant column (deterministic by
     // construction, so the oracle can pin it with min()).
     "q88_arbitrary" -> ((s, dir) =>
@@ -142,6 +169,13 @@ object ApproxMaps extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "qj1_numeric_histogram" ->
+      """SELECT l_returnflag, CAST(10 AS INT) AS n_bins,
+        |  CAST(count(*) AS BIGINT) AS total_w,
+        |  TRUE AS wmean_ok, TRUE AS span_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q85_approx_aggs" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_partkey) AS exact_parts,

@@ -275,6 +275,25 @@ object RegistrySql extends QueryPack {
         |  AS t(id, cname, hex3, r, g, b, frac, txt, flag)
         |ORDER BY id""".stripMargin)),
 
+    // Timezone functions over fixed instants spanning DST boundaries and
+    // half/quarter-hour zones; the oracle carries hand-derived wall-clock
+    // literals (IANA offsets are public constants), so no timezone engine
+    // is needed on the oracle side.
+    "qj2_timezone_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  at_timezone(ts, zone) AS local_wall,
+        |  with_timezone(ts, zone) AS instant_utc,
+        |  timezone_hour(ts, zone) AS tzh,
+        |  timezone_minute(ts, zone) AS tzm
+        |FROM VALUES
+        |  (1, timestamp '2020-01-15 12:00:00', 'America/Los_Angeles'),
+        |  (2, timestamp '2020-07-15 12:00:00', 'America/Los_Angeles'),
+        |  (3, timestamp '2020-01-15 12:00:00', 'Asia/Kolkata'),
+        |  (4, timestamp '2020-01-15 23:00:00', 'Asia/Kathmandu'),
+        |  (5, timestamp '2020-01-15 12:00:00', 'America/St_Johns')
+        |  AS t(id, ts, zone)
+        |ORDER BY id""".stripMargin)),
+
     // Verbatim lock of the remaining same-name array/map surface
     // (ArrayUnionFunction.java, ArrayIntersectFunction.java,
     // ArrayExceptFunction.java, ArrayMaxFunction/ArrayMinFunction.java,
@@ -696,6 +715,23 @@ object RegistrySql extends QueryPack {
         |    repeat(' ', 6 - cnt) AS bar_flat,
         |  CAST(blocks AS INT) AS grad_blocks
         |FROM t ORDER BY id""".stripMargin,
+
+    "qj2_timezone_sql" ->
+      """SELECT CAST(id AS BIGINT) AS id, local_wall, instant_utc,
+        |  CAST(tzh AS BIGINT) AS tzh, CAST(tzm AS BIGINT) AS tzm
+        |FROM (VALUES
+        |  (1, TIMESTAMP '2020-01-15 04:00:00',
+        |      TIMESTAMP '2020-01-15 20:00:00', -8, 0),
+        |  (2, TIMESTAMP '2020-07-15 05:00:00',
+        |      TIMESTAMP '2020-07-15 19:00:00', -7, 0),
+        |  (3, TIMESTAMP '2020-01-15 17:30:00',
+        |      TIMESTAMP '2020-01-15 06:30:00', 5, 30),
+        |  (4, TIMESTAMP '2020-01-16 04:45:00',
+        |      TIMESTAMP '2020-01-15 17:15:00', 5, 45),
+        |  (5, TIMESTAMP '2020-01-15 08:30:00',
+        |      TIMESTAMP '2020-01-15 15:30:00', -3, -30))
+        |  AS t(id, local_wall, instant_utc, tzh, tzm)
+        |ORDER BY id""".stripMargin,
 
     "qi8_array_map_sql" ->
       """WITH t(id, a, b, n, m1, m2, m3) AS (VALUES

@@ -61,6 +61,53 @@ object Views extends QueryPack {
 
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
+    // SHOW STATS analog (presto-main ShowStatsRewrite + the ANALYZE
+    // column-statistics surface): one row per column with the reference's
+    // exact output shape — column_name, data_size (char columns),
+    // distinct_values_count, nulls_fraction, row_count (summary row),
+    // low_value, high_value. One aggregation pass computes every stat;
+    // the multi-column countDistinct plans as one Expand (row x 5) +
+    // hash aggregate — the same shape Presto's ANALYZE runs, paid once
+    // per ANALYZE, not per query. Values here are exact (the gate needs
+    // determinism); a production deployment would swap approx_count_
+    // distinct for the NDVs at identical plan shape.
+    "qj0_show_stats" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH a AS (SELECT
+          |    count(*) AS rc,
+          |    count(DISTINCT l_orderkey) AS d_o, min(l_orderkey) AS lo_o,
+          |    max(l_orderkey) AS hi_o, count(l_orderkey) AS nn_o,
+          |    count(DISTINCT l_quantity) AS d_q, min(l_quantity) AS lo_q,
+          |    max(l_quantity) AS hi_q, count(l_quantity) AS nn_q,
+          |    count(DISTINCT l_returnflag) AS d_f, min(l_returnflag) AS lo_f,
+          |    max(l_returnflag) AS hi_f, count(l_returnflag) AS nn_f,
+          |    sum(length(l_returnflag)) AS sz_f,
+          |    count(DISTINCT l_shipdate) AS d_d, min(l_shipdate) AS lo_d,
+          |    max(l_shipdate) AS hi_d, count(l_shipdate) AS nn_d
+          |  FROM lineitem)
+          |SELECT stack(5,
+          |  'l_orderkey', cast(null as bigint), d_o,
+          |    1.0D - nn_o / cast(rc as double), cast(null as bigint),
+          |    cast(lo_o as string), cast(hi_o as string),
+          |  'l_quantity', cast(null as bigint), d_q,
+          |    1.0D - nn_q / cast(rc as double), cast(null as bigint),
+          |    cast(lo_q as string), cast(hi_q as string),
+          |  'l_returnflag', sz_f, d_f,
+          |    1.0D - nn_f / cast(rc as double), cast(null as bigint),
+          |    lo_f, hi_f,
+          |  'l_shipdate', cast(null as bigint), d_d,
+          |    1.0D - nn_d / cast(rc as double), cast(null as bigint),
+          |    cast(lo_d as string), cast(hi_d as string),
+          |  cast(null as string), cast(null as bigint),
+          |    cast(null as bigint), cast(null as double), rc,
+          |    cast(null as string), cast(null as string))
+          |  AS (column_name, data_size, distinct_values_count,
+          |      nulls_fraction, row_count, low_value, high_value)
+          |FROM a
+          |ORDER BY column_name NULLS FIRST""".stripMargin)
+    }),
+
     "qc3_view_metadata" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_v_meta1 AS SELECT 1 AS x")
@@ -84,6 +131,38 @@ object Views extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+
+    "qj0_show_stats" ->
+      """WITH a AS (SELECT
+        |    count(*) AS rc,
+        |    count(DISTINCT l_orderkey) AS d_o, min(l_orderkey) AS lo_o,
+        |    max(l_orderkey) AS hi_o, count(l_orderkey) AS nn_o,
+        |    count(DISTINCT l_quantity) AS d_q, min(l_quantity) AS lo_q,
+        |    max(l_quantity) AS hi_q, count(l_quantity) AS nn_q,
+        |    count(DISTINCT l_returnflag) AS d_f, min(l_returnflag) AS lo_f,
+        |    max(l_returnflag) AS hi_f, count(l_returnflag) AS nn_f,
+        |    sum(length(l_returnflag)) AS sz_f,
+        |    count(DISTINCT l_shipdate) AS d_d, min(l_shipdate) AS lo_d,
+        |    max(l_shipdate) AS hi_d, count(l_shipdate) AS nn_d
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, CAST(NULL AS BIGINT) AS data_size,
+        |  CAST(d_o AS BIGINT) AS distinct_values_count,
+        |  1.0 - nn_o / CAST(rc AS DOUBLE) AS nulls_fraction,
+        |  CAST(NULL AS BIGINT) AS row_count,
+        |  CAST(lo_o AS VARCHAR) AS low_value, CAST(hi_o AS VARCHAR) AS high_value
+        |FROM a
+        |UNION ALL SELECT 'l_quantity', NULL, CAST(d_q AS BIGINT),
+        |  1.0 - nn_q / CAST(rc AS DOUBLE), NULL,
+        |  CAST(lo_q AS VARCHAR), CAST(hi_q AS VARCHAR) FROM a
+        |UNION ALL SELECT 'l_returnflag', CAST(sz_f AS BIGINT),
+        |  CAST(d_f AS BIGINT), 1.0 - nn_f / CAST(rc AS DOUBLE), NULL,
+        |  lo_f, hi_f FROM a
+        |UNION ALL SELECT 'l_shipdate', NULL, CAST(d_d AS BIGINT),
+        |  1.0 - nn_d / CAST(rc AS DOUBLE), NULL,
+        |  CAST(lo_d AS VARCHAR), CAST(hi_d AS VARCHAR) FROM a
+        |UNION ALL SELECT NULL, NULL, NULL, NULL, CAST(rc AS BIGINT),
+        |  NULL, NULL FROM a
+        |ORDER BY column_name NULLS FIRST""".stripMargin,
 
     "qc3_view_metadata" ->
       """SELECT * FROM (VALUES ('graft_v_meta1', true), ('graft_v_meta2', true))

@@ -158,6 +158,37 @@ class FunctionsSuite extends GraftSuite {
     }
   }
 
+  test("numeric_histogram: capacity, conservation, range, merge") {
+    import graft.functions.NumericHistogram
+    val st = new NumericHistogram.State(8)
+    val xs = (0 until 1000).map(i => ((i * 7919) % 97).toDouble)
+    xs.foreach(st.add(_))
+    assert(st.values.length == 8)
+    assert(st.weights.sum == 1000.0) // weight conserved exactly
+    val wmean = st.values.zip(st.weights).map { case (v, w) => v * w }.sum /
+      st.weights.sum
+    assert(math.abs(wmean - xs.sum / xs.size) <= 1e-9 * xs.max)
+    assert(st.values.min >= xs.min && st.values.max <= xs.max)
+    assert(st.values.toSeq == st.values.sorted.toSeq)
+    // exact when distinct values fit the capacity
+    val small = new NumericHistogram.State(8)
+    Seq(1.0, 2.0, 2.0, 5.0).foreach(small.add(_))
+    assert(small.values.toSeq == Seq(1.0, 2.0, 5.0))
+    assert(small.weights.toSeq == Seq(1.0, 2.0, 1.0))
+    // merge conserves weight and respects capacity
+    val a = new NumericHistogram.State(8)
+    val b = new NumericHistogram.State(8)
+    xs.take(500).foreach(a.add(_))
+    xs.drop(500).foreach(b.add(_))
+    a.mergeWith(b)
+    assert(a.values.length == 8 && a.weights.sum == 1000.0)
+    // serialization round-trip
+    val rt = NumericHistogram.deserialize(st.serialize())
+    assert(rt.values.toSeq == st.values.toSeq &&
+      rt.weights.toSeq == st.weights.toSeq)
+    intercept[IllegalArgumentException](st.add(1.0, 0.0))
+  }
+
   test("color pack: parse forms, ANSI cube index, HSB endpoints, bar") {
     assert(ColorMath.parse("#f00") == 0xFF0000L)
     assert(ColorMath.parse("#fa0") == 0xFFAA00L) // CSS nibble replication
