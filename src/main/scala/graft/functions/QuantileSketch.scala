@@ -129,6 +129,21 @@ object QuantileSketch {
       acc.toDouble / totalCount
     }
 
+    /** scale_qdigest (QuantileDigestFunctions.java): multiply every
+      * count by a positive factor, rounding to whole counts (the
+      * reference's qdigest stores double weights; ours are longs). */
+    def scale(factor: Double): State = {
+      require(factor > 0, "scale factor must be positive")
+      val st = new State(alpha)
+      def sc(v: Long): Long = math.max(0L, math.round(v * factor))
+      buckets.foreach { case (k, v) => st.buckets.update(k, sc(v)) }
+      negBuckets.foreach { case (k, v) => st.negBuckets.update(k, sc(v)) }
+      st.zeroCount = sc(zeroCount)
+      st.totalCount = st.zeroCount + st.buckets.valuesIterator.sum +
+        st.negBuckets.valuesIterator.sum
+      st
+    }
+
     def serialize(): Array[Byte] = {
       val buf = ByteBuffer.allocate(
         8 + 8 + 4 + 12 * buckets.size + 4 + 12 * negBuckets.size)
@@ -317,6 +332,81 @@ case class DDSketchValueAt(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared base for the vector digest lookups: works over EITHER digest
+  * family. The serialized header's first double discriminates — a
+  * DDSketch starts with alpha ∈ (0, 1), a t-digest with compression > 1
+  * (both constructors enforce their ranges). */
+private[functions] trait DigestVector extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  protected def lookup(dd: QuantileSketch.State, td: TDigest.State,
+      arg: Double): Double
+
+  override def nullSafeEval(sk: Any, arr: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    val xs = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val head = java.nio.ByteBuffer.wrap(bytes).getDouble
+    val (dd, td) =
+      if (head < 1.0) (QuantileSketch.deserialize(bytes), null)
+      else (null, TDigest.deserialize(bytes))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      xs.map(lookup(dd, td, _)))
+  }
+}
+
+/** values_at_quantiles(digest, array<q>) → array of estimates. */
+case class DigestValuesAt(left: Expression, right: Expression)
+    extends DigestVector {
+  override def prettyName: String = "values_at_quantiles"
+  override protected def lookup(dd: QuantileSketch.State,
+      td: TDigest.State, q: Double): Double =
+    if (dd != null) dd.quantile(q) else td.quantile(q)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** quantiles_at_values(digest, array<x>) → array of ranks. */
+case class DigestQuantilesAt(left: Expression, right: Expression)
+    extends DigestVector {
+  override def prettyName: String = "quantiles_at_values"
+  override protected def lookup(dd: QuantileSketch.State,
+      td: TDigest.State, x: Double): Double =
+    if (dd != null) dd.cdf(x) else td.cdf(x)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** scale_qdigest(qdigest, factor): rescaled counts, binary out. */
+case class DDSketchScale(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "scale_qdigest"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(sk: Any, f: Any): Any =
+    QuantileSketch.deserialize(sk.asInstanceOf[Array[Byte]])
+      .scale(f.asInstanceOf[Double]).serialize()
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** quantile_at_value(qdigest, x): approximate rank of x in the sketch. */

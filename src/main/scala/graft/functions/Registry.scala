@@ -350,6 +350,92 @@ object Registry {
         "(element_at(__a, i).y - element_at(__a, i - 1).y) * " +
         "(element_at(__a, i).y - element_at(__a, i - 1).y)))"),
 
+    // --- round-5 coverage-audit batch (names surfaced by diffing the
+    // reference's @ScalarFunction annotations against this registry;
+    // tools/scala/ProbeCoverage.scala) ---
+    // strrpos (StringFunctions.java): LAST occurrence, 1-based, 0 if absent
+    ("strrpos", 2,
+      "CASE WHEN instr(reverse(__a), reverse(__b)) = 0 THEN 0L " +
+        "ELSE cast(length(__a) - instr(reverse(__a), reverse(__b)) " +
+        "- length(__b) + 2 as bigint) END"),
+    // URL-safe base64 (VarbinaryFunctions.java to/fromBase64Url)
+    ("to_base64url", 1, "translate(base64(__a), '+/', '-_')"),
+    ("from_base64url", 1, "unbase64(translate(__a, '-_', '+/'))"),
+    // big-endian two's-complement byte images (VarbinaryFunctions.java)
+    ("to_big_endian_64", 1, "unhex(lpad(hex(cast(__a as bigint)), 16, '0'))"),
+    ("from_big_endian_64", 1,
+      beSigned("__a", "9223372036854775807", "18446744073709551616", "bigint")),
+    ("to_big_endian_32", 1,
+      "unhex(lpad(hex(cast(__a as bigint) & 4294967295), 8, '0'))"),
+    ("from_big_endian_32", 1,
+      beSigned("__a", "2147483647", "4294967296", "int")),
+    // CombineHashFunction.java:28 — the hash-chaining primitive
+    ("combine_hash", 2, "31 * cast(__a as bigint) + cast(__b as bigint)"),
+    // MathFunctions.random: 0-arg uniform double, 1-arg integer [0, n)
+    ("random", 0, "rand()"),
+    ("random", 1, "cast(floor(rand() * __a) as bigint)"),
+    // FailureFunction.java — fail(message) / fail(code, message)
+    ("fail", 1, "raise_error(__a)"),
+    ("fail", 2, "raise_error(__b)"),
+    // Joda-pattern datetime render/parse (DateTimeFunctions
+    // format_datetime/parse_datetime): the common directive set
+    // (y M d H m s S E) coincides with java.time; exotic Joda
+    // directives (x, w-with-locale) are out of scope and documented.
+    ("format_datetime", 2, "date_format(__a, __b)"),
+    ("parse_datetime", 2, "to_timestamp(__a, __b)"),
+    ("url_extract_fragment", 1, "parse_url(__a, 'REF')"),
+    ("url_extract_port", 1,
+      "cast(nullif(regexp_extract(__a, " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:([0-9]+)', 1), '') as bigint)"),
+    // JsonFunctions.isJsonScalar: true only for valid number/string/
+    // boolean/null JSON text
+    ("is_json_scalar", 1,
+      "CASE WHEN substr(ltrim(__a), 1, 1) IN ('[', '{') THEN false " +
+        "ELSE get_json_object(__a, '$') IS NOT NULL END"),
+    // Presto base64 spellings (VarbinaryFunctions.java)
+    ("to_base64", 1, "base64(__a)"),
+    ("from_base64", 1, "unbase64(__a)"),
+    ("sha512", 1, "unhex(sha2(__a, 512))"),
+    ("week", 1, "weekofyear(__a)"),
+    ("millisecond", 1,
+      "cast((unix_micros(cast(__a as timestamp)) % 1000000) div 1000 " +
+        "as bigint)"),
+    // to_iso8601 (DateTimeFunctions.java): timestamp render; DATE inputs
+    // get the timestamp form (type-dispatch by name alone can't see the
+    // argument type — divergence documented)
+    ("to_iso8601", 1,
+      "date_format(__a, 'yyyy-MM-dd''T''HH:mm:ss.SSS')"),
+    // json_extract ~ get_json_object (JsonPath subset; object rendering
+    // is Spark's); json_parse/json_format are identity over the string
+    // representation (Spark has no JSON type — divergence documented)
+    ("json_extract", 2, "get_json_object(__a, __b)"),
+    ("json_parse", 1, "__a"),
+    ("json_format", 1, "cast(__a as string)"),
+    // IPv4 subnet bounds over 'a.b.c.d/n' prefix strings
+    // (IpPrefixFunctions.java ip_subnet_min/max/range)
+    ("ip_subnet_min", 1, IpTemplates.subnetMin),
+    ("ip_subnet_max", 1, IpTemplates.subnetMax),
+    ("ip_subnet_range", 1,
+      s"array(${IpTemplates.subnetMin}, ${IpTemplates.subnetMax})"),
+    // 3-arg masked shifts (BitwiseFunctions.java:82-122); bits=64 is the
+    // plain 64-bit op
+    ("bitwise_shift_left", 3,
+      "CASE WHEN cast(__c as int) = 64 " +
+        "THEN shiftleft(cast(__a as bigint), cast(__b as int)) " +
+        "ELSE shiftleft(cast(__a as bigint), cast(__b as int)) & " +
+        "(shiftleft(cast(1 as bigint), cast(__c as int)) - 1) END"),
+    ("bitwise_logical_shift_right", 3,
+      "CASE WHEN cast(__c as int) = 64 " +
+        "THEN shiftrightunsigned(cast(__a as bigint), cast(__b as int)) " +
+        "ELSE shiftrightunsigned(cast(__a as bigint) & " +
+        "(shiftleft(cast(1 as bigint), cast(__c as int)) - 1), " +
+        "cast(__b as int)) END"),
+    ("bitwise_arithmetic_shift_right", 2,
+      "shiftright(cast(__a as bigint), cast(__b as int))"),
+    // bit_and/bit_or aggregate spellings (BitwiseAndAggregation.java,
+    // BitwiseOrAggregation.java)
+    ("bitwise_and_agg", 1, "bit_and(cast(__a as bigint))"),
+    ("bitwise_or_agg", 1, "bit_or(cast(__a as bigint))"),
     // Bing tile functions (presto-geospatial BingTileFunctions.java:115-376,
     // BingTile.java:86-124; Web-Mercator math per the Microsoft quadkey
     // spec). A tile is struct<x:int, y:int, zoom:int> — the same struct
@@ -404,6 +490,16 @@ object Registry {
         s"named_struct('x', ${bingTileLon("__a.x")}, 'y', ${bingTileLat("__a.y")}), " +
         s"named_struct('x', ${bingTileLon("__a.x")}, 'y', ${bingTileLat("__a.y + 1")}))")
   )
+
+  // Signed reinterpretation of a big-endian unsigned byte image: conv()
+  // yields the unsigned value as a decimal string; subtract the modulus
+  // when past the signed max (from_big_endian_32/64).
+  private def beSigned(arg: String, max: String, modulus: String,
+      outType: String): String = {
+    val unsigned = s"cast(conv(hex($arg), 16, 10) as decimal(20,0))"
+    s"cast(CASE WHEN $unsigned > $max THEN $unsigned - $modulus " +
+      s"ELSE $unsigned END as $outType)"
+  }
 
   // Web-Mercator building blocks for the bing_tile templates. `zoom` is an
   // int-typed SQL fragment; axis values are clipped to [0, mapSize-1] then
@@ -602,6 +698,145 @@ object Registry {
         case Seq(p, w, lo, hi) => AnsiBar(Seq(Cast(p, DoubleType),
           Cast(w, LongType), Cast(lo, LongType), Cast(hi, LongType)))
         case args => sys.error(s"bar expects 2 or 4 args, got ${args.length}")
+      }
+      // split: Presto's delimiter is a LITERAL string, Spark's a regex —
+      // silently different results for '.', '|', '+' delimiters, so this
+      // shadow \Q..\E-quotes the delimiter. Must resolve DIRECTLY to the
+      // Catalyst StringSplit class: a name-based template would resolve
+      // 'split' back through this registry and loop. Spark's Column-API
+      // split() builds the expression without registry lookup, so
+      // DataFrame-side callers keep regex semantics.
+      colorPack("split") { args =>
+        import org.apache.spark.sql.catalyst.expressions.{Concat, StringSplit}
+        require(args.length == 2 || args.length == 3,
+          s"split expects 2 or 3 args, got ${args.length}")
+        val quoted = Concat(Seq(Literal("\\Q"), args(1), Literal("\\E")))
+        val limit = if (args.length == 3) Cast(args(2), IntegerType)
+          else Literal(-1)
+        StringSplit(args(0), quoted, limit)
+      }
+      // Statistical distribution scalars — bit-identical to the reference
+      // via the same commons-math3 calls (StatDistributions.scala).
+      def tern(name: String)
+          (mk: (Expression, Expression, Expression) => Expression): Unit =
+        colorPack(name) {
+          case Seq(a, b, c) => mk(Cast(a, DoubleType), Cast(b, DoubleType),
+            Cast(c, DoubleType))
+          case args => sys.error(s"$name expects 3 args, got ${args.length}")
+        }
+      tern("normal_cdf")(NormalCdf)
+      tern("inverse_normal_cdf")(InverseNormalCdf)
+      tern("beta_cdf")(BetaCdf)
+      tern("inverse_beta_cdf")(InverseBetaCdf)
+      // IEEE-754 bit images (BinaryBits.scala)
+      colorPack("to_ieee754_64") {
+        case Seq(a) => ToIeee754_64(Cast(a, DoubleType))
+        case args => sys.error(s"to_ieee754_64 expects 1 arg, got ${args.length}")
+      }
+      colorPack("from_ieee754_64") {
+        case Seq(a) => FromIeee754_64(a)
+        case args => sys.error(s"from_ieee754_64 expects 1 arg, got ${args.length}")
+      }
+      colorPack("to_ieee754_32") {
+        case Seq(a) => ToIeee754_32(Cast(a, org.apache.spark.sql.types.FloatType))
+        case args => sys.error(s"to_ieee754_32 expects 1 arg, got ${args.length}")
+      }
+      colorPack("from_ieee754_32") {
+        case Seq(a) => FromIeee754_32(a)
+        case args => sys.error(s"from_ieee754_32 expects 1 arg, got ${args.length}")
+      }
+      // Vector digest lookups (TDigestFunctions.java values_at_quantiles /
+      // QuantileDigestFunctions.java valuesAtQuantiles + the inverse)
+      colorPack("values_at_quantiles") {
+        case Seq(sk, qs) => DigestValuesAt(sk,
+          Cast(qs, ArrayType(DoubleType)))
+        case args => sys.error(
+          s"values_at_quantiles expects 2 args, got ${args.length}")
+      }
+      colorPack("quantiles_at_values") {
+        case Seq(sk, xs) => DigestQuantilesAt(sk,
+          Cast(xs, ArrayType(DoubleType)))
+        case args => sys.error(
+          s"quantiles_at_values expects 2 args, got ${args.length}")
+      }
+      // Scalar digest lookups by their Presto SQL names — the vector
+      // forms' element-0 (one deserialize, same code path, both digest
+      // families via the header discriminator).
+      def digestScalar(name: String)
+          (mk: (Expression, Expression) => Expression): Unit =
+        colorPack(name) {
+          case Seq(sk, x) =>
+            import org.apache.spark.sql.catalyst.expressions.{CreateArray, GetArrayItem}
+            GetArrayItem(mk(sk, CreateArray(Seq(Cast(x, DoubleType)))),
+              Literal(0))
+          case args => sys.error(s"$name expects 2 args, got ${args.length}")
+        }
+      digestScalar("value_at_quantile")(DigestValuesAt)
+      digestScalar("quantile_at_value")(DigestQuantilesAt)
+      // Lambda matchers (ArrayAllMatchFunction.java / AnyMatch / NoneMatch)
+      // must resolve DIRECTLY to the Catalyst HOF classes (a template
+      // would orphan the LambdaFunction argument, like `reduce`).
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayForAll, Not}
+        colorPack("all_match") {
+          case Seq(a, f) => ArrayForAll(a, f)
+          case args => sys.error(s"all_match expects 2 args, got ${args.length}")
+        }
+        colorPack("any_match") {
+          case Seq(a, f) => ArrayExists(a, f)
+          case args => sys.error(s"any_match expects 2 args, got ${args.length}")
+        }
+        // none_match = all_match with the predicate negated INSIDE the
+        // lambda: wrapping the HOF itself in Not() leaves the lambda's
+        // parent a non-HOF and analysis rejects it.
+        colorPack("none_match") {
+          case Seq(a, f: org.apache.spark.sql.catalyst.expressions.LambdaFunction) =>
+            ArrayForAll(a, f.copy(function = Not(f.function)))
+          case args => sys.error(s"none_match expects (array, lambda), got $args")
+        }
+      }
+      // approx_set / merge / merge_hll — Presto's HLL workflow mapped onto
+      // the engine's KMV SetDigest family (same build/merge/cardinality
+      // API; exact below saturation, KMV estimator above — the same
+      // API-compatible-estimator stance as the KHyperLogLog pack, and it
+      // keeps cardinality()'s binary leg consistent). Presto overloads
+      // `merge` across hll/qdigest/tdigest; name-only resolution can't
+      // see types, so `merge` here is the set-digest merge (digest merges
+      // have merge_tdigest / the Column API).
+      colorPack("approx_set") {
+        case Seq(v) => SetDigestAgg(v, SetDigest.DefaultK).toAggregateExpression()
+        case args => sys.error(s"approx_set expects 1 arg, got ${args.length}")
+      }
+      colorPack("merge") {
+        case Seq(v) => SetDigestMergeAgg(v).toAggregateExpression()
+        case args => sys.error(s"merge expects 1 arg, got ${args.length}")
+      }
+      colorPack("merge_hll") {
+        case Seq(v) => SetDigestMergeAgg(v).toAggregateExpression()
+        case args => sys.error(s"merge_hll expects 1 arg, got ${args.length}")
+      }
+      // empty_approx_set() — the empty-sketch constant (ApproximateSet
+      // Aggregation's identity element), a plain binary literal here
+      colorPack("empty_approx_set") {
+        case Seq() =>
+          Literal(new SetDigest.State(SetDigest.DefaultK).serialize(),
+            org.apache.spark.sql.types.BinaryType)
+        case args => sys.error(
+          s"empty_approx_set expects 0 args, got ${args.length}")
+      }
+      colorPack("scale_qdigest") {
+        case Seq(sk, f) => DDSketchScale(sk, Cast(f, DoubleType))
+        case args => sys.error(s"scale_qdigest expects 2 args, got ${args.length}")
+      }
+      // numeric_histogram(buckets, x) — bucket count must be a literal
+      // (it sizes the aggregation state, like approx_most_frequent)
+      colorPack("numeric_histogram") {
+        case Seq(Literal(b: Int, IntegerType), v) =>
+          NumericHistogramAgg(b, v).toAggregateExpression()
+        case Seq(Literal(b: Long, LongType), v) =>
+          NumericHistogramAgg(b.toInt, v).toAggregateExpression()
+        case args => sys.error("numeric_histogram expects " +
+          s"(literal buckets, value), got ${args.length} args")
       }
       // reduce: Presto's name for Spark's 4-arg aggregate HOF — must
       // resolve DIRECTLY to the Catalyst HigherOrderFunction class: a
@@ -865,12 +1100,14 @@ object Registry {
   * registry's template machinery (parse once, substitute args) applies
   * unchanged. */
 private[functions] object IpTemplates {
-  /** a.b.c.d → 32-bit integer (as bigint). */
+  /** a.b.c.d → 32-bit integer (as bigint). The '.' delimiter is literal:
+    * these templates resolve through the registry's Presto-semantics
+    * `split` shadow (which \\Q-quotes), not Spark's regex split. */
   def aton(e: String): String =
-    s"(cast(element_at(split($e, '\\\\.'), 1) as bigint) * 16777216 + " +
-      s"cast(element_at(split($e, '\\\\.'), 2) as bigint) * 65536 + " +
-      s"cast(element_at(split($e, '\\\\.'), 3) as bigint) * 256 + " +
-      s"cast(element_at(split($e, '\\\\.'), 4) as bigint))"
+    s"(cast(element_at(split($e, '.'), 1) as bigint) * 16777216 + " +
+      s"cast(element_at(split($e, '.'), 2) as bigint) * 65536 + " +
+      s"cast(element_at(split($e, '.'), 3) as bigint) * 256 + " +
+      s"cast(element_at(split($e, '.'), 4) as bigint))"
 
   /** Network address of `ip` under a `bits`-wide prefix. */
   def masked(ip: String, bits: String): String =
@@ -883,6 +1120,15 @@ private[functions] object IpTemplates {
       s"cast(shiftright($m, 16) & 255 as string), '.', " +
       s"cast(shiftright($m, 8) & 255 as string), '.', " +
       s"cast($m & 255 as string))"
+
+  // 'a.b.c.d/n' prefix string → network / broadcast dotted-quads
+  // (ip_subnet_min / ip_subnet_max)
+  private val prefixAddr = "element_at(split(__a, '/'), 1)"
+  private val prefixBits = "cast(element_at(split(__a, '/'), 2) as int)"
+  def subnetMin: String = ntoa(masked(prefixAddr, prefixBits))
+  def subnetMax: String = ntoa(
+    s"(${masked(prefixAddr, prefixBits)} | " +
+      s"(shiftleft(cast(1 as bigint), 32 - $prefixBits) - 1))")
 }
 
 /** Presto `date_add('unit', n, x)` (`DateTimeFunctions.java`): delegates

@@ -275,6 +275,109 @@ object RegistrySql extends QueryPack {
         |  AS t(id, cname, hex3, r, g, b, frac, txt, flag)
         |ORDER BY id""".stripMargin)),
 
+    // Coverage-audit batch as verbatim Presto SQL: literal-delimiter
+    // split (Presto splits on a LITERAL, Spark on a regex — the shadow
+    // \Q-quotes, so '.' and '|' delimiters behave like the reference),
+    // strrpos, URL-safe base64, big-endian two's-complement byte images,
+    // IEEE-754 bit images, combine_hash, Joda-style format/parse,
+    // url port/fragment extraction, is_json_scalar.
+    "qj4_scalar_extras_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  array_join(split(st, '.'), ',') AS dot_split,
+        |  array_join(split(st, '.', 2), '|') AS dot_split2,
+        |  strrpos(st, 'b') AS last_b,
+        |  strrpos(st, 'zz') AS no_zz,
+        |  to_base64url(to_utf8(st)) AS b64u,
+        |  from_utf8(from_base64url(to_base64url(to_utf8(st)))) AS b64_rt,
+        |  lower(hex(to_big_endian_64(nm))) AS be64,
+        |  from_big_endian_64(to_big_endian_64(nm)) AS be64_rt,
+        |  lower(hex(to_big_endian_32(cast(nm % 2147483647 as int)))) AS be32,
+        |  from_big_endian_32(to_big_endian_32(cast(nm % 2147483647 as int)))
+        |    AS be32_rt,
+        |  lower(hex(to_ieee754_64(dv))) AS ieee64,
+        |  from_ieee754_64(to_ieee754_64(dv)) = dv AS ieee64_rt,
+        |  cast(from_ieee754_32(to_ieee754_32(cast(dv as float)))
+        |    as double) = cast(cast(dv as float) as double) AS ieee32_rt,
+        |  combine_hash(nm, id) AS ch,
+        |  format_datetime(ts, 'yyyy-MM-dd HH:mm') AS fmt,
+        |  parse_datetime('2020-03-05 10:30', 'yyyy-MM-dd HH:mm') AS parsed,
+        |  url_extract_port(u) AS port,
+        |  url_extract_fragment(u) AS frag,
+        |  is_json_scalar(js) AS scalar_json
+        |FROM VALUES
+        |  (1, 'a.b.c', -2L, 1.5D, timestamp '2021-06-01 08:30:00',
+        |   'http://host.example:8080/p?q=1#sec', '123'),
+        |  (2, 'aab.b', 255L, -2.75D, timestamp '1999-12-31 23:59:59',
+        |   'https://example.com/path#frag', '"abc"'),
+        |  (3, 'nodots', 1048575L, 0.0D, timestamp '2020-01-01 00:00:00',
+        |   'http://plain.example/nopath', '[1,2]'),
+        |  (4, 'x.y', -9007199254740993L, 6.25D,
+        |   timestamp '2024-02-29 12:00:00',
+        |   'ftp://h:21/f#z', 'not json')
+        |  AS t(id, st, nm, dv, ts, u, js)
+        |ORDER BY id""".stripMargin)),
+
+    // Second coverage-audit batch: lambda matchers (direct Catalyst HOF
+    // resolution), masked bitwise shifts, week/millisecond/to_iso8601,
+    // sha512 (NIST 'abc' vector in the oracle), Presto base64 spellings,
+    // IPv4 subnet bounds, json_extract/json_parse/json_format.
+    "qj7_more_names_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  all_match(arr, x -> x > 0) AS allm,
+        |  any_match(arr, x -> x > 2) AS anym,
+        |  none_match(arr, x -> x > 10) AS nonem,
+        |  bitwise_shift_left(5, 2, 64) AS bsl64,
+        |  bitwise_shift_left(5, 2, 4) AS bsl4,
+        |  bitwise_logical_shift_right(-8, 2, 64) AS blsr,
+        |  bitwise_logical_shift_right(255, 4, 8) AS blsr8,
+        |  bitwise_arithmetic_shift_right(-16, 2) AS basr,
+        |  cast(week(ts) as bigint) AS wk,
+        |  millisecond(ts) AS ms,
+        |  to_iso8601(ts) AS iso,
+        |  lower(hex(sha512(to_utf8('abc')))) AS sha512_abc,
+        |  from_utf8(from_base64(to_base64(to_utf8(st)))) AS b64rt,
+        |  ip_subnet_min('10.1.2.3/24') AS smin,
+        |  ip_subnet_max('10.1.2.3/24') AS smax,
+        |  array_join(ip_subnet_range('192.168.5.7/30'), '-') AS srange,
+        |  json_extract(js, '$.a') AS jx,
+        |  json_format(json_parse(js)) AS jfmt
+        |FROM VALUES
+        |  (1, array(1, 2, 3), timestamp '2021-06-01 08:30:00.123',
+        |   'alpha', '{"a":5}'),
+        |  (2, array(4, 5), timestamp '2020-01-01 23:59:59.007',
+        |   'beta', '{"a":"x"}'),
+        |  (3, array(-1, 7), timestamp '1999-07-04 00:00:00.999',
+        |   'gamma', '{"b":1}')
+        |  AS t(id, arr, ts, st, js)
+        |ORDER BY id""".stripMargin)),
+
+    // Statistical distribution scalars (MathFunctions.java:608-660,
+    // commons-math3-backed like the reference). Unrounded transcendental
+    // outputs can't be replayed by the oracle, so the gates are the
+    // distributions' exact identities: cdf(0) = 0.5 exactly (erf(0) = 0),
+    // symmetry, monotonicity, inverse round-trips, the public z=1.96
+    // envelope, and Beta(1,1) = uniform.
+    "qj6_distributions_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  normal_cdf(0.0, 1.0, 0.0) AS ncdf_zero,
+        |  abs(normal_cdf(0.0, 1.0, x) + normal_cdf(0.0, 1.0, -x) - 1.0)
+        |    < 1e-15 AS sym_ok,
+        |  normal_cdf(0.0, 1.0, x) > normal_cdf(0.0, 1.0, x - 1.0) AS mono_ok,
+        |  abs(inverse_normal_cdf(0.0, 1.0, normal_cdf(0.0, 1.0, x)) - x)
+        |    < 1e-9 AS inv_rt_ok,
+        |  normal_cdf(0.0, 1.0, 1.96) BETWEEN 0.9749 AND 0.9751 AS z196_ok,
+        |  abs(normal_cdf(2.0, 0.5, x + 2.0) - normal_cdf(0.0, 1.0, 2.0 * x))
+        |    < 1e-12 AS shift_scale_ok,
+        |  abs(beta_cdf(1.0, 1.0, p) - p) < 1e-12 AS beta_uniform_ok,
+        |  abs(beta_cdf(2.0, 2.0, 0.5) - 0.5) < 1e-12 AS beta_sym_ok,
+        |  abs(inverse_beta_cdf(2.0, 3.0, beta_cdf(2.0, 3.0, p)) - p)
+        |    < 1e-9 AS beta_rt_ok
+        |FROM VALUES
+        |  (1, 0.5D, 0.2D), (2, 1.0D, 0.5D), (3, 1.96D, 0.7D),
+        |  (4, 2.5D, 0.9D)
+        |  AS t(id, x, p)
+        |ORDER BY id""".stripMargin)),
+
     // Timezone functions over fixed instants spanning DST boundaries and
     // half/quarter-hour zones; the oracle carries hand-derived wall-clock
     // literals (IANA offsets are public constants), so no timezone engine
@@ -714,6 +817,78 @@ object RegistrySql extends QueryPack {
         |  repeat(chr(27) || '[38;5;21m█', cnt) || chr(27) || '[0m' ||
         |    repeat(' ', 6 - cnt) AS bar_flat,
         |  CAST(blocks AS INT) AS grad_blocks
+        |FROM t ORDER BY id""".stripMargin,
+
+    "qj7_more_names_sql" ->
+      """WITH t(id, arr, ts, st, js, anym, nonem, ms, iso, jx) AS (VALUES
+        |  (1, [1, 2, 3], TIMESTAMP '2021-06-01 08:30:00.123', 'alpha',
+        |   '{"a":5}', true, true, 123, '2021-06-01T08:30:00.123', '5'),
+        |  (2, [4, 5], TIMESTAMP '2020-01-01 23:59:59.007', 'beta',
+        |   '{"a":"x"}', true, true, 7, '2020-01-01T23:59:59.007', 'x'),
+        |  (3, [-1, 7], TIMESTAMP '1999-07-04 00:00:00.999', 'gamma',
+        |   '{"b":1}', true, true, 999, '1999-07-04T00:00:00.999', NULL))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  len(list_filter(arr, x -> NOT (x > 0))) = 0 AS allm,
+        |  anym, nonem,
+        |  CAST(20 AS BIGINT) AS bsl64, CAST(4 AS BIGINT) AS bsl4,
+        |  CAST(4611686018427387902 AS BIGINT) AS blsr,
+        |  CAST(15 AS BIGINT) AS blsr8, CAST(-4 AS BIGINT) AS basr,
+        |  CAST(weekofyear(ts) AS BIGINT) AS wk,
+        |  CAST(ms AS BIGINT) AS ms, iso,
+        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a' ||
+        |  '2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'
+        |    AS sha512_abc,
+        |  st AS b64rt,
+        |  '10.1.2.0' AS smin, '10.1.2.255' AS smax,
+        |  '192.168.5.4-192.168.5.7' AS srange,
+        |  jx, js AS jfmt
+        |FROM t ORDER BY id""".stripMargin,
+
+    "qj6_distributions_sql" ->
+      """SELECT CAST(id AS BIGINT) AS id, 0.5 AS ncdf_zero,
+        |  TRUE AS sym_ok, TRUE AS mono_ok, TRUE AS inv_rt_ok,
+        |  TRUE AS z196_ok, TRUE AS shift_scale_ok, TRUE AS beta_uniform_ok,
+        |  TRUE AS beta_sym_ok, TRUE AS beta_rt_ok
+        |FROM (VALUES (1), (2), (3), (4)) t(id) ORDER BY id""".stripMargin,
+
+    "qj4_scalar_extras_sql" ->
+      """WITH t(id, st, nm, dv, ts, u, js, ieee64, port, frag, sj) AS (VALUES
+        |  (1, 'a.b.c', -2, 1.5, TIMESTAMP '2021-06-01 08:30:00',
+        |   'http://host.example:8080/p?q=1#sec', '123',
+        |   '3ff8000000000000', 8080, 'sec', true),
+        |  (2, 'aab.b', 255, -2.75, TIMESTAMP '1999-12-31 23:59:59',
+        |   'https://example.com/path#frag', '"abc"',
+        |   'c006000000000000', NULL, 'frag', true),
+        |  (3, 'nodots', 1048575, 0.0, TIMESTAMP '2020-01-01 00:00:00',
+        |   'http://plain.example/nopath', '[1,2]',
+        |   '0000000000000000', NULL, NULL, false),
+        |  (4, 'x.y', -9007199254740993, 6.25,
+        |   TIMESTAMP '2024-02-29 12:00:00',
+        |   'ftp://h:21/f#z', 'not json',
+        |   '4019000000000000', 21, 'z', false))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  array_to_string(string_split(st, '.'), ',') AS dot_split,
+        |  CASE WHEN strpos(st, '.') = 0 THEN st
+        |       ELSE substr(st, 1, strpos(st, '.') - 1) || '|' ||
+        |            substr(st, strpos(st, '.') + 1) END AS dot_split2,
+        |  CASE WHEN strpos(reverse(st), 'b') = 0 THEN 0
+        |       ELSE CAST(length(st) - strpos(reverse(st), reverse('b'))
+        |            - length('b') + 2 AS BIGINT) END AS last_b,
+        |  CAST(0 AS BIGINT) AS no_zz,
+        |  replace(replace(to_base64(st::BLOB), '+', '-'), '/', '_') AS b64u,
+        |  st AS b64_rt,
+        |  lower(lpad(to_hex(nm), 16, '0')) AS be64,
+        |  CAST(nm AS BIGINT) AS be64_rt,
+        |  lower(lpad(to_hex((CAST(nm AS BIGINT) % 2147483647)
+        |    & 4294967295), 8, '0')) AS be32,
+        |  CAST(nm % 2147483647 AS INT) AS be32_rt,
+        |  ieee64,
+        |  TRUE AS ieee64_rt, TRUE AS ieee32_rt,
+        |  CAST(31 * nm + id AS BIGINT) AS ch,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+        |  TIMESTAMP '2020-03-05 10:30:00' AS parsed,
+        |  CAST(port AS BIGINT) AS port, frag,
+        |  sj AS scalar_json
         |FROM t ORDER BY id""".stripMargin,
 
     "qj2_timezone_sql" ->

@@ -192,6 +192,33 @@ object Sketches extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Vector digest lookups (values_at_quantiles / quantiles_at_values,
+    // TDigestFunctions.java + QuantileDigestFunctions.java): the array
+    // forms must agree ELEMENT-EXACTLY with the scalar lookups on the
+    // same serialized digest — same code path, so equality is exact, for
+    // both digest families (the expression discriminates on the header).
+    "qj5_digest_vectors" -> ((s, dir) => {
+      graft.functions.Registry.install(s)
+      val qs = graft.functions.QuantileSketch
+      val td = graft.functions.TDigest
+      Tables.view(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(qs.sketch(col("l_extendedprice"), 0.01).as("dd"),
+          td.sketch(col("l_extendedprice")).as("td"))
+        .select(col("l_returnflag"),
+          (expr("values_at_quantiles(dd, array(0.5D, 0.95D))") ===
+            array(qs.valueAt(col("dd"), 0.5), qs.valueAt(col("dd"), 0.95)))
+            .as("dd_vals_ok"),
+          (expr("element_at(quantiles_at_values(dd, array(40000.0D)), 1)") ===
+            qs.quantileAt(col("dd"), 40000.0)).as("dd_ranks_ok"),
+          (expr("values_at_quantiles(td, array(0.5D, 0.95D))") ===
+            array(td.valueAt(col("td"), 0.5), td.valueAt(col("td"), 0.95)))
+            .as("td_vals_ok"),
+          (expr("element_at(quantiles_at_values(td, array(40000.0D)), 1)") ===
+            td.quantileAt(col("td"), 40000.0)).as("td_ranks_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Heavy hitters: Presto approx_most_frequent(buckets, value, capacity)
     // as a space-saving TypedImperativeAggregate (bounded state, map-side
     // partial aggregation — the partial/final merge path runs inside this
@@ -308,6 +335,11 @@ object Sketches extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
         |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS merge_ok,
         |  TRUE AS cdf_ok, TRUE AS scale_invariant_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "qj5_digest_vectors" ->
+      """SELECT l_returnflag,
+        |  TRUE AS dd_vals_ok, TRUE AS dd_ranks_ok,
+        |  TRUE AS td_vals_ok, TRUE AS td_ranks_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "qe4_approx_most_frequent" ->
       """WITH c AS (
