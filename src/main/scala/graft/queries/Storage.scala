@@ -48,6 +48,63 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"), col("ship_year"))
     }),
 
+    // INSERT INTO append path (reference: the TableWriter insert flow,
+    // `presto-main/.../operator/TableWriterOperator.java` with an
+    // InsertTableHandle — distinct from CTAS): write a base table, append
+    // a second batch via INSERT INTO, scan back the union. Exercises
+    // Spark's dynamic append commit protocol (new files land next to the
+    // old ones; readers see both).
+    "qk1_insert_append" -> ((s, dir) => {
+      val out = ctasPath(s, dir) + "_ins"
+      val t = s"graft_ins_${Integer.toHexString(dir.hashCode)}"
+      val li = Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").option("path", out).saveAsTable(t)
+      s.sql(s"INSERT INTO $t SELECT l_orderkey, l_returnflag, l_quantity " +
+        "FROM lineitem WHERE l_orderkey % 2 = 1")
+      s.table(t).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Bucketed co-located join (reference: Hive-connector bucketed
+    // tables, `presto-hive/.../HiveBucketing.java` — bucketed layouts
+    // join without redistributing either side). Spark analog: bucketBy
+    // saveAsTable; with matching bucket counts on the join key, the
+    // merge join reads pre-bucketed files and plans NO exchange under
+    // the join (QueriesSmokeSuite asserts it). At 100 TB this is the
+    // difference between joining two fact tables in place and shuffling
+    // both — pay the bucketed write once, join shuffle-free forever.
+    // The merge hint pins SortMergeJoin so the plan shape under test is
+    // deterministic (broadcast would hide the bucketing benefit at
+    // fixture scale).
+    "qk0_bucketed_join" -> ((s, dir) => {
+      val suffix = Integer.toHexString(dir.hashCode)
+      val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", ctasPath(s, dir) + "_li_bucketed")
+        .saveAsTable(liT)
+      Tables.view(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", ctasPath(s, dir) + "_ord_bucketed")
+        .saveAsTable(ordT)
+      s.table(liT).hint("merge")
+        .join(s.table(ordT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"), col("o_orderstatus"))
+    }),
+
     // Second and third file formats (reference: the Hive connector's
     // multi-format scan, `presto-hive/.../HivePageSourceProvider.java:75`
     // — ORC and text are first-class storage formats there). The engine
@@ -162,6 +219,19 @@ object Storage extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "qk1_insert_append" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "qk0_bucketed_join" ->
+      """SELECT l_returnflag, o_orderstatus, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, o_orderstatus
+        |ORDER BY l_returnflag, o_orderstatus""".stripMargin,
+
     "qa8_ctas_roundtrip" ->
       """SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
         |  count(*) AS n, round(sum(l_extendedprice), 4) AS revenue

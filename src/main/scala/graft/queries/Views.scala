@@ -59,33 +59,43 @@ object Views extends QueryPack {
         Map("minprice" -> 150000.0, "mindate" -> "1996-01-01"))
     }),
 
-    // testViewMetadata analog: created views appear in catalog listings
-    // with their temporary-ness, without scanning any data.
     // SHOW STATS analog (presto-main ShowStatsRewrite + the ANALYZE
     // column-statistics surface): one row per column with the reference's
     // exact output shape — column_name, data_size (char columns),
     // distinct_values_count, nulls_fraction, row_count (summary row),
-    // low_value, high_value. One aggregation pass computes every stat;
-    // the multi-column countDistinct plans as one Expand (row x 5) +
-    // hash aggregate — the same shape Presto's ANALYZE runs, paid once
-    // per ANALYZE, not per query. Values here are exact (the gate needs
-    // determinism); a production deployment would swap approx_count_
-    // distinct for the NDVs at identical plan shape.
+    // low_value, high_value. The NDVs are DELIBERATELY separate two-stage
+    // distinct subqueries cross-joined back in: packing four
+    // countDistincts on different columns into one aggregate plans an
+    // Expand (row x 5) through a single ObjectHashAggregate — measured
+    // 5.9 s vs 1.4 s at sf0.1 (the q85 lesson, SURVEY §2.4; each
+    // separate distinct stays in whole-stage codegen with map-side
+    // partial aggregation). Values are exact (the gate needs
+    // determinism); a production deployment would swap
+    // approx_count_distinct for the NDVs and fold back to one pass.
     "qj0_show_stats" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql(
-        """WITH a AS (SELECT
+        """WITH b AS (SELECT
           |    count(*) AS rc,
-          |    count(DISTINCT l_orderkey) AS d_o, min(l_orderkey) AS lo_o,
-          |    max(l_orderkey) AS hi_o, count(l_orderkey) AS nn_o,
-          |    count(DISTINCT l_quantity) AS d_q, min(l_quantity) AS lo_q,
-          |    max(l_quantity) AS hi_q, count(l_quantity) AS nn_q,
-          |    count(DISTINCT l_returnflag) AS d_f, min(l_returnflag) AS lo_f,
-          |    max(l_returnflag) AS hi_f, count(l_returnflag) AS nn_f,
-          |    sum(length(l_returnflag)) AS sz_f,
-          |    count(DISTINCT l_shipdate) AS d_d, min(l_shipdate) AS lo_d,
-          |    max(l_shipdate) AS hi_d, count(l_shipdate) AS nn_d
-          |  FROM lineitem)
+          |    min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
+          |    count(l_orderkey) AS nn_o,
+          |    min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+          |    count(l_quantity) AS nn_q,
+          |    min(l_returnflag) AS lo_f, max(l_returnflag) AS hi_f,
+          |    count(l_returnflag) AS nn_f, sum(length(l_returnflag)) AS sz_f,
+          |    min(l_shipdate) AS lo_d, max(l_shipdate) AS hi_d,
+          |    count(l_shipdate) AS nn_d
+          |  FROM lineitem),
+          |n1 AS (SELECT count(*) AS d_o FROM
+          |  (SELECT DISTINCT l_orderkey FROM lineitem)),
+          |n2 AS (SELECT count(*) AS d_q FROM
+          |  (SELECT DISTINCT l_quantity FROM lineitem)),
+          |n3 AS (SELECT count(*) AS d_f FROM
+          |  (SELECT DISTINCT l_returnflag FROM lineitem)),
+          |n4 AS (SELECT count(*) AS d_d FROM
+          |  (SELECT DISTINCT l_shipdate FROM lineitem)),
+          |a AS (SELECT * FROM b CROSS JOIN n1 CROSS JOIN n2
+          |      CROSS JOIN n3 CROSS JOIN n4)
           |SELECT stack(5,
           |  'l_orderkey', cast(null as bigint), d_o,
           |    1.0D - nn_o / cast(rc as double), cast(null as bigint),
@@ -108,6 +118,20 @@ object Views extends QueryPack {
           |ORDER BY column_name NULLS FIRST""".stripMargin)
     }),
 
+    // SHOW COLUMNS / DESCRIBE surface (Presto information_schema.columns,
+    // `SHOW COLUMNS FROM t` — SqlBase.g4 showColumns): column names and
+    // types straight from catalog metadata, no data scan. Types render as
+    // Spark catalog strings ('bigint'/'double'/'timestamp' — Presto
+    // prints the same names for these), pinned by the oracle literally.
+    "qk2_show_columns" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("DESCRIBE TABLE lineitem")
+        .select(col("col_name"), col("data_type"))
+        .orderBy(col("col_name"))
+    }),
+
+    // testViewMetadata analog: created views appear in catalog listings
+    // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_v_meta1 AS SELECT 1 AS x")
@@ -131,6 +155,17 @@ object Views extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+
+    "qk2_show_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('l_orderkey', 'bigint'), ('l_partkey', 'bigint'),
+        |  ('l_suppkey', 'bigint'), ('l_linenumber', 'int'),
+        |  ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+        |  ('l_discount', 'double'), ('l_tax', 'double'),
+        |  ('l_returnflag', 'string'), ('l_linestatus', 'string'),
+        |  ('l_shipdate', 'timestamp_ntz'))
+        |  AS t(col_name, data_type)
+        |ORDER BY col_name""".stripMargin,
 
     "qj0_show_stats" ->
       """WITH a AS (SELECT

@@ -56,6 +56,19 @@ class QueriesSmokeSuite extends GraftSuite {
       s"filter not pushed to ORC scan:\n$orc")
   }
 
+  test("bucketed join plans with no exchange under the join") {
+    // qk0: both sides bucketed 8-ways on the join key — the SortMergeJoin
+    // must read buckets in place. The only exchanges allowed are the ones
+    // ABOVE the join (final aggregation + the orderBy range partition);
+    // a third exchange means a side got reshuffled and bucketing was lost.
+    val df = SparkEntry.queries("qk0_bucketed_join")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+    val nExchange = "Exchange".r.findAllIn(plan).size
+    assert(nExchange <= 2,
+      s"join side reshuffled ($nExchange exchanges):\n$plan")
+  }
+
   test("Q21's EXISTS/NOT EXISTS plan as semi/anti hash joins") {
     // the scale contract for the TPC-H texts: correlated EXISTS must
     // decorrelate to set-based joins, never a per-row subquery loop
