@@ -944,6 +944,72 @@ object Registry {
           new ExpressionInfo(getClass.getCanonicalName, "approx_most_frequent"),
           builder)
       }
+      // differential_entropy (DifferentialEntropyAggregation.java) — the
+      // deterministic fixed_histogram_mle strategy; bucket count, method,
+      // min and max must be literals (they size/shape the state). The
+      // 2/3-arg reservoir forms and the jacknife are rejected loudly (see
+      // DifferentialEntropyAgg doc), not silently approximated.
+      locally {
+        def numLit(e: Expression, what: String): Double = e match {
+          case Literal(v: Int, IntegerType) => v.toDouble
+          case Literal(v: Long, LongType) => v.toDouble
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+            v.toDouble
+          case other => sys.error(
+            s"differential_entropy: $what must be a numeric literal, got $other")
+        }
+        def strLit(e: Expression): String = e match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other =>
+            sys.error(s"differential_entropy: method must be a string literal, got $other")
+        }
+        val builder: Seq[Expression] => Expression = {
+          case Seq(b, sample, weight, method, mn, mx) =>
+            strLit(method) match {
+              case "fixed_histogram_mle" =>
+                DifferentialEntropyAgg(numLit(b, "bucket count").toInt,
+                  numLit(mn, "min"), numLit(mx, "max"), sample, weight)
+                  .toAggregateExpression()
+              case m => sys.error("differential_entropy: only the " +
+                "deterministic 'fixed_histogram_mle' strategy is supported " +
+                s"(got '$m'; reservoir/jacknife strategies are " +
+                "sampling-based or need per-sample breakdown state)")
+            }
+          case args => sys.error("differential_entropy expects (buckets, " +
+            "sample, weight, 'fixed_histogram_mle', min, max); the " +
+            s"${args.length}-arg reservoir forms are nondeterministic by " +
+            "construction and intentionally unsupported")
+        }
+        registry.registerFunction(FunctionIdentifier("differential_entropy"),
+          new ExpressionInfo(getClass.getCanonicalName, "differential_entropy"),
+          builder)
+      }
+      // classification_* array aggregates (PrecisionRecallAggregation.java
+      // + five subclasses): (buckets, outcome, pred[, weight]) →
+      // array<double>, one entry per threshold bucket while true weight
+      // remains. Bucket count literal, weight defaults to 1.0.
+      ClassificationMetricAgg.Metrics.foreach { metric =>
+        val name = s"classification_$metric"
+        def mk(b: Expression, o: Expression, p: Expression,
+            w: Expression): Expression = {
+          val n = b match {
+            case Literal(v: Int, IntegerType) => v
+            case Literal(v: Long, LongType) => v.toInt
+            case other => sys.error(
+              s"$name: bucket count must be an integer literal, got $other")
+          }
+          ClassificationMetricAgg(metric, n, o, p, w).toAggregateExpression()
+        }
+        val builder: Seq[Expression] => Expression = {
+          case Seq(b, o, p) => mk(b, o, p, Literal(1.0, DoubleType))
+          case Seq(b, o, p, w) => mk(b, o, p, w)
+          case args => sys.error(
+            s"$name expects (buckets, outcome, pred[, weight]), got ${args.length} args")
+        }
+        registry.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo(getClass.getCanonicalName, name), builder)
+      }
       // FNV hashes + HMACs (FnvHash.java / HmacFunctions.java) and
       // combinations (ArrayCombinationsFunction.java) — native
       // expressions; combinations' size must be a literal (it shapes the

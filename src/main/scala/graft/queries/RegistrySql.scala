@@ -534,10 +534,117 @@ object RegistrySql extends QueryPack {
         |  round(dot_product(a.embedding, b.embedding), 4) AS dot,
         |  round(l2_distance(a.embedding, b.embedding), 4) AS l2
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 5
-        |WHERE a.vec_id < 5 ORDER BY a_id""".stripMargin))
+        |WHERE a.vec_id < 5 ORDER BY a_id""".stripMargin)),
+
+    // differential_entropy, fixed_histogram_mle strategy
+    // (DifferentialEntropyAggregation.java + FixedHistogramMleState
+    // Strategy.java): 17 buckets over [0, 51) — width exactly 3.0 —
+    // unweighted and weighted. Mergeable O(buckets) state; the oracle
+    // replays the same histogram + (-Σ p ln p + ln w)/ln 2 (doubles gate
+    // at 1e-9 relative tolerance).
+    "qk3_differential_entropy" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        |  differential_entropy(17, l_quantity, 1.0,
+        |    'fixed_histogram_mle', 0.0, 51.0) AS ent,
+        |  differential_entropy(17, l_quantity, cast(l_linenumber as double),
+        |    'fixed_histogram_mle', 0.0, 51.0) AS ent_w
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // classification_* array aggregates (PrecisionRecallAggregation.java
+    // subclasses): score = l_discount*10 on [0,1], outcome = returned
+    // flag, weights = integer-valued l_quantity (so every running sum is
+    // an exact double and the ratio arrays hash bitwise). The oracle
+    // replays bucketing, the 0.99999999999 top clamp, the early stop
+    // when true weight exhausts, and the reference's VERBATIM BucketResult
+    // ratios (see ClassificationMetricAgg doc for the two non-standard
+    // ones).
+    "qk4_classification_arrays" -> ((s, dir) => sql(s, dir,
+      """SELECT
+        |  classification_thresholds(10, l_returnflag = 'R',
+        |    l_discount * 10) AS th,
+        |  classification_precision(10, l_returnflag = 'R',
+        |    l_discount * 10) AS prec,
+        |  classification_recall(10, l_returnflag = 'R',
+        |    l_discount * 10, l_quantity) AS rec_w,
+        |  classification_fall_out(10, l_returnflag = 'R',
+        |    l_discount * 10, l_quantity) AS fo_w,
+        |  classification_miss_rate(10, l_returnflag = 'R',
+        |    l_discount * 10) AS mr
+        |FROM lineitem""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
+    // Replays FixedHistogramUtils.getIndexForValue (floor, top-bucket
+    // clamp) and the MLE entropy sum; width = (51-0)/17 = 3.0 exactly.
+    "qk3_differential_entropy" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    LEAST(CAST(floor(17 * (l_quantity - 0.0) / (51.0 - 0.0))
+        |      AS INT), 16) AS bk,
+        |    CAST(l_linenumber AS DOUBLE) AS w
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, bk, CAST(count(*) AS DOUBLE) AS w1,
+        |    sum(w) AS w2
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, sum(w1) AS s1, sum(w2) AS s2
+        |  FROM g GROUP BY 1)
+        |SELECT g.l_returnflag,
+        |  (-sum((w1 / s1) * ln(w1 / s1)) + ln(51.0 / 17)) / ln(2.0) AS ent,
+        |  (-sum((w2 / s2) * ln(w2 / s2)) + ln(51.0 / 17)) / ln(2.0) AS ent_w
+        |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
+        |GROUP BY g.l_returnflag
+        |ORDER BY g.l_returnflag""".stripMargin,
+
+    // Replays PrecisionRecallAggregation: [0,1) bucketing with the
+    // 0.99999999999 top clamp, running (exclusive-prefix) weights in
+    // bucket order, early stop while true weight remains, and the
+    // reference's verbatim BucketResult ratios. All weights are
+    // integer-valued so every double here is exact and the arrays
+    // compare bitwise.
+    "qk4_classification_arrays" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(floor(10 *
+        |      (LEAST(l_discount * 10, 0.99999999999) - 0.0) / (1.0 - 0.0))
+        |      AS INT), 9) AS bk,
+        |    (l_returnflag = 'R') AS pos, l_quantity AS w
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT bk,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS t1,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS f1,
+        |    sum(CASE WHEN pos THEN w ELSE 0 END) AS tw,
+        |    sum(CASE WHEN NOT pos THEN w ELSE 0 END) AS fw
+        |  FROM b GROUP BY bk),
+        |d AS (
+        |  SELECT CAST(r.i AS INT) AS bk,
+        |    coalesce(t1, 0) AS t1, coalesce(f1, 0) AS f1,
+        |    coalesce(tw, 0) AS tw, coalesce(fw, 0) AS fw
+        |  FROM range(0, 10) r(i) LEFT JOIN g ON g.bk = r.i),
+        |c AS (
+        |  SELECT bk, 0.0 + bk * (1.0 - 0.0) / 10 AS th,
+        |    coalesce(sum(t1) OVER win, 0) AS rt1,
+        |    coalesce(sum(f1) OVER win, 0) AS rf1,
+        |    coalesce(sum(tw) OVER win, 0) AS rtw,
+        |    coalesce(sum(fw) OVER win, 0) AS rfw,
+        |    sum(t1) OVER () AS tt1, sum(f1) OVER () AS tf1,
+        |    sum(tw) OVER () AS ttw, sum(fw) OVER () AS tfw
+        |  FROM d
+        |  WINDOW win AS (ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT
+        |  list(th ORDER BY bk) FILTER (WHERE tt1 > rt1) AS th,
+        |  list((tt1 - rt1) / ((tt1 - rt1) + (tf1 - rf1)) ORDER BY bk)
+        |    FILTER (WHERE tt1 > rt1) AS prec,
+        |  list((ttw - rtw) / ttw ORDER BY bk)
+        |    FILTER (WHERE ttw > rtw) AS rec_w,
+        |  list(rtw / tfw ORDER BY bk)
+        |    FILTER (WHERE ttw > rtw) AS fo_w,
+        |  list((tf1 - rf1) / tt1 ORDER BY bk)
+        |    FILTER (WHERE tt1 > rt1) AS mr
+        |FROM c""".stripMargin,
+
     "qa1_presto_sql_scalars" ->
       """SELECT p_partkey,
         |  strpos(p_type, 'BRASS') AS pos_brass,

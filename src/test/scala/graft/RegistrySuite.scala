@@ -217,4 +217,71 @@ class RegistrySuite extends GraftSuite {
       "round(element_at(bing_tile_polygon(bing_tile(0, 0, 1)), 1).y, 9)")
       == 0.0)
   }
+
+  test("differential_entropy: hand values, NaN on empty, loud guards") {
+    // Uniform over 4 unit buckets: exactly 2 bits (ln 4 / ln 2 is exact).
+    assert(spark.sql(
+      """SELECT differential_entropy(4, x, 1.0, 'fixed_histogram_mle',
+        |  0.0, 4.0) AS v
+        |FROM VALUES (0.5), (1.5), (2.5), (3.5) AS t(x)""".stripMargin)
+      .as[Double].head() == 2.0)
+    // Weighted (1,1,2) over 3 occupied buckets: H = 1.5 bits + ln(1)=0
+    val w = spark.sql(
+      """SELECT differential_entropy(4, x, w, 'fixed_histogram_mle',
+        |  0.0, 4.0) AS v
+        |FROM VALUES (0.5, 1.0), (1.5, 1.0), (2.5, 2.0) AS t(x, w)"""
+        .stripMargin).as[Double].head()
+    assert(math.abs(w - 1.5) < 1e-12)
+    // All-null input: the reference returns NaN on zero total weight
+    assert(spark.sql(
+      """SELECT differential_entropy(4, x, 1.0, 'fixed_histogram_mle',
+        |  0.0, 4.0) AS v
+        |FROM VALUES (cast(null as double)) AS t(x)""".stripMargin)
+      .as[Double].head().isNaN)
+    // Reservoir (3-arg) forms and non-mle methods are rejected loudly
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT differential_entropy(10, x, 1.0) FROM VALUES (1.0) t(x)")
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    val e2 = intercept[Exception] {
+      spark.sql("""SELECT differential_entropy(10, x, 1.0,
+        'fixed_histogram_jacknife', 0.0, 1.0) FROM VALUES (0.5) t(x)""")
+    }
+    assert(e2.getMessage.contains("fixed_histogram_mle"))
+    // Out-of-range sample fails like the reference's checkArgument
+    val e3 = intercept[Exception] {
+      spark.sql("""SELECT differential_entropy(4, x, 1.0,
+        'fixed_histogram_mle', 0.0, 4.0) FROM VALUES (9.0) t(x)""").collect()
+    }
+    assert(e3.getMessage.contains("within range"))
+  }
+
+  test("classification_*: hand case incl. early stop and 1.0 clamp") {
+    // trues at preds 0.1 (bk0) and 0.9 (bk3); false at 0.3 (bk1); 4 buckets
+    val rows = "VALUES (true, 0.1D), (true, 0.9D), (false, 0.3D) AS t(o, p)"
+    def arr(fn: String): Seq[Double] =
+      spark.sql(s"SELECT $fn(4, o, p) AS v FROM $rows").as[Seq[Double]].head()
+    assert(arr("classification_thresholds") == Seq(0.0, 0.25, 0.5, 0.75))
+    assert(arr("classification_precision") == Seq(2.0 / 3, 0.5, 1.0, 1.0))
+    assert(arr("classification_recall") == Seq(1.0, 0.5, 0.5, 0.5))
+    // reference-verbatim ratios (BucketResult's field mapping):
+    assert(arr("classification_fall_out") == Seq(0.0, 1.0, 1.0, 1.0))
+    assert(arr("classification_miss_rate") == Seq(0.5, 0.5, 0.0, 0.0))
+    // early stop: all true weight in bucket 0 -> single entry
+    assert(spark.sql(
+      """SELECT classification_thresholds(4, o, p) AS v
+        |FROM VALUES (true, 0.1D), (false, 0.9D) AS t(o, p)""".stripMargin)
+      .as[Seq[Double]].head() == Seq(0.0))
+    // pred = 1.0 is legal and clamps into the top bucket
+    assert(spark.sql(
+      """SELECT classification_thresholds(4, o, p) AS v
+        |FROM VALUES (true, 1.0D) AS t(o, p)""".stripMargin)
+      .as[Seq[Double]].head() == Seq(0.0, 0.25, 0.5, 0.75))
+    // out-of-range prediction fails loudly, like the reference
+    val e = intercept[Exception] {
+      spark.sql("""SELECT classification_recall(4, o, p)
+        FROM VALUES (true, 1.5D) AS t(o, p)""").collect()
+    }
+    assert(e.getMessage.contains("between 0.0 and 1.0"))
+  }
 }
