@@ -1031,6 +1031,17 @@ object Registry {
           registry.registerFunction(FunctionIdentifier(name),
             new ExpressionInfo(getClass.getCanonicalName, name), builder)
         }
+        // spooky_hash_v2_32/64 (VarbinaryFunctions.java:306,316) — native
+        // SpookyHash V2, big-endian varbinary image like the reference.
+        Seq("spooky_hash_v2_32" -> true, "spooky_hash_v2_64" -> false)
+          .foreach { case (name, is32) =>
+            val builder: Seq[Expression] => Expression = {
+              case Seq(v) => SpookyHashExpr(v, is32)
+              case args => sys.error(s"$name expects 1 arg, got ${args.length}")
+            }
+            registry.registerFunction(FunctionIdentifier(name),
+              new ExpressionInfo(getClass.getCanonicalName, name), builder)
+          }
         val builder: Seq[Expression] => Expression = {
           case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)
           case Seq(a, Literal(k: Long, LongType)) =>

@@ -551,6 +551,20 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // spooky_hash_v2_32/64 (VarbinaryFunctions.java:306,316): the gate
+    // rows are the reference's own published vectors
+    // (TestVarbinaryFunctions.java:338-341) — the oracle carries those
+    // digests, the HMAC-vector stance. Determinism/width over corpus
+    // data are asserted alongside (DuckDB replays count + widths).
+    "qk5_spooky_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  lower(hex(spooky_hash_v2_32(to_utf8(data)))) AS h32,
+        |  lower(hex(spooky_hash_v2_64(to_utf8(data)))) AS h64,
+        |  cast(length(spooky_hash_v2_32(to_utf8(data))) as bigint) AS w32,
+        |  cast(length(spooky_hash_v2_64(to_utf8(data))) as bigint) AS w64
+        |FROM VALUES (1, ''), (2, 'hello') AS t(id, data)
+        |ORDER BY id""".stripMargin)),
+
     // classification_* array aggregates (PrecisionRecallAggregation.java
     // subclasses): score = l_discount*10 on [0,1], outcome = returned
     // flag, weights = integer-valued l_quantity (so every running sum is
@@ -596,6 +610,16 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    // The reference's published SpookyHashV2 digests, verbatim.
+    "qk5_spooky_sql" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '6bf50919', '232706fc6bf50919',
+        |   CAST(4 AS BIGINT), CAST(8 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'd382e6ca', '3768826ad382e6ca',
+        |   CAST(4 AS BIGINT), CAST(8 AS BIGINT)))
+        |  AS t(id, h32, h64, w32, w64)
+        |ORDER BY id""".stripMargin,
 
     // Replays PrecisionRecallAggregation: [0,1) bucketing with the
     // 0.99999999999 top clamp, running (exclusive-prefix) weights in

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.HashCombinatorics
+import graft.functions.{HashCombinatorics, SpookyHashV2}
 
 /** JVM-level checks for the FNV recurrences (published vectors) and the
   * combinations iterator (order + edge cases). Query-level behavior is
@@ -50,6 +50,24 @@ class HashCombinatoricsSuite extends AnyFunSuite {
       val inner = res.getArray(i)
       (0 until inner.numElements())
         .map(j => inner.getUTF8String(j).toString)
+    }
+  }
+
+  test("spooky hash v2 matches the reference's test vectors") {
+    // TestVarbinaryFunctions.java:338-341 (seed 0)
+    def h32(s: String) = SpookyHashV2.hash32(s.getBytes("UTF-8"))
+    def h64(s: String) = SpookyHashV2.hash64(s.getBytes("UTF-8"))
+    assert(h32("") == 0x6BF50919)
+    assert(h32("hello") == 0xD382E6CA.toInt)
+    assert(h64("") == 0x232706FC6BF50919L)
+    assert(h64("hello") == 0x3768826AD382E6CAL)
+    // hash32 is the low word of hash64 by construction — spot-check the
+    // untested tail arms and both block paths (16..191 short, >=192 long)
+    for (n <- Seq(1, 4, 8, 12, 15, 16, 31, 32, 33, 100, 191, 192, 200, 500)) {
+      val bytes = Array.tabulate(n)(i => (i * 37 + 11).toByte)
+      assert(SpookyHashV2.hash32(bytes) == SpookyHashV2.hash64(bytes).toInt)
+      // deterministic
+      assert(SpookyHashV2.hash64(bytes) == SpookyHashV2.hash64(bytes.clone()))
     }
   }
 }
