@@ -181,6 +181,151 @@ object DifferentialEntropyAgg {
       .toAggregateExpression())
 }
 
+/** `differential_entropy(..., 'fixed_histogram_jacknife', min, max)` —
+  * the reference's second deterministic strategy
+  * (`FixedHistogramJacknifeStateStrategy.java`): a BREAKDOWN histogram
+  * (per bucket, per distinct weight value, a sample count —
+  * `FixedDoubleBreakdownHistogram.java`) feeding a jacknife
+  * (leave-one-out) bias correction of the histogram entropy:
+  *
+  *   H_jk = n·H(S) − Σ_entries count·(n−1)·H(S − entry)/n
+  *
+  * with `H(width, Σw, Σ w ln w) = max((ln(width·Σw) − Σ w ln w / Σw)
+  * / ln 2, 0)` (`EntropyCalculations.calculateEntropyFromHistogram
+  * Aggregates`). State is a sorted (bucket, weight) → count map:
+  * deterministic iteration, byte-stable merge; size is
+  * O(buckets × distinct weights) — same growth the reference accepts.
+  */
+case class DifferentialEntropyJacknifeAgg(buckets: Int, min: Double,
+    max: Double, sample: Expression, weight: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DifferentialEntropyJacknifeAgg.State] {
+
+  import DifferentialEntropyJacknifeAgg._
+
+  override def prettyName: String = "differential_entropy"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(sample, weight)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sample.dataType, weight.dataType) match {
+      case (_: NumericType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects numeric (sample, weight)")
+    }
+
+  @transient private lazy val sampleD = FixedHistogram.toDoubleFn(sample.dataType)
+  @transient private lazy val weightD = FixedHistogram.toDoubleFn(weight.dataType)
+
+  override def createAggregationBuffer(): State = new State(buckets, min, max)
+
+  override def update(b: State, input: InternalRow): State = {
+    val s = sample.eval(input)
+    val w = weight.eval(input)
+    if (s != null && w != null) b.add(sampleD(s), weightD(w))
+    b
+  }
+
+  override def merge(b: State, o: State): State = { b.mergeWith(o); b }
+
+  override def eval(b: State): Any = {
+    // per-bucket total weights Σ count·w, in ascending bucket order
+    val bucketWeight = new Array[Double](b.buckets)
+    var n = 0L
+    b.entries.foreach { case ((bk, w), cnt) =>
+      bucketWeight(bk) += cnt * w
+      n += cnt
+    }
+    var sumW = 0.0
+    var sumWLW = 0.0
+    var i = 0
+    while (i < b.buckets) {
+      sumW += bucketWeight(i)
+      sumWLW += xLogX(bucketWeight(i))
+      i += 1
+    }
+    if (sumW == 0.0) Double.NaN
+    else {
+      val width = (b.max - b.min) / b.buckets
+      var entropy = n * hFromAggregates(width, sumW, sumWLW)
+      b.entries.foreach { case ((bk, w), cnt) =>
+        val bw = bucketWeight(bk)
+        if (bw > 0.0) {
+          val holdBw = math.max(bw - w, 0.0)
+          val holdSumW = sumW - bw + holdBw
+          val holdSumWLW = sumWLW - xLogX(bw) + xLogX(holdBw)
+          entropy -= cnt * (n - 1) *
+            hFromAggregates(width, holdSumW, holdSumWLW) / n
+        }
+      }
+      entropy
+    }
+  }
+
+  override def serialize(b: State): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 16 + 4 + 20 * b.entries.size)
+    buf.putInt(b.buckets).putDouble(b.min).putDouble(b.max)
+    buf.putInt(b.entries.size)
+    b.entries.foreach { case ((bk, w), cnt) =>
+      buf.putInt(bk).putDouble(w).putLong(cnt)
+    }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): State = {
+    val buf = ByteBuffer.wrap(bytes)
+    val st = new State(buf.getInt, buf.getDouble, buf.getDouble)
+    val n = buf.getInt
+    var i = 0
+    while (i < n) {
+      st.entries.update((buf.getInt, buf.getDouble), buf.getLong)
+      i += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DifferentialEntropyJacknifeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DifferentialEntropyJacknifeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sample = newChildren(0), weight = newChildren(1))
+}
+
+object DifferentialEntropyJacknifeAgg {
+
+  private[functions] def xLogX(x: Double): Double =
+    if (x <= 0.0) 0.0 else x * math.log(x)
+
+  /** EntropyCalculations.calculateEntropyFromHistogramAggregates. */
+  private[functions] def hFromAggregates(width: Double, sumWeight: Double,
+      sumWeightLogWeight: Double): Double = {
+    require(sumWeight > 0.0, "sum of weights must be positive")
+    math.max(
+      (math.log(width * sumWeight) - sumWeightLogWeight / sumWeight) /
+        math.log(2.0), 0.0)
+  }
+
+  final class State(val buckets: Int, val min: Double, val max: Double) {
+    private val grid = new FixedHistogram.State(buckets, min, max)
+    // sorted for deterministic iteration + byte-stable serialization
+    private[functions] val entries =
+      scala.collection.mutable.TreeMap.empty[(Int, Double), Long]
+
+    def add(v: Double, w: Double): Unit = {
+      require(w >= 0.0, s"weight must be non-negative: $w")
+      val key = (grid.indexFor(v), w)
+      entries.update(key, entries.getOrElse(key, 0L) + 1L)
+    }
+
+    def mergeWith(o: State): Unit =
+      o.entries.foreach { case (k, c) =>
+        entries.update(k, entries.getOrElse(k, 0L) + c)
+      }
+  }
+}
+
 /** The `classification_{precision,recall,fall_out,miss_rate,thresholds}`
   * array aggregates (`PrecisionRecallAggregation.java:48-117` + the five
   * one-class subclasses): true/false outcome weights are bucketed on a

@@ -971,10 +971,14 @@ object Registry {
                 DifferentialEntropyAgg(numLit(b, "bucket count").toInt,
                   numLit(mn, "min"), numLit(mx, "max"), sample, weight)
                   .toAggregateExpression()
+              case "fixed_histogram_jacknife" =>
+                DifferentialEntropyJacknifeAgg(numLit(b, "bucket count").toInt,
+                  numLit(mn, "min"), numLit(mx, "max"), sample, weight)
+                  .toAggregateExpression()
               case m => sys.error("differential_entropy: only the " +
-                "deterministic 'fixed_histogram_mle' strategy is supported " +
-                s"(got '$m'; reservoir/jacknife strategies are " +
-                "sampling-based or need per-sample breakdown state)")
+                "deterministic fixed_histogram strategies (mle, jacknife) " +
+                s"are supported, got '$m' — the reservoir strategies are " +
+                "sampling-based (nondeterministic by construction)")
             }
           case args => sys.error("differential_entropy expects (buckets, " +
             "sample, weight, 'fixed_histogram_mle', min, max); the " +

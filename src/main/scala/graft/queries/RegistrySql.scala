@@ -547,7 +547,9 @@ object RegistrySql extends QueryPack {
         |  differential_entropy(17, l_quantity, 1.0,
         |    'fixed_histogram_mle', 0.0, 51.0) AS ent,
         |  differential_entropy(17, l_quantity, cast(l_linenumber as double),
-        |    'fixed_histogram_mle', 0.0, 51.0) AS ent_w
+        |    'fixed_histogram_mle', 0.0, 51.0) AS ent_w,
+        |  differential_entropy(17, l_quantity, 1.0,
+        |    'fixed_histogram_jacknife', 0.0, 51.0) AS ent_jk
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
@@ -602,11 +604,19 @@ object RegistrySql extends QueryPack {
         |  SELECT l_returnflag, bk, CAST(count(*) AS DOUBLE) AS w1,
         |    sum(w) AS w2
         |  FROM b GROUP BY 1, 2),
-        |t AS (SELECT l_returnflag, sum(w1) AS s1, sum(w2) AS s2
+        |t AS (SELECT l_returnflag, sum(w1) AS s1, sum(w2) AS s2,
+        |    sum(CASE WHEN w1 > 0 THEN w1 * ln(w1) ELSE 0 END) AS swlw
         |  FROM g GROUP BY 1)
         |SELECT g.l_returnflag,
         |  (-sum((w1 / s1) * ln(w1 / s1)) + ln(51.0 / 17)) / ln(2.0) AS ent,
-        |  (-sum((w2 / s2) * ln(w2 / s2)) + ln(51.0 / 17)) / ln(2.0) AS ent_w
+        |  (-sum((w2 / s2) * ln(w2 / s2)) + ln(51.0 / 17)) / ln(2.0) AS ent_w,
+        |  max(s1 * GREATEST((ln(3.0 * s1) - swlw / s1) / ln(2.0), 0))
+        |    - sum(w1 * (s1 - 1) *
+        |        GREATEST((ln(3.0 * (s1 - 1)) -
+        |          (swlw - w1 * ln(w1) +
+        |           CASE WHEN w1 - 1 > 0 THEN (w1 - 1) * ln(w1 - 1)
+        |                ELSE 0 END) / (s1 - 1)) / ln(2.0), 0)
+        |        / s1) AS ent_jk
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,

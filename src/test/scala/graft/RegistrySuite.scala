@@ -243,11 +243,19 @@ class RegistrySuite extends GraftSuite {
       spark.sql("SELECT differential_entropy(10, x, 1.0) FROM VALUES (1.0) t(x)")
     }
     assert(e1.getMessage.contains("nondeterministic"))
+    // jacknife strategy, by hand: uniform 4 unit buckets, n = 4 ->
+    // n*H - sum of 4 leave-one-out terms = 4*2 - 4*(3/4)*log2(3)
+    val jk = spark.sql(
+      """SELECT differential_entropy(4, x, 1.0, 'fixed_histogram_jacknife',
+        |  0.0, 4.0) AS v
+        |FROM VALUES (0.5), (1.5), (2.5), (3.5) AS t(x)""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(jk - (8.0 - 3.0 * math.log(3) / math.log(2))) < 1e-12)
     val e2 = intercept[Exception] {
       spark.sql("""SELECT differential_entropy(10, x, 1.0,
-        'fixed_histogram_jacknife', 0.0, 1.0) FROM VALUES (0.5) t(x)""")
+        'unweighted_reservoir', 0.0, 1.0) FROM VALUES (0.5) t(x)""")
     }
-    assert(e2.getMessage.contains("fixed_histogram_mle"))
+    assert(e2.getMessage.contains("fixed_histogram"))
     // Out-of-range sample fails like the reference's checkArgument
     val e3 = intercept[Exception] {
       spark.sql("""SELECT differential_entropy(4, x, 1.0,
