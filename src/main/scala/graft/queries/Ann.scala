@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PrestoScalars
-import graft.operators.Similarity
+import graft.operators.{KMeans, Similarity}
 
 /** Similarity search over the `embeddings` fixture — the ANN surface of a
   * training-data pipeline: brute-force cosine top-k (the correctness
@@ -151,6 +151,68 @@ object Ann extends QueryPack {
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("vec_id").as("nn_id"),
           round(col("cos"), 4).as("cos"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // IVF with a TRAINED coarse quantizer: 2 Lloyd rounds over the
+    // stride seeds (operators/KMeans — deterministic seeds, broadcast
+    // assignment scans, vector_avg centroid recompute), then the qb4
+    // search against the trained cells. Trained centroids are float-sum
+    // order-sensitive, so the gate is the sketch stance: exact
+    // brute-force top-1 columns the oracle replays bitwise + invariant
+    // booleans (Lloyd inertia non-increasing per round; the IVF answer's
+    // exact rank within top-10 for every probe at nprobe=2).
+    "qk6_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val stride = math.max(1L, math.floor(math.sqrt(
+        Tables.view(s, dir, "embeddings").count().toDouble)).toLong)
+      val seed = KMeans.seeds(e, stride)
+      val a0 = KMeans.assign(e, seed)
+      val c1 = KMeans.step(e, seed)
+      val a1 = KMeans.assign(e, c1)
+      val c2 = KMeans.step(e, c1)
+      val a2 = KMeans.assign(e, c2)
+      val mono = KMeans.inertia(a0, "i0")
+        .crossJoin(KMeans.inertia(a1, "i1"))
+        .crossJoin(KMeans.inertia(a2, "i2"))
+        .select((col("i1") <= col("i0") + lit(1e-9) &&
+          col("i2") <= col("i1") + lit(1e-9)).as("inertia_ok"))
+      val byCd = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < 10)
+        .crossJoin(broadcast(c2))
+        .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
+        .withColumn("cr", row_number().over(byCd))
+        .filter(col("cr") <= 2) // nprobe = 2
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("cent_id"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ivf = a2.select(col("vec_id"), col("e"), col("cent_id"))
+        .join(probeCells, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("vec_id").as("ivf_nn"))
+      val pr = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val brute = e.crossJoin(broadcast(pr))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", PrestoScalars.cosineSimilarity(col("pe"), col("e")))
+        .withColumn("rank", row_number().over(wTop))
+      val exact = brute.filter(col("rank") === 1)
+        .select(col("probe_id"), col("vec_id").as("nn_id"),
+          round(col("cos"), 4).as("cos"))
+      val ivfRank = ivf
+        .join(brute.select(col("probe_id"), col("vec_id"), col("rank")),
+          Seq("probe_id"))
+        .filter(col("vec_id") === col("ivf_nn"))
+        .select(col("probe_id"), (col("rank") <= 10).as("ivf_rank_ok"))
+      exact.join(ivfRank, Seq("probe_id"))
+        .crossJoin(broadcast(mono))
+        .select(col("probe_id"), col("nn_id"), col("cos"),
+          col("ivf_rank_ok"), col("inertia_ok"))
         .orderBy(col("probe_id"))
     }),
 
@@ -326,6 +388,25 @@ object Ann extends QueryPack {
         |  FROM s)
         |SELECT probe_id, rank, vec_id AS nn_id, round(c, 4) AS cos
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Exact top-1 replayed bitwise; the trained-quantizer quality gates
+    // are Spark-side invariant booleans (sketch stance — the oracle
+    // asserts they came out TRUE).
+    "qk6_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM p CROSS JOIN e WHERE vec_id <> probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT probe_id, vec_id AS nn_id, round(c, 4) AS cos,
+        |  TRUE AS ivf_rank_ok, TRUE AS inertia_ok
+        |FROM r WHERE rank = 1 ORDER BY probe_id""".stripMargin,
 
     "q95_lsh_ann" ->
       s"""${weightsCte(32, 1)},

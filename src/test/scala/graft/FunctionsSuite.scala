@@ -210,4 +210,30 @@ class FunctionsSuite extends GraftSuite {
     assert(b.count(_ == '█') == 2 && b.endsWith("\u001b[0m  "))
     assert(ColorMath.bar(-1.0, 3, 0L, 0L) == "\u001b[0m   ")
   }
+
+  test("vector_avg: element-wise mean, null rows skipped, ragged fails") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0, 2.0, 3.0)), (1, Seq(3.0, 4.0, 7.0)),
+      (2, Seq(10.0, 0.0, -2.0))).toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.VectorAvg.agg(col("v")).as("m"))
+      .orderBy(col("g"))
+      .as[(Int, Seq[Double])].collect()
+    assert(got(0) == (1 -> Seq(2.0, 3.0, 5.0)))
+    assert(got(1) == (2 -> Seq(10.0, 0.0, -2.0)))
+    // nulls don't count toward the mean
+    val withNull = Seq((1, Some(Seq(2.0, 4.0))), (1, None))
+      .toDF("g", "v")
+      .groupBy(col("g")).agg(graft.functions.VectorAvg.agg(col("v")).as("m"))
+      .as[(Int, Seq[Double])].head()
+    assert(withNull == (1 -> Seq(2.0, 4.0)))
+    // ragged input fails loudly (fixed-dimension contract)
+    val e = intercept[Exception] {
+      Seq((1, Seq(1.0)), (1, Seq(1.0, 2.0))).toDF("g", "v")
+        .groupBy(col("g")).agg(graft.functions.VectorAvg.agg(col("v")))
+        .collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
 }
