@@ -68,6 +68,31 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Full managed-table DDL lifecycle (reference:
+    // AbstractTestDistributedQueries testCreateTable/testDropTableIfExists
+    // — CREATE with an explicit schema, INSERT, visibility in the
+    // catalog, DROP, gone from the catalog). Output rows are the phase
+    // observations, all deterministic.
+    "qk7_create_drop" -> ((s, dir) => {
+      // managed (no LOCATION): DROP removes the data files, so every
+      // pass of the query sees a truly fresh table (bench runs it 3x)
+      val t = s"graft_ddl_${Integer.toHexString(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (k BIGINT, v STRING) USING parquet")
+      val afterCreate = s.catalog.tableExists(t)
+      val emptyRows = s.table(t).count()
+      s.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val afterInsert = s.table(t).count()
+      s.sql(s"DROP TABLE $t")
+      val afterDrop = s.catalog.tableExists(t)
+      import s.implicits._
+      Seq(("create_visible", afterCreate.toString),
+        ("empty_rows", emptyRows.toString),
+        ("inserted_rows", afterInsert.toString),
+        ("dropped_visible", afterDrop.toString))
+        .toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // Bucketed co-located join (reference: Hive-connector bucketed
     // tables, `presto-hive/.../HiveBucketing.java` — bucketed layouts
     // join without redistributing either side). Spark analog: bucketBy
@@ -219,6 +244,12 @@ object Storage extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "qk7_create_drop" ->
+      """SELECT * FROM (VALUES
+        |  ('create_visible', 'true'), ('dropped_visible', 'false'),
+        |  ('empty_rows', '0'), ('inserted_rows', '3'))
+        |  AS t(phase, observed) ORDER BY phase""".stripMargin,
+
     "qk1_insert_append" ->
       """SELECT l_returnflag, count(*) AS n,
         |  sum(l_quantity) AS qty
