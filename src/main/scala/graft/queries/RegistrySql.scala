@@ -553,6 +553,86 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // Quantified comparison subqueries (reference grammar
+    // `quantifiedComparison`, planned through ApplyNode;
+    // AbstractTestQueries testQuantifiedComparison). Spark's parser has
+    // no `> ALL (subquery)`, so the engine runs the standard aggregate
+    // decorrelation — the ANSI truth table spelled out over
+    // (count, count-non-null, max) scalar subqueries:
+    //   x > ALL S:  TRUE if S empty; NULL if x NULL; FALSE if x <= max;
+    //               NULL if S has NULLs; else TRUE
+    //   x < ANY S:  FALSE if S empty; NULL if x NULL; TRUE if x < max;
+    //               NULL if S has NULLs; else FALSE
+    //   x = ANY S:  FALSE if S empty; NULL if x NULL; TRUE on a match
+    //               (correlated count); NULL if S has NULLs; else FALSE
+    //   x <> ALL S: the three-valued negation of x = ANY S
+    // (= ANY can NOT lean on Spark's SELECT-list IN-subquery: that plans
+    // as an ExistenceJoin whose flag is two-valued — FALSE where ANSI
+    // wants NULL when S contains NULLs. The explicit decorrelation
+    // restores the reference semantics; found by this very gate.)
+    // The oracle runs the GENUINE quantified forms — the gate proves the
+    // rewrite matches a real implementation on every branch (empty set,
+    // NULL probe, NULL elements, definite hits/misses).
+    "qk8_quantified_sql" -> ((s, dir) => sql(s, dir,
+      """WITH probe AS (SELECT * FROM VALUES
+        |    (1, 3), (2, 1), (3, CAST(NULL AS INT)), (4, 0) AS p(id, x))
+        |SELECT cast(id as bigint) AS id, x,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (2) t(y)) = 0 THEN true
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN x <= (SELECT max(y) FROM VALUES (1), (2) t(y)) THEN false
+        |       WHEN (SELECT count(y) FROM VALUES (1), (2) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (2) t(y)) THEN NULL
+        |       ELSE true END AS gt_all,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) = 0
+        |         THEN true
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN x <= (SELECT max(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN false
+        |       WHEN (SELECT count(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN NULL
+        |       ELSE true END AS gt_all_nulls,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1) t(y) WHERE y > 99) = 0
+        |         THEN true
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN x <= (SELECT max(y) FROM VALUES (1) t(y) WHERE y > 99)
+        |         THEN false
+        |       ELSE true END AS gt_all_empty,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (2) t(y)) = 0 THEN false
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN x < (SELECT max(y) FROM VALUES (1), (2) t(y)) THEN true
+        |       WHEN (SELECT count(y) FROM VALUES (1), (2) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (2) t(y)) THEN NULL
+        |       ELSE false END AS lt_any,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) = 0
+        |         THEN false
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN x < (SELECT max(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN true
+        |       WHEN (SELECT count(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN NULL
+        |       ELSE false END AS lt_any_nulls,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) = 0
+        |         THEN false
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)
+        |             WHERE t.y = p.x) > 0 THEN true
+        |       WHEN (SELECT count(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN NULL
+        |       ELSE false END AS eq_any_nulls,
+        |  CASE WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) = 0
+        |         THEN true
+        |       WHEN x IS NULL THEN NULL
+        |       WHEN (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y)
+        |             WHERE t.y = p.x) > 0 THEN false
+        |       WHEN (SELECT count(y) FROM VALUES (1), (CAST(NULL AS INT)) t(y)) <
+        |            (SELECT count(*) FROM VALUES (1), (CAST(NULL AS INT)) t(y))
+        |         THEN NULL
+        |       ELSE true END AS neq_all_nulls
+        |FROM probe p ORDER BY id""".stripMargin)),
+
     // spooky_hash_v2_32/64 (VarbinaryFunctions.java:306,316): the gate
     // rows are the reference's own published vectors
     // (TestVarbinaryFunctions.java:338-341) — the oracle carries those
@@ -620,6 +700,26 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    // The genuine quantified forms — DuckDB implements ANSI ALL/ANY
+    // natively, so the rewrite is checked against a real implementation.
+    "qk8_quantified_sql" ->
+      """WITH probe AS (SELECT * FROM (VALUES
+        |    (1, 3), (2, 1), (3, CAST(NULL AS INT)), (4, 0)) p(id, x))
+        |SELECT CAST(id AS BIGINT) AS id, x,
+        |  x > ALL (SELECT y FROM (VALUES (1), (2)) t(y)) AS gt_all,
+        |  x > ALL (SELECT y FROM (VALUES (1), (CAST(NULL AS INT))) t(y))
+        |    AS gt_all_nulls,
+        |  x > ALL (SELECT y FROM (VALUES (1)) t(y) WHERE y > 99)
+        |    AS gt_all_empty,
+        |  x < ANY (SELECT y FROM (VALUES (1), (2)) t(y)) AS lt_any,
+        |  x < ANY (SELECT y FROM (VALUES (1), (CAST(NULL AS INT))) t(y))
+        |    AS lt_any_nulls,
+        |  x = ANY (SELECT y FROM (VALUES (1), (CAST(NULL AS INT))) t(y))
+        |    AS eq_any_nulls,
+        |  x <> ALL (SELECT y FROM (VALUES (1), (CAST(NULL AS INT))) t(y))
+        |    AS neq_all_nulls
+        |FROM probe ORDER BY id""".stripMargin,
 
     // The reference's published SpookyHashV2 digests, verbatim.
     "qk5_spooky_sql" ->
