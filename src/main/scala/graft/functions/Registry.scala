@@ -157,7 +157,10 @@ object Registry {
     ("to_base", 2, "lower(conv(cast(__a as string), 10, __b))"),
     ("infinity", 0, "cast('Infinity' as double)"),
     ("nan", 0, "cast('NaN' as double)"),
-    ("is_nan", 1, "isnan(cast(__a as double))"),
+    // Spark's isnan(NULL) is FALSE; the reference's primitive-double
+    // @ScalarFunction is RETURN_NULL_ON_NULL — wrap to preserve it.
+    ("is_nan", 1,
+      "CASE WHEN __a IS NULL THEN NULL ELSE isnan(cast(__a as double)) END"),
     ("is_finite", 1,
       "not isnan(cast(__a as double)) and abs(cast(__a as double)) <> cast('Infinity' as double)"),
     ("is_infinite", 1, "abs(cast(__a as double)) = cast('Infinity' as double)"),

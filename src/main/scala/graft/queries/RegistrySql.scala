@@ -553,6 +553,42 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // Special floating-point semantics (MathFunctions nan()/infinity()/
+    // is_nan/is_finite/is_infinite; AbstractTestQueries
+    // testSpecialFloatingPointValues): NaN/±Inf as values, in
+    // comparisons, as GROUP BY keys (one NaN group), and in total sort
+    // order (-Inf < finite < +Inf < NaN — Spark and DuckDB agree).
+    // Documented divergence: `nan() = nan()` is TRUE under Spark's (and
+    // DuckDB's) total-order equality; the reference's `=` compiles to
+    // Java `==` where NaN equals nothing — the reference itself groups
+    // and sorts NaN as equal/greatest, so only the raw `=` operator
+    // differs.
+    "qk9_float_special_sql" -> ((s, dir) => sql(s, dir,
+      """WITH v AS (SELECT * FROM VALUES
+        |    (1, nan()), (2, infinity()), (3, -infinity()),
+        |    (4, 1.5E0), (5, cast(null as double)) AS t(id, x)),
+        |ranked AS (
+        |  SELECT id, x, cast(row_number() OVER (ORDER BY x) as bigint)
+        |    AS sort_pos
+        |  FROM v WHERE x IS NOT NULL),
+        |grouped AS (
+        |  SELECT y, cast(count(*) as bigint) AS n FROM VALUES
+        |      (nan()), (nan()), (infinity()), (1.5E0), (nan())
+        |    AS g(y) GROUP BY y)
+        |SELECT v.id,
+        |  CASE WHEN is_nan(v.x) THEN 'NaN'
+        |       WHEN v.x = infinity() THEN 'Inf'
+        |       WHEN v.x = -infinity() THEN '-Inf'
+        |       ELSE cast(v.x as string) END AS x_repr,
+        |  is_nan(v.x) AS f_nan, is_finite(v.x) AS f_fin,
+        |  is_infinite(v.x) AS f_inf,
+        |  v.x = v.x AS self_eq, v.x > 1.0E308 AS gt_huge,
+        |  r.sort_pos,
+        |  (SELECT max(y) FROM grouped WHERE n = 3) AS nan_key,
+        |  (SELECT n FROM grouped WHERE is_nan(y)) AS nan_group_n
+        |FROM v LEFT JOIN ranked r ON r.id = v.id
+        |ORDER BY v.id""".stripMargin)),
+
     // Quantified comparison subqueries (reference grammar
     // `quantifiedComparison`, planned through ApplyNode;
     // AbstractTestQueries testQuantifiedComparison). Spark's parser has
@@ -700,6 +736,35 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    // NaN/Inf written as DuckDB literals; identical total order.
+    "qk9_float_special_sql" ->
+      """WITH v AS (SELECT * FROM (VALUES
+        |    (1, 'NaN'::DOUBLE), (2, 'Infinity'::DOUBLE),
+        |    (3, -('Infinity'::DOUBLE)), (4, 1.5E0),
+        |    (5, CAST(NULL AS DOUBLE))) t(id, x)),
+        |ranked AS (
+        |  SELECT id, x, CAST(row_number() OVER (ORDER BY x) AS BIGINT)
+        |    AS sort_pos
+        |  FROM v WHERE x IS NOT NULL),
+        |grouped AS (
+        |  SELECT y, CAST(count(*) AS BIGINT) AS n FROM (VALUES
+        |      ('NaN'::DOUBLE), ('NaN'::DOUBLE), ('Infinity'::DOUBLE),
+        |      (1.5E0), ('NaN'::DOUBLE)) g(y) GROUP BY y)
+        |SELECT CAST(v.id AS BIGINT) AS id,
+        |  CASE WHEN isnan(v.x) THEN 'NaN'
+        |       WHEN v.x = 'Infinity'::DOUBLE THEN 'Inf'
+        |       WHEN v.x = -('Infinity'::DOUBLE) THEN '-Inf'
+        |       ELSE CAST(v.x AS VARCHAR) END AS x_repr,
+        |  isnan(v.x) AS f_nan,
+        |  NOT isnan(v.x) AND abs(v.x) <> 'Infinity'::DOUBLE AS f_fin,
+        |  abs(v.x) = 'Infinity'::DOUBLE AS f_inf,
+        |  v.x = v.x AS self_eq, v.x > 1.0E308 AS gt_huge,
+        |  r.sort_pos,
+        |  (SELECT max(y) FROM grouped WHERE n = 3) AS nan_key,
+        |  (SELECT n FROM grouped WHERE isnan(y)) AS nan_group_n
+        |FROM v LEFT JOIN ranked r ON r.id = v.id
+        |ORDER BY id""".stripMargin,
 
     // The genuine quantified forms — DuckDB implements ANSI ALL/ANY
     // natively, so the rewrite is checked against a real implementation.
