@@ -553,6 +553,26 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // WHERE-position NOT IN against a subquery CONTAINING a NULL
+    // (AbstractTestQueries testSemiJoinNullHandling): ANSI says no row
+    // can pass (x NOT IN S is never TRUE when S has a NULL). Spark plans
+    // this as a null-aware anti join — a different physical path from
+    // qk8's projection-position truth table. Both the poisoned (empty
+    // result proven by a count) and clean variants are locked.
+    "ql0_not_in_where_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT nullif(c_custkey, 370) FROM customer)) AS with_null_n,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey <= 500))
+        |    AS clean_n,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey > 1e18))
+        |    AS empty_set_n""".stripMargin)),
+
     // Special floating-point semantics (MathFunctions nan()/infinity()/
     // is_nan/is_finite/is_infinite; AbstractTestQueries
     // testSpecialFloatingPointValues): NaN/±Inf as values, in
@@ -736,6 +756,20 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    "ql0_not_in_where_sql" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT nullif(c_custkey, 370) FROM customer)) AS with_null_n,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey <= 500))
+        |    AS clean_n,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey > 1e18))
+        |    AS empty_set_n""".stripMargin,
 
     // NaN/Inf written as DuckDB literals; identical total order.
     "qk9_float_special_sql" ->
