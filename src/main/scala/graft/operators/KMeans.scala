@@ -45,16 +45,23 @@ object KMeans {
   def train(e: DataFrame, stride: Long, iters: Int): DataFrame =
     (1 to iters).foldLeft(seeds(e, stride))((cents, _) => step(e, cents))
 
-  /** Nearest-centroid assignment: (vec_id, e, cent_id, cd). */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val byCos = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("cent_id"))
+  /** Nearest-centroid assignment: (vec_id, e, cent_id, cd).
+    *
+    * The argmax is a `max(struct(cd, -cent_id, …))` aggregation, NOT a
+    * window: all k candidate rows for a vector sit in the broadcast-join
+    * output partition that produced them, so the map-side partial max
+    * collapses k→1 in place and the exchange moves ONE compact row per
+    * vector — a window (partitionBy vec_id, row_number) would shuffle
+    * and sort the full n×k cross product instead. Ties break to the
+    * smallest cent_id via the negated key, same contract as qb4. */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
-      .withColumn("cr", row_number().over(byCos))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("e"), col("cent_id"), col("cd"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cd"), (-col("cent_id")).as("neg_cent"),
+        col("cent_id"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"),
+        col("m.cent_id").as("cent_id"), col("m.cd").as("cd"))
 
   /** Σ(1−cos) of an assignment, as a single-row frame. */
   def inertia(assigned: DataFrame, name: String): DataFrame =

@@ -130,10 +130,9 @@ object Ann extends QueryPack {
         .select(col("vec_id").as("cent_id"), col("e").as("ce"))
       val byDist = Window.partitionBy(col("vec_id"))
         .orderBy(col("cd").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
-        .withColumn("cr", row_number().over(byDist))
-        .filter(col("cr") === 1)
+      // corpus-side assignment via map-side-collapsing argmax (see
+      // KMeans.assign doc) — the window form would shuffle n×k rows
+      val assigned = KMeans.assign(e, cents)
         .select(col("vec_id"), col("e"), col("cent_id"))
       val probes = e.filter(col("vec_id") < 10)
         .crossJoin(broadcast(cents))

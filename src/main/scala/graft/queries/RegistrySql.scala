@@ -553,6 +553,15 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // SHOW FUNCTIONS (testShowFunctions; the reference lists registered
+    // names through the same metadata the planner resolves): the
+    // Presto-name registry is CATALOG-VISIBLE, not a parser hack — the
+    // session function catalog enumerates the installed names.
+    "ql1_show_functions_sql" -> ((s, dir) => sql(s, dir,
+      "SHOW FUNCTIONS LIKE 'classification_*'")
+      .selectExpr("cast(function as string) as function")
+      .orderBy("function")),
+
     // WHERE-position NOT IN against a subquery CONTAINING a NULL
     // (AbstractTestQueries testSemiJoinNullHandling): ANSI says no row
     // can pass (x NOT IN S is never TRUE when S has a NULL). Spark plans
@@ -756,6 +765,12 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    "ql1_show_functions_sql" ->
+      """SELECT * FROM (VALUES ('classification_fall_out'),
+        |  ('classification_miss_rate'), ('classification_precision'),
+        |  ('classification_recall'), ('classification_thresholds'))
+        |  AS t(function) ORDER BY function""".stripMargin,
 
     "ql0_not_in_where_sql" ->
       """SELECT

@@ -153,4 +153,29 @@ class OperatorsSuite extends GraftSuite {
       .as[(Long, Long)].collect().toMap
     assert(one(5L) != 1L)
   }
+
+  test("kmeans: convergence on separated clusters; assignment plan shape") {
+    import graft.operators.KMeans
+    import spark.implicits._
+    // two well-separated direction clusters; seeds = stride 3 (ids 0, 3)
+    val e = Seq(
+      (0L, Seq(1.0, 0.1, 0.0)), (1L, Seq(1.0, -0.1, 0.0)),
+      (2L, Seq(0.9, 0.0, 0.1)),
+      (3L, Seq(-0.1, 1.0, 0.0)), (4L, Seq(0.1, 1.0, 0.0)),
+      (5L, Seq(0.0, 0.9, 0.1))).toDF("vec_id", "e")
+    val trained = KMeans.train(e, 3L, 2)
+    val got = KMeans.assign(e, trained)
+      .select(col("vec_id"), col("cent_id")).as[(Long, Long)]
+      .collect().toMap
+    // each cluster maps to one centroid, clusters map to different ones
+    assert(Set(got(0L), got(1L), got(2L)).size == 1)
+    assert(Set(got(3L), got(4L), got(5L)).size == 1)
+    assert(got(0L) != got(3L))
+    // plan shape: broadcast join + aggregate argmax; NO window sort of
+    // the n*k cross product, no shuffled join
+    val plan = KMeans.assign(e, trained).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
