@@ -69,26 +69,42 @@ object Storage extends QueryPack {
     }),
 
     // Full managed-table DDL lifecycle (reference:
-    // AbstractTestDistributedQueries testCreateTable/testDropTableIfExists
-    // — CREATE with an explicit schema, INSERT, visibility in the
-    // catalog, DROP, gone from the catalog). Output rows are the phase
-    // observations, all deterministic.
+    // AbstractTestDistributedQueries testCreateTable, testAddColumn,
+    // testRenameTable, testDropTableIfExists — CREATE with an explicit
+    // schema, INSERT, catalog visibility, ADD COLUMNS (old rows read
+    // NULL), RENAME (new name answers, old is gone), DROP). Output rows
+    // are the phase observations, all deterministic. testDropColumn /
+    // testRenameColumn need a DSv2 catalog (Spark v1 parquet tables
+    // reject them) — descoped with the CHAR(n)-style rationale.
     "qk7_create_drop" -> ((s, dir) => {
       // managed (no LOCATION): DROP removes the data files, so every
       // pass of the query sees a truly fresh table (bench runs it 3x)
       val t = s"graft_ddl_${Integer.toHexString(dir.hashCode)}"
+      val t2 = t + "_renamed"
       s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
       s.sql(s"CREATE TABLE $t (k BIGINT, v STRING) USING parquet")
       val afterCreate = s.catalog.tableExists(t)
       val emptyRows = s.table(t).count()
       s.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
       val afterInsert = s.table(t).count()
-      s.sql(s"DROP TABLE $t")
-      val afterDrop = s.catalog.tableExists(t)
+      s.sql(s"ALTER TABLE $t ADD COLUMNS (extra STRING)")
+      val nullExtra = s.table(t).filter(col("extra").isNull).count()
+      s.sql(s"INSERT INTO $t VALUES (4, 'd', 'x')")
+      val withExtra = s.table(t).filter(col("extra") === "x").count()
+      s.sql(s"ALTER TABLE $t RENAME TO $t2")
+      val renamedRows = s.table(t2).count()
+      val oldGone = !s.catalog.tableExists(t)
+      s.sql(s"DROP TABLE $t2")
+      val afterDrop = s.catalog.tableExists(t2)
       import s.implicits._
       Seq(("create_visible", afterCreate.toString),
         ("empty_rows", emptyRows.toString),
         ("inserted_rows", afterInsert.toString),
+        ("add_col_null_rows", nullExtra.toString),
+        ("add_col_new_rows", withExtra.toString),
+        ("renamed_rows", renamedRows.toString),
+        ("rename_old_gone", oldGone.toString),
         ("dropped_visible", afterDrop.toString))
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
@@ -246,8 +262,10 @@ object Storage extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "qk7_create_drop" ->
       """SELECT * FROM (VALUES
+        |  ('add_col_new_rows', '1'), ('add_col_null_rows', '3'),
         |  ('create_visible', 'true'), ('dropped_visible', 'false'),
-        |  ('empty_rows', '0'), ('inserted_rows', '3'))
+        |  ('empty_rows', '0'), ('inserted_rows', '3'),
+        |  ('rename_old_gone', 'true'), ('renamed_rows', '4'))
         |  AS t(phase, observed) ORDER BY phase""".stripMargin,
 
     "qk1_insert_append" ->
