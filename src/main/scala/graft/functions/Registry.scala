@@ -352,6 +352,70 @@ object Registry {
         "(element_at(__a, i).x - element_at(__a, i - 1).x) + " +
         "(element_at(__a, i).y - element_at(__a, i - 1).y) * " +
         "(element_at(__a, i).y - element_at(__a, i - 1).y)))"),
+    // Linestring/ring accessors (GeoFunctions ST_NumPoints/ST_PointN/
+    // ST_StartPoint/ST_EndPoint/ST_IsClosed/ST_IsEmpty and the envelope
+    // family) over the pack's array<struct<x,y>> representation.
+    // ST_PointN is 1-based and NULL out of range, like the reference.
+    ("st_numpoints", 1, "cast(size(__a) as bigint)"),
+    ("st_pointn", 2,
+      "CASE WHEN cast(__b as int) BETWEEN 1 AND size(__a) " +
+        "THEN element_at(__a, cast(__b as int)) ELSE NULL END"),
+    ("st_startpoint", 1,
+      "CASE WHEN size(__a) >= 1 THEN element_at(__a, 1) ELSE NULL END"),
+    ("st_endpoint", 1,
+      "CASE WHEN size(__a) >= 1 THEN element_at(__a, size(__a)) ELSE NULL END"),
+    ("st_isclosed", 1,
+      "size(__a) >= 2 AND element_at(__a, 1).x = element_at(__a, size(__a)).x " +
+        "AND element_at(__a, 1).y = element_at(__a, size(__a)).y"),
+    ("st_isempty", 1, "size(__a) = 0"),
+    ("st_xmin", 1, "array_min(transform(__a, p -> p.x))"),
+    ("st_xmax", 1, "array_max(transform(__a, p -> p.x))"),
+    ("st_ymin", 1, "array_min(transform(__a, p -> p.y))"),
+    ("st_ymax", 1, "array_max(transform(__a, p -> p.y))"),
+    // ST_Envelope: the bounding box as this pack's implicit-closed ring
+    // (4 corners CCW) — composable with st_area/st_centroid/st_contains.
+    // ST_EnvelopeAsPts: the reference's 2-point (min, max) multipoint.
+    ("st_envelope", 1,
+      "array(" +
+        "named_struct('x', array_min(transform(__a, p -> p.x)), 'y', array_min(transform(__a, p -> p.y))), " +
+        "named_struct('x', array_max(transform(__a, p -> p.x)), 'y', array_min(transform(__a, p -> p.y))), " +
+        "named_struct('x', array_max(transform(__a, p -> p.x)), 'y', array_max(transform(__a, p -> p.y))), " +
+        "named_struct('x', array_min(transform(__a, p -> p.x)), 'y', array_max(transform(__a, p -> p.y))))"),
+    ("st_envelopeaspts", 1,
+      "array(" +
+        "named_struct('x', array_min(transform(__a, p -> p.x)), 'y', array_min(transform(__a, p -> p.y))), " +
+        "named_struct('x', array_max(transform(__a, p -> p.x)), 'y', array_max(transform(__a, p -> p.y))))"),
+    // ST_LineFromText / ST_LineString: WKT 'LINESTRING (x y, x y, …)'
+    // parse, and the array<point> constructor (identity here).
+    ("st_linefromtext", 1,
+      "transform(split(regexp_extract(__a, 'LINESTRING\\\\s*\\\\((.+)\\\\)', 1), ','), " +
+        "s -> named_struct(" +
+        "'x', cast(element_at(split(trim(s), ' '), 1) as double), " +
+        "'y', cast(element_at(split(trim(s), ' '), 2) as double)))"),
+    ("st_linestring", 1, "__a"),
+    // ST_Contains(ring, point) for ARBITRARY simple polygons — even-odd
+    // ray casting over the implicit-closed ring (replaces the pack's
+    // earlier convex-only edge-sign operator; non-convex rings now work).
+    // When the parity test's edge straddles the scanline, y_i != y_j, so
+    // the crossing-x division is never by zero. Boundary points are
+    // parity-undefined, as in every even-odd implementation — the
+    // reference's OGC contains() also excludes the boundary.
+    ("st_contains", 2,
+      "aggregate(sequence(1, size(__a)), false, (acc, i) -> " +
+        "CASE WHEN ((element_at(__a, i).y > __b.y) != " +
+        "(element_at(__a, i % size(__a) + 1).y > __b.y)) AND " +
+        "(__b.x < (element_at(__a, i % size(__a) + 1).x - element_at(__a, i).x) * " +
+        "(__b.y - element_at(__a, i).y) / " +
+        "(element_at(__a, i % size(__a) + 1).y - element_at(__a, i).y) + " +
+        "element_at(__a, i).x) THEN NOT acc ELSE acc END)"),
+    ("st_within", 2,
+      "aggregate(sequence(1, size(__b)), false, (acc, i) -> " +
+        "CASE WHEN ((element_at(__b, i).y > __a.y) != " +
+        "(element_at(__b, i % size(__b) + 1).y > __a.y)) AND " +
+        "(__a.x < (element_at(__b, i % size(__b) + 1).x - element_at(__b, i).x) * " +
+        "(__a.y - element_at(__b, i).y) / " +
+        "(element_at(__b, i % size(__b) + 1).y - element_at(__b, i).y) + " +
+        "element_at(__b, i).x) THEN NOT acc ELSE acc END)"),
 
     // --- round-5 coverage-audit batch (names surfaced by diffing the
     // reference's @ScalarFunction annotations against this registry;

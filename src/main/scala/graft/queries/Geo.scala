@@ -160,6 +160,47 @@ object Geo extends QueryPack {
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Linestring surface (GeoFunctions ST_LineFromText/ST_NumPoints/
+    // ST_PointN/ST_StartPoint/ST_EndPoint/ST_IsClosed/ST_IsEmpty,
+    // envelope family) and NON-convex containment: st_contains is now
+    // even-odd ray casting, so the L-shaped ring's notch correctly
+    // excludes (3,3) while both arms contain their points — the case the
+    // earlier convex-only edge-sign operator could not express. Segment
+    // lengths are 3-4-5 multiples or single sqrts, so every double here
+    // is reproducible bitwise.
+    "ql2_geometry_linestring" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(Registry.rewritePrestoSql(
+        """WITH ls AS (
+          |  SELECT cast(id as bigint) AS id,
+          |    st_linefromtext(wkt) AS line, st_geometryfromtext(pw) AS pt
+          |  FROM VALUES
+          |    (1, 'LINESTRING (0 0, 3 4, 6 8)', 'POINT (1 1)'),
+          |    (2, 'LINESTRING (2 2, 2 6, 5 6, 2 2)', 'POINT (3 3)'),
+          |    (3, 'LINESTRING (0 0, 10 0)', 'POINT (3 1)'),
+          |    (4, 'LINESTRING (1 1, 2 2)', 'POINT (5 5)'),
+          |    (5, 'LINESTRING (-1 -1, -2 -3, 4 0)', 'POINT (1 3)')
+          |    AS t(id, wkt, pw))
+          |SELECT id,
+          |  st_numpoints(line) AS n_pts,
+          |  st_pointn(line, 2).x AS p2x,
+          |  st_pointn(line, 99) IS NULL AS oob_null,
+          |  st_startpoint(line).x AS sx, st_endpoint(line).y AS ey,
+          |  st_isclosed(line) AS closed, st_isempty(line) AS empty,
+          |  st_xmin(line) AS xmn, st_xmax(line) AS xmx,
+          |  st_ymin(line) AS ymn, st_ymax(line) AS ymx,
+          |  st_area(st_envelope(line)) AS env_area,
+          |  st_length(line) AS len,
+          |  st_contains(array(st_point(0, 0), st_point(4, 0),
+          |    st_point(4, 2), st_point(2, 2), st_point(2, 4),
+          |    st_point(0, 4)), pt) AS in_lshape,
+          |  st_within(pt, array(st_point(0, 0), st_point(4, 0),
+          |    st_point(4, 2), st_point(2, 2), st_point(2, 4),
+          |    st_point(0, 4))) AS within_lshape
+          |FROM ls ORDER BY id""".stripMargin))
     })
   )
 
@@ -274,7 +315,60 @@ object Geo extends QueryPack {
            |SELECT c_mktsegment, count(*) AS n_total,
            |  CAST(sum(CASE WHEN ${SpatialJoin.containsConvexSql(Fence, "x", "y")}
            |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
-           |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+           |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      // WKT parse + accessors replayed with DuckDB list ops; containment
+      // replayed as edge-crossing parity over the unnested L-shape ring.
+      "ql2_geometry_linestring" ->
+        """WITH raw AS (SELECT * FROM (VALUES
+          |    (1, 'LINESTRING (0 0, 3 4, 6 8)', 1.0, 1.0),
+          |    (2, 'LINESTRING (2 2, 2 6, 5 6, 2 2)', 3.0, 3.0),
+          |    (3, 'LINESTRING (0 0, 10 0)', 3.0, 1.0),
+          |    (4, 'LINESTRING (1 1, 2 2)', 5.0, 5.0),
+          |    (5, 'LINESTRING (-1 -1, -2 -3, 4 0)', 1.0, 3.0))
+          |    t(id, wkt, px, py)),
+          |ls AS (SELECT id, px, py,
+          |    list_transform(
+          |      string_split(regexp_extract(wkt,
+          |        'LINESTRING\s*\((.+)\)', 1), ','),
+          |      s -> struct_pack(
+          |        x := CAST(string_split(trim(s), ' ')[1] AS DOUBLE),
+          |        y := CAST(string_split(trim(s), ' ')[2] AS DOUBLE)))
+          |      AS line
+          |  FROM raw),
+          |poly AS (SELECT * FROM (VALUES (1, 0.0, 0.0), (2, 4.0, 0.0),
+          |    (3, 4.0, 2.0), (4, 2.0, 2.0), (5, 2.0, 4.0), (6, 0.0, 4.0))
+          |    e(i, x, y)),
+          |edges AS (SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+          |  FROM poly a JOIN poly b ON b.i = a.i % 6 + 1),
+          |inside AS (SELECT r.id,
+          |    (count(*) FILTER (WHERE ((yi > py) <> (yj > py))
+          |      AND (px < (xj - xi) * (py - yi) / (yj - yi) + xi))) % 2 = 1
+          |      AS ins
+          |  FROM raw r CROSS JOIN edges GROUP BY r.id, px, py)
+          |SELECT CAST(ls.id AS BIGINT) AS id,
+          |  CAST(len(line) AS BIGINT) AS n_pts,
+          |  line[2].x AS p2x,
+          |  TRUE AS oob_null,
+          |  line[1].x AS sx, line[len(line)].y AS ey,
+          |  len(line) >= 2 AND line[1].x = line[len(line)].x
+          |    AND line[1].y = line[len(line)].y AS closed,
+          |  len(line) = 0 AS empty,
+          |  list_min(list_transform(line, p -> p.x)) AS xmn,
+          |  list_max(list_transform(line, p -> p.x)) AS xmx,
+          |  list_min(list_transform(line, p -> p.y)) AS ymn,
+          |  list_max(list_transform(line, p -> p.y)) AS ymx,
+          |  (list_max(list_transform(line, p -> p.x)) -
+          |   list_min(list_transform(line, p -> p.x))) *
+          |  (list_max(list_transform(line, p -> p.y)) -
+          |   list_min(list_transform(line, p -> p.y))) AS env_area,
+          |  list_sum(list_transform(generate_series(2, len(line)),
+          |    i -> sqrt((line[i].x - line[i-1].x) * (line[i].x - line[i-1].x)
+          |            + (line[i].y - line[i-1].y) * (line[i].y - line[i-1].y))))
+          |    AS len,
+          |  inside.ins AS in_lshape, inside.ins AS within_lshape
+          |FROM ls JOIN inside ON inside.id = ls.id
+          |ORDER BY id""".stripMargin
     )
   }
 }
