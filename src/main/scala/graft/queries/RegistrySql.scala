@@ -553,6 +553,21 @@ object RegistrySql extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // Aggregate FILTER clause (reference grammar `filter` on
+    // aggregations — AggregationNode carries per-aggregate masks): the
+    // ANSI spelling runs verbatim on both engines, incl. combined with
+    // DISTINCT and alongside unfiltered aggregates in one pass.
+    "ql3_agg_filter_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 45)
+        |    AS supp_heavy,
+        |  avg(l_quantity) FILTER (WHERE l_linenumber = 1) AS avg_first
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // SHOW FUNCTIONS (testShowFunctions; the reference lists registered
     // names through the same metadata the planner resolves): the
     // Presto-name registry is CATALOG-VISIBLE, not a parser hack — the
@@ -765,6 +780,17 @@ object RegistrySql extends QueryPack {
         |FROM g JOIN t ON g.l_returnflag = t.l_returnflag
         |GROUP BY g.l_returnflag
         |ORDER BY g.l_returnflag""".stripMargin,
+
+    "ql3_agg_filter_sql" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 45)
+        |    AS supp_heavy,
+        |  avg(l_quantity) FILTER (WHERE l_linenumber = 1) AS avg_first
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "ql1_show_functions_sql" ->
       """SELECT * FROM (VALUES ('classification_fall_out'),
