@@ -264,6 +264,29 @@ class RegistrySuite extends GraftSuite {
     assert(e3.getMessage.contains("within range"))
   }
 
+  test("histogram aggregates: merge path equals single-partition bulk") {
+    // integer-valued weights make per-bucket sums exact, so any
+    // partition layout must produce BIT-IDENTICAL results (the merge
+    // is element-wise addition of exact doubles)
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = spark.range(0, 1000)
+      .select((col("id") % 47).cast("double").as("x"),
+        ((col("id") % 5) + 1).cast("double").as("w"),
+        (col("id") % 3 === 0).as("o"),
+        ((col("id") % 11).cast("double") / 10).as("p"))
+    def run(parts: Int): Seq[Any] = {
+      val df = base.repartition(parts)
+      df.select(
+        expr("differential_entropy(13, x, w, 'fixed_histogram_mle', 0.0, 47.0)"),
+        expr("differential_entropy(13, x, w, 'fixed_histogram_jacknife', 0.0, 47.0)"),
+        expr("classification_precision(10, o, p, w)"),
+        expr("classification_thresholds(10, o, p)"),
+        graft.functions.VectorAvg.agg(expr("array(x, w)")))
+        .head().toSeq
+    }
+    assert(run(1) == run(13))
+  }
+
   test("classification_*: hand case incl. early stop and 1.0 clamp") {
     // trues at preds 0.1 (bk0) and 0.9 (bk3); false at 0.3 (bk1); 4 buckets
     val rows = "VALUES (true, 0.1D), (true, 0.9D), (false, 0.3D) AS t(o, p)"
