@@ -1113,6 +1113,21 @@ object Registry {
             registry.registerFunction(FunctionIdentifier(name),
               new ExpressionInfo(getClass.getCanonicalName, name), builder)
           }
+        // st_intersects / st_disjoint over array<struct<x,y>> linestrings
+        // (GeoFunctions.java; native segment-pair orientation tests —
+        // see SegmentsIntersect).
+        Seq("st_intersects" -> false, "st_disjoint" -> true)
+          .foreach { case (name, negate) =>
+            val builder: Seq[Expression] => Expression = {
+              case Seq(a, b) =>
+                val e = SegmentsIntersect(a, b)
+                if (negate) org.apache.spark.sql.catalyst.expressions.Not(e)
+                else e
+              case args => sys.error(s"$name expects 2 args, got ${args.length}")
+            }
+            registry.registerFunction(FunctionIdentifier(name),
+              new ExpressionInfo(getClass.getCanonicalName, name), builder)
+          }
         val builder: Seq[Expression] => Expression = {
           case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)
           case Seq(a, Literal(k: Long, LongType)) =>

@@ -201,6 +201,35 @@ object Geo extends QueryPack {
           |    st_point(4, 2), st_point(2, 2), st_point(2, 4),
           |    st_point(0, 4))) AS within_lshape
           |FROM ls ORDER BY id""".stripMargin))
+    }),
+
+    // ST_Intersects / ST_Disjoint over linestring pairs (GeoFunctions;
+    // native segment-pair orientation tests, endpoints inclusive —
+    // functions/GeomExpressions.scala). Cases: proper crossing, endpoint
+    // touch, collinear overlap, collinear gap, parallel, point-on-line,
+    // point-off-line, and a crossing on a LATER segment of a polyline.
+    // The oracle replays the identical cross-product predicate over
+    // unnested segment pairs in DuckDB.
+    "ql4_geometry_intersects" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(Registry.rewritePrestoSql(
+        """WITH g AS (
+          |  SELECT cast(id as bigint) AS id,
+          |    st_linefromtext(aw) AS la, st_linefromtext(bw) AS lb
+          |  FROM VALUES
+          |    (1, 'LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)'),
+          |    (2, 'LINESTRING (0 0, 2 2)', 'LINESTRING (2 2, 5 1)'),
+          |    (3, 'LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)'),
+          |    (4, 'LINESTRING (0 0, 1 0)', 'LINESTRING (2 0, 3 0)'),
+          |    (5, 'LINESTRING (0 0, 4 0)', 'LINESTRING (0 1, 4 1)'),
+          |    (6, 'LINESTRING (2 0)', 'LINESTRING (0 0, 4 0)'),
+          |    (7, 'LINESTRING (2 1)', 'LINESTRING (0 0, 4 0)'),
+          |    (8, 'LINESTRING (0 0, 1 0, 1 3)', 'LINESTRING (0 2, 5 2)')
+          |    AS t(id, aw, bw))
+          |SELECT id, st_intersects(la, lb) AS hits,
+          |  st_disjoint(la, lb) AS apart
+          |FROM g ORDER BY id""".stripMargin))
     })
   )
 
@@ -368,7 +397,68 @@ object Geo extends QueryPack {
           |    AS len,
           |  inside.ins AS in_lshape, inside.ins AS within_lshape
           |FROM ls JOIN inside ON inside.id = ls.id
-          |ORDER BY id""".stripMargin
+          |ORDER BY id""".stripMargin,
+
+      // Same WKT parse; segments via lateral generate_series (a 1-point
+      // line degenerates to the segment (p, p)); the d1..d4 orientation
+      // predicate is the SegmentsIntersect expression, transcribed.
+      "ql4_geometry_intersects" ->
+        """WITH raw AS (SELECT * FROM (VALUES
+          |    (1, 'LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)'),
+          |    (2, 'LINESTRING (0 0, 2 2)', 'LINESTRING (2 2, 5 1)'),
+          |    (3, 'LINESTRING (0 0, 4 0)', 'LINESTRING (2 0, 6 0)'),
+          |    (4, 'LINESTRING (0 0, 1 0)', 'LINESTRING (2 0, 3 0)'),
+          |    (5, 'LINESTRING (0 0, 4 0)', 'LINESTRING (0 1, 4 1)'),
+          |    (6, 'LINESTRING (2 0)', 'LINESTRING (0 0, 4 0)'),
+          |    (7, 'LINESTRING (2 1)', 'LINESTRING (0 0, 4 0)'),
+          |    (8, 'LINESTRING (0 0, 1 0, 1 3)', 'LINESTRING (0 2, 5 2)'))
+          |    t(id, aw, bw)),
+          |pl AS (SELECT id,
+          |    list_transform(string_split(
+          |      regexp_extract(aw, 'LINESTRING\s*\((.+)\)', 1), ','),
+          |      s -> struct_pack(
+          |        x := CAST(string_split(trim(s), ' ')[1] AS DOUBLE),
+          |        y := CAST(string_split(trim(s), ' ')[2] AS DOUBLE))) AS la,
+          |    list_transform(string_split(
+          |      regexp_extract(bw, 'LINESTRING\s*\((.+)\)', 1), ','),
+          |      s -> struct_pack(
+          |        x := CAST(string_split(trim(s), ' ')[1] AS DOUBLE),
+          |        y := CAST(string_split(trim(s), ' ')[2] AS DOUBLE))) AS lb
+          |  FROM raw),
+          |sa AS (SELECT id, la[i] AS p1, la[LEAST(i + 1, len(la))] AS p2
+          |  FROM pl, UNNEST(generate_series(1, GREATEST(1, len(la) - 1)))
+          |    g(i)),
+          |sb AS (SELECT id, lb[i] AS q1, lb[LEAST(i + 1, len(lb))] AS q2
+          |  FROM pl, UNNEST(generate_series(1, GREATEST(1, len(lb) - 1)))
+          |    g(i)),
+          |pairs AS (
+          |  SELECT sa.id,
+          |    (q2.x - q1.x) * (p1.y - q1.y) - (q2.y - q1.y) * (p1.x - q1.x)
+          |      AS d1,
+          |    (q2.x - q1.x) * (p2.y - q1.y) - (q2.y - q1.y) * (p2.x - q1.x)
+          |      AS d2,
+          |    (p2.x - p1.x) * (q1.y - p1.y) - (p2.y - p1.y) * (q1.x - p1.x)
+          |      AS d3,
+          |    (p2.x - p1.x) * (q2.y - p1.y) - (p2.y - p1.y) * (q2.x - p1.x)
+          |      AS d4,
+          |    p1, p2, q1, q2
+          |  FROM sa JOIN sb ON sa.id = sb.id),
+          |hit AS (
+          |  SELECT id, bool_or(
+          |    (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) AND
+          |     ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+          |    OR (d1 = 0 AND p1.x BETWEEN LEAST(q1.x, q2.x) AND GREATEST(q1.x, q2.x)
+          |        AND p1.y BETWEEN LEAST(q1.y, q2.y) AND GREATEST(q1.y, q2.y))
+          |    OR (d2 = 0 AND p2.x BETWEEN LEAST(q1.x, q2.x) AND GREATEST(q1.x, q2.x)
+          |        AND p2.y BETWEEN LEAST(q1.y, q2.y) AND GREATEST(q1.y, q2.y))
+          |    OR (d3 = 0 AND q1.x BETWEEN LEAST(p1.x, p2.x) AND GREATEST(p1.x, p2.x)
+          |        AND q1.y BETWEEN LEAST(p1.y, p2.y) AND GREATEST(p1.y, p2.y))
+          |    OR (d4 = 0 AND q2.x BETWEEN LEAST(p1.x, p2.x) AND GREATEST(p1.x, p2.x)
+          |        AND q2.y BETWEEN LEAST(p1.y, p2.y) AND GREATEST(p1.y, p2.y)))
+          |    AS hits
+          |  FROM pairs GROUP BY id)
+          |SELECT CAST(id AS BIGINT) AS id, hits, NOT hits AS apart
+          |FROM hit ORDER BY id""".stripMargin
     )
   }
 }
