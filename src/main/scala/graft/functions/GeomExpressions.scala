@@ -95,6 +95,163 @@ case class SegmentsIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared linestring plumbing for the line_* expressions. */
+private[functions] object LineOps {
+  def isPointArray(dt: DataType): Boolean = dt match {
+    case ArrayType(st: StructType, _) =>
+      st.fields.length == 2 &&
+        st.fields.forall(_.dataType == DoubleType) &&
+        st.fieldNames.toSet == Set("x", "y")
+    case _ => false
+  }
+
+  def xIdx(dt: DataType): Int = dt.asInstanceOf[ArrayType].elementType
+    .asInstanceOf[StructType].fieldIndex("x")
+
+  /** Flattened [x0,y0,x1,y1,…]. */
+  def coords(v: Any, xi: Int): Array[Double] = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      out(2 * i) = row.getDouble(xi)
+      out(2 * i + 1) = row.getDouble(1 - xi)
+      i += 1
+    }
+    out
+  }
+}
+
+/** `line_locate_point(line, point)` (GeoFunctions.java:437, JTS
+  * LengthIndexedLine.indexOf / getLength): the 2D-length fraction
+  * [0, 1] along the line of the point's nearest projection. NULL when
+  * either input is empty, like the reference's @SqlNullable; ties take
+  * the earliest segment (JTS walk order). Pure per-row arithmetic; the
+  * oracle replays the identical projection/argmin over unnested
+  * segments.
+  */
+case class LineLocatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "line_locate_point"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (LineOps.isPointArray(left.dataType) &&
+      right.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<x,y>> line, struct<x,y> point)")
+
+  @transient private lazy val lxi = LineOps.xIdx(left.dataType)
+  @transient private lazy val pxi =
+    right.dataType.asInstanceOf[StructType].fieldIndex("x")
+
+  override def nullSafeEval(l: Any, p: Any): Any = {
+    val c = LineOps.coords(l, lxi)
+    if (c.length < 2) return null
+    val prow = p.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val px = prow.getDouble(pxi)
+    val py = prow.getDouble(1 - pxi)
+    var before = 0.0
+    var total = 0.0
+    var bestD2 = Double.PositiveInfinity
+    var bestLoc = 0.0
+    var i = 0
+    val nSeg = c.length / 2 - 1
+    while (i < math.max(1, nSeg)) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val bi = math.min(i + 1, c.length / 2 - 1)
+      val bx = c(2 * bi); val by = c(2 * bi + 1)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t =
+        if (len2 == 0.0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((px - ax) * dx + (py - ay) * dy) / len2))
+      val cx = ax + t * dx; val cy = ay + t * dy
+      val d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+      val segLen = math.sqrt(len2)
+      if (d2 < bestD2) { bestD2 = d2; bestLoc = before + t * segLen }
+      before += segLen
+      total += segLen
+      i += 1
+    }
+    if (total == 0.0) 0.0 else bestLoc / total
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `line_interpolate_point(line, fraction)` (GeoFunctions.java:462, JTS
+  * LengthIndexedLine.extractPoint): the point at `fraction` of the
+  * line's 2D length, walking segments in order. Fraction outside [0, 1]
+  * fails loudly with the reference's message; an empty line yields NULL
+  * (the reference returns an empty point — NULL is this pack's empty).
+  */
+case class LineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "line_interpolate_point"
+  override def nullable: Boolean = true
+  override def dataType: DataType = new StructType()
+    .add("x", DoubleType, nullable = false)
+    .add("y", DoubleType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (LineOps.isPointArray(left.dataType) &&
+      right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<x,y>> line, double fraction)")
+
+  @transient private lazy val lxi = LineOps.xIdx(left.dataType)
+
+  override def nullSafeEval(l: Any, f: Any): Any = {
+    val fraction = f.asInstanceOf[Double]
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"line_interpolate_point: Fraction must be between 0 and 1, but is $fraction")
+    val c = LineOps.coords(l, lxi)
+    if (c.length == 0) return null
+    if (c.length == 2)
+      return org.apache.spark.sql.catalyst.InternalRow(c(0), c(1))
+    var total = 0.0
+    var i = 0
+    val nSeg = c.length / 2 - 1
+    while (i < nSeg) {
+      val dx = c(2 * i + 2) - c(2 * i); val dy = c(2 * i + 3) - c(2 * i + 1)
+      total += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    val target = fraction * total
+    var acc = 0.0
+    i = 0
+    while (i < nSeg) {
+      val ax = c(2 * i); val ay = c(2 * i + 1)
+      val dx = c(2 * i + 2) - ax; val dy = c(2 * i + 3) - ay
+      val segLen = math.sqrt(dx * dx + dy * dy)
+      if (acc + segLen >= target && segLen > 0.0) {
+        val t = (target - acc) / segLen
+        return org.apache.spark.sql.catalyst.InternalRow(
+          ax + t * dx, ay + t * dy)
+      }
+      acc += segLen
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      c(c.length - 2), c(c.length - 1))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SegmentsIntersect {
 
   @inline private def cross(ax: Double, ay: Double, bx: Double, by: Double,

@@ -1128,6 +1128,25 @@ object Registry {
             registry.registerFunction(FunctionIdentifier(name),
               new ExpressionInfo(getClass.getCanonicalName, name), builder)
           }
+        // line_locate_point / line_interpolate_point (GeoFunctions.java
+        // :437,:462) — length-indexed line ops, native expressions.
+        locally {
+          val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+            "line_locate_point" -> {
+              case Seq(l, p) => LineLocatePoint(l, p)
+              case args =>
+                sys.error(s"line_locate_point expects 2 args, got ${args.length}")
+            },
+            "line_interpolate_point" -> {
+              case Seq(l, f) => LineInterpolatePoint(l, Cast(f, DoubleType))
+              case args => sys.error(
+                s"line_interpolate_point expects 2 args, got ${args.length}")
+            })
+          builders.foreach { case (name, b) =>
+            registry.registerFunction(FunctionIdentifier(name),
+              new ExpressionInfo(getClass.getCanonicalName, name), b)
+          }
+        }
         val builder: Seq[Expression] => Expression = {
           case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)
           case Seq(a, Literal(k: Long, LongType)) =>

@@ -230,6 +230,34 @@ object Geo extends QueryPack {
           |SELECT id, st_intersects(la, lb) AS hits,
           |  st_disjoint(la, lb) AS apart
           |FROM g ORDER BY id""".stripMargin))
+    }),
+
+    // Length-indexed line referencing (GeoFunctions line_locate_point /
+    // line_interpolate_point — JTS LengthIndexedLine semantics): nearest
+    // -projection fraction and point-at-fraction, walked over segments
+    // in order. Cases: interior projection, point exactly on the line,
+    // nearest on a later segment, clamp to the start vertex, and both
+    // fraction endpoints. The oracle replays projection/argmin and the
+    // cumulative-length walk over unnested segments.
+    "ql5_line_reference" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(Registry.rewritePrestoSql(
+        """WITH g AS (
+          |  SELECT cast(id as bigint) AS id, st_linefromtext(w) AS line,
+          |    st_point(px, py) AS pt, f
+          |  FROM VALUES
+          |    (1, 'LINESTRING (0 0, 10 0)', 3.0D, 4.0D, 0.25D),
+          |    (2, 'LINESTRING (0 0, 3 4, 6 8)', 3.0D, 4.0D, 0.5D),
+          |    (3, 'LINESTRING (0 0, 4 0, 4 3)', 5.0D, 1.0D, 1.0D),
+          |    (4, 'LINESTRING (0 0, 4 0, 4 3)', -2.0D, -2.0D, 0.0D),
+          |    (5, 'LINESTRING (1 1, 9 1)', 5.0D, 5.0D, 0.875D)
+          |    AS t(id, w, px, py, f))
+          |SELECT id,
+          |  line_locate_point(line, pt) AS frac,
+          |  line_interpolate_point(line, f).x AS ix,
+          |  line_interpolate_point(line, f).y AS iy
+          |FROM g ORDER BY id""".stripMargin))
     })
   )
 
@@ -458,7 +486,58 @@ object Geo extends QueryPack {
           |    AS hits
           |  FROM pairs GROUP BY id)
           |SELECT CAST(id AS BIGINT) AS id, hits, NOT hits AS apart
-          |FROM hit ORDER BY id""".stripMargin
+          |FROM hit ORDER BY id""".stripMargin,
+
+      // Projection/argmin + cumulative-length walk, transcribed from
+      // LineLocatePoint/LineInterpolatePoint (no zero-length segments in
+      // the fixture rows, so the degenerate guards are not replayed).
+      "ql5_line_reference" ->
+        """WITH raw AS (SELECT * FROM (VALUES
+          |    (1, 'LINESTRING (0 0, 10 0)', 3.0, 4.0, 0.25),
+          |    (2, 'LINESTRING (0 0, 3 4, 6 8)', 3.0, 4.0, 0.5),
+          |    (3, 'LINESTRING (0 0, 4 0, 4 3)', 5.0, 1.0, 1.0),
+          |    (4, 'LINESTRING (0 0, 4 0, 4 3)', -2.0, -2.0, 0.0),
+          |    (5, 'LINESTRING (1 1, 9 1)', 5.0, 5.0, 0.875))
+          |    t(id, w, px, py, f)),
+          |pl AS (SELECT id, px, py, f,
+          |    list_transform(string_split(
+          |      regexp_extract(w, 'LINESTRING\s*\((.+)\)', 1), ','),
+          |      s -> struct_pack(
+          |        x := CAST(string_split(trim(s), ' ')[1] AS DOUBLE),
+          |        y := CAST(string_split(trim(s), ' ')[2] AS DOUBLE))) AS la
+          |  FROM raw),
+          |segs AS (SELECT id, px, py, f, i,
+          |    la[i].x AS ax, la[i].y AS ay,
+          |    la[i + 1].x - la[i].x AS dx, la[i + 1].y - la[i].y AS dy
+          |  FROM pl, UNNEST(generate_series(1, len(la) - 1)) g(i)),
+          |m AS (SELECT id, px, py, f, i, ax, ay, dx, dy,
+          |    sqrt(dx * dx + dy * dy) AS seglen,
+          |    GREATEST(0, LEAST(1,
+          |      ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+          |      AS t
+          |  FROM segs),
+          |w2 AS (SELECT id, px, py, f, i, ax, ay, dx, dy, seglen, t,
+          |    (px - (ax + t * dx)) * (px - (ax + t * dx)) +
+          |    (py - (ay + t * dy)) * (py - (ay + t * dy)) AS d2,
+          |    coalesce(sum(seglen) OVER (PARTITION BY id ORDER BY i
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS before,
+          |    sum(seglen) OVER (PARTITION BY id) AS total
+          |  FROM m),
+          |loc AS (SELECT id, (before + t * seglen) / total AS frac
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY id
+          |      ORDER BY d2, i) AS rn FROM w2)
+          |  WHERE rn = 1),
+          |interp AS (SELECT id,
+          |    ax + ((f * total - before) / seglen) * dx AS ix,
+          |    ay + ((f * total - before) / seglen) * dy AS iy
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY i)
+          |      AS rn FROM w2 WHERE before + seglen >= f * total)
+          |  WHERE rn = 1)
+          |SELECT CAST(raw.id AS BIGINT) AS id, loc.frac, interp.ix, interp.iy
+          |FROM raw JOIN loc ON loc.id = raw.id
+          |JOIN interp ON interp.id = raw.id
+          |ORDER BY id""".stripMargin
     )
   }
 }
