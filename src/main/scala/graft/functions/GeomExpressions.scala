@@ -252,6 +252,90 @@ case class LineInterpolatePoint(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `simplify_geometry(line, tolerance)` (GeoFunctions.java:758; the
+  * reference delegates to JTS topology-preserving simplification, which
+  * reduces to Douglas-Peucker for simple non-self-intersecting
+  * linestrings — the only shapes this pack represents; divergence on
+  * pathological self-intersecting inputs is documented here).
+  * Endpoints always survive; an interior vertex survives iff its
+  * perpendicular distance to the current chord exceeds the tolerance.
+  * Guards mirror the reference: NaN and negative tolerances fail
+  * loudly, tolerance 0 returns the input unchanged.
+  */
+case class SimplifyGeometry(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "simplify_geometry"
+  override def dataType: DataType = left.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (LineOps.isPointArray(left.dataType) && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<x,y>> line, double tolerance)")
+
+  @transient private lazy val lxi = LineOps.xIdx(left.dataType)
+
+  override def nullSafeEval(l: Any, t: Any): Any = {
+    val tol = t.asInstanceOf[Double]
+    if (tol.isNaN) sys.error("distanceTolerance is NaN")
+    if (tol < 0) sys.error("distanceTolerance is negative")
+    if (tol == 0) return l
+    val arr = l.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n <= 2) return l
+    val c = LineOps.coords(l, lxi)
+    val keep = new Array[Boolean](n)
+    keep(0) = true
+    keep(n - 1) = true
+    // Douglas-Peucker, explicit stack
+    var stack = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.head
+      stack = stack.tail
+      if (hi > lo + 1) {
+        val ax = c(2 * lo); val ay = c(2 * lo + 1)
+        val bx = c(2 * hi); val by = c(2 * hi + 1)
+        val dx = bx - ax; val dy = by - ay
+        val chordLen = math.sqrt(dx * dx + dy * dy)
+        var best = -1
+        var bestD = -1.0
+        var i = lo + 1
+        while (i < hi) {
+          val px = c(2 * i); val py = c(2 * i + 1)
+          val d =
+            if (chordLen == 0.0)
+              math.sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay))
+            else math.abs(dx * (py - ay) - dy * (px - ax)) / chordLen
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        if (bestD > tol) {
+          keep(best) = true
+          stack = (lo, best) :: (best, hi) :: stack
+        }
+      }
+    }
+    val out = Array.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+    var i = 0
+    // output keeps the INPUT element field order (dataType = left type)
+    while (i < n) {
+      if (keep(i)) out += (
+        if (lxi == 0)
+          org.apache.spark.sql.catalyst.InternalRow(c(2 * i), c(2 * i + 1))
+        else
+          org.apache.spark.sql.catalyst.InternalRow(c(2 * i + 1), c(2 * i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.result().asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SegmentsIntersect {
 
   @inline private def cross(ax: Double, ay: Double, bx: Double, by: Double,

@@ -385,6 +385,19 @@ object Registry {
       "array(" +
         "named_struct('x', array_min(transform(__a, p -> p.x)), 'y', array_min(transform(__a, p -> p.y))), " +
         "named_struct('x', array_max(transform(__a, p -> p.x)), 'y', array_max(transform(__a, p -> p.y))))"),
+    // expand_envelope(geom, d): the bounding ring grown by d on every
+    // side (GeoFunctions expandEnvelope). st_coorddim is always 2 for
+    // this pack's planar geometries; st_numinteriorring is 0 — holes
+    // are unrepresentable here, so the answer is exact for every
+    // geometry the engine can hold (both match the reference on those).
+    ("expand_envelope", 2,
+      "array(" +
+        "named_struct('x', array_min(transform(__a, p -> p.x)) - __b, 'y', array_min(transform(__a, p -> p.y)) - __b), " +
+        "named_struct('x', array_max(transform(__a, p -> p.x)) + __b, 'y', array_min(transform(__a, p -> p.y)) - __b), " +
+        "named_struct('x', array_max(transform(__a, p -> p.x)) + __b, 'y', array_max(transform(__a, p -> p.y)) + __b), " +
+        "named_struct('x', array_min(transform(__a, p -> p.x)) - __b, 'y', array_max(transform(__a, p -> p.y)) + __b))"),
+    ("st_coorddim", 1, "cast(2 as tinyint)"),
+    ("st_numinteriorring", 1, "cast(0 as bigint)"),
     // ST_LineFromText / ST_LineString: WKT 'LINESTRING (x y, x y, …)'
     // parse, and the array<point> constructor (identity here).
     ("st_linefromtext", 1,
@@ -1129,7 +1142,8 @@ object Registry {
               new ExpressionInfo(getClass.getCanonicalName, name), builder)
           }
         // line_locate_point / line_interpolate_point (GeoFunctions.java
-        // :437,:462) — length-indexed line ops, native expressions.
+        // :437,:462) and simplify_geometry (:758) — length-indexed line
+        // ops + Douglas-Peucker, native expressions.
         locally {
           val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
             "line_locate_point" -> {
@@ -1141,6 +1155,11 @@ object Registry {
               case Seq(l, f) => LineInterpolatePoint(l, Cast(f, DoubleType))
               case args => sys.error(
                 s"line_interpolate_point expects 2 args, got ${args.length}")
+            },
+            "simplify_geometry" -> {
+              case Seq(l, t) => SimplifyGeometry(l, Cast(t, DoubleType))
+              case args => sys.error(
+                s"simplify_geometry expects 2 args, got ${args.length}")
             })
           builders.foreach { case (name, b) =>
             registry.registerFunction(FunctionIdentifier(name),

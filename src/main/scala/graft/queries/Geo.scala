@@ -258,6 +258,37 @@ object Geo extends QueryPack {
           |  line_interpolate_point(line, f).x AS ix,
           |  line_interpolate_point(line, f).y AS iy
           |FROM g ORDER BY id""".stripMargin))
+    }),
+
+    // simplify_geometry (Douglas-Peucker; GeoFunctions.java:758) +
+    // envelope extras. The oracle carries the hand-derived simplified
+    // shapes (the bing-tile stance): flatten drops interior vertices
+    // inside tolerance, the spike survives, the mixed case keeps only
+    // the tall vertex (the 0.05 bumps fall inside the split chords'
+    // tolerance), tolerance 0 is identity.
+    "ql6_geometry_simplify" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(Registry.rewritePrestoSql(
+        """WITH g AS (
+          |  SELECT cast(id as bigint) AS id,
+          |    simplify_geometry(st_linefromtext(w), tol) AS simp,
+          |    st_linefromtext(w) AS line
+          |  FROM VALUES
+          |    (1, 'LINESTRING (0 0, 1 0.1, 2 0)', 0.5D),
+          |    (2, 'LINESTRING (0 0, 2 2, 4 0)', 0.5D),
+          |    (3, 'LINESTRING (0 0, 1 0.05, 2 1, 3 0.05, 4 0)', 0.5D),
+          |    (4, 'LINESTRING (0 0, 1 0.1, 2 0)', 0.0D)
+          |    AS t(id, w, tol))
+          |SELECT id,
+          |  st_numpoints(simp) AS n_simp,
+          |  st_pointn(simp, 2).x AS x2, st_pointn(simp, 2).y AS y2,
+          |  st_endpoint(simp).x AS xe,
+          |  cast(st_coorddim(line) as int) AS cdim,
+          |  st_numinteriorring(line) AS n_holes,
+          |  st_xmin(expand_envelope(line, 1.5D)) AS exmn,
+          |  st_ymax(expand_envelope(line, 1.5D)) AS eymx
+          |FROM g ORDER BY id""".stripMargin))
     })
   )
 
@@ -537,6 +568,21 @@ object Geo extends QueryPack {
           |SELECT CAST(raw.id AS BIGINT) AS id, loc.frac, interp.ix, interp.iy
           |FROM raw JOIN loc ON loc.id = raw.id
           |JOIN interp ON interp.id = raw.id
+          |ORDER BY id""".stripMargin,
+
+      // Hand-derived Douglas-Peucker results (perpendicular distances
+      // worked in the query comment) + envelope arithmetic.
+      "ql6_geometry_simplify" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 2.0, 0.0, 2.0,
+          |   2, CAST(0 AS BIGINT), -1.5, 1.6),
+          |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 2.0, 2.0, 4.0,
+          |   2, CAST(0 AS BIGINT), -1.5, 3.5),
+          |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), 2.0, 1.0, 4.0,
+          |   2, CAST(0 AS BIGINT), -1.5, 2.5),
+          |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), 1.0, 0.1, 2.0,
+          |   2, CAST(0 AS BIGINT), -1.5, 1.6))
+          |  AS t(id, n_simp, x2, y2, xe, cdim, n_holes, exmn, eymx)
           |ORDER BY id""".stripMargin
     )
   }
