@@ -95,4 +95,60 @@ class GeoSuite extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def oneV[T: org.apache.spark.sql.Encoder](sql: String): T = {
+    Registry.install(spark)
+    spark.sql(s"SELECT $sql AS v").as[T].head()
+  }
+
+  test("st_intersects edge cases: T-touch, shared endpoint, degenerate") {
+    def l(w: String) = s"st_linefromtext('LINESTRING ($w)')"
+    // T-junction: endpoint of A lies mid-segment on B
+    assert(oneV[Boolean](s"st_intersects(${l("2 0, 2 2")}, ${l("0 2, 4 2")})"))
+    // V: only the shared endpoint
+    assert(oneV[Boolean](s"st_intersects(${l("0 0, 1 1")}, ${l("1 1, 2 0")})"))
+    // near miss by epsilon
+    assert(!oneV[Boolean](
+      s"st_intersects(${l("0 0, 1 1")}, ${l("1.0000001 1, 2 0")})"))
+    // degenerate point-vs-point: same and different
+    assert(oneV[Boolean](s"st_intersects(${l("3 3")}, ${l("3 3")})"))
+    assert(!oneV[Boolean](s"st_intersects(${l("3 3")}, ${l("3 4")})"))
+    // disjoint is the exact negation
+    assert(oneV[Boolean](s"st_disjoint(${l("3 3")}, ${l("3 4")})"))
+  }
+
+  test("line reference ops: clamps, on-vertex, loud fraction guard") {
+    def l(w: String) = s"st_linefromtext('LINESTRING ($w)')"
+    // beyond the far end clamps to 1.0
+    assert(oneV[Double](
+      s"line_locate_point(${l("0 0, 10 0")}, st_point(99, 0))") == 1.0)
+    // exactly on an interior vertex
+    assert(oneV[Double](
+      s"line_locate_point(${l("0 0, 2 0, 2 2")}, st_point(2, 0))") == 0.5)
+    // interpolate at 0 and 1 hit the endpoints exactly
+    assert(oneV[Double](
+      s"line_interpolate_point(${l("1 1, 9 1")}, 0.0D).x") == 1.0)
+    assert(oneV[Double](
+      s"line_interpolate_point(${l("1 1, 9 1")}, 1.0D).x") == 9.0)
+    val e = intercept[Exception] {
+      oneV[Double](s"line_interpolate_point(${l("0 0, 1 0")}, 1.5D).x")
+    }
+    assert(e.getMessage.contains("Fraction must be between 0 and 1"))
+  }
+
+  test("simplify_geometry: guards, endpoints survive, idempotent") {
+    def l(w: String) = s"st_linefromtext('LINESTRING ($w)')"
+    val zig = "0 0, 1 0.05, 2 1, 3 0.05, 4 0"
+    assert(oneV[Long](s"size(simplify_geometry(${l(zig)}, 0.5D))") == 3L)
+    // endpoints always survive, even at huge tolerance
+    assert(oneV[Long](s"size(simplify_geometry(${l(zig)}, 1e9D))") == 2L)
+    // applying twice changes nothing
+    assert(oneV[Boolean](
+      s"simplify_geometry(simplify_geometry(${l(zig)}, 0.5D), 0.5D) = " +
+        s"simplify_geometry(${l(zig)}, 0.5D)"))
+    val e = intercept[Exception] {
+      oneV[Long](s"size(simplify_geometry(${l(zig)}, -1.0D))")
+    }
+    assert(e.getMessage.contains("negative"))
+  }
 }
