@@ -280,10 +280,11 @@ case class SimplifyGeometry(left: Expression, right: Expression)
     val tol = t.asInstanceOf[Double]
     if (tol.isNaN) sys.error("distanceTolerance is NaN")
     if (tol < 0) sys.error("distanceTolerance is negative")
-    if (tol == 0) return l
     val arr = l.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n <= 2) return l
+    // pass-through paths COPY: unsafe-backed input arrays may alias the
+    // scan's row buffer, which is reused after eval returns
+    if (tol == 0 || n <= 2) return arr.copy()
     val c = LineOps.coords(l, lxi)
     val keep = new Array[Boolean](n)
     keep(0) = true
