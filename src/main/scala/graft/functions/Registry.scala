@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
@@ -1093,6 +1093,53 @@ object Registry {
         }
         registry.registerFunction(FunctionIdentifier(name),
           new ExpressionInfo(getClass.getCanonicalName, name), builder)
+      }
+      // presto-ml surface (MLFunctions.java, MLFeaturesFunctions.java,
+      // Learn*Aggregation.java): features() builds the map<bigint,double>
+      // encoding; learn_* train closed-form models (OLS /
+      // nearest-centroid — model family documented in LinearModel); the
+      // learn_libsvm_* spellings accept and ignore the libsvm params
+      // string (no libsvm in a from-scratch distributed engine — the
+      // closed-form model is the honest scale-correct substitute).
+      locally {
+        colorPack("features") { args =>
+          require(args.nonEmpty && args.length <= 10,
+            s"features expects 1-10 args, got ${args.length}")
+          CreateMap(args.zipWithIndex.flatMap { case (a, i) =>
+            Seq(Literal(i.toLong, LongType), Cast(a, DoubleType))
+          })
+        }
+        def twoArgAgg(name: String)(mk: (Expression, Expression) => Expression)
+            : Unit = {
+          val builder: Seq[Expression] => Expression = {
+            case Seq(a, b) => mk(a, b)
+            case Seq(a, b, _) => mk(a, b) // libsvm params string, ignored
+            case args => sys.error(s"$name expects 2 args, got ${args.length}")
+          }
+          registry.registerFunction(FunctionIdentifier(name),
+            new ExpressionInfo(getClass.getCanonicalName, name), builder)
+        }
+        twoArgAgg("learn_regressor")((l, f) =>
+          LearnRegressorAgg(Cast(l, DoubleType), f).toAggregateExpression())
+        twoArgAgg("learn_libsvm_regressor")((l, f) =>
+          LearnRegressorAgg(Cast(l, DoubleType), f).toAggregateExpression())
+        twoArgAgg("learn_classifier")((l, f) =>
+          LearnClassifierAgg(l, f).toAggregateExpression())
+        twoArgAgg("learn_libsvm_classifier")((l, f) =>
+          LearnClassifierAgg(l, f).toAggregateExpression())
+        colorPack("regress") {
+          case Seq(f, m) => RegressPredict(f, m)
+          case args => sys.error(s"regress expects 2 args, got ${args.length}")
+        }
+        colorPack("classify") {
+          case Seq(f, m) => ClassifyPredict(f, m)
+          case args => sys.error(s"classify expects 2 args, got ${args.length}")
+        }
+        colorPack("evaluate_classifier_predictions") {
+          case Seq(t, p) => EvaluatePredictionsAgg(t, p).toAggregateExpression()
+          case args => sys.error(
+            s"evaluate_classifier_predictions expects 2 args, got ${args.length}")
+        }
       }
       // FNV hashes + HMACs (FnvHash.java / HmacFunctions.java) and
       // combinations (ArrayCombinationsFunction.java) — native
