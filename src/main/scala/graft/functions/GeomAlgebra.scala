@@ -1,0 +1,523 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Computational-geometry algebra over the geo pack's planar model
+  * (point = struct<x,y>, line/ring = array<struct<x,y>>, rings
+  * implicit-closed): convex hulls, convex clipping, the segment subset
+  * of the DE-9IM predicates, and WKB round-trips.
+  *
+  * Reference surface: `presto-geospatial/.../GeoFunctions.java`
+  * ST_ConvexHull / ST_Intersection / ST_Crosses / ST_Touches /
+  * ST_Overlaps / ST_GeomFromBinary / ST_AsBinary and
+  * `presto-geospatial/.../aggregation/ConvexHullAggregation.java` —
+  * re-implemented from the textbook algorithms (Andrew monotone chain,
+  * Sutherland–Hodgman, orientation sign tests), NOT via the reference's
+  * Esri runtime. Boolean polygon algebra beyond convex∩convex
+  * (ST_Union/ST_Difference/full ST_Relate) stays descoped.
+  *
+  * Canonical vertex order: every ring/hull this file emits starts at
+  * the lexicographically-smallest (x, y) vertex and runs
+  * counter-clockwise, so results are deterministic and oracle-replayable
+  * regardless of input order or partitioning.
+  *
+  * Scale: convex_hull_agg's state is the running hull (+ a bounded
+  * pending buffer), merged by hull-of-union — associative and tiny
+  * (hull size ≪ point count), so a 100 TB hull is one partial+final
+  * aggregation like any sum.
+  */
+object GeomAlgebra {
+
+  private[functions] val PointStruct = new StructType()
+    .add("x", DoubleType, nullable = false)
+    .add("y", DoubleType, nullable = false)
+  private[functions] val RingType =
+    ArrayType(PointStruct, containsNull = false)
+
+  @inline private[functions] def cross(ox: Double, oy: Double, ax: Double,
+      ay: Double, bx: Double, by: Double): Double =
+    (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+  /** Andrew monotone chain on flattened [x0,y0,...]: strictly-convex
+    * hull, CCW from the lexicographically-smallest vertex (collinear
+    * boundary points dropped, duplicates collapse). Returns flattened
+    * vertices. */
+  private[graft] def hull(pts: Array[Double]): Array[Double] = {
+    val n = pts.length / 2
+    if (n == 0) return pts
+    val idx = (0 until n).sortBy(i => (pts(2 * i), pts(2 * i + 1))).toArray
+    // dedup sorted points
+    val ded = ArrayBuffer.empty[Int]
+    idx.foreach { i =>
+      if (ded.isEmpty || pts(2 * ded.last) != pts(2 * i) ||
+        pts(2 * ded.last + 1) != pts(2 * i + 1)) ded += i
+    }
+    if (ded.length <= 2)
+      return ded.toArray.flatMap(i => Seq(pts(2 * i), pts(2 * i + 1)))
+    def chain(order: Seq[Int]): ArrayBuffer[Int] = {
+      val h = ArrayBuffer.empty[Int]
+      order.foreach { i =>
+        while (h.length >= 2 && cross(
+          pts(2 * h(h.length - 2)), pts(2 * h(h.length - 2) + 1),
+          pts(2 * h.last), pts(2 * h.last + 1),
+          pts(2 * i), pts(2 * i + 1)) <= 0) h.remove(h.length - 1)
+        h += i
+      }
+      h
+    }
+    val lower = chain(ded.toSeq)
+    val upper = chain(ded.reverse.toSeq)
+    // drop each chain's last point (it starts the other chain)
+    val ring = (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+    ring.flatMap(i => Array(pts(2 * i), pts(2 * i + 1)))
+  }
+
+  /** Sutherland–Hodgman: subject ring clipped to a CONVEX CCW clip
+    * ring; both implicit-closed flattened. Output canonicalized (CCW
+    * from lexicographic min). Empty array when disjoint. */
+  private[graft] def clipConvex(subj: Array[Double],
+      clip: Array[Double]): Array[Double] = {
+    var cur = subj
+    val nc = clip.length / 2
+    var e = 0
+    while (e < nc && cur.nonEmpty) {
+      val ax = clip(2 * e); val ay = clip(2 * e + 1)
+      val bx = clip(2 * ((e + 1) % nc)); val by = clip(2 * ((e + 1) % nc) + 1)
+      val out = ArrayBuffer.empty[Double]
+      val np = cur.length / 2
+      var i = 0
+      while (i < np) {
+        val px = cur(2 * i); val py = cur(2 * i + 1)
+        val qx = cur(2 * ((i + 1) % np)); val qy = cur(2 * ((i + 1) % np) + 1)
+        val dp = cross(ax, ay, bx, by, px, py)
+        val dq = cross(ax, ay, bx, by, qx, qy)
+        if (dp >= 0) { out += px; out += py }
+        if ((dp > 0 && dq < 0) || (dp < 0 && dq > 0)) {
+          val t = dp / (dp - dq)
+          out += px + t * (qx - px)
+          out += py + t * (qy - py)
+        }
+        i += 1
+      }
+      cur = out.toArray
+      e += 1
+    }
+    if (cur.isEmpty) cur
+    else {
+      // dedup consecutive (clipping can emit repeated vertices), then
+      // rotate to the lexicographically-smallest start
+      val np = cur.length / 2
+      val keep = ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < np) {
+        val px = cur(2 * i); val py = cur(2 * i + 1)
+        val lx = if (keep.isEmpty) Double.NaN else keep(keep.length - 2)
+        val ly = if (keep.isEmpty) Double.NaN else keep.last
+        if (keep.isEmpty || px != lx || py != ly) { keep += px; keep += py }
+        i += 1
+      }
+      // drop a closing vertex equal to the first
+      if (keep.length >= 4 && keep(0) == keep(keep.length - 2) &&
+        keep(1) == keep.last) { keep.remove(keep.length - 1); keep.remove(keep.length - 1) }
+      val m = keep.length / 2
+      var best = 0
+      i = 1
+      while (i < m) {
+        if (keep(2 * i) < keep(2 * best) || (keep(2 * i) == keep(2 * best) &&
+          keep(2 * i + 1) < keep(2 * best + 1))) best = i
+        i += 1
+      }
+      val out = new Array[Double](keep.length)
+      i = 0
+      while (i < m) {
+        out(2 * i) = keep(2 * ((i + best) % m))
+        out(2 * i + 1) = keep(2 * ((i + best) % m) + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  private[functions] def toRing(flat: Array[Double]): GenericArrayData =
+    new GenericArrayData((0 until flat.length / 2).map(i =>
+      InternalRow(flat(2 * i), flat(2 * i + 1))))
+
+  // ---- Column API ----
+  def convexHull(ring: Column): Column =
+    ColumnBridge.toCol(ConvexHull(ColumnBridge.toExpr(ring)))
+  def convexHullAgg(point: Column): Column =
+    ColumnBridge.toCol(ConvexHullAgg(ColumnBridge.toExpr(point))
+      .toAggregateExpression())
+  def intersectionConvex(subject: Column, clip: Column): Column =
+    ColumnBridge.toCol(ConvexClip(ColumnBridge.toExpr(subject),
+      ColumnBridge.toExpr(clip)))
+  def relate(a: Column, b: Column, mode: String): Column =
+    ColumnBridge.toCol(SegmentRelation(ColumnBridge.toExpr(a),
+      ColumnBridge.toExpr(b), mode))
+  def isSimple(line: Column): Column =
+    ColumnBridge.toCol(LineSimplicity(ColumnBridge.toExpr(line), "simple"))
+  def asBinary(line: Column): Column =
+    ColumnBridge.toCol(WkbWrite(ColumnBridge.toExpr(line)))
+  def fromBinary(wkb: Column): Column =
+    ColumnBridge.toCol(WkbRead(ColumnBridge.toExpr(wkb)))
+}
+
+private[functions] trait RingInput {
+  protected def checkRing(prettyName: String, dt: DataType): TypeCheckResult =
+    if (LineOps.isPointArray(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<x:double,y:double>>, got " +
+        dt.catalogString)
+}
+
+/** ST_ConvexHull (GeoFunctions.java) on a point array: canonical-order
+  * strictly-convex hull. */
+case class ConvexHull(child: Expression) extends UnaryExpression
+    with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_convexhull"
+  override def dataType: DataType = GeomAlgebra.RingType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, child.dataType)
+
+  @transient private lazy val xi = LineOps.xIdx(child.dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    GeomAlgebra.toRing(GeomAlgebra.hull(LineOps.coords(v, xi)))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** convex_hull_agg(point) (ConvexHullAggregation.java): running-hull
+  * state with a bounded pending buffer; merge = hull of union. */
+case class ConvexHullAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Double]] {
+
+  private val CompactAt = 512 // points buffered before re-hulling
+
+  override def prettyName: String = "convex_hull_agg"
+  override def dataType: DataType = GeomAlgebra.RingType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType if st.fieldNames.toSet == Set("x", "y") &&
+      st.fields.forall(_.dataType == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects struct<x:double,y:double>, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val xi =
+    child.dataType.asInstanceOf[StructType].fieldIndex("x")
+
+  override def createAggregationBuffer(): ArrayBuffer[Double] =
+    ArrayBuffer.empty[Double]
+
+  private def compact(b: ArrayBuffer[Double]): Unit =
+    if (b.length / 2 > CompactAt) {
+      val h = GeomAlgebra.hull(b.toArray)
+      b.clear()
+      b ++= h
+    }
+
+  override def update(b: ArrayBuffer[Double], input: InternalRow): ArrayBuffer[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      b += row.getDouble(xi)
+      b += row.getDouble(1 - xi)
+      compact(b)
+    }
+    b
+  }
+
+  override def merge(b: ArrayBuffer[Double], o: ArrayBuffer[Double]): ArrayBuffer[Double] = {
+    b ++= o
+    compact(b)
+    b
+  }
+
+  override def eval(b: ArrayBuffer[Double]): Any =
+    if (b.isEmpty) null else GeomAlgebra.toRing(GeomAlgebra.hull(b.toArray))
+
+  override def serialize(b: ArrayBuffer[Double]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 * b.length)
+    buf.putInt(b.length)
+    b.foreach(buf.putDouble)
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Double] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val b = new ArrayBuffer[Double](n)
+    var i = 0
+    while (i < n) { b += buf.getDouble; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ConvexHullAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ConvexHullAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+/** ST_Intersection (GeoFunctions.java) for the convex∩polygon case:
+  * Sutherland–Hodgman clip of the subject ring by a convex CCW clip
+  * ring. Empty ring when disjoint. */
+case class ConvexClip(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_intersection"
+  override def dataType: DataType = GeomAlgebra.RingType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(s: Any, c: Any): Any =
+    GeomAlgebra.toRing(GeomAlgebra.clipConvex(
+      LineOps.coords(s, xiL), LineOps.coords(c, xiR)))
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** The segment (2-point linestring) subset of ST_Crosses / ST_Touches /
+  * ST_Overlaps (GeoFunctions.java → Esri relate ops; DE-9IM semantics
+  * re-derived from orientation sign tests):
+  *  - crosses: interiors intersect at a proper point (strict sign
+  *    changes on both segments);
+  *  - touches: they intersect, interiors don't cross, and any collinear
+  *    overlap has zero length (boundary-only contact);
+  *  - overlaps: collinear with a positive-length partial overlap,
+  *    neither containing the other.
+  */
+case class SegmentRelation(left: Expression, right: Expression, mode: String)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  require(Seq("crosses", "touches", "overlaps").contains(mode),
+    s"unknown segment relation $mode")
+
+  override def prettyName: String = s"st_$mode"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val p = LineOps.coords(a, xiL)
+    val q = LineOps.coords(b, xiR)
+    require(p.length == 4 && q.length == 4,
+      s"$prettyName supports 2-point segments, got " +
+        s"${p.length / 2}/${q.length / 2} points")
+    val d1 = GeomAlgebra.cross(q(0), q(1), q(2), q(3), p(0), p(1))
+    val d2 = GeomAlgebra.cross(q(0), q(1), q(2), q(3), p(2), p(3))
+    val d3 = GeomAlgebra.cross(p(0), p(1), p(2), p(3), q(0), q(1))
+    val d4 = GeomAlgebra.cross(p(0), p(1), p(2), p(3), q(2), q(3))
+    val proper = ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+    val collinear = d1 == 0 && d2 == 0 && d3 == 0 && d4 == 0
+    // collinear interval overlap on the dominant axis
+    def axis(i: Int) = if (math.abs(p(2) - p(0)) >= math.abs(p(3) - p(1)))
+      Array(p(0), p(2), q(0), q(2))(i) else Array(p(1), p(3), q(1), q(3))(i)
+    val (alo, ahi) = (math.min(axis(0), axis(1)), math.max(axis(0), axis(1)))
+    val (blo, bhi) = (math.min(axis(2), axis(3)), math.max(axis(2), axis(3)))
+    val overlapLen = math.min(ahi, bhi) - math.max(alo, blo)
+    val intersects = SegmentsIntersect.segs(p(0), p(1), p(2), p(3),
+      q(0), q(1), q(2), q(3))
+    mode match {
+      case "crosses" => proper
+      case "touches" =>
+        intersects && !proper && !(collinear && overlapLen > 0)
+      case "overlaps" =>
+        collinear && overlapLen > 0 &&
+          !(alo <= blo && bhi <= ahi) && !(blo <= alo && ahi <= bhi)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_IsSimple / ST_IsRing / ST_IsValid / geometry_invalid_reason on
+  * linestrings/rings: simplicity = no self-intersection between
+  * non-adjacent segments and no zero-length segment; ring additionally
+  * requires closure (the pack's rings are implicit-closed, so an array
+  * is a ring when its wraparound edges stay simple). O(n²) over the
+  * vertex array — per-row geometry work, not a join. */
+case class LineSimplicity(child: Expression, mode: String)
+    extends UnaryExpression with CodegenFallback with RingInput {
+
+  require(Seq("simple", "ring", "valid", "reason").contains(mode),
+    s"unknown simplicity mode $mode")
+
+  override def prettyName: String = mode match {
+    case "simple" => "st_issimple"
+    case "ring" => "st_isring"
+    case "valid" => "st_isvalid"
+    case "reason" => "geometry_invalid_reason"
+  }
+  override def dataType: DataType =
+    if (mode == "reason") StringType else BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, child.dataType)
+
+  @transient private lazy val xi = LineOps.xIdx(child.dataType)
+
+  /** Null when valid; the defect description otherwise. `closed` treats
+    * the array as implicit-closed (ring). */
+  private def defect(c: Array[Double], closed: Boolean): String = {
+    val n = c.length / 2
+    if (closed && n < 3) return "Polygon has fewer than 3 vertices"
+    var i = 0
+    val segN = if (closed) n else n - 1
+    while (i < segN) {
+      val j2 = (i + 1) % n
+      if (c(2 * i) == c(2 * j2) && c(2 * i + 1) == c(2 * j2 + 1))
+        return s"Degenerate zero-length segment at vertex ${i + 1}"
+      i += 1
+    }
+    i = 0
+    while (i < segN) {
+      val i2 = (i + 1) % n
+      var j = i + 2
+      while (j < segN) {
+        val j2 = (j + 1) % n
+        // skip the wraparound adjacency (last segment vs first)
+        if (!(i == 0 && j == segN - 1 && closed) &&
+          SegmentsIntersect.segs(
+            c(2 * i), c(2 * i + 1), c(2 * i2), c(2 * i2 + 1),
+            c(2 * j), c(2 * j + 1), c(2 * j2), c(2 * j2 + 1)))
+          return s"Self-intersection between segments ${i + 1} and ${j + 1}"
+        j += 1
+      }
+      i += 1
+    }
+    null
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val c = LineOps.coords(v, xi)
+    val n = c.length / 2
+    // ring/valid/reason accept both ring conventions: an explicit
+    // closing vertex (first = last, the st_polygon tag) is stripped
+    // before the implicit-closed simplicity walk
+    lazy val cc = if (n >= 2 && c(0) == c(2 * n - 2) && c(1) == c(2 * n - 1))
+      c.dropRight(2) else c
+    mode match {
+      case "simple" => defect(c, closed = false) == null
+      case "ring" =>
+        cc.length / 2 >= 3 && defect(cc, closed = true) == null
+      case "valid" => defect(cc, closed = true) == null
+      case "reason" =>
+        val r = defect(cc, closed = true)
+        if (r == null) null else UTF8String.fromString(r)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_AsBinary: the pack's line/ring as standard little-endian WKB
+  * LineString (type 2), the OGC format byte-for-byte. */
+case class WkbWrite(child: Expression) extends UnaryExpression
+    with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_asbinary"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, child.dataType)
+
+  @transient private lazy val xi = LineOps.xIdx(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val c = LineOps.coords(v, xi)
+    val buf = java.nio.ByteBuffer.allocate(9 + 8 * c.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(2).putInt(c.length / 2)
+    c.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_GeomFromBinary: WKB Point (1) → 1-point array, LineString (2) →
+  * the points, Polygon (3) → the exterior ring with the repeated
+  * closing vertex dropped (the pack's implicit-closed convention);
+  * big- and little-endian both accepted. */
+case class WkbRead(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def prettyName: String = "st_geomfrombinary"
+  override def dataType: DataType = GeomAlgebra.RingType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects varbinary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(if (buf.get() == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val geomType = buf.getInt
+    val flat: Array[Double] = geomType match {
+      case 1 => Array(buf.getDouble, buf.getDouble)
+      case 2 =>
+        val n = buf.getInt
+        Array.fill(2 * n)(buf.getDouble)
+      case 3 =>
+        val rings = buf.getInt
+        require(rings >= 1, "st_geomfrombinary: polygon with no rings")
+        val n = buf.getInt
+        val ring = Array.fill(2 * n)(buf.getDouble)
+        // drop the repeated closing vertex (implicit-closed convention)
+        if (n >= 2 && ring(0) == ring(2 * n - 2) && ring(1) == ring(2 * n - 1))
+          ring.dropRight(2)
+        else ring
+      case t => throw new IllegalArgumentException(
+        s"st_geomfrombinary: unsupported WKB geometry type $t " +
+          "(point/linestring/polygon)")
+    }
+    GeomAlgebra.toRing(flat)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -70,6 +70,11 @@ object Registry {
       s"element_at(__a, $i % size(__a) + 1).x * element_at(__a, $i).y"
   private val shoelace =
     s"aggregate(sequence(1, size(__a)), 0D, (s, i) -> s + ${cross("i")})"
+  // explicit closure = the structural model's polygon tag (see the
+  // structural-geometry template block)
+  private val ringClosed =
+    "(size(__a) >= 4 AND element_at(__a, 1).x = element_at(__a, size(__a)).x " +
+      "AND element_at(__a, 1).y = element_at(__a, size(__a)).y)"
   // Σ (c_i + c_{i+1}) * cross_i for coordinate c — the polygon-centroid
   // numerator (the /6 is folded into the 3 * shoelace denominator since
   // shoelace here is twice the signed area).
@@ -398,6 +403,72 @@ object Registry {
         "named_struct('x', array_min(transform(__a, p -> p.x)) - __b, 'y', array_max(transform(__a, p -> p.y)) + __b))"),
     ("st_coorddim", 1, "cast(2 as tinyint)"),
     ("st_numinteriorring", 1, "cast(0 as bigint)"),
+    // Structural geometry surface over the array<point> model
+    // (GeoFunctions.java ST_Dimension/ST_GeometryType/ST_Boundary/
+    // ST_Points/ST_ExteriorRing/ST_InteriorRing*/ST_NumGeometries/
+    // ST_GeometryN/ST_Geometries/ST_MultiPoint/ST_Polygon and the
+    // to_geometry/to_spherical_geography casts). Polygon-vs-linestring
+    // is EXPLICIT closure (first vertex = last) — the only type tag the
+    // structural model carries (st_polygon emits explicit-closed rings;
+    // the shoelace templates accept both, the wraparound term of an
+    // explicit-closed ring being zero). Holes are unrepresentable, so
+    // the interior-ring answers are exact for every representable
+    // geometry.
+    ("st_dimension", 1, s"cast(CASE WHEN $ringClosed THEN 2 ELSE 1 END as bigint)"),
+    ("st_geometrytype", 1,
+      s"CASE WHEN $ringClosed THEN 'ST_Polygon' ELSE 'ST_LineString' END"),
+    // boundary of a ring is empty; of a linestring, its two endpoints
+    ("st_boundary", 1,
+      s"CASE WHEN $ringClosed THEN slice(__a, 1, 0) " +
+        "ELSE array(element_at(__a, 1), element_at(__a, size(__a))) END"),
+    ("st_points", 1, "__a"),
+    ("st_exteriorring", 1, "__a"),
+    ("st_interiorrings", 1, "slice(array(__a), 1, 0)"),
+    ("st_interiorringn", 2, "CASE WHEN false THEN __a ELSE NULL END"),
+    ("st_numgeometries", 1, "cast(size(__a) as bigint)"),
+    ("st_geometryn", 2,
+      "CASE WHEN cast(__b as int) BETWEEN 1 AND size(__a) " +
+        "THEN element_at(__a, cast(__b as int)) ELSE NULL END"),
+    ("st_geometries", 1, "__a"),
+    ("st_multipoint", 1, "__a"),
+    // WKT polygon parse (single exterior ring, explicit-closed kept as
+    // the polygon tag per above)
+    ("st_polygon", 1,
+      "transform(split(regexp_extract(__a, " +
+        "'POLYGON \\\\(\\\\(([^)]+)\\\\)\\\\)', 1), ', '), s -> " +
+        "named_struct('x', cast(element_at(split(s, ' '), 1) as double), " +
+        "'y', cast(element_at(split(s, ' '), 2) as double)))"),
+    ("to_geometry", 1, "__a"),
+    // planar coordinates pass through; out-of-range lat/lon rejected
+    // like the reference's toSphericalGeography validation
+    ("to_spherical_geography", 1,
+      "CASE WHEN forall(__a, p -> abs(p.x) <= 180D AND abs(p.y) <= 90D) " +
+        "THEN __a ELSE raise_error(concat('to_spherical_geography: ', " +
+        "'longitude must be in [-180,180], latitude in [-90,90]')) END"),
+    // point buffer as a 32-gon ring (the reference's Esri buffer is a
+    // denser curve approximation; vertex layout diverges, area/contains
+    // semantics agree to the n-gon tolerance — documented divergence)
+    ("st_buffer", 2,
+      "transform(sequence(0, 31), i -> named_struct(" +
+        "'x', __a.x + cast(__b as double) * cos(pi() * i / 16D), " +
+        "'y', __a.y + cast(__b as double) * sin(pi() * i / 16D)))"),
+    // geometry_to_bing_tiles(ring, zoom) (BingTileFunctions.java:252):
+    // the tile cover of the geometry's ENVELOPE (the reference prunes
+    // tiles not touching the geometry itself — envelope cover is the
+    // documented superset; exact for rectangles). Web-Mercator y axis
+    // inverts latitude: ymax → smallest tile y.
+    ("geometry_to_bing_tiles", 2, {
+      val xmin = "array_min(transform(__a, p -> p.x))"
+      val xmax = "array_max(transform(__a, p -> p.x))"
+      val ymin = "array_min(transform(__a, p -> p.y))"
+      val ymax = "array_max(transform(__a, p -> p.y))"
+      s"flatten(transform(sequence(${bingTileX(xmin, "__b")}, " +
+        s"${bingTileX(xmax, "__b")}), xx -> " +
+        s"transform(sequence(${bingTileY(ymax, "__b")}, " +
+        s"${bingTileY(ymin, "__b")}), yy -> " +
+        "named_struct('x', cast(xx as int), 'y', cast(yy as int), " +
+        "'zoom', cast(__b as int)))))"
+    }),
     // ST_LineFromText / ST_LineString: WKT 'LINESTRING (x y, x y, …)'
     // parse, and the array<point> constructor (identity here).
     ("st_linefromtext", 1,
@@ -1212,6 +1283,37 @@ object Registry {
             registry.registerFunction(FunctionIdentifier(name),
               new ExpressionInfo(getClass.getCanonicalName, name), b)
           }
+        }
+        // Convex-hull / clipping / segment-relate / simplicity / WKB
+        // algebra (GeomAlgebra.scala; GeoFunctions.java ST_ConvexHull,
+        // ST_Intersection, ST_Crosses/Touches/Overlaps, ST_IsSimple/
+        // IsRing/IsValid, geometry_invalid_reason, ST_AsBinary/
+        // ST_GeomFromBinary + ConvexHullAggregation.java).
+        locally {
+          def one(name: String)(mk: Expression => Expression): Unit =
+            registry.registerFunction(FunctionIdentifier(name),
+              new ExpressionInfo(getClass.getCanonicalName, name), {
+                case Seq(a) => mk(a)
+                case args => sys.error(s"$name expects 1 arg, got ${args.length}")
+              })
+          def two(name: String)(mk: (Expression, Expression) => Expression): Unit =
+            registry.registerFunction(FunctionIdentifier(name),
+              new ExpressionInfo(getClass.getCanonicalName, name), {
+                case Seq(a, b) => mk(a, b)
+                case args => sys.error(s"$name expects 2 args, got ${args.length}")
+              })
+          one("st_convexhull")(ConvexHull)
+          one("convex_hull_agg")(a =>
+            ConvexHullAgg(a).toAggregateExpression())
+          two("st_intersection")(ConvexClip)
+          Seq("crosses", "touches", "overlaps").foreach(m =>
+            two(s"st_$m")(SegmentRelation(_, _, m)))
+          one("st_issimple")(LineSimplicity(_, "simple"))
+          one("st_isring")(LineSimplicity(_, "ring"))
+          one("st_isvalid")(LineSimplicity(_, "valid"))
+          one("geometry_invalid_reason")(LineSimplicity(_, "reason"))
+          one("st_asbinary")(WkbWrite)
+          one("st_geomfrombinary")(WkbRead)
         }
         val builder: Seq[Expression] => Expression = {
           case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)

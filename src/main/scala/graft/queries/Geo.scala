@@ -289,6 +289,140 @@ object Geo extends QueryPack {
           |  st_xmin(expand_envelope(line, 1.5D)) AS exmn,
           |  st_ymax(expand_envelope(line, 1.5D)) AS eymx
           |FROM g ORDER BY id""".stripMargin))
+    }),
+
+    // convex_hull_agg (ConvexHullAggregation.java) as a distributed
+    // aggregation: per group, points on the parabola (t, t²) plus
+    // planted interior points (t, t²+5) strictly under the (0,0)-(9,81)
+    // chord — the hull is exactly the 10 curve points in canonical CCW
+    // order, and its shoelace area is Σ t(t+1) / 2 = 120, both replayed
+    // arithmetically by the oracle. Hull state is tiny and merge is
+    // hull-of-union (associative) — one partial+final agg at any scale.
+    "qm3_convex_hull" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH pts AS (
+          |  SELECT (c_custkey div 10) % 4 AS g,
+          |    st_point(cast(c_custkey % 10 as double),
+          |      cast((c_custkey % 10) * (c_custkey % 10) +
+          |        CASE WHEN c_custkey % 7 < 3
+          |              AND c_custkey % 10 BETWEEN 1 AND 8
+          |             THEN 5 ELSE 0 END as double)) AS p
+          |  FROM customer),
+          |hulls AS (SELECT cast(g as bigint) AS g, convex_hull_agg(p) AS h
+          |          FROM pts GROUP BY g)
+          |SELECT g, cast(size(h) as bigint) AS n_hull,
+          |  array_join(transform(h, q ->
+          |    concat(cast(cast(q.x as int) as string), ':',
+          |           cast(cast(q.y as int) as string))), ',') AS hull_txt,
+          |  round(st_area(h), 4) AS hull_area
+          |FROM hulls ORDER BY g""".stripMargin)
+    }),
+
+    // ST_Intersection for the convex-clip case (Sutherland–Hodgman):
+    // square ∩ cutting triangle = an exact pentagon (area 100 − 12.5),
+    // disjoint → empty, contained → identity. All intersection vertices
+    // land on integers, so the oracle carries the hand-derived shapes.
+    "qm4_convex_clip" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT id, st_intersection(subj, clip) AS c FROM (
+          |    SELECT 1 AS id,
+          |      array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |            st_point(0D,10D)) AS subj,
+          |      array(st_point(0D,0D), st_point(15D,0D), st_point(0D,15D))
+          |        AS clip
+          |    UNION ALL SELECT 2,
+          |      array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |            st_point(0D,10D)),
+          |      array(st_point(100D,100D), st_point(110D,100D),
+          |            st_point(100D,110D))
+          |    UNION ALL SELECT 3,
+          |      array(st_point(2D,2D), st_point(4D,2D), st_point(4D,4D),
+          |            st_point(2D,4D)),
+          |      array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |            st_point(0D,10D))))
+          |SELECT cast(id as bigint) AS id, cast(size(c) as bigint) AS n_clip,
+          |  array_join(transform(c, q ->
+          |    concat(cast(cast(q.x as int) as string), ':',
+          |           cast(cast(q.y as int) as string))), ',') AS clip_txt,
+          |  round(CASE WHEN size(c) = 0 THEN 0D ELSE st_area(c) END, 4)
+          |    AS clip_area
+          |FROM g ORDER BY id""".stripMargin)
+    }),
+
+    // The segment subset of ST_Crosses/ST_Touches/ST_Overlaps (DE-9IM
+    // via orientation signs): key-derived integer segments, so every
+    // cross product is exact in double and the oracle replays the sign
+    // logic term-for-term. Map-only relate work — scan-speed at scale.
+    "qm5_segment_relations" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH seg AS (
+          |  SELECT c_custkey AS k,
+          |    cast(c_custkey % 13 as double) AS x1,
+          |    cast(c_custkey * 3 % 11 as double) AS y1,
+          |    cast(c_custkey * 5 % 13 as double) AS x2,
+          |    cast(c_custkey * 7 % 11 as double) AS y2,
+          |    cast(c_custkey * 2 % 13 as double) AS x3,
+          |    cast(c_custkey * 9 % 11 as double) AS y3,
+          |    cast(c_custkey * 4 % 13 as double) AS x4,
+          |    cast(c_custkey * 6 % 11 as double) AS y4
+          |  FROM customer WHERE c_custkey <= 500),
+          |ok AS (SELECT * FROM seg
+          |  WHERE NOT (x1 = x2 AND y1 = y2) AND NOT (x3 = x4 AND y3 = y4)),
+          |r AS (SELECT k % 5 AS bucket,
+          |    st_crosses(array(st_point(x1, y1), st_point(x2, y2)),
+          |               array(st_point(x3, y3), st_point(x4, y4))) AS cr,
+          |    st_touches(array(st_point(x1, y1), st_point(x2, y2)),
+          |               array(st_point(x3, y3), st_point(x4, y4))) AS tc,
+          |    st_overlaps(array(st_point(x1, y1), st_point(x2, y2)),
+          |                array(st_point(x3, y3), st_point(x4, y4))) AS ov,
+          |    st_intersects(array(st_point(x1, y1), st_point(x2, y2)),
+          |                  array(st_point(x3, y3), st_point(x4, y4))) AS ix
+          |  FROM ok)
+          |SELECT cast(bucket as bigint) AS bucket,
+          |  cast(count(*) as bigint) AS n,
+          |  cast(sum(CASE WHEN cr THEN 1 ELSE 0 END) as bigint) AS n_crosses,
+          |  cast(sum(CASE WHEN tc THEN 1 ELSE 0 END) as bigint) AS n_touches,
+          |  cast(sum(CASE WHEN ov THEN 1 ELSE 0 END) as bigint) AS n_overlaps,
+          |  cast(sum(CASE WHEN ix THEN 1 ELSE 0 END) as bigint) AS n_intersects
+          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+
+    // Structural geometry surface: WKT polygon parse, type/dimension
+    // from the explicit-closure tag, boundary/points/interior-ring
+    // answers, WKB round-trip, and the 32-gon point buffer. Oracle
+    // carries the hand-derived values.
+    "qm6_geometry_structure" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT id, st_polygon(w) AS poly, st_linefromtext(l) AS line
+          |  FROM VALUES
+          |    (1, 'POLYGON ((0 0, 4 0, 4 3, 0 0))',
+          |        'LINESTRING (0 0, 2 2, 4 0)'),
+          |    (2, 'POLYGON ((1 2, 5 2, 5 6, 1 6, 1 2))',
+          |        'LINESTRING (1 1, 3 1)') AS t(id, w, l))
+          |SELECT cast(id as bigint) AS id,
+          |  st_geometrytype(poly) AS ptype, st_geometrytype(line) AS ltype,
+          |  st_dimension(poly) AS pdim, st_dimension(line) AS ldim,
+          |  st_numgeometries(st_points(line)) AS npts,
+          |  st_astext(st_geometryn(st_points(line), 2)) AS second_pt,
+          |  cast(size(st_boundary(line)) as bigint) AS nbound,
+          |  cast(size(st_interiorrings(poly)) as bigint) AS nint,
+          |  st_isring(st_exteriorring(poly)) AS ring_ok,
+          |  st_isvalid(poly) AS valid_ok,
+          |  round(st_area(poly), 4) AS parea,
+          |  st_geomfrombinary(st_asbinary(line)) = line AS wkb_rt,
+          |  cast(size(st_buffer(st_point(1.0, 2.0), 3.0)) as bigint)
+          |    AS nbuf
+          |FROM g ORDER BY id""".stripMargin)
     })
   )
 
@@ -583,6 +717,109 @@ object Geo extends QueryPack {
           |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), 1.0, 0.1, 2.0,
           |   2, CAST(0 AS BIGINT), -1.5, 1.6))
           |  AS t(id, n_simp, x2, y2, xe, cdim, n_holes, exmn, eymx)
+          |ORDER BY id""".stripMargin,
+
+      // Hull = the 10 parabola points in canonical order for every
+      // group (interior points planted strictly under the chord);
+      // shoelace area replayed arithmetically: Σ_{t<9} t(t+1) / 2.
+      "qm3_convex_hull" ->
+        """WITH g AS (SELECT DISTINCT cast((c_custkey // 10) % 4 as bigint)
+          |    AS g FROM customer),
+          |area AS (SELECT cast(sum(t * t + t) as double) / 2.0 AS a
+          |  FROM generate_series(0, 8) AS s(t)),
+          |txt AS (SELECT string_agg(
+          |    cast(t as varchar) || ':' || cast(t * t as varchar),
+          |    ',' ORDER BY t) AS h
+          |  FROM generate_series(0, 9) AS s(t))
+          |SELECT g.g, cast(10 as bigint) AS n_hull, txt.h AS hull_txt,
+          |  round(area.a, 4) AS hull_area
+          |FROM g CROSS JOIN area CROSS JOIN txt ORDER BY g""".stripMargin,
+
+      // Hand-derived clip shapes: the hypotenuse x+y=15 cuts the square
+      // at (10,5) and (5,10); disjoint is empty; contained is identity.
+      "qm4_convex_clip" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(5 AS BIGINT),
+          |   '0:0,10:0,10:5,5:10,0:10', 87.5),
+          |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), '', 0.0),
+          |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), '2:2,4:2,4:4,2:4', 4.0))
+          |  AS t(id, n_clip, clip_txt, clip_area)
+          |ORDER BY id""".stripMargin,
+
+      // Term-for-term replay of the orientation-sign relate logic
+      // (GeomAlgebra.SegmentRelation): d1..d4 cross products are exact
+      // in double on integer coordinates, so every sign agrees.
+      "qm5_segment_relations" ->
+        """WITH seg AS (SELECT c_custkey AS k,
+          |    cast(c_custkey % 13 as double) AS x1,
+          |    cast(c_custkey * 3 % 11 as double) AS y1,
+          |    cast(c_custkey * 5 % 13 as double) AS x2,
+          |    cast(c_custkey * 7 % 11 as double) AS y2,
+          |    cast(c_custkey * 2 % 13 as double) AS x3,
+          |    cast(c_custkey * 9 % 11 as double) AS y3,
+          |    cast(c_custkey * 4 % 13 as double) AS x4,
+          |    cast(c_custkey * 6 % 11 as double) AS y4
+          |  FROM customer WHERE c_custkey <= 500),
+          |ok AS (SELECT * FROM seg
+          |  WHERE NOT (x1 = x2 AND y1 = y2) AND NOT (x3 = x4 AND y3 = y4)),
+          |d AS (SELECT *,
+          |    (x4 - x3) * (y1 - y3) - (y4 - y3) * (x1 - x3) AS d1,
+          |    (x4 - x3) * (y2 - y3) - (y4 - y3) * (x2 - x3) AS d2,
+          |    (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) AS d3,
+          |    (x2 - x1) * (y4 - y1) - (y2 - y1) * (x4 - x1) AS d4
+          |  FROM ok),
+          |e AS (SELECT k,
+          |    ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) AND
+          |    ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) AS proper,
+          |    (d1 = 0 AND d2 = 0 AND d3 = 0 AND d4 = 0) AS coll,
+          |    CASE WHEN abs(x2 - x1) >= abs(y2 - y1)
+          |         THEN least(x1, x2) ELSE least(y1, y2) END AS alo,
+          |    CASE WHEN abs(x2 - x1) >= abs(y2 - y1)
+          |         THEN greatest(x1, x2) ELSE greatest(y1, y2) END AS ahi,
+          |    CASE WHEN abs(x2 - x1) >= abs(y2 - y1)
+          |         THEN least(x3, x4) ELSE least(y3, y4) END AS blo,
+          |    CASE WHEN abs(x2 - x1) >= abs(y2 - y1)
+          |         THEN greatest(x3, x4) ELSE greatest(y3, y4) END AS bhi,
+          |    (d1 = 0 AND x1 BETWEEN least(x3, x4) AND greatest(x3, x4)
+          |       AND y1 BETWEEN least(y3, y4) AND greatest(y3, y4)) AS o1,
+          |    (d2 = 0 AND x2 BETWEEN least(x3, x4) AND greatest(x3, x4)
+          |       AND y2 BETWEEN least(y3, y4) AND greatest(y3, y4)) AS o2,
+          |    (d3 = 0 AND x3 BETWEEN least(x1, x2) AND greatest(x1, x2)
+          |       AND y3 BETWEEN least(y1, y2) AND greatest(y1, y2)) AS o3,
+          |    (d4 = 0 AND x4 BETWEEN least(x1, x2) AND greatest(x1, x2)
+          |       AND y4 BETWEEN least(y1, y2) AND greatest(y1, y2)) AS o4
+          |  FROM d),
+          |f AS (SELECT k % 5 AS bucket, proper AS cr,
+          |    (proper OR o1 OR o2 OR o3 OR o4) AS ix,
+          |    ((proper OR o1 OR o2 OR o3 OR o4) AND NOT proper AND
+          |     NOT (coll AND least(ahi, bhi) - greatest(alo, blo) > 0)) AS tc,
+          |    (coll AND least(ahi, bhi) - greatest(alo, blo) > 0 AND
+          |     NOT (alo <= blo AND bhi <= ahi) AND
+          |     NOT (blo <= alo AND ahi <= bhi)) AS ov
+          |  FROM e)
+          |SELECT cast(bucket as bigint) AS bucket,
+          |  cast(count(*) as bigint) AS n,
+          |  cast(sum(CASE WHEN cr THEN 1 ELSE 0 END) as bigint) AS n_crosses,
+          |  cast(sum(CASE WHEN tc THEN 1 ELSE 0 END) as bigint) AS n_touches,
+          |  cast(sum(CASE WHEN ov THEN 1 ELSE 0 END) as bigint) AS n_overlaps,
+          |  cast(sum(CASE WHEN ix THEN 1 ELSE 0 END) as bigint)
+          |    AS n_intersects
+          |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // Hand-derived structural answers (geometry fixtures are VALUES
+      // literals in the query).
+      "qm6_geometry_structure" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 'ST_Polygon', 'ST_LineString',
+          |   CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+          |   'POINT (2.0 2.0)', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+          |   true, true, 6.0, true, CAST(32 AS BIGINT)),
+          |  (CAST(2 AS BIGINT), 'ST_Polygon', 'ST_LineString',
+          |   CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+          |   'POINT (3.0 1.0)', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+          |   true, true, 16.0, true, CAST(32 AS BIGINT)))
+          |  AS t(id, ptype, ltype, pdim, ldim, npts, second_pt, nbound,
+          |       nint, ring_ok, valid_ok, parea, wkb_rt, nbuf)
           |ORDER BY id""".stripMargin
     )
   }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeomAlgebra, Registry}
+
+/** Behavioral tests for the convex-hull / clip / segment-relate / WKB
+  * algebra (GeomAlgebra.scala) on planted coordinates with exactly
+  * computable answers. */
+class GeomAlgebraSuite extends GraftSuite {
+
+  import spark.implicits._
+
+  private def pt(x: Double, y: Double) = (x, y)
+
+  test("monotone-chain hull: parabola points survive, interior dropped") {
+    // (t, t²) are in convex position; (t, t²+5) for t in 1..8 lie
+    // strictly under the chord y=9t → interior
+    val pts = (0 to 9).map(t => (t.toDouble, (t * t).toDouble)) ++
+      (1 to 8).map(t => (t.toDouble, (t * t + 5).toDouble))
+    val flat = pts.flatMap { case (x, y) => Seq(x, y) }.toArray
+    val h = GeomAlgebra.hull(flat)
+    val verts = h.grouped(2).map(a => (a(0), a(1))).toSeq
+    assert(verts == (0 to 9).map(t => (t.toDouble, (t * t).toDouble)))
+  }
+
+  test("hull of collinear points is the two extremes; dups collapse") {
+    val flat = Array(3.0, 3.0, 1.0, 1.0, 2.0, 2.0, 1.0, 1.0, 5.0, 5.0)
+    val h = GeomAlgebra.hull(flat)
+    assert(h.toSeq == Seq(1.0, 1.0, 5.0, 5.0))
+  }
+
+  test("sutherland-hodgman: square clipped by triangle = exact pentagon") {
+    val square = Array(0.0, 0, 10, 0, 10, 10, 0, 10)
+    val tri = Array(0.0, 0, 15, 0, 0, 15) // CCW, hypotenuse x+y=15
+    val out = GeomAlgebra.clipConvex(square, tri)
+    val verts = out.grouped(2).map(a => (a(0), a(1))).toSet
+    assert(verts == Set((0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 10.0),
+      (0.0, 10.0)))
+    // canonical start: lexicographically smallest vertex
+    assert((out(0), out(1)) == (0.0, 0.0))
+    // disjoint → empty
+    val far = Array(100.0, 100, 110, 100, 110, 110)
+    assert(GeomAlgebra.clipConvex(square, far).isEmpty)
+  }
+
+  test("segment relations: crosses / touches / overlaps disambiguate") {
+    Registry.install(spark)
+    def seg(x1: Double, y1: Double, x2: Double, y2: Double) =
+      s"array(named_struct('x', ${x1}D, 'y', ${y1}D), " +
+        s"named_struct('x', ${x2}D, 'y', ${y2}D))"
+    def rel(m: String, a: String, b: String): Boolean =
+      spark.sql(s"SELECT st_$m($a, $b) AS r").as[Boolean].head()
+    val x1 = seg(0, 0, 10, 10); val x2 = seg(0, 10, 10, 0) // proper X
+    assert(rel("crosses", x1, x2))
+    assert(!rel("touches", x1, x2))
+    assert(!rel("overlaps", x1, x2))
+    val t1 = seg(0, 0, 5, 5); val t2 = seg(5, 5, 10, 0) // endpoint touch
+    assert(rel("touches", t1, t2))
+    assert(!rel("crosses", t1, t2))
+    val m1 = seg(0, 0, 6, 0); val m2 = seg(4, 0, 10, 0) // collinear partial
+    assert(rel("overlaps", m1, m2))
+    assert(!rel("touches", m1, m2))
+    assert(!rel("crosses", m1, m2))
+    val c1 = seg(0, 0, 10, 0); val c2 = seg(2, 0, 8, 0) // containment
+    assert(!rel("overlaps", c1, c2))
+    val e2e = seg(6, 0, 12, 0) // collinear, meet at one point only
+    assert(rel("touches", m1, e2e))
+  }
+
+  test("simplicity: bowtie is invalid with a reason; square ring is valid") {
+    Registry.install(spark)
+    val bowtie = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 10D, 'y', 10D), named_struct('x', 10D, 'y', 0D), " +
+      "named_struct('x', 0D, 'y', 10D))"
+    val square = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 10D, 'y', 0D), named_struct('x', 10D, 'y', 10D), " +
+      "named_struct('x', 0D, 'y', 10D))"
+    val row = spark.sql(
+      s"""SELECT st_isvalid($bowtie) AS bv, geometry_invalid_reason($bowtie) AS br,
+         |  st_isvalid($square) AS sv, geometry_invalid_reason($square) AS sr,
+         |  st_isring($square) AS ring, st_issimple($square) AS simple
+         |""".stripMargin).head()
+    assert(!row.getBoolean(0))
+    assert(row.getString(1).startsWith("Self-intersection"))
+    assert(row.getBoolean(2) && row.isNullAt(3))
+    assert(row.getBoolean(4) && row.getBoolean(5))
+  }
+
+  test("WKB: line round-trips; point and polygon hex parse") {
+    Registry.install(spark)
+    val line = "array(named_struct('x', 1.5D, 'y', 2.5D), " +
+      "named_struct('x', -3D, 'y', 4D))"
+    assert(spark.sql(
+      s"SELECT st_geomfrombinary(st_asbinary($line)) = $line AS ok")
+      .as[Boolean].head())
+    // little-endian WKB POINT(1 2), hand-assembled
+    val pointHex = "0101000000" + "000000000000F03F" + "0000000000000040"
+    val got = spark.sql(
+      s"""SELECT st_geomfrombinary(unhex('$pointHex')) AS g""")
+      .selectExpr("g[0].x", "g[0].y").as[(Double, Double)].head()
+    assert(got == ((1.0, 2.0)))
+  }
+
+  test("convex_hull_agg distributed: hull of grouped points, merge-safe") {
+    Registry.install(spark)
+    val pts = (0 to 9).flatMap(t =>
+      Seq((t.toDouble, (t * t).toDouble)) ++
+        (if (t >= 1 && t <= 8) Seq((t.toDouble, (t * t + 5).toDouble))
+         else Seq.empty))
+    val df = pts.toDF("x", "y").repartition(7) // force partial+merge
+    val hull = df.select(struct(col("x"), col("y")).as("p"))
+      .agg(GeomAlgebra.convexHullAgg(col("p")).as("h"))
+      .selectExpr("transform(h, q -> concat(q.x, ':', q.y)) AS s")
+      .as[Seq[String]].head()
+    assert(hull == (0 to 9).map(t => s"${t.toDouble}:${(t * t).toDouble}"))
+  }
+
+  test("structural templates: type/dimension/boundary/buffer/tiles") {
+    Registry.install(spark)
+    val openLine = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 4D, 'y', 0D), named_struct('x', 4D, 'y', 3D))"
+    val closed = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 4D, 'y', 0D), named_struct('x', 4D, 'y', 3D), " +
+      "named_struct('x', 0D, 'y', 0D))"
+    val row = spark.sql(
+      s"""SELECT st_geometrytype($openLine) AS t1, st_dimension($closed) AS d2,
+         |  size(st_boundary($openLine)) AS b1, size(st_boundary($closed)) AS b2,
+         |  size(st_buffer(st_point(5.0, 5.0), 2.0)) AS nbuf,
+         |  round(st_area(st_buffer(st_point(5.0, 5.0), 2.0)), 4) AS abuf,
+         |  size(geometry_to_bing_tiles($openLine, 10)) AS ntiles,
+         |  st_astext(st_pointn(st_polygon('POLYGON ((1 2, 3 4, 5 0, 1 2))'), 2)) AS wkt2
+         |""".stripMargin).head()
+    assert(row.getString(0) == "ST_LineString")
+    assert(row.getLong(1) == 2L)
+    assert(row.getInt(2) == 2 && row.getInt(3) == 0)
+    assert(row.getInt(4) == 32)
+    // regular 32-gon area = 0.5·n·r²·sin(2π/n)
+    assert(math.abs(row.getDouble(5) -
+      0.5 * 32 * 4 * math.sin(2 * math.Pi / 32)) < 1e-3)
+    assert(row.getInt(6) >= 1)
+    assert(row.getString(7) == "POINT (3.0 4.0)")
+  }
+}
