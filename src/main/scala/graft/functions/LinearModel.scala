@@ -245,6 +245,11 @@ object LinearModel {
 
   // ---- classifier ----
 
+  /** Label cap: centroid state is #labels × d doubles — a classifier
+    * fed a high-cardinality "label" (a mistake, not a use case) must
+    * fail loudly instead of OOMing an executor. */
+  val MaxLabels = 10000
+
   final class ClassifyState {
     private[functions] var d = 0
     private[functions] val byLabel =
@@ -253,6 +258,8 @@ object LinearModel {
     def add(feats: Array[(Int, Double)], label: Long): Unit = {
       feats.foreach { case (k, _) => if (k + 1 > d) d = k + 1 }
       val (cnt, sums) = byLabel.getOrElse(label, (0L, new Array[Double](MaxDim)))
+      require(cnt > 0 || byLabel.size < MaxLabels,
+        s"learn_classifier: more than $MaxLabels distinct labels")
       feats.foreach { case (k, v) => sums(k) += v }
       byLabel.update(label, (cnt + 1, sums))
     }
@@ -266,6 +273,8 @@ object LinearModel {
             while (i < MaxDim) { sums(i) += osums(i); i += 1 }
             byLabel.update(lbl, (cnt + ocnt, sums))
           case None =>
+            require(byLabel.size < MaxLabels,
+              s"learn_classifier: more than $MaxLabels distinct labels")
             byLabel.update(lbl, (ocnt, osums.clone()))
         }
       }
@@ -622,12 +631,16 @@ object EvaluatePredictionsAgg {
     private[functions] val fp = scala.collection.mutable.HashMap.empty[String, Long]
     private[functions] val fn = scala.collection.mutable.HashMap.empty[String, Long]
 
-    def add(truth: String, pred: String): Unit =
+    def add(truth: String, pred: String): Unit = {
+      require(tp.size + fp.size + fn.size < 3 * LinearModel.MaxLabels,
+        "evaluate_classifier_predictions: more than " +
+          s"${LinearModel.MaxLabels} distinct labels")
       if (truth == pred) tp.update(truth, tp.getOrElse(truth, 0L) + 1)
       else {
         fp.update(pred, fp.getOrElse(pred, 0L) + 1)
         fn.update(truth, fn.getOrElse(truth, 0L) + 1)
       }
+    }
 
     def mergeWith(o: State): Unit = {
       o.tp.foreach { case (k, v) => tp.update(k, tp.getOrElse(k, 0L) + v) }
