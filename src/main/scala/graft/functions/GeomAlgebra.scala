@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `presto-geospatial/.../aggregation/ConvexHullAggregation.java` —
   * re-implemented from the textbook algorithms (Andrew monotone chain,
   * Sutherland–Hodgman, orientation sign tests), NOT via the reference's
-  * Esri runtime. Boolean polygon algebra beyond convex∩convex
-  * (ST_Union/ST_Difference/full ST_Relate) stays descoped.
+  * Esri runtime. General polygon union/difference/symdifference live in
+  * [[GeomBoolean]] (Greiner–Hormann); full ST_Relate stays descoped.
   *
   * Canonical vertex order: every ring/hull this file emits starts at
   * the lexicographically-smallest (x, y) vertex and runs

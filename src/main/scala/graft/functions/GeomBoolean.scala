@@ -1,0 +1,604 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Polygon boolean algebra — ST_Union / ST_Difference / ST_SymDifference
+  * / geometry_union (`presto-geospatial/.../GeoFunctions.java:581,589,
+  * 921,1007`) over the geo pack's implicit-closed rings, implemented
+  * from the Greiner–Hormann clipping algorithm (Greiner & Hormann, ACM
+  * TOG 1998 — a public textbook algorithm; the reference delegates to
+  * the Esri runtime instead).
+  *
+  * Contract and honest limits:
+  *  - inputs are SIMPLE rings (either orientation; normalized to CCW);
+  *  - results are MULTIPOLYGONS: `array<ring>`, each ring canonical
+  *    (CCW from its lexicographically-smallest vertex), components
+  *    sorted by start vertex — deterministic and oracle-replayable.
+  *    Presto's GEOMETRY collapses a 1-component multipolygon to a
+  *    polygon; the structural model keeps the array container.
+  *  - DEGENERATE configurations fail loudly instead of guessing:
+  *    vertex-on-edge contact, collinear overlapping edges, and results
+  *    that would need holes (a ring-with-hole is unrepresentable here —
+  *    e.g. subtracting a strictly-interior polygon). General-position
+  *    inputs — the overwhelmingly common case — are exact.
+  *
+  * Scale: pure per-row scalar work (O((n+m)²) segment pairing on
+  * small vertex counts), no joins, no state — scan-speed like the rest
+  * of the geometry pack.
+  */
+object GeomBoolean {
+
+  // ---- Greiner–Hormann vertex node ----
+  private final class Node(val x: Double, val y: Double) {
+    var next: Node = _
+    var prev: Node = _
+    var intersect = false
+    var neighbor: Node = _
+    var entry = false
+    var visited = false
+    var alpha = 0.0 // parametric position on its source edge
+  }
+
+  private def ring(flat: Array[Double]): Node = {
+    val n = flat.length / 2
+    val nodes = (0 until n).map(i => new Node(flat(2 * i), flat(2 * i + 1)))
+    nodes.indices.foreach { i =>
+      nodes(i).next = nodes((i + 1) % n)
+      nodes(i).prev = nodes((i + n - 1) % n)
+    }
+    nodes.head
+  }
+
+  private def vertices(h: Node): Seq[Node] = {
+    val b = ArrayBuffer.empty[Node]
+    var c = h
+    do { b += c; c = c.next } while (c ne h)
+    b.toSeq
+  }
+
+  /** Signed area (shoelace) of a flattened implicit-closed ring. */
+  private[graft] def signedArea(flat: Array[Double]): Double = {
+    val n = flat.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += flat(2 * i) * flat(2 * j + 1) - flat(2 * j) * flat(2 * i + 1)
+      i += 1
+    }
+    s / 2.0
+  }
+
+  private def ccw(flat: Array[Double]): Array[Double] = {
+    require(flat.length >= 6, "polygon boolean ops need >= 3 vertices")
+    if (signedArea(flat) < 0) {
+      val n = flat.length / 2
+      val out = new Array[Double](flat.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = flat(2 * (n - 1 - i))
+        out(2 * i + 1) = flat(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    } else flat
+  }
+
+  /** Strict even-odd point-in-polygon; any on-boundary point is a
+    * degeneracy the caller must have excluded. */
+  private[graft] def inside(px: Double, py: Double, poly: Array[Double]): Boolean = {
+    val n = poly.length / 2
+    var in = false
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val yi = poly(2 * i + 1); val yj = poly(2 * j + 1)
+      val xi = poly(2 * i); val xj = poly(2 * j)
+      if ((yi > py) != (yj > py)) {
+        val xint = xi + (py - yi) / (yj - yi) * (xj - xi)
+        if (px < xint) in = !in
+      }
+      i += 1
+    }
+    in
+  }
+
+  private def degenerate(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"polygon boolean op: degenerate configuration ($msg); " +
+        "general-position inputs required")
+
+  /** Point exactly on the ring's boundary (vertex or edge-interior). */
+  private def onBoundary(px: Double, py: Double, poly: Array[Double]): Boolean = {
+    val n = poly.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ax = poly(2 * i); val ay = poly(2 * i + 1)
+      val bx = poly(2 * j); val by = poly(2 * j + 1)
+      val crossV = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      if (crossV == 0 &&
+        math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+        math.min(ay, by) <= py && py <= math.max(ay, by)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Any strictly-interior edge crossing between the two rings. */
+  private def hasProperCrossing(a: Array[Double], b: Array[Double]): Boolean = {
+    val na = a.length / 2; val nb = b.length / 2
+    var i = 0
+    while (i < na) {
+      val i2 = (i + 1) % na
+      var j = 0
+      while (j < nb) {
+        val j2 = (j + 1) % nb
+        val d1x = a(2 * i2) - a(2 * i); val d1y = a(2 * i2 + 1) - a(2 * i + 1)
+        val d2x = b(2 * j2) - b(2 * j); val d2y = b(2 * j2 + 1) - b(2 * j + 1)
+        val denom = d1x * d2y - d1y * d2x
+        if (denom != 0) {
+          val tA = ((b(2 * j) - a(2 * i)) * d2y - (b(2 * j + 1) - a(2 * i + 1)) * d2x) / denom
+          val tB = ((b(2 * j) - a(2 * i)) * d1y - (b(2 * j + 1) - a(2 * i + 1)) * d1x) / denom
+          if (tA > 0 && tA < 1 && tB > 0 && tB < 1) return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** `outer` fully covers `inner`: every inner vertex inside-or-on
+    * outer and no proper edge crossing — the subsumption fast path the
+    * idempotent union fold needs (boundary-coincident containment is
+    * legal here, unlike in the general clipper). */
+  private[graft] def covers(outer: Array[Double], inner: Array[Double]): Boolean = {
+    if (hasProperCrossing(outer, inner)) return false
+    var i = 0
+    while (i < inner.length) {
+      val px = inner(i); val py = inner(i + 1)
+      if (!onBoundary(px, py, outer) && !inside(px, py, outer)) return false
+      i += 2
+    }
+    true
+  }
+
+  /** Core: clip two CCW simple rings; returns the result components as
+    * flattened rings. `invS`/`invC` select the operation (GH entry-flag
+    * inversion): (false,false)=intersection, (true,true)=union,
+    * (true,false)=subject minus clip. */
+  private def clip(subjF: Array[Double], clipF: Array[Double],
+      invS: Boolean, invC: Boolean): Seq[Array[Double]] = {
+    // vertex-on-edge / coincident-vertex degeneracy sweep (n·m, small)
+    def onSegStrictOrVertex(px: Double, py: Double, poly: Array[Double]): Boolean = {
+      val n = poly.length / 2
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val ax = poly(2 * i); val ay = poly(2 * i + 1)
+        val bx = poly(2 * j); val by = poly(2 * j + 1)
+        val crossV = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        if (crossV == 0 &&
+          math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+          math.min(ay, by) <= py && py <= math.max(ay, by)) return true
+        i += 1
+      }
+      false
+    }
+    var i = 0
+    while (i < subjF.length) {
+      if (onSegStrictOrVertex(subjF(i), subjF(i + 1), clipF))
+        degenerate("subject vertex on clip boundary")
+      i += 2
+    }
+    i = 0
+    while (i < clipF.length) {
+      if (onSegStrictOrVertex(clipF(i), clipF(i + 1), subjF))
+        degenerate("clip vertex on subject boundary")
+      i += 2
+    }
+
+    val sHead = ring(subjF)
+    val cHead = ring(clipF)
+    val sVerts = vertices(sHead)
+    val cVerts = vertices(cHead)
+
+    // find pairwise proper intersections; alpha==0/1 cannot happen after
+    // the vertex sweep above, collinear overlap still can
+    var found = 0
+    val inserted = ArrayBuffer.empty[(Node, Node, Double, Double, Double, Double)]
+    sVerts.foreach { sv =>
+      val s2 = sv.next
+      cVerts.foreach { cv =>
+        val c2 = cv.next
+        val d1x = s2.x - sv.x; val d1y = s2.y - sv.y
+        val d2x = c2.x - cv.x; val d2y = c2.y - cv.y
+        val denom = d1x * d2y - d1y * d2x
+        if (denom == 0) {
+          // parallel: collinear overlap is degenerate, disjoint is fine
+          val c1 = d1x * (cv.y - sv.y) - d1y * (cv.x - sv.x)
+          if (c1 == 0) {
+            // collinear: overlapping extent?
+            val (alo, ahi, blo, bhi) =
+              if (math.abs(d1x) >= math.abs(d1y))
+                (math.min(sv.x, s2.x), math.max(sv.x, s2.x),
+                  math.min(cv.x, c2.x), math.max(cv.x, c2.x))
+              else
+                (math.min(sv.y, s2.y), math.max(sv.y, s2.y),
+                  math.min(cv.y, c2.y), math.max(cv.y, c2.y))
+            if (math.min(ahi, bhi) - math.max(alo, blo) > 0)
+              degenerate("collinear overlapping edges")
+          }
+        } else {
+          val tS = ((cv.x - sv.x) * d2y - (cv.y - sv.y) * d2x) / denom
+          val tC = ((cv.x - sv.x) * d1y - (cv.y - sv.y) * d1x) / denom
+          if (tS > 0 && tS < 1 && tC > 0 && tC < 1) {
+            inserted += ((sv, cv, tS, tC,
+              sv.x + tS * d1x, sv.y + tS * d1y))
+            found += 1
+          }
+        }
+      }
+    }
+
+    if (found == 0) {
+      // no boundary crossings: containment or disjoint
+      val sInC = inside(subjF(0), subjF(1), clipF)
+      val cInS = inside(clipF(0), clipF(1), subjF)
+      return (invS, invC) match {
+        case (false, false) => // intersection
+          if (sInC) Seq(subjF) else if (cInS) Seq(clipF) else Seq.empty
+        case (true, true) => // union
+          if (sInC) Seq(clipF) else if (cInS) Seq(subjF)
+          else Seq(subjF, clipF)
+        case (true, false) => // difference S - C
+          if (sInC) Seq.empty
+          else if (cInS) degenerate(
+            "difference would create a hole (clip strictly inside subject)")
+          else Seq(subjF)
+        case other => throw new IllegalStateException(s"bad op $other")
+      }
+    }
+
+    // insert intersection nodes into both rings, ordered by alpha
+    def insertAfter(edgeStart: Node, node: Node, alpha: Double): Unit = {
+      var at = edgeStart
+      while (at.next.intersect && at.next.alpha < alpha) at = at.next
+      node.alpha = alpha
+      node.next = at.next
+      node.prev = at
+      at.next.prev = node
+      at.next = node
+    }
+    inserted.foreach { case (sv, cv, tS, tC, x, y) =>
+      val ns = new Node(x, y); ns.intersect = true
+      val nc = new Node(x, y); nc.intersect = true
+      ns.neighbor = nc; nc.neighbor = ns
+      insertAfter(sv, ns, tS)
+      insertAfter(cv, nc, tC)
+    }
+
+    // entry/exit flags: alternate from the first vertex's inside status
+    def markEntries(head: Node, other: Array[Double], invert: Boolean): Unit = {
+      var status = !inside(head.x, head.y, other) // next crossing enters?
+      if (invert) status = !status
+      var c = head
+      do {
+        if (c.intersect) { c.entry = status; status = !status }
+        c = c.next
+      } while (c ne head)
+    }
+    markEntries(sHead, clipF, invS)
+    markEntries(cHead, subjF, invC)
+
+    // traverse
+    val results = ArrayBuffer.empty[Array[Double]]
+    def firstUnvisited(): Node = {
+      var c = sHead
+      do {
+        if (c.intersect && !c.visited) return c
+        c = c.next
+      } while (c ne sHead)
+      null
+    }
+    var start = firstUnvisited()
+    var guard = 0
+    while (start != null) {
+      val out = ArrayBuffer.empty[Double]
+      var cur = start
+      do {
+        cur.visited = true; cur.neighbor.visited = true
+        if (cur.entry) {
+          do {
+            cur = cur.next
+            out += cur.x; out += cur.y
+            guard += 1
+            if (guard > 100000) degenerate("traversal did not terminate")
+          } while (!cur.intersect)
+        } else {
+          do {
+            cur = cur.prev
+            out += cur.x; out += cur.y
+            guard += 1
+            if (guard > 100000) degenerate("traversal did not terminate")
+          } while (!cur.intersect)
+        }
+        cur = cur.neighbor
+      } while ((cur ne start) && (cur.neighbor ne start))
+      // drop closing duplicate if present
+      var flat = out.toArray
+      val n = flat.length / 2
+      if (n >= 2 && flat(0) == flat(2 * n - 2) && flat(1) == flat(2 * n - 1))
+        flat = flat.dropRight(2)
+      if (flat.length >= 6) {
+        // GH traversal orientation depends on the entry pattern, not on
+        // the op — normalize every component to CCW; holes are detected
+        // structurally below (a component nested inside another).
+        results += canonical(ccw(flat))
+      }
+      start = firstUnvisited()
+    }
+    // hole check: for two simple polygons every legal result is a set of
+    // DISJOINT outer boundaries; a component whose start vertex lies
+    // inside another component is a hole — unrepresentable here.
+    val rs = results.toSeq
+    rs.indices.foreach { i =>
+      rs.indices.foreach { j =>
+        if (i != j && inside(rs(i)(0), rs(i)(1), rs(j)))
+          degenerate("result needs a hole (nested boundary component)")
+      }
+    }
+    rs.sortBy(r => (r(0), r(1)))
+  }
+
+  /** Rotate a CCW flattened ring to start at its lex-min vertex. */
+  private def canonical(flat: Array[Double]): Array[Double] = {
+    val n = flat.length / 2
+    var best = 0
+    var i = 1
+    while (i < n) {
+      if (flat(2 * i) < flat(2 * best) || (flat(2 * i) == flat(2 * best) &&
+        flat(2 * i + 1) < flat(2 * best + 1))) best = i
+      i += 1
+    }
+    val out = new Array[Double](flat.length)
+    i = 0
+    while (i < n) {
+      out(2 * i) = flat(2 * ((i + best) % n))
+      out(2 * i + 1) = flat(2 * ((i + best) % n) + 1)
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def union(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
+    clip(ccw(a), ccw(b), invS = true, invC = true)
+  private[graft] def intersection(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
+    clip(ccw(a), ccw(b), invS = false, invC = false)
+  private[graft] def difference(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
+    clip(ccw(a), ccw(b), invS = true, invC = false)
+  private[graft] def symDifference(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
+    (difference(a, b) ++ difference(b, a)).sortBy(r => (r(0), r(1)))
+
+  /** Incremental union fold: merge one ring into an accumulator of
+    * pairwise-DISJOINT components (fuse with every overlapping
+    * component until a fixed point). The accumulator is bounded by the
+    * OUTPUT complexity, which is what makes geometry_union_agg an
+    * honest distributed aggregation. */
+  private[graft] def addRing(acc: ArrayBuffer[Array[Double]],
+      r0: Array[Double]): Unit = {
+    var pending = canonical(ccw(r0))
+    var merged = true
+    while (merged) {
+      merged = false
+      var i = 0
+      while (i < acc.length && !merged) {
+        // subsumption fast paths keep idempotent folds legal: duplicate
+        // or contained rings (boundary contact included) add nothing,
+        // and a ring swallowing a component replaces it — the general
+        // clipper would reject their boundary coincidences
+        if (covers(acc(i), pending)) return
+        if (covers(pending, acc(i))) {
+          acc.remove(i)
+          merged = true
+        } else {
+          val u = union(acc(i), pending)
+          if (u.length == 1) { // they overlapped: fuse and retry
+            acc.remove(i)
+            pending = canonical(u.head)
+            merged = true
+          }
+        }
+        i += 1
+      }
+    }
+    acc += pending
+  }
+
+  /** geometry_union(array<ring>) → disjoint components. */
+  private[graft] def unionAll(rings: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val acc = ArrayBuffer.empty[Array[Double]]
+    rings.filter(_.length >= 6).foreach(addRing(acc, _))
+    acc.toSeq.sortBy(r => (r(0), r(1)))
+  }
+
+  /** Canonicalize each component (rotate to lex-min start) and sort
+    * components — every code path funnels here, so containment/disjoint
+    * shortcuts emit the same canonical form as traversal results. */
+  private def toMulti(rings: Seq[Array[Double]]): GenericArrayData = {
+    val canon = rings.map(canonical).sortBy(r => (r(0), r(1)))
+    new GenericArrayData(canon.map(GeomAlgebra.toRing).toArray[Any])
+  }
+
+  // ---- Column API ----
+  def stUnion(a: Column, b: Column): Column =
+    ColumnBridge.toCol(PolyBool(ColumnBridge.toExpr(a),
+      ColumnBridge.toExpr(b), "union"))
+  def stDifference(a: Column, b: Column): Column =
+    ColumnBridge.toCol(PolyBool(ColumnBridge.toExpr(a),
+      ColumnBridge.toExpr(b), "difference"))
+  def stSymDifference(a: Column, b: Column): Column =
+    ColumnBridge.toCol(PolyBool(ColumnBridge.toExpr(a),
+      ColumnBridge.toExpr(b), "symdifference"))
+  def geometryUnion(rings: Column): Column =
+    ColumnBridge.toCol(GeometryUnionAll(ColumnBridge.toExpr(rings)))
+
+  private[functions] val MultiType =
+    ArrayType(GeomAlgebra.RingType, containsNull = false)
+
+  private[functions] def flatOf(v: Any, xi: Int): Array[Double] =
+    LineOps.coords(v, xi)
+
+  private[functions] def multiOf(rings: Seq[Array[Double]]): GenericArrayData =
+    toMulti(rings)
+}
+
+/** ST_Union / ST_Difference / ST_SymDifference over rings → multipolygon
+  * (array<ring>). See [[GeomBoolean]] for the contract. */
+case class PolyBool(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  require(Seq("union", "difference", "symdifference").contains(op),
+    s"unknown polygon op $op")
+
+  override def prettyName: String = op match {
+    case "union" => "st_union"
+    case "difference" => "st_difference"
+    case "symdifference" => "st_symdifference"
+  }
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val fa = GeomBoolean.flatOf(a, xiL)
+    val fb = GeomBoolean.flatOf(b, xiR)
+    GeomBoolean.multiOf(op match {
+      case "union" => GeomBoolean.union(fa, fb)
+      case "difference" => GeomBoolean.difference(fa, fb)
+      case "symdifference" => GeomBoolean.symDifference(fa, fb)
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** geometry_union_agg(ring) (GeoFunctions.java geometry_union_agg):
+  * distributed union — state is the running DISJOINT multipolygon, so
+  * partial aggregation folds map-side and merge unions component lists;
+  * state size tracks the output's complexity, not the input count. */
+case class GeometryUnionAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Array[Double]]]
+    with RingInput {
+
+  override def prettyName: String = "geometry_union_agg"
+  override def dataType: DataType = GeomBoolean.MultiType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, child.dataType)
+
+  @transient private lazy val xi = LineOps.xIdx(child.dataType)
+
+  override def createAggregationBuffer(): ArrayBuffer[Array[Double]] =
+    ArrayBuffer.empty[Array[Double]]
+
+  override def update(b: ArrayBuffer[Array[Double]], input: InternalRow): ArrayBuffer[Array[Double]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val flat = GeomBoolean.flatOf(v, xi)
+      if (flat.length >= 6) GeomBoolean.addRing(b, flat)
+    }
+    b
+  }
+
+  override def merge(b: ArrayBuffer[Array[Double]], o: ArrayBuffer[Array[Double]]): ArrayBuffer[Array[Double]] = {
+    o.foreach(GeomBoolean.addRing(b, _))
+    b
+  }
+
+  override def eval(b: ArrayBuffer[Array[Double]]): Any =
+    if (b.isEmpty) null
+    else GeomBoolean.multiOf(b.toSeq.sortBy(r => (r(0), r(1))))
+
+  override def serialize(b: ArrayBuffer[Array[Double]]): Array[Byte] = {
+    val total = 4 + b.map(4 + 8 * _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.putInt(b.length)
+    b.foreach { r => buf.putInt(r.length); r.foreach(buf.putDouble) }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Array[Double]] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val b = new ArrayBuffer[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt
+      val r = new Array[Double](len)
+      var j = 0
+      while (j < len) { r(j) = buf.getDouble; j += 1 }
+      b += r
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GeometryUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GeometryUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+/** geometry_union(array<ring>) → multipolygon of disjoint components. */
+case class GeometryUnionAll(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def prettyName: String = "geometry_union"
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(el, _) if LineOps.isPointArray(el) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<array<struct<x,y>>>, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val xi = LineOps.xIdx(
+    child.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val rings = (0 until arr.numElements()).map(i =>
+      GeomBoolean.flatOf(arr.getArray(i), xi))
+    GeomBoolean.multiOf(GeomBoolean.unionAll(rings))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

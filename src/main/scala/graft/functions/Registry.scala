@@ -1308,6 +1308,14 @@ object Registry {
           two("st_intersection")(ConvexClip)
           Seq("crosses", "touches", "overlaps").foreach(m =>
             two(s"st_$m")(SegmentRelation(_, _, m)))
+          // polygon boolean algebra (Greiner–Hormann; GeomBoolean.scala)
+          // → multipolygon array<ring>; degenerate configs fail loudly
+          two("st_union")(PolyBool(_, _, "union"))
+          two("st_difference")(PolyBool(_, _, "difference"))
+          two("st_symdifference")(PolyBool(_, _, "symdifference"))
+          one("geometry_union")(GeometryUnionAll)
+          one("geometry_union_agg")(a =>
+            GeometryUnionAgg(a).toAggregateExpression())
           one("st_issimple")(LineSimplicity(_, "simple"))
           one("st_isring")(LineSimplicity(_, "ring"))
           one("st_isvalid")(LineSimplicity(_, "valid"))

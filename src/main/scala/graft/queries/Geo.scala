@@ -394,6 +394,69 @@ object Geo extends QueryPack {
           |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)
     }),
 
+    // Polygon boolean algebra (Greiner–Hormann, GeomBoolean.scala):
+    // union/difference/symdifference over corner-overlapping and
+    // disjoint squares — intersections land on integer coordinates, so
+    // the oracle carries the hand-derived multipolygons exactly.
+    // Results are canonical (CCW from lex-min vertex, components
+    // sorted), making the vertex text deterministic.
+    "qm7_polygon_boolean" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT 1 AS id,
+          |    array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |          st_point(0D,10D)) AS s,
+          |    array(st_point(5D,5D), st_point(15D,5D), st_point(15D,15D),
+          |          st_point(5D,15D)) AS c
+          |  UNION ALL SELECT 2,
+          |    array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |          st_point(0D,10D)),
+          |    array(st_point(20D,0D), st_point(30D,0D), st_point(30D,10D),
+          |          st_point(20D,10D)))
+          |SELECT cast(id as bigint) AS id,
+          |  cast(size(st_union(s, c)) as bigint) AS n_union,
+          |  round(aggregate(transform(st_union(s, c), r -> st_area(r)),
+          |    0D, (acc, a) -> acc + a), 4) AS union_area,
+          |  array_join(transform(element_at(st_union(s, c), 1), q ->
+          |    concat(cast(cast(q.x as int) as string), ':',
+          |           cast(cast(q.y as int) as string))), ',') AS u1_txt,
+          |  cast(size(st_difference(s, c)) as bigint) AS n_diff,
+          |  round(aggregate(transform(st_difference(s, c), r -> st_area(r)),
+          |    0D, (acc, a) -> acc + a), 4) AS diff_area,
+          |  cast(size(st_symdifference(s, c)) as bigint) AS n_sym,
+          |  round(aggregate(transform(st_symdifference(s, c),
+          |    r -> st_area(r)), 0D, (acc, a) -> acc + a), 4) AS sym_area,
+          |  cast(size(geometry_union(array(s, c))) as bigint) AS n_gu
+          |FROM g ORDER BY id""".stripMargin)
+    }),
+
+    // geometry_union_agg: distributed union of a per-group chain of
+    // overlapping squares (x stride 8 < width 10; y stride 0.5 keeps
+    // every edge pair off-collinear — general position for the GH
+    // clipper). Each group's chain fuses to ONE component whose area is
+    // inclusion-exclusion exact: 5·100 − 4·(2 × 9.5) = 424. State is
+    // the fused multipolygon — output-sized, not input-sized.
+    "qm8_geometry_union_agg" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH sq AS (
+          |  SELECT cast(c_custkey % 3 as bigint) AS g,
+          |    array(st_point(x0, y0), st_point(x0 + 10, y0),
+          |          st_point(x0 + 10, y0 + 10), st_point(x0, y0 + 10)) AS r
+          |  FROM (SELECT c_custkey,
+          |          cast(c_custkey % 5 * 8 as double) AS x0,
+          |          cast(c_custkey % 5 as double) / 2 AS y0
+          |        FROM customer)),
+          |u AS (SELECT g, geometry_union_agg(r) AS m FROM sq GROUP BY g)
+          |SELECT g, cast(size(m) as bigint) AS n_comp,
+          |  round(aggregate(transform(m, r -> st_area(r)), 0D,
+          |    (acc, a) -> acc + a), 4) AS total_area
+          |FROM u ORDER BY g""".stripMargin)
+    }),
+
     // Structural geometry surface: WKT polygon parse, type/dimension
     // from the explicit-closure tag, boundary/points/interior-ring
     // answers, WKB round-trip, and the 32-gon point buffer. Oracle
@@ -805,6 +868,32 @@ object Geo extends QueryPack {
           |  cast(sum(CASE WHEN ix THEN 1 ELSE 0 END) as bigint)
           |    AS n_intersects
           |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // Hand-derived boolean-algebra multipolygons: octagon union
+      // (100+100−25), L-shape difference, two-L symdifference; the
+      // disjoint row keeps both inputs.
+      "qm7_polygon_boolean" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 175.0,
+          |   '0:0,10:0,10:5,15:5,15:15,5:15,5:10,0:10',
+          |   CAST(1 AS BIGINT), 75.0, CAST(2 AS BIGINT), 150.0,
+          |   CAST(1 AS BIGINT)),
+          |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 200.0,
+          |   '0:0,10:0,10:10,0:10',
+          |   CAST(1 AS BIGINT), 100.0, CAST(2 AS BIGINT), 200.0,
+          |   CAST(2 AS BIGINT)))
+          |  AS t(id, n_union, union_area, u1_txt, n_diff, diff_area,
+          |       n_sym, sym_area, n_gu)
+          |ORDER BY id""".stripMargin,
+
+      // Inclusion-exclusion replay: every group's 5-square chain fuses
+      // to one component of area 5·100 − 4·19 = 424 (duplicate squares
+      // within a group fold idempotently).
+      "qm8_geometry_union_agg" ->
+        """SELECT cast(g as bigint) AS g, cast(1 as bigint) AS n_comp,
+          |  424.0 AS total_area
+          |FROM (SELECT DISTINCT c_custkey % 3 AS g FROM customer) t
+          |ORDER BY g""".stripMargin,
 
       // Hand-derived structural answers (geometry fixtures are VALUES
       // literals in the query).

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.{GeomBoolean, Registry}
+
+/** Behavioral tests for the Greiner–Hormann polygon boolean algebra on
+  * hand-computable fixtures (corner-overlapping squares: intersections
+  * at (10,5) and (5,10), overlap area 25). */
+class GeomBooleanSuite extends GraftSuite {
+
+  import spark.implicits._
+
+  private val S = Array(0.0, 0, 10, 0, 10, 10, 0, 10) // CCW square
+  private val C = Array(5.0, 5, 15, 5, 15, 15, 5, 15) // CCW square
+
+  private def vset(r: Array[Double]): Seq[(Double, Double)] =
+    r.grouped(2).map(a => (a(0), a(1))).toSeq
+
+  test("union of corner-overlapping squares is the exact octagon") {
+    val u = GeomBoolean.union(S, C)
+    assert(u.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(u.head) - 175.0) < 1e-9)
+    assert(vset(u.head).toSet == Set((0.0, 0.0), (10.0, 0.0), (10.0, 5.0),
+      (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 10.0), (0.0, 10.0)))
+  }
+
+  test("difference is the L-shape; reversed difference mirrors") {
+    val d = GeomBoolean.difference(S, C)
+    assert(d.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(d.head) - 75.0) < 1e-9)
+    assert(vset(d.head).toSet == Set((0.0, 0.0), (10.0, 0.0), (10.0, 5.0),
+      (5.0, 5.0), (5.0, 10.0), (0.0, 10.0)))
+    val d2 = GeomBoolean.difference(C, S)
+    assert(d2.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(d2.head) - 75.0) < 1e-9)
+  }
+
+  test("intersection agrees with the clip; symdifference = both Ls") {
+    val ix = GeomBoolean.intersection(S, C)
+    assert(ix.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(ix.head) - 25.0) < 1e-9)
+    val sd = GeomBoolean.symDifference(S, C)
+    assert(sd.length == 2)
+    assert(math.abs(sd.map(GeomBoolean.signedArea).sum - 150.0) < 1e-9)
+  }
+
+  test("no-crossing cases: disjoint, contained, hole rejection") {
+    val far = Array(100.0, 100, 110, 100, 110, 110, 100, 110)
+    assert(GeomBoolean.union(S, far).length == 2)
+    assert(GeomBoolean.intersection(S, far).isEmpty)
+    assert(GeomBoolean.difference(S, far).length == 1)
+    val inner = Array(3.0, 3, 6, 3, 6, 6, 3, 6)
+    assert(GeomBoolean.union(S, inner).map(GeomBoolean.signedArea).sum == 100.0)
+    assert(GeomBoolean.intersection(S, inner).head.sameElements(
+      GeomBoolean.intersection(inner, S).head))
+    val e = intercept[IllegalArgumentException](GeomBoolean.difference(S, inner))
+    assert(e.getMessage.contains("hole"))
+  }
+
+  test("CW input is normalized; degenerate vertex-on-edge fails loudly") {
+    val cw = Array(0.0, 0, 0, 10, 10, 10, 10, 0) // clockwise square
+    val u = GeomBoolean.union(cw, C)
+    assert(math.abs(GeomBoolean.signedArea(u.head) - 175.0) < 1e-9)
+    // triangle with a vertex exactly on S's edge
+    val touching = Array(10.0, 3, 14, 2, 14, 6)
+    val e = intercept[IllegalArgumentException](GeomBoolean.union(S, touching))
+    assert(e.getMessage.contains("degenerate"))
+  }
+
+  test("geometry_union folds overlapping rings into components") {
+    // two overlapping squares + one far square → 2 components
+    val all = GeomBoolean.unionAll(Seq(S, C,
+      Array(100.0, 100, 110, 100, 110, 110, 100, 110)))
+    assert(all.length == 2)
+    assert(math.abs(all.map(GeomBoolean.signedArea).sum - 275.0) < 1e-9)
+  }
+
+  test("geometry_union_agg merges across partitions; duplicates idempotent") {
+    Registry.install(spark)
+    // 20 copies of two overlapping squares + a far one, spread across
+    // partitions to force partial+merge paths
+    val rows = (1 to 20).flatMap(_ => Seq((0.0, 0.0), (5.0, 5.0), (100.0, 100.0)))
+    val df = rows.toDF("x0", "y0").repartition(7)
+    df.createOrReplaceTempView("gua_t")
+    val got = spark.sql(
+      """SELECT size(m) AS n, round(aggregate(transform(m, r -> st_area(r)),
+        |  0D, (acc, a) -> acc + a), 4) AS area
+        |FROM (SELECT geometry_union_agg(array(
+        |    st_point(x0, y0), st_point(x0 + 10, y0),
+        |    st_point(x0 + 10, y0 + 10), st_point(x0, y0 + 10))) AS m
+        |  FROM gua_t) t""".stripMargin).as[(Int, Double)].head()
+    assert(got == ((2, 275.0)))
+  }
+
+  test("SQL surface: st_union/st_difference/geometry_union resolve") {
+    Registry.install(spark)
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"array(st_point(${x0}D, ${y0}D), st_point(${x0 + s}D, ${y0}D), " +
+        s"st_point(${x0 + s}D, ${y0 + s}D), st_point(${x0}D, ${y0 + s}D))"
+    val row = spark.sql(
+      s"""SELECT
+         |  round(aggregate(transform(st_union(${sq(0, 0, 10)}, ${sq(5, 5, 10)}),
+         |    r -> st_area(r)), 0D, (s, a) -> s + a), 4) AS u_area,
+         |  size(st_symdifference(${sq(0, 0, 10)}, ${sq(5, 5, 10)})) AS sd_n,
+         |  size(geometry_union(array(${sq(0, 0, 10)}, ${sq(5, 5, 10)},
+         |    ${sq(100, 100, 5)}))) AS gu_n
+         |""".stripMargin).head()
+    assert(row.getDouble(0) == 175.0)
+    assert(row.getInt(1) == 2)
+    assert(row.getInt(2) == 2)
+  }
+}
