@@ -433,6 +433,43 @@ object GeomBoolean {
     acc.toSeq.sortBy(r => (r(0), r(1)))
   }
 
+  /** DE-9IM matrix for a general-position polygon pair: the matrix is
+    * fully determined by the coarse relationship. Boundary contact
+    * (touches/edge-sharing) is degenerate here, like the clipper. Row
+    * order II,IB,IE,BI,BB,BE,EI,EB,EE. */
+  private[graft] def de9im(a0: Array[Double], b0: Array[Double]): String = {
+    val a = canonical(ccw(a0))
+    val b = canonical(ccw(b0))
+    if (java.util.Arrays.equals(a, b)) return "2FFF1FFF2"
+    if (hasProperCrossing(a, b)) return "212101212"
+    var i = 0
+    while (i < a.length) {
+      if (onBoundary(a(i), a(i + 1), b))
+        degenerate("boundary contact in st_relate")
+      i += 2
+    }
+    i = 0
+    while (i < b.length) {
+      if (onBoundary(b(i), b(i + 1), a))
+        degenerate("boundary contact in st_relate")
+      i += 2
+    }
+    if (inside(b(0), b(1), a)) "212FF1FF2" // contains
+    else if (inside(a(0), a(1), b)) "2FF1FF212" // within
+    else "FF2FF1212" // disjoint
+  }
+
+  /** DE-9IM pattern match: T = non-F, F/0/1/2 exact, * = any. */
+  private[graft] def relateMatches(matrix: String, pattern: String): Boolean = {
+    require(pattern.length == 9,
+      s"st_relate: pattern must be 9 characters, got '$pattern'")
+    matrix.zip(pattern.toUpperCase).forall {
+      case (_, '*') => true
+      case (m, 'T') => m != 'F'
+      case (m, p) => m == p
+    }
+  }
+
   /** Canonicalize each component (rotate to lex-min start) and sort
     * components — every code path funnels here, so containment/disjoint
     * shortcuts emit the same canonical form as traversal results. */
@@ -573,6 +610,44 @@ case class GeometryUnionAgg(child: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
+/** ST_Relate(ring, ring, pattern) (GeoFunctions.java:1106): DE-9IM
+  * pattern test for general-position polygon pairs (see
+  * [[GeomBoolean.de9im]]; boundary contact fails loudly). */
+case class StRelate(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_relate"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, first.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, second.dataType) match {
+          case TypeCheckResult.TypeCheckSuccess =>
+            if (third.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              s"$prettyName pattern must be a string")
+          case f => f
+        }
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(first.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(second.dataType)
+
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    GeomBoolean.relateMatches(
+      GeomBoolean.de9im(GeomBoolean.flatOf(a, xiL),
+        GeomBoolean.flatOf(b, xiR)),
+      p.toString)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** geometry_union(array<ring>) → multipolygon of disjoint components. */

@@ -1316,6 +1316,12 @@ object Registry {
           one("geometry_union")(GeometryUnionAll)
           one("geometry_union_agg")(a =>
             GeometryUnionAgg(a).toAggregateExpression())
+          registry.registerFunction(FunctionIdentifier("st_relate"),
+            new ExpressionInfo(getClass.getCanonicalName, "st_relate"), {
+              case Seq(a, b, p) => StRelate(a, b, p)
+              case args =>
+                sys.error(s"st_relate expects 3 args, got ${args.length}")
+            })
           one("st_issimple")(LineSimplicity(_, "simple"))
           one("st_isring")(LineSimplicity(_, "ring"))
           one("st_isvalid")(LineSimplicity(_, "valid"))

@@ -457,6 +457,33 @@ object Geo extends QueryPack {
           |FROM u ORDER BY g""".stripMargin)
     }),
 
+    // ST_Relate DE-9IM pattern tests (GeoFunctions.java:1106): one row
+    // per general-position relationship class; the oracle carries the
+    // hand-written matrices (standard area/area DE-9IM values).
+    "qm9_relate" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT id,
+          |    array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |          st_point(0D,10D)) AS a,
+          |    b FROM (
+          |    SELECT 1 AS id, array(st_point(5D,5D), st_point(15D,5D),
+          |      st_point(15D,15D), st_point(5D,15D)) AS b
+          |    UNION ALL SELECT 2, array(st_point(3D,3D), st_point(6D,3D),
+          |      st_point(6D,6D), st_point(3D,6D))
+          |    UNION ALL SELECT 3, array(st_point(20D,20D), st_point(30D,20D),
+          |      st_point(30D,30D), st_point(20D,30D))))
+          |SELECT cast(id as bigint) AS id,
+          |  st_relate(a, b, '212101212') AS is_overlap,
+          |  st_relate(a, b, '212FF1FF2') AS is_contains,
+          |  st_relate(a, b, 'FF2FF1212') AS is_disjoint,
+          |  st_relate(a, b, 'T*T***T**') AS t_overlap,
+          |  st_relate(b, a, 'T*F**F***') AS b_within_a
+          |FROM g ORDER BY id""".stripMargin)
+    }),
+
     // Structural geometry surface: WKT polygon parse, type/dimension
     // from the explicit-closure tag, boundary/points/interior-ring
     // answers, WKB round-trip, and the 32-gon point buffer. Oracle
@@ -894,6 +921,16 @@ object Geo extends QueryPack {
           |  424.0 AS total_area
           |FROM (SELECT DISTINCT c_custkey % 3 AS g FROM customer) t
           |ORDER BY g""".stripMargin,
+
+      // Hand-derived DE-9IM outcomes per relationship class.
+      "qm9_relate" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), true, false, false, true, false),
+          |  (CAST(2 AS BIGINT), false, true, false, false, true),
+          |  (CAST(3 AS BIGINT), false, false, true, false, false))
+          |  AS t(id, is_overlap, is_contains, is_disjoint, t_overlap,
+          |       b_within_a)
+          |ORDER BY id""".stripMargin,
 
       // Hand-derived structural answers (geometry fixtures are VALUES
       // literals in the query).

@@ -43,6 +43,27 @@ class GeomBooleanSuite extends GraftSuite {
     assert(math.abs(sd.map(GeomBoolean.signedArea).sum - 150.0) < 1e-9)
   }
 
+  test("4-crossing bar: union is the cross, difference splits in two") {
+    // horizontal bar crosses the square's left and right edges — 4
+    // proper intersections, so difference produces TWO components
+    val bar = Array(-2.0, 4, 12, 4, 12, 6, -2, 6)
+    val u = GeomBoolean.union(S, bar)
+    assert(u.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(u.head) - 108.0) < 1e-9)
+    val ix = GeomBoolean.intersection(S, bar)
+    assert(ix.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(ix.head) - 20.0) < 1e-9)
+    val d = GeomBoolean.difference(S, bar)
+    assert(d.length == 2)
+    assert(d.map(GeomBoolean.signedArea).forall(a => math.abs(a - 40.0) < 1e-9))
+    val d2 = GeomBoolean.difference(bar, S)
+    assert(d2.length == 2)
+    assert(math.abs(d2.map(GeomBoolean.signedArea).sum - 8.0) < 1e-9)
+    val sd = GeomBoolean.symDifference(S, bar)
+    assert(sd.length == 4)
+    assert(math.abs(sd.map(GeomBoolean.signedArea).sum - 88.0) < 1e-9)
+  }
+
   test("no-crossing cases: disjoint, contained, hole rejection") {
     val far = Array(100.0, 100, 110, 100, 110, 110, 100, 110)
     assert(GeomBoolean.union(S, far).length == 2)
@@ -89,6 +110,26 @@ class GeomBooleanSuite extends GraftSuite {
         |    st_point(x0 + 10, y0 + 10), st_point(x0, y0 + 10))) AS m
         |  FROM gua_t) t""".stripMargin).as[(Int, Double)].head()
     assert(got == ((2, 275.0)))
+  }
+
+  test("st_relate: DE-9IM matrices and pattern matching") {
+    assert(GeomBoolean.de9im(S, C) == "212101212") // overlaps
+    val far = Array(100.0, 100, 110, 100, 110, 110, 100, 110)
+    assert(GeomBoolean.de9im(S, far) == "FF2FF1212") // disjoint
+    val inner = Array(3.0, 3, 6, 3, 6, 6, 3, 6)
+    assert(GeomBoolean.de9im(S, inner) == "212FF1FF2") // contains
+    assert(GeomBoolean.de9im(inner, S) == "2FF1FF212") // within
+    assert(GeomBoolean.de9im(S, S.clone()) == "2FFF1FFF2") // equals
+    assert(GeomBoolean.relateMatches("212101212", "T*T***T**"))
+    assert(GeomBoolean.relateMatches("2FF1FF212", "T*F**F***")) // within test
+    assert(!GeomBoolean.relateMatches("FF2FF1212", "T********"))
+    Registry.install(spark)
+    def sq2(x0: Double, y0: Double) =
+      s"array(st_point(${x0}D, ${y0}D), st_point(${x0 + 10}D, ${y0}D), " +
+        s"st_point(${x0 + 10}D, ${y0 + 10}D), st_point(${x0}D, ${y0 + 10}D))"
+    assert(spark.sql(
+      s"SELECT st_relate(${sq2(0, 0)}, ${sq2(5, 5)}, '212101212') AS r")
+      .as[Boolean].head())
   }
 
   test("SQL surface: st_union/st_difference/geometry_union resolve") {

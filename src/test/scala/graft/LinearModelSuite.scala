@@ -80,6 +80,22 @@ class LinearModelSuite extends GraftSuite {
         "Class '1'\nPrecision: 2/2 (100.00%)\nRecall: 2/3 (66.67%)\n")
   }
 
+  test("learn_regressor plans as partial+final aggregation (map-side combine)") {
+    Registry.install(spark)
+    graft.Tables.register(spark, SfDir)
+    val df = spark.sql(
+      """SELECT l_returnflag,
+        |  learn_regressor(l_extendedprice, features(l_quantity)) AS m
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    val plan = df.queryExecution.executedPlan.treeString
+    // TypedImperativeAggregate rides ObjectHashAggregate with a partial
+    // stage below the exchange — the property that bounds shuffle bytes
+    // to one Gram matrix per group per partition
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_learn_regressor") ||
+      plan.toLowerCase.contains("partial"))
+  }
+
   test("features() SQL builds the map encoding; learn_libsvm_* aliases run") {
     Registry.install(spark)
     val m = spark.sql(
