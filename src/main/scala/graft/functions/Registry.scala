@@ -317,6 +317,14 @@ object Registry {
     // (the full Esri geometry model stays descoped, SURVEY §2). Every
     // template compiles to builtin arithmetic: codegen'd, pushdown-safe,
     // no UDF. ---
+    // localtime (DateTimeFunctions.java): time-of-day in the epoch-date
+    // TIMESTAMP_NTZ representation (the TIME mapping in
+    // rewritePrestoSql). Spelling divergence: Presto's grammar makes it
+    // a niladic special form (`localtime`); here it is `localtime()` —
+    // Spark's parser resolves the bare word as a column.
+    ("localtime", 0,
+      "cast(concat('1970-01-01 ', date_format(localtimestamp(), " +
+        "'HH:mm:ss.SSS')) as timestamp_ntz)"),
     ("st_point", 2,
       "named_struct('x', cast(__a as double), 'y', cast(__b as double))"),
     ("st_x", 1, "__a.x"),
@@ -1451,11 +1459,20 @@ object Registry {
   /** Pre-parse rewrite absorbing the Presto spellings the grammar blocks
     * from registry-level absorption (reserved names, type grammar). Apply
     * to raw Presto SQL before `spark.sql(...)` (RegistrySql.sql does). */
+  // Presto TIME 'HH:MM:SS[.fff]' literals: Spark has no time-of-day
+  // type, so times ride as TIMESTAMP_NTZ on the epoch date — ordering,
+  // extraction (hour/minute/second), and date_diff all behave as
+  // Presto's TIME within a day. TIME WITH TIME ZONE stays descoped.
+  private val timeLiteralRe =
+    """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
+
   def rewritePrestoSql(q: String): String = {
     val dated = prestoDateFnRe.replaceAllIn(q,
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
-    bareVarcharRe.replaceAllIn(dated, m => m.group(1) + "string" + m.group(2))
+    val timed = timeLiteralRe.replaceAllIn(dated,
+      m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
+    bareVarcharRe.replaceAllIn(timed, m => m.group(1) + "string" + m.group(2))
   }
 }
 

@@ -158,6 +158,29 @@ object RegistrySql extends QueryPack {
     // IP functions (reference `presto-main/.../scalar/IpPrefixFunctions
     // .java`): prefix masking and subnet membership over dotted-quad
     // IPv4, as registry templates compiling to pure integer bit math.
+    // Presto TIME literals: verbatim TIME 'HH:MM:SS' text rides as
+    // epoch-date TIMESTAMP_NTZ (Registry.rewritePrestoSql) — ordering,
+    // hour/minute/second extraction, and date_diff all keep Presto's
+    // within-a-day TIME semantics. The oracle replays the same
+    // epoch-date representation.
+    "qn0_time_literals" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(hour(t) as bigint) AS h,
+        |  cast(minute(t) as bigint) AS m,
+        |  cast(second(t) as bigint) AS sec,
+        |  t < TIME '12:00:00' AS am,
+        |  cast(date_diff('minute', TIME '09:00:00', t) as bigint)
+        |    AS min_since_9,
+        |  cast(date_diff('second', t, TIME '23:59:59') as bigint)
+        |    AS sec_to_midnight
+        |FROM (SELECT id, CASE id
+        |        WHEN 1 THEN TIME '08:30:15'
+        |        WHEN 2 THEN TIME '12:00:00'
+        |        WHEN 3 THEN TIME '17:45:59.250'
+        |        ELSE TIME '00:00:00' END AS t
+        |      FROM VALUES (1), (2), (3), (4) AS v(id))
+        |ORDER BY id""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -751,6 +774,26 @@ object RegistrySql extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Replays the epoch-date TIME representation; date_diff replayed as
+    // trunc-toward-zero whole units (Spark TimestampDiff semantics).
+    "qn0_time_literals" ->
+      """WITH v AS (SELECT id, CASE id
+        |    WHEN 1 THEN timestamp '1970-01-01 08:30:15'
+        |    WHEN 2 THEN timestamp '1970-01-01 12:00:00'
+        |    WHEN 3 THEN timestamp '1970-01-01 17:45:59.250'
+        |    ELSE timestamp '1970-01-01 00:00:00' END AS t
+        |  FROM (VALUES (1), (2), (3), (4)) AS q(id))
+        |SELECT cast(id as bigint) AS id,
+        |  cast(hour(t) as bigint) AS h,
+        |  cast(minute(t) as bigint) AS m,
+        |  cast(second(t) as bigint) AS sec,
+        |  t < timestamp '1970-01-01 12:00:00' AS am,
+        |  cast(trunc((epoch(t) -
+        |    epoch(timestamp '1970-01-01 09:00:00')) / 60.0) as bigint)
+        |    AS min_since_9,
+        |  cast(trunc(epoch(timestamp '1970-01-01 23:59:59') - epoch(t))
+        |    as bigint) AS sec_to_midnight
+        |FROM v ORDER BY id""".stripMargin,
     // Replays FixedHistogramUtils.getIndexForValue (floor, top-bucket
     // clamp) and the MLE entropy sum; width = (51-0)/17 = 3.0 exactly.
     "qk3_differential_entropy" ->

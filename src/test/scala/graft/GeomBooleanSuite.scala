@@ -64,6 +64,25 @@ class GeomBooleanSuite extends GraftSuite {
     assert(math.abs(sd.map(GeomBoolean.signedArea).sum - 88.0) < 1e-9)
   }
 
+  test("nonconvex subject: L-shape vs square across the notch") {
+    // L = 10-square minus its [4,10]x[4,10] corner (area 64); the small
+    // square straddles the notch corner (2 proper crossings)
+    val L = Array(0.0, 0, 10, 0, 10, 4, 4, 4, 4, 10, 0, 10)
+    val q = Array(3.0, 3, 6, 3, 6, 6, 3, 6)
+    val u = GeomBoolean.union(L, q)
+    assert(u.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(u.head) - 68.0) < 1e-9)
+    val ix = GeomBoolean.intersection(L, q)
+    assert(ix.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(ix.head) - 5.0) < 1e-9)
+    val d1 = GeomBoolean.difference(L, q)
+    assert(d1.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(d1.head) - 59.0) < 1e-9)
+    val d2 = GeomBoolean.difference(q, L)
+    assert(d2.length == 1)
+    assert(math.abs(GeomBoolean.signedArea(d2.head) - 4.0) < 1e-9)
+  }
+
   test("no-crossing cases: disjoint, contained, hole rejection") {
     val far = Array(100.0, 100, 110, 100, 110, 110, 100, 110)
     assert(GeomBoolean.union(S, far).length == 2)

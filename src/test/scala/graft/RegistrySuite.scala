@@ -315,4 +315,25 @@ class RegistrySuite extends GraftSuite {
     }
     assert(e.getMessage.contains("between 0.0 and 1.0"))
   }
+
+  test("TIME literals ride as epoch-date timestamps; localtime() runs") {
+    Registry.install(spark)
+    import spark.implicits._
+    // rewrite leaves TIMESTAMP literals alone, converts TIME
+    val row = spark.sql(Registry.rewritePrestoSql(
+      """SELECT TIME '08:30:15' < TIME '12:00:00' AS am,
+        |  hour(TIME '17:45:59.250') AS h,
+        |  cast(date_diff('minute', TIME '09:00:00', TIME '10:30:00')
+        |    as bigint) AS mins,
+        |  TIMESTAMP '2020-01-02 03:04:05' AS ts
+        |""".stripMargin)).head()
+    assert(row.getBoolean(0))
+    assert(row.getInt(1) == 17)
+    assert(row.getLong(2) == 90L)
+    assert(row.getTimestamp(3).toString.startsWith("2020-01-02"))
+    // localtime(): a time-of-day on the epoch date
+    val lt = spark.sql("SELECT cast(localtime() as string) AS t")
+      .as[String].head()
+    assert(lt.startsWith("1970-01-01 "))
+  }
 }
