@@ -609,7 +609,9 @@ case class EvaluatePredictionsAgg(truth: Expression, pred: Expression,
 
   override def merge(b: State, o: State): State = { b.mergeWith(o); b }
 
-  override def eval(b: State): Any = UTF8String.fromString(b.report())
+  override def eval(b: State): Any =
+    if (b.tp.isEmpty && b.fp.isEmpty && b.fn.isEmpty) null // no rows seen
+    else UTF8String.fromString(b.report())
 
   override def serialize(b: State): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): State =

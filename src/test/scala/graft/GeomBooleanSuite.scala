@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GeomBoolean, Registry}
+import graft.functions.{GeomAlgebra, GeomBoolean, Registry}
 
 /** Behavioral tests for the Greiner–Hormann polygon boolean algebra on
   * hand-computable fixtures (corner-overlapping squares: intersections
@@ -112,6 +112,64 @@ class GeomBooleanSuite extends GraftSuite {
       Array(100.0, 100, 110, 100, 110, 110, 100, 110)))
     assert(all.length == 2)
     assert(math.abs(all.map(GeomBoolean.signedArea).sum - 275.0) < 1e-9)
+  }
+
+  test("randomized cross-check: boolean-op areas agree with grid sampling") {
+    // deterministic pseudo-random convex polygon pairs; each op's exact
+    // area is checked against a 300x300 containment grid (±2% of the
+    // frame). Degenerate configurations (possible under random integer
+    // coords) are skipped — the loud-failure contract, not a bug.
+    val rnd = new scala.util.Random(42)
+    def randPoly(cx: Double, cy: Double): Array[Double] = {
+      val pts = Array.fill(8)(
+        (cx + rnd.nextInt(41) - 20 + 0.5, cy + rnd.nextInt(41) - 20 + 0.25))
+      GeomAlgebra.hull(pts.flatMap { case (x, y) => Seq(x, y) })
+    }
+    def gridArea(in: (Double, Double) => Boolean): Double = {
+      val n = 300
+      var cnt = 0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          // frame [-30, 80)²; sample cell centers
+          val x = -30.0 + 110.0 * (i + 0.5) / n
+          val y = -30.0 + 110.0 * (j + 0.5) / n
+          if (in(x, y)) cnt += 1
+          j += 1
+        }
+        i += 1
+      }
+      cnt.toDouble / (n * n) * 110.0 * 110.0
+    }
+    def in(p: Array[Double])(x: Double, y: Double): Boolean =
+      GeomBoolean.inside(x, y, p)
+    var checked = 0
+    var skipped = 0
+    (1 to 12).foreach { _ =>
+      val a = randPoly(20, 20)
+      val b = randPoly(20 + rnd.nextInt(25), 20 + rnd.nextInt(25))
+      if (a.length >= 6 && b.length >= 6) {
+        try {
+          val tol = 0.02 * 110 * 110 // grid resolution bound
+          val u = GeomBoolean.union(a, b).map(GeomBoolean.signedArea).sum
+          assert(math.abs(u - gridArea((x, y) =>
+            in(a)(x, y) || in(b)(x, y))) < tol, s"union area mismatch")
+          val d = GeomBoolean.difference(a, b).map(GeomBoolean.signedArea).sum
+          assert(math.abs(d - gridArea((x, y) =>
+            in(a)(x, y) && !in(b)(x, y))) < tol, s"difference area mismatch")
+          val ix = GeomBoolean.intersection(a, b)
+            .map(GeomBoolean.signedArea).sum
+          assert(math.abs(ix - gridArea((x, y) =>
+            in(a)(x, y) && in(b)(x, y))) < tol, s"intersection area mismatch")
+          checked += 1
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("degenerate") => skipped += 1
+        }
+      }
+    }
+    assert(checked >= 6, s"too few general-position samples ($checked)")
   }
 
   test("geometry_union_agg merges across partitions; duplicates idempotent") {
