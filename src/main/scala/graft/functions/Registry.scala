@@ -1206,6 +1206,13 @@ object Registry {
           LearnClassifierAgg(l, f).toAggregateExpression())
         twoArgAgg("learn_libsvm_classifier")((l, f) =>
           LearnClassifierAgg(l, f).toAggregateExpression())
+        // Presto ROW(a, b, ...) constructor (RowType.java): Spark spells
+        // it struct(); positional cast to ROW(x T, y U) then works the
+        // same on both engines.
+        colorPack("row") { args =>
+          require(args.nonEmpty, "row expects at least 1 arg")
+          org.apache.spark.sql.catalyst.expressions.CreateStruct(args)
+        }
         colorPack("regress") {
           case Seq(f, m) => RegressPredict(f, m)
           case args => sys.error(s"regress expects 2 args, got ${args.length}")
@@ -1466,13 +1473,69 @@ object Registry {
   private val timeLiteralRe =
     """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
 
+  // Presto DECIMAL 'd.dd' literals: precision = digit count, scale =
+  // fractional digits (DecimalType.java literal rules).
+  private val decimalLiteralRe =
+    """(?i)\bDECIMAL\s+'([+-]?\d+(?:\.\d+)?)'""".r
+
+  /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
+    * scan (subscripts like a[1] nest correctly), string literals
+    * skipped, nested ARRAY[ handled by re-scanning. */
+  private def rewriteArrayLiterals(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      var inStr = false
+      var found = -1
+      while (i < q.length && found < 0) {
+        val c = q.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (q.regionMatches(true, i, "ARRAY[", 0, 6) &&
+          (i == 0 || {
+            val p = q.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_'
+          })) found = i
+        i += 1
+      }
+      if (found >= 0) {
+        var j = found + 6
+        var depth = 1
+        var inS = false
+        while (j < q.length && depth > 0) {
+          val c = q.charAt(j)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '[') depth += 1
+          else if (c == ']') depth -= 1
+          if (depth > 0) j += 1
+        }
+        require(depth == 0, "rewritePrestoSql: unbalanced ARRAY[ literal")
+        q = q.substring(0, found) + "array(" +
+          q.substring(found + 6, j) + ")" + q.substring(j + 1)
+        changed = true
+      }
+    }
+    q
+  }
+
   def rewritePrestoSql(q: String): String = {
     val dated = prestoDateFnRe.replaceAllIn(q,
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
     val timed = timeLiteralRe.replaceAllIn(dated,
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
-    bareVarcharRe.replaceAllIn(timed, m => m.group(1) + "string" + m.group(2))
+    val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
+      val s = m.group(1)
+      val digits = s.count(_.isDigit)
+      val dot = s.indexOf('.')
+      val scale = if (dot < 0) 0 else s.length - dot - 1
+      s"cast('$s' as decimal($digits, $scale))"
+    })
+    bareVarcharRe.replaceAllIn(rewriteArrayLiterals(decimaled),
+      m => m.group(1) + "string" + m.group(2))
   }
 }
 

@@ -181,6 +181,20 @@ object RegistrySql extends QueryPack {
         |      FROM VALUES (1), (2), (3), (4) AS v(id))
         |ORDER BY id""".stripMargin)),
 
+    // Presto literal spellings run verbatim: ARRAY[...] (bracket-depth
+    // rewrite), DECIMAL 'd.dd' (precision/scale from the digits), and
+    // the ROW constructor. Array subscripts stay element_at (Presto's
+    // [i] is 1-based, Spark's 0-based — documented divergence).
+    "qn1_presto_literals" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(element_at(xs, 2) as bigint) AS second_x,
+        |  cast(size(xs) as bigint) AS n,
+        |  cast(d * 2 as decimal(10, 2)) AS dbl,
+        |  cast(row(id, d).d as decimal(10, 2)) AS rv
+        |FROM (SELECT 1 AS id, ARRAY[10, 20, 30] AS xs, DECIMAL '1.25' AS d
+        |      UNION ALL SELECT 2, ARRAY[5, 7], DECIMAL '99.50')
+        |ORDER BY id""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -774,6 +788,18 @@ object RegistrySql extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB's native list/decimal literals replay the same values
+    // (its [i] subscript is 1-based like Presto's).
+    "qn1_presto_literals" ->
+      """SELECT cast(id as bigint) AS id,
+        |  cast(xs[2] as bigint) AS second_x,
+        |  cast(len(xs) as bigint) AS n,
+        |  cast(d * 2 as decimal(10, 2)) AS dbl,
+        |  cast(d as decimal(10, 2)) AS rv
+        |FROM (SELECT 1 AS id, [10, 20, 30] AS xs, 1.25 AS d
+        |      UNION ALL SELECT 2, [5, 7], 99.50)
+        |ORDER BY id""".stripMargin,
+
     // Replays the epoch-date TIME representation; date_diff replayed as
     // trunc-toward-zero whole units (Spark TimestampDiff semantics).
     "qn0_time_literals" ->

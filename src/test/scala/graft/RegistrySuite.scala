@@ -336,4 +336,40 @@ class RegistrySuite extends GraftSuite {
       .as[String].head()
     assert(lt.startsWith("1970-01-01 "))
   }
+
+  test("ARRAY[...] and DECIMAL '...' literal spellings rewrite and run") {
+    Registry.install(spark)
+    import spark.implicits._
+    val arr = spark.sql(Registry.rewritePrestoSql(
+      "SELECT ARRAY[1, 2, 3] AS v")).as[Seq[Int]].head()
+    assert(arr == Seq(1, 2, 3))
+    // nested arrays + subscript brackets inside + strings containing ].
+    // NOTE the bracket subscript itself stays Spark-0-based (Presto is
+    // 1-based) — grammar-level, not interceptable; element_at is the
+    // portable 1-based spelling (SURVEY §1.2 ARRAY row).
+    val nested = spark.sql(Registry.rewritePrestoSql(
+      "SELECT element_at(element_at(ARRAY[ARRAY[1, 2], ARRAY[3, 4]], 1), 2)" +
+        " AS v, ' ARRAY[x] ' AS s")).head()
+    assert(nested.getInt(0) == 2)
+    assert(nested.getString(1) == " ARRAY[x] ") // string literal untouched
+    val dec = spark.sql(Registry.rewritePrestoSql(
+      "SELECT DECIMAL '12.345' AS v")).head()
+    assert(dec.getDecimal(0).toPlainString == "12.345")
+    assert(spark.sql(Registry.rewritePrestoSql(
+      "SELECT DECIMAL '12.345' * 2 AS v")).schema.head.dataType.sql
+      .startsWith("DECIMAL"))
+  }
+
+  test("ROW constructor: Presto row() builds a struct, positional cast renames") {
+    Registry.install(spark)
+    import spark.implicits._
+    val v = spark.sql(
+      "SELECT cast(row(1, 'a') as struct<x: bigint, y: string>).x AS v")
+      .as[Long].head()
+    assert(v == 1L)
+    val arr = spark.sql(
+      "SELECT transform(array(row(1, 2.5D), row(3, 4.5D)), r -> r.col2) AS v")
+      .as[Seq[Double]].head()
+    assert(arr == Seq(2.5, 4.5))
+  }
 }
