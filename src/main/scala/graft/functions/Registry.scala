@@ -1521,6 +1521,76 @@ object Registry {
     q
   }
 
+  /** Presto `CROSS JOIN UNNEST(expr) AS t(c1[, c2])` → Spark
+    * `LATERAL VIEW explode(expr) t AS c1[, c2]`. Single-expression
+    * UNNEST only (array → 1 column, map → 2); multi-array zip and WITH
+    * ORDINALITY pass through untouched (they fail at parse exactly as
+    * before — no partial rewrites). The argument is matched with a
+    * paren-depth scan, so nested calls and string literals survive. */
+  private def rewriteUnnest(q0: String): String = {
+    var q = q0
+    var changed = true
+    val head = "CROSS JOIN UNNEST".toLowerCase
+    while (changed) {
+      changed = false
+      var i = 0
+      var inStr = false
+      var found = -1
+      while (i < q.length && found < 0) {
+        val c = q.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (q.regionMatches(true, i, "CROSS", 0, 5) &&
+          q.substring(i).take(40).toLowerCase.replaceAll("\\s+", " ")
+            .startsWith(head.replaceAll("\\s+", " "))) found = i
+        i += 1
+      }
+      if (found >= 0) {
+        val open = q.indexOf('(', found)
+        if (open < 0) return q
+        var j = open + 1
+        var depth = 1
+        var inS = false
+        while (j < q.length && depth > 0) {
+          val c = q.charAt(j)
+          if (inS) { if (c == '\'') inS = false }
+          else if (c == '\'') inS = true
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) j += 1
+        }
+        if (depth != 0) return q
+        val arg = q.substring(open + 1, j)
+        // top-level comma = multi-array zip; ordinality also unsupported
+        var k = 0; var d = 0; var s = false; var topComma = false
+        while (k < arg.length) {
+          val c = arg.charAt(k)
+          if (s) { if (c == '\'') s = false }
+          else if (c == '\'') s = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == ',' && d == 0) topComma = true
+          k += 1
+        }
+        val tail = q.substring(j + 1)
+        val aliasRe =
+          """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)?)\s*\)""".r
+        val ord = tail.take(30).toUpperCase.replaceAll("\\s+", " ")
+          .startsWith(" WITH ORDINALITY") ||
+          tail.toUpperCase.replaceAll("\\s+", " ").startsWith("WITH ORDINALITY")
+        aliasRe.findFirstMatchIn(tail) match {
+          case Some(m) if !topComma && !ord =>
+            q = q.substring(0, found) +
+              s"LATERAL VIEW explode($arg) ${m.group(1)} AS ${m.group(2)}" +
+              tail.substring(m.end)
+            changed = true
+          case _ => return q // unsupported shape: leave verbatim
+        }
+      }
+    }
+    q
+  }
+
   def rewritePrestoSql(q: String): String = {
     val dated = prestoDateFnRe.replaceAllIn(q,
       m => "presto_" + m.group(1).toLowerCase + "('" +
@@ -1534,7 +1604,7 @@ object Registry {
       val scale = if (dot < 0) 0 else s.length - dot - 1
       s"cast('$s' as decimal($digits, $scale))"
     })
-    bareVarcharRe.replaceAllIn(rewriteArrayLiterals(decimaled),
+    bareVarcharRe.replaceAllIn(rewriteUnnest(rewriteArrayLiterals(decimaled)),
       m => m.group(1) + "string" + m.group(2))
   }
 }

@@ -195,6 +195,17 @@ object RegistrySql extends QueryPack {
         |      UNION ALL SELECT 2, ARRAY[5, 7], DECIMAL '99.50')
         |ORDER BY id""".stripMargin)),
 
+    // Presto's CROSS JOIN UNNEST idiom verbatim (rewritten pre-parse to
+    // LATERAL VIEW explode): word frequencies over the document corpus.
+    "qn2_presto_unnest" -> ((s, dir) => sql(s, dir,
+      """SELECT w AS word, cast(count(*) as bigint) AS n
+        |FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t(w)
+        |WHERE doc_id <= 20
+        |GROUP BY w
+        |HAVING count(*) >= 5
+        |ORDER BY n DESC, word
+        |LIMIT 15""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -788,6 +799,13 @@ object RegistrySql extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "qn2_presto_unnest" ->
+      """SELECT w AS word, cast(count(*) as bigint) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |      FROM documents WHERE doc_id <= 20) t
+        |GROUP BY w HAVING count(*) >= 5
+        |ORDER BY n DESC, word LIMIT 15""".stripMargin,
+
     // DuckDB's native list/decimal literals replay the same values
     // (its [i] subscript is 1-based like Presto's).
     "qn1_presto_literals" ->

@@ -360,6 +360,27 @@ class RegistrySuite extends GraftSuite {
       .startsWith("DECIMAL"))
   }
 
+  test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode; zip/ordinality pass through") {
+    Registry.install(spark)
+    import spark.implicits._
+    val words = spark.sql(Registry.rewritePrestoSql(
+      """SELECT t.w FROM (SELECT 'a b c' AS s) x
+        |CROSS JOIN UNNEST(split(s, ' ')) AS t(w) ORDER BY w""".stripMargin))
+      .as[String].collect().toSeq
+    assert(words == Seq("a", "b", "c"))
+    // map unnest → two columns
+    val kv = spark.sql(Registry.rewritePrestoSql(
+      """SELECT k, v FROM (SELECT map('x', 1, 'y', 2) AS m) q
+        |CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY k""".stripMargin))
+      .as[(String, Int)].collect().toSeq
+    assert(kv == Seq(("x", 1), ("y", 2)))
+    // unsupported shapes are left verbatim (no partial rewrite)
+    val zip = "SELECT * FROM t CROSS JOIN UNNEST(a, b) AS u(x, y)"
+    assert(Registry.rewritePrestoSql(zip) == zip)
+    val ord = "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u(x, o)"
+    assert(Registry.rewritePrestoSql(ord) == ord)
+  }
+
   test("ROW constructor: Presto row() builds a struct, positional cast renames") {
     Registry.install(spark)
     import spark.implicits._
