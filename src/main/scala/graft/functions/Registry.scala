@@ -1478,6 +1478,14 @@ object Registry {
   private val decimalLiteralRe =
     """(?i)\bDECIMAL\s+'([+-]?\d+(?:\.\d+)?)'""".r
 
+  // Presto TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4
+  // sampledRelation) → Spark's percent form. Spark samples per-split
+  // Bernoulli either way, which IS Presto's BERNOULLI; Presto's SYSTEM
+  // (split-granularity) maps to the same — a documented approximation
+  // (both are "approximately p% of rows" by contract).
+  private val tablesampleRe =
+    """(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
+
   /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
     * scan (subscripts like a[1] nest correctly), string literals
     * skipped, nested ARRAY[ handled by re-scanning. */
@@ -1604,7 +1612,9 @@ object Registry {
       val scale = if (dot < 0) 0 else s.length - dot - 1
       s"cast('$s' as decimal($digits, $scale))"
     })
-    bareVarcharRe.replaceAllIn(rewriteUnnest(rewriteArrayLiterals(decimaled)),
+    val sampled = tablesampleRe.replaceAllIn(decimaled,
+      m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
+    bareVarcharRe.replaceAllIn(rewriteUnnest(rewriteArrayLiterals(sampled)),
       m => m.group(1) + "string" + m.group(2))
   }
 }

@@ -381,6 +381,17 @@ class RegistrySuite extends GraftSuite {
     assert(Registry.rewritePrestoSql(ord) == ord)
   }
 
+  test("TABLESAMPLE BERNOULLI/SYSTEM rewrites to the percent form") {
+    Registry.install(spark)
+    graft.Tables.register(spark, SfDir)
+    val n = spark.sql(Registry.rewritePrestoSql(
+      "SELECT count(*) AS n FROM customer TABLESAMPLE BERNOULLI (50)"))
+      .collect()(0).getLong(0)
+    assert(n > 0 && n < 150) // sf0.001 customer = 150 rows
+    assert(Registry.rewritePrestoSql("x TABLESAMPLE SYSTEM(12.5) y") ==
+      "x TABLESAMPLE (12.5 PERCENT) y")
+  }
+
   test("ROW constructor: Presto row() builds a struct, positional cast renames") {
     Registry.install(spark)
     import spark.implicits._
