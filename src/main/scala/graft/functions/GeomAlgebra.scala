@@ -153,6 +153,44 @@ object GeomAlgebra {
     new GenericArrayData((0 until flat.length / 2).map(i =>
       InternalRow(flat(2 * i), flat(2 * i + 1))))
 
+  /** Normalize a flattened ring to CCW (shoelace sign). */
+  private[graft] def toCcw(flat: Array[Double]): Array[Double] = {
+    val n = flat.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += flat(2 * i) * flat(2 * j + 1) - flat(2 * j) * flat(2 * i + 1)
+      i += 1
+    }
+    if (s >= 0) flat
+    else {
+      val out = new Array[Double](flat.length)
+      i = 0
+      while (i < n) {
+        out(2 * i) = flat(2 * (n - 1 - i))
+        out(2 * i + 1) = flat(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Every turn of a CCW ring is left-or-straight ⇔ convex. */
+  private[graft] def isConvexCcw(flat: Array[Double]): Boolean = {
+    val n = flat.length / 2
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val k = (i + 2) % n
+      if (cross(flat(2 * i), flat(2 * i + 1), flat(2 * j), flat(2 * j + 1),
+        flat(2 * k), flat(2 * k + 1)) < 0) return false
+      i += 1
+    }
+    true
+  }
+
   // ---- Column API ----
   def convexHull(ring: Column): Column =
     ColumnBridge.toCol(ConvexHull(ColumnBridge.toExpr(ring)))
@@ -296,9 +334,16 @@ case class ConvexClip(left: Expression, right: Expression)
   @transient private lazy val xiL = LineOps.xIdx(left.dataType)
   @transient private lazy val xiR = LineOps.xIdx(right.dataType)
 
-  override def nullSafeEval(s: Any, c: Any): Any =
-    GeomAlgebra.toRing(GeomAlgebra.clipConvex(
-      LineOps.coords(s, xiL), LineOps.coords(c, xiR)))
+  override def nullSafeEval(s: Any, c: Any): Any = {
+    // normalize both rings to CCW (either input orientation accepted);
+    // a non-convex clip would silently mis-clip — reject it loudly
+    val subj = GeomAlgebra.toCcw(LineOps.coords(s, xiL))
+    val clip = GeomAlgebra.toCcw(LineOps.coords(c, xiR))
+    require(GeomAlgebra.isConvexCcw(clip),
+      "st_intersection: the clip ring must be convex (general polygon " +
+        "intersection is the Greiner-Hormann path, GeomBoolean)")
+    GeomAlgebra.toRing(GeomAlgebra.clipConvex(subj, clip))
+  }
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
@@ -504,7 +549,8 @@ case class WkbRead(child: Expression) extends UnaryExpression
         Array.fill(2 * n)(buf.getDouble)
       case 3 =>
         val rings = buf.getInt
-        require(rings >= 1, "st_geomfrombinary: polygon with no rings")
+        require(rings == 1, "st_geomfrombinary: only single-ring polygons " +
+          s"are representable (holes unsupported), got $rings rings")
         val n = buf.getInt
         val ring = Array.fill(2 * n)(buf.getDouble)
         // drop the repeated closing vertex (implicit-closed convention)

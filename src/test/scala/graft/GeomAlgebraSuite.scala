@@ -44,6 +44,31 @@ class GeomAlgebraSuite extends GraftSuite {
     assert(GeomAlgebra.clipConvex(square, far).isEmpty)
   }
 
+  test("clip normalizes CW inputs; non-convex clip and holed WKB fail loudly") {
+    Registry.install(spark)
+    // CW clip triangle: same pentagon as the CCW qm4 case
+    val area = spark.sql(
+      """SELECT st_area(st_intersection(
+        |  array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+        |        st_point(0D,10D)),
+        |  array(st_point(0D,0D), st_point(0D,15D), st_point(15D,0D)))) AS a
+        |""".stripMargin).collect()(0).getDouble(0)
+    assert(area == 87.5)
+    val e = intercept[Exception](spark.sql(
+      """SELECT st_intersection(
+        |  array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D)),
+        |  array(st_point(0D,0D), st_point(10D,0D), st_point(10D,4D),
+        |        st_point(4D,4D), st_point(4D,10D), st_point(0D,10D))) AS c
+        |""".stripMargin).collect())
+    assert(e.getMessage.contains("convex"))
+    // WKB polygon with 2 rings (a hole) is rejected, not silently outer-only
+    val holed = "0103000000" + "02000000" + "00000000" // header only; parse
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT st_geomfrombinary(unhex('$holed'))").collect())
+    assert(e2.getMessage.contains("holes unsupported") ||
+      e2.getMessage.contains("single-ring"))
+  }
+
   test("segment relations: crosses / touches / overlaps disambiguate") {
     Registry.install(spark)
     def seg(x1: Double, y1: Double, x2: Double, y2: Double) =
