@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout BARE: sbt's default output
+// strategy routes the child's stdout through its logger, prefixing every
+// line with "[info] " — which has broken the driver's JSON parse of the
+// Bench metric line in five straight rounds (BENCH_r01..r05 parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

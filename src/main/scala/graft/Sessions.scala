@@ -35,7 +35,10 @@ object Sessions {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on
+    // VALUES-scale semantic-lock windows) flood the driver's few-KB stdout
+    // tail capture and have crowded out the Bench metric line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark
   }
 }

@@ -342,7 +342,23 @@ case class ConvexClip(left: Expression, right: Expression)
     require(GeomAlgebra.isConvexCcw(clip),
       "st_intersection: the clip ring must be convex (general polygon " +
         "intersection is the Greiner-Hormann path, GeomBoolean)")
-    GeomAlgebra.toRing(GeomAlgebra.clipConvex(subj, clip))
+    if (GeomAlgebra.isConvexCcw(subj))
+      GeomAlgebra.toRing(GeomAlgebra.clipConvex(subj, clip))
+    else {
+      // Sutherland-Hodgman on a non-convex subject can emit a single
+      // ring stitched by zero-width bridges when the true intersection
+      // is disconnected — a silent wrong answer. Route non-convex
+      // subjects through the Greiner-Hormann clipper instead and keep
+      // this expression's single-ring contract loud.
+      GeomBoolean.intersection(subj, clip) match {
+        case Seq() => GeomAlgebra.toRing(Array.emptyDoubleArray)
+        case Seq(one) => GeomAlgebra.toRing(one)
+        case many => throw new IllegalArgumentException(
+          "st_intersection: non-convex subject intersects the clip in " +
+            s"${many.length} disconnected rings — not representable as a " +
+            "single ring; use the GeomBoolean multipolygon surface")
+      }
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -452,6 +468,24 @@ case class LineSimplicity(child: Expression, mode: String)
       val j2 = (i + 1) % n
       if (c(2 * i) == c(2 * j2) && c(2 * i + 1) == c(2 * j2 + 1))
         return s"Degenerate zero-length segment at vertex ${i + 1}"
+      i += 1
+    }
+    // Adjacent fold-back spikes: consecutive collinear segments whose
+    // directions oppose overlap with positive length (zero-length
+    // segments are already rejected above) — e.g. the closed ring
+    // (0,0),(10,0),(5,0), zero-area with a self-overlapping boundary.
+    // The non-adjacent j-loop below starts at i+2 and skips these.
+    i = 0
+    val pairN = if (closed) segN else segN - 1
+    while (i < pairN) {
+      val m = (i + 1) % n
+      val k = (i + 2) % n
+      val cr = GeomAlgebra.cross(c(2 * i), c(2 * i + 1),
+        c(2 * m), c(2 * m + 1), c(2 * k), c(2 * k + 1))
+      val dot = (c(2 * m) - c(2 * i)) * (c(2 * k) - c(2 * m)) +
+        (c(2 * m + 1) - c(2 * i + 1)) * (c(2 * k + 1) - c(2 * m + 1))
+      if (cr == 0 && dot < 0)
+        return s"Self-overlapping spike at vertex ${m + 1}"
       i += 1
     }
     i = 0

@@ -648,6 +648,12 @@ object EvaluatePredictionsAgg {
       o.tp.foreach { case (k, v) => tp.update(k, tp.getOrElse(k, 0L) + v) }
       o.fp.foreach { case (k, v) => fp.update(k, fp.getOrElse(k, 0L) + v) }
       o.fn.foreach { case (k, v) => fn.update(k, fn.getOrElse(k, 0L) + v) }
+      // Partials with disjoint label sets can exceed the cap only at
+      // merge time; without this the reducer state grows unbounded while
+      // add() alone appears bounded (mirrors ClassifyState.mergeWith).
+      require(tp.size + fp.size + fn.size < 3 * LinearModel.MaxLabels,
+        "evaluate_classifier_predictions: more than " +
+          s"${LinearModel.MaxLabels} distinct labels")
     }
 
     /** The reference's format verbatim (Java %.2f = HALF_UP), labels

@@ -1529,6 +1529,104 @@ object Registry {
     q
   }
 
+  /** Presto bracket subscripts `expr[i]` → `element_at(expr, i)`:
+    * Presto's `[]` is 1-based and errors out-of-bounds
+    * (`presto-main/.../scalar/ArraySubscriptOperator.java`), Spark's is
+    * 0-based — a verbatim Presto query with `arr[1]` would otherwise
+    * silently read the wrong element. Runs AFTER the ARRAY-literal
+    * rewrite, so any remaining `[` preceded by an identifier, `)`, or
+    * `]` is a subscript. The receiver is matched backward through
+    * qualified-identifier chains (`t.xs`), call/paren groups
+    * (`split(s, '.')`), and chained subscripts; string literals are
+    * masked on every scan. Slice syntax (`a[i:j]`, not Presto) and `[`
+    * with no receiver are left untouched. */
+  private def rewriteSubscripts(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      // mask(i) = inside a string literal (quotes included)
+      val mask = new Array[Boolean](q.length)
+      var inS = false
+      var m = 0
+      while (m < q.length) {
+        val c = q.charAt(m)
+        if (inS) { mask(m) = true; if (c == '\'') inS = false }
+        else if (c == '\'') { mask(m) = true; inS = true }
+        m += 1
+      }
+      // backward scan to the opener matching the close at `end`
+      def groupStart(end: Int): Int = {
+        val close = q.charAt(end)
+        val open = if (close == ')') '(' else '['
+        var d = 1
+        var k = end - 1
+        while (k >= 0 && d > 0) {
+          val c = q.charAt(k)
+          if (!mask(k)) {
+            if (c == close) d += 1 else if (c == open) d -= 1
+          }
+          if (d > 0) k -= 1
+        }
+        require(d == 0, "rewritePrestoSql: unbalanced group before subscript")
+        k
+      }
+      @inline def identChar(c: Char): Boolean =
+        Character.isLetterOrDigit(c) || c == '_'
+      var i = 0
+      while (i < q.length && !changed) {
+        if (q.charAt(i) == '[' && !mask(i)) {
+          var p = i - 1
+          while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
+          val hasRecv = p >= 0 && !mask(p) && {
+            val c = q.charAt(p)
+            identChar(c) || c == ')' || c == ']'
+          }
+          if (hasRecv) {
+            // matching `]` + top-level `:` slice guard
+            var j = i + 1
+            var depth = 1
+            var sliced = false
+            while (j < q.length && depth > 0) {
+              val c = q.charAt(j)
+              if (!mask(j)) {
+                if (c == '[') depth += 1
+                else if (c == ']') depth -= 1
+                else if (c == ':' && depth == 1) sliced = true
+              }
+              if (depth > 0) j += 1
+            }
+            require(depth == 0, "rewritePrestoSql: unbalanced subscript")
+            if (!sliced) {
+              // receiver start: walk back through postfix units
+              var rs = p
+              var more = true
+              while (more) {
+                more = false
+                if (q.charAt(rs) == ')' || q.charAt(rs) == ']')
+                  rs = groupStart(rs)
+                if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
+                  while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
+                }
+                if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
+                  val c = q.charAt(rs - 2)
+                  (identChar(c) || c == ')' || c == ']') && !mask(rs - 2)
+                }) { rs -= 2; more = true }
+              }
+              val recv = q.substring(rs, p + 1)
+              val inner = q.substring(i + 1, j)
+              q = q.substring(0, rs) + "element_at(" + recv + ", " +
+                inner + ")" + q.substring(j + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    q
+  }
+
   /** Presto `CROSS JOIN UNNEST(expr) AS t(c1[, c2])` → Spark
     * `LATERAL VIEW explode(expr) t AS c1[, c2]`. Single-expression
     * UNNEST only (array → 1 column, map → 2); multi-array zip and WITH
@@ -1607,14 +1705,20 @@ object Registry {
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
     val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
       val s = m.group(1)
-      val digits = s.count(_.isDigit)
       val dot = s.indexOf('.')
       val scale = if (dot < 0) 0 else s.length - dot - 1
-      s"cast('$s' as decimal($digits, $scale))"
+      // Presto's Decimals.parse excludes leading zeros from precision:
+      // DECIMAL '0.1' is decimal(1,1), '0.05' decimal(2,2) — counting all
+      // digits would widen result types of downstream decimal arithmetic.
+      val integral = (if (dot < 0) s else s.substring(0, dot))
+        .dropWhile(c => c == '0' || c == '-' || c == '+')
+      val precision = math.max(integral.length + scale, 1)
+      s"cast('$s' as decimal($precision, $scale))"
     })
     val sampled = tablesampleRe.replaceAllIn(decimaled,
       m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
-    bareVarcharRe.replaceAllIn(rewriteUnnest(rewriteArrayLiterals(sampled)),
+    bareVarcharRe.replaceAllIn(
+      rewriteSubscripts(rewriteUnnest(rewriteArrayLiterals(sampled))),
       m => m.group(1) + "string" + m.group(2))
   }
 }

@@ -183,14 +183,16 @@ object RegistrySql extends QueryPack {
 
     // Presto literal spellings run verbatim: ARRAY[...] (bracket-depth
     // rewrite), DECIMAL 'd.dd' (precision/scale from the digits), and
-    // the ROW constructor. Array subscripts stay element_at (Presto's
-    // [i] is 1-based, Spark's 0-based — documented divergence).
+    // the ROW constructor. The decimal arithmetic results surface as
+    // DOUBLE: the driver's pandas hasher renders Spark parquet decimals
+    // as Decimal objects but DuckDB's as floats (round-3 qb9 lesson) —
+    // values are identical either way, only the hash path diverges.
     "qn1_presto_literals" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id,
         |  cast(element_at(xs, 2) as bigint) AS second_x,
         |  cast(size(xs) as bigint) AS n,
-        |  cast(d * 2 as decimal(10, 2)) AS dbl,
-        |  cast(row(id, d).d as decimal(10, 2)) AS rv
+        |  cast(cast(d * 2 as decimal(10, 2)) as double) AS dbl,
+        |  cast(cast(row(id, d).d as decimal(10, 2)) as double) AS rv
         |FROM (SELECT 1 AS id, ARRAY[10, 20, 30] AS xs, DECIMAL '1.25' AS d
         |      UNION ALL SELECT 2, ARRAY[5, 7], DECIMAL '99.50')
         |ORDER BY id""".stripMargin)),
@@ -778,13 +780,17 @@ object RegistrySql extends QueryPack {
     // classification_* array aggregates (PrecisionRecallAggregation.java
     // subclasses): score = l_discount*10 on [0,1], outcome = returned
     // flag, weights = integer-valued l_quantity (so every running sum is
-    // an exact double and the ratio arrays hash bitwise). The oracle
-    // replays bucketing, the 0.99999999999 top clamp, the early stop
-    // when true weight exhausts, and the reference's VERBATIM BucketResult
-    // ratios (see ClassificationMetricAgg doc for the two non-standard
-    // ones).
+    // an exact double and the ratios hash bitwise). The oracle replays
+    // bucketing, the 0.99999999999 top clamp, the early stop when true
+    // weight exhausts, and the reference's VERBATIM BucketResult ratios
+    // (see ClassificationMetricAgg doc for the two non-standard ones).
+    // The arrays are posexploded to one scalar row per threshold: all
+    // five aggregates keep buckets while true count/weight remains
+    // (weights strictly positive, so the filters coincide) — and the
+    // driver's row hasher needs scalar columns. The array aggregates
+    // themselves are still what's under test; the explode is reshaping.
     "qk4_classification_arrays" -> ((s, dir) => sql(s, dir,
-      """SELECT
+      """WITH a AS (SELECT
         |  classification_thresholds(10, l_returnflag = 'R',
         |    l_discount * 10) AS th,
         |  classification_precision(10, l_returnflag = 'R',
@@ -795,7 +801,14 @@ object RegistrySql extends QueryPack {
         |    l_discount * 10, l_quantity) AS fo_w,
         |  classification_miss_rate(10, l_returnflag = 'R',
         |    l_discount * 10) AS mr
-        |FROM lineitem""".stripMargin))
+        |FROM lineitem)
+        |SELECT cast(p.bk as bigint) AS bk, p.t AS th,
+        |  element_at(a.prec, p.bk + 1) AS prec,
+        |  element_at(a.rec_w, p.bk + 1) AS rec_w,
+        |  element_at(a.fo_w, p.bk + 1) AS fo_w,
+        |  element_at(a.mr, p.bk + 1) AS mr
+        |FROM a LATERAL VIEW posexplode(a.th) p AS bk, t
+        |ORDER BY bk""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -812,8 +825,8 @@ object RegistrySql extends QueryPack {
       """SELECT cast(id as bigint) AS id,
         |  cast(xs[2] as bigint) AS second_x,
         |  cast(len(xs) as bigint) AS n,
-        |  cast(d * 2 as decimal(10, 2)) AS dbl,
-        |  cast(d as decimal(10, 2)) AS rv
+        |  cast(cast(d * 2 as decimal(10, 2)) as double) AS dbl,
+        |  cast(cast(d as decimal(10, 2)) as double) AS rv
         |FROM (SELECT 1 AS id, [10, 20, 30] AS xs, 1.25 AS d
         |      UNION ALL SELECT 2, [5, 7], 99.50)
         |ORDER BY id""".stripMargin,
@@ -994,17 +1007,13 @@ object RegistrySql extends QueryPack {
         |  FROM d
         |  WINDOW win AS (ORDER BY bk
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT
-        |  list(th ORDER BY bk) FILTER (WHERE tt1 > rt1) AS th,
-        |  list((tt1 - rt1) / ((tt1 - rt1) + (tf1 - rf1)) ORDER BY bk)
-        |    FILTER (WHERE tt1 > rt1) AS prec,
-        |  list((ttw - rtw) / ttw ORDER BY bk)
-        |    FILTER (WHERE ttw > rtw) AS rec_w,
-        |  list(rtw / tfw ORDER BY bk)
-        |    FILTER (WHERE ttw > rtw) AS fo_w,
-        |  list((tf1 - rf1) / tt1 ORDER BY bk)
-        |    FILTER (WHERE tt1 > rt1) AS mr
-        |FROM c""".stripMargin,
+        |SELECT CAST(bk AS BIGINT) AS bk, th,
+        |  (tt1 - rt1) / ((tt1 - rt1) + (tf1 - rf1)) AS prec,
+        |  (ttw - rtw) / ttw AS rec_w,
+        |  rtw / tfw AS fo_w,
+        |  (tf1 - rf1) / tt1 AS mr
+        |FROM c WHERE tt1 > rt1
+        |ORDER BY bk""".stripMargin,
 
     "qa1_presto_sql_scalars" ->
       """SELECT p_partkey,

@@ -69,6 +69,52 @@ class GeomAlgebraSuite extends GraftSuite {
       e2.getMessage.contains("single-ring"))
   }
 
+  test("non-convex subject routes through Greiner-Hormann; disconnected fails loudly") {
+    Registry.install(spark)
+    // L-shaped subject clipped by a convex square: one non-convex ring,
+    // area 6*4 + 4*2 = 32 — Sutherland-Hodgman alone can't be trusted on
+    // a non-convex subject, so this exercises the GeomBoolean route.
+    val lShape = "array(st_point(0D,0D), st_point(10D,0D), st_point(10D,4D)," +
+      " st_point(4D,4D), st_point(4D,10D), st_point(0D,10D))"
+    val clipSq = "array(st_point(-1D,-1D), st_point(6D,-1D)," +
+      " st_point(6D,6D), st_point(-1D,6D))"
+    val area = spark.sql(
+      s"SELECT st_area(st_intersection($lShape, $clipSq)) AS a")
+      .collect()(0).getDouble(0)
+    assert(area == 32.0)
+    // U-shaped subject crossed by a horizontal bar: the true intersection
+    // is two disconnected prong slices — must throw, never a single ring
+    // joined by zero-width bridges.
+    val uShape = "array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D)," +
+      " st_point(8D,10D), st_point(8D,2D), st_point(2D,2D)," +
+      " st_point(2D,10D), st_point(0D,10D))"
+    val bar = "array(st_point(-1D,5D), st_point(11D,5D), st_point(11D,7D)," +
+      " st_point(-1D,7D))"
+    val e = intercept[Exception](spark.sql(
+      s"SELECT st_intersection($uShape, $bar) AS c").collect())
+    assert(e.getMessage.contains("disconnected"))
+  }
+
+  test("collinear fold-back spike is invalid (adjacent-segment overlap)") {
+    Registry.install(spark)
+    // (0,0)->(10,0)->(5,0): zero-area ring whose boundary doubles back
+    // over itself — adjacent segments are collinear with opposing
+    // directions, which the non-adjacent self-intersection scan skips.
+    val spike = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 10D, 'y', 0D), named_struct('x', 5D, 'y', 0D))"
+    val row = spark.sql(
+      s"""SELECT st_isvalid($spike) AS v, st_isring($spike) AS r,
+         |  st_issimple($spike) AS s, geometry_invalid_reason($spike) AS why
+         |""".stripMargin).head()
+    assert(!row.getBoolean(0) && !row.getBoolean(1) && !row.getBoolean(2))
+    assert(row.getString(3).contains("spike"))
+    // a straight-through collinear vertex is NOT a spike
+    val straight = "array(named_struct('x', 0D, 'y', 0D), " +
+      "named_struct('x', 5D, 'y', 0D), named_struct('x', 10D, 'y', 0D), " +
+      "named_struct('x', 5D, 'y', 5D))"
+    assert(spark.sql(s"SELECT st_isvalid($straight) AS v").head().getBoolean(0))
+  }
+
   test("segment relations: crosses / touches / overlaps disambiguate") {
     Registry.install(spark)
     def seg(x1: Double, y1: Double, x2: Double, y2: Double) =
