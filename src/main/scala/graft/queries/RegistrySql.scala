@@ -208,6 +208,23 @@ object RegistrySql extends QueryPack {
         |ORDER BY n DESC, word
         |LIMIT 15""".stripMargin)),
 
+    // Presto 1-based bracket subscripts verbatim (pre-parse rewrite to
+    // element_at; ArraySubscriptOperator.java): literal and dynamic
+    // indices, chained subscripts on a nested ARRAY literal, a call
+    // result, and a map string key. DuckDB's native [] is 1-based too,
+    // so the oracle replays the exact spelling.
+    "qn3_presto_subscripts" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(xs[1] as bigint) AS first_x,
+        |  cast(xs[id] as bigint) AS by_id,
+        |  cast(ARRAY[ARRAY[1, 2], ARRAY[3, 4]][2][1] as bigint) AS nested,
+        |  split(s, '-')[2] AS tok2,
+        |  cast(m['a'] as bigint) AS ma
+        |FROM (SELECT 1 AS id, ARRAY[10, 20, 30] AS xs, 'x-y-z' AS s,
+        |        map('a', 5) AS m
+        |      UNION ALL SELECT 2, ARRAY[7, 8, 9], 'p-q-r', map('a', 6))
+        |ORDER BY id""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -818,6 +835,18 @@ object RegistrySql extends QueryPack {
         |      FROM documents WHERE doc_id <= 20) t
         |GROUP BY w HAVING count(*) >= 5
         |ORDER BY n DESC, word LIMIT 15""".stripMargin,
+
+    "qn3_presto_subscripts" ->
+      """SELECT cast(id as bigint) AS id,
+        |  cast(xs[1] as bigint) AS first_x,
+        |  cast(xs[id] as bigint) AS by_id,
+        |  cast([[1, 2], [3, 4]][2][1] as bigint) AS nested,
+        |  string_split(s, '-')[2] AS tok2,
+        |  cast(m['a'][1] as bigint) AS ma
+        |FROM (SELECT 1 AS id, [10, 20, 30] AS xs, 'x-y-z' AS s,
+        |        MAP{'a': 5} AS m
+        |      UNION ALL SELECT 2, [7, 8, 9], 'p-q-r', MAP{'a': 6})
+        |ORDER BY id""".stripMargin,
 
     // DuckDB's native list/decimal literals replay the same values
     // (its [i] subscript is 1-based like Presto's).

@@ -130,6 +130,35 @@ object Views extends QueryPack {
         .orderBy(col("col_name"))
     }),
 
+    // CREATE FUNCTION surface (SqlBase.g4:62-69 createFunction,
+    // presto-function-namespace-managers/ SQL-bodied functions):
+    // user-defined scalar functions whose body is a SQL expression,
+    // registered in the session catalog, visible through SHOW
+    // FUNCTIONS, and invoked like any builtin. Spark-first: Spark 4's
+    // native SQL UDFs — the body is parsed once and INLINED into the
+    // calling plan at analysis, so invocations stay inside whole-stage
+    // codegen (no interpreted per-row call, nothing driver-side; at
+    // 100 TB a SQL UDF costs exactly what its body costs). The listing
+    // count rides along as a literal column (catalog metadata).
+    "qn4_create_function" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+              |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+              |RETURN p * (1 - d)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+              |RETURNS STRING
+              |RETURN CASE WHEN q < 10 THEN 'low'
+              |  WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+      val listed = s.sql("SHOW USER FUNCTIONS LIKE 'graft_*'").count()
+      s.sql(s"""SELECT graft_qty_band(l_quantity) AS band,
+               |  cast(count(*) as bigint) AS n,
+               |  round(sum(graft_disc_price(l_extendedprice, l_discount)), 2)
+               |    AS rev,
+               |  cast($listed as bigint) AS fn_listed
+               |FROM lineitem GROUP BY graft_qty_band(l_quantity)
+               |ORDER BY band""".stripMargin)
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -144,6 +173,18 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The SQL function bodies inlined (exactly what Spark's analyzer
+    // does); fn_listed pins the catalog listing of both created names.
+    "qn4_create_function" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |    WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+        |  cast(count(*) as bigint) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  cast(2 as bigint) AS fn_listed
+        |FROM lineitem
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
     // A view changes nothing for the oracle — replay the inlined query.
     "qc2_view_query" ->
       """SELECT n_name,

@@ -343,10 +343,7 @@ class RegistrySuite extends GraftSuite {
     val arr = spark.sql(Registry.rewritePrestoSql(
       "SELECT ARRAY[1, 2, 3] AS v")).as[Seq[Int]].head()
     assert(arr == Seq(1, 2, 3))
-    // nested arrays + subscript brackets inside + strings containing ].
-    // NOTE the bracket subscript itself stays Spark-0-based (Presto is
-    // 1-based) — grammar-level, not interceptable; element_at is the
-    // portable 1-based spelling (SURVEY §1.2 ARRAY row).
+    // nested arrays + strings containing ].
     val nested = spark.sql(Registry.rewritePrestoSql(
       "SELECT element_at(element_at(ARRAY[ARRAY[1, 2], ARRAY[3, 4]], 1), 2)" +
         " AS v, ' ARRAY[x] ' AS s")).head()
@@ -358,6 +355,34 @@ class RegistrySuite extends GraftSuite {
     assert(spark.sql(Registry.rewritePrestoSql(
       "SELECT DECIMAL '12.345' * 2 AS v")).schema.head.dataType.sql
       .startsWith("DECIMAL"))
+  }
+
+  test("bracket subscripts rewrite to 1-based element_at") {
+    Registry.install(spark)
+    import spark.implicits._
+    // Presto's [] is 1-based (ArraySubscriptOperator.java) — arr[1] must
+    // read the FIRST element, not Spark's 0-based second.
+    assert(spark.sql(Registry.rewritePrestoSql(
+      "SELECT ARRAY[10, 20, 30][1] AS v")).as[Int].head() == 10)
+    // receiver shapes: qualified names, call results, chained subscripts,
+    // map string keys, struct-field chains
+    val row = spark.sql(Registry.rewritePrestoSql(
+      """SELECT t.xs[2] AS a,
+        |  split('a-b-c', '-')[3] AS b,
+        |  ARRAY[ARRAY[1, 2], ARRAY[3, 4]][2][1] AS c,
+        |  map('k', 7)['k'] AS d,
+        |  named_struct('f', ARRAY[5, 6]).f[2] AS e
+        |FROM (SELECT ARRAY[10, 20, 30] AS xs) t""".stripMargin)).head()
+    assert(row.getInt(0) == 20)
+    assert(row.getString(1) == "c")
+    assert(row.getInt(2) == 3)
+    assert(row.getInt(3) == 7)
+    assert(row.getInt(4) == 6)
+    // '[' inside string literals and with no receiver stay untouched
+    assert(Registry.rewritePrestoSql("SELECT ' a[1] ' AS s") ==
+      "SELECT ' a[1] ' AS s")
+    // slice syntax (not Presto) passes through unrewritten
+    assert(Registry.rewritePrestoSql("SELECT w[3:6] AS s").contains("w[3:6]"))
   }
 
   test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode; zip/ordinality pass through") {
