@@ -555,6 +555,231 @@ case class WkbWrite(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** Polygon-with-interior-rings structural layer. The multi-ring shape
+  * is `array<ring>` carrying [exterior, hole1, hole2, ...] in WKB ring
+  * order; rings stay implicit-closed like the rest of the pack.
+  *
+  * Reference: `presto-geospatial/.../GeoFunctions.java:581` (ST_Area)
+  * and `:921` (ST_Centroid) handle interior rings through the Esri
+  * runtime; here the formulas generalize directly — area = exterior −
+  * Σ holes, centroid = area-weighted signed combination, containment =
+  * even-odd parity across every ring. Structural contract (documented,
+  * unchecked — checking is O(n²) per row): holes lie inside the
+  * exterior and are mutually disjoint. Boolean ops whose RESULT needs a
+  * hole still fail loudly (GeomBoolean) — this layer is read/measure,
+  * not algebra. */
+case class HoledPolygon(child: Expression, mode: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(Seq("area", "centroid").contains(mode),
+    s"unknown holed-polygon mode $mode")
+
+  override def prettyName: String = s"st_polygon_$mode"
+  override def dataType: DataType =
+    if (mode == "area") DoubleType else GeomAlgebra.PointStruct
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(el, _) if LineOps.isPointArray(el) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<array<struct<x:double,y:double>>> " +
+        s"([exterior, holes...]), got ${dt.catalogString}")
+  }
+
+  @transient private lazy val xi = LineOps.xIdx(
+    child.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    require(arr.numElements() >= 1, s"$prettyName: polygon needs at least " +
+      "the exterior ring")
+    val rings = (0 until arr.numElements()).map(i =>
+      LineOps.coords(arr.getArray(i), xi))
+    rings.foreach(r => require(r.length >= 6,
+      s"$prettyName: every ring needs >= 3 vertices"))
+    // orientation-insensitive: |shoelace| per ring, exterior positive,
+    // holes negative
+    val areas = rings.map(r => math.abs(GeomBoolean.signedArea(r)))
+    val holeSum = areas.drop(1).sum
+    require(holeSum <= areas.head,
+      s"$prettyName: interior rings exceed the exterior area — not a " +
+        "valid holed polygon")
+    mode match {
+      case "area" => areas.head - holeSum
+      case "centroid" =>
+        // per-ring centroid via the standard polygon-centroid fold,
+        // combined with +exterior/−hole area weights
+        def ringCentroid(r: Array[Double]): (Double, Double) = {
+          val n = r.length / 2
+          var cx = 0.0; var cy = 0.0; var a2 = 0.0
+          var i = 0
+          while (i < n) {
+            val j = (i + 1) % n
+            val cr = r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+            cx += (r(2 * i) + r(2 * j)) * cr
+            cy += (r(2 * i + 1) + r(2 * j + 1)) * cr
+            a2 += cr
+            i += 1
+          }
+          (cx / (3 * a2), cy / (3 * a2)) // sign cancels in the ratio
+        }
+        val net = areas.head - holeSum
+        require(net > 0, s"$prettyName: zero-area polygon has no centroid")
+        var nx = 0.0; var ny = 0.0
+        rings.indices.foreach { i =>
+          val (cx, cy) = ringCentroid(rings(i))
+          val w = if (i == 0) areas(i) else -areas(i)
+          nx += cx * w; ny += cy * w
+        }
+        InternalRow(nx / net, ny / net)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** st_polygon_contains([exterior, holes...], point): even-odd parity
+  * across every ring — inside the exterior an ODD number of rings deep
+  * means inside the polygon, which handles holes (and islands in holes)
+  * with no case analysis. On-boundary points follow each ring's strict
+  * parity (the pack's general-position contract). */
+case class HoledContains(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "st_polygon_contains"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(el, _), st: StructType)
+        if LineOps.isPointArray(el) &&
+          st.fieldNames.toSet == Set("x", "y") &&
+          st.fields.forall(_.dataType == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<ring>, struct<x,y>), got " +
+          s"(${a.catalogString}, ${b.catalogString})")
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(
+    left.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val xiP =
+    right.dataType.asInstanceOf[StructType].fieldIndex("x")
+
+  override def nullSafeEval(rs: Any, p: Any): Any = {
+    val arr = rs.asInstanceOf[ArrayData]
+    val row = p.asInstanceOf[InternalRow]
+    val px = row.getDouble(xiP)
+    val py = row.getDouble(1 - xiP)
+    var in = false
+    (0 until arr.numElements()).foreach { i =>
+      if (GeomBoolean.inside(px, py, LineOps.coords(arr.getArray(i), xiL)))
+        in = !in
+    }
+    in
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** st_polygon_from_binary: WKB Polygon (type 3) with any ring count →
+  * [exterior, holes...]; closing vertices dropped (implicit-closed),
+  * exterior normalized CCW and holes CW (the WKB/shapefile convention),
+  * both endiannesses accepted. The single-ring `st_geomfrombinary`
+  * keeps its loud no-holes stance for the RingType surface. */
+case class WkbPolygonRead(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def prettyName: String = "st_polygon_from_binary"
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects varbinary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val buf = java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    buf.order(if (buf.get() == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val geomType = buf.getInt
+    require(geomType == 3,
+      s"$prettyName: WKB geometry type $geomType is not a polygon")
+    val nRings = buf.getInt
+    require(nRings >= 1, s"$prettyName: polygon with no rings")
+    val rings = (0 until nRings).map { ri =>
+      val n = buf.getInt
+      val ring = Array.fill(2 * n)(buf.getDouble)
+      val open =
+        if (n >= 2 && ring(0) == ring(2 * n - 2) && ring(1) == ring(2 * n - 1))
+          ring.dropRight(2)
+        else ring
+      require(open.length >= 6,
+        s"$prettyName: ring $ri has fewer than 3 distinct vertices")
+      val ccw = GeomAlgebra.toCcw(open)
+      if (ri == 0) ccw
+      else {
+        // holes run CW: reverse the CCW-normalized ring vertex-wise
+        // (pairwise — a flat reverse would break (x,y) adjacency)
+        val m = ccw.length / 2
+        val out = new Array[Double](ccw.length)
+        var i = 0
+        while (i < m) {
+          out(2 * i) = ccw(2 * (m - 1 - i))
+          out(2 * i + 1) = ccw(2 * (m - 1 - i) + 1)
+          i += 1
+        }
+        out
+      }
+    }
+    new GenericArrayData(rings.map(GeomAlgebra.toRing).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** st_polygon_as_binary: [exterior, holes...] → little-endian WKB
+  * Polygon with explicit closing vertices, byte-for-byte OGC. */
+case class WkbPolygonWrite(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def prettyName: String = "st_polygon_as_binary"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(el, _) if LineOps.isPointArray(el) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<array<struct<x,y>>>, got " +
+        dt.catalogString)
+  }
+
+  @transient private lazy val xi = LineOps.xIdx(
+    child.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val rings = (0 until arr.numElements()).map(i =>
+      LineOps.coords(arr.getArray(i), xi))
+    val total = 9 + rings.map(r => 4 + 8 * (r.length + 2)).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(3).putInt(rings.length)
+    rings.foreach { r =>
+      buf.putInt(r.length / 2 + 1)
+      r.foreach(buf.putDouble)
+      buf.putDouble(r(0)).putDouble(r(1)) // explicit closing vertex
+    }
+    buf.array()
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** ST_GeomFromBinary: WKB Point (1) → 1-point array, LineString (2) →
   * the points, Polygon (3) → the exterior ring with the repeated
   * closing vertex dropped (the pack's implicit-closed convention);
@@ -584,7 +809,8 @@ case class WkbRead(child: Expression) extends UnaryExpression
       case 3 =>
         val rings = buf.getInt
         require(rings == 1, "st_geomfrombinary: only single-ring polygons " +
-          s"are representable (holes unsupported), got $rings rings")
+          "are representable on the ring surface (holes unsupported here " +
+          s"— use st_polygon_from_binary), got $rings rings")
         val n = buf.getInt
         val ring = Array.fill(2 * n)(buf.getDouble)
         // drop the repeated closing vertex (implicit-closed convention)

@@ -1343,6 +1343,14 @@ object Registry {
           one("geometry_invalid_reason")(LineSimplicity(_, "reason"))
           one("st_asbinary")(WkbWrite)
           one("st_geomfrombinary")(WkbRead)
+          // polygon-with-holes structural layer ([exterior, holes...]
+          // as array<ring>; GeoFunctions.java:581,921 handle interior
+          // rings via Esri — here area/centroid/contains generalize)
+          one("st_polygon_from_binary")(WkbPolygonRead)
+          one("st_polygon_as_binary")(WkbPolygonWrite)
+          one("st_polygon_area")(HoledPolygon(_, "area"))
+          one("st_polygon_centroid")(HoledPolygon(_, "centroid"))
+          two("st_polygon_contains")(HoledContains)
         }
         val builder: Seq[Expression] => Expression = {
           case Seq(a, Literal(k: Int, IntegerType)) => ArrayCombinations(a, k)

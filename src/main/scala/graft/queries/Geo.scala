@@ -488,6 +488,40 @@ object Geo extends QueryPack {
     // from the explicit-closure tag, boundary/points/interior-ring
     // answers, WKB round-trip, and the 32-gon point buffer. Oracle
     // carries the hand-derived values.
+    // Polygon-with-holes structural layer (GeoFunctions.java:581,921 —
+    // the Esri-backed reference handles interior rings; GeomAlgebra's
+    // HoledPolygon/HoledContains/WkbPolygon* generalize area/centroid/
+    // contains and WKB to [exterior, holes...]). 10x10 exterior minus a
+    // 3x3 and a 2x2 hole: area 87, centroid (440.5/87, 440.5/87), parity
+    // containment in/out of each hole, and a byte-exact WKB round-trip
+    // (ext CCW, holes CW — the convention the reader normalizes to).
+    "qn5_holed_polygon" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH p AS (SELECT array(
+          |    array(st_point(0D, 0D), st_point(10D, 0D),
+          |          st_point(10D, 10D), st_point(0D, 10D)),
+          |    array(st_point(2D, 2D), st_point(2D, 5D),
+          |          st_point(5D, 5D), st_point(5D, 2D)),
+          |    array(st_point(6D, 6D), st_point(6D, 8D),
+          |          st_point(8D, 8D), st_point(8D, 6D))) AS poly)
+          |SELECT cast(1 as bigint) AS id,
+          |  st_polygon_area(poly) AS area,
+          |  round(st_polygon_centroid(poly).x, 6) AS cx,
+          |  round(st_polygon_centroid(poly).y, 6) AS cy,
+          |  st_polygon_contains(poly, st_point(1D, 1D)) AS in_solid,
+          |  st_polygon_contains(poly, st_point(3D, 3D)) AS in_hole,
+          |  st_polygon_contains(poly, st_point(5.5D, 5.5D))
+          |    AS between_holes,
+          |  st_polygon_contains(poly, st_point(7D, 7D)) AS in_hole2,
+          |  st_polygon_contains(poly, st_point(11D, 5D)) AS outside,
+          |  st_polygon_from_binary(st_polygon_as_binary(poly)) = poly
+          |    AS wkb_rt,
+          |  cast(length(st_polygon_as_binary(poly)) as bigint) AS wkb_len
+          |FROM p""".stripMargin)
+    }),
+
     "qm6_geometry_structure" -> ((s, dir) => {
       Tables.register(s, dir)
       Registry.install(s)
@@ -934,6 +968,15 @@ object Geo extends QueryPack {
 
       // Hand-derived structural answers (geometry fixtures are VALUES
       // literals in the query).
+      // Hand-computed: area 100-9-4, centroid (100*5-9*3.5-4*7)/87 =
+      // 440.5/87, WKB = 1+4+4 header + 3 rings x (4 + 5 pts x 16) = 261.
+      "qn5_holed_polygon" ->
+        """SELECT CAST(1 AS BIGINT) AS id, 87.0 AS area,
+          |  5.063218 AS cx, 5.063218 AS cy,
+          |  true AS in_solid, false AS in_hole, true AS between_holes,
+          |  false AS in_hole2, false AS outside, true AS wkb_rt,
+          |  CAST(261 AS BIGINT) AS wkb_len""".stripMargin,
+
       "qm6_geometry_structure" ->
         """SELECT * FROM (VALUES
           |  (CAST(1 AS BIGINT), 'ST_Polygon', 'ST_LineString',

@@ -158,6 +158,38 @@ class GeomAlgebraSuite extends GraftSuite {
     assert(row.getBoolean(4) && row.getBoolean(5))
   }
 
+  test("holed polygons: orientation-insensitive read, area/contains/centroid") {
+    Registry.install(spark)
+    // exterior given CW and the hole given CCW — the reader must
+    // normalize (ext CCW, holes CW) and the measures must not care
+    val wrongHanded = "array(" +
+      "array(st_point(0D,0D), st_point(0D,10D), st_point(10D,10D), " +
+      "st_point(10D,0D)), " + // CW exterior
+      "array(st_point(2D,2D), st_point(5D,2D), st_point(5D,5D), " +
+      "st_point(2D,5D)))" // CCW hole
+    val row = spark.sql(
+      s"""SELECT st_polygon_area(p) AS a,
+         |  st_polygon_area(st_polygon_from_binary(
+         |    st_polygon_as_binary(p))) AS a_rt,
+         |  st_polygon_contains(p, st_point(3D, 3D)) AS hole_pt,
+         |  st_polygon_contains(p, st_point(8D, 8D)) AS solid_pt,
+         |  st_polygon_centroid(st_polygon_from_binary(
+         |    st_polygon_as_binary(p))).x AS cx
+         |FROM (SELECT $wrongHanded AS p)""".stripMargin).head()
+    assert(row.getDouble(0) == 91.0) // 100 - 9
+    assert(row.getDouble(1) == 91.0)
+    assert(!row.getBoolean(2) && row.getBoolean(3))
+    // centroid x = (100*5 - 9*3.5) / 91
+    assert(math.abs(row.getDouble(4) - (500.0 - 31.5) / 91.0) < 1e-12)
+    // a hole larger than the exterior is loudly invalid
+    val bad = "array(array(st_point(0D,0D), st_point(2D,0D), " +
+      "st_point(2D,2D), st_point(0D,2D)), array(st_point(-5D,-5D), " +
+      "st_point(15D,-5D), st_point(15D,15D), st_point(-5D,15D)))"
+    val e = intercept[Exception](spark.sql(
+      s"SELECT st_polygon_area($bad) AS a").collect())
+    assert(e.getMessage.contains("exceed"))
+  }
+
   test("WKB: line round-trips; point and polygon hex parse") {
     Registry.install(spark)
     val line = "array(named_struct('x', 1.5D, 'y', 2.5D), " +
