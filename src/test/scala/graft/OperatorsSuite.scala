@@ -154,6 +154,27 @@ class OperatorsSuite extends GraftSuite {
     assert(one(5L) != 1L)
   }
 
+  test("star-contraction components: 1000-chain converges in O(log n) rounds") {
+    import graft.operators.ConnectedComponents
+    // adversarial high-diameter graph: a 1000-vertex chain. Min-label
+    // propagation needs diameter (~999) rounds; the alternating
+    // large-star/small-star contraction must finish inside 15 double-
+    // rounds (O(log n), Kiveris et al. SoCC'14) — maxIter enforces it:
+    // an unconverged run leaves wrong labels and the assert fails.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.runStar(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1000)
+    assert(got.forall(_._2 == 1L),
+      got.filter(_._2 != 1L).take(5).toString)
+    // same (v, c) contract as run(): agree on a multi-component graph
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val a = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    val b = ConnectedComponents.runStar(edges).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("kmeans: convergence on separated clusters; assignment plan shape") {
     import graft.operators.KMeans
     import spark.implicits._
