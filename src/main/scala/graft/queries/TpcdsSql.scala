@@ -50,7 +50,10 @@ object TpcdsSql extends QueryPack {
             |  cast(year(d_date) as bigint) AS d_year,
             |  cast(month(d_date) as bigint) AS d_moy,
             |  cast(day(d_date) as bigint) AS d_dom,
-            |  cast(quarter(d_date) as bigint) AS d_qoy
+            |  cast(quarter(d_date) as bigint) AS d_qoy,
+            |  cast((datediff(d_date, DATE '1995-01-01')) DIV 7 as bigint)
+            |    AS d_week_seq,
+            |  date_format(d_date, 'EEEE') AS d_day_name
             |FROM (SELECT explode(sequence(DATE '1995-01-01',
             |  DATE '2000-12-31')) AS d_date)""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW store_sales AS
@@ -61,6 +64,7 @@ object TpcdsSql extends QueryPack {
             |  cast(l_suppkey % 10 + 1 as bigint) AS ss_store_sk,
             |  cast(l_partkey % 50 + 1 as bigint) AS ss_promo_sk,
             |  o_custkey AS ss_cdemo_sk,
+            |  o_orderkey AS ss_ticket_number,
             |  l_quantity AS ss_quantity,
             |  l_extendedprice / l_quantity AS ss_list_price,
             |  l_extendedprice AS ss_ext_sales_price,
@@ -135,7 +139,10 @@ object TpcdsSql extends QueryPack {
       |    d_date, CAST(year(d_date) AS BIGINT) AS d_year,
       |    CAST(month(d_date) AS BIGINT) AS d_moy,
       |    CAST(day(d_date) AS BIGINT) AS d_dom,
-      |    CAST(quarter(d_date) AS BIGINT) AS d_qoy
+      |    CAST(quarter(d_date) AS BIGINT) AS d_qoy,
+      |    CAST(datediff('day', DATE '1995-01-01', d_date) // 7 AS BIGINT)
+      |      AS d_week_seq,
+      |    dayname(d_date) AS d_day_name
       |  FROM (SELECT unnest(generate_series(DATE '1995-01-01',
       |    DATE '2000-12-31', INTERVAL 1 DAY))::DATE AS d_date)),
       |store_sales AS (
@@ -145,7 +152,8 @@ object TpcdsSql extends QueryPack {
       |    l_partkey AS ss_item_sk, o_custkey AS ss_customer_sk,
       |    CAST(l_suppkey % 10 + 1 AS BIGINT) AS ss_store_sk,
       |    CAST(l_partkey % 50 + 1 AS BIGINT) AS ss_promo_sk,
-      |    o_custkey AS ss_cdemo_sk, l_quantity AS ss_quantity,
+      |    o_custkey AS ss_cdemo_sk, o_orderkey AS ss_ticket_number,
+      |    l_quantity AS ss_quantity,
       |    l_extendedprice / l_quantity AS ss_list_price,
       |    l_extendedprice AS ss_ext_sales_price,
       |    l_extendedprice * (1 - l_discount) / l_quantity AS ss_sales_price,
@@ -315,6 +323,52 @@ object TpcdsSql extends QueryPack {
         |ORDER BY i_category, i_class, i_item_id
         |LIMIT 100""".stripMargin)),
 
+    // TPC-DS Q34 shape: per-ticket line counts inside a day-of-month
+    // window, HAVING a count range, then the customer join on the
+    // survivors (the derived fact's ticket = o_orderkey).
+    "qo8_tpcds_q34" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, ss_ticket_number, cast(cnt as bigint) AS cnt
+        |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+        |      FROM store_sales, date_dim, store
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND d_dom BETWEEN 1 AND 3
+        |        AND d_year IN (1998, 1999, 2000)
+        |        AND s_state IN ('TN', 'CA', 'TX', 'NY', 'WA')
+        |      GROUP BY ss_ticket_number, ss_customer_sk
+        |      HAVING count(*) BETWEEN 4 AND 10) dn, customer
+        |WHERE ss_customer_sk = c_custkey
+        |ORDER BY c_name, ss_ticket_number""".stripMargin)),
+
+    // TPC-DS Q59 shape: weekly per-store day-of-week sales, self-joined
+    // at a 52-week offset for year-over-year comparison. Day sums are
+    // exact (cents-valued doubles), so the rounds are no-ops and the
+    // self-join compares bitwise.
+    "qo9_tpcds_q59" -> ((s, dir) => sql(s, dir,
+      """WITH wss AS (
+        |  SELECT d_week_seq, ss_store_sk,
+        |    round(sum(CASE WHEN d_day_name = 'Sunday'
+        |      THEN ss_ext_sales_price ELSE 0 END), 2) AS sun_sales,
+        |    round(sum(CASE WHEN d_day_name = 'Monday'
+        |      THEN ss_ext_sales_price ELSE 0 END), 2) AS mon_sales,
+        |    round(sum(CASE WHEN d_day_name = 'Friday'
+        |      THEN ss_ext_sales_price ELSE 0 END), 2) AS fri_sales,
+        |    round(sum(CASE WHEN d_day_name = 'Saturday'
+        |      THEN ss_ext_sales_price ELSE 0 END), 2) AS sat_sales
+        |  FROM store_sales, date_dim
+        |  WHERE d_date_sk = ss_sold_date_sk
+        |  GROUP BY d_week_seq, ss_store_sk)
+        |SELECT y.ss_store_sk AS store_sk,
+        |  cast(y.d_week_seq as bigint) AS week1,
+        |  y.sun_sales AS sun1, y.mon_sales AS mon1,
+        |  y.fri_sales AS fri1, y.sat_sales AS sat1,
+        |  x.sun_sales AS sun2, x.mon_sales AS mon2,
+        |  x.fri_sales AS fri2, x.sat_sales AS sat2
+        |FROM wss y JOIN wss x ON y.ss_store_sk = x.ss_store_sk
+        |  AND y.d_week_seq = x.d_week_seq - 52
+        |WHERE y.d_week_seq BETWEEN 52 AND 78
+        |ORDER BY store_sk, week1""".stripMargin)),
+
     // Q5/Q77-style cross-channel report: per-channel per-outlet sales
     // and profit, UNION ALL across the store and web fact tables.
     "qo7_tpcds_channels" -> ((s, dir) => sql(s, dir,
@@ -443,6 +497,47 @@ object TpcdsSql extends QueryPack {
          |GROUP BY i_item_id, i_class, i_category, i_current_price
          |ORDER BY i_category, i_class, i_item_id
          |LIMIT 100""".stripMargin,
+
+    "qo8_tpcds_q34" ->
+      s"""WITH $dsCte
+         |SELECT c_name, ss_ticket_number, cast(cnt as bigint) AS cnt
+         |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+         |      FROM store_sales, date_dim, store
+         |      WHERE ss_sold_date_sk = d_date_sk
+         |        AND ss_store_sk = s_store_sk
+         |        AND d_dom BETWEEN 1 AND 3
+         |        AND d_year IN (1998, 1999, 2000)
+         |        AND s_state IN ('TN', 'CA', 'TX', 'NY', 'WA')
+         |      GROUP BY ss_ticket_number, ss_customer_sk
+         |      HAVING count(*) BETWEEN 4 AND 10) dn, customer
+         |WHERE ss_customer_sk = c_custkey
+         |ORDER BY c_name, ss_ticket_number""".stripMargin,
+
+    "qo9_tpcds_q59" ->
+      s"""WITH $dsCte,
+         |wss AS (
+         |  SELECT d_week_seq, ss_store_sk,
+         |    round(sum(CASE WHEN d_day_name = 'Sunday'
+         |      THEN ss_ext_sales_price ELSE 0 END), 2) AS sun_sales,
+         |    round(sum(CASE WHEN d_day_name = 'Monday'
+         |      THEN ss_ext_sales_price ELSE 0 END), 2) AS mon_sales,
+         |    round(sum(CASE WHEN d_day_name = 'Friday'
+         |      THEN ss_ext_sales_price ELSE 0 END), 2) AS fri_sales,
+         |    round(sum(CASE WHEN d_day_name = 'Saturday'
+         |      THEN ss_ext_sales_price ELSE 0 END), 2) AS sat_sales
+         |  FROM store_sales, date_dim
+         |  WHERE d_date_sk = ss_sold_date_sk
+         |  GROUP BY d_week_seq, ss_store_sk)
+         |SELECT y.ss_store_sk AS store_sk,
+         |  cast(y.d_week_seq as bigint) AS week1,
+         |  y.sun_sales AS sun1, y.mon_sales AS mon1,
+         |  y.fri_sales AS fri1, y.sat_sales AS sat1,
+         |  x.sun_sales AS sun2, x.mon_sales AS mon2,
+         |  x.fri_sales AS fri2, x.sat_sales AS sat2
+         |FROM wss y JOIN wss x ON y.ss_store_sk = x.ss_store_sk
+         |  AND y.d_week_seq = x.d_week_seq - 52
+         |WHERE y.d_week_seq BETWEEN 52 AND 78
+         |ORDER BY store_sk, week1""".stripMargin,
 
     "qo7_tpcds_channels" ->
       s"""WITH $dsCte,
