@@ -1537,6 +1537,48 @@ object Registry {
     q
   }
 
+  /** Presto `CREATE FUNCTION` spellings (SqlBase.g4:62-69;
+    * presto-function-namespace-managers): qualified names
+    * (`catalog.schema.fn` — namespace-manager routing; this engine's
+    * functions are session-scoped, so the name collapses to its last
+    * segment and TEMPORARY is forced), `RETURNS NULL ON NULL INPUT`
+    * (not in Spark's SQL-UDF grammar — absorbed by wrapping the body in
+    * an any-argument-null guard, which IS the semantics), and
+    * `CALLED ON NULL INPUT` (Spark's default — dropped). `LANGUAGE
+    * SQL`/`DETERMINISTIC`/`COMMENT` pass through (Spark 4 accepts
+    * them). `RETURNS VARCHAR` widens to STRING like the cast rewrite. */
+  private val createFnRe =
+    ("""(?is)\bCREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+""" +
+      """([A-Za-z_][\w.]*)\s*\(([^)]*)\)\s*RETURNS\s+""").r
+
+  private def rewriteCreateFunction(q0: String): String = {
+    val m = createFnRe.findFirstMatchIn(q0).getOrElse(return q0)
+    val orReplace = Option(m.group(1)).map(_ => "OR REPLACE ").getOrElse("")
+    val name = m.group(2).split('.').last
+    val params = m.group(3)
+    var rest = q0.substring(m.end) // "<type> [characteristics] RETURN <body>"
+    val nullOnNull =
+      """(?is)\bRETURNS\s+NULL\s+ON\s+NULL\s+INPUT\b""".r
+        .findFirstIn(rest).isDefined
+    rest = rest
+      .replaceAll("(?is)\\bRETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+      .replaceAll("(?is)\\bCALLED\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+    if (nullOnNull) {
+      val retM = """(?is)\bRETURN\b""".r.findFirstMatchIn(rest).getOrElse(
+        sys.error("rewritePrestoSql: CREATE FUNCTION without RETURN"))
+      val argNames = params.split(',').map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+")(0))
+      val guard = argNames.map(a => s"$a IS NULL").mkString(" OR ")
+      val body = rest.substring(retM.end).trim
+      rest = rest.substring(0, retM.end) +
+        (if (argNames.isEmpty) s" $body"
+         else s" CASE WHEN $guard THEN NULL ELSE ($body) END")
+    }
+    val retVarchar = """(?is)^(\s*)VARCHAR\b""".r
+    rest = retVarchar.replaceFirstIn(rest, "$1STRING")
+    s"CREATE ${orReplace}TEMPORARY FUNCTION $name($params) RETURNS " + rest
+  }
+
   /** Presto bracket subscripts `expr[i]` → `element_at(expr, i)`:
     * Presto's `[]` is 1-based and errors out-of-bounds
     * (`presto-main/.../scalar/ArraySubscriptOperator.java`), Spark's is
@@ -1706,7 +1748,8 @@ object Registry {
   }
 
   def rewritePrestoSql(q: String): String = {
-    val dated = prestoDateFnRe.replaceAllIn(q,
+    val fnned = rewriteCreateFunction(q)
+    val dated = prestoDateFnRe.replaceAllIn(fnned,
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
     val timed = timeLiteralRe.replaceAllIn(dated,

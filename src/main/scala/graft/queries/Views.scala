@@ -159,6 +159,34 @@ object Views extends QueryPack {
                |ORDER BY band""".stripMargin)
     }),
 
+    // Presto's full CREATE FUNCTION grammar verbatim (SqlBase.g4:62-69):
+    // qualified name (namespace-manager routing → session scope),
+    // LANGUAGE SQL / DETERMINISTIC (pass through to Spark's SQL-UDF
+    // grammar), and RETURNS NULL ON NULL INPUT — absorbed by wrapping
+    // the body in an any-arg-null guard. The body deliberately uses
+    // coalesce(p, 0) so an unguarded call would return 'small' for
+    // NULL: null_is_null = true PROVES the guard, not the body.
+    "qn6_create_function_presto" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(graft.functions.Registry.rewritePrestoSql(
+        """CREATE OR REPLACE FUNCTION graft.default.order_band(p DOUBLE)
+          |RETURNS VARCHAR
+          |LANGUAGE SQL
+          |DETERMINISTIC
+          |RETURNS NULL ON NULL INPUT
+          |RETURN CASE WHEN coalesce(p, 0) < 100000 THEN 'small'
+          |  ELSE 'big' END""".stripMargin))
+      s.sql(graft.functions.Registry.rewritePrestoSql(
+        """SELECT order_band(o_totalprice) AS band,
+          |  cast(count(*) as bigint) AS n,
+          |  round(sum(o_totalprice), 2) AS total,
+          |  max(order_band(CAST(NULL AS DOUBLE))) IS NULL AS null_is_null
+          |FROM orders
+          |GROUP BY order_band(o_totalprice)
+          |ORDER BY band""".stripMargin))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -183,6 +211,18 @@ object Views extends QueryPack {
         |  cast(2 as bigint) AS fn_listed
         |FROM lineitem
         |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    // Body inlined WITH the null guard (RETURNS NULL ON NULL INPUT).
+    "qn6_create_function_presto" ->
+      """SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+        |    WHEN coalesce(o_totalprice, 0) < 100000 THEN 'small'
+        |    ELSE 'big' END AS band,
+        |  cast(count(*) as bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  true AS null_is_null
+        |FROM orders
+        |GROUP BY 1
         |ORDER BY band""".stripMargin,
 
     // A view changes nothing for the oracle — replay the inlined query.

@@ -385,6 +385,33 @@ class RegistrySuite extends GraftSuite {
     assert(Registry.rewritePrestoSql("SELECT w[3:6] AS s").contains("w[3:6]"))
   }
 
+  test("CREATE FUNCTION Presto spellings: namespace, RNONI guard, varchar") {
+    Registry.install(spark)
+    import spark.implicits._
+    val rewritten = Registry.rewritePrestoSql(
+      """CREATE FUNCTION cat.sch.f2(a BIGINT, b BIGINT)
+        |RETURNS VARCHAR LANGUAGE SQL DETERMINISTIC
+        |RETURNS NULL ON NULL INPUT
+        |RETURN cast(coalesce(a, 0) + coalesce(b, 0) as string)""".stripMargin)
+    // qualified name collapses, TEMPORARY forced, RNONI becomes a guard
+    assert(rewritten.contains("TEMPORARY FUNCTION f2("))
+    assert(rewritten.contains("RETURNS  STRING") ||
+      rewritten.contains("RETURNS STRING"))
+    assert(rewritten.contains("a IS NULL OR b IS NULL"))
+    spark.sql(rewritten)
+    // the body alone would return '7' for (NULL, 7); the guard nulls it
+    val r = spark.sql(
+      "SELECT f2(3, 4) AS s, f2(CAST(NULL AS BIGINT), 7) AS n").head()
+    assert(r.getString(0) == "7" && r.isNullAt(1))
+    // CALLED ON NULL INPUT is Spark's default: dropped, body sees nulls
+    spark.sql(Registry.rewritePrestoSql(
+      """CREATE OR REPLACE FUNCTION g1(x BIGINT) RETURNS BIGINT
+        |CALLED ON NULL INPUT
+        |RETURN coalesce(x, -1)""".stripMargin))
+    assert(spark.sql("SELECT g1(CAST(NULL AS BIGINT)) AS v")
+      .as[Long].head() == -1L)
+  }
+
   test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode; zip/ordinality pass through") {
     Registry.install(spark)
     import spark.implicits._
