@@ -106,8 +106,25 @@ object TpcdsSql extends QueryPack {
             |  concat('S', cast(sk as string)) AS s_store_id,
             |  concat('Store', cast(sk as string)) AS s_store_name,
             |  CASE cast(sk % 5 as int) WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
-            |    WHEN 2 THEN 'TX' WHEN 3 THEN 'NY' ELSE 'WA' END AS s_state
+            |    WHEN 2 THEN 'TX' WHEN 3 THEN 'NY' ELSE 'WA' END AS s_state,
+            |  lpad(cast(sk * 11111 % 100000 as string), 5, '0') AS s_zip
             |FROM (SELECT explode(sequence(1, 10)) AS sk)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_address AS
+            |SELECT c_custkey AS ca_address_sk,
+            |  lpad(cast(c_custkey * 7919 % 100000 as string), 5, '0')
+            |    AS ca_zip
+            |FROM customer""".stripMargin)
+    // catalog channel: the even-linenumber slice (web takes the odd)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW catalog_sales AS
+            |SELECT cast(datediff(cast(o_orderdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint) AS cs_sold_date_sk,
+            |  l_partkey AS cs_item_sk,
+            |  cast(l_suppkey % 3 + 1 as bigint) AS cs_call_center_sk,
+            |  l_extendedprice AS cs_ext_sales_price,
+            |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
+            |    AS cs_net_profit
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE l_linenumber % 2 = 0""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
             |SELECT c_custkey AS cd_demo_sk,
             |  CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -189,8 +206,24 @@ object TpcdsSql extends QueryPack {
       |    concat('S', CAST(sk AS VARCHAR)) AS s_store_id,
       |    concat('Store', CAST(sk AS VARCHAR)) AS s_store_name,
       |    CASE CAST(sk % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
-      |      WHEN 2 THEN 'TX' WHEN 3 THEN 'NY' ELSE 'WA' END AS s_state
+      |      WHEN 2 THEN 'TX' WHEN 3 THEN 'NY' ELSE 'WA' END AS s_state,
+      |    lpad(CAST(sk * 11111 % 100000 AS VARCHAR), 5, '0') AS s_zip
       |  FROM (SELECT unnest(generate_series(1, 10)) AS sk)),
+      |customer_address AS (
+      |  SELECT c_custkey AS ca_address_sk,
+      |    lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR), 5, '0')
+      |      AS ca_zip
+      |  FROM customer),
+      |catalog_sales AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS cs_sold_date_sk,
+      |    l_partkey AS cs_item_sk,
+      |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cs_call_center_sk,
+      |    l_extendedprice AS cs_ext_sales_price,
+      |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 2 = 0),
       |customer_demographics AS (
       |  SELECT c_custkey AS cd_demo_sk,
       |    CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -323,6 +356,25 @@ object TpcdsSql extends QueryPack {
         |ORDER BY i_category, i_class, i_item_id
         |LIMIT 100""".stripMargin)),
 
+    // TPC-DS Q19: brand revenue where the buyer's zip prefix differs
+    // from the store's — a 6-table star with a non-equi residual filter
+    // on two dimension attributes (ca_zip vs s_zip).
+    "qp0_tpcds_q19" -> ((s, dir) => sql(s, dir,
+      """SELECT i_brand_id brand_id, i_brand brand, i_manufact_id,
+        |  round(sum(ss_ext_sales_price), 2) ext_price
+        |FROM date_dim, store_sales, item, customer, customer_address,
+        |  store
+        |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+        |  AND i_manager_id BETWEEN 1 AND 30
+        |  AND d_moy = 11 AND d_year = 1998
+        |  AND ss_customer_sk = c_custkey
+        |  AND c_custkey = ca_address_sk
+        |  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+        |  AND ss_store_sk = s_store_sk
+        |GROUP BY i_brand_id, i_brand, i_manufact_id
+        |ORDER BY ext_price DESC, brand_id, i_manufact_id
+        |LIMIT 100""".stripMargin)),
+
     // TPC-DS Q34 shape: per-ticket line counts inside a day-of-month
     // window, HAVING a count range, then the customer join on the
     // survivors (the derived fact's ticket = o_orderkey).
@@ -385,9 +437,17 @@ object TpcdsSql extends QueryPack {
         |    round(sum(ws_net_profit), 2) AS profit
         |  FROM web_sales, date_dim
         |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
-        |  GROUP BY ws_web_site_sk)
+        |  GROUP BY ws_web_site_sk),
+        |cs AS (
+        |  SELECT 'catalog channel' AS channel, cs_call_center_sk AS id,
+        |    round(sum(cs_ext_sales_price), 2) AS sales,
+        |    round(sum(cs_net_profit), 2) AS profit
+        |  FROM catalog_sales, date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY cs_call_center_sk)
         |SELECT channel, id, sales, profit
-        |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws)
+        |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws
+        |      UNION ALL SELECT * FROM cs)
         |ORDER BY channel, id""".stripMargin))
   )
 
@@ -498,6 +558,23 @@ object TpcdsSql extends QueryPack {
          |ORDER BY i_category, i_class, i_item_id
          |LIMIT 100""".stripMargin,
 
+    "qp0_tpcds_q19" ->
+      s"""WITH $dsCte
+         |SELECT i_brand_id brand_id, i_brand brand, i_manufact_id,
+         |  round(sum(ss_ext_sales_price), 2) ext_price
+         |FROM date_dim, store_sales, item, customer, customer_address,
+         |  store
+         |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+         |  AND i_manager_id BETWEEN 1 AND 30
+         |  AND d_moy = 11 AND d_year = 1998
+         |  AND ss_customer_sk = c_custkey
+         |  AND c_custkey = ca_address_sk
+         |  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+         |  AND ss_store_sk = s_store_sk
+         |GROUP BY i_brand_id, i_brand, i_manufact_id
+         |ORDER BY ext_price DESC, brand_id, i_manufact_id
+         |LIMIT 100""".stripMargin,
+
     "qo8_tpcds_q34" ->
       s"""WITH $dsCte
          |SELECT c_name, ss_ticket_number, cast(cnt as bigint) AS cnt
@@ -554,9 +631,17 @@ object TpcdsSql extends QueryPack {
          |    round(sum(ws_net_profit), 2) AS profit
          |  FROM web_sales, date_dim
          |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
-         |  GROUP BY ws_web_site_sk)
+         |  GROUP BY ws_web_site_sk),
+         |cs AS (
+         |  SELECT 'catalog channel' AS channel, cs_call_center_sk AS id,
+         |    round(sum(cs_ext_sales_price), 2) AS sales,
+         |    round(sum(cs_net_profit), 2) AS profit
+         |  FROM catalog_sales, date_dim
+         |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY cs_call_center_sk)
          |SELECT channel, id, sales, profit
-         |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws)
+         |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws
+         |      UNION ALL SELECT * FROM cs)
          |ORDER BY channel, id""".stripMargin
   )
 }

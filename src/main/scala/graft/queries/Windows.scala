@@ -26,6 +26,36 @@ object Windows extends QueryPack {
   private def t(s: SparkSession, dir: String, n: String) = Tables.view(s, dir, n)
 
   override def defs: Map[String, Q] = Map(
+    // GROUPS frames (SqlBase.g4 has no GROUPS either — Presto matches
+    // Spark here — but DuckDB implements the ANSI frame, making it a
+    // real differential oracle): GROUPS BETWEEN n PRECEDING AND m
+    // FOLLOWING over ORDER BY k is EXPRESSIBLE as a RANGE frame over
+    // dense_rank() — peer groups become consecutive integers, so
+    // RANGE dr±n selects exactly the n adjacent peer groups. One extra
+    // window pass (the dense_rank), same single sort-shuffle; the
+    // oracle runs DuckDB's NATIVE GROUPS frame over the raw key,
+    // proving the equivalence rather than replaying the rewrite.
+    "qn7_groups_frame" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+          |    l_extendedprice
+          |  FROM lineitem WHERE l_orderkey <= 100),
+          |r AS (SELECT *, dense_rank() OVER (ORDER BY l_quantity) AS dr
+          |  FROM t)
+          |SELECT cast(l_orderkey as bigint) AS okey,
+          |  cast(l_linenumber as bigint) AS lno,
+          |  l_quantity AS qty,
+          |  round(sum(l_extendedprice) OVER
+          |    (ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+          |    AS grp_sum,
+          |  cast(count(*) OVER
+          |    (ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+          |    as bigint) AS grp_n
+          |FROM r
+          |ORDER BY okey, lno""".stripMargin)
+    }),
+
     // All six ranking functions over one window spec (single shuffle+sort).
     "q30_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -151,6 +181,32 @@ object Windows extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // GROUPS-frame semantics derived from FIRST PRINCIPLES (DuckDB has
+    // no GROUPS mode either): each row's frame is the rows whose order
+    // key lies between the ADJACENT DISTINCT keys — neighbor bounds via
+    // lag/lead over the distinct keys, then a range join. Different
+    // machinery from the engine's RANGE-over-dense_rank rewrite, so the
+    // hash match is a genuine differential check of the semantics.
+    "qn7_groups_frame" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 100),
+        |nb AS (SELECT q, coalesce(lag(q) OVER (ORDER BY q), q) AS pq,
+        |         coalesce(lead(q) OVER (ORDER BY q), q) AS nq
+        |       FROM (SELECT DISTINCT l_quantity AS q FROM t)),
+        |agg AS (SELECT nb.q, sum(t2.l_extendedprice) AS ws,
+        |         count(*) AS wn
+        |        FROM nb JOIN t t2
+        |          ON t2.l_quantity BETWEEN nb.pq AND nb.nq
+        |        GROUP BY nb.q)
+        |SELECT cast(l_orderkey as bigint) AS okey,
+        |  cast(l_linenumber as bigint) AS lno,
+        |  l_quantity AS qty,
+        |  round(ws, 2) AS grp_sum,
+        |  cast(wn as bigint) AS grp_n
+        |FROM t JOIN agg ON agg.q = t.l_quantity
+        |ORDER BY okey, lno""".stripMargin,
+
     "q37_ignore_nulls" ->
       """SELECT c_custkey, c_nationkey,
         |  CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS pos_bal,
