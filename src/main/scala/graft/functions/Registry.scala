@@ -61,6 +61,19 @@ object Registry {
       "(4 * cast(__b as double) * __b))) " +
       "/ (1 + cast(__c as double) * cast(__c as double) / __b) END"
 
+  // Zoned-timestamp template helpers: trailing offset recognizer (Z or
+  // +HH:MM), the zone-of-literal extractor (Z → UTC), and the signed
+  // whole-minute offset of a struct<utc,tz> value at its own instant
+  // (exact: zone offsets are whole minutes, so div 60 is exact and %
+  // keeps the dividend's sign — (-3,-30) for a -03:30 zone).
+  private val zonedTailRe = "(Z|[+-][0-9]{2}:[0-9]{2})$"
+  private def zonedZoneOf(a: String): String =
+    s"coalesce(nullif(regexp_extract($a, '([+-][0-9]{2}:[0-9]{2})$$', 1)," +
+      " ''), 'UTC')"
+  private def zonedOffMin(a: String): String =
+    s"((cast(cast(from_utc_timestamp($a.utc, $a.tz) as timestamp) as long)" +
+      s" - cast(cast($a.utc as timestamp) as long)) div 60)"
+
   // Shoelace signed-sum fold over an implicit-closed ring of
   // struct<x,y> vertices — shared by st_area and st_centroid. All terms
   // are products/sums of the inputs, so on a dyadic-coordinate fixture
@@ -207,6 +220,34 @@ object Registry {
     ("timezone_minute", 2,
       "((cast(cast(convert_timezone('UTC', __b, __a) as timestamp) as long) " +
         "- cast(cast(__a as timestamp) as long)) % 3600) div 60"),
+    // Per-VALUE zoned timestamps (TimestampWithTimeZoneType.java;
+    // DateTimeEncoding.java packs millis+zoneKey into one long). The
+    // Spark-first shape is struct<utc: timestamp_ntz, tz: string> — the
+    // instant plus its zone, carried column-wise — and every operation
+    // is a pure SQL template over Spark's zone machinery (codegen'd, no
+    // UDF): ordering/equality on the instant via zoned_instant, wall-
+    // clock extraction via zoned_local, offsets truncated toward zero
+    // like the reference. The session stays UTC; only these columns
+    // carry zones.
+    ("zoned_timestamp", 1,
+      s"named_struct('utc', to_utc_timestamp(to_timestamp(" +
+        s"regexp_replace(__a, '$zonedTailRe', '')), ${zonedZoneOf("__a")})," +
+        s" 'tz', ${zonedZoneOf("__a")})"),
+    ("zoned_at_timezone", 2, "named_struct('utc', __a.utc, 'tz', __b)"),
+    ("zoned_with_timezone", 2,
+      "named_struct('utc', to_utc_timestamp(__a, __b), 'tz', __b)"),
+    ("zoned_local", 1, "from_utc_timestamp(__a.utc, __a.tz)"),
+    ("zoned_instant", 1, "__a.utc"),
+    ("zoned_timezone_hour", 1,
+      s"(${zonedOffMin("__a")} - (${zonedOffMin("__a")} % 60)) div 60"),
+    ("zoned_timezone_minute", 1, s"${zonedOffMin("__a")} % 60"),
+    ("zoned_to_iso8601", 1,
+      "concat(date_format(from_utc_timestamp(__a.utc, __a.tz), " +
+        "\"yyyy-MM-dd'T'HH:mm:ss\"), " +
+        s"CASE WHEN ${zonedOffMin("__a")} >= 0 THEN '+' ELSE '-' END, " +
+        s"lpad(cast(abs(${zonedOffMin("__a")}) div 60 as string), 2, '0')," +
+        s" ':', " +
+        s"lpad(cast(abs(${zonedOffMin("__a")}) % 60 as string), 2, '0'))"),
     // parse_duration('2.25h') → day-time interval; invalid strings raise,
     // as Presto's INVALID_FUNCTION_ARGUMENT (no silent nulls).
     ("parse_duration", 1,

@@ -225,6 +225,34 @@ object RegistrySql extends QueryPack {
         |      UNION ALL SELECT 2, ARRAY[7, 8, 9], 'p-q-r', map('a', 6))
         |ORDER BY id""".stripMargin)),
 
+    // Per-VALUE zoned timestamps (TimestampWithTimeZoneType /
+    // DateTimeEncoding): struct<utc, tz> columns built from ISO-8601
+    // offset literals — instant comparison across zones, wall-clock
+    // extraction, truncate-toward-zero offsets for a -03:30 zone, zone
+    // shifting with the instant preserved, and ISO re-rendering. The
+    // oracle carries hand-derived literals (the qj2 stance): every
+    // value below is worked by hand from the offsets.
+    "qp1_zoned_timestamps" -> ((s, dir) => sql(s, dir,
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-06-10T10:00:00Z'),
+        |    (4, '2020-12-31T23:45:00-03:30') AS t(id, s))
+        |SELECT cast(id as bigint) AS id,
+        |  cast(zoned_instant(z) as string) AS instant_utc,
+        |  cast(zoned_local(z) as string) AS wall,
+        |  cast(zoned_timezone_hour(z) as bigint) AS tzh,
+        |  cast(zoned_timezone_minute(z) as bigint) AS tzm,
+        |  zoned_to_iso8601(z) AS iso,
+        |  cast(hour(zoned_local(z)) as bigint) AS local_hour,
+        |  zoned_instant(z) <= zoned_instant(
+        |    zoned_timestamp('2020-06-10T11:00:00+01:00')) AS le_10utc,
+        |  zoned_to_iso8601(zoned_at_timezone(z, '+00:00')) AS at_utc,
+        |  zoned_to_iso8601(zoned_with_timezone(
+        |    cast('2020-06-10 08:00:00' as timestamp_ntz), '-04:00'))
+        |    AS w_tz
+        |FROM z ORDER BY id""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -835,6 +863,30 @@ object RegistrySql extends QueryPack {
         |      FROM documents WHERE doc_id <= 20) t
         |GROUP BY w HAVING count(*) >= 5
         |ORDER BY n DESC, word LIMIT 15""".stripMargin,
+
+    // Hand-derived from the offsets: +05:30/+02:00/Z share the instant
+    // 10:00 UTC; -03:30 on New Year's Eve crosses into 2021 at UTC.
+    "qp1_zoned_timestamps" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '2020-06-10 10:00:00', '2020-06-10 15:30:00',
+        |   CAST(5 AS BIGINT), CAST(30 AS BIGINT),
+        |   '2020-06-10T15:30:00+05:30', CAST(15 AS BIGINT), true,
+        |   '2020-06-10T10:00:00+00:00', '2020-06-10T08:00:00-04:00'),
+        |  (CAST(2 AS BIGINT), '2020-06-10 10:00:00', '2020-06-10 12:00:00',
+        |   CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |   '2020-06-10T12:00:00+02:00', CAST(12 AS BIGINT), true,
+        |   '2020-06-10T10:00:00+00:00', '2020-06-10T08:00:00-04:00'),
+        |  (CAST(3 AS BIGINT), '2020-06-10 10:00:00', '2020-06-10 10:00:00',
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   '2020-06-10T10:00:00+00:00', CAST(10 AS BIGINT), true,
+        |   '2020-06-10T10:00:00+00:00', '2020-06-10T08:00:00-04:00'),
+        |  (CAST(4 AS BIGINT), '2021-01-01 03:15:00', '2020-12-31 23:45:00',
+        |   CAST(-3 AS BIGINT), CAST(-30 AS BIGINT),
+        |   '2020-12-31T23:45:00-03:30', CAST(23 AS BIGINT), false,
+        |   '2021-01-01T03:15:00+00:00', '2020-06-10T08:00:00-04:00'))
+        |  AS t(id, instant_utc, wall, tzh, tzm, iso, local_hour,
+        |       le_10utc, at_utc, w_tz)
+        |ORDER BY id""".stripMargin,
 
     "qn3_presto_subscripts" ->
       """SELECT cast(id as bigint) AS id,
