@@ -241,6 +241,37 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // UPDATE surface (presto-main UpdateNode; SqlBase.g4 UPDATE ... SET
+    // ... WHERE): Spark-first for immutable parquet = copy-on-write —
+    // rewrite the table applying SET expressions to matching rows and
+    // identity to the rest (the same versioned-rewrite pattern as qd1's
+    // DELETE; at 100 TB this is partition-scoped overwrite, and the
+    // map-only rewrite parallelizes per file). UPDATE SET l_discount =
+    // l_discount + 0.01, l_extendedprice = l_extendedprice * 0.9 WHERE
+    // l_quantity > 40; the post-image aggregate is the lock.
+    "qp2_update_rows" -> ((s, dir) => {
+      val base = ctasPath(s, dir) + "_updbase"
+      val v2 = ctasPath(s, dir) + "_updv2"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_discount"), col("l_extendedprice"))
+        .write.mode("overwrite").parquet(base)
+      val t = s.read.parquet(base)
+      val hit = coalesce(col("l_quantity") > 40, lit(false))
+      t.withColumn("l_discount",
+          when(hit, col("l_discount") + 0.01).otherwise(col("l_discount")))
+        .withColumn("l_extendedprice",
+          when(hit, col("l_extendedprice") * 0.9)
+            .otherwise(col("l_extendedprice")))
+        .write.mode("overwrite").parquet(v2)
+      s.read.parquet(v2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("rev"),
+          round(sum(col("l_discount")), 4).as("disc_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "qc9_csv_roundtrip" -> ((s, dir) => {
       val out = ctasPath(s, dir) + "_csv"
       Tables.view(s, dir, "lineitem")
@@ -306,6 +337,17 @@ object Storage extends QueryPack {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 4) AS rev
         |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Post-image replay: the UPDATE applied inline.
+    "qp2_update_rows" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(CASE WHEN coalesce(l_quantity > 40, false)
+        |    THEN l_extendedprice * 0.9 ELSE l_extendedprice END), 4)
+        |    AS rev,
+        |  round(sum(CASE WHEN coalesce(l_quantity > 40, false)
+        |    THEN l_discount + 0.01 ELSE l_discount END), 4) AS disc_sum
+        |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "qd1_delete_rows" ->

@@ -187,6 +187,21 @@ object Views extends QueryPack {
           |ORDER BY band""".stripMargin))
     }),
 
+    // SHOW SCHEMAS / SHOW TABLES (SqlBase.g4 showSchemas/showTables;
+    // information_schema in the reference): catalog metadata listings,
+    // no data scan. The table listing is LIKE-filtered to fixture names
+    // so other packs' session views can't leak into the lock.
+    "qp3_show_metadata" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val dbs = s.sql("SHOW DATABASES")
+        .select(col("namespace").as("name"))
+        .withColumn("kind", lit("schema"))
+      val tbl = s.sql("SHOW TABLES LIKE 'lineitem|orders|customer'")
+        .select(col("tableName").as("name"))
+        .withColumn("kind", lit("table"))
+      dbs.union(tbl).orderBy(col("kind"), col("name"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -212,6 +227,12 @@ object Views extends QueryPack {
         |FROM lineitem
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    "qp3_show_metadata" ->
+      """SELECT * FROM (VALUES ('default', 'schema'),
+        |  ('customer', 'table'), ('lineitem', 'table'),
+        |  ('orders', 'table')) AS t(name, kind)
+        |ORDER BY kind, name""".stripMargin,
 
     // Body inlined WITH the null guard (RETURNS NULL ON NULL INPUT).
     "qn6_create_function_presto" ->
