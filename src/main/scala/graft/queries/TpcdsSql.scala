@@ -419,6 +419,7 @@ object TpcdsSql extends QueryPack {
         |FROM wss y JOIN wss x ON y.ss_store_sk = x.ss_store_sk
         |  AND y.d_week_seq = x.d_week_seq - 52
         |WHERE y.d_week_seq BETWEEN 52 AND 78
+        |  AND x.d_week_seq BETWEEN 104 AND 130
         |ORDER BY store_sk, week1""".stripMargin)),
 
     // Q5/Q77-style cross-channel report: per-channel per-outlet sales
@@ -614,6 +615,7 @@ object TpcdsSql extends QueryPack {
          |FROM wss y JOIN wss x ON y.ss_store_sk = x.ss_store_sk
          |  AND y.d_week_seq = x.d_week_seq - 52
          |WHERE y.d_week_seq BETWEEN 52 AND 78
+         |  AND x.d_week_seq BETWEEN 104 AND 130
          |ORDER BY store_sk, week1""".stripMargin,
 
     "qo7_tpcds_channels" ->
