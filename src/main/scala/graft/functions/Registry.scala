@@ -822,27 +822,38 @@ object Registry {
       // Presto ALSO spells its weighted variant with three args —
       // approx_percentile(x, w, percentage) — which is indistinguishable
       // from Spark's (col, percentage, accuracy) by name alone; a
-      // fractional literal in 3rd position can only be the weighted form,
-      // so fail loudly instead of silently computing a percentile of the
-      // weight column (ADVICE r3).
+      // fractional literal in 3rd position can only be the weighted form
+      // (accuracy is an integer there), so route it to Spark's exact
+      // percentile(col, p, frequency) with frequency = weight — the
+      // weighted-multiset percentile, and exact results trivially
+      // satisfy the approximate contract (r6; was a loud reject since
+      // ADVICE r3). At 100 TB swap in a weighted mergeable sketch; the
+      // exact aggregate holds per-group sorted state.
       locally {
         val name = "approx_percentile"
         val builder: Seq[Expression] => Expression = { args =>
-          if (args.length == 3) args(2) match {
-            case Literal(_, DoubleType | _: DecimalType) => sys.error(
-              "approx_percentile: 3rd argument is a fractional literal, " +
-                "which is Presto's WEIGHTED form approx_percentile(x, w, " +
-                "percentage) — not supported; Spark's 3-arg form is " +
-                "(col, percentage, accuracy) with integer accuracy")
-            case _ => ()
+          val weighted = args.length == 3 && (args(2) match {
+            case Literal(_, DoubleType | _: DecimalType) => true
+            case _ => false
+          })
+          if (weighted)
+            spark.sessionState.sqlParser
+              .parseExpression("percentile(__a, __c, __b)")
+              .transformUp {
+                case UnresolvedAttribute(Seq("__a")) => args(0)
+                case UnresolvedAttribute(Seq("__b")) =>
+                  Cast(args(1), LongType)
+                case UnresolvedAttribute(Seq("__c")) => args(2)
+              }
+          else {
+            val full = if (args.length == 2) args :+ Literal(10000) else args
+            spark.sessionState.sqlParser
+              .parseExpression("percentile_approx(__a, __b, __c)")
+              .transformUp {
+                case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
+                  full(argNames.indexOf(n))
+              }
           }
-          val full = if (args.length == 2) args :+ Literal(10000) else args
-          spark.sessionState.sqlParser
-            .parseExpression("percentile_approx(__a, __b, __c)")
-            .transformUp {
-              case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
-                full(argNames.indexOf(n))
-            }
         }
         registry.registerFunction(FunctionIdentifier(name),
           new ExpressionInfo(getClass.getCanonicalName, name), builder)

@@ -253,6 +253,25 @@ object RegistrySql extends QueryPack {
         |    AS w_tz
         |FROM z ORDER BY id""".stripMargin)),
 
+    // Presto's WEIGHTED approx_percentile(x, w, p) (ApproximateWeighted
+    // PercentileAggregations.java): routed to Spark's exact
+    // percentile(col, p, frequency) — the weighted-multiset percentile,
+    // and exact trivially satisfies the approximate contract. The
+    // oracle EXPANDS each row w times and takes the plain interpolated
+    // quantile — the definition itself. The 5e-7 epsilon breaks exact
+    // .xxx5 interpolation ties (cents-grid data, the qo1 lesson).
+    "qp4_weighted_percentile" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        |  round(approx_percentile(l_extendedprice,
+        |    cast(l_quantity as bigint), 0.5) + 5e-7, 4) AS wmed,
+        |  round(approx_percentile(l_extendedprice,
+        |    cast(l_quantity as bigint), 0.9) + 5e-7, 4) AS wp90,
+        |  round(approx_percentile(l_extendedprice,
+        |    cast(l_quantity as bigint), 0.1) + 5e-7, 4) AS wp10
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     "qd2_presto_sql_ip" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id, ip,
         |  ip_prefix(ip, 24) AS net24,
@@ -863,6 +882,23 @@ object RegistrySql extends QueryPack {
         |      FROM documents WHERE doc_id <= 20) t
         |GROUP BY w HAVING count(*) >= 5
         |ORDER BY n DESC, word LIMIT 15""".stripMargin,
+
+    // Each row expanded weight times, then the plain interpolated
+    // quantile — the weighted-percentile definition from first
+    // principles (quantile_cont and Spark's percentile share the
+    // rank = p*(N-1) linear-interpolation definition).
+    "qp4_weighted_percentile" ->
+      """WITH e AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    unnest(range(CAST(l_quantity AS BIGINT))) AS i
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5) + 5e-7, 4) AS wmed,
+        |  round(quantile_cont(l_extendedprice, 0.9) + 5e-7, 4) AS wp90,
+        |  round(quantile_cont(l_extendedprice, 0.1) + 5e-7, 4) AS wp10
+        |FROM e
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Hand-derived from the offsets: +05:30/+02:00/Z share the instant
     // 10:00 UTC; -03:30 on New Year's Eve crosses into 2021 at UTC.

@@ -146,12 +146,20 @@ class RegistrySuite extends GraftSuite {
         "AS t(x))") == Seq(1L, 2L, 3L))
   }
 
-  test("approx_percentile rejects Presto's weighted 3-arg form loudly") {
-    val e = intercept[Exception] {
-      spark.sql("SELECT approx_percentile(x, w, 0.5) AS v " +
-        "FROM VALUES (1.0, 2.0) t(x, w)").collect()
-    }
-    assert(e.getMessage.contains("WEIGHTED"))
+  test("approx_percentile weighted 3-arg form = weighted-multiset percentile") {
+    // multiset {10 x1, 20 x3, 30 x1}: median is 20; 0.9-quantile
+    // interpolates between the expanded ranks
+    val r = spark.sql(
+      """SELECT approx_percentile(x, w, 0.5) AS med,
+        |  approx_percentile(x, w, 0.0) AS lo,
+        |  approx_percentile(x, w, 1.0) AS hi
+        |FROM VALUES (10.0D, 1L), (20.0D, 3L), (30.0D, 1L) t(x, w)""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 20.0)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 30.0)
+    // Spark's own 3-arg (col, percentage, integer accuracy) still works
+    assert(spark.sql("SELECT approx_percentile(x, 0.5, 100) AS v " +
+      "FROM VALUES (1.0D), (2.0D), (3.0D) t(x)").head().getDouble(0) == 2.0)
   }
 
   test("word_stem accepts only English") {
