@@ -1799,6 +1799,89 @@ object Registry {
     q
   }
 
+  // Presto PREPARE / EXECUTE ... USING (SqlBase.g4 prepare/execute;
+  // presto-main QueryPreparer): session-scoped statement store keyed by
+  // the session itself (weak keys, the Tables.register stance — no
+  // leak, identity semantics). EXECUTE substitutes `?` placeholders
+  // positionally with the USING argument texts (string-literal-masked
+  // scan, top-level comma split), then runs through the full
+  // rewritePrestoSql pipeline — plan-once-bind-later collapses to
+  // bind-then-plan, which Spark's codegen cache makes equivalent in
+  // practice at session scope.
+  private val preparedStmts =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private val prepareRe = """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$""".r
+  private val executeRe = """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*$""".r
+  private val deallocRe = """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** Split an argument list on top-level commas (strings masked, parens
+    * and brackets depth-tracked). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inS = false
+    s.foreach { c =>
+      if (inS) { cur += c; if (c == '\'') inS = false }
+      else c match {
+        case '\'' => cur += c; inS = true
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.map(_.trim).toSeq
+  }
+
+  /** Entry point for statement-level Presto SQL: handles PREPARE /
+    * EXECUTE / DEALLOCATE, everything else falls through to
+    * `spark.sql(rewritePrestoSql(...))`. */
+  def prestoStatement(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    sqlText match {
+      case prepareRe(name, body) =>
+        synchronized {
+          preparedStmts.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty)
+            .update(name.toLowerCase, body.trim)
+        }
+        spark.sql(s"SELECT 'PREPARE' AS result, '${name.toLowerCase}' AS statement")
+      case deallocRe(name) =>
+        synchronized {
+          Option(preparedStmts.get(spark)).foreach(_.remove(name.toLowerCase))
+        }
+        spark.sql("SELECT 'DEALLOCATE' AS result")
+      case executeRe(name, argsOrNull) =>
+        val body = synchronized {
+          Option(preparedStmts.get(spark)).flatMap(_.get(name.toLowerCase))
+        }.getOrElse(sys.error(s"prepared statement not found: $name"))
+        val args = Option(argsOrNull).map(splitTopLevel).getOrElse(Seq.empty)
+        // positional ?-substitution, string literals masked
+        val out = new StringBuilder
+        var inS = false
+        var i = 0
+        var next = 0
+        body.foreach { c =>
+          if (inS) { out += c; if (c == '\'') inS = false }
+          else if (c == '\'') { out += c; inS = true }
+          else if (c == '?') {
+            require(next < args.length,
+              s"EXECUTE $name: statement has more ? parameters than " +
+                s"USING arguments (${args.length})")
+            out.append("(").append(args(next)).append(")")
+            next += 1
+          } else out += c
+          i += 1
+        }
+        require(next == args.length,
+          s"EXECUTE $name: ${args.length} USING arguments for $next " +
+            "? parameters")
+        spark.sql(rewritePrestoSql(out.toString))
+      case other => spark.sql(rewritePrestoSql(other))
+    }
+
   def rewritePrestoSql(q: String): String = {
     val fnned = rewriteCreateFunction(q)
     val dated = prestoDateFnRe.replaceAllIn(fnned,

@@ -202,6 +202,33 @@ object Views extends QueryPack {
       dbs.union(tbl).orderBy(col("kind"), col("name"))
     }),
 
+    // Verbatim PREPARE / EXECUTE ... USING / DEALLOCATE (SqlBase.g4
+    // prepare/execute; QueryPreparer): `?` placeholders substituted
+    // positionally from the USING list, same statement executed twice
+    // with different bindings, then re-prepared after DEALLOCATE.
+    // Complements qd7 (Spark's named-parameter API — the semantic twin).
+    "qp5_prepare_execute" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      prestoStatement(s,
+        """PREPARE graft_q FROM
+          |SELECT o_orderpriority, cast(count(*) as bigint) AS n
+          |FROM orders
+          |WHERE o_totalprice > ? AND o_orderdate >= ?
+          |GROUP BY o_orderpriority""".stripMargin)
+      val run1 = prestoStatement(s,
+        "EXECUTE graft_q USING 150000.0, timestamp '1996-01-01 00:00:00'")
+        .withColumn("run", lit(1L))
+      val run2 = prestoStatement(s,
+        "EXECUTE graft_q USING 250000.0, timestamp '1997-06-01 00:00:00'")
+        .withColumn("run", lit(2L))
+      prestoStatement(s, "DEALLOCATE PREPARE graft_q")
+      run1.union(run2)
+        .select(col("run"), col("o_orderpriority"), col("n"))
+        .orderBy(col("run"), col("o_orderpriority"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -227,6 +254,24 @@ object Views extends QueryPack {
         |FROM lineitem
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    // The two executions inlined with their bindings.
+    "qp5_prepare_execute" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS run, o_orderpriority,
+        |    cast(count(*) as bigint) AS n
+        |  FROM orders
+        |  WHERE o_totalprice > 150000.0
+        |    AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS run, o_orderpriority,
+        |    cast(count(*) as bigint) AS n
+        |  FROM orders
+        |  WHERE o_totalprice > 250000.0
+        |    AND o_orderdate >= timestamp '1997-06-01 00:00:00'
+        |  GROUP BY o_orderpriority)
+        |ORDER BY run, o_orderpriority""".stripMargin,
 
     "qp3_show_metadata" ->
       """SELECT * FROM (VALUES ('default', 'schema'),
