@@ -229,6 +229,203 @@ object Views extends QueryPack {
         .orderBy(col("run"), col("o_orderpriority"))
     }),
 
+    // DESCRIBE / DESC verbatim (SqlBase.g4 aliases DESCRIBE and DESC to
+    // #showColumns; reference renders Column/Type/Extra/Comment from
+    // information_schema.columns). Types render as Presto type
+    // signatures (varchar/bigint/timestamp) — the oracle reads DuckDB's
+    // OWN information_schema over the identical parquet, so the lock is
+    // a genuine two-engine metadata agreement, not a replayed literal.
+    "qp6_describe_table" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s, "DESCRIBE lineitem")
+        .select(col("Column").as("column_name"),
+          col("Type").as("data_type"))
+        .orderBy(col("column_name"))
+    }),
+
+    // EXPLAIN statement family (ExplainRewrite.java; SqlBase.g4
+    // explain/explainOption): VALIDATE analyzes only, TYPE LOGICAL /
+    // DISTRIBUTED render the optimized/physical plan, TYPE IO lists
+    // input tables as JSON, ANALYZE executes and appends runtime
+    // metrics. Plan TEXT can't hash against DuckDB, so the lock is on
+    // engine-derived facts: the physical plan scans parquet WITH the
+    // filter pushed, the IO listing names exactly the scanned tables,
+    // ANALYZE carries row-count metrics.
+    "qp7_explain_surface" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val valid = prestoStatement(s,
+        """EXPLAIN (TYPE VALIDATE)
+          |SELECT l_returnflag, sum(l_quantity) FROM lineitem
+          |WHERE l_shipdate < timestamp '1995-01-01 00:00:00'
+          |GROUP BY l_returnflag""".stripMargin)
+        .collect()(0).getBoolean(0)
+      val phys = prestoStatement(s,
+        """EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem
+          |WHERE l_shipdate < timestamp '1995-01-01 00:00:00'
+          |GROUP BY l_returnflag""".stripMargin)
+        .collect()(0).getString(0)
+      val logical = prestoStatement(s,
+        """EXPLAIN (TYPE LOGICAL) SELECT l_returnflag, sum(l_quantity)
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        .collect()(0).getString(0)
+      val io = prestoStatement(s,
+        """EXPLAIN (TYPE IO)
+          |SELECT l.l_orderkey FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+        .collect()(0).getString(0)
+      val analyzed = prestoStatement(s,
+        "EXPLAIN ANALYZE SELECT count(*) AS n FROM nation")
+        .collect()(0).getString(0)
+      import s.implicits._
+      Seq(
+        ("analyze_has_metrics",
+          analyzed.contains("Runtime Metrics") &&
+            analyzed.contains("numOutputRows")),
+        ("io_tables", io == """{"inputTables":["lineitem","orders"]}"""),
+        ("logical_has_aggregate", logical.contains("Aggregate")),
+        ("physical_pushes_filter", phys.contains("PushedFilters") &&
+          phys.contains("l_shipdate")),
+        ("physical_scans_parquet", phys.contains("FileScan parquet")),
+        ("validate_true", valid)
+      ).toDF("chk", "ok").orderBy(col("chk"))
+    }),
+
+    // SET SESSION / RESET SESSION / SHOW SESSION
+    // (SystemSessionProperties.java; ShowQueriesRewrite
+    // visitShowSession): the two properties with a real engine knob
+    // behind them are PROVEN applied — hash_partition_count drives
+    // spark.sql.shuffle.partitions, join_distribution_type=PARTITIONED
+    // forces the broadcast threshold off so a dimension join plans as
+    // shuffle join — then RESET restores the session's own prior
+    // values. Unknown names fail loudly like the reference.
+    "qp8_session_properties" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val priorBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      def sessionValue(name: String): String =
+        prestoStatement(s, "SHOW SESSION")
+          .filter(col("Name") === name).collect()(0).getString(1)
+      val defaults = prestoStatement(s, "SHOW SESSION").count()
+      prestoStatement(s, "SET SESSION hash_partition_count = 7")
+      val setVisible = sessionValue("hash_partition_count")
+      val confApplied = s.conf.get("spark.sql.shuffle.partitions")
+      prestoStatement(s, "RESET SESSION hash_partition_count")
+      val resetVisible = sessionValue("hash_partition_count")
+      val confRestored = s.conf.get("spark.sql.shuffle.partitions")
+      prestoStatement(s, "SET SESSION join_distribution_type = 'PARTITIONED'")
+      val shuffleJoin = s.sql(
+        """SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'""".stripMargin)
+        .queryExecution.executedPlan.toString
+      prestoStatement(s, "RESET SESSION join_distribution_type")
+      val bcastRestored = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val unknownRejected =
+        try { prestoStatement(s, "SET SESSION graft_no_such_prop = 1"); false }
+        catch { case _: Exception => true }
+      import s.implicits._
+      Seq(
+        ("conf_applied", confApplied),
+        ("conf_restored", (confRestored == priorShuffle).toString),
+        ("defaults_listed", defaults.toString),
+        ("partitioned_forces_shuffle",
+          (!shuffleJoin.contains("BroadcastHashJoin") &&
+            shuffleJoin.contains("SortMergeJoin")).toString),
+        ("reset_restores_bcast", (bcastRestored == priorBcast).toString),
+        ("reset_shows_default", resetVisible),
+        ("set_visible", setVisible),
+        ("unknown_rejected", unknownRejected.toString)
+      ).toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // DESCRIBE INPUT / DESCRIBE OUTPUT over the prepared-statement
+    // store (DescribeInputRewrite.java:123 — 0-based Position per `?`;
+    // DescribeOutputRewrite.java:115 — one row per output column with
+    // Presto type signature and fixed-width size, from ANALYSIS only:
+    // nothing executes, placeholders bind NULL for typing).
+    "qp9_describe_input_output" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      prestoStatement(s,
+        """PREPARE graft_din FROM
+          |SELECT o_orderpriority FROM orders
+          |WHERE o_totalprice > ? AND o_orderdate >= ?""".stripMargin)
+      prestoStatement(s,
+        """PREPARE graft_dout FROM
+          |SELECT o_orderkey, o_totalprice + 1.0 AS bumped,
+          |  o_orderpriority
+          |FROM orders""".stripMargin)
+      val input = prestoStatement(s, "DESCRIBE INPUT graft_din")
+        .collect().map(r => ("input", r.getInt(0).toLong, "?",
+          r.getString(1), 0L))
+      val output = prestoStatement(s, "DESCRIBE OUTPUT graft_dout")
+        .collect().zipWithIndex.map { case (r, i) =>
+          ("output", i.toLong, r.getString(0), r.getString(4),
+            r.getInt(5).toLong)
+        }
+      prestoStatement(s, "DEALLOCATE PREPARE graft_din")
+      prestoStatement(s, "DEALLOCATE PREPARE graft_dout")
+      import s.implicits._
+      (input ++ output).toSeq
+        .toDF("kind", "pos", "name", "typ", "size")
+        .orderBy(col("kind"), col("pos"))
+    }),
+
+    // Transaction no-ops + SHOW CREATE + DROP FUNCTION + USE
+    // (SqlBase.g4 startTransaction/commit/rollback, showCreateTable/
+    // View/Function, dropFunction, use): START TRANSACTION / COMMIT /
+    // ROLLBACK are accepted as autocommit no-ops (the stance of the
+    // reference's non-transactional connectors — ledger divergence);
+    // SHOW CREATE TABLE reconstructs DDL from catalog metadata, SHOW
+    // CREATE VIEW / FUNCTION replay session-created texts, DROP
+    // FUNCTION removes from both catalog and the SHOW CREATE store.
+    "qq0_txn_show_create" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val txnOk =
+        prestoStatement(s, "START TRANSACTION").collect()(0)
+          .getString(0) == "START TRANSACTION" &&
+        prestoStatement(s, "COMMIT").collect()(0).getString(0) == "COMMIT" &&
+        prestoStatement(s, "ROLLBACK WORK").collect()(0)
+          .getString(0) == "ROLLBACK"
+      val ddl = prestoStatement(s, "SHOW CREATE TABLE nation")
+        .collect()(0).getString(0)
+      val ddlOk = ddl.startsWith("CREATE TABLE nation (") &&
+        ddl.contains("\"n_nationkey\" integer") &&
+        ddl.contains("\"n_name\" varchar")
+      prestoStatement(s,
+        "CREATE OR REPLACE TEMPORARY VIEW graft_scv AS SELECT 1 AS one")
+      val viewText = prestoStatement(s, "SHOW CREATE VIEW graft_scv")
+        .collect()(0).getString(0)
+      val viewOk = viewText.contains("SELECT 1 AS one")
+      prestoStatement(s,
+        """CREATE OR REPLACE FUNCTION graft.default.graft_scf(x DOUBLE)
+          |RETURNS DOUBLE RETURN x * 2""".stripMargin)
+      val fnText = prestoStatement(s, "SHOW CREATE FUNCTION graft_scf")
+        .collect()(0).getString(0)
+      val fnInvokes = s.sql("SELECT graft_scf(3.0) AS y")
+        .collect()(0).getDouble(0) == 6.0
+      prestoStatement(s, "DROP FUNCTION IF EXISTS graft.default.graft_scf")
+      val fnDropped =
+        s.sql("SHOW USER FUNCTIONS LIKE 'graft_scf'").count() == 0 &&
+          (try { prestoStatement(s, "SHOW CREATE FUNCTION graft_scf"); false }
+           catch { case _: Exception => true })
+      import s.implicits._
+      Seq(
+        ("drop_function_removes", fnDropped),
+        ("show_create_function", fnText.contains("RETURN") && fnInvokes),
+        ("show_create_table", ddlOk),
+        ("show_create_view", viewOk),
+        ("txn_autocommit_noops", txnOk)
+      ).toDF("chk", "ok").orderBy(col("chk"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -243,6 +440,58 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB's OWN catalog over the identical parquet — a genuine
+    // two-engine metadata agreement (both render Presto-style names:
+    // varchar/bigint/integer/double/timestamp for this schema).
+    "qp6_describe_table" ->
+      """SELECT column_name, lower(data_type) AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name = 'lineitem'
+        |ORDER BY column_name""".stripMargin,
+
+    "qp7_explain_surface" ->
+      """SELECT * FROM (VALUES
+        |  ('analyze_has_metrics', TRUE),
+        |  ('io_tables', TRUE),
+        |  ('logical_has_aggregate', TRUE),
+        |  ('physical_pushes_filter', TRUE),
+        |  ('physical_scans_parquet', TRUE),
+        |  ('validate_true', TRUE)) AS t(chk, ok)
+        |ORDER BY chk""".stripMargin,
+
+    "qp8_session_properties" ->
+      """SELECT * FROM (VALUES
+        |  ('conf_applied', '7'),
+        |  ('conf_restored', 'true'),
+        |  ('defaults_listed', '5'),
+        |  ('partitioned_forces_shuffle', 'true'),
+        |  ('reset_restores_bcast', 'true'),
+        |  ('reset_shows_default', '100'),
+        |  ('set_visible', '7'),
+        |  ('unknown_rejected', 'true')) AS t(k, v)
+        |ORDER BY k""".stripMargin,
+
+    "qp9_describe_input_output" ->
+      """SELECT kind, CAST(pos AS BIGINT) AS pos, name, typ,
+        |  CAST(size AS BIGINT) AS size
+        |FROM (VALUES
+        |  ('input', 0, '?', 'unknown', 0),
+        |  ('input', 1, '?', 'unknown', 0),
+        |  ('output', 0, 'o_orderkey', 'bigint', 8),
+        |  ('output', 1, 'bumped', 'double', 8),
+        |  ('output', 2, 'o_orderpriority', 'varchar', 0))
+        |  AS t(kind, pos, name, typ, size)
+        |ORDER BY kind, pos""".stripMargin,
+
+    "qq0_txn_show_create" ->
+      """SELECT * FROM (VALUES
+        |  ('drop_function_removes', TRUE),
+        |  ('show_create_function', TRUE),
+        |  ('show_create_table', TRUE),
+        |  ('show_create_view', TRUE),
+        |  ('txn_autocommit_noops', TRUE)) AS t(chk, ok)
+        |ORDER BY chk""".stripMargin,
+
     // The SQL function bodies inlined (exactly what Spark's analyzer
     // does); fn_listed pins the catalog listing of both created names.
     "qn4_create_function" ->

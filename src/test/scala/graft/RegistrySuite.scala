@@ -464,4 +464,87 @@ class RegistrySuite extends GraftSuite {
       .as[Seq[Double]].head()
     assert(arr == Seq(2.5, 4.5))
   }
+
+  test("DESCRIBE renders Presto type signatures from catalog metadata") {
+    graft.Tables.register(spark, SfDir)
+    val rows = Registry.prestoStatement(spark, "DESC nation").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("n_name") == "varchar")
+    assert(rows("n_nationkey") == "integer")
+    // DESCRIBE INPUT must not be swallowed by the table form
+    intercept[Exception] {
+      Registry.prestoStatement(spark, "DESCRIBE INPUT no_such_stmt")
+    }
+  }
+
+  test("EXPLAIN family: VALIDATE analyzes only, IO lists tables, paren query is not options") {
+    graft.Tables.register(spark, SfDir)
+    val valid = Registry.prestoStatement(spark,
+      "EXPLAIN (TYPE VALIDATE) SELECT count(*) FROM nation")
+      .collect()(0).getBoolean(0)
+    assert(valid)
+    intercept[Exception] {
+      Registry.prestoStatement(spark,
+        "EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM nation")
+    }
+    val io = Registry.prestoStatement(spark,
+      "EXPLAIN (TYPE IO) SELECT r_name FROM region r2 JOIN nation ON n_regionkey = r_regionkey")
+      .collect()(0).getString(0)
+    assert(io == """{"inputTables":["nation","region"]}""")
+    // `EXPLAIN (SELECT 1)` — parenthesized query, not an option list
+    val txt = Registry.prestoStatement(spark, "EXPLAIN (SELECT 1)")
+      .collect()(0).getString(0)
+    assert(txt.nonEmpty && !txt.contains("Exception"))
+  }
+
+  test("SET SESSION maps hash_partition_count onto shuffle partitions; RESET restores") {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    Registry.prestoStatement(spark, "SET SESSION hash_partition_count = 5")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "5")
+    val shown = Registry.prestoStatement(spark, "SHOW SESSION")
+      .filter(col("Name") === "hash_partition_count")
+      .collect()(0).getString(1)
+    assert(shown == "5")
+    Registry.prestoStatement(spark, "RESET SESSION hash_partition_count")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+    intercept[Exception] {
+      Registry.prestoStatement(spark, "SET SESSION not_a_property = 1")
+    }
+  }
+
+  test("SHOW CREATE FUNCTION replays the created text; DROP FUNCTION removes it") {
+    Registry.prestoStatement(spark,
+      "CREATE OR REPLACE FUNCTION graft.default.t_scf(x BIGINT) RETURNS BIGINT RETURN x + 1")
+    assert(spark.sql("SELECT t_scf(41) AS v").as[Long].head() == 42L)
+    val text = Registry.prestoStatement(spark, "SHOW CREATE FUNCTION t_scf")
+      .collect()(0).getString(0)
+    assert(text.contains("RETURN x + 1"))
+    Registry.prestoStatement(spark, "DROP FUNCTION IF EXISTS t_scf")
+    assert(spark.sql("SHOW USER FUNCTIONS LIKE 't_scf'").count() == 0)
+    intercept[Exception] {
+      Registry.prestoStatement(spark, "SHOW CREATE FUNCTION t_scf")
+    }
+  }
+
+  test("transaction statements are autocommit no-ops") {
+    assert(Registry.prestoStatement(spark, "START TRANSACTION READ ONLY")
+      .collect()(0).getString(0) == "START TRANSACTION")
+    assert(Registry.prestoStatement(spark, "COMMIT WORK")
+      .collect()(0).getString(0) == "COMMIT")
+    assert(Registry.prestoStatement(spark, "ROLLBACK")
+      .collect()(0).getString(0) == "ROLLBACK")
+  }
+
+  test("DESCRIBE OUTPUT types prepared statements without executing them") {
+    graft.Tables.register(spark, SfDir)
+    Registry.prestoStatement(spark,
+      "PREPARE t_dio FROM SELECT n_name, n_nationkey * 2 AS dbl FROM nation WHERE n_nationkey > ?")
+    val out = Registry.prestoStatement(spark, "DESCRIBE OUTPUT t_dio")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(out("n_name") == "varchar")
+    assert(out("dbl") == "integer")
+    val in = Registry.prestoStatement(spark, "DESCRIBE INPUT t_dio").collect()
+    assert(in.length == 1 && in(0).getInt(0) == 0)
+    Registry.prestoStatement(spark, "DEALLOCATE PREPARE t_dio")
+  }
 }
