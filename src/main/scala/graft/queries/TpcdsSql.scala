@@ -112,13 +112,17 @@ object TpcdsSql extends QueryPack {
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_address AS
             |SELECT c_custkey AS ca_address_sk,
             |  lpad(cast(c_custkey * 7919 % 100000 as string), 5, '0')
-            |    AS ca_zip
+            |    AS ca_zip,
+            |  CASE cast(c_custkey % 7 as int) WHEN 0 THEN 'TN'
+            |    WHEN 1 THEN 'CA' WHEN 2 THEN 'TX' WHEN 3 THEN 'NY'
+            |    WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state
             |FROM customer""".stripMargin)
     // catalog channel: the even-linenumber slice (web takes the odd)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW catalog_sales AS
             |SELECT cast(datediff(cast(o_orderdate as date),
             |    DATE '1995-01-01') + 2450000 as bigint) AS cs_sold_date_sk,
             |  l_partkey AS cs_item_sk,
+            |  o_custkey AS cs_bill_customer_sk,
             |  cast(l_suppkey % 3 + 1 as bigint) AS cs_call_center_sk,
             |  l_extendedprice AS cs_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
@@ -212,13 +216,17 @@ object TpcdsSql extends QueryPack {
       |customer_address AS (
       |  SELECT c_custkey AS ca_address_sk,
       |    lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR), 5, '0')
-      |      AS ca_zip
+      |      AS ca_zip,
+      |    CASE CAST(c_custkey % 7 AS INT) WHEN 0 THEN 'TN'
+      |      WHEN 1 THEN 'CA' WHEN 2 THEN 'TX' WHEN 3 THEN 'NY'
+      |      WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state
       |  FROM customer),
       |catalog_sales AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01',
       |      CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
       |      AS cs_sold_date_sk,
       |    l_partkey AS cs_item_sk,
+      |    o_custkey AS cs_bill_customer_sk,
       |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cs_call_center_sk,
       |    l_extendedprice AS cs_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit
@@ -422,6 +430,88 @@ object TpcdsSql extends QueryPack {
         |  AND x.d_week_seq BETWEEN 104 AND 130
         |ORDER BY store_sk, week1""".stripMargin)),
 
+    // TPC-DS Q6 shape: states whose customers bought items priced over
+    // 1.2x their category average — a CORRELATED scalar avg subquery
+    // against the item dimension inside a 5-table star. Spark
+    // decorrelates the subquery into an aggregate join on i_category
+    // (category count is tiny → broadcast); the star dimensions all
+    // broadcast, so the plan is one fact scan + broadcasts + one agg.
+    "qq1_tpcds_q6" -> ((s, dir) => sql(s, dir,
+      """SELECT a.ca_state AS state, cast(count(*) as bigint) AS cnt
+        |FROM customer_address a, customer c, store_sales s,
+        |  date_dim d, item i
+        |WHERE a.ca_address_sk = c.c_custkey
+        |  AND s.ss_customer_sk = c.c_custkey
+        |  AND s.ss_sold_date_sk = d.d_date_sk
+        |  AND s.ss_item_sk = i.i_item_sk
+        |  AND d.d_year = 1998 AND d.d_moy = 5
+        |  AND i.i_current_price > 1.04 * (SELECT avg(j.i_current_price)
+        |    FROM item j WHERE j.i_category = i.i_category)
+        |GROUP BY a.ca_state
+        |HAVING count(*) >= 10
+        |ORDER BY cnt, state""".stripMargin)),
+
+    // TPC-DS Q13 shape: one global average over an OR-of-ANDs of
+    // demographic x price-band slices — the disjunctive-predicate star.
+    // The whole disjunction evaluates inside the scan's filter after
+    // the cd broadcast join; nothing shuffles but the final 1-row agg.
+    "qq2_tpcds_q13" -> ((s, dir) => sql(s, dir,
+      """SELECT round(avg(ss_quantity) + 5e-7, 2) AS avg_qty,
+        |  round(avg(ss_ext_sales_price) + 5e-7, 2) AS avg_price,
+        |  round(sum(ss_ext_sales_price), 2) AS total
+        |FROM store_sales, store, customer_demographics, date_dim
+        |WHERE s_store_sk = ss_store_sk
+        |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+        |  AND ss_cdemo_sk = cd_demo_sk
+        |  AND ((cd_marital_status = 'M'
+        |      AND cd_education_status = 'Advanced Degree'
+        |      AND ss_ext_sales_price BETWEEN 10000 AND 20000)
+        |    OR (cd_marital_status = 'S'
+        |      AND cd_education_status = 'College'
+        |      AND ss_ext_sales_price BETWEEN 20000 AND 30000)
+        |    OR (cd_marital_status = 'D'
+        |      AND cd_education_status = 'Primary'
+        |      AND ss_ext_sales_price BETWEEN 30000 AND 40000))""".stripMargin)),
+
+    // TPC-DS Q15 shape: zip-prefix IN-list OR state IN-list OR a
+    // per-row price threshold — the disjunction that CANNOT push into
+    // any one dimension, evaluated post-join; catalog channel fact.
+    "qq3_tpcds_q15" -> ((s, dir) => sql(s, dir,
+      """SELECT ca_zip, round(sum(cs_ext_sales_price), 2) AS total
+        |FROM catalog_sales, customer, customer_address, date_dim
+        |WHERE cs_bill_customer_sk = c_custkey
+        |  AND c_custkey = ca_address_sk
+        |  AND (substr(ca_zip, 1, 2) IN ('85', '86', '88', '83')
+        |    OR ca_state IN ('CA', 'WA')
+        |    OR cs_ext_sales_price > 50000)
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_qoy = 1 AND d_year = 1998
+        |GROUP BY ca_zip
+        |ORDER BY ca_zip""".stripMargin)),
+
+    // TPC-DS Q65 shape: store-item revenue against 10% of the store's
+    // average item revenue — aggregate-of-aggregate with a re-join of
+    // the same derived table (wss computed once, reused twice; Spark
+    // plans the CTE as a reused exchange). Revenue sums round to cents
+    // BEFORE the avg so both engines average identical values.
+    "qq4_tpcds_q65" -> ((s, dir) => sql(s, dir,
+      """WITH sb AS (
+        |  SELECT ss_store_sk, ss_item_sk,
+        |    round(sum(ss_sales_price), 2) AS revenue
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY ss_store_sk, ss_item_sk),
+        |sc AS (
+        |  SELECT ss_store_sk, avg(revenue) AS ave
+        |  FROM sb GROUP BY ss_store_sk)
+        |SELECT s_store_name, i_item_id, sb.revenue
+        |FROM store, item, sb, sc
+        |WHERE sb.ss_store_sk = sc.ss_store_sk
+        |  AND sb.revenue <= 0.1 * sc.ave
+        |  AND s_store_sk = sb.ss_store_sk
+        |  AND i_item_sk = sb.ss_item_sk
+        |ORDER BY s_store_name, i_item_id""".stripMargin)),
+
     // Q5/Q77-style cross-channel report: per-channel per-outlet sales
     // and profit, UNION ALL across the store and web fact tables.
     "qo7_tpcds_channels" -> ((s, dir) => sql(s, dir,
@@ -617,6 +707,74 @@ object TpcdsSql extends QueryPack {
          |WHERE y.d_week_seq BETWEEN 52 AND 78
          |  AND x.d_week_seq BETWEEN 104 AND 130
          |ORDER BY store_sk, week1""".stripMargin,
+
+    "qq1_tpcds_q6" ->
+      s"""WITH $dsCte
+         |SELECT a.ca_state AS state, CAST(count(*) AS BIGINT) AS cnt
+         |FROM customer_address a, customer c, store_sales s,
+         |  date_dim d, item i
+         |WHERE a.ca_address_sk = c.c_custkey
+         |  AND s.ss_customer_sk = c.c_custkey
+         |  AND s.ss_sold_date_sk = d.d_date_sk
+         |  AND s.ss_item_sk = i.i_item_sk
+         |  AND d.d_year = 1998 AND d.d_moy = 5
+         |  AND i.i_current_price > 1.04 * (SELECT avg(j.i_current_price)
+         |    FROM item j WHERE j.i_category = i.i_category)
+         |GROUP BY a.ca_state
+         |HAVING count(*) >= 10
+         |ORDER BY cnt, state""".stripMargin,
+
+    "qq2_tpcds_q13" ->
+      s"""WITH $dsCte
+         |SELECT round(avg(ss_quantity) + 5e-7, 2) AS avg_qty,
+         |  round(avg(ss_ext_sales_price) + 5e-7, 2) AS avg_price,
+         |  round(sum(ss_ext_sales_price), 2) AS total
+         |FROM store_sales, store, customer_demographics, date_dim
+         |WHERE s_store_sk = ss_store_sk
+         |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+         |  AND ss_cdemo_sk = cd_demo_sk
+         |  AND ((cd_marital_status = 'M'
+         |      AND cd_education_status = 'Advanced Degree'
+         |      AND ss_ext_sales_price BETWEEN 10000 AND 20000)
+         |    OR (cd_marital_status = 'S'
+         |      AND cd_education_status = 'College'
+         |      AND ss_ext_sales_price BETWEEN 20000 AND 30000)
+         |    OR (cd_marital_status = 'D'
+         |      AND cd_education_status = 'Primary'
+         |      AND ss_ext_sales_price BETWEEN 30000 AND 40000))""".stripMargin,
+
+    "qq3_tpcds_q15" ->
+      s"""WITH $dsCte
+         |SELECT ca_zip, round(sum(cs_ext_sales_price), 2) AS total
+         |FROM catalog_sales, customer, customer_address, date_dim
+         |WHERE cs_bill_customer_sk = c_custkey
+         |  AND c_custkey = ca_address_sk
+         |  AND (substr(ca_zip, 1, 2) IN ('85', '86', '88', '83')
+         |    OR ca_state IN ('CA', 'WA')
+         |    OR cs_ext_sales_price > 50000)
+         |  AND cs_sold_date_sk = d_date_sk
+         |  AND d_qoy = 1 AND d_year = 1998
+         |GROUP BY ca_zip
+         |ORDER BY ca_zip""".stripMargin,
+
+    "qq4_tpcds_q65" ->
+      s"""WITH $dsCte,
+         |sb AS (
+         |  SELECT ss_store_sk, ss_item_sk,
+         |    round(sum(ss_sales_price), 2) AS revenue
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY ss_store_sk, ss_item_sk),
+         |sc AS (
+         |  SELECT ss_store_sk, avg(revenue) AS ave
+         |  FROM sb GROUP BY ss_store_sk)
+         |SELECT s_store_name, i_item_id, sb.revenue
+         |FROM store, item, sb, sc
+         |WHERE sb.ss_store_sk = sc.ss_store_sk
+         |  AND sb.revenue <= 0.1 * sc.ave
+         |  AND s_store_sk = sb.ss_store_sk
+         |  AND i_item_sk = sb.ss_item_sk
+         |ORDER BY s_store_name, i_item_id""".stripMargin,
 
     "qo7_tpcds_channels" ->
       s"""WITH $dsCte,
