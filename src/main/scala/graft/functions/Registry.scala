@@ -1631,6 +1631,89 @@ object Registry {
     s"CREATE ${orReplace}TEMPORARY FUNCTION $name($params) RETURNS " + rest
   }
 
+  /** Presto `expr AT TIME ZONE 'zone'` (SqlBase.g4 valueExpression
+    * #atTimeZone; presto-main DateTimeOperators): rewritten pre-parse
+    * onto the per-value zoned layer. The receiver — a plain TIMESTAMP,
+    * which the reference interprets in the session zone (UTC here) —
+    * becomes struct<utc, tz> at the target zone: same instant, new
+    * display zone, composable with every zoned_* function (qp1).
+    * Receiver matched backward through the same postfix units as the
+    * subscript rewrite (qualified names, call/paren groups) plus
+    * `timestamp '...'` literals. Already-zoned struct values spell
+    * zoned_at_timezone; INTERVAL-literal zones stay unsupported (loud
+    * parse failure, not a wrong answer). */
+  private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\s+('[^']*')""".r
+  private def rewriteAtTimeZone(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val mask = new Array[Boolean](q.length)
+      var inS = false
+      var m = 0
+      while (m < q.length) {
+        val c = q.charAt(m)
+        if (inS) { mask(m) = true; if (c == '\'') inS = false }
+        else if (c == '\'') { mask(m) = true; inS = true }
+        m += 1
+      }
+      @inline def identChar(c: Char): Boolean =
+        Character.isLetterOrDigit(c) || c == '_'
+      def groupStart(end: Int): Int = {
+        var d = 1
+        var k = end - 1
+        while (k >= 0 && d > 0) {
+          val c = q.charAt(k)
+          if (!mask(k)) { if (c == ')') d += 1 else if (c == '(') d -= 1 }
+          if (d > 0) k -= 1
+        }
+        require(d == 0, "rewritePrestoSql: unbalanced group before AT TIME ZONE")
+        k
+      }
+      atTimeZoneRe.findAllMatchIn(q).find(mm => !mask(mm.start)).foreach { mm =>
+        var p = mm.start - 1
+        while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
+        require(p >= 0, "rewritePrestoSql: AT TIME ZONE without a receiver")
+        var rs = p
+        if (q.charAt(rs) == '\'') {
+          // string-literal receiver: swallow the literal, then an
+          // optional type keyword (timestamp '...' / date '...')
+          rs -= 1
+          while (rs >= 0 && mask(rs)) rs -= 1
+          rs += 1
+          var k = rs - 1
+          while (k >= 0 && Character.isWhitespace(q.charAt(k))) k -= 1
+          if (k >= 0 && identChar(q.charAt(k))) {
+            var w = k
+            while (w > 0 && identChar(q.charAt(w - 1))) w -= 1
+            val word = q.substring(w, k + 1).toUpperCase
+            if (word == "TIMESTAMP" || word == "DATE") rs = w
+          }
+        } else {
+          var more = true
+          while (more) {
+            more = false
+            if (q.charAt(rs) == ')') rs = groupStart(rs)
+            if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
+              while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
+            }
+            if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
+              val c = q.charAt(rs - 2)
+              (identChar(c) || c == ')') && !mask(rs - 2)
+            }) { rs -= 2; more = true }
+          }
+        }
+        val recv = q.substring(rs, p + 1)
+        val zone = mm.group(1)
+        q = q.substring(0, rs) +
+          s"named_struct('utc', cast(($recv) as timestamp_ntz), 'tz', $zone)" +
+          q.substring(mm.end)
+        changed = true
+      }
+    }
+    q
+  }
+
   /** Presto bracket subscripts `expr[i]` → `element_at(expr, i)`:
     * Presto's `[]` is 1-based and errors out-of-bounds
     * (`presto-main/.../scalar/ArraySubscriptOperator.java`), Spark's is
@@ -2298,7 +2381,8 @@ object Registry {
     val sampled = tablesampleRe.replaceAllIn(decimaled,
       m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
     bareVarcharRe.replaceAllIn(
-      rewriteSubscripts(rewriteUnnest(rewriteArrayLiterals(sampled))),
+      rewriteSubscripts(rewriteAtTimeZone(
+        rewriteUnnest(rewriteArrayLiterals(sampled)))),
       m => m.group(1) + "string" + m.group(2))
   }
 }

@@ -253,6 +253,27 @@ object RegistrySql extends QueryPack {
         |    AS w_tz
         |FROM z ORDER BY id""".stripMargin)),
 
+    // Verbatim `expr AT TIME ZONE 'zone'` operator (SqlBase.g4
+    // valueExpression #atTimeZone): pre-parse rewrite onto the zoned
+    // struct layer — same instant, target display zone — composable
+    // with the zoned_* surface. Receivers cover a column, a timestamp
+    // LITERAL, and a function-call result (the three backward-walk
+    // shapes); zones cover an IANA name and a negative half-hour
+    // offset. Oracle carries hand-derived wall clocks (the qp1 stance).
+    "qq5_at_time_zone" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  zoned_to_iso8601(ts AT TIME ZONE 'Asia/Kolkata') AS kolkata,
+        |  zoned_to_iso8601(ts AT TIME ZONE '-03:30') AS nst,
+        |  cast(zoned_timezone_hour(ts AT TIME ZONE '-03:30') as bigint)
+        |    AS tzh,
+        |  cast(zoned_local(timestamp '2020-06-10 10:00:00'
+        |    AT TIME ZONE '+02:00') as string) AS lit_wall,
+        |  cast(hour(zoned_local(date_trunc('hour', ts)
+        |    AT TIME ZONE '+05:30')) as bigint) AS call_recv_hour
+        |FROM (SELECT 1 AS id, timestamp '2020-06-10 10:00:00' AS ts
+        |      UNION ALL SELECT 2, timestamp '2020-12-31 23:45:00')
+        |ORDER BY id""".stripMargin)),
+
     // Presto's WEIGHTED approx_percentile(x, w, p) (ApproximateWeighted
     // PercentileAggregations.java): routed to Spark's exact
     // percentile(col, p, frequency) — the weighted-multiset percentile,
@@ -922,6 +943,21 @@ object RegistrySql extends QueryPack {
         |   '2021-01-01T03:15:00+00:00', '2020-06-10T08:00:00-04:00'))
         |  AS t(id, instant_utc, wall, tzh, tzm, iso, local_hour,
         |       le_10utc, at_utc, w_tz)
+        |ORDER BY id""".stripMargin,
+
+    // Hand-derived: 10:00 UTC is 15:30 Kolkata / 06:30 at -03:30;
+    // 2020-12-31 23:45 UTC crosses into 2021 at +05:30 (05:15) and
+    // stays on NYE at -03:30 (20:15); hour-truncated 23:00 UTC at
+    // +05:30 is 04:30 next morning.
+    "qq5_at_time_zone" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '2020-06-10T15:30:00+05:30',
+        |   '2020-06-10T06:30:00-03:30', CAST(-3 AS BIGINT),
+        |   '2020-06-10 12:00:00', CAST(15 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), '2021-01-01T05:15:00+05:30',
+        |   '2020-12-31T20:15:00-03:30', CAST(-3 AS BIGINT),
+        |   '2020-06-10 12:00:00', CAST(4 AS BIGINT)))
+        |  AS t(id, kolkata, nst, tzh, lit_wall, call_recv_hour)
         |ORDER BY id""".stripMargin,
 
     "qn3_presto_subscripts" ->

@@ -465,6 +465,27 @@ class RegistrySuite extends GraftSuite {
     assert(arr == Seq(2.5, 4.5))
   }
 
+  test("AT TIME ZONE rewrites onto the zoned struct layer") {
+    // column receiver
+    assert(Registry.rewritePrestoSql("SELECT x AT TIME ZONE 'UTC'") ==
+      "SELECT named_struct('utc', cast((x) as timestamp_ntz), 'tz', 'UTC')")
+    // call receiver walks back through the group
+    assert(Registry.rewritePrestoSql("SELECT f(a, b) AT TIME ZONE '+02:00'")
+      .contains("cast((f(a, b)) as timestamp_ntz)"))
+    // timestamp-literal receiver swallows the type keyword
+    assert(Registry.rewritePrestoSql(
+      "SELECT timestamp '2020-01-01 00:00:00' AT TIME ZONE '+01:00'")
+      .contains("cast((timestamp '2020-01-01 00:00:00') as timestamp_ntz)"))
+    // inside a string literal: untouched
+    val s0 = "SELECT 'x AT TIME ZONE ''y''' AS v"
+    assert(Registry.rewritePrestoSql(s0) == s0)
+    // end to end: instant preserved, wall clock moves
+    val wall = spark.sql(Registry.rewritePrestoSql(
+      "SELECT cast(zoned_local(timestamp '2020-06-10 10:00:00' " +
+        "AT TIME ZONE 'Asia/Kolkata') as string) AS v")).as[String].head()
+    assert(wall == "2020-06-10 15:30:00")
+  }
+
   test("DESCRIBE renders Presto type signatures from catalog metadata") {
     graft.Tables.register(spark, SfDir)
     val rows = Registry.prestoStatement(spark, "DESC nation").collect()
