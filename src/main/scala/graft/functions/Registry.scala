@@ -2037,6 +2037,8 @@ object Registry {
     """(?is)^\s*(START\s+TRANSACTION(?:\s+\w+(?:\s+\w+)*)?|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
   private val dropFnRe =
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
+  private val analyzeTableRe =
+    """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
   private val createViewDetectRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][\w.]*)""".r
 
@@ -2338,6 +2340,17 @@ object Registry {
         statusDf(spark,
           if (stmt.trim.toUpperCase.startsWith("START")) "START TRANSACTION"
           else stmt.trim.split("\\s+")(0).toUpperCase)
+
+      case analyzeTableRe(name) =>
+        // ANALYZE (SqlBase.g4 #analyze; presto-main AnalyzeTask →
+        // connector stats collection): Spark's catalog-stats ANALYZE —
+        // row count + per-column ndv/min/max/nulls into the catalog,
+        // feeding the CBO the way Presto's stats feed its optimizer.
+        // WITH (...) properties are connector-specific; accepted and
+        // dropped (Spark's stats have no equivalent knobs).
+        spark.sql(s"ANALYZE TABLE ${name.split('.').last} " +
+          "COMPUTE STATISTICS FOR ALL COLUMNS")
+        statusDf(spark, "ANALYZE")
 
       case dropFnRe(ifExists, name) =>
         val base = name.split('.').last.toLowerCase

@@ -109,6 +109,38 @@ object Storage extends QueryPack {
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // Verbatim ANALYZE statement (SqlBase.g4 #analyze; presto-main
+    // AnalyzeTask): collects row count + per-column ndv/min/max into
+    // the catalog. The gate cross-checks the ANALYZE-computed catalog
+    // statistics against DuckDB computing the same facts directly from
+    // the data — a genuine two-engine agreement on the stats values
+    // (Spark's ndv uses HLL++, exact at this cardinality).
+    "qq6_analyze_stats" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val t = s"graft_an_${Integer.toHexString(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t USING parquet AS SELECT * FROM nation")
+      val status = graft.functions.Registry
+        .prestoStatement(s, s"ANALYZE $t")
+        .collect()(0).getString(0)
+      require(status == "ANALYZE", s"unexpected ANALYZE status: $status")
+      val tbl = s.sql(s"DESC EXTENDED $t")
+        .filter(col("col_name") === "Statistics")
+        .collect()(0).getString(1)
+      val rowCount = """(\d+) rows""".r.findFirstMatchIn(tbl)
+        .map(_.group(1)).getOrElse("missing")
+      val cs = s.sql(s"DESC EXTENDED $t n_nationkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      s.sql(s"DROP TABLE $t")
+      import s.implicits._
+      Seq(
+        ("nationkey_distinct", cs("distinct_count")),
+        ("nationkey_max", cs("max")),
+        ("nationkey_min", cs("min")),
+        ("row_count", rowCount))
+        .toDF("stat", "v").orderBy(col("stat"))
+    }),
+
     // Bucketed co-located join (reference: Hive-connector bucketed
     // tables, `presto-hive/.../HiveBucketing.java` — bucketed layouts
     // join without redistributing either side). Spark analog: bucketBy
@@ -291,6 +323,20 @@ object Storage extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB computes the same statistics directly from the data that
+    // Spark's ANALYZE wrote into the catalog.
+    "qq6_analyze_stats" ->
+      """SELECT stat, v FROM (
+        |  SELECT 'nationkey_distinct' AS stat,
+        |    CAST(count(DISTINCT n_nationkey) AS VARCHAR) AS v FROM nation
+        |  UNION ALL SELECT 'nationkey_max',
+        |    CAST(max(n_nationkey) AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'nationkey_min',
+        |    CAST(min(n_nationkey) AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'row_count',
+        |    CAST(count(*) AS VARCHAR) FROM nation)
+        |ORDER BY stat""".stripMargin,
+
     "qk7_create_drop" ->
       """SELECT * FROM (VALUES
         |  ('add_col_new_rows', '1'), ('add_col_null_rows', '3'),
