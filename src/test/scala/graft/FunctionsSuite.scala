@@ -236,4 +236,51 @@ class FunctionsSuite extends GraftSuite {
     }
     assert(e.getMessage.contains("ragged"))
   }
+
+  test("weighted percentile agg matches Spark's percentile-with-frequency exactly") {
+    graft.functions.Registry.install(spark)
+    // deterministic pseudo-random values with ties and skewed weights
+    spark.sql(
+      """SELECT cast(id % 7 as int) AS g,
+        |  cast((id * 37) % 100 as double) / 4 AS x,
+        |  cast(id % 5 + 1 as bigint) AS w
+        |FROM range(0, 20000) AS t(id)""".stripMargin)
+      .createOrReplaceTempView("wp_probe")
+    val rows = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      """SELECT g,
+        |  approx_percentile(x, w, 0.5) AS ours_med,
+        |  percentile(x, 0.5, w) AS spark_med,
+        |  approx_percentile(x, w, 0.9) AS ours_p90,
+        |  percentile(x, 0.9, w) AS spark_p90,
+        |  approx_percentile(x, w, 0.013) AS ours_p013,
+        |  percentile(x, 0.013, w) AS spark_p013
+        |FROM wp_probe GROUP BY g""".stripMargin)).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"median diverges: $r")
+      assert(r.getDouble(3) == r.getDouble(4), s"p90 diverges: $r")
+      assert(r.getDouble(5) == r.getDouble(6), s"p013 diverges: $r")
+    }
+    // null values and null/zero weights drop out on both sides
+    val nulled = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      """SELECT approx_percentile(x, w, 0.5) AS ours,
+        |  percentile(x, 0.5, w) AS theirs
+        |FROM VALUES (1.0, CAST(2 AS BIGINT)), (CAST(null AS DOUBLE), 5),
+        |  (3.0, CAST(null AS BIGINT)), (2.0, 0), (9.0, 1) AS t(x, w)"""
+        .stripMargin)).collect()(0)
+    assert(nulled.getDouble(0) == nulled.getDouble(1))
+    // negative weights fail loudly (Presto INVALID_FUNCTION_ARGUMENT)
+    val neg = intercept[Exception] {
+      spark.sql(graft.functions.Registry.rewritePrestoSql(
+        "SELECT approx_percentile(x, w, 0.5) FROM VALUES (1.0, -1) AS t(x, w)"))
+        .collect()
+    }
+    assert(neg.getMessage.contains("negative weight") ||
+      Option(neg.getCause).exists(_.getMessage.contains("negative weight")))
+    // all-weights-zero and empty groups yield NULL
+    val empty = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      "SELECT approx_percentile(x, w, 0.5) AS v FROM VALUES (1.0, 0) AS t(x, w)"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+  }
 }
