@@ -1531,6 +1531,20 @@ object Registry {
   private val timeLiteralRe =
     """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
 
+  // Presto TIMESTAMP-WITH-TIME-ZONE literals — `TIMESTAMP
+  // '2020-06-10 15:30:00 +05:30'` / `... Asia/Kolkata'`
+  // (SqlBase.g4 primaryExpression typeConstructor;
+  // TimestampWithTimeZoneType.java): the wall clock is interpreted IN
+  // the named zone and the value carries that zone — exactly the
+  // struct<utc, tz> zoned layer (qp1), so the literal rewrites to
+  // named_struct('utc', to_utc_timestamp(wall, zone), 'tz', zone).
+  // Plain TIMESTAMP literals (no zone suffix) don't match and parse
+  // natively. NOTE struct equality compares (utc, tz) pairs — instant
+  // comparison across zones spells zoned_instant (ledger, qp1).
+  private val timestampTzLiteralRe =
+    ("""(?i)\bTIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}""" +
+      """(?:\.\d{1,6})?)\s+([+-]\d{2}:\d{2}|[A-Za-z][\w/+-]*)'""").r
+
   // Presto DECIMAL 'd.dd' literals: precision = digit count, scale =
   // fractional digits (DecimalType.java literal rules).
   private val decimalLiteralRe =
@@ -2375,7 +2389,13 @@ object Registry {
     val dated = prestoDateFnRe.replaceAllIn(fnned,
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
-    val timed = timeLiteralRe.replaceAllIn(dated,
+    val tstz = timestampTzLiteralRe.replaceAllIn(dated, m => {
+      val wall = m.group(1)
+      val zone = m.group(2)
+      s"named_struct('utc', to_utc_timestamp(" +
+        s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
+    })
+    val timed = timeLiteralRe.replaceAllIn(tstz,
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
     val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
       val s = m.group(1)

@@ -274,6 +274,27 @@ object RegistrySql extends QueryPack {
         |      UNION ALL SELECT 2, timestamp '2020-12-31 23:45:00')
         |ORDER BY id""".stripMargin)),
 
+    // Verbatim TIMESTAMP-WITH-TIME-ZONE literals (SqlBase.g4
+    // typeConstructor; TimestampWithTimeZoneType.java): the wall clock
+    // interpreted IN the suffix zone, carried as struct<utc, tz> —
+    // closes the r5 "per-value zoned timestamps" descope at the
+    // literal spelling too. Offsets, an IANA name, and UTC; the
+    // New-Year's-Eve case crosses the year at UTC.
+    "qq7_timestamp_tz_literal" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  zoned_to_iso8601(z) AS iso,
+        |  cast(zoned_instant(z) as string) AS instant_utc,
+        |  cast(zoned_timezone_hour(z) as bigint) AS tzh,
+        |  zoned_instant(z) =
+        |    zoned_instant(TIMESTAMP '2020-06-10 10:00:00 UTC')
+        |    AS same_instant
+        |FROM VALUES
+        |  (1, TIMESTAMP '2020-06-10 15:30:00 +05:30'),
+        |  (2, TIMESTAMP '2020-12-31 23:45:00 -03:30'),
+        |  (3, TIMESTAMP '2020-06-10 12:00:00 Europe/Berlin')
+        |  AS t(id, z)
+        |ORDER BY id""".stripMargin)),
+
     // Presto's WEIGHTED approx_percentile(x, w, p) (ApproximateWeighted
     // PercentileAggregations.java): routed to Spark's exact
     // percentile(col, p, frequency) — the weighted-multiset percentile,
@@ -943,6 +964,19 @@ object RegistrySql extends QueryPack {
         |   '2021-01-01T03:15:00+00:00', '2020-06-10T08:00:00-04:00'))
         |  AS t(id, instant_utc, wall, tzh, tzm, iso, local_hour,
         |       le_10utc, at_utc, w_tz)
+        |ORDER BY id""".stripMargin,
+
+    // Hand-derived: 15:30+05:30 and 12:00 Berlin summer (+02:00) are
+    // both 10:00 UTC; 23:45-03:30 is 03:15 next day (2021) UTC.
+    "qq7_timestamp_tz_literal" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '2020-06-10T15:30:00+05:30',
+        |   '2020-06-10 10:00:00', CAST(5 AS BIGINT), true),
+        |  (CAST(2 AS BIGINT), '2020-12-31T23:45:00-03:30',
+        |   '2021-01-01 03:15:00', CAST(-3 AS BIGINT), false),
+        |  (CAST(3 AS BIGINT), '2020-06-10T12:00:00+02:00',
+        |   '2020-06-10 10:00:00', CAST(2 AS BIGINT), true))
+        |  AS t(id, iso, instant_utc, tzh, same_instant)
         |ORDER BY id""".stripMargin,
 
     // Hand-derived: 10:00 UTC is 15:30 Kolkata / 06:30 at -03:30;
