@@ -79,12 +79,23 @@ object TpcdsSql extends QueryPack {
             |SELECT cast(datediff(cast(o_orderdate as date),
             |    DATE '1995-01-01') + 2450000 as bigint) AS ws_sold_date_sk,
             |  l_partkey AS ws_item_sk,
+            |  o_custkey AS ws_bill_customer_sk,
             |  cast(l_suppkey % 5 + 1 as bigint) AS ws_web_site_sk,
             |  l_extendedprice AS ws_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS ws_net_profit
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE l_linenumber % 2 = 1""".stripMargin)
+    // returns: the 'R'-flagged slice, returned on the ship date
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW store_returns AS
+            |SELECT cast(datediff(cast(l_shipdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint)
+            |    AS sr_returned_date_sk,
+            |  o_custkey AS sr_customer_sk,
+            |  cast(l_suppkey % 10 + 1 as bigint) AS sr_store_sk,
+            |  l_extendedprice * (1 - l_discount) AS sr_return_amt
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE l_returnflag = 'R'""".stripMargin)
     // item: brand id from the TPC-H brand digits, category/class from the
     // p_type word positions, manufact/manager ids by modulus
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW item AS
@@ -186,11 +197,21 @@ object TpcdsSql extends QueryPack {
       |      CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
       |      AS ws_sold_date_sk,
       |    l_partkey AS ws_item_sk,
+      |    o_custkey AS ws_bill_customer_sk,
       |    CAST(l_suppkey % 5 + 1 AS BIGINT) AS ws_web_site_sk,
       |    l_extendedprice AS ws_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 1),
+      |store_returns AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS sr_returned_date_sk,
+      |    o_custkey AS sr_customer_sk,
+      |    CAST(l_suppkey % 10 + 1 AS BIGINT) AS sr_store_sk,
+      |    l_extendedprice * (1 - l_discount) AS sr_return_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 8, '0'))
@@ -430,6 +451,66 @@ object TpcdsSql extends QueryPack {
         |  AND x.d_week_seq BETWEEN 104 AND 130
         |ORDER BY store_sk, week1""".stripMargin)),
 
+    // TPC-DS Q1: customers whose store returns exceed 1.2x their
+    // store's average — the returns fact (derived 'R' slice) aggregated
+    // into a CTE that is scanned TWICE: once as the driving relation,
+    // once inside a correlated per-store average subquery. Spark
+    // decorrelates into a store-keyed aggregate re-join; cent sums
+    // round before the ratio so both engines compare identical values.
+    "qq8_tpcds_q1" -> ((s, dir) => sql(s, dir,
+      """WITH customer_total_return AS (
+        |  SELECT sr_customer_sk AS ctr_customer_sk,
+        |    sr_store_sk AS ctr_store_sk,
+        |    round(sum(sr_return_amt) + 5e-7, 2) AS ctr_total_return
+        |  FROM store_returns, date_dim
+        |  WHERE sr_returned_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY sr_customer_sk, sr_store_sk)
+        |SELECT c_name, cast(ctr1.ctr_store_sk as bigint) AS store_sk,
+        |  ctr1.ctr_total_return AS total_return
+        |FROM customer_total_return ctr1, store, customer
+        |WHERE ctr1.ctr_total_return > (
+        |    SELECT avg(ctr_total_return) * 1.2
+        |    FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        |  AND s_store_sk = ctr1.ctr_store_sk
+        |  AND s_state = 'TN'
+        |  AND ctr1.ctr_customer_sk = c_custkey
+        |ORDER BY c_name, store_sk, total_return
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q74 shape: year-over-year spending ratio per customer,
+    // web vs store — ONE year_total CTE instantiated FOUR times
+    // (store/web x first/second year); survivors are customers whose
+    // web ratio beat their store ratio. Ratios divide cent-rounded
+    // sums, so both engines divide bitwise-identical operands.
+    "qq9_tpcds_q74" -> ((s, dir) => sql(s, dir,
+      """WITH year_total AS (
+        |  SELECT ss_customer_sk AS c_sk, d_year,
+        |    round(sum(ss_ext_sales_price), 2) AS total, 's' AS channel
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ss_customer_sk, d_year
+        |  UNION ALL
+        |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+        |    round(sum(ws_ext_sales_price), 2) AS total, 'w' AS channel
+        |  FROM web_sales, date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ws_bill_customer_sk, d_year)
+        |SELECT cast(t_s_fy.c_sk as bigint) AS customer
+        |FROM year_total t_s_fy, year_total t_s_sy,
+        |     year_total t_w_fy, year_total t_w_sy
+        |WHERE t_s_fy.c_sk = t_s_sy.c_sk
+        |  AND t_s_fy.c_sk = t_w_fy.c_sk
+        |  AND t_s_fy.c_sk = t_w_sy.c_sk
+        |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+        |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+        |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+        |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+        |  AND t_s_fy.total > 0 AND t_w_fy.total > 0
+        |  AND t_w_sy.total / t_w_fy.total > t_s_sy.total / t_s_fy.total
+        |ORDER BY customer
+        |LIMIT 100""".stripMargin)),
+
     // TPC-DS Q6 shape: states whose customers bought items priced over
     // 1.2x their category average — a CORRELATED scalar avg subquery
     // against the item dimension inside a 5-table star. Spark
@@ -497,7 +578,7 @@ object TpcdsSql extends QueryPack {
     "qq4_tpcds_q65" -> ((s, dir) => sql(s, dir,
       """WITH sb AS (
         |  SELECT ss_store_sk, ss_item_sk,
-        |    round(sum(ss_sales_price), 2) AS revenue
+        |    round(sum(ss_sales_price) + 5e-7, 2) AS revenue
         |  FROM store_sales, date_dim
         |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
         |  GROUP BY ss_store_sk, ss_item_sk),
@@ -708,6 +789,57 @@ object TpcdsSql extends QueryPack {
          |  AND x.d_week_seq BETWEEN 104 AND 130
          |ORDER BY store_sk, week1""".stripMargin,
 
+    "qq8_tpcds_q1" ->
+      s"""WITH $dsCte,
+         |customer_total_return AS (
+         |  SELECT sr_customer_sk AS ctr_customer_sk,
+         |    sr_store_sk AS ctr_store_sk,
+         |    round(sum(sr_return_amt) + 5e-7, 2) AS ctr_total_return
+         |  FROM store_returns, date_dim
+         |  WHERE sr_returned_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY sr_customer_sk, sr_store_sk)
+         |SELECT c_name, CAST(ctr1.ctr_store_sk AS BIGINT) AS store_sk,
+         |  ctr1.ctr_total_return AS total_return
+         |FROM customer_total_return ctr1, store, customer
+         |WHERE ctr1.ctr_total_return > (
+         |    SELECT avg(ctr_total_return) * 1.2
+         |    FROM customer_total_return ctr2
+         |    WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+         |  AND s_store_sk = ctr1.ctr_store_sk
+         |  AND s_state = 'TN'
+         |  AND ctr1.ctr_customer_sk = c_custkey
+         |ORDER BY c_name, store_sk, total_return
+         |LIMIT 100""".stripMargin,
+
+    "qq9_tpcds_q74" ->
+      s"""WITH $dsCte,
+         |year_total AS (
+         |  SELECT ss_customer_sk AS c_sk, d_year,
+         |    round(sum(ss_ext_sales_price), 2) AS total, 's' AS channel
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ss_customer_sk, d_year
+         |  UNION ALL
+         |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+         |    round(sum(ws_ext_sales_price), 2) AS total, 'w' AS channel
+         |  FROM web_sales, date_dim
+         |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ws_bill_customer_sk, d_year)
+         |SELECT CAST(t_s_fy.c_sk AS BIGINT) AS customer
+         |FROM year_total t_s_fy, year_total t_s_sy,
+         |     year_total t_w_fy, year_total t_w_sy
+         |WHERE t_s_fy.c_sk = t_s_sy.c_sk
+         |  AND t_s_fy.c_sk = t_w_fy.c_sk
+         |  AND t_s_fy.c_sk = t_w_sy.c_sk
+         |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+         |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+         |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+         |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+         |  AND t_s_fy.total > 0 AND t_w_fy.total > 0
+         |  AND t_w_sy.total / t_w_fy.total > t_s_sy.total / t_s_fy.total
+         |ORDER BY customer
+         |LIMIT 100""".stripMargin,
+
     "qq1_tpcds_q6" ->
       s"""WITH $dsCte
          |SELECT a.ca_state AS state, CAST(count(*) AS BIGINT) AS cnt
@@ -761,7 +893,7 @@ object TpcdsSql extends QueryPack {
       s"""WITH $dsCte,
          |sb AS (
          |  SELECT ss_store_sk, ss_item_sk,
-         |    round(sum(ss_sales_price), 2) AS revenue
+         |    round(sum(ss_sales_price) + 5e-7, 2) AS revenue
          |  FROM store_sales, date_dim
          |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
          |  GROUP BY ss_store_sk, ss_item_sk),
