@@ -391,6 +391,89 @@ object GeomBoolean {
   private[graft] def symDifference(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
     (difference(a, b) ++ difference(b, a)).sortBy(r => (r(0), r(1)))
 
+  /** Proper or touching intersection between segments AB and CD —
+    * orientation signs plus collinear-overlap bounding checks. Any
+    * touch routes to the GH path, which resolves it or fails loudly. */
+  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    @inline def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    @inline def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 * o2 < 0 && o3 * o4 < 0) true
+    else if (o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) true
+    else if (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) true
+    else if (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) true
+    else if (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by)) true
+    else false
+  }
+
+  private def ringsTouch(a: Array[Double], b: Array[Double]): Boolean = {
+    val n = a.length / 2
+    val m = b.length / 2
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = 0
+      while (j < m) {
+        val j2 = (j + 1) % m
+        if (segsIntersect(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+          b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def reversePairs(ring: Array[Double]): Array[Double] = {
+    val m = ring.length / 2
+    val out = new Array[Double](ring.length)
+    var i = 0
+    while (i < m) {
+      out(2 * i) = ring(2 * (m - 1 - i))
+      out(2 * i + 1) = ring(2 * (m - 1 - i) + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Subject − clip as a POLYGON WITH HOLES ([exterior CCW, holes
+    * CW...] — the structural layer, composable with st_polygon_area /
+    * centroid / contains / as_binary). The configuration the ring-typed
+    * `difference` must reject — clip strictly inside the subject — IS a
+    * hole: with no boundary contact the answer is [subject, reversed
+    * clip]. With boundary crossings the GH difference applies (its
+    * components are hole-free); a multi-component result is a
+    * MULTIPOLYGON, which one holed polygon can't hold — loud, spell
+    * st_difference. Reference GeoFunctions.java:921 (Esri-backed
+    * difference yields interior rings in this configuration). */
+  private[graft] def holedDifference(a0: Array[Double],
+      b0: Array[Double]): Seq[Array[Double]] = {
+    val a = ccw(a0)
+    val b = ccw(b0)
+    if (!ringsTouch(a, b)) {
+      val bInA = inside(b(0), b(1), a)
+      val aInB = inside(a(0), a(1), b)
+      if (bInA) Seq(a, reversePairs(b)) // clip punches a hole
+      else if (aInB) Seq.empty // subject swallowed entirely
+      else Seq(a) // disjoint: clip removes nothing
+    } else {
+      val comps = difference(a0, b0)
+      require(comps.size <= 1,
+        s"st_polygon_difference: result has ${comps.size} disjoint " +
+          "components (a multipolygon) — use st_difference")
+      comps
+    }
+  }
+
   /** Incremental union fold: merge one ring into an accumulator of
     * pairwise-DISJOINT components (fuse with every overlapping
     * component until a fixed point). The accumulator is bounded by the
@@ -534,6 +617,35 @@ case class PolyBool(left: Expression, right: Expression, op: String)
       case "difference" => GeomBoolean.difference(fa, fb)
       case "symdifference" => GeomBoolean.symDifference(fa, fb)
     })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_polygon_difference(subject, clip) → polygon with holes
+  * ([exterior, holes...]). See [[GeomBoolean.holedDifference]]. */
+case class PolyHoledDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_polygon_difference"
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val fa = GeomBoolean.flatOf(a, xiL)
+    val fb = GeomBoolean.flatOf(b, xiR)
+    GeomBoolean.multiOf(GeomBoolean.holedDifference(fa, fb))
   }
 
   override protected def withNewChildrenInternal(

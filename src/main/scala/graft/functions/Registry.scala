@@ -1378,6 +1378,9 @@ object Registry {
           two("st_union")(PolyBool(_, _, "union"))
           two("st_difference")(PolyBool(_, _, "difference"))
           two("st_symdifference")(PolyBool(_, _, "symdifference"))
+          // difference whose result carries interior rings → the holed
+          // structural type (GeoFunctions.java:921 configuration)
+          two("st_polygon_difference")(PolyHoledDifference(_, _))
           one("geometry_union")(GeometryUnionAll)
           one("geometry_union_agg")(a =>
             GeometryUnionAgg(a).toAggregateExpression())

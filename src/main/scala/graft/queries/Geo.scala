@@ -522,6 +522,50 @@ object Geo extends QueryPack {
           |FROM p""".stripMargin)
     }),
 
+    // st_polygon_difference: the hole-PRODUCING boolean op (reference
+    // GeoFunctions.java:921 — Esri difference yields interior rings).
+    // A contained clip punches a hole ([exterior, reversed clip], the
+    // qn5 structural type: area/centroid/contains/WKB compose);
+    // boundary-crossing clips take the Greiner–Hormann path (single
+    // hole-free component); disjoint clips remove nothing. Every value
+    // hand-derived: 10x10 minus the contained 3x3 leaves 91; the
+    // crossing half-slab leaves the right half 5x10 = 50.
+    "qr0_holed_difference" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (SELECT
+          |  array(st_point(0D, 0D), st_point(10D, 0D),
+          |        st_point(10D, 10D), st_point(0D, 10D)) AS subj,
+          |  array(st_point(3D, 3D), st_point(6D, 3D),
+          |        st_point(6D, 6D), st_point(3D, 6D)) AS inner_clip,
+          |  array(st_point(-1D, -1D), st_point(5D, -1D),
+          |        st_point(5D, 11D), st_point(-1D, 11D)) AS half_slab,
+          |  array(st_point(20D, 20D), st_point(22D, 20D),
+          |        st_point(22D, 22D), st_point(20D, 22D)) AS far_clip)
+          |SELECT cast(1 as bigint) AS id,
+          |  st_polygon_area(st_polygon_difference(subj, inner_clip))
+          |    AS holed_area,
+          |  cast(size(st_polygon_difference(subj, inner_clip)) as bigint)
+          |    AS holed_rings,
+          |  st_polygon_contains(st_polygon_difference(subj, inner_clip),
+          |    st_point(4.5D, 4.5D)) AS centre_in_hole,
+          |  st_polygon_contains(st_polygon_difference(subj, inner_clip),
+          |    st_point(1D, 1D)) AS corner_solid,
+          |  st_polygon_from_binary(st_polygon_as_binary(
+          |    st_polygon_difference(subj, inner_clip))) =
+          |    st_polygon_difference(subj, inner_clip) AS wkb_rt,
+          |  st_polygon_area(st_polygon_difference(subj, half_slab))
+          |    AS crossed_area,
+          |  cast(size(st_polygon_difference(subj, half_slab)) as bigint)
+          |    AS crossed_rings,
+          |  st_polygon_area(st_polygon_difference(subj, far_clip))
+          |    AS disjoint_area,
+          |  cast(size(st_polygon_difference(inner_clip, subj)) as bigint)
+          |    AS swallowed_rings
+          |FROM g""".stripMargin)
+    }),
+
     "qm6_geometry_structure" -> ((s, dir) => {
       Tables.register(s, dir)
       Registry.install(s)
@@ -976,6 +1020,18 @@ object Geo extends QueryPack {
           |  true AS in_solid, false AS in_hole, true AS between_holes,
           |  false AS in_hole2, false AS outside, true AS wkb_rt,
           |  CAST(261 AS BIGINT) AS wkb_len""".stripMargin,
+
+      // 100 − 9 = 91 over 2 rings; the half-slab leaves the right
+      // 5x10 = 50 in one ring; disjoint leaves 100; a swallowed
+      // subject has no rings.
+      "qr0_holed_difference" ->
+        """SELECT CAST(1 AS BIGINT) AS id, 91.0 AS holed_area,
+          |  CAST(2 AS BIGINT) AS holed_rings,
+          |  false AS centre_in_hole, true AS corner_solid,
+          |  true AS wkb_rt, 50.0 AS crossed_area,
+          |  CAST(1 AS BIGINT) AS crossed_rings,
+          |  100.0 AS disjoint_area,
+          |  CAST(0 AS BIGINT) AS swallowed_rings""".stripMargin,
 
       "qm6_geometry_structure" ->
         """SELECT * FROM (VALUES

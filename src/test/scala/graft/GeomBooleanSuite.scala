@@ -226,4 +226,31 @@ class GeomBooleanSuite extends GraftSuite {
     assert(row.getInt(1) == 2)
     assert(row.getInt(2) == 2)
   }
+
+  test("st_polygon_difference: contained clip punches a hole; multipolygon result is loud") {
+    Registry.install(spark)
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"array(st_point(${x0}D, ${y0}D), st_point(${x0 + s}D, ${y0}D), " +
+        s"st_point(${x0 + s}D, ${y0 + s}D), st_point(${x0}D, ${y0 + s}D))"
+    // 10x10 minus contained 2x2 → [exterior, hole], area 96
+    val holed = spark.sql(
+      s"""SELECT st_polygon_area(
+         |    st_polygon_difference(${sq(0, 0, 10)}, ${sq(4, 4, 2)})) AS a,
+         |  size(st_polygon_difference(${sq(0, 0, 10)}, ${sq(4, 4, 2)})) AS n
+         |""".stripMargin).head()
+    assert(holed.getDouble(0) == 96.0)
+    assert(holed.getInt(1) == 2)
+    // a clip bar through the middle splits the subject in two — a
+    // multipolygon, which one holed polygon can't hold: loud
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT st_polygon_difference(" +
+          "array(st_point(0D, 0D), st_point(10D, 0D), " +
+          "st_point(10D, 10D), st_point(0D, 10D)), " +
+          "array(st_point(4D, -1D), st_point(6D, -1D), " +
+          "st_point(6D, 11D), st_point(4D, 11D))) AS v").collect()
+    }
+    assert(e.getMessage.contains("multipolygon") ||
+      Option(e.getCause).exists(_.getMessage.contains("multipolygon")))
+  }
 }
