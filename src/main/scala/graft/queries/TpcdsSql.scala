@@ -525,8 +525,8 @@ object TpcdsSql extends QueryPack {
         |  AND s.ss_customer_sk = c.c_custkey
         |  AND s.ss_sold_date_sk = d.d_date_sk
         |  AND s.ss_item_sk = i.i_item_sk
-        |  AND d.d_year = 1998 AND d.d_moy = 5
-        |  AND i.i_current_price > 1.04 * (SELECT avg(j.i_current_price)
+        |  AND d.d_year = 1998
+        |  AND i.i_current_price > 1.002 * (SELECT avg(j.i_current_price)
         |    FROM item j WHERE j.i_category = i.i_category)
         |GROUP BY a.ca_state
         |HAVING count(*) >= 10
@@ -849,8 +849,8 @@ object TpcdsSql extends QueryPack {
          |  AND s.ss_customer_sk = c.c_custkey
          |  AND s.ss_sold_date_sk = d.d_date_sk
          |  AND s.ss_item_sk = i.i_item_sk
-         |  AND d.d_year = 1998 AND d.d_moy = 5
-         |  AND i.i_current_price > 1.04 * (SELECT avg(j.i_current_price)
+         |  AND d.d_year = 1998
+         |  AND i.i_current_price > 1.002 * (SELECT avg(j.i_current_price)
          |    FROM item j WHERE j.i_category = i.i_category)
          |GROUP BY a.ca_state
          |HAVING count(*) >= 10
