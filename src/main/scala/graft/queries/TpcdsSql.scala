@@ -64,6 +64,9 @@ object TpcdsSql extends QueryPack {
             |  cast(l_suppkey % 10 + 1 as bigint) AS ss_store_sk,
             |  cast(l_partkey % 50 + 1 as bigint) AS ss_promo_sk,
             |  o_custkey AS ss_cdemo_sk,
+            |  o_custkey AS ss_hdemo_sk,
+            |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
+            |    as bigint) AS ss_sold_time_sk,
             |  o_orderkey AS ss_ticket_number,
             |  l_quantity AS ss_quantity,
             |  l_extendedprice / l_quantity AS ss_list_price,
@@ -154,6 +157,17 @@ object TpcdsSql extends QueryPack {
             |  CASE WHEN sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
             |  CASE WHEN sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
             |FROM (SELECT explode(sequence(1, 50)) AS sk)""".stripMargin)
+    // 86400 seconds-of-day; broadcast-sized like every dimension here
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW time_dim AS
+            |SELECT cast(t as bigint) AS t_time_sk,
+            |  cast(t DIV 3600 as bigint) AS t_hour,
+            |  cast(t % 3600 DIV 60 as bigint) AS t_minute
+            |FROM (SELECT explode(sequence(0, 86399)) AS t)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW household_demographics AS
+            |SELECT c_custkey AS hd_demo_sk,
+            |  cast(c_custkey % 10 as bigint) AS hd_dep_count,
+            |  cast(c_custkey % 5 as bigint) AS hd_vehicle_count
+            |FROM customer""".stripMargin)
   }
 
   private def sql(s: SparkSession, dir: String, q: String) = {
@@ -184,7 +198,10 @@ object TpcdsSql extends QueryPack {
       |    l_partkey AS ss_item_sk, o_custkey AS ss_customer_sk,
       |    CAST(l_suppkey % 10 + 1 AS BIGINT) AS ss_store_sk,
       |    CAST(l_partkey % 50 + 1 AS BIGINT) AS ss_promo_sk,
-      |    o_custkey AS ss_cdemo_sk, o_orderkey AS ss_ticket_number,
+      |    o_custkey AS ss_cdemo_sk, o_custkey AS ss_hdemo_sk,
+      |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
+      |      AS BIGINT) AS ss_sold_time_sk,
+      |    o_orderkey AS ss_ticket_number,
       |    l_quantity AS ss_quantity,
       |    l_extendedprice / l_quantity AS ss_list_price,
       |    l_extendedprice AS ss_ext_sales_price,
@@ -266,7 +283,17 @@ object TpcdsSql extends QueryPack {
       |  SELECT CAST(sk AS BIGINT) AS p_promo_sk,
       |    CASE WHEN sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
       |    CASE WHEN sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
-      |  FROM (SELECT unnest(generate_series(1, 50)) AS sk))""".stripMargin
+      |  FROM (SELECT unnest(generate_series(1, 50)) AS sk)),
+      |time_dim AS (
+      |  SELECT CAST(t AS BIGINT) AS t_time_sk,
+      |    CAST(t // 3600 AS BIGINT) AS t_hour,
+      |    CAST(t % 3600 // 60 AS BIGINT) AS t_minute
+      |  FROM (SELECT unnest(generate_series(0, 86399)) AS t)),
+      |household_demographics AS (
+      |  SELECT c_custkey AS hd_demo_sk,
+      |    CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
+      |    CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count
+      |  FROM customer)""".stripMargin
 
   override def defs: Map[String, Q] = Map(
     // TPC-DS Q3: the canonical date-dim star — brand revenue for one
@@ -510,6 +537,78 @@ object TpcdsSql extends QueryPack {
         |  AND t_w_sy.total / t_w_fy.total > t_s_sy.total / t_s_fy.total
         |ORDER BY customer
         |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q88 shape: the time-of-day band report — independent
+    // single-row COUNT subqueries (one per half-hour band, each with
+    // the household OR-of-ANDs filter) CROSS JOINed into one wide row.
+    // Each band is a scan + broadcasts + global agg; the cross joins
+    // are 1-row x 1-row. time_dim (86400 rows) broadcasts.
+    "qr2_tpcds_q88" -> ((s, dir) => sql(s, dir,
+      """SELECT * FROM
+        | (SELECT cast(count(*) as bigint) h8_30_to_9
+        |  FROM store_sales, household_demographics, time_dim, store
+        |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+        |    AND ((household_demographics.hd_dep_count = 2
+        |        AND household_demographics.hd_vehicle_count <= 4)
+        |      OR (household_demographics.hd_dep_count = 0
+        |        AND household_demographics.hd_vehicle_count <= 2)
+        |      OR (household_demographics.hd_dep_count = 1
+        |        AND household_demographics.hd_vehicle_count <= 3))
+        |    AND store.s_store_name = 'Store1') s1,
+        | (SELECT cast(count(*) as bigint) h9_to_9_30
+        |  FROM store_sales, household_demographics, time_dim, store
+        |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+        |    AND ((household_demographics.hd_dep_count = 2
+        |        AND household_demographics.hd_vehicle_count <= 4)
+        |      OR (household_demographics.hd_dep_count = 0
+        |        AND household_demographics.hd_vehicle_count <= 2)
+        |      OR (household_demographics.hd_dep_count = 1
+        |        AND household_demographics.hd_vehicle_count <= 3))
+        |    AND store.s_store_name = 'Store1') s2,
+        | (SELECT cast(count(*) as bigint) h9_30_to_10
+        |  FROM store_sales, household_demographics, time_dim, store
+        |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+        |    AND ((household_demographics.hd_dep_count = 2
+        |        AND household_demographics.hd_vehicle_count <= 4)
+        |      OR (household_demographics.hd_dep_count = 0
+        |        AND household_demographics.hd_vehicle_count <= 2)
+        |      OR (household_demographics.hd_dep_count = 1
+        |        AND household_demographics.hd_vehicle_count <= 3))
+        |    AND store.s_store_name = 'Store1') s3,
+        | (SELECT cast(count(*) as bigint) h10_to_10_30
+        |  FROM store_sales, household_demographics, time_dim, store
+        |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+        |    AND ((household_demographics.hd_dep_count = 2
+        |        AND household_demographics.hd_vehicle_count <= 4)
+        |      OR (household_demographics.hd_dep_count = 0
+        |        AND household_demographics.hd_vehicle_count <= 2)
+        |      OR (household_demographics.hd_dep_count = 1
+        |        AND household_demographics.hd_vehicle_count <= 3))
+        |    AND store.s_store_name = 'Store1') s4""".stripMargin)),
+
+    // TPC-DS Q96: a single filtered count through three dimensions —
+    // the simplest star probe, locked for the time_dim surface.
+    "qr3_tpcds_q96" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(count(*) as bigint) AS cnt
+        |FROM store_sales, household_demographics, time_dim, store
+        |WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |  AND ss_store_sk = s_store_sk
+        |  AND time_dim.t_hour = 20 AND time_dim.t_minute >= 30
+        |  AND household_demographics.hd_dep_count = 7
+        |  AND store.s_store_name = 'Store2'""".stripMargin)),
 
     // TPC-DS Q6 shape: states whose customers bought items priced over
     // 1.2x their category average — a CORRELATED scalar avg subquery
@@ -788,6 +887,73 @@ object TpcdsSql extends QueryPack {
          |WHERE y.d_week_seq BETWEEN 52 AND 78
          |  AND x.d_week_seq BETWEEN 104 AND 130
          |ORDER BY store_sk, week1""".stripMargin,
+
+    "qr2_tpcds_q88" ->
+      s"""WITH $dsCte
+         |SELECT * FROM
+         | (SELECT CAST(count(*) AS BIGINT) h8_30_to_9
+         |  FROM store_sales, household_demographics, time_dim, store
+         |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+         |    AND ((household_demographics.hd_dep_count = 2
+         |        AND household_demographics.hd_vehicle_count <= 4)
+         |      OR (household_demographics.hd_dep_count = 0
+         |        AND household_demographics.hd_vehicle_count <= 2)
+         |      OR (household_demographics.hd_dep_count = 1
+         |        AND household_demographics.hd_vehicle_count <= 3))
+         |    AND store.s_store_name = 'Store1') s1,
+         | (SELECT CAST(count(*) AS BIGINT) h9_to_9_30
+         |  FROM store_sales, household_demographics, time_dim, store
+         |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+         |    AND ((household_demographics.hd_dep_count = 2
+         |        AND household_demographics.hd_vehicle_count <= 4)
+         |      OR (household_demographics.hd_dep_count = 0
+         |        AND household_demographics.hd_vehicle_count <= 2)
+         |      OR (household_demographics.hd_dep_count = 1
+         |        AND household_demographics.hd_vehicle_count <= 3))
+         |    AND store.s_store_name = 'Store1') s2,
+         | (SELECT CAST(count(*) AS BIGINT) h9_30_to_10
+         |  FROM store_sales, household_demographics, time_dim, store
+         |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+         |    AND ((household_demographics.hd_dep_count = 2
+         |        AND household_demographics.hd_vehicle_count <= 4)
+         |      OR (household_demographics.hd_dep_count = 0
+         |        AND household_demographics.hd_vehicle_count <= 2)
+         |      OR (household_demographics.hd_dep_count = 1
+         |        AND household_demographics.hd_vehicle_count <= 3))
+         |    AND store.s_store_name = 'Store1') s3,
+         | (SELECT CAST(count(*) AS BIGINT) h10_to_10_30
+         |  FROM store_sales, household_demographics, time_dim, store
+         |  WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+         |    AND ((household_demographics.hd_dep_count = 2
+         |        AND household_demographics.hd_vehicle_count <= 4)
+         |      OR (household_demographics.hd_dep_count = 0
+         |        AND household_demographics.hd_vehicle_count <= 2)
+         |      OR (household_demographics.hd_dep_count = 1
+         |        AND household_demographics.hd_vehicle_count <= 3))
+         |    AND store.s_store_name = 'Store1') s4""".stripMargin,
+
+    "qr3_tpcds_q96" ->
+      s"""WITH $dsCte
+         |SELECT CAST(count(*) AS BIGINT) AS cnt
+         |FROM store_sales, household_demographics, time_dim, store
+         |WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |  AND ss_store_sk = s_store_sk
+         |  AND time_dim.t_hour = 20 AND time_dim.t_minute >= 30
+         |  AND household_demographics.hd_dep_count = 7
+         |  AND store.s_store_name = 'Store2'""".stripMargin,
 
     "qq8_tpcds_q1" ->
       s"""WITH $dsCte,

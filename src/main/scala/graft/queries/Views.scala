@@ -426,6 +426,41 @@ object Views extends QueryPack {
       ).toDF("chk", "ok").orderBy(col("chk"))
     }),
 
+    // CREATE SCHEMA / DROP SCHEMA lifecycle (SqlBase.g4 createSchema/
+    // dropSchema; Presto's schema = Spark's database — the spellings
+    // coincide, so the statements pass through the catalog natively):
+    // create, visible in SHOW SCHEMAS, a managed table lives inside it
+    // and answers qualified queries, SHOW TABLES FROM scopes to it,
+    // DROP SCHEMA CASCADE removes schema and table. ALTER SCHEMA
+    // RENAME stays descoped (Spark has no database rename).
+    "qr1_schema_lifecycle" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      prestoStatement(s, "DROP SCHEMA IF EXISTS graft_sch CASCADE")
+      prestoStatement(s, "CREATE SCHEMA graft_sch")
+      val visible = s.sql("SHOW SCHEMAS LIKE 'graft_sch'").count() == 1
+      s.sql("""CREATE TABLE graft_sch.t1 USING parquet
+              |AS SELECT r_regionkey, r_name FROM region""".stripMargin)
+      // Spark's SHOW TABLES lists session temp views alongside the
+      // schema's tables (Presto's doesn't — the fixture views would
+      // leak in); the lock is on the schema's own PERSISTENT tables
+      val listed = prestoStatement(s, "SHOW TABLES FROM graft_sch")
+        .collect().filter(r => !r.getBoolean(2))
+        .map(_.getString(1)).toSeq == Seq("t1")
+      val rows = s.sql("SELECT count(*) AS n FROM graft_sch.t1")
+        .collect()(0).getLong(0)
+      prestoStatement(s, "DROP SCHEMA graft_sch CASCADE")
+      val gone = s.sql("SHOW SCHEMAS LIKE 'graft_sch'").count() == 0
+      import s.implicits._
+      Seq(
+        ("dropped_gone", gone.toString),
+        ("schema_visible", visible.toString),
+        ("table_listed", listed.toString),
+        ("table_rows", rows.toString))
+        .toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -440,6 +475,16 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the table row count is a genuine data fact (region cardinality)
+    "qr1_schema_lifecycle" ->
+      """SELECT phase, observed FROM (
+        |  SELECT 'dropped_gone' AS phase, 'true' AS observed
+        |  UNION ALL SELECT 'schema_visible', 'true'
+        |  UNION ALL SELECT 'table_listed', 'true'
+        |  UNION ALL SELECT 'table_rows', CAST(count(*) AS VARCHAR)
+        |    FROM region)
+        |ORDER BY phase""".stripMargin,
+
     // DuckDB's OWN catalog over the identical parquet — a genuine
     // two-engine metadata agreement (both render Presto-style names:
     // varchar/bigint/integer/double/timestamp for this schema).
