@@ -627,9 +627,14 @@ case class HoledPolygon(child: Expression, mode: String)
         require(net > 0, s"$prettyName: zero-area polygon has no centroid")
         var nx = 0.0; var ny = 0.0
         rings.indices.foreach { i =>
-          val (cx, cy) = ringCentroid(rings(i))
-          val w = if (i == 0) areas(i) else -areas(i)
-          nx += cx * w; ny += cy * w
+          // a zero-area (degenerate) ring carries zero weight but its
+          // cx/(3*a2) ratio is 0/0 — skip it rather than poison the
+          // weighted sum with NaN*0 (ADVICE r6)
+          if (areas(i) != 0.0) {
+            val (cx, cy) = ringCentroid(rings(i))
+            val w = if (i == 0) areas(i) else -areas(i)
+            nx += cx * w; ny += cy * w
+          }
         }
         InternalRow(nx / net, ny / net)
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
   * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
@@ -61,15 +61,20 @@ object Registry {
       "(4 * cast(__b as double) * __b))) " +
       "/ (1 + cast(__c as double) * cast(__c as double) / __b) END"
 
-  // Zoned-timestamp template helpers: trailing offset recognizer (Z or
-  // +HH:MM), the zone-of-literal extractor (Z → UTC), and the signed
-  // whole-minute offset of a struct<utc,tz> value at its own instant
-  // (exact: zone offsets are whole minutes, so div 60 is exact and %
-  // keeps the dividend's sign — (-3,-30) for a -03:30 zone).
-  private val zonedTailRe = "(Z|[+-][0-9]{2}:[0-9]{2})$"
+  // Zoned-timestamp template helpers: trailing zone recognizer (Z,
+  // ±HH:MM, or a space-separated IANA name like Asia/Kolkata — the same
+  // alternative timestampTzLiteralRe accepts; ADVICE r6: named zones
+  // previously fell through to a silent NULL), the zone-of-literal
+  // extractor (Z → UTC), and the signed whole-minute offset of a
+  // struct<utc,tz> value at its own instant (exact: zone offsets are
+  // whole minutes, so div 60 is exact and % keeps the dividend's sign —
+  // (-3,-30) for a -03:30 zone).
+  private val zonedTailRe =
+    "(Z|[+-][0-9]{2}:[0-9]{2}|[ ][A-Za-z][A-Za-z_0-9/+-]*)$"
   private def zonedZoneOf(a: String): String =
     s"coalesce(nullif(regexp_extract($a, '([+-][0-9]{2}:[0-9]{2})$$', 1)," +
-      " ''), 'UTC')"
+      s" ''), nullif(regexp_extract($a, '[ ]([A-Za-z][A-Za-z_0-9/+-]*)$$'," +
+      " 1), ''), 'UTC')"
   private def zonedOffMin(a: String): String =
     s"((cast(cast(from_utc_timestamp($a.utc, $a.tz) as timestamp) as long)" +
       s" - cast(cast($a.utc as timestamp) as long)) div 60)"
@@ -230,9 +235,17 @@ object Registry {
     // like the reference. The session stays UTC; only these columns
     // carry zones.
     ("zoned_timestamp", 1,
-      s"named_struct('utc', to_utc_timestamp(to_timestamp(" +
-        s"regexp_replace(__a, '$zonedTailRe', '')), ${zonedZoneOf("__a")})," +
-        s" 'tz', ${zonedZoneOf("__a")})"),
+      // wall clock that still fails to parse after the zone tail is
+      // stripped raises with a controlled message (loud-failure stance,
+      // ADVICE r6) instead of a silent NULL-utc struct; try_to_timestamp
+      // keeps the probe from throwing Spark's ANSI error first
+      s"named_struct('utc', CASE WHEN __a IS NULL THEN " +
+        s"try_to_timestamp(NULL) WHEN try_to_timestamp(" +
+        s"regexp_replace(__a, '$zonedTailRe', '')) IS NULL THEN " +
+        "raise_error(concat('zoned_timestamp: cannot parse ', __a)) " +
+        s"ELSE to_utc_timestamp(try_to_timestamp(" +
+        s"regexp_replace(__a, '$zonedTailRe', '')), ${zonedZoneOf("__a")})" +
+        s" END, 'tz', ${zonedZoneOf("__a")})"),
     ("zoned_at_timezone", 2, "named_struct('utc', __a.utc, 'tz', __b)"),
     ("zoned_with_timezone", 2,
       "named_struct('utc', to_utc_timestamp(__a, __b), 'tz', __b)"),
@@ -831,25 +844,56 @@ object Registry {
       // exact aggregate holds per-group sorted state.
       locally {
         val name = "approx_percentile"
+        // a fractional literal can only be a percentage/accuracy — a
+        // weight in that position would truncate to 0 and skip every row
+        def fractionalLit(e: Expression): Boolean = e match {
+          case Literal(_, DoubleType | FloatType | _: DecimalType) => true
+          case _ => false
+        }
         val builder: Seq[Expression] => Expression = { args =>
-          val weighted = args.length == 3 && (args(2) match {
-            case Literal(_, DoubleType | _: DecimalType) => true
-            case _ => false
-          })
-          if (weighted)
+          // Disambiguation (ADVICE r6): Presto's UNWEIGHTED 3-arg form
+          // approx_percentile(x, percentage, accuracy) has a fractional
+          // percentage in 2nd position (ApproximateDoublePercentile-
+          // Aggregations.java:48-55 — accuracy is DOUBLE too, so the 3rd
+          // arg alone can't discriminate); the WEIGHTED form
+          // approx_percentile(x, w, percentage) has a weight column /
+          // integral expression there. Route on args(1).
+          val weighted = args.length == 3 && fractionalLit(args(2)) &&
+            !fractionalLit(args(1)) &&
+            !args(1).dataType.isInstanceOf[ArrayType] // array of percentages
+          if (weighted) {
+            args(1) match {
+              case Literal(w: Number, _) if w.longValue() == 0 =>
+                throw new IllegalArgumentException(
+                  "approx_percentile: literal weight 0 would skip every " +
+                    "row — a percentage belongs in 2nd position only in " +
+                    "the unweighted (x, percentage, accuracy) form")
+              case _ =>
+            }
             // flat-array exact aggregate (WeightedPercentile.scala):
             // same semantics as Spark's percentile(x, p, frequency)
             // but append/arraycopy state instead of a boxed per-value
             // hash map — 5.9 s → sub-second on the qp4 shape.
             WeightedPercentileAgg(args(0), Cast(args(1), LongType),
               args(2)).toAggregateExpression()
-          else {
+          } else {
             val full = if (args.length == 2) args :+ Literal(10000) else args
+            // Presto accuracy is a max-rank-error fraction in (0, 1);
+            // percentile_approx wants a positive int ~ 1/relative-error
+            val acc = full(2) match {
+              case l @ Literal(_, DoubleType | FloatType | _: DecimalType) =>
+                val d = Cast(l, DoubleType).eval().asInstanceOf[Double]
+                require(d > 0 && d < 1,
+                  s"approx_percentile: accuracy must be in (0, 1), got $d")
+                Literal(math.max(1L, math.round(1.0 / d)).toInt)
+              case other => other
+            }
+            val mapped = Seq(full(0), full(1), acc)
             spark.sessionState.sqlParser
               .parseExpression("percentile_approx(__a, __b, __c)")
               .transformUp {
                 case UnresolvedAttribute(Seq(n)) if argNames.contains(n) =>
-                  full(argNames.indexOf(n))
+                  mapped(argNames.indexOf(n))
               }
           }
         }

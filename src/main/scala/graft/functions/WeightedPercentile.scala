@@ -61,8 +61,14 @@ object WeightedPercentile {
     }
 
     /** In-place dual-array quicksort by value (weights ride along) —
-      * avoids boxing 1M-element index arrays at eval. */
+      * avoids boxing 1M-element index arrays at eval. Ordering is
+      * java.lang.Double.compare's total order (NaN greatest, -0.0 <
+      * 0.0) — the same order Spark's percentile(x, p, frequency) sorts
+      * by, so NaN-bearing columns keep the exact-equivalence contract
+      * (ADVICE r6; < / > both report false against a NaN pivot, which
+      * previously let NaNs land anywhere). */
     private def sortPairs(lo0: Int, hi0: Int): Unit = {
+      def cmp(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
       var stack = List((lo0, hi0))
       while (stack.nonEmpty) {
         val (lo, hi) = stack.head
@@ -72,13 +78,17 @@ object WeightedPercentile {
           val mid = lo + (hi - lo) / 2
           val pivot = {
             val a = values(lo); val b = values(mid); val c = values(hi)
-            math.max(math.min(a, b), math.min(math.max(a, b), c))
+            if (cmp(a, b) <= 0) {
+              if (cmp(b, c) <= 0) b else if (cmp(a, c) <= 0) c else a
+            } else {
+              if (cmp(a, c) <= 0) a else if (cmp(b, c) <= 0) c else b
+            }
           }
           var i = lo
           var j = hi
           while (i <= j) {
-            while (values(i) < pivot) i += 1
-            while (values(j) > pivot) j -= 1
+            while (cmp(values(i), pivot) < 0) i += 1
+            while (cmp(values(j), pivot) > 0) j -= 1
             if (i <= j) {
               val tv = values(i); values(i) = values(j); values(j) = tv
               val tw = weights(i); weights(i) = weights(j); weights(j) = tw

@@ -107,6 +107,11 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // labeling from a non-fixpoint edge set would be silently wrong —
+    // fail loudly instead (ADVICE r6); O(log n) double-rounds means 35
+    // covers any graph that fits in storage
+    require(!changed,
+      s"connected components did not converge in $maxIter double-rounds")
     // converged edges are stars onto component minima: label = min of
     // self and neighbors; vertices absent from the final edge set are
     // their own component (singletons and fully-contracted minima)

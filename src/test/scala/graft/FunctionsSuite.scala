@@ -282,5 +282,75 @@ class FunctionsSuite extends GraftSuite {
       "SELECT approx_percentile(x, w, 0.5) AS v FROM VALUES (1.0, 0) AS t(x, w)"))
       .collect()(0)
     assert(empty.isNullAt(0))
+    // NaN values sort greatest, exactly like Spark's percentile
+    // (ADVICE r6: the quicksort now compares via Double.compare)
+    val nans = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      """SELECT approx_percentile(x, w, 0.25) AS ours_lo,
+        |  percentile(x, 0.25, w) AS spark_lo,
+        |  approx_percentile(x, w, 0.9) AS ours_hi,
+        |  percentile(x, 0.9, w) AS spark_hi
+        |FROM VALUES (cast('NaN' as double), CAST(2 AS BIGINT)), (1.0, 3),
+        |  (cast('NaN' as double), 1), (5.0, 2), (3.0, 4), (2.0, 1)
+        |  AS t(x, w)""".stripMargin)).collect()(0)
+    assert(nans.getDouble(0) == nans.getDouble(1), s"NaN p25 diverges: $nans")
+    assert(nans.getDouble(2).isNaN == nans.getDouble(3).isNaN &&
+      (nans.getDouble(2).isNaN || nans.getDouble(2) == nans.getDouble(3)),
+      s"NaN p90 diverges: $nans")
+  }
+
+  test("approx_percentile 3-arg routing: unweighted (x, p, accuracy) vs weighted (x, w, p)") {
+    graft.functions.Registry.install(spark)
+    // Presto's unweighted (x, percentage, DOUBLE accuracy) form must NOT
+    // route to the weighted aggregate (ADVICE r6: weight would cast to 0
+    // and silently return NULL) — it maps to percentile_approx
+    val un = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      "SELECT approx_percentile(x, 0.5, 0.01) AS v FROM VALUES " +
+        "(1.0D), (2.0D), (3.0D), (4.0D), (5.0D) AS t(x)")).collect()(0)
+    assert(!un.isNullAt(0) && un.getDouble(0) == 3.0)
+    // literal integral weight still routes weighted
+    val w = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      "SELECT approx_percentile(x, 2, 0.5) AS v FROM VALUES " +
+        "(1.0D), (2.0D), (9.0D) AS t(x)")).collect()(0)
+    assert(w.getDouble(0) == 2.0)
+    // a literal weight of 0 (i.e. a misplaced percentage) fails loudly
+    val zero = intercept[Exception] {
+      spark.sql(graft.functions.Registry.rewritePrestoSql(
+        "SELECT approx_percentile(x, 0, 0.5) FROM VALUES (1.0D) AS t(x)"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(zero).exists(m => m != null && m.contains("weight 0")))
+    // array-of-percentages 2nd position stays unweighted
+    val arr = spark.sql(graft.functions.Registry.rewritePrestoSql(
+      "SELECT approx_percentile(x, array(0.0, 1.0), 0.01) AS v FROM VALUES " +
+        "(1.0D), (5.0D) AS t(x)")).collect()(0)
+    assert(arr.getSeq[Double](0) == Seq(1.0, 5.0))
+  }
+
+  test("zoned_timestamp accepts IANA named zones and rejects garbage loudly") {
+    graft.functions.Registry.install(spark)
+    val r = spark.sql(
+      "SELECT zoned_timestamp('2020-06-10T15:30:00 Asia/Kolkata') AS z")
+      .selectExpr("z.tz AS tz", "cast(z.utc as string) AS utc").collect()(0)
+    assert(r.getString(0) == "Asia/Kolkata")
+    assert(r.getString(1) == "2020-06-10 10:00:00") // +05:30 ahead of UTC
+    // offset and Z forms unchanged
+    val off = spark.sql(
+      "SELECT zoned_timestamp('2020-06-10T15:30:00+05:30') AS z")
+      .selectExpr("z.tz", "cast(z.utc as string)").collect()(0)
+    assert(off.getString(0) == "+05:30" &&
+      off.getString(1) == "2020-06-10 10:00:00")
+    // unparseable wall clock raises instead of a silent NULL struct
+    val bad = intercept[Exception] {
+      spark.sql("SELECT zoned_timestamp('not a timestamp') AS z").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(bad).exists(m => m != null && m.contains("cannot parse")))
+    // NULL input stays NULL (no raise)
+    assert(spark.sql(
+      "SELECT zoned_timestamp(cast(null as string)) AS z").collect()(0)
+      .getStruct(0).isNullAt(0))
   }
 }

@@ -188,6 +188,18 @@ class GeomAlgebraSuite extends GraftSuite {
     val e = intercept[Exception](spark.sql(
       s"SELECT st_polygon_area($bad) AS a").collect())
     assert(e.getMessage.contains("exceed"))
+    // a degenerate zero-area hole (collinear ring) contributes zero
+    // weight — centroid must stay finite, not NaN (ADVICE r6)
+    val degenerate = "array(" +
+      "array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D), " +
+      "st_point(0D,10D)), " +
+      "array(st_point(3D,3D), st_point(4D,3D), st_point(5D,3D)))"
+    val dc = spark.sql(
+      s"""SELECT st_polygon_centroid($degenerate).x AS cx,
+         |  st_polygon_centroid($degenerate).y AS cy,
+         |  st_polygon_area($degenerate) AS a""".stripMargin).head()
+    assert(dc.getDouble(0) == 5.0 && dc.getDouble(1) == 5.0)
+    assert(dc.getDouble(2) == 100.0)
   }
 
   test("WKB: line round-trips; point and polygon hex parse") {
