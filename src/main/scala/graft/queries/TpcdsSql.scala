@@ -77,18 +77,36 @@ object TpcdsSql extends QueryPack {
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS ss_net_profit
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
-    // web channel: the odd-linenumber slice of the same fact source
+    // web channel: a (orderkey + linenumber) % 3 slice. The three
+    // channels were odd/even linenumber splits through r6, which made
+    // store = web ∪ catalog EXACTLY — structurally emptying every
+    // cross-channel EXCEPT (Q87) and store-vs-web cumulative compare
+    // (Q51). The mod-3 slice leaves a store-only residue (lines ≡ 0),
+    // modeling TPC-DS's independent channels; ship date / order number /
+    // warehouse feed Q95's multi-warehouse semi-join chain.
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW web_sales AS
             |SELECT cast(datediff(cast(o_orderdate as date),
             |    DATE '1995-01-01') + 2450000 as bigint) AS ws_sold_date_sk,
+            |  cast(datediff(cast(l_shipdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint) AS ws_ship_date_sk,
             |  l_partkey AS ws_item_sk,
             |  o_custkey AS ws_bill_customer_sk,
             |  cast(l_suppkey % 5 + 1 as bigint) AS ws_web_site_sk,
+            |  o_orderkey AS ws_order_number,
+            |  cast(l_suppkey % 4 + 1 as bigint) AS ws_warehouse_sk,
             |  l_extendedprice AS ws_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS ws_net_profit
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            |WHERE l_linenumber % 2 = 1""".stripMargin)
+            |WHERE (o_orderkey + l_linenumber) % 3 = 1""".stripMargin)
+    // web returns: the 'R'-flagged slice of the web channel
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW web_returns AS
+            |SELECT o_orderkey AS wr_order_number,
+            |  o_custkey AS wr_refunded_customer_sk,
+            |  l_extendedprice * (1 - l_discount) AS wr_return_amt
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE (o_orderkey + l_linenumber) % 3 = 1
+            |  AND l_returnflag = 'R'""".stripMargin)
     // returns: the 'R'-flagged slice, returned on the ship date
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW store_returns AS
             |SELECT cast(datediff(cast(l_shipdate as date),
@@ -131,7 +149,8 @@ object TpcdsSql extends QueryPack {
             |    WHEN 1 THEN 'CA' WHEN 2 THEN 'TX' WHEN 3 THEN 'NY'
             |    WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state
             |FROM customer""".stripMargin)
-    // catalog channel: the even-linenumber slice (web takes the odd)
+    // catalog channel: the (orderkey + linenumber) % 3 = 2 slice (web
+    // takes ≡ 1; ≡ 0 lines are store-only — see the web_sales note)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW catalog_sales AS
             |SELECT cast(datediff(cast(o_orderdate as date),
             |    DATE '1995-01-01') + 2450000 as bigint) AS cs_sold_date_sk,
@@ -142,7 +161,7 @@ object TpcdsSql extends QueryPack {
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS cs_net_profit
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            |WHERE l_linenumber % 2 = 0""".stripMargin)
+            |WHERE (o_orderkey + l_linenumber) % 3 = 2""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
             |SELECT c_custkey AS cd_demo_sk,
             |  CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -213,13 +232,25 @@ object TpcdsSql extends QueryPack {
       |  SELECT CAST(datediff('day', DATE '1995-01-01',
       |      CAST(o_orderdate AS DATE)) + 2450000 AS BIGINT)
       |      AS ws_sold_date_sk,
+      |    CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS ws_ship_date_sk,
       |    l_partkey AS ws_item_sk,
       |    o_custkey AS ws_bill_customer_sk,
       |    CAST(l_suppkey % 5 + 1 AS BIGINT) AS ws_web_site_sk,
+      |    o_orderkey AS ws_order_number,
+      |    CAST(l_suppkey % 4 + 1 AS BIGINT) AS ws_warehouse_sk,
       |    l_extendedprice AS ws_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  WHERE l_linenumber % 2 = 1),
+      |  WHERE (o_orderkey + l_linenumber) % 3 = 1),
+      |web_returns AS (
+      |  SELECT o_orderkey AS wr_order_number,
+      |    o_custkey AS wr_refunded_customer_sk,
+      |    l_extendedprice * (1 - l_discount) AS wr_return_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE (o_orderkey + l_linenumber) % 3 = 1
+      |    AND l_returnflag = 'R'),
       |store_returns AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01',
       |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
@@ -269,7 +300,7 @@ object TpcdsSql extends QueryPack {
       |    l_extendedprice AS cs_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  WHERE l_linenumber % 2 = 0),
+      |  WHERE (o_orderkey + l_linenumber) % 3 = 2),
       |customer_demographics AS (
       |  SELECT c_custkey AS cd_demo_sk,
       |    CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -719,7 +750,255 @@ object TpcdsSql extends QueryPack {
         |SELECT channel, id, sales, profit
         |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws
         |      UNION ALL SELECT * FROM cs)
-        |ORDER BY channel, id""".stripMargin))
+        |ORDER BY channel, id""".stripMargin)),
+
+    // TPC-DS Q38: the three-channel INTERSECT cohort — customers active
+    // on the SAME DAY in store, catalog, and web. Each branch is a
+    // fact-scan + date/customer broadcast + DISTINCT; Spark plans
+    // INTERSECT as left-semi joins over the distinct sets (shuffle on
+    // the (name, date) key — the right 100 TB shape, no all-pairs).
+    "qr4_tpcds_q38" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(count(*) as bigint) AS cnt FROM (
+        |  SELECT DISTINCT c_name, d_date
+        |  FROM store_sales, date_dim, customer
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND ss_customer_sk = c_custkey AND d_year = 1998
+        |  INTERSECT
+        |  SELECT DISTINCT c_name, d_date
+        |  FROM catalog_sales, date_dim, customer
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND cs_bill_customer_sk = c_custkey AND d_year = 1998
+        |  INTERSECT
+        |  SELECT DISTINCT c_name, d_date
+        |  FROM web_sales, date_dim, customer
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND ws_bill_customer_sk = c_custkey AND d_year = 1998
+        |) hot_cust""".stripMargin)),
+
+    // TPC-DS Q87: Q38's EXCEPT twin — store-channel day-customers who
+    // bought in NEITHER other channel that day. Non-empty only because
+    // the mod-3 channel slices leave a store-only residue (see the
+    // web_sales derivation note). EXCEPT is left-anti per branch.
+    "qr5_tpcds_q87" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(count(*) as bigint) AS cnt FROM (
+        |  (SELECT DISTINCT c_name, d_date
+        |   FROM store_sales, date_dim, customer
+        |   WHERE ss_sold_date_sk = d_date_sk
+        |     AND ss_customer_sk = c_custkey AND d_year = 1998)
+        |  EXCEPT
+        |  (SELECT DISTINCT c_name, d_date
+        |   FROM catalog_sales, date_dim, customer
+        |   WHERE cs_sold_date_sk = d_date_sk
+        |     AND cs_bill_customer_sk = c_custkey AND d_year = 1998)
+        |  EXCEPT
+        |  (SELECT DISTINCT c_name, d_date
+        |   FROM web_sales, date_dim, customer
+        |   WHERE ws_sold_date_sk = d_date_sk
+        |     AND ws_bill_customer_sk = c_custkey AND d_year = 1998)
+        |) cool_cust""".stripMargin)),
+
+    // TPC-DS Q51: cumulative web-vs-catalog revenue per item — two
+    // ordered running-sum windows FULL OUTER JOINed on (item, day),
+    // running-max over the coalesced stream, filtered where web's
+    // cumulative leads. Running sums add cents-exact day sums in the
+    // SAME (window) order on both engines, so the comparison and the
+    // LIMIT cutoff (unique (item_sk, d_date) order) are deterministic.
+    // Scale: both windows partition by item (parallel per item);
+    // the full-outer joins on the same (item, day) key — one shuffle.
+    "qr6_tpcds_q51" -> ((s, dir) => sql(s, dir,
+      """WITH web_v1 AS (
+        |  SELECT ws_item_sk item_sk, d_date,
+        |    sum(sum(ws_ext_sales_price)) OVER (PARTITION BY ws_item_sk
+        |      ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+        |  FROM web_sales, date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
+        |    AND ws_item_sk IS NOT NULL
+        |  GROUP BY ws_item_sk, d_date),
+        |catalog_v1 AS (
+        |  SELECT cs_item_sk item_sk, d_date,
+        |    sum(sum(cs_ext_sales_price)) OVER (PARTITION BY cs_item_sk
+        |      ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+        |  FROM catalog_sales, date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+        |    AND cs_item_sk IS NOT NULL
+        |  GROUP BY cs_item_sk, d_date)
+        |SELECT item_sk, d_date,
+        |  round(web_cumulative, 2) AS web_cumulative,
+        |  round(catalog_cumulative, 2) AS catalog_cumulative
+        |FROM (
+        |  SELECT item_sk, d_date,
+        |    max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      web_cumulative,
+        |    max(catalog_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      catalog_cumulative
+        |  FROM (
+        |    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+        |        ELSE catalog.item_sk END item_sk,
+        |      CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+        |        ELSE catalog.d_date END d_date,
+        |      web.cume_sales web_sales, catalog.cume_sales catalog_sales
+        |    FROM web_v1 web FULL OUTER JOIN catalog_v1 catalog
+        |      ON web.item_sk = catalog.item_sk
+        |      AND web.d_date = catalog.d_date) x) y
+        |WHERE web_cumulative > catalog_cumulative
+        |ORDER BY item_sk, d_date
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q47: monthly brand-store sales vs the year's monthly
+    // average, with the neighbor months via a rank self-join (the
+    // spec's lag/lead idiom). The windowed avg rounds (+5e-7 exact-tie
+    // breaker) BEFORE the 10%-deviation filter and the sort key, so
+    // both engines filter and cut the LIMIT on bitwise-identical
+    // doubles; the sort tiebreaker (category, brand, store, month) is
+    // unique. Scale: one aggregate + two windows over the same
+    // partitioning, then two self-equi-joins on (brand-store, rank) —
+    // all shuffles on the same key family.
+    "qr7_tpcds_q47" -> ((s, dir) => sql(s, dir,
+      """WITH v1 AS (
+        |  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+        |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+        |    round(avg(sum(ss_sales_price)) OVER (PARTITION BY i_category,
+        |      i_brand, s_store_name, d_year) + 5e-7, 2) avg_monthly_sales,
+        |    rank() OVER (PARTITION BY i_category, i_brand, s_store_name
+        |      ORDER BY d_year, d_moy) rn
+        |  FROM item, store_sales, date_dim, store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND (d_year = 1998 OR (d_year = 1997 AND d_moy = 12)
+        |      OR (d_year = 1999 AND d_moy = 1))
+        |  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy)
+        |SELECT v1.i_category, v1.i_brand, v1.s_store_name,
+        |  cast(v1.d_year as bigint) AS d_year,
+        |  cast(v1.d_moy as bigint) AS d_moy,
+        |  v1.sum_sales, v1.avg_monthly_sales,
+        |  v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        |FROM v1, v1 v1_lag, v1 v1_lead
+        |WHERE v1.i_category = v1_lag.i_category
+        |  AND v1.i_category = v1_lead.i_category
+        |  AND v1.i_brand = v1_lag.i_brand
+        |  AND v1.i_brand = v1_lead.i_brand
+        |  AND v1.s_store_name = v1_lag.s_store_name
+        |  AND v1.s_store_name = v1_lead.s_store_name
+        |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+        |  AND v1.d_year = 1998
+        |  AND v1.avg_monthly_sales > 0
+        |  AND abs(v1.sum_sales - v1.avg_monthly_sales)
+        |    / v1.avg_monthly_sales > 0.1
+        |ORDER BY v1.sum_sales - v1.avg_monthly_sales, v1.i_category,
+        |  v1.i_brand, v1.s_store_name, d_moy
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q67: the 8-level ROLLUP fed into a top-k-per-category
+    // rank — every rollup depth competes in the same ranking, so
+    // super-aggregate rows (category NULL) form their own partition.
+    // sumsales rounds with the tie-breaker before ranking: identical
+    // doubles rank identically on both engines, and rank ties keep
+    // every tied row (no cutoff ambiguity). Scale: ROLLUP is one
+    // Expand (9x rows) into one hash aggregate; rank partitions by
+    // category (~150 partitions, each small).
+    "qr8_tpcds_q67" -> ((s, dir) => sql(s, dir,
+      """SELECT i_category, i_class, i_brand, i_item_id,
+        |  cast(d_year as bigint) AS d_year, cast(d_qoy as bigint) AS d_qoy,
+        |  cast(d_moy as bigint) AS d_moy,
+        |  cast(s_store_sk as bigint) AS s_store_sk,
+        |  sumsales, cast(rk as bigint) AS rk
+        |FROM (
+        |  SELECT i_category, i_class, i_brand, i_item_id, d_year, d_qoy,
+        |    d_moy, s_store_sk, sumsales,
+        |    rank() OVER (PARTITION BY i_category
+        |      ORDER BY sumsales DESC) rk
+        |  FROM (
+        |    SELECT i_category, i_class, i_brand, i_item_id, d_year,
+        |      d_qoy, d_moy, ss_store_sk AS s_store_sk,
+        |      round(sum(coalesce(ss_sales_price * ss_quantity, 0))
+        |        + 5e-7, 2) sumsales
+        |    FROM store_sales, date_dim, item
+        |    WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |      AND d_year = 1998
+        |    GROUP BY ROLLUP(i_category, i_class, i_brand, i_item_id,
+        |      d_year, d_qoy, d_moy, ss_store_sk)) dw1) dw2
+        |WHERE rk <= 10
+        |ORDER BY i_category NULLS FIRST, rk, i_class NULLS FIRST,
+        |  i_brand NULLS FIRST, i_item_id NULLS FIRST, d_year NULLS FIRST,
+        |  d_qoy NULLS FIRST, d_moy NULLS FIRST, s_store_sk NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q95: the multi-fact semi-join chain — orders shipped from
+    // more than one warehouse (ws_wh self-join) AND having a web
+    // return, counted/summed over a 60-day ship window. Both IN
+    // subqueries plan as left-semi joins on the order number; the
+    // ws_wh self-join shuffles once on the same key. The famous Q95
+    // hazard (the self-join exploding on popular order numbers) is
+    // bounded here and at scale by per-order line counts (~7 max).
+    "qr9_tpcds_q95" -> ((s, dir) => sql(s, dir,
+      """WITH ws_wh AS (
+        |  SELECT ws1.ws_order_number
+        |  FROM web_sales ws1, web_sales ws2
+        |  WHERE ws1.ws_order_number = ws2.ws_order_number
+        |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        |SELECT cast(count(DISTINCT ws1.ws_order_number) as bigint)
+        |    AS order_count,
+        |  round(sum(ws_ext_sales_price), 2) AS total_sales,
+        |  round(sum(ws_net_profit) + 5e-7, 2) AS total_net_profit
+        |FROM web_sales ws1, date_dim, customer_address
+        |WHERE ws1.ws_ship_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+        |  AND ws1.ws_bill_customer_sk = ca_address_sk
+        |  AND ca_state = 'CA'
+        |  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+        |  AND ws1.ws_order_number IN (SELECT wr_order_number
+        |    FROM web_returns, ws_wh
+        |    WHERE wr_order_number = ws_wh.ws_order_number)""".stripMargin)),
+
+    // TPC-DS Q23: the frequent-buyer cohort — three chained CTEs
+    // (frequent items by day-count HAVING, the max customer basket as
+    // a scalar, best customers above half that max), then February
+    // catalog+web sales restricted to both cohorts via IN semi-joins.
+    // Thresholds adapt to the fixture (day-counts are 1-3 at sf0.01;
+    // spec's 4+ applies at real TPC-DS density). Scale: each CTE is
+    // one aggregate; the scalar max broadcasts; the final UNION ALL
+    // branches semi-join on item and customer keys.
+    "qs0_tpcds_q23" -> ((s, dir) => sql(s, dir,
+      """WITH frequent_ss_items AS (
+        |  SELECT substr(i_item_id, 1, 30) itemdesc, i_item_sk item_sk,
+        |    d_date solddate, count(*) cnt
+        |  FROM store_sales, date_dim, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |    AND d_year IN (1998, 1999)
+        |  GROUP BY substr(i_item_id, 1, 30), i_item_sk, d_date
+        |  HAVING count(*) > 1),
+        |max_store_sales AS (
+        |  SELECT max(csales) tpcds_cmax FROM (
+        |    SELECT c_custkey, sum(ss_quantity * ss_sales_price) csales
+        |    FROM store_sales, customer, date_dim
+        |    WHERE ss_customer_sk = c_custkey
+        |      AND ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |    GROUP BY c_custkey) a),
+        |best_ss_customer AS (
+        |  SELECT c_custkey, sum(ss_quantity * ss_sales_price) ssales
+        |  FROM store_sales, customer
+        |  WHERE ss_customer_sk = c_custkey
+        |  GROUP BY c_custkey
+        |  HAVING sum(ss_quantity * ss_sales_price) >
+        |    0.5 * (SELECT tpcds_cmax FROM max_store_sales))
+        |SELECT round(sum(sales), 2) AS total FROM (
+        |  SELECT cs_ext_sales_price sales
+        |  FROM catalog_sales, date_dim
+        |  WHERE d_year = 1998 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        |    AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        |    AND cs_bill_customer_sk IN
+        |      (SELECT c_custkey FROM best_ss_customer)
+        |  UNION ALL
+        |  SELECT ws_ext_sales_price sales
+        |  FROM web_sales, date_dim
+        |  WHERE d_year = 1998 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        |    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        |    AND ws_bill_customer_sk IN
+        |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1100,6 +1379,212 @@ object TpcdsSql extends QueryPack {
          |SELECT channel, id, sales, profit
          |FROM (SELECT * FROM ss UNION ALL SELECT * FROM ws
          |      UNION ALL SELECT * FROM cs)
-         |ORDER BY channel, id""".stripMargin
+         |ORDER BY channel, id""".stripMargin,
+
+    "qr4_tpcds_q38" ->
+      s"""WITH $dsCte
+         |SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT DISTINCT c_name, d_date
+         |  FROM store_sales, date_dim, customer
+         |  WHERE ss_sold_date_sk = d_date_sk
+         |    AND ss_customer_sk = c_custkey AND d_year = 1998
+         |  INTERSECT
+         |  SELECT DISTINCT c_name, d_date
+         |  FROM catalog_sales, date_dim, customer
+         |  WHERE cs_sold_date_sk = d_date_sk
+         |    AND cs_bill_customer_sk = c_custkey AND d_year = 1998
+         |  INTERSECT
+         |  SELECT DISTINCT c_name, d_date
+         |  FROM web_sales, date_dim, customer
+         |  WHERE ws_sold_date_sk = d_date_sk
+         |    AND ws_bill_customer_sk = c_custkey AND d_year = 1998
+         |) hot_cust""".stripMargin,
+
+    "qr5_tpcds_q87" ->
+      s"""WITH $dsCte
+         |SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  (SELECT DISTINCT c_name, d_date
+         |   FROM store_sales, date_dim, customer
+         |   WHERE ss_sold_date_sk = d_date_sk
+         |     AND ss_customer_sk = c_custkey AND d_year = 1998)
+         |  EXCEPT
+         |  (SELECT DISTINCT c_name, d_date
+         |   FROM catalog_sales, date_dim, customer
+         |   WHERE cs_sold_date_sk = d_date_sk
+         |     AND cs_bill_customer_sk = c_custkey AND d_year = 1998)
+         |  EXCEPT
+         |  (SELECT DISTINCT c_name, d_date
+         |   FROM web_sales, date_dim, customer
+         |   WHERE ws_sold_date_sk = d_date_sk
+         |     AND ws_bill_customer_sk = c_custkey AND d_year = 1998)
+         |) cool_cust""".stripMargin,
+
+    "qr6_tpcds_q51" ->
+      s"""WITH $dsCte,
+         |web_v1 AS (
+         |  SELECT ws_item_sk item_sk, d_date,
+         |    sum(sum(ws_ext_sales_price)) OVER (PARTITION BY ws_item_sk
+         |      ORDER BY d_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+         |  FROM web_sales, date_dim
+         |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
+         |    AND ws_item_sk IS NOT NULL
+         |  GROUP BY ws_item_sk, d_date),
+         |catalog_v1 AS (
+         |  SELECT cs_item_sk item_sk, d_date,
+         |    sum(sum(cs_ext_sales_price)) OVER (PARTITION BY cs_item_sk
+         |      ORDER BY d_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+         |  FROM catalog_sales, date_dim
+         |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+         |    AND cs_item_sk IS NOT NULL
+         |  GROUP BY cs_item_sk, d_date)
+         |SELECT item_sk, d_date,
+         |  round(web_cumulative, 2) AS web_cumulative,
+         |  round(catalog_cumulative, 2) AS catalog_cumulative
+         |FROM (
+         |  SELECT item_sk, d_date,
+         |    max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      web_cumulative,
+         |    max(catalog_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      catalog_cumulative
+         |  FROM (
+         |    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+         |        ELSE catalog.item_sk END item_sk,
+         |      CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+         |        ELSE catalog.d_date END d_date,
+         |      web.cume_sales web_sales, catalog.cume_sales catalog_sales
+         |    FROM web_v1 web FULL OUTER JOIN catalog_v1 catalog
+         |      ON web.item_sk = catalog.item_sk
+         |      AND web.d_date = catalog.d_date) x) y
+         |WHERE web_cumulative > catalog_cumulative
+         |ORDER BY item_sk, d_date
+         |LIMIT 100""".stripMargin,
+
+    "qr7_tpcds_q47" ->
+      s"""WITH $dsCte,
+         |v1 AS (
+         |  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+         |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+         |    round(avg(sum(ss_sales_price)) OVER (PARTITION BY i_category,
+         |      i_brand, s_store_name, d_year) + 5e-7, 2) avg_monthly_sales,
+         |    rank() OVER (PARTITION BY i_category, i_brand, s_store_name
+         |      ORDER BY d_year, d_moy) rn
+         |  FROM item, store_sales, date_dim, store
+         |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND (d_year = 1998 OR (d_year = 1997 AND d_moy = 12)
+         |      OR (d_year = 1999 AND d_moy = 1))
+         |  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy)
+         |SELECT v1.i_category, v1.i_brand, v1.s_store_name,
+         |  CAST(v1.d_year AS BIGINT) AS d_year,
+         |  CAST(v1.d_moy AS BIGINT) AS d_moy,
+         |  v1.sum_sales, v1.avg_monthly_sales,
+         |  v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+         |FROM v1, v1 v1_lag, v1 v1_lead
+         |WHERE v1.i_category = v1_lag.i_category
+         |  AND v1.i_category = v1_lead.i_category
+         |  AND v1.i_brand = v1_lag.i_brand
+         |  AND v1.i_brand = v1_lead.i_brand
+         |  AND v1.s_store_name = v1_lag.s_store_name
+         |  AND v1.s_store_name = v1_lead.s_store_name
+         |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+         |  AND v1.d_year = 1998
+         |  AND v1.avg_monthly_sales > 0
+         |  AND abs(v1.sum_sales - v1.avg_monthly_sales)
+         |    / v1.avg_monthly_sales > 0.1
+         |ORDER BY v1.sum_sales - v1.avg_monthly_sales, v1.i_category,
+         |  v1.i_brand, v1.s_store_name, d_moy
+         |LIMIT 100""".stripMargin,
+
+    "qr8_tpcds_q67" ->
+      s"""WITH $dsCte
+         |SELECT i_category, i_class, i_brand, i_item_id,
+         |  CAST(d_year AS BIGINT) AS d_year, CAST(d_qoy AS BIGINT) AS d_qoy,
+         |  CAST(d_moy AS BIGINT) AS d_moy,
+         |  CAST(s_store_sk AS BIGINT) AS s_store_sk,
+         |  sumsales, CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT i_category, i_class, i_brand, i_item_id, d_year, d_qoy,
+         |    d_moy, s_store_sk, sumsales,
+         |    rank() OVER (PARTITION BY i_category
+         |      ORDER BY sumsales DESC) rk
+         |  FROM (
+         |    SELECT i_category, i_class, i_brand, i_item_id, d_year,
+         |      d_qoy, d_moy, ss_store_sk AS s_store_sk,
+         |      round(sum(coalesce(ss_sales_price * ss_quantity, 0))
+         |        + 5e-7, 2) sumsales
+         |    FROM store_sales, date_dim, item
+         |    WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |      AND d_year = 1998
+         |    GROUP BY ROLLUP(i_category, i_class, i_brand, i_item_id,
+         |      d_year, d_qoy, d_moy, ss_store_sk)) dw1) dw2
+         |WHERE rk <= 10
+         |ORDER BY i_category NULLS FIRST, rk, i_class NULLS FIRST,
+         |  i_brand NULLS FIRST, i_item_id NULLS FIRST, d_year NULLS FIRST,
+         |  d_qoy NULLS FIRST, d_moy NULLS FIRST, s_store_sk NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "qr9_tpcds_q95" ->
+      s"""WITH $dsCte,
+         |ws_wh AS (
+         |  SELECT ws1.ws_order_number
+         |  FROM web_sales ws1, web_sales ws2
+         |  WHERE ws1.ws_order_number = ws2.ws_order_number
+         |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+         |SELECT CAST(count(DISTINCT ws1.ws_order_number) AS BIGINT)
+         |    AS order_count,
+         |  round(sum(ws_ext_sales_price), 2) AS total_sales,
+         |  round(sum(ws_net_profit) + 5e-7, 2) AS total_net_profit
+         |FROM web_sales ws1, date_dim, customer_address
+         |WHERE ws1.ws_ship_date_sk = d_date_sk
+         |  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+         |  AND ws1.ws_bill_customer_sk = ca_address_sk
+         |  AND ca_state = 'CA'
+         |  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+         |  AND ws1.ws_order_number IN (SELECT wr_order_number
+         |    FROM web_returns, ws_wh
+         |    WHERE wr_order_number = ws_wh.ws_order_number)""".stripMargin,
+
+    "qs0_tpcds_q23" ->
+      s"""WITH $dsCte,
+         |frequent_ss_items AS (
+         |  SELECT substr(i_item_id, 1, 30) itemdesc, i_item_sk item_sk,
+         |    d_date solddate, count(*) cnt
+         |  FROM store_sales, date_dim, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |    AND d_year IN (1998, 1999)
+         |  GROUP BY substr(i_item_id, 1, 30), i_item_sk, d_date
+         |  HAVING count(*) > 1),
+         |max_store_sales AS (
+         |  SELECT max(csales) tpcds_cmax FROM (
+         |    SELECT c_custkey, sum(ss_quantity * ss_sales_price) csales
+         |    FROM store_sales, customer, date_dim
+         |    WHERE ss_customer_sk = c_custkey
+         |      AND ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |    GROUP BY c_custkey) a),
+         |best_ss_customer AS (
+         |  SELECT c_custkey, sum(ss_quantity * ss_sales_price) ssales
+         |  FROM store_sales, customer
+         |  WHERE ss_customer_sk = c_custkey
+         |  GROUP BY c_custkey
+         |  HAVING sum(ss_quantity * ss_sales_price) >
+         |    0.5 * (SELECT tpcds_cmax FROM max_store_sales))
+         |SELECT round(sum(sales), 2) AS total FROM (
+         |  SELECT cs_ext_sales_price sales
+         |  FROM catalog_sales, date_dim
+         |  WHERE d_year = 1998 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+         |    AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+         |    AND cs_bill_customer_sk IN
+         |      (SELECT c_custkey FROM best_ss_customer)
+         |  UNION ALL
+         |  SELECT ws_ext_sales_price sales
+         |  FROM web_sales, date_dim
+         |  WHERE d_year = 1998 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+         |    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+         |    AND ws_bill_customer_sk IN
+         |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin
   )
 }
