@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType, TimestampType}
 
 /** SQL-visible registry of PrestoDB function names, so reference SQL runs
   * against `spark.sql(...)` unmodified (SURVEY §7.1 `Registry.scala`).
@@ -2098,6 +2098,10 @@ object Registry {
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
   private val analyzeTableRe =
     """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
+  private val useRe =
+    """(?is)^\s*USE\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(.+?)\s*$""".r
   private val createViewDetectRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][\w.]*)""".r
 
@@ -2208,11 +2212,71 @@ object Registry {
     }
   }
 
+  /** SHOW STATS FOR table | (query) (SqlBase.g4:107 showStats /
+    * showStatsForQuery; presto-main ShowStatsRewrite): one row per
+    * column — column_name, data_size (string columns), distinct_values_
+    * count, nulls_fraction, low/high — plus the row_count summary row,
+    * the reference's exact shape. Stats compute EXACTLY over the
+    * relation (the gate needs determinism); NDVs run as one separate
+    * pass per column — packing countDistincts on different columns into
+    * one aggregate plans an Expand (row x N) through ObjectHashAggregate,
+    * measured 4x slower (the qj0/q85 lesson, SURVEY §2.4). A production
+    * deployment answers from catalog statistics (ANALYZE, qq6) or
+    * approx_count_distinct — this is interactive metadata, not a data
+    * path. */
+  private def showStatsStatement(spark: SparkSession,
+      target0: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val target = target0.trim
+    val df =
+      if (target.startsWith("(")) {
+        require(target.endsWith(")"),
+          s"SHOW STATS FOR: unbalanced query parentheses: $target")
+        spark.sql(rewritePrestoSql(target.substring(1, target.length - 1)))
+      } else spark.table(target.split('.').last)
+    val n = df.count()
+    val colRows = df.schema.fields.toSeq.map { f =>
+      val c = F.col(s"`${f.name}`")
+      val statable = f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.BooleanType => true
+        case _ => false // arrays/maps/structs: stats render NULL
+      }
+      if (!statable)
+        (f.name, None: Option[Long], None: Option[Long],
+          None: Option[Double], None: Option[Long],
+          None: Option[String], None: Option[String])
+      else {
+        val isStr = f.dataType == StringType
+        val r = df.agg(
+          F.count(c).as("nn"), F.countDistinct(c).as("ndv"),
+          F.min(c).cast("string").as("lo"),
+          F.max(c).cast("string").as("hi"),
+          (if (isStr) F.sum(F.length(c)) else F.lit(null).cast("bigint"))
+            .as("sz")).head()
+        (f.name,
+          if (isStr && !r.isNullAt(4)) Some(r.getLong(4)) else None,
+          Some(r.getLong(1)),
+          Some(if (n == 0) 0.0 else 1.0 - r.getLong(0).toDouble / n),
+          None: Option[Long],
+          Option(r.getString(2)), Option(r.getString(3)))
+      }
+    }
+    val summary = (null: String, None: Option[Long], None: Option[Long],
+      None: Option[Double], Some(n), None: Option[String],
+      None: Option[String])
+    (colRows :+ summary).toDF("column_name", "data_size",
+      "distinct_values_count", "nulls_fraction", "row_count",
+      "low_value", "high_value")
+  }
+
   /** Entry point for statement-level Presto SQL: handles PREPARE /
     * EXECUTE / DEALLOCATE, DESCRIBE (incl. INPUT/OUTPUT), EXPLAIN,
     * SHOW CREATE/CATALOGS/SESSION, SET/RESET SESSION, transaction
-    * no-ops, and DROP FUNCTION; everything else falls through to
-    * `spark.sql(rewritePrestoSql(...))`. */
+    * no-ops, USE, SHOW STATS, and DROP FUNCTION; everything else falls
+    * through to `spark.sql(rewritePrestoSql(...))`. */
   def prestoStatement(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
     sqlText match {
       case prepareRe(name, body) =>
@@ -2416,6 +2480,18 @@ object Registry {
         spark.sql(s"DROP TEMPORARY FUNCTION ${if (ifExists != null) "IF EXISTS " else ""}$base")
         sessionMap(createdFnTexts, spark).remove(base)
         statusDf(spark, "DROP FUNCTION")
+
+      case useRe(name) =>
+        // USE schema / USE catalog.schema (SqlBase.g4:35-36): a
+        // qualified catalog.schema collapses to the schema (one Spark
+        // catalog); an unknown schema fails loudly through Spark's own
+        // USE. Subsequent unqualified table names resolve in the new
+        // schema (session temp views still win, as in Spark).
+        spark.sql(s"USE ${name.split('.').last}")
+        statusDf(spark, "USE")
+
+      case showStatsRe(target) =>
+        showStatsStatement(spark, target)
 
       case other =>
         // Record original texts for SHOW CREATE VIEW / FUNCTION before

@@ -59,63 +59,26 @@ object Views extends QueryPack {
         Map("minprice" -> 150000.0, "mindate" -> "1996-01-01"))
     }),
 
-    // SHOW STATS analog (presto-main ShowStatsRewrite + the ANALYZE
-    // column-statistics surface): one row per column with the reference's
-    // exact output shape — column_name, data_size (char columns),
+    // SHOW STATS FOR (query) — the statement router's parenthesized
+    // form (SqlBase.g4:107 showStatsForQuery; presto-main
+    // ShowStatsRewrite): one row per column with the reference's exact
+    // output shape — column_name, data_size (char columns),
     // distinct_values_count, nulls_fraction, row_count (summary row),
-    // low_value, high_value. The NDVs are DELIBERATELY separate two-stage
-    // distinct subqueries cross-joined back in: packing four
-    // countDistincts on different columns into one aggregate plans an
-    // Expand (row x 5) through a single ObjectHashAggregate — measured
-    // 5.9 s vs 1.4 s at sf0.1 (the q85 lesson, SURVEY §2.4; each
-    // separate distinct stays in whole-stage codegen with map-side
-    // partial aggregation). Values are exact (the gate needs
-    // determinism); a production deployment would swap
-    // approx_count_distinct for the NDVs and fold back to one pass.
+    // low_value, high_value. The router computes NDVs as DELIBERATELY
+    // separate per-column passes: packing four countDistincts into one
+    // aggregate plans an Expand (row x 5) through a single
+    // ObjectHashAggregate — measured 5.9 s vs 1.4 s at sf0.1 (the q85
+    // lesson, SURVEY §2.4; each separate distinct stays in whole-stage
+    // codegen with map-side partial aggregation). Values are exact (the
+    // gate needs determinism); a production deployment answers from
+    // catalog statistics (ANALYZE, qq6) or approx_count_distinct.
     "qj0_show_stats" -> ((s, dir) => {
       Tables.register(s, dir)
-      s.sql(
-        """WITH b AS (SELECT
-          |    count(*) AS rc,
-          |    min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
-          |    count(l_orderkey) AS nn_o,
-          |    min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
-          |    count(l_quantity) AS nn_q,
-          |    min(l_returnflag) AS lo_f, max(l_returnflag) AS hi_f,
-          |    count(l_returnflag) AS nn_f, sum(length(l_returnflag)) AS sz_f,
-          |    min(l_shipdate) AS lo_d, max(l_shipdate) AS hi_d,
-          |    count(l_shipdate) AS nn_d
-          |  FROM lineitem),
-          |n1 AS (SELECT count(*) AS d_o FROM
-          |  (SELECT DISTINCT l_orderkey FROM lineitem)),
-          |n2 AS (SELECT count(*) AS d_q FROM
-          |  (SELECT DISTINCT l_quantity FROM lineitem)),
-          |n3 AS (SELECT count(*) AS d_f FROM
-          |  (SELECT DISTINCT l_returnflag FROM lineitem)),
-          |n4 AS (SELECT count(*) AS d_d FROM
-          |  (SELECT DISTINCT l_shipdate FROM lineitem)),
-          |a AS (SELECT * FROM b CROSS JOIN n1 CROSS JOIN n2
-          |      CROSS JOIN n3 CROSS JOIN n4)
-          |SELECT stack(5,
-          |  'l_orderkey', cast(null as bigint), d_o,
-          |    1.0D - nn_o / cast(rc as double), cast(null as bigint),
-          |    cast(lo_o as string), cast(hi_o as string),
-          |  'l_quantity', cast(null as bigint), d_q,
-          |    1.0D - nn_q / cast(rc as double), cast(null as bigint),
-          |    cast(lo_q as string), cast(hi_q as string),
-          |  'l_returnflag', sz_f, d_f,
-          |    1.0D - nn_f / cast(rc as double), cast(null as bigint),
-          |    lo_f, hi_f,
-          |  'l_shipdate', cast(null as bigint), d_d,
-          |    1.0D - nn_d / cast(rc as double), cast(null as bigint),
-          |    cast(lo_d as string), cast(hi_d as string),
-          |  cast(null as string), cast(null as bigint),
-          |    cast(null as bigint), cast(null as double), rc,
-          |    cast(null as string), cast(null as string))
-          |  AS (column_name, data_size, distinct_values_count,
-          |      nulls_fraction, row_count, low_value, high_value)
-          |FROM a
-          |ORDER BY column_name NULLS FIRST""".stripMargin)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SHOW STATS FOR (SELECT l_orderkey, l_quantity, l_returnflag,
+          |  l_shipdate FROM lineitem)""".stripMargin)
+        .orderBy(col("column_name").asc_nulls_first)
     }),
 
     // SHOW COLUMNS / DESCRIBE surface (Presto information_schema.columns,
@@ -450,6 +413,15 @@ object Views extends QueryPack {
         .map(_.getString(1)).toSeq == Seq("t1")
       val rows = s.sql("SELECT count(*) AS n FROM graft_sch.t1")
         .collect()(0).getLong(0)
+      // USE (SqlBase.g4:35-36): switch the session schema, then the
+      // UNQUALIFIED name resolves to graft_sch.t1; catalog-qualified
+      // spelling collapses to the schema; unknown schemas fail loudly.
+      prestoStatement(s, "USE graft_sch")
+      val unqualified = s.sql("SELECT count(*) AS n FROM t1")
+        .collect()(0).getLong(0) == rows
+      prestoStatement(s, "USE spark_catalog.default")
+      val unknownRejected = scala.util.Try(
+        prestoStatement(s, "USE graft_no_such_sch")).isFailure
       prestoStatement(s, "DROP SCHEMA graft_sch CASCADE")
       val gone = s.sql("SHOW SCHEMAS LIKE 'graft_sch'").count() == 0
       import s.implicits._
@@ -457,7 +429,9 @@ object Views extends QueryPack {
         ("dropped_gone", gone.toString),
         ("schema_visible", visible.toString),
         ("table_listed", listed.toString),
-        ("table_rows", rows.toString))
+        ("table_rows", rows.toString),
+        ("use_resolves_unqualified", unqualified.toString),
+        ("use_unknown_rejected", unknownRejected.toString))
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
@@ -482,7 +456,9 @@ object Views extends QueryPack {
         |  UNION ALL SELECT 'schema_visible', 'true'
         |  UNION ALL SELECT 'table_listed', 'true'
         |  UNION ALL SELECT 'table_rows', CAST(count(*) AS VARCHAR)
-        |    FROM region)
+        |    FROM region
+        |  UNION ALL SELECT 'use_resolves_unqualified', 'true'
+        |  UNION ALL SELECT 'use_unknown_rejected', 'true')
         |ORDER BY phase""".stripMargin,
 
     // DuckDB's OWN catalog over the identical parquet — a genuine
