@@ -750,6 +750,27 @@ object Registry {
     * no global state). Idempotent per session. */
   def install(spark: SparkSession): Unit = synchronized {
     if (!installed.containsKey(spark)) {
+      // Instant semantics for zoned-value comparisons (the runtime-
+      // injectable optimizer hook — see ZonedInstantComparison's doc).
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.ZonedInstantComparison))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.ZonedInstantComparison
+      // ConvertToLocalRelation eagerly evaluates VALUES-backed
+      // projections in the operator batch — BEFORE user rules — which
+      // would bake pair semantics into literal-table zoned comparisons.
+      // Excluding it defers local-relation evaluation to runtime (same
+      // results, negligible cost at any scale: it only ever touches
+      // literal-sized plans).
+      locally {
+        val key = "spark.sql.optimizer.excludedRules"
+        val rule =
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+        val cur = spark.conf.getOption(key).getOrElse("")
+        if (!cur.contains(rule))
+          spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
+      }
       val registry = spark.sessionState.functionRegistry
       // Same-name templates with different arities are overloads (Presto
       // overloads e.g. bing_tile(x, y, zoom) / bing_tile(quadkey)); the

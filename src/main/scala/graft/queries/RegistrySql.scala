@@ -250,7 +250,11 @@ object RegistrySql extends QueryPack {
         |  zoned_to_iso8601(zoned_at_timezone(z, '+00:00')) AS at_utc,
         |  zoned_to_iso8601(zoned_with_timezone(
         |    cast('2020-06-10 08:00:00' as timestamp_ntz), '-04:00'))
-        |    AS w_tz
+        |    AS w_tz,
+        |  cast(rank() OVER (ORDER BY z) as bigint) AS instant_rank,
+        |  z = zoned_timestamp('2020-06-10T12:00:00+02:00')
+        |    AS eq_crosszone,
+        |  z < zoned_timestamp('2020-07-01T00:00:00Z') AS lt_july
         |FROM z ORDER BY id""".stripMargin)),
 
     // Verbatim `expr AT TIME ZONE 'zone'` operator (SqlBase.g4
@@ -944,8 +948,24 @@ object RegistrySql extends QueryPack {
 
     // Hand-derived from the offsets: +05:30/+02:00/Z share the instant
     // 10:00 UTC; -03:30 on New Year's Eve crosses into 2021 at UTC.
+    // Hand-derived scalar columns as before; the comparison/ordering
+    // columns (instant_rank, eq_crosszone, lt_july) compute over
+    // DuckDB's OWN TIMESTAMPTZ values built from the same literals — a
+    // genuine two-engine agreement that zoned comparisons are
+    // instant-based (DuckDB's TIMESTAMPTZ compares instants).
     "qp1_zoned_timestamps" ->
-      """SELECT * FROM (VALUES
+      """WITH zsrc AS (SELECT * FROM (VALUES
+        |    (1, TIMESTAMPTZ '2020-06-10 15:30:00+05:30'),
+        |    (2, TIMESTAMPTZ '2020-06-10 12:00:00+02:00'),
+        |    (3, TIMESTAMPTZ '2020-06-10 10:00:00+00:00'),
+        |    (4, TIMESTAMPTZ '2020-12-31 23:45:00-03:30')) AS s(id, z)),
+        |zcomp AS (SELECT id,
+        |    CAST(rank() OVER (ORDER BY z) AS BIGINT) AS instant_rank,
+        |    z = TIMESTAMPTZ '2020-06-10 12:00:00+02:00' AS eq_crosszone,
+        |    z < TIMESTAMPTZ '2020-07-01 00:00:00+00:00' AS lt_july
+        |  FROM zsrc)
+        |SELECT v.*, instant_rank, eq_crosszone, lt_july
+        |FROM (VALUES
         |  (CAST(1 AS BIGINT), '2020-06-10 10:00:00', '2020-06-10 15:30:00',
         |   CAST(5 AS BIGINT), CAST(30 AS BIGINT),
         |   '2020-06-10T15:30:00+05:30', CAST(15 AS BIGINT), true,
@@ -962,9 +982,10 @@ object RegistrySql extends QueryPack {
         |   CAST(-3 AS BIGINT), CAST(-30 AS BIGINT),
         |   '2020-12-31T23:45:00-03:30', CAST(23 AS BIGINT), false,
         |   '2021-01-01T03:15:00+00:00', '2020-06-10T08:00:00-04:00'))
-        |  AS t(id, instant_utc, wall, tzh, tzm, iso, local_hour,
+        |  AS v(id, instant_utc, wall, tzh, tzm, iso, local_hour,
         |       le_10utc, at_utc, w_tz)
-        |ORDER BY id""".stripMargin,
+        |JOIN zcomp ON v.id = zcomp.id
+        |ORDER BY v.id""".stripMargin,
 
     // Hand-derived: 15:30+05:30 and 12:00 Berlin summer (+02:00) are
     // both 10:00 UTC; 23:45-03:30 is 03:15 next day (2021) UTC.

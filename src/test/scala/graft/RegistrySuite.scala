@@ -568,4 +568,40 @@ class RegistrySuite extends GraftSuite {
     assert(in.length == 1 && in(0).getInt(0) == 0)
     Registry.prestoStatement(spark, "DEALLOCATE PREPARE t_dio")
   }
+
+  test("zoned values compare, order, join, and IN by instant") {
+    Registry.install(spark)
+    // 15:30+05:30 and 12:00+02:00 are the same instant (10:00 UTC) in
+    // different zones — struct pair comparison would call them unequal;
+    // the reference compares instants (TimestampWithTimeZoneType
+    // compareTo). Column-bearing comparisons route through the
+    // ZonedInstantComparison optimizer rule.
+    val rows = spark.sql(Registry.rewritePrestoSql(
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-12-31T23:45:00-03:30') AS t(id, s))
+        |SELECT id,
+        |  z = zoned_timestamp('2020-06-10T10:00:00Z') AS eq_inst,
+        |  z < zoned_timestamp('2020-07-01T00:00:00Z') AS lt_july,
+        |  rank() OVER (ORDER BY z) AS rk,
+        |  z IN (zoned_timestamp('2020-06-10T20:00:00+10:00'),
+        |        zoned_timestamp('1999-01-01T00:00:00Z')) AS in_inst
+        |FROM z ORDER BY id""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2),
+        r.getInt(3), r.getBoolean(4)))
+    assert(rows(0) == ((1, true, true, 1, true)))
+    assert(rows(1) == ((2, true, true, 1, true)))
+    assert(rows(2) == ((3, false, false, 3, false)))
+    // joins key on the instant too (same-instant different-zone match)
+    val joined = spark.sql(Registry.rewritePrestoSql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT zoned_timestamp(s) AS a FROM VALUES
+        |    ('2020-06-10T15:30:00+05:30') AS t(s)) l
+        |JOIN
+        |  (SELECT zoned_timestamp(s) AS b FROM VALUES
+        |    ('2020-06-10T12:00:00+02:00') AS t(s)) r
+        |ON l.a = r.b""".stripMargin)).collect()(0).getLong(0)
+    assert(joined == 1L)
+  }
 }
