@@ -466,11 +466,14 @@ object GeomBoolean {
       else if (aInB) Seq.empty // subject swallowed entirely
       else Seq(a) // disjoint: clip removes nothing
     } else {
-      val comps = difference(a0, b0)
-      require(comps.size <= 1,
-        s"st_polygon_difference: result has ${comps.size} disjoint " +
-          "components (a multipolygon) — use st_difference")
-      comps
+      // Boundary crossings take the GH difference; its components are
+      // hole-free. One component is a (hole-less) holed polygon;
+      // SEVERAL — a clip bar splitting the subject — come back as a
+      // multipolygon in the same array<ring> shape (r7; was a loud
+      // reject). Orientation disambiguates the two readings: holes are
+      // CW by the structural convention, multipolygon components are
+      // all CCW exteriors.
+      difference(a0, b0)
     }
   }
 

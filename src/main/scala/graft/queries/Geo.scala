@@ -541,6 +541,8 @@ object Geo extends QueryPack {
           |        st_point(6D, 6D), st_point(3D, 6D)) AS inner_clip,
           |  array(st_point(-1D, -1D), st_point(5D, -1D),
           |        st_point(5D, 11D), st_point(-1D, 11D)) AS half_slab,
+          |  array(st_point(4D, -1D), st_point(6D, -1D),
+          |        st_point(6D, 11D), st_point(4D, 11D)) AS bar_clip,
           |  array(st_point(20D, 20D), st_point(22D, 20D),
           |        st_point(22D, 22D), st_point(20D, 22D)) AS far_clip)
           |SELECT cast(1 as bigint) AS id,
@@ -562,7 +564,21 @@ object Geo extends QueryPack {
           |  st_polygon_area(st_polygon_difference(subj, far_clip))
           |    AS disjoint_area,
           |  cast(size(st_polygon_difference(inner_clip, subj)) as bigint)
-          |    AS swallowed_rings
+          |    AS swallowed_rings,
+          |  cast(size(st_polygon_difference(subj, bar_clip)) as bigint)
+          |    AS split_rings,
+          |  least(
+          |    st_polygon_area(array(
+          |      element_at(st_polygon_difference(subj, bar_clip), 1))),
+          |    st_polygon_area(array(
+          |      element_at(st_polygon_difference(subj, bar_clip), 2))))
+          |    AS split_area_lo,
+          |  greatest(
+          |    st_polygon_area(array(
+          |      element_at(st_polygon_difference(subj, bar_clip), 1))),
+          |    st_polygon_area(array(
+          |      element_at(st_polygon_difference(subj, bar_clip), 2))))
+          |    AS split_area_hi
           |FROM g""".stripMargin)
     }),
 
@@ -1023,7 +1039,8 @@ object Geo extends QueryPack {
 
       // 100 − 9 = 91 over 2 rings; the half-slab leaves the right
       // 5x10 = 50 in one ring; disjoint leaves 100; a swallowed
-      // subject has no rings.
+      // subject has no rings; the splitting bar (x in [4,6]) leaves a
+      // 4x10 piece on each side — a 2-component multipolygon (r7).
       "qr0_holed_difference" ->
         """SELECT CAST(1 AS BIGINT) AS id, 91.0 AS holed_area,
           |  CAST(2 AS BIGINT) AS holed_rings,
@@ -1031,7 +1048,9 @@ object Geo extends QueryPack {
           |  true AS wkb_rt, 50.0 AS crossed_area,
           |  CAST(1 AS BIGINT) AS crossed_rings,
           |  100.0 AS disjoint_area,
-          |  CAST(0 AS BIGINT) AS swallowed_rings""".stripMargin,
+          |  CAST(0 AS BIGINT) AS swallowed_rings,
+          |  CAST(2 AS BIGINT) AS split_rings,
+          |  40.0 AS split_area_lo, 40.0 AS split_area_hi""".stripMargin,
 
       "qm6_geometry_structure" ->
         """SELECT * FROM (VALUES

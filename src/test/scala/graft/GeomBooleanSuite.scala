@@ -227,12 +227,13 @@ class GeomBooleanSuite extends GraftSuite {
     assert(row.getInt(2) == 2)
   }
 
-  test("st_polygon_difference: contained clip punches a hole; multipolygon result is loud") {
+  test("st_polygon_difference: contained clip punches a hole; splitting bar yields a multipolygon") {
     Registry.install(spark)
     def sq(x0: Double, y0: Double, s: Double) =
       s"array(st_point(${x0}D, ${y0}D), st_point(${x0 + s}D, ${y0}D), " +
         s"st_point(${x0 + s}D, ${y0 + s}D), st_point(${x0}D, ${y0 + s}D))"
-    // 10x10 minus contained 2x2 → [exterior, hole], area 96
+    // 10x10 minus contained 2x2 → [exterior, hole], area 96; the hole
+    // ring is CW (the structural convention's hole marker)
     val holed = spark.sql(
       s"""SELECT st_polygon_area(
          |    st_polygon_difference(${sq(0, 0, 10)}, ${sq(4, 4, 2)})) AS a,
@@ -241,16 +242,21 @@ class GeomBooleanSuite extends GraftSuite {
     assert(holed.getDouble(0) == 96.0)
     assert(holed.getInt(1) == 2)
     // a clip bar through the middle splits the subject in two — a
-    // multipolygon, which one holed polygon can't hold: loud
-    val e = intercept[Exception] {
-      spark.sql(
-        "SELECT st_polygon_difference(" +
-          "array(st_point(0D, 0D), st_point(10D, 0D), " +
-          "st_point(10D, 10D), st_point(0D, 10D)), " +
-          "array(st_point(4D, -1D), st_point(6D, -1D), " +
-          "st_point(6D, 11D), st_point(4D, 11D))) AS v").collect()
+    // 2-component multipolygon in the same array<ring> shape (r7; was
+    // loud). Components are CCW exteriors (holes would be CW), each
+    // the 4x10 side piece.
+    val split = GeomBoolean.holedDifference(
+      Array(0, 0, 10, 0, 10, 10, 0, 10),
+      Array(4, -1, 6, -1, 6, 11, 4, 11))
+    assert(split.size == 2)
+    split.foreach { comp =>
+      assert(GeomBoolean.signedArea(comp) > 0, "component must be CCW")
+      assert(math.abs(GeomBoolean.signedArea(comp) - 40.0) < 1e-9)
     }
-    assert(e.getMessage.contains("multipolygon") ||
-      Option(e.getCause).exists(_.getMessage.contains("multipolygon")))
+    // ... and the hole case's interior ring IS CW, disambiguating
+    val hole = GeomBoolean.holedDifference(
+      Array(0, 0, 10, 0, 10, 10, 0, 10),
+      Array(4, 4, 6, 4, 6, 6, 4, 6))
+    assert(hole.size == 2 && GeomBoolean.signedArea(hole(1)) < 0)
   }
 }
