@@ -1,0 +1,430 @@
+package graft.functions
+
+/** The pre-parse rewrite pipeline: Presto spellings Spark's grammar
+  * rejects (ARRAY[..] literals, 1-based subscripts, CROSS JOIN UNNEST,
+  * AT TIME ZONE, TIME/TIMESTAMP-zone/DECIMAL literals, TABLESAMPLE,
+  * CREATE FUNCTION characteristics, bare VARCHAR) rewritten textually
+  * before `spark.sql(...)`. Split out of Registry.scala in r7.
+  *
+  * Every scanner shares ONE masking convention, [[stringMask]]: a
+  * position inside a single-quoted SQL string literal (quotes included)
+  * is never rewritten, matched, or depth-counted. Doubled quotes
+  * (`''`) read as two adjacent literals, which masks identically.
+  */
+private[functions] object PrestoRewrite {
+
+  /** mask(i) = true when position i sits inside a string literal
+    * (quotes included) — the shared convention of every scanner here
+    * and of the statement router's placeholder/argument scans. */
+  private[functions] def stringMask(q: String): Array[Boolean] = {
+    val mask = new Array[Boolean](q.length)
+    var inS = false
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inS) { mask(i) = true; if (c == '\'') inS = false }
+      else if (c == '\'') { mask(i) = true; inS = true }
+      i += 1
+    }
+    mask
+  }
+
+  // Presto's literal-unit spelling date_add('day', n, x): Spark's grammar
+  // reserves the name (unit validated pre-resolution), so the registry
+  // can't intercept it — rename pre-parse instead. Only the quote-led
+  // (Presto) form matches; Spark's own date_add(start, days) is untouched.
+  // Anchored on a known unit keyword after the opening quote so that
+  // Spark's own 2-arg date_add('2020-01-01', 3) (string-literal start
+  // date) and occurrences of the bare names inside other text are left
+  // alone — only the Presto 3-arg literal-unit spelling matches.
+  private val prestoDateFnRe =
+    ("""(?i)\b(date_add|date_diff)\s*\(\s*'""" +
+      """(millisecond|second|minute|hour|day|week|month|quarter|year)'""").r
+
+  // Presto's unparameterized VARCHAR (`cast(x as varchar)`) is unbounded;
+  // Spark's grammar requires a length there (its plain-`varchar` is only
+  // valid in DDL). `varchar(n)` forms are left alone — both dialects agree.
+  private val bareVarcharRe = """(?i)\b(as\s+)varchar(\s*\))""".r
+
+  /** Pre-parse rewrite absorbing the Presto spellings the grammar blocks
+    * from registry-level absorption (reserved names, type grammar). Apply
+    * to raw Presto SQL before `spark.sql(...)` (RegistrySql.sql does). */
+  // Presto TIME 'HH:MM:SS[.fff]' literals: Spark has no time-of-day
+  // type, so times ride as TIMESTAMP_NTZ on the epoch date — ordering,
+  // extraction (hour/minute/second), and date_diff all behave as
+  // Presto's TIME within a day. TIME WITH TIME ZONE stays descoped.
+  private val timeLiteralRe =
+    """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
+
+  // Presto TIMESTAMP-WITH-TIME-ZONE literals — `TIMESTAMP
+  // '2020-06-10 15:30:00 +05:30'` / `... Asia/Kolkata'`
+  // (SqlBase.g4 primaryExpression typeConstructor;
+  // TimestampWithTimeZoneType.java): the wall clock is interpreted IN
+  // the named zone and the value carries that zone — exactly the
+  // struct<utc, tz> zoned layer (qp1), so the literal rewrites to
+  // named_struct('utc', to_utc_timestamp(wall, zone), 'tz', zone).
+  // Plain TIMESTAMP literals (no zone suffix) don't match and parse
+  // natively. NOTE struct equality compares (utc, tz) pairs — instant
+  // comparison across zones spells zoned_instant (ledger, qp1).
+  private val timestampTzLiteralRe =
+    ("""(?i)\bTIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}""" +
+      """(?:\.\d{1,6})?)\s+([+-]\d{2}:\d{2}|[A-Za-z][\w/+-]*)'""").r
+
+  // Presto DECIMAL 'd.dd' literals: precision = digit count, scale =
+  // fractional digits (DecimalType.java literal rules).
+  private val decimalLiteralRe =
+    """(?i)\bDECIMAL\s+'([+-]?\d+(?:\.\d+)?)'""".r
+
+  // Presto TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4
+  // sampledRelation) → Spark's percent form. Spark samples per-split
+  // Bernoulli either way, which IS Presto's BERNOULLI; Presto's SYSTEM
+  // (split-granularity) maps to the same — a documented approximation
+  // (both are "approximately p% of rows" by contract).
+  private val tablesampleRe =
+    """(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
+
+  /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
+    * scan (subscripts like a[1] nest correctly), string literals
+    * skipped, nested ARRAY[ handled by re-scanning. */
+  private def rewriteArrayLiterals(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val mask = stringMask(q)
+      var i = 0
+      var found = -1
+      while (i < q.length && found < 0) {
+        if (!mask(i) && q.regionMatches(true, i, "ARRAY[", 0, 6) &&
+          (i == 0 || {
+            val p = q.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_'
+          })) found = i
+        i += 1
+      }
+      if (found >= 0) {
+        var j = found + 6
+        var depth = 1
+        while (j < q.length && depth > 0) {
+          val c = q.charAt(j)
+          if (!mask(j)) {
+            if (c == '[') depth += 1
+            else if (c == ']') depth -= 1
+          }
+          if (depth > 0) j += 1
+        }
+        require(depth == 0, "rewritePrestoSql: unbalanced ARRAY[ literal")
+        q = q.substring(0, found) + "array(" +
+          q.substring(found + 6, j) + ")" + q.substring(j + 1)
+        changed = true
+      }
+    }
+    q
+  }
+
+  /** Presto `CREATE FUNCTION` spellings (SqlBase.g4:62-69;
+    * presto-function-namespace-managers): qualified names
+    * (`catalog.schema.fn` — namespace-manager routing; this engine's
+    * functions are session-scoped, so the name collapses to its last
+    * segment and TEMPORARY is forced), `RETURNS NULL ON NULL INPUT`
+    * (not in Spark's SQL-UDF grammar — absorbed by wrapping the body in
+    * an any-argument-null guard, which IS the semantics), and
+    * `CALLED ON NULL INPUT` (Spark's default — dropped). `LANGUAGE
+    * SQL`/`DETERMINISTIC`/`COMMENT` pass through (Spark 4 accepts
+    * them). `RETURNS VARCHAR` widens to STRING like the cast rewrite. */
+  private[functions] val createFnRe =
+    ("""(?is)\bCREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+""" +
+      """([A-Za-z_][\w.]*)\s*\(([^)]*)\)\s*RETURNS\s+""").r
+
+  private def rewriteCreateFunction(q0: String): String = {
+    val m = createFnRe.findFirstMatchIn(q0).getOrElse(return q0)
+    val orReplace = Option(m.group(1)).map(_ => "OR REPLACE ").getOrElse("")
+    val name = m.group(2).split('.').last
+    val params = m.group(3)
+    var rest = q0.substring(m.end) // "<type> [characteristics] RETURN <body>"
+    val nullOnNull =
+      """(?is)\bRETURNS\s+NULL\s+ON\s+NULL\s+INPUT\b""".r
+        .findFirstIn(rest).isDefined
+    rest = rest
+      .replaceAll("(?is)\\bRETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+      .replaceAll("(?is)\\bCALLED\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+    if (nullOnNull) {
+      val retM = """(?is)\bRETURN\b""".r.findFirstMatchIn(rest).getOrElse(
+        sys.error("rewritePrestoSql: CREATE FUNCTION without RETURN"))
+      val argNames = params.split(',').map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+")(0))
+      val guard = argNames.map(a => s"$a IS NULL").mkString(" OR ")
+      val body = rest.substring(retM.end).trim
+      rest = rest.substring(0, retM.end) +
+        (if (argNames.isEmpty) s" $body"
+         else s" CASE WHEN $guard THEN NULL ELSE ($body) END")
+    }
+    val retVarchar = """(?is)^(\s*)VARCHAR\b""".r
+    rest = retVarchar.replaceFirstIn(rest, "$1STRING")
+    s"CREATE ${orReplace}TEMPORARY FUNCTION $name($params) RETURNS " + rest
+  }
+
+  /** Presto `expr AT TIME ZONE 'zone'` (SqlBase.g4 valueExpression
+    * #atTimeZone; presto-main DateTimeOperators): rewritten pre-parse
+    * onto the per-value zoned layer. The receiver — a plain TIMESTAMP,
+    * which the reference interprets in the session zone (UTC here) —
+    * becomes struct<utc, tz> at the target zone: same instant, new
+    * display zone, composable with every zoned_* function (qp1).
+    * Receiver matched backward through the same postfix units as the
+    * subscript rewrite (qualified names, call/paren groups) plus
+    * `timestamp '...'` literals. Already-zoned struct values spell
+    * zoned_at_timezone; INTERVAL-literal zones stay unsupported (loud
+    * parse failure, not a wrong answer). */
+  private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\s+('[^']*')""".r
+  private def rewriteAtTimeZone(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val mask = stringMask(q)
+      @inline def identChar(c: Char): Boolean =
+        Character.isLetterOrDigit(c) || c == '_'
+      def groupStart(end: Int): Int = {
+        var d = 1
+        var k = end - 1
+        while (k >= 0 && d > 0) {
+          val c = q.charAt(k)
+          if (!mask(k)) { if (c == ')') d += 1 else if (c == '(') d -= 1 }
+          if (d > 0) k -= 1
+        }
+        require(d == 0, "rewritePrestoSql: unbalanced group before AT TIME ZONE")
+        k
+      }
+      atTimeZoneRe.findAllMatchIn(q).find(mm => !mask(mm.start)).foreach { mm =>
+        var p = mm.start - 1
+        while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
+        require(p >= 0, "rewritePrestoSql: AT TIME ZONE without a receiver")
+        var rs = p
+        if (q.charAt(rs) == '\'') {
+          // string-literal receiver: swallow the literal, then an
+          // optional type keyword (timestamp '...' / date '...')
+          rs -= 1
+          while (rs >= 0 && mask(rs)) rs -= 1
+          rs += 1
+          var k = rs - 1
+          while (k >= 0 && Character.isWhitespace(q.charAt(k))) k -= 1
+          if (k >= 0 && identChar(q.charAt(k))) {
+            var w = k
+            while (w > 0 && identChar(q.charAt(w - 1))) w -= 1
+            val word = q.substring(w, k + 1).toUpperCase
+            if (word == "TIMESTAMP" || word == "DATE") rs = w
+          }
+        } else {
+          var more = true
+          while (more) {
+            more = false
+            if (q.charAt(rs) == ')') rs = groupStart(rs)
+            if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
+              while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
+            }
+            if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
+              val c = q.charAt(rs - 2)
+              (identChar(c) || c == ')') && !mask(rs - 2)
+            }) { rs -= 2; more = true }
+          }
+        }
+        val recv = q.substring(rs, p + 1)
+        val zone = mm.group(1)
+        q = q.substring(0, rs) +
+          s"named_struct('utc', cast(($recv) as timestamp_ntz), 'tz', $zone)" +
+          q.substring(mm.end)
+        changed = true
+      }
+    }
+    q
+  }
+
+  /** Presto bracket subscripts `expr[i]` → `element_at(expr, i)`:
+    * Presto's `[]` is 1-based and errors out-of-bounds
+    * (`presto-main/.../scalar/ArraySubscriptOperator.java`), Spark's is
+    * 0-based — a verbatim Presto query with `arr[1]` would otherwise
+    * silently read the wrong element. Runs AFTER the ARRAY-literal
+    * rewrite, so any remaining `[` preceded by an identifier, `)`, or
+    * `]` is a subscript. The receiver is matched backward through
+    * qualified-identifier chains (`t.xs`), call/paren groups
+    * (`split(s, '.')`), and chained subscripts; string literals are
+    * masked on every scan. Slice syntax (`a[i:j]`, not Presto) and `[`
+    * with no receiver are left untouched. */
+  private def rewriteSubscripts(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val mask = stringMask(q)
+      // backward scan to the opener matching the close at `end`
+      def groupStart(end: Int): Int = {
+        val close = q.charAt(end)
+        val open = if (close == ')') '(' else '['
+        var d = 1
+        var k = end - 1
+        while (k >= 0 && d > 0) {
+          val c = q.charAt(k)
+          if (!mask(k)) {
+            if (c == close) d += 1 else if (c == open) d -= 1
+          }
+          if (d > 0) k -= 1
+        }
+        require(d == 0, "rewritePrestoSql: unbalanced group before subscript")
+        k
+      }
+      @inline def identChar(c: Char): Boolean =
+        Character.isLetterOrDigit(c) || c == '_'
+      var i = 0
+      while (i < q.length && !changed) {
+        if (q.charAt(i) == '[' && !mask(i)) {
+          var p = i - 1
+          while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
+          val hasRecv = p >= 0 && !mask(p) && {
+            val c = q.charAt(p)
+            identChar(c) || c == ')' || c == ']'
+          }
+          if (hasRecv) {
+            // matching `]` + top-level `:` slice guard
+            var j = i + 1
+            var depth = 1
+            var sliced = false
+            while (j < q.length && depth > 0) {
+              val c = q.charAt(j)
+              if (!mask(j)) {
+                if (c == '[') depth += 1
+                else if (c == ']') depth -= 1
+                else if (c == ':' && depth == 1) sliced = true
+              }
+              if (depth > 0) j += 1
+            }
+            require(depth == 0, "rewritePrestoSql: unbalanced subscript")
+            if (!sliced) {
+              // receiver start: walk back through postfix units
+              var rs = p
+              var more = true
+              while (more) {
+                more = false
+                if (q.charAt(rs) == ')' || q.charAt(rs) == ']')
+                  rs = groupStart(rs)
+                if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
+                  while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
+                }
+                if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
+                  val c = q.charAt(rs - 2)
+                  (identChar(c) || c == ')' || c == ']') && !mask(rs - 2)
+                }) { rs -= 2; more = true }
+              }
+              val recv = q.substring(rs, p + 1)
+              val inner = q.substring(i + 1, j)
+              q = q.substring(0, rs) + "element_at(" + recv + ", " +
+                inner + ")" + q.substring(j + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    q
+  }
+
+  /** Presto `CROSS JOIN UNNEST(expr) AS t(c1[, c2])` → Spark
+    * `LATERAL VIEW explode(expr) t AS c1[, c2]`. Single-expression
+    * UNNEST only (array → 1 column, map → 2); multi-array zip and WITH
+    * ORDINALITY pass through untouched (they fail at parse exactly as
+    * before — no partial rewrites). The argument is matched with a
+    * paren-depth scan, so nested calls and string literals survive. */
+  private def rewriteUnnest(q0: String): String = {
+    var q = q0
+    var changed = true
+    val head = "CROSS JOIN UNNEST".toLowerCase
+    while (changed) {
+      changed = false
+      val mask = stringMask(q)
+      var i = 0
+      var found = -1
+      while (i < q.length && found < 0) {
+        if (!mask(i) && q.regionMatches(true, i, "CROSS", 0, 5) &&
+          q.substring(i).take(40).toLowerCase.replaceAll("\\s+", " ")
+            .startsWith(head.replaceAll("\\s+", " "))) found = i
+        i += 1
+      }
+      if (found >= 0) {
+        val open = q.indexOf('(', found)
+        if (open < 0) return q
+        var j = open + 1
+        var depth = 1
+        while (j < q.length && depth > 0) {
+          val c = q.charAt(j)
+          if (!mask(j)) {
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+          }
+          if (depth > 0) j += 1
+        }
+        if (depth != 0) return q
+        val arg = q.substring(open + 1, j)
+        // top-level comma = multi-array zip; ordinality also unsupported
+        val argMask = stringMask(arg)
+        var k = 0; var d = 0; var topComma = false
+        while (k < arg.length) {
+          val c = arg.charAt(k)
+          if (!argMask(k)) {
+            if (c == '(') d += 1
+            else if (c == ')') d -= 1
+            else if (c == ',' && d == 0) topComma = true
+          }
+          k += 1
+        }
+        val tail = q.substring(j + 1)
+        val aliasRe =
+          """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)?)\s*\)""".r
+        val ord = tail.take(30).toUpperCase.replaceAll("\\s+", " ")
+          .startsWith(" WITH ORDINALITY") ||
+          tail.toUpperCase.replaceAll("\\s+", " ").startsWith("WITH ORDINALITY")
+        aliasRe.findFirstMatchIn(tail) match {
+          case Some(m) if !topComma && !ord =>
+            q = q.substring(0, found) +
+              s"LATERAL VIEW explode($arg) ${m.group(1)} AS ${m.group(2)}" +
+              tail.substring(m.end)
+            changed = true
+          case _ => return q // unsupported shape: leave verbatim
+        }
+      }
+    }
+    q
+  }
+
+  def rewritePrestoSql(q: String): String = {
+    val fnned = rewriteCreateFunction(q)
+    val dated = prestoDateFnRe.replaceAllIn(fnned,
+      m => "presto_" + m.group(1).toLowerCase + "('" +
+        m.group(2).toLowerCase + "'")
+    val tstz = timestampTzLiteralRe.replaceAllIn(dated, m => {
+      val wall = m.group(1)
+      val zone = m.group(2)
+      s"named_struct('utc', to_utc_timestamp(" +
+        s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
+    })
+    val timed = timeLiteralRe.replaceAllIn(tstz,
+      m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
+    val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
+      val s = m.group(1)
+      val dot = s.indexOf('.')
+      val scale = if (dot < 0) 0 else s.length - dot - 1
+      // Presto's Decimals.parse excludes leading zeros from precision:
+      // DECIMAL '0.1' is decimal(1,1), '0.05' decimal(2,2) — counting all
+      // digits would widen result types of downstream decimal arithmetic.
+      val integral = (if (dot < 0) s else s.substring(0, dot))
+        .dropWhile(c => c == '0' || c == '-' || c == '+')
+      val precision = math.max(integral.length + scale, 1)
+      s"cast('$s' as decimal($precision, $scale))"
+    })
+    val sampled = tablesampleRe.replaceAllIn(decimaled,
+      m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
+    bareVarcharRe.replaceAllIn(
+      rewriteSubscripts(rewriteAtTimeZone(
+        rewriteUnnest(rewriteArrayLiterals(sampled)))),
+      m => m.group(1) + "string" + m.group(2))
+  }
+}

@@ -1,0 +1,579 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
+
+import PrestoRewrite.rewritePrestoSql
+
+/** The statement-level router: PREPARE / EXECUTE / DEALLOCATE, DESCRIBE
+  * (incl. INPUT/OUTPUT), EXPLAIN (VALIDATE/LOGICAL/DISTRIBUTED/IO/
+  * ANALYZE), SHOW CREATE/CATALOGS/SESSION/STATS, SET/RESET SESSION,
+  * USE, transaction no-ops, ANALYZE, DROP FUNCTION — everything that is
+  * not a query expression. Split out of Registry.scala in r7; the
+  * public entry point stays `Registry.prestoStatement`. */
+private[functions] object PrestoStatements {
+
+  // Presto PREPARE / EXECUTE ... USING (SqlBase.g4 prepare/execute;
+  // presto-main QueryPreparer): session-scoped statement store keyed by
+  // the session itself (weak keys, the Tables.register stance — no
+  // leak, identity semantics). EXECUTE substitutes `?` placeholders
+  // positionally with the USING argument texts (string-literal-masked
+  // scan, top-level comma split), then runs through the full
+  // rewritePrestoSql pipeline — plan-once-bind-later collapses to
+  // bind-then-plan, which Spark's codegen cache makes equivalent in
+  // practice at session scope.
+  private val preparedStmts =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private val prepareRe = """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$""".r
+  private val executeRe = """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*$""".r
+  private val deallocRe = """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** Split an argument list on top-level commas (strings masked via the
+    * shared [[PrestoRewrite.stringMask]] convention, parens and brackets
+    * depth-tracked). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val mask = PrestoRewrite.stringMask(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i)) c match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (start < s.length) out += s.substring(start)
+    out.map(_.trim).toSeq
+  }
+
+  /** Replace every unmasked `?` placeholder with f(its 0-based index) —
+    * shared by EXECUTE ... USING and DESCRIBE OUTPUT. */
+  private def substPlaceholders(body: String)(f: Int => String): String = {
+    val mask = PrestoRewrite.stringMask(body)
+    val out = new StringBuilder
+    var next = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (!mask(i) && c == '?') { out.append(f(next)); next += 1 }
+      else out += c
+      i += 1
+    }
+    out.toString
+  }
+
+  // Statement-metadata surface (presto-main/.../sql/rewrite/
+  // StatementRewrite.java registers DescribeInputRewrite,
+  // DescribeOutputRewrite, ExplainRewrite, ShowQueriesRewrite): the
+  // reference rewrites these statements into plain queries over
+  // metadata; this engine does the same, producing DataFrames straight
+  // from catalog/session state — no data scan in any of them.
+
+  /** Session-property store (SystemSessionProperties.java). Curated
+    * defs mirror the reference's names; the two that map onto real
+    * engine behavior are wired through to Spark confs —
+    * `hash_partition_count` → `spark.sql.shuffle.partitions` (both are
+    * the shuffle fan-out knob) and `join_distribution_type=PARTITIONED`
+    * → broadcast threshold -1 (forces shuffle joins, exactly Presto's
+    * semantics). SET on an unknown name fails loudly like the
+    * reference's "Session property %s does not exist". */
+  private case class PropDef(name: String, default: String, typ: String,
+      desc: String)
+  private val sessionPropDefs = Seq(
+    PropDef("hash_partition_count", "100", "integer",
+      "Number of partitions for distributed joins and aggregations"),
+    PropDef("join_distribution_type", "AUTOMATIC", "varchar",
+      "The join method to use. Options are BROADCAST, PARTITIONED, AUTOMATIC"),
+    PropDef("task_concurrency", "16", "integer",
+      "Default number of local parallel jobs per worker"),
+    PropDef("query_max_run_time", "100.00d", "varchar",
+      "The maximum elapsed time a query may run"),
+    PropDef("optimize_hash_generation", "true", "boolean",
+      "Compute hash codes for distribution, joins, and aggregations early in query plan"))
+
+  private val sessionProps =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  // Conf values captured before the first SET so RESET restores the
+  // session's own prior state, not a global constant.
+  private val sessionPropSaved =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  // Original CREATE VIEW / CREATE FUNCTION texts for SHOW CREATE
+  // (ShowQueriesRewrite visitShowCreate*): the reference reconstructs
+  // from metadata; session-scoped objects here replay the text.
+  private val createdViewTexts =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+  private val createdFnTexts =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def sessionMap(
+      store: java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]],
+      spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    synchronized {
+      store.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
+    }
+
+  /** Presto type-signature rendering of a Spark DataType
+    * (presto-common TypeSignature display names: varchar, bigint,
+    * varbinary, row(...), map(k, v)). */
+  def prestoTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "varchar"
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case ShortType => "smallint"
+      case ByteType => "tinyint"
+      case DoubleType => "double"
+      case FloatType => "real"
+      case BooleanType => "boolean"
+      case BinaryType => "varbinary"
+      case DateType => "date"
+      case _: TimestampNTZType | _: TimestampType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"array(${prestoTypeName(e)})"
+      case MapType(k, v, _) =>
+        s"map(${prestoTypeName(k)}, ${prestoTypeName(v)})"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name} ${prestoTypeName(f.dataType)}")
+          .mkString("row(", ", ", ")")
+      case other => other.simpleString
+    }
+  }
+
+  /** Fixed-width byte size per FixedWidthType.getFixedSize; 0 for
+    * variable-width, matching DescribeOutputRewrite's null→0 stance. */
+  private def prestoTypeSize(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | DoubleType | _: TimestampNTZType | _: TimestampType => 8
+      case IntegerType | FloatType | DateType => 4
+      case ShortType => 2
+      case ByteType | BooleanType => 1
+      case d: DecimalType if d.precision <= 18 => 8
+      case _: DecimalType => 16
+      case _ => 0
+    }
+  }
+
+  private val descInputRe =
+    """(?is)^\s*DESCRIBE\s+INPUT\s+([A-Za-z_]\w*)\s*$""".r
+  private val descOutputRe =
+    """(?is)^\s*DESCRIBE\s+OUTPUT\s+([A-Za-z_]\w*)\s*$""".r
+  private val describeRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val explainRe =
+    """(?is)^\s*EXPLAIN\b(\s+ANALYZE\b)?(\s+VERBOSE\b)?\s*(?:\(([^)]*)\))?\s*(.+)$""".r
+  private val showCreateTableRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showCreateViewRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showCreateFnRe =
+    """(?is)^\s*SHOW\s+CREATE\s+FUNCTION\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showCatalogsRe =
+    """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val setSessionRe =
+    """(?is)^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*$""".r
+  private val resetSessionRe =
+    """(?is)^\s*RESET\s+SESSION\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showSessionRe = """(?is)^\s*SHOW\s+SESSION\s*$""".r
+  private val txRe =
+    """(?is)^\s*(START\s+TRANSACTION(?:\s+\w+(?:\s+\w+)*)?|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
+  private val dropFnRe =
+    """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
+  private val analyzeTableRe =
+    """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
+  private val useRe =
+    """(?is)^\s*USE\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val showStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(.+?)\s*$""".r
+  private val createViewDetectRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][\w.]*)""".r
+
+  /** One-row status result, the shape PREPARE/DEALLOCATE already use. */
+  private def statusDf(spark: SparkSession, v: String): org.apache.spark.sql.DataFrame =
+    spark.sql(s"SELECT '${v.replace("'", "''")}' AS result")
+
+  /** Count `?` placeholders with string literals masked. */
+  private def countPlaceholders(body: String): Int = {
+    val mask = PrestoRewrite.stringMask(body)
+    (0 until body.length).count(i => !mask(i) && body.charAt(i) == '?')
+  }
+
+  private def storedStatement(spark: SparkSession, name: String): String =
+    synchronized {
+      Option(preparedStmts.get(spark)).flatMap(_.get(name.toLowerCase))
+    }.getOrElse(sys.error(s"prepared statement not found: $name"))
+
+  /** True for statement bodies that are queries (lazy in spark.sql);
+    * commands (DDL/DML) execute eagerly there, so EXPLAIN routes them
+    * through Spark's native EXPLAIN instead. */
+  private def isQueryShaped(body: String): Boolean = {
+    val head = body.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+    head == "SELECT" || head == "WITH" || head == "VALUES" ||
+      head == "TABLE" || body.trim.startsWith("(")
+  }
+
+  private def explainStatement(spark: SparkSession, analyze: Boolean,
+      opts: String, body: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val typeRe = """(?i)TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)""".r
+    val planType = typeRe.findFirstMatchIn(opts)
+      .map(_.group(1).toUpperCase).getOrElse("DISTRIBUTED")
+    val inner = rewritePrestoSql(body)
+    if (analyze) {
+      // EXPLAIN ANALYZE executes, then renders the plan with runtime
+      // metrics (the reference annotates PlanPrinter output with
+      // operator stats). Executing THIS queryExecution's RDD (not a
+      // derived write/count plan) is what populates its SQLMetrics;
+      // nothing materializes driver-side. AQE wraps the tree in an
+      // AdaptiveSparkPlanExec with no visible children — unwrap to the
+      // final plan for the metric walk.
+      val qe = spark.sql(inner).queryExecution
+      qe.toRdd.foreachPartition(_ => ())
+      val exec = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // AQE query stages are LEAF nodes wrapping their materialized
+      // subtree — a plain tree collect stops at them; descend through
+      // QueryStageExec.plan explicitly.
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case other => other.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      val metrics = walk(exec).filter(_.metrics.nonEmpty).map { n =>
+        n.nodeName + ": " + n.metrics.map { case (k, m) =>
+          s"$k=${m.value}"
+        }.toSeq.sorted.mkString(", ")
+      }
+      val text = exec.toString + "\n== Runtime Metrics ==\n" +
+        metrics.mkString("\n")
+      Seq(text).toDF("Query Plan")
+    } else if (planType == "VALIDATE") {
+      // ExplainRewrite: VALIDATE analyzes only and returns Valid=true
+      // (analysis failures propagate as errors, same as the reference).
+      if (isQueryShaped(body)) spark.sql(inner).queryExecution.assertAnalyzed()
+      else {
+        val txt = spark.sql(s"EXPLAIN $inner").collect().map(_.getString(0))
+          .mkString("\n")
+        require(!txt.contains("Exception"), s"EXPLAIN VALIDATE failed:\n$txt")
+      }
+      Seq(true).toDF("Valid")
+    } else if (planType == "IO") {
+      // IOPlanPrinter emits JSON listing input tables; derive it from
+      // the analyzed plan's catalog-resolvable aliases (SQL-local
+      // aliases don't resolve in the catalog and drop out).
+      require(isQueryShaped(body), s"EXPLAIN (TYPE IO) supports queries, got: $body")
+      val analyzed = spark.sql(inner).queryExecution.analyzed
+      val names = analyzed.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          s.identifier.name
+      }.distinct.filter(n => spark.catalog.tableExists(n)).sorted
+      val json = names.map(n => "\"" + n + "\"")
+        .mkString("{\"inputTables\":[", ",", "]}")
+      Seq(json).toDF("Query Plan")
+    } else {
+      val text =
+        if (isQueryShaped(body)) {
+          val qe = spark.sql(inner).queryExecution
+          if (planType == "LOGICAL") qe.optimizedPlan.toString
+          else qe.executedPlan.toString
+        } else spark.sql(s"EXPLAIN $inner").collect()
+          .map(_.getString(0)).mkString("\n")
+      Seq(text).toDF("Query Plan")
+    }
+  }
+
+  /** SHOW STATS FOR table | (query) (SqlBase.g4:107 showStats /
+    * showStatsForQuery; presto-main ShowStatsRewrite): one row per
+    * column — column_name, data_size (string columns), distinct_values_
+    * count, nulls_fraction, low/high — plus the row_count summary row,
+    * the reference's exact shape. Stats compute EXACTLY over the
+    * relation (the gate needs determinism); NDVs run as one separate
+    * pass per column — packing countDistincts on different columns into
+    * one aggregate plans an Expand (row x N) through ObjectHashAggregate,
+    * measured 4x slower (the qj0/q85 lesson, SURVEY §2.4). A production
+    * deployment answers from catalog statistics (ANALYZE, qq6) or
+    * approx_count_distinct — this is interactive metadata, not a data
+    * path. */
+  private def showStatsStatement(spark: SparkSession,
+      target0: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val target = target0.trim
+    val df =
+      if (target.startsWith("(")) {
+        require(target.endsWith(")"),
+          s"SHOW STATS FOR: unbalanced query parentheses: $target")
+        spark.sql(rewritePrestoSql(target.substring(1, target.length - 1)))
+      } else spark.table(target.split('.').last)
+    val n = df.count()
+    val colRows = df.schema.fields.toSeq.map { f =>
+      val c = F.col(s"`${f.name}`")
+      val statable = f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.BooleanType => true
+        case _ => false // arrays/maps/structs: stats render NULL
+      }
+      if (!statable)
+        (f.name, None: Option[Long], None: Option[Long],
+          None: Option[Double], None: Option[Long],
+          None: Option[String], None: Option[String])
+      else {
+        val isStr = f.dataType == StringType
+        val r = df.agg(
+          F.count(c).as("nn"), F.countDistinct(c).as("ndv"),
+          F.min(c).cast("string").as("lo"),
+          F.max(c).cast("string").as("hi"),
+          (if (isStr) F.sum(F.length(c)) else F.lit(null).cast("bigint"))
+            .as("sz")).head()
+        (f.name,
+          if (isStr && !r.isNullAt(4)) Some(r.getLong(4)) else None,
+          Some(r.getLong(1)),
+          Some(if (n == 0) 0.0 else 1.0 - r.getLong(0).toDouble / n),
+          None: Option[Long],
+          Option(r.getString(2)), Option(r.getString(3)))
+      }
+    }
+    val summary = (null: String, None: Option[Long], None: Option[Long],
+      None: Option[Double], Some(n), None: Option[String],
+      None: Option[String])
+    (colRows :+ summary).toDF("column_name", "data_size",
+      "distinct_values_count", "nulls_fraction", "row_count",
+      "low_value", "high_value")
+  }
+
+  /** Entry point for statement-level Presto SQL: handles PREPARE /
+    * EXECUTE / DEALLOCATE, DESCRIBE (incl. INPUT/OUTPUT), EXPLAIN,
+    * SHOW CREATE/CATALOGS/SESSION, SET/RESET SESSION, transaction
+    * no-ops, USE, SHOW STATS, and DROP FUNCTION; everything else falls
+    * through to `spark.sql(rewritePrestoSql(...))`. */
+  def prestoStatement(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    sqlText match {
+      case prepareRe(name, body) =>
+        synchronized {
+          preparedStmts.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty)
+            .update(name.toLowerCase, body.trim)
+        }
+        spark.sql(s"SELECT 'PREPARE' AS result, '${name.toLowerCase}' AS statement")
+      case deallocRe(name) =>
+        synchronized {
+          Option(preparedStmts.get(spark)).foreach(_.remove(name.toLowerCase))
+        }
+        spark.sql("SELECT 'DEALLOCATE' AS result")
+      case executeRe(name, argsOrNull) =>
+        val body = synchronized {
+          Option(preparedStmts.get(spark)).flatMap(_.get(name.toLowerCase))
+        }.getOrElse(sys.error(s"prepared statement not found: $name"))
+        val args = Option(argsOrNull).map(splitTopLevel).getOrElse(Seq.empty)
+        // positional ?-substitution, string literals masked
+        val bound = substPlaceholders(body) { idx =>
+          require(idx < args.length,
+            s"EXECUTE $name: statement has more ? parameters than " +
+              s"USING arguments (${args.length})")
+          "(" + args(idx) + ")"
+        }
+        val n = countPlaceholders(body)
+        require(n == args.length,
+          s"EXECUTE $name: ${args.length} USING arguments for $n " +
+            "? parameters")
+        spark.sql(rewritePrestoSql(bound))
+
+      case descInputRe(name) =>
+        // DescribeInputRewrite.java:123 — (Position, Type) per `?`,
+        // 0-based, ordered by Position. The reference coerces types
+        // from analysis context; placeholders here report "unknown"
+        // (the reference's own rendering when no coercion applies) —
+        // ledger divergence, SURVEY §2.3.
+        import spark.implicits._
+        val n = countPlaceholders(storedStatement(spark, name))
+        if (n == 0)
+          spark.sql("SELECT cast(null as int) AS Position, cast(null as string) AS Type LIMIT 0")
+        else (0 until n).map(i => (i, "unknown")).toDF("Position", "Type")
+
+      case descOutputRe(name) =>
+        // DescribeOutputRewrite.java:115 — one row per output column
+        // of the prepared statement, schema from analysis only (no
+        // execution): placeholders bind NULL for analysis, Catalog/
+        // Schema/Table render empty and Aliased true (the rendering
+        // the reference uses for computed/aliased columns).
+        import spark.implicits._
+        val body = storedStatement(spark, name)
+        val masked = substPlaceholders(body)(_ => "(null)")
+        val schema = spark.sql(rewritePrestoSql(masked)).schema
+        schema.fields.toSeq.map { f =>
+          (f.name, "", "", "", prestoTypeName(f.dataType),
+            prestoTypeSize(f.dataType), true)
+        }.toDF("Column Name", "Catalog", "Schema", "Table", "Type",
+          "Type Size", "Aliased")
+
+      case explainRe(analyze, _, optsOrNull, body) =>
+        // A leading parenthesized QUERY (`EXPLAIN (SELECT 1)`) is not
+        // an option list — only TYPE/FORMAT keywords are.
+        val optsLikely = Option(optsOrNull)
+          .filter(o => """(?i)^\s*(TYPE|FORMAT)\b""".r.findFirstIn(o).isDefined)
+        val fullBody =
+          if (optsOrNull != null && optsLikely.isEmpty) s"($optsOrNull) $body"
+          else body
+        explainStatement(spark, analyze != null,
+          optsLikely.getOrElse(""), fullBody)
+
+      case showCreateTableRe(name) =>
+        // ShowQueriesRewrite visitShowCreateTable: reconstructed DDL
+        // from catalog metadata (columns + types), Presto's layout.
+        val base = name.split('.').last
+        val cols = spark.table(base).schema.fields
+          .map(f => s"""   "${f.name}" ${prestoTypeName(f.dataType)}""")
+          .mkString(",\n")
+        statusDf(spark, s"CREATE TABLE $base (\n$cols\n)")
+          .withColumnRenamed("result", "Create Table")
+
+      case showCreateViewRe(name) =>
+        val base = name.split('.').last.toLowerCase
+        val text = sessionMap(createdViewTexts, spark).getOrElse(base,
+          sys.error(s"SHOW CREATE VIEW: view not created this session: $base"))
+        statusDf(spark, text).withColumnRenamed("result", "Create View")
+
+      case showCreateFnRe(name) =>
+        val base = name.split('.').last.toLowerCase
+        val text = sessionMap(createdFnTexts, spark).getOrElse(base,
+          sys.error(s"SHOW CREATE FUNCTION: function not created this session: $base"))
+        statusDf(spark, text).withColumnRenamed("result", "Create Function")
+
+      case showCatalogsRe(patOrNull) =>
+        val df = spark.sql("SHOW CATALOGS")
+          .withColumnRenamed("catalog", "Catalog")
+        Option(patOrNull) match {
+          case Some(p) =>
+            df.filter(org.apache.spark.sql.functions.col("Catalog").like(p))
+          case None => df
+        }
+
+      case describeRe(name)
+          if !name.equalsIgnoreCase("INPUT") && !name.equalsIgnoreCase("OUTPUT") =>
+        // DESCRIBE/DESC = SHOW COLUMNS (SqlBase.g4 aliases all three to
+        // #showColumns): Column/Type/Extra/Comment from catalog
+        // metadata, no scan.
+        import spark.implicits._
+        spark.table(name.split('.').last).schema.fields.toSeq
+          .map(f => (f.name, prestoTypeName(f.dataType), "", ""))
+          .toDF("Column", "Type", "Extra", "Comment")
+
+      case setSessionRe(name0, rawValue) =>
+        val name = name0.split('.').last.toLowerCase
+        require(sessionPropDefs.exists(_.name == name),
+          s"Session property $name does not exist")
+        val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+        val saved = sessionMap(sessionPropSaved, spark)
+        name match {
+          case "hash_partition_count" =>
+            if (!saved.contains(name))
+              saved(name) = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", value.toInt.toString)
+          case "join_distribution_type" =>
+            if (!saved.contains(name))
+              saved(name) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            value.toUpperCase match {
+              case "PARTITIONED" =>
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+              case "BROADCAST" | "AUTOMATIC" =>
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved(name))
+              case other => sys.error(s"join_distribution_type: $other")
+            }
+          case _ => () // stored only; no engine knob behind it
+        }
+        sessionMap(sessionProps, spark)(name) = value
+        statusDf(spark, "SET SESSION")
+
+      case resetSessionRe(name0) =>
+        val name = name0.split('.').last.toLowerCase
+        val saved = sessionMap(sessionPropSaved, spark)
+        name match {
+          case "hash_partition_count" =>
+            saved.remove(name).foreach(v =>
+              spark.conf.set("spark.sql.shuffle.partitions", v))
+          case "join_distribution_type" =>
+            saved.remove(name).foreach(v =>
+              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+          case _ => ()
+        }
+        sessionMap(sessionProps, spark).remove(name)
+        statusDf(spark, "RESET SESSION")
+
+      case showSessionRe() =>
+        // ShowQueriesRewrite visitShowSession: Name/Value/Default/Type/
+        // Description over the property registry; Value reflects SET.
+        import spark.implicits._
+        val set = sessionMap(sessionProps, spark)
+        sessionPropDefs.map { d =>
+          (d.name, set.getOrElse(d.name, d.default), d.default, d.typ, d.desc)
+        }.toDF("Name", "Value", "Default", "Type", "Description")
+
+      case txRe(stmt) =>
+        // START TRANSACTION / COMMIT / ROLLBACK accepted as autocommit
+        // no-ops: every statement commits on success, the stance of the
+        // reference's non-transactional connectors (hive). Ledger
+        // divergence — SURVEY §2.3.
+        statusDf(spark,
+          if (stmt.trim.toUpperCase.startsWith("START")) "START TRANSACTION"
+          else stmt.trim.split("\\s+")(0).toUpperCase)
+
+      case analyzeTableRe(name) =>
+        // ANALYZE (SqlBase.g4 #analyze; presto-main AnalyzeTask →
+        // connector stats collection): Spark's catalog-stats ANALYZE —
+        // row count + per-column ndv/min/max/nulls into the catalog,
+        // feeding the CBO the way Presto's stats feed its optimizer.
+        // WITH (...) properties are connector-specific; accepted and
+        // dropped (Spark's stats have no equivalent knobs).
+        spark.sql(s"ANALYZE TABLE ${name.split('.').last} " +
+          "COMPUTE STATISTICS FOR ALL COLUMNS")
+        statusDf(spark, "ANALYZE")
+
+      case dropFnRe(ifExists, name) =>
+        val base = name.split('.').last.toLowerCase
+        spark.sql(s"DROP TEMPORARY FUNCTION ${if (ifExists != null) "IF EXISTS " else ""}$base")
+        sessionMap(createdFnTexts, spark).remove(base)
+        statusDf(spark, "DROP FUNCTION")
+
+      case useRe(name) =>
+        // USE schema / USE catalog.schema (SqlBase.g4:35-36): a
+        // qualified catalog.schema collapses to the schema (one Spark
+        // catalog); an unknown schema fails loudly through Spark's own
+        // USE. Subsequent unqualified table names resolve in the new
+        // schema (session temp views still win, as in Spark).
+        spark.sql(s"USE ${name.split('.').last}")
+        statusDf(spark, "USE")
+
+      case showStatsRe(target) =>
+        showStatsStatement(spark, target)
+
+      case other =>
+        // Record original texts for SHOW CREATE VIEW / FUNCTION before
+        // the rewrite pipeline consumes them.
+        createViewDetectRe.findFirstMatchIn(other).foreach { m =>
+          sessionMap(createdViewTexts, spark)
+            .update(m.group(1).split('.').last.toLowerCase, other.trim)
+        }
+        PrestoRewrite.createFnRe.findFirstMatchIn(other).foreach { m =>
+          sessionMap(createdFnTexts, spark)
+            .update(m.group(2).split('.').last.toLowerCase, other.trim)
+        }
+        spark.sql(rewritePrestoSql(other))
+    }
+}

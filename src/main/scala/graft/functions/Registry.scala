@@ -1572,994 +1572,23 @@ object Registry {
     }
   }
 
-  // Presto's literal-unit spelling date_add('day', n, x): Spark's grammar
-  // reserves the name (unit validated pre-resolution), so the registry
-  // can't intercept it — rename pre-parse instead. Only the quote-led
-  // (Presto) form matches; Spark's own date_add(start, days) is untouched.
-  // Anchored on a known unit keyword after the opening quote so that
-  // Spark's own 2-arg date_add('2020-01-01', 3) (string-literal start
-  // date) and occurrences of the bare names inside other text are left
-  // alone — only the Presto 3-arg literal-unit spelling matches.
-  private val prestoDateFnRe =
-    ("""(?i)\b(date_add|date_diff)\s*\(\s*'""" +
-      """(millisecond|second|minute|hour|day|week|month|quarter|year)'""").r
-
-  // Presto's unparameterized VARCHAR (`cast(x as varchar)`) is unbounded;
-  // Spark's grammar requires a length there (its plain-`varchar` is only
-  // valid in DDL). `varchar(n)` forms are left alone — both dialects agree.
-  private val bareVarcharRe = """(?i)\b(as\s+)varchar(\s*\))""".r
+  // ——— Entry points whose implementation lives in sibling files
+  // (PrestoRewrite.scala: the five pre-parse scanners;
+  // PrestoStatements.scala: the statement router). Kept as delegates so
+  // the public surface stays `Registry.install / rewritePrestoSql /
+  // prestoStatement`. ———
 
   /** Pre-parse rewrite absorbing the Presto spellings the grammar blocks
     * from registry-level absorption (reserved names, type grammar). Apply
     * to raw Presto SQL before `spark.sql(...)` (RegistrySql.sql does). */
-  // Presto TIME 'HH:MM:SS[.fff]' literals: Spark has no time-of-day
-  // type, so times ride as TIMESTAMP_NTZ on the epoch date — ordering,
-  // extraction (hour/minute/second), and date_diff all behave as
-  // Presto's TIME within a day. TIME WITH TIME ZONE stays descoped.
-  private val timeLiteralRe =
-    """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
+  def rewritePrestoSql(q: String): String = PrestoRewrite.rewritePrestoSql(q)
 
-  // Presto TIMESTAMP-WITH-TIME-ZONE literals — `TIMESTAMP
-  // '2020-06-10 15:30:00 +05:30'` / `... Asia/Kolkata'`
-  // (SqlBase.g4 primaryExpression typeConstructor;
-  // TimestampWithTimeZoneType.java): the wall clock is interpreted IN
-  // the named zone and the value carries that zone — exactly the
-  // struct<utc, tz> zoned layer (qp1), so the literal rewrites to
-  // named_struct('utc', to_utc_timestamp(wall, zone), 'tz', zone).
-  // Plain TIMESTAMP literals (no zone suffix) don't match and parse
-  // natively. NOTE struct equality compares (utc, tz) pairs — instant
-  // comparison across zones spells zoned_instant (ledger, qp1).
-  private val timestampTzLiteralRe =
-    ("""(?i)\bTIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}""" +
-      """(?:\.\d{1,6})?)\s+([+-]\d{2}:\d{2}|[A-Za-z][\w/+-]*)'""").r
+  /** Entry point for statement-level Presto SQL — see
+    * [[PrestoStatements.prestoStatement]]. */
+  def prestoStatement(spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.DataFrame =
+    PrestoStatements.prestoStatement(spark, sqlText)
 
-  // Presto DECIMAL 'd.dd' literals: precision = digit count, scale =
-  // fractional digits (DecimalType.java literal rules).
-  private val decimalLiteralRe =
-    """(?i)\bDECIMAL\s+'([+-]?\d+(?:\.\d+)?)'""".r
-
-  // Presto TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4
-  // sampledRelation) → Spark's percent form. Spark samples per-split
-  // Bernoulli either way, which IS Presto's BERNOULLI; Presto's SYSTEM
-  // (split-granularity) maps to the same — a documented approximation
-  // (both are "approximately p% of rows" by contract).
-  private val tablesampleRe =
-    """(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
-
-  /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
-    * scan (subscripts like a[1] nest correctly), string literals
-    * skipped, nested ARRAY[ handled by re-scanning. */
-  private def rewriteArrayLiterals(q0: String): String = {
-    var q = q0
-    var changed = true
-    while (changed) {
-      changed = false
-      var i = 0
-      var inStr = false
-      var found = -1
-      while (i < q.length && found < 0) {
-        val c = q.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (c == '\'') inStr = true
-        else if (q.regionMatches(true, i, "ARRAY[", 0, 6) &&
-          (i == 0 || {
-            val p = q.charAt(i - 1)
-            !Character.isLetterOrDigit(p) && p != '_'
-          })) found = i
-        i += 1
-      }
-      if (found >= 0) {
-        var j = found + 6
-        var depth = 1
-        var inS = false
-        while (j < q.length && depth > 0) {
-          val c = q.charAt(j)
-          if (inS) { if (c == '\'') inS = false }
-          else if (c == '\'') inS = true
-          else if (c == '[') depth += 1
-          else if (c == ']') depth -= 1
-          if (depth > 0) j += 1
-        }
-        require(depth == 0, "rewritePrestoSql: unbalanced ARRAY[ literal")
-        q = q.substring(0, found) + "array(" +
-          q.substring(found + 6, j) + ")" + q.substring(j + 1)
-        changed = true
-      }
-    }
-    q
-  }
-
-  /** Presto `CREATE FUNCTION` spellings (SqlBase.g4:62-69;
-    * presto-function-namespace-managers): qualified names
-    * (`catalog.schema.fn` — namespace-manager routing; this engine's
-    * functions are session-scoped, so the name collapses to its last
-    * segment and TEMPORARY is forced), `RETURNS NULL ON NULL INPUT`
-    * (not in Spark's SQL-UDF grammar — absorbed by wrapping the body in
-    * an any-argument-null guard, which IS the semantics), and
-    * `CALLED ON NULL INPUT` (Spark's default — dropped). `LANGUAGE
-    * SQL`/`DETERMINISTIC`/`COMMENT` pass through (Spark 4 accepts
-    * them). `RETURNS VARCHAR` widens to STRING like the cast rewrite. */
-  private val createFnRe =
-    ("""(?is)\bCREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+""" +
-      """([A-Za-z_][\w.]*)\s*\(([^)]*)\)\s*RETURNS\s+""").r
-
-  private def rewriteCreateFunction(q0: String): String = {
-    val m = createFnRe.findFirstMatchIn(q0).getOrElse(return q0)
-    val orReplace = Option(m.group(1)).map(_ => "OR REPLACE ").getOrElse("")
-    val name = m.group(2).split('.').last
-    val params = m.group(3)
-    var rest = q0.substring(m.end) // "<type> [characteristics] RETURN <body>"
-    val nullOnNull =
-      """(?is)\bRETURNS\s+NULL\s+ON\s+NULL\s+INPUT\b""".r
-        .findFirstIn(rest).isDefined
-    rest = rest
-      .replaceAll("(?is)\\bRETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT\\b", " ")
-      .replaceAll("(?is)\\bCALLED\\s+ON\\s+NULL\\s+INPUT\\b", " ")
-    if (nullOnNull) {
-      val retM = """(?is)\bRETURN\b""".r.findFirstMatchIn(rest).getOrElse(
-        sys.error("rewritePrestoSql: CREATE FUNCTION without RETURN"))
-      val argNames = params.split(',').map(_.trim).filter(_.nonEmpty)
-        .map(_.split("\\s+")(0))
-      val guard = argNames.map(a => s"$a IS NULL").mkString(" OR ")
-      val body = rest.substring(retM.end).trim
-      rest = rest.substring(0, retM.end) +
-        (if (argNames.isEmpty) s" $body"
-         else s" CASE WHEN $guard THEN NULL ELSE ($body) END")
-    }
-    val retVarchar = """(?is)^(\s*)VARCHAR\b""".r
-    rest = retVarchar.replaceFirstIn(rest, "$1STRING")
-    s"CREATE ${orReplace}TEMPORARY FUNCTION $name($params) RETURNS " + rest
-  }
-
-  /** Presto `expr AT TIME ZONE 'zone'` (SqlBase.g4 valueExpression
-    * #atTimeZone; presto-main DateTimeOperators): rewritten pre-parse
-    * onto the per-value zoned layer. The receiver — a plain TIMESTAMP,
-    * which the reference interprets in the session zone (UTC here) —
-    * becomes struct<utc, tz> at the target zone: same instant, new
-    * display zone, composable with every zoned_* function (qp1).
-    * Receiver matched backward through the same postfix units as the
-    * subscript rewrite (qualified names, call/paren groups) plus
-    * `timestamp '...'` literals. Already-zoned struct values spell
-    * zoned_at_timezone; INTERVAL-literal zones stay unsupported (loud
-    * parse failure, not a wrong answer). */
-  private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\s+('[^']*')""".r
-  private def rewriteAtTimeZone(q0: String): String = {
-    var q = q0
-    var changed = true
-    while (changed) {
-      changed = false
-      val mask = new Array[Boolean](q.length)
-      var inS = false
-      var m = 0
-      while (m < q.length) {
-        val c = q.charAt(m)
-        if (inS) { mask(m) = true; if (c == '\'') inS = false }
-        else if (c == '\'') { mask(m) = true; inS = true }
-        m += 1
-      }
-      @inline def identChar(c: Char): Boolean =
-        Character.isLetterOrDigit(c) || c == '_'
-      def groupStart(end: Int): Int = {
-        var d = 1
-        var k = end - 1
-        while (k >= 0 && d > 0) {
-          val c = q.charAt(k)
-          if (!mask(k)) { if (c == ')') d += 1 else if (c == '(') d -= 1 }
-          if (d > 0) k -= 1
-        }
-        require(d == 0, "rewritePrestoSql: unbalanced group before AT TIME ZONE")
-        k
-      }
-      atTimeZoneRe.findAllMatchIn(q).find(mm => !mask(mm.start)).foreach { mm =>
-        var p = mm.start - 1
-        while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
-        require(p >= 0, "rewritePrestoSql: AT TIME ZONE without a receiver")
-        var rs = p
-        if (q.charAt(rs) == '\'') {
-          // string-literal receiver: swallow the literal, then an
-          // optional type keyword (timestamp '...' / date '...')
-          rs -= 1
-          while (rs >= 0 && mask(rs)) rs -= 1
-          rs += 1
-          var k = rs - 1
-          while (k >= 0 && Character.isWhitespace(q.charAt(k))) k -= 1
-          if (k >= 0 && identChar(q.charAt(k))) {
-            var w = k
-            while (w > 0 && identChar(q.charAt(w - 1))) w -= 1
-            val word = q.substring(w, k + 1).toUpperCase
-            if (word == "TIMESTAMP" || word == "DATE") rs = w
-          }
-        } else {
-          var more = true
-          while (more) {
-            more = false
-            if (q.charAt(rs) == ')') rs = groupStart(rs)
-            if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
-              while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
-            }
-            if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
-              val c = q.charAt(rs - 2)
-              (identChar(c) || c == ')') && !mask(rs - 2)
-            }) { rs -= 2; more = true }
-          }
-        }
-        val recv = q.substring(rs, p + 1)
-        val zone = mm.group(1)
-        q = q.substring(0, rs) +
-          s"named_struct('utc', cast(($recv) as timestamp_ntz), 'tz', $zone)" +
-          q.substring(mm.end)
-        changed = true
-      }
-    }
-    q
-  }
-
-  /** Presto bracket subscripts `expr[i]` → `element_at(expr, i)`:
-    * Presto's `[]` is 1-based and errors out-of-bounds
-    * (`presto-main/.../scalar/ArraySubscriptOperator.java`), Spark's is
-    * 0-based — a verbatim Presto query with `arr[1]` would otherwise
-    * silently read the wrong element. Runs AFTER the ARRAY-literal
-    * rewrite, so any remaining `[` preceded by an identifier, `)`, or
-    * `]` is a subscript. The receiver is matched backward through
-    * qualified-identifier chains (`t.xs`), call/paren groups
-    * (`split(s, '.')`), and chained subscripts; string literals are
-    * masked on every scan. Slice syntax (`a[i:j]`, not Presto) and `[`
-    * with no receiver are left untouched. */
-  private def rewriteSubscripts(q0: String): String = {
-    var q = q0
-    var changed = true
-    while (changed) {
-      changed = false
-      // mask(i) = inside a string literal (quotes included)
-      val mask = new Array[Boolean](q.length)
-      var inS = false
-      var m = 0
-      while (m < q.length) {
-        val c = q.charAt(m)
-        if (inS) { mask(m) = true; if (c == '\'') inS = false }
-        else if (c == '\'') { mask(m) = true; inS = true }
-        m += 1
-      }
-      // backward scan to the opener matching the close at `end`
-      def groupStart(end: Int): Int = {
-        val close = q.charAt(end)
-        val open = if (close == ')') '(' else '['
-        var d = 1
-        var k = end - 1
-        while (k >= 0 && d > 0) {
-          val c = q.charAt(k)
-          if (!mask(k)) {
-            if (c == close) d += 1 else if (c == open) d -= 1
-          }
-          if (d > 0) k -= 1
-        }
-        require(d == 0, "rewritePrestoSql: unbalanced group before subscript")
-        k
-      }
-      @inline def identChar(c: Char): Boolean =
-        Character.isLetterOrDigit(c) || c == '_'
-      var i = 0
-      while (i < q.length && !changed) {
-        if (q.charAt(i) == '[' && !mask(i)) {
-          var p = i - 1
-          while (p >= 0 && Character.isWhitespace(q.charAt(p))) p -= 1
-          val hasRecv = p >= 0 && !mask(p) && {
-            val c = q.charAt(p)
-            identChar(c) || c == ')' || c == ']'
-          }
-          if (hasRecv) {
-            // matching `]` + top-level `:` slice guard
-            var j = i + 1
-            var depth = 1
-            var sliced = false
-            while (j < q.length && depth > 0) {
-              val c = q.charAt(j)
-              if (!mask(j)) {
-                if (c == '[') depth += 1
-                else if (c == ']') depth -= 1
-                else if (c == ':' && depth == 1) sliced = true
-              }
-              if (depth > 0) j += 1
-            }
-            require(depth == 0, "rewritePrestoSql: unbalanced subscript")
-            if (!sliced) {
-              // receiver start: walk back through postfix units
-              var rs = p
-              var more = true
-              while (more) {
-                more = false
-                if (q.charAt(rs) == ')' || q.charAt(rs) == ']')
-                  rs = groupStart(rs)
-                if (q.charAt(rs) == '(' || identChar(q.charAt(rs))) {
-                  while (rs > 0 && identChar(q.charAt(rs - 1))) rs -= 1
-                }
-                if (rs > 1 && q.charAt(rs - 1) == '.' && !mask(rs - 1) && {
-                  val c = q.charAt(rs - 2)
-                  (identChar(c) || c == ')' || c == ']') && !mask(rs - 2)
-                }) { rs -= 2; more = true }
-              }
-              val recv = q.substring(rs, p + 1)
-              val inner = q.substring(i + 1, j)
-              q = q.substring(0, rs) + "element_at(" + recv + ", " +
-                inner + ")" + q.substring(j + 1)
-              changed = true
-            }
-          }
-        }
-        i += 1
-      }
-    }
-    q
-  }
-
-  /** Presto `CROSS JOIN UNNEST(expr) AS t(c1[, c2])` → Spark
-    * `LATERAL VIEW explode(expr) t AS c1[, c2]`. Single-expression
-    * UNNEST only (array → 1 column, map → 2); multi-array zip and WITH
-    * ORDINALITY pass through untouched (they fail at parse exactly as
-    * before — no partial rewrites). The argument is matched with a
-    * paren-depth scan, so nested calls and string literals survive. */
-  private def rewriteUnnest(q0: String): String = {
-    var q = q0
-    var changed = true
-    val head = "CROSS JOIN UNNEST".toLowerCase
-    while (changed) {
-      changed = false
-      var i = 0
-      var inStr = false
-      var found = -1
-      while (i < q.length && found < 0) {
-        val c = q.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (c == '\'') inStr = true
-        else if (q.regionMatches(true, i, "CROSS", 0, 5) &&
-          q.substring(i).take(40).toLowerCase.replaceAll("\\s+", " ")
-            .startsWith(head.replaceAll("\\s+", " "))) found = i
-        i += 1
-      }
-      if (found >= 0) {
-        val open = q.indexOf('(', found)
-        if (open < 0) return q
-        var j = open + 1
-        var depth = 1
-        var inS = false
-        while (j < q.length && depth > 0) {
-          val c = q.charAt(j)
-          if (inS) { if (c == '\'') inS = false }
-          else if (c == '\'') inS = true
-          else if (c == '(') depth += 1
-          else if (c == ')') depth -= 1
-          if (depth > 0) j += 1
-        }
-        if (depth != 0) return q
-        val arg = q.substring(open + 1, j)
-        // top-level comma = multi-array zip; ordinality also unsupported
-        var k = 0; var d = 0; var s = false; var topComma = false
-        while (k < arg.length) {
-          val c = arg.charAt(k)
-          if (s) { if (c == '\'') s = false }
-          else if (c == '\'') s = true
-          else if (c == '(') d += 1
-          else if (c == ')') d -= 1
-          else if (c == ',' && d == 0) topComma = true
-          k += 1
-        }
-        val tail = q.substring(j + 1)
-        val aliasRe =
-          """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)?)\s*\)""".r
-        val ord = tail.take(30).toUpperCase.replaceAll("\\s+", " ")
-          .startsWith(" WITH ORDINALITY") ||
-          tail.toUpperCase.replaceAll("\\s+", " ").startsWith("WITH ORDINALITY")
-        aliasRe.findFirstMatchIn(tail) match {
-          case Some(m) if !topComma && !ord =>
-            q = q.substring(0, found) +
-              s"LATERAL VIEW explode($arg) ${m.group(1)} AS ${m.group(2)}" +
-              tail.substring(m.end)
-            changed = true
-          case _ => return q // unsupported shape: leave verbatim
-        }
-      }
-    }
-    q
-  }
-
-  // Presto PREPARE / EXECUTE ... USING (SqlBase.g4 prepare/execute;
-  // presto-main QueryPreparer): session-scoped statement store keyed by
-  // the session itself (weak keys, the Tables.register stance — no
-  // leak, identity semantics). EXECUTE substitutes `?` placeholders
-  // positionally with the USING argument texts (string-literal-masked
-  // scan, top-level comma split), then runs through the full
-  // rewritePrestoSql pipeline — plan-once-bind-later collapses to
-  // bind-then-plan, which Spark's codegen cache makes equivalent in
-  // practice at session scope.
-  private val preparedStmts =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
-
-  private val prepareRe = """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$""".r
-  private val executeRe = """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*$""".r
-  private val deallocRe = """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*$""".r
-
-  /** Split an argument list on top-level commas (strings masked, parens
-    * and brackets depth-tracked). */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inS = false
-    s.foreach { c =>
-      if (inS) { cur += c; if (c == '\'') inS = false }
-      else c match {
-        case '\'' => cur += c; inS = true
-        case '(' | '[' => depth += 1; cur += c
-        case ')' | ']' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
-      }
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.map(_.trim).toSeq
-  }
-
-  // Statement-metadata surface (presto-main/.../sql/rewrite/
-  // StatementRewrite.java registers DescribeInputRewrite,
-  // DescribeOutputRewrite, ExplainRewrite, ShowQueriesRewrite): the
-  // reference rewrites these statements into plain queries over
-  // metadata; this engine does the same, producing DataFrames straight
-  // from catalog/session state — no data scan in any of them.
-
-  /** Session-property store (SystemSessionProperties.java). Curated
-    * defs mirror the reference's names; the two that map onto real
-    * engine behavior are wired through to Spark confs —
-    * `hash_partition_count` → `spark.sql.shuffle.partitions` (both are
-    * the shuffle fan-out knob) and `join_distribution_type=PARTITIONED`
-    * → broadcast threshold -1 (forces shuffle joins, exactly Presto's
-    * semantics). SET on an unknown name fails loudly like the
-    * reference's "Session property %s does not exist". */
-  private case class PropDef(name: String, default: String, typ: String,
-      desc: String)
-  private val sessionPropDefs = Seq(
-    PropDef("hash_partition_count", "100", "integer",
-      "Number of partitions for distributed joins and aggregations"),
-    PropDef("join_distribution_type", "AUTOMATIC", "varchar",
-      "The join method to use. Options are BROADCAST, PARTITIONED, AUTOMATIC"),
-    PropDef("task_concurrency", "16", "integer",
-      "Default number of local parallel jobs per worker"),
-    PropDef("query_max_run_time", "100.00d", "varchar",
-      "The maximum elapsed time a query may run"),
-    PropDef("optimize_hash_generation", "true", "boolean",
-      "Compute hash codes for distribution, joins, and aggregations early in query plan"))
-
-  private val sessionProps =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
-  // Conf values captured before the first SET so RESET restores the
-  // session's own prior state, not a global constant.
-  private val sessionPropSaved =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
-  // Original CREATE VIEW / CREATE FUNCTION texts for SHOW CREATE
-  // (ShowQueriesRewrite visitShowCreate*): the reference reconstructs
-  // from metadata; session-scoped objects here replay the text.
-  private val createdViewTexts =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
-  private val createdFnTexts =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
-
-  private def sessionMap(
-      store: java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]],
-      spark: SparkSession): scala.collection.mutable.Map[String, String] =
-    synchronized {
-      store.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
-    }
-
-  /** Presto type-signature rendering of a Spark DataType
-    * (presto-common TypeSignature display names: varchar, bigint,
-    * varbinary, row(...), map(k, v)). */
-  def prestoTypeName(dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case StringType => "varchar"
-      case LongType => "bigint"
-      case IntegerType => "integer"
-      case ShortType => "smallint"
-      case ByteType => "tinyint"
-      case DoubleType => "double"
-      case FloatType => "real"
-      case BooleanType => "boolean"
-      case BinaryType => "varbinary"
-      case DateType => "date"
-      case _: TimestampNTZType | _: TimestampType => "timestamp"
-      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
-      case ArrayType(e, _) => s"array(${prestoTypeName(e)})"
-      case MapType(k, v, _) =>
-        s"map(${prestoTypeName(k)}, ${prestoTypeName(v)})"
-      case s: StructType =>
-        s.fields.map(f => s"${f.name} ${prestoTypeName(f.dataType)}")
-          .mkString("row(", ", ", ")")
-      case other => other.simpleString
-    }
-  }
-
-  /** Fixed-width byte size per FixedWidthType.getFixedSize; 0 for
-    * variable-width, matching DescribeOutputRewrite's null→0 stance. */
-  private def prestoTypeSize(dt: org.apache.spark.sql.types.DataType): Int = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case LongType | DoubleType | _: TimestampNTZType | _: TimestampType => 8
-      case IntegerType | FloatType | DateType => 4
-      case ShortType => 2
-      case ByteType | BooleanType => 1
-      case d: DecimalType if d.precision <= 18 => 8
-      case _: DecimalType => 16
-      case _ => 0
-    }
-  }
-
-  private val descInputRe =
-    """(?is)^\s*DESCRIBE\s+INPUT\s+([A-Za-z_]\w*)\s*$""".r
-  private val descOutputRe =
-    """(?is)^\s*DESCRIBE\s+OUTPUT\s+([A-Za-z_]\w*)\s*$""".r
-  private val describeRe =
-    """(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val explainRe =
-    """(?is)^\s*EXPLAIN\b(\s+ANALYZE\b)?(\s+VERBOSE\b)?\s*(?:\(([^)]*)\))?\s*(.+)$""".r
-  private val showCreateTableRe =
-    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val showCreateViewRe =
-    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val showCreateFnRe =
-    """(?is)^\s*SHOW\s+CREATE\s+FUNCTION\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val showCatalogsRe =
-    """(?is)^\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
-  private val setSessionRe =
-    """(?is)^\s*SET\s+SESSION\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*$""".r
-  private val resetSessionRe =
-    """(?is)^\s*RESET\s+SESSION\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val showSessionRe = """(?is)^\s*SHOW\s+SESSION\s*$""".r
-  private val txRe =
-    """(?is)^\s*(START\s+TRANSACTION(?:\s+\w+(?:\s+\w+)*)?|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
-  private val dropFnRe =
-    """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
-  private val analyzeTableRe =
-    """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
-  private val useRe =
-    """(?is)^\s*USE\s+([A-Za-z_][\w.]*)\s*$""".r
-  private val showStatsRe =
-    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(.+?)\s*$""".r
-  private val createViewDetectRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][\w.]*)""".r
-
-  /** One-row status result, the shape PREPARE/DEALLOCATE already use. */
-  private def statusDf(spark: SparkSession, v: String): org.apache.spark.sql.DataFrame =
-    spark.sql(s"SELECT '${v.replace("'", "''")}' AS result")
-
-  /** Count `?` placeholders with string literals masked. */
-  private def countPlaceholders(body: String): Int = {
-    var n = 0; var inS = false
-    body.foreach { c =>
-      if (inS) { if (c == '\'') inS = false }
-      else if (c == '\'') inS = true
-      else if (c == '?') n += 1
-    }
-    n
-  }
-
-  private def storedStatement(spark: SparkSession, name: String): String =
-    synchronized {
-      Option(preparedStmts.get(spark)).flatMap(_.get(name.toLowerCase))
-    }.getOrElse(sys.error(s"prepared statement not found: $name"))
-
-  /** True for statement bodies that are queries (lazy in spark.sql);
-    * commands (DDL/DML) execute eagerly there, so EXPLAIN routes them
-    * through Spark's native EXPLAIN instead. */
-  private def isQueryShaped(body: String): Boolean = {
-    val head = body.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
-    head == "SELECT" || head == "WITH" || head == "VALUES" ||
-      head == "TABLE" || body.trim.startsWith("(")
-  }
-
-  private def explainStatement(spark: SparkSession, analyze: Boolean,
-      opts: String, body: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    val typeRe = """(?i)TYPE\s+(LOGICAL|DISTRIBUTED|VALIDATE|IO)""".r
-    val planType = typeRe.findFirstMatchIn(opts)
-      .map(_.group(1).toUpperCase).getOrElse("DISTRIBUTED")
-    val inner = rewritePrestoSql(body)
-    if (analyze) {
-      // EXPLAIN ANALYZE executes, then renders the plan with runtime
-      // metrics (the reference annotates PlanPrinter output with
-      // operator stats). Executing THIS queryExecution's RDD (not a
-      // derived write/count plan) is what populates its SQLMetrics;
-      // nothing materializes driver-side. AQE wraps the tree in an
-      // AdaptiveSparkPlanExec with no visible children — unwrap to the
-      // final plan for the metric walk.
-      val qe = spark.sql(inner).queryExecution
-      qe.toRdd.foreachPartition(_ => ())
-      val exec = qe.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      // AQE query stages are LEAF nodes wrapping their materialized
-      // subtree — a plain tree collect stops at them; descend through
-      // QueryStageExec.plan explicitly.
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val kids = p match {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(q.plan)
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case other => other.children
-        }
-        p +: kids.flatMap(walk)
-      }
-      val metrics = walk(exec).filter(_.metrics.nonEmpty).map { n =>
-        n.nodeName + ": " + n.metrics.map { case (k, m) =>
-          s"$k=${m.value}"
-        }.toSeq.sorted.mkString(", ")
-      }
-      val text = exec.toString + "\n== Runtime Metrics ==\n" +
-        metrics.mkString("\n")
-      Seq(text).toDF("Query Plan")
-    } else if (planType == "VALIDATE") {
-      // ExplainRewrite: VALIDATE analyzes only and returns Valid=true
-      // (analysis failures propagate as errors, same as the reference).
-      if (isQueryShaped(body)) spark.sql(inner).queryExecution.assertAnalyzed()
-      else {
-        val txt = spark.sql(s"EXPLAIN $inner").collect().map(_.getString(0))
-          .mkString("\n")
-        require(!txt.contains("Exception"), s"EXPLAIN VALIDATE failed:\n$txt")
-      }
-      Seq(true).toDF("Valid")
-    } else if (planType == "IO") {
-      // IOPlanPrinter emits JSON listing input tables; derive it from
-      // the analyzed plan's catalog-resolvable aliases (SQL-local
-      // aliases don't resolve in the catalog and drop out).
-      require(isQueryShaped(body), s"EXPLAIN (TYPE IO) supports queries, got: $body")
-      val analyzed = spark.sql(inner).queryExecution.analyzed
-      val names = analyzed.collect {
-        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-          s.identifier.name
-      }.distinct.filter(n => spark.catalog.tableExists(n)).sorted
-      val json = names.map(n => "\"" + n + "\"")
-        .mkString("{\"inputTables\":[", ",", "]}")
-      Seq(json).toDF("Query Plan")
-    } else {
-      val text =
-        if (isQueryShaped(body)) {
-          val qe = spark.sql(inner).queryExecution
-          if (planType == "LOGICAL") qe.optimizedPlan.toString
-          else qe.executedPlan.toString
-        } else spark.sql(s"EXPLAIN $inner").collect()
-          .map(_.getString(0)).mkString("\n")
-      Seq(text).toDF("Query Plan")
-    }
-  }
-
-  /** SHOW STATS FOR table | (query) (SqlBase.g4:107 showStats /
-    * showStatsForQuery; presto-main ShowStatsRewrite): one row per
-    * column — column_name, data_size (string columns), distinct_values_
-    * count, nulls_fraction, low/high — plus the row_count summary row,
-    * the reference's exact shape. Stats compute EXACTLY over the
-    * relation (the gate needs determinism); NDVs run as one separate
-    * pass per column — packing countDistincts on different columns into
-    * one aggregate plans an Expand (row x N) through ObjectHashAggregate,
-    * measured 4x slower (the qj0/q85 lesson, SURVEY §2.4). A production
-    * deployment answers from catalog statistics (ANALYZE, qq6) or
-    * approx_count_distinct — this is interactive metadata, not a data
-    * path. */
-  private def showStatsStatement(spark: SparkSession,
-      target0: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{functions => F}
-    import spark.implicits._
-    val target = target0.trim
-    val df =
-      if (target.startsWith("(")) {
-        require(target.endsWith(")"),
-          s"SHOW STATS FOR: unbalanced query parentheses: $target")
-        spark.sql(rewritePrestoSql(target.substring(1, target.length - 1)))
-      } else spark.table(target.split('.').last)
-    val n = df.count()
-    val colRows = df.schema.fields.toSeq.map { f =>
-      val c = F.col(s"`${f.name}`")
-      val statable = f.dataType match {
-        case _: NumericType | StringType | DateType | TimestampType |
-            org.apache.spark.sql.types.TimestampNTZType |
-            org.apache.spark.sql.types.BooleanType => true
-        case _ => false // arrays/maps/structs: stats render NULL
-      }
-      if (!statable)
-        (f.name, None: Option[Long], None: Option[Long],
-          None: Option[Double], None: Option[Long],
-          None: Option[String], None: Option[String])
-      else {
-        val isStr = f.dataType == StringType
-        val r = df.agg(
-          F.count(c).as("nn"), F.countDistinct(c).as("ndv"),
-          F.min(c).cast("string").as("lo"),
-          F.max(c).cast("string").as("hi"),
-          (if (isStr) F.sum(F.length(c)) else F.lit(null).cast("bigint"))
-            .as("sz")).head()
-        (f.name,
-          if (isStr && !r.isNullAt(4)) Some(r.getLong(4)) else None,
-          Some(r.getLong(1)),
-          Some(if (n == 0) 0.0 else 1.0 - r.getLong(0).toDouble / n),
-          None: Option[Long],
-          Option(r.getString(2)), Option(r.getString(3)))
-      }
-    }
-    val summary = (null: String, None: Option[Long], None: Option[Long],
-      None: Option[Double], Some(n), None: Option[String],
-      None: Option[String])
-    (colRows :+ summary).toDF("column_name", "data_size",
-      "distinct_values_count", "nulls_fraction", "row_count",
-      "low_value", "high_value")
-  }
-
-  /** Entry point for statement-level Presto SQL: handles PREPARE /
-    * EXECUTE / DEALLOCATE, DESCRIBE (incl. INPUT/OUTPUT), EXPLAIN,
-    * SHOW CREATE/CATALOGS/SESSION, SET/RESET SESSION, transaction
-    * no-ops, USE, SHOW STATS, and DROP FUNCTION; everything else falls
-    * through to `spark.sql(rewritePrestoSql(...))`. */
-  def prestoStatement(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
-    sqlText match {
-      case prepareRe(name, body) =>
-        synchronized {
-          preparedStmts.computeIfAbsent(spark,
-            _ => scala.collection.mutable.Map.empty)
-            .update(name.toLowerCase, body.trim)
-        }
-        spark.sql(s"SELECT 'PREPARE' AS result, '${name.toLowerCase}' AS statement")
-      case deallocRe(name) =>
-        synchronized {
-          Option(preparedStmts.get(spark)).foreach(_.remove(name.toLowerCase))
-        }
-        spark.sql("SELECT 'DEALLOCATE' AS result")
-      case executeRe(name, argsOrNull) =>
-        val body = synchronized {
-          Option(preparedStmts.get(spark)).flatMap(_.get(name.toLowerCase))
-        }.getOrElse(sys.error(s"prepared statement not found: $name"))
-        val args = Option(argsOrNull).map(splitTopLevel).getOrElse(Seq.empty)
-        // positional ?-substitution, string literals masked
-        val out = new StringBuilder
-        var inS = false
-        var i = 0
-        var next = 0
-        body.foreach { c =>
-          if (inS) { out += c; if (c == '\'') inS = false }
-          else if (c == '\'') { out += c; inS = true }
-          else if (c == '?') {
-            require(next < args.length,
-              s"EXECUTE $name: statement has more ? parameters than " +
-                s"USING arguments (${args.length})")
-            out.append("(").append(args(next)).append(")")
-            next += 1
-          } else out += c
-          i += 1
-        }
-        require(next == args.length,
-          s"EXECUTE $name: ${args.length} USING arguments for $next " +
-            "? parameters")
-        spark.sql(rewritePrestoSql(out.toString))
-
-      case descInputRe(name) =>
-        // DescribeInputRewrite.java:123 — (Position, Type) per `?`,
-        // 0-based, ordered by Position. The reference coerces types
-        // from analysis context; placeholders here report "unknown"
-        // (the reference's own rendering when no coercion applies) —
-        // ledger divergence, SURVEY §2.3.
-        import spark.implicits._
-        val n = countPlaceholders(storedStatement(spark, name))
-        if (n == 0)
-          spark.sql("SELECT cast(null as int) AS Position, cast(null as string) AS Type LIMIT 0")
-        else (0 until n).map(i => (i, "unknown")).toDF("Position", "Type")
-
-      case descOutputRe(name) =>
-        // DescribeOutputRewrite.java:115 — one row per output column
-        // of the prepared statement, schema from analysis only (no
-        // execution): placeholders bind NULL for analysis, Catalog/
-        // Schema/Table render empty and Aliased true (the rendering
-        // the reference uses for computed/aliased columns).
-        import spark.implicits._
-        val body = storedStatement(spark, name)
-        val masked = new StringBuilder
-        var inS = false
-        body.foreach { c =>
-          if (inS) { masked += c; if (c == '\'') inS = false }
-          else if (c == '\'') { masked += c; inS = true }
-          else if (c == '?') masked.append("(null)")
-          else masked += c
-        }
-        val schema = spark.sql(rewritePrestoSql(masked.toString)).schema
-        schema.fields.toSeq.map { f =>
-          (f.name, "", "", "", prestoTypeName(f.dataType),
-            prestoTypeSize(f.dataType), true)
-        }.toDF("Column Name", "Catalog", "Schema", "Table", "Type",
-          "Type Size", "Aliased")
-
-      case explainRe(analyze, _, optsOrNull, body) =>
-        // A leading parenthesized QUERY (`EXPLAIN (SELECT 1)`) is not
-        // an option list — only TYPE/FORMAT keywords are.
-        val optsLikely = Option(optsOrNull)
-          .filter(o => """(?i)^\s*(TYPE|FORMAT)\b""".r.findFirstIn(o).isDefined)
-        val fullBody =
-          if (optsOrNull != null && optsLikely.isEmpty) s"($optsOrNull) $body"
-          else body
-        explainStatement(spark, analyze != null,
-          optsLikely.getOrElse(""), fullBody)
-
-      case showCreateTableRe(name) =>
-        // ShowQueriesRewrite visitShowCreateTable: reconstructed DDL
-        // from catalog metadata (columns + types), Presto's layout.
-        val base = name.split('.').last
-        val cols = spark.table(base).schema.fields
-          .map(f => s"""   "${f.name}" ${prestoTypeName(f.dataType)}""")
-          .mkString(",\n")
-        statusDf(spark, s"CREATE TABLE $base (\n$cols\n)")
-          .withColumnRenamed("result", "Create Table")
-
-      case showCreateViewRe(name) =>
-        val base = name.split('.').last.toLowerCase
-        val text = sessionMap(createdViewTexts, spark).getOrElse(base,
-          sys.error(s"SHOW CREATE VIEW: view not created this session: $base"))
-        statusDf(spark, text).withColumnRenamed("result", "Create View")
-
-      case showCreateFnRe(name) =>
-        val base = name.split('.').last.toLowerCase
-        val text = sessionMap(createdFnTexts, spark).getOrElse(base,
-          sys.error(s"SHOW CREATE FUNCTION: function not created this session: $base"))
-        statusDf(spark, text).withColumnRenamed("result", "Create Function")
-
-      case showCatalogsRe(patOrNull) =>
-        val df = spark.sql("SHOW CATALOGS")
-          .withColumnRenamed("catalog", "Catalog")
-        Option(patOrNull) match {
-          case Some(p) =>
-            df.filter(org.apache.spark.sql.functions.col("Catalog").like(p))
-          case None => df
-        }
-
-      case describeRe(name)
-          if !name.equalsIgnoreCase("INPUT") && !name.equalsIgnoreCase("OUTPUT") =>
-        // DESCRIBE/DESC = SHOW COLUMNS (SqlBase.g4 aliases all three to
-        // #showColumns): Column/Type/Extra/Comment from catalog
-        // metadata, no scan.
-        import spark.implicits._
-        spark.table(name.split('.').last).schema.fields.toSeq
-          .map(f => (f.name, prestoTypeName(f.dataType), "", ""))
-          .toDF("Column", "Type", "Extra", "Comment")
-
-      case setSessionRe(name0, rawValue) =>
-        val name = name0.split('.').last.toLowerCase
-        require(sessionPropDefs.exists(_.name == name),
-          s"Session property $name does not exist")
-        val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
-        val saved = sessionMap(sessionPropSaved, spark)
-        name match {
-          case "hash_partition_count" =>
-            if (!saved.contains(name))
-              saved(name) = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", value.toInt.toString)
-          case "join_distribution_type" =>
-            if (!saved.contains(name))
-              saved(name) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            value.toUpperCase match {
-              case "PARTITIONED" =>
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-              case "BROADCAST" | "AUTOMATIC" =>
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved(name))
-              case other => sys.error(s"join_distribution_type: $other")
-            }
-          case _ => () // stored only; no engine knob behind it
-        }
-        sessionMap(sessionProps, spark)(name) = value
-        statusDf(spark, "SET SESSION")
-
-      case resetSessionRe(name0) =>
-        val name = name0.split('.').last.toLowerCase
-        val saved = sessionMap(sessionPropSaved, spark)
-        name match {
-          case "hash_partition_count" =>
-            saved.remove(name).foreach(v =>
-              spark.conf.set("spark.sql.shuffle.partitions", v))
-          case "join_distribution_type" =>
-            saved.remove(name).foreach(v =>
-              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
-          case _ => ()
-        }
-        sessionMap(sessionProps, spark).remove(name)
-        statusDf(spark, "RESET SESSION")
-
-      case showSessionRe() =>
-        // ShowQueriesRewrite visitShowSession: Name/Value/Default/Type/
-        // Description over the property registry; Value reflects SET.
-        import spark.implicits._
-        val set = sessionMap(sessionProps, spark)
-        sessionPropDefs.map { d =>
-          (d.name, set.getOrElse(d.name, d.default), d.default, d.typ, d.desc)
-        }.toDF("Name", "Value", "Default", "Type", "Description")
-
-      case txRe(stmt) =>
-        // START TRANSACTION / COMMIT / ROLLBACK accepted as autocommit
-        // no-ops: every statement commits on success, the stance of the
-        // reference's non-transactional connectors (hive). Ledger
-        // divergence — SURVEY §2.3.
-        statusDf(spark,
-          if (stmt.trim.toUpperCase.startsWith("START")) "START TRANSACTION"
-          else stmt.trim.split("\\s+")(0).toUpperCase)
-
-      case analyzeTableRe(name) =>
-        // ANALYZE (SqlBase.g4 #analyze; presto-main AnalyzeTask →
-        // connector stats collection): Spark's catalog-stats ANALYZE —
-        // row count + per-column ndv/min/max/nulls into the catalog,
-        // feeding the CBO the way Presto's stats feed its optimizer.
-        // WITH (...) properties are connector-specific; accepted and
-        // dropped (Spark's stats have no equivalent knobs).
-        spark.sql(s"ANALYZE TABLE ${name.split('.').last} " +
-          "COMPUTE STATISTICS FOR ALL COLUMNS")
-        statusDf(spark, "ANALYZE")
-
-      case dropFnRe(ifExists, name) =>
-        val base = name.split('.').last.toLowerCase
-        spark.sql(s"DROP TEMPORARY FUNCTION ${if (ifExists != null) "IF EXISTS " else ""}$base")
-        sessionMap(createdFnTexts, spark).remove(base)
-        statusDf(spark, "DROP FUNCTION")
-
-      case useRe(name) =>
-        // USE schema / USE catalog.schema (SqlBase.g4:35-36): a
-        // qualified catalog.schema collapses to the schema (one Spark
-        // catalog); an unknown schema fails loudly through Spark's own
-        // USE. Subsequent unqualified table names resolve in the new
-        // schema (session temp views still win, as in Spark).
-        spark.sql(s"USE ${name.split('.').last}")
-        statusDf(spark, "USE")
-
-      case showStatsRe(target) =>
-        showStatsStatement(spark, target)
-
-      case other =>
-        // Record original texts for SHOW CREATE VIEW / FUNCTION before
-        // the rewrite pipeline consumes them.
-        createViewDetectRe.findFirstMatchIn(other).foreach { m =>
-          sessionMap(createdViewTexts, spark)
-            .update(m.group(1).split('.').last.toLowerCase, other.trim)
-        }
-        createFnRe.findFirstMatchIn(other).foreach { m =>
-          sessionMap(createdFnTexts, spark)
-            .update(m.group(2).split('.').last.toLowerCase, other.trim)
-        }
-        spark.sql(rewritePrestoSql(other))
-    }
-
-  def rewritePrestoSql(q: String): String = {
-    val fnned = rewriteCreateFunction(q)
-    val dated = prestoDateFnRe.replaceAllIn(fnned,
-      m => "presto_" + m.group(1).toLowerCase + "('" +
-        m.group(2).toLowerCase + "'")
-    val tstz = timestampTzLiteralRe.replaceAllIn(dated, m => {
-      val wall = m.group(1)
-      val zone = m.group(2)
-      s"named_struct('utc', to_utc_timestamp(" +
-        s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
-    })
-    val timed = timeLiteralRe.replaceAllIn(tstz,
-      m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
-    val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
-      val s = m.group(1)
-      val dot = s.indexOf('.')
-      val scale = if (dot < 0) 0 else s.length - dot - 1
-      // Presto's Decimals.parse excludes leading zeros from precision:
-      // DECIMAL '0.1' is decimal(1,1), '0.05' decimal(2,2) — counting all
-      // digits would widen result types of downstream decimal arithmetic.
-      val integral = (if (dot < 0) s else s.substring(0, dot))
-        .dropWhile(c => c == '0' || c == '-' || c == '+')
-      val precision = math.max(integral.length + scale, 1)
-      s"cast('$s' as decimal($precision, $scale))"
-    })
-    val sampled = tablesampleRe.replaceAllIn(decimaled,
-      m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
-    bareVarcharRe.replaceAllIn(
-      rewriteSubscripts(rewriteAtTimeZone(
-        rewriteUnnest(rewriteArrayLiterals(sampled)))),
-      m => m.group(1) + "string" + m.group(2))
-  }
 }
 
 /** SQL-fragment builders for the IPv4 templates: dotted-quad → bigint,
