@@ -94,6 +94,11 @@ object TpcdsSql extends QueryPack {
             |  cast(l_suppkey % 5 + 1 as bigint) AS ws_web_site_sk,
             |  o_orderkey AS ws_order_number,
             |  cast(l_suppkey % 4 + 1 as bigint) AS ws_warehouse_sk,
+            |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
+            |    as bigint) AS ws_sold_time_sk,
+            |  l_quantity AS ws_quantity,
+            |  l_extendedprice * (1 - l_discount) / l_quantity
+            |    AS ws_sales_price,
             |  l_extendedprice AS ws_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS ws_net_profit
@@ -102,7 +107,9 @@ object TpcdsSql extends QueryPack {
     // web returns: the 'R'-flagged slice of the web channel
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW web_returns AS
             |SELECT o_orderkey AS wr_order_number,
+            |  l_partkey AS wr_item_sk,
             |  o_custkey AS wr_refunded_customer_sk,
+            |  l_quantity AS wr_return_quantity,
             |  l_extendedprice * (1 - l_discount) AS wr_return_amt
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 1
@@ -113,6 +120,8 @@ object TpcdsSql extends QueryPack {
             |    DATE '1995-01-01') + 2450000 as bigint)
             |    AS sr_returned_date_sk,
             |  o_custkey AS sr_customer_sk,
+            |  l_partkey AS sr_item_sk,
+            |  o_orderkey AS sr_ticket_number,
             |  cast(l_suppkey % 10 + 1 as bigint) AS sr_store_sk,
             |  l_extendedprice * (1 - l_discount) AS sr_return_amt
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -240,13 +249,20 @@ object TpcdsSql extends QueryPack {
       |    CAST(l_suppkey % 5 + 1 AS BIGINT) AS ws_web_site_sk,
       |    o_orderkey AS ws_order_number,
       |    CAST(l_suppkey % 4 + 1 AS BIGINT) AS ws_warehouse_sk,
+      |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
+      |      AS BIGINT) AS ws_sold_time_sk,
+      |    l_quantity AS ws_quantity,
+      |    l_extendedprice * (1 - l_discount) / l_quantity
+      |      AS ws_sales_price,
       |    l_extendedprice AS ws_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 1),
       |web_returns AS (
       |  SELECT o_orderkey AS wr_order_number,
+      |    l_partkey AS wr_item_sk,
       |    o_custkey AS wr_refunded_customer_sk,
+      |    l_quantity AS wr_return_quantity,
       |    l_extendedprice * (1 - l_discount) AS wr_return_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 1
@@ -256,6 +272,8 @@ object TpcdsSql extends QueryPack {
       |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
       |      AS sr_returned_date_sk,
       |    o_custkey AS sr_customer_sk,
+      |    l_partkey AS sr_item_sk,
+      |    o_orderkey AS sr_ticket_number,
       |    CAST(l_suppkey % 10 + 1 AS BIGINT) AS sr_store_sk,
       |    l_extendedprice * (1 - l_discount) AS sr_return_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -998,7 +1016,177 @@ object TpcdsSql extends QueryPack {
         |  WHERE d_year = 1998 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
         |    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
         |    AND ws_bill_customer_sk IN
-        |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin))
+        |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin)),
+
+    // TPC-DS Q62/Q99 shape: days-to-ship bucketed counts per web site —
+    // conditional-sum pivot over the sold→ship day gap, joined on the
+    // SHIP date. Counts are exact; one scan + broadcast + one agg.
+    "qs1_tpcds_q62" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(ws_web_site_sk as bigint) AS web_site,
+        |  cast(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
+        |    THEN 1 ELSE 0 END) as bigint) AS d30,
+        |  cast(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+        |    AND ws_ship_date_sk - ws_sold_date_sk <= 60
+        |    THEN 1 ELSE 0 END) as bigint) AS d60,
+        |  cast(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+        |    AND ws_ship_date_sk - ws_sold_date_sk <= 90
+        |    THEN 1 ELSE 0 END) as bigint) AS d90,
+        |  cast(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+        |    AND ws_ship_date_sk - ws_sold_date_sk <= 120
+        |    THEN 1 ELSE 0 END) as bigint) AS d120,
+        |  cast(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
+        |    THEN 1 ELSE 0 END) as bigint) AS dmore
+        |FROM web_sales, date_dim
+        |WHERE ws_ship_date_sk = d_date_sk AND d_year = 1998
+        |GROUP BY ws_web_site_sk
+        |ORDER BY web_site""".stripMargin)),
+
+    // TPC-DS Q90 shape: the am/pm ratio — two independent single-row
+    // counts over (time band x household filter) cross-joined 1x1,
+    // divided. time_dim and household_demographics broadcast.
+    "qs2_tpcds_q90" -> ((s, dir) => sql(s, dir,
+      """SELECT round(cast(amc as double) / cast(pmc as double), 4)
+        |    AS am_pm_ratio
+        |FROM (SELECT count(*) amc
+        |      FROM web_sales, household_demographics, time_dim
+        |      WHERE ws_sold_time_sk = t_time_sk
+        |        AND ws_bill_customer_sk = hd_demo_sk
+        |        AND t_hour BETWEEN 8 AND 9
+        |        AND hd_dep_count BETWEEN 2 AND 6) at1,
+        |     (SELECT count(*) pmc
+        |      FROM web_sales, household_demographics, time_dim
+        |      WHERE ws_sold_time_sk = t_time_sk
+        |        AND ws_bill_customer_sk = hd_demo_sk
+        |        AND t_hour BETWEEN 19 AND 20
+        |        AND hd_dep_count BETWEEN 2 AND 6) pt""".stripMargin)),
+
+    // TPC-DS Q31 shape: state-level quarter-over-quarter growth, web
+    // vs store — each channel's quarterly totals instantiated three
+    // times, six-way equi-join on state, survivors where web outgrew
+    // store in BOTH q1→q2 and q2→q3. Ratios divide cent-rounded
+    // totals, so both engines compare bitwise-identical operands.
+    "qs3_tpcds_q31" -> ((s, dir) => sql(s, dir,
+      """WITH ss AS (
+        |  SELECT ca_state state, d_qoy qoy,
+        |    round(sum(ss_ext_sales_price), 2) AS total
+        |  FROM store_sales, date_dim, customer_address
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1996
+        |    AND ss_customer_sk = ca_address_sk
+        |  GROUP BY ca_state, d_qoy),
+        |ws AS (
+        |  SELECT ca_state state, d_qoy qoy,
+        |    round(sum(ws_ext_sales_price), 2) AS total
+        |  FROM web_sales, date_dim, customer_address
+        |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1996
+        |    AND ws_bill_customer_sk = ca_address_sk
+        |  GROUP BY ca_state, d_qoy)
+        |SELECT ss1.state AS state,
+        |  round(ws2.total / ws1.total, 4) AS web_q1_q2_increase,
+        |  round(ss2.total / ss1.total, 4) AS store_q1_q2_increase,
+        |  round(ws3.total / ws2.total, 4) AS web_q2_q3_increase,
+        |  round(ss3.total / ss2.total, 4) AS store_q2_q3_increase
+        |FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+        |WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+        |  AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+        |  AND ss1.state = ss2.state AND ss2.state = ss3.state
+        |  AND ss1.state = ws1.state AND ws1.state = ws2.state
+        |  AND ws2.state = ws3.state
+        |  AND ws2.total / ws1.total > ss2.total / ss1.total
+        |  AND ws3.total / ws2.total > ss3.total / ss2.total
+        |ORDER BY state""".stripMargin)),
+
+    // TPC-DS Q33/Q56/Q60 shape: per-manufacturer revenue summed across
+    // all three channels for one month, manufacturers restricted by an
+    // IN-subquery over the item dimension (category pre-filter). Each
+    // channel branch is scan + broadcasts + agg; the final re-agg
+    // merges the three partial maps.
+    "qs4_tpcds_q33" -> ((s, dir) => sql(s, dir,
+      """WITH sel AS (SELECT i_manufact_id FROM item
+        |  WHERE i_category IN ('ECONOMY', 'PROMO')
+        |  GROUP BY i_manufact_id),
+        |x AS (
+        |  SELECT i_manufact_id,
+        |    round(sum(ss_ext_sales_price), 2) AS total_sales
+        |  FROM store_sales, date_dim, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 5
+        |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+        |  GROUP BY i_manufact_id
+        |  UNION ALL
+        |  SELECT i_manufact_id,
+        |    round(sum(cs_ext_sales_price), 2) AS total_sales
+        |  FROM catalog_sales, date_dim, item
+        |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 5
+        |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+        |  GROUP BY i_manufact_id
+        |  UNION ALL
+        |  SELECT i_manufact_id,
+        |    round(sum(ws_ext_sales_price), 2) AS total_sales
+        |  FROM web_sales, date_dim, item
+        |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 5
+        |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+        |  GROUP BY i_manufact_id)
+        |SELECT cast(i_manufact_id as bigint) AS i_manufact_id,
+        |  round(sum(total_sales), 2) AS total_sales
+        |FROM x GROUP BY i_manufact_id
+        |ORDER BY total_sales DESC, i_manufact_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q25/Q29 shape: the three-fact chain — bought in store
+    // (April), returned (April-October, same customer+item+ticket),
+    // re-bought on the catalog channel (same customer+item) — each hop
+    // an equi-join through its own date_dim alias. Join multiplicity
+    // (one sale x many catalog re-buys) is the spec's own semantics and
+    // identical on both engines.
+    "qs5_tpcds_q25" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, s_store_id, s_store_name,
+        |  round(sum(ss_net_profit) + 5e-7, 2) AS store_profit,
+        |  round(sum(sr_return_amt) + 5e-7, 2) AS return_loss,
+        |  round(sum(cs_net_profit) + 5e-7, 2) AS catalog_profit
+        |FROM store_sales, store_returns, catalog_sales,
+        |  date_dim d1, date_dim d2, date_dim d3, store, item
+        |WHERE d1.d_moy = 4 AND d1.d_year = 1998
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1998
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 1998
+        |GROUP BY i_item_id, s_store_id, s_store_name
+        |ORDER BY i_item_id, s_store_id, s_store_name""".stripMargin)),
+
+    // TPC-DS Q85 shape: web sales joined to their returns (order +
+    // item) with the returning customer's demographics banded by an
+    // OR-of-ANDs over (marital, education, price band) — per-band
+    // counts and averages.
+    "qs6_tpcds_q85" -> ((s, dir) => sql(s, dir,
+      """SELECT cd_marital_status,
+        |  cast(count(*) as bigint) AS cnt,
+        |  round(avg(ws_quantity) + 5e-7, 2) AS avg_quantity,
+        |  round(avg(wr_return_amt) + 5e-7, 2) AS avg_refund
+        |FROM web_sales, web_returns, customer_demographics
+        |WHERE ws_order_number = wr_order_number
+        |  AND ws_item_sk = wr_item_sk
+        |  AND wr_refunded_customer_sk = cd_demo_sk
+        |  AND ((cd_marital_status = 'M'
+        |      AND cd_education_status = 'Advanced Degree'
+        |      AND ws_sales_price BETWEEN 100 AND 150)
+        |    OR (cd_marital_status = 'S'
+        |      AND cd_education_status = 'College'
+        |      AND ws_sales_price BETWEEN 50 AND 100)
+        |    OR (cd_marital_status = 'D'
+        |      AND cd_education_status = 'Primary'
+        |      AND ws_sales_price BETWEEN 150 AND 200))
+        |GROUP BY cd_marital_status
+        |ORDER BY cd_marital_status""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1585,6 +1773,156 @@ object TpcdsSql extends QueryPack {
          |  WHERE d_year = 1998 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
          |    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
          |    AND ws_bill_customer_sk IN
-         |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin
+         |      (SELECT c_custkey FROM best_ss_customer)) x""".stripMargin,
+
+    "qs1_tpcds_q62" ->
+      s"""WITH $dsCte
+         |SELECT CAST(ws_web_site_sk AS BIGINT) AS web_site,
+         |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+         |    AND ws_ship_date_sk - ws_sold_date_sk <= 60
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+         |    AND ws_ship_date_sk - ws_sold_date_sk <= 90
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+         |    AND ws_ship_date_sk - ws_sold_date_sk <= 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+         |FROM web_sales, date_dim
+         |WHERE ws_ship_date_sk = d_date_sk AND d_year = 1998
+         |GROUP BY ws_web_site_sk
+         |ORDER BY web_site""".stripMargin,
+
+    "qs2_tpcds_q90" ->
+      s"""WITH $dsCte
+         |SELECT round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 4)
+         |    AS am_pm_ratio
+         |FROM (SELECT count(*) amc
+         |      FROM web_sales, household_demographics, time_dim
+         |      WHERE ws_sold_time_sk = t_time_sk
+         |        AND ws_bill_customer_sk = hd_demo_sk
+         |        AND t_hour BETWEEN 8 AND 9
+         |        AND hd_dep_count BETWEEN 2 AND 6) at1,
+         |     (SELECT count(*) pmc
+         |      FROM web_sales, household_demographics, time_dim
+         |      WHERE ws_sold_time_sk = t_time_sk
+         |        AND ws_bill_customer_sk = hd_demo_sk
+         |        AND t_hour BETWEEN 19 AND 20
+         |        AND hd_dep_count BETWEEN 2 AND 6) pt""".stripMargin,
+
+    "qs3_tpcds_q31" ->
+      s"""WITH $dsCte,
+         |ss AS (
+         |  SELECT ca_state state, d_qoy qoy,
+         |    round(sum(ss_ext_sales_price), 2) AS total
+         |  FROM store_sales, date_dim, customer_address
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1996
+         |    AND ss_customer_sk = ca_address_sk
+         |  GROUP BY ca_state, d_qoy),
+         |ws AS (
+         |  SELECT ca_state state, d_qoy qoy,
+         |    round(sum(ws_ext_sales_price), 2) AS total
+         |  FROM web_sales, date_dim, customer_address
+         |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1996
+         |    AND ws_bill_customer_sk = ca_address_sk
+         |  GROUP BY ca_state, d_qoy)
+         |SELECT ss1.state AS state,
+         |  round(ws2.total / ws1.total, 4) AS web_q1_q2_increase,
+         |  round(ss2.total / ss1.total, 4) AS store_q1_q2_increase,
+         |  round(ws3.total / ws2.total, 4) AS web_q2_q3_increase,
+         |  round(ss3.total / ss2.total, 4) AS store_q2_q3_increase
+         |FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+         |WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+         |  AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+         |  AND ss1.state = ss2.state AND ss2.state = ss3.state
+         |  AND ss1.state = ws1.state AND ws1.state = ws2.state
+         |  AND ws2.state = ws3.state
+         |  AND ws2.total / ws1.total > ss2.total / ss1.total
+         |  AND ws3.total / ws2.total > ss3.total / ss2.total
+         |ORDER BY state""".stripMargin,
+
+    "qs4_tpcds_q33" ->
+      s"""WITH $dsCte,
+         |sel AS (SELECT i_manufact_id FROM item
+         |  WHERE i_category IN ('ECONOMY', 'PROMO')
+         |  GROUP BY i_manufact_id),
+         |x AS (
+         |  SELECT i_manufact_id,
+         |    round(sum(ss_ext_sales_price), 2) AS total_sales
+         |  FROM store_sales, date_dim, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 5
+         |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+         |  GROUP BY i_manufact_id
+         |  UNION ALL
+         |  SELECT i_manufact_id,
+         |    round(sum(cs_ext_sales_price), 2) AS total_sales
+         |  FROM catalog_sales, date_dim, item
+         |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 5
+         |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+         |  GROUP BY i_manufact_id
+         |  UNION ALL
+         |  SELECT i_manufact_id,
+         |    round(sum(ws_ext_sales_price), 2) AS total_sales
+         |  FROM web_sales, date_dim, item
+         |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 5
+         |    AND i_manufact_id IN (SELECT i_manufact_id FROM sel)
+         |  GROUP BY i_manufact_id)
+         |SELECT CAST(i_manufact_id AS BIGINT) AS i_manufact_id,
+         |  round(sum(total_sales), 2) AS total_sales
+         |FROM x GROUP BY i_manufact_id
+         |ORDER BY total_sales DESC, i_manufact_id
+         |LIMIT 100""".stripMargin,
+
+    "qs5_tpcds_q25" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, s_store_id, s_store_name,
+         |  round(sum(ss_net_profit) + 5e-7, 2) AS store_profit,
+         |  round(sum(sr_return_amt) + 5e-7, 2) AS return_loss,
+         |  round(sum(cs_net_profit) + 5e-7, 2) AS catalog_profit
+         |FROM store_sales, store_returns, catalog_sales,
+         |  date_dim d1, date_dim d2, date_dim d3, store, item
+         |WHERE d1.d_moy = 4 AND d1.d_year = 1998
+         |  AND d1.d_date_sk = ss_sold_date_sk
+         |  AND i_item_sk = ss_item_sk
+         |  AND s_store_sk = ss_store_sk
+         |  AND ss_customer_sk = sr_customer_sk
+         |  AND ss_item_sk = sr_item_sk
+         |  AND ss_ticket_number = sr_ticket_number
+         |  AND sr_returned_date_sk = d2.d_date_sk
+         |  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 1998
+         |  AND sr_customer_sk = cs_bill_customer_sk
+         |  AND sr_item_sk = cs_item_sk
+         |  AND cs_sold_date_sk = d3.d_date_sk
+         |  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 1998
+         |GROUP BY i_item_id, s_store_id, s_store_name
+         |ORDER BY i_item_id, s_store_id, s_store_name""".stripMargin,
+
+    "qs6_tpcds_q85" ->
+      s"""WITH $dsCte
+         |SELECT cd_marital_status,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  round(avg(ws_quantity) + 5e-7, 2) AS avg_quantity,
+         |  round(avg(wr_return_amt) + 5e-7, 2) AS avg_refund
+         |FROM web_sales, web_returns, customer_demographics
+         |WHERE ws_order_number = wr_order_number
+         |  AND ws_item_sk = wr_item_sk
+         |  AND wr_refunded_customer_sk = cd_demo_sk
+         |  AND ((cd_marital_status = 'M'
+         |      AND cd_education_status = 'Advanced Degree'
+         |      AND ws_sales_price BETWEEN 100 AND 150)
+         |    OR (cd_marital_status = 'S'
+         |      AND cd_education_status = 'College'
+         |      AND ws_sales_price BETWEEN 50 AND 100)
+         |    OR (cd_marital_status = 'D'
+         |      AND cd_education_status = 'Primary'
+         |      AND ws_sales_price BETWEEN 150 AND 200))
+         |GROUP BY cd_marital_status
+         |ORDER BY cd_marital_status""".stripMargin
   )
 }
