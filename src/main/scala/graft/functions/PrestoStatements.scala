@@ -185,6 +185,9 @@ private[functions] object PrestoStatements {
   private val showSessionRe = """(?is)^\s*SHOW\s+SESSION\s*$""".r
   private val txRe =
     """(?is)^\s*(START\s+TRANSACTION(?:\s+\w+(?:\s+\w+)*)?|COMMIT(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*$""".r
+  private val alterFnRe =
+    ("""(?is)^\s*ALTER\s+FUNCTION\s+([A-Za-z_][\w.]*)\s*(?:\([^)]*\))?""" +
+      """\s+(CALLED\s+ON\s+NULL\s+INPUT|RETURNS\s+NULL\s+ON\s+NULL\s+INPUT)\s*$""").r
   private val dropFnRe =
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
   private val analyzeTableRe =
@@ -559,6 +562,32 @@ private[functions] object PrestoStatements {
         // schema (session temp views still win, as in Spark).
         spark.sql(s"USE ${name.split('.').last}")
         statusDf(spark, "USE")
+
+      case alterFnRe(name, characteristic) =>
+        // ALTER FUNCTION ... CALLED/RETURNS NULL ON NULL INPUT
+        // (SqlBase.g4:70-72 alterFunction; the reference's only
+        // alterable routine characteristic): re-registration — the
+        // stored CREATE text has the old characteristic stripped, the
+        // new one inserted before RETURN, and runs back through the
+        // CREATE FUNCTION pipeline (which wraps/unwraps the null
+        // guard). Unknown functions fail loudly.
+        val base = name.split('.').last.toLowerCase
+        val text = sessionMap(createdFnTexts, spark).getOrElse(base,
+          sys.error(s"ALTER FUNCTION: function not created this session: $base"))
+        val stripped = text
+          .replaceAll("(?is)\\bRETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+          .replaceAll("(?is)\\bCALLED\\s+ON\\s+NULL\\s+INPUT\\b", " ")
+        val retM = """(?is)\bRETURN\b""".r.findFirstMatchIn(stripped)
+          .getOrElse(sys.error("ALTER FUNCTION: stored text has no RETURN"))
+        val altered = stripped.substring(0, retM.start) +
+          characteristic.trim.replaceAll("\\s+", " ") + " " +
+          stripped.substring(retM.start)
+        val replaced =
+          if ("""(?is)\bOR\s+REPLACE\b""".r.findFirstIn(altered).isDefined)
+            altered
+          else altered.replaceFirst("(?i)^\\s*CREATE\\b", "CREATE OR REPLACE")
+        prestoStatement(spark, replaced)
+        statusDf(spark, "ALTER FUNCTION")
 
       case showStatsRe(target) =>
         showStatsStatement(spark, target)

@@ -569,6 +569,35 @@ class RegistrySuite extends GraftSuite {
     Registry.prestoStatement(spark, "DEALLOCATE PREPARE t_dio")
   }
 
+  test("ALTER FUNCTION flips the null-input characteristic by re-registration") {
+    Registry.install(spark)
+    Registry.prestoStatement(spark,
+      "CREATE FUNCTION t_af(x INT) RETURNS INT RETURN coalesce(x, -1) + 1")
+    // default CALLED ON NULL INPUT: body sees the NULL
+    assert(spark.sql("SELECT t_af(cast(null as int)) AS v")
+      .collect()(0).getInt(0) == 0)
+    Registry.prestoStatement(spark,
+      "ALTER FUNCTION t_af RETURNS NULL ON NULL INPUT")
+    assert(spark.sql("SELECT t_af(cast(null as int)) AS v")
+      .collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT t_af(5) AS v").collect()(0).getInt(0) == 6)
+    // ... and back
+    Registry.prestoStatement(spark,
+      "ALTER FUNCTION t_af CALLED ON NULL INPUT")
+    assert(spark.sql("SELECT t_af(cast(null as int)) AS v")
+      .collect()(0).getInt(0) == 0)
+    // SHOW CREATE FUNCTION reflects the altered text
+    val text = Registry.prestoStatement(spark, "SHOW CREATE FUNCTION t_af")
+      .collect()(0).getString(0)
+    assert(text.toUpperCase.contains("CALLED ON NULL INPUT"))
+    Registry.prestoStatement(spark, "DROP FUNCTION IF EXISTS t_af")
+    // unknown function is loud
+    intercept[Exception] {
+      Registry.prestoStatement(spark,
+        "ALTER FUNCTION t_missing RETURNS NULL ON NULL INPUT")
+    }
+  }
+
   test("zoned values compare, order, join, and IN by instant") {
     Registry.install(spark)
     // 15:30+05:30 and 12:00+02:00 are the same instant (10:00 UTC) in
