@@ -123,9 +123,21 @@ object TpcdsSql extends QueryPack {
             |  l_partkey AS sr_item_sk,
             |  o_orderkey AS sr_ticket_number,
             |  cast(l_suppkey % 10 + 1 as bigint) AS sr_store_sk,
+            |  l_quantity AS sr_return_quantity,
             |  l_extendedprice * (1 - l_discount) AS sr_return_amt
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE l_returnflag = 'R'""".stripMargin)
+    // catalog returns: the 'R'-flagged slice of the catalog channel,
+    // returned on the ship date
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW catalog_returns AS
+            |SELECT cast(datediff(cast(l_shipdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint)
+            |    AS cr_returned_date_sk,
+            |  cast(l_suppkey % 3 + 1 as bigint) AS cr_call_center_sk,
+            |  l_extendedprice * (1 - l_discount) AS cr_return_amount
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE (o_orderkey + l_linenumber) % 3 = 2
+            |  AND l_returnflag = 'R'""".stripMargin)
     // item: brand id from the TPC-H brand digits, category/class from the
     // p_type word positions, manufact/manager ids by modulus
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW item AS
@@ -166,6 +178,7 @@ object TpcdsSql extends QueryPack {
             |  l_partkey AS cs_item_sk,
             |  o_custkey AS cs_bill_customer_sk,
             |  cast(l_suppkey % 3 + 1 as bigint) AS cs_call_center_sk,
+            |  l_quantity AS cs_quantity,
             |  l_extendedprice AS cs_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS cs_net_profit
@@ -275,9 +288,19 @@ object TpcdsSql extends QueryPack {
       |    l_partkey AS sr_item_sk,
       |    o_orderkey AS sr_ticket_number,
       |    CAST(l_suppkey % 10 + 1 AS BIGINT) AS sr_store_sk,
+      |    l_quantity AS sr_return_quantity,
       |    l_extendedprice * (1 - l_discount) AS sr_return_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_returnflag = 'R'),
+      |catalog_returns AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS cr_returned_date_sk,
+      |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cr_call_center_sk,
+      |    l_extendedprice * (1 - l_discount) AS cr_return_amount
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE (o_orderkey + l_linenumber) % 3 = 2
+      |    AND l_returnflag = 'R'),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 8, '0'))
@@ -315,6 +338,7 @@ object TpcdsSql extends QueryPack {
       |    l_partkey AS cs_item_sk,
       |    o_custkey AS cs_bill_customer_sk,
       |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cs_call_center_sk,
+      |    l_quantity AS cs_quantity,
       |    l_extendedprice AS cs_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1186,7 +1210,122 @@ object TpcdsSql extends QueryPack {
         |      AND cd_education_status = 'Primary'
         |      AND ws_sales_price BETWEEN 150 AND 200))
         |GROUP BY cd_marital_status
-        |ORDER BY cd_marital_status""".stripMargin))
+        |ORDER BY cd_marital_status""".stripMargin)),
+
+    // TPC-DS Q79 shape: per-ticket coupon/profit totals for household
+    // slices in the first days of each month, the customer joined on
+    // the aggregated tickets. Two-level: ticket aggregate then the
+    // broadcast-sized customer join.
+    "qs7_tpcds_q79" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, ss_ticket_number,
+        |  round(amt + 5e-7, 2) AS amt,
+        |  round(profit + 5e-7, 2) AS profit
+        |FROM (SELECT ss_ticket_number, ss_customer_sk,
+        |        sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+        |      FROM store_sales, date_dim, store, household_demographics
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND ss_hdemo_sk = hd_demo_sk
+        |        AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+        |        AND d_dom BETWEEN 1 AND 2 AND d_year = 1998
+        |      GROUP BY ss_ticket_number, ss_customer_sk) ms, customer
+        |WHERE ss_customer_sk = c_custkey
+        |ORDER BY c_name, ss_ticket_number
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q94 shape: Q95's quantified twin — multi-warehouse orders
+    // via correlated EXISTS, returns excluded via NOT EXISTS (a left-
+    // anti join on the order number; Q95 used IN/IN semi-joins).
+    "qs8_tpcds_q94" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(count(DISTINCT ws1.ws_order_number) as bigint)
+        |    AS order_count,
+        |  round(sum(ws_ext_sales_price), 2) AS total_sales,
+        |  round(sum(ws_net_profit) + 5e-7, 2) AS total_net_profit
+        |FROM web_sales ws1, date_dim, customer_address
+        |WHERE ws1.ws_ship_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+        |  AND ws1.ws_bill_customer_sk = ca_address_sk
+        |  AND ca_state = 'TX'
+        |  AND EXISTS (SELECT * FROM web_sales ws2
+        |    WHERE ws1.ws_order_number = ws2.ws_order_number
+        |      AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        |  AND NOT EXISTS (SELECT * FROM web_returns wr1
+        |    WHERE ws1.ws_order_number = wr1.wr_order_number)""".stripMargin)),
+
+    // TPC-DS Q17 shape: the Q25 three-fact chain carrying QUANTITY
+    // statistics — count/avg/stddev of sold, returned, and re-bought
+    // quantities per item and store state. stddev_samp accumulates in
+    // engine-specific order; the +5e-7 tie-breaker keeps the rounded
+    // cents grid identical.
+    "qs9_tpcds_q17" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, s_state,
+        |  cast(count(ss_quantity) as bigint) AS store_qty_count,
+        |  round(avg(ss_quantity) + 5e-7, 2) AS store_qty_avg,
+        |  round(stddev_samp(ss_quantity) + 5e-7, 2) AS store_qty_stdev,
+        |  cast(count(sr_return_quantity) as bigint) AS return_qty_count,
+        |  round(avg(sr_return_quantity) + 5e-7, 2) AS return_qty_avg,
+        |  cast(count(cs_quantity) as bigint) AS catalog_qty_count,
+        |  round(avg(cs_quantity) + 5e-7, 2) AS catalog_qty_avg
+        |FROM store_sales, store_returns, catalog_sales,
+        |  date_dim d1, date_dim d2, date_dim d3, store, item
+        |WHERE d1.d_qoy = 1 AND d1.d_year = 1998
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_qoy BETWEEN 1 AND 3 AND d2.d_year = 1998
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_qoy BETWEEN 1 AND 3 AND d3.d_year = 1998
+        |GROUP BY i_item_id, s_state
+        |ORDER BY i_item_id, s_state""".stripMargin)),
+
+    // TPC-DS Q5 shape: per-channel sales-vs-returns report — each
+    // channel UNION ALLs its sales and returns facts into one keyed
+    // stream, aggregates, then ROLLUP(channel, id) adds channel and
+    // grand totals. Store + catalog channels (web returns carry no
+    // independent return date in the derivation).
+    "qt0_tpcds_q5" -> ((s, dir) => sql(s, dir,
+      """WITH ssr AS (
+        |  SELECT 'store channel' AS channel,
+        |    concat('store', cast(store_sk as string)) AS id,
+        |    round(sum(sales_price), 2) AS sales,
+        |    round(sum(return_amt) + 5e-7, 2) AS returns_amt
+        |  FROM (SELECT ss_store_sk AS store_sk,
+        |          ss_sold_date_sk AS date_sk,
+        |          ss_ext_sales_price AS sales_price, 0D AS return_amt
+        |        FROM store_sales
+        |        UNION ALL
+        |        SELECT sr_store_sk, sr_returned_date_sk, 0D,
+        |          sr_return_amt
+        |        FROM store_returns) t, date_dim
+        |  WHERE date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY store_sk),
+        |csr AS (
+        |  SELECT 'catalog channel' AS channel,
+        |    concat('cc', cast(cc_sk as string)) AS id,
+        |    round(sum(sales_price), 2) AS sales,
+        |    round(sum(return_amt) + 5e-7, 2) AS returns_amt
+        |  FROM (SELECT cs_call_center_sk AS cc_sk,
+        |          cs_sold_date_sk AS date_sk,
+        |          cs_ext_sales_price AS sales_price, 0D AS return_amt
+        |        FROM catalog_sales
+        |        UNION ALL
+        |        SELECT cr_call_center_sk, cr_returned_date_sk, 0D,
+        |          cr_return_amount
+        |        FROM catalog_returns) t, date_dim
+        |  WHERE date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY cc_sk)
+        |SELECT channel, id,
+        |  round(sum(sales), 2) AS sales,
+        |  round(sum(returns_amt), 2) AS returns_amt
+        |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr) x
+        |GROUP BY ROLLUP(channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1923,6 +2062,110 @@ object TpcdsSql extends QueryPack {
          |      AND cd_education_status = 'Primary'
          |      AND ws_sales_price BETWEEN 150 AND 200))
          |GROUP BY cd_marital_status
-         |ORDER BY cd_marital_status""".stripMargin
+         |ORDER BY cd_marital_status""".stripMargin,
+
+    "qs7_tpcds_q79" ->
+      s"""WITH $dsCte
+         |SELECT c_name, ss_ticket_number,
+         |  round(amt + 5e-7, 2) AS amt,
+         |  round(profit + 5e-7, 2) AS profit
+         |FROM (SELECT ss_ticket_number, ss_customer_sk,
+         |        sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+         |      FROM store_sales, date_dim, store, household_demographics
+         |      WHERE ss_sold_date_sk = d_date_sk
+         |        AND ss_store_sk = s_store_sk
+         |        AND ss_hdemo_sk = hd_demo_sk
+         |        AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+         |        AND d_dom BETWEEN 1 AND 2 AND d_year = 1998
+         |      GROUP BY ss_ticket_number, ss_customer_sk) ms, customer
+         |WHERE ss_customer_sk = c_custkey
+         |ORDER BY c_name, ss_ticket_number
+         |LIMIT 100""".stripMargin,
+
+    "qs8_tpcds_q94" ->
+      s"""WITH $dsCte
+         |SELECT CAST(count(DISTINCT ws1.ws_order_number) AS BIGINT)
+         |    AS order_count,
+         |  round(sum(ws_ext_sales_price), 2) AS total_sales,
+         |  round(sum(ws_net_profit) + 5e-7, 2) AS total_net_profit
+         |FROM web_sales ws1, date_dim, customer_address
+         |WHERE ws1.ws_ship_date_sk = d_date_sk
+         |  AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+         |  AND ws1.ws_bill_customer_sk = ca_address_sk
+         |  AND ca_state = 'TX'
+         |  AND EXISTS (SELECT * FROM web_sales ws2
+         |    WHERE ws1.ws_order_number = ws2.ws_order_number
+         |      AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+         |  AND NOT EXISTS (SELECT * FROM web_returns wr1
+         |    WHERE ws1.ws_order_number = wr1.wr_order_number)""".stripMargin,
+
+    "qs9_tpcds_q17" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, s_state,
+         |  CAST(count(ss_quantity) AS BIGINT) AS store_qty_count,
+         |  round(avg(ss_quantity) + 5e-7, 2) AS store_qty_avg,
+         |  round(stddev_samp(ss_quantity) + 5e-7, 2) AS store_qty_stdev,
+         |  CAST(count(sr_return_quantity) AS BIGINT) AS return_qty_count,
+         |  round(avg(sr_return_quantity) + 5e-7, 2) AS return_qty_avg,
+         |  CAST(count(cs_quantity) AS BIGINT) AS catalog_qty_count,
+         |  round(avg(cs_quantity) + 5e-7, 2) AS catalog_qty_avg
+         |FROM store_sales, store_returns, catalog_sales,
+         |  date_dim d1, date_dim d2, date_dim d3, store, item
+         |WHERE d1.d_qoy = 1 AND d1.d_year = 1998
+         |  AND d1.d_date_sk = ss_sold_date_sk
+         |  AND i_item_sk = ss_item_sk
+         |  AND s_store_sk = ss_store_sk
+         |  AND ss_customer_sk = sr_customer_sk
+         |  AND ss_item_sk = sr_item_sk
+         |  AND ss_ticket_number = sr_ticket_number
+         |  AND sr_returned_date_sk = d2.d_date_sk
+         |  AND d2.d_qoy BETWEEN 1 AND 3 AND d2.d_year = 1998
+         |  AND sr_customer_sk = cs_bill_customer_sk
+         |  AND sr_item_sk = cs_item_sk
+         |  AND cs_sold_date_sk = d3.d_date_sk
+         |  AND d3.d_qoy BETWEEN 1 AND 3 AND d3.d_year = 1998
+         |GROUP BY i_item_id, s_state
+         |ORDER BY i_item_id, s_state""".stripMargin,
+
+    "qt0_tpcds_q5" ->
+      s"""WITH $dsCte,
+         |ssr AS (
+         |  SELECT 'store channel' AS channel,
+         |    concat('store', CAST(store_sk AS VARCHAR)) AS id,
+         |    round(sum(sales_price), 2) AS sales,
+         |    round(sum(return_amt) + 5e-7, 2) AS returns_amt
+         |  FROM (SELECT ss_store_sk AS store_sk,
+         |          ss_sold_date_sk AS date_sk,
+         |          ss_ext_sales_price AS sales_price,
+         |          CAST(0 AS DOUBLE) AS return_amt
+         |        FROM store_sales
+         |        UNION ALL
+         |        SELECT sr_store_sk, sr_returned_date_sk,
+         |          CAST(0 AS DOUBLE), sr_return_amt
+         |        FROM store_returns) t, date_dim
+         |  WHERE date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY store_sk),
+         |csr AS (
+         |  SELECT 'catalog channel' AS channel,
+         |    concat('cc', CAST(cc_sk AS VARCHAR)) AS id,
+         |    round(sum(sales_price), 2) AS sales,
+         |    round(sum(return_amt) + 5e-7, 2) AS returns_amt
+         |  FROM (SELECT cs_call_center_sk AS cc_sk,
+         |          cs_sold_date_sk AS date_sk,
+         |          cs_ext_sales_price AS sales_price,
+         |          CAST(0 AS DOUBLE) AS return_amt
+         |        FROM catalog_sales
+         |        UNION ALL
+         |        SELECT cr_call_center_sk, cr_returned_date_sk,
+         |          CAST(0 AS DOUBLE), cr_return_amount
+         |        FROM catalog_returns) t, date_dim
+         |  WHERE date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY cc_sk)
+         |SELECT channel, id,
+         |  round(sum(sales), 2) AS sales,
+         |  round(sum(returns_amt), 2) AS returns_amt
+         |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr) x
+         |GROUP BY ROLLUP(channel, id)
+         |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin
   )
 }
