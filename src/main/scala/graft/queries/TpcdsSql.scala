@@ -1325,7 +1325,80 @@ object TpcdsSql extends QueryPack {
         |  round(sum(returns_amt), 2) AS returns_amt
         |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr) x
         |GROUP BY ROLLUP(channel, id)
-        |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin))
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin)),
+
+    // TPC-DS Q35/Q10 shape: the customer profile — store activity via
+    // EXISTS AND a DISJUNCTION of channel EXISTS (web OR catalog),
+    // demographic rollup stats over the survivors. Spark plans the
+    // disjunctive correlated EXISTS pair as ExistenceJoins feeding one
+    // filter — no per-row subquery execution.
+    "qt1_tpcds_q35" -> ((s, dir) => sql(s, dir,
+      """SELECT ca_state, cd_gender, cd_marital_status,
+        |  cast(count(*) as bigint) AS cnt,
+        |  cast(min(hd_dep_count) as bigint) AS min_dep,
+        |  cast(max(hd_dep_count) as bigint) AS max_dep,
+        |  round(avg(hd_dep_count) + 5e-7, 2) AS avg_dep
+        |FROM customer c, customer_address ca, customer_demographics,
+        |  household_demographics
+        |WHERE c.c_custkey = ca.ca_address_sk
+        |  AND cd_demo_sk = c.c_custkey
+        |  AND hd_demo_sk = c.c_custkey
+        |  AND EXISTS (SELECT * FROM store_sales, date_dim
+        |    WHERE c.c_custkey = ss_customer_sk
+        |      AND ss_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_qoy < 4)
+        |  AND (EXISTS (SELECT * FROM web_sales, date_dim
+        |      WHERE c.c_custkey = ws_bill_customer_sk
+        |        AND ws_sold_date_sk = d_date_sk
+        |        AND d_year = 1998 AND d_qoy < 4)
+        |    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+        |      WHERE c.c_custkey = cs_bill_customer_sk
+        |        AND cs_sold_date_sk = d_date_sk
+        |        AND d_year = 1998 AND d_qoy < 4))
+        |GROUP BY ca_state, cd_gender, cd_marital_status
+        |ORDER BY ca_state, cd_gender, cd_marital_status""".stripMargin)),
+
+    // TPC-DS Q93 shape: actual net sales — the sales fact LEFT OUTER
+    // JOINed to its returns on (item, ticket), per-line CASE falling
+    // back to the full quantity when no return matched. In this
+    // derivation a returned line's return quantity equals its sold
+    // quantity, so matched lines contribute zero — the join and
+    // fallback semantics are what the gate locks.
+    "qt2_tpcds_q93" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(ss_item_sk as bigint) AS item_sk,
+        |  round(sum(act_sales) + 5e-7, 2) AS sumsales
+        |FROM (SELECT ss_item_sk, ss_ticket_number,
+        |        CASE WHEN sr_return_quantity IS NOT NULL
+        |          THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+        |          ELSE ss_quantity * ss_sales_price END AS act_sales
+        |      FROM store_sales LEFT OUTER JOIN store_returns
+        |        ON ss_item_sk = sr_item_sk
+        |        AND ss_ticket_number = sr_ticket_number) t
+        |GROUP BY ss_item_sk
+        |ORDER BY sumsales DESC, item_sk
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q8 shape: store profit restricted by an INTERSECT-derived
+    // zip cohort — the zip prefix list intersected with well-funded
+    // customers' zips, fed through an IN subquery against the store
+    // dimension.
+    "qt3_tpcds_q8" -> ((s, dir) => sql(s, dir,
+      """WITH zip_list AS (
+        |  SELECT substr(ca_zip, 1, 5) zip FROM customer_address
+        |  WHERE substr(ca_zip, 1, 2) IN ('12', '28', '49', '55', '70')
+        |  INTERSECT
+        |  SELECT substr(ca_zip, 1, 5) zip
+        |  FROM customer_address, customer
+        |  WHERE ca_address_sk = c_custkey AND c_acctbal > 5000)
+        |SELECT s_store_name,
+        |  round(sum(ss_net_profit) + 5e-7, 2) AS net_profit
+        |FROM store_sales, date_dim, store
+        |WHERE ss_sold_date_sk = d_date_sk AND d_qoy = 2 AND d_year = 1998
+        |  AND ss_store_sk = s_store_sk
+        |  AND substr(s_zip, 1, 2) IN
+        |    (SELECT substr(zip, 1, 2) FROM zip_list)
+        |GROUP BY s_store_name
+        |ORDER BY s_store_name""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -2166,6 +2239,67 @@ object TpcdsSql extends QueryPack {
          |  round(sum(returns_amt), 2) AS returns_amt
          |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr) x
          |GROUP BY ROLLUP(channel, id)
-         |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin
+         |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin,
+
+    "qt1_tpcds_q35" ->
+      s"""WITH $dsCte
+         |SELECT ca_state, cd_gender, cd_marital_status,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(min(hd_dep_count) AS BIGINT) AS min_dep,
+         |  CAST(max(hd_dep_count) AS BIGINT) AS max_dep,
+         |  round(avg(hd_dep_count) + 5e-7, 2) AS avg_dep
+         |FROM customer c, customer_address ca, customer_demographics,
+         |  household_demographics
+         |WHERE c.c_custkey = ca.ca_address_sk
+         |  AND cd_demo_sk = c.c_custkey
+         |  AND hd_demo_sk = c.c_custkey
+         |  AND EXISTS (SELECT * FROM store_sales, date_dim
+         |    WHERE c.c_custkey = ss_customer_sk
+         |      AND ss_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_qoy < 4)
+         |  AND (EXISTS (SELECT * FROM web_sales, date_dim
+         |      WHERE c.c_custkey = ws_bill_customer_sk
+         |        AND ws_sold_date_sk = d_date_sk
+         |        AND d_year = 1998 AND d_qoy < 4)
+         |    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+         |      WHERE c.c_custkey = cs_bill_customer_sk
+         |        AND cs_sold_date_sk = d_date_sk
+         |        AND d_year = 1998 AND d_qoy < 4))
+         |GROUP BY ca_state, cd_gender, cd_marital_status
+         |ORDER BY ca_state, cd_gender, cd_marital_status""".stripMargin,
+
+    "qt2_tpcds_q93" ->
+      s"""WITH $dsCte
+         |SELECT CAST(ss_item_sk AS BIGINT) AS item_sk,
+         |  round(sum(act_sales) + 5e-7, 2) AS sumsales
+         |FROM (SELECT ss_item_sk, ss_ticket_number,
+         |        CASE WHEN sr_return_quantity IS NOT NULL
+         |          THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+         |          ELSE ss_quantity * ss_sales_price END AS act_sales
+         |      FROM store_sales LEFT OUTER JOIN store_returns
+         |        ON ss_item_sk = sr_item_sk
+         |        AND ss_ticket_number = sr_ticket_number) t
+         |GROUP BY ss_item_sk
+         |ORDER BY sumsales DESC, item_sk
+         |LIMIT 100""".stripMargin,
+
+    "qt3_tpcds_q8" ->
+      s"""WITH $dsCte,
+         |zip_list AS (
+         |  SELECT substr(ca_zip, 1, 5) zip FROM customer_address
+         |  WHERE substr(ca_zip, 1, 2) IN ('12', '28', '49', '55', '70')
+         |  INTERSECT
+         |  SELECT substr(ca_zip, 1, 5) zip
+         |  FROM customer_address, customer
+         |  WHERE ca_address_sk = c_custkey AND c_acctbal > 5000)
+         |SELECT s_store_name,
+         |  round(sum(ss_net_profit) + 5e-7, 2) AS net_profit
+         |FROM store_sales, date_dim, store
+         |WHERE ss_sold_date_sk = d_date_sk AND d_qoy = 2 AND d_year = 1998
+         |  AND ss_store_sk = s_store_sk
+         |  AND substr(s_zip, 1, 2) IN
+         |    (SELECT substr(zip, 1, 2) FROM zip_list)
+         |GROUP BY s_store_name
+         |ORDER BY s_store_name""".stripMargin
   )
 }
