@@ -209,6 +209,21 @@ object TpcdsSql extends QueryPack {
             |  cast(c_custkey % 10 as bigint) AS hd_dep_count,
             |  cast(c_custkey % 5 as bigint) AS hd_vehicle_count
             |FROM customer""".stripMargin)
+    // weekly inventory: part x 4 warehouses x the 52 weeks of 1998
+    // (day offset 1096 = 1995-01-01 → 1998-01-01), quantity by integer
+    // hash — the Q21/Q39/Q72/Q82 fact. Scale: rows = items x 4 x 52,
+    // generated lazily by a codegen'd sequence explode (real TPC-DS
+    // ships inventory as a table; the generation is the fixture stand-
+    // in, and every join below keys on item/date like the real fact).
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW inventory AS
+            |SELECT cast(2450000 + 1096 + wk * 7 as bigint) AS inv_date_sk,
+            |  p_partkey AS inv_item_sk,
+            |  cast(w as bigint) AS inv_warehouse_sk,
+            |  cast((p_partkey * 31 + w * 7 + wk * 13) % 1000 as bigint)
+            |    AS inv_quantity_on_hand
+            |FROM part
+            |CROSS JOIN (SELECT explode(sequence(1, 4)) AS w) ws
+            |CROSS JOIN (SELECT explode(sequence(0, 51)) AS wk) wks""".stripMargin)
   }
 
   private def sql(s: SparkSession, dir: String, q: String) = {
@@ -366,7 +381,16 @@ object TpcdsSql extends QueryPack {
       |  SELECT c_custkey AS hd_demo_sk,
       |    CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
       |    CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count
-      |  FROM customer)""".stripMargin
+      |  FROM customer),
+      |inventory AS (
+      |  SELECT CAST(2450000 + 1096 + wk * 7 AS BIGINT) AS inv_date_sk,
+      |    p_partkey AS inv_item_sk,
+      |    CAST(w AS BIGINT) AS inv_warehouse_sk,
+      |    CAST((p_partkey * 31 + w * 7 + wk * 13) % 1000 AS BIGINT)
+      |      AS inv_quantity_on_hand
+      |  FROM part
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS w) ws
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 51)) AS wk) wks)""".stripMargin
 
   override def defs: Map[String, Q] = Map(
     // TPC-DS Q3: the canonical date-dim star — brand revenue for one
@@ -1398,7 +1422,94 @@ object TpcdsSql extends QueryPack {
         |  AND substr(s_zip, 1, 2) IN
         |    (SELECT substr(zip, 1, 2) FROM zip_list)
         |GROUP BY s_store_name
-        |ORDER BY s_store_name""".stripMargin))
+        |ORDER BY s_store_name""".stripMargin)),
+
+    // TPC-DS Q21 shape: inventory balance around a pivot date — per
+    // warehouse-item sums before/after, kept where the after/before
+    // ratio stays within [2/3, 3/2]. Integer sums divide to identical
+    // doubles on both engines.
+    "qt4_tpcds_q21" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(inv_warehouse_sk as bigint) AS warehouse_sk,
+        |  i_item_id,
+        |  cast(inv_before as bigint) AS inv_before,
+        |  cast(inv_after as bigint) AS inv_after
+        |FROM (SELECT inv_warehouse_sk, i_item_id,
+        |        sum(CASE WHEN d_date < DATE '1998-06-01'
+        |          THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+        |        sum(CASE WHEN d_date >= DATE '1998-06-01'
+        |          THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+        |      FROM inventory, item, date_dim
+        |      WHERE inv_item_sk = i_item_sk
+        |        AND inv_date_sk = d_date_sk
+        |        AND d_date BETWEEN (DATE '1998-06-01' - INTERVAL 30 DAY)
+        |          AND (DATE '1998-06-01' + INTERVAL 30 DAY)
+        |      GROUP BY inv_warehouse_sk, i_item_id) x
+        |WHERE inv_before > 0
+        |  AND inv_after / inv_before >= 2.0 / 3.0
+        |  AND inv_after / inv_before <= 3.0 / 2.0
+        |ORDER BY warehouse_sk, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q39 shape: inventory demand variability — coefficient of
+    // variation per warehouse-item-month, consecutive months self-
+    // joined where both exceed the threshold (fixture-adapted to 0.5;
+    // the spec's 1.0 applies at real TPC-DS quantity skew).
+    "qt5_tpcds_q39" -> ((s, dir) => sql(s, dir,
+      """WITH inv AS (
+        |  SELECT inv_warehouse_sk w, inv_item_sk i, d_moy,
+        |    round(stddev_samp(inv_quantity_on_hand)
+        |      / avg(inv_quantity_on_hand) + 5e-7, 4) AS cov
+        |  FROM inventory, date_dim
+        |  WHERE inv_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY inv_warehouse_sk, inv_item_sk, d_moy
+        |  HAVING stddev_samp(inv_quantity_on_hand)
+        |    / avg(inv_quantity_on_hand) > 0.5)
+        |SELECT cast(inv1.w as bigint) AS wh, cast(inv1.i as bigint)
+        |    AS item,
+        |  cast(inv1.d_moy as bigint) AS moy1, inv1.cov AS cov1,
+        |  cast(inv2.d_moy as bigint) AS moy2, inv2.cov AS cov2
+        |FROM inv inv1, inv inv2
+        |WHERE inv1.i = inv2.i AND inv1.w = inv2.w
+        |  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+        |ORDER BY wh, item
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q72 shape: the catalog-sales x inventory week join — for
+    // each sold line, the same item's inventory position in the SAME
+    // week, counting low-stock lines. The classically expensive
+    // TPC-DS join: fact x fact on (item, week), shuffled on the item
+    // key; per-(item, week) inventory rows are bounded (warehouse
+    // count), so fan-out is constant.
+    "qt6_tpcds_q72" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(cs_item_sk as bigint) AS item_sk,
+        |  cast(d1.d_week_seq as bigint) AS week_seq,
+        |  cast(count(*) as bigint) AS low_stock_lines
+        |FROM catalog_sales, inventory, date_dim d1, date_dim d2
+        |WHERE cs_sold_date_sk = d1.d_date_sk
+        |  AND inv_item_sk = cs_item_sk
+        |  AND inv_date_sk = d2.d_date_sk
+        |  AND d2.d_week_seq = d1.d_week_seq
+        |  AND d1.d_year = 1998
+        |  AND inv_quantity_on_hand < cs_quantity * 10
+        |GROUP BY cs_item_sk, d1.d_week_seq
+        |ORDER BY item_sk, week_seq
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q82/Q37 shape: items in a price band with mid-range
+    // inventory during a 60-day window that actually sold in store —
+    // DISTINCT over a 4-table star with the inventory fact as filter.
+    "qt7_tpcds_q82" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_current_price
+        |FROM (SELECT DISTINCT i_item_id, i_current_price
+        |      FROM item, inventory, date_dim, store_sales
+        |      WHERE i_current_price BETWEEN 920 AND 960
+        |        AND inv_item_sk = i_item_sk
+        |        AND d_date_sk = inv_date_sk
+        |        AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+        |        AND inv_quantity_on_hand BETWEEN 100 AND 500
+        |        AND ss_item_sk = i_item_sk) x
+        |ORDER BY i_item_id, i_current_price
+        |LIMIT 100""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -2300,6 +2411,80 @@ object TpcdsSql extends QueryPack {
          |  AND substr(s_zip, 1, 2) IN
          |    (SELECT substr(zip, 1, 2) FROM zip_list)
          |GROUP BY s_store_name
-         |ORDER BY s_store_name""".stripMargin
+         |ORDER BY s_store_name""".stripMargin,
+
+    "qt4_tpcds_q21" ->
+      s"""WITH $dsCte
+         |SELECT CAST(inv_warehouse_sk AS BIGINT) AS warehouse_sk,
+         |  i_item_id,
+         |  CAST(inv_before AS BIGINT) AS inv_before,
+         |  CAST(inv_after AS BIGINT) AS inv_after
+         |FROM (SELECT inv_warehouse_sk, i_item_id,
+         |        sum(CASE WHEN d_date < DATE '1998-06-01'
+         |          THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+         |        sum(CASE WHEN d_date >= DATE '1998-06-01'
+         |          THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+         |      FROM inventory, item, date_dim
+         |      WHERE inv_item_sk = i_item_sk
+         |        AND inv_date_sk = d_date_sk
+         |        AND d_date BETWEEN (DATE '1998-06-01' - INTERVAL 30 DAY)
+         |          AND (DATE '1998-06-01' + INTERVAL 30 DAY)
+         |      GROUP BY inv_warehouse_sk, i_item_id) x
+         |WHERE inv_before > 0
+         |  AND inv_after / inv_before >= 2.0 / 3.0
+         |  AND inv_after / inv_before <= 3.0 / 2.0
+         |ORDER BY warehouse_sk, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qt5_tpcds_q39" ->
+      s"""WITH $dsCte,
+         |inv AS (
+         |  SELECT inv_warehouse_sk w, inv_item_sk i, d_moy,
+         |    round(stddev_samp(inv_quantity_on_hand)
+         |      / avg(inv_quantity_on_hand) + 5e-7, 4) AS cov
+         |  FROM inventory, date_dim
+         |  WHERE inv_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY inv_warehouse_sk, inv_item_sk, d_moy
+         |  HAVING stddev_samp(inv_quantity_on_hand)
+         |    / avg(inv_quantity_on_hand) > 0.5)
+         |SELECT CAST(inv1.w AS BIGINT) AS wh, CAST(inv1.i AS BIGINT)
+         |    AS item,
+         |  CAST(inv1.d_moy AS BIGINT) AS moy1, inv1.cov AS cov1,
+         |  CAST(inv2.d_moy AS BIGINT) AS moy2, inv2.cov AS cov2
+         |FROM inv inv1, inv inv2
+         |WHERE inv1.i = inv2.i AND inv1.w = inv2.w
+         |  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+         |ORDER BY wh, item
+         |LIMIT 100""".stripMargin,
+
+    "qt6_tpcds_q72" ->
+      s"""WITH $dsCte
+         |SELECT CAST(cs_item_sk AS BIGINT) AS item_sk,
+         |  CAST(d1.d_week_seq AS BIGINT) AS week_seq,
+         |  CAST(count(*) AS BIGINT) AS low_stock_lines
+         |FROM catalog_sales, inventory, date_dim d1, date_dim d2
+         |WHERE cs_sold_date_sk = d1.d_date_sk
+         |  AND inv_item_sk = cs_item_sk
+         |  AND inv_date_sk = d2.d_date_sk
+         |  AND d2.d_week_seq = d1.d_week_seq
+         |  AND d1.d_year = 1998
+         |  AND inv_quantity_on_hand < cs_quantity * 10
+         |GROUP BY cs_item_sk, d1.d_week_seq
+         |ORDER BY item_sk, week_seq
+         |LIMIT 100""".stripMargin,
+
+    "qt7_tpcds_q82" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_current_price
+         |FROM (SELECT DISTINCT i_item_id, i_current_price
+         |      FROM item, inventory, date_dim, store_sales
+         |      WHERE i_current_price BETWEEN 920 AND 960
+         |        AND inv_item_sk = i_item_sk
+         |        AND d_date_sk = inv_date_sk
+         |        AND d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+         |        AND inv_quantity_on_hand BETWEEN 100 AND 500
+         |        AND ss_item_sk = i_item_sk) x
+         |ORDER BY i_item_id, i_current_price
+         |LIMIT 100""".stripMargin
   )
 }
