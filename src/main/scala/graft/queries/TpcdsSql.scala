@@ -99,6 +99,7 @@ object TpcdsSql extends QueryPack {
             |  l_quantity AS ws_quantity,
             |  l_extendedprice * (1 - l_discount) / l_quantity
             |    AS ws_sales_price,
+            |  l_extendedprice * l_discount AS ws_ext_discount_amt,
             |  l_extendedprice AS ws_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
             |    AS ws_net_profit
@@ -282,6 +283,7 @@ object TpcdsSql extends QueryPack {
       |    l_quantity AS ws_quantity,
       |    l_extendedprice * (1 - l_discount) / l_quantity
       |      AS ws_sales_price,
+      |    l_extendedprice * l_discount AS ws_ext_discount_amt,
       |    l_extendedprice AS ws_ext_sales_price,
       |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1509,7 +1511,53 @@ object TpcdsSql extends QueryPack {
         |        AND inv_quantity_on_hand BETWEEN 100 AND 500
         |        AND ss_item_sk = i_item_sk) x
         |ORDER BY i_item_id, i_current_price
-        |LIMIT 100""".stripMargin))
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q36/Q70/Q86 shape: ROLLUP margin report with RANK WITHIN
+    // EACH GROUPING LEVEL — the window partitions on the grouping bits
+    // themselves (grouping(cat)+grouping(class), the category only at
+    // the detail level), ranking by a margin ratio rounded (+5e-7)
+    // before ranking so both engines rank identical doubles.
+    "qt8_tpcds_q36" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(ss_net_profit) / sum(ss_ext_sales_price)
+        |    + 5e-7, 6) AS gross_margin,
+        |  i_category, i_class,
+        |  cast(grouping(i_category) + grouping(i_class) as bigint)
+        |    AS lochierarchy,
+        |  cast(rank() OVER (
+        |    PARTITION BY grouping(i_category) + grouping(i_class),
+        |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+        |    ORDER BY round(sum(ss_net_profit) / sum(ss_ext_sales_price)
+        |      + 5e-7, 6)) as bigint) AS rank_within_parent
+        |FROM store_sales, date_dim, item, store
+        |WHERE d_year = 1998 AND ss_sold_date_sk = d_date_sk
+        |  AND ss_item_sk = i_item_sk AND ss_store_sk = s_store_sk
+        |  AND s_state IN ('TN', 'CA', 'TX', 'NY')
+        |GROUP BY ROLLUP(i_category, i_class)
+        |ORDER BY lochierarchy DESC,
+        |  CASE WHEN grouping(i_category) + grouping(i_class) = 0
+        |    THEN i_category END NULLS FIRST,
+        |  rank_within_parent, i_category NULLS FIRST,
+        |  i_class NULLS FIRST""".stripMargin)),
+
+    // TPC-DS Q92/Q32 shape: excess web discounts — rows whose discount
+    // exceeds 1.3x the same item's windowed average, the correlated
+    // scalar avg carrying its OWN date-window restriction. Spark
+    // decorrelates to a per-item aggregate join.
+    "qt9_tpcds_q92" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(ws_ext_discount_amt) + 5e-7, 2)
+        |    AS excess_discount
+        |FROM web_sales ws1, item, date_dim
+        |WHERE i_item_sk = ws1.ws_item_sk
+        |  AND i_manufact_id BETWEEN 1 AND 300
+        |  AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
+        |  AND d_date_sk = ws1.ws_sold_date_sk
+        |  AND ws1.ws_ext_discount_amt > (
+        |    SELECT 1.3 * avg(ws_ext_discount_amt)
+        |    FROM web_sales ws2, date_dim
+        |    WHERE ws2.ws_item_sk = i_item_sk
+        |      AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
+        |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -2485,6 +2533,45 @@ object TpcdsSql extends QueryPack {
          |        AND inv_quantity_on_hand BETWEEN 100 AND 500
          |        AND ss_item_sk = i_item_sk) x
          |ORDER BY i_item_id, i_current_price
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    "qt8_tpcds_q36" ->
+      s"""WITH $dsCte
+         |SELECT round(sum(ss_net_profit) / sum(ss_ext_sales_price)
+         |    + 5e-7, 6) AS gross_margin,
+         |  i_category, i_class,
+         |  CAST(grouping(i_category) + grouping(i_class) AS BIGINT)
+         |    AS lochierarchy,
+         |  CAST(rank() OVER (
+         |    PARTITION BY grouping(i_category) + grouping(i_class),
+         |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         |    ORDER BY round(sum(ss_net_profit) / sum(ss_ext_sales_price)
+         |      + 5e-7, 6)) AS BIGINT) AS rank_within_parent
+         |FROM store_sales, date_dim, item, store
+         |WHERE d_year = 1998 AND ss_sold_date_sk = d_date_sk
+         |  AND ss_item_sk = i_item_sk AND ss_store_sk = s_store_sk
+         |  AND s_state IN ('TN', 'CA', 'TX', 'NY')
+         |GROUP BY ROLLUP(i_category, i_class)
+         |ORDER BY lochierarchy DESC,
+         |  CASE WHEN grouping(i_category) + grouping(i_class) = 0
+         |    THEN i_category END NULLS FIRST,
+         |  rank_within_parent, i_category NULLS FIRST,
+         |  i_class NULLS FIRST""".stripMargin,
+
+    "qt9_tpcds_q92" ->
+      s"""WITH $dsCte
+         |SELECT round(sum(ws_ext_discount_amt) + 5e-7, 2)
+         |    AS excess_discount
+         |FROM web_sales ws1, item, date_dim
+         |WHERE i_item_sk = ws1.ws_item_sk
+         |  AND i_manufact_id BETWEEN 1 AND 300
+         |  AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
+         |  AND d_date_sk = ws1.ws_sold_date_sk
+         |  AND ws1.ws_ext_discount_amt > (
+         |    SELECT 1.3 * avg(ws_ext_discount_amt)
+         |    FROM web_sales ws2, date_dim
+         |    WHERE ws2.ws_item_sk = i_item_sk
+         |      AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
+         |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin
   )
 }
