@@ -1557,7 +1557,208 @@ object TpcdsSql extends QueryPack {
         |    FROM web_sales ws2, date_dim
         |    WHERE ws2.ws_item_sk = i_item_sk
         |      AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
-        |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin))
+        |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin)),
+
+    // TPC-DS Q2: week-over-week sales ratios — web+catalog union rolled
+    // up per week into a 7-day pivot, self-joined one year (52 weeks —
+    // the derived week_seq is continuous, so +52 is the same calendar
+    // week next year; 1995-01-01 is a Sunday, so weeks run Sun-Sat)
+    // apart. Scale: the union is two fact scans into one hash agg keyed
+    // by week; the self-join carries ~52 rows per side.
+    "qu0_tpcds_q2" -> ((s, dir) => sql(s, dir,
+      """WITH wscs AS (
+        |  SELECT ws_sold_date_sk AS sold_date_sk,
+        |    ws_ext_sales_price AS sales_price FROM web_sales
+        |  UNION ALL
+        |  SELECT cs_sold_date_sk AS sold_date_sk,
+        |    cs_ext_sales_price AS sales_price FROM catalog_sales),
+        |wswscs AS (
+        |  SELECT d_week_seq,
+        |    sum(CASE WHEN d_day_name = 'Sunday' THEN sales_price END)
+        |      sun_sales,
+        |    sum(CASE WHEN d_day_name = 'Monday' THEN sales_price END)
+        |      mon_sales,
+        |    sum(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END)
+        |      tue_sales,
+        |    sum(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END)
+        |      wed_sales,
+        |    sum(CASE WHEN d_day_name = 'Thursday' THEN sales_price END)
+        |      thu_sales,
+        |    sum(CASE WHEN d_day_name = 'Friday' THEN sales_price END)
+        |      fri_sales,
+        |    sum(CASE WHEN d_day_name = 'Saturday' THEN sales_price END)
+        |      sat_sales
+        |  FROM wscs, date_dim
+        |  WHERE d_date_sk = sold_date_sk
+        |  GROUP BY d_week_seq)
+        |SELECT cast(y.d_week_seq as bigint) AS d_week_seq1,
+        |  round(y.sun_sales / z.sun_sales + 5e-7, 2) AS sun_ratio,
+        |  round(y.mon_sales / z.mon_sales + 5e-7, 2) AS mon_ratio,
+        |  round(y.tue_sales / z.tue_sales + 5e-7, 2) AS tue_ratio,
+        |  round(y.wed_sales / z.wed_sales + 5e-7, 2) AS wed_ratio,
+        |  round(y.thu_sales / z.thu_sales + 5e-7, 2) AS thu_ratio,
+        |  round(y.fri_sales / z.fri_sales + 5e-7, 2) AS fri_ratio,
+        |  round(y.sat_sales / z.sat_sales + 5e-7, 2) AS sat_ratio
+        |FROM wswscs y,
+        |  (SELECT DISTINCT d_week_seq FROM date_dim
+        |   WHERE d_year = 1998) wy,
+        |  wswscs z
+        |WHERE y.d_week_seq = wy.d_week_seq
+        |  AND y.d_week_seq = z.d_week_seq - 52
+        |ORDER BY d_week_seq1""".stripMargin)),
+
+    // TPC-DS Q4: the three-channel year-over-year growth cohort (the
+    // big sibling of Q74's two-channel form) — per-customer yearly
+    // totals in each channel, customers whose catalog growth beats BOTH
+    // store and web growth. Totals round (+5e-7: coupon/discount
+    // measures are product-derived) before the ratio compare, so both
+    // engines divide identical doubles.
+    "qu1_tpcds_q4" -> ((s, dir) => sql(s, dir,
+      """WITH year_total AS (
+        |  SELECT ss_customer_sk AS c_sk, d_year,
+        |    round(sum(ss_ext_sales_price - ss_coupon_amt) + 5e-7, 2)
+        |      AS total, 's' AS channel
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ss_customer_sk, d_year
+        |  UNION ALL
+        |  SELECT cs_bill_customer_sk AS c_sk, d_year,
+        |    round(sum(cs_ext_sales_price) + 5e-7, 2) AS total,
+        |    'c' AS channel
+        |  FROM catalog_sales, date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY cs_bill_customer_sk, d_year
+        |  UNION ALL
+        |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+        |    round(sum(ws_ext_sales_price - ws_ext_discount_amt) + 5e-7, 2)
+        |      AS total, 'w' AS channel
+        |  FROM web_sales, date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ws_bill_customer_sk, d_year)
+        |SELECT cast(t_s_fy.c_sk as bigint) AS customer
+        |FROM year_total t_s_fy, year_total t_s_sy,
+        |     year_total t_c_fy, year_total t_c_sy,
+        |     year_total t_w_fy, year_total t_w_sy
+        |WHERE t_s_fy.c_sk = t_s_sy.c_sk AND t_s_fy.c_sk = t_c_fy.c_sk
+        |  AND t_s_fy.c_sk = t_c_sy.c_sk AND t_s_fy.c_sk = t_w_fy.c_sk
+        |  AND t_s_fy.c_sk = t_w_sy.c_sk
+        |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+        |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+        |  AND t_c_fy.channel = 'c' AND t_c_fy.d_year = 1998
+        |  AND t_c_sy.channel = 'c' AND t_c_sy.d_year = 1999
+        |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+        |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+        |  AND t_s_fy.total > 0 AND t_c_fy.total > 0 AND t_w_fy.total > 0
+        |  AND t_c_sy.total / t_c_fy.total > t_s_sy.total / t_s_fy.total
+        |  AND t_c_sy.total / t_c_fy.total > t_w_sy.total / t_w_fy.total
+        |ORDER BY customer
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q43: the day-of-week store pivot — one year of store sales
+    // spread across seven conditional sums per store. One fact scan,
+    // broadcast dims, 10 output rows.
+    "qu2_tpcds_q43" -> ((s, dir) => sql(s, dir,
+      """SELECT s_store_name, s_store_id,
+        |  round(sum(CASE WHEN d_day_name = 'Sunday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) sun_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Monday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) mon_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Tuesday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) tue_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Wednesday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) wed_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Thursday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) thu_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Friday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) fri_sales,
+        |  round(sum(CASE WHEN d_day_name = 'Saturday'
+        |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) sat_sales
+        |FROM date_dim, store_sales, store
+        |WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+        |  AND d_year = 1998
+        |GROUP BY s_store_name, s_store_id
+        |ORDER BY s_store_name, s_store_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q53: quarterly manufacturer sales vs the manufacturer's
+    // own quarterly average — the deviation > 10% filter over a
+    // windowed avg-of-sums. d_qoy joins the output for a deterministic
+    // ORDER BY under LIMIT (the spec's three-column order ties).
+    "qu3_tpcds_q53" -> ((s, dir) => sql(s, dir,
+      """SELECT * FROM (
+        |  SELECT i_manufact_id, d_qoy,
+        |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+        |    round(avg(sum(ss_sales_price)) OVER (
+        |      PARTITION BY i_manufact_id) + 5e-7, 2) avg_quarterly_sales
+        |  FROM item, store_sales, date_dim, store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk AND d_year = 1998
+        |    AND ((i_category IN ('ECONOMY', 'STANDARD')
+        |        AND i_class LIKE '%#1')
+        |      OR (i_category IN ('PROMO', 'SMALL')
+        |        AND i_class LIKE '%#2'))
+        |  GROUP BY i_manufact_id, d_qoy) tmp1
+        |WHERE CASE WHEN avg_quarterly_sales > 0
+        |  THEN abs(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+        |  ELSE NULL END > 0.1
+        |ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id, d_qoy
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q57: the catalog twin of Q47's moving-average report —
+    // monthly (item, call center) sales vs the yearly average, with
+    // lag/lead month sums via a rank self-join across the year edges.
+    "qu4_tpcds_q57" -> ((s, dir) => sql(s, dir,
+      """WITH v1 AS (
+        |  SELECT i_category, i_brand, cs_call_center_sk AS cc_sk,
+        |    d_year, d_moy,
+        |    round(sum(cs_ext_sales_price) + 5e-7, 2) sum_sales,
+        |    round(avg(sum(cs_ext_sales_price)) OVER (PARTITION BY
+        |      i_category, i_brand, cs_call_center_sk, d_year)
+        |      + 5e-7, 2) avg_monthly_sales,
+        |    rank() OVER (PARTITION BY i_category, i_brand,
+        |      cs_call_center_sk ORDER BY d_year, d_moy) rn
+        |  FROM item, catalog_sales, date_dim
+        |  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        |    AND (d_year = 1998 OR (d_year = 1997 AND d_moy = 12)
+        |      OR (d_year = 1999 AND d_moy = 1))
+        |  GROUP BY i_category, i_brand, cs_call_center_sk, d_year,
+        |    d_moy)
+        |SELECT v1.i_category, v1.i_brand, cast(v1.cc_sk as bigint) cc_sk,
+        |  cast(v1.d_year as bigint) AS d_year,
+        |  cast(v1.d_moy as bigint) AS d_moy,
+        |  v1.sum_sales, v1.avg_monthly_sales,
+        |  v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+        |FROM v1, v1 v1_lag, v1 v1_lead
+        |WHERE v1.i_category = v1_lag.i_category
+        |  AND v1.i_category = v1_lead.i_category
+        |  AND v1.i_brand = v1_lag.i_brand
+        |  AND v1.i_brand = v1_lead.i_brand
+        |  AND v1.cc_sk = v1_lag.cc_sk AND v1.cc_sk = v1_lead.cc_sk
+        |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+        |  AND v1.d_year = 1998
+        |  AND v1.avg_monthly_sales > 0
+        |  AND abs(v1.sum_sales - v1.avg_monthly_sales)
+        |    / v1.avg_monthly_sales > 0.1
+        |ORDER BY v1.sum_sales - v1.avg_monthly_sales, v1.i_category,
+        |  v1.i_brand, cc_sk, d_moy
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q37: the catalog twin of Q82 — items in a retail-price
+    // band with moderate on-hand inventory that actually sold through
+    // the catalog channel. Inventory joins by item+date; the sales
+    // join is a semi-shaped DISTINCT.
+    "qu5_tpcds_q37" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_current_price
+        |FROM (SELECT DISTINCT i_item_id, i_current_price
+        |      FROM item, inventory, date_dim, catalog_sales
+        |      WHERE i_current_price BETWEEN 920 AND 950
+        |        AND inv_item_sk = i_item_sk
+        |        AND d_date_sk = inv_date_sk
+        |        AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-04-30'
+        |        AND cs_item_sk = i_item_sk
+        |        AND inv_quantity_on_hand BETWEEN 100 AND 500) x
+        |ORDER BY i_item_id, i_current_price
+        |LIMIT 100""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -2572,6 +2773,187 @@ object TpcdsSql extends QueryPack {
          |    FROM web_sales ws2, date_dim
          |    WHERE ws2.ws_item_sk = i_item_sk
          |      AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30'
-         |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin
+         |      AND d_date_sk = ws2.ws_sold_date_sk)""".stripMargin,
+
+    "qu0_tpcds_q2" ->
+      s"""WITH $dsCte,
+         |wscs AS (
+         |  SELECT ws_sold_date_sk AS sold_date_sk,
+         |    ws_ext_sales_price AS sales_price FROM web_sales
+         |  UNION ALL
+         |  SELECT cs_sold_date_sk AS sold_date_sk,
+         |    cs_ext_sales_price AS sales_price FROM catalog_sales),
+         |wswscs AS (
+         |  SELECT d_week_seq,
+         |    sum(CASE WHEN d_day_name = 'Sunday' THEN sales_price END)
+         |      sun_sales,
+         |    sum(CASE WHEN d_day_name = 'Monday' THEN sales_price END)
+         |      mon_sales,
+         |    sum(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END)
+         |      tue_sales,
+         |    sum(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END)
+         |      wed_sales,
+         |    sum(CASE WHEN d_day_name = 'Thursday' THEN sales_price END)
+         |      thu_sales,
+         |    sum(CASE WHEN d_day_name = 'Friday' THEN sales_price END)
+         |      fri_sales,
+         |    sum(CASE WHEN d_day_name = 'Saturday' THEN sales_price END)
+         |      sat_sales
+         |  FROM wscs, date_dim
+         |  WHERE d_date_sk = sold_date_sk
+         |  GROUP BY d_week_seq)
+         |SELECT CAST(y.d_week_seq AS BIGINT) AS d_week_seq1,
+         |  round(y.sun_sales / z.sun_sales + 5e-7, 2) AS sun_ratio,
+         |  round(y.mon_sales / z.mon_sales + 5e-7, 2) AS mon_ratio,
+         |  round(y.tue_sales / z.tue_sales + 5e-7, 2) AS tue_ratio,
+         |  round(y.wed_sales / z.wed_sales + 5e-7, 2) AS wed_ratio,
+         |  round(y.thu_sales / z.thu_sales + 5e-7, 2) AS thu_ratio,
+         |  round(y.fri_sales / z.fri_sales + 5e-7, 2) AS fri_ratio,
+         |  round(y.sat_sales / z.sat_sales + 5e-7, 2) AS sat_ratio
+         |FROM wswscs y,
+         |  (SELECT DISTINCT d_week_seq FROM date_dim
+         |   WHERE d_year = 1998) wy,
+         |  wswscs z
+         |WHERE y.d_week_seq = wy.d_week_seq
+         |  AND y.d_week_seq = z.d_week_seq - 52
+         |ORDER BY d_week_seq1""".stripMargin,
+
+    "qu1_tpcds_q4" ->
+      s"""WITH $dsCte,
+         |year_total AS (
+         |  SELECT ss_customer_sk AS c_sk, d_year,
+         |    round(sum(ss_ext_sales_price - ss_coupon_amt) + 5e-7, 2)
+         |      AS total, 's' AS channel
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ss_customer_sk, d_year
+         |  UNION ALL
+         |  SELECT cs_bill_customer_sk AS c_sk, d_year,
+         |    round(sum(cs_ext_sales_price) + 5e-7, 2) AS total,
+         |    'c' AS channel
+         |  FROM catalog_sales, date_dim
+         |  WHERE cs_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY cs_bill_customer_sk, d_year
+         |  UNION ALL
+         |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+         |    round(sum(ws_ext_sales_price - ws_ext_discount_amt) + 5e-7, 2)
+         |      AS total, 'w' AS channel
+         |  FROM web_sales, date_dim
+         |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ws_bill_customer_sk, d_year)
+         |SELECT CAST(t_s_fy.c_sk AS BIGINT) AS customer
+         |FROM year_total t_s_fy, year_total t_s_sy,
+         |     year_total t_c_fy, year_total t_c_sy,
+         |     year_total t_w_fy, year_total t_w_sy
+         |WHERE t_s_fy.c_sk = t_s_sy.c_sk AND t_s_fy.c_sk = t_c_fy.c_sk
+         |  AND t_s_fy.c_sk = t_c_sy.c_sk AND t_s_fy.c_sk = t_w_fy.c_sk
+         |  AND t_s_fy.c_sk = t_w_sy.c_sk
+         |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+         |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+         |  AND t_c_fy.channel = 'c' AND t_c_fy.d_year = 1998
+         |  AND t_c_sy.channel = 'c' AND t_c_sy.d_year = 1999
+         |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+         |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+         |  AND t_s_fy.total > 0 AND t_c_fy.total > 0 AND t_w_fy.total > 0
+         |  AND t_c_sy.total / t_c_fy.total > t_s_sy.total / t_s_fy.total
+         |  AND t_c_sy.total / t_c_fy.total > t_w_sy.total / t_w_fy.total
+         |ORDER BY customer
+         |LIMIT 100""".stripMargin,
+
+    "qu2_tpcds_q43" ->
+      s"""WITH $dsCte
+         |SELECT s_store_name, s_store_id,
+         |  round(sum(CASE WHEN d_day_name = 'Sunday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) sun_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Monday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) mon_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Tuesday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) tue_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Wednesday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) wed_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Thursday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) thu_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Friday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) fri_sales,
+         |  round(sum(CASE WHEN d_day_name = 'Saturday'
+         |    THEN ss_sales_price ELSE NULL END) + 5e-7, 2) sat_sales
+         |FROM date_dim, store_sales, store
+         |WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+         |  AND d_year = 1998
+         |GROUP BY s_store_name, s_store_id
+         |ORDER BY s_store_name, s_store_id
+         |LIMIT 100""".stripMargin,
+
+    "qu3_tpcds_q53" ->
+      s"""WITH $dsCte
+         |SELECT * FROM (
+         |  SELECT i_manufact_id, d_qoy,
+         |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+         |    round(avg(sum(ss_sales_price)) OVER (
+         |      PARTITION BY i_manufact_id) + 5e-7, 2) avg_quarterly_sales
+         |  FROM item, store_sales, date_dim, store
+         |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+         |    AND ss_store_sk = s_store_sk AND d_year = 1998
+         |    AND ((i_category IN ('ECONOMY', 'STANDARD')
+         |        AND i_class LIKE '%#1')
+         |      OR (i_category IN ('PROMO', 'SMALL')
+         |        AND i_class LIKE '%#2'))
+         |  GROUP BY i_manufact_id, d_qoy) tmp1
+         |WHERE CASE WHEN avg_quarterly_sales > 0
+         |  THEN abs(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+         |  ELSE NULL END > 0.1
+         |ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id, d_qoy
+         |LIMIT 100""".stripMargin,
+
+    "qu4_tpcds_q57" ->
+      s"""WITH $dsCte,
+         |v1 AS (
+         |  SELECT i_category, i_brand, cs_call_center_sk AS cc_sk,
+         |    d_year, d_moy,
+         |    round(sum(cs_ext_sales_price) + 5e-7, 2) sum_sales,
+         |    round(avg(sum(cs_ext_sales_price)) OVER (PARTITION BY
+         |      i_category, i_brand, cs_call_center_sk, d_year)
+         |      + 5e-7, 2) avg_monthly_sales,
+         |    rank() OVER (PARTITION BY i_category, i_brand,
+         |      cs_call_center_sk ORDER BY d_year, d_moy) rn
+         |  FROM item, catalog_sales, date_dim
+         |  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+         |    AND (d_year = 1998 OR (d_year = 1997 AND d_moy = 12)
+         |      OR (d_year = 1999 AND d_moy = 1))
+         |  GROUP BY i_category, i_brand, cs_call_center_sk, d_year,
+         |    d_moy)
+         |SELECT v1.i_category, v1.i_brand, CAST(v1.cc_sk AS BIGINT) cc_sk,
+         |  CAST(v1.d_year AS BIGINT) AS d_year,
+         |  CAST(v1.d_moy AS BIGINT) AS d_moy,
+         |  v1.sum_sales, v1.avg_monthly_sales,
+         |  v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+         |FROM v1, v1 v1_lag, v1 v1_lead
+         |WHERE v1.i_category = v1_lag.i_category
+         |  AND v1.i_category = v1_lead.i_category
+         |  AND v1.i_brand = v1_lag.i_brand
+         |  AND v1.i_brand = v1_lead.i_brand
+         |  AND v1.cc_sk = v1_lag.cc_sk AND v1.cc_sk = v1_lead.cc_sk
+         |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+         |  AND v1.d_year = 1998
+         |  AND v1.avg_monthly_sales > 0
+         |  AND abs(v1.sum_sales - v1.avg_monthly_sales)
+         |    / v1.avg_monthly_sales > 0.1
+         |ORDER BY v1.sum_sales - v1.avg_monthly_sales, v1.i_category,
+         |  v1.i_brand, cc_sk, d_moy
+         |LIMIT 100""".stripMargin,
+
+    "qu5_tpcds_q37" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_current_price
+         |FROM (SELECT DISTINCT i_item_id, i_current_price
+         |      FROM item, inventory, date_dim, catalog_sales
+         |      WHERE i_current_price BETWEEN 920 AND 950
+         |        AND inv_item_sk = i_item_sk
+         |        AND d_date_sk = inv_date_sk
+         |        AND d_date BETWEEN DATE '1998-03-01' AND DATE '1998-04-30'
+         |        AND cs_item_sk = i_item_sk
+         |        AND inv_quantity_on_hand BETWEEN 100 AND 500) x
+         |ORDER BY i_item_id, i_current_price
+         |LIMIT 100""".stripMargin
   )
 }
