@@ -1758,7 +1758,180 @@ object TpcdsSql extends QueryPack {
         |        AND cs_item_sk = i_item_sk
         |        AND inv_quantity_on_hand BETWEEN 100 AND 500) x
         |ORDER BY i_item_id, i_current_price
-        |LIMIT 100""".stripMargin))
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q22: the inventory ROLLUP — average quantity-on-hand
+    // across the item hierarchy for a year of weekly snapshots. avg of
+    // bigints is an exact integer sum over a count (both engines divide
+    // identical values); ORDER BY pins NULLS FIRST because Spark and
+    // DuckDB default opposite null orders. One Expand (5x) into one
+    // hash aggregate.
+    "qu6_tpcds_q22" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_brand, i_class, i_category,
+        |  round(avg(inv_quantity_on_hand) + 5e-7, 4) AS qoh
+        |FROM inventory, date_dim, item
+        |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+        |  AND d_year = 1998
+        |GROUP BY ROLLUP(i_item_id, i_brand, i_class, i_category)
+        |ORDER BY qoh, i_item_id NULLS FIRST, i_brand NULLS FIRST,
+        |  i_class NULLS FIRST, i_category NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q28: the quantity-band bucket report — five independent
+    // single-row aggregates over disjoint ss_quantity bands (each with
+    // the spec's OR-of-ranges price filter) cross-joined 1-row x 1-row.
+    // count(DISTINCT ss_list_price) works on division-derived doubles
+    // because row-level arithmetic is bitwise-identical across engines.
+    "qu7_tpcds_q28" -> ((s, dir) => sql(s, dir,
+      """SELECT * FROM
+        | (SELECT round(avg(ss_list_price) + 5e-7, 2) b1_lp,
+        |    cast(count(ss_list_price) as bigint) b1_cnt,
+        |    cast(count(DISTINCT ss_list_price) as bigint) b1_cntd
+        |  FROM store_sales
+        |  WHERE ss_quantity BETWEEN 1 AND 10
+        |    AND (ss_list_price BETWEEN 100 AND 200
+        |      OR ss_coupon_amt BETWEEN 0 AND 100
+        |      OR ss_sales_price BETWEEN 50 AND 150)) b1,
+        | (SELECT round(avg(ss_list_price) + 5e-7, 2) b2_lp,
+        |    cast(count(ss_list_price) as bigint) b2_cnt,
+        |    cast(count(DISTINCT ss_list_price) as bigint) b2_cntd
+        |  FROM store_sales
+        |  WHERE ss_quantity BETWEEN 11 AND 20
+        |    AND (ss_list_price BETWEEN 80 AND 180
+        |      OR ss_coupon_amt BETWEEN 10 AND 110
+        |      OR ss_sales_price BETWEEN 40 AND 140)) b2,
+        | (SELECT round(avg(ss_list_price) + 5e-7, 2) b3_lp,
+        |    cast(count(ss_list_price) as bigint) b3_cnt,
+        |    cast(count(DISTINCT ss_list_price) as bigint) b3_cntd
+        |  FROM store_sales
+        |  WHERE ss_quantity BETWEEN 21 AND 30
+        |    AND (ss_list_price BETWEEN 60 AND 160
+        |      OR ss_coupon_amt BETWEEN 20 AND 120
+        |      OR ss_sales_price BETWEEN 30 AND 130)) b3,
+        | (SELECT round(avg(ss_list_price) + 5e-7, 2) b4_lp,
+        |    cast(count(ss_list_price) as bigint) b4_cnt,
+        |    cast(count(DISTINCT ss_list_price) as bigint) b4_cntd
+        |  FROM store_sales
+        |  WHERE ss_quantity BETWEEN 31 AND 40
+        |    AND (ss_list_price BETWEEN 40 AND 140
+        |      OR ss_coupon_amt BETWEEN 30 AND 130
+        |      OR ss_sales_price BETWEEN 20 AND 120)) b4,
+        | (SELECT round(avg(ss_list_price) + 5e-7, 2) b5_lp,
+        |    cast(count(ss_list_price) as bigint) b5_cnt,
+        |    cast(count(DISTINCT ss_list_price) as bigint) b5_cntd
+        |  FROM store_sales
+        |  WHERE ss_quantity BETWEEN 41 AND 50
+        |    AND (ss_list_price BETWEEN 20 AND 120
+        |      OR ss_coupon_amt BETWEEN 40 AND 140
+        |      OR ss_sales_price BETWEEN 10 AND 110)) b5""".stripMargin)),
+
+    // TPC-DS Q29: the quantity flow through the sale -> return ->
+    // catalog-repurchase chain (Q25's quantity twin) — the same
+    // three-fact join keyed on customer+item+ticket, summing whole-
+    // number quantities (exact doubles, cast to bigint identically).
+    "qu8_tpcds_q29" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_brand, s_store_id, s_store_name,
+        |  cast(sum(ss_quantity) as bigint) AS store_sales_quantity,
+        |  cast(sum(sr_return_quantity) as bigint)
+        |    AS store_returns_quantity,
+        |  cast(sum(cs_quantity) as bigint) AS catalog_sales_quantity
+        |FROM store_sales, store_returns, catalog_sales,
+        |  date_dim d1, date_dim d2, date_dim d3, store, item
+        |WHERE d1.d_moy = 4 AND d1.d_year = 1998
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_moy BETWEEN 4 AND 7 AND d2.d_year = 1998
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_year IN (1998, 1999, 2000)
+        |GROUP BY i_item_id, i_brand, s_store_id, s_store_name
+        |ORDER BY i_item_id, i_brand, s_store_id, s_store_name
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q45: web sales by customer zip — the OR of a zip list and
+    // an item-sk subquery means neither filter can push below the
+    // join, the shape the optimizer must keep as a post-join filter.
+    "qu9_tpcds_q45" -> ((s, dir) => sql(s, dir,
+      """SELECT ca_zip,
+        |  round(sum(ws_sales_price) + 5e-7, 2) AS total_sales
+        |FROM web_sales, customer_address, item, date_dim
+        |WHERE ws_bill_customer_sk = ca_address_sk
+        |  AND ws_item_sk = i_item_sk
+        |  AND ws_sold_date_sk = d_date_sk
+        |  AND d_qoy = 2 AND d_year = 1998
+        |  AND (substring(ca_zip, 1, 5) IN ('07919', '15838', '23757',
+        |      '31676', '39595', '47514', '55433', '63352', '71271')
+        |    OR i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+        |GROUP BY ca_zip
+        |ORDER BY ca_zip
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q61: the promotional-sales ratio — two single-row sums
+    // over the same star (one promo-restricted), cross-joined, with the
+    // percentage computed from the ROUNDED sums so both engines divide
+    // identical doubles.
+    "qv0_tpcds_q61" -> ((s, dir) => sql(s, dir,
+      """SELECT promotions, total,
+        |  round(promotions / total * 100 + 5e-7, 4) AS promo_pct
+        |FROM
+        | (SELECT round(sum(ss_ext_sales_price) + 5e-7, 2) promotions
+        |  FROM store_sales, store, promotion, date_dim,
+        |    customer_address, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        |    AND ss_promo_sk = p_promo_sk
+        |    AND ss_customer_sk = ca_address_sk
+        |    AND ss_item_sk = i_item_sk
+        |    AND ca_state = 'CA' AND i_category = 'ECONOMY'
+        |    AND (p_channel_email = 'Y' OR p_channel_event = 'Y')
+        |    AND s_state = 'CA' AND d_year = 1998
+        |    AND d_moy = 11) promotional_sales,
+        | (SELECT round(sum(ss_ext_sales_price) + 5e-7, 2) total
+        |  FROM store_sales, store, date_dim, customer_address, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        |    AND ss_customer_sk = ca_address_sk
+        |    AND ss_item_sk = i_item_sk
+        |    AND ca_state = 'CA' AND i_category = 'ECONOMY'
+        |    AND s_state = 'CA' AND d_year = 1998
+        |    AND d_moy = 11) all_sales""".stripMargin)),
+
+    // TPC-DS Q70: the store-hierarchy ROLLUP restricted to the
+    // top-ranked states by profit — a windowed-rank subquery feeding
+    // the outer rollup's IN filter, rank-within-parent over the
+    // rounded sums as in Q36/Q67.
+    "qv1_tpcds_q70" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(ss_net_profit) + 5e-7, 2) AS total_sum,
+        |  s_state, s_store_name,
+        |  cast(grouping(s_state) + grouping(s_store_name) as bigint)
+        |    AS lochierarchy,
+        |  cast(rank() OVER (
+        |    PARTITION BY grouping(s_state) + grouping(s_store_name),
+        |      CASE WHEN grouping(s_store_name) = 0 THEN s_state END
+        |    ORDER BY round(sum(ss_net_profit) + 5e-7, 2) DESC) as bigint)
+        |    AS rank_within_parent
+        |FROM store_sales, date_dim d1, store
+        |WHERE d1.d_year = 1998 AND d1.d_date_sk = ss_sold_date_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_state IN (SELECT s_state
+        |    FROM (SELECT s_state,
+        |        rank() OVER (ORDER BY round(sum(ss_net_profit)
+        |          + 5e-7, 2) DESC) AS ranking
+        |      FROM store_sales, store, date_dim
+        |      WHERE d_year = 1998 AND d_date_sk = ss_sold_date_sk
+        |        AND s_store_sk = ss_store_sk
+        |      GROUP BY s_state) tmp1
+        |    WHERE ranking <= 3)
+        |GROUP BY ROLLUP(s_state, s_store_name)
+        |ORDER BY lochierarchy DESC,
+        |  CASE WHEN grouping(s_state) + grouping(s_store_name) = 0
+        |    THEN s_state END NULLS FIRST,
+        |  rank_within_parent, s_state NULLS FIRST,
+        |  s_store_name NULLS FIRST""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -2954,6 +3127,159 @@ object TpcdsSql extends QueryPack {
          |        AND cs_item_sk = i_item_sk
          |        AND inv_quantity_on_hand BETWEEN 100 AND 500) x
          |ORDER BY i_item_id, i_current_price
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    "qu6_tpcds_q22" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_brand, i_class, i_category,
+         |  round(avg(inv_quantity_on_hand) + 5e-7, 4) AS qoh
+         |FROM inventory, date_dim, item
+         |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+         |  AND d_year = 1998
+         |GROUP BY ROLLUP(i_item_id, i_brand, i_class, i_category)
+         |ORDER BY qoh, i_item_id NULLS FIRST, i_brand NULLS FIRST,
+         |  i_class NULLS FIRST, i_category NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "qu7_tpcds_q28" ->
+      s"""WITH $dsCte
+         |SELECT * FROM
+         | (SELECT round(avg(ss_list_price) + 5e-7, 2) b1_lp,
+         |    CAST(count(ss_list_price) AS BIGINT) b1_cnt,
+         |    CAST(count(DISTINCT ss_list_price) AS BIGINT) b1_cntd
+         |  FROM store_sales
+         |  WHERE ss_quantity BETWEEN 1 AND 10
+         |    AND (ss_list_price BETWEEN 100 AND 200
+         |      OR ss_coupon_amt BETWEEN 0 AND 100
+         |      OR ss_sales_price BETWEEN 50 AND 150)) b1,
+         | (SELECT round(avg(ss_list_price) + 5e-7, 2) b2_lp,
+         |    CAST(count(ss_list_price) AS BIGINT) b2_cnt,
+         |    CAST(count(DISTINCT ss_list_price) AS BIGINT) b2_cntd
+         |  FROM store_sales
+         |  WHERE ss_quantity BETWEEN 11 AND 20
+         |    AND (ss_list_price BETWEEN 80 AND 180
+         |      OR ss_coupon_amt BETWEEN 10 AND 110
+         |      OR ss_sales_price BETWEEN 40 AND 140)) b2,
+         | (SELECT round(avg(ss_list_price) + 5e-7, 2) b3_lp,
+         |    CAST(count(ss_list_price) AS BIGINT) b3_cnt,
+         |    CAST(count(DISTINCT ss_list_price) AS BIGINT) b3_cntd
+         |  FROM store_sales
+         |  WHERE ss_quantity BETWEEN 21 AND 30
+         |    AND (ss_list_price BETWEEN 60 AND 160
+         |      OR ss_coupon_amt BETWEEN 20 AND 120
+         |      OR ss_sales_price BETWEEN 30 AND 130)) b3,
+         | (SELECT round(avg(ss_list_price) + 5e-7, 2) b4_lp,
+         |    CAST(count(ss_list_price) AS BIGINT) b4_cnt,
+         |    CAST(count(DISTINCT ss_list_price) AS BIGINT) b4_cntd
+         |  FROM store_sales
+         |  WHERE ss_quantity BETWEEN 31 AND 40
+         |    AND (ss_list_price BETWEEN 40 AND 140
+         |      OR ss_coupon_amt BETWEEN 30 AND 130
+         |      OR ss_sales_price BETWEEN 20 AND 120)) b4,
+         | (SELECT round(avg(ss_list_price) + 5e-7, 2) b5_lp,
+         |    CAST(count(ss_list_price) AS BIGINT) b5_cnt,
+         |    CAST(count(DISTINCT ss_list_price) AS BIGINT) b5_cntd
+         |  FROM store_sales
+         |  WHERE ss_quantity BETWEEN 41 AND 50
+         |    AND (ss_list_price BETWEEN 20 AND 120
+         |      OR ss_coupon_amt BETWEEN 40 AND 140
+         |      OR ss_sales_price BETWEEN 10 AND 110)) b5""".stripMargin,
+
+    "qu8_tpcds_q29" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_brand, s_store_id, s_store_name,
+         |  CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+         |  CAST(sum(sr_return_quantity) AS BIGINT)
+         |    AS store_returns_quantity,
+         |  CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+         |FROM store_sales, store_returns, catalog_sales,
+         |  date_dim d1, date_dim d2, date_dim d3, store, item
+         |WHERE d1.d_moy = 4 AND d1.d_year = 1998
+         |  AND d1.d_date_sk = ss_sold_date_sk
+         |  AND i_item_sk = ss_item_sk
+         |  AND s_store_sk = ss_store_sk
+         |  AND ss_customer_sk = sr_customer_sk
+         |  AND ss_item_sk = sr_item_sk
+         |  AND ss_ticket_number = sr_ticket_number
+         |  AND sr_returned_date_sk = d2.d_date_sk
+         |  AND d2.d_moy BETWEEN 4 AND 7 AND d2.d_year = 1998
+         |  AND sr_customer_sk = cs_bill_customer_sk
+         |  AND sr_item_sk = cs_item_sk
+         |  AND cs_sold_date_sk = d3.d_date_sk
+         |  AND d3.d_year IN (1998, 1999, 2000)
+         |GROUP BY i_item_id, i_brand, s_store_id, s_store_name
+         |ORDER BY i_item_id, i_brand, s_store_id, s_store_name
+         |LIMIT 100""".stripMargin,
+
+    "qu9_tpcds_q45" ->
+      s"""WITH $dsCte
+         |SELECT ca_zip,
+         |  round(sum(ws_sales_price) + 5e-7, 2) AS total_sales
+         |FROM web_sales, customer_address, item, date_dim
+         |WHERE ws_bill_customer_sk = ca_address_sk
+         |  AND ws_item_sk = i_item_sk
+         |  AND ws_sold_date_sk = d_date_sk
+         |  AND d_qoy = 2 AND d_year = 1998
+         |  AND (substring(ca_zip, 1, 5) IN ('07919', '15838', '23757',
+         |      '31676', '39595', '47514', '55433', '63352', '71271')
+         |    OR i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+         |GROUP BY ca_zip
+         |ORDER BY ca_zip
+         |LIMIT 100""".stripMargin,
+
+    "qv0_tpcds_q61" ->
+      s"""WITH $dsCte
+         |SELECT promotions, total,
+         |  round(promotions / total * 100 + 5e-7, 4) AS promo_pct
+         |FROM
+         | (SELECT round(sum(ss_ext_sales_price) + 5e-7, 2) promotions
+         |  FROM store_sales, store, promotion, date_dim,
+         |    customer_address, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+         |    AND ss_promo_sk = p_promo_sk
+         |    AND ss_customer_sk = ca_address_sk
+         |    AND ss_item_sk = i_item_sk
+         |    AND ca_state = 'CA' AND i_category = 'ECONOMY'
+         |    AND (p_channel_email = 'Y' OR p_channel_event = 'Y')
+         |    AND s_state = 'CA' AND d_year = 1998
+         |    AND d_moy = 11) promotional_sales,
+         | (SELECT round(sum(ss_ext_sales_price) + 5e-7, 2) total
+         |  FROM store_sales, store, date_dim, customer_address, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+         |    AND ss_customer_sk = ca_address_sk
+         |    AND ss_item_sk = i_item_sk
+         |    AND ca_state = 'CA' AND i_category = 'ECONOMY'
+         |    AND s_state = 'CA' AND d_year = 1998
+         |    AND d_moy = 11) all_sales""".stripMargin,
+
+    "qv1_tpcds_q70" ->
+      s"""WITH $dsCte
+         |SELECT round(sum(ss_net_profit) + 5e-7, 2) AS total_sum,
+         |  s_state, s_store_name,
+         |  CAST(grouping(s_state) + grouping(s_store_name) AS BIGINT)
+         |    AS lochierarchy,
+         |  CAST(rank() OVER (
+         |    PARTITION BY grouping(s_state) + grouping(s_store_name),
+         |      CASE WHEN grouping(s_store_name) = 0 THEN s_state END
+         |    ORDER BY round(sum(ss_net_profit) + 5e-7, 2) DESC) AS BIGINT)
+         |    AS rank_within_parent
+         |FROM store_sales, date_dim d1, store
+         |WHERE d1.d_year = 1998 AND d1.d_date_sk = ss_sold_date_sk
+         |  AND s_store_sk = ss_store_sk
+         |  AND s_state IN (SELECT s_state
+         |    FROM (SELECT s_state,
+         |        rank() OVER (ORDER BY round(sum(ss_net_profit)
+         |          + 5e-7, 2) DESC) AS ranking
+         |      FROM store_sales, store, date_dim
+         |      WHERE d_year = 1998 AND d_date_sk = ss_sold_date_sk
+         |        AND s_store_sk = ss_store_sk
+         |      GROUP BY s_state) tmp1
+         |    WHERE ranking <= 3)
+         |GROUP BY ROLLUP(s_state, s_store_name)
+         |ORDER BY lochierarchy DESC,
+         |  CASE WHEN grouping(s_state) + grouping(s_store_name) = 0
+         |    THEN s_state END NULLS FIRST,
+         |  rank_within_parent, s_state NULLS FIRST,
+         |  s_store_name NULLS FIRST""".stripMargin
   )
 }
