@@ -1931,7 +1931,219 @@ object TpcdsSql extends QueryPack {
         |  CASE WHEN grouping(s_state) + grouping(s_store_name) = 0
         |    THEN s_state END NULLS FIRST,
         |  rank_within_parent, s_state NULLS FIRST,
-        |  s_store_name NULLS FIRST""".stripMargin))
+        |  s_store_name NULLS FIRST""".stripMargin)),
+
+    // TPC-DS Q86: the web-channel item-hierarchy ROLLUP with
+    // rank-within-parent — Q36's shape on web_sales net profit.
+    "qv2_tpcds_q86" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(ws_net_profit) + 5e-7, 2) AS total_sum,
+        |  i_category, i_class,
+        |  cast(grouping(i_category) + grouping(i_class) as bigint)
+        |    AS lochierarchy,
+        |  cast(rank() OVER (
+        |    PARTITION BY grouping(i_category) + grouping(i_class),
+        |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+        |    ORDER BY round(sum(ws_net_profit) + 5e-7, 2) DESC) as bigint)
+        |    AS rank_within_parent
+        |FROM web_sales, date_dim d1, item
+        |WHERE d1.d_year = 1998 AND d1.d_date_sk = ws_sold_date_sk
+        |  AND i_item_sk = ws_item_sk
+        |GROUP BY ROLLUP(i_category, i_class)
+        |ORDER BY lochierarchy DESC,
+        |  CASE WHEN grouping(i_category) + grouping(i_class) = 0
+        |    THEN i_category END NULLS FIRST,
+        |  rank_within_parent, i_category NULLS FIRST,
+        |  i_class NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q89: monthly (brand, store) sales vs the pair's own
+    // yearly average — Q53's finer-grained sibling, deviation > 10%
+    // ordered by the signed gap.
+    "qv3_tpcds_q89" -> ((s, dir) => sql(s, dir,
+      """SELECT * FROM (
+        |  SELECT i_category, i_class, i_brand, s_store_name, s_store_id,
+        |    d_moy,
+        |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+        |    round(avg(sum(ss_sales_price)) OVER (PARTITION BY
+        |      i_category, i_brand, s_store_name, s_store_id)
+        |      + 5e-7, 2) avg_monthly_sales
+        |  FROM item, store_sales, date_dim, store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk AND d_year = 1998
+        |    AND ((i_category IN ('ECONOMY', 'LARGE', 'MEDIUM')
+        |        AND i_class LIKE '%#1')
+        |      OR (i_category IN ('PROMO', 'SMALL', 'STANDARD')
+        |        AND i_class LIKE '%#3'))
+        |  GROUP BY i_category, i_class, i_brand, s_store_name,
+        |    s_store_id, d_moy) tmp1
+        |WHERE CASE WHEN avg_monthly_sales <> 0
+        |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |  ELSE NULL END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales, i_category, i_class,
+        |  i_brand, s_store_name, s_store_id, d_moy
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q97: the store/catalog buyer-item overlap — distinct
+    // (customer, item) pairs per channel FULL OUTER JOINed, counted
+    // into exclusive/shared buckets. Scale: two fact-sized distinct
+    // aggregations then one shuffle join on the pair key.
+    "qv4_tpcds_q97" -> ((s, dir) => sql(s, dir,
+      """WITH ssci AS (
+        |  SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY ss_customer_sk, ss_item_sk),
+        |csci AS (
+        |  SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+        |  FROM catalog_sales, date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+        |  GROUP BY cs_bill_customer_sk, cs_item_sk)
+        |SELECT cast(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |    AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) as bigint)
+        |    AS store_only,
+        |  cast(sum(CASE WHEN ssci.customer_sk IS NULL
+        |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+        |    AS catalog_only,
+        |  cast(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+        |    as bigint) AS store_and_catalog
+        |FROM ssci FULL OUTER JOIN csci
+        |  ON (ssci.customer_sk = csci.customer_sk
+        |    AND ssci.item_sk = csci.item_sk)""".stripMargin)),
+
+    // TPC-DS Q69: the store-only cohort (Q35's disjunctive EXISTS
+    // flipped to NOT EXISTS on both other channels) — demographic
+    // profile of customers who bought in-store but not online.
+    "qv5_tpcds_q69" -> ((s, dir) => sql(s, dir,
+      """SELECT ca_state, cd_gender, cd_marital_status,
+        |  cd_education_status, cast(count(*) as bigint) AS cnt
+        |FROM customer c, customer_address ca, customer_demographics
+        |WHERE c.c_custkey = ca.ca_address_sk
+        |  AND ca_state IN ('CA', 'TX', 'NY')
+        |  AND cd_demo_sk = c.c_custkey
+        |  AND EXISTS (SELECT * FROM store_sales, date_dim
+        |    WHERE c.c_custkey = ss_customer_sk
+        |      AND ss_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+        |  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+        |    WHERE c.c_custkey = ws_bill_customer_sk
+        |      AND ws_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+        |  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+        |    WHERE c.c_custkey = cs_bill_customer_sk
+        |      AND cs_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+        |GROUP BY ca_state, cd_gender, cd_marital_status,
+        |  cd_education_status
+        |ORDER BY ca_state, cd_gender, cd_marital_status,
+        |  cd_education_status
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q73: Q34's small-basket twin — tickets with 2-5 lines
+    // from high-dependent households, per-vehicle ratio filter. The
+    // bigint/bigint division is double division in both engines.
+    "qv6_tpcds_q73" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, ss_ticket_number, cast(cnt as bigint) AS cnt
+        |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+        |      FROM store_sales, date_dim, store,
+        |        household_demographics
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND ss_hdemo_sk = hd_demo_sk
+        |        AND d_dom BETWEEN 1 AND 2
+        |        AND d_year IN (1998, 1999, 2000)
+        |        AND hd_dep_count / CASE WHEN hd_vehicle_count > 0
+        |          THEN hd_vehicle_count ELSE NULL END > 1
+        |        AND s_state IN ('TN', 'CA')
+        |      GROUP BY ss_ticket_number, ss_customer_sk
+        |      HAVING count(*) BETWEEN 2 AND 5) dj, customer
+        |WHERE ss_customer_sk = c_custkey
+        |ORDER BY cnt DESC, c_name, ss_ticket_number""".stripMargin)),
+
+    // TPC-DS Q14: the cross-channel INTERSECT flagship — (brand,
+    // category) pairs sold in ALL THREE channels over three years
+    // define the item universe; each channel's November sales of those
+    // items report against a 10x global per-row average via a scalar
+    // HAVING subquery, rolled up by channel. Both HAVING sides round
+    // before the compare so the cutoff set is engine-stable.
+    "qv7_tpcds_q14" -> ((s, dir) => sql(s, dir,
+      """WITH cross_items AS (
+        |  SELECT i_item_sk AS item_sk
+        |  FROM item,
+        |   (SELECT iss.i_brand_id brand_id, iss.i_category_id category_id
+        |    FROM store_sales, item iss, date_dim d1
+        |    WHERE ss_item_sk = iss.i_item_sk
+        |      AND ss_sold_date_sk = d1.d_date_sk
+        |      AND d1.d_year BETWEEN 1996 AND 1998
+        |    INTERSECT
+        |    SELECT ics.i_brand_id, ics.i_category_id
+        |    FROM catalog_sales, item ics, date_dim d2
+        |    WHERE cs_item_sk = ics.i_item_sk
+        |      AND cs_sold_date_sk = d2.d_date_sk
+        |      AND d2.d_year BETWEEN 1996 AND 1998
+        |    INTERSECT
+        |    SELECT iws.i_brand_id, iws.i_category_id
+        |    FROM web_sales, item iws, date_dim d3
+        |    WHERE ws_item_sk = iws.i_item_sk
+        |      AND ws_sold_date_sk = d3.d_date_sk
+        |      AND d3.d_year BETWEEN 1996 AND 1998) x
+        |  WHERE i_brand_id = brand_id AND i_category_id = category_id),
+        |avg_sales AS (
+        |  SELECT round(avg(ext_price) + 5e-7, 2) average_sales
+        |  FROM (SELECT ss_ext_sales_price ext_price
+        |        FROM store_sales, date_dim
+        |        WHERE ss_sold_date_sk = d_date_sk
+        |          AND d_year BETWEEN 1996 AND 1998
+        |        UNION ALL
+        |        SELECT cs_ext_sales_price
+        |        FROM catalog_sales, date_dim
+        |        WHERE cs_sold_date_sk = d_date_sk
+        |          AND d_year BETWEEN 1996 AND 1998
+        |        UNION ALL
+        |        SELECT ws_ext_sales_price
+        |        FROM web_sales, date_dim
+        |        WHERE ws_sold_date_sk = d_date_sk
+        |          AND d_year BETWEEN 1996 AND 1998) all_sales)
+        |SELECT channel, i_brand_id, i_category_id,
+        |  round(sum(sales) + 5e-7, 2) AS sum_sales,
+        |  cast(sum(num) as bigint) AS sum_num
+        |FROM (
+        |  SELECT 'store' channel, i_brand_id, i_category_id,
+        |    sum(ss_ext_sales_price) sales, count(*) num
+        |  FROM store_sales, item, date_dim
+        |  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
+        |    AND ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_year = 1998 AND d_moy = 11
+        |  GROUP BY i_brand_id, i_category_id
+        |  HAVING round(sum(ss_ext_sales_price) + 5e-7, 2)
+        |    > (SELECT average_sales * 10 FROM avg_sales)
+        |  UNION ALL
+        |  SELECT 'catalog' channel, i_brand_id, i_category_id,
+        |    sum(cs_ext_sales_price) sales, count(*) num
+        |  FROM catalog_sales, item, date_dim
+        |  WHERE cs_item_sk IN (SELECT item_sk FROM cross_items)
+        |    AND cs_item_sk = i_item_sk
+        |    AND cs_sold_date_sk = d_date_sk
+        |    AND d_year = 1998 AND d_moy = 11
+        |  GROUP BY i_brand_id, i_category_id
+        |  HAVING round(sum(cs_ext_sales_price) + 5e-7, 2)
+        |    > (SELECT average_sales * 10 FROM avg_sales)
+        |  UNION ALL
+        |  SELECT 'web' channel, i_brand_id, i_category_id,
+        |    sum(ws_ext_sales_price) sales, count(*) num
+        |  FROM web_sales, item, date_dim
+        |  WHERE ws_item_sk IN (SELECT item_sk FROM cross_items)
+        |    AND ws_item_sk = i_item_sk
+        |    AND ws_sold_date_sk = d_date_sk
+        |    AND d_year = 1998 AND d_moy = 11
+        |  GROUP BY i_brand_id, i_category_id
+        |  HAVING round(sum(ws_ext_sales_price) + 5e-7, 2)
+        |    > (SELECT average_sales * 10 FROM avg_sales)) y
+        |GROUP BY ROLLUP(channel, i_brand_id, i_category_id)
+        |ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+        |  i_category_id NULLS FIRST
+        |LIMIT 100""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -3280,6 +3492,203 @@ object TpcdsSql extends QueryPack {
          |  CASE WHEN grouping(s_state) + grouping(s_store_name) = 0
          |    THEN s_state END NULLS FIRST,
          |  rank_within_parent, s_state NULLS FIRST,
-         |  s_store_name NULLS FIRST""".stripMargin
+         |  s_store_name NULLS FIRST""".stripMargin,
+
+    "qv2_tpcds_q86" ->
+      s"""WITH $dsCte
+         |SELECT round(sum(ws_net_profit) + 5e-7, 2) AS total_sum,
+         |  i_category, i_class,
+         |  CAST(grouping(i_category) + grouping(i_class) AS BIGINT)
+         |    AS lochierarchy,
+         |  CAST(rank() OVER (
+         |    PARTITION BY grouping(i_category) + grouping(i_class),
+         |      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         |    ORDER BY round(sum(ws_net_profit) + 5e-7, 2) DESC) AS BIGINT)
+         |    AS rank_within_parent
+         |FROM web_sales, date_dim d1, item
+         |WHERE d1.d_year = 1998 AND d1.d_date_sk = ws_sold_date_sk
+         |  AND i_item_sk = ws_item_sk
+         |GROUP BY ROLLUP(i_category, i_class)
+         |ORDER BY lochierarchy DESC,
+         |  CASE WHEN grouping(i_category) + grouping(i_class) = 0
+         |    THEN i_category END NULLS FIRST,
+         |  rank_within_parent, i_category NULLS FIRST,
+         |  i_class NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "qv3_tpcds_q89" ->
+      s"""WITH $dsCte
+         |SELECT * FROM (
+         |  SELECT i_category, i_class, i_brand, s_store_name, s_store_id,
+         |    d_moy,
+         |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+         |    round(avg(sum(ss_sales_price)) OVER (PARTITION BY
+         |      i_category, i_brand, s_store_name, s_store_id)
+         |      + 5e-7, 2) avg_monthly_sales
+         |  FROM item, store_sales, date_dim, store
+         |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+         |    AND ss_store_sk = s_store_sk AND d_year = 1998
+         |    AND ((i_category IN ('ECONOMY', 'LARGE', 'MEDIUM')
+         |        AND i_class LIKE '%#1')
+         |      OR (i_category IN ('PROMO', 'SMALL', 'STANDARD')
+         |        AND i_class LIKE '%#3'))
+         |  GROUP BY i_category, i_class, i_brand, s_store_name,
+         |    s_store_id, d_moy) tmp1
+         |WHERE CASE WHEN avg_monthly_sales <> 0
+         |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+         |  ELSE NULL END > 0.1
+         |ORDER BY sum_sales - avg_monthly_sales, i_category, i_class,
+         |  i_brand, s_store_name, s_store_id, d_moy
+         |LIMIT 100""".stripMargin,
+
+    "qv4_tpcds_q97" ->
+      s"""WITH $dsCte,
+         |ssci AS (
+         |  SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY ss_customer_sk, ss_item_sk),
+         |csci AS (
+         |  SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+         |  FROM catalog_sales, date_dim
+         |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+         |  GROUP BY cs_bill_customer_sk, cs_item_sk)
+         |SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+         |    AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS store_only,
+         |  CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+         |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS catalog_only,
+         |  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+         |    AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS store_and_catalog
+         |FROM ssci FULL OUTER JOIN csci
+         |  ON (ssci.customer_sk = csci.customer_sk
+         |    AND ssci.item_sk = csci.item_sk)""".stripMargin,
+
+    "qv5_tpcds_q69" ->
+      s"""WITH $dsCte
+         |SELECT ca_state, cd_gender, cd_marital_status,
+         |  cd_education_status, CAST(count(*) AS BIGINT) AS cnt
+         |FROM customer c, customer_address ca, customer_demographics
+         |WHERE c.c_custkey = ca.ca_address_sk
+         |  AND ca_state IN ('CA', 'TX', 'NY')
+         |  AND cd_demo_sk = c.c_custkey
+         |  AND EXISTS (SELECT * FROM store_sales, date_dim
+         |    WHERE c.c_custkey = ss_customer_sk
+         |      AND ss_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+         |  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+         |    WHERE c.c_custkey = ws_bill_customer_sk
+         |      AND ws_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+         |  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+         |    WHERE c.c_custkey = cs_bill_customer_sk
+         |      AND cs_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 2 AND 5)
+         |GROUP BY ca_state, cd_gender, cd_marital_status,
+         |  cd_education_status
+         |ORDER BY ca_state, cd_gender, cd_marital_status,
+         |  cd_education_status
+         |LIMIT 100""".stripMargin,
+
+    "qv6_tpcds_q73" ->
+      s"""WITH $dsCte
+         |SELECT c_name, ss_ticket_number, CAST(cnt AS BIGINT) AS cnt
+         |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+         |      FROM store_sales, date_dim, store,
+         |        household_demographics
+         |      WHERE ss_sold_date_sk = d_date_sk
+         |        AND ss_store_sk = s_store_sk
+         |        AND ss_hdemo_sk = hd_demo_sk
+         |        AND d_dom BETWEEN 1 AND 2
+         |        AND d_year IN (1998, 1999, 2000)
+         |        AND hd_dep_count / CASE WHEN hd_vehicle_count > 0
+         |          THEN hd_vehicle_count ELSE NULL END > 1
+         |        AND s_state IN ('TN', 'CA')
+         |      GROUP BY ss_ticket_number, ss_customer_sk
+         |      HAVING count(*) BETWEEN 2 AND 5) dj, customer
+         |WHERE ss_customer_sk = c_custkey
+         |ORDER BY cnt DESC, c_name, ss_ticket_number""".stripMargin,
+
+    "qv7_tpcds_q14" ->
+      s"""WITH $dsCte,
+         |cross_items AS (
+         |  SELECT i_item_sk AS item_sk
+         |  FROM item,
+         |   (SELECT iss.i_brand_id brand_id, iss.i_category_id category_id
+         |    FROM store_sales, item iss, date_dim d1
+         |    WHERE ss_item_sk = iss.i_item_sk
+         |      AND ss_sold_date_sk = d1.d_date_sk
+         |      AND d1.d_year BETWEEN 1996 AND 1998
+         |    INTERSECT
+         |    SELECT ics.i_brand_id, ics.i_category_id
+         |    FROM catalog_sales, item ics, date_dim d2
+         |    WHERE cs_item_sk = ics.i_item_sk
+         |      AND cs_sold_date_sk = d2.d_date_sk
+         |      AND d2.d_year BETWEEN 1996 AND 1998
+         |    INTERSECT
+         |    SELECT iws.i_brand_id, iws.i_category_id
+         |    FROM web_sales, item iws, date_dim d3
+         |    WHERE ws_item_sk = iws.i_item_sk
+         |      AND ws_sold_date_sk = d3.d_date_sk
+         |      AND d3.d_year BETWEEN 1996 AND 1998) x
+         |  WHERE i_brand_id = brand_id AND i_category_id = category_id),
+         |avg_sales AS (
+         |  SELECT round(avg(ext_price) + 5e-7, 2) average_sales
+         |  FROM (SELECT ss_ext_sales_price ext_price
+         |        FROM store_sales, date_dim
+         |        WHERE ss_sold_date_sk = d_date_sk
+         |          AND d_year BETWEEN 1996 AND 1998
+         |        UNION ALL
+         |        SELECT cs_ext_sales_price
+         |        FROM catalog_sales, date_dim
+         |        WHERE cs_sold_date_sk = d_date_sk
+         |          AND d_year BETWEEN 1996 AND 1998
+         |        UNION ALL
+         |        SELECT ws_ext_sales_price
+         |        FROM web_sales, date_dim
+         |        WHERE ws_sold_date_sk = d_date_sk
+         |          AND d_year BETWEEN 1996 AND 1998) all_sales)
+         |SELECT channel, i_brand_id, i_category_id,
+         |  round(sum(sales) + 5e-7, 2) AS sum_sales,
+         |  CAST(sum(num) AS BIGINT) AS sum_num
+         |FROM (
+         |  SELECT 'store' channel, i_brand_id, i_category_id,
+         |    sum(ss_ext_sales_price) sales, count(*) num
+         |  FROM store_sales, item, date_dim
+         |  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
+         |    AND ss_item_sk = i_item_sk
+         |    AND ss_sold_date_sk = d_date_sk
+         |    AND d_year = 1998 AND d_moy = 11
+         |  GROUP BY i_brand_id, i_category_id
+         |  HAVING round(sum(ss_ext_sales_price) + 5e-7, 2)
+         |    > (SELECT average_sales * 10 FROM avg_sales)
+         |  UNION ALL
+         |  SELECT 'catalog' channel, i_brand_id, i_category_id,
+         |    sum(cs_ext_sales_price) sales, count(*) num
+         |  FROM catalog_sales, item, date_dim
+         |  WHERE cs_item_sk IN (SELECT item_sk FROM cross_items)
+         |    AND cs_item_sk = i_item_sk
+         |    AND cs_sold_date_sk = d_date_sk
+         |    AND d_year = 1998 AND d_moy = 11
+         |  GROUP BY i_brand_id, i_category_id
+         |  HAVING round(sum(cs_ext_sales_price) + 5e-7, 2)
+         |    > (SELECT average_sales * 10 FROM avg_sales)
+         |  UNION ALL
+         |  SELECT 'web' channel, i_brand_id, i_category_id,
+         |    sum(ws_ext_sales_price) sales, count(*) num
+         |  FROM web_sales, item, date_dim
+         |  WHERE ws_item_sk IN (SELECT item_sk FROM cross_items)
+         |    AND ws_item_sk = i_item_sk
+         |    AND ws_sold_date_sk = d_date_sk
+         |    AND d_year = 1998 AND d_moy = 11
+         |  GROUP BY i_brand_id, i_category_id
+         |  HAVING round(sum(ws_ext_sales_price) + 5e-7, 2)
+         |    > (SELECT average_sales * 10 FROM avg_sales)) y
+         |GROUP BY ROLLUP(channel, i_brand_id, i_category_id)
+         |ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+         |  i_category_id NULLS FIRST
+         |LIMIT 100""".stripMargin
   )
 }
