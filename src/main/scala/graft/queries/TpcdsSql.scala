@@ -105,13 +105,17 @@ object TpcdsSql extends QueryPack {
             |    AS ws_net_profit
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 1""".stripMargin)
-    // web returns: the 'R'-flagged slice of the web channel
+    // web returns: the 'R'-flagged slice of the web channel, returned
+    // on the ship date
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW web_returns AS
             |SELECT o_orderkey AS wr_order_number,
             |  l_partkey AS wr_item_sk,
             |  o_custkey AS wr_refunded_customer_sk,
             |  l_quantity AS wr_return_quantity,
-            |  l_extendedprice * (1 - l_discount) AS wr_return_amt
+            |  l_extendedprice * (1 - l_discount) AS wr_return_amt,
+            |  cast(datediff(cast(l_shipdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint)
+            |    AS wr_returned_date_sk
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 1
             |  AND l_returnflag = 'R'""".stripMargin)
@@ -135,7 +139,11 @@ object TpcdsSql extends QueryPack {
             |    DATE '1995-01-01') + 2450000 as bigint)
             |    AS cr_returned_date_sk,
             |  cast(l_suppkey % 3 + 1 as bigint) AS cr_call_center_sk,
-            |  l_extendedprice * (1 - l_discount) AS cr_return_amount
+            |  l_extendedprice * (1 - l_discount) AS cr_return_amount,
+            |  l_partkey AS cr_item_sk,
+            |  o_orderkey AS cr_order_number,
+            |  o_custkey AS cr_returning_customer_sk,
+            |  l_quantity AS cr_return_quantity
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 2
             |  AND l_returnflag = 'R'""".stripMargin)
@@ -182,7 +190,13 @@ object TpcdsSql extends QueryPack {
             |  l_quantity AS cs_quantity,
             |  l_extendedprice AS cs_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
-            |    AS cs_net_profit
+            |    AS cs_net_profit,
+            |  o_orderkey AS cs_order_number,
+            |  cast(datediff(cast(l_shipdate as date),
+            |    DATE '1995-01-01') + 2450000 as bigint)
+            |    AS cs_ship_date_sk,
+            |  cast(l_suppkey % 4 + 1 as bigint) AS cs_warehouse_sk,
+            |  cast(l_partkey % 50 + 1 as bigint) AS cs_promo_sk
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 2""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
@@ -210,6 +224,20 @@ object TpcdsSql extends QueryPack {
             |  cast(c_custkey % 10 as bigint) AS hd_dep_count,
             |  cast(c_custkey % 5 as bigint) AS hd_vehicle_count
             |FROM customer""".stripMargin)
+    // the 3 call centers the catalog channel's suppkey%3 slices onto
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW call_center AS
+            |SELECT cast(sk as bigint) AS cc_call_center_sk,
+            |  concat('CC', cast(sk as string)) AS cc_name,
+            |  CASE cast(sk % 3 as int) WHEN 0 THEN 'small'
+            |    WHEN 1 THEN 'medium' ELSE 'large' END AS cc_class
+            |FROM (SELECT explode(sequence(1, 3)) AS sk)""".stripMargin)
+    // the 4 warehouses inventory and ship-channel facts key on
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW warehouse AS
+            |SELECT cast(sk as bigint) AS w_warehouse_sk,
+            |  concat('Warehouse', cast(sk as string)) AS w_warehouse_name,
+            |  CASE cast(sk % 4 as int) WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
+            |    WHEN 2 THEN 'TX' ELSE 'NY' END AS w_state
+            |FROM (SELECT explode(sequence(1, 4)) AS sk)""".stripMargin)
     // weekly inventory: part x 4 warehouses x the 52 weeks of 1998
     // (day offset 1096 = 1995-01-01 → 1998-01-01), quantity by integer
     // hash — the Q21/Q39/Q72/Q82 fact. Scale: rows = items x 4 x 52,
@@ -293,7 +321,10 @@ object TpcdsSql extends QueryPack {
       |    l_partkey AS wr_item_sk,
       |    o_custkey AS wr_refunded_customer_sk,
       |    l_quantity AS wr_return_quantity,
-      |    l_extendedprice * (1 - l_discount) AS wr_return_amt
+      |    l_extendedprice * (1 - l_discount) AS wr_return_amt,
+      |    CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS wr_returned_date_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 1
       |    AND l_returnflag = 'R'),
@@ -314,7 +345,11 @@ object TpcdsSql extends QueryPack {
       |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
       |      AS cr_returned_date_sk,
       |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cr_call_center_sk,
-      |    l_extendedprice * (1 - l_discount) AS cr_return_amount
+      |    l_extendedprice * (1 - l_discount) AS cr_return_amount,
+      |    l_partkey AS cr_item_sk,
+      |    o_orderkey AS cr_order_number,
+      |    o_custkey AS cr_returning_customer_sk,
+      |    l_quantity AS cr_return_quantity
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 2
       |    AND l_returnflag = 'R'),
@@ -357,7 +392,13 @@ object TpcdsSql extends QueryPack {
       |    CAST(l_suppkey % 3 + 1 AS BIGINT) AS cs_call_center_sk,
       |    l_quantity AS cs_quantity,
       |    l_extendedprice AS cs_ext_sales_price,
-      |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit
+      |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS cs_net_profit,
+      |    o_orderkey AS cs_order_number,
+      |    CAST(datediff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
+      |      AS cs_ship_date_sk,
+      |    CAST(l_suppkey % 4 + 1 AS BIGINT) AS cs_warehouse_sk,
+      |    CAST(l_partkey % 50 + 1 AS BIGINT) AS cs_promo_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 2),
       |customer_demographics AS (
@@ -384,6 +425,18 @@ object TpcdsSql extends QueryPack {
       |    CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
       |    CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count
       |  FROM customer),
+      |call_center AS (
+      |  SELECT CAST(sk AS BIGINT) AS cc_call_center_sk,
+      |    concat('CC', CAST(sk AS VARCHAR)) AS cc_name,
+      |    CASE CAST(sk % 3 AS INT) WHEN 0 THEN 'small'
+      |      WHEN 1 THEN 'medium' ELSE 'large' END AS cc_class
+      |  FROM (SELECT unnest(generate_series(1, 3)) AS sk)),
+      |warehouse AS (
+      |  SELECT CAST(sk AS BIGINT) AS w_warehouse_sk,
+      |    concat('Warehouse', CAST(sk AS VARCHAR)) AS w_warehouse_name,
+      |    CASE CAST(sk % 4 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'CA'
+      |      WHEN 2 THEN 'TX' ELSE 'NY' END AS w_state
+      |  FROM (SELECT unnest(generate_series(1, 4)) AS sk)),
       |inventory AS (
       |  SELECT CAST(2450000 + 1096 + wk * 7 AS BIGINT) AS inv_date_sk,
       |    p_partkey AS inv_item_sk,
@@ -2143,7 +2196,305 @@ object TpcdsSql extends QueryPack {
         |GROUP BY ROLLUP(channel, i_brand_id, i_category_id)
         |ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
         |  i_category_id NULLS FIRST
-        |LIMIT 100""".stripMargin))
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q49: worst return ratios per channel — each channel's
+    // sales LEFT JOIN returns on (order/ticket, item), quantity and
+    // currency ratios double-ranked, top-10 of either rank. The
+    // quantity ratio divides exact whole-number sums; the currency
+    // ratio rounds (+5e-7, 6dp) BEFORE ranking so rank cutoffs are
+    // engine-stable.
+    "qv8_tpcds_q49" -> ((s, dir) => sql(s, dir,
+      """SELECT channel, item, return_ratio,
+        |  cast(return_rank as bigint) AS return_rank,
+        |  cast(currency_rank as bigint) AS currency_rank
+        |FROM (
+        | SELECT 'web' AS channel, in_web.item, in_web.return_ratio,
+        |   rank() OVER (ORDER BY in_web.return_ratio, in_web.item)
+        |     return_rank,
+        |   rank() OVER (ORDER BY in_web.currency_ratio, in_web.item)
+        |     currency_rank
+        | FROM (SELECT ws.ws_item_sk AS item,
+        |     round(sum(coalesce(wr.wr_return_quantity, 0))
+        |       / sum(coalesce(ws.ws_quantity, 0)) + 5e-7, 6)
+        |       AS return_ratio,
+        |     round(sum(coalesce(wr.wr_return_amt, 0))
+        |       / sum(coalesce(ws.ws_ext_sales_price, 0)) + 5e-7, 6)
+        |       AS currency_ratio
+        |   FROM web_sales ws LEFT JOIN web_returns wr
+        |     ON (ws.ws_order_number = wr.wr_order_number
+        |       AND ws.ws_item_sk = wr.wr_item_sk), date_dim
+        |   WHERE wr.wr_return_amt > 10000
+        |     AND ws.ws_sold_date_sk = d_date_sk
+        |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+        |   GROUP BY ws.ws_item_sk) in_web
+        | UNION ALL
+        | SELECT 'catalog' AS channel, in_cat.item, in_cat.return_ratio,
+        |   rank() OVER (ORDER BY in_cat.return_ratio, in_cat.item)
+        |     return_rank,
+        |   rank() OVER (ORDER BY in_cat.currency_ratio, in_cat.item)
+        |     currency_rank
+        | FROM (SELECT cs.cs_item_sk AS item,
+        |     round(sum(coalesce(cr.cr_return_quantity, 0))
+        |       / sum(coalesce(cs.cs_quantity, 0)) + 5e-7, 6)
+        |       AS return_ratio,
+        |     round(sum(coalesce(cr.cr_return_amount, 0))
+        |       / sum(coalesce(cs.cs_ext_sales_price, 0)) + 5e-7, 6)
+        |       AS currency_ratio
+        |   FROM catalog_sales cs LEFT JOIN catalog_returns cr
+        |     ON (cs.cs_order_number = cr.cr_order_number
+        |       AND cs.cs_item_sk = cr.cr_item_sk), date_dim
+        |   WHERE cr.cr_return_amount > 10000
+        |     AND cs.cs_sold_date_sk = d_date_sk
+        |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+        |   GROUP BY cs.cs_item_sk) in_cat
+        | UNION ALL
+        | SELECT 'store' AS channel, in_str.item, in_str.return_ratio,
+        |   rank() OVER (ORDER BY in_str.return_ratio, in_str.item)
+        |     return_rank,
+        |   rank() OVER (ORDER BY in_str.currency_ratio, in_str.item)
+        |     currency_rank
+        | FROM (SELECT ss.ss_item_sk AS item,
+        |     round(sum(coalesce(sr.sr_return_quantity, 0))
+        |       / sum(coalesce(ss.ss_quantity, 0)) + 5e-7, 6)
+        |       AS return_ratio,
+        |     round(sum(coalesce(sr.sr_return_amt, 0))
+        |       / sum(coalesce(ss.ss_ext_sales_price, 0)) + 5e-7, 6)
+        |       AS currency_ratio
+        |   FROM store_sales ss LEFT JOIN store_returns sr
+        |     ON (ss.ss_ticket_number = sr.sr_ticket_number
+        |       AND ss.ss_item_sk = sr.sr_item_sk), date_dim
+        |   WHERE sr.sr_return_amt > 10000
+        |     AND ss.ss_sold_date_sk = d_date_sk
+        |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+        |   GROUP BY ss.ss_item_sk) in_str) t
+        |WHERE return_rank <= 10 OR currency_rank <= 10
+        |ORDER BY channel, return_rank, currency_rank, item
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q30: web-returns customers 20% above their state's
+    // average — Q1's shape on the web channel with the customer-
+    // address star.
+    "qv9_tpcds_q30" -> ((s, dir) => sql(s, dir,
+      """WITH customer_total_return AS (
+        |  SELECT wr_refunded_customer_sk AS ctr_customer_sk,
+        |    ca_state AS ctr_state,
+        |    round(sum(wr_return_amt) + 5e-7, 2) AS ctr_total_return
+        |  FROM web_returns, date_dim, customer_address
+        |  WHERE wr_returned_date_sk = d_date_sk AND d_year = 1998
+        |    AND wr_refunded_customer_sk = ca_address_sk
+        |  GROUP BY wr_refunded_customer_sk, ca_state)
+        |SELECT c_name, ctr1.ctr_total_return AS total_return
+        |FROM customer_total_return ctr1, customer_address, customer c
+        |WHERE ctr1.ctr_total_return > (
+        |    SELECT avg(ctr_total_return) * 1.2
+        |    FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c.c_custkey
+        |  AND ca_state = 'CA'
+        |  AND ctr1.ctr_customer_sk = c.c_custkey
+        |ORDER BY c_name, total_return
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q91: call-center returns loss for a demographic slice of
+    // returning customers in one month.
+    "qw0_tpcds_q91" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(cc_call_center_sk as bigint) AS call_center,
+        |  cc_name, cc_class,
+        |  round(sum(cr_return_amount) + 5e-7, 2) AS returns_loss
+        |FROM call_center, catalog_returns, date_dim,
+        |  customer_demographics, household_demographics
+        |WHERE cr_call_center_sk = cc_call_center_sk
+        |  AND cr_returned_date_sk = d_date_sk
+        |  AND cr_returning_customer_sk = cd_demo_sk
+        |  AND cd_demo_sk = hd_demo_sk
+        |  AND d_year = 1998 AND d_moy = 11
+        |  AND ((cd_marital_status = 'M'
+        |      AND cd_education_status = 'College')
+        |    OR (cd_marital_status = 'D'
+        |      AND cd_education_status = 'Primary'))
+        |  AND hd_vehicle_count > 0
+        |GROUP BY cc_call_center_sk, cc_name, cc_class
+        |ORDER BY returns_loss DESC, call_center""".stripMargin)),
+
+    // TPC-DS Q75: year-over-year net-of-returns sales count by brand —
+    // each channel's sales LEFT JOINed to its returns, UNIONed
+    // (deduped on bitwise-identical rows), re-aggregated per year,
+    // then the >10% shrink cohort via exact integer-sum division.
+    "qw1_tpcds_q75" -> ((s, dir) => sql(s, dir,
+      """WITH all_sales AS (
+        |  SELECT d_year, i_brand_id, i_category_id,
+        |    sum(sales_cnt) AS sales_cnt,
+        |    round(sum(sales_amt) + 5e-7, 2) AS sales_amt
+        |  FROM (
+        |    SELECT d_year, i_brand_id, i_category_id,
+        |      cs_quantity - coalesce(cr_return_quantity, 0)
+        |        AS sales_cnt,
+        |      cs_ext_sales_price - coalesce(cr_return_amount, 0.0)
+        |        AS sales_amt
+        |    FROM catalog_sales
+        |      JOIN item ON i_item_sk = cs_item_sk
+        |      JOIN date_dim ON d_date_sk = cs_sold_date_sk
+        |      LEFT JOIN catalog_returns
+        |        ON cr_order_number = cs_order_number
+        |          AND cs_item_sk = cr_item_sk
+        |    WHERE i_category = 'ECONOMY'
+        |    UNION
+        |    SELECT d_year, i_brand_id, i_category_id,
+        |      ss_quantity - coalesce(sr_return_quantity, 0),
+        |      ss_ext_sales_price - coalesce(sr_return_amt, 0.0)
+        |    FROM store_sales
+        |      JOIN item ON i_item_sk = ss_item_sk
+        |      JOIN date_dim ON d_date_sk = ss_sold_date_sk
+        |      LEFT JOIN store_returns
+        |        ON sr_ticket_number = ss_ticket_number
+        |          AND ss_item_sk = sr_item_sk
+        |    WHERE i_category = 'ECONOMY'
+        |    UNION
+        |    SELECT d_year, i_brand_id, i_category_id,
+        |      ws_quantity - coalesce(wr_return_quantity, 0),
+        |      ws_ext_sales_price - coalesce(wr_return_amt, 0.0)
+        |    FROM web_sales
+        |      JOIN item ON i_item_sk = ws_item_sk
+        |      JOIN date_dim ON d_date_sk = ws_sold_date_sk
+        |      LEFT JOIN web_returns
+        |        ON wr_order_number = ws_order_number
+        |          AND ws_item_sk = wr_item_sk
+        |    WHERE i_category = 'ECONOMY') sales_detail
+        |  GROUP BY d_year, i_brand_id, i_category_id)
+        |SELECT cast(prev_yr.d_year as bigint) AS prev_year,
+        |  cast(curr_yr.d_year as bigint) AS cur_year,
+        |  cast(curr_yr.i_brand_id as bigint) AS i_brand_id,
+        |  cast(curr_yr.i_category_id as bigint) AS i_category_id,
+        |  cast(prev_yr.sales_cnt as bigint) AS prev_yr_cnt,
+        |  cast(curr_yr.sales_cnt as bigint) AS curr_yr_cnt,
+        |  cast(curr_yr.sales_cnt - prev_yr.sales_cnt as bigint)
+        |    AS sales_cnt_diff
+        |FROM all_sales curr_yr, all_sales prev_yr
+        |WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+        |  AND curr_yr.i_category_id = prev_yr.i_category_id
+        |  AND curr_yr.d_year = 1999 AND prev_yr.d_year = 1998
+        |  AND prev_yr.sales_cnt > 0
+        |  AND cast(curr_yr.sales_cnt as double)
+        |    / cast(prev_yr.sales_cnt as double) < 0.9
+        |ORDER BY sales_cnt_diff, i_brand_id, i_category_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q78: the store-loyalty ratio — per (year, item, customer)
+    // un-returned sales in each channel (LEFT JOIN returns, keep only
+    // null matches), store quantity against web+catalog quantity.
+    // All ratios divide exact whole-number sums.
+    "qw2_tpcds_q78" -> ((s, dir) => sql(s, dir,
+      """WITH ws AS (
+        |  SELECT d_year AS ws_sold_year, ws_item_sk,
+        |    ws_bill_customer_sk ws_customer_sk,
+        |    sum(ws_quantity) ws_qty
+        |  FROM web_sales
+        |  LEFT JOIN web_returns ON wr_order_number = ws_order_number
+        |    AND ws_item_sk = wr_item_sk
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE wr_order_number IS NULL
+        |  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+        |cs AS (
+        |  SELECT d_year AS cs_sold_year, cs_item_sk,
+        |    cs_bill_customer_sk cs_customer_sk,
+        |    sum(cs_quantity) cs_qty
+        |  FROM catalog_sales
+        |  LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+        |    AND cs_item_sk = cr_item_sk
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE cr_order_number IS NULL
+        |  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+        |ss AS (
+        |  SELECT d_year AS ss_sold_year, ss_item_sk,
+        |    ss_customer_sk,
+        |    sum(ss_quantity) ss_qty
+        |  FROM store_sales
+        |  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE sr_ticket_number IS NULL
+        |  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+        |SELECT cast(ss_item_sk as bigint) AS ss_item_sk,
+        |  cast(ss_customer_sk as bigint) AS ss_customer_sk,
+        |  round(ss_qty / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0))
+        |    + 5e-7, 2) ratio,
+        |  cast(ss_qty as bigint) store_qty,
+        |  cast(coalesce(ws_qty, 0) + coalesce(cs_qty, 0) as bigint)
+        |    other_chan_qty
+        |FROM ss LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+        |    AND ws_item_sk = ss_item_sk
+        |    AND ws_customer_sk = ss_customer_sk)
+        |  LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+        |    AND cs_item_sk = ss_item_sk
+        |    AND cs_customer_sk = ss_customer_sk)
+        |WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+        |  AND ss_sold_year = 1998
+        |ORDER BY ratio, ss_qty DESC, ss_item_sk, ss_customer_sk
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q16: the catalog shipping report — orders shipped from
+    // more than one warehouse (correlated EXISTS on a second fact
+    // alias) with no returns (NOT EXISTS), distinct-order count plus
+    // money sums over a 60-day ship window.
+    "qw3_tpcds_q16" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(count(DISTINCT cs_order_number) as bigint)
+        |    AS order_count,
+        |  round(sum(cs_ext_sales_price) + 5e-7, 2) AS total_sales,
+        |  round(sum(cs_net_profit) + 5e-7, 2) AS total_net_profit
+        |FROM catalog_sales cs1, date_dim, customer_address, call_center
+        |WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+        |  AND cs1.cs_ship_date_sk = d_date_sk
+        |  AND cs1.cs_bill_customer_sk = ca_address_sk
+        |  AND ca_state = 'CA'
+        |  AND cs1.cs_call_center_sk = cc_call_center_sk
+        |  AND cc_class IN ('small', 'medium')
+        |  AND EXISTS (SELECT * FROM catalog_sales cs2
+        |    WHERE cs1.cs_order_number = cs2.cs_order_number
+        |      AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        |  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+        |    WHERE cs1.cs_order_number = cr1.cr_order_number)""".stripMargin)),
+
+    // TPC-DS Q66: the warehouse shipping pivot — web and catalog
+    // ship-date facts UNION ALLed into a per-warehouse quarterly
+    // matrix, re-aggregated over the union.
+    "qw4_tpcds_q66" -> ((s, dir) => sql(s, dir,
+      """SELECT w_warehouse_name, w_state,
+        |  cast(d_year as bigint) AS ship_year,
+        |  round(sum(q1_sales) + 5e-7, 2) AS q1_sales,
+        |  round(sum(q2_sales) + 5e-7, 2) AS q2_sales,
+        |  round(sum(q3_sales) + 5e-7, 2) AS q3_sales,
+        |  round(sum(q4_sales) + 5e-7, 2) AS q4_sales
+        |FROM (
+        |  SELECT w_warehouse_name, w_state, d_year,
+        |    sum(CASE WHEN d_qoy = 1 THEN ws_ext_sales_price
+        |      ELSE 0 END) AS q1_sales,
+        |    sum(CASE WHEN d_qoy = 2 THEN ws_ext_sales_price
+        |      ELSE 0 END) AS q2_sales,
+        |    sum(CASE WHEN d_qoy = 3 THEN ws_ext_sales_price
+        |      ELSE 0 END) AS q3_sales,
+        |    sum(CASE WHEN d_qoy = 4 THEN ws_ext_sales_price
+        |      ELSE 0 END) AS q4_sales
+        |  FROM web_sales, warehouse, date_dim
+        |  WHERE ws_ship_date_sk = d_date_sk
+        |    AND ws_warehouse_sk = w_warehouse_sk AND d_year = 1998
+        |  GROUP BY w_warehouse_name, w_state, d_year
+        |  UNION ALL
+        |  SELECT w_warehouse_name, w_state, d_year,
+        |    sum(CASE WHEN d_qoy = 1 THEN cs_ext_sales_price
+        |      ELSE 0 END) AS q1_sales,
+        |    sum(CASE WHEN d_qoy = 2 THEN cs_ext_sales_price
+        |      ELSE 0 END) AS q2_sales,
+        |    sum(CASE WHEN d_qoy = 3 THEN cs_ext_sales_price
+        |      ELSE 0 END) AS q3_sales,
+        |    sum(CASE WHEN d_qoy = 4 THEN cs_ext_sales_price
+        |      ELSE 0 END) AS q4_sales
+        |  FROM catalog_sales, warehouse, date_dim
+        |  WHERE cs_ship_date_sk = d_date_sk
+        |    AND cs_warehouse_sk = w_warehouse_sk AND d_year = 1998
+        |  GROUP BY w_warehouse_name, w_state, d_year) x
+        |GROUP BY w_warehouse_name, w_state, d_year
+        |ORDER BY w_warehouse_name""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -3689,6 +4040,285 @@ object TpcdsSql extends QueryPack {
          |GROUP BY ROLLUP(channel, i_brand_id, i_category_id)
          |ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
          |  i_category_id NULLS FIRST
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    "qv8_tpcds_q49" ->
+      s"""WITH $dsCte
+         |SELECT channel, item, return_ratio,
+         |  CAST(return_rank AS BIGINT) AS return_rank,
+         |  CAST(currency_rank AS BIGINT) AS currency_rank
+         |FROM (
+         | SELECT 'web' AS channel, in_web.item, in_web.return_ratio,
+         |   rank() OVER (ORDER BY in_web.return_ratio, in_web.item)
+         |     return_rank,
+         |   rank() OVER (ORDER BY in_web.currency_ratio, in_web.item)
+         |     currency_rank
+         | FROM (SELECT ws.ws_item_sk AS item,
+         |     round(sum(coalesce(wr.wr_return_quantity, 0))
+         |       / sum(coalesce(ws.ws_quantity, 0)) + 5e-7, 6)
+         |       AS return_ratio,
+         |     round(sum(coalesce(wr.wr_return_amt, 0))
+         |       / sum(coalesce(ws.ws_ext_sales_price, 0)) + 5e-7, 6)
+         |       AS currency_ratio
+         |   FROM web_sales ws LEFT JOIN web_returns wr
+         |     ON (ws.ws_order_number = wr.wr_order_number
+         |       AND ws.ws_item_sk = wr.wr_item_sk), date_dim
+         |   WHERE wr.wr_return_amt > 10000
+         |     AND ws.ws_sold_date_sk = d_date_sk
+         |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+         |   GROUP BY ws.ws_item_sk) in_web
+         | UNION ALL
+         | SELECT 'catalog' AS channel, in_cat.item, in_cat.return_ratio,
+         |   rank() OVER (ORDER BY in_cat.return_ratio, in_cat.item)
+         |     return_rank,
+         |   rank() OVER (ORDER BY in_cat.currency_ratio, in_cat.item)
+         |     currency_rank
+         | FROM (SELECT cs.cs_item_sk AS item,
+         |     round(sum(coalesce(cr.cr_return_quantity, 0))
+         |       / sum(coalesce(cs.cs_quantity, 0)) + 5e-7, 6)
+         |       AS return_ratio,
+         |     round(sum(coalesce(cr.cr_return_amount, 0))
+         |       / sum(coalesce(cs.cs_ext_sales_price, 0)) + 5e-7, 6)
+         |       AS currency_ratio
+         |   FROM catalog_sales cs LEFT JOIN catalog_returns cr
+         |     ON (cs.cs_order_number = cr.cr_order_number
+         |       AND cs.cs_item_sk = cr.cr_item_sk), date_dim
+         |   WHERE cr.cr_return_amount > 10000
+         |     AND cs.cs_sold_date_sk = d_date_sk
+         |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+         |   GROUP BY cs.cs_item_sk) in_cat
+         | UNION ALL
+         | SELECT 'store' AS channel, in_str.item, in_str.return_ratio,
+         |   rank() OVER (ORDER BY in_str.return_ratio, in_str.item)
+         |     return_rank,
+         |   rank() OVER (ORDER BY in_str.currency_ratio, in_str.item)
+         |     currency_rank
+         | FROM (SELECT ss.ss_item_sk AS item,
+         |     round(sum(coalesce(sr.sr_return_quantity, 0))
+         |       / sum(coalesce(ss.ss_quantity, 0)) + 5e-7, 6)
+         |       AS return_ratio,
+         |     round(sum(coalesce(sr.sr_return_amt, 0))
+         |       / sum(coalesce(ss.ss_ext_sales_price, 0)) + 5e-7, 6)
+         |       AS currency_ratio
+         |   FROM store_sales ss LEFT JOIN store_returns sr
+         |     ON (ss.ss_ticket_number = sr.sr_ticket_number
+         |       AND ss.ss_item_sk = sr.sr_item_sk), date_dim
+         |   WHERE sr.sr_return_amt > 10000
+         |     AND ss.ss_sold_date_sk = d_date_sk
+         |     AND d_year = 1998 AND d_moy BETWEEN 1 AND 6
+         |   GROUP BY ss.ss_item_sk) in_str) t
+         |WHERE return_rank <= 10 OR currency_rank <= 10
+         |ORDER BY channel, return_rank, currency_rank, item
+         |LIMIT 100""".stripMargin,
+
+    "qv9_tpcds_q30" ->
+      s"""WITH $dsCte,
+         |customer_total_return AS (
+         |  SELECT wr_refunded_customer_sk AS ctr_customer_sk,
+         |    ca_state AS ctr_state,
+         |    round(sum(wr_return_amt) + 5e-7, 2) AS ctr_total_return
+         |  FROM web_returns, date_dim, customer_address
+         |  WHERE wr_returned_date_sk = d_date_sk AND d_year = 1998
+         |    AND wr_refunded_customer_sk = ca_address_sk
+         |  GROUP BY wr_refunded_customer_sk, ca_state)
+         |SELECT c_name, ctr1.ctr_total_return AS total_return
+         |FROM customer_total_return ctr1, customer_address, customer c
+         |WHERE ctr1.ctr_total_return > (
+         |    SELECT avg(ctr_total_return) * 1.2
+         |    FROM customer_total_return ctr2
+         |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+         |  AND ca_address_sk = c.c_custkey
+         |  AND ca_state = 'CA'
+         |  AND ctr1.ctr_customer_sk = c.c_custkey
+         |ORDER BY c_name, total_return
+         |LIMIT 100""".stripMargin,
+
+    "qw0_tpcds_q91" ->
+      s"""WITH $dsCte
+         |SELECT CAST(cc_call_center_sk AS BIGINT) AS call_center,
+         |  cc_name, cc_class,
+         |  round(sum(cr_return_amount) + 5e-7, 2) AS returns_loss
+         |FROM call_center, catalog_returns, date_dim,
+         |  customer_demographics, household_demographics
+         |WHERE cr_call_center_sk = cc_call_center_sk
+         |  AND cr_returned_date_sk = d_date_sk
+         |  AND cr_returning_customer_sk = cd_demo_sk
+         |  AND cd_demo_sk = hd_demo_sk
+         |  AND d_year = 1998 AND d_moy = 11
+         |  AND ((cd_marital_status = 'M'
+         |      AND cd_education_status = 'College')
+         |    OR (cd_marital_status = 'D'
+         |      AND cd_education_status = 'Primary'))
+         |  AND hd_vehicle_count > 0
+         |GROUP BY cc_call_center_sk, cc_name, cc_class
+         |ORDER BY returns_loss DESC, call_center""".stripMargin,
+
+    "qw1_tpcds_q75" ->
+      s"""WITH $dsCte,
+         |all_sales AS (
+         |  SELECT d_year, i_brand_id, i_category_id,
+         |    sum(sales_cnt) AS sales_cnt,
+         |    round(sum(sales_amt) + 5e-7, 2) AS sales_amt
+         |  FROM (
+         |    SELECT d_year, i_brand_id, i_category_id,
+         |      cs_quantity - coalesce(cr_return_quantity, 0)
+         |        AS sales_cnt,
+         |      cs_ext_sales_price - coalesce(cr_return_amount, 0.0)
+         |        AS sales_amt
+         |    FROM catalog_sales
+         |      JOIN item ON i_item_sk = cs_item_sk
+         |      JOIN date_dim ON d_date_sk = cs_sold_date_sk
+         |      LEFT JOIN catalog_returns
+         |        ON cr_order_number = cs_order_number
+         |          AND cs_item_sk = cr_item_sk
+         |    WHERE i_category = 'ECONOMY'
+         |    UNION
+         |    SELECT d_year, i_brand_id, i_category_id,
+         |      ss_quantity - coalesce(sr_return_quantity, 0),
+         |      ss_ext_sales_price - coalesce(sr_return_amt, 0.0)
+         |    FROM store_sales
+         |      JOIN item ON i_item_sk = ss_item_sk
+         |      JOIN date_dim ON d_date_sk = ss_sold_date_sk
+         |      LEFT JOIN store_returns
+         |        ON sr_ticket_number = ss_ticket_number
+         |          AND ss_item_sk = sr_item_sk
+         |    WHERE i_category = 'ECONOMY'
+         |    UNION
+         |    SELECT d_year, i_brand_id, i_category_id,
+         |      ws_quantity - coalesce(wr_return_quantity, 0),
+         |      ws_ext_sales_price - coalesce(wr_return_amt, 0.0)
+         |    FROM web_sales
+         |      JOIN item ON i_item_sk = ws_item_sk
+         |      JOIN date_dim ON d_date_sk = ws_sold_date_sk
+         |      LEFT JOIN web_returns
+         |        ON wr_order_number = ws_order_number
+         |          AND ws_item_sk = wr_item_sk
+         |    WHERE i_category = 'ECONOMY') sales_detail
+         |  GROUP BY d_year, i_brand_id, i_category_id)
+         |SELECT CAST(prev_yr.d_year AS BIGINT) AS prev_year,
+         |  CAST(curr_yr.d_year AS BIGINT) AS cur_year,
+         |  CAST(curr_yr.i_brand_id AS BIGINT) AS i_brand_id,
+         |  CAST(curr_yr.i_category_id AS BIGINT) AS i_category_id,
+         |  CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt,
+         |  CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt,
+         |  CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT)
+         |    AS sales_cnt_diff
+         |FROM all_sales curr_yr, all_sales prev_yr
+         |WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+         |  AND curr_yr.i_category_id = prev_yr.i_category_id
+         |  AND curr_yr.d_year = 1999 AND prev_yr.d_year = 1998
+         |  AND prev_yr.sales_cnt > 0
+         |  AND CAST(curr_yr.sales_cnt AS DOUBLE)
+         |    / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+         |ORDER BY sales_cnt_diff, i_brand_id, i_category_id
+         |LIMIT 100""".stripMargin,
+
+    "qw2_tpcds_q78" ->
+      s"""WITH $dsCte,
+         |ws AS (
+         |  SELECT d_year AS ws_sold_year, ws_item_sk,
+         |    ws_bill_customer_sk ws_customer_sk,
+         |    sum(ws_quantity) ws_qty
+         |  FROM web_sales
+         |  LEFT JOIN web_returns ON wr_order_number = ws_order_number
+         |    AND ws_item_sk = wr_item_sk
+         |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+         |  WHERE wr_order_number IS NULL
+         |  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+         |cs AS (
+         |  SELECT d_year AS cs_sold_year, cs_item_sk,
+         |    cs_bill_customer_sk cs_customer_sk,
+         |    sum(cs_quantity) cs_qty
+         |  FROM catalog_sales
+         |  LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+         |    AND cs_item_sk = cr_item_sk
+         |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+         |  WHERE cr_order_number IS NULL
+         |  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+         |ss AS (
+         |  SELECT d_year AS ss_sold_year, ss_item_sk,
+         |    ss_customer_sk,
+         |    sum(ss_quantity) ss_qty
+         |  FROM store_sales
+         |  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+         |    AND ss_item_sk = sr_item_sk
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  WHERE sr_ticket_number IS NULL
+         |  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+         |SELECT CAST(ss_item_sk AS BIGINT) AS ss_item_sk,
+         |  CAST(ss_customer_sk AS BIGINT) AS ss_customer_sk,
+         |  round(ss_qty / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0))
+         |    + 5e-7, 2) ratio,
+         |  CAST(ss_qty AS BIGINT) store_qty,
+         |  CAST(coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS BIGINT)
+         |    other_chan_qty
+         |FROM ss LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+         |    AND ws_item_sk = ss_item_sk
+         |    AND ws_customer_sk = ss_customer_sk)
+         |  LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+         |    AND cs_item_sk = ss_item_sk
+         |    AND cs_customer_sk = ss_customer_sk)
+         |WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+         |  AND ss_sold_year = 1998
+         |ORDER BY ratio, ss_qty DESC, ss_item_sk, ss_customer_sk
+         |LIMIT 100""".stripMargin,
+
+    "qw3_tpcds_q16" ->
+      s"""WITH $dsCte
+         |SELECT CAST(count(DISTINCT cs_order_number) AS BIGINT)
+         |    AS order_count,
+         |  round(sum(cs_ext_sales_price) + 5e-7, 2) AS total_sales,
+         |  round(sum(cs_net_profit) + 5e-7, 2) AS total_net_profit
+         |FROM catalog_sales cs1, date_dim, customer_address, call_center
+         |WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-04-02'
+         |  AND cs1.cs_ship_date_sk = d_date_sk
+         |  AND cs1.cs_bill_customer_sk = ca_address_sk
+         |  AND ca_state = 'CA'
+         |  AND cs1.cs_call_center_sk = cc_call_center_sk
+         |  AND cc_class IN ('small', 'medium')
+         |  AND EXISTS (SELECT * FROM catalog_sales cs2
+         |    WHERE cs1.cs_order_number = cs2.cs_order_number
+         |      AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+         |  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+         |    WHERE cs1.cs_order_number = cr1.cr_order_number)""".stripMargin,
+
+    "qw4_tpcds_q66" ->
+      s"""WITH $dsCte
+         |SELECT w_warehouse_name, w_state,
+         |  CAST(d_year AS BIGINT) AS ship_year,
+         |  round(sum(q1_sales) + 5e-7, 2) AS q1_sales,
+         |  round(sum(q2_sales) + 5e-7, 2) AS q2_sales,
+         |  round(sum(q3_sales) + 5e-7, 2) AS q3_sales,
+         |  round(sum(q4_sales) + 5e-7, 2) AS q4_sales
+         |FROM (
+         |  SELECT w_warehouse_name, w_state, d_year,
+         |    sum(CASE WHEN d_qoy = 1 THEN ws_ext_sales_price
+         |      ELSE 0 END) AS q1_sales,
+         |    sum(CASE WHEN d_qoy = 2 THEN ws_ext_sales_price
+         |      ELSE 0 END) AS q2_sales,
+         |    sum(CASE WHEN d_qoy = 3 THEN ws_ext_sales_price
+         |      ELSE 0 END) AS q3_sales,
+         |    sum(CASE WHEN d_qoy = 4 THEN ws_ext_sales_price
+         |      ELSE 0 END) AS q4_sales
+         |  FROM web_sales, warehouse, date_dim
+         |  WHERE ws_ship_date_sk = d_date_sk
+         |    AND ws_warehouse_sk = w_warehouse_sk AND d_year = 1998
+         |  GROUP BY w_warehouse_name, w_state, d_year
+         |  UNION ALL
+         |  SELECT w_warehouse_name, w_state, d_year,
+         |    sum(CASE WHEN d_qoy = 1 THEN cs_ext_sales_price
+         |      ELSE 0 END) AS q1_sales,
+         |    sum(CASE WHEN d_qoy = 2 THEN cs_ext_sales_price
+         |      ELSE 0 END) AS q2_sales,
+         |    sum(CASE WHEN d_qoy = 3 THEN cs_ext_sales_price
+         |      ELSE 0 END) AS q3_sales,
+         |    sum(CASE WHEN d_qoy = 4 THEN cs_ext_sales_price
+         |      ELSE 0 END) AS q4_sales
+         |  FROM catalog_sales, warehouse, date_dim
+         |  WHERE cs_ship_date_sk = d_date_sk
+         |    AND cs_warehouse_sk = w_warehouse_sk AND d_year = 1998
+         |  GROUP BY w_warehouse_name, w_state, d_year) x
+         |GROUP BY w_warehouse_name, w_state, d_year
+         |ORDER BY w_warehouse_name""".stripMargin
   )
 }
