@@ -67,6 +67,7 @@ object TpcdsSql extends QueryPack {
             |  o_custkey AS ss_hdemo_sk,
             |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
             |    as bigint) AS ss_sold_time_sk,
+            |  l_suppkey AS ss_addr_sk,
             |  o_orderkey AS ss_ticket_number,
             |  l_quantity AS ss_quantity,
             |  l_extendedprice / l_quantity AS ss_list_price,
@@ -177,7 +178,8 @@ object TpcdsSql extends QueryPack {
             |    AS ca_zip,
             |  CASE cast(c_custkey % 7 as int) WHEN 0 THEN 'TN'
             |    WHEN 1 THEN 'CA' WHEN 2 THEN 'TX' WHEN 3 THEN 'NY'
-            |    WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state
+            |    WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state,
+            |  concat('City', cast(c_custkey % 30 as string)) AS ca_city
             |FROM customer""".stripMargin)
     // catalog channel: the (orderkey + linenumber) % 3 = 2 slice (web
     // takes ≡ 1; ≡ 0 lines are store-only — see the web_sales note)
@@ -286,6 +288,7 @@ object TpcdsSql extends QueryPack {
       |    o_custkey AS ss_cdemo_sk, o_custkey AS ss_hdemo_sk,
       |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
       |      AS BIGINT) AS ss_sold_time_sk,
+      |    l_suppkey AS ss_addr_sk,
       |    o_orderkey AS ss_ticket_number,
       |    l_quantity AS ss_quantity,
       |    l_extendedprice / l_quantity AS ss_list_price,
@@ -381,7 +384,8 @@ object TpcdsSql extends QueryPack {
       |      AS ca_zip,
       |    CASE CAST(c_custkey % 7 AS INT) WHEN 0 THEN 'TN'
       |      WHEN 1 THEN 'CA' WHEN 2 THEN 'TX' WHEN 3 THEN 'NY'
-      |      WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state
+      |      WHEN 4 THEN 'WA' WHEN 5 THEN 'OR' ELSE 'FL' END AS ca_state,
+      |    concat('City', CAST(c_custkey % 30 AS VARCHAR)) AS ca_city
       |  FROM customer),
       |catalog_sales AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01',
@@ -2494,7 +2498,121 @@ object TpcdsSql extends QueryPack {
         |    AND cs_warehouse_sk = w_warehouse_sk AND d_year = 1998
         |  GROUP BY w_warehouse_name, w_state, d_year) x
         |GROUP BY w_warehouse_name, w_state, d_year
-        |ORDER BY w_warehouse_name""".stripMargin))
+        |ORDER BY w_warehouse_name""".stripMargin)),
+
+    // TPC-DS Q46: weekend baskets bought in a different city than the
+    // customer lives in — the per-ticket address (ss_addr_sk) joins
+    // customer_address TWICE, once for the basket, once for the
+    // customer's current address, keeping city mismatches.
+    "qw5_tpcds_q46" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, ca_city, bought_city, ss_ticket_number,
+        |  amt, profit
+        |FROM (SELECT ss_ticket_number, ss_customer_sk,
+        |        ca_city AS bought_city,
+        |        round(sum(ss_coupon_amt) + 5e-7, 2) AS amt,
+        |        round(sum(ss_net_profit) + 5e-7, 2) AS profit
+        |      FROM store_sales, date_dim, store,
+        |        household_demographics, customer_address
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND ss_hdemo_sk = hd_demo_sk
+        |        AND ss_addr_sk = ca_address_sk
+        |        AND (hd_dep_count = 5 OR hd_vehicle_count = 3)
+        |        AND d_day_name IN ('Saturday', 'Sunday')
+        |        AND d_year IN (1998, 1999, 2000)
+        |        AND s_state IN ('TN', 'CA')
+        |      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+        |        ca_city) dn,
+        |  customer, customer_address current_addr
+        |WHERE ss_customer_sk = c_custkey
+        |  AND current_addr.ca_address_sk = c_custkey
+        |  AND current_addr.ca_city <> bought_city
+        |ORDER BY c_name, ss_ticket_number, ca_city, bought_city,
+        |  amt, profit
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q68: Q46's sibling — start-of-month baskets, sales and
+    // coupon measures, same dual-address city mismatch.
+    "qw6_tpcds_q68" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, ca_city, bought_city, ss_ticket_number,
+        |  extended_price, extended_coupon
+        |FROM (SELECT ss_ticket_number, ss_customer_sk,
+        |        ca_city AS bought_city,
+        |        round(sum(ss_ext_sales_price) + 5e-7, 2)
+        |          AS extended_price,
+        |        round(sum(ss_coupon_amt) + 5e-7, 2) AS extended_coupon
+        |      FROM store_sales, date_dim, store,
+        |        household_demographics, customer_address
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND ss_hdemo_sk = hd_demo_sk
+        |        AND ss_addr_sk = ca_address_sk
+        |        AND (hd_dep_count = 6 OR hd_vehicle_count = 2)
+        |        AND d_dom BETWEEN 1 AND 2
+        |        AND d_year IN (1998, 1999, 2000)
+        |        AND s_state IN ('TX', 'NY')
+        |      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+        |        ca_city) dn,
+        |  customer, customer_address current_addr
+        |WHERE ss_customer_sk = c_custkey
+        |  AND current_addr.ca_address_sk = c_custkey
+        |  AND current_addr.ca_city <> bought_city
+        |ORDER BY c_name, ss_ticket_number, ca_city, bought_city,
+        |  extended_price, extended_coupon
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q64: the cross-year mega-join skeleton — items whose
+    // catalog sales cleared 2x their refunds (cs_ui HAVING), their
+    // store sales+returns star with customer and BOTH addresses, built
+    // per year and self-joined across 1998/1999 where repeat counts
+    // did not grow. The widest join tree in the pack: two facts, a
+    // derived exclusion aggregate, and six dimensions per year slice.
+    "qw7_tpcds_q64" -> ((s, dir) => sql(s, dir,
+      """WITH cs_ui AS (
+        |  SELECT cs_item_sk,
+        |    sum(cs_ext_sales_price) AS sale,
+        |    sum(cr_return_amount) AS refund
+        |  FROM catalog_sales, catalog_returns
+        |  WHERE cs_item_sk = cr_item_sk
+        |    AND cs_order_number = cr_order_number
+        |  GROUP BY cs_item_sk
+        |  HAVING round(sum(cs_ext_sales_price) + 5e-7, 2)
+        |    > round(1.05 * sum(cr_return_amount) + 5e-7, 2)),
+        |cross_sales AS (
+        |  SELECT i_item_id AS item_id, ss_item_sk AS item_sk,
+        |    s_store_name AS store_name, d1.d_year AS syear,
+        |    count(*) AS cnt,
+        |    round(sum(ss_ext_sales_price) + 5e-7, 2) AS s1,
+        |    round(sum(ss_coupon_amt) + 5e-7, 2) AS s2,
+        |    round(sum(ss_net_profit) + 5e-7, 2) AS s3
+        |  FROM store_sales, store_returns, cs_ui, date_dim d1,
+        |    store, item, customer, customer_address ad1,
+        |    customer_address ad2
+        |  WHERE ss_item_sk = sr_item_sk
+        |    AND ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = cs_ui.cs_item_sk
+        |    AND ss_sold_date_sk = d1.d_date_sk
+        |    AND ss_store_sk = s_store_sk
+        |    AND ss_customer_sk = c_custkey
+        |    AND ss_addr_sk = ad1.ca_address_sk
+        |    AND c_custkey = ad2.ca_address_sk
+        |    AND i_item_sk = ss_item_sk
+        |    AND i_current_price BETWEEN 900 AND 980
+        |  GROUP BY i_item_id, ss_item_sk, s_store_name, d1.d_year)
+        |SELECT cs1.item_id, cs1.store_name,
+        |  cast(cs1.syear as bigint) AS syear1,
+        |  cast(cs1.cnt as bigint) AS cnt1,
+        |  cs1.s1 AS s1_1, cs1.s2 AS s2_1, cs1.s3 AS s3_1,
+        |  cast(cs2.syear as bigint) AS syear2,
+        |  cast(cs2.cnt as bigint) AS cnt2,
+        |  cs2.s1 AS s1_2, cs2.s2 AS s2_2, cs2.s3 AS s3_2
+        |FROM cross_sales cs1, cross_sales cs2
+        |WHERE cs1.item_sk = cs2.item_sk
+        |  AND cs1.syear = 1998 AND cs2.syear = 1999
+        |  AND cs2.cnt <= cs1.cnt
+        |  AND cs1.store_name = cs2.store_name
+        |ORDER BY cs1.item_id, cs1.store_name, cnt2, s1_1, s1_2
+        |LIMIT 100""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -4319,6 +4437,111 @@ object TpcdsSql extends QueryPack {
          |    AND cs_warehouse_sk = w_warehouse_sk AND d_year = 1998
          |  GROUP BY w_warehouse_name, w_state, d_year) x
          |GROUP BY w_warehouse_name, w_state, d_year
-         |ORDER BY w_warehouse_name""".stripMargin
+         |ORDER BY w_warehouse_name""".stripMargin,
+
+    "qw5_tpcds_q46" ->
+      s"""WITH $dsCte
+         |SELECT c_name, ca_city, bought_city, ss_ticket_number,
+         |  amt, profit
+         |FROM (SELECT ss_ticket_number, ss_customer_sk,
+         |        ca_city AS bought_city,
+         |        round(sum(ss_coupon_amt) + 5e-7, 2) AS amt,
+         |        round(sum(ss_net_profit) + 5e-7, 2) AS profit
+         |      FROM store_sales, date_dim, store,
+         |        household_demographics, customer_address
+         |      WHERE ss_sold_date_sk = d_date_sk
+         |        AND ss_store_sk = s_store_sk
+         |        AND ss_hdemo_sk = hd_demo_sk
+         |        AND ss_addr_sk = ca_address_sk
+         |        AND (hd_dep_count = 5 OR hd_vehicle_count = 3)
+         |        AND d_day_name IN ('Saturday', 'Sunday')
+         |        AND d_year IN (1998, 1999, 2000)
+         |        AND s_state IN ('TN', 'CA')
+         |      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+         |        ca_city) dn,
+         |  customer, customer_address current_addr
+         |WHERE ss_customer_sk = c_custkey
+         |  AND current_addr.ca_address_sk = c_custkey
+         |  AND current_addr.ca_city <> bought_city
+         |ORDER BY c_name, ss_ticket_number, ca_city, bought_city,
+         |  amt, profit
+         |LIMIT 100""".stripMargin,
+
+    "qw6_tpcds_q68" ->
+      s"""WITH $dsCte
+         |SELECT c_name, ca_city, bought_city, ss_ticket_number,
+         |  extended_price, extended_coupon
+         |FROM (SELECT ss_ticket_number, ss_customer_sk,
+         |        ca_city AS bought_city,
+         |        round(sum(ss_ext_sales_price) + 5e-7, 2)
+         |          AS extended_price,
+         |        round(sum(ss_coupon_amt) + 5e-7, 2) AS extended_coupon
+         |      FROM store_sales, date_dim, store,
+         |        household_demographics, customer_address
+         |      WHERE ss_sold_date_sk = d_date_sk
+         |        AND ss_store_sk = s_store_sk
+         |        AND ss_hdemo_sk = hd_demo_sk
+         |        AND ss_addr_sk = ca_address_sk
+         |        AND (hd_dep_count = 6 OR hd_vehicle_count = 2)
+         |        AND d_dom BETWEEN 1 AND 2
+         |        AND d_year IN (1998, 1999, 2000)
+         |        AND s_state IN ('TX', 'NY')
+         |      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+         |        ca_city) dn,
+         |  customer, customer_address current_addr
+         |WHERE ss_customer_sk = c_custkey
+         |  AND current_addr.ca_address_sk = c_custkey
+         |  AND current_addr.ca_city <> bought_city
+         |ORDER BY c_name, ss_ticket_number, ca_city, bought_city,
+         |  extended_price, extended_coupon
+         |LIMIT 100""".stripMargin,
+
+    "qw7_tpcds_q64" ->
+      s"""WITH $dsCte,
+         |cs_ui AS (
+         |  SELECT cs_item_sk,
+         |    sum(cs_ext_sales_price) AS sale,
+         |    sum(cr_return_amount) AS refund
+         |  FROM catalog_sales, catalog_returns
+         |  WHERE cs_item_sk = cr_item_sk
+         |    AND cs_order_number = cr_order_number
+         |  GROUP BY cs_item_sk
+         |  HAVING round(sum(cs_ext_sales_price) + 5e-7, 2)
+         |    > round(1.05 * sum(cr_return_amount) + 5e-7, 2)),
+         |cross_sales AS (
+         |  SELECT i_item_id AS item_id, ss_item_sk AS item_sk,
+         |    s_store_name AS store_name, d1.d_year AS syear,
+         |    count(*) AS cnt,
+         |    round(sum(ss_ext_sales_price) + 5e-7, 2) AS s1,
+         |    round(sum(ss_coupon_amt) + 5e-7, 2) AS s2,
+         |    round(sum(ss_net_profit) + 5e-7, 2) AS s3
+         |  FROM store_sales, store_returns, cs_ui, date_dim d1,
+         |    store, item, customer, customer_address ad1,
+         |    customer_address ad2
+         |  WHERE ss_item_sk = sr_item_sk
+         |    AND ss_ticket_number = sr_ticket_number
+         |    AND ss_item_sk = cs_ui.cs_item_sk
+         |    AND ss_sold_date_sk = d1.d_date_sk
+         |    AND ss_store_sk = s_store_sk
+         |    AND ss_customer_sk = c_custkey
+         |    AND ss_addr_sk = ad1.ca_address_sk
+         |    AND c_custkey = ad2.ca_address_sk
+         |    AND i_item_sk = ss_item_sk
+         |    AND i_current_price BETWEEN 900 AND 980
+         |  GROUP BY i_item_id, ss_item_sk, s_store_name, d1.d_year)
+         |SELECT cs1.item_id, cs1.store_name,
+         |  CAST(cs1.syear AS BIGINT) AS syear1,
+         |  CAST(cs1.cnt AS BIGINT) AS cnt1,
+         |  cs1.s1 AS s1_1, cs1.s2 AS s2_1, cs1.s3 AS s3_1,
+         |  CAST(cs2.syear AS BIGINT) AS syear2,
+         |  CAST(cs2.cnt AS BIGINT) AS cnt2,
+         |  cs2.s1 AS s1_2, cs2.s2 AS s2_2, cs2.s3 AS s3_2
+         |FROM cross_sales cs1, cross_sales cs2
+         |WHERE cs1.item_sk = cs2.item_sk
+         |  AND cs1.syear = 1998 AND cs2.syear = 1999
+         |  AND cs2.cnt <= cs1.cnt
+         |  AND cs1.store_name = cs2.store_name
+         |ORDER BY cs1.item_id, cs1.store_name, cnt2, s1_1, s1_2
+         |LIMIT 100""".stripMargin
   )
 }
