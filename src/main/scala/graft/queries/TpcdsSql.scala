@@ -198,7 +198,13 @@ object TpcdsSql extends QueryPack {
             |    DATE '1995-01-01') + 2450000 as bigint)
             |    AS cs_ship_date_sk,
             |  cast(l_suppkey % 4 + 1 as bigint) AS cs_warehouse_sk,
-            |  cast(l_partkey % 50 + 1 as bigint) AS cs_promo_sk
+            |  cast(l_partkey % 50 + 1 as bigint) AS cs_promo_sk,
+            |  o_custkey AS cs_bill_cdemo_sk,
+            |  l_extendedprice / l_quantity AS cs_list_price,
+            |  l_extendedprice * l_discount AS cs_coupon_amt,
+            |  l_extendedprice * (1 - l_discount) / l_quantity
+            |    AS cs_sales_price,
+            |  l_extendedprice * l_discount AS cs_ext_discount_amt
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 2""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
@@ -402,7 +408,13 @@ object TpcdsSql extends QueryPack {
       |      CAST(l_shipdate AS DATE)) + 2450000 AS BIGINT)
       |      AS cs_ship_date_sk,
       |    CAST(l_suppkey % 4 + 1 AS BIGINT) AS cs_warehouse_sk,
-      |    CAST(l_partkey % 50 + 1 AS BIGINT) AS cs_promo_sk
+      |    CAST(l_partkey % 50 + 1 AS BIGINT) AS cs_promo_sk,
+      |    o_custkey AS cs_bill_cdemo_sk,
+      |    l_extendedprice / l_quantity AS cs_list_price,
+      |    l_extendedprice * l_discount AS cs_coupon_amt,
+      |    l_extendedprice * (1 - l_discount) / l_quantity
+      |      AS cs_sales_price,
+      |    l_extendedprice * l_discount AS cs_ext_discount_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 2),
       |customer_demographics AS (
@@ -2612,6 +2624,133 @@ object TpcdsSql extends QueryPack {
         |  AND cs2.cnt <= cs1.cnt
         |  AND cs1.store_name = cs2.store_name
         |ORDER BY cs1.item_id, cs1.store_name, cnt2, s1_1, s1_2
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q11: Q4's two-channel sibling — store vs web year-over-
+    // year growth per customer, keeping customers whose web ratio beat
+    // their store ratio, reported with the customer name.
+    "qw8_tpcds_q11" -> ((s, dir) => sql(s, dir,
+      """WITH year_total AS (
+        |  SELECT ss_customer_sk AS c_sk, d_year,
+        |    round(sum(ss_ext_sales_price - ss_coupon_amt) + 5e-7, 2)
+        |      AS total, 's' AS channel
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ss_customer_sk, d_year
+        |  UNION ALL
+        |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+        |    round(sum(ws_ext_sales_price - ws_ext_discount_amt) + 5e-7, 2)
+        |      AS total, 'w' AS channel
+        |  FROM web_sales, date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+        |  GROUP BY ws_bill_customer_sk, d_year)
+        |SELECT c_name AS customer_name,
+        |  cast(t_s_fy.c_sk as bigint) AS customer
+        |FROM year_total t_s_fy, year_total t_s_sy,
+        |     year_total t_w_fy, year_total t_w_sy, customer
+        |WHERE t_s_fy.c_sk = t_s_sy.c_sk AND t_s_fy.c_sk = t_w_fy.c_sk
+        |  AND t_s_fy.c_sk = t_w_sy.c_sk AND t_s_fy.c_sk = c_custkey
+        |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+        |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+        |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+        |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+        |  AND t_s_fy.total > 0 AND t_w_fy.total > 0
+        |  AND t_w_sy.total / t_w_fy.total > t_s_sy.total / t_s_fy.total
+        |ORDER BY customer
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q12: Q98's web twin — item revenue share within class
+    // over a 30-day window.
+    "qw9_tpcds_q12" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_category, i_class, i_current_price,
+        |  round(sum(ws_ext_sales_price), 2) AS itemrevenue,
+        |  round(sum(ws_ext_sales_price) * 100.0 /
+        |    sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class), 4)
+        |    AS revenueratio
+        |FROM web_sales, item, date_dim
+        |WHERE ws_item_sk = i_item_sk
+        |  AND i_category IN ('STANDARD', 'SMALL', 'MEDIUM')
+        |  AND ws_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1999-02-22'
+        |    AND (DATE '1999-02-22' + INTERVAL 30 DAY)
+        |GROUP BY i_item_id, i_class, i_category, i_current_price
+        |ORDER BY i_category, i_class, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q20: Q98's catalog twin.
+    "qx0_tpcds_q20" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, i_category, i_class, i_current_price,
+        |  round(sum(cs_ext_sales_price), 2) AS itemrevenue,
+        |  round(sum(cs_ext_sales_price) * 100.0 /
+        |    sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class), 4)
+        |    AS revenueratio
+        |FROM catalog_sales, item, date_dim
+        |WHERE cs_item_sk = i_item_sk
+        |  AND i_category IN ('STANDARD', 'SMALL', 'MEDIUM')
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1999-02-22'
+        |    AND (DATE '1999-02-22' + INTERVAL 30 DAY)
+        |GROUP BY i_item_id, i_class, i_category, i_current_price
+        |ORDER BY i_category, i_class, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q26: Q7's catalog twin — average quantity/list/coupon/
+    // sales price per item for a demographic cohort under promotion.
+    "qx1_tpcds_q26" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id,
+        |  round(avg(cs_quantity) + 5e-7, 2) agg1,
+        |  round(avg(cs_list_price) + 5e-7, 2) agg2,
+        |  round(avg(cs_coupon_amt) + 5e-7, 2) agg3,
+        |  round(avg(cs_sales_price) + 5e-7, 2) agg4
+        |FROM catalog_sales, customer_demographics, date_dim, item,
+        |  promotion
+        |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+        |  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+        |  AND cd_gender = 'F' AND cd_marital_status = 'M'
+        |  AND cd_education_status = 'Primary'
+        |  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+        |  AND d_year = 1998
+        |GROUP BY i_item_id
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q32: Q92's catalog twin — discounts more than 1.3x the
+    // item's windowed average (correlated scalar subquery).
+    "qx2_tpcds_q32" -> ((s, dir) => sql(s, dir,
+      """SELECT round(sum(cs_ext_discount_amt) + 5e-7, 2)
+        |    AS excess_discount
+        |FROM catalog_sales cs1, item, date_dim
+        |WHERE i_item_sk = cs1.cs_item_sk
+        |  AND i_manufact_id BETWEEN 300 AND 600
+        |  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-05-23'
+        |  AND d_date_sk = cs1.cs_sold_date_sk
+        |  AND cs1.cs_ext_discount_amt > (
+        |    SELECT 1.3 * avg(cs_ext_discount_amt)
+        |    FROM catalog_sales cs2, date_dim
+        |    WHERE cs2.cs_item_sk = i_item_sk
+        |      AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-05-23'
+        |      AND d_date_sk = cs2.cs_sold_date_sk)""".stripMargin)),
+
+    // TPC-DS Q63: Q53's manager twin — monthly sales vs the manager's
+    // yearly monthly average, keeping >10% deviations.
+    "qx3_tpcds_q63" -> ((s, dir) => sql(s, dir,
+      """SELECT * FROM (
+        |  SELECT i_manager_id, d_moy,
+        |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+        |    round(avg(sum(ss_sales_price)) OVER (
+        |      PARTITION BY i_manager_id) + 5e-7, 2) avg_monthly_sales
+        |  FROM item, store_sales, date_dim, store
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND ss_store_sk = s_store_sk AND d_year = 1999
+        |    AND ((i_category IN ('LARGE', 'STANDARD')
+        |        AND i_class LIKE '%#1')
+        |      OR (i_category IN ('ECONOMY', 'MEDIUM')
+        |        AND i_class LIKE '%#3'))
+        |  GROUP BY i_manager_id, d_moy) tmp1
+        |WHERE CASE WHEN avg_monthly_sales > 0
+        |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |  ELSE NULL END > 0.1
+        |ORDER BY i_manager_id, avg_monthly_sales, sum_sales, d_moy
         |LIMIT 100""".stripMargin))
   )
 
@@ -4542,6 +4681,127 @@ object TpcdsSql extends QueryPack {
          |  AND cs2.cnt <= cs1.cnt
          |  AND cs1.store_name = cs2.store_name
          |ORDER BY cs1.item_id, cs1.store_name, cnt2, s1_1, s1_2
+         |LIMIT 100""".stripMargin,
+
+    "qw8_tpcds_q11" ->
+      s"""WITH $dsCte,
+         |year_total AS (
+         |  SELECT ss_customer_sk AS c_sk, d_year,
+         |    round(sum(ss_ext_sales_price - ss_coupon_amt) + 5e-7, 2)
+         |      AS total, 's' AS channel
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ss_customer_sk, d_year
+         |  UNION ALL
+         |  SELECT ws_bill_customer_sk AS c_sk, d_year,
+         |    round(sum(ws_ext_sales_price - ws_ext_discount_amt) + 5e-7, 2)
+         |      AS total, 'w' AS channel
+         |  FROM web_sales, date_dim
+         |  WHERE ws_sold_date_sk = d_date_sk AND d_year IN (1998, 1999)
+         |  GROUP BY ws_bill_customer_sk, d_year)
+         |SELECT c_name AS customer_name,
+         |  CAST(t_s_fy.c_sk AS BIGINT) AS customer
+         |FROM year_total t_s_fy, year_total t_s_sy,
+         |     year_total t_w_fy, year_total t_w_sy, customer
+         |WHERE t_s_fy.c_sk = t_s_sy.c_sk AND t_s_fy.c_sk = t_w_fy.c_sk
+         |  AND t_s_fy.c_sk = t_w_sy.c_sk AND t_s_fy.c_sk = c_custkey
+         |  AND t_s_fy.channel = 's' AND t_s_fy.d_year = 1998
+         |  AND t_s_sy.channel = 's' AND t_s_sy.d_year = 1999
+         |  AND t_w_fy.channel = 'w' AND t_w_fy.d_year = 1998
+         |  AND t_w_sy.channel = 'w' AND t_w_sy.d_year = 1999
+         |  AND t_s_fy.total > 0 AND t_w_fy.total > 0
+         |  AND t_w_sy.total / t_w_fy.total > t_s_sy.total / t_s_fy.total
+         |ORDER BY customer
+         |LIMIT 100""".stripMargin,
+
+    "qw9_tpcds_q12" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_category, i_class, i_current_price,
+         |  round(sum(ws_ext_sales_price), 2) AS itemrevenue,
+         |  round(sum(ws_ext_sales_price) * 100.0 /
+         |    sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class), 4)
+         |    AS revenueratio
+         |FROM web_sales, item, date_dim
+         |WHERE ws_item_sk = i_item_sk
+         |  AND i_category IN ('STANDARD', 'SMALL', 'MEDIUM')
+         |  AND ws_sold_date_sk = d_date_sk
+         |  AND d_date BETWEEN DATE '1999-02-22'
+         |    AND (DATE '1999-02-22' + INTERVAL 30 DAY)
+         |GROUP BY i_item_id, i_class, i_category, i_current_price
+         |ORDER BY i_category, i_class, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qx0_tpcds_q20" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, i_category, i_class, i_current_price,
+         |  round(sum(cs_ext_sales_price), 2) AS itemrevenue,
+         |  round(sum(cs_ext_sales_price) * 100.0 /
+         |    sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class), 4)
+         |    AS revenueratio
+         |FROM catalog_sales, item, date_dim
+         |WHERE cs_item_sk = i_item_sk
+         |  AND i_category IN ('STANDARD', 'SMALL', 'MEDIUM')
+         |  AND cs_sold_date_sk = d_date_sk
+         |  AND d_date BETWEEN DATE '1999-02-22'
+         |    AND (DATE '1999-02-22' + INTERVAL 30 DAY)
+         |GROUP BY i_item_id, i_class, i_category, i_current_price
+         |ORDER BY i_category, i_class, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qx1_tpcds_q26" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id,
+         |  round(avg(cs_quantity) + 5e-7, 2) agg1,
+         |  round(avg(cs_list_price) + 5e-7, 2) agg2,
+         |  round(avg(cs_coupon_amt) + 5e-7, 2) agg3,
+         |  round(avg(cs_sales_price) + 5e-7, 2) agg4
+         |FROM catalog_sales, customer_demographics, date_dim, item,
+         |  promotion
+         |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+         |  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+         |  AND cd_gender = 'F' AND cd_marital_status = 'M'
+         |  AND cd_education_status = 'Primary'
+         |  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+         |  AND d_year = 1998
+         |GROUP BY i_item_id
+         |ORDER BY i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qx2_tpcds_q32" ->
+      s"""WITH $dsCte
+         |SELECT round(sum(cs_ext_discount_amt) + 5e-7, 2)
+         |    AS excess_discount
+         |FROM catalog_sales cs1, item, date_dim
+         |WHERE i_item_sk = cs1.cs_item_sk
+         |  AND i_manufact_id BETWEEN 300 AND 600
+         |  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-05-23'
+         |  AND d_date_sk = cs1.cs_sold_date_sk
+         |  AND cs1.cs_ext_discount_amt > (
+         |    SELECT 1.3 * avg(cs_ext_discount_amt)
+         |    FROM catalog_sales cs2, date_dim
+         |    WHERE cs2.cs_item_sk = i_item_sk
+         |      AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-05-23'
+         |      AND d_date_sk = cs2.cs_sold_date_sk)""".stripMargin,
+
+    "qx3_tpcds_q63" ->
+      s"""WITH $dsCte
+         |SELECT * FROM (
+         |  SELECT i_manager_id, d_moy,
+         |    round(sum(ss_sales_price) + 5e-7, 2) sum_sales,
+         |    round(avg(sum(ss_sales_price)) OVER (
+         |      PARTITION BY i_manager_id) + 5e-7, 2) avg_monthly_sales
+         |  FROM item, store_sales, date_dim, store
+         |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+         |    AND ss_store_sk = s_store_sk AND d_year = 1999
+         |    AND ((i_category IN ('LARGE', 'STANDARD')
+         |        AND i_class LIKE '%#1')
+         |      OR (i_category IN ('ECONOMY', 'MEDIUM')
+         |        AND i_class LIKE '%#3'))
+         |  GROUP BY i_manager_id, d_moy) tmp1
+         |WHERE CASE WHEN avg_monthly_sales > 0
+         |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+         |  ELSE NULL END > 0.1
+         |ORDER BY i_manager_id, avg_monthly_sales, sum_sales, d_moy
          |LIMIT 100""".stripMargin
   )
 }
