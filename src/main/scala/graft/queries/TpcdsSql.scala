@@ -67,7 +67,8 @@ object TpcdsSql extends QueryPack {
             |  o_custkey AS ss_hdemo_sk,
             |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
             |    as bigint) AS ss_sold_time_sk,
-            |  l_suppkey AS ss_addr_sk,
+            |  CASE WHEN (o_orderkey * 3 + l_linenumber * 5) % 13 = 0
+            |    THEN NULL ELSE l_suppkey END AS ss_addr_sk,
             |  o_orderkey AS ss_ticket_number,
             |  l_quantity AS ss_quantity,
             |  l_extendedprice / l_quantity AS ss_list_price,
@@ -103,7 +104,9 @@ object TpcdsSql extends QueryPack {
             |  l_extendedprice * l_discount AS ws_ext_discount_amt,
             |  l_extendedprice AS ws_ext_sales_price,
             |  l_extendedprice * (1 - l_discount - l_tax) * 0.1
-            |    AS ws_net_profit
+            |    AS ws_net_profit,
+            |  CASE WHEN (o_orderkey * 5 + l_linenumber * 3) % 11 = 0
+            |    THEN NULL ELSE o_custkey END AS ws_ship_customer_sk
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 1""".stripMargin)
     // web returns: the 'R'-flagged slice of the web channel, returned
@@ -162,7 +165,19 @@ object TpcdsSql extends QueryPack {
             |    AS i_class,
             |  cast(p_partkey % 1000 + 1 as bigint) AS i_manufact_id,
             |  cast(p_partkey % 100 + 1 as bigint) AS i_manager_id,
-            |  p_retailprice AS i_current_price
+            |  p_retailprice AS i_current_price,
+            |  CASE cast(p_partkey % 8 as int) WHEN 0 THEN 'red'
+            |    WHEN 1 THEN 'blue' WHEN 2 THEN 'green' WHEN 3 THEN 'white'
+            |    WHEN 4 THEN 'yellow' WHEN 5 THEN 'black' WHEN 6 THEN 'pink'
+            |    ELSE 'orange' END AS i_color,
+            |  CASE cast(p_partkey % 5 as int) WHEN 0 THEN 'Oz'
+            |    WHEN 1 THEN 'Lb' WHEN 2 THEN 'Ton' WHEN 3 THEN 'Gram'
+            |    ELSE 'Box' END AS i_units,
+            |  CASE cast(p_partkey % 4 as int) WHEN 0 THEN 'small'
+            |    WHEN 1 THEN 'medium' WHEN 2 THEN 'large'
+            |    ELSE 'petite' END AS i_size,
+            |  concat('Product', lpad(cast(p_partkey as string), 8, '0'))
+            |    AS i_product_name
             |FROM part""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW store AS
             |SELECT cast(sk as bigint) AS s_store_sk,
@@ -204,7 +219,11 @@ object TpcdsSql extends QueryPack {
             |  l_extendedprice * l_discount AS cs_coupon_amt,
             |  l_extendedprice * (1 - l_discount) / l_quantity
             |    AS cs_sales_price,
-            |  l_extendedprice * l_discount AS cs_ext_discount_amt
+            |  l_extendedprice * l_discount AS cs_ext_discount_amt,
+            |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
+            |    as bigint) AS cs_sold_time_sk,
+            |  CASE WHEN (o_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL
+            |    ELSE l_suppkey END AS cs_ship_addr_sk
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 2""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
@@ -294,7 +313,8 @@ object TpcdsSql extends QueryPack {
       |    o_custkey AS ss_cdemo_sk, o_custkey AS ss_hdemo_sk,
       |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
       |      AS BIGINT) AS ss_sold_time_sk,
-      |    l_suppkey AS ss_addr_sk,
+      |    CASE WHEN (o_orderkey * 3 + l_linenumber * 5) % 13 = 0
+      |      THEN NULL ELSE l_suppkey END AS ss_addr_sk,
       |    o_orderkey AS ss_ticket_number,
       |    l_quantity AS ss_quantity,
       |    l_extendedprice / l_quantity AS ss_list_price,
@@ -322,7 +342,9 @@ object TpcdsSql extends QueryPack {
       |      AS ws_sales_price,
       |    l_extendedprice * l_discount AS ws_ext_discount_amt,
       |    l_extendedprice AS ws_ext_sales_price,
-      |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit
+      |    l_extendedprice * (1 - l_discount - l_tax) * 0.1 AS ws_net_profit,
+      |    CASE WHEN (o_orderkey * 5 + l_linenumber * 3) % 11 = 0
+      |      THEN NULL ELSE o_custkey END AS ws_ship_customer_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 1),
       |web_returns AS (
@@ -374,7 +396,19 @@ object TpcdsSql extends QueryPack {
       |      AS i_class,
       |    CAST(p_partkey % 1000 + 1 AS BIGINT) AS i_manufact_id,
       |    CAST(p_partkey % 100 + 1 AS BIGINT) AS i_manager_id,
-      |    p_retailprice AS i_current_price
+      |    p_retailprice AS i_current_price,
+      |    CASE CAST(p_partkey % 8 AS INT) WHEN 0 THEN 'red'
+      |      WHEN 1 THEN 'blue' WHEN 2 THEN 'green' WHEN 3 THEN 'white'
+      |      WHEN 4 THEN 'yellow' WHEN 5 THEN 'black' WHEN 6 THEN 'pink'
+      |      ELSE 'orange' END AS i_color,
+      |    CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'Oz'
+      |      WHEN 1 THEN 'Lb' WHEN 2 THEN 'Ton' WHEN 3 THEN 'Gram'
+      |      ELSE 'Box' END AS i_units,
+      |    CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN 'small'
+      |      WHEN 1 THEN 'medium' WHEN 2 THEN 'large'
+      |      ELSE 'petite' END AS i_size,
+      |    concat('Product', lpad(CAST(p_partkey AS VARCHAR), 8, '0'))
+      |      AS i_product_name
       |  FROM part),
       |store AS (
       |  SELECT CAST(sk AS BIGINT) AS s_store_sk,
@@ -414,7 +448,11 @@ object TpcdsSql extends QueryPack {
       |    l_extendedprice * l_discount AS cs_coupon_amt,
       |    l_extendedprice * (1 - l_discount) / l_quantity
       |      AS cs_sales_price,
-      |    l_extendedprice * l_discount AS cs_ext_discount_amt
+      |    l_extendedprice * l_discount AS cs_ext_discount_amt,
+      |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
+      |      AS BIGINT) AS cs_sold_time_sk,
+      |    CASE WHEN (o_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL
+      |      ELSE l_suppkey END AS cs_ship_addr_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 2),
       |customer_demographics AS (
@@ -2751,6 +2789,190 @@ object TpcdsSql extends QueryPack {
         |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
         |  ELSE NULL END > 0.1
         |ORDER BY i_manager_id, avg_monthly_sales, sum_sales, d_moy
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q56: Q33's color twin — per-item revenue for color-
+    // selected items summed across the three channels.
+    "qx4_tpcds_q56" -> ((s, dir) => sql(s, dir,
+      """WITH sel AS (SELECT i_item_id FROM item
+        |  WHERE i_color IN ('red', 'blue', 'green')
+        |  GROUP BY i_item_id),
+        |x AS (
+        |  SELECT i_item_id,
+        |    round(sum(ss_ext_sales_price), 2) AS total_sales
+        |  FROM store_sales, date_dim, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |    AND d_year = 1999 AND d_moy = 2
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id
+        |  UNION ALL
+        |  SELECT i_item_id,
+        |    round(sum(cs_ext_sales_price), 2) AS total_sales
+        |  FROM catalog_sales, date_dim, item
+        |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+        |    AND d_year = 1999 AND d_moy = 2
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id
+        |  UNION ALL
+        |  SELECT i_item_id,
+        |    round(sum(ws_ext_sales_price), 2) AS total_sales
+        |  FROM web_sales, date_dim, item
+        |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+        |    AND d_year = 1999 AND d_moy = 2
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id)
+        |SELECT i_item_id, round(sum(total_sales), 2) AS total_sales
+        |FROM x GROUP BY i_item_id
+        |ORDER BY total_sales DESC, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q60: Q33/Q56's category twin.
+    "qx5_tpcds_q60" -> ((s, dir) => sql(s, dir,
+      """WITH sel AS (SELECT i_item_id FROM item
+        |  WHERE i_category = 'MEDIUM'
+        |  GROUP BY i_item_id),
+        |x AS (
+        |  SELECT i_item_id,
+        |    round(sum(ss_ext_sales_price), 2) AS total_sales
+        |  FROM store_sales, date_dim, item
+        |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 9
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id
+        |  UNION ALL
+        |  SELECT i_item_id,
+        |    round(sum(cs_ext_sales_price), 2) AS total_sales
+        |  FROM catalog_sales, date_dim, item
+        |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 9
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id
+        |  UNION ALL
+        |  SELECT i_item_id,
+        |    round(sum(ws_ext_sales_price), 2) AS total_sales
+        |  FROM web_sales, date_dim, item
+        |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+        |    AND d_year = 1998 AND d_moy = 9
+        |    AND i_item_id IN (SELECT i_item_id FROM sel)
+        |  GROUP BY i_item_id)
+        |SELECT i_item_id, round(sum(total_sales), 2) AS total_sales
+        |FROM x GROUP BY i_item_id
+        |ORDER BY total_sales DESC, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q71: brand revenue by minute-of-day across the three
+    // channels for breakfast/dinner hours — the time_dim star.
+    "qx6_tpcds_q71" -> ((s, dir) => sql(s, dir,
+      """SELECT i_brand_id AS brand_id, i_brand AS brand,
+        |  t_hour, t_minute,
+        |  round(sum(ext_price), 2) AS ext_price
+        |FROM item,
+        |  (SELECT ws_ext_sales_price AS ext_price,
+        |     ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+        |   FROM web_sales, date_dim
+        |   WHERE d_date_sk = ws_sold_date_sk
+        |     AND d_moy = 11 AND d_year = 1998
+        |   UNION ALL
+        |   SELECT cs_ext_sales_price, cs_item_sk, cs_sold_time_sk
+        |   FROM catalog_sales, date_dim
+        |   WHERE d_date_sk = cs_sold_date_sk
+        |     AND d_moy = 11 AND d_year = 1998
+        |   UNION ALL
+        |   SELECT ss_ext_sales_price, ss_item_sk, ss_sold_time_sk
+        |   FROM store_sales, date_dim
+        |   WHERE d_date_sk = ss_sold_date_sk
+        |     AND d_moy = 11 AND d_year = 1998) tmp, time_dim
+        |WHERE sold_item_sk = i_item_sk AND i_manager_id BETWEEN 1 AND 50
+        |  AND time_sk = t_time_sk AND (t_hour = 8 OR t_hour = 19)
+        |GROUP BY i_brand, i_brand_id, t_hour, t_minute
+        |ORDER BY ext_price DESC, brand_id, t_hour, t_minute
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q41: distinct product names whose manufacturer also makes
+    // an item matching one of two attribute conjunction blocks — a
+    // correlated COUNT(*) subquery over the item dimension alone.
+    "qx7_tpcds_q41" -> ((s, dir) => sql(s, dir,
+      """SELECT DISTINCT i_product_name
+        |FROM item i1
+        |WHERE i_manufact_id BETWEEN 2 AND 42
+        |  AND (SELECT count(*) FROM item
+        |    WHERE (i_manufact_id = i1.i_manufact_id
+        |      AND ((i_category = 'STANDARD'
+        |          AND (i_color = 'red' OR i_color = 'blue')
+        |          AND (i_units = 'Oz' OR i_units = 'Lb')
+        |          AND (i_size = 'small' OR i_size = 'medium'))
+        |        OR (i_category = 'ECONOMY'
+        |          AND (i_color = 'green' OR i_color = 'white')
+        |          AND (i_units = 'Ton' OR i_units = 'Gram')
+        |          AND (i_size = 'large' OR i_size = 'petite'))))
+        |      OR (i_manufact_id = i1.i_manufact_id
+        |      AND ((i_category = 'PROMO'
+        |          AND (i_color = 'yellow' OR i_color = 'black')
+        |          AND (i_units = 'Box' OR i_units = 'Oz')
+        |          AND (i_size = 'small' OR i_size = 'large'))
+        |        OR (i_category = 'SMALL'
+        |          AND (i_color = 'pink' OR i_color = 'orange')
+        |          AND (i_units = 'Lb' OR i_units = 'Gram')
+        |          AND (i_size = 'medium' OR i_size = 'petite'))))) > 0
+        |ORDER BY i_product_name
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q48: Q13's quantity twin — total quantity under paired
+    // demographic/price bands and address-state/profit bands.
+    "qx8_tpcds_q48" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(sum(ss_quantity) as bigint) AS total_qty
+        |FROM store_sales, store, customer_demographics,
+        |  customer_address, date_dim
+        |WHERE s_store_sk = ss_store_sk
+        |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+        |  AND ss_cdemo_sk = cd_demo_sk
+        |  AND ((cd_marital_status = 'M'
+        |      AND cd_education_status = 'Advanced Degree'
+        |      AND ss_sales_price BETWEEN 900 AND 950)
+        |    OR (cd_marital_status = 'S'
+        |      AND cd_education_status = 'College'
+        |      AND ss_sales_price BETWEEN 850 AND 900)
+        |    OR (cd_marital_status = 'D'
+        |      AND cd_education_status = 'Primary'
+        |      AND ss_sales_price BETWEEN 950 AND 1000))
+        |  AND ss_addr_sk = ca_address_sk
+        |  AND ((ca_state IN ('TX', 'NY', 'CA')
+        |      AND ss_net_profit BETWEEN 0 AND 2000)
+        |    OR (ca_state IN ('WA', 'OR')
+        |      AND ss_net_profit BETWEEN 150 AND 3000)
+        |    OR (ca_state IN ('TN', 'FL')
+        |      AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin)),
+
+    // TPC-DS Q76: per-channel counts of fact rows with a missing
+    // (NULL) dimension key — the three-channel UNION null audit.
+    "qx9_tpcds_q76" -> ((s, dir) => sql(s, dir,
+      """SELECT channel, col_name, d_year, d_qoy, i_category,
+        |  count(*) AS sales_cnt,
+        |  round(sum(ext_sales_price), 2) AS sales_amt
+        |FROM (
+        |  SELECT 'store' AS channel, 'ss_addr_sk' AS col_name,
+        |    d_year, d_qoy, i_category,
+        |    ss_ext_sales_price AS ext_sales_price
+        |  FROM store_sales, item, date_dim
+        |  WHERE ss_addr_sk IS NULL
+        |    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        |  UNION ALL
+        |  SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name,
+        |    d_year, d_qoy, i_category,
+        |    ws_ext_sales_price AS ext_sales_price
+        |  FROM web_sales, item, date_dim
+        |  WHERE ws_ship_customer_sk IS NULL
+        |    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+        |  UNION ALL
+        |  SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name,
+        |    d_year, d_qoy, i_category,
+        |    cs_ext_sales_price AS ext_sales_price
+        |  FROM catalog_sales, item, date_dim
+        |  WHERE cs_ship_addr_sk IS NULL
+        |    AND cs_sold_date_sk = d_date_sk
+        |    AND cs_item_sk = i_item_sk) foo
+        |GROUP BY channel, col_name, d_year, d_qoy, i_category
+        |ORDER BY channel, col_name, d_year, d_qoy, i_category
         |LIMIT 100""".stripMargin))
   )
 
@@ -4802,6 +5024,184 @@ object TpcdsSql extends QueryPack {
          |  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
          |  ELSE NULL END > 0.1
          |ORDER BY i_manager_id, avg_monthly_sales, sum_sales, d_moy
+         |LIMIT 100""".stripMargin,
+
+    "qx4_tpcds_q56" ->
+      s"""WITH $dsCte,
+         |sel AS (SELECT i_item_id FROM item
+         |  WHERE i_color IN ('red', 'blue', 'green')
+         |  GROUP BY i_item_id),
+         |x AS (
+         |  SELECT i_item_id,
+         |    round(sum(ss_ext_sales_price), 2) AS total_sales
+         |  FROM store_sales, date_dim, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |    AND d_year = 1999 AND d_moy = 2
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id
+         |  UNION ALL
+         |  SELECT i_item_id,
+         |    round(sum(cs_ext_sales_price), 2) AS total_sales
+         |  FROM catalog_sales, date_dim, item
+         |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+         |    AND d_year = 1999 AND d_moy = 2
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id
+         |  UNION ALL
+         |  SELECT i_item_id,
+         |    round(sum(ws_ext_sales_price), 2) AS total_sales
+         |  FROM web_sales, date_dim, item
+         |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+         |    AND d_year = 1999 AND d_moy = 2
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id)
+         |SELECT i_item_id, round(sum(total_sales), 2) AS total_sales
+         |FROM x GROUP BY i_item_id
+         |ORDER BY total_sales DESC, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qx5_tpcds_q60" ->
+      s"""WITH $dsCte,
+         |sel AS (SELECT i_item_id FROM item
+         |  WHERE i_category = 'MEDIUM'
+         |  GROUP BY i_item_id),
+         |x AS (
+         |  SELECT i_item_id,
+         |    round(sum(ss_ext_sales_price), 2) AS total_sales
+         |  FROM store_sales, date_dim, item
+         |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 9
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id
+         |  UNION ALL
+         |  SELECT i_item_id,
+         |    round(sum(cs_ext_sales_price), 2) AS total_sales
+         |  FROM catalog_sales, date_dim, item
+         |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 9
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id
+         |  UNION ALL
+         |  SELECT i_item_id,
+         |    round(sum(ws_ext_sales_price), 2) AS total_sales
+         |  FROM web_sales, date_dim, item
+         |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+         |    AND d_year = 1998 AND d_moy = 9
+         |    AND i_item_id IN (SELECT i_item_id FROM sel)
+         |  GROUP BY i_item_id)
+         |SELECT i_item_id, round(sum(total_sales), 2) AS total_sales
+         |FROM x GROUP BY i_item_id
+         |ORDER BY total_sales DESC, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qx6_tpcds_q71" ->
+      s"""WITH $dsCte
+         |SELECT i_brand_id AS brand_id, i_brand AS brand,
+         |  t_hour, t_minute,
+         |  round(sum(ext_price), 2) AS ext_price
+         |FROM item,
+         |  (SELECT ws_ext_sales_price AS ext_price,
+         |     ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+         |   FROM web_sales, date_dim
+         |   WHERE d_date_sk = ws_sold_date_sk
+         |     AND d_moy = 11 AND d_year = 1998
+         |   UNION ALL
+         |   SELECT cs_ext_sales_price, cs_item_sk, cs_sold_time_sk
+         |   FROM catalog_sales, date_dim
+         |   WHERE d_date_sk = cs_sold_date_sk
+         |     AND d_moy = 11 AND d_year = 1998
+         |   UNION ALL
+         |   SELECT ss_ext_sales_price, ss_item_sk, ss_sold_time_sk
+         |   FROM store_sales, date_dim
+         |   WHERE d_date_sk = ss_sold_date_sk
+         |     AND d_moy = 11 AND d_year = 1998) tmp, time_dim
+         |WHERE sold_item_sk = i_item_sk AND i_manager_id BETWEEN 1 AND 50
+         |  AND time_sk = t_time_sk AND (t_hour = 8 OR t_hour = 19)
+         |GROUP BY i_brand, i_brand_id, t_hour, t_minute
+         |ORDER BY ext_price DESC, brand_id, t_hour, t_minute
+         |LIMIT 100""".stripMargin,
+
+    "qx7_tpcds_q41" ->
+      s"""WITH $dsCte
+         |SELECT DISTINCT i_product_name
+         |FROM item i1
+         |WHERE i_manufact_id BETWEEN 2 AND 42
+         |  AND (SELECT count(*) FROM item
+         |    WHERE (i_manufact_id = i1.i_manufact_id
+         |      AND ((i_category = 'STANDARD'
+         |          AND (i_color = 'red' OR i_color = 'blue')
+         |          AND (i_units = 'Oz' OR i_units = 'Lb')
+         |          AND (i_size = 'small' OR i_size = 'medium'))
+         |        OR (i_category = 'ECONOMY'
+         |          AND (i_color = 'green' OR i_color = 'white')
+         |          AND (i_units = 'Ton' OR i_units = 'Gram')
+         |          AND (i_size = 'large' OR i_size = 'petite'))))
+         |      OR (i_manufact_id = i1.i_manufact_id
+         |      AND ((i_category = 'PROMO'
+         |          AND (i_color = 'yellow' OR i_color = 'black')
+         |          AND (i_units = 'Box' OR i_units = 'Oz')
+         |          AND (i_size = 'small' OR i_size = 'large'))
+         |        OR (i_category = 'SMALL'
+         |          AND (i_color = 'pink' OR i_color = 'orange')
+         |          AND (i_units = 'Lb' OR i_units = 'Gram')
+         |          AND (i_size = 'medium' OR i_size = 'petite'))))) > 0
+         |ORDER BY i_product_name
+         |LIMIT 100""".stripMargin,
+
+    "qx8_tpcds_q48" ->
+      s"""WITH $dsCte
+         |SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_qty
+         |FROM store_sales, store, customer_demographics,
+         |  customer_address, date_dim
+         |WHERE s_store_sk = ss_store_sk
+         |  AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+         |  AND ss_cdemo_sk = cd_demo_sk
+         |  AND ((cd_marital_status = 'M'
+         |      AND cd_education_status = 'Advanced Degree'
+         |      AND ss_sales_price BETWEEN 900 AND 950)
+         |    OR (cd_marital_status = 'S'
+         |      AND cd_education_status = 'College'
+         |      AND ss_sales_price BETWEEN 850 AND 900)
+         |    OR (cd_marital_status = 'D'
+         |      AND cd_education_status = 'Primary'
+         |      AND ss_sales_price BETWEEN 950 AND 1000))
+         |  AND ss_addr_sk = ca_address_sk
+         |  AND ((ca_state IN ('TX', 'NY', 'CA')
+         |      AND ss_net_profit BETWEEN 0 AND 2000)
+         |    OR (ca_state IN ('WA', 'OR')
+         |      AND ss_net_profit BETWEEN 150 AND 3000)
+         |    OR (ca_state IN ('TN', 'FL')
+         |      AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin,
+
+    "qx9_tpcds_q76" ->
+      s"""WITH $dsCte
+         |SELECT channel, col_name, d_year, d_qoy, i_category,
+         |  count(*) AS sales_cnt,
+         |  round(sum(ext_sales_price), 2) AS sales_amt
+         |FROM (
+         |  SELECT 'store' AS channel, 'ss_addr_sk' AS col_name,
+         |    d_year, d_qoy, i_category,
+         |    ss_ext_sales_price AS ext_sales_price
+         |  FROM store_sales, item, date_dim
+         |  WHERE ss_addr_sk IS NULL
+         |    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+         |  UNION ALL
+         |  SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name,
+         |    d_year, d_qoy, i_category,
+         |    ws_ext_sales_price AS ext_sales_price
+         |  FROM web_sales, item, date_dim
+         |  WHERE ws_ship_customer_sk IS NULL
+         |    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+         |  UNION ALL
+         |  SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name,
+         |    d_year, d_qoy, i_category,
+         |    cs_ext_sales_price AS ext_sales_price
+         |  FROM catalog_sales, item, date_dim
+         |  WHERE cs_ship_addr_sk IS NULL
+         |    AND cs_sold_date_sk = d_date_sk
+         |    AND cs_item_sk = i_item_sk) foo
+         |GROUP BY channel, col_name, d_year, d_qoy, i_category
+         |ORDER BY channel, col_name, d_year, d_qoy, i_category
          |LIMIT 100""".stripMargin
   )
 }
