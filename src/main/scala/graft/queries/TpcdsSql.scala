@@ -223,7 +223,9 @@ object TpcdsSql extends QueryPack {
             |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
             |    as bigint) AS cs_sold_time_sk,
             |  CASE WHEN (o_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL
-            |    ELSE l_suppkey END AS cs_ship_addr_sk
+            |    ELSE l_suppkey END AS cs_ship_addr_sk,
+            |  cast((o_orderkey + l_suppkey) % 5 + 1 as bigint)
+            |    AS cs_ship_mode_sk
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |WHERE (o_orderkey + l_linenumber) % 3 = 2""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_demographics AS
@@ -233,8 +235,28 @@ object TpcdsSql extends QueryPack {
             |    ELSE 'D' END AS cd_marital_status,
             |  CASE cast(c_custkey % 4 as int) WHEN 0 THEN 'College'
             |    WHEN 1 THEN 'Primary' WHEN 2 THEN 'Secondary'
-            |    ELSE 'Advanced Degree' END AS cd_education_status
+            |    ELSE 'Advanced Degree' END AS cd_education_status,
+            |  cast(c_custkey % 10 * 500 + 500 as bigint)
+            |    AS cd_purchase_estimate,
+            |  CASE cast(c_custkey % 4 as int) WHEN 0 THEN 'Low Risk'
+            |    WHEN 1 THEN 'Good' WHEN 2 THEN 'High Risk'
+            |    ELSE 'Unknown' END AS cd_credit_rating,
+            |  cast(c_custkey % 7 as bigint) AS cd_dep_count,
+            |  cast(c_custkey % 5 as bigint) AS cd_dep_employed_count,
+            |  cast(c_custkey % 3 as bigint) AS cd_dep_college_count
             |FROM customer""".stripMargin)
+    // the 5 return reasons Q9 anchors its single-row CASE report on
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW reason AS
+            |SELECT cast(sk as bigint) AS r_reason_sk,
+            |  concat('Reason', cast(sk as string)) AS r_reason_desc
+            |FROM (SELECT explode(sequence(1, 5)) AS sk)""".stripMargin)
+    // the 5 ship modes the catalog channel's latency reports key on
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW ship_mode AS
+            |SELECT cast(sk as bigint) AS sm_ship_mode_sk,
+            |  CASE cast(sk % 5 as int) WHEN 0 THEN 'EXPRESS'
+            |    WHEN 1 THEN 'OVERNIGHT' WHEN 2 THEN 'REGULAR'
+            |    WHEN 3 THEN 'TWO DAY' ELSE 'LIBRARY' END AS sm_type
+            |FROM (SELECT explode(sequence(1, 5)) AS sk)""".stripMargin)
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW promotion AS
             |SELECT cast(sk as bigint) AS p_promo_sk,
             |  CASE WHEN sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
@@ -452,7 +474,9 @@ object TpcdsSql extends QueryPack {
       |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
       |      AS BIGINT) AS cs_sold_time_sk,
       |    CASE WHEN (o_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL
-      |      ELSE l_suppkey END AS cs_ship_addr_sk
+      |      ELSE l_suppkey END AS cs_ship_addr_sk,
+      |    CAST((o_orderkey + l_suppkey) % 5 + 1 AS BIGINT)
+      |      AS cs_ship_mode_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE (o_orderkey + l_linenumber) % 3 = 2),
       |customer_demographics AS (
@@ -462,8 +486,26 @@ object TpcdsSql extends QueryPack {
       |      ELSE 'D' END AS cd_marital_status,
       |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'College'
       |      WHEN 1 THEN 'Primary' WHEN 2 THEN 'Secondary'
-      |      ELSE 'Advanced Degree' END AS cd_education_status
+      |      ELSE 'Advanced Degree' END AS cd_education_status,
+      |    CAST(c_custkey % 10 * 500 + 500 AS BIGINT)
+      |      AS cd_purchase_estimate,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Low Risk'
+      |      WHEN 1 THEN 'Good' WHEN 2 THEN 'High Risk'
+      |      ELSE 'Unknown' END AS cd_credit_rating,
+      |    CAST(c_custkey % 7 AS BIGINT) AS cd_dep_count,
+      |    CAST(c_custkey % 5 AS BIGINT) AS cd_dep_employed_count,
+      |    CAST(c_custkey % 3 AS BIGINT) AS cd_dep_college_count
       |  FROM customer),
+      |reason AS (
+      |  SELECT CAST(sk AS BIGINT) AS r_reason_sk,
+      |    concat('Reason', CAST(sk AS VARCHAR)) AS r_reason_desc
+      |  FROM (SELECT unnest(generate_series(1, 5)) AS sk)),
+      |ship_mode AS (
+      |  SELECT CAST(sk AS BIGINT) AS sm_ship_mode_sk,
+      |    CASE CAST(sk % 5 AS INT) WHEN 0 THEN 'EXPRESS'
+      |      WHEN 1 THEN 'OVERNIGHT' WHEN 2 THEN 'REGULAR'
+      |      WHEN 3 THEN 'TWO DAY' ELSE 'LIBRARY' END AS sm_type
+      |  FROM (SELECT unnest(generate_series(1, 5)) AS sk)),
       |promotion AS (
       |  SELECT CAST(sk AS BIGINT) AS p_promo_sk,
       |    CASE WHEN sk % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
@@ -2973,6 +3015,184 @@ object TpcdsSql extends QueryPack {
         |    AND cs_item_sk = i_item_sk) foo
         |GROUP BY channel, col_name, d_year, d_qoy, i_category
         |ORDER BY channel, col_name, d_year, d_qoy, i_category
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q9: the reason-anchored single-row CASE report — five
+    // quantity buckets, each picking avg sales price or avg profit by
+    // a scalar-count threshold (15 uncorrelated scalar subqueries).
+    "qy0_tpcds_q9" -> ((s, dir) => sql(s, dir,
+      """SELECT CASE WHEN (SELECT count(*) FROM store_sales
+        |    WHERE ss_quantity BETWEEN 1 AND 10) > 10000
+        |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+        |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+        |  END AS bucket1,
+        |  CASE WHEN (SELECT count(*) FROM store_sales
+        |    WHERE ss_quantity BETWEEN 11 AND 20) > 8000
+        |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+        |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+        |  END AS bucket2,
+        |  CASE WHEN (SELECT count(*) FROM store_sales
+        |    WHERE ss_quantity BETWEEN 21 AND 30) > 6000
+        |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+        |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+        |  END AS bucket3,
+        |  CASE WHEN (SELECT count(*) FROM store_sales
+        |    WHERE ss_quantity BETWEEN 31 AND 40) > 4000
+        |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+        |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+        |  END AS bucket4,
+        |  CASE WHEN (SELECT count(*) FROM store_sales
+        |    WHERE ss_quantity BETWEEN 41 AND 50) > 2000
+        |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+        |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+        |    FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+        |  END AS bucket5
+        |FROM reason WHERE r_reason_sk = 1""".stripMargin)),
+
+    // TPC-DS Q10: demographic profile of customers in two states who
+    // bought in store AND (web OR catalog) in one season — the
+    // disjunctive-EXISTS cohort with six count facets.
+    "qy1_tpcds_q10" -> ((s, dir) => sql(s, dir,
+      """SELECT cd_gender, cd_marital_status, cd_education_status,
+        |  cast(count(*) as bigint) AS cnt1, cd_purchase_estimate,
+        |  cast(count(*) as bigint) AS cnt2, cd_credit_rating,
+        |  cast(count(*) as bigint) AS cnt3, cd_dep_count,
+        |  cast(count(*) as bigint) AS cnt4, cd_dep_employed_count,
+        |  cast(count(*) as bigint) AS cnt5, cd_dep_college_count,
+        |  cast(count(*) as bigint) AS cnt6
+        |FROM customer c, customer_address ca, customer_demographics
+        |WHERE c.c_custkey = ca.ca_address_sk
+        |  AND ca_state IN ('TX', 'NY')
+        |  AND cd_demo_sk = c.c_custkey
+        |  AND EXISTS (SELECT * FROM store_sales, date_dim
+        |    WHERE c.c_custkey = ss_customer_sk
+        |      AND ss_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4)
+        |  AND (EXISTS (SELECT * FROM web_sales, date_dim
+        |    WHERE c.c_custkey = ws_bill_customer_sk
+        |      AND ws_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4)
+        |  OR EXISTS (SELECT * FROM catalog_sales, date_dim
+        |    WHERE c.c_custkey = cs_bill_customer_sk
+        |      AND cs_sold_date_sk = d_date_sk
+        |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4))
+        |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+        |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |ORDER BY cd_gender, cd_marital_status, cd_education_status,
+        |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+        |  cd_dep_employed_count, cd_dep_college_count
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q40: warehouse/item net sales before vs after a pivot
+    // date, returns subtracted via LEFT JOIN to catalog_returns.
+    "qy2_tpcds_q40" -> ((s, dir) => sql(s, dir,
+      """SELECT w_state, i_item_id,
+        |  round(sum(CASE WHEN d_date < DATE '1998-06-01'
+        |    THEN cs_sales_price - coalesce(cr_return_amount, 0)
+        |    ELSE 0 END) + 5e-7, 2) AS sales_before,
+        |  round(sum(CASE WHEN d_date >= DATE '1998-06-01'
+        |    THEN cs_sales_price - coalesce(cr_return_amount, 0)
+        |    ELSE 0 END) + 5e-7, 2) AS sales_after
+        |FROM catalog_sales LEFT OUTER JOIN catalog_returns
+        |    ON (cs_order_number = cr_order_number
+        |      AND cs_item_sk = cr_item_sk),
+        |  warehouse, item, date_dim
+        |WHERE i_current_price BETWEEN 920 AND 950
+        |  AND i_item_sk = cs_item_sk
+        |  AND cs_warehouse_sk = w_warehouse_sk
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN DATE '1998-05-02' AND DATE '1998-07-01'
+        |GROUP BY w_state, i_item_id
+        |ORDER BY w_state, i_item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q50: store return latency buckets — sold-to-returned day
+    // gaps bucketed per store for returns landing in one month.
+    "qy3_tpcds_q50" -> ((s, dir) => sql(s, dir,
+      """SELECT s_store_name, s_store_id,
+        |  cast(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30
+        |    THEN 1 ELSE 0 END) as bigint) AS d30,
+        |  cast(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+        |    AND sr_returned_date_sk - ss_sold_date_sk <= 60
+        |    THEN 1 ELSE 0 END) as bigint) AS d60,
+        |  cast(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+        |    AND sr_returned_date_sk - ss_sold_date_sk <= 90
+        |    THEN 1 ELSE 0 END) as bigint) AS d90,
+        |  cast(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+        |    AND sr_returned_date_sk - ss_sold_date_sk <= 120
+        |    THEN 1 ELSE 0 END) as bigint) AS d120,
+        |  cast(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120
+        |    THEN 1 ELSE 0 END) as bigint) AS dmore
+        |FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+        |WHERE d2.d_year = 1998 AND d2.d_moy = 8
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_store_sk = sr_store_sk
+        |  AND ss_sold_date_sk = d1.d_date_sk
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND ss_store_sk = s_store_sk
+        |GROUP BY s_store_name, s_store_id
+        |ORDER BY s_store_name, s_store_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q81: Q30's catalog twin — returning customers whose state
+    // return total beats 1.2x their state's average.
+    "qy4_tpcds_q81" -> ((s, dir) => sql(s, dir,
+      """WITH customer_total_return AS (
+        |  SELECT cr_returning_customer_sk AS ctr_customer_sk,
+        |    ca_state AS ctr_state,
+        |    round(sum(cr_return_amount) + 5e-7, 2) AS ctr_total_return
+        |  FROM catalog_returns, date_dim, customer_address
+        |  WHERE cr_returned_date_sk = d_date_sk AND d_year = 1998
+        |    AND cr_returning_customer_sk = ca_address_sk
+        |  GROUP BY cr_returning_customer_sk, ca_state)
+        |SELECT c_name, ctr1.ctr_total_return AS total_return
+        |FROM customer_total_return ctr1, customer_address, customer c
+        |WHERE ctr1.ctr_total_return > (
+        |    SELECT avg(ctr_total_return) * 1.2
+        |    FROM customer_total_return ctr2
+        |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c.c_custkey
+        |  AND ca_state = 'TX'
+        |  AND ctr1.ctr_customer_sk = c.c_custkey
+        |ORDER BY c_name, total_return
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q99: catalog ship latency buckets by warehouse, ship
+    // mode, and call center.
+    "qy5_tpcds_q99" -> ((s, dir) => sql(s, dir,
+      """SELECT w_warehouse_name, sm_type, cc_name,
+        |  cast(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+        |    THEN 1 ELSE 0 END) as bigint) AS d30,
+        |  cast(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+        |    AND cs_ship_date_sk - cs_sold_date_sk <= 60
+        |    THEN 1 ELSE 0 END) as bigint) AS d60,
+        |  cast(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+        |    AND cs_ship_date_sk - cs_sold_date_sk <= 90
+        |    THEN 1 ELSE 0 END) as bigint) AS d90,
+        |  cast(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+        |    AND cs_ship_date_sk - cs_sold_date_sk <= 120
+        |    THEN 1 ELSE 0 END) as bigint) AS d120,
+        |  cast(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+        |    THEN 1 ELSE 0 END) as bigint) AS dmore
+        |FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+        |WHERE cs_ship_date_sk = d_date_sk AND d_year = 1998
+        |  AND cs_warehouse_sk = w_warehouse_sk
+        |  AND cs_ship_mode_sk = sm_ship_mode_sk
+        |  AND cs_call_center_sk = cc_call_center_sk
+        |GROUP BY w_warehouse_name, sm_type, cc_name
+        |ORDER BY w_warehouse_name, sm_type, cc_name
         |LIMIT 100""".stripMargin))
   )
 
@@ -5202,6 +5422,176 @@ object TpcdsSql extends QueryPack {
          |    AND cs_item_sk = i_item_sk) foo
          |GROUP BY channel, col_name, d_year, d_qoy, i_category
          |ORDER BY channel, col_name, d_year, d_qoy, i_category
+         |LIMIT 100""".stripMargin,
+
+    "qy0_tpcds_q9" ->
+      s"""WITH $dsCte
+         |SELECT CASE WHEN (SELECT count(*) FROM store_sales
+         |    WHERE ss_quantity BETWEEN 1 AND 10) > 10000
+         |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+         |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
+         |  END AS bucket1,
+         |  CASE WHEN (SELECT count(*) FROM store_sales
+         |    WHERE ss_quantity BETWEEN 11 AND 20) > 8000
+         |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+         |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 11 AND 20)
+         |  END AS bucket2,
+         |  CASE WHEN (SELECT count(*) FROM store_sales
+         |    WHERE ss_quantity BETWEEN 21 AND 30) > 6000
+         |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+         |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 21 AND 30)
+         |  END AS bucket3,
+         |  CASE WHEN (SELECT count(*) FROM store_sales
+         |    WHERE ss_quantity BETWEEN 31 AND 40) > 4000
+         |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+         |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 31 AND 40)
+         |  END AS bucket4,
+         |  CASE WHEN (SELECT count(*) FROM store_sales
+         |    WHERE ss_quantity BETWEEN 41 AND 50) > 2000
+         |  THEN (SELECT round(avg(ss_ext_sales_price) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+         |  ELSE (SELECT round(avg(ss_net_profit) + 5e-7, 2)
+         |    FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
+         |  END AS bucket5
+         |FROM reason WHERE r_reason_sk = 1""".stripMargin,
+
+    "qy1_tpcds_q10" ->
+      s"""WITH $dsCte
+         |SELECT cd_gender, cd_marital_status, cd_education_status,
+         |  CAST(count(*) AS BIGINT) AS cnt1, cd_purchase_estimate,
+         |  CAST(count(*) AS BIGINT) AS cnt2, cd_credit_rating,
+         |  CAST(count(*) AS BIGINT) AS cnt3, cd_dep_count,
+         |  CAST(count(*) AS BIGINT) AS cnt4, cd_dep_employed_count,
+         |  CAST(count(*) AS BIGINT) AS cnt5, cd_dep_college_count,
+         |  CAST(count(*) AS BIGINT) AS cnt6
+         |FROM customer c, customer_address ca, customer_demographics
+         |WHERE c.c_custkey = ca.ca_address_sk
+         |  AND ca_state IN ('TX', 'NY')
+         |  AND cd_demo_sk = c.c_custkey
+         |  AND EXISTS (SELECT * FROM store_sales, date_dim
+         |    WHERE c.c_custkey = ss_customer_sk
+         |      AND ss_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4)
+         |  AND (EXISTS (SELECT * FROM web_sales, date_dim
+         |    WHERE c.c_custkey = ws_bill_customer_sk
+         |      AND ws_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4)
+         |  OR EXISTS (SELECT * FROM catalog_sales, date_dim
+         |    WHERE c.c_custkey = cs_bill_customer_sk
+         |      AND cs_sold_date_sk = d_date_sk
+         |      AND d_year = 1998 AND d_moy BETWEEN 1 AND 4))
+         |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         |  cd_dep_employed_count, cd_dep_college_count
+         |ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         |  cd_dep_employed_count, cd_dep_college_count
+         |LIMIT 100""".stripMargin,
+
+    "qy2_tpcds_q40" ->
+      s"""WITH $dsCte
+         |SELECT w_state, i_item_id,
+         |  round(sum(CASE WHEN d_date < DATE '1998-06-01'
+         |    THEN cs_sales_price - coalesce(cr_return_amount, 0)
+         |    ELSE 0 END) + 5e-7, 2) AS sales_before,
+         |  round(sum(CASE WHEN d_date >= DATE '1998-06-01'
+         |    THEN cs_sales_price - coalesce(cr_return_amount, 0)
+         |    ELSE 0 END) + 5e-7, 2) AS sales_after
+         |FROM catalog_sales LEFT OUTER JOIN catalog_returns
+         |    ON (cs_order_number = cr_order_number
+         |      AND cs_item_sk = cr_item_sk),
+         |  warehouse, item, date_dim
+         |WHERE i_current_price BETWEEN 920 AND 950
+         |  AND i_item_sk = cs_item_sk
+         |  AND cs_warehouse_sk = w_warehouse_sk
+         |  AND cs_sold_date_sk = d_date_sk
+         |  AND d_date BETWEEN DATE '1998-05-02' AND DATE '1998-07-01'
+         |GROUP BY w_state, i_item_id
+         |ORDER BY w_state, i_item_id
+         |LIMIT 100""".stripMargin,
+
+    "qy3_tpcds_q50" ->
+      s"""WITH $dsCte
+         |SELECT s_store_name, s_store_id,
+         |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+         |    AND sr_returned_date_sk - ss_sold_date_sk <= 60
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+         |    AND sr_returned_date_sk - ss_sold_date_sk <= 90
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+         |    AND sr_returned_date_sk - ss_sold_date_sk <= 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+         |FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+         |WHERE d2.d_year = 1998 AND d2.d_moy = 8
+         |  AND ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         |  AND ss_customer_sk = sr_customer_sk
+         |  AND ss_store_sk = sr_store_sk
+         |  AND ss_sold_date_sk = d1.d_date_sk
+         |  AND sr_returned_date_sk = d2.d_date_sk
+         |  AND ss_store_sk = s_store_sk
+         |GROUP BY s_store_name, s_store_id
+         |ORDER BY s_store_name, s_store_id
+         |LIMIT 100""".stripMargin,
+
+    "qy4_tpcds_q81" ->
+      s"""WITH $dsCte,
+         |customer_total_return AS (
+         |  SELECT cr_returning_customer_sk AS ctr_customer_sk,
+         |    ca_state AS ctr_state,
+         |    round(sum(cr_return_amount) + 5e-7, 2) AS ctr_total_return
+         |  FROM catalog_returns, date_dim, customer_address
+         |  WHERE cr_returned_date_sk = d_date_sk AND d_year = 1998
+         |    AND cr_returning_customer_sk = ca_address_sk
+         |  GROUP BY cr_returning_customer_sk, ca_state)
+         |SELECT c_name, ctr1.ctr_total_return AS total_return
+         |FROM customer_total_return ctr1, customer_address, customer c
+         |WHERE ctr1.ctr_total_return > (
+         |    SELECT avg(ctr_total_return) * 1.2
+         |    FROM customer_total_return ctr2
+         |    WHERE ctr1.ctr_state = ctr2.ctr_state)
+         |  AND ca_address_sk = c.c_custkey
+         |  AND ca_state = 'TX'
+         |  AND ctr1.ctr_customer_sk = c.c_custkey
+         |ORDER BY c_name, total_return
+         |LIMIT 100""".stripMargin,
+
+    "qy5_tpcds_q99" ->
+      s"""WITH $dsCte
+         |SELECT w_warehouse_name, sm_type, cc_name,
+         |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+         |    AND cs_ship_date_sk - cs_sold_date_sk <= 60
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+         |    AND cs_ship_date_sk - cs_sold_date_sk <= 90
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+         |    AND cs_ship_date_sk - cs_sold_date_sk <= 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+         |FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+         |WHERE cs_ship_date_sk = d_date_sk AND d_year = 1998
+         |  AND cs_warehouse_sk = w_warehouse_sk
+         |  AND cs_ship_mode_sk = sm_ship_mode_sk
+         |  AND cs_call_center_sk = cc_call_center_sk
+         |GROUP BY w_warehouse_name, sm_type, cc_name
+         |ORDER BY w_warehouse_name, sm_type, cc_name
          |LIMIT 100""".stripMargin
   )
 }
