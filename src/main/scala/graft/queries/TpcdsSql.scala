@@ -53,6 +53,8 @@ object TpcdsSql extends QueryPack {
             |  cast(quarter(d_date) as bigint) AS d_qoy,
             |  cast((datediff(d_date, DATE '1995-01-01')) DIV 7 as bigint)
             |    AS d_week_seq,
+            |  cast((year(d_date) - 1995) * 12 + month(d_date) - 1 as bigint)
+            |    AS d_month_seq,
             |  date_format(d_date, 'EEEE') AS d_day_name
             |FROM (SELECT explode(sequence(DATE '1995-01-01',
             |  DATE '2000-12-31')) AS d_date)""".stripMargin)
@@ -96,6 +98,7 @@ object TpcdsSql extends QueryPack {
             |  cast(l_suppkey % 5 + 1 as bigint) AS ws_web_site_sk,
             |  o_orderkey AS ws_order_number,
             |  cast(l_suppkey % 4 + 1 as bigint) AS ws_warehouse_sk,
+            |  cast(l_partkey % 50 + 1 as bigint) AS ws_promo_sk,
             |  cast((o_orderkey * 181 + l_linenumber * 7919) % 86400
             |    as bigint) AS ws_sold_time_sk,
             |  l_quantity AS ws_quantity,
@@ -114,6 +117,7 @@ object TpcdsSql extends QueryPack {
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW web_returns AS
             |SELECT o_orderkey AS wr_order_number,
             |  l_partkey AS wr_item_sk,
+            |  cast(l_suppkey % 5 + 1 as bigint) AS wr_web_site_sk,
             |  o_custkey AS wr_refunded_customer_sk,
             |  l_quantity AS wr_return_quantity,
             |  l_extendedprice * (1 - l_discount) AS wr_return_amt,
@@ -271,8 +275,15 @@ object TpcdsSql extends QueryPack {
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW household_demographics AS
             |SELECT c_custkey AS hd_demo_sk,
             |  cast(c_custkey % 10 as bigint) AS hd_dep_count,
-            |  cast(c_custkey % 5 as bigint) AS hd_vehicle_count
+            |  cast(c_custkey % 5 as bigint) AS hd_vehicle_count,
+            |  cast(c_custkey % 20 + 1 as bigint) AS hd_income_band_sk
             |FROM customer""".stripMargin)
+    // 20 5k-wide income bands the household demographics key onto (Q84)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW income_band AS
+            |SELECT cast(sk as bigint) AS ib_income_band_sk,
+            |  cast((sk - 1) * 5000 as bigint) AS ib_lower_bound,
+            |  cast(sk * 5000 as bigint) AS ib_upper_bound
+            |FROM (SELECT explode(sequence(1, 20)) AS sk)""".stripMargin)
     // the 3 call centers the catalog channel's suppkey%3 slices onto
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW call_center AS
             |SELECT cast(sk as bigint) AS cc_call_center_sk,
@@ -322,6 +333,8 @@ object TpcdsSql extends QueryPack {
       |    CAST(quarter(d_date) AS BIGINT) AS d_qoy,
       |    CAST(datediff('day', DATE '1995-01-01', d_date) // 7 AS BIGINT)
       |      AS d_week_seq,
+      |    CAST((year(d_date) - 1995) * 12 + month(d_date) - 1 AS BIGINT)
+      |      AS d_month_seq,
       |    dayname(d_date) AS d_day_name
       |  FROM (SELECT unnest(generate_series(DATE '1995-01-01',
       |    DATE '2000-12-31', INTERVAL 1 DAY))::DATE AS d_date)),
@@ -357,6 +370,7 @@ object TpcdsSql extends QueryPack {
       |    CAST(l_suppkey % 5 + 1 AS BIGINT) AS ws_web_site_sk,
       |    o_orderkey AS ws_order_number,
       |    CAST(l_suppkey % 4 + 1 AS BIGINT) AS ws_warehouse_sk,
+      |    CAST(l_partkey % 50 + 1 AS BIGINT) AS ws_promo_sk,
       |    CAST((o_orderkey * 181 + l_linenumber * 7919) % 86400
       |      AS BIGINT) AS ws_sold_time_sk,
       |    l_quantity AS ws_quantity,
@@ -372,6 +386,7 @@ object TpcdsSql extends QueryPack {
       |web_returns AS (
       |  SELECT o_orderkey AS wr_order_number,
       |    l_partkey AS wr_item_sk,
+      |    CAST(l_suppkey % 5 + 1 AS BIGINT) AS wr_web_site_sk,
       |    o_custkey AS wr_refunded_customer_sk,
       |    l_quantity AS wr_return_quantity,
       |    l_extendedprice * (1 - l_discount) AS wr_return_amt,
@@ -519,8 +534,14 @@ object TpcdsSql extends QueryPack {
       |household_demographics AS (
       |  SELECT c_custkey AS hd_demo_sk,
       |    CAST(c_custkey % 10 AS BIGINT) AS hd_dep_count,
-      |    CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count
+      |    CAST(c_custkey % 5 AS BIGINT) AS hd_vehicle_count,
+      |    CAST(c_custkey % 20 + 1 AS BIGINT) AS hd_income_band_sk
       |  FROM customer),
+      |income_band AS (
+      |  SELECT CAST(sk AS BIGINT) AS ib_income_band_sk,
+      |    CAST((sk - 1) * 5000 AS BIGINT) AS ib_lower_bound,
+      |    CAST(sk * 5000 AS BIGINT) AS ib_upper_bound
+      |  FROM (SELECT unnest(generate_series(1, 20)) AS sk)),
       |call_center AS (
       |  SELECT CAST(sk AS BIGINT) AS cc_call_center_sk,
       |    concat('CC', CAST(sk AS VARCHAR)) AS cc_name,
@@ -3193,6 +3214,405 @@ object TpcdsSql extends QueryPack {
         |  AND cs_call_center_sk = cc_call_center_sk
         |GROUP BY w_warehouse_name, sm_type, cc_name
         |ORDER BY w_warehouse_name, sm_type, cc_name
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q18: catalog averages for a demographic cohort over a
+    // geography ROLLUP. Birth month/year derive from custkey (the
+    // fixture customer has no birth columns).
+    "qy6_tpcds_q18" -> ((s, dir) => sql(s, dir,
+      """SELECT i_item_id, ca_state, ca_city,
+        |  round(avg(cs_quantity) + 5e-7, 2) AS agg1,
+        |  round(avg(cs_list_price) + 5e-7, 2) AS agg2,
+        |  round(avg(cs_coupon_amt) + 5e-7, 2) AS agg3,
+        |  round(avg(cs_sales_price) + 5e-7, 2) AS agg4,
+        |  round(avg(1920 + c_custkey % 70) + 5e-7, 2) AS agg5,
+        |  round(avg(cd_dep_count) + 5e-7, 2) AS agg6
+        |FROM catalog_sales, customer_demographics, customer c,
+        |  customer_address, date_dim, item
+        |WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+        |  AND cs_item_sk = i_item_sk
+        |  AND cs_bill_cdemo_sk = cd_demo_sk
+        |  AND cs_bill_customer_sk = c.c_custkey
+        |  AND cd_gender = 'M' AND cd_education_status = 'College'
+        |  AND c.c_custkey % 12 + 1 IN (1, 2, 6, 8, 9, 12)
+        |  AND c.c_custkey = ca_address_sk
+        |GROUP BY ROLLUP(i_item_id, ca_state, ca_city)
+        |ORDER BY i_item_id NULLS FIRST, ca_state NULLS FIRST,
+        |  ca_city NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q24: returned-basket netpaid per customer x store x color
+    // with a 5%-of-average HAVING threshold over a reused CTE. The
+    // spec's zip-equality customer/store match becomes a state match
+    // (derived zips are 5-digit moduli that almost never collide).
+    "qy7_tpcds_q24" -> ((s, dir) => sql(s, dir,
+      """WITH ssales AS (
+        |  SELECT c_name, s_store_name, i_color,
+        |    sum(ss_ext_sales_price) AS netpaid
+        |  FROM store_sales, store_returns, store, item, customer,
+        |    customer_address
+        |  WHERE ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |    AND ss_customer_sk = c_custkey
+        |    AND ss_store_sk = s_store_sk
+        |    AND ss_item_sk = i_item_sk
+        |    AND c_custkey = ca_address_sk
+        |    AND s_state = ca_state
+        |  GROUP BY c_name, s_store_name, i_color)
+        |SELECT c_name, s_store_name, round(sum(netpaid), 2) AS paid
+        |FROM ssales
+        |WHERE i_color = 'red'
+        |GROUP BY c_name, s_store_name
+        |HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+        |ORDER BY c_name, s_store_name
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q44: best/worst items by average store-4 net profit —
+    // twin rank() windows (asc/desc) over one HAVING-thresholded
+    // aggregate, zipped on rank and resolved to product names. Ranks
+    // order by the rounded average with an item tiebreaker (doubles
+    // rank-tie rule).
+    "qy8_tpcds_q44" -> ((s, dir) => sql(s, dir,
+      """WITH v AS (
+        |  SELECT ss_item_sk AS item_sk,
+        |    round(avg(ss_net_profit) + 5e-7, 2) AS rank_col
+        |  FROM store_sales
+        |  WHERE ss_store_sk = 4
+        |  GROUP BY ss_item_sk
+        |  HAVING avg(ss_net_profit) > 0.9 * (
+        |    SELECT avg(ss_net_profit)
+        |    FROM store_sales
+        |    WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL)),
+        |asceding AS (
+        |  SELECT item_sk,
+        |    rank() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+        |  FROM v),
+        |descending AS (
+        |  SELECT item_sk,
+        |    rank() OVER (ORDER BY rank_col DESC, item_sk DESC) AS rnk
+        |  FROM v)
+        |SELECT a.rnk AS rnk, i1.i_product_name AS best_performing,
+        |  i2.i_product_name AS worst_performing
+        |FROM asceding a, descending d, item i1, item i2
+        |WHERE a.rnk = d.rnk AND a.rnk < 11
+        |  AND i1.i_item_sk = a.item_sk AND i2.i_item_sk = d.item_sk
+        |ORDER BY a.rnk""".stripMargin)),
+
+    // TPC-DS Q54: "my customers" — cross-channel (catalog OR web)
+    // buyers of a category in one month, then their store revenue over
+    // the following quarter bucketed into $50 segments. The
+    // month-offset bounds are scalar subqueries over date_dim; the
+    // spec's county store match is a state match here.
+    "qy9_tpcds_q54" -> ((s, dir) => sql(s, dir,
+      """WITH my_customers AS (
+        |  SELECT DISTINCT c_custkey
+        |  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+        |          cs_bill_customer_sk AS customer_sk,
+        |          cs_item_sk AS item_sk
+        |        FROM catalog_sales
+        |        UNION ALL
+        |        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        |        FROM web_sales) sales, item, date_dim, customer
+        |  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+        |    AND i_category = 'PROMO' AND i_class = 'PROMO#1'
+        |    AND d_moy = 3 AND d_year = 1998
+        |    AND customer_sk = c_custkey),
+        |my_revenue AS (
+        |  SELECT c_custkey AS customer_sk,
+        |    sum(ss_ext_sales_price) AS revenue
+        |  FROM my_customers, store_sales, customer_address, store,
+        |    date_dim
+        |  WHERE c_custkey = ss_customer_sk
+        |    AND ca_address_sk = c_custkey
+        |    AND ca_state = s_state
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+        |        FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+        |      AND (SELECT DISTINCT d_month_seq + 3
+        |        FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+        |  GROUP BY c_custkey),
+        |segments AS (
+        |  SELECT cast(floor(round(revenue + 5e-7, 2) / 50) as bigint)
+        |    AS segment
+        |  FROM my_revenue)
+        |SELECT segment, cast(count(*) as bigint) AS num_customers,
+        |  segment * 50 AS segment_base
+        |FROM segments
+        |GROUP BY segment
+        |ORDER BY segment, num_customers
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q58: items whose store-only, catalog, and web revenue
+    // for a period sit within 10% of each other (6-way BETWEEN band).
+    // store_sales is a superset of both channel slices here, so the
+    // store-only channel is the per-item residue ss - cs - ws; the
+    // period is the spec's nested date subquery chain widened to the
+    // 1997 months (a single week is empty at gate scale).
+    "qz0_tpcds_q58" -> ((s, dir) => sql(s, dir,
+      """WITH ss_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(ss_ext_sales_price) AS ss_rev
+        |  FROM store_sales, item, date_dim
+        |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+        |        FROM date_dim WHERE d_year = 1997))
+        |  GROUP BY i_item_id),
+        |cs_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(cs_ext_sales_price) AS cs_rev
+        |  FROM catalog_sales, item, date_dim
+        |  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+        |        FROM date_dim WHERE d_year = 1997))
+        |  GROUP BY i_item_id),
+        |ws_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(ws_ext_sales_price) AS ws_rev
+        |  FROM web_sales, item, date_dim
+        |  WHERE ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+        |        FROM date_dim WHERE d_year = 1997))
+        |  GROUP BY i_item_id)
+        |SELECT ssi.item_id,
+        |  round(ss_rev - cs_rev - ws_rev + 5e-7, 2) AS so_item_rev,
+        |  round(cs_rev, 2) AS cs_item_rev,
+        |  round(ws_rev, 2) AS ws_item_rev,
+        |  round(ss_rev / 3 + 5e-7, 2) AS average
+        |FROM ss_items ssi, cs_items csi, ws_items wsi
+        |WHERE ssi.item_id = csi.item_id AND ssi.item_id = wsi.item_id
+        |  AND ss_rev - cs_rev - ws_rev BETWEEN 0.9 * cs_rev
+        |    AND 1.1 * cs_rev
+        |  AND ss_rev - cs_rev - ws_rev BETWEEN 0.9 * ws_rev
+        |    AND 1.1 * ws_rev
+        |  AND cs_rev BETWEEN 0.9 * (ss_rev - cs_rev - ws_rev)
+        |    AND 1.1 * (ss_rev - cs_rev - ws_rev)
+        |  AND cs_rev BETWEEN 0.9 * ws_rev AND 1.1 * ws_rev
+        |  AND ws_rev BETWEEN 0.9 * (ss_rev - cs_rev - ws_rev)
+        |    AND 1.1 * (ss_rev - cs_rev - ws_rev)
+        |  AND ws_rev BETWEEN 0.9 * cs_rev AND 1.1 * cs_rev
+        |ORDER BY ssi.item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q77: per-channel profit-and-loss ROLLUP — each channel's
+    // sales/profit CTE (left-)joined to its returns CTE on the channel
+    // entity, then a rollup over channel and entity id. Return losses
+    // model the same 10% margin as net profit.
+    "qz1_tpcds_q77" -> ((s, dir) => sql(s, dir,
+      """WITH ss AS (
+        |  SELECT ss_store_sk AS store_sk,
+        |    sum(ss_ext_sales_price) AS sales,
+        |    sum(ss_net_profit) AS profit
+        |  FROM store_sales, date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY ss_store_sk),
+        |sr AS (
+        |  SELECT sr_store_sk AS store_sk,
+        |    sum(sr_return_amt) AS returns_amt,
+        |    sum(sr_return_amt) * 0.1 AS profit_loss
+        |  FROM store_returns, date_dim
+        |  WHERE sr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY sr_store_sk),
+        |cs AS (
+        |  SELECT cs_call_center_sk AS cc_sk,
+        |    sum(cs_ext_sales_price) AS sales,
+        |    sum(cs_net_profit) AS profit
+        |  FROM catalog_sales, date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY cs_call_center_sk),
+        |cr AS (
+        |  SELECT cr_call_center_sk AS cc_sk,
+        |    sum(cr_return_amount) AS returns_amt,
+        |    sum(cr_return_amount) * 0.1 AS profit_loss
+        |  FROM catalog_returns, date_dim
+        |  WHERE cr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY cr_call_center_sk),
+        |ws AS (
+        |  SELECT ws_web_site_sk AS site_sk,
+        |    sum(ws_ext_sales_price) AS sales,
+        |    sum(ws_net_profit) AS profit
+        |  FROM web_sales, date_dim
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY ws_web_site_sk),
+        |wr AS (
+        |  SELECT wr_web_site_sk AS site_sk,
+        |    sum(wr_return_amt) AS returns_amt,
+        |    sum(wr_return_amt) * 0.1 AS profit_loss
+        |  FROM web_returns, date_dim
+        |  WHERE wr_returned_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |  GROUP BY wr_web_site_sk)
+        |SELECT channel, id,
+        |  round(sum(sales), 2) AS sales,
+        |  round(sum(returns_amt) + 5e-7, 2) AS returns_amt,
+        |  round(sum(profit) + 5e-7, 2) AS profit
+        |FROM (
+        |  SELECT 'store channel' AS channel, ss.store_sk AS id, sales,
+        |    coalesce(returns_amt, 0) AS returns_amt,
+        |    profit - coalesce(profit_loss, 0) AS profit
+        |  FROM ss LEFT JOIN sr ON ss.store_sk = sr.store_sk
+        |  UNION ALL
+        |  SELECT 'catalog channel', cs.cc_sk, sales, returns_amt,
+        |    profit - profit_loss
+        |  FROM cs JOIN cr ON cs.cc_sk = cr.cc_sk
+        |  UNION ALL
+        |  SELECT 'web channel', ws.site_sk, sales,
+        |    coalesce(returns_amt, 0),
+        |    profit - coalesce(profit_loss, 0)
+        |  FROM ws LEFT JOIN wr ON ws.site_sk = wr.site_sk) x
+        |GROUP BY ROLLUP(channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin)),
+
+    // TPC-DS Q80: promoted high-price items' sales/returns/profit per
+    // channel entity with returns left-joined at the line level
+    // (ticket/order + item), rolled up over channel and id.
+    "qz2_tpcds_q80" -> ((s, dir) => sql(s, dir,
+      """WITH ssr AS (
+        |  SELECT concat('store', cast(s_store_sk as string)) AS id,
+        |    sum(ss_ext_sales_price) AS sales,
+        |    sum(coalesce(sr_return_amt, 0)) AS returns_amt,
+        |    sum(ss_net_profit - coalesce(sr_return_amt, 0) * 0.1)
+        |      AS profit
+        |  FROM store_sales LEFT OUTER JOIN store_returns
+        |      ON ss_ticket_number = sr_ticket_number
+        |      AND ss_item_sk = sr_item_sk,
+        |    date_dim, store, item, promotion
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |    AND ss_store_sk = s_store_sk
+        |    AND ss_item_sk = i_item_sk AND i_current_price > 950
+        |    AND ss_promo_sk = p_promo_sk AND p_channel_event = 'N'
+        |  GROUP BY s_store_sk),
+        |csr AS (
+        |  SELECT concat('call_center', cast(cc_call_center_sk as string))
+        |    AS id,
+        |    sum(cs_ext_sales_price) AS sales,
+        |    sum(coalesce(cr_return_amount, 0)) AS returns_amt,
+        |    sum(cs_net_profit - coalesce(cr_return_amount, 0) * 0.1)
+        |      AS profit
+        |  FROM catalog_sales LEFT OUTER JOIN catalog_returns
+        |      ON cs_order_number = cr_order_number
+        |      AND cs_item_sk = cr_item_sk,
+        |    date_dim, call_center, item, promotion
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |    AND cs_call_center_sk = cc_call_center_sk
+        |    AND cs_item_sk = i_item_sk AND i_current_price > 950
+        |    AND cs_promo_sk = p_promo_sk AND p_channel_event = 'N'
+        |  GROUP BY cc_call_center_sk),
+        |wsr AS (
+        |  SELECT concat('web_site', cast(ws_web_site_sk as string))
+        |    AS id,
+        |    sum(ws_ext_sales_price) AS sales,
+        |    sum(coalesce(wr_return_amt, 0)) AS returns_amt,
+        |    sum(ws_net_profit - coalesce(wr_return_amt, 0) * 0.1)
+        |      AS profit
+        |  FROM web_sales LEFT OUTER JOIN web_returns
+        |      ON ws_order_number = wr_order_number
+        |      AND ws_item_sk = wr_item_sk,
+        |    date_dim, item, promotion
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+        |    AND ws_item_sk = i_item_sk AND i_current_price > 950
+        |    AND ws_promo_sk = p_promo_sk AND p_channel_event = 'N'
+        |  GROUP BY ws_web_site_sk)
+        |SELECT channel, id,
+        |  round(sum(sales), 2) AS sales,
+        |  round(sum(returns_amt) + 5e-7, 2) AS returns_amt,
+        |  round(sum(profit) + 5e-7, 2) AS profit
+        |FROM (SELECT 'store channel' AS channel, id, sales,
+        |        returns_amt, profit
+        |      FROM ssr
+        |      UNION ALL
+        |      SELECT 'catalog channel', id, sales, returns_amt, profit
+        |      FROM csr
+        |      UNION ALL
+        |      SELECT 'web channel', id, sales, returns_amt, profit
+        |      FROM wsr) x
+        |GROUP BY ROLLUP(channel, id)
+        |ORDER BY channel NULLS FIRST, id NULLS FIRST
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q83: per-item return quantities across the three return
+    // channels for three sampled weeks (nested date -> week_seq ->
+    // dates subquery chain), with each channel's share of the 3-way
+    // average.
+    "qz3_tpcds_q83" -> ((s, dir) => sql(s, dir,
+      """WITH sr_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(sr_return_quantity) AS sr_item_qty
+        |  FROM store_returns, item, date_dim
+        |  WHERE sr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+        |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+        |          DATE '1997-09-10')))
+        |    AND sr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id),
+        |cr_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(cr_return_quantity) AS cr_item_qty
+        |  FROM catalog_returns, item, date_dim
+        |  WHERE cr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+        |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+        |          DATE '1997-09-10')))
+        |    AND cr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id),
+        |wr_items AS (
+        |  SELECT i_item_id AS item_id,
+        |    sum(wr_return_quantity) AS wr_item_qty
+        |  FROM web_returns, item, date_dim
+        |  WHERE wr_item_sk = i_item_sk
+        |    AND d_date IN (SELECT d_date FROM date_dim
+        |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+        |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+        |          DATE '1997-09-10')))
+        |    AND wr_returned_date_sk = d_date_sk
+        |  GROUP BY i_item_id)
+        |SELECT sri.item_id,
+        |  cast(sr_item_qty as bigint) AS sr_item_qty,
+        |  round(sr_item_qty /
+        |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+        |    + 5e-7, 2) AS sr_dev,
+        |  cast(cr_item_qty as bigint) AS cr_item_qty,
+        |  round(cr_item_qty /
+        |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+        |    + 5e-7, 2) AS cr_dev,
+        |  cast(wr_item_qty as bigint) AS wr_item_qty,
+        |  round(wr_item_qty /
+        |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+        |    + 5e-7, 2) AS wr_dev,
+        |  round((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0
+        |    + 5e-7, 2) AS average
+        |FROM sr_items sri, cr_items cri, wr_items wri
+        |WHERE sri.item_id = cri.item_id AND sri.item_id = wri.item_id
+        |ORDER BY sri.item_id
+        |LIMIT 100""".stripMargin)),
+
+    // TPC-DS Q84: customers in one city within an income-band window,
+    // joined through household demographics to the income_band dim and
+    // fanned out by their store returns.
+    "qz4_tpcds_q84" -> ((s, dir) => sql(s, dir,
+      """SELECT c.c_custkey AS customer_sk, c.c_name AS customername
+        |FROM customer c, customer_address, customer_demographics,
+        |  household_demographics, income_band, store_returns
+        |WHERE ca_city = 'City5'
+        |  AND c.c_custkey = ca_address_sk
+        |  AND ib_lower_bound >= 15000 AND ib_upper_bound <= 65000
+        |  AND ib_income_band_sk = hd_income_band_sk
+        |  AND hd_demo_sk = c.c_custkey
+        |  AND cd_demo_sk = c.c_custkey
+        |  AND sr_customer_sk = cd_demo_sk
+        |ORDER BY customer_sk
         |LIMIT 100""".stripMargin))
   )
 
@@ -5592,6 +6012,377 @@ object TpcdsSql extends QueryPack {
          |  AND cs_call_center_sk = cc_call_center_sk
          |GROUP BY w_warehouse_name, sm_type, cc_name
          |ORDER BY w_warehouse_name, sm_type, cc_name
+         |LIMIT 100""".stripMargin,
+
+    "qy6_tpcds_q18" ->
+      s"""WITH $dsCte
+         |SELECT i_item_id, ca_state, ca_city,
+         |  round(avg(cs_quantity) + 5e-7, 2) AS agg1,
+         |  round(avg(cs_list_price) + 5e-7, 2) AS agg2,
+         |  round(avg(cs_coupon_amt) + 5e-7, 2) AS agg3,
+         |  round(avg(cs_sales_price) + 5e-7, 2) AS agg4,
+         |  round(avg(1920 + c_custkey % 70) + 5e-7, 2) AS agg5,
+         |  round(avg(cd_dep_count) + 5e-7, 2) AS agg6
+         |FROM catalog_sales, customer_demographics, customer c,
+         |  customer_address, date_dim, item
+         |WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+         |  AND cs_item_sk = i_item_sk
+         |  AND cs_bill_cdemo_sk = cd_demo_sk
+         |  AND cs_bill_customer_sk = c.c_custkey
+         |  AND cd_gender = 'M' AND cd_education_status = 'College'
+         |  AND c.c_custkey % 12 + 1 IN (1, 2, 6, 8, 9, 12)
+         |  AND c.c_custkey = ca_address_sk
+         |GROUP BY ROLLUP(i_item_id, ca_state, ca_city)
+         |ORDER BY i_item_id NULLS FIRST, ca_state NULLS FIRST,
+         |  ca_city NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "qy7_tpcds_q24" ->
+      s"""WITH $dsCte,
+         |ssales AS (
+         |  SELECT c_name, s_store_name, i_color,
+         |    sum(ss_ext_sales_price) AS netpaid
+         |  FROM store_sales, store_returns, store, item, customer,
+         |    customer_address
+         |  WHERE ss_ticket_number = sr_ticket_number
+         |    AND ss_item_sk = sr_item_sk
+         |    AND ss_customer_sk = c_custkey
+         |    AND ss_store_sk = s_store_sk
+         |    AND ss_item_sk = i_item_sk
+         |    AND c_custkey = ca_address_sk
+         |    AND s_state = ca_state
+         |  GROUP BY c_name, s_store_name, i_color)
+         |SELECT c_name, s_store_name, round(sum(netpaid), 2) AS paid
+         |FROM ssales
+         |WHERE i_color = 'red'
+         |GROUP BY c_name, s_store_name
+         |HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+         |ORDER BY c_name, s_store_name
+         |LIMIT 100""".stripMargin,
+
+    "qy8_tpcds_q44" ->
+      s"""WITH $dsCte,
+         |v AS (
+         |  SELECT ss_item_sk AS item_sk,
+         |    round(avg(ss_net_profit) + 5e-7, 2) AS rank_col
+         |  FROM store_sales
+         |  WHERE ss_store_sk = 4
+         |  GROUP BY ss_item_sk
+         |  HAVING avg(ss_net_profit) > 0.9 * (
+         |    SELECT avg(ss_net_profit)
+         |    FROM store_sales
+         |    WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL)),
+         |asceding AS (
+         |  SELECT item_sk,
+         |    rank() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+         |  FROM v),
+         |descending AS (
+         |  SELECT item_sk,
+         |    rank() OVER (ORDER BY rank_col DESC, item_sk DESC) AS rnk
+         |  FROM v)
+         |SELECT a.rnk AS rnk, i1.i_product_name AS best_performing,
+         |  i2.i_product_name AS worst_performing
+         |FROM asceding a, descending d, item i1, item i2
+         |WHERE a.rnk = d.rnk AND a.rnk < 11
+         |  AND i1.i_item_sk = a.item_sk AND i2.i_item_sk = d.item_sk
+         |ORDER BY a.rnk""".stripMargin,
+
+    "qy9_tpcds_q54" ->
+      s"""WITH $dsCte,
+         |my_customers AS (
+         |  SELECT DISTINCT c_custkey
+         |  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+         |          cs_bill_customer_sk AS customer_sk,
+         |          cs_item_sk AS item_sk
+         |        FROM catalog_sales
+         |        UNION ALL
+         |        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+         |        FROM web_sales) sales, item, date_dim, customer
+         |  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+         |    AND i_category = 'PROMO' AND i_class = 'PROMO#1'
+         |    AND d_moy = 3 AND d_year = 1998
+         |    AND customer_sk = c_custkey),
+         |my_revenue AS (
+         |  SELECT c_custkey AS customer_sk,
+         |    sum(ss_ext_sales_price) AS revenue
+         |  FROM my_customers, store_sales, customer_address, store,
+         |    date_dim
+         |  WHERE c_custkey = ss_customer_sk
+         |    AND ca_address_sk = c_custkey
+         |    AND ca_state = s_state
+         |    AND ss_sold_date_sk = d_date_sk
+         |    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+         |        FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+         |      AND (SELECT DISTINCT d_month_seq + 3
+         |        FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+         |  GROUP BY c_custkey),
+         |segments AS (
+         |  SELECT CAST(floor(round(revenue + 5e-7, 2) / 50) AS BIGINT)
+         |    AS segment
+         |  FROM my_revenue)
+         |SELECT segment, CAST(count(*) AS BIGINT) AS num_customers,
+         |  segment * 50 AS segment_base
+         |FROM segments
+         |GROUP BY segment
+         |ORDER BY segment, num_customers
+         |LIMIT 100""".stripMargin,
+
+    "qz0_tpcds_q58" ->
+      s"""WITH $dsCte,
+         |ss_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(ss_ext_sales_price) AS ss_rev
+         |  FROM store_sales, item, date_dim
+         |  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+         |        FROM date_dim WHERE d_year = 1997))
+         |  GROUP BY i_item_id),
+         |cs_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(cs_ext_sales_price) AS cs_rev
+         |  FROM catalog_sales, item, date_dim
+         |  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+         |        FROM date_dim WHERE d_year = 1997))
+         |  GROUP BY i_item_id),
+         |ws_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(ws_ext_sales_price) AS ws_rev
+         |  FROM web_sales, item, date_dim
+         |  WHERE ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_month_seq IN (SELECT DISTINCT d_month_seq
+         |        FROM date_dim WHERE d_year = 1997))
+         |  GROUP BY i_item_id)
+         |SELECT ssi.item_id,
+         |  round(ss_rev - cs_rev - ws_rev + 5e-7, 2) AS so_item_rev,
+         |  round(cs_rev, 2) AS cs_item_rev,
+         |  round(ws_rev, 2) AS ws_item_rev,
+         |  round(ss_rev / 3 + 5e-7, 2) AS average
+         |FROM ss_items ssi, cs_items csi, ws_items wsi
+         |WHERE ssi.item_id = csi.item_id AND ssi.item_id = wsi.item_id
+         |  AND ss_rev - cs_rev - ws_rev BETWEEN 0.9 * cs_rev
+         |    AND 1.1 * cs_rev
+         |  AND ss_rev - cs_rev - ws_rev BETWEEN 0.9 * ws_rev
+         |    AND 1.1 * ws_rev
+         |  AND cs_rev BETWEEN 0.9 * (ss_rev - cs_rev - ws_rev)
+         |    AND 1.1 * (ss_rev - cs_rev - ws_rev)
+         |  AND cs_rev BETWEEN 0.9 * ws_rev AND 1.1 * ws_rev
+         |  AND ws_rev BETWEEN 0.9 * (ss_rev - cs_rev - ws_rev)
+         |    AND 1.1 * (ss_rev - cs_rev - ws_rev)
+         |  AND ws_rev BETWEEN 0.9 * cs_rev AND 1.1 * cs_rev
+         |ORDER BY ssi.item_id
+         |LIMIT 100""".stripMargin,
+
+    "qz1_tpcds_q77" ->
+      s"""WITH $dsCte,
+         |ss AS (
+         |  SELECT ss_store_sk AS store_sk,
+         |    sum(ss_ext_sales_price) AS sales,
+         |    sum(ss_net_profit) AS profit
+         |  FROM store_sales, date_dim
+         |  WHERE ss_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY ss_store_sk),
+         |sr AS (
+         |  SELECT sr_store_sk AS store_sk,
+         |    sum(sr_return_amt) AS returns_amt,
+         |    sum(sr_return_amt) * 0.1 AS profit_loss
+         |  FROM store_returns, date_dim
+         |  WHERE sr_returned_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY sr_store_sk),
+         |cs AS (
+         |  SELECT cs_call_center_sk AS cc_sk,
+         |    sum(cs_ext_sales_price) AS sales,
+         |    sum(cs_net_profit) AS profit
+         |  FROM catalog_sales, date_dim
+         |  WHERE cs_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY cs_call_center_sk),
+         |cr AS (
+         |  SELECT cr_call_center_sk AS cc_sk,
+         |    sum(cr_return_amount) AS returns_amt,
+         |    sum(cr_return_amount) * 0.1 AS profit_loss
+         |  FROM catalog_returns, date_dim
+         |  WHERE cr_returned_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY cr_call_center_sk),
+         |ws AS (
+         |  SELECT ws_web_site_sk AS site_sk,
+         |    sum(ws_ext_sales_price) AS sales,
+         |    sum(ws_net_profit) AS profit
+         |  FROM web_sales, date_dim
+         |  WHERE ws_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY ws_web_site_sk),
+         |wr AS (
+         |  SELECT wr_web_site_sk AS site_sk,
+         |    sum(wr_return_amt) AS returns_amt,
+         |    sum(wr_return_amt) * 0.1 AS profit_loss
+         |  FROM web_returns, date_dim
+         |  WHERE wr_returned_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |  GROUP BY wr_web_site_sk)
+         |SELECT channel, id,
+         |  round(sum(sales), 2) AS sales,
+         |  round(sum(returns_amt) + 5e-7, 2) AS returns_amt,
+         |  round(sum(profit) + 5e-7, 2) AS profit
+         |FROM (
+         |  SELECT 'store channel' AS channel, ss.store_sk AS id, sales,
+         |    coalesce(returns_amt, 0) AS returns_amt,
+         |    profit - coalesce(profit_loss, 0) AS profit
+         |  FROM ss LEFT JOIN sr ON ss.store_sk = sr.store_sk
+         |  UNION ALL
+         |  SELECT 'catalog channel', cs.cc_sk, sales, returns_amt,
+         |    profit - profit_loss
+         |  FROM cs JOIN cr ON cs.cc_sk = cr.cc_sk
+         |  UNION ALL
+         |  SELECT 'web channel', ws.site_sk, sales,
+         |    coalesce(returns_amt, 0),
+         |    profit - coalesce(profit_loss, 0)
+         |  FROM ws LEFT JOIN wr ON ws.site_sk = wr.site_sk) x
+         |GROUP BY ROLLUP(channel, id)
+         |ORDER BY channel NULLS FIRST, id NULLS FIRST""".stripMargin,
+
+    "qz2_tpcds_q80" ->
+      s"""WITH $dsCte,
+         |ssr AS (
+         |  SELECT concat('store', CAST(s_store_sk AS VARCHAR)) AS id,
+         |    sum(ss_ext_sales_price) AS sales,
+         |    sum(coalesce(sr_return_amt, 0)) AS returns_amt,
+         |    sum(ss_net_profit - coalesce(sr_return_amt, 0) * 0.1)
+         |      AS profit
+         |  FROM store_sales LEFT OUTER JOIN store_returns
+         |      ON ss_ticket_number = sr_ticket_number
+         |      AND ss_item_sk = sr_item_sk,
+         |    date_dim, store, item, promotion
+         |  WHERE ss_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |    AND ss_store_sk = s_store_sk
+         |    AND ss_item_sk = i_item_sk AND i_current_price > 950
+         |    AND ss_promo_sk = p_promo_sk AND p_channel_event = 'N'
+         |  GROUP BY s_store_sk),
+         |csr AS (
+         |  SELECT concat('call_center',
+         |      CAST(cc_call_center_sk AS VARCHAR)) AS id,
+         |    sum(cs_ext_sales_price) AS sales,
+         |    sum(coalesce(cr_return_amount, 0)) AS returns_amt,
+         |    sum(cs_net_profit - coalesce(cr_return_amount, 0) * 0.1)
+         |      AS profit
+         |  FROM catalog_sales LEFT OUTER JOIN catalog_returns
+         |      ON cs_order_number = cr_order_number
+         |      AND cs_item_sk = cr_item_sk,
+         |    date_dim, call_center, item, promotion
+         |  WHERE cs_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |    AND cs_call_center_sk = cc_call_center_sk
+         |    AND cs_item_sk = i_item_sk AND i_current_price > 950
+         |    AND cs_promo_sk = p_promo_sk AND p_channel_event = 'N'
+         |  GROUP BY cc_call_center_sk),
+         |wsr AS (
+         |  SELECT concat('web_site', CAST(ws_web_site_sk AS VARCHAR))
+         |    AS id,
+         |    sum(ws_ext_sales_price) AS sales,
+         |    sum(coalesce(wr_return_amt, 0)) AS returns_amt,
+         |    sum(ws_net_profit - coalesce(wr_return_amt, 0) * 0.1)
+         |      AS profit
+         |  FROM web_sales LEFT OUTER JOIN web_returns
+         |      ON ws_order_number = wr_order_number
+         |      AND ws_item_sk = wr_item_sk,
+         |    date_dim, item, promotion
+         |  WHERE ws_sold_date_sk = d_date_sk
+         |    AND d_date BETWEEN DATE '1997-08-04' AND DATE '1997-09-03'
+         |    AND ws_item_sk = i_item_sk AND i_current_price > 950
+         |    AND ws_promo_sk = p_promo_sk AND p_channel_event = 'N'
+         |  GROUP BY ws_web_site_sk)
+         |SELECT channel, id,
+         |  round(sum(sales), 2) AS sales,
+         |  round(sum(returns_amt) + 5e-7, 2) AS returns_amt,
+         |  round(sum(profit) + 5e-7, 2) AS profit
+         |FROM (SELECT 'store channel' AS channel, id, sales,
+         |        returns_amt, profit
+         |      FROM ssr
+         |      UNION ALL
+         |      SELECT 'catalog channel', id, sales, returns_amt, profit
+         |      FROM csr
+         |      UNION ALL
+         |      SELECT 'web channel', id, sales, returns_amt, profit
+         |      FROM wsr) x
+         |GROUP BY ROLLUP(channel, id)
+         |ORDER BY channel NULLS FIRST, id NULLS FIRST
+         |LIMIT 100""".stripMargin,
+
+    "qz3_tpcds_q83" ->
+      s"""WITH $dsCte,
+         |sr_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(sr_return_quantity) AS sr_item_qty
+         |  FROM store_returns, item, date_dim
+         |  WHERE sr_item_sk = i_item_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+         |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+         |          DATE '1997-09-10')))
+         |    AND sr_returned_date_sk = d_date_sk
+         |  GROUP BY i_item_id),
+         |cr_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(cr_return_quantity) AS cr_item_qty
+         |  FROM catalog_returns, item, date_dim
+         |  WHERE cr_item_sk = i_item_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+         |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+         |          DATE '1997-09-10')))
+         |    AND cr_returned_date_sk = d_date_sk
+         |  GROUP BY i_item_id),
+         |wr_items AS (
+         |  SELECT i_item_id AS item_id,
+         |    sum(wr_return_quantity) AS wr_item_qty
+         |  FROM web_returns, item, date_dim
+         |  WHERE wr_item_sk = i_item_sk
+         |    AND d_date IN (SELECT d_date FROM date_dim
+         |      WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+         |        WHERE d_date IN (DATE '1997-03-02', DATE '1997-06-15',
+         |          DATE '1997-09-10')))
+         |    AND wr_returned_date_sk = d_date_sk
+         |  GROUP BY i_item_id)
+         |SELECT sri.item_id,
+         |  CAST(sr_item_qty AS BIGINT) AS sr_item_qty,
+         |  round(sr_item_qty /
+         |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+         |    + 5e-7, 2) AS sr_dev,
+         |  CAST(cr_item_qty AS BIGINT) AS cr_item_qty,
+         |  round(cr_item_qty /
+         |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+         |    + 5e-7, 2) AS cr_dev,
+         |  CAST(wr_item_qty AS BIGINT) AS wr_item_qty,
+         |  round(wr_item_qty /
+         |    ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100
+         |    + 5e-7, 2) AS wr_dev,
+         |  round((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0
+         |    + 5e-7, 2) AS average
+         |FROM sr_items sri, cr_items cri, wr_items wri
+         |WHERE sri.item_id = cri.item_id AND sri.item_id = wri.item_id
+         |ORDER BY sri.item_id
+         |LIMIT 100""".stripMargin,
+
+    "qz4_tpcds_q84" ->
+      s"""WITH $dsCte
+         |SELECT c.c_custkey AS customer_sk, c.c_name AS customername
+         |FROM customer c, customer_address, customer_demographics,
+         |  household_demographics, income_band, store_returns
+         |WHERE ca_city = 'City5'
+         |  AND c.c_custkey = ca_address_sk
+         |  AND ib_lower_bound >= 15000 AND ib_upper_bound <= 65000
+         |  AND ib_income_band_sk = hd_income_band_sk
+         |  AND hd_demo_sk = c.c_custkey
+         |  AND cd_demo_sk = c.c_custkey
+         |  AND sr_customer_sk = cd_demo_sk
+         |ORDER BY customer_sk
          |LIMIT 100""".stripMargin
   )
 }

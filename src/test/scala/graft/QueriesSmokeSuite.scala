@@ -18,7 +18,7 @@ class QueriesSmokeSuite extends GraftSuite {
     "q91_minhash_dedup", "q92_simhash_dedup", "q96_embedding_neardup",
     "qa0_doc_fingerprint", "qd9_tfidf_cosine",
     "qs3_tpcds_q31", "qs9_tpcds_q17", "qt7_tpcds_q82", "qu5_tpcds_q37",
-    "qv7_tpcds_q14")
+    "qv7_tpcds_q14", "qy2_tpcds_q40", "qz2_tpcds_q80", "qz3_tpcds_q83")
 
   test("every query has a matching oracle or documented rows-only status") {
     val qs = SparkEntry.queries.keySet
