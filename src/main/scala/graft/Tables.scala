@@ -36,16 +36,27 @@ object Tables {
   /** Registers every fixture table as a temp view named after the table. */
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (registered.get(spark) != sfDir) {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read the raw int64 nanos and convert to a microsecond timestamp
-      // (integer division — nanos-since-2024 exceed double precision).
+      // events.ts has shifted physical type across driver testdata
+      // generations: TIMESTAMP(NANOS) (readable only as int64 via the
+      // legacy nanosAsLong conf) vs plain TIMESTAMP(MICROS) (read as
+      // TIMESTAMP_NTZ). Normalize both to a session TimestampType column
+      // so every downstream query sees one stable schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       names.foreach { n =>
         val raw = df(spark, sfDir, n)
         val v =
-          if (n == "events")
-            raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-          else raw
+          if (n == "events") {
+            import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+            raw.schema("ts").dataType match {
+              case LongType =>
+                // int64 nanos; integer division — nanos-since-2024 exceed
+                // double precision.
+                raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+              case TimestampNTZType =>
+                raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+              case _ => raw
+            }
+          } else raw
         v.createOrReplaceTempView(n)
       }
       // partsupp: the slim fixture omits TPC-H's partsupp table; derive it

@@ -104,9 +104,18 @@ class StreamingSuite extends GraftSuite {
       dir.resolve("events.parquet"))
     val path = dir.toString
     val batchSchema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(batchSchema).parquet(path)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val rawStream = spark.readStream.schema(batchSchema).parquet(path)
+    // ts physical type varies by testdata generation: int64 nanos vs
+    // TIMESTAMP(MICROS)/NTZ — normalize to TimestampType like Tables does.
+    val stream = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        rawStream.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => rawStream
+    }
     // Complete mode: a single input file means the watermark only advances
     // after the one-and-only batch, so Append would emit nothing.
     val q = EventStream.windowedCounts(stream, "1 day", "30 minutes")
