@@ -203,6 +203,14 @@ private[functions] object PrestoStatements {
   private def statusDf(spark: SparkSession, v: String): org.apache.spark.sql.DataFrame =
     spark.sql(s"SELECT '${v.replace("'", "''")}' AS result")
 
+  /** Session-created view text, if recorded (for
+    * information_schema.views.view_definition). */
+  private[functions] def viewText(spark: SparkSession,
+      name: String): Option[String] =
+    synchronized {
+      Option(createdViewTexts.get(spark)).flatMap(_.get(name.toLowerCase))
+    }
+
   /** Count `?` placeholders with string literals masked. */
   private def countPlaceholders(body: String): Int = {
     val mask = PrestoRewrite.stringMask(body)
@@ -396,7 +404,8 @@ private[functions] object PrestoStatements {
         require(n == args.length,
           s"EXECUTE $name: ${args.length} USING arguments for $n " +
             "? parameters")
-        spark.sql(rewritePrestoSql(bound))
+        spark.sql(rewritePrestoSql(
+          PrestoSecurity.rewriteInfoSchema(spark, bound)))
 
       case descInputRe(name) =>
         // DescribeInputRewrite.java:123 — (Position, Type) per `?`,
@@ -593,16 +602,21 @@ private[functions] object PrestoStatements {
         showStatsStatement(spark, target)
 
       case other =>
-        // Record original texts for SHOW CREATE VIEW / FUNCTION before
-        // the rewrite pipeline consumes them.
-        createViewDetectRe.findFirstMatchIn(other).foreach { m =>
-          sessionMap(createdViewTexts, spark)
-            .update(m.group(1).split('.').last.toLowerCase, other.trim)
+        // Role/privilege statement family (CREATE/DROP ROLE, GRANT,
+        // REVOKE, SET ROLE, SHOW ROLES/GRANTS — SqlBase.g4:71-94).
+        PrestoSecurity.maybeStatement(spark, other).getOrElse {
+          // Record original texts for SHOW CREATE VIEW / FUNCTION before
+          // the rewrite pipeline consumes them.
+          createViewDetectRe.findFirstMatchIn(other).foreach { m =>
+            sessionMap(createdViewTexts, spark)
+              .update(m.group(1).split('.').last.toLowerCase, other.trim)
+          }
+          PrestoRewrite.createFnRe.findFirstMatchIn(other).foreach { m =>
+            sessionMap(createdFnTexts, spark)
+              .update(m.group(2).split('.').last.toLowerCase, other.trim)
+          }
+          spark.sql(rewritePrestoSql(
+            PrestoSecurity.rewriteInfoSchema(spark, other)))
         }
-        PrestoRewrite.createFnRe.findFirstMatchIn(other).foreach { m =>
-          sessionMap(createdFnTexts, spark)
-            .update(m.group(2).split('.').last.toLowerCase, other.trim)
-        }
-        spark.sql(rewritePrestoSql(other))
     }
 }

@@ -1589,6 +1589,11 @@ object Registry {
       sqlText: String): org.apache.spark.sql.DataFrame =
     PrestoStatements.prestoStatement(spark, sqlText)
 
+  /** Forget session role/grant state so lifecycle gates replay
+    * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
+  def resetSecurityState(spark: SparkSession): Unit =
+    PrestoSecurity.resetSecurityState(spark)
+
 }
 
 /** SQL-fragment builders for the IPv4 templates: dotted-quad → bigint,

@@ -435,6 +435,109 @@ object Views extends QueryPack {
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // information_schema as QUERYABLE TABLES (InformationSchemaMetadata
+    // .java:81-92 — the columns table with its exact 10-column shape):
+    // not the DESCRIBE shortcut (qp6) but the real thing a BI tool
+    // issues — SELECT with WHERE/ORDER BY against
+    // information_schema.columns. The oracle is DuckDB's OWN
+    // information_schema over the identical fixtures: both engines
+    // agree on names, 1-based ordinal positions, and rendered types.
+    "qz5_infoschema_columns" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SELECT column_name, ordinal_position, data_type
+          |FROM information_schema.columns
+          |WHERE table_name = 'lineitem'
+          |ORDER BY ordinal_position""".stripMargin)
+    }),
+
+    // information_schema composes with the full query surface — a join
+    // between two metadata tables with aggregation, exactly what
+    // catalog-exploration queries look like. table_type is 'VIEW' in
+    // both engines (the fixtures mount as views on both sides).
+    "qz6_infoschema_query" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SELECT t.table_name, t.table_type, count(*) AS n_cols
+          |FROM information_schema.tables t
+          |JOIN information_schema.columns c
+          |  ON c.table_name = t.table_name
+          | AND c.table_schema = t.table_schema
+          |WHERE t.table_name IN
+          |  ('region', 'nation', 'customer', 'orders', 'lineitem')
+          |GROUP BY t.table_name, t.table_type
+          |ORDER BY t.table_name""".stripMargin)
+    }),
+
+    // Role / privilege lifecycle (SqlBase.g4:71-94 #createRole/#dropRole/
+    // #grantRoles/#setRole/#grant/#revoke/#showGrants + SHOW ROLES /
+    // SHOW ROLE GRANTS at :108-109; output shapes per
+    // ShowQueriesRewrite.java:237-331). Reserved roles admin/public seed
+    // the catalog like the reference's hive metastore; grants are
+    // session-scoped metadata — the reference's AllowAllAccessControl
+    // stance (metadata surface without enforcement).
+    "qz7_roles_grants" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      graft.functions.Registry.resetSecurityState(s) // idempotent replays
+      prestoStatement(s, "CREATE ROLE analyst")
+      prestoStatement(s, "CREATE ROLE ingest WITH ADMIN USER pipeline")
+      val user = s.sparkContext.sparkUser
+      prestoStatement(s, s"GRANT analyst TO USER $user")
+      prestoStatement(s,
+        "GRANT SELECT, INSERT ON lineitem TO ROLE analyst WITH GRANT OPTION")
+      prestoStatement(s, "GRANT ALL PRIVILEGES ON TABLE orders TO USER bob")
+      val rolesListed = prestoStatement(s, "SHOW ROLES").collect()
+        .map(_.getString(0)).toSeq
+      val currentAll = prestoStatement(s, "SHOW CURRENT ROLES").collect()
+        .map(_.getString(0)).toSeq // default = ALL granted + public
+      prestoStatement(s, "SET ROLE NONE")
+      val currentNone = prestoStatement(s, "SHOW CURRENT ROLES").collect()
+        .map(_.getString(0)).toSeq
+      prestoStatement(s, "SET ROLE analyst")
+      val currentOne = prestoStatement(s, "SHOW CURRENT ROLES").collect()
+        .map(_.getString(0)).toSeq
+      val grantsOnLineitem = prestoStatement(s, "SHOW GRANTS ON lineitem")
+        .collect().map(r => (r.getString(2), r.getString(7), r.getString(8)))
+        .toSeq.sorted
+      val privCountBefore = prestoStatement(s,
+        "SELECT count(*) AS n FROM information_schema.table_privileges")
+        .collect()(0).getLong(0)
+      prestoStatement(s, "REVOKE INSERT ON lineitem FROM ROLE analyst")
+      val privCountAfter = prestoStatement(s,
+        "SELECT count(*) AS n FROM information_schema.table_privileges")
+        .collect()(0).getLong(0)
+      val unknownSetRejected =
+        try { prestoStatement(s, "SET ROLE phantom"); false }
+        catch { case _: Throwable => true }
+      val reservedDropRejected =
+        try { prestoStatement(s, "DROP ROLE public"); false }
+        catch { case _: Throwable => true }
+      prestoStatement(s, "DROP ROLE ingest")
+      val afterDrop = prestoStatement(s, "SHOW ROLES").collect()
+        .map(_.getString(0)).toSeq
+      val roleGrants = prestoStatement(s, "SHOW ROLE GRANTS").collect()
+        .map(_.getString(0)).toSeq
+      import s.implicits._
+      Seq(
+        ("current_all", currentAll.mkString(",")),
+        ("current_none", currentNone.mkString(",")),
+        ("current_set_one", currentOne.mkString(",")),
+        ("drop_removes", (!afterDrop.contains("ingest")).toString),
+        ("grants_on_lineitem",
+          grantsOnLineitem.map(t => s"${t._1}:${t._2}:${t._3}")
+            .mkString(",")),
+        ("priv_counts", s"$privCountBefore->$privCountAfter"),
+        ("reserved_drop_rejected", reservedDropRejected.toString),
+        ("role_grants", roleGrants.mkString(",")),
+        ("roles_listed", rolesListed.mkString(",")),
+        ("unknown_set_rejected", unknownSetRejected.toString))
+        .toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -449,6 +552,47 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB's OWN information_schema over the identical fixture views —
+    // a genuine two-engine agreement on names, 1-based ordinals, and
+    // rendered types (lower(duckdb type) = presto spelling for this
+    // schema: bigint/integer/double/varchar/timestamp).
+    "qz5_infoschema_columns" ->
+      """SELECT column_name, CAST(ordinal_position AS BIGINT)
+        |    AS ordinal_position,
+        |  lower(data_type) AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name = 'lineitem'
+        |ORDER BY ordinal_position""".stripMargin,
+
+    // verbatim replay — DuckDB evaluates the same join over its own
+    // information_schema (fixtures mount as views in both engines)
+    "qz6_infoschema_query" ->
+      """SELECT t.table_name, t.table_type, count(*) AS n_cols
+        |FROM information_schema.tables t
+        |JOIN information_schema.columns c
+        |  ON c.table_name = t.table_name
+        | AND c.table_schema = t.table_schema
+        |WHERE t.table_name IN
+        |  ('region', 'nation', 'customer', 'orders', 'lineitem')
+        |GROUP BY t.table_name, t.table_type
+        |ORDER BY t.table_name""".stripMargin,
+
+    "qz7_roles_grants" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('current_all', 'analyst,public'),
+        |  ('current_none', 'public'),
+        |  ('current_set_one', 'analyst,public'),
+        |  ('drop_removes', 'true'),
+        |  ('grants_on_lineitem',
+        |   'analyst:INSERT:YES,analyst:SELECT:YES'),
+        |  ('priv_counts', '6->5'),
+        |  ('reserved_drop_rejected', 'true'),
+        |  ('role_grants', 'analyst,public'),
+        |  ('roles_listed', 'admin,analyst,ingest,public'),
+        |  ('unknown_set_rejected', 'true'))
+        |  AS t(phase, observed)
+        |ORDER BY phase""".stripMargin,
+
     // the table row count is a genuine data fact (region cardinality)
     "qr1_schema_lifecycle" ->
       """SELECT phase, observed FROM (

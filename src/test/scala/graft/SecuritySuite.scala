@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.Registry
+
+/** Role/privilege statement family + queryable information_schema
+  * (PrestoSecurity): loud-failure guards, transitive role grants, exact
+  * SHOW output shapes, and the string-literal mask on the
+  * information_schema rewrite. */
+class SecuritySuite extends GraftSuite {
+
+  Registry.install(spark)
+
+  private def stmt(sql: String) = Registry.prestoStatement(spark, sql)
+
+  private def reset(): Unit = Registry.resetSecurityState(spark)
+
+  test("duplicate CREATE ROLE / missing DROP ROLE / reserved names fail loudly") {
+    reset()
+    stmt("CREATE ROLE sec_a")
+    val dup = intercept[Exception] { stmt("CREATE ROLE sec_a") }
+    assert(dup.getMessage.contains("already exists"))
+    val missing = intercept[Exception] { stmt("DROP ROLE sec_phantom") }
+    assert(missing.getMessage.contains("does not exist"))
+    val reserved = intercept[Exception] { stmt("CREATE ROLE public") }
+    assert(reserved.getMessage.contains("reserved"))
+    val dropReserved = intercept[Exception] { stmt("DROP ROLE admin") }
+    assert(dropReserved.getMessage.contains("reserved"))
+  }
+
+  test("SET ROLE requires the role to be granted; ALL/NONE adjust enabled set") {
+    reset()
+    stmt("CREATE ROLE sec_r1")
+    val denied = intercept[Exception] { stmt("SET ROLE sec_r1") }
+    assert(denied.getMessage.contains("Cannot set role"))
+    val user = spark.sparkContext.sparkUser
+    stmt(s"GRANT sec_r1 TO USER $user")
+    stmt("SET ROLE sec_r1") // now allowed
+    val current = stmt("SHOW CURRENT ROLES").collect().map(_.getString(0))
+    assert(current.toSeq == Seq("public", "sec_r1").sorted)
+    stmt("SET ROLE NONE")
+    assert(stmt("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSeq
+      == Seq("public"))
+    stmt("SET ROLE ALL")
+    assert(stmt("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSeq
+      == Seq("public", "sec_r1"))
+  }
+
+  test("role-to-role grants reach the user transitively in enabled/applicable") {
+    reset()
+    val user = spark.sparkContext.sparkUser
+    stmt("CREATE ROLE sec_inner")
+    stmt("CREATE ROLE sec_outer")
+    stmt("GRANT sec_outer TO USER " + user)
+    stmt("GRANT sec_inner TO ROLE sec_outer")
+    val enabled = stmt("SHOW CURRENT ROLES").collect().map(_.getString(0))
+    assert(enabled.contains("sec_inner") && enabled.contains("sec_outer"))
+    val applicable = stmt(
+      "SELECT role_name FROM information_schema.applicable_roles")
+      .collect().map(_.getString(0))
+    assert(applicable.contains("sec_inner"))
+  }
+
+  test("SHOW GRANTS carries the reference's exact 10-column header") {
+    reset()
+    stmt("GRANT SELECT ON nation TO USER someone")
+    val df = stmt("SHOW GRANTS ON TABLE nation")
+    assert(df.columns.toSeq == Seq("Grantor", "Grantor Type", "Grantee",
+      "Grantee Type", "Catalog", "Schema", "Table", "Privilege",
+      "Grantable", "With Hierarchy"))
+    val row = df.collect()(0)
+    assert(row.getString(2) == "someone" && row.getString(7) == "SELECT" &&
+      row.getString(8) == "NO")
+    // revoking a grant that does not exist fails loudly
+    val e = intercept[Exception] {
+      stmt("REVOKE INSERT ON nation FROM USER someone")
+    }
+    assert(e.getMessage.contains("no such grant"))
+    stmt("REVOKE SELECT ON nation FROM USER someone")
+    assert(stmt("SHOW GRANTS ON nation").count() == 0)
+  }
+
+  test("unknown privilege names are rejected") {
+    reset()
+    val e = intercept[Exception] {
+      stmt("GRANT EXECUTE ON nation TO USER someone")
+    }
+    assert(e.getMessage.contains("Unknown privilege"))
+  }
+
+  test("information_schema rewrite is string-literal masked") {
+    Tables.register(spark, SfDir)
+    // the literal must survive verbatim; the FROM reference must rewrite
+    val df = stmt("SELECT 'information_schema.columns' AS s, count(*) AS n " +
+      "FROM information_schema.columns WHERE table_name = 'region'")
+    val row = df.collect()(0)
+    assert(row.getString(0) == "information_schema.columns")
+    assert(row.getLong(1) == 2L) // region = (r_regionkey, r_name)
+  }
+
+  test("information_schema.tables and schemata answer catalog facts") {
+    Tables.register(spark, SfDir)
+    val tbls = stmt("SELECT table_name FROM information_schema.tables " +
+      "WHERE table_name IN ('region', 'nation')").collect()
+      .map(_.getString(0)).sorted
+    assert(tbls.toSeq == Seq("nation", "region"))
+    val schemata = stmt(
+      "SELECT schema_name FROM information_schema.schemata").collect()
+      .map(_.getString(0))
+    assert(schemata.contains("default") &&
+      schemata.contains("information_schema"))
+  }
+}
