@@ -304,6 +304,14 @@ object TpcdsSql extends QueryPack {
     // generated lazily by a codegen'd sequence explode (real TPC-DS
     // ships inventory as a table; the generation is the fixture stand-
     // in, and every join below keys on item/date like the real fact).
+    // The multipliers are range() relations, NOT explode(sequence())
+    // on a one-row relation: Range reports its true row count to the
+    // size-only stats visitor, so the estimated inventory size carries
+    // the 208x fan-out. With the explode spelling the view's estimate
+    // collapsed to ~one part-scan and Catalyst BROADCAST THE 4.2M-ROW
+    // FACT (BuildLeft on the item join, plan-audited r7) — the exact
+    // mistake that melts a driver at 100 TB. Honest stats keep facts on
+    // the probe/shuffle side and dimensions on the build side.
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW inventory AS
             |SELECT cast(2450000 + 1096 + wk * 7 as bigint) AS inv_date_sk,
             |  p_partkey AS inv_item_sk,
@@ -311,8 +319,8 @@ object TpcdsSql extends QueryPack {
             |  cast((p_partkey * 31 + w * 7 + wk * 13) % 1000 as bigint)
             |    AS inv_quantity_on_hand
             |FROM part
-            |CROSS JOIN (SELECT explode(sequence(1, 4)) AS w) ws
-            |CROSS JOIN (SELECT explode(sequence(0, 51)) AS wk) wks""".stripMargin)
+            |CROSS JOIN (SELECT cast(id as int) AS w FROM range(1, 5)) ws
+            |CROSS JOIN (SELECT cast(id as int) AS wk FROM range(0, 52)) wks""".stripMargin)
   }
 
   private def sql(s: SparkSession, dir: String, q: String) = {
@@ -1931,17 +1939,29 @@ object TpcdsSql extends QueryPack {
         |LIMIT 100""".stripMargin)),
 
     // TPC-DS Q22: the inventory ROLLUP — average quantity-on-hand
-    // across the item hierarchy for a year of weekly snapshots. avg of
-    // bigints is an exact integer sum over a count (both engines divide
-    // identical values); ORDER BY pins NULLS FIRST because Spark and
-    // DuckDB default opposite null orders. One Expand (5x) into one
-    // hash aggregate.
+    // across the item hierarchy for a year of weekly snapshots. The
+    // naive spelling expands the FACT 5x (ROLLUP = Expand in Spark:
+    // 4.2M inventory rows -> 21M aggregate inputs, the whole query's
+    // cost); instead pre-aggregate sum/count to the finest grouping
+    // grain (item grain, ~|part| rows) and ROLLUP over THAT —
+    // avg = sum(sum)/sum(count) exactly (bigint sums < 2^53, exact in
+    // both engines), so results are identical while Expand touches a
+    // dimension-sized input. At 100 TB this is the difference between
+    // 5x-scanning the fact and 5x-scanning a per-item aggregate
+    // (isolated: 4.2 s -> 1.0 s at sf0.1). ORDER BY pins NULLS FIRST
+    // because Spark and DuckDB default opposite null orders.
     "qu6_tpcds_q22" -> ((s, dir) => sql(s, dir,
-      """SELECT i_item_id, i_brand, i_class, i_category,
-        |  round(avg(inv_quantity_on_hand) + 5e-7, 4) AS qoh
-        |FROM inventory, date_dim, item
-        |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
-        |  AND d_year = 1998
+      """WITH qoh_base AS (
+        |  SELECT i_item_id, i_brand, i_class, i_category,
+        |    sum(inv_quantity_on_hand) AS qsum,
+        |    count(inv_quantity_on_hand) AS qcnt
+        |  FROM inventory, date_dim, item
+        |  WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+        |    AND d_year = 1998
+        |  GROUP BY i_item_id, i_brand, i_class, i_category)
+        |SELECT i_item_id, i_brand, i_class, i_category,
+        |  round(sum(qsum) / sum(qcnt) + 5e-7, 4) AS qoh
+        |FROM qoh_base
         |GROUP BY ROLLUP(i_item_id, i_brand, i_class, i_category)
         |ORDER BY qoh, i_item_id NULLS FIRST, i_brand NULLS FIRST,
         |  i_class NULLS FIRST, i_category NULLS FIRST
