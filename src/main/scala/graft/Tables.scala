@@ -64,7 +64,10 @@ object Tables {
       // cost/qty) the way the reference's TPC-H connector generates tables
       // on the fly (presto-tpch/.../TpchMetadata.java:95-99). Lazy view —
       // no action at registration; the 1-row supplier count and the 4-row
-      // generator both broadcast. The DuckDB oracle replays the identical
+      // generator both broadcast. The 4x multiplier is a range() relation
+      // (true row count in stats) rather than explode(sequence()) (1-row
+      // estimate), so the derived partsupp reports fact-sized — at TPC-H
+      // scale partsupp is a fact and must never land on a broadcast side. The DuckDB oracle replays the identical
       // integer arithmetic as a CTE, so both engines see identical rows.
       spark.sql(
         """CREATE OR REPLACE TEMPORARY VIEW partsupp AS
@@ -75,7 +78,7 @@ object Tables {
           |  CAST((p_partkey * 31 + i * 17) % 10000 AS DOUBLE) / 100.0 + 1.0
           |    AS ps_supplycost
           |FROM part
-          |CROSS JOIN (SELECT explode(sequence(0, 3)) AS i) gen
+          |CROSS JOIN (SELECT cast(id as int) AS i FROM range(0, 4)) gen
           |CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc""".stripMargin)
       registered.put(spark, sfDir)
     }
