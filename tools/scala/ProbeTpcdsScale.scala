@@ -48,6 +48,25 @@ object ProbeTpcdsScale {
         " smj=" + "SortMergeJoin".r.findAllIn(plan).size +
         " cartesian=" + "Cartesian".r.findAllIn(plan).size)
     }
+
+    // Inventory-fact family: the fact derives from `part`, so scale THAT
+    // 10x (partkey shift keeps item joins within each replica) — the
+    // r7 stats fix must keep the 42M-row inventory off broadcast sides
+    // (Q22 pre-aggregated rollup grows linearly; Q72's fact-fact join
+    // stays a co-partitioned SMJ).
+    val part = Tables.df(spark, sf, "part")
+    (0 until 10).map(k => part.withColumn("p_partkey",
+        col("p_partkey") + lit(k * 100000000L)))
+      .reduce(_ unionAll _).createOrReplaceTempView("part")
+    for (q <- Seq("qu6_tpcds_q22", "qt6_tpcds_q72")) {
+      time(s"$q@10x-part")(run(q))
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      println(s"[tpcds-scale] $q plan@10x-part: " +
+        "broadcast_joins=" + "BroadcastHashJoin".r.findAllIn(plan).size +
+        " smj=" + "SortMergeJoin".r.findAllIn(plan).size +
+        " cartesian=" + "Cartesian".r.findAllIn(plan).size)
+    }
     spark.stop()
   }
 }
