@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -26,9 +27,17 @@ import org.apache.spark.sql.types._
   * `zoned_instant(x)` there (ledger, SURVEY §2.3). Column-bearing
   * comparisons — the actual query shapes — all pass through here.
   *
-  * GROUP BY / DISTINCT over zoned values still hash the (utc, tz) pair
-  * (Presto keeps one arbitrary zone per instant group); grouping by
-  * instant spells `zoned_instant(x)` — same ledger row.
+  * GROUP BY / DISTINCT over zoned values group by INSTANT (r7): a
+  * zoned grouping key rewrites to its `utc` field and bare references
+  * to the key in the output become `first(key)` — one arbitrary
+  * representative zone per instant group, which is exactly the
+  * reference's behavior (TimestampWithTimeZoneType hashes/compares the
+  * packed millis only, so which zone survives a group is
+  * implementation-defined there too). DISTINCT arrives here already
+  * rewritten to an Aggregate (ReplaceDistinctWithAggregate runs in the
+  * earlier optimizer batches) and gets the same treatment. Window
+  * PARTITION BY over zoned values partitions by instant likewise (no
+  * representative needed — the key is not output).
   */
 object ZonedInstantComparison extends Rule[LogicalPlan] {
 
@@ -44,8 +53,41 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
   private def utcOf(e: Expression): Expression =
     GetStructField(e, 0, Some("utc"))
 
+  /** Replace bare (non-aggregated) references to a zoned grouping key
+    * with first(key) — the arbitrary-representative contract. References
+    * already inside aggregate functions are left alone. */
+  private def firstifyKeyRefs(e: Expression,
+      keys: Seq[Expression]): Expression = e match {
+    case ae: AggregateExpression => ae
+    case k if keys.exists(_.semanticEquals(k)) =>
+      new First(k).toAggregateExpression()
+    case other =>
+      other.withNewChildren(other.children.map(firstifyKeyRefs(_, keys)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transform {
+      case agg: Aggregate if agg.groupingExpressions.exists(g =>
+          g.resolved && isZoned(g.dataType)) =>
+        val zonedKeys = agg.groupingExpressions.filter(g =>
+          g.resolved && isZoned(g.dataType))
+        val newGrouping = agg.groupingExpressions.map(g =>
+          if (g.resolved && isZoned(g.dataType)) utcOf(g) else g)
+        val newAggs = agg.aggregateExpressions.map { ne =>
+          firstifyKeyRefs(ne, zonedKeys) match {
+            case named: NamedExpression => named
+            // a bare key reference became first(key) — re-alias under the
+            // ORIGINAL exprId so parent operators still resolve
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        agg.copy(groupingExpressions = newGrouping,
+          aggregateExpressions = newAggs)
+      case w: Window if w.partitionSpec.exists(p =>
+          p.resolved && isZoned(p.dataType)) =>
+        w.copy(partitionSpec = w.partitionSpec.map(p =>
+          if (p.resolved && isZoned(p.dataType)) utcOf(p) else p))
+    }.transformAllExpressions {
       case cmp: BinaryComparison
           if cmp.left.resolved && cmp.right.resolved &&
             isZoned(cmp.left.dataType) && isZoned(cmp.right.dataType) =>

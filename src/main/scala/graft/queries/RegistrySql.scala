@@ -257,6 +257,24 @@ object RegistrySql extends QueryPack {
         |  z < zoned_timestamp('2020-07-01T00:00:00Z') AS lt_july
         |FROM z ORDER BY id""".stripMargin)),
 
+    // GROUP BY / DISTINCT over zoned values by INSTANT (r7 — closes the
+    // ledger residual): rows 1-3 share the 10:00 UTC instant in three
+    // zones, rows 4-5 share 2021-01-01T03:15Z across the year boundary.
+    // The ZonedInstantComparison rule rewrites the grouping key to utc
+    // and bare key outputs to first(key) — the reference's
+    // TimestampWithTimeZoneType hashes the packed millis only. The
+    // oracle makes DuckDB genuinely GROUP BY its own TIMESTAMPTZ.
+    "qz8_zoned_grouping" -> ((s, dir) => sql(s, dir,
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-06-10T10:00:00Z'),
+        |    (4, '2020-12-31T23:45:00-03:30'),
+        |    (5, '2021-01-01T03:15:00Z') AS t(id, s))
+        |SELECT cast(zoned_instant(z) as string) AS inst,
+        |  cast(count(*) as bigint) AS n, cast(min(id) as bigint) AS min_id
+        |FROM z GROUP BY z ORDER BY inst""".stripMargin)),
+
     // Verbatim `expr AT TIME ZONE 'zone'` operator (SqlBase.g4
     // valueExpression #atTimeZone): pre-parse rewrite onto the zoned
     // struct layer — same instant, target display zone — composable
@@ -986,6 +1004,26 @@ object RegistrySql extends QueryPack {
         |       le_10utc, at_utc, w_tz)
         |JOIN zcomp ON v.id = zcomp.id
         |ORDER BY v.id""".stripMargin,
+
+    // DuckDB performs the TIMESTAMPTZ GROUP BY itself (5 rows -> 2
+    // instant groups); the join maps each group to its hand-derived
+    // UTC rendering.
+    "qz8_zoned_grouping" ->
+      """WITH zsrc AS (SELECT * FROM (VALUES
+        |    (1, TIMESTAMPTZ '2020-06-10 15:30:00+05:30'),
+        |    (2, TIMESTAMPTZ '2020-06-10 12:00:00+02:00'),
+        |    (3, TIMESTAMPTZ '2020-06-10 10:00:00+00:00'),
+        |    (4, TIMESTAMPTZ '2020-12-31 23:45:00-03:30'),
+        |    (5, TIMESTAMPTZ '2021-01-01 03:15:00+00:00')) AS s(id, z)),
+        |g AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(id) AS BIGINT) AS min_id
+        |  FROM zsrc GROUP BY z)
+        |SELECT v.inst, g.n, g.min_id
+        |FROM g JOIN (VALUES
+        |  ('2020-06-10 10:00:00', TIMESTAMPTZ '2020-06-10 10:00:00+00:00'),
+        |  ('2021-01-01 03:15:00', TIMESTAMPTZ '2021-01-01 03:15:00+00:00'))
+        |  AS v(inst, zz) ON g.z = v.zz
+        |ORDER BY v.inst""".stripMargin,
 
     // Hand-derived: 15:30+05:30 and 12:00 Berlin summer (+02:00) are
     // both 10:00 UTC; 23:45-03:30 is 03:15 next day (2021) UTC.

@@ -633,4 +633,40 @@ class RegistrySuite extends GraftSuite {
         |ON l.a = r.b""".stripMargin)).collect()(0).getLong(0)
     assert(joined == 1L)
   }
+
+  test("GROUP BY / DISTINCT / PARTITION BY over zoned values use the instant") {
+    Registry.install(spark)
+    // rows 1 and 2 are the same instant in different zones; the
+    // reference groups by the packed millis (one arbitrary
+    // representative zone survives per group) — r7 closes this ledger
+    // residual: grouping keys rewrite to utc, bare key outputs become
+    // first(key).
+    val grouped = spark.sql(Registry.rewritePrestoSql(
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-12-31T23:45:00-03:30') AS t(id, s))
+        |SELECT zoned_instant(z) AS inst, z AS rep, count(*) AS n
+        |FROM z GROUP BY z ORDER BY inst""".stripMargin)).collect()
+    assert(grouped.length == 2)
+    assert(grouped(0).getLong(2) == 2L) // same-instant rows collapsed
+    assert(grouped(1).getLong(2) == 1L)
+    // the representative is one of the group's actual values
+    assert(!grouped(0).isNullAt(1))
+    val distinct = spark.sql(Registry.rewritePrestoSql(
+      """SELECT DISTINCT zoned_timestamp(s) AS z FROM VALUES
+        |    ('2020-06-10T15:30:00+05:30'),
+        |    ('2020-06-10T12:00:00+02:00') AS t(s)""".stripMargin)).collect()
+    assert(distinct.length == 1)
+    // window PARTITION BY zoned: both same-instant rows share a partition
+    val parts = spark.sql(Registry.rewritePrestoSql(
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-12-31T23:45:00-03:30') AS t(id, s))
+        |SELECT id, count(*) OVER (PARTITION BY z) AS np
+        |FROM z ORDER BY id""".stripMargin)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(parts.toSeq == Seq((1, 2L), (2, 2L), (3, 1L)))
+  }
 }
