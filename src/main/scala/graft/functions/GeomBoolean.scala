@@ -451,10 +451,12 @@ object GeomBoolean {
     * `difference` must reject — clip strictly inside the subject — IS a
     * hole: with no boundary contact the answer is [subject, reversed
     * clip]. With boundary crossings the GH difference applies (its
-    * components are hole-free); a multi-component result is a
-    * MULTIPOLYGON, which one holed polygon can't hold — loud, spell
-    * st_difference. Reference GeoFunctions.java:921 (Esri-backed
-    * difference yields interior rings in this configuration). */
+    * components are hole-free); a multi-component result — a clip bar
+    * splitting the subject — comes back as a MULTIPOLYGON in the same
+    * array<ring> shape (r7; orientation disambiguates: holes are CW,
+    * multipolygon components all-CCW exteriors). Reference
+    * GeoFunctions.java:921 (Esri-backed difference yields interior
+    * rings in this configuration). */
   private[graft] def holedDifference(a0: Array[Double],
       b0: Array[Double]): Seq[Array[Double]] = {
     val a = ccw(a0)

@@ -103,4 +103,57 @@ class QueriesSmokeSuite extends GraftSuite {
     }
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
+
+  test("no fact table reaches a broadcast side unreduced") {
+    // The r7 inventory lesson: a mis-estimated derived view put a
+    // 4.2M-row fact on the BUILD side of a broadcast join — the exact
+    // mistake that melts a driver at 100 TB. Guard the class: inside
+    // any BroadcastExchange subtree, a scan of a fact-scale fixture
+    // (lineitem/orders/events/documents/embeddings) must pass through
+    // something that REDUCES it first — an aggregate, a limit, or a
+    // row-cutting leaf — before being collected for broadcast.
+    // Dimension scans (region/nation/customer/supplier/part) broadcast
+    // freely; aggregates of facts (decorrelated averages, cohort
+    // digests) are metadata-sized and fine.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val factFiles = Seq("lineitem.parquet", "orders.parquet",
+      "events.parquet", "documents.parquet", "embeddings.parquet")
+    def factScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        val loc = f.relation.location.rootPaths.mkString(",")
+        factFiles.exists(loc.contains)
+      case _ => false
+    }
+    def anyFileScanBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec => false
+      case _: FileSourceScanExec => true
+      case other => other.children.exists(anyFileScanBelow)
+    }
+    def unreducedFactBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false // aggregates shrink to key grain
+      case _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec => false // limits cut rows
+      case f if factScan(f) => true
+      // a cross-join fan-out OVER a file scan manufactures a fact from
+      // a dimension (the pre-fix inventory: part x 4 x 52) — flag it
+      // even though the scanned file is dimension-sized
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if anyFileScanBelow(j) => true
+      case other => other.children.exists(unreducedFactBelow)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, SfDir).queryExecution.executedPlan
+        val bad = plan.collect {
+          case b: BroadcastExchangeExec if unreducedFactBelow(b.child) => b
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unreduced fact scan under BroadcastExchange in: $offenders")
+  }
 }
