@@ -79,6 +79,53 @@ object Curation extends QueryPack {
             .as("kept_id_sum"))
     }),
 
+    // Per-domain capping (the RefinedWeb/C4 recipe): no single source
+    // may contribute more than K documents, and the K kept are the
+    // BEST by a deterministic quality ordering (n_chars desc, doc_id
+    // tie-break — any scored column slots in). One row_number window
+    // per source partition — the same single shuffle a per-key top-k
+    // always costs; at 100 TB hot domains are exactly the skewed keys
+    // the window's hash partitioning spreads by source (and a
+    // two-phase per-partition pre-rank would bound skew further —
+    // Salt.scala's machinery applies if one domain dominates). Exact
+    // oracle: the cap and ordering replay verbatim in DuckDB.
+    "qz9_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.view(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          min(col("n_chars")).as("min_kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic corpus shuffle — the fixed training order every
+    // run reproduces: sort key = a multiplicative-hash mix of doc_id
+    // (plain 64-bit arithmetic, identical in any engine; no RNG), then
+    // shard assignment off the same key. The global ORDER BY is
+    // Spark's range-partitioned distributed sort (sample → range
+    // boundaries → per-partition sort) — the one full sort a 100 TB
+    // corpus pays once before sequence packing; shards stay balanced
+    // because the key is uniform. The position-weighted checksum pins
+    // the ENTIRE order, not just membership.
+    "qj8_deterministic_shuffle" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""WITH keyed AS (
+              |  SELECT doc_id,
+              |    (doc_id * 2654435761 + 12345) % 1000000007 AS h
+              |  FROM documents),
+              |r AS (SELECT doc_id, h,
+              |    row_number() OVER (ORDER BY h, doc_id) AS pos
+              |  FROM keyed)
+              |SELECT cast(h % 8 as bigint) AS shard,
+              |  cast(count(*) as bigint) AS n,
+              |  sum(pos * doc_id) AS ordsum
+              |FROM r GROUP BY h % 8 ORDER BY shard""".stripMargin)
+    }),
+
     // PII redaction — the scrub stage every corpus pipeline runs before
     // training: emails, then dotted-quad IPs, then long digit runs, each
     // masked by a typed token, with per-category match counts. Map-only
@@ -244,6 +291,29 @@ object Curation extends QueryPack {
         |  CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS kept_id_sum
         |FROM r""".stripMargin,
+
+    "qz9_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, sum(doc_id) AS kept_id_sum,
+        |  min(n_chars) AS min_kept_chars
+        |FROM r WHERE rn <= 50
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "qj8_deterministic_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761 + 12345) % 1000000007 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, h,
+        |    row_number() OVER (ORDER BY h, doc_id) AS pos
+        |  FROM keyed)
+        |SELECT CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(pos * doc_id) AS ordsum
+        |FROM r GROUP BY h % 8 ORDER BY shard""".stripMargin,
 
     "qh2_pii_redaction" ->
       """WITH t(id, txt) AS (VALUES
