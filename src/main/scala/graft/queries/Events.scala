@@ -78,6 +78,26 @@ object Events extends QueryPack {
             .as("avg_session_sec"))
         .filter(col("user_id") < 50)
         .orderBy(col("user_id"))
+    }),
+
+    // Stream-static enrichment, batch twin of EventStream.enrich (the
+    // SAME function — the gate runs the streaming code path's join
+    // against the differential oracle): events left-joined to the
+    // customer dimension by user key, rolled up per nation. The static
+    // side broadcasts (dim-sized); a 100 TB stream pays no shuffle and
+    // keeps no state.
+    "qn8_event_enrichment" -> ((s, dir) => {
+      val dim = Tables.view(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "user_id")
+      graft.streaming.EventStream
+        .enrich(Tables.view(s, dir, "events"), dim)
+        .join(Tables.view(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(coalesce(col("n_name"), lit("UNKNOWN")).as("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -123,6 +143,16 @@ object Events extends QueryPack {
         |  round(sum(sv), 4) AS total_value,
         |  round(avg((s_end - s_start) / 1e6), 2) AS avg_session_sec
         |FROM sess WHERE user_id < 50
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "qn8_event_enrichment" ->
+      """SELECT coalesce(n_name, 'UNKNOWN') AS n_name,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
