@@ -374,7 +374,25 @@ private[functions] object PrestoStatements {
     * SHOW CREATE/CATALOGS/SESSION, SET/RESET SESSION, transaction
     * no-ops, USE, SHOW STATS, and DROP FUNCTION; everything else falls
     * through to `spark.sql(rewritePrestoSql(...))`. */
-  def prestoStatement(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+  def prestoStatement(spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.DataFrame = {
+    // every routed statement lands in system.runtime.queries
+    // (QuerySystemTable.java); nested re-entries (ALTER FUNCTION's
+    // re-registration) log as their own entries, like a client retry
+    val rec = PrestoSystem.record(spark, sqlText)
+    try {
+      val out = routeStatement(spark, sqlText)
+      PrestoSystem.finish(rec, failed = false)
+      out
+    } catch {
+      case e: Throwable =>
+        PrestoSystem.finish(rec, failed = true)
+        throw e
+    }
+  }
+
+  private def routeStatement(spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.DataFrame =
     sqlText match {
       case prepareRe(name, body) =>
         synchronized {
@@ -602,21 +620,25 @@ private[functions] object PrestoStatements {
         showStatsStatement(spark, target)
 
       case other =>
-        // Role/privilege statement family (CREATE/DROP ROLE, GRANT,
-        // REVOKE, SET ROLE, SHOW ROLES/GRANTS — SqlBase.g4:71-94).
-        PrestoSecurity.maybeStatement(spark, other).getOrElse {
-          // Record original texts for SHOW CREATE VIEW / FUNCTION before
-          // the rewrite pipeline consumes them.
-          createViewDetectRe.findFirstMatchIn(other).foreach { m =>
-            sessionMap(createdViewTexts, spark)
-              .update(m.group(1).split('.').last.toLowerCase, other.trim)
+        // CALL procedures (SqlBase.g4:70 #call — kill_query + the
+        // not-registered rejection), then the role/privilege family
+        // (CREATE/DROP ROLE, GRANT, REVOKE, SET ROLE, SHOW
+        // ROLES/GRANTS — SqlBase.g4:71-94).
+        PrestoSystem.maybeCall(spark, other)
+          .orElse(PrestoSecurity.maybeStatement(spark, other))
+          .getOrElse {
+            // Record original texts for SHOW CREATE VIEW / FUNCTION
+            // before the rewrite pipeline consumes them.
+            createViewDetectRe.findFirstMatchIn(other).foreach { m =>
+              sessionMap(createdViewTexts, spark)
+                .update(m.group(1).split('.').last.toLowerCase, other.trim)
+            }
+            PrestoRewrite.createFnRe.findFirstMatchIn(other).foreach { m =>
+              sessionMap(createdFnTexts, spark)
+                .update(m.group(2).split('.').last.toLowerCase, other.trim)
+            }
+            spark.sql(rewritePrestoSql(PrestoSystem.rewriteSystemTables(
+              spark, PrestoSecurity.rewriteInfoSchema(spark, other))))
           }
-          PrestoRewrite.createFnRe.findFirstMatchIn(other).foreach { m =>
-            sessionMap(createdFnTexts, spark)
-              .update(m.group(2).split('.').last.toLowerCase, other.trim)
-          }
-          spark.sql(rewritePrestoSql(
-            PrestoSecurity.rewriteInfoSchema(spark, other)))
-        }
     }
 }

@@ -538,6 +538,64 @@ object Views extends QueryPack {
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // system connector tables + CALL (SystemConnector.java;
+    // NodeSystemTable/QuerySystemTable/CatalogSystemTable;
+    // KillQueryProcedure with its exact error texts): the node roster,
+    // the session query log (every routed statement lands there with
+    // FINISHED/FAILED state), catalogs, and kill_query's
+    // known-but-not-running vs not-found rejection paths.
+    "qn9_system_tables" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      prestoStatement(s, "SELECT 17 AS graft_probe_row")
+      val nodes = prestoStatement(s,
+        "SELECT node_id, coordinator, state FROM system.runtime.nodes")
+        .collect()
+      val nodesOk = nodes.length == 1 && nodes(0).getBoolean(1) &&
+        nodes(0).getString(2) == "active"
+      val probeLogged = prestoStatement(s,
+        """SELECT count(*) AS n FROM system.runtime.queries
+          |WHERE state = 'FINISHED'
+          |  AND query LIKE 'SELECT 17 AS graft_probe_row%'""".stripMargin)
+        .collect()(0).getLong(0) >= 1L
+      val catalogs = prestoStatement(s,
+        "SELECT catalog_name FROM system.metadata.catalogs").collect()
+        .map(_.getString(0)).toSeq
+      val someId = prestoStatement(s,
+        "SELECT query_id FROM system.runtime.queries LIMIT 1")
+        .collect()(0).getString(0)
+      val killKnown =
+        try { prestoStatement(s,
+          s"CALL system.runtime.kill_query('$someId')"); "no error" }
+        catch { case e: Throwable =>
+          if (e.getMessage.contains("not running")) "not_running"
+          else "other" }
+      val killUnknown =
+        try { prestoStatement(s,
+          "CALL system.runtime.kill_query('20200101_000000_99999_x')")
+          "no error" }
+        catch { case e: Throwable =>
+          if (e.getMessage.contains("not found")) "not_found"
+          else "other" }
+      val callUnregistered =
+        try { prestoStatement(s,
+          "CALL system.phantom.procedure(1)"); "no error" }
+        catch { case e: Throwable =>
+          if (e.getMessage.contains("not registered")) "rejected"
+          else "other" }
+      import s.implicits._
+      Seq(
+        ("call_unregistered", callUnregistered),
+        ("catalogs_lists_current",
+          catalogs.contains(s.catalog.currentCatalog()).toString),
+        ("kill_known_not_running", killKnown),
+        ("kill_unknown_not_found", killUnknown),
+        ("nodes_single_active_coordinator", nodesOk.toString),
+        ("query_log_records_statements", probeLogged.toString))
+        .toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -576,6 +634,17 @@ object Views extends QueryPack {
         |  ('region', 'nation', 'customer', 'orders', 'lineitem')
         |GROUP BY t.table_name, t.table_type
         |ORDER BY t.table_name""".stripMargin,
+
+    "qn9_system_tables" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('call_unregistered', 'rejected'),
+        |  ('catalogs_lists_current', 'true'),
+        |  ('kill_known_not_running', 'not_running'),
+        |  ('kill_unknown_not_found', 'not_found'),
+        |  ('nodes_single_active_coordinator', 'true'),
+        |  ('query_log_records_statements', 'true'))
+        |  AS t(phase, observed)
+        |ORDER BY phase""".stripMargin,
 
     "qz7_roles_grants" ->
       """SELECT phase, observed FROM (VALUES

@@ -97,6 +97,29 @@ class SecuritySuite extends GraftSuite {
     assert(row.getLong(1) == 2L) // region = (r_regionkey, r_name)
   }
 
+  test("system.runtime.queries logs FAILED statements; kill_query uses the reference texts") {
+    Tables.register(spark, SfDir)
+    intercept[Exception] {
+      stmt("SELECT * FROM graft_no_such_table_xyz").collect()
+    }
+    val failed = stmt(
+      """SELECT count(*) AS n FROM system.runtime.queries
+        |WHERE state = 'FAILED'
+        |  AND query LIKE '%graft_no_such_table_xyz%'""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(failed >= 1L)
+    val id = stmt("SELECT query_id FROM system.runtime.queries LIMIT 1")
+      .collect()(0).getString(0)
+    val known = intercept[Exception] {
+      stmt(s"CALL system.runtime.kill_query('$id', 'because')")
+    }
+    assert(known.getMessage.contains(s"Target query is not running: $id"))
+    val unknown = intercept[Exception] {
+      stmt("CALL system.runtime.kill_query('nope_123')")
+    }
+    assert(unknown.getMessage.contains("Target query not found: nope_123"))
+  }
+
   test("information_schema.tables and schemata answer catalog facts") {
     Tables.register(spark, SfDir)
     val tbls = stmt("SELECT table_name FROM information_schema.tables " +
