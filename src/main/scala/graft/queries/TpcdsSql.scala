@@ -321,7 +321,50 @@ object TpcdsSql extends QueryPack {
             |FROM part
             |CROSS JOIN (SELECT cast(id as int) AS w FROM range(1, 5)) ws
             |CROSS JOIN (SELECT cast(id as int) AS wk FROM range(0, 52)) wks""".stripMargin)
+    materializeFacts(s, dir)
   }
+
+  // Real TPC-DS ships the channel facts as STORED tables; deriving them
+  // from lineitem⋈orders inside every query is a fixture artifact that
+  // both re-pays the derivation per fact reference (Q14 scans channels
+  // nine times) and hides parquet pushdown behind a join. Materialize
+  // each fact to parquet ONCE per (JVM, sfDir) and re-point the views —
+  // every query then plans the production shape: a real columnar scan
+  // with PushedFilters, honest file-size stats, one derivation cost
+  // amortized over the whole suite. Per-JVM (not per-disk) so a swapped
+  // fixture (new driver testdata, ProbeTpcdsScale's replicated inputs
+  // after invalidateMaterialized) can never serve stale rows.
+  // inventory is deliberately NOT here: it is pure generated arithmetic
+  // (part x range x range, no join to collapse), and codegen'd
+  // generation measures FASTER than scanning the equivalent parquet
+  // (Q72 1.4 s generated vs 2.5 s materialized at sf0.1) — while its
+  // range()-derived stats already report fact-scale honestly.
+  private val factNames = Seq("store_sales", "web_sales", "catalog_sales",
+    "store_returns", "web_returns", "catalog_returns")
+  private val materialized =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def materializeFacts(s: SparkSession, dir: String): Unit =
+    synchronized {
+      val dirs = materialized.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      val matDir = dirs.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_tpcds_mat").toString
+        factNames.foreach { t =>
+          s.table(t).write.mode("overwrite").parquet(s"$base/$t")
+        }
+        base
+      })
+      factNames.foreach { t =>
+        s.read.parquet(s"$matDir/$t").createOrReplaceTempView(t)
+      }
+    }
+
+  /** Dev hook (ProbeTpcdsScale): forget materialized facts so the next
+    * registerTpcds re-derives from the CURRENT source views. */
+  private[graft] def invalidateMaterialized(s: SparkSession): Unit =
+    synchronized { materialized.remove(s) }
 
   private def sql(s: SparkSession, dir: String, q: String) = {
     registerTpcds(s, dir)

@@ -37,6 +37,9 @@ object ProbeTpcdsScale {
     (0 until 10).map(k => ord.withColumn("o_orderkey",
         col("o_orderkey") + lit(k * 100000000L)))
       .reduce(_ unionAll _).createOrReplaceTempView("orders")
+    // facts are materialized per (JVM, dir) — drop them so the next
+    // register re-derives from the replicated sources
+    graft.queries.TpcdsSql.invalidateMaterialized(spark)
 
     for (q <- qs) time(s"$q@10x")(run(q))
 
@@ -58,6 +61,7 @@ object ProbeTpcdsScale {
     (0 until 10).map(k => part.withColumn("p_partkey",
         col("p_partkey") + lit(k * 100000000L)))
       .reduce(_ unionAll _).createOrReplaceTempView("part")
+    graft.queries.TpcdsSql.invalidateMaterialized(spark)
     for (q <- Seq("qu6_tpcds_q22", "qt6_tpcds_q72")) {
       time(s"$q@10x-part")(run(q))
       val plan = SparkEntry.queries(q)(spark, sf)
