@@ -422,8 +422,8 @@ private[functions] object PrestoStatements {
         require(n == args.length,
           s"EXECUTE $name: ${args.length} USING arguments for $n " +
             "? parameters")
-        spark.sql(rewritePrestoSql(
-          PrestoSecurity.rewriteInfoSchema(spark, bound)))
+        spark.sql(rewritePrestoSql(PrestoSystem.rewriteSystemTables(
+          spark, PrestoSecurity.rewriteInfoSchema(spark, bound))))
 
       case descInputRe(name) =>
         // DescribeInputRewrite.java:123 — (Position, Type) per `?`,

@@ -104,56 +104,54 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
-  test("no fact table reaches a broadcast side unreduced") {
-    // The r7 inventory lesson: a mis-estimated derived view put a
-    // 4.2M-row fact on the BUILD side of a broadcast join — the exact
-    // mistake that melts a driver at 100 TB. Guard the class: inside
-    // any BroadcastExchange subtree, a scan of a fact-scale fixture
-    // (lineitem/orders/events/documents/embeddings) must pass through
-    // something that REDUCES it first — an aggregate, a limit, or a
-    // row-cutting leaf — before being collected for broadcast.
-    // Dimension scans (region/nation/customer/supplier/part) broadcast
-    // freely; aggregates of facts (decorrelated averages, cohort
-    // digests) are metadata-sized and fine.
-    import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    val factFiles = Seq("lineitem.parquet", "orders.parquet",
-      "events.parquet", "documents.parquet", "embeddings.parquet")
-    def factScan(p: SparkPlan): Boolean = p match {
+  test("TPC-DS channel facts scan materialized parquet, not the derivation join") {
+    // registerTpcds materializes the channel facts once per (JVM, dir)
+    // — queries must plan a columnar FileScan over the materialized
+    // files (pushdown applies there), not re-pay the lineitem⋈orders
+    // derivation per reference. inventory stays generated by design.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanPaths(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scanPaths(a.executedPlan)
       case f: FileSourceScanExec =>
-        val loc = f.relation.location.rootPaths.mkString(",")
-        factFiles.exists(loc.contains)
-      case _ => false
+        Seq(f.relation.location.rootPaths.mkString(","))
+      case other => other.children.flatMap(scanPaths)
     }
-    def anyFileScanBelow(p: SparkPlan): Boolean = p match {
-      case _: BaseAggregateExec => false
-      case _: GlobalLimitExec | _: LocalLimitExec |
-          _: TakeOrderedAndProjectExec => false
-      case _: FileSourceScanExec => true
-      case other => other.children.exists(anyFileScanBelow)
-    }
-    def unreducedFactBelow(p: SparkPlan): Boolean = p match {
-      case _: BaseAggregateExec => false // aggregates shrink to key grain
-      case _: GlobalLimitExec | _: LocalLimitExec |
-          _: TakeOrderedAndProjectExec => false // limits cut rows
-      case f if factScan(f) => true
-      // a cross-join fan-out OVER a file scan manufactures a fact from
-      // a dimension (the pre-fix inventory: part x 4 x 52) — flag it
-      // even though the scanned file is dimension-sized
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-          if anyFileScanBelow(j) => true
-      case other => other.children.exists(unreducedFactBelow)
-    }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, SfDir).queryExecution.executedPlan
-        val bad = plan.collect {
-          case b: BroadcastExchangeExec if unreducedFactBelow(b.child) => b
-        }
-        if (bad.nonEmpty) Some(name) else None
-    }
-    assert(offenders.isEmpty,
-      s"unreduced fact scan under BroadcastExchange in: $offenders")
+    val scans = scanPaths(SparkEntry.queries("qo1_tpcds_q7")(spark, SfDir)
+      .queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft_tpcds_mat")),
+      s"store_sales not materialized; scans: $scans")
+    assert(!scans.exists(_.contains("lineitem")),
+      s"channel-fact query still scans the lineitem derivation: $scans")
   }
+
+  test("derived fact views carry fact-scale size estimates") {
+    // The r7 inventory lesson: explode(sequence()) on a one-row
+    // relation collapsed the 208x fan-out to a ~one-scan estimate and
+    // Catalyst BROADCAST the 4.2M-row derived fact — the exact mistake
+    // that melts a driver at 100 TB. Broadcast choices are
+    // estimate-driven, so the testable invariant is estimate HONESTY:
+    // a derived fact's sizeInBytes must carry its fan-out over the
+    // base scan.
+    SparkEntry.queries("qu6_tpcds_q22")(spark, SfDir) // registers views
+    def est(table: String): BigInt =
+      spark.table(table).queryExecution.optimizedPlan.stats.sizeInBytes
+    val partEst = est("part")
+    assert(est("inventory") > partEst * 50,
+      s"inventory estimate ${est("inventory")} does not carry the " +
+        s"208x fan-out over part ($partEst)")
+    assert(est("partsupp") > partEst,
+      s"partsupp estimate ${est("partsupp")} does not carry the 4x " +
+        s"fan-out over part ($partEst)")
+  }
+
+  // NOTE: a suite-wide "nothing big under BroadcastExchange" sweep was
+  // prototyped here and dropped: Catalyst's broadcast choices are
+  // size-driven and correct at every SF (a 2 MB filtered fact SHOULD
+  // broadcast at sf0.1), and logical estimates downstream of
+  // explode/window chains are unreliable in both directions (the
+  // deliberately-hinted, bucket-cap-bounded dedup candidate sets read
+  // as 175 MB). The testable invariant for the r7 inventory bug class
+  // is the estimate-honesty test above.
 }
