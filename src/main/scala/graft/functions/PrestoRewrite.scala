@@ -83,6 +83,18 @@ private[functions] object PrestoRewrite {
   private val tablesampleRe =
     """(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
 
+  /** replaceAllIn with the shared string mask: a match starting inside
+    * a literal is kept verbatim. Replacement text is taken literally
+    * (no $-group interpretation). */
+  private def maskedReplaceAll(q: String,
+      re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val mask = stringMask(q)
+    re.replaceAllIn(q, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (mask(m.start)) m.matched else f(m)))
+  }
+
   /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
     * scan (subscripts like a[1] nest correctly), string literals
     * skipped, nested ARRAY[ handled by re-scanning. */
@@ -396,19 +408,23 @@ private[functions] object PrestoRewrite {
   }
 
   def rewritePrestoSql(q: String): String = {
+    // Every regex pass goes through maskedReplaceAll — a match starting
+    // inside a string literal is inert (the RewritePropertySuite
+    // identity property; bareVarchar/TABLESAMPLE once rewrote literal
+    // CONTENT because their patterns carry no quote anchor).
     val fnned = rewriteCreateFunction(q)
-    val dated = prestoDateFnRe.replaceAllIn(fnned,
+    val dated = maskedReplaceAll(fnned, prestoDateFnRe)(
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
-    val tstz = timestampTzLiteralRe.replaceAllIn(dated, m => {
+    val tstz = maskedReplaceAll(dated, timestampTzLiteralRe) { m =>
       val wall = m.group(1)
       val zone = m.group(2)
       s"named_struct('utc', to_utc_timestamp(" +
         s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
-    })
-    val timed = timeLiteralRe.replaceAllIn(tstz,
+    }
+    val timed = maskedReplaceAll(tstz, timeLiteralRe)(
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
-    val decimaled = decimalLiteralRe.replaceAllIn(timed, m => {
+    val decimaled = maskedReplaceAll(timed, decimalLiteralRe) { m =>
       val s = m.group(1)
       val dot = s.indexOf('.')
       val scale = if (dot < 0) 0 else s.length - dot - 1
@@ -419,12 +435,12 @@ private[functions] object PrestoRewrite {
         .dropWhile(c => c == '0' || c == '-' || c == '+')
       val precision = math.max(integral.length + scale, 1)
       s"cast('$s' as decimal($precision, $scale))"
-    })
-    val sampled = tablesampleRe.replaceAllIn(decimaled,
+    }
+    val sampled = maskedReplaceAll(decimaled, tablesampleRe)(
       m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
-    bareVarcharRe.replaceAllIn(
+    maskedReplaceAll(
       rewriteSubscripts(rewriteAtTimeZone(
-        rewriteUnnest(rewriteArrayLiterals(sampled)))),
+        rewriteUnnest(rewriteArrayLiterals(sampled)))), bareVarcharRe)(
       m => m.group(1) + "string" + m.group(2))
   }
 }
