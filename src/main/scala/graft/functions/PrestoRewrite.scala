@@ -328,7 +328,9 @@ private[functions] object PrestoRewrite {
               }
               val recv = q.substring(rs, p + 1)
               val inner = q.substring(i + 1, j)
-              q = q.substring(0, rs) + "element_at(" + recv + ", " +
+              // presto_subscript = element_at with the reference's LOUD
+              // out-of-bounds / missing-key semantics (PrestoSubscript)
+              q = q.substring(0, rs) + "presto_subscript(" + recv + ", " +
                 inner + ")" + q.substring(j + 1)
               changed = true
             }

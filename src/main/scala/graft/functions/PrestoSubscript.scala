@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+/** Presto bracket-subscript semantics: `a[i]` / `m[k]` with the
+  * reference's LOUD failure modes, replacing the element_at mapping
+  * (which returns NULL where Presto raises — the former ledger item 7).
+  *
+  * Reference: ArraySubscriptOperator.java:152-169 ("SQL array indices
+  * start at 1" for 0, "Array subscript is negative", "Array subscript
+  * out of bounds") and MapSubscriptOperator.java:233-238 ("Key not
+  * present in map: <k>"). NULL receiver or NULL subscript returns NULL,
+  * as in the reference's RETURN_NULL_ON_NULL convention.
+  *
+  * RuntimeReplaceable: the replacement is a composition of codegen'd
+  * builtins (If/Size/ElementAt/RaiseError), dispatched on the resolved
+  * receiver type — no interpreted path, stays inside whole-stage
+  * codegen.
+  */
+case class PrestoSubscript(base: Expression, index: Expression)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override def left: Expression = base
+  override def right: Expression = index
+  override def prettyName: String = "presto_subscript"
+
+  override lazy val replacement: Expression = base.dataType match {
+    case ArrayType(elem, _) =>
+      val idx = Cast(index, LongType)
+      def err(msg: String): Expression =
+        Cast(new RaiseError(Literal(msg)), elem)
+      If(Or(IsNull(base), IsNull(idx)), Literal(null, elem),
+        If(EqualTo(idx, Literal(0L)), err("SQL array indices start at 1"),
+          If(LessThan(idx, Literal(0L)), err("Array subscript is negative"),
+            If(GreaterThan(idx, Cast(Size(base), LongType)),
+              err("Array subscript out of bounds"),
+              // bounds already proven: idx <= size <= Int.MaxValue, so
+              // the Int cast (ElementAt's required index type) is safe
+              ElementAt(base, Cast(index, IntegerType))))))
+    case MapType(kt, vt, _) =>
+      val key = Cast(index, kt)
+      val err = Cast(new RaiseError(Concat(Seq(
+        Literal("Key not present in map: "), Cast(key, StringType)))), vt)
+      If(Or(IsNull(base), IsNull(key)), Literal(null, vt),
+        If(Not(ArrayContains(MapKeys(base), key)), err,
+          ElementAt(base, key)))
+    case other => throw new IllegalArgumentException(
+      s"presto_subscript: receiver must be array or map, " +
+        s"got ${other.catalogString}")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression): Expression = copy(base = a, index = b)
+}

@@ -931,6 +931,12 @@ object Registry {
         registry.registerFunction(FunctionIdentifier(name),
           new ExpressionInfo(getClass.getCanonicalName, name), builder)
       }
+      // Presto bracket subscripts (rewriteSubscripts emits this name):
+      // loud OOB / missing-key semantics per ArraySubscriptOperator /
+      // MapSubscriptOperator — see PrestoSubscript.
+      registry.registerFunction(FunctionIdentifier("presto_subscript"),
+        new ExpressionInfo(getClass.getCanonicalName, "presto_subscript"),
+        (args: Seq[Expression]) => PrestoSubscript(args(0), args(1)))
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))

@@ -393,6 +393,31 @@ class RegistrySuite extends GraftSuite {
     assert(Registry.rewritePrestoSql("SELECT w[3:6] AS s").contains("w[3:6]"))
   }
 
+  test("subscripts fail loudly out of bounds / on missing keys (Presto contract)") {
+    Registry.install(spark)
+    def run(sql: String) =
+      spark.sql(Registry.rewritePrestoSql(s"SELECT $sql AS v")).collect()
+    // reference texts: ArraySubscriptOperator.java:152-169,
+    // MapSubscriptOperator.java:233
+    val oob = intercept[Exception] { run("ARRAY[10, 20][3]") }
+    assert(oob.getMessage.contains("Array subscript out of bounds"))
+    val zero = intercept[Exception] { run("ARRAY[10, 20][0]") }
+    assert(zero.getMessage.contains("SQL array indices start at 1"))
+    val neg = intercept[Exception] { run("ARRAY[10, 20][-1]") }
+    assert(neg.getMessage.contains("Array subscript is negative"))
+    val missing = intercept[Exception] { run("map('k', 7)['nope']") }
+    assert(missing.getMessage.contains("Key not present in map: nope"))
+    // NULL receiver / NULL subscript stay NULL (RETURN_NULL_ON_NULL)
+    val nulls = spark.sql(Registry.rewritePrestoSql(
+      "SELECT cast(null as array<int>)[1] AS a, ARRAY[1][cast(null as int)] AS b"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // TRY swallows the failure into NULL like the reference's TRY()
+    val tried = spark.sql(Registry.rewritePrestoSql(
+      "SELECT TRY(ARRAY[10, 20][3]) AS v")).collect()(0)
+    assert(tried.isNullAt(0))
+  }
+
   test("CREATE FUNCTION Presto spellings: namespace, RNONI guard, varchar") {
     Registry.install(spark)
     import spark.implicits._
