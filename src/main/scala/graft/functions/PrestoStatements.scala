@@ -298,11 +298,74 @@ private[functions] object PrestoStatements {
         .mkString("{\"inputTables\":[", ",", "]}")
       Seq(json).toDF("Query Plan")
     } else {
+      // FORMAT TEXT (default) | JSON | GRAPHVIZ (SqlBase.g4:478
+      // #explainFormat; the reference's PlanPrinter / JsonRenderer /
+      // GraphvizPrinter). JSON renders the plan tree as nested
+      // {name, children}; GRAPHVIZ emits the digraph the reference's
+      // printer produces (node per operator, edge child -> parent).
+      val format = """(?i)FORMAT\s+(TEXT|JSON|GRAPHVIZ)""".r
+        .findFirstMatchIn(opts).map(_.group(1).toUpperCase)
+        .getOrElse("TEXT")
       val text =
         if (isQueryShaped(body)) {
           val qe = spark.sql(inner).queryExecution
-          if (planType == "LOGICAL") qe.optimizedPlan.toString
-          else qe.executedPlan.toString
+          if (format == "TEXT") {
+            if (planType == "LOGICAL") qe.optimizedPlan.toString
+            else qe.executedPlan.toString
+          } else {
+            def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+            if (planType == "LOGICAL") {
+              val plan = qe.optimizedPlan
+              if (format == "JSON") {
+                def js(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+                  s"""{"name":"${esc(p.nodeName)}","children":[""" +
+                    p.children.map(js).mkString(",") + "]}"
+                js(plan)
+              } else {
+                val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+                val edges = scala.collection.mutable.ArrayBuffer.empty[String]
+                var n = 0
+                def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+                  val id = n; n += 1
+                  nodes += s"""  node_$id [label="${esc(p.nodeName)}"];"""
+                  p.children.foreach(c => edges += s"  node_${walk(c)} -> node_$id;")
+                  id
+                }
+                walk(plan)
+                ("digraph logical_plan {\n" +
+                  nodes.mkString("\n") + "\n" +
+                  edges.mkString("\n") + "\n}")
+              }
+            } else {
+              // AQE wraps the tree with a childless AdaptiveSparkPlanExec
+              // — unwrap so the rendering shows the actual operators
+              val plan = qe.executedPlan match {
+                case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                  a.executedPlan
+                case p => p
+              }
+              if (format == "JSON") {
+                def js(p: org.apache.spark.sql.execution.SparkPlan): String =
+                  s"""{"name":"${esc(p.nodeName)}","children":[""" +
+                    p.children.map(js).mkString(",") + "]}"
+                js(plan)
+              } else {
+                val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+                val edges = scala.collection.mutable.ArrayBuffer.empty[String]
+                var n = 0
+                def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+                  val id = n; n += 1
+                  nodes += s"""  node_$id [label="${esc(p.nodeName)}"];"""
+                  p.children.foreach(c => edges += s"  node_${walk(c)} -> node_$id;")
+                  id
+                }
+                walk(plan)
+                ("digraph distributed_plan {\n" +
+                  nodes.mkString("\n") + "\n" +
+                  edges.mkString("\n") + "\n}")
+              }
+            }
+          }
         } else spark.sql(s"EXPLAIN $inner").collect()
           .map(_.getString(0)).mkString("\n")
       Seq(text).toDF("Query Plan")

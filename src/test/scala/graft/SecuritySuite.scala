@@ -120,6 +120,21 @@ class SecuritySuite extends GraftSuite {
     assert(unknown.getMessage.contains("Target query not found: nope_123"))
   }
 
+  test("EXPLAIN FORMAT JSON / GRAPHVIZ render the plan tree") {
+    Tables.register(spark, SfDir)
+    val json = stmt(
+      "EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT count(*) FROM region")
+      .collect()(0).getString(0)
+    assert(json.startsWith("{\"name\":") && json.contains("\"children\":"))
+    assert(json.contains("Aggregate"))
+    val dot = stmt(
+      "EXPLAIN (TYPE DISTRIBUTED, FORMAT GRAPHVIZ) " +
+        "SELECT r_name FROM region ORDER BY r_name")
+      .collect()(0).getString(0)
+    assert(dot.startsWith("digraph distributed_plan {"))
+    assert(dot.contains("->") && dot.endsWith("}"))
+  }
+
   test("information_schema.tables and schemata answer catalog facts") {
     Tables.register(spark, SfDir)
     val tbls = stmt("SELECT table_name FROM information_schema.tables " +
