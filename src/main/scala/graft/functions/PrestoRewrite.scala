@@ -86,7 +86,7 @@ private[functions] object PrestoRewrite {
   /** replaceAllIn with the shared string mask: a match starting inside
     * a literal is kept verbatim. Replacement text is taken literally
     * (no $-group interpretation). */
-  private def maskedReplaceAll(q: String,
+  private[functions] def maskedReplaceAll(q: String,
       re: scala.util.matching.Regex)(
       f: scala.util.matching.Regex.Match => String): String = {
     val mask = stringMask(q)

@@ -664,10 +664,15 @@ private[functions] object PrestoStatements {
         val base = name.split('.').last.toLowerCase
         val text = sessionMap(createdFnTexts, spark).getOrElse(base,
           sys.error(s"ALTER FUNCTION: function not created this session: $base"))
-        val stripped = text
-          .replaceAll("(?is)\\bRETURNS\\s+NULL\\s+ON\\s+NULL\\s+INPUT\\b", " ")
-          .replaceAll("(?is)\\bCALLED\\s+ON\\s+NULL\\s+INPUT\\b", " ")
-        val retM = """(?is)\bRETURN\b""".r.findFirstMatchIn(stripped)
+        // masked strips: the characteristic keywords could appear inside
+        // a string literal in the function body
+        val stripped = PrestoRewrite.maskedReplaceAll(
+          PrestoRewrite.maskedReplaceAll(text,
+            """(?is)\bRETURNS\s+NULL\s+ON\s+NULL\s+INPUT\b""".r)(_ => " "),
+          """(?is)\bCALLED\s+ON\s+NULL\s+INPUT\b""".r)(_ => " ")
+        val retMask = PrestoRewrite.stringMask(stripped)
+        val retM = """(?is)\bRETURN\b""".r.findAllMatchIn(stripped)
+          .find(m => !retMask(m.start))
           .getOrElse(sys.error("ALTER FUNCTION: stored text has no RETURN"))
         val altered = stripped.substring(0, retM.start) +
           characteristic.trim.replaceAll("\\s+", " ") + " " +
