@@ -95,6 +95,122 @@ private[functions] object PrestoRewrite {
         if (mask(m.start)) m.matched else f(m)))
   }
 
+  /** Presto parametric TYPE spellings inside CAST targets →
+    * Spark's angle-bracket grammar (TypeSignature.java vs Spark DDL):
+    * `row(x bigint, y double)` → `struct<x: bigint, y: double>`,
+    * `array(T)` → `array<T>`, `map(K, V)` → `map<K, V>`, recursively.
+    * Only the type position of CAST/TRY_CAST is touched — `array(1, 2)`
+    * anywhere else is the constructor FUNCTION and must not rewrite.
+    * Non-parametric names and `decimal(p,s)`/`varchar(n)` (same spelling
+    * in both grammars) pass through. Unnamed ROW fields are left as-is
+    * (loud downstream — Spark structs need field names). */
+  private def transformPrestoType(t0: String): String = {
+    val t = t0.trim
+    val m = """(?is)^(row|array|map)\s*\((.*)\)$""".r.findFirstMatchIn(t)
+    m match {
+      case None => t.toLowerCase match {
+        // Presto base spellings Spark's type grammar rejects or renames
+        // (unparameterized varchar is only legal in Presto)
+        case "varchar" => "string"
+        case "varbinary" => "binary"
+        case "json" => "string"
+        case _ => t
+      }
+      case Some(mm) =>
+        val kind = mm.group(1).toLowerCase
+        val inner = mm.group(2)
+        // split top-level commas (no string literals inside type text)
+        val parts = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var depth = 0
+          var start = 0
+          var i = 0
+          while (i < inner.length) {
+            inner.charAt(i) match {
+              case '(' | '<' => depth += 1
+              case ')' | '>' => depth -= 1
+              case ',' if depth == 0 =>
+                out += inner.substring(start, i); start = i + 1
+              case _ =>
+            }
+            i += 1
+          }
+          out += inner.substring(start)
+          out.map(_.trim).toSeq
+        }
+        kind match {
+          case "array" if parts.length == 1 =>
+            s"array<${transformPrestoType(parts.head)}>"
+          case "map" if parts.length == 2 =>
+            s"map<${transformPrestoType(parts(0))}, " +
+              s"${transformPrestoType(parts(1))}>"
+          case "row" if parts.forall(_.contains(" ")) =>
+            val fields = parts.map { p =>
+              val sp = p.indexOf(' ')
+              val name = p.substring(0, sp).trim
+              val typ = transformPrestoType(p.substring(sp + 1))
+              s"$name: $typ"
+            }
+            s"struct<${fields.mkString(", ")}>"
+          case _ => t // unnamed row / arity mismatch: leave, fail loudly
+        }
+    }
+  }
+
+  /** Rewrite the TYPE position of every CAST/TRY_CAST through
+    * [[transformPrestoType]] (masked, depth-aware `AS` search). Each
+    * cast site is visited once left-to-right; casts nested in the value
+    * expression start later in the string and get their own visit,
+    * while types nested inside the TYPE text recurse in the
+    * transformer. */
+  private def rewriteCastTypes(q0: String): String = {
+    val castRe = """(?i)\b(?:try_)?cast\s*\(""".r
+    @inline def identChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+    var q = q0
+    var idx = 0
+    var continue = true
+    while (continue) {
+      val mask = stringMask(q)
+      castRe.findAllMatchIn(q).find(m => m.start >= idx && !mask(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          var depth = 1
+          var i = m.end
+          var asPos = -1
+          while (i < q.length && depth > 0) {
+            val c = q.charAt(i)
+            if (!mask(i)) {
+              if (c == '(') depth += 1
+              else if (c == ')') depth -= 1
+              else if (depth == 1 && i + 2 < q.length &&
+                q.regionMatches(true, i, "AS", 0, 2) &&
+                !identChar(q.charAt(i - 1)) &&
+                Character.isWhitespace(q.charAt(i + 2)))
+                asPos = i // keep the LAST top-level AS
+            }
+            i += 1
+          }
+          if (depth == 0 && asPos >= 0) {
+            val close = i - 1
+            val typeText = q.substring(asPos + 2, close)
+            // whole-type bare varchar is bareVarcharRe's job (which
+            // preserves the original spacing); here only parametric
+            // spellings and NESTED varchar/varbinary/json rewrite
+            val rewritten =
+              if (typeText.trim.equalsIgnoreCase("varchar")) typeText.trim
+              else transformPrestoType(typeText)
+            if (rewritten != typeText.trim)
+              q = q.substring(0, asPos + 2) + " " + rewritten +
+                q.substring(close)
+          }
+          // positions before m.end are unaffected by the splice
+          idx = m.end
+      }
+    }
+    q
+  }
+
   /** Presto `ARRAY[...]` literals → Spark `array(...)`: bracket-depth
     * scan (subscripts like a[1] nest correctly), string literals
     * skipped, nested ARRAY[ handled by re-scanning. */
@@ -441,8 +557,8 @@ private[functions] object PrestoRewrite {
     val sampled = maskedReplaceAll(decimaled, tablesampleRe)(
       m => s"TABLESAMPLE (${m.group(2)} PERCENT)")
     maskedReplaceAll(
-      rewriteSubscripts(rewriteAtTimeZone(
-        rewriteUnnest(rewriteArrayLiterals(sampled)))), bareVarcharRe)(
+      rewriteCastTypes(rewriteSubscripts(rewriteAtTimeZone(
+        rewriteUnnest(rewriteArrayLiterals(sampled))))), bareVarcharRe)(
       m => m.group(1) + "string" + m.group(2))
   }
 }

@@ -54,3 +54,24 @@ case class PrestoSubscript(base: Expression, index: Expression)
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression): Expression = copy(base = a, index = b)
 }
+
+/** Presto's MAP constructor family (MapConstructor.java): `MAP()` empty,
+  * `MAP(ARRAY[k...], ARRAY[v...])` zips key/value arrays, while Spark's
+  * own varargs `map(k1, v1, ...)` spelling keeps working — dispatched on
+  * the RESOLVED argument types (two array-typed args can only be the
+  * Presto zip form; Presto has no varargs constructor to collide with). */
+case class PrestoMapConstructor(children: Seq[Expression])
+    extends Expression with RuntimeReplaceable {
+
+  override def prettyName: String = "map"
+
+  override lazy val replacement: Expression = children match {
+    case Seq(k, v) if k.dataType.isInstanceOf[ArrayType] &&
+        v.dataType.isInstanceOf[ArrayType] =>
+      MapFromArrays(k, v)
+    case _ => CreateMap(children)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(children = c)
+}

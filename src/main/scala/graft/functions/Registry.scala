@@ -937,6 +937,12 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("presto_subscript"),
         new ExpressionInfo(getClass.getCanonicalName, "presto_subscript"),
         (args: Seq[Expression]) => PrestoSubscript(args(0), args(1)))
+      // Presto MAP(ARRAY[k], ARRAY[v]) / MAP() constructor forms
+      // alongside Spark's varargs map(k1, v1, ...) — type-dispatched
+      // (see PrestoMapConstructor).
+      registry.registerFunction(FunctionIdentifier("map"),
+        new ExpressionInfo(getClass.getCanonicalName, "map"),
+        (args: Seq[Expression]) => PrestoMapConstructor(args))
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))

@@ -213,6 +213,24 @@ object RegistrySql extends QueryPack {
     // indices, chained subscripts on a nested ARRAY literal, a call
     // result, and a map string key. DuckDB's native [] is 1-based too,
     // so the oracle replays the exact spelling.
+    // Presto parametric type spellings in CAST targets + the MAP
+    // constructor family (TypeSignature.java row/array/map parens
+    // grammar vs Spark's angle brackets; MapConstructor.java's
+    // MAP(ARRAY, ARRAY) zip form): rewritten/dispatched per r7c —
+    // verbatim Presto, hand-derived oracle (the qj2 stance).
+    "ql7_presto_cast_types" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  CAST(row(id, id * 0.5) AS ROW(k BIGINT, half DOUBLE)).half
+        |    AS half,
+        |  CAST(ARRAY[id, id + 1] AS array(double))[2] AS bumped,
+        |  MAP(ARRAY['lo', 'hi'], ARRAY[id - 1, id + 1])['hi'] AS hi,
+        |  cardinality(CAST(MAP(ARRAY['a'], ARRAY[id])
+        |    AS map(varchar, bigint))) AS m,
+        |  CAST(ARRAY[row(id, 'tag')]
+        |    AS array(row(k bigint, v varchar)))[1].v AS tagged
+        |FROM (SELECT 1 AS id UNION ALL SELECT 2) t
+        |ORDER BY id""".stripMargin)),
+
     "qn3_presto_subscripts" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id,
         |  cast(xs[1] as bigint) AS first_x,
@@ -1051,6 +1069,16 @@ object RegistrySql extends QueryPack {
         |   '2020-12-31T20:15:00-03:30', CAST(-3 AS BIGINT),
         |   '2020-06-10 12:00:00', CAST(4 AS BIGINT)))
         |  AS t(id, kolkata, nst, tzh, lit_wall, call_recv_hour)
+        |ORDER BY id""".stripMargin,
+
+    // hand-derived: the casts/zip are deterministic arithmetic
+    "ql7_presto_cast_types" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0.5, CAST(2 AS DOUBLE), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), 'tag'),
+        |  (CAST(2 AS BIGINT), 1.0, CAST(3 AS DOUBLE), CAST(3 AS BIGINT),
+        |   CAST(1 AS BIGINT), 'tag'))
+        |  AS t(id, half, bumped, hi, m, tagged)
         |ORDER BY id""".stripMargin,
 
     "qn3_presto_subscripts" ->

@@ -418,6 +418,39 @@ class RegistrySuite extends GraftSuite {
     assert(tried.isNullAt(0))
   }
 
+  test("CAST targets accept Presto's parametric type spellings") {
+    Registry.install(spark)
+    // TypeSignature.java spellings: row(name T, ...), array(T), map(K, V)
+    val row = spark.sql(Registry.rewritePrestoSql(
+      """SELECT CAST(row(1, 2.5) AS ROW(x BIGINT, y DOUBLE)).y AS y,
+        |  CAST(ARRAY[1, 2, 3] AS array(double))[2] AS d,
+        |  CAST(map(ARRAY['a'], ARRAY[1]) AS map(varchar, bigint))['a'] AS m,
+        |  CAST(ARRAY[row(1, 'p')]
+        |    AS array(row(k bigint, v varchar)))[1].v AS nested
+        |FROM (SELECT 1)""".stripMargin)).collect()(0)
+    assert(row.getDouble(0) == 2.5)
+    assert(row.getDouble(1) == 2.0)
+    assert(row.getLong(2) == 1L)
+    assert(row.getString(3) == "p")
+    // non-parametric and same-spelling types pass through untouched
+    assert(Registry.rewritePrestoSql("SELECT CAST(x AS decimal(10, 2))") ==
+      "SELECT CAST(x AS decimal(10, 2))")
+    // the array CONSTRUCTOR function is not a type and must not rewrite
+    assert(Registry.rewritePrestoSql("SELECT array(1, 2)") ==
+      "SELECT array(1, 2)")
+  }
+
+  test("MAP constructor: Presto zip form, empty form, Spark varargs coexist") {
+    Registry.install(spark)
+    val row = spark.sql(Registry.rewritePrestoSql(
+      """SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS zip,
+        |  cardinality(MAP()) AS empty,
+        |  map('k', 7)['k'] AS varargs""".stripMargin)).collect()(0)
+    assert(row.getInt(0) == 2)
+    assert(row.getInt(1) == 0)
+    assert(row.getInt(2) == 7)
+  }
+
   test("CREATE FUNCTION Presto spellings: namespace, RNONI guard, varchar") {
     Registry.install(spark)
     import spark.implicits._
