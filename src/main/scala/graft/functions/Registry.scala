@@ -943,6 +943,32 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("map"),
         new ExpressionInfo(getClass.getCanonicalName, "map"),
         (args: Seq[Expression]) => PrestoMapConstructor(args))
+      // map_concat with Presto's LAST-MAP-WINS duplicate-key policy
+      // (MapConcatFunction.java — "value from the last map") instead of
+      // Spark's dedup-policy exception: fold left, dropping keys the
+      // later map overrides, then a provably-disjoint entries concat
+      // (spelled via map_from_entries so the builtin name cannot
+      // re-enter this builder). Closes ledger item 2.
+      registry.registerFunction(FunctionIdentifier("map_concat"),
+        new ExpressionInfo(getClass.getCanonicalName, "map_concat"),
+        (args: Seq[Expression]) => {
+          require(args.nonEmpty, "map_concat expects at least 1 map")
+          args.reduceLeft { (a, b) =>
+            spark.sessionState.sqlParser.parseExpression(
+              "map_from_entries(concat(map_entries(map_filter(__a, " +
+                "(k, v) -> NOT array_contains(map_keys(__b), k))), " +
+                "map_entries(__b)))")
+              .transformUp {
+                case UnresolvedAttribute(Seq("__a")) => a
+                case UnresolvedAttribute(Seq("__b")) => b
+                // inside a lambda body the parser wraps identifiers as
+                // lambda-variable candidates — the outer-scope map
+                // reference still substitutes
+                case org.apache.spark.sql.catalyst.expressions
+                    .UnresolvedNamedLambdaVariable(Seq("__b")) => b
+              }
+          }
+        })
       vectorFn("cosine_similarity")(CosineSimilarity(_, _))
       vectorFn("dot_product")(DotProduct(_, _))
       vectorFn("l2_distance")(L2Distance(_, _))

@@ -604,8 +604,10 @@ object RegistrySql extends QueryPack {
     // element_at from the end, map-concat merge, zip over the key union).
     // Outputs serialize sorted so neither engine's container order leaks.
     // Divergences kept: typeof renders Spark type names ('array<string>'
-    // vs Presto 'array(varchar)'); map_concat on duplicate keys raises
-    // under Spark's default dedup policy where Presto's last-map-wins.
+    // vs Presto 'array(varchar)'). map_concat carries Presto's
+    // LAST-MAP-WINS duplicate-key policy since r7c (registry override —
+    // fold dropping overridden keys, then a disjoint entries concat;
+    // RegistrySuite locks the override).
     "qi8_array_map_sql" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id,
         |  array_join(array_sort(array_union(a, b)), ',') AS arr_u,

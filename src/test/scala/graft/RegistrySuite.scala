@@ -451,6 +451,23 @@ class RegistrySuite extends GraftSuite {
     assert(row.getInt(2) == 7)
   }
 
+  test("map_concat uses Presto's last-map-wins duplicate-key policy") {
+    Registry.install(spark)
+    // MapConcatFunction.java: "that key's value in the resulting map
+    // comes from the last map"
+    val row = spark.sql(Registry.rewritePrestoSql(
+      """SELECT map_concat(map('x', 1, 'y', 2), map('x', 9))['x'] AS x,
+        |  map_concat(map('x', 1, 'y', 2), map('x', 9))['y'] AS y,
+        |  cardinality(map_concat(map('a', 1), map('b', 2),
+        |    map('a', 3))) AS n,
+        |  map_concat(map('a', 1), map('b', 2), map('a', 3))['a'] AS a3
+        |""".stripMargin)).collect()(0)
+    assert(row.getInt(0) == 9)
+    assert(row.getInt(1) == 2)
+    assert(row.getInt(2) == 2)
+    assert(row.getInt(3) == 3)
+  }
+
   test("CREATE FUNCTION Presto spellings: namespace, RNONI guard, varchar") {
     Registry.install(spark)
     import spark.implicits._
