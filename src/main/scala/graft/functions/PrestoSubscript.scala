@@ -55,6 +55,24 @@ case class PrestoSubscript(base: Expression, index: Expression)
       a: Expression, b: Expression): Expression = copy(base = a, index = b)
 }
 
+/** Presto's `typeof(x)` (TypeOfFunction.java): renders the PRESTO type
+  * signature of the argument — varchar/bigint/array(double)/
+  * map(varchar, integer)/row(...) — not Spark's angle-bracket names.
+  * Folds to a literal at analysis (the reference computes it from the
+  * static type too; the argument is never evaluated). */
+case class PrestoTypeOf(child: Expression)
+    extends Expression with RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "typeof"
+
+  override lazy val replacement: Expression =
+    Literal(PrestoStatements.prestoTypeName(child.dataType))
+
+  override protected def withNewChildInternal(
+      c: Expression): Expression = copy(child = c)
+}
+
 /** Presto's MAP constructor family (MapConstructor.java): `MAP()` empty,
   * `MAP(ARRAY[k...], ARRAY[v...])` zips key/value arrays, while Spark's
   * own varargs `map(k1, v1, ...)` spelling keeps working — dispatched on

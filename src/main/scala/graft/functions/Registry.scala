@@ -943,6 +943,11 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("map"),
         new ExpressionInfo(getClass.getCanonicalName, "map"),
         (args: Seq[Expression]) => PrestoMapConstructor(args))
+      // typeof renders Presto type signatures (TypeOfFunction.java;
+      // analysis-time literal — see PrestoTypeOf)
+      registry.registerFunction(FunctionIdentifier("typeof"),
+        new ExpressionInfo(getClass.getCanonicalName, "typeof"),
+        (args: Seq[Expression]) => PrestoTypeOf(args.head))
       // map_concat with Presto's LAST-MAP-WINS duplicate-key policy
       // (MapConcatFunction.java — "value from the last map") instead of
       // Spark's dedup-policy exception: fold left, dropping keys the

@@ -603,8 +603,9 @@ object RegistrySql extends QueryPack {
     // this query pins their semantics (dedup on set algebra, negative
     // element_at from the end, map-concat merge, zip over the key union).
     // Outputs serialize sorted so neither engine's container order leaks.
-    // Divergences kept: typeof renders Spark type names ('array<string>'
-    // vs Presto 'array(varchar)'). map_concat carries Presto's
+    // typeof renders PRESTO type signatures since r7c ('array(varchar)',
+    // 'map(varchar, integer)' — PrestoTypeOf, an analysis-time
+    // literal). map_concat carries Presto's
     // LAST-MAP-WINS duplicate-key policy since r7c (registry override —
     // fold dropping overridden keys, then a disjoint entries concat;
     // RegistrySuite locks the override).
@@ -1688,7 +1689,7 @@ object RegistrySql extends QueryPack {
         |  array_to_string(list_sort([upper(e.key) || '=' ||
         |    CAST(e.value AS VARCHAR) for e in map_entries(m1)]), ',')
         |    AS mkeys,
-        |  'array<string>' AS t_arr, 'map<string,int>' AS t_map
+        |  'array(varchar)' AS t_arr, 'map(varchar, integer)' AS t_map
         |FROM t ORDER BY id""".stripMargin,
 
     "qh5_hash_hmac_sql" ->
