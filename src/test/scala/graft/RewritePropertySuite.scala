@@ -32,7 +32,8 @@ class RewritePropertySuite extends GraftSuite {
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 1, d)",
     "information_schema.columns", "system.runtime.queries",
-    "cast(x as varchar)", "it's doubled", "")
+    "cast(x as varchar)", "CAST(x AS row(a bigint))",
+    "CAST(m AS map(varchar, bigint))", "it's doubled", "")
 
   private val benignTokens = Seq(
     "SELECT", "a", "b", "col_1", "+", "-", ",", "(", ")", "42", "1.5",
@@ -55,7 +56,10 @@ class RewritePropertySuite extends GraftSuite {
     "ARRAY[1, 2, 3]", "t.arr[1]", "TIME '12:34:56'", "DECIMAL '0.05'",
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'", "m['k']",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 3, d)",
-    "date_diff('hour', a, b)", "cast(x as varchar)")
+    "date_diff('hour', a, b)", "cast(x as varchar)",
+    "CAST(r AS ROW(x BIGINT, y DOUBLE))",
+    "CAST(a AS array(row(k bigint, v varchar)))",
+    "TRY_CAST(m AS map(varchar, bigint))")
 
   private val mixedQueryGen: Gen[String] = for {
     n <- Gen.choose(1, 12)
