@@ -144,6 +144,16 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(est("partsupp") > partEst,
       s"partsupp estimate ${est("partsupp")} does not carry the 4x " +
         s"fan-out over part ($partEst)")
+    // negative control: the BUGGY derivation style (explode on a
+    // one-row relation) genuinely undercounts — proving this test
+    // discriminates and would fail on a regression to that style
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW graft_bad_fanout AS
+        |SELECT p_partkey, w FROM part
+        |CROSS JOIN (SELECT explode(sequence(1, 52)) AS w)""".stripMargin)
+    assert(est("graft_bad_fanout") < partEst * 50,
+      "explode-derived view unexpectedly carries fan-out stats — " +
+        "update this test's premise")
   }
 
   // NOTE: a suite-wide "nothing big under BroadcastExchange" sweep was
