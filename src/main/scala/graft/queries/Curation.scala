@@ -88,13 +88,14 @@ object Curation extends QueryPack {
     // the window's hash partitioning spreads by source (and a
     // two-phase per-partition pre-rank would bound skew further —
     // Salt.scala's machinery applies if one domain dominates). Exact
-    // oracle: the cap and ordering replay verbatim in DuckDB.
+    // oracle: the cap and ordering replay verbatim in DuckDB. K=10
+    // so the cap BINDS at fixture scale (25 docs/source at sf0.01).
     "qz9_domain_cap" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("n_chars").desc, col("doc_id"))
       Tables.view(s, dir, "documents")
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 50)
+        .filter(col("rn") <= 10)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("kept_id_sum"),
@@ -105,24 +106,33 @@ object Curation extends QueryPack {
     // Deterministic corpus shuffle — the fixed training order every
     // run reproduces: sort key = a multiplicative-hash mix of doc_id
     // (plain 64-bit arithmetic, identical in any engine; no RNG), then
-    // shard assignment off the same key. The global ORDER BY is
-    // Spark's range-partitioned distributed sort (sample → range
-    // boundaries → per-partition sort) — the one full sort a 100 TB
-    // corpus pays once before sequence packing; shards stay balanced
-    // because the key is uniform. The position-weighted checksum pins
-    // the ENTIRE order, not just membership.
+    // shard assignment off the same key. Global position WITHOUT a
+    // single-partition window: h is bucketed into 32 contiguous
+    // ranges, per-bucket row_numbers run 32-way parallel, and each
+    // bucket's offset is an exclusive prefix-sum over the (32-row,
+    // metadata-sized) bucket counts — the distributed rank recipe a
+    // 100 TB corpus needs (raise the bucket count with the data; the
+    // offsets stay metadata). The position-weighted checksum pins the
+    // ENTIRE order, not just membership.
     "qj8_deterministic_shuffle" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql("""WITH keyed AS (
               |  SELECT doc_id,
               |    (doc_id * 2654435761 + 12345) % 1000000007 AS h
               |  FROM documents),
-              |r AS (SELECT doc_id, h,
-              |    row_number() OVER (ORDER BY h, doc_id) AS pos
-              |  FROM keyed)
+              |b AS (SELECT doc_id, h,
+              |    cast(h / 31250001 as bigint) AS bkt FROM keyed),
+              |c AS (SELECT bkt, count(*) AS cnt FROM b GROUP BY bkt),
+              |o AS (SELECT bkt, coalesce(sum(cnt) OVER (ORDER BY bkt
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS off FROM c),
+              |r AS (SELECT b.doc_id, b.h,
+              |    o.off + row_number() OVER (PARTITION BY b.bkt
+              |      ORDER BY b.h, b.doc_id) AS pos
+              |  FROM b JOIN o ON b.bkt = o.bkt)
               |SELECT cast(h % 8 as bigint) AS shard,
               |  cast(count(*) as bigint) AS n,
-              |  sum(pos * doc_id) AS ordsum
+              |  cast(sum(pos * doc_id) as bigint) AS ordsum
               |FROM r GROUP BY h % 8 ORDER BY shard""".stripMargin)
     }),
 
@@ -297,9 +307,10 @@ object Curation extends QueryPack {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
-        |SELECT source, count(*) AS n_kept, sum(doc_id) AS kept_id_sum,
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
         |  min(n_chars) AS min_kept_chars
-        |FROM r WHERE rn <= 50
+        |FROM r WHERE rn <= 10
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "qj8_deterministic_shuffle" ->
@@ -312,7 +323,7 @@ object Curation extends QueryPack {
         |  FROM keyed)
         |SELECT CAST(h % 8 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  sum(pos * doc_id) AS ordsum
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS ordsum
         |FROM r GROUP BY h % 8 ORDER BY shard""".stripMargin,
 
     "qh2_pii_redaction" ->
