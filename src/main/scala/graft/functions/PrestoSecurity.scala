@@ -116,7 +116,7 @@ private[functions] object PrestoSecurity {
   private val grantPrivRe =
     """(?is)^\s*GRANT\s+(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(?:(USER|ROLE)\s+)?([A-Za-z_]\w*)(\s+WITH\s+GRANT\s+OPTION)?\s*$""".r
   private val revokePrivRe =
-    """(?is)^\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:(USER|ROLE)\s+)?([A-Za-z_]\w*)\s*$""".r
+    """(?is)^\s*REVOKE\s+(GRANT\s+OPTION\s+FOR\s+)?(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:(USER|ROLE)\s+)?([A-Za-z_]\w*)\s*$""".r
   private val grantRolesRe =
     """(?is)^\s*GRANT\s+([A-Za-z_][\w,\s]*?)\s+TO\s+(.+?)(\s+WITH\s+ADMIN\s+OPTION)?(?:\s+GRANTED\s+BY\s+\S+)?\s*$""".r
   private val revokeRolesRe =
@@ -244,7 +244,7 @@ private[functions] object PrestoSecurity {
         }
         Some(statusDf(spark, "GRANT"))
 
-      case revokePrivRe(privs0, table0, gTypeOrNull, grantee0) =>
+      case revokePrivRe(optForNull, privs0, table0, gTypeOrNull, grantee0) =>
         val st = state(spark)
         val privs =
           if ("""(?is)^\s*ALL\s+PRIVILEGES\s*$""".r.matches(privs0))
@@ -256,6 +256,10 @@ private[functions] object PrestoSecurity {
           Option(gTypeOrNull).map(_.toUpperCase).getOrElse("USER")
         val grantee = grantee0.toLowerCase
         val table = table0.split('.').last.toLowerCase
+        // REVOKE GRANT OPTION FOR only removes the grant option and
+        // keeps the privilege (spi AccessControl revokeTablePrivileges
+        // grantOptionFor=true); plain REVOKE deletes the row
+        val optionOnly = optForNull != null
         privs.foreach { p =>
           val had = st.tablePrivs.exists(tp => tp.grantee == grantee &&
             tp.granteeType == granteeType && tp.table == table &&
@@ -263,9 +267,16 @@ private[functions] object PrestoSecurity {
           require(had,
             s"Cannot revoke $p on $table from $granteeType '$grantee': " +
               "no such grant")
-          st.tablePrivs.filterInPlace(tp => !(tp.grantee == grantee &&
-            tp.granteeType == granteeType && tp.table == table &&
-            tp.privilege == p))
+          if (optionOnly)
+            st.tablePrivs.mapInPlace(tp =>
+              if (tp.grantee == grantee && tp.granteeType == granteeType &&
+                  tp.table == table && tp.privilege == p)
+                tp.copy(grantable = false)
+              else tp)
+          else
+            st.tablePrivs.filterInPlace(tp => !(tp.grantee == grantee &&
+              tp.granteeType == granteeType && tp.table == table &&
+              tp.privilege == p))
         }
         Some(statusDf(spark, "REVOKE"))
 
@@ -313,8 +324,10 @@ private[functions] object PrestoSecurity {
   private val infoTableNames = Seq("columns", "tables", "views", "schemata",
     "roles", "applicable_roles", "enabled_roles", "table_privileges")
 
+  // optional leading `<catalog>.` qualifier is consumed and dropped —
+  // the reference supports `cat.information_schema.t` spellings
   private val infoRe =
-    ("""(?i)\binformation_schema\s*\.\s*(""" +
+    ("""(?i)\b(?:[A-Za-z_]\w*\s*\.\s*)?information_schema\s*\.\s*(""" +
       infoTableNames.mkString("|") + """)\b""").r
 
   /** Rewrite `information_schema.<t>` references (outside string

@@ -26,8 +26,19 @@ case class PrestoSubscript(base: Expression, index: Expression)
   override def right: Expression = index
   override def prettyName: String = "presto_subscript"
 
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   override lazy val replacement: Expression = base.dataType match {
     case ArrayType(elem, _) =>
+      // reference rejects non-integer subscripts at analysis
+      // (ArraySubscriptOperator type signature: bigint index) — a
+      // silent Cast would truncate a[1.9] to a[1] and NULL a['x']
+      if (!integral(index.dataType)) throw new IllegalArgumentException(
+        s"Array subscript must be an integer type, " +
+          s"got ${index.dataType.catalogString}")
       val idx = Cast(index, LongType)
       def err(msg: String): Expression =
         Cast(new RaiseError(Literal(msg)), elem)
@@ -40,6 +51,14 @@ case class PrestoSubscript(base: Expression, index: Expression)
               // the Int cast (ElementAt's required index type) is safe
               ElementAt(base, Cast(index, IntegerType))))))
     case MapType(kt, vt, _) =>
+      // analysis-style key-type check (MapSubscriptOperator binds the
+      // subscript to the key type; mistyped keys fail the analyzer, not
+      // NULL out): exact match, a lossless upcast, or integral widths
+      if (!(index.dataType == kt || Cast.canUpCast(index.dataType, kt) ||
+          (integral(index.dataType) && integral(kt))))
+        throw new IllegalArgumentException(
+          s"Map subscript type ${index.dataType.catalogString} is not " +
+            s"coercible to key type ${kt.catalogString}")
       val key = Cast(index, kt)
       val err = Cast(new RaiseError(Concat(Seq(
         Literal("Key not present in map: "), Cast(key, StringType)))), vt)

@@ -53,6 +53,15 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
   private def utcOf(e: Expression): Expression =
     GetStructField(e, 0, Some("utc"))
 
+  /** Does a result type embed the zoned struct anywhere? */
+  private def containsZoned(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      isZoned(s) || s.fields.exists(f => containsZoned(f.dataType))
+    case ArrayType(et, _) => containsZoned(et)
+    case MapType(kt, vt, _) => containsZoned(kt) || containsZoned(vt)
+    case _ => false
+  }
+
   /** Replace bare (non-aggregated) references to a zoned grouping key
     * with first(key) — the arbitrary-representative contract. References
     * already inside aggregate functions are left alone. */
@@ -88,6 +97,21 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
         w.copy(partitionSpec = w.partitionSpec.map(p =>
           if (p.resolved && isZoned(p.dataType)) utcOf(p) else p))
     }.transformAllExpressions {
+      // DISTINCT inside an aggregate dedups by the aggregate function's
+      // argument values — a zoned argument must dedup by INSTANT, so
+      // count(DISTINCT z) over two same-instant/different-zone rows is 1
+      // (reference hashes packed millis only). Only safe when the zoned
+      // struct does not surface in the result type (count and friends);
+      // array_agg(DISTINCT z) keeps pair semantics (documented ledger
+      // residual — rewriting would change its element type).
+      case ae: AggregateExpression if ae.isDistinct &&
+          ae.aggregateFunction.children.exists(c =>
+            c.resolved && isZoned(c.dataType)) &&
+          !containsZoned(ae.aggregateFunction.dataType) =>
+        ae.copy(aggregateFunction = ae.aggregateFunction
+          .withNewChildren(ae.aggregateFunction.children.map(c =>
+            if (c.resolved && isZoned(c.dataType)) utcOf(c) else c))
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
       case cmp: BinaryComparison
           if cmp.left.resolved && cmp.right.resolved &&
             isZoned(cmp.left.dataType) && isZoned(cmp.right.dataType) =>

@@ -418,6 +418,24 @@ class RegistrySuite extends GraftSuite {
     assert(tried.isNullAt(0))
   }
 
+  test("mistyped subscripts are rejected at analysis, not silently cast") {
+    Registry.install(spark)
+    def run(sql: String) =
+      spark.sql(Registry.rewritePrestoSql(s"SELECT $sql AS v")).collect()
+    // a[1.9] must NOT truncate to a[1] (the reference types the array
+    // subscript as bigint — fractional indexes fail the analyzer)
+    val frac = intercept[Exception] { run("ARRAY[10, 20][1.9]") }
+    assert(frac.getMessage.contains("Array subscript must be an integer"))
+    val str = intercept[Exception] { run("ARRAY[10, 20]['x']") }
+    assert(str.getMessage.contains("Array subscript must be an integer"))
+    // int-keyed map subscripted with a string: analysis error, not NULL
+    val badKey = intercept[Exception] { run("map(1, 7)['x']") }
+    assert(badKey.getMessage.contains("not coercible to key type"))
+    // integral-width mixes still work (bigint literal on int-keyed map)
+    assert(spark.sql(Registry.rewritePrestoSql(
+      "SELECT map(1, 7)[cast(1 as bigint)] AS v")).collect()(0).getInt(0) == 7)
+  }
+
   test("CAST targets accept Presto's parametric type spellings") {
     Registry.install(spark)
     // TypeSignature.java spellings: row(name T, ...), array(T), map(K, V)
@@ -743,5 +761,16 @@ class RegistrySuite extends GraftSuite {
         |FROM z ORDER BY id""".stripMargin)).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     assert(parts.toSeq == Seq((1, 2L), (2, 2L), (3, 1L)))
+    // DISTINCT inside an aggregate dedups by instant too (r8): two
+    // same-instant rows in different zones are ONE distinct value
+    // (TimestampWithTimeZoneType hashes packed millis only)
+    val cd = spark.sql(Registry.rewritePrestoSql(
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-12-31T23:45:00-03:30') AS t(id, s))
+        |SELECT count(DISTINCT z) AS n FROM z""".stripMargin))
+      .collect()(0).getLong(0)
+    assert(cd == 2L)
   }
 }

@@ -79,6 +79,28 @@ class SecuritySuite extends GraftSuite {
     assert(stmt("SHOW GRANTS ON nation").count() == 0)
   }
 
+  test("REVOKE GRANT OPTION FOR keeps the privilege, drops only the option") {
+    reset()
+    stmt("GRANT SELECT ON nation TO USER someone WITH GRANT OPTION")
+    val before = stmt("SHOW GRANTS ON nation").collect()(0)
+    assert(before.getString(7) == "SELECT" && before.getString(8) == "YES")
+    stmt("REVOKE GRANT OPTION FOR SELECT ON nation FROM USER someone")
+    // reference semantics: the SELECT grant survives, no longer grantable
+    val after = stmt("SHOW GRANTS ON nation").collect()
+    assert(after.length == 1)
+    assert(after(0).getString(7) == "SELECT" && after(0).getString(8) == "NO")
+    stmt("REVOKE SELECT ON nation FROM USER someone")
+    assert(stmt("SHOW GRANTS ON nation").count() == 0)
+  }
+
+  test("catalog-qualified information_schema references resolve") {
+    Tables.register(spark, SfDir)
+    val n = stmt("SELECT count(*) AS n FROM " +
+      "spark_catalog.information_schema.columns WHERE table_name = 'region'")
+      .collect()(0).getLong(0)
+    assert(n == 2L) // region = (r_regionkey, r_name)
+  }
+
   test("unknown privilege names are rejected") {
     reset()
     val e = intercept[Exception] {
