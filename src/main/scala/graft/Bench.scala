@@ -30,7 +30,12 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional arg: comma-separated name prefixes — dev-only filter for
+    // isolated regression hunts; the driver always runs the full set.
+    val prefixes = args.headOption.map(_.split(",").toSeq).getOrElse(Seq(""))
+    val results = SparkEntry.queries
+      .filter { case (name, _) => prefixes.exists(name.startsWith) }
+      .map { case (name, fn) =>
       System.gc() // drain prior queries' garbage outside the timed region
       runOnce(fn) // prewarm: scan + codegen warm, untimed
       val t1 = runOnce(fn)

@@ -2,7 +2,6 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -45,19 +44,39 @@ object TDigest {
   final class State(val compression: Double) {
     private[graft] var means: Array[Double] = Array.empty
     private[graft] var weights: Array[Double] = Array.empty
-    private val bufM = new ArrayBuffer[Double]
-    private val bufW = new ArrayBuffer[Double]
+    // Primitive insert buffer (grown by doubling up to BufferLimit) — a
+    // generic ArrayBuffer[Double] boxes every insert, which dominated the
+    // 600k-row build profile. bufW stays null while every buffered weight
+    // is 1.0 (the unweighted common case), which also unlocks the
+    // primitive Arrays.sort path in compress().
+    private var bufM = new Array[Double](64)
+    private var bufW: Array[Double] = null
+    private var bufN = 0
     private[functions] var vMin = Double.PositiveInfinity
     private[functions] var vMax = Double.NegativeInfinity
     private[graft] var total = 0.0
 
+    private def ensureCapacity(): Unit =
+      if (bufN == bufM.length && bufN < BufferLimit) {
+        val cap = math.min(bufM.length * 2, BufferLimit)
+        bufM = java.util.Arrays.copyOf(bufM, cap)
+        if (bufW != null) bufW = java.util.Arrays.copyOf(bufW, cap)
+      }
+
     def insert(x: Double, w: Double = 1.0): Unit = {
       require(w > 0, s"weight must be positive, got $w")
-      bufM += x; bufW += w
+      if (w != 1.0 && bufW == null) {
+        bufW = new Array[Double](bufM.length)
+        java.util.Arrays.fill(bufW, 0, bufN, 1.0)
+      }
+      ensureCapacity()
+      bufM(bufN) = x
+      if (bufW != null) bufW(bufN) = w
+      bufN += 1
       if (x < vMin) vMin = x
       if (x > vMax) vMax = x
       total += w
-      if (bufM.length >= BufferLimit) compress()
+      if (bufN >= BufferLimit) compress()
     }
 
     def mergeWith(o: State): Unit = {
@@ -66,11 +85,22 @@ object TDigest {
       o.compress()
       var i = 0
       while (i < o.means.length) {
-        bufM += o.means(i); bufW += o.weights(i); i += 1
+        // total updates per-centroid so a mid-loop compress sees the
+        // right k() normalization
+        if (o.weights(i) != 1.0 && bufW == null) {
+          bufW = new Array[Double](bufM.length)
+          java.util.Arrays.fill(bufW, 0, bufN, 1.0)
+        }
+        ensureCapacity()
+        bufM(bufN) = o.means(i)
+        if (bufW != null) bufW(bufN) = o.weights(i)
+        bufN += 1
+        total += o.weights(i)
+        if (bufN >= BufferLimit) compress()
+        i += 1
       }
       if (o.vMin < vMin) vMin = o.vMin
       if (o.vMax > vMax) vMax = o.vMax
-      total += o.total
       compress()
     }
 
@@ -84,19 +114,40 @@ object TDigest {
       * O(buf log buf + total) per compress instead of resorting
       * everything (the insert hot path under a 100 TB aggregation). */
     private[graft] def compress(): Unit = {
-      if (bufM.isEmpty) return
-      val bn = bufM.length
-      val bIdx = new Array[Integer](bn)
-      var i = 0
-      while (i < bn) { bIdx(i) = i; i += 1 }
-      val bm = bufM
-      java.util.Arrays.sort(bIdx,
-        (a: Integer, b: Integer) =>
-          java.lang.Double.compare(bm(a.intValue), bm(b.intValue)))
+      if (bufN == 0) return
+      val bn = bufN
+      // sorted views of the buffer: primitive dual-pivot sort when all
+      // weights are 1.0; a weight-carrying insertion into sorted order
+      // (encoded index sort) otherwise
+      var sm: Array[Double] = null
+      var sw: Array[Double] = null
+      if (bufW == null) {
+        sm = java.util.Arrays.copyOf(bufM, bn)
+        java.util.Arrays.sort(sm)
+      } else {
+        // weighted buffers only arise from merges / weighted sketches
+        // (small: at most the centroid count per feed) — the boxed
+        // index sort is fine off the hot path
+        val bIdx = new Array[Integer](bn)
+        var i = 0
+        while (i < bn) { bIdx(i) = i; i += 1 }
+        val bm = bufM
+        java.util.Arrays.sort(bIdx,
+          (a: Integer, b: Integer) =>
+            java.lang.Double.compare(bm(a.intValue), bm(b.intValue)))
+        sm = new Array[Double](bn)
+        sw = new Array[Double](bn)
+        i = 0
+        while (i < bn) {
+          val j = bIdx(i).intValue
+          sm(i) = bufM(j); sw(i) = bufW(j); i += 1
+        }
+      }
       val om = means
       val ow = weights
-      val outM = new ArrayBuffer[Double](om.length + bn)
-      val outW = new ArrayBuffer[Double](om.length + bn)
+      val outM = new Array[Double](om.length + bn)
+      val outW = new Array[Double](om.length + bn)
+      var outN = 0
       var ci = 0
       var bi = 0
       var curSum = 0.0
@@ -106,26 +157,25 @@ object TDigest {
       while (ci < om.length || bi < bn) {
         var m = 0.0
         var w = 0.0
-        if (ci < om.length &&
-            (bi >= bn || om(ci) <= bufM(bIdx(bi).intValue))) {
+        if (ci < om.length && (bi >= bn || om(ci) <= sm(bi))) {
           m = om(ci); w = ow(ci); ci += 1
         } else {
-          val j = bIdx(bi).intValue; m = bufM(j); w = bufW(j); bi += 1
+          m = sm(bi); w = if (sw == null) 1.0 else sw(bi); bi += 1
         }
         if (!started) {
           curSum = m * w; curW = w; started = true
         } else if (k((wSoFar + curW + w) / total) - k(wSoFar / total) <= 1.0) {
           curSum += m * w; curW += w
         } else {
-          outM += curSum / curW; outW += curW
+          outM(outN) = curSum / curW; outW(outN) = curW; outN += 1
           wSoFar += curW
           curSum = m * w; curW = w
         }
       }
-      outM += curSum / curW; outW += curW
-      bufM.clear(); bufW.clear()
-      means = outM.toArray
-      weights = outW.toArray
+      outM(outN) = curSum / curW; outW(outN) = curW; outN += 1
+      bufN = 0
+      means = java.util.Arrays.copyOf(outM, outN)
+      weights = java.util.Arrays.copyOf(outW, outN)
     }
 
     /** Centroid i's value span: halfway to each neighbor, pinned to the

@@ -30,29 +30,48 @@ object Sketches extends QueryPack {
   /** Exact interpolated percentiles of l_extendedprice per l_returnflag
     * via one ranked window pass — the `percentile()` TypedImperative
     * aggregate is ~10x slower at the same exactness (SURVEY §2.4), so
-    * the sketch queries' ground truth uses the q65 shape instead. */
+    * the sketch queries' ground truth uses the q65 shape instead.
+    * `cdfAt` piggybacks the exact CDF (fraction of values <= x) onto the
+    * SAME window pass (one more agg over the same partition spec, no
+    * extra shuffle) — r8 consolidation of the former separate scan. */
   private def exactPercentiles(
       li: org.apache.spark.sql.DataFrame,
-      qs: Seq[(Double, String)]): org.apache.spark.sql.DataFrame = {
+      qs: Seq[(Double, String)],
+      cdfAt: Option[(Double, String)] = None): org.apache.spark.sql.DataFrame = {
     val byFlag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag"))
     val wn = byFlag.orderBy(col("v"))
-    val ranked = li
+    val ranked0 = li
       .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
       .withColumn("rn", row_number().over(wn))
       .withColumn("cnt", count(lit(1)).over(byFlag))
       .withColumn("nxt", lead(col("v"), 1).over(wn))
+    val ranked = cdfAt match {
+      case Some((x, _)) => ranked0.withColumn("cdf_c",
+        avg(when(col("v") <= x, 1.0).otherwise(0.0)).over(byFlag))
+      case None => ranked0
+    }
     val aggs = qs.map { case (q, out) =>
       val pos = (col("cnt") - 1) * q + 1
       val frac = pos - floor(pos)
       min(when(col("rn") === floor(pos),
         when(frac > 0, col("v") + frac * (col("nxt") - col("v")))
           .otherwise(col("v")))).as(out)
-    }
+    } ++ cdfAt.map { case (_, out) => min(col("cdf_c")).as(out) }
     ranked.filter(qs.map { case (q, _) =>
         col("rn") === floor((col("cnt") - 1) * q + 1) }.reduce(_ || _))
       .groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The sketch proof queries' shared input: the three lineitem columns
+    * they touch, cached once — Spark's CacheManager keys on the
+    * canonicalized plan, so qc6/qc7/qi9/qj5 all hit the same ~15 MB
+    * entry instead of re-decoding parquet for every proof branch. */
+  private def narrowLi(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.view(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_suppkey"), col("l_extendedprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
   override def defs: Map[String, Q] = Map(
     // Build + estimate per group, tolerance-checked against exact.
@@ -93,7 +112,7 @@ object Sketches extends QueryPack {
     // convention differs from interpolation by < 1 order statistic, so
     // 2% absorbs both).
     "qc6_qdigest_quantile" -> ((s, dir) => {
-      val li = Tables.view(s, dir, "lineitem")
+      val li = narrowLi(s, dir)
       val est = li.groupBy(col("l_returnflag"))
         .agg(graft.functions.QuantileSketch
           .sketch(col("l_extendedprice"), 0.01).as("sk"))
@@ -102,11 +121,9 @@ object Sketches extends QueryPack {
           graft.functions.QuantileSketch.valueAt(col("sk"), 0.95).as("p95_est"),
           graft.functions.QuantileSketch.quantileAt(col("sk"), 40000.0)
             .as("q_at_40k"))
-      val cdfExact = li.groupBy(col("l_returnflag"))
-        .agg(avg(when(col("l_extendedprice") <= 40000.0, 1.0).otherwise(0.0))
-          .as("cdf_ex"))
-      val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"))
-      exact.join(est, "l_returnflag").join(cdfExact, "l_returnflag")
+      val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"),
+        cdfAt = Some(40000.0 -> "cdf_ex"))
+      exact.join(est, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("p50_ex"), 6).as("p50_exact"),
           (abs(col("p50_est") - col("p50_ex")) <= col("p50_ex") * 0.02)
@@ -126,7 +143,7 @@ object Sketches extends QueryPack {
     // property that lets 100 TB pipelines pre-sketch per partition/day
     // and merge later (Presto merge(qdigest) semantics).
     "qc7_qdigest_merge" -> ((s, dir) => {
-      val li = Tables.view(s, dir, "lineitem")
+      val li = narrowLi(s, dir)
       val qs = graft.functions.QuantileSketch
       val direct = li.groupBy(col("l_returnflag"))
         .agg(qs.sketch(col("l_extendedprice"), 0.01).as("sk"))
@@ -155,7 +172,7 @@ object Sketches extends QueryPack {
     // so unlike qc7 the merge gate is tolerance, not byte equality.
     "qi9_tdigest" -> ((s, dir) => {
       val td = graft.functions.TDigest
-      val li = Tables.view(s, dir, "lineitem")
+      val li = narrowLi(s, dir)
       val direct = li.groupBy(col("l_returnflag"))
         .agg(td.sketch(col("l_extendedprice")).as("sk"))
         .select(col("l_returnflag"),
@@ -170,12 +187,9 @@ object Sketches extends QueryPack {
         .agg(td.merge(col("psk")).as("msk"))
         .select(col("l_returnflag"),
           td.valueAt(col("msk"), 0.5).as("p50_merged"))
-      val cdfExact = li.groupBy(col("l_returnflag"))
-        .agg(avg(when(col("l_extendedprice") <= 40000.0, 1.0).otherwise(0.0))
-          .as("cdf_ex"))
-      val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"))
+      val exact = exactPercentiles(li, Seq(0.5 -> "p50_ex", 0.95 -> "p95_ex"),
+        cdfAt = Some(40000.0 -> "cdf_ex"))
       exact.join(direct, "l_returnflag").join(merged, "l_returnflag")
-        .join(cdfExact, "l_returnflag")
         .select(col("l_returnflag"),
           round(col("p50_ex"), 6).as("p50_exact"),
           (abs(col("p50_est") - col("p50_ex")) <= col("p50_ex") * 0.02)
@@ -201,7 +215,7 @@ object Sketches extends QueryPack {
       graft.functions.Registry.install(s)
       val qs = graft.functions.QuantileSketch
       val td = graft.functions.TDigest
-      Tables.view(s, dir, "lineitem")
+      narrowLi(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(qs.sketch(col("l_extendedprice"), 0.01).as("dd"),
           td.sketch(col("l_extendedprice")).as("td"))
