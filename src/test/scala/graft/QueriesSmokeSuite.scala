@@ -164,4 +164,69 @@ class QueriesSmokeSuite extends GraftSuite {
   // deliberately-hinted, bucket-cap-bounded dedup candidate sets read
   // as 175 MB). The testable invariant for the r7 inventory bug class
   // is the estimate-honesty test above.
+
+  // ——— r8: plan guards for the most expensive TPC-DS queries ————————
+  // Converts the "plans a cluster wants" claim from prose to CI: for
+  // each of the five slowest TPC-DS shapes, assert the join/Expand
+  // composition that makes the plan scale — dimensions broadcast, no
+  // fact-fact nested-loop joins, ROLLUP as a single Expand. The only
+  // BroadcastNestedLoopJoins allowed are the Cross joins of the derived
+  // inventory generator (part × tiny literal week sequences).
+
+  private def guards(name: String)(f: (String, String => Int) => Unit): Unit =
+    test(s"$name plan guard") {
+      val plan = SparkEntry.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.treeString
+      def n(p: String) = p.r.findAllIn(plan).size
+      // universal: no all-pairs joins; any nested-loop join must be a
+      // Cross over the inventory generator's literal sequences
+      assert(n("CartesianProduct") == 0, s"CartesianProduct:\n$plan")
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("Cross")),
+        s"non-generator BroadcastNestedLoopJoin:\n${bnlj.mkString("\n")}")
+      f(plan, n)
+    }
+
+  guards("qu6_tpcds_q22") { (plan, n) =>
+    // inventory × date_dim × item: both dims broadcast, 4-level ROLLUP
+    // is ONE Expand (×5) into one hash aggregate
+    assert(n("BroadcastHashJoin") == 2, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+    assert(n("Expand") == 1, s"ROLLUP not a single Expand:\n$plan")
+  }
+
+  guards("qt6_tpcds_q72") { (plan, n) =>
+    // catalog_sales ⋈ inventory (non-equi residual on an equi key) plus
+    // broadcast dims; no shuffle join anywhere
+    assert(n("BroadcastHashJoin") >= 3, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+  }
+
+  guards("qw1_tpcds_q75") { (plan, n) =>
+    // three channel sales-LEFT-JOIN-returns branches with broadcast
+    // item/date_dim; the only merge join tolerated is the year-over-
+    // year self-join of the two (small) aggregated sides
+    assert(n("BroadcastHashJoin") >= 6, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 1, s"fact join reshuffled:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+  }
+
+  guards("qv7_tpcds_q14") { (plan, n) =>
+    // the biggest shape on the board (cross_items intersection + three
+    // channel branches + ROLLUP): dims broadcast, ROLLUP one Expand;
+    // merge joins appear only in the distinct-intersection pipeline
+    assert(n("BroadcastHashJoin") >= 20, s"dims not broadcast:\n$plan")
+    assert(n("Expand") == 1, s"ROLLUP not a single Expand:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+    assert(n("SortMergeJoin") <= 20, s"join composition drifted:\n$plan")
+  }
+
+  guards("qu1_tpcds_q4") { (plan, n) =>
+    // year-over-year customer totals across three channels: every join
+    // either broadcasts a dim or joins aggregated (small) sides
+    assert(n("BroadcastHashJoin") >= 8, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+  }
 }
