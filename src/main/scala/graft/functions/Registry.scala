@@ -1112,31 +1112,32 @@ object Registry {
           case args => sys.error(s"none_match expects (array, lambda), got $args")
         }
       }
-      // approx_set / merge / merge_hll — Presto's HLL workflow mapped onto
-      // the engine's KMV SetDigest family (same build/merge/cardinality
-      // API; exact below saturation, KMV estimator above — the same
-      // API-compatible-estimator stance as the KHyperLogLog pack, and it
-      // keeps cardinality()'s binary leg consistent). Presto overloads
-      // `merge` across hll/qdigest/tdigest; name-only resolution can't
-      // see types, so `merge` here is the set-digest merge (digest merges
-      // have merge_tdigest / the Column API).
+      // approx_set / merge / merge_hll — r8: a REAL dense/sparse
+      // HyperLogLog (HllAgg, p=12 = the reference's 4096-register
+      // approx_set, ±1.625% SE) replaces the r6 KMV stand-in, so the
+      // estimator's error profile matches the reference above
+      // saturation, not just the API. Presto overloads `merge` across
+      // sketch types and name-only resolution can't see which binary
+      // arrives, so `merge` sniffs the serialization magic per input
+      // (SketchMergeAgg) and handles both HLL and SetDigest bytes;
+      // digest merges keep merge_tdigest / the Column API.
       colorPack("approx_set") {
-        case Seq(v) => SetDigestAgg(v, SetDigest.DefaultK).toAggregateExpression()
+        case Seq(v) => HllAgg(v, HyperLogLog.DefaultP).toAggregateExpression()
         case args => sys.error(s"approx_set expects 1 arg, got ${args.length}")
       }
       colorPack("merge") {
-        case Seq(v) => SetDigestMergeAgg(v).toAggregateExpression()
+        case Seq(v) => SketchMergeAgg(v).toAggregateExpression()
         case args => sys.error(s"merge expects 1 arg, got ${args.length}")
       }
       colorPack("merge_hll") {
-        case Seq(v) => SetDigestMergeAgg(v).toAggregateExpression()
+        case Seq(v) => HllMergeAgg(v).toAggregateExpression()
         case args => sys.error(s"merge_hll expects 1 arg, got ${args.length}")
       }
       // empty_approx_set() — the empty-sketch constant (ApproximateSet
       // Aggregation's identity element), a plain binary literal here
       colorPack("empty_approx_set") {
         case Seq() =>
-          Literal(new SetDigest.State(SetDigest.DefaultK).serialize(),
+          Literal(HyperLogLog.empty(),
             org.apache.spark.sql.types.BinaryType)
         case args => sys.error(
           s"empty_approx_set expects 0 args, got ${args.length}")

@@ -245,8 +245,9 @@ case class SetDigestCardinality(child: Expression)
 
   override def nullSafeEval(d: Any): Any = {
     val bytes = d.asInstanceOf[Array[Byte]]
-    // accepts both digest kinds, like the reference's type overloads
-    if (KHll.isKhll(bytes)) KHll.deserialize(bytes).cardinality
+    // accepts all three sketch kinds, like the reference's type overloads
+    if (HyperLogLog.isHll(bytes)) HyperLogLog.deserialize(bytes).cardinality
+    else if (KHll.isKhll(bytes)) KHll.deserialize(bytes).cardinality
     else SetDigest.deserialize(bytes).cardinality
   }
 

@@ -306,6 +306,34 @@ object Sketches extends QueryPack {
           |ORDER BY bucket""".stripMargin)
     }),
 
+    // r8: the real HyperLogLog estimator behind approx_set/merge/
+    // cardinality (HyperLogLog.scala), gated at ~100× register
+    // saturation (400k distinct into 4096 registers) where the KMV
+    // stand-in it replaced would drift: the estimate must land within
+    // 5% (±3σ of the reference's published 1.625% SE for approx_set),
+    // per-shard partials merged must be BYTE-identical to the direct
+    // build (register-wise max is partition-independent), the
+    // linear-counting small range must be ±4% (~3σ) at n=3000, and the
+    // empty-sketch constant estimates exactly 0.
+    "qj9_hll_estimator" -> ((s, dir) => {
+      graft.functions.Registry.install(s)
+      s.range(400000L).toDF("id").createOrReplaceTempView("graft_hll_ids")
+      s.sql(
+        """WITH p AS (
+          |  SELECT id % 64 AS shard, approx_set(id) AS hs
+          |  FROM graft_hll_ids GROUP BY id % 64),
+          |m AS (SELECT merge(hs) AS mhs FROM p),
+          |d AS (SELECT approx_set(id) AS dhs FROM graft_hll_ids),
+          |sm AS (SELECT approx_set(id) AS shs FROM graft_hll_ids
+          |       WHERE id < 3000)
+          |SELECT cast(400000 as bigint) AS n_distinct,
+          |  abs(cardinality(dhs) - 400000) <= 20000 AS est_ok,
+          |  mhs = dhs AS merge_identical,
+          |  abs(cardinality(shs) - 3000) <= 120 AS lc_ok,
+          |  cardinality(empty_approx_set()) = 0 AS empty_ok
+          |FROM d, m, sm""".stripMargin)
+    }),
+
     "qh1_set_digest_merge" -> ((s, dir) => {
       val li = Tables.view(s, dir, "lineitem")
       val sd = graft.functions.SetDigest
@@ -380,6 +408,9 @@ object Sketches extends QueryPack {
         |  icnt AS icard
         |FROM i JOIN c ca ON ca.f = i.fa JOIN c cb ON cb.f = i.fb
         |ORDER BY flag_a, flag_b""".stripMargin,
+    "qj9_hll_estimator" ->
+      """SELECT CAST(400000 AS BIGINT) AS n_distinct, TRUE AS est_ok,
+        |  TRUE AS merge_identical, TRUE AS lc_ok, TRUE AS empty_ok""".stripMargin,
     "qh1_set_digest_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS card_direct,
         |  TRUE AS merge_bytes_equal
