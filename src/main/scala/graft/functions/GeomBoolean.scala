@@ -26,11 +26,14 @@ import org.apache.spark.sql.types._
   *    sorted by start vertex — deterministic and oracle-replayable.
   *    Presto's GEOMETRY collapses a 1-component multipolygon to a
   *    polygon; the structural model keeps the array container.
-  *  - DEGENERATE configurations fail loudly instead of guessing:
-  *    vertex-on-edge contact, collinear overlapping edges, and results
-  *    that would need holes (a ring-with-hole is unrepresentable here —
-  *    e.g. subtracting a strictly-interior polygon). General-position
-  *    inputs — the overwhelmingly common case — are exact.
+  *  - BOUNDARY-CONTACT configurations (vertex-on-edge, coincident
+  *    vertices, collinear overlapping edges — touching parcels) resolve
+  *    via a deterministic micro-perturbation retry (r8; the standard
+  *    degeneracy treatment for GH clipping): areas are correct to
+  *    O(1e-9·scale). Results that would need holes still fail loudly
+  *    (a ring-with-hole is unrepresentable here — e.g. subtracting a
+  *    strictly-interior polygon). General-position inputs — the
+  *    overwhelmingly common case — are exact.
   *
   * Scale: pure per-row scalar work (O((n+m)²) segment pairing on
   * small vertex counts), no joins, no state — scan-speed like the rest
@@ -118,6 +121,17 @@ object GeomBoolean {
       s"polygon boolean op: degenerate configuration ($msg); " +
         "general-position inputs required")
 
+  /** Boundary-contact degeneracies (vertex-on-edge, coincident
+    * vertices, collinear overlapping edges) are RECOVERABLE by the
+    * perturbation retry below — typed so the wrappers can distinguish
+    * them from genuinely unrepresentable results (holes). */
+  private final class ContactDegeneracy(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private def contactDegenerate(msg: String): Nothing =
+    throw new ContactDegeneracy(
+      s"polygon boolean op: boundary contact ($msg)")
+
   /** Point exactly on the ring's boundary (vertex or edge-interior). */
   private def onBoundary(px: Double, py: Double, poly: Array[Double]): Boolean = {
     val n = poly.length / 2
@@ -199,13 +213,13 @@ object GeomBoolean {
     var i = 0
     while (i < subjF.length) {
       if (onSegStrictOrVertex(subjF(i), subjF(i + 1), clipF))
-        degenerate("subject vertex on clip boundary")
+        contactDegenerate("subject vertex on clip boundary")
       i += 2
     }
     i = 0
     while (i < clipF.length) {
       if (onSegStrictOrVertex(clipF(i), clipF(i + 1), subjF))
-        degenerate("clip vertex on subject boundary")
+        contactDegenerate("clip vertex on subject boundary")
       i += 2
     }
 
@@ -238,7 +252,7 @@ object GeomBoolean {
                 (math.min(sv.y, s2.y), math.max(sv.y, s2.y),
                   math.min(cv.y, c2.y), math.max(cv.y, c2.y))
             if (math.min(ahi, bhi) - math.max(alo, blo) > 0)
-              degenerate("collinear overlapping edges")
+              contactDegenerate("collinear overlapping edges")
           }
         } else {
           val tS = ((cv.x - sv.x) * d2y - (cv.y - sv.y) * d2x) / denom
@@ -382,12 +396,72 @@ object GeomBoolean {
     out
   }
 
+  private def centroidOf(f: Array[Double]): (Double, Double) = {
+    val n = f.length / 2
+    var sx = 0.0; var sy = 0.0
+    var i = 0
+    while (i < n) { sx += f(2 * i); sy += f(2 * i + 1); i += 1 }
+    (sx / n, sy / n)
+  }
+
+  /** Boundary-contact fallback (the standard perturbation resolution of
+    * Greiner–Hormann degeneracies): translate the CLIP ring by a
+    * deterministic micro-offset along the inter-centroid axis — toward
+    * the subject for union (abutting parcels must FUSE, not detach),
+    * away from it for intersection/difference (a shared edge contributes
+    * no area; an inside-touching clip must detach outward, not become a
+    * hole) — then re-clip. Areas move by O(δ·perimeter) ≈ 1e-9·scale,
+    * invisible at the geometry gates' rounding; results that would need
+    * holes still fail loudly (unrepresentable, not recoverable). */
+  private def clipRobust(a: Array[Double], b: Array[Double],
+      invS: Boolean, invC: Boolean, toward: Boolean): Seq[Array[Double]] = {
+    val ca = ccw(a); val cb = ccw(b)
+    try clip(ca, cb, invS, invC)
+    catch { case _: ContactDegeneracy =>
+      val (sx, sy) = centroidOf(ca)
+      val (cx, cy) = centroidOf(cb)
+      var dx = sx - cx; var dy = sy - cy
+      val len = math.hypot(dx, dy)
+      if (len < 1e-300) { dx = 0.7985357; dy = 0.6019477 } // fixed oblique
+      else { dx /= len; dy /= len }
+      // twist off any axis-aligned direction: an exactly-horizontal
+      // shift would leave horizontal shared edges collinear forever
+      dx += 0.1370778 * -dy; dy += 0.1370778 * dx
+      val len2 = math.hypot(dx, dy)
+      dx /= len2; dy /= len2
+      if (!toward) { dx = -dx; dy = -dy }
+      var scale = 1.0
+      var i = 0
+      while (i < ca.length) { scale = math.max(scale, math.abs(ca(i))); i += 1 }
+      i = 0
+      while (i < cb.length) { scale = math.max(scale, math.abs(cb(i))); i += 1 }
+      var delta = scale * 1e-9
+      var attempt = 0
+      var out: Seq[Array[Double]] = null
+      while (out == null) {
+        val shifted = new Array[Double](cb.length)
+        i = 0
+        while (i < cb.length) {
+          shifted(i) = cb(i) + dx * delta
+          shifted(i + 1) = cb(i + 1) + dy * delta
+          i += 2
+        }
+        try out = clip(ca, shifted, invS, invC)
+        catch {
+          case _: ContactDegeneracy if attempt < 3 =>
+            attempt += 1; delta *= 1000
+        }
+      }
+      out
+    }
+  }
+
   private[graft] def union(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
-    clip(ccw(a), ccw(b), invS = true, invC = true)
+    clipRobust(a, b, invS = true, invC = true, toward = true)
   private[graft] def intersection(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
-    clip(ccw(a), ccw(b), invS = false, invC = false)
+    clipRobust(a, b, invS = false, invC = false, toward = false)
   private[graft] def difference(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
-    clip(ccw(a), ccw(b), invS = true, invC = false)
+    clipRobust(a, b, invS = true, invC = false, toward = false)
   private[graft] def symDifference(a: Array[Double], b: Array[Double]): Seq[Array[Double]] =
     (difference(a, b) ++ difference(b, a)).sortBy(r => (r(0), r(1)))
 
@@ -594,13 +668,14 @@ object GeomBoolean {
 case class PolyBool(left: Expression, right: Expression, op: String)
     extends BinaryExpression with CodegenFallback with RingInput {
 
-  require(Seq("union", "difference", "symdifference").contains(op),
-    s"unknown polygon op $op")
+  require(Seq("union", "difference", "symdifference", "intersection")
+    .contains(op), s"unknown polygon op $op")
 
   override def prettyName: String = op match {
     case "union" => "st_union"
     case "difference" => "st_difference"
     case "symdifference" => "st_symdifference"
+    case "intersection" => "st_polygon_intersection"
   }
   override def dataType: DataType = GeomBoolean.MultiType
 
@@ -621,6 +696,7 @@ case class PolyBool(left: Expression, right: Expression, op: String)
       case "union" => GeomBoolean.union(fa, fb)
       case "difference" => GeomBoolean.difference(fa, fb)
       case "symdifference" => GeomBoolean.symDifference(fa, fb)
+      case "intersection" => GeomBoolean.intersection(fa, fb)
     })
   }
 

@@ -1487,6 +1487,9 @@ object Registry {
           two("st_union")(PolyBool(_, _, "union"))
           two("st_difference")(PolyBool(_, _, "difference"))
           two("st_symdifference")(PolyBool(_, _, "symdifference"))
+          // multipolygon intersection (st_intersection keeps the convex
+          // Sutherland-Hodgman single-ring contract used by qm4)
+          two("st_polygon_intersection")(PolyBool(_, _, "intersection"))
           // difference whose result carries interior rings → the holed
           // structural type (GeoFunctions.java:921 configuration)
           two("st_polygon_difference")(PolyHoledDifference(_, _))

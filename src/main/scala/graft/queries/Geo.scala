@@ -432,6 +432,45 @@ object Geo extends QueryPack {
           |FROM g ORDER BY id""".stripMargin)
     }),
 
+    // r8: boundary-contact polygon booleans — the configurations the
+    // clipper used to reject (vertex-on-edge, shared full edge,
+    // collinear overlapping edges) now resolve via the deterministic
+    // perturbation retry; areas are exact at the gate's rounding. Row 1:
+    // abutting parcels FUSE to one component of area 200. Row 2: a
+    // triangle touching the square's edge at a vertex. Row 3:
+    // rectangles overlapping with collinear top/bottom edges.
+    "ql8_degenerate_boolean" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT 1 AS id,
+          |    array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |          st_point(0D,10D)) AS s,
+          |    array(st_point(10D,0D), st_point(20D,0D), st_point(20D,10D),
+          |          st_point(10D,10D)) AS c
+          |  UNION ALL SELECT 2,
+          |    array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |          st_point(0D,10D)),
+          |    array(st_point(10D,3D), st_point(14D,2D), st_point(14D,6D))
+          |  UNION ALL SELECT 3,
+          |    array(st_point(0D,0D), st_point(2D,0D), st_point(2D,1D),
+          |          st_point(0D,1D)),
+          |    array(st_point(1D,0D), st_point(3D,0D), st_point(3D,1D),
+          |          st_point(1D,1D)))
+          |SELECT cast(id as bigint) AS id,
+          |  cast(size(st_union(s, c)) as bigint) AS n_union,
+          |  round(aggregate(transform(st_union(s, c), r -> st_area(r)),
+          |    0D, (acc, a) -> acc + a), 4) AS union_area,
+          |  round(aggregate(transform(st_polygon_intersection(s, c),
+          |    r -> st_area(r)), 0D, (acc, a) -> acc + a), 4) AS int_area,
+          |  round(aggregate(transform(st_difference(s, c), r -> st_area(r)),
+          |    0D, (acc, a) -> acc + a), 4) AS diff_area,
+          |  round(aggregate(transform(st_symdifference(s, c),
+          |    r -> st_area(r)), 0D, (acc, a) -> acc + a), 4) AS sym_area
+          |FROM g ORDER BY id""".stripMargin)
+    }),
+
     // geometry_union_agg: distributed union of a per-group chain of
     // overlapping squares (x stride 8 < width 10; y stride 0.5 keeps
     // every edge pair off-collinear — general position for the GH
@@ -993,6 +1032,14 @@ object Geo extends QueryPack {
       // Hand-derived boolean-algebra multipolygons: octagon union
       // (100+100−25), L-shape difference, two-L symdifference; the
       // disjoint row keeps both inputs.
+      "ql8_degenerate_boolean" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 200.0, 0.0, 100.0, 200.0),
+          |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 108.0, 0.0, 100.0, 108.0),
+          |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 3.0, 1.0, 1.0, 2.0))
+          |  AS t(id, n_union, union_area, int_area, diff_area, sym_area)
+          |ORDER BY id""".stripMargin,
+
       "qm7_polygon_boolean" ->
         """SELECT * FROM (VALUES
           |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 175.0,

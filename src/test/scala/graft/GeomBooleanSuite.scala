@@ -96,14 +96,64 @@ class GeomBooleanSuite extends GraftSuite {
     assert(e.getMessage.contains("hole"))
   }
 
-  test("CW input is normalized; degenerate vertex-on-edge fails loudly") {
+  test("CW input is normalized") {
     val cw = Array(0.0, 0, 0, 10, 10, 10, 10, 0) // clockwise square
     val u = GeomBoolean.union(cw, C)
     assert(math.abs(GeomBoolean.signedArea(u.head) - 175.0) < 1e-9)
-    // triangle with a vertex exactly on S's edge
+  }
+
+  test("vertex-on-edge contact resolves via the perturbation retry") {
+    // r8: boundary contact computes instead of throwing. Triangle with
+    // one vertex exactly on S's right edge, body outside: union fuses
+    // (area 100 + 8), intersection is empty-or-sliver, difference
+    // leaves S.
     val touching = Array(10.0, 3, 14, 2, 14, 6)
-    val e = intercept[IllegalArgumentException](GeomBoolean.union(S, touching))
-    assert(e.getMessage.contains("degenerate"))
+    val u = GeomBoolean.union(S, touching)
+    assert(math.abs(u.map(GeomBoolean.signedArea).sum - 108.0) < 1e-4)
+    val i = GeomBoolean.intersection(S, touching)
+    assert(i.map(GeomBoolean.signedArea).sum < 1e-4)
+    val d = GeomBoolean.difference(S, touching)
+    assert(math.abs(d.map(GeomBoolean.signedArea).sum - 100.0) < 1e-4)
+  }
+
+  test("abutting parcels (shared full edge) fuse under union") {
+    // the GIS case the loud path used to reject: [0,10]² and [10,20]×[0,10]
+    val right = Array(10.0, 0, 20, 0, 20, 10, 10, 10)
+    val u = GeomBoolean.union(S, right)
+    assert(u.length == 1, s"expected one fused parcel, got ${u.length}")
+    assert(math.abs(GeomBoolean.signedArea(u.head) - 200.0) < 1e-4)
+    // a shared edge contributes no intersection area
+    assert(GeomBoolean.intersection(S, right)
+      .map(GeomBoolean.signedArea).sum < 1e-4)
+    // difference leaves the subject intact
+    assert(math.abs(GeomBoolean.difference(S, right)
+      .map(GeomBoolean.signedArea).sum - 100.0) < 1e-4)
+    // symdifference = both parcels
+    assert(math.abs(GeomBoolean.symDifference(S, right)
+      .map(GeomBoolean.signedArea).sum - 200.0) < 1e-4)
+  }
+
+  test("collinear overlapping edges resolve; inside-touching clip detaches") {
+    // horizontally-overlapping rectangles whose top/bottom edges are
+    // collinear on the overlap: union 3, intersection 1, difference 1
+    val r1 = Array(0.0, 0, 2, 0, 2, 1, 0, 1)
+    val r2 = Array(1.0, 0, 3, 0, 3, 1, 1, 1)
+    assert(math.abs(GeomBoolean.union(r1, r2)
+      .map(GeomBoolean.signedArea).sum - 3.0) < 1e-4)
+    assert(math.abs(GeomBoolean.intersection(r1, r2)
+      .map(GeomBoolean.signedArea).sum - 1.0) < 1e-4)
+    assert(math.abs(GeomBoolean.difference(r1, r2)
+      .map(GeomBoolean.signedArea).sum - 1.0) < 1e-4)
+    // clip inside the subject but TOUCHING its edge: difference notches
+    // it out instead of throwing the hole error (the notch breaches the
+    // boundary) — [4,6]×[0,2] inside S touching the bottom edge
+    val notch = Array(4.0, 0, 6, 0, 6, 2, 4, 2)
+    val d = GeomBoolean.difference(S, notch)
+    assert(math.abs(d.map(GeomBoolean.signedArea).sum - 96.0) < 1e-3)
+    // strictly-interior clip still fails loudly (needs a real hole)
+    val inner = Array(3.0, 3, 6, 3, 6, 6, 3, 6)
+    val e = intercept[IllegalArgumentException](GeomBoolean.difference(S, inner))
+    assert(e.getMessage.contains("hole"))
   }
 
   test("geometry_union folds overlapping rings into components") {
