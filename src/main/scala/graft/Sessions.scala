@@ -33,6 +33,10 @@ object Sessions {
       // queries x several stages); the 100-entry default thrashes when a
       // session runs the full pack and re-pays janino compilation.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // analysis-time zoned-instant rewrite (literal-literal
+      // comparisons must rewrite BEFORE constant folding; the
+      // optimizer-rule installation covers driver-built sessions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on

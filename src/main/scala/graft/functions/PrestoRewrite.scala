@@ -52,9 +52,21 @@ private[functions] object PrestoRewrite {
   // Presto TIME 'HH:MM:SS[.fff]' literals: Spark has no time-of-day
   // type, so times ride as TIMESTAMP_NTZ on the epoch date — ordering,
   // extraction (hour/minute/second), and date_diff all behave as
-  // Presto's TIME within a day. TIME WITH TIME ZONE stays descoped.
+  // Presto's TIME within a day.
   private val timeLiteralRe =
     """(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)'""".r
+
+  // Presto TIME WITH TIME ZONE literals — `TIME '08:30:15 +05:30'`
+  // (SqlBase.g4 typeConstructor; TimeWithTimeZoneType.java) — r8,
+  // closing the last descoped type: the wall clock rides on the epoch
+  // date in the zoned struct layer (utc = wall − offset), so the
+  // ZonedInstantComparison rule gives the reference's UTC-instant
+  // comparison/ordering semantics and zoned_local/zoned_timezone_hour
+  // extract the wall-time fields. Offset spellings only (the
+  // reference's TIME WITH TIME ZONE is offset-based; gate ql9).
+  private val timeTzLiteralRe =
+    ("""(?i)\bTIME\s+'(\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)""" +
+      """\s*([+-]\d{2}:\d{2})'""").r
 
   // Presto TIMESTAMP-WITH-TIME-ZONE literals — `TIMESTAMP
   // '2020-06-10 15:30:00 +05:30'` / `... Asia/Kolkata'`
@@ -540,7 +552,13 @@ private[functions] object PrestoRewrite {
       s"named_struct('utc', to_utc_timestamp(" +
         s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
     }
-    val timed = maskedReplaceAll(tstz, timeLiteralRe)(
+    val ttz = maskedReplaceAll(tstz, timeTzLiteralRe) { m =>
+      val wall = m.group(1)
+      val zone = m.group(2)
+      s"named_struct('utc', to_utc_timestamp(" +
+        s"cast('1970-01-01 $wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
+    }
+    val timed = maskedReplaceAll(ttz, timeLiteralRe)(
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
     val decimaled = maskedReplaceAll(timed, decimalLiteralRe) { m =>
       val s = m.group(1)

@@ -490,15 +490,41 @@ private[functions] object PrestoStatements {
 
       case descInputRe(name) =>
         // DescribeInputRewrite.java:123 — (Position, Type) per `?`,
-        // 0-based, ordered by Position. The reference coerces types
-        // from analysis context; placeholders here report "unknown"
-        // (the reference's own rendering when no coercion applies) —
-        // ledger divergence, SURVEY §2.3.
+        // 0-based, ordered by Position, with the TYPE the parameter is
+        // coerced to in its analysis context (r8): each `?` becomes an
+        // untyped ParamMarker probe, the statement is ANALYZED (never
+        // executed), and the implicit Cast the analyzer wraps around a
+        // probe names the parameter's type. A parameter with no
+        // coercing context (`SELECT ?`) stays "unknown" — the
+        // reference's own rendering when no coercion applies.
         import spark.implicits._
-        val n = countPlaceholders(storedStatement(spark, name))
+        val body = storedStatement(spark, name)
+        val n = countPlaceholders(body)
         if (n == 0)
           spark.sql("SELECT cast(null as int) AS Position, cast(null as string) AS Type LIMIT 0")
-        else (0 until n).map(i => (i, "unknown")).toDF("Position", "Type")
+        else {
+          val types = scala.collection.mutable.Map.empty[Int, String]
+          try {
+            val marked = substPlaceholders(body)(i => s"(describe_input_param($i))")
+            val analyzed = spark.sql(rewritePrestoSql(
+              PrestoSystem.rewriteSystemTables(spark,
+                PrestoSecurity.rewriteInfoSchema(spark, marked))))
+              .queryExecution.analyzed
+            (analyzed +: analyzed.subqueriesAll).foreach(_.foreach { node =>
+              node.expressions.foreach(_.foreach {
+                case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+                  c.child match {
+                    case ParamMarker(i) =>
+                      types.getOrElseUpdate(i, prestoTypeName(c.dataType))
+                    case _ =>
+                  }
+                case _ =>
+              })
+            })
+          } catch { case scala.util.control.NonFatal(_) => () }
+          (0 until n).map(i => (i, types.getOrElse(i, "unknown")))
+            .toDF("Position", "Type")
+        }
 
       case descOutputRe(name) =>
         // DescribeOutputRewrite.java:115 — one row per output column
@@ -709,4 +735,20 @@ private[functions] object PrestoStatements {
               spark, PrestoSecurity.rewriteInfoSchema(spark, other))))
           }
     }
+}
+
+/** DESCRIBE INPUT parameter probe: an untyped (NullType) leaf standing
+  * in for `?` during analysis-only type inference; the implicit Cast
+  * the analyzer wraps around it names the parameter's coerced type
+  * (DescribeInputRewrite.java's coercion read, expressed through
+  * Catalyst's own type coercion). Never executed. */
+case class ParamMarker(idx: Int)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "describe_input_param"
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.NullType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    null
 }

@@ -1133,6 +1133,13 @@ object Registry {
         case Seq(v) => HllMergeAgg(v).toAggregateExpression()
         case args => sys.error(s"merge_hll expects 1 arg, got ${args.length}")
       }
+      // DESCRIBE INPUT's analysis-only parameter probe (never executed;
+      // PrestoStatements.ParamMarker) — the implicit Cast the analyzer
+      // wraps around it names the `?` parameter's coerced type
+      colorPack("describe_input_param") {
+        case Seq(Literal(i: Int, IntegerType)) => ParamMarker(i)
+        case args => sys.error(s"describe_input_param expects a literal index, got $args")
+      }
       // empty_approx_set() — the empty-sketch constant (ApproximateSet
       // Aggregation's identity element), a plain binary literal here
       colorPack("empty_approx_set") {

@@ -18,14 +18,15 @@ import org.apache.spark.sql.types._
   * the `utc` field, restoring the reference's semantics for =, <>,
   * <, <=, >, >=, ORDER BY, join keys, and IN.
   *
-  * Injected at runtime through `spark.experimental.extraOptimizations`
-  * (sessions arrive from the driver, so a SparkSessionExtensions
-  * build-time hook is not available). The user-provided batch runs
-  * after the operator-optimization batches, which leaves one documented
-  * edge: a comparison whose BOTH sides are foldable literals constant-
-  * folds with pair semantics before this rule sees it — spell
-  * `zoned_instant(x)` there (ledger, SURVEY §2.3). Column-bearing
-  * comparisons — the actual query shapes — all pass through here.
+  * Injected twice (idempotent): as a POST-HOC RESOLUTION rule on
+  * sessions the engine builds (`GraftExtensions` via
+  * `spark.sql.extensions` in Sessions.local) — analysis-time, so even
+  * a both-sides-literal comparison rewrites BEFORE ConstantFolding can
+  * fold it with struct pair semantics (r8, closing the former ledger
+  * residual) — and through `spark.experimental.extraOptimizations`
+  * (Registry.install), the only hook available on driver-provided
+  * sessions, where the literal-literal edge remains documented and
+  * `zoned_instant(x)` is the spelling.
   *
   * GROUP BY / DISTINCT over zoned values group by INSTANT (r7): a
   * zoned grouping key rewrites to its `utc` field and bare references

@@ -181,6 +181,30 @@ object RegistrySql extends QueryPack {
         |      FROM VALUES (1), (2), (3), (4) AS v(id))
         |ORDER BY id""".stripMargin)),
 
+    // r8: TIME WITH TIME ZONE literals (the last descoped type) — the
+    // wall clock rides on the epoch date in the zoned struct layer, so
+    // comparison is by UTC instant (reference TimeWithTimeZoneType
+    // compareTo; rows 1 and 2 are the same instant in different
+    // offsets and compare EQUAL — where DuckDB/Postgres tiebreak by
+    // offset, a documented divergence carried as spelled-out
+    // expectations in the oracle), extraction is wall-clock local via
+    // zoned_local, and the offset fields replay in DuckDB TIMETZ.
+    "ql9_timetz_literals" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  cast(hour(zoned_local(t)) as bigint) AS h,
+        |  cast(minute(zoned_local(t)) as bigint) AS m,
+        |  cast(zoned_timezone_hour(t) as bigint) AS tzh,
+        |  cast(zoned_timezone_minute(t) as bigint) AS tzm,
+        |  t = TIME '03:00:15 +00:00' AS eq_inst,
+        |  t < TIME '13:00:00 +00:00' AS lt_13utc
+        |FROM (SELECT id, CASE id
+        |        WHEN 1 THEN TIME '08:30:15 +05:30'
+        |        WHEN 2 THEN TIME '03:00:15 +00:00'
+        |        WHEN 3 THEN TIME '23:00:00 +02:00'
+        |        ELSE TIME '12:00:00 +09:00' END AS t
+        |      FROM VALUES (1), (2), (3), (4) AS v(id))
+        |ORDER BY id""".stripMargin)),
+
     // Presto literal spellings run verbatim: ARRAY[...] (bracket-depth
     // rewrite), DECIMAL 'd.dd' (precision/scale from the digits), and
     // the ROW constructor. The decimal arithmetic results surface as
@@ -272,7 +296,9 @@ object RegistrySql extends QueryPack {
         |  cast(rank() OVER (ORDER BY z) as bigint) AS instant_rank,
         |  z = zoned_timestamp('2020-06-10T12:00:00+02:00')
         |    AS eq_crosszone,
-        |  z < zoned_timestamp('2020-07-01T00:00:00Z') AS lt_july
+        |  z < zoned_timestamp('2020-07-01T00:00:00Z') AS lt_july,
+        |  zoned_timestamp('2020-06-10T15:30:00+05:30') =
+        |    zoned_timestamp('2020-06-10T12:00:00+02:00') AS lit_eq
         |FROM z ORDER BY id""".stripMargin)),
 
     // GROUP BY / DISTINCT over zoned values by INSTANT (r7 — closes the
@@ -1003,7 +1029,9 @@ object RegistrySql extends QueryPack {
         |    z = TIMESTAMPTZ '2020-06-10 12:00:00+02:00' AS eq_crosszone,
         |    z < TIMESTAMPTZ '2020-07-01 00:00:00+00:00' AS lt_july
         |  FROM zsrc)
-        |SELECT v.*, instant_rank, eq_crosszone, lt_july
+        |SELECT v.*, instant_rank, eq_crosszone, lt_july,
+        |  TIMESTAMPTZ '2020-06-10 15:30:00+05:30' =
+        |    TIMESTAMPTZ '2020-06-10 12:00:00+02:00' AS lit_eq
         |FROM (VALUES
         |  (CAST(1 AS BIGINT), '2020-06-10 10:00:00', '2020-06-10 15:30:00',
         |   CAST(5 AS BIGINT), CAST(30 AS BIGINT),
@@ -1106,6 +1134,25 @@ object RegistrySql extends QueryPack {
         |  cast(cast(d as decimal(10, 2)) as double) AS rv
         |FROM (SELECT 1 AS id, [10, 20, 30] AS xs, 1.25 AS d
         |      UNION ALL SELECT 2, [5, 7], 99.50)
+        |ORDER BY id""".stripMargin,
+
+    // Wall-clock/offset fields replay in DuckDB TIMETZ; instant
+    // EQUALITY is spelled out (DuckDB/Postgres tiebreak same-instant
+    // timetz by offset where the reference compares instants only);
+    // strict UTC ordering between distinct instants agrees.
+    "ql9_timetz_literals" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |  extract(hour FROM t) AS h,
+        |  extract(minute FROM t) AS m,
+        |  extract(timezone_hour FROM t) AS tzh,
+        |  extract(timezone_minute FROM t) AS tzm,
+        |  id IN (1, 2) AS eq_inst,
+        |  t < TIMETZ '13:00:00+00:00' AS lt_13utc
+        |FROM (VALUES
+        |  (1, TIMETZ '08:30:15+05:30'),
+        |  (2, TIMETZ '03:00:15+00:00'),
+        |  (3, TIMETZ '23:00:00+02:00'),
+        |  (4, TIMETZ '12:00:00+09:00')) AS v(id, t)
         |ORDER BY id""".stripMargin,
 
     // Replays the epoch-date TIME representation; date_diff replayed as

@@ -709,8 +709,8 @@ object Views extends QueryPack {
       """SELECT kind, CAST(pos AS BIGINT) AS pos, name, typ,
         |  CAST(size AS BIGINT) AS size
         |FROM (VALUES
-        |  ('input', 0, '?', 'unknown', 0),
-        |  ('input', 1, '?', 'unknown', 0),
+        |  ('input', 0, '?', 'double', 0),
+        |  ('input', 1, '?', 'timestamp', 0),
         |  ('output', 0, 'o_orderkey', 'bigint', 8),
         |  ('output', 1, 'bumped', 'double', 8),
         |  ('output', 2, 'o_orderpriority', 'varchar', 0))

@@ -345,6 +345,31 @@ class RegistrySuite extends GraftSuite {
     assert(lt.startsWith("1970-01-01 "))
   }
 
+  test("TIME WITH TIME ZONE literals ride the zoned struct layer") {
+    Registry.install(spark)
+    // literal rewrite: wall clock on the epoch date, zone carried
+    val r = spark.sql(Registry.rewritePrestoSql(
+      """SELECT hour(zoned_local(TIME '08:30:15 +05:30')) AS h,
+        |  zoned_timezone_hour(TIME '08:30:15 +05:30') AS tzh,
+        |  zoned_timezone_minute(TIME '08:30:15 +05:30') AS tzm,
+        |  zoned_instant(TIME '08:30:15 +05:30') =
+        |    zoned_instant(TIME '03:00:15 +00:00') AS same_inst""".stripMargin))
+      .collect()(0)
+    assert(r.getInt(0) == 8)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 30L)
+    assert(r.getBoolean(3))
+    // column-bearing comparison goes through the instant rule
+    val n = spark.sql(Registry.rewritePrestoSql(
+      """SELECT count(*) AS n FROM (SELECT TIME '08:30:15 +05:30' AS t
+        |  FROM VALUES (1) AS v(x))
+        |WHERE t = TIME '03:00:15 +00:00'""".stripMargin))
+      .collect()(0).getLong(0)
+    assert(n == 1L)
+    // plain TIME literals (no offset tail) still parse as before
+    assert(spark.sql(Registry.rewritePrestoSql(
+      "SELECT hour(TIME '09:15:00') AS h")).collect()(0).getInt(0) == 9)
+  }
+
   test("ARRAY[...] and DECIMAL '...' literal spellings rewrite and run") {
     Registry.install(spark)
     import spark.implicits._
