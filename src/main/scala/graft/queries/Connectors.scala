@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The generator-connector surface (graft.sources.TpchGen — the
+  * Spark-native `presto-tpch` analog): gates prove the DataSource V2
+  * contract end-to-end — deterministic generation, column pruning,
+  * key-predicate pushdown that PRUNES generation, and joins between
+  * generated tables — against a DuckDB oracle that replays the
+  * generator's closed-form arithmetic verbatim (`h(k,s) =
+  * (k*2654435761 + s*40503) % 1000000007`, BIGINT-safe in both
+  * engines).
+  */
+object Connectors extends QueryPack {
+
+  private def gen(s: org.apache.spark.sql.SparkSession, table: String,
+      sf: String = "0.01") =
+    s.read.format("graft-tpch")
+      .option("table", table).option("sf", sf).option("parts", "8").load()
+
+  override def defs: Map[String, Q] = Map(
+    // Generator scan + aggregate: per-returnflag counts and sums over
+    // 60k generated lineitem rows; the oracle replays the arithmetic.
+    "q0a_tpchgen_agg" -> ((s, dir) => {
+      gen(s, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Key pushdown prunes GENERATION (o_orderkey <= 3000 generates
+    // 3000 rows, not 15000-and-filter; asserted plan-side in
+    // TpchGenSuite) and a generated-orders ⋈ generated-customer join:
+    // revenue by market segment with the dimension side broadcast.
+    "q0b_tpchgen_join" -> ((s, dir) => {
+      val orders = gen(s, "orders").filter(col("o_orderkey") <= 3000)
+      val cust = gen(s, "customer")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // The generated star joins across all its reference keys (lineitem
+    // ⋈ part ⋈ supplier with dims broadcast), plus the fixed
+    // nation/region dimensions — proving referential integrity of the
+    // generated key spaces.
+    "q0c_tpchgen_star" -> ((s, dir) => {
+      val li = gen(s, "lineitem").filter(col("l_orderkey") <= 2500)
+      val part = gen(s, "part")
+      val supp = gen(s, "supplier")
+      val nation = gen(s, "nation")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_partkey")).as("n_parts"),
+          round(sum(col("l_extendedprice")), 2).as("ext_sum"))
+        .orderBy(col("n_regionkey"))
+    })
+  )
+
+  // DuckDB replay of the generator arithmetic. `//` is integer
+  // division; all operands stay inside BIGINT.
+  private val H = "((k * 2654435761 + %d * 40503) %% 1000000007)"
+  private def h(salt: Int) = H.format(salt)
+
+  override def oracles: Map[String, String] = Map(
+    "q0a_tpchgen_agg" ->
+      s"""WITH li AS (
+         |  SELECT ${h(3)} % 50 + 1 AS qty,
+         |    (900 + ${h(4)} % 10000) * (${h(3)} % 50 + 1) / 100.0 AS ext,
+         |    (${h(5)} % 11) / 100.0 AS disc,
+         |    CASE ${h(7)} % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N'
+         |      ELSE 'R' END AS rf
+         |  FROM (SELECT unnest(range(0, 60000)) AS k))
+         |SELECT rf AS l_returnflag, count(*) AS n,
+         |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+         |  round(sum(ext * (1 - disc)), 2) AS revenue
+         |FROM li GROUP BY rf ORDER BY rf""".stripMargin,
+
+    "q0b_tpchgen_join" ->
+      s"""WITH o AS (
+         |  SELECT k + 1 AS o_orderkey, ${h(11)} % 1500 + 1 AS o_custkey,
+         |    (10000 + ${h(13)} % 500000) / 100.0 AS o_totalprice
+         |  FROM (SELECT unnest(range(0, 3000)) AS k)),
+         |c AS (
+         |  SELECT k + 1 AS c_custkey,
+         |    CASE ${h(23)} % 5 WHEN 0 THEN 'AUTOMOBILE'
+         |      WHEN 1 THEN 'BUILDING' WHEN 2 THEN 'FURNITURE'
+         |      WHEN 3 THEN 'HOUSEHOLD' ELSE 'MACHINERY' END AS c_mktsegment
+         |  FROM (SELECT unnest(range(0, 1500)) AS k))
+         |SELECT c_mktsegment, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM o JOIN c ON o.o_custkey = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q0c_tpchgen_star" ->
+      s"""WITH li AS (
+         |  SELECT ${h(1)} % 2000 + 1 AS l_partkey,
+         |    ${h(2)} % 100 + 1 AS l_suppkey,
+         |    (900 + ${h(4)} % 10000) * (${h(3)} % 50 + 1) / 100.0 AS ext
+         |  FROM (SELECT unnest(range(0, 10000)) AS k)),
+         |s AS (SELECT k + 1 AS s_suppkey, CAST(${h(31)} % 25 AS INTEGER)
+         |        AS s_nationkey
+         |      FROM (SELECT unnest(range(0, 100)) AS k))
+         |SELECT CAST(s_nationkey % 5 AS INTEGER) AS n_regionkey,
+         |  count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
+         |  round(sum(ext), 2) AS ext_sum
+         |FROM li JOIN s ON li.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
