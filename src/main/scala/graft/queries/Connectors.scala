@@ -62,6 +62,24 @@ object Connectors extends QueryPack {
           countDistinct(col("p_partkey")).as("n_parts"),
           round(sum(col("l_extendedprice")), 2).as("ext_sum"))
         .orderBy(col("n_regionkey"))
+    }),
+
+    // The write half of the connector SPI (graft-memory, the
+    // presto-memory analog): route fixture rows through the DSv2
+    // two-phase write path (task writers → commit messages → atomic
+    // install), read them back, and aggregate — the oracle reads the
+    // same fixture directly, so the roundtrip must be lossless.
+    "q0d_memory_roundtrip" -> ((s, dir) => {
+      val supp = graft.Tables.view(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      supp.repartition(4).write.format("graft-memory")
+        .option("name", "graft_mem_supplier").mode("overwrite").save()
+      s.read.format("graft-memory").option("name", "graft_mem_supplier").load()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_suppkey")).as("key_sum"),
+          round(sum(col("s_acctbal")), 2).as("bal_sum"))
+        .orderBy(col("s_nationkey"))
     })
   )
 
@@ -71,6 +89,12 @@ object Connectors extends QueryPack {
   private def h(salt: Int) = H.format(salt)
 
   override def oracles: Map[String, String] = Map(
+    "q0d_memory_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  round(sum(s_acctbal), 2) AS bal_sum
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "q0a_tpchgen_agg" ->
       s"""WITH li AS (
          |  SELECT ${h(3)} % 50 + 1 AS qty,
