@@ -37,6 +37,8 @@ object Sessions {
       // comparisons must rewrite BEFORE constant folding; the
       // optimizer-rule installation covers driver-built sessions)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Presto's tpch-catalog spelling: SELECT ... FROM graft_tpch.tiny.orders
+      .config("spark.sql.catalog.graft_tpch", "graft.sources.TpchCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on

@@ -64,6 +64,21 @@ object Connectors extends QueryPack {
         .orderBy(col("n_regionkey"))
     }),
 
+    // The catalog face (TpchCatalog — Presto's `tpch.tiny.orders`
+    // spelling verbatim as a DSv2 TableCatalog wired into the session):
+    // a three-table qualified-name join with generation-pruning
+    // pushdown on the fact side, replayed arithmetically in DuckDB.
+    "q0e_tpch_catalog" -> ((s, dir) => {
+      s.sql(
+        """SELECT n_name, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM graft_tpch.tiny.orders o
+          |JOIN graft_tpch.tiny.customer c ON o.o_custkey = c.c_custkey
+          |JOIN graft_tpch.tiny.nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE o.o_orderkey <= 2000
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
     // The write half of the connector SPI (graft-memory, the
     // presto-memory analog): route fixture rows through the DSv2
     // two-phase write path (task writers → commit messages → atomic
@@ -94,6 +109,19 @@ object Connectors extends QueryPack {
         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
         |  round(sum(s_acctbal), 2) AS bal_sum
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q0e_tpch_catalog" ->
+      s"""WITH o AS (
+         |  SELECT ${h(11)} % 1500 + 1 AS o_custkey,
+         |    (10000 + ${h(13)} % 500000) / 100.0 AS o_totalprice
+         |  FROM (SELECT unnest(range(0, 2000)) AS k)),
+         |c AS (
+         |  SELECT k + 1 AS c_custkey, ${h(21)} % 25 AS c_nationkey
+         |  FROM (SELECT unnest(range(0, 1500)) AS k))
+         |SELECT 'NATION_' || c_nationkey AS n_name, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM o JOIN c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q0a_tpchgen_agg" ->
       s"""WITH li AS (

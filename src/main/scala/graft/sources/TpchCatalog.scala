@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The catalog face of the generator connector — Presto's `tpch`
+  * catalog spelling verbatim (`presto-tpch/.../TpchMetadata.java`
+  * schemas `tiny, sf1, sf100, ...`; `SELECT * FROM tpch.tiny.orders`):
+  * a DataSource V2 TableCatalog whose namespaces are scale factors and
+  * whose tables are the seven generators. Wired in Sessions.local as
+  * `spark.sql.catalog.graft_tpch`, so the qualified SQL spelling
+  * resolves with no registration step:
+  * {{{ SELECT count(*) FROM graft_tpch.tiny.orders }}}
+  *
+  * Namespaces: `tiny` = sf 0.01 (the reference's convention) and
+  * `sfN` for integer N (sf1, sf10, ...). Read-only — DDL against the
+  * generator fails loudly, like the reference's tpch connector.
+  */
+class TpchCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName = "graft_tpch"
+  private val tables = Seq("lineitem", "orders", "customer", "supplier",
+    "part", "nation", "region")
+  private val namedSfs = Seq("tiny", "sf1", "sf10", "sf100", "sf1000")
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+
+  override def name(): String = catalogName
+
+  private def sfOf(namespace: Array[String]): Option[Double] =
+    namespace match {
+      case Array("tiny") => Some(0.01)
+      case Array(s) if s.matches("(?i)sf\\d+") => Some(s.drop(2).toDouble)
+      case _ => None
+    }
+
+  // ——— TableCatalog ———
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(sfOf(namespace).isDefined,
+      s"$catalogName: unknown schema ${namespace.mkString(".")}")
+    tables.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val sf = sfOf(ident.namespace()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    if (!tables.contains(ident.name().toLowerCase))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new TpchTable(ident.name().toLowerCase, sf, 8)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  // ——— SupportsNamespaces (SHOW SCHEMAS surface) ———
+
+  override def listNamespaces(): Array[Array[String]] =
+    namedSfs.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    sfOf(namespace).isDefined
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    require(sfOf(namespace).isDefined,
+      s"$catalogName: unknown schema ${namespace.mkString(".")}")
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only generator catalog")
+}

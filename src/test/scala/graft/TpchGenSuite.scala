@@ -64,6 +64,30 @@ class TpchGenSuite extends GraftSuite {
     assert(rf > 15000L && rf < 25000L, s"rf=$rf")
   }
 
+  test("catalog spelling: graft_tpch.tiny.* resolves, lists, stays read-only") {
+    // Presto's `tpch.tiny.orders` spelling through the DSv2 TableCatalog
+    assert(spark.sql("SELECT count(*) AS n FROM graft_tpch.tiny.orders")
+      .collect()(0).getLong(0) == 15000L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_tpch.sf1.region")
+      .collect()(0).getLong(0) == 5L)
+    val tbls = spark.sql("SHOW TABLES IN graft_tpch.tiny")
+      .collect().map(_.getString(1)).toSet
+    assert(tbls == Set("lineitem", "orders", "customer", "supplier",
+      "part", "nation", "region"))
+    val ns = spark.sql("SHOW NAMESPACES IN graft_tpch")
+      .collect().map(_.getString(0)).toSet
+    assert(ns.contains("tiny") && ns.contains("sf1"))
+    // pushdown works through the catalog path too
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_tpch.tiny.orders WHERE o_orderkey <= 7")
+      .collect()(0).getLong(0) == 7L)
+    // read-only: DDL fails loudly
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE graft_tpch.tiny.orders")
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+
   test("column pruning reaches the generator scan") {
     val df = gen("lineitem").select(col("l_quantity"))
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
