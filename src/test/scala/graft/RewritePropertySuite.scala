@@ -29,6 +29,7 @@ class RewritePropertySuite extends GraftSuite {
   private val triggerTexts = Seq(
     "ARRAY[1, 2]", "x[1]", "arr[idx]", "CROSS JOIN UNNEST(a)",
     "ts AT TIME ZONE 'UTC'", "TIME '12:34:56'", "DECIMAL '1.23'",
+    "TIME '08:30:15 +05:30'",
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 1, d)",
     "information_schema.columns", "system.runtime.queries",
@@ -54,6 +55,7 @@ class RewritePropertySuite extends GraftSuite {
   // literals — used for the idempotence property
   private val constructTokens = Seq(
     "ARRAY[1, 2, 3]", "t.arr[1]", "TIME '12:34:56'", "DECIMAL '0.05'",
+    "TIME '08:30:15 +05:30'",
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'", "m['k']",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 3, d)",
     "date_diff('hour', a, b)", "cast(x as varchar)",
