@@ -300,10 +300,12 @@ case class HllMergeAgg(child: Expression,
     copy(child = newChildren(0))
 }
 
-/** Presto overloads `merge(...)` across sketch types; name-only SQL
-  * resolution can't see which binary arrives, so this aggregate sniffs
-  * the serialization magic per input and keeps whichever state family
-  * shows up (mixing families in one group fails loudly). */
+/** Presto overloads `merge(...)` across its sketch types (HyperLogLog,
+  * SetDigest, KHyperLogLog, qdigest, tdigest); name-only SQL resolution
+  * can't see which binary arrives, so this aggregate discriminates on
+  * serialization CONTENT per input (SketchMergeAgg.familyOf) and keeps
+  * whichever state family shows up — all five families merge through
+  * the one SQL name, mixing families in one group fails loudly. */
 case class SketchMergeAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[SketchMergeAgg.Buf] {
@@ -347,45 +349,90 @@ case class SketchMergeAgg(child: Expression,
 }
 
 object SketchMergeAgg {
-  /** Union buffer: adopts the family of the first sketch it sees. */
+
+  /** Serialization-content family discrimination, mirroring how the
+    * reference resolves its `merge` overload by argument TYPE (we only
+    * have bytes): HLL/KHLL carry explicit magics; otherwise the first
+    * 8 bytes as a double separate DDSketch (alpha ∈ (1e-12, 1)) from
+    * t-digest (compression > 1) from SetDigest (leading int k ≤ ~1e6
+    * reads as a denormal « 1e-12). The same convention DigestVector
+    * already relies on. */
+  private[functions] def familyOf(bytes: Array[Byte]): String =
+    if (HyperLogLog.isHll(bytes)) "hll"
+    else if (KHll.isKhll(bytes)) "khll"
+    else {
+      val d = java.nio.ByteBuffer.wrap(bytes).getDouble
+      if (d > 1e-12 && d < 1.0) "qdigest"
+      else if (d > 1.0) "tdigest"
+      else "setdigest"
+    }
+
+  /** Union buffer: adopts the family of the first sketch it sees;
+    * mixing families in one group fails loudly. */
   final class Buf {
+    private[functions] var family: String = null
     private[functions] var hll: HyperLogLog.State = null
     private[functions] var sd: SetDigest.State = null
+    private[functions] var kh: KHll.State = null
+    private[functions] var td: TDigest.State = null
+    private[functions] var dd: QuantileSketch.State = null
 
-    def add(bytes: Array[Byte]): Unit =
-      if (HyperLogLog.isHll(bytes)) {
-        require(sd == null, "cannot merge a hyperloglog into a setdigest group")
+    private def adopt(f: String): Unit = {
+      if (family == null) family = f
+      else require(family == f,
+        s"cannot merge a $f sketch into a $family group")
+    }
+
+    def add(bytes: Array[Byte]): Unit = familyOf(bytes) match {
+      case "hll" =>
+        adopt("hll")
         if (hll == null) hll = HyperLogLog.deserialize(bytes)
         else hll.mergeWith(HyperLogLog.deserialize(bytes))
-      } else {
-        require(hll == null, "cannot merge a setdigest into a hyperloglog group")
+      case "khll" =>
+        adopt("khll")
+        if (kh == null) kh = KHll.deserialize(bytes)
+        else kh.mergeWith(KHll.deserialize(bytes))
+      case "qdigest" =>
+        adopt("qdigest")
+        if (dd == null) dd = QuantileSketch.deserialize(bytes)
+        else dd.mergeWith(QuantileSketch.deserialize(bytes))
+      case "tdigest" =>
+        adopt("tdigest")
+        if (td == null) td = TDigest.deserialize(bytes)
+        else td.mergeWith(TDigest.deserialize(bytes))
+      case "setdigest" =>
+        adopt("setdigest")
         if (sd == null) sd = SetDigest.deserialize(bytes)
         else sd.mergeWith(SetDigest.deserialize(bytes))
-      }
+    }
 
-    def mergeWith(o: Buf): Unit = {
-      if (o.hll != null) {
-        require(sd == null, "cannot merge a hyperloglog into a setdigest group")
-        if (hll == null) hll = o.hll else hll.mergeWith(o.hll)
-      }
-      if (o.sd != null) {
-        require(hll == null, "cannot merge a setdigest into a hyperloglog group")
-        if (sd == null) sd = o.sd else sd.mergeWith(o.sd)
+    def mergeWith(o: Buf): Unit = if (o.family != null) {
+      adopt(o.family)
+      o.family match {
+        case "hll" => if (hll == null) hll = o.hll else hll.mergeWith(o.hll)
+        case "khll" => if (kh == null) kh = o.kh else kh.mergeWith(o.kh)
+        case "qdigest" => if (dd == null) dd = o.dd else dd.mergeWith(o.dd)
+        case "tdigest" => if (td == null) td = o.td else td.mergeWith(o.td)
+        case "setdigest" => if (sd == null) sd = o.sd else sd.mergeWith(o.sd)
       }
     }
 
     /** Empty groups yield an empty HLL (Presto merge(HLL) is the common
       * spelling; an empty digest estimates 0 either way). */
-    def result(): Array[Byte] =
-      if (sd != null) sd.serialize()
-      else if (hll != null) hll.serialize()
-      else HyperLogLog.empty()
+    def result(): Array[Byte] = family match {
+      case "hll" => hll.serialize()
+      case "khll" => kh.serialize()
+      case "qdigest" => dd.serialize()
+      case "tdigest" => td.serialize()
+      case "setdigest" => sd.serialize()
+      case null => HyperLogLog.empty()
+    }
 
     /** Zero bytes mark a still-undecided (empty) buffer — an empty
       * partial must NOT pin the group to the HLL family before a real
       * sketch arrives. */
     def serializeBuf(): Array[Byte] =
-      if (sd == null && hll == null) Array.emptyByteArray else result()
+      if (family == null) Array.emptyByteArray else result()
   }
 
   def deserializeBuf(bytes: Array[Byte]): Buf = {

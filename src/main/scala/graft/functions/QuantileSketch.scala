@@ -44,16 +44,17 @@ object QuantileSketch {
     private[functions] var zeroCount = 0L
     private[functions] var totalCount = 0L
 
-    def insert(x: Double): Unit = {
-      if (x == 0.0) zeroCount += 1
+    def insert(x: Double, w: Long = 1L): Unit = {
+      require(w > 0, s"weight must be positive, got $w")
+      if (x == 0.0) zeroCount += w
       else if (x > 0.0) {
         val idx = math.ceil(math.log(x) / logGamma).toInt
-        buckets.update(idx, buckets.getOrElse(idx, 0L) + 1L)
+        buckets.update(idx, buckets.getOrElse(idx, 0L) + w)
       } else {
         val idx = math.ceil(math.log(-x) / logGamma).toInt
-        negBuckets.update(idx, negBuckets.getOrElse(idx, 0L) + 1L)
+        negBuckets.update(idx, negBuckets.getOrElse(idx, 0L) + w)
       }
-      totalCount += 1
+      totalCount += w
     }
 
     def mergeWith(o: State): Unit = {
@@ -208,24 +209,27 @@ object QuantileSketch {
       org.apache.spark.sql.catalyst.expressions.Literal(x)))
 }
 
-/** Sketch-build aggregate: double input → binary sketch state. */
+/** Sketch-build aggregate: numeric input (+ optional bigint weight,
+  * the Presto qdigest_agg(x, w) form) → binary sketch state. */
 case class DDSketchAgg(child: Expression, alpha: Double,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QuantileSketch.State] {
 
   override def prettyName: String = "ddsketch_agg"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
 
   // analysis-time contract: any numeric child works (converted per its
   // static type below), anything non-numeric is rejected before execution
   // instead of a per-row ClassCastException
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: NumericType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a numeric argument, got ${dt.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.find(!_.dataType.isInstanceOf[NumericType]) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects numeric arguments, got ${c.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
 
   @transient private lazy val toDouble: Any => Double = child.dataType match {
     case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
@@ -235,9 +239,20 @@ case class DDSketchAgg(child: Expression, alpha: Double,
   override def createAggregationBuffer(): QuantileSketch.State =
     new QuantileSketch.State(alpha)
 
+  @transient private lazy val weightToLong: Any => Long =
+    weight.map(_.dataType) match {
+      case Some(_: DecimalType) => v => v.asInstanceOf[Decimal].toLong
+      case _ => v => v.asInstanceOf[Number].longValue()
+    }
+
   override def update(b: QuantileSketch.State, input: InternalRow): QuantileSketch.State = {
     val v = child.eval(input)
-    if (v != null) b.insert(toDouble(v))
+    if (v != null) weight match {
+      case None => b.insert(toDouble(v))
+      case Some(we) =>
+        val w = we.eval(input)
+        if (w != null) b.insert(toDouble(v), weightToLong(w))
+    }
     b
   }
 
@@ -256,7 +271,8 @@ case class DDSketchAgg(child: Expression, alpha: Double,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0))
+    copy(child = newChildren(0),
+      weight = weight.map(_ => newChildren(1)))
 }
 
 /** Sketch-merge aggregate: binary sketches in → merged binary sketch. */

@@ -1133,6 +1133,47 @@ object Registry {
         case Seq(v) => HllMergeAgg(v).toAggregateExpression()
         case args => sys.error(s"merge_hll expects 1 arg, got ${args.length}")
       }
+      // digest builders by their Presto SQL names (QuantileDigest
+      // Functions.java qdigest_agg(x[, w[, accuracy]]);
+      // TDigestFunctions.java tdigest_agg(x[, w[, compression]]),
+      // merge_tdigest) — accuracy/compression must be literals (they
+      // size the aggregation state)
+      def litDouble(e: Expression): Option[Double] = e match {
+        case Literal(d: Double, DoubleType) => Some(d)
+        case Literal(d: java.math.BigDecimal, _: DecimalType) =>
+          Some(d.doubleValue())
+        case Literal(d: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+          Some(d.toDouble)
+        case Literal(i: Int, IntegerType) => Some(i.toDouble)
+        case _ => None
+      }
+      colorPack("qdigest_agg") {
+        case Seq(v) => DDSketchAgg(v, 0.01).toAggregateExpression()
+        // 2-arg disambiguation on a fractional literal (the
+        // approx_percentile precedent): weights are bigint in the
+        // reference, so a literal in (0,1) can only be the accuracy
+        case Seq(v, a) if litDouble(a).exists(d => d > 0 && d < 1) =>
+          DDSketchAgg(v, litDouble(a).get).toAggregateExpression()
+        case Seq(v, w) => DDSketchAgg(v, 0.01, Some(w)).toAggregateExpression()
+        case Seq(v, w, a) if litDouble(a).isDefined =>
+          DDSketchAgg(v, litDouble(a).get, Some(w)).toAggregateExpression()
+        case args => sys.error(
+          s"qdigest_agg expects (x[, w[, literal accuracy]]), got ${args.length} args")
+      }
+      colorPack("tdigest_agg") {
+        case Seq(v) =>
+          TDigestAgg(v, None, 100.0).toAggregateExpression()
+        case Seq(v, w) =>
+          TDigestAgg(v, Some(w), 100.0).toAggregateExpression()
+        case Seq(v, w, c) if litDouble(c).isDefined =>
+          TDigestAgg(v, Some(w), litDouble(c).get).toAggregateExpression()
+        case args => sys.error(
+          s"tdigest_agg expects (x[, w[, literal compression]]), got ${args.length} args")
+      }
+      colorPack("merge_tdigest") {
+        case Seq(v) => TDigestMergeAgg(v).toAggregateExpression()
+        case args => sys.error(s"merge_tdigest expects 1 arg, got ${args.length}")
+      }
       // DESCRIBE INPUT's analysis-only parameter probe (never executed;
       // PrestoStatements.ParamMarker) — the implicit Cast the analyzer
       // wraps around it names the `?` parameter's coerced type

@@ -103,6 +103,36 @@ class HyperLogLogSuite extends GraftSuite {
     }
   }
 
+  test("merge() dispatches across all five sketch families by content") {
+    Registry.install(spark)
+    Tables.register(spark, SfDir)
+    // qdigest and tdigest partials re-aggregate through the SAME SQL
+    // name the reference overloads; estimates stay near exact
+    val row = spark.sql(
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    qdigest_agg(l_extendedprice, 0.01) AS dd,
+        |    tdigest_agg(l_extendedprice) AS td,
+        |    make_set_digest(l_suppkey) AS sd
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |m AS (SELECT l_returnflag, merge(dd) AS dd, merge(td) AS td,
+        |             merge(sd) AS sd
+        |      FROM p GROUP BY l_returnflag),
+        |x AS (SELECT l_returnflag,
+        |        percentile(l_extendedprice, 0.5d) AS p50,
+        |        count(DISTINCT l_suppkey) AS supps
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT
+        |  max(abs(value_at_quantile(m.dd, 0.5d) - x.p50) / x.p50) AS dd_err,
+        |  max(abs(value_at_quantile(m.td, 0.5d) - x.p50) / x.p50) AS td_err,
+        |  max(abs(cardinality(m.sd) - x.supps)) AS sd_err
+        |FROM m JOIN x ON m.l_returnflag = x.l_returnflag""".stripMargin)
+      .collect()(0)
+    assert(row.getDouble(0) <= 0.02, s"qdigest merge err ${row.getDouble(0)}")
+    assert(row.getDouble(1) <= 0.02, s"tdigest merge err ${row.getDouble(1)}")
+    assert(row.getLong(2) == 0L) // KMV exact below saturation
+  }
+
   test("merge_hll and empty_approx_set compose; mixed families fail loudly") {
     Registry.install(spark)
     val est = spark.sql(

@@ -10,7 +10,7 @@ class QuantileSketchSuite extends AnyFunSuite {
 
   private def build(xs: Seq[Double], alpha: Double = 0.01) = {
     val st = new QuantileSketch.State(alpha)
-    xs.foreach(st.insert)
+    xs.foreach(st.insert(_))
     st
   }
 
