@@ -39,6 +39,8 @@ object Sessions {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Presto's tpch-catalog spelling: SELECT ... FROM graft_tpch.tiny.orders
       .config("spark.sql.catalog.graft_tpch", "graft.sources.TpchCatalog")
+      // Presto's jmx catalog: SELECT ... FROM graft_jmx.current.`java.lang:type=runtime`
+      .config("spark.sql.catalog.graft_jmx", "graft.sources.JmxCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on

@@ -302,6 +302,27 @@ object Ann extends QueryPack {
           (col("err") <= col("scale") * 0.5 + lit(1e-12)).as("err_ok"),
           expr("array_max(transform(q, v -> abs(v))) <= 127").as("range_ok"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Semantic dedup — the SemDeDup recipe (operators/SemDeDup.scala):
+    // cluster by nearest stride-seed centroid (the qb4 coarse
+    // quantizer; training itself is qk6's gate), then inside each
+    // cluster drop every vector with an earlier-ranked τ-near
+    // neighbor, rank = centroid-similarity ascending (the paper keeps
+    // the LOW-similarity representative). Per-cluster (n_in, n_kept,
+    // kept_id_sum) pins both the drop set and the keep choice; the
+    // oracle replays assignment + the blocked pair join verbatim.
+    "q0j_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val stride = math.max(1L, math.floor(math.sqrt(
+        Tables.view(s, dir, "embeddings").count().toDouble)).toLong)
+      val assigned = KMeans.assign(e, KMeans.seeds(e, stride))
+      val kept = graft.operators.SemDeDup.dedup(assigned, 0.4)
+      assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_in"))
+        .join(kept.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).as("kept_id_sum")), Seq("cent_id"))
+        .orderBy(col("cent_id"))
     })
   )
 
@@ -337,6 +358,41 @@ object Ann extends QueryPack {
       .stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q0j_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (SELECT CAST(FLOOR(SQRT(count(*))) AS BIGINT) AS stride
+        |       FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT stride FROM st) = 0),
+        |asgn AS (
+        |  SELECT vec_id, v, cent_id, cd FROM (
+        |    SELECT e.vec_id, e.v, c.cent_id,
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) AS cd,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v))
+        |             * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cent_id) AS cr
+        |    FROM e CROSS JOIN c)
+        |  WHERE cr = 1),
+        |drops AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM asgn x JOIN asgn y ON x.cent_id = y.cent_id
+        |    AND (x.cd < y.cd OR (x.cd = y.cd AND x.vec_id < y.vec_id))
+        |  WHERE list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v))
+        |         * sqrt(list_dot_product(y.v, y.v))) >= 0.4),
+        |kept AS (SELECT * FROM asgn
+        |         WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+        |tot AS (SELECT cent_id, count(*) AS n_in FROM asgn GROUP BY cent_id),
+        |k AS (SELECT cent_id, count(*) AS n_kept,
+        |        CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+        |      FROM kept GROUP BY cent_id)
+        |SELECT t.cent_id, t.n_in, k.n_kept, k.kept_id_sum
+        |FROM tot t JOIN k USING (cent_id) ORDER BY cent_id""".stripMargin,
+
     "qj3_classification_metrics" ->
       """WITH b AS (
         |  SELECT CAST(floor(l_discount * 100) AS INT) AS bk,

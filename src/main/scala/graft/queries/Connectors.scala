@@ -95,6 +95,78 @@ object Connectors extends QueryPack {
           sum(col("s_suppkey")).as("key_sum"),
           round(sum(col("s_acctbal")), 2).as("bal_sum"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // The blackhole READ side (graft-blackhole, the presto-blackhole
+    // analog): split_count x pages_per_split x rows_per_page zero-rows
+    // — numerics 0, boolean false, DATE epoch, '*'-filled varchars —
+    // generated across split_count parallel partitions. The oracle is
+    // the closed form of the reference's zero-page recipe.
+    "q0f_blackhole_read" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("a", LongType), StructField("b", DoubleType),
+        StructField("c", StringType), StructField("d", BooleanType),
+        StructField("e", DateType)))
+      s.read.format("graft-blackhole").schema(sch)
+        .option("split_count", 4).option("pages_per_split", 3)
+        .option("rows_per_page", 5).load()
+        .agg(count(lit(1)).as("n"), sum(col("a")).as("a_sum"),
+          sum(col("b")).as("b_sum"), min(col("c")).as("c_min"),
+          max(length(col("c"))).as("c_len"),
+          bool_or(col("d")).as("any_d"), min(col("e")).as("e_min"))
+    }),
+
+    // The blackhole WRITE side: a discard sink that costs only the
+    // upstream pipeline (the reference's write-benchmark tool). Rows
+    // never leave the tasks — each commit message carries one long, and
+    // the gate reads the folded per-sink counter back as the result.
+    "q0g_blackhole_sink" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.BlackholeConn.reset("q0g_sink")
+      graft.Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.format("graft-blackhole").option("name", "q0g_sink")
+        .mode("append").save()
+      Seq(graft.sources.BlackholeConn.rowsWritten("q0g_sink"))
+        .toDF("rows_written")
+    }),
+
+    // The jmx catalog's `current` schema (graft_jmx, the presto-jmx
+    // analog): the Runtime MBean as a queryable table — node identity,
+    // canonical object_name, BIGINT uptime/starttime, VARCHAR vmname.
+    // JMX values are process-specific, so the gate pins the
+    // DETERMINISTIC surface: name resolution, column typing, and value
+    // invariants that hold in any live JVM.
+    "q0h_jmx_runtime" -> ((s, dir) => {
+      s.sql("""SELECT object_name,
+              |  node IS NOT NULL AS has_node,
+              |  uptime >= 0 AS up,
+              |  starttime > 0 AS started,
+              |  vmname IS NOT NULL AS named
+              |FROM graft_jmx.current.`java.lang:type=runtime`""".stripMargin)
+    }),
+
+    // Wildcard tables + the `history` schema: `java.lang:type=*` unions
+    // every single-key java.lang platform bean (the reference's
+    // `JmxMetadata.toPattern` wildcard), and two explicit samples into a
+    // cleared history buffer read back exactly 2x the current row count
+    // with non-null timestamps (the JmxPeriodicSampler analog).
+    "q0i_jmx_wildcard_history" -> ((s, dir) => {
+      graft.sources.JmxConn.clearHistory("java.lang:type=*")
+      graft.sources.JmxConn.sample("java.lang:type=*")
+      graft.sources.JmxConn.sample("java.lang:type=*")
+      s.sql("""WITH cur AS (
+              |  SELECT count(*) AS n_cur,
+              |    bool_and(object_name LIKE 'java.lang:type=%') AS prefixed
+              |  FROM graft_jmx.current.`java.lang:type=*`),
+              |h AS (
+              |  SELECT count(*) AS n_hist,
+              |    bool_and(timestamp IS NOT NULL) AS stamped
+              |  FROM graft_jmx.history.`java.lang:type=*`)
+              |SELECT n_cur >= 5 AS many, prefixed,
+              |  n_hist = 2 * n_cur AS hist_double, stamped
+              |FROM cur CROSS JOIN h""".stripMargin)
     })
   )
 
@@ -104,6 +176,23 @@ object Connectors extends QueryPack {
   private def h(salt: Int) = H.format(salt)
 
   override def oracles: Map[String, String] = Map(
+    "q0f_blackhole_read" ->
+      """SELECT CAST(60 AS BIGINT) AS n, CAST(0 AS BIGINT) AS a_sum,
+        |  CAST(0 AS DOUBLE) AS b_sum, '****************' AS c_min,
+        |  16 AS c_len, FALSE AS any_d, DATE '1970-01-01' AS e_min""".stripMargin,
+
+    "q0g_blackhole_sink" ->
+      "SELECT CAST(count(*) AS BIGINT) AS rows_written FROM lineitem",
+
+    "q0h_jmx_runtime" ->
+      """SELECT 'java.lang:type=Runtime' AS object_name,
+        |  TRUE AS has_node, TRUE AS up, TRUE AS started,
+        |  TRUE AS named""".stripMargin,
+
+    "q0i_jmx_wildcard_history" ->
+      """SELECT TRUE AS many, TRUE AS prefixed, TRUE AS hist_double,
+        |  TRUE AS stamped""".stripMargin,
+
     "q0d_memory_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,

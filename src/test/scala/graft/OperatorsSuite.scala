@@ -199,4 +199,27 @@ class OperatorsSuite extends GraftSuite {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("semdedup: drops the high-centroid-similarity twin, keeps across clusters") {
+    import graft.operators.{KMeans, SemDeDup}
+    import spark.implicits._
+    // cluster A: 1 and 2 are near-dups of 0 (centroid seed); the paper's
+    // keep rule retains the LOWEST-cd member of the dup group.
+    // cluster B (seed 3): 4 is orthogonal-ish to nothing — no dups.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.14, 0.0)), // near-dup of 0
+      (2L, Seq(0.99, -0.14, 0.0)), // near-dup of 0 and 1
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.9, 0.44))).toDF("vec_id", "e")
+    val assigned = KMeans.assign(e, KMeans.seeds(e, 3L))
+    val kept = SemDeDup.dedup(assigned, 0.95)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // cluster A: all three pairwise >= 0.95 cosine; exactly one survives,
+    // and it is the lowest-cd one (1 or 2, both cd≈0.990 < cd(0)=1.0; tie
+    // breaks to smaller vec_id → 1).
+    // cluster B: cos(3,4) = 0.9/sqrt(0.81+0.1936) ≈ 0.898 < 0.95 — no
+    // dup, both kept.
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }
