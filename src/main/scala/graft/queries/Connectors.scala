@@ -167,6 +167,65 @@ object Connectors extends QueryPack {
               |SELECT n_cur >= 5 AS many, prefixed,
               |  n_hist = 2 * n_cur AS hist_double, stamped
               |FROM cur CROSS JOIN h""".stripMargin)
+    }),
+
+    // The RAW record decoder (functions/RecordDecoders.scala — the
+    // presto-record-decoder module's kafka-message layer): encode
+    // lineitem rows into big-endian binary messages with the registry's
+    // to_big_endian builtins, then decode them back through RawField
+    // offset mappings (LONG@0, INT@8, varchar tail@12). The oracle
+    // reads the same columns directly — the group-by matching proves
+    // the decode is the identity on the encode.
+    "q0k_raw_decoder" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.RecordDecoders
+      graft.functions.Registry.install(s)
+      graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .withColumn("msg", expr(
+          """concat(to_big_endian_64(l_orderkey),
+            |  to_big_endian_32(l_linenumber),
+            |  encode(l_returnflag, 'UTF-8'))""".stripMargin))
+        .select(
+          RecordDecoders.raw(col("msg"), LongType, "LONG", "0").as("k"),
+          RecordDecoders.raw(col("msg"), IntegerType, "INT", "8").as("ln"),
+          RecordDecoders.raw(col("msg"), StringType, "BYTE", "12").as("rf"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          sum(col("ln")).as("ln_sum"))
+        .orderBy(col("rf"))
+    }),
+
+    // The JSON field decoders: slash-path mappings plus all four dated
+    // formats (default cast, seconds/milliseconds-since-epoch, rfc2822,
+    // iso8601) round-tripped through to_json/date_format and read back
+    // as unix seconds — every decoded timestamp must equal the source
+    // epoch, which the oracle computes arithmetically.
+    "q0l_json_decoder" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.RecordDecoders
+      graft.Tables.view(s, dir, "documents")
+        .filter(col("doc_id") <= 50)
+        .withColumn("ts_s", col("doc_id") * 86400 + lit(1700000000L))
+        .withColumn("msg", to_json(struct(
+          struct(col("doc_id").as("id"), col("source").as("src")).as("meta"),
+          col("ts_s"), (col("ts_s") * 1000).as("ts_ms"),
+          date_format(timestamp_seconds(col("ts_s")),
+            "EEE MMM dd HH:mm:ss Z yyyy").as("ts_r"),
+          date_format(timestamp_seconds(col("ts_s")),
+            "yyyy-MM-dd'T'HH:mm:ss").as("ts_i"))))
+        .select(
+          RecordDecoders.jsonField(col("msg"), "meta/id", LongType).as("id"),
+          RecordDecoders.jsonField(col("msg"), "meta/src", StringType).as("src"),
+          unix_seconds(RecordDecoders.jsonField(col("msg"), "ts_s",
+            TimestampType, "seconds-since-epoch")).as("u_s"),
+          unix_seconds(RecordDecoders.jsonField(col("msg"), "ts_ms",
+            TimestampType, "milliseconds-since-epoch")).as("u_ms"),
+          unix_seconds(RecordDecoders.jsonField(col("msg"), "ts_r",
+            TimestampType, "rfc2822")).as("u_r"),
+          unix_seconds(RecordDecoders.jsonField(col("msg"), "ts_i",
+            TimestampType, "iso8601")).as("u_i"))
+        .orderBy(col("id"))
     })
   )
 
@@ -192,6 +251,21 @@ object Connectors extends QueryPack {
     "q0i_jmx_wildcard_history" ->
       """SELECT TRUE AS many, TRUE AS prefixed, TRUE AS hist_double,
         |  TRUE AS stamped""".stripMargin,
+
+    "q0k_raw_decoder" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS k_sum,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS ln_sum
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q0l_json_decoder" ->
+      """SELECT doc_id AS id, source AS src,
+        |  CAST(doc_id * 86400 + 1700000000 AS BIGINT) AS u_s,
+        |  CAST(doc_id * 86400 + 1700000000 AS BIGINT) AS u_ms,
+        |  CAST(doc_id * 86400 + 1700000000 AS BIGINT) AS u_r,
+        |  CAST(doc_id * 86400 + 1700000000 AS BIGINT) AS u_i
+        |FROM documents WHERE doc_id <= 50 ORDER BY id""".stripMargin,
 
     "q0d_memory_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,

@@ -353,4 +353,58 @@ class FunctionsSuite extends GraftSuite {
       "SELECT zoned_timestamp(cast(null as string)) AS z").collect()(0)
       .getStruct(0).isNullAt(0))
   }
+
+  test("raw record decoder: offsets, widths, nulls, and loud errors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.RecordDecoders
+    import spark.implicits._
+    // message: long 0x0102030405060708 @0, short 0x7FFF @8, byte 0xFF @10,
+    // tail "hi" @11
+    val msg: Array[Byte] =
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 0x7f, -1, -1) ++ "hi".getBytes
+    val df = Seq(Tuple1(msg)).toDF("m")
+    val r = df.select(
+      RecordDecoders.raw(col("m"), LongType, "LONG", "0").as("l"),
+      RecordDecoders.raw(col("m"), IntegerType, "SHORT", "8").as("s"),
+      RecordDecoders.raw(col("m"), LongType, "BYTE", "10").as("b"),
+      RecordDecoders.raw(col("m"), BooleanType, "BYTE", "10").as("bool"),
+      RecordDecoders.raw(col("m"), StringType, "BYTE", "11").as("tail"),
+      RecordDecoders.raw(col("m"), StringType, "BYTE", "11:12").as("t1"),
+      RecordDecoders.raw(col("m"), StringType, "BYTE", "13:13").as("z"))
+      .collect()(0)
+    assert(r.getLong(0) == 0x0102030405060708L)
+    assert(r.getInt(1) == 0x7fff)
+    assert(r.getLong(2) == -1L) // signed byte widens
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "hi")
+    assert(r.getString(5) == "h")
+    assert(r.isNullAt(6)) // zero-length slice decodes NULL
+    // offset past the message end raises loudly
+    val e = intercept[Exception] {
+      df.select(RecordDecoders.raw(col("m"), LongType, "LONG", "20")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be less than or equal")), e)
+    // field-width / target-type mismatch rejected at construction
+    val bad = intercept[IllegalArgumentException] {
+      RecordDecoders.raw(col("m"), IntegerType, "LONG", "0")
+    }
+    assert(bad.getMessage.contains("wrong dataFormat"), bad.getMessage)
+  }
+
+  test("csv row decoder: positional fields onto a typed schema") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.functions.RecordDecoders
+    import spark.implicits._
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val r = Seq("7,foo,2.5").toDF("m")
+      .select(RecordDecoders.csvRow(col("m"), sch).as("r"))
+      .select(col("r.id"), col("r.name"), col("r.v")).collect()(0)
+    assert(r.getLong(0) == 7L && r.getString(1) == "foo" &&
+      r.getDouble(2) == 2.5)
+  }
 }
