@@ -75,6 +75,30 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
       other.withNewChildren(other.children.map(firstifyKeyRefs(_, keys)))
   }
 
+  /** array_agg(DISTINCT z)-by-instant: plain collect_list, sort, then a
+    * fold that keeps the first entry of each (utc, tz) run — sorted
+    * order makes every same-instant entry (exact duplicates included)
+    * adjacent, so the fold IS the distinct. Deliberately NOT collect_set:
+    * a set-typed replacement would re-match this rule's own output and
+    * recurse; the list aggregate stays standard mergeable partial/final,
+    * scale-safe (O(group) like the reference's array_agg). */
+  private def instantDistinctCollect(z: Expression): Expression = {
+    val zt = z.dataType
+    val accType = ArrayType(zt, containsNull = false)
+    val collected = SortArray(
+      aggregate.CollectList(z).toAggregateExpression(), Literal(true))
+    val acc = NamedLambdaVariable("acc", accType, nullable = false)
+    val x = NamedLambdaVariable("x", zt, nullable = false)
+    val cond = And(GreaterThan(Size(acc), Literal(0)),
+      EqualTo(GetStructField(ElementAt(acc, Literal(-1)), 0, Some("utc")),
+        GetStructField(x, 0, Some("utc"))))
+    val merge = LambdaFunction(
+      If(cond, acc, Concat(Seq(acc, CreateArray(Seq(x))))), Seq(acc, x))
+    val out = NamedLambdaVariable("out", accType, nullable = false)
+    ArrayAggregate(collected, Literal.create(Seq.empty[Any], accType),
+      merge, LambdaFunction(out, Seq(out)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.exists(g =>
@@ -98,13 +122,31 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
         w.copy(partitionSpec = w.partitionSpec.map(p =>
           if (p.resolved && isZoned(p.dataType)) utcOf(p) else p))
     }.transformAllExpressions {
+      // array_agg(DISTINCT z) / collect_set(z): the RESULT carries the
+      // zoned struct, so the utc-field rewrite below can't apply — but
+      // pair-distinct still over-counts same-instant values. Rewrite to
+      // a plain collect_set (pair-distinct, bounded) followed by a
+      // sorted scalar fold keeping ONE entry per instant — the smallest
+      // (utc, tz) pair, a deterministic refinement of the reference's
+      // arbitrary surviving zone (closes ledger residual 5's
+      // aggregate-internal tail; NULLs drop like collect_set).
+      case ae: AggregateExpression
+          if (ae.isDistinct ||
+              ae.aggregateFunction.isInstanceOf[aggregate.CollectSet]) &&
+            ae.aggregateFunction.children.length == 1 &&
+            (ae.aggregateFunction.isInstanceOf[aggregate.CollectList] ||
+              ae.aggregateFunction.isInstanceOf[aggregate.CollectSet]) && {
+              val z = ae.aggregateFunction.children.head
+              z.resolved && isZoned(z.dataType)
+            } =>
+        instantDistinctCollect(ae.aggregateFunction.children.head)
       // DISTINCT inside an aggregate dedups by the aggregate function's
       // argument values — a zoned argument must dedup by INSTANT, so
       // count(DISTINCT z) over two same-instant/different-zone rows is 1
       // (reference hashes packed millis only). Only safe when the zoned
       // struct does not surface in the result type (count and friends);
-      // array_agg(DISTINCT z) keeps pair semantics (documented ledger
-      // residual — rewriting would change its element type).
+      // instant-distinct array_agg/collect_set is the dedicated case
+      // above.
       case ae: AggregateExpression if ae.isDistinct &&
           ae.aggregateFunction.children.exists(c =>
             c.resolved && isZoned(c.dataType)) &&

@@ -301,6 +301,27 @@ object RegistrySql extends QueryPack {
         |    zoned_timestamp('2020-06-10T12:00:00+02:00') AS lit_eq
         |FROM z ORDER BY id""".stripMargin)),
 
+    // Aggregate-internal DISTINCT over zoned values by INSTANT, result
+    // type INCLUDED (r8 — closes ledger residual 5's last tail):
+    // array_agg(DISTINCT z) and collect_set(z) rewrite to a sorted
+    // instant-fold keeping one representative per instant, so rows 1-3
+    // (one instant, three zones) contribute ONE element. The oracle
+    // makes DuckDB run count(DISTINCT TIMESTAMPTZ) itself; renderings
+    // hand-pinned (the qz8 stance).
+    "q0m_zoned_distinct_agg" -> ((s, dir) => sql(s, dir,
+      """WITH z AS (SELECT id, zoned_timestamp(s) AS z FROM VALUES
+        |    (1, '2020-06-10T15:30:00+05:30'),
+        |    (2, '2020-06-10T12:00:00+02:00'),
+        |    (3, '2020-06-10T10:00:00Z'),
+        |    (4, '2020-12-31T23:45:00-03:30'),
+        |    (5, '2021-01-01T03:15:00Z') AS t(id, s))
+        |SELECT cast(count(DISTINCT z) as bigint) AS n_instants,
+        |  array_join(transform(array_agg(DISTINCT z),
+        |    e -> cast(zoned_instant(e) as string)), ',') AS instants,
+        |  array_join(transform(collect_set(z),
+        |    e -> cast(zoned_instant(e) as string)), ',') AS set_instants
+        |FROM z""".stripMargin)),
+
     // GROUP BY / DISTINCT over zoned values by INSTANT (r7 — closes the
     // ledger residual): rows 1-3 share the 10:00 UTC instant in three
     // zones, rows 4-5 share 2021-01-01T03:15Z across the year boundary.
@@ -1053,6 +1074,18 @@ object RegistrySql extends QueryPack {
         |       le_10utc, at_utc, w_tz)
         |JOIN zcomp ON v.id = zcomp.id
         |ORDER BY v.id""".stripMargin,
+
+    "q0m_zoned_distinct_agg" ->
+      """WITH zsrc AS (SELECT * FROM (VALUES
+        |    (1, TIMESTAMPTZ '2020-06-10 15:30:00+05:30'),
+        |    (2, TIMESTAMPTZ '2020-06-10 12:00:00+02:00'),
+        |    (3, TIMESTAMPTZ '2020-06-10 10:00:00+00:00'),
+        |    (4, TIMESTAMPTZ '2020-12-31 23:45:00-03:30'),
+        |    (5, TIMESTAMPTZ '2021-01-01 03:15:00+00:00')) AS s(id, z))
+        |SELECT CAST(count(DISTINCT z) AS BIGINT) AS n_instants,
+        |  '2020-06-10 10:00:00,2021-01-01 03:15:00' AS instants,
+        |  '2020-06-10 10:00:00,2021-01-01 03:15:00' AS set_instants
+        |FROM zsrc""".stripMargin,
 
     // DuckDB performs the TIMESTAMPTZ GROUP BY itself (5 rows -> 2
     // instant groups); the join maps each group to its hand-derived
