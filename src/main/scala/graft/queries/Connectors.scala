@@ -226,8 +226,63 @@ object Connectors extends QueryPack {
           unix_seconds(RecordDecoders.jsonField(col("msg"), "ts_i",
             TimestampType, "iso8601")).as("u_i"))
         .orderBy(col("id"))
+    }),
+
+    // The local-file log connector (graft-localfile, the
+    // presto-local-file analog): three deterministically-derived
+    // rotation files (middle one GZIPPED — the connector sniffs the
+    // magic) read back as the http_request_log table, with a timestamp
+    // predicate that file-prunes the last rotation at the SCAN (its
+    // first record is past the bound) and row-filters the straddler.
+    // The oracle replays the line-derivation arithmetic in DuckDB.
+    "q0n_localfile_log" -> ((s, dir) => {
+      val logDir = writeQ0nLogs()
+      s.read.format("graft-localfile").option("dir", logDir).load()
+        .filter(col("timestamp") < lit("2024-01-01 08:00:00").cast("timestamp"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("response_code")).as("code_sum"),
+          sum(col("response_size")).as("resp_sum"),
+          count(when(col("trace_token").isNull, 1)).as("n_null_trace"),
+          min(col("request_uri")).as("min_uri"))
+        .orderBy(col("method"))
     })
   )
+
+  /** q0n fixture: 1200 closed-form log lines in 3 rotation files
+    * (0-399 plain, 400-799 gzip, 800-1199 plain), rebuilt on every
+    * call. The SAME arithmetic replays as the DuckDB oracle CTE. */
+  private def q0nLine(k: Long): String = {
+    val ts = java.time.OffsetDateTime.of(2024, 1, 1, 0, 0, 0, 0,
+      java.time.ZoneOffset.UTC).plusSeconds(k * 60)
+    Seq(ts.format(graft.sources.LocalFileConn.Iso),
+      s"10.0.0.${k % 256}",
+      Seq("GET", "POST", "PUT")((k % 3).toInt),
+      s"/api/v1/item/$k", s"user${k % 5}", "agent/1.0",
+      (200 + (k % 3) * 100).toString, ((k * 7) % 1000).toString,
+      ((k * 13) % 10000).toString, ((k * 3) % 500).toString,
+      if (k % 10 == 0) "" else s"tok-$k").mkString("\t")
+  }
+
+  private[graft] def writeQ0nLogs(): String = {
+    import java.nio.file.{Files, Paths}
+    val logDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q0n_logs")
+    if (Files.isDirectory(logDir))
+      Files.list(logDir).forEach(p => Files.delete(p))
+    else Files.createDirectories(logDir)
+    def dump(name: String, ks: Range, gzip: Boolean): Unit = {
+      val text = ks.map(k => q0nLine(k.toLong)).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val fos = Files.newOutputStream(logDir.resolve(name))
+      val out = if (gzip) new java.util.zip.GZIPOutputStream(fos) else fos
+      try out.write(text) finally out.close()
+    }
+    dump("http-request.log.1", 0 until 400, gzip = false)
+    dump("http-request.log.2.gz", 400 until 800, gzip = true)
+    dump("http-request.log.3", 800 until 1200, gzip = false)
+    logDir.toString
+  }
 
   // DuckDB replay of the generator arithmetic. `//` is integer
   // division; all operands stay inside BIGINT.
@@ -251,6 +306,23 @@ object Connectors extends QueryPack {
     "q0i_jmx_wildcard_history" ->
       """SELECT TRUE AS many, TRUE AS prefixed, TRUE AS hist_double,
         |  TRUE AS stamped""".stripMargin,
+
+    "q0n_localfile_log" ->
+      """WITH ks AS (SELECT unnest(range(0, 1200)) AS k),
+        |r AS (SELECT k,
+        |    CASE k % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+        |      ELSE 'PUT' END AS method,
+        |    200 + (k % 3) * 100 AS code,
+        |    (k * 13) % 10000 AS resp,
+        |    k % 10 = 0 AS nul,
+        |    '/api/v1/item/' || k AS uri
+        |  FROM ks WHERE k * 60 < 28800)
+        |SELECT method, count(*) AS n,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(sum(resp) AS BIGINT) AS resp_sum,
+        |  CAST(count_if(nul) AS BIGINT) AS n_null_trace,
+        |  min(uri) AS min_uri
+        |FROM r GROUP BY method ORDER BY method""".stripMargin,
 
     "q0k_raw_decoder" ->
       """SELECT l_returnflag AS rf, count(*) AS n,

@@ -106,6 +106,28 @@ class BlackholeJmxSuite extends GraftSuite {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("localfile: gzip sniff, null trailing fields, timestamp file-pruning") {
+    val dir = graft.queries.Connectors.writeQ0nLogs()
+    val df = spark.read.format("graft-localfile").option("dir", dir).load()
+    // all three rotations (one gzipped) read: 1200 rows, 3 partitions
+    assert(df.count() == 1200L)
+    assert(df.rdd.getNumPartitions == 3)
+    // k % 10 == 0 rows wrote an empty trace_token -> NULL
+    assert(df.filter(col("trace_token").isNull).count() == 120L)
+    assert(df.select(min(col("server_address"))).collect()(0)
+      .getString(0).nonEmpty)
+    // upper-bound predicate prunes rotation 3 (first record at 13:20)
+    // at the SCAN: 2 partitions planned, and the filter shows as pushed
+    val filtered = df.filter(
+      col("timestamp") < lit("2024-01-01 08:00:00").cast("timestamp"))
+    assert(filtered.rdd.getNumPartitions == 2)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("graft-localfile"), "scan node missing")
+    assert(filtered.count() == 480L)
+    // row-level residual still applies inside the straddling rotation 2
+    assert(filtered.filter(col("method") === "GET").count() == 160L)
+  }
+
   test("jmx catalog lists schemas and is read-only") {
     val schemas = spark.sql("SHOW SCHEMAS FROM graft_jmx")
       .collect().map(_.getString(0)).toSet
