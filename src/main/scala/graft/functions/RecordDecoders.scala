@@ -79,6 +79,113 @@ object RecordDecoders {
   /** CSV message: positional decode onto `schema`'s fields. */
   def csvRow(msg: Column, schema: StructType): Column =
     from_csv(msg, schema, Map.empty[String, String])
+
+  /** Avro message (single-record object-container form, the shape the
+    * reference's `AvroRowDecoder.decodeRow` consumes): one struct per
+    * message, typed from `schemaJson`. */
+  def avroRow(msg: Column, schemaJson: String): Column =
+    toCol(AvroDecode(toExpr(msg), schemaJson))
+}
+
+/** Single-record Avro container decode — `AvroRowDecoder` semantics
+  * (`presto-record-decoder/.../avro/AvroRowDecoder.java:57-81`): each
+  * message is an Avro object-container (DataFileStream) holding EXACTLY
+  * one record — zero or extra records raise loudly. Types map the way
+  * the reference's AvroColumnDecoder does: int/long → BIGINT,
+  * float/double → DOUBLE, string/enum → VARCHAR, bytes/fixed →
+  * VARBINARY, records/arrays/maps structurally; `[null, T]` unions are
+  * nullable T, any other union is rejected at construction.
+  *
+  * The expensive part is per-message container parsing — the same cost
+  * the reference pays per kafka message; spark-avro's `from_avro` is
+  * not in this distribution (only avro-core ships), so the decode is a
+  * CodegenFallback expression over `GenericDatumReader`, one virtual
+  * call per row with a JIT-compiled body (the WordShingles stance). */
+case class AvroDecode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema =
+    new org.apache.avro.Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader =
+    new org.apache.avro.generic.GenericDatumReader[
+      org.apache.avro.generic.GenericRecord](schema)
+
+  private def toSpark(s: org.apache.avro.Schema): DataType = {
+    import org.apache.avro.Schema.Type._
+    s.getType match {
+      case BOOLEAN => BooleanType
+      case INT | LONG => LongType
+      case FLOAT | DOUBLE => DoubleType
+      case STRING | ENUM => StringType
+      case BYTES | FIXED => BinaryType
+      case RECORD => StructType(s.getFields.toArray.map {
+        case f: org.apache.avro.Schema.Field =>
+          StructField(f.name(), toSpark(f.schema()))
+      })
+      case ARRAY => ArrayType(toSpark(s.getElementType))
+      case MAP => MapType(StringType, toSpark(s.getValueType))
+      case UNION =>
+        val branches = s.getTypes.toArray.toSeq
+          .map(_.asInstanceOf[org.apache.avro.Schema])
+        val nonNull = branches.filter(_.getType != NULL)
+        require(branches.size - nonNull.size <= 1 && nonNull.size == 1,
+          s"unsupported avro union ${s}: only [null, T] unions decode")
+        toSpark(nonNull.head)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  override def prettyName: String = "avro_row"
+  override lazy val dataType: DataType = toSpark(schema)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("avro_row needs a binary message")
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
+    case (n: Number, LongType) => n.longValue()
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (s, StringType) => UTF8String.fromString(s.toString)
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
+    case (r: org.apache.avro.generic.GenericRecord, st: StructType) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        st.fields.map(f => convert(r.get(f.name), f.dataType)): Array[Any])
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        l.toArray.map(convert(_, et)))
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      val entries = m.entrySet().toArray
+        .map(_.asInstanceOf[java.util.Map.Entry[_, _]])
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        entries.map(e => UTF8String.fromString(e.getKey.toString)),
+        entries.map(e => convert(e.getValue, vt)))
+    case (other, t) => throw new IllegalStateException(
+      s"cannot convert ${other.getClass.getName} to ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val stream = new org.apache.avro.file.DataFileStream(
+      new java.io.ByteArrayInputStream(bytes), reader)
+    try {
+      if (!stream.hasNext) throw new IllegalStateException(
+        "No avro record found")
+      val rec = stream.next()
+      if (stream.hasNext) throw new IllegalStateException(
+        "Unexpected extra record found")
+      convert(rec, dataType)
+    } finally stream.close()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fixed-offset big-endian field decode — `RawColumnDecoder` semantics:

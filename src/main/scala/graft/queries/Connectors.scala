@@ -228,6 +228,28 @@ object Connectors extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // The AVRO record decoder: single-record object-container messages
+    // (the exact form AvroRowDecoder.decodeRow consumes) built
+    // driver-side from closed-form arithmetic, decoded distributed by
+    // the AvroDecode expression — nullable-union, array, and map fields
+    // all surfacing as typed Spark columns. Oracle replays the
+    // arithmetic; spark-avro is absent from this distribution, so the
+    // expression rides avro-core alone.
+    "q0o_avro_decoder" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.RecordDecoders
+      val df = (1L to 100L).map(k => Tuple1(q0oAvroMsg(k))).toDF("m")
+      df.select(RecordDecoders.avroRow(col("m"), Q0oSchema).as("r"))
+        .select(col("r.id").as("id"), col("r.name").as("name"),
+          col("r.score").as("score"), size(col("r.tags")).as("ntags"),
+          element_at(col("r.attrs"), "b").as("b"))
+        .groupBy(coalesce(col("name"), lit("<null>")).as("name"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          round(sum(col("score")), 2).as("score_sum"),
+          sum(col("ntags")).as("tags_total"), sum(col("b")).as("b_sum"))
+        .orderBy(col("name"))
+    }),
+
     // The local-file log connector (graft-localfile, the
     // presto-local-file analog): three deterministically-derived
     // rotation files (middle one GZIPPED — the connector sniffs the
@@ -248,6 +270,38 @@ object Connectors extends QueryPack {
         .orderBy(col("method"))
     })
   )
+
+  /** q0o fixture schema + message builder — closed-form, replayed by
+    * the oracle. Container-per-message is the reference's expected
+    * producer form (`AvroRowDecoder.decodeRow`). */
+  private[graft] val Q0oSchema =
+    """{"type":"record","name":"Doc","fields":[
+      |  {"name":"id","type":"long"},
+      |  {"name":"name","type":["null","string"]},
+      |  {"name":"score","type":"double"},
+      |  {"name":"tags","type":{"type":"array","items":"string"}},
+      |  {"name":"attrs","type":{"type":"map","values":"long"}}]}"""
+      .stripMargin
+
+  private[graft] def q0oAvroMsg(k: Long): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(Q0oSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", k)
+    rec.put("name", if (k % 10 == 0) null else "n" + (k % 7))
+    rec.put("score", k * 0.5)
+    val tags = new java.util.ArrayList[CharSequence]()
+    tags.add("t" + (k % 3)); tags.add("t" + (k % 5))
+    rec.put("tags", tags)
+    val attrs = new java.util.HashMap[CharSequence, java.lang.Long]()
+    attrs.put("a", k % 11); attrs.put("b", k * 2)
+    rec.put("attrs", attrs)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[
+      org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter(schema))
+    w.create(schema, bos); w.append(rec); w.close()
+    bos.toByteArray
+  }
 
   /** q0n fixture: 1200 closed-form log lines in 3 rotation files
     * (0-399 plain, 400-799 gzip, 800-1199 plain), rebuilt on every
@@ -306,6 +360,16 @@ object Connectors extends QueryPack {
     "q0i_jmx_wildcard_history" ->
       """SELECT TRUE AS many, TRUE AS prefixed, TRUE AS hist_double,
         |  TRUE AS stamped""".stripMargin,
+
+    "q0o_avro_decoder" ->
+      """WITH ks AS (SELECT unnest(range(1, 101)) AS k),
+        |r AS (SELECT k, CASE WHEN k % 10 = 0 THEN '<null>'
+        |    ELSE 'n' || (k % 7) END AS name FROM ks)
+        |SELECT name, count(*) AS n, CAST(sum(k) AS BIGINT) AS id_sum,
+        |  round(sum(k * 0.5), 2) AS score_sum,
+        |  CAST(count(*) * 2 AS BIGINT) AS tags_total,
+        |  CAST(sum(k * 2) AS BIGINT) AS b_sum
+        |FROM r GROUP BY name ORDER BY name""".stripMargin,
 
     "q0n_localfile_log" ->
       """WITH ks AS (SELECT unnest(range(0, 1200)) AS k),

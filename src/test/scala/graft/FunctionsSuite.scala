@@ -394,6 +394,40 @@ class FunctionsSuite extends GraftSuite {
     assert(bad.getMessage.contains("wrong dataFormat"), bad.getMessage)
   }
 
+  test("avro row decoder: nested types, nullable union, loud container errors") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.RecordDecoders
+    import graft.queries.Connectors
+    import spark.implicits._
+    val df = Seq(Tuple1(Connectors.q0oAvroMsg(10L))).toDF("m")
+      .select(RecordDecoders.avroRow(col("m"), Connectors.Q0oSchema).as("r"))
+    val row = df.select(col("r.id"), col("r.name"), col("r.score"),
+      col("r.tags"), col("r.attrs")).collect()(0)
+    assert(row.getLong(0) == 10L)
+    assert(row.isNullAt(1)) // k % 10 == 0 -> null union branch
+    assert(row.getDouble(2) == 5.0)
+    assert(row.getSeq[String](3) == Seq("t1", "t0"))
+    assert(row.getMap[String, Long](4).toMap == Map("a" -> 10L, "b" -> 20L))
+    // garbage bytes raise loudly (no container header)
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("m")
+        .select(RecordDecoders.avroRow(col("m"), Connectors.Q0oSchema))
+        .collect()
+    }
+    assert(e.getMessage != null)
+    // non-nullable multi-branch unions rejected at construction
+    val bad = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1))).toDF("m")
+        .select(RecordDecoders.avroRow(col("m"),
+          """{"type":"record","name":"X","fields":[
+            |{"name":"u","type":["string","long"]}]}""".stripMargin))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(bad).exists(_.contains("union")), bad.getMessage)
+  }
+
   test("csv row decoder: positional fields onto a typed schema") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
