@@ -42,6 +42,43 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("record decoders compose with streaming: binary messages to windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.RecordDecoders
+    // the kafka shape: a `value: binary` stream decoded by fixed-offset
+    // RAW fields (LONG uid @0, LONG epoch-millis @8, DOUBLE @16), then
+    // watermarked tumbling windows — decode is a plain projection, so
+    // it rides the streaming plan unchanged.
+    def msg(uid: Long, tsMin: Long, v: Double): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putLong(uid).putLong(1700000000000L + tsMin * 60000L).putDouble(v)
+      b.array()
+    }
+    val in = MemoryStream[Array[Byte]]
+    val decoded = in.toDF().select(
+      RecordDecoders.raw(col("value"), LongType, "LONG", "0").as("user_id"),
+      timestamp_millis(RecordDecoders.raw(col("value"), LongType, "LONG", "8"))
+        .as("ts"),
+      RecordDecoders.raw(col("value"), DoubleType, "DOUBLE", "16").as("v"))
+    val agg = decoded.withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("rawdec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(msg(1, 0, 1.5), msg(1, 3, 2.5), msg(2, 7, 4.0))
+      q.processAllAvailable()
+      in.addData(msg(1, 60, 1.0)) // advance past watermark, close windows
+      q.processAllAvailable()
+      val rows = spark.table("rawdec").selectExpr("user_id", "n", "sv")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 4.0)))
+      assert(rows.contains((2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
