@@ -146,11 +146,29 @@ class BlackholeTable(schema0: StructType, options: CaseInsensitiveStringMap)
 final case class BlackholeSplit(id: Int) extends InputPartition
 
 class BlackholeScan(schema0: StructType, splits: Int, pages: Int,
-    rowsPerPage: Int, fieldLength: Int) extends Scan with Batch {
+    rowsPerPage: Int, fieldLength: Int) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-blackhole splits=$splits pages=$pages rows=$rowsPerPage"
+
+  // synthetic tables know their exact cardinality — report it so join
+  // planning sees the configured generation size
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = splits.toLong * pages * rowsPerPage
+    val width = schema0.fields.map(f => f.dataType match {
+      case StringType | BinaryType => fieldLength.toLong
+      case _ => 8L
+    }).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(1L, width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until splits).map(BlackholeSplit(_)).toArray[InputPartition]

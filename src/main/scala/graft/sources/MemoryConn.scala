@@ -98,10 +98,30 @@ class MemoryTable(name: String, schema0: StructType)
 
 final case class MemoryChunk(chunk: Int) extends InputPartition
 
-class MemoryScan(name: String, schema0: StructType) extends Scan with Batch {
+class MemoryScan(name: String, schema0: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
   override def description(): String = s"graft-memory $name"
+
+  // exact cardinality from the page store (the reference's memory
+  // connector serves getTableStatistics the same way) — fixture-sized
+  // tables then broadcast without ANALYZE
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val t = MemoryConn.store.get(name)
+    val rows = if (t == null) 0L else t._2.map(_.length.toLong).sum
+    val width = schema0.fields.map(f => f.dataType match {
+      case org.apache.spark.sql.types.StringType => 20L
+      case _ => 8L
+    }).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(1L, width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val t = MemoryConn.store.get(name)

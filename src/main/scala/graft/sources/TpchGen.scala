@@ -301,21 +301,46 @@ class TpchScanBuilder(table: String, sf: Double, parts: Int)
 final case class TpchRange(start: Long, end: Long) extends InputPartition
 
 class TpchScan(table: String, sf: Double, parts: Int, required: StructType,
-    pushed: Array[Filter], kLo: Long, kHi: Long) extends Scan with Batch {
+    pushed: Array[Filter], kLo: Long, kHi: Long) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tpch $table sf=$sf PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def prunedRange: (Long, Long) = {
     val n = TpchGen.rowCount(table, sf)
-    val (lo, hi) =
-      if (kLo == Long.MinValue && kHi == Long.MaxValue) (0L, n)
-      // clamp key bounds into [0, n] BEFORE the index arithmetic (a
-      // `< Long.MaxValue` bound would overflow the lineitem *4 map)
-      else TpchGen.indexRangeForKeys(table,
-        math.max(0L, kLo), math.max(-1L, math.min(n, kHi)), n)
+    if (kLo == Long.MinValue && kHi == Long.MaxValue) (0L, n)
+    // clamp key bounds into [0, n] BEFORE the index arithmetic (a
+    // `< Long.MaxValue` bound would overflow the lineitem *4 map)
+    else TpchGen.indexRangeForKeys(table,
+      math.max(0L, kLo), math.max(-1L, math.min(n, kHi)), n)
+  }
+
+  /** The generator knows its exact post-pruning row count — report it
+    * (the reference's TpchMetadata serves table statistics the same
+    * way), so broadcast-vs-shuffle picks are right without ANALYZE.
+    * Width: fixed 8 bytes per numeric/timestamp field, 20 per string —
+    * the estimate only has to land the broadcast threshold. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (lo, hi) = prunedRange
+    val rows = math.max(0L, hi - lo)
+    val width = required.fields.map(_.dataType match {
+      case StringType => 20L
+      case _ => 8L
+    }).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(1L, width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (lo, hi) = prunedRange
     if (hi <= lo) return Array.empty
     val span = hi - lo
     val p = math.max(1, math.min(parts, span).toInt)

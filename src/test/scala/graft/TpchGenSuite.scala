@@ -94,4 +94,25 @@ class TpchGenSuite extends GraftSuite {
     assert(scan.contains("l_quantity"), scan)
     assert(!scan.contains("l_extendedprice"), scan)
   }
+
+  test("reported statistics auto-broadcast the small generated side") {
+    // no explicit broadcast() hint: nation (25 rows, ~1 KB reported via
+    // SupportsReportStatistics) must land under the broadcast threshold
+    // while the orders side stays the probe
+    val orders = gen("orders")
+    val nation = gen("nation")
+    val joined = orders.join(nation,
+      orders("o_custkey") % 25 === nation("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // pruning shrinks the reported size too: a key-bounded orders scan
+    // becomes broadcastable
+    val small = gen("orders").filter(col("o_orderkey") <= 100)
+    val j2 = gen("lineitem").join(small,
+      col("l_orderkey") === col("o_orderkey"))
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2)
+  }
 }
