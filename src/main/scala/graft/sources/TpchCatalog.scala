@@ -52,7 +52,7 @@ class TpchCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
     if (!tables.contains(ident.name().toLowerCase))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new TpchTable(ident.name().toLowerCase, sf, 8)
+    new GenTable(TpchGen, ident.name().toLowerCase, sf, 8)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

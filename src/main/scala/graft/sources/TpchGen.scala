@@ -39,7 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * replay the generator exactly (see `queries/Connectors.scala`) —
   * arithmetic stays within BIGINT range in both engines.
   */
-object TpchGen {
+object TpchGen extends ClosedFormGen {
+
+  override def genName: String = "graft-tpch"
 
   /** Shared mixing hash — nonneg, overflow-free in any 64-bit engine:
     * max k·2654435761 ≈ 1.6e16 « 2^63. Replayed verbatim in DuckDB. */
@@ -47,7 +49,7 @@ object TpchGen {
     (k * 2654435761L + salt * 40503L) % 1000000007L
 
   /** Row counts at scale factor sf (fixture-convention bases). */
-  def rowCount(table: String, sf: Double): Long = table match {
+  override def rowCount(table: String, sf: Double): Long = table match {
     case "lineitem" => 4L * math.max(1L, (1500000 * sf).toLong)
     case "orders"   => math.max(1L, (1500000 * sf).toLong)
     case "customer" => math.max(1L, (150000 * sf).toLong)
@@ -60,7 +62,7 @@ object TpchGen {
   }
 
   /** The monotone primary-key column whose predicates prune generation. */
-  def keyColumn(table: String): String = table match {
+  override def keyColumn(table: String): String = table match {
     case "lineitem" => "l_orderkey"
     case "orders" => "o_orderkey"
     case "customer" => "c_custkey"
@@ -78,7 +80,7 @@ object TpchGen {
   }
 
   /** Row index range [lo, hi) whose keys satisfy key ∈ [kLo, kHi]. */
-  def indexRangeForKeys(table: String, kLo: Long, kHi: Long,
+  override def indexRangeForKeys(table: String, kLo: Long, kHi: Long,
       n: Long): (Long, Long) = table match {
     case "lineitem" =>
       (math.max(0L, (kLo - 1) * 4), math.min(n, kHi * 4))
@@ -88,7 +90,7 @@ object TpchGen {
       (math.max(0L, kLo - 1), math.min(n, kHi))
   }
 
-  def schemaOf(table: String): StructType = table match {
+  override def schemaOf(table: String): StructType = table match {
     case "lineitem" => StructType(Seq(
       StructField("l_orderkey", LongType, nullable = false),
       StructField("l_partkey", LongType, nullable = false),
@@ -153,7 +155,7 @@ object TpchGen {
 
   /** Column generator: row index k → Catalyst value. sf fixes the
     * cross-table key spaces (part/supp/cust references). */
-  def generator(table: String, column: String, sf: Double): Long => Any = {
+  override def generator(table: String, column: String, sf: Double): Long => Any = {
     val nPart = rowCount("part", sf)
     val nSupp = rowCount("supplier", sf)
     val nCust = rowCount("customer", sf)
@@ -237,137 +239,8 @@ class TpchTableProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new TpchTable(tableName(opts),
+    new GenTable(TpchGen, tableName(opts),
       Option(opts.get("sf")).map(_.toDouble).getOrElse(0.01),
       Option(opts.get("parts")).map(_.toInt).getOrElse(8))
-  }
-}
-
-class TpchTable(table: String, sf: Double, parts: Int)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft-tpch.$table(sf=$sf)"
-  override def schema(): StructType = TpchGen.schemaOf(table)
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TpchScanBuilder(table, sf, parts)
-}
-
-/** Column pruning + key-range predicate pushdown: supported key
-  * predicates are fully absorbed (generation range narrows, Spark does
-  * NOT re-evaluate them); everything else stays with Spark. */
-class TpchScanBuilder(table: String, sf: Double, parts: Int)
-    extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-
-  private var required: StructType = TpchGen.schemaOf(table)
-  private var pushed: Array[Filter] = Array.empty
-  private var kLo: Long = Long.MinValue
-  private var kHi: Long = Long.MaxValue
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val key = TpchGen.keyColumn(table)
-    val (supported, rest) = filters.partition {
-      case EqualTo(c, v: Number) => c == key && v.longValue() >= 0
-      case GreaterThan(c, v: Number) => c == key
-      case GreaterThanOrEqual(c, v: Number) => c == key
-      case LessThan(c, v: Number) => c == key
-      case LessThanOrEqual(c, v: Number) => c == key
-      case _ => false
-    }
-    supported.foreach {
-      case EqualTo(_, v: Number) =>
-        kLo = math.max(kLo, v.longValue()); kHi = math.min(kHi, v.longValue())
-      case GreaterThan(_, v: Number) => kLo = math.max(kLo, v.longValue() + 1)
-      case GreaterThanOrEqual(_, v: Number) =>
-        kLo = math.max(kLo, v.longValue())
-      case LessThan(_, v: Number) => kHi = math.min(kHi, v.longValue() - 1)
-      case LessThanOrEqual(_, v: Number) => kHi = math.min(kHi, v.longValue())
-      case _ =>
-    }
-    pushed = supported
-    rest
-  }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def build(): Scan = new TpchScan(table, sf, parts, required,
-    pushed, kLo, kHi)
-}
-
-final case class TpchRange(start: Long, end: Long) extends InputPartition
-
-class TpchScan(table: String, sf: Double, parts: Int, required: StructType,
-    pushed: Array[Filter], kLo: Long, kHi: Long) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-tpch $table sf=$sf PushedFilters: [${pushed.mkString(", ")}]"
-
-  private def prunedRange: (Long, Long) = {
-    val n = TpchGen.rowCount(table, sf)
-    if (kLo == Long.MinValue && kHi == Long.MaxValue) (0L, n)
-    // clamp key bounds into [0, n] BEFORE the index arithmetic (a
-    // `< Long.MaxValue` bound would overflow the lineitem *4 map)
-    else TpchGen.indexRangeForKeys(table,
-      math.max(0L, kLo), math.max(-1L, math.min(n, kHi)), n)
-  }
-
-  /** The generator knows its exact post-pruning row count — report it
-    * (the reference's TpchMetadata serves table statistics the same
-    * way), so broadcast-vs-shuffle picks are right without ANALYZE.
-    * Width: fixed 8 bytes per numeric/timestamp field, 20 per string —
-    * the estimate only has to land the broadcast threshold. */
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
-    val (lo, hi) = prunedRange
-    val rows = math.max(0L, hi - lo)
-    val width = required.fields.map(_.dataType match {
-      case StringType => 20L
-      case _ => 8L
-    }).sum
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows * math.max(1L, width))
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-    }
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (lo, hi) = prunedRange
-    if (hi <= lo) return Array.empty
-    val span = hi - lo
-    val p = math.max(1, math.min(parts, span).toInt)
-    (0 until p).map { i =>
-      TpchRange(lo + span * i / p, lo + span * (i + 1) / p)
-    }.filter(r => r.end > r.start).toArray[InputPartition]
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TpchReaderFactory(table, sf, required.fieldNames)
-}
-
-class TpchReaderFactory(table: String, sf: Double, columns: Array[String])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[TpchRange]
-    new PartitionReader[InternalRow] {
-      private val gens = columns.map(TpchGen.generator(table, _, sf))
-      private var k = r.start - 1
-      override def next(): Boolean = { k += 1; k < r.end }
-      override def get(): InternalRow = {
-        val row = new GenericInternalRow(gens.length)
-        var i = 0
-        while (i < gens.length) { row.update(i, gens(i)(k)); i += 1 }
-        row
-      }
-      override def close(): Unit = ()
-    }
   }
 }
