@@ -41,6 +41,8 @@ object Sessions {
       .config("spark.sql.catalog.graft_tpch", "graft.sources.TpchCatalog")
       // Presto's jmx catalog: SELECT ... FROM graft_jmx.current.`java.lang:type=runtime`
       .config("spark.sql.catalog.graft_jmx", "graft.sources.JmxCatalog")
+      // Presto's tpcds catalog: SELECT ... FROM graft_tpcds.tiny.store_sales
+      .config("spark.sql.catalog.graft_tpcds", "graft.sources.TpcdsCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on

@@ -228,6 +228,81 @@ object Connectors extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // TPC-DS generator: date_dim calendar correctness — DuckDB computes
+    // the proleptic Gregorian calendar ITSELF from the same julian
+    // surrogate convention (2415022 = 1900-01-02), so year/quarter/
+    // month/day-name derivations must agree cell-for-cell.
+    "q0q_tpcdsgen_datedim" -> ((s, dir) => {
+      s.read.format("graft-tpcds").option("table", "date_dim").load()
+        .filter(col("d_year").between(1999, 2000))
+        .groupBy(col("d_year"), col("d_qoy"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("d_date_sk")).as("min_sk"),
+          min(col("d_date")).as("min_date"),
+          max(col("d_dom")).as("max_dom"),
+          countDistinct(col("d_moy")).as("n_months"),
+          min(col("d_day_name")).as("min_day_name"),
+          max(col("d_week_seq")).as("max_week_seq"))
+        .orderBy(col("d_year"), col("d_qoy"))
+    }),
+
+    // TPC-DS generator star join: store_sales ⋈ date_dim ⋈ item for
+    // 1998, revenue by category — dimensions auto-broadcast off the
+    // reported statistics, and the oracle replays the fact/dimension
+    // arithmetic (incl. the integer-cents price core) verbatim.
+    "q0r_tpcdsgen_star" -> ((s, dir) => {
+      def t(n: String) =
+        s.read.format("graft-tpcds").option("table", n).load()
+      t("store_sales")
+        .join(t("date_dim"), col("ss_sold_date_sk") === col("d_date_sk"))
+        .filter(col("d_year") === 1998)
+        .join(t("item"), col("ss_item_sk") === col("i_item_sk"))
+        .groupBy(col("i_category"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ss_quantity")).cast("bigint").as("qty_sum"),
+          round(sum(col("ss_ext_sales_price")), 2).as("rev"))
+        .orderBy(col("i_category"))
+    }),
+
+    // TPC-DS generator returns slice: every store_return joins back to
+    // exactly one parent sales line on (ticket, item) — referential
+    // integrity of the every-10th-sale recomputation, through the
+    // catalog-qualified spelling.
+    "q0s_tpcdsgen_returns" -> ((s, dir) => {
+      s.sql("""WITH m AS (
+              |  SELECT r.sr_ticket_number, r.sr_item_sk,
+              |    count(*) AS n_parents
+              |  FROM graft_tpcds.tiny.store_returns r
+              |  JOIN graft_tpcds.tiny.store_sales sls
+              |    ON r.sr_ticket_number = sls.ss_ticket_number
+              |   AND r.sr_item_sk = sls.ss_item_sk
+              |  GROUP BY 1, 2)
+              |SELECT
+              |  (SELECT count(*) FROM graft_tpcds.tiny.store_returns)
+              |    AS n_returns,
+              |  count(*) AS n_matched,
+              |  bool_and(n_parents >= 1) AS all_have_parents
+              |FROM m""".stripMargin)
+    }),
+
+    // TPC-DS generator demographics: cd is the spec's full mixed-radix
+    // CROSS PRODUCT (1,920,800 rows); a cd_demo_sk bound prunes
+    // GENERATION to the first 1,400 rows (2x5x7x20 — each
+    // (gender, marital, education) cell appears exactly 20 times, one
+    // per purchase-estimate level), and the oracle replays the mixed
+    // radix in div/mod.
+    "q0t_tpcdsgen_demographics" -> ((s, dir) => {
+      s.read.format("graft-tpcds")
+        .option("table", "customer_demographics").load()
+        .filter(col("cd_demo_sk") <= 1400)
+        .groupBy(col("cd_gender"), col("cd_marital_status"),
+          col("cd_education_status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cd_purchase_estimate")).cast("bigint").as("pe_sum"))
+        .orderBy(col("cd_gender"), col("cd_marital_status"),
+          col("cd_education_status"))
+    }),
+
     // The AVRO record decoder: single-record object-container messages
     // (the exact form AvroRowDecoder.decodeRow consumes) built
     // driver-side from closed-form arithmetic, decoded distributed by
@@ -360,6 +435,75 @@ object Connectors extends QueryPack {
     "q0i_jmx_wildcard_history" ->
       """SELECT TRUE AS many, TRUE AS prefixed, TRUE AS hist_double,
         |  TRUE AS stamped""".stripMargin,
+
+    "q0q_tpcdsgen_datedim" ->
+      """WITH d AS (
+        |  SELECT 2415022 + k AS d_date_sk,
+        |    DATE '1900-01-02' + CAST(k AS INT) AS d_date, k
+        |  FROM (SELECT unnest(range(0, 73049)) AS k)),
+        |e AS (SELECT d_date_sk, d_date,
+        |    CAST(year(d_date) AS INT) AS d_year,
+        |    CAST(month(d_date) AS INT) AS d_moy,
+        |    CAST(day(d_date) AS INT) AS d_dom,
+        |    CAST((month(d_date) - 1) // 3 + 1 AS INT) AS d_qoy,
+        |    dayname(d_date) AS d_day_name,
+        |    CAST(k // 7 + 1 AS INT) AS d_week_seq
+        |  FROM d)
+        |SELECT d_year, d_qoy, count(*) AS n_days,
+        |  min(d_date_sk) AS min_sk, min(d_date) AS min_date,
+        |  max(d_dom) AS max_dom, count(DISTINCT d_moy) AS n_months,
+        |  min(d_day_name) AS min_day_name,
+        |  max(d_week_seq) AS max_week_seq
+        |FROM e WHERE d_year BETWEEN 1999 AND 2000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q0r_tpcdsgen_star" ->
+      """WITH ks AS (SELECT unnest(range(0, 28800)) AS k),
+        |ss AS (SELECT k,
+        |    2450815 + ((k * 2654435761 + 111 * 40503) % 1000000007)
+        |      % 1826 AS sold,
+        |    ((k * 2654435761 + 114 * 40503) % 1000000007) % 180 + 1
+        |      AS item,
+        |    ((k * 2654435761 + 104 * 40503) % 1000000007) % 100 + 1
+        |      AS qty,
+        |    100 + ((k * 2654435761 + 101 * 40503) % 1000000007) % 19900
+        |      AS listc,
+        |    20 + ((k * 2654435761 + 102 * 40503) % 1000000007) % 81
+        |      AS pct
+        |  FROM ks),
+        |ss2 AS (SELECT *, (listc * pct) // 100 AS salesc FROM ss),
+        |it AS (SELECT j + 1 AS item,
+        |    ['Books','Children','Electronics','Home','Jewelry','Men',
+        |     'Music','Shoes','Sports','Women'][CAST(((j * 2654435761
+        |       + 41 * 40503) % 1000000007) % 10 AS INT) + 1]
+        |      AS i_category
+        |  FROM (SELECT unnest(range(0, 180)) AS j))
+        |SELECT i_category, count(*) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS qty_sum,
+        |  round(sum(salesc * qty / 100.0), 2) AS rev
+        |FROM ss2 JOIN it USING (item)
+        |WHERE sold BETWEEN 2450815 AND 2451179
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q0s_tpcdsgen_returns" ->
+      """SELECT CAST(2880 AS BIGINT) AS n_returns,
+        |  CAST(2880 AS BIGINT) AS n_matched,
+        |  TRUE AS all_have_parents""".stripMargin,
+
+    "q0t_tpcdsgen_demographics" ->
+      """WITH ks AS (SELECT unnest(range(0, 1400)) AS k),
+        |d AS (SELECT
+        |    ['M','F'][CAST(k % 2 AS INT) + 1] AS cd_gender,
+        |    ['M','S','D','W','U'][CAST((k // 2) % 5 AS INT) + 1]
+        |      AS cd_marital_status,
+        |    ['Primary','Secondary','College','2 yr Degree',
+        |     '4 yr Degree','Advanced Degree','Unknown']
+        |      [CAST((k // 10) % 7 AS INT) + 1] AS cd_education_status,
+        |    ((k // 70) % 20 + 1) * 500 AS pe
+        |  FROM ks)
+        |SELECT cd_gender, cd_marital_status, cd_education_status,
+        |  count(*) AS n, CAST(sum(pe) AS BIGINT) AS pe_sum
+        |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q0o_avro_decoder" ->
       """WITH ks AS (SELECT unnest(range(1, 101)) AS k),

@@ -103,10 +103,17 @@ class GenScan(gen: ClosedFormGen, table: String, sf: Double, parts: Int,
   private def prunedRange: (Long, Long) = {
     val n = gen.rowCount(table, sf)
     if (kLo == Long.MinValue && kHi == Long.MaxValue) (0L, n)
-    // clamp key bounds into [0, n] BEFORE the index arithmetic (a
-    // `< Long.MaxValue` bound would overflow multi-row-per-key maps)
-    else gen.indexRangeForKeys(table,
-      math.max(0L, kLo), math.max(-1L, math.min(n, kHi)), n)
+    else {
+      // guard the index arithmetic against overflow (a `< Long.MaxValue`
+      // bound times a lines-per-key factor would wrap) WITHOUT clamping
+      // into [0, n] — key spaces may sit far above the row count
+      // (julian d_date_sk, week-based inv_date_sk); each generator's
+      // inverse clamps its OUTPUT to [0, n]
+      val cap = 1L << 40
+      gen.indexRangeForKeys(table,
+        math.max(-cap, math.min(cap, kLo)),
+        math.max(-cap, math.min(cap, kHi)), n)
+    }
   }
 
   /** Exact post-pruning cardinality — the generator knows it, so
