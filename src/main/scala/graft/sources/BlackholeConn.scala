@@ -122,8 +122,8 @@ class BlackholeTable(schema0: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     schema0.fields.foreach(f => require(BlackholeConn.supported(f.dataType),
@@ -139,6 +139,13 @@ class BlackholeTable(schema0: StructType, options: CaseInsensitiveStringMap)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new BlackholeBatchWrite(options.getOrDefault("name", "default"))
+        // streaming discard sink: the stream-benchmark twin of the
+        // batch path — per-epoch task counts fold into the same
+        // per-sink counter
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new BlackholeStreamingWrite(
+            options.getOrDefault("name", "default"))
       }
     }
 }
@@ -200,6 +207,32 @@ class BlackholeBatchWrite(name: String) extends BatchWrite {
     BlackholeConn.add(name,
       messages.map(_.asInstanceOf[BlackholeCommit].rows).sum)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BlackholeStreamingWrite(name: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory with Serializable {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new DataWriter[InternalRow] {
+          private var n = 0L
+          override def write(record: InternalRow): Unit = n += 1
+          override def commit(): WriterCommitMessage = BlackholeCommit(n)
+          override def abort(): Unit = ()
+          override def close(): Unit = ()
+        }
+    }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    BlackholeConn.add(name,
+      messages.map(_.asInstanceOf[BlackholeCommit].rows).sum)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class BlackholeWriterFactory extends DataWriterFactory {

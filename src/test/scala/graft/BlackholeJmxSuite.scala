@@ -57,6 +57,26 @@ class BlackholeJmxSuite extends GraftSuite {
     assert(graft.sources.BlackholeConn.rowsWritten("bh_t1") == 12347L)
   }
 
+  test("blackhole streaming sink discards micro-batches and counts rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.BlackholeConn.reset("bh_stream")
+    val in = MemoryStream[Long]
+    val q = in.toDF().writeStream.format("graft-blackhole")
+      .option("name", "bh_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bh_ckpt").toString)
+      .start()
+    try {
+      in.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      assert(graft.sources.BlackholeConn.rowsWritten("bh_stream") == 500L)
+      in.addData(501L to 700L: _*)
+      q.processAllAvailable()
+      assert(graft.sources.BlackholeConn.rowsWritten("bh_stream") == 700L)
+    } finally q.stop()
+  }
+
   test("blackhole rejects unsupported read types loudly") {
     val sch = StructType(Seq(StructField("m", MapType(StringType, LongType))))
     val e = intercept[Exception] { bhRead(sch, 1, 1, 1).collect() }
