@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
 import graft.functions.Registry
 
@@ -37,6 +39,45 @@ object Ml extends QueryPack {
           |        learn_regressor(l_extendedprice, features(l_quantity)) AS m
           |      FROM lineitem GROUP BY l_returnflag) t
           |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Logistic-regression training (operators/Logistic.scala): 3 batch
+    // GD iterations over document quality features, each ONE mergeable
+    // aggregate pass (driver holds only the 3-dim weight vector). The
+    // oracle replays training as chained gradient/weight CTEs — same
+    // fold order, same lr — and the gate pins rounded weights, a
+    // margin-guarded holdout accuracy (|score| > 1e-6 absorbs the
+    // ~1e-14 cross-engine double drift), and log-loss monotonicity
+    // (lr = 0.3 < 1/L for these feature magnitudes, so descent is
+    // guaranteed, not hoped).
+    "q0u_logistic_learn" -> ((s, dir) => {
+      import graft.operators.Logistic
+      val d = Tables.view(s, dir, "documents").select(
+        lit(1.0).as("x1"), ((col("n_chars") - 300) / 100.0).as("x2"),
+        ((col("doc_id") % 7) / 7.0).as("x3"),
+        when(col("n_chars") + (col("doc_id") % 13) * 10 > 350, 1.0)
+          .otherwise(0.0).as("y"))
+      val xs = Seq(col("x1"), col("x2"), col("x3"))
+      val y = col("y")
+      val lr = 0.3
+      var w = Array(0.0, 0.0, 0.0)
+      val losses = scala.collection.mutable.ArrayBuffer(
+        Logistic.logLoss(d, xs, y, w))
+      for (_ <- 1 to 3) {
+        val g = Logistic.gradient(d, xs, y, w)
+        w = w.zip(g).map { case (wi, gi) => wi - lr * gi }
+        losses += Logistic.logLoss(d, xs, y, w)
+      }
+      val mono = losses.sliding(2).forall(p => p(1) <= p(0) + 1e-12)
+      d.withColumn("s", Logistic.score(xs, w))
+        .filter(abs(col("s")) > 1e-6)
+        .agg(count(lit(1)).as("n_scored"),
+          count(when((col("s") > 0) === (col("y") === 1.0), 1))
+            .as("n_correct"))
+        .withColumn("wb", round(lit(w(0)), 6))
+        .withColumn("wx", round(lit(w(1)), 6))
+        .withColumn("wn", round(lit(w(2)), 6))
+        .withColumn("loss_monotone", lit(mono))
     }),
 
     // learn_classifier + classify: three well-separated synthetic
@@ -78,6 +119,39 @@ object Ml extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    "q0u_logistic_learn" ->
+      """WITH d AS (SELECT 1.0 AS x1, (n_chars - 300)/100.0 AS x2,
+        |    (doc_id % 7)/7.0 AS x3,
+        |    CASE WHEN n_chars + (doc_id % 13) * 10 > 350
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |g1 AS (SELECT avg((0.5 - y)*x1) AS a, avg((0.5 - y)*x2) AS b,
+        |         avg((0.5 - y)*x3) AS c FROM d),
+        |wt1 AS (SELECT -0.3*a AS wa, -0.3*b AS wb, -0.3*c AS wc FROM g1),
+        |g2 AS (SELECT
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x1) AS a,
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x2) AS b,
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x3) AS c
+        |  FROM d CROSS JOIN wt1),
+        |wt2 AS (SELECT wa - 0.3*a AS wa, wb - 0.3*b AS wb,
+        |          wc - 0.3*c AS wc FROM wt1 CROSS JOIN g2),
+        |g3 AS (SELECT
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x1) AS a,
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x2) AS b,
+        |    avg((1/(1+exp(-(wa*x1 + wb*x2 + wc*x3))) - y)*x3) AS c
+        |  FROM d CROSS JOIN wt2),
+        |wt3 AS (SELECT wa - 0.3*a AS wa, wb - 0.3*b AS wb,
+        |          wc - 0.3*c AS wc FROM wt2 CROSS JOIN g3),
+        |sc AS (SELECT y, wa*x1 + wb*x2 + wc*x3 AS s
+        |       FROM d CROSS JOIN wt3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(count_if((s > 0) = (y = 1.0)) AS BIGINT) AS n_correct,
+        |  round((SELECT wa FROM wt3), 6) AS wb,
+        |  round((SELECT wb FROM wt3), 6) AS wx,
+        |  round((SELECT wc FROM wt3), 6) AS wn,
+        |  TRUE AS loss_monotone
+        |FROM sc WHERE abs(s) > 0.000001""".stripMargin,
+
     "qm0_learn_regressor" ->
       """WITH s AS (
         |  SELECT l_returnflag,
