@@ -757,6 +757,14 @@ object Registry {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+
             graft.plans.ZonedInstantComparison
+      // Grand-total row for grouping analytics over empty input (the
+      // driver-session hook; engine-built sessions get the analysis-time
+      // injection via GraftExtensions — see EmptyGroupingSetsGrandTotal).
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.EmptyGroupingSetsGrandTotal))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.EmptyGroupingSetsGrandTotal
       // ConvertToLocalRelation eagerly evaluates VALUES-backed
       // projections in the operator batch — BEFORE user rules — which
       // would bake pair semantics into literal-table zoned comparisons.

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** The SQL-standard grand-total row for grouping analytics over an EMPTY
+  * input.
+  *
+  * Per the spec (and the reference — Presto's GroupIdOperator replicates
+  * rows per grouping set, and the aggregation over the `()` set with no
+  * input rows still produces its single default row, like any global
+  * aggregate; DuckDB agrees), `GROUP BY ROLLUP/CUBE/GROUPING SETS`
+  * containing the empty set `()` must yield one grand-total row even when
+  * the input has no rows: count = 0, other aggregates at their empty-input
+  * values, grouping keys NULL, grouping_id = the all-ones mask. Spark's
+  * Expand-based implementation replicates input rows per set, so zero
+  * input rows yield zero output rows — the divergence this repo's ledger
+  * carried as item 13 until round 8.
+  *
+  * The rewrite is a SENTINEL ROW, not a second pass: one all-null row with
+  * a `graft_rollup_sentinel = true` flag is unioned under the Expand, the
+  * flag rides through every grouping-set projection, every aggregate
+  * function gets `FILTER (WHERE NOT sentinel)` (so its value is computed
+  * over exactly the real rows — empty-input semantics come from the
+  * functions themselves: count → 0, sum → NULL, collect → [], any custom
+  * TypedImperativeAggregate → eval(initial); no per-function default table
+  * to maintain), and a post-aggregation filter keeps a group iff it
+  * contains a real row OR it is a `()` group (gid = the all-ones mask):
+  *
+  * {{{
+  *   Aggregate(keys :+ gid, outs, Expand(projs, out, child))
+  *   ==>
+  *   Project(outs,
+  *     Filter(gid = mask OR graft_sentinel_real_cnt > 0,
+  *       Aggregate(keys :+ gid,
+  *         outs.withFilter(NOT flag) ++ [gid, count(NOT flag) AS real_cnt],
+  *         Expand(projs ++ [flag], out :+ flag,
+  *           Union(Project(child.* , false AS flag),
+  *                 Project(null..., true AS flag, OneRowRelation))))))
+  * }}}
+  *
+  * Why each piece is safe: the sentinel lands in the all-null group of
+  * EVERY grouping set; in a non-`()` set that group either also holds
+  * genuine all-null-key rows (real_cnt > 0 — kept, and the FILTER keeps
+  * the sentinel out of its aggregate values) or is sentinel-only
+  * (dropped). In the `()` set the single group always exists now, its keys
+  * are the sentinel's NULLs and its aggregates are computed over the real
+  * rows — zero of them when the input is empty, which is exactly the
+  * grand-total row the spec asks for. Duplicate `()` sets (`GROUPING SETS
+  * ((),())`) need no special case: Spark's `_gen_grouping_pos` column
+  * already separates them, the sentinel replicates through both
+  * projections, and each emits its own row.
+  *
+  * Scale: no second pass, no subtree duplication, no shuffle added — the
+  * cost is one literal row unioned into the Expand input, one boolean
+  * riding the existing shuffle, and one extra count per group. (An earlier
+  * draft probed emptiness with a `Limit(1, child)` branch; on plans whose
+  * grouping input is a deep join tree — TPC-DS Q14 — that doubled the
+  * join count in the compiled plan. The sentinel form leaves the child
+  * subtree untouched.)
+  *
+  * Injected like [[ZonedInstantComparison]]: post-hoc resolution rule on
+  * engine-built sessions (GraftExtensions) and
+  * `spark.experimental.extraOptimizations` on driver-provided sessions.
+  * Idempotent via a node tag plus the sentinel-alias marker scan (the
+  * optimizer copy sees analysis-rewritten plans and skips them); on
+  * driver sessions a rollup containing DISTINCT aggregates may reach the
+  * optimizer already rewritten by RewriteDistinctAggregates into a shape
+  * this rule does not match — that residual applies only to sessions the
+  * engine did not build.
+  */
+object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
+
+  private val Tag = TreeNodeTag[Unit]("graft.emptyGrandTotal")
+
+  /** Marker names (also the idempotence sentinel for the optimizer-
+    * installed copy of the rule). */
+  private[graft] val FlagName = "graft_rollup_sentinel"
+  private[graft] val RealCntName = "graft_sentinel_real_cnt"
+
+  /** Spark's grouping-analytics virtual column (VirtualColumn.groupingIdName);
+    * distinguishes ResolveGroupingAnalytics' Expand from the `gid` Expand
+    * RewriteDistinctAggregates builds in the optimizer. */
+  private val GroupingIdName = "spark_grouping_id"
+
+  private def maskOf(n: Int): Long = (1L << n) - 1
+
+  /** The grouping layout ResolveGroupingAnalytics emits: grouping-column
+    * copies, then `spark_grouping_id`, then (only when duplicate grouping
+    * sets exist) a `_gen_grouping_pos` disambiguator. */
+  private def gidOf(agg: Aggregate): Option[AttributeReference] = {
+    val ge = agg.groupingExpressions
+    if (ge.isEmpty || !ge.forall(_.isInstanceOf[AttributeReference])) None
+    else ge.collectFirst {
+      case a: AttributeReference if a.name == GroupingIdName => a
+    }
+  }
+
+  /** Does any projection spell the `()` set — grouping-id literal with all
+    * n bits set (n = grouping columns before the gid)? */
+  private def hasGlobalSet(agg: Aggregate, expand: Expand,
+      gid: AttributeReference): Boolean = {
+    val gidIdx = expand.output.indexWhere(_.exprId == gid.exprId)
+    val n = agg.groupingExpressions.indexWhere {
+      case a: AttributeReference => a.exprId == gid.exprId
+      case _ => false
+    }
+    gidIdx >= 0 && n >= 0 && expand.projections.forall(_.size > gidIdx) &&
+    expand.projections.exists(p => p(gidIdx) match {
+      case Literal(v: Int, IntegerType) => v.toLong == maskOf(n)
+      case Literal(v: Long, LongType) => v == maskOf(n)
+      case _ => false
+    })
+  }
+
+  private def eligible(agg: Aggregate): Boolean =
+    agg.getTagValue(Tag).isEmpty && (agg.child match {
+      case expand: Expand if !expand.child.isStreaming =>
+        gidOf(agg).exists(gid => hasGlobalSet(agg, expand, gid))
+      case _ => false
+    })
+
+  private def rewrite(agg: Aggregate): LogicalPlan = {
+    val expand = agg.child.asInstanceOf[Expand]
+    val child = expand.child
+    val gid = gidOf(agg).get
+    val n = agg.groupingExpressions.indexWhere {
+      case a: AttributeReference => a.exprId == gid.exprId
+      case _ => false
+    }
+    val maskLit = Literal.create(
+      if (gid.dataType == LongType) maskOf(n) else maskOf(n).toInt,
+      gid.dataType)
+
+    // child ∪ one flagged all-null sentinel row. The real branch keeps the
+    // child's attribute ids, so the Expand projections still resolve.
+    val flagAlias = Alias(Literal(false), FlagName)()
+    val realBranch = Project(child.output :+ flagAlias, child)
+    val sentinelBranch = Project(
+      child.output.map(a =>
+        Alias(Literal.create(null, a.dataType), a.name)()) :+
+        Alias(Literal(true), FlagName)(),
+      OneRowRelation())
+    val flag = flagAlias.toAttribute
+    val expanded = Expand(
+      expand.projections.map(_ :+ flag),
+      expand.output :+ flag,
+      Union(Seq(realBranch, sentinelBranch)))
+
+    // Every aggregate function computes over the real rows only.
+    val notFlag = Not(flag)
+    val filteredOuts: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        ne.transform {
+          case ae: AggregateExpression =>
+            ae.copy(filter = Some(ae.filter.fold[Expression](notFlag)(
+              f => And(f, notFlag))))
+        }.asInstanceOf[NamedExpression]
+    }
+    val realCnt = Alias(
+      Count(Literal(1)).toAggregateExpression(isDistinct = false,
+        filter = Some(notFlag)),
+      RealCntName)()
+    // gid may already be an output (rare); only append what the post-filter
+    // needs and is not there yet.
+    val outIds = filteredOuts.map(_.exprId).toSet
+    val extras = (if (outIds.contains(gid.exprId)) Nil else Seq(gid)) :+
+      realCnt
+    val aggNew = Aggregate(agg.groupingExpressions, filteredOuts ++ extras,
+      expanded)
+    val keep = Or(EqualTo(gid, maskLit),
+      GreaterThan(realCnt.toAttribute, Literal(0L)))
+    val result = Project(agg.aggregateExpressions.map(_.toAttribute),
+      Filter(keep, aggNew))
+
+    agg.setTagValue(Tag, ())
+    result
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Sentinel pass: if the marker alias is already present, an earlier
+    // application (the analysis-time injection) has handled this plan.
+    val alreadyDone = plan.collectWithSubqueries {
+      case p: Project if p.projectList.exists {
+            case al: Alias => al.name == FlagName
+            case _ => false
+          } =>
+        ()
+    }.nonEmpty
+    if (alreadyDone) plan
+    else plan.transformUpWithSubqueries {
+      case agg: Aggregate if eligible(agg) => rewrite(agg)
+    }
+  }
+}

@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * column-bearing shape is covered by the optimizer pass.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPostHocResolutionRule(_ => ZonedInstantComparison)
+    // SQL-standard grand-total row for ROLLUP/CUBE/GROUPING SETS over an
+    // empty input (ledger item 13, closed r8) — analysis-time so the
+    // rewritten Union flows through the full optimizer.
+    extensions.injectPostHocResolutionRule(_ => EmptyGroupingSetsGrandTotal)
+  }
 }

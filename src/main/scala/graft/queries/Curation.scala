@@ -210,6 +210,54 @@ object Curation extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169 —
+    // "Data Selection for Language Models via Importance Resampling"):
+    // estimate hashed-word-feature distributions for a TARGET domain
+    // (here lang='en' — the slice you want more of) and the RAW corpus,
+    // score every document by the log-likelihood ratio Σ_w ln(p̂[h(w)] /
+    // q̂[h(w)]) (Laplace-smoothed, 256 buckets), and sample WITHOUT
+    // replacement ∝ exp(score) via Gumbel top-k — the Gumbel key is
+    // deterministic (a multiplicative hash of doc_id mapped into (0,1)),
+    // so the selected set replays exactly in DuckDB. Plan: one explode
+    // pass feeds BOTH the 256-bucket distribution aggregate (map-side
+    // partial into 256 keys, metadata-sized result broadcast back) and
+    // the per-doc scoring aggregate (one doc_id shuffle); selection is a
+    // TopN, never a global sort. At 100 TB materialize the hashed-feature
+    // table once (it is the reusable artifact) so the two aggregates
+    // share the tokenize pass instead of replaying lineage.
+    "q0w_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.view(s, dir, "documents")
+      // literal-space split (NOT a regex): the session registry shadows
+      // `split` with Presto's literal-delimiter semantics, and Spark 4's
+      // functions.split resolves by NAME through that shadow — a regex
+      // delimiter here would silently stop splitting (the SURVEY §2.3
+      // split-shadow lesson, now also binding for the DataFrame API).
+      val words = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 256L)
+      val dist = words.groupBy(col("b")).agg(
+        count(lit(1)).as("q_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p_cnt"))
+      val tot = dist.agg(sum(col("q_cnt")).as("q_tot"),
+        sum(col("p_cnt")).as("p_tot"))
+      val lw = dist.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("p_cnt") + lit(1.0)) / (col("p_tot") + lit(256.0)))
+            - log((col("q_cnt") + lit(1.0)) / (col("q_tot") + lit(256.0))))
+            .as("lw"))
+      val u = ((col("doc_id") * lit(2654435761L) + lit(7L)) % lit(1000003L)
+        + lit(1L)).cast("double") / lit(1000004.0)
+      words.join(broadcast(lw), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("lw")).as("llr"))
+        .withColumn("s", col("llr") - log(-log(u)))
+        .orderBy(col("s").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("lang"), round(col("llr"), 4).as("llr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing — concatenate documents in deterministic order and
     // chunk into fixed token budgets (the GPT-style pretraining packer): a
     // doc's pack is where its first token lands in the per-lang running
@@ -361,6 +409,36 @@ object Curation extends QueryPack {
         |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_contaminated,
         |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM c)
         |         AS contam_id_sum""".stripMargin,
+
+    "q0w_dsir_resample" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, w,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents) t
+        |  WHERE length(w) > 0),
+        |dist AS (
+        |  SELECT b, count(*) AS q_cnt,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_cnt
+        |  FROM words GROUP BY b),
+        |tot AS (SELECT sum(q_cnt) AS q_tot, sum(p_cnt) AS p_tot FROM dist),
+        |lw AS (
+        |  SELECT b, ln((p_cnt + 1.0) / (p_tot + 256.0))
+        |         - ln((q_cnt + 1.0) / (q_tot + 256.0)) AS lw
+        |  FROM dist CROSS JOIN tot),
+        |scored AS (
+        |  SELECT w.doc_id, w.lang, sum(lw.lw) AS llr
+        |  FROM words w JOIN lw ON w.b = lw.b
+        |  GROUP BY w.doc_id, w.lang),
+        |k AS (
+        |  SELECT doc_id, lang, llr
+        |  FROM scored
+        |  ORDER BY llr - ln(-ln((((doc_id * 2654435761 + 7) % 1000003) + 1)
+        |    / 1000004.0)) DESC, doc_id
+        |  LIMIT 100)
+        |SELECT doc_id, lang, CAST(round(llr, 4) AS DOUBLE) AS llr
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "qi4_mixture_resample" ->
       """WITH c AS (SELECT source, count(*) AS n_src FROM documents

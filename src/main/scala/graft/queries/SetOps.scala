@@ -94,10 +94,53 @@ object SetOps extends QueryPack {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
+    }),
+
+    // Grand-total row over an EMPTY input (SQL spec; ledger item 13,
+    // closed r8 by EmptyGroupingSetsGrandTotal): ROLLUP and CUBE over a
+    // filter that matches nothing still yield the single () row — count 0,
+    // sum NULL, keys NULL, grouping() = 1 — while GROUPING SETS without
+    // the () set yields nothing. The non-empty rollup arm proves the
+    // rewrite's sentinel row never leaks when rows exist. One SQL text,
+    // replayed verbatim by DuckDB (whose Expand-free aggregation follows
+    // the spec natively).
+    "q0v_empty_rollup" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(emptyRollupSql)
     })
   )
 
+  private val emptyRollupSql =
+    """WITH e AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |             CAST(l_quantity AS DOUBLE) AS q
+      |           FROM lineitem WHERE l_quantity < 0)
+      |SELECT * FROM (
+      |  SELECT 'cube_empty' AS src, rf, ls, count(*) AS n,
+      |         CAST(sum(q) AS DOUBLE) AS sq,
+      |         CAST(grouping(rf) AS INT) AS g1, CAST(grouping(ls) AS INT) AS g2
+      |  FROM e GROUP BY CUBE(rf, ls)
+      |  UNION ALL
+      |  SELECT 'gs_no_total' AS src, rf, ls, count(*) AS n,
+      |         CAST(sum(q) AS DOUBLE) AS sq,
+      |         CAST(grouping(rf) AS INT) AS g1, CAST(grouping(ls) AS INT) AS g2
+      |  FROM e GROUP BY GROUPING SETS ((rf), (rf, ls))
+      |  UNION ALL
+      |  SELECT 'nonempty' AS src, rf, ls, count(*) AS n,
+      |         CAST(sum(q) AS DOUBLE) AS sq,
+      |         CAST(grouping(rf) AS INT) AS g1, CAST(grouping(ls) AS INT) AS g2
+      |  FROM (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |          CAST(l_quantity AS DOUBLE) AS q FROM lineitem) t
+      |  GROUP BY ROLLUP(rf, ls)
+      |  UNION ALL
+      |  SELECT 'rollup_empty' AS src, rf, ls, count(*) AS n,
+      |         CAST(sum(q) AS DOUBLE) AS sq,
+      |         CAST(grouping(rf) AS INT) AS g1, CAST(grouping(ls) AS INT) AS g2
+      |  FROM e GROUP BY ROLLUP(rf, ls)) u
+      |ORDER BY src, g1, g2, rf NULLS LAST, ls NULLS LAST""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q0v_empty_rollup" -> emptyRollupSql,
+
     "q40_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
