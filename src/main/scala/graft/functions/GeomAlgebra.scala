@@ -597,15 +597,40 @@ case class HoledPolygon(child: Expression, mode: String)
       LineOps.coords(arr.getArray(i), xi))
     rings.foreach(r => require(r.length >= 6,
       s"$prettyName: every ring needs >= 3 vertices"))
-    // orientation-insensitive: |shoelace| per ring, exterior positive,
-    // holes negative
-    val areas = rings.map(r => math.abs(GeomBoolean.signedArea(r)))
-    val holeSum = areas.drop(1).sum
-    require(holeSum <= areas.head,
+    // Two readings, disambiguated structurally (r8c): when every ring
+    // after the first nests inside it, the input is a SINGLE polygon
+    // [exterior, holes...] and the read stays orientation-INSENSITIVE
+    // (|shoelace|, holes negative — the legacy hand-built contract).
+    // When some later ring is NOT nested in the first, the input is a
+    // MULTIPOLYGON (st_polygon_union / symdifference / splitting-bar
+    // difference outputs) and orientation decides: CCW rings are
+    // component exteriors (+), CW rings are their holes (−) — the
+    // convention every holed boolean op emits and the WKB reader
+    // normalizes to. Before this, a 2-component multipolygon
+    // mis-subtracted its second component.
+    val signed = rings.map(GeomBoolean.signedArea)
+    val singlePoly = rings.tail.forall(r =>
+      GeomBoolean.inside(r(0), r(1), rings.head))
+    val weightsSeq: Seq[Double] =
+      if (singlePoly) signed.head.abs +: signed.tail.map(a => -a.abs)
+      else {
+        require(signed.head >= 0,
+          s"$prettyName: a multipolygon's first ring must be a CCW exterior")
+        // a later ring enclosing the first is not a sibling component —
+        // it is an exterior-swallowing "hole", i.e. the rings exceed the
+        // exterior: loudly invalid in either reading
+        require(!rings.tail.exists(r =>
+          GeomBoolean.inside(rings.head(0), rings.head(1), r)),
+          s"$prettyName: interior rings exceed the exterior area — not a " +
+            "valid holed polygon")
+        signed
+      }
+    val net = weightsSeq.sum
+    require(net >= 0,
       s"$prettyName: interior rings exceed the exterior area — not a " +
         "valid holed polygon")
     mode match {
-      case "area" => areas.head - holeSum
+      case "area" => net
       case "centroid" =>
         // per-ring centroid via the standard polygon-centroid fold,
         // combined with +exterior/−hole area weights
@@ -623,17 +648,17 @@ case class HoledPolygon(child: Expression, mode: String)
           }
           (cx / (3 * a2), cy / (3 * a2)) // sign cancels in the ratio
         }
-        val net = areas.head - holeSum
         require(net > 0, s"$prettyName: zero-area polygon has no centroid")
         var nx = 0.0; var ny = 0.0
         rings.indices.foreach { i =>
           // a zero-area (degenerate) ring carries zero weight but its
           // cx/(3*a2) ratio is 0/0 — skip it rather than poison the
           // weighted sum with NaN*0 (ADVICE r6)
-          if (areas(i) != 0.0) {
+          if (weightsSeq(i) != 0.0) {
             val (cx, cy) = ringCentroid(rings(i))
-            val w = if (i == 0) areas(i) else -areas(i)
-            nx += cx * w; ny += cy * w
+            // weight: exteriors add, holes subtract (mode-appropriate
+            // sign from the shared single-vs-multipolygon reading)
+            nx += cx * weightsSeq(i); ny += cy * weightsSeq(i)
           }
         }
         InternalRow(nx / net, ny / net)

@@ -193,7 +193,8 @@ object GeomBoolean {
     * inversion): (false,false)=intersection, (true,true)=union,
     * (true,false)=subject minus clip. */
   private def clip(subjF: Array[Double], clipF: Array[Double],
-      invS: Boolean, invC: Boolean): Seq[Array[Double]] = {
+      invS: Boolean, invC: Boolean,
+      allowHoles: Boolean = false): Seq[Array[Double]] = {
     // vertex-on-edge / coincident-vertex degeneracy sweep (n·m, small)
     def onSegStrictOrVertex(px: Double, py: Double, poly: Array[Double]): Boolean = {
       val n = poly.length / 2
@@ -278,9 +279,11 @@ object GeomBoolean {
           else Seq(subjF, clipF)
         case (true, false) => // difference S - C
           if (sInC) Seq.empty
-          else if (cInS) degenerate(
-            "difference would create a hole (clip strictly inside subject)")
-          else Seq(subjF)
+          else if (cInS) {
+            if (allowHoles) Seq(subjF, reversePairs(clipF))
+            else degenerate(
+              "difference would create a hole (clip strictly inside subject)")
+          } else Seq(subjF)
         case other => throw new IllegalStateException(s"bad op $other")
       }
     }
@@ -363,17 +366,28 @@ object GeomBoolean {
       }
       start = firstUnvisited()
     }
-    // hole check: for two simple polygons every legal result is a set of
-    // DISJOINT outer boundaries; a component whose start vertex lies
-    // inside another component is a hole — unrepresentable here.
+    // hole check: in the ring-typed ops every legal result is a set of
+    // DISJOINT outer boundaries, so a component whose start vertex lies
+    // inside another is unrepresentable there (loud). The holed
+    // (`st_polygon_*`) spellings pass allowHoles and get the nested
+    // component back as a CW interior ring right after its exterior —
+    // for two SIMPLE input rings nesting depth is at most 1 (a hole
+    // cannot itself contain a result component: that component would be
+    // a disconnected piece of a simple input).
     val rs = results.toSeq
-    rs.indices.foreach { i =>
-      rs.indices.foreach { j =>
-        if (i != j && inside(rs(i)(0), rs(i)(1), rs(j)))
-          degenerate("result needs a hole (nested boundary component)")
-      }
+    val nestedIn: Seq[Int] = rs.indices.map { i =>
+      rs.indices.find(j => i != j && inside(rs(i)(0), rs(i)(1), rs(j)))
+        .getOrElse(-1)
     }
-    rs.sortBy(r => (r(0), r(1)))
+    if (!allowHoles && nestedIn.exists(_ >= 0))
+      degenerate("result needs a hole (nested boundary component)")
+    val exteriors = rs.indices.filter(nestedIn(_) < 0)
+      .sortBy(i => (rs(i)(0), rs(i)(1)))
+    exteriors.flatMap { e =>
+      val holes = rs.indices.filter(nestedIn(_) == e)
+        .map(rs).sortBy(r => (r(0), r(1))).map(reversePairs)
+      rs(e) +: holes
+    }
   }
 
   /** Rotate a CCW flattened ring to start at its lex-min vertex. */
@@ -414,9 +428,10 @@ object GeomBoolean {
     * invisible at the geometry gates' rounding; results that would need
     * holes still fail loudly (unrepresentable, not recoverable). */
   private def clipRobust(a: Array[Double], b: Array[Double],
-      invS: Boolean, invC: Boolean, toward: Boolean): Seq[Array[Double]] = {
+      invS: Boolean, invC: Boolean, toward: Boolean,
+      allowHoles: Boolean = false): Seq[Array[Double]] = {
     val ca = ccw(a); val cb = ccw(b)
-    try clip(ca, cb, invS, invC)
+    try clip(ca, cb, invS, invC, allowHoles)
     catch { case _: ContactDegeneracy =>
       val (sx, sy) = centroidOf(ca)
       val (cx, cy) = centroidOf(cb)
@@ -446,7 +461,7 @@ object GeomBoolean {
           shifted(i + 1) = cb(i + 1) + dy * delta
           i += 2
         }
-        try out = clip(ca, shifted, invS, invC)
+        try out = clip(ca, shifted, invS, invC, allowHoles)
         catch {
           case _: ContactDegeneracy if attempt < 3 =>
             attempt += 1; delta *= 1000
@@ -542,16 +557,52 @@ object GeomBoolean {
       else if (aInB) Seq.empty // subject swallowed entirely
       else Seq(a) // disjoint: clip removes nothing
     } else {
-      // Boundary crossings take the GH difference; its components are
-      // hole-free. One component is a (hole-less) holed polygon;
-      // SEVERAL — a clip bar splitting the subject — come back as a
-      // multipolygon in the same array<ring> shape (r7; was a loud
-      // reject). Orientation disambiguates the two readings: holes are
-      // CW by the structural convention, multipolygon components are
-      // all CCW exteriors.
-      difference(a0, b0)
+      // Boundary crossings take the GH difference with allowHoles: its
+      // components usually stay hole-free (a clip bar splitting the
+      // subject comes back as an all-CCW multipolygon, r7), but a
+      // notch-reaching clip whose removal leaves an enclosed pocket
+      // gets that pocket back as a CW interior ring (r8c). Orientation
+      // disambiguates the two readings by the structural convention.
+      clipRobust(a0, b0, invS = true, invC = false, toward = false,
+        allowHoles = true)
     }
   }
+
+  /** A ∪ B as a polygon with holes ([exterior CCW, holes CW...] — the
+    * structural layer). Unlike the ring-typed `union`, a union that
+    * encloses a pocket (a cap ring bridging a U-shape's arms — the
+    * donut configuration) computes instead of failing: the GH traversal
+    * with allowHoles returns the enclosed pocket as a CW interior ring
+    * after its exterior. Two crossing SIMPLE rings yield one connected
+    * union, so the result is exactly one exterior plus its holes; the
+    * no-crossing cases are the ring-typed ones (containment/disjoint,
+    * hole-free). Reference GeoFunctions.java:581 (Esri union yields
+    * interior rings in this configuration). */
+  private[graft] def holedUnion(a0: Array[Double],
+      b0: Array[Double]): Seq[Array[Double]] = {
+    val a = ccw(a0)
+    val b = ccw(b0)
+    if (!ringsTouch(a, b)) {
+      val bInA = inside(b(0), b(1), a)
+      val aInB = inside(a(0), a(1), b)
+      if (bInA) Seq(a)
+      else if (aInB) Seq(b)
+      else Seq(a, b).sortBy(r => (r(0), r(1)))
+    } else {
+      clipRobust(a0, b0, invS = true, invC = true, toward = true,
+        allowHoles = true)
+    }
+  }
+
+  /** A △ B as holed multipolygons: (A − B) components followed by
+    * (B − A) components, each block in the holed-difference shape. The
+    * two blocks have disjoint interiors by construction (they meet only
+    * along shared boundary arcs), so the concatenation is a valid
+    * structural multipolygon; the B-inside-A configuration the
+    * ring-typed `symdifference` rejects returns [A, reversed B]. */
+  private[graft] def holedSymDifference(a0: Array[Double],
+      b0: Array[Double]): Seq[Array[Double]] =
+    holedDifference(a0, b0) ++ holedDifference(b0, a0)
 
   /** Incremental union fold: merge one ring into an accumulator of
     * pairwise-DISJOINT components (fuse with every overlapping
@@ -727,6 +778,64 @@ case class PolyHoledDifference(left: Expression, right: Expression)
     val fa = GeomBoolean.flatOf(a, xiL)
     val fb = GeomBoolean.flatOf(b, xiR)
     GeomBoolean.multiOf(GeomBoolean.holedDifference(fa, fb))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_polygon_union(a, b) → polygon with holes ([exterior, holes...]).
+  * See [[GeomBoolean.holedUnion]]. */
+case class PolyHoledUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_polygon_union"
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val fa = GeomBoolean.flatOf(a, xiL)
+    val fb = GeomBoolean.flatOf(b, xiR)
+    GeomBoolean.multiOf(GeomBoolean.holedUnion(fa, fb))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_polygon_symdifference(a, b) → holed multipolygon ((A−B) then
+  * (B−A) components). See [[GeomBoolean.holedSymDifference]]. */
+case class PolyHoledSymDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with RingInput {
+
+  override def prettyName: String = "st_polygon_symdifference"
+  override def dataType: DataType = GeomBoolean.MultiType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkRing(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        checkRing(prettyName, right.dataType)
+      case f => f
+    }
+
+  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
+  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val fa = GeomBoolean.flatOf(a, xiL)
+    val fb = GeomBoolean.flatOf(b, xiR)
+    GeomBoolean.multiOf(GeomBoolean.holedSymDifference(fa, fb))
   }
 
   override protected def withNewChildrenInternal(

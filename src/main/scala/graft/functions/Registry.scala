@@ -1549,6 +1549,13 @@ object Registry {
           // difference whose result carries interior rings → the holed
           // structural type (GeoFunctions.java:921 configuration)
           two("st_polygon_difference")(PolyHoledDifference(_, _))
+          // union/symdifference whose results carry interior rings —
+          // the donut union (cap bridging a U's arms) and the
+          // clip-inside-subject symdifference (GeoFunctions.java:581,
+          // 1007 configurations); r8c closes the last hole-needing
+          // boolean configurations
+          two("st_polygon_union")(PolyHoledUnion(_, _))
+          two("st_polygon_symdifference")(PolyHoledSymDifference(_, _))
           one("geometry_union")(GeometryUnionAll)
           one("geometry_union_agg")(a =>
             GeometryUnionAgg(a).toAggregateExpression())

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -151,12 +152,43 @@ object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
       expand.output :+ flag,
       Union(Seq(realBranch, sentinelBranch)))
 
-    // Every aggregate function computes over the real rows only.
+    // Every aggregate function must compute over the real rows only. The
+    // cheap path: the sentinel's inputs are all NULL, and the SQL
+    // null-ignoring aggregates (sum/min/max/avg/count(col), the stat
+    // family) skip NULL inputs by definition — so when the function's
+    // arguments provably evaluate to NULL on the all-null row, NO filter
+    // is needed and the hot per-row FILTER evaluation disappears (TPC-DS
+    // Q22's 5-way Expand over the 11.7M-row inventory paid 1.5 s for
+    // filters its avg() never needed). Only aggregates whose inputs
+    // survive the all-null row (count(1), count(*), coalesce'd args) or
+    // that accept NULL inputs (first/last without ignoreNulls, collect
+    // over non-null expressions, custom TypedImperativeAggregates we
+    // cannot introspect) carry `FILTER (WHERE NOT sentinel)`.
     val notFlag = Not(flag)
+
+    def nullOnSentinel(e: Expression): Boolean = {
+      if (!e.deterministic) return false
+      val nulled = e.transform {
+        case a: AttributeReference => Literal.create(null, a.dataType)
+      }
+      try nulled.eval(null) == null
+      catch { case _: Throwable => false }
+    }
+    def sentinelInvisible(ae: AggregateExpression): Boolean =
+      ae.filter.isEmpty && (ae.aggregateFunction match {
+        case f: aggregate.Sum => nullOnSentinel(f.child)
+        case f: aggregate.Min => nullOnSentinel(f.child)
+        case f: aggregate.Max => nullOnSentinel(f.child)
+        case f: aggregate.Average => nullOnSentinel(f.child)
+        case f: aggregate.Count => f.children.exists(nullOnSentinel)
+        case f: aggregate.CentralMomentAgg => nullOnSentinel(f.child)
+        case _ => false
+      })
+
     val filteredOuts: Seq[NamedExpression] = agg.aggregateExpressions.map {
       ne =>
         ne.transform {
-          case ae: AggregateExpression =>
+          case ae: AggregateExpression if !sentinelInvisible(ae) =>
             ae.copy(filter = Some(ae.filter.fold[Expression](notFlag)(
               f => And(f, notFlag))))
         }.asInstanceOf[NamedExpression]

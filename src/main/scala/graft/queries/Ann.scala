@@ -323,6 +323,44 @@ object Ann extends QueryPack {
           .agg(count(lit(1)).as("n_kept"),
             sum(col("vec_id")).as("kept_id_sum")), Seq("cent_id"))
         .orderBy(col("cent_id"))
+    }),
+
+    // Distributed PCA (operators/Pca): covariance sufficient statistics
+    // in ONE mergeable aggregate pass (vector_moments, O(d²) state),
+    // deterministic driver-side Jacobi eigensolve on the 64×64
+    // covariance, codegen'd broadcast projection. Gate: mean and two
+    // covariance entries replay in DuckDB; Σ eigenvalues = trace(C)
+    // = Σ per-dim variances (basis-invariant, so DuckDB can check the
+    // eigensolve's mass without eigendecomposing); orthonormality /
+    // eigenvalue ordering / var_pop(pcₖ)=λₖ as invariant booleans.
+    "q0y_pca" -> ((s, dir) => {
+      val raw = Tables.view(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(raw, col("embedding"), 64)
+      val orthOk = model.components.indices.forall { i =>
+        model.components.indices.forall { j =>
+          val d = model.components(i).zip(model.components(j))
+            .map(p => p._1 * p._2).sum
+          math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val orderOk = model.eigenvalues.sliding(2)
+        .forall(p => p(0) >= p(1) - 1e-12)
+      val l1 = model.eigenvalues(0)
+      val l2 = model.eigenvalues(1)
+      val proj = graft.operators.Pca.project(raw, col("embedding"), model)
+      val x1 = element_at(col("embedding"), 1).cast("double")
+      val x2 = element_at(col("embedding"), 2).cast("double")
+      proj.agg(
+        round(avg(x1), 6).as("mu1"),
+        round(avg(x1 * x1) - avg(x1) * avg(x1), 6).as("c11"),
+        round(avg(x1 * x2) - avg(x1) * avg(x2), 6).as("c12"),
+        round(lit(model.eigenvalues.sum), 4).as("trace_cov"),
+        lit(orthOk).as("orth_ok"),
+        lit(orderOk).as("order_ok"),
+        (abs(var_pop(col("pc1")) - lit(l1)) <= lit(1e-6 * math.max(l1, 1e-9)))
+          .as("var1_ok"),
+        (abs(var_pop(col("pc2")) - lit(l2)) <= lit(1e-6 * math.max(l2, 1e-9)))
+          .as("var2_ok"))
     })
   )
 
@@ -358,6 +396,23 @@ object Ann extends QueryPack {
       .stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q0y_pca" ->
+      """WITH e AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+        |                  CAST(embedding[2] AS DOUBLE) AS x2
+        |           FROM embeddings),
+        |dims AS (SELECT generate_subscripts(embedding, 1) AS i,
+        |                CAST(unnest(embedding) AS DOUBLE) AS x
+        |         FROM embeddings),
+        |tr AS (SELECT sum(v) AS t FROM (
+        |         SELECT var_pop(x) AS v FROM dims GROUP BY i) z)
+        |SELECT round(avg(x1), 6) AS mu1,
+        |  round(avg(x1 * x1) - avg(x1) * avg(x1), 6) AS c11,
+        |  round(avg(x1 * x2) - avg(x1) * avg(x2), 6) AS c12,
+        |  (SELECT round(t, 4) FROM tr) AS trace_cov,
+        |  true AS orth_ok, true AS order_ok,
+        |  true AS var1_ok, true AS var2_ok
+        |FROM e""".stripMargin,
+
     "q0j_semdedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |st AS (SELECT CAST(FLOOR(SQRT(count(*))) AS BIGINT) AS stride

@@ -432,6 +432,46 @@ object Geo extends QueryPack {
           |FROM g ORDER BY id""".stripMargin)
     }),
 
+    // r8c: hole-producing boolean configurations under the holed
+    // structural spellings. Row 1 — the DONUT union: a U-shape (30x30
+    // minus an upward 10x20 notch, area 700) bridged by a cap bar
+    // (20x5, arm overlap 50) yields one exterior plus the enclosed
+    // pocket as a CW interior ring; net area 700+100-50 = 750, hole
+    // area 100. Row 2 — clip strictly inside subject: symdifference is
+    // [A, reversed B] (1600-400 = 1200) and difference likewise punches
+    // the hole (96 for the 10x10 minus 2x2 case on row 3). Hand-derived
+    // oracle constants, the qm7 stance.
+    "q0x_holed_boolean" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT 1 AS id,
+          |    array(st_point(0D,0D), st_point(30D,0D), st_point(30D,30D),
+          |          st_point(20D,30D), st_point(20D,10D), st_point(10D,10D),
+          |          st_point(10D,30D), st_point(0D,30D)) AS a,
+          |    array(st_point(5D,20D), st_point(25D,20D), st_point(25D,25D),
+          |          st_point(5D,25D)) AS b),
+          |h AS (
+          |  SELECT 2 AS id,
+          |    array(st_point(0D,0D), st_point(40D,0D), st_point(40D,40D),
+          |          st_point(0D,40D)) AS a,
+          |    array(st_point(10D,10D), st_point(30D,10D), st_point(30D,30D),
+          |          st_point(10D,30D)) AS b)
+          |SELECT cast(id as bigint) AS id,
+          |  cast(size(st_polygon_union(a, b)) as bigint) AS n_u,
+          |  round(st_polygon_area(st_polygon_union(a, b)), 4) AS u_area,
+          |  round(st_area(element_at(st_polygon_union(a, b),
+          |    size(st_polygon_union(a, b)))), 4) AS last_ring_area,
+          |  cast(size(st_polygon_symdifference(a, b)) as bigint) AS n_sd,
+          |  round(st_polygon_area(st_polygon_symdifference(a, b)), 4)
+          |    AS sd_area,
+          |  cast(size(st_polygon_difference(a, b)) as bigint) AS n_d,
+          |  round(st_polygon_area(st_polygon_difference(a, b)), 4) AS d_area
+          |FROM (SELECT * FROM g UNION ALL SELECT * FROM h) t
+          |ORDER BY id""".stripMargin)
+    }),
+
     // r8: boundary-contact polygon booleans — the configurations the
     // clipper used to reject (vertex-on-edge, shared full edge,
     // collinear overlapping edges) now resolve via the deterministic
@@ -1052,6 +1092,20 @@ object Geo extends QueryPack {
           |   CAST(2 AS BIGINT)))
           |  AS t(id, n_union, union_area, u1_txt, n_diff, diff_area,
           |       n_sym, sym_area, n_gu)
+          |ORDER BY id""".stripMargin,
+
+      // Hand-derived holed-boolean outcomes (see the q0x def comment):
+      // donut union = exterior + 100-area hole, net 750; U−cap = 650,
+      // cap−U = 50 (sym 700); contained-B row: union = A alone,
+      // sym/difference = [A, reversed B] = 1200.
+      "q0x_holed_boolean" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 750.0, 100.0,
+          |   CAST(2 AS BIGINT), 700.0, CAST(1 AS BIGINT), 650.0),
+          |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 1600.0, 1600.0,
+          |   CAST(2 AS BIGINT), 1200.0, CAST(2 AS BIGINT), 1200.0))
+          |  AS t(id, n_u, u_area, last_ring_area, n_sd, sd_area, n_d,
+          |       d_area)
           |ORDER BY id""".stripMargin,
 
       // Inclusion-exclusion replay: every group's 5-square chain fuses

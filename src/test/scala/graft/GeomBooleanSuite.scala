@@ -309,4 +309,49 @@ class GeomBooleanSuite extends GraftSuite {
       Array(4, 4, 6, 4, 6, 6, 4, 6))
     assert(hole.size == 2 && GeomBoolean.signedArea(hole(1)) < 0)
   }
+
+  test("st_polygon_union: donut configuration encloses a CW hole") {
+    Registry.install(spark)
+    // U-shape (30x30 square minus an upward-opening 10x20 notch, area
+    // 700) plus a cap bar bridging both arms (20x5, area 100, overlap
+    // with the arms 2·(5x5)=50): union area 750, and the pocket
+    // x∈(10,20), y∈(10,20) below the cap becomes an enclosed hole.
+    val u = Array(0.0, 0, 30, 0, 30, 30, 20, 30, 20, 10, 10, 10, 10, 30, 0, 30)
+    val cap = Array(5.0, 20, 25, 20, 25, 25, 5, 25)
+    val res = GeomBoolean.holedUnion(u, cap)
+    assert(res.size == 2, res.map(vset))
+    assert(GeomBoolean.signedArea(res(0)) > 0) // exterior CCW
+    assert(GeomBoolean.signedArea(res(1)) < 0) // hole CW
+    assert(math.abs(res.map(GeomBoolean.signedArea).sum - 750.0) < 1e-9)
+    assert(math.abs(GeomBoolean.signedArea(res(1)) + 100.0) < 1e-9)
+    // no-crossing unions stay hole-free (containment / disjoint)
+    assert(GeomBoolean.holedUnion(S,
+      Array(2.0, 2, 4, 2, 4, 4, 2, 4)).size == 1)
+    assert(GeomBoolean.holedUnion(S,
+      Array(20.0, 20, 24, 20, 24, 24, 20, 24)).size == 2)
+    // SQL surface: the same donut through st_polygon_area
+    def ringSql(flat: Array[Double]) = flat.grouped(2)
+      .map(p => s"st_point(${p(0)}D, ${p(1)}D)").mkString("array(", ", ", ")")
+    val row = spark.sql(
+      s"""SELECT st_polygon_area(
+         |    st_polygon_union(${ringSql(u)}, ${ringSql(cap)})) AS a,
+         |  size(st_polygon_union(${ringSql(u)}, ${ringSql(cap)})) AS n
+         |""".stripMargin).head()
+    assert(row.getDouble(0) == 750.0 && row.getInt(1) == 2)
+  }
+
+  test("st_polygon_symdifference: contained clip and crossing squares") {
+    Registry.install(spark)
+    // B strictly inside A: A △ B = A with hole B — [A, reversed B]
+    val a = Array(0.0, 0, 40, 0, 40, 40, 0, 40)
+    val b = Array(10.0, 10, 30, 10, 30, 30, 10, 30)
+    val sd = GeomBoolean.holedSymDifference(a, b)
+    assert(sd.size == 2)
+    assert(GeomBoolean.signedArea(sd(0)) > 0 && GeomBoolean.signedArea(sd(1)) < 0)
+    assert(math.abs(sd.map(GeomBoolean.signedArea).sum - 1200.0) < 1e-9)
+    // crossing squares: the ring-typed result (both L-shapes), unchanged
+    val sd2 = GeomBoolean.holedSymDifference(S, C)
+    assert(sd2.size == 2)
+    assert(math.abs(sd2.map(GeomBoolean.signedArea).sum - 150.0) < 1e-9)
+  }
 }

@@ -222,4 +222,37 @@ class OperatorsSuite extends GraftSuite {
     // dup, both kept.
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("pca: Jacobi on a known matrix; fit/project variance identity") {
+    import graft.operators.Pca
+    // [[2,1],[1,2]] -> eigenvalues {3,1}, eigenvectors (1,1)/√2, (1,-1)/√2
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.sorted.reverse
+    assert(math.abs(sorted(0) - 3.0) < 1e-12 && math.abs(sorted(1) - 1.0) < 1e-12)
+    val hi = if (vals(0) >= vals(1)) 0 else 1
+    assert(math.abs(math.abs(vecs(0)(hi)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(vecs(0)(hi) - vecs(1)(hi)) < 1e-12) // (1,1) direction
+
+    // fit on a deterministic 3-dim set: variance along pc1 equals λ1,
+    // components are orthonormal, eigenvalues descend
+    val df = (0 until 200).map { i =>
+      val t = i * 0.1
+      (i.toLong, Seq(3.0 * math.sin(t), math.cos(t), 0.25 * math.sin(2 * t)))
+    }.toDF("id", "v")
+    val model = Pca.fit(df, col("v"), 3)
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (i <- model.components.indices; j <- model.components.indices) {
+      val d = model.components(i).zip(model.components(j)).map(p => p._1 * p._2).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"orth $i $j: $d")
+    }
+    val proj = Pca.project(df, col("v"), model)
+    val vars = proj.agg(var_pop(col("pc1")), var_pop(col("pc2")),
+      avg(col("pc1"))).head()
+    assert(math.abs(vars.getDouble(0) - model.eigenvalues(0)) <
+      1e-9 * math.max(model.eigenvalues(0), 1.0))
+    assert(math.abs(vars.getDouble(1) - model.eigenvalues(1)) <
+      1e-9 * math.max(model.eigenvalues(1), 1.0))
+    // projections are centered
+    assert(math.abs(vars.getDouble(2)) < 1e-9)
+  }
 }
