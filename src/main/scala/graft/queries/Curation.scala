@@ -118,7 +118,7 @@ object Curation extends QueryPack {
       Tables.register(s, dir)
       s.sql("""WITH keyed AS (
               |  SELECT doc_id,
-              |    (doc_id * 2654435761 + 12345) % 1000000007 AS h
+              |    ((doc_id % 1000000007) * 2654435761 + 12345) % 1000000007 AS h
               |  FROM documents),
               |b AS (SELECT doc_id, h,
               |    cast(h / 31250001 as bigint) AS bkt FROM keyed),
@@ -247,7 +247,7 @@ object Curation extends QueryPack {
           (log((col("p_cnt") + lit(1.0)) / (col("p_tot") + lit(256.0)))
             - log((col("q_cnt") + lit(1.0)) / (col("q_tot") + lit(256.0))))
             .as("lw"))
-      val u = ((col("doc_id") * lit(2654435761L) + lit(7L)) % lit(1000003L)
+      val u = ((col("doc_id") % lit(1000003L) * lit(2654435761L) + lit(7L)) % lit(1000003L)
         + lit(1L)).cast("double") / lit(1000004.0)
       words.join(broadcast(lw), "b")
         .groupBy(col("doc_id"), col("lang"))
@@ -364,7 +364,7 @@ object Curation extends QueryPack {
     "qj8_deterministic_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id,
-        |    (doc_id * 2654435761 + 12345) % 1000000007 AS h
+        |    ((doc_id % 1000000007) * 2654435761 + 12345) % 1000000007 AS h
         |  FROM documents),
         |r AS (SELECT doc_id, h,
         |    row_number() OVER (ORDER BY h, doc_id) AS pos
@@ -434,7 +434,7 @@ object Curation extends QueryPack {
         |k AS (
         |  SELECT doc_id, lang, llr
         |  FROM scored
-        |  ORDER BY llr - ln(-ln((((doc_id * 2654435761 + 7) % 1000003) + 1)
+        |  ORDER BY llr - ln(-ln((((doc_id % 1000003 * 2654435761 + 7) % 1000003) + 1)
         |    / 1000004.0)) DESC, doc_id
         |  LIMIT 100)
         |SELECT doc_id, lang, CAST(round(llr, 4) AS DOUBLE) AS llr

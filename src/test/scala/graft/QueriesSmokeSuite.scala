@@ -229,4 +229,29 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
     assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
   }
+
+  // ——— r8c: plan guards for the new pipeline operators ————————————————
+  guards("q0w_dsir_resample") { (plan, n) =>
+    // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
+    // a shuffle of the token table on b), and selection is a TopN
+    // (TakeOrderedAndProject), never a global sort of all scores
+    assert(n("BroadcastHashJoin") >= 1, s"lw join not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"token table reshuffled:\n$plan")
+    assert(n("TakeOrderedAndProject") == 1, s"selection not TopN:\n$plan")
+  }
+
+  test("q0y_pca projection is map-only over the scan") {
+    // the projection the model serves at scale: broadcast literal
+    // components via codegen'd vec_dot — no join, no shuffle before
+    // the gate's final single aggregate
+    val raw = graft.Tables.view(spark, SfDir, "embeddings")
+    val model = graft.operators.Pca.fit(raw,
+      org.apache.spark.sql.functions.col("embedding"), 8)
+    val plan = graft.operators.Pca.project(raw,
+      org.apache.spark.sql.functions.col("embedding"), model)
+      .queryExecution.executedPlan.treeString
+    assert(!plan.contains("Join"), s"projection joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"projection shuffles:\n$plan")
+    assert(plan.contains("vec_dot"), s"projection not on vec_dot:\n$plan")
+  }
 }
