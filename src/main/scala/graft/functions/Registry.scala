@@ -325,7 +325,8 @@ object Registry {
     ("sha256", 1, "unhex(sha2(__a, 256))"),
     // --- aggregates (aggregation/*.java) ---
     ("arbitrary", 1, "any_value(__a)"),
-    ("approx_distinct", 1, "approx_count_distinct(__a)"),
+    // approx_distinct moved to a native builder over the real HLL (r8c)
+    // — see the approx_set block in install().
     // set_agg / set_union (SetAggregationFunction.java /
     // SetUnionFunction.java). Presto leaves element order unspecified;
     // sorted output is a valid instance and makes results deterministic
@@ -1132,6 +1133,37 @@ object Registry {
       colorPack("approx_set") {
         case Seq(v) => HllAgg(v, HyperLogLog.DefaultP).toAggregateExpression()
         case args => sys.error(s"approx_set expects 1 arg, got ${args.length}")
+      }
+      // approx_distinct — the reference's estimator, not Spark's HLL++:
+      // DefaultApproximateCountDistinctAggregation.java
+      // (DEFAULT_STANDARD_ERROR = 0.023 → 2048 registers = p 11) over
+      // the same real HLL as approx_set; the 2-arg form maps
+      // maxStandardError → register count exactly like
+      // HyperLogLogUtils.standardErrorToBuckets (log2-ceiling of
+      // 1.0816/se², bounds [0.0040625, 0.26] with the reference's
+      // error text). Empty/all-null groups estimate 0, like the
+      // reference's null-state output.
+      colorPack("approx_distinct") {
+        case Seq(v) =>
+          SetDigestCardinality(HllAgg(v, 11).toAggregateExpression())
+        case Seq(v, seExpr) if seExpr.foldable =>
+          // fractional literals parse as DECIMAL — accept any foldable
+          // numeric for the maxStandardError position
+          val se = seExpr.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => sys.error(
+              s"approx_distinct: max_standard_error must be numeric, got $other")
+          }
+          val lo = 0.0040625
+          val hi = 0.26
+          if (se < lo || se > hi) sys.error(
+            s"Max standard error must be in [$lo, $hi]: $se")
+          val buckets = math.ceil(1.0816 / (se * se)).toInt
+          val p = 32 - Integer.numberOfLeadingZeros(buckets - 1)
+          SetDigestCardinality(HllAgg(v, p).toAggregateExpression())
+        case args => sys.error(
+          s"approx_distinct expects (x[, max_standard_error]), got ${args.length} args")
       }
       colorPack("merge") {
         case Seq(v) => SketchMergeAgg(v).toAggregateExpression()

@@ -325,13 +325,21 @@ object Sketches extends QueryPack {
           |m AS (SELECT merge(hs) AS mhs FROM p),
           |d AS (SELECT approx_set(id) AS dhs FROM graft_hll_ids),
           |sm AS (SELECT approx_set(id) AS shs FROM graft_hll_ids
-          |       WHERE id < 3000)
+          |       WHERE id < 3000),
+          |ad AS (SELECT approx_distinct(id) AS a1,
+          |              approx_distinct(id, 0.0115) AS a2
+          |       FROM graft_hll_ids)
           |SELECT cast(400000 as bigint) AS n_distinct,
           |  abs(cardinality(dhs) - 400000) <= 20000 AS est_ok,
           |  mhs = dhs AS merge_identical,
           |  abs(cardinality(shs) - 3000) <= 120 AS lc_ok,
-          |  cardinality(empty_approx_set()) = 0 AS empty_ok
-          |FROM d, m, sm""".stripMargin)
+          |  cardinality(empty_approx_set()) = 0 AS empty_ok,
+          |  -- approx_distinct = the reference's p=11 default (SE 2.3%,
+          |  -- gate at 3 SE) and the 2-arg maxStandardError form
+          |  -- (0.0115 -> 8192 registers, tighter than the default)
+          |  abs(a1 - 400000) <= 28000 AS ad_ok,
+          |  abs(a2 - 400000) <= 14000 AS ad2_ok
+          |FROM d, m, sm, ad""".stripMargin)
     }),
 
     "qh1_set_digest_merge" -> ((s, dir) => {
@@ -410,7 +418,8 @@ object Sketches extends QueryPack {
         |ORDER BY flag_a, flag_b""".stripMargin,
     "qj9_hll_estimator" ->
       """SELECT CAST(400000 AS BIGINT) AS n_distinct, TRUE AS est_ok,
-        |  TRUE AS merge_identical, TRUE AS lc_ok, TRUE AS empty_ok""".stripMargin,
+        |  TRUE AS merge_identical, TRUE AS lc_ok, TRUE AS empty_ok,
+        |  TRUE AS ad_ok, TRUE AS ad2_ok""".stripMargin,
     "qh1_set_digest_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS card_direct,
         |  TRUE AS merge_bytes_equal

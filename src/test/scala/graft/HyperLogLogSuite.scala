@@ -153,4 +153,26 @@ class HyperLogLogSuite extends GraftSuite {
     assert(err.getMessage.contains("cannot merge"),
       s"unexpected: ${err.getMessage}")
   }
+
+  test("approx_distinct rides the real HLL: default p=11, 2-arg SE, bounds") {
+    graft.functions.Registry.install(spark)
+    spark.range(400000L).toDF("id").createOrReplaceTempView("graft_ad_ids")
+    val r = spark.sql(
+      """SELECT approx_distinct(id) AS a1,
+        |  approx_distinct(id, 0.0115) AS a2,
+        |  approx_distinct(id, 0.26) AS a3,
+        |  approx_distinct(CAST(NULL AS BIGINT)) AS a0
+        |FROM graft_ad_ids""".stripMargin).head()
+    // default = the reference's 2.3% SE (2048 registers); gate at 3 SE
+    assert(math.abs(r.getLong(0) - 400000L) <= (3 * 0.023 * 400000).toLong)
+    assert(math.abs(r.getLong(1) - 400000L) <= (3 * 0.0115 * 400000).toLong)
+    assert(math.abs(r.getLong(2) - 400000L) <= (3 * 0.26 * 400000).toLong)
+    assert(r.getLong(3) == 0L) // all-null input estimates 0
+    // out-of-range maxStandardError fails with the reference's text
+    val err = intercept[Exception] {
+      spark.sql("SELECT approx_distinct(id, 0.5) FROM graft_ad_ids").collect()
+    }
+    assert(err.getMessage.contains("Max standard error"),
+      s"unexpected: ${err.getMessage}")
+  }
 }
