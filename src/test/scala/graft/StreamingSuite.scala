@@ -171,6 +171,73 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("checkpoint restart resumes exactly-once into a file sink") {
+    // The production shape: file source -> watermarked windowed agg ->
+    // parquet sink with a checkpoint. Kill the query between input
+    // batches, restart from the same checkpoint, and the sink must hold
+    // every closed window EXACTLY once — no replays of batch-1 output,
+    // no loss of in-flight state (the open window spanning the restart
+    // closes correctly when batch 2 advances the watermark).
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val inDir = root.resolve("in"); val outDir = root.resolve("out")
+    val ckptDir = root.resolve("ckpt")
+    java.nio.file.Files.createDirectories(inDir)
+    def writeBatch(name: String, rows: Seq[Event]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(inDir.resolve(name).toString)
+    def startQuery() = {
+      val schema = spark.read.parquet(s"$inDir/*").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      EventStream.windowedCounts(stream, "10 minutes", "5 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode(OutputMode.Append()).start()
+    }
+    try {
+      // batch 1: two windows' worth of events plus one event that keeps
+      // the third window open across the restart
+      writeBatch("b1", Seq(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(3), 1, "click", 1.0),
+        Event(3, ts(12), 2, "view", 1.0),
+        Event(4, ts(31), 1, "click", 1.0))) // advances watermark past w0/w1
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // hard stop between batches — the restart point
+      val afterB1 = spark.read.parquet(outDir.toString).count()
+      assert(afterB1 >= 2, s"closed windows not emitted before restart")
+      // batch 2 arrives while the query is DOWN; restart from checkpoint
+      writeBatch("b2", Seq(
+        Event(5, ts(33), 2, "view", 1.0),
+        Event(6, ts(99), 1, "click", 1.0))) // closes the 30- and 33-min windows
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val out = spark.read.parquet(outDir.toString)
+        .select(col("w_start"), col("event_type"), col("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+      // exactly-once: every (window, type) key appears ONCE
+      assert(out.map(r => (r._1, r._2)).distinct.size == out.size,
+        s"duplicate sink rows after restart: $out")
+      // equivalence with batch over the union of both inputs, restricted
+      // to windows the final watermark closed (ts(99) - 5 min)
+      val all = spark.read.parquet(s"$inDir/*")
+      val closed = EventStream.windowedCounts(all.withColumn("ts", col("ts")),
+          "10 minutes", "5 minutes")
+      val batchRows = closed
+        .filter(col("w_start") < lit(new java.sql.Timestamp(
+          1700000000000L + (99 - 5 - 9) * 60000L)))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(batchRows.subsetOf(out.toSet),
+        s"restart lost closed windows: batch=$batchRows stream=$out")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("built-in session_window aggregation matches the custom sessionizer") {
     // Spark's native session_window covers aggregate-only sessions; the
     // custom flatMapGroupsWithState sessionizer exists for payloads it
