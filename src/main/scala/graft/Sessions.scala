@@ -43,6 +43,9 @@ object Sessions {
       .config("spark.sql.catalog.graft_jmx", "graft.sources.JmxCatalog")
       // Presto's tpcds catalog: SELECT ... FROM graft_tpcds.tiny.store_sales
       .config("spark.sql.catalog.graft_tpcds", "graft.sources.TpcdsCatalog")
+      // The writable memory catalog (presto-memory MemoryMetadata):
+      // CREATE/INSERT/ALTER ... RENAME|DROP|ADD COLUMN / RENAME TO / DROP
+      .config("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign WARNs (WindowExec "No Partition Defined" on

@@ -109,6 +109,30 @@ object Storage extends QueryPack {
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // Column-evolution DDL through the writable graft_mem catalog
+    // (sources/MemCatalog — the presto-memory MemoryMetadata analog):
+    // RENAME COLUMN and DROP COLUMN (SqlBase.g4 #renameColumn /
+    // #dropColumn), the two statements qk7's path-based managed table
+    // had to descope, run end-to-end via Spark's native ALTER TABLE
+    // resolution against the catalog; ADD COLUMN reads NULL on old
+    // rows like qk7. Every phase observation is deterministic.
+    "q0z_mem_column_ddl" -> ((s, dir) => {
+      graft.sources.MemoryConn.drop("q0z_t")
+      graft.sources.MemoryConn.drop("q0z_u")
+      s.sql("CREATE TABLE graft_mem.default.q0z_t (id BIGINT, a STRING, junk INT)")
+      s.sql("INSERT INTO graft_mem.default.q0z_t VALUES (1, 'x', 9), (2, 'y', 8)")
+      s.sql("ALTER TABLE graft_mem.default.q0z_t RENAME COLUMN a TO label")
+      s.sql("ALTER TABLE graft_mem.default.q0z_t DROP COLUMN junk")
+      s.sql("ALTER TABLE graft_mem.default.q0z_t ADD COLUMN score DOUBLE")
+      s.sql("INSERT INTO graft_mem.default.q0z_t VALUES (3, 'z', 1.5)")
+      s.sql("ALTER TABLE graft_mem.default.q0z_t RENAME TO q0z_u")
+      // the 3-row table stays in the store until the next invocation's
+      // drop — the result DataFrame is lazy and must still scan it
+      s.sql(
+        """SELECT id, label, score FROM graft_mem.default.q0z_u
+          |ORDER BY id""".stripMargin)
+    }),
+
     // Verbatim ANALYZE statement (SqlBase.g4 #analyze; presto-main
     // AnalyzeTask): collects row count + per-column ndv/min/max into
     // the catalog. The gate cross-checks the ANALYZE-computed catalog
@@ -344,6 +368,13 @@ object Storage extends QueryPack {
         |  ('empty_rows', '0'), ('inserted_rows', '3'),
         |  ('rename_old_gone', 'true'), ('renamed_rows', '4'))
         |  AS t(phase, observed) ORDER BY phase""".stripMargin,
+
+    "q0z_mem_column_ddl" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'x', CAST(NULL AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), 'y', CAST(NULL AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'z', CAST(1.5 AS DOUBLE)))
+        |  AS t(id, label, score) ORDER BY id""".stripMargin,
 
     "qk1_insert_append" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -47,7 +47,11 @@ object MemoryConn {
     store.synchronized {
       val cur = store.get(name)
       if (cur != null && !truncate) {
-        require(cur._1 == schema,
+        // names + types must line up; nullability may differ (a CREATEd
+        // table's nullable columns accept a non-null INSERT projection)
+        def shape(s: StructType) =
+          s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+        require(shape(cur._1) == shape(schema),
           s"graft-memory: schema mismatch appending to '$name'")
         cur._2 ++= chunks
       } else {

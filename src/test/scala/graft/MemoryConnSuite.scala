@@ -67,4 +67,36 @@ class MemoryConnSuite extends GraftSuite {
     assert(row.getAs[scala.collection.Map[String, Double]]("m").toMap ==
       Map("k" -> 1.5))
   }
+
+  test("graft_mem catalog: CREATE/INSERT/RENAME COLUMN/DROP COLUMN/ADD/RENAME/DROP") {
+    graft.sources.MemoryConn.drop("cat_t")
+    graft.sources.MemoryConn.drop("cat_u")
+    spark.sql("CREATE TABLE graft_mem.default.cat_t (id BIGINT, a STRING, junk INT)")
+    spark.sql("INSERT INTO graft_mem.default.cat_t VALUES (1, 'x', 9), (2, 'y', 8)")
+    // the two statements qk7 descoped, end-to-end through Spark's DDL:
+    spark.sql("ALTER TABLE graft_mem.default.cat_t RENAME COLUMN a TO label")
+    spark.sql("ALTER TABLE graft_mem.default.cat_t DROP COLUMN junk")
+    spark.sql("ALTER TABLE graft_mem.default.cat_t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graft_mem.default.cat_t VALUES (3, 'z', 1.5)")
+    val rows = spark.sql(
+      "SELECT id, label, score FROM graft_mem.default.cat_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "x", null), (2L, "y", null), (3L, "z", 1.5)))
+    // RENAME TO moves the store entry; the old name is gone
+    spark.sql("ALTER TABLE graft_mem.default.cat_t RENAME TO cat_u")
+    assert(spark.sql("SELECT count(*) FROM graft_mem.default.cat_u")
+      .head().getLong(0) == 3L)
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM graft_mem.default.cat_t").collect())
+    assert(missing.getMessage.toLowerCase.contains("cat_t"))
+    // SHOW TABLES sees the catalog; DROP TABLE removes it
+    val shown = spark.sql("SHOW TABLES IN graft_mem.default")
+      .collect().map(_.getString(1)).toSet
+    assert(shown.contains("cat_u"))
+    spark.sql("DROP TABLE graft_mem.default.cat_u")
+    val gone = spark.sql("SHOW TABLES IN graft_mem.default")
+      .collect().map(_.getString(1)).toSet
+    assert(!gone.contains("cat_u"))
+  }
 }
