@@ -194,6 +194,8 @@ private[functions] object PrestoStatements {
     """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
   private val useRe =
     """(?is)^\s*USE\s+([A-Za-z_][\w.]*)\s*$""".r
+  private val renameSchemaRe =
+    """(?is)^\s*ALTER\s+SCHEMA\s+([A-Za-z_]\w*)\s+RENAME\s+TO\s+([A-Za-z_]\w*)\s*$""".r
   private val showStatsRe =
     """(?is)^\s*SHOW\s+STATS\s+FOR\s+(.+?)\s*$""".r
   private val createViewDetectRe =
@@ -678,6 +680,37 @@ private[functions] object PrestoStatements {
         // schema (session temp views still win, as in Spark).
         spark.sql(s"USE ${name.split('.').last}")
         statusDf(spark, "USE")
+
+      case renameSchemaRe(from0, to0) =>
+        // ALTER SCHEMA x RENAME TO y (SqlBase.g4 #renameSchema) —
+        // Spark's catalog has no database rename, so the statement is
+        // expressed as create-target + move-every-table + drop-source.
+        // Cross-database ALTER TABLE RENAME is also unsupported, so the
+        // move is CTAS + DROP (source format preserved via USING
+        // parquet, the managed default). At warehouse scale prefer an
+        // object-store-level move; this spelling is correct for the
+        // metadata-and-fixture-sized schemas the statement governs.
+        // Persistent views fail loudly (their definitions would need
+        // re-pointing — honest-loud beats silently broken views).
+        val from = from0.toLowerCase; val to = to0.toLowerCase
+        require(spark.catalog.databaseExists(from),
+          s"Schema '$from' does not exist")
+        require(!spark.catalog.databaseExists(to),
+          s"Schema '$to' already exists")
+        val tables = spark.sql(s"SHOW TABLES IN $from")
+          .collect().filter(!_.getBoolean(2)).map(_.getString(1))
+        tables.foreach { t =>
+          require(spark.catalog.getTable(from, t).tableType != "VIEW",
+            s"ALTER SCHEMA RENAME: '$from.$t' is a view — " +
+              "recreate views against the new schema name")
+        }
+        spark.sql(s"CREATE DATABASE $to")
+        tables.foreach { t =>
+          spark.sql(s"CREATE TABLE $to.$t USING parquet AS SELECT * FROM $from.$t")
+          spark.sql(s"DROP TABLE $from.$t")
+        }
+        spark.sql(s"DROP DATABASE $from")
+        statusDf(spark, "RENAME SCHEMA")
 
       case alterFnRe(name, characteristic) =>
         // ALTER FUNCTION ... CALLED/RETURNS NULL ON NULL INPUT

@@ -422,11 +422,21 @@ object Views extends QueryPack {
       prestoStatement(s, "USE spark_catalog.default")
       val unknownRejected = scala.util.Try(
         prestoStatement(s, "USE graft_no_such_sch")).isFailure
-      prestoStatement(s, "DROP SCHEMA graft_sch CASCADE")
-      val gone = s.sql("SHOW SCHEMAS LIKE 'graft_sch'").count() == 0
+      // ALTER SCHEMA RENAME (SqlBase.g4 #renameSchema; r8c — was the
+      // last descoped statement): the schema's table answers under the
+      // new name, the old schema is gone
+      prestoStatement(s, "DROP SCHEMA IF EXISTS graft_sch2 CASCADE")
+      prestoStatement(s, "ALTER SCHEMA graft_sch RENAME TO graft_sch2")
+      val renamedRows = s.sql("SELECT count(*) AS n FROM graft_sch2.t1")
+        .collect()(0).getLong(0)
+      val renameOldGone = s.sql("SHOW SCHEMAS LIKE 'graft_sch'").count() == 0
+      prestoStatement(s, "DROP SCHEMA graft_sch2 CASCADE")
+      val gone = s.sql("SHOW SCHEMAS LIKE 'graft_sch2'").count() == 0
       import s.implicits._
       Seq(
         ("dropped_gone", gone.toString),
+        ("rename_old_gone", renameOldGone.toString),
+        ("renamed_rows", renamedRows.toString),
         ("schema_visible", visible.toString),
         ("table_listed", listed.toString),
         ("table_rows", rows.toString),
@@ -666,6 +676,9 @@ object Views extends QueryPack {
     "qr1_schema_lifecycle" ->
       """SELECT phase, observed FROM (
         |  SELECT 'dropped_gone' AS phase, 'true' AS observed
+        |  UNION ALL SELECT 'rename_old_gone', 'true'
+        |  UNION ALL SELECT 'renamed_rows', CAST(count(*) AS VARCHAR)
+        |    FROM region
         |  UNION ALL SELECT 'schema_visible', 'true'
         |  UNION ALL SELECT 'table_listed', 'true'
         |  UNION ALL SELECT 'table_rows', CAST(count(*) AS VARCHAR)
