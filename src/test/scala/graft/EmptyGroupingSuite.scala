@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.plans.logical.Union
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
 
 import graft.functions.Registry
 
@@ -74,6 +75,65 @@ class EmptyGroupingSuite extends GraftSuite with AdaptiveSparkPlanHelper {
     val r = rows.head
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2) &&
       r.isNullAt(3) && r.isNullAt(4) && r.getSeq[String](5).isEmpty)
+  }
+
+  test("property: every grouping-set spelling equals the per-set GROUP BY union") {
+    ready
+    // Independent ground truth: GROUPING SETS is DEFINED as the union of
+    // one GROUP BY per set (keys outside the set nulled) — and Spark's
+    // plain global aggregate already has correct empty-input semantics
+    // (one default row), so deriving expected results this way checks
+    // the sentinel rewrite against the spec without trusting Expand.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", IntegerType),
+      StructField("v", DoubleType)))
+    val aggsSql = "count(*) AS n, sum(v) AS s, count(v) AS cv, min(a) AS ma"
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      count(col("v")).as("cv"), min(col("a")).as("ma"))
+    val spellings: Seq[(String, Seq[Seq[String]])] = Seq(
+      "ROLLUP(a, b)" -> Seq(Seq("a", "b"), Seq("a"), Seq()),
+      "CUBE(a, b)" -> Seq(Seq("a", "b"), Seq("a"), Seq("b"), Seq()),
+      "GROUPING SETS ((a), (a, b))" -> Seq(Seq("a"), Seq("a", "b")),
+      "GROUPING SETS ((), (b))" -> Seq(Seq(), Seq("b")),
+      "GROUPING SETS ((), ())" -> Seq(Seq(), Seq()))
+    def render(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(x => if (x == null) "∅" else x.toString)
+        .mkString("|")).sorted.toSeq
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = seed % 4 match { case 0 => 0; case k => rnd.nextInt(8) }
+      val rows = (0 until n).map { _ =>
+        org.apache.spark.sql.Row(
+          if (rnd.nextInt(4) == 0) null else "k" + rnd.nextInt(3),
+          if (rnd.nextInt(4) == 0) null else Int.box(rnd.nextInt(3)),
+          rnd.nextInt(10).toDouble)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      df.createOrReplaceTempView("graft_gs_prop")
+      spellings.foreach { case (spelling, sets) =>
+        // only columns appearing in some set are selectable (standard
+        // grouping-set scoping; others are MISSING_AGGREGATION errors)
+        val keyCols = Seq("a", "b").filter(c => sets.exists(_.contains(c)))
+        val keySel = (keyCols :+ "").mkString(", ")
+        val got = spark.sql(
+          s"SELECT $keySel$aggsSql FROM graft_gs_prop GROUP BY $spelling")
+          .collect()
+        val expected = sets.map { set =>
+          val g = if (set.isEmpty) df.groupBy() else df.groupBy(set.map(col): _*)
+          val agged = g.agg(aggCols.head, aggCols.tail: _*)
+          val keyExprs = keyCols.map { c =>
+            val dt = if (c == "a") "string" else "int"
+            (if (set.contains(c)) col(c) else lit(null).cast(dt)).as(c)
+          }
+          agged.select(keyExprs ++ Seq(col("n"), col("s"), col("cv"),
+            col("ma")): _*).collect()
+        }.reduce(_ ++ _)
+        assert(render(got) == render(expected),
+          s"seed=$seed n=$n spelling=$spelling\n got=${render(got)}\n exp=${render(expected)}")
+      }
+    }
   }
 
   test("non-empty rollup results are unchanged and the rewrite is one-pass") {
