@@ -94,6 +94,40 @@ case class WordNgrams(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One BPE merge pass (Sennrich et al. 2016, arXiv:1508.07909 — the
+  * byte-pair-encoding subword algorithm): over a space-joined symbol
+  * sequence, merge every LEFT-TO-RIGHT non-overlapping occurrence of the
+  * adjacent pair (a, b) into the single symbol a+b. Greedy semantics via
+  * a single fold — after a merge the accumulated tail token is `ab`,
+  * which no longer matches `a`, so "l l l" under pair (l, l) yields
+  * "ll l", exactly the reference algorithm's scan. The training loop
+  * (queries/TextAnalysis q1a) applies one pass per learned merge; the
+  * DuckDB oracle replays the identical fold with list_reduce. */
+case class BpeMergePass(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bpe_merge_pass"
+  override def dataType: DataType = StringType
+
+  private val merged = a + b
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (out.nonEmpty && out.last == a && toks(i) == b)
+        out(out.length - 1) = merged
+      else out += toks(i)
+      i += 1
+    }
+    UTF8String.fromString(out.mkString(" "))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Presto `hamming_distance(s1, s2)` (`StringFunctions.java`): number of
   * differing code points; inputs must have equal code-point length, as in
   * the reference. Static-call codegen like WordStem — one compiled call

@@ -42,6 +42,55 @@ object TextAnalysis extends QueryPack {
       .cast("double") / size(words)
 
   override def defs: Map[String, Q] = Map(
+    // Byte-pair-encoding trainer (Sennrich et al. 2016,
+    // arXiv:1508.07909 — the subword-tokenizer algorithm LLM pipelines
+    // learn on their corpus): start from character sequences over the
+    // word-frequency table, and per merge step (a) count adjacent
+    // symbol pairs weighted by word frequency — ONE aggregate pass,
+    // (b) take the arg-max pair ((count desc, pair asc) deterministic
+    // tie-break; a single driver-side row, like a KMeans centroid),
+    // (c) apply the merge everywhere with the native BpeMergePass fold
+    // — one map-only pass. T merges = T (aggregate + map) passes over
+    // the DISTINCT-WORD table (vocabulary-sized, not corpus-sized —
+    // the standard BPE trick; at 100 TB the word-frequency table is
+    // the only thing the loop touches). The DuckDB oracle replays the
+    // ENTIRE training: per-step pair counting with list_transform,
+    // the same arg-max, and the identical left-to-right greedy fold
+    // via list_reduce — every learned merge, its count, and the
+    // post-merge corpus token count must agree exactly.
+    "q1a_bpe_train" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+      val words = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+        .cache()
+      val steps = (1 to 3).map { step =>
+        val top = vocab
+          .select(col("wc"),
+            explode(toCol(graft.functions.WordNgrams(toExpr(col("seq")), 2)))
+              .as("p"))
+          .groupBy(col("p")).agg(sum(col("wc")).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1).head()
+        val pair = top.getString(0)
+        val cnt = top.getLong(1)
+        val Array(a, b) = pair.split(" ")
+        val prev = vocab
+        vocab = vocab.withColumn("seq",
+          toCol(graft.functions.BpeMergePass(toExpr(col("seq")), a, b)))
+          .cache()
+        val toks = vocab
+          .agg(sum(size(split(col("seq"), " ")).cast("long") * col("wc")))
+          .head().getLong(0)
+        prev.unpersist()
+        (step.toLong, pair, cnt, toks)
+      }
+      vocab.unpersist()
+      import s.implicits._
+      steps.toDF("step", "pair", "cnt", "toks").orderBy(col("step"))
+    }),
+
     // Language-ID heuristic: stopword-profile hit ratios -> predicted
     // class, reported as a confusion matrix against the labeled lang.
     "q97_langid_confusion" -> ((s, dir) => {
@@ -199,6 +248,76 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(w, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))::DOUBLE / len(w)"
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB replays BPE TRAINING itself: per step, pair counts via
+    // list_transform, the same (count desc, pair asc) arg-max, and the
+    // identical left-to-right greedy merge fold via list_reduce (after
+    // a merge the accumulated tail is `ab`, which no longer matches
+    // `a` — the Sennrich scan, engine-independent by construction).
+    "q1a_bpe_train" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w),
+        |v0 AS (SELECT w, wc,
+        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq FROM w),
+        |p1 AS (SELECT pair, sum(wc) AS c FROM (
+        |  SELECT wc, unnest(list_transform(range(1, len(sym)),
+        |    i -> sym[i] || ' ' || sym[i + 1])) AS pair
+        |  FROM (SELECT wc, string_split(seq, ' ') AS sym FROM v0) z) zz
+        |  GROUP BY pair),
+        |m1 AS (SELECT pair, c, string_split(pair, ' ')[1] AS pa,
+        |  string_split(pair, ' ')[2] AS pb, replace(pair, ' ', '') AS pm
+        |  FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        |v1 AS (SELECT w, wc,
+        |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
+        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
+        |    ELSE acc || ' ' || s END) AS seq
+        |  FROM v0 CROSS JOIN m1),
+        |t1 AS (SELECT sum(len(string_split(seq, ' ')) * wc) AS toks FROM v1),
+        |p2 AS (SELECT pair, sum(wc) AS c FROM (
+        |  SELECT wc, unnest(list_transform(range(1, len(sym)),
+        |    i -> sym[i] || ' ' || sym[i + 1])) AS pair
+        |  FROM (SELECT wc, string_split(seq, ' ') AS sym FROM v1) z) zz
+        |  GROUP BY pair),
+        |m2 AS (SELECT pair, c, string_split(pair, ' ')[1] AS pa,
+        |  string_split(pair, ' ')[2] AS pb, replace(pair, ' ', '') AS pm
+        |  FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        |v2 AS (SELECT w, wc,
+        |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
+        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
+        |    ELSE acc || ' ' || s END) AS seq
+        |  FROM v1 CROSS JOIN m2),
+        |t2 AS (SELECT sum(len(string_split(seq, ' ')) * wc) AS toks FROM v2),
+        |p3 AS (SELECT pair, sum(wc) AS c FROM (
+        |  SELECT wc, unnest(list_transform(range(1, len(sym)),
+        |    i -> sym[i] || ' ' || sym[i + 1])) AS pair
+        |  FROM (SELECT wc, string_split(seq, ' ') AS sym FROM v2) z) zz
+        |  GROUP BY pair),
+        |m3 AS (SELECT pair, c, string_split(pair, ' ')[1] AS pa,
+        |  string_split(pair, ' ')[2] AS pb, replace(pair, ' ', '') AS pm
+        |  FROM p3 ORDER BY c DESC, pair LIMIT 1),
+        |v3 AS (SELECT w, wc,
+        |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
+        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
+        |    ELSE acc || ' ' || s END) AS seq
+        |  FROM v2 CROSS JOIN m3),
+        |t3 AS (SELECT sum(len(string_split(seq, ' ')) * wc) AS toks FROM v3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, (SELECT pair FROM m1) AS pair,
+        |    CAST((SELECT c FROM m1) AS BIGINT) AS cnt,
+        |    CAST((SELECT toks FROM t1) AS BIGINT) AS toks
+        |  UNION ALL SELECT 2, (SELECT pair FROM m2),
+        |    CAST((SELECT c FROM m2) AS BIGINT),
+        |    CAST((SELECT toks FROM t2) AS BIGINT)
+        |  UNION ALL SELECT 3, (SELECT pair FROM m3),
+        |    CAST((SELECT c FROM m3) AS BIGINT),
+        |    CAST((SELECT toks FROM t3) AS BIGINT)) u
+        |ORDER BY step""".stripMargin,
+
     // Expected Snowball-English (Porter2) stems, locked per-step in
     // StemmerSuite against the published algorithm; agreement between the
     // SQL and Column paths is asserted in-query.

@@ -441,4 +441,27 @@ class FunctionsSuite extends GraftSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "foo" &&
       r.getDouble(2) == 2.5)
   }
+
+  test("bpe merge pass: left-to-right greedy, merged tail never rematches") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.functions.BpeMergePass
+    import spark.implicits._
+    def merge(seq: String, a: String, b: String): String =
+      Seq(seq).toDF("s")
+        .select(toCol(BpeMergePass(toExpr(col("s")), a, b)))
+        .collect()(0).getString(0)
+    // the Sennrich scan: after merging, the tail is `ll`, not `l`
+    assert(merge("h e l l o", "l", "l") == "h e ll o")
+    assert(merge("l l l", "l", "l") == "ll l")
+    assert(merge("l l l l", "l", "l") == "ll ll")
+    // alternating chain: every occurrence merges (the shared-boundary
+    // case a naive string replace gets wrong)
+    assert(merge("a b a b a b", "a", "b") == "ab ab ab")
+    // multi-char learned symbols merge like any other token
+    assert(merge("th e th e", "th", "e") == "the the")
+    // no occurrence -> identity; single symbol -> identity
+    assert(merge("x y z", "a", "b") == "x y z")
+    assert(merge("q", "q", "q") == "q")
+  }
 }
