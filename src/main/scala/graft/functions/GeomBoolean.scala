@@ -743,10 +743,18 @@ case class PolyBool(left: Expression, right: Expression, op: String)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val fa = GeomBoolean.flatOf(a, xiL)
     val fb = GeomBoolean.flatOf(b, xiR)
+    // r8c: union/difference/symdifference route through the holed
+    // implementations — hole-needing configurations (donut union,
+    // clip-inside-subject) now COMPUTE (interior rings CW, the
+    // structural convention st_polygon_area/centroid/contains read)
+    // instead of throwing, matching the reference's Esri delegation
+    // (GeoFunctions.java:581,921,1007). Hole-free results are
+    // byte-identical to before. Intersection of two simple rings is
+    // hole-free by construction and keeps the direct GH path.
     GeomBoolean.multiOf(op match {
-      case "union" => GeomBoolean.union(fa, fb)
-      case "difference" => GeomBoolean.difference(fa, fb)
-      case "symdifference" => GeomBoolean.symDifference(fa, fb)
+      case "union" => GeomBoolean.holedUnion(fa, fb)
+      case "difference" => GeomBoolean.holedDifference(fa, fb)
+      case "symdifference" => GeomBoolean.holedSymDifference(fa, fb)
       case "intersection" => GeomBoolean.intersection(fa, fb)
     })
   }

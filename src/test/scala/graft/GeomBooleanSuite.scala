@@ -92,8 +92,22 @@ class GeomBooleanSuite extends GraftSuite {
     assert(GeomBoolean.union(S, inner).map(GeomBoolean.signedArea).sum == 100.0)
     assert(GeomBoolean.intersection(S, inner).head.sameElements(
       GeomBoolean.intersection(inner, S).head))
+    // the LOW-LEVEL ring-typed difference still rejects holes (its
+    // contract is hole-free components)...
     val e = intercept[IllegalArgumentException](GeomBoolean.difference(S, inner))
     assert(e.getMessage.contains("hole"))
+    // ...but the SQL surface (PolyBool r8c) routes through the holed
+    // implementation, so ST_Difference COMPUTES the contained-clip case
+    // like the reference's Esri delegation: [exterior, CW hole]
+    Registry.install(spark)
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"array(st_point(${x0}D, ${y0}D), st_point(${x0 + s}D, ${y0}D), " +
+        s"st_point(${x0 + s}D, ${y0 + s}D), st_point(${x0}D, ${y0 + s}D))"
+    val row = spark.sql(
+      s"""SELECT size(st_difference(${sq(0, 0, 10)}, ${sq(3, 3, 3)})) AS n,
+         |  st_polygon_area(st_difference(${sq(0, 0, 10)}, ${sq(3, 3, 3)})) AS a
+         |""".stripMargin).head()
+    assert(row.getInt(0) == 2 && row.getDouble(1) == 91.0)
   }
 
   test("CW input is normalized") {
