@@ -91,6 +91,54 @@ object TextAnalysis extends QueryPack {
       steps.toDF("step", "pair", "cnt", "toks").orderBy(col("step"))
     }),
 
+    // Tokenizer-aware sequence packing — the q1a trainer composed with
+    // the qi5 packer: ENCODING is a broadcast lookup join against the
+    // trained vocabulary (each word's post-merge token count — the
+    // standard BPE serving shape; at 100 TB the vocab table is KBs and
+    // the join is map-only), per-doc subword token counts come from one
+    // doc_id aggregate, and packing is the same single window shuffle
+    // as qi5 with a 128-token budget.
+    "q1b_bpe_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      var vocab = d.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+        .cache()
+      (1 to 3).foreach { _ =>
+        val top = vocab
+          .select(col("wc"),
+            explode(toCol(graft.functions.WordNgrams(toExpr(col("seq")), 2)))
+              .as("p"))
+          .groupBy(col("p")).agg(sum(col("wc")).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(1).head()
+        val Array(a, b) = top.getString(0).split(" ")
+        val prev = vocab
+        vocab = vocab.withColumn("seq",
+          toCol(graft.functions.BpeMergePass(toExpr(col("seq")), a, b)))
+          .cache()
+        prev.unpersist()
+      }
+      val tokTable = vocab.select(col("w"),
+        size(split(col("seq"), " ")).cast("long").as("ntok"))
+      val docToks = d.join(broadcast(tokTable), "w")
+        .groupBy(col("doc_id"), col("lang")).agg(sum(col("ntok")).as("toks"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docToks
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("toks")).over(w), lit(0L)) / lit(128)))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("fill"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("nd")).as("n_docs"),
+          sum(col("fill")).as("total_toks"), max(col("fill")).as("max_fill"))
+        .orderBy(col("lang"))
+    }),
+
     // Language-ID heuristic: stopword-profile hit ratios -> predicted
     // class, reported as a confusion matrix against the labeled lang.
     "q97_langid_confusion" -> ((s, dir) => {
@@ -247,14 +295,14 @@ object TextAnalysis extends QueryPack {
   private def hitRatioSql(set: Seq[String]): String =
     s"len(list_filter(w, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))::DOUBLE / len(w)"
 
-  override def oracles: Map[String, String] = Map(
-    // DuckDB replays BPE TRAINING itself: per step, pair counts via
-    // list_transform, the same (count desc, pair asc) arg-max, and the
-    // identical left-to-right greedy merge fold via list_reduce (after
-    // a merge the accumulated tail is `ab`, which no longer matches
-    // `a` — the Sennrich scan, engine-independent by construction).
-    "q1a_bpe_train" ->
-      """WITH w AS (
+  /** The shared DuckDB replay of 3-step BPE training (see q1a): per
+    * step, pair counts via list_transform, (count desc, pair asc)
+    * arg-max, and the identical left-to-right greedy fold via
+    * list_reduce. Ends at v3 (the trained vocabulary) / t1-t3 (token
+    * counts); q1a reads the merge trail, q1b encodes the corpus with
+    * the trained vocab. */
+  private val bpeChain =
+    """WITH w AS (
         |  SELECT w, count(*) AS wc FROM (
         |    SELECT unnest(string_split(lower(text), ' ')) AS w
         |    FROM documents) t
@@ -305,7 +353,11 @@ object TextAnalysis extends QueryPack {
         |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
         |    ELSE acc || ' ' || s END) AS seq
         |  FROM v2 CROSS JOIN m3),
-        |t3 AS (SELECT sum(len(string_split(seq, ' ')) * wc) AS toks FROM v3)
+        |t3 AS (SELECT sum(len(string_split(seq, ' ')) * wc) AS toks FROM v3)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q1a_bpe_train" -> (bpeChain +
+      """
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS step, (SELECT pair FROM m1) AS pair,
         |    CAST((SELECT c FROM m1) AS BIGINT) AS cnt,
@@ -316,7 +368,33 @@ object TextAnalysis extends QueryPack {
         |  UNION ALL SELECT 3, (SELECT pair FROM m3),
         |    CAST((SELECT c FROM m3) AS BIGINT),
         |    CAST((SELECT toks FROM t3) AS BIGINT)) u
-        |ORDER BY step""".stripMargin,
+        |ORDER BY step""".stripMargin),
+
+    // Tokenizer-aware packing: encode via the TRAINED vocab (the word
+    // table carries each word's post-merge token count — encoding is a
+    // vocabulary-sized lookup join, the standard BPE serving shape),
+    // then pack per-lang into 128-token budgets exactly like qi5.
+    "q1b_bpe_pack" -> (bpeChain +
+      """,
+        |dw AS (SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |  WHERE length(w) > 0),
+        |tok AS (SELECT w, len(string_split(seq, ' ')) AS ntok FROM v3),
+        |dt AS (SELECT doc_id, lang, sum(ntok) AS toks
+        |       FROM dw JOIN tok USING (w) GROUP BY doc_id, lang),
+        |pk AS (SELECT lang, toks,
+        |  CAST(floor(coalesce(sum(toks) OVER (PARTITION BY lang
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128)
+        |  AS BIGINT) AS pack_id FROM dt),
+        |g AS (SELECT lang, pack_id, count(*) AS nd, sum(toks) AS fill
+        |      FROM pk GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_toks,
+        |  CAST(max(fill) AS BIGINT) AS max_fill
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin),
 
     // Expected Snowball-English (Porter2) stems, locked per-step in
     // StemmerSuite against the published algorithm; agreement between the
