@@ -94,3 +94,90 @@ object PrestoScalars {
   def dateFormatMysql(ts: Column, mysqlPattern: String): Column =
     date_format(ts, mysqlToJavaPattern(mysqlPattern))
 }
+
+/** Presto `json_array_get(json, index)` (`JsonFunctions.java:375-431`),
+  * faithfully: a streaming token walk — scalars render via the parser's
+  * value text (strings UNQUOTED, numbers in their RAW spelling: `1.50`
+  * stays `1.50`), object/array elements as compact JSON trees, a JSON
+  * `null` element returns SQL NULL, negative indices count from the end
+  * via a bounded ring of the trailing |index| elements, out-of-range /
+  * non-array / malformed input → NULL. The previous get_json_object
+  * template canonicalized numbers and rendered JSON null as the 4-char
+  * string — the two divergences this expression closes (r8c). */
+case class JsonArrayGet(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "json_array_get"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType | IntegerType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (json varchar, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def nullSafeEval(j: Any, i: Any): Any = {
+    val index = i match {
+      case l: Long => l
+      case n: Number => n.longValue()
+    }
+    if (index == Long.MinValue) return null
+    val parser = mapper.getFactory.createParser(j.toString)
+    try {
+      import com.fasterxml.jackson.core.JsonToken._
+      if (parser.nextToken() != START_ARRAY) return null
+      // trailing ring for negative indices, like the reference
+      val ring = if (index < 0)
+        new java.util.LinkedList[String]() else null
+      var count = 0L
+      while (true) {
+        val token = parser.nextToken()
+        if (token == null) return null
+        if (token == END_ARRAY) {
+          if (ring != null && count >= -index) {
+            val el = ring.getFirst
+            return if (el == null) null else UTF8String.fromString(el)
+          }
+          return null
+        }
+        val el: String =
+          if (token == START_OBJECT || token == START_ARRAY)
+            mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser)
+              .toString
+          else if (token == VALUE_NULL) null
+          else parser.getValueAsString
+        if (count == index)
+          return if (el == null) null else UTF8String.fromString(el)
+        if (ring != null) {
+          ring.add(el)
+          if (count >= -index) ring.removeFirst()
+        }
+        count += 1
+      }
+      null
+    } catch {
+      // JacksonException extends IOException — one arm covers both
+      case _: java.io.IOException => null
+    } finally parser.close()
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = l, right = r)
+}

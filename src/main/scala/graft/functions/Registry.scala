@@ -130,13 +130,10 @@ object Registry {
         "WHEN startswith(ltrim(get_json_object(__a, __b)), '{') " +
         "THEN size(json_object_keys(get_json_object(__a, __b))) " +
         "ELSE 0 END as bigint)"),
-    // json_array_get with Presto's negative-index-from-end; scalars come
-    // back unquoted (get_json_object rendering — the reference returns
-    // the JSON-quoted form for string elements; divergence documented).
-    ("json_array_get", 2,
-      "get_json_object(__a, concat('$[', " +
-        "CASE WHEN __b < 0 THEN json_array_length(__a) + __b " +
-        "ELSE __b END, ']'))"),
+    // json_array_get moved to the native JsonArrayGet expression (r8c)
+    // — the reference's streaming token walk (JsonFunctions.java:375):
+    // raw number spellings preserved, JSON null element -> SQL NULL.
+    // See the builder in install().
     // json_array_contains via string-normalized element compare (the
     // reference has per-type overloads; '1.0' vs '1' style numeric
     // renderings can diverge — exact for strings/booleans/integers).
@@ -1172,6 +1169,14 @@ object Registry {
       colorPack("merge_hll") {
         case Seq(v) => HllMergeAgg(v).toAggregateExpression()
         case args => sys.error(s"merge_hll expects 1 arg, got ${args.length}")
+      }
+      // json_array_get — the reference's streaming element walk (see
+      // PrestoScalars.JsonArrayGet), replacing the get_json_object
+      // template whose renderings diverged on raw numbers / JSON null
+      colorPack("json_array_get") {
+        case Seq(j, i) => JsonArrayGet(j, Cast(i, LongType))
+        case args =>
+          sys.error(s"json_array_get expects 2 args, got ${args.length}")
       }
       // digest builders by their Presto SQL names (QuantileDigest
       // Functions.java qdigest_agg(x[, w[, accuracy]]);

@@ -747,7 +747,11 @@ object RegistrySql extends QueryPack {
         |ORDER BY id""".stripMargin)),
 
     // JSON extras (JsonFunctions.java): element counts at a path,
-    // index-from-end array access, membership.
+    // index-from-end array access, membership. r8c: json_array_get is
+    // the native streaming walk — object elements render as compact
+    // JSON, raw number spellings survive ('1.50' stays '1.50'), a JSON
+    // null ELEMENT is SQL NULL while the STRING "null" is the 4-char
+    // value (the distinction the old get_json_object template lost).
     "qi1_json_extras_sql" -> ((s, dir) => sql(s, dir,
       """SELECT cast(id as bigint) AS id,
         |  json_size(j, '$') AS sz_root,
@@ -755,7 +759,11 @@ object RegistrySql extends QueryPack {
         |  json_array_get(arr, 1) AS second,
         |  json_array_get(arr, -1) AS last,
         |  json_array_contains(arr, 'x') AS has_x,
-        |  json_array_contains(nums, 3) AS has_3
+        |  json_array_contains(nums, 3) AS has_3,
+        |  json_array_get('[{"k":1},1.50,null,"null"]', 0) AS el_obj,
+        |  json_array_get('[{"k":1},1.50,null,"null"]', 1) AS el_raw,
+        |  json_array_get('[{"k":1},1.50,null,"null"]', 2) AS el_null,
+        |  json_array_get('[{"k":1},1.50,null,"null"]', 3) AS el_strnull
         |FROM VALUES
         |  (1, '{"a": [1,2,3], "b": 1}', '["x","y","z"]', '[1,2,3]'),
         |  (2, '{"a": {"k": 1, "m": 2}}', '["p"]', '[4,5]'),
@@ -1851,7 +1859,9 @@ object RegistrySql extends QueryPack {
         |  json_extract_string(arr,
         |    concat('$[', json_array_length(arr) - 1, ']')) AS last,
         |  list_contains(json_extract_string(arr, '$[*]'), 'x') AS has_x,
-        |  list_contains(json_extract_string(nums, '$[*]'), '3') AS has_3
+        |  list_contains(json_extract_string(nums, '$[*]'), '3') AS has_3,
+        |  '{"k":1}' AS el_obj, '1.50' AS el_raw,
+        |  CAST(NULL AS VARCHAR) AS el_null, 'null' AS el_strnull
         |FROM t ORDER BY id""".stripMargin,
 
     "qh9_teradata_sql" ->
