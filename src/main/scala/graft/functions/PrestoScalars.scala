@@ -181,3 +181,85 @@ case class JsonArrayGet(
       : org.apache.spark.sql.catalyst.expressions.Expression =
     copy(left = l, right = r)
 }
+
+/** Presto `json_array_contains(json, value)` (`JsonFunctions.java:
+  * 207-356`), all four overloads as one expression dispatching on the
+  * probe's type: booleans match VALUE_TRUE/FALSE; bigints match ONLY
+  * integral number tokens (json `[1.0]` does NOT contain bigint 1);
+  * doubles match ONLY float number tokens with exact double equality
+  * (json `[1]` does NOT contain double 1.0) and a non-finite probe is
+  * immediately false; varchars match string tokens by text. Nested
+  * elements are skipped (skipChildren), non-array / malformed input →
+  * SQL NULL. The previous template compared canonicalized strings,
+  * which coincided for strings/booleans/integers but not for the
+  * int-vs-float token distinction this walk preserves. */
+case class JsonArrayContains(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "json_array_contains"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType,
+          BooleanType | LongType | IntegerType | ShortType | ByteType |
+          DoubleType | FloatType | StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (json varchar, boolean|bigint|double|varchar)," +
+          s" got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def nullSafeEval(j: Any, v: Any): Any = {
+    import com.fasterxml.jackson.core.JsonParser.NumberType
+    import com.fasterxml.jackson.core.JsonToken._
+    val parser = mapper.getFactory.createParser(j.toString)
+    try {
+      if (parser.nextToken() != START_ARRAY) return null
+      while (true) {
+        val token = parser.nextToken()
+        if (token == null) return null
+        if (token == END_ARRAY) return false
+        parser.skipChildren()
+        val hit = right.dataType match {
+          case BooleanType =>
+            val b = v.asInstanceOf[Boolean]
+            (token == VALUE_TRUE && b) || (token == VALUE_FALSE && !b)
+          case LongType | IntegerType | ShortType | ByteType =>
+            token == VALUE_NUMBER_INT &&
+              (parser.getNumberType == NumberType.INT ||
+                parser.getNumberType == NumberType.LONG) &&
+              parser.getLongValue == v.asInstanceOf[Number].longValue()
+          case DoubleType | FloatType =>
+            val d = v.asInstanceOf[Number].doubleValue()
+            java.lang.Double.isFinite(d) &&
+              token == VALUE_NUMBER_FLOAT && parser.getDoubleValue == d &&
+              java.lang.Double.isFinite(parser.getDoubleValue)
+          case _ =>
+            token == VALUE_STRING &&
+              v.toString == parser.getValueAsString
+        }
+        if (hit) return true
+      }
+      null
+    } catch {
+      case _: java.io.IOException => null
+    } finally parser.close()
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = l, right = r)
+}

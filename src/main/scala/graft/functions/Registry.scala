@@ -134,12 +134,9 @@ object Registry {
     // — the reference's streaming token walk (JsonFunctions.java:375):
     // raw number spellings preserved, JSON null element -> SQL NULL.
     // See the builder in install().
-    // json_array_contains via string-normalized element compare (the
-    // reference has per-type overloads; '1.0' vs '1' style numeric
-    // renderings can diverge — exact for strings/booleans/integers).
-    ("json_array_contains", 2,
-      "exists(from_json(__a, 'array<string>'), " +
-        "x -> x = cast(__b as string))"),
+    // json_array_contains moved to the native JsonArrayContains walk
+    // (r8c — the reference's four per-type overloads, incl. the
+    // int-vs-float token distinction). See the builder in install().
     // --- Teradata compat plugin (presto-teradata-functions/
     // .../TeradataStringFunctions.java): index = strpos; char2hexint =
     // uppercase hex of the UTF-16BE encoding ---
@@ -1177,6 +1174,18 @@ object Registry {
         case Seq(j, i) => JsonArrayGet(j, Cast(i, LongType))
         case args =>
           sys.error(s"json_array_get expects 2 args, got ${args.length}")
+      }
+      // json_array_contains — the reference's per-type overloads in one
+      // token walk (see PrestoScalars.JsonArrayContains); the probe's
+      // resolved type picks the arm, like Presto's overload resolution
+      colorPack("json_array_contains") {
+        // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
+        // coerce so the double overload arm binds like the reference
+        case Seq(j, v) if v.dataType.isInstanceOf[DecimalType] =>
+          JsonArrayContains(j, Cast(v, DoubleType))
+        case Seq(j, v) => JsonArrayContains(j, v)
+        case args =>
+          sys.error(s"json_array_contains expects 2 args, got ${args.length}")
       }
       // digest builders by their Presto SQL names (QuantileDigest
       // Functions.java qdigest_agg(x[, w[, accuracy]]);

@@ -763,7 +763,11 @@ object RegistrySql extends QueryPack {
         |  json_array_get('[{"k":1},1.50,null,"null"]', 0) AS el_obj,
         |  json_array_get('[{"k":1},1.50,null,"null"]', 1) AS el_raw,
         |  json_array_get('[{"k":1},1.50,null,"null"]', 2) AS el_null,
-        |  json_array_get('[{"k":1},1.50,null,"null"]', 3) AS el_strnull
+        |  json_array_get('[{"k":1},1.50,null,"null"]', 3) AS el_strnull,
+        |  json_array_contains('[1.0]', 1) AS c_int_vs_float,
+        |  json_array_contains('[1.5]', 1.5) AS c_float,
+        |  json_array_contains('[2]', cast(2 as double)) AS c_float_vs_int,
+        |  json_array_contains('{"a":1}', 'x') AS c_nonarray
         |FROM VALUES
         |  (1, '{"a": [1,2,3], "b": 1}', '["x","y","z"]', '[1,2,3]'),
         |  (2, '{"a": {"k": 1, "m": 2}}', '["p"]', '[4,5]'),
@@ -1861,7 +1865,9 @@ object RegistrySql extends QueryPack {
         |  list_contains(json_extract_string(arr, '$[*]'), 'x') AS has_x,
         |  list_contains(json_extract_string(nums, '$[*]'), '3') AS has_3,
         |  '{"k":1}' AS el_obj, '1.50' AS el_raw,
-        |  CAST(NULL AS VARCHAR) AS el_null, 'null' AS el_strnull
+        |  CAST(NULL AS VARCHAR) AS el_null, 'null' AS el_strnull,
+        |  false AS c_int_vs_float, true AS c_float,
+        |  false AS c_float_vs_int, CAST(NULL AS BOOLEAN) AS c_nonarray
         |FROM t ORDER BY id""".stripMargin,
 
     "qh9_teradata_sql" ->
