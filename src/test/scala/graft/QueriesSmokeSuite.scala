@@ -230,6 +230,19 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
   }
 
+  guards("qx4_tpcds_q56") { (plan, n) =>
+    // three channel branches x (item-by-color semi + date_dim + addr):
+    // every dimension broadcasts, no shuffle joins anywhere
+    assert(n("BroadcastHashJoin") >= 12, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+  }
+
+  guards("qx9_tpcds_q76") { (plan, n) =>
+    // three channel scans unioned with broadcast item/date_dim
+    assert(n("BroadcastHashJoin") >= 6, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+  }
+
   // ——— r8c: plan guards for the new pipeline operators ————————————————
   guards("q0w_dsir_resample") { (plan, n) =>
     // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
