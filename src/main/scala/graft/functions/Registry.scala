@@ -1178,6 +1178,13 @@ object Registry {
       // json_array_contains — the reference's per-type overloads in one
       // token walk (see PrestoScalars.JsonArrayContains); the probe's
       // resolved type picks the arm, like Presto's overload resolution
+      // media_dimensions(binary) — container-header image dimensions
+      // (PNG/BMP/GIF) without a codec; see operators/Multimodal
+      colorPack("media_dimensions") {
+        case Seq(v) => graft.operators.MediaDimensions(v)
+        case args =>
+          sys.error(s"media_dimensions expects 1 arg, got ${args.length}")
+      }
       colorPack("json_array_contains") {
         // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
         // coerce so the double overload arm binds like the reference

@@ -97,3 +97,73 @@ object Multimodal {
       .withColumn("frame", expr(
         s"substr(media, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
 }
+
+/** `media_dimensions(binary)` — REAL container-header parsing over the
+  * opaque media column (no codec library needed: image dimensions live
+  * in the first bytes of every common container):
+  *
+  *  - PNG (`\x89PNG\r\n\x1a\n` signature): IHDR width/height as
+  *    big-endian int32 at offsets 16/20
+  *  - BMP (`BM`): BITMAPINFOHEADER width/height as little-endian int32
+  *    at offsets 18/22
+  *  - GIF (`GIF8`): logical-screen width/height as little-endian
+  *    uint16 at offsets 6/8
+  *
+  * Unrecognized or truncated bytes → NULL (a corrupt blob must not
+  * kill a 100 TB scan). Returns struct<format, width, height> — the
+  * metadata a pipeline filters on (resolution gates, aspect-ratio
+  * buckets) before ever paying a full decode. */
+case class MediaDimensions(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "media_dimensions"
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${dt.catalogString}")
+    }
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    def row(fmt: String, w: Int, h: Int): InternalRow =
+      InternalRow(UTF8String.fromString(fmt), w, h)
+    if (b.length >= 24 &&
+        b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+      row("png", be32(b, 16), be32(b, 20))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      row("bmp", le32(b, 18), le32(b, 22))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8')
+      row("gif", le16(b, 6), le16(b, 8))
+    else null
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}

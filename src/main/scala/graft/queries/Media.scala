@@ -33,6 +33,47 @@ object Media extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL container-header parsing (r8c — no codec library needed:
+    // dimensions live in the first bytes of every common container).
+    // The blobs are genuine PNG/BMP/GIF headers CONSTRUCTED in-query
+    // with dimensions derived from doc_id (big-endian IHDR int32s,
+    // little-endian BITMAPINFOHEADER int32s, little-endian GIF
+    // logical-screen uint16s), parsed back by the native
+    // media_dimensions expression; junk bytes must come back NULL, not
+    // kill the scan. The oracle is closed-form in doc_id — if parsing
+    // and byte layout disagree anywhere, dims_ok goes false.
+    "q1c_media_headers" -> ((s, dir) => {
+      graft.Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(
+        """WITH d AS (SELECT doc_id, cast(16 + doc_id % 1024 AS INT) AS w,
+          |             cast(9 + doc_id % 512 AS INT) AS h
+          |           FROM documents WHERE doc_id < 60),
+          |hx AS (SELECT doc_id, w, h,
+          |  lpad(hex(w), 8, '0') AS wb, lpad(hex(h), 8, '0') AS hb FROM d),
+          |le AS (SELECT doc_id, w, h, wb, hb,
+          |  concat(substr(wb,7,2), substr(wb,5,2), substr(wb,3,2),
+          |         substr(wb,1,2)) AS wl,
+          |  concat(substr(hb,7,2), substr(hb,5,2), substr(hb,3,2),
+          |         substr(hb,1,2)) AS hl
+          |  FROM hx),
+          |blobs AS (SELECT doc_id, w, h, CASE cast(doc_id % 3 as int)
+          |    WHEN 0 THEN unhex(concat('89504E470D0A1A0A',
+          |      '0000000D49484452', wb, hb, '0806000000'))
+          |    WHEN 1 THEN unhex(concat('424D', repeat('00', 16), wl, hl,
+          |      '0100'))
+          |    ELSE unhex(concat('474946383961', substr(wl, 1, 4),
+          |      substr(hl, 1, 4), '00F700'))
+          |  END AS media FROM le),
+          |p AS (SELECT doc_id, w, h, media_dimensions(media) AS dim,
+          |      media_dimensions(unhex('DEADBEEF')) AS junk FROM blobs)
+          |SELECT cast(doc_id as bigint) AS doc_id, dim.format AS fmt,
+          |  dim.width AS width, dim.height AS height,
+          |  (dim.width = w AND dim.height = h) AS dims_ok,
+          |  (junk IS NULL) AS junk_null
+          |FROM p ORDER BY doc_id""".stripMargin)
+    }),
+
     // Typed mapPartitions path: one decoder per partition, fixed-width
     // feature vector out (the real-codec shape, deterministic fake body).
     "qa5_media_features" -> ((s, dir) => {
@@ -52,6 +93,17 @@ object Media extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The dimensions were CONSTRUCTED from doc_id, so the oracle is
+    // closed-form; the parsing itself is locked by dims_ok.
+    "q1c_media_headers" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'bmp' ELSE 'gif' END AS fmt,
+        |  CAST(16 + doc_id % 1024 AS INT) AS width,
+        |  CAST(9 + doc_id % 512 AS INT) AS height,
+        |  true AS dims_ok, true AS junk_null
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
     "qa4_media_frames" ->
       s"""WITH m AS (
          |  SELECT doc_id, n_chars AS n_bytes, md5(text) AS media_md5,
