@@ -1185,6 +1185,11 @@ object Registry {
         case args =>
           sys.error(s"media_dimensions expects 1 arg, got ${args.length}")
       }
+      colorPack("media_audio_info") {
+        case Seq(v) => graft.operators.MediaAudioInfo(v)
+        case args =>
+          sys.error(s"media_audio_info expects 1 arg, got ${args.length}")
+      }
       colorPack("json_array_contains") {
         // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
         // coerce so the double overload arm binds like the reference

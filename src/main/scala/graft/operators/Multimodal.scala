@@ -167,3 +167,56 @@ case class MediaDimensions(
       : org.apache.spark.sql.catalyst.expressions.Expression =
     copy(child = newChild)
 }
+
+/** `media_audio_info(binary)` — the audio counterpart of
+  * [[MediaDimensions]]: WAV (RIFF/WAVE) fmt-chunk fields straight from
+  * the canonical header layout — channels as little-endian uint16 at
+  * offset 22, sample rate as little-endian uint32 at 24, bits per
+  * sample at 34. NULL on anything that is not a RIFF/WAVE blob or is
+  * truncated. Returns struct<sample_rate, channels, bits> — the
+  * metadata an audio pipeline filters on (rate/channel gates) before
+  * decoding samples. */
+case class MediaAudioInfo(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "media_audio_info"
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${dt.catalogString}")
+    }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.length >= 36 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
+      InternalRow(le32(b, 24), le16(b, 22), le16(b, 34))
+    else null
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}

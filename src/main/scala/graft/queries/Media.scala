@@ -66,12 +66,26 @@ object Media extends QueryPack {
           |      substr(hl, 1, 4), '00F700'))
           |  END AS media FROM le),
           |p AS (SELECT doc_id, w, h, media_dimensions(media) AS dim,
-          |      media_dimensions(unhex('DEADBEEF')) AS junk FROM blobs)
-          |SELECT cast(doc_id as bigint) AS doc_id, dim.format AS fmt,
+          |      media_dimensions(unhex('DEADBEEF')) AS junk FROM blobs),
+          |wav AS (SELECT doc_id, unhex(concat(
+          |    '52494646', '24000000', '57415645', '666D7420',
+          |    '10000000', '0100',
+          |    lpad(hex(1 + doc_id % 2), 2, '0'), '00',
+          |    concat(substr(rb,7,2), substr(rb,5,2), substr(rb,3,2),
+          |           substr(rb,1,2)),
+          |    '00000000', '0000', '1000')) AS wb
+          |  FROM (SELECT doc_id,
+          |          lpad(hex(8000 + (doc_id % 5) * 8000), 8, '0') AS rb
+          |        FROM d) x)
+          |SELECT cast(p.doc_id as bigint) AS doc_id, dim.format AS fmt,
           |  dim.width AS width, dim.height AS height,
           |  (dim.width = w AND dim.height = h) AS dims_ok,
-          |  (junk IS NULL) AS junk_null
-          |FROM p ORDER BY doc_id""".stripMargin)
+          |  (junk IS NULL) AS junk_null,
+          |  media_audio_info(wb).sample_rate AS rate,
+          |  media_audio_info(wb).channels AS ch,
+          |  (media_audio_info(wb).bits = 16) AS bits_ok
+          |FROM p JOIN wav ON p.doc_id = wav.doc_id
+          |ORDER BY doc_id""".stripMargin)
     }),
 
     // Typed mapPartitions path: one decoder per partition, fixed-width
@@ -101,7 +115,9 @@ object Media extends QueryPack {
         |    WHEN 1 THEN 'bmp' ELSE 'gif' END AS fmt,
         |  CAST(16 + doc_id % 1024 AS INT) AS width,
         |  CAST(9 + doc_id % 512 AS INT) AS height,
-        |  true AS dims_ok, true AS junk_null
+        |  true AS dims_ok, true AS junk_null,
+        |  CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS ch, true AS bits_ok
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "qa4_media_frames" ->
