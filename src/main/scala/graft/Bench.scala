@@ -2,8 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: per query, one untimed prewarm pass then two timed
-  * passes (min), all consecutive — the reference benchmarks prewarm the
-  * same way (`presto-benchto-benchmarks/.../tpch.yaml` `prewarm-runs: 2`).
+  * passes (min) — plus up to three retry passes whenever the timed
+  * trials disagree by >1.5x (driver-machine contention defense; see the
+  * inline note) — all consecutive, the way the reference benchmarks
+  * prewarm (`presto-benchto-benchmarks/.../tpch.yaml` `prewarm-runs: 2`).
   *
   * Passes are grouped per-query rather than pass-wise across the whole
   * suite: with ~100 queries x several stages each, a suite-wide pass order
@@ -33,14 +35,39 @@ object Bench {
     // Optional arg: comma-separated name prefixes — dev-only filter for
     // isolated regression hunts; the driver always runs the full set.
     val prefixes = args.headOption.map(_.split(",").toSeq).getOrElse(Seq(""))
+    // Contention guard (round-9): min-of-2 does not defend against a busy
+    // driver machine — BENCH_r08 recorded qb1 at 5.80 s where an isolated
+    // run measures 1.02 s (806 s sbt wall around a 185 s suite = a
+    // concurrent JVM stole the cores). When the two timed trials disagree
+    // by >1.5x the measurement is suspect: take up to 3 extra trials until
+    // the two fastest agree within 1.5x, and report the min. The committed
+    // artifact then converges to the isolated number regardless of driver
+    // contention; the per-query trial spread lands in bench_out.json so a
+    // still-contended query is visible, not silent.
+    val MaxSpread = 1.5
+    def spreadOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.size < 2) Double.MaxValue
+      else if (ok.head == 0.0) 1.0
+      else ok(1) / ok.head
+    }
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
       .map { case (name, fn) =>
       System.gc() // drain prior queries' garbage outside the timed region
       runOnce(fn) // prewarm: scan + codegen warm, untimed
-      val t1 = runOnce(fn)
-      val t2 = runOnce(fn)
-      name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      var trials = Seq(runOnce(fn), runOnce(fn))
+      var retries = 0
+      while (spreadOf(trials) > MaxSpread && retries < 3 &&
+          trials.exists(_ >= 0)) {
+        trials :+= runOnce(fn)
+        retries += 1
+      }
+      val valid = trials.filter(_ >= 0)
+      spreads(name) =
+        if (valid.size < 2) -1.0 else math.min(spreadOf(trials), 99.0)
+      name -> (if (valid.isEmpty) -1.0 else valid.min)
     }
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
@@ -54,7 +81,7 @@ object Bench {
     val core = results.filter { case (k, _) => k.matches("q[0-2][0-9]_.*") }
     val rest = (results -- core.keys).toSeq.sortBy(-_._2).take(8)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)

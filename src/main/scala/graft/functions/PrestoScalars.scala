@@ -223,6 +223,17 @@ case class JsonArrayContains(
   override def nullSafeEval(j: Any, v: Any): Any = {
     import com.fasterxml.jackson.core.JsonParser.NumberType
     import com.fasterxml.jackson.core.JsonToken._
+    // Reference short-circuit (JsonFunctions.java jsonArrayContains,
+    // double overload): a non-finite probe returns false BEFORE the JSON
+    // is parsed — even against malformed or non-array input, where the
+    // normal path would return NULL.
+    right.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType
+          if !java.lang.Double.isFinite(v.asInstanceOf[Number].doubleValue()) =>
+        return false
+      case _ =>
+    }
     val parser = mapper.getFactory.createParser(j.toString)
     try {
       if (parser.nextToken() != START_ARRAY) return null

@@ -686,12 +686,16 @@ private[functions] object PrestoStatements {
         // Spark's catalog has no database rename, so the statement is
         // expressed as create-target + move-every-table + drop-source.
         // Cross-database ALTER TABLE RENAME is also unsupported, so the
-        // move is CTAS + DROP (source format preserved via USING
-        // parquet, the managed default). At warehouse scale prefer an
-        // object-store-level move; this spelling is correct for the
-        // metadata-and-fixture-sized schemas the statement governs.
-        // Persistent views fail loudly (their definitions would need
-        // re-pointing — honest-loud beats silently broken views).
+        // move is CTAS + DROP, with each table's provider copied from its
+        // catalog metadata (a JSON table stays JSON, not coerced to
+        // parquet). At warehouse scale prefer an object-store-level move;
+        // this spelling is correct for the metadata-and-fixture-sized
+        // schemas the statement governs. Persistent views fail loudly
+        // (their definitions would need re-pointing — honest-loud beats
+        // silently broken views). Failure atomicity: sources are dropped
+        // only AFTER every copy lands, and a mid-copy failure drops the
+        // half-built target schema before rethrowing — no table is ever
+        // stranded across both schemas.
         val from = from0.toLowerCase; val to = to0.toLowerCase
         require(spark.catalog.databaseExists(from),
           s"Schema '$from' does not exist")
@@ -704,11 +708,23 @@ private[functions] object PrestoStatements {
             s"ALTER SCHEMA RENAME: '$from.$t' is a view — " +
               "recreate views against the new schema name")
         }
+        def providerOf(t: String): String = try {
+          val row = spark.sql(s"DESCRIBE TABLE EXTENDED $from.$t")
+            .collect().find(_.getString(0) == "Provider")
+          row.map(_.getString(1)).filter(_.nonEmpty).getOrElse("parquet")
+        } catch { case _: Exception => "parquet" }
         spark.sql(s"CREATE DATABASE $to")
-        tables.foreach { t =>
-          spark.sql(s"CREATE TABLE $to.$t USING parquet AS SELECT * FROM $from.$t")
-          spark.sql(s"DROP TABLE $from.$t")
+        try
+          tables.foreach { t =>
+            spark.sql(
+              s"CREATE TABLE $to.$t USING ${providerOf(t)} AS SELECT * FROM $from.$t")
+          }
+        catch {
+          case e: Throwable =>
+            spark.sql(s"DROP DATABASE IF EXISTS $to CASCADE")
+            throw e
         }
+        tables.foreach(t => spark.sql(s"DROP TABLE $from.$t"))
         spark.sql(s"DROP DATABASE $from")
         statusDf(spark, "RENAME SCHEMA")
 

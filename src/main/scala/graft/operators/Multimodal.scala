@@ -104,8 +104,10 @@ object Multimodal {
   *
   *  - PNG (`\x89PNG\r\n\x1a\n` signature): IHDR width/height as
   *    big-endian int32 at offsets 16/20
-  *  - BMP (`BM`): BITMAPINFOHEADER width/height as little-endian int32
-  *    at offsets 18/22
+  *  - BMP (`BM`): DIB header-size field at offset 14 picks the layout —
+  *    BITMAPINFOHEADER+ (>= 40) int32 width/height at 18/22 (top-down
+  *    negative heights reported as magnitude), BITMAPCOREHEADER (12)
+  *    uint16 width/height at 18/20; other DIB sizes → NULL
   *  - GIF (`GIF8`): logical-screen width/height as little-endian
   *    uint16 at offsets 6/8
   *
@@ -154,8 +156,21 @@ case class MediaDimensions(
         b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
         b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
       row("png", be32(b, 16), be32(b, 20))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      row("bmp", le32(b, 18), le32(b, 22))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      // The DIB header-size field at offset 14 discriminates header
+      // generations: >= 40 (BITMAPINFOHEADER and successors) carries
+      // int32 width/height at 18/22 — height negative for top-down
+      // bitmaps, reported as its magnitude; exactly 12
+      // (BITMAPCOREHEADER, OS/2 1.x) carries uint16 width/height at
+      // 18/20. Anything else is not a layout this parser knows → NULL.
+      val dib = le32(b, 14)
+      if (dib >= 40) {
+        val h = le32(b, 22)
+        if (h == Int.MinValue) null
+        else row("bmp", le32(b, 18), math.abs(h))
+      } else if (dib == 12) row("bmp", le16(b, 18), le16(b, 20))
+      else null
+    }
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8')
       row("gif", le16(b, 6), le16(b, 8))

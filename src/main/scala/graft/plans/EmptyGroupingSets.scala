@@ -67,8 +67,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Injected like [[ZonedInstantComparison]]: post-hoc resolution rule on
   * engine-built sessions (GraftExtensions) and
   * `spark.experimental.extraOptimizations` on driver-provided sessions.
-  * Idempotent via a node tag plus the sentinel-alias marker scan (the
-  * optimizer copy sees analysis-rewritten plans and skips them); on
+  * Idempotent via a node tag plus a per-node check (an already-rewritten
+  * Aggregate's Expand output carries the sentinel flag — the optimizer
+  * copy skips those nodes and ONLY those, so a new rollup composed over a
+  * rewritten subtree still gets its own grand-total row); on
   * driver sessions a rollup containing DISTINCT aggregates may reach the
   * optimizer already rewritten by RewriteDistinctAggregates into a shape
   * this rule does not match — that residual applies only to sessions the
@@ -120,7 +122,16 @@ object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
 
   private def eligible(agg: Aggregate): Boolean =
     agg.getTagValue(Tag).isEmpty && (agg.child match {
-      case expand: Expand if !expand.child.isStreaming =>
+      // Per-node idempotence: a rewritten Aggregate's Expand already
+      // carries the sentinel flag in its output, so a second installation
+      // of the rule (the optimizer copy on engine sessions, or
+      // extraOptimizations on driver sessions) skips exactly the nodes an
+      // earlier application produced — and ONLY those. A fresh rollup
+      // composed over an already-rewritten subtree (chained `df.rollup`,
+      // a temp view holding an analyzed rollup plan) still gets its own
+      // grand-total row, which a plan-global marker scan used to suppress.
+      case expand: Expand if !expand.child.isStreaming &&
+          !expand.output.exists(_.name == FlagName) =>
         gidOf(agg).exists(gid => hasGlobalSet(agg, expand, gid))
       case _ => false
     })
@@ -213,19 +224,8 @@ object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
     result
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    // Sentinel pass: if the marker alias is already present, an earlier
-    // application (the analysis-time injection) has handled this plan.
-    val alreadyDone = plan.collectWithSubqueries {
-      case p: Project if p.projectList.exists {
-            case al: Alias => al.name == FlagName
-            case _ => false
-          } =>
-        ()
-    }.nonEmpty
-    if (alreadyDone) plan
-    else plan.transformUpWithSubqueries {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
       case agg: Aggregate if eligible(agg) => rewrite(agg)
     }
-  }
 }

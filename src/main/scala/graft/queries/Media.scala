@@ -60,8 +60,8 @@ object Media extends QueryPack {
           |blobs AS (SELECT doc_id, w, h, CASE cast(doc_id % 3 as int)
           |    WHEN 0 THEN unhex(concat('89504E470D0A1A0A',
           |      '0000000D49484452', wb, hb, '0806000000'))
-          |    WHEN 1 THEN unhex(concat('424D', repeat('00', 16), wl, hl,
-          |      '0100'))
+          |    WHEN 1 THEN unhex(concat('424D', repeat('00', 12),
+          |      '28000000', wl, hl, '0100'))
           |    ELSE unhex(concat('474946383961', substr(wl, 1, 4),
           |      substr(hl, 1, 4), '00F700'))
           |  END AS media FROM le),

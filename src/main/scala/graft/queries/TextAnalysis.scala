@@ -319,7 +319,8 @@ object TextAnalysis extends QueryPack {
         |  FROM p1 ORDER BY c DESC, pair LIMIT 1),
         |v1 AS (SELECT w, wc,
         |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
-        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    WHEN s = pb AND substr(acc, len(acc) - len(pa) + 1) = pa
+        |      AND (len(acc) = len(pa) OR substr(acc, len(acc) - len(pa), 1) = ' ')
         |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
         |    ELSE acc || ' ' || s END) AS seq
         |  FROM v0 CROSS JOIN m1),
@@ -334,7 +335,8 @@ object TextAnalysis extends QueryPack {
         |  FROM p2 ORDER BY c DESC, pair LIMIT 1),
         |v2 AS (SELECT w, wc,
         |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
-        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    WHEN s = pb AND substr(acc, len(acc) - len(pa) + 1) = pa
+        |      AND (len(acc) = len(pa) OR substr(acc, len(acc) - len(pa), 1) = ' ')
         |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
         |    ELSE acc || ' ' || s END) AS seq
         |  FROM v1 CROSS JOIN m2),
@@ -349,7 +351,8 @@ object TextAnalysis extends QueryPack {
         |  FROM p3 ORDER BY c DESC, pair LIMIT 1),
         |v3 AS (SELECT w, wc,
         |  list_reduce(string_split(seq, ' '), (acc, s) -> CASE
-        |    WHEN s = pb AND (acc = pa OR acc LIKE '% ' || pa)
+        |    WHEN s = pb AND substr(acc, len(acc) - len(pa) + 1) = pa
+        |      AND (len(acc) = len(pa) OR substr(acc, len(acc) - len(pa), 1) = ' ')
         |    THEN substr(acc, 1, len(acc) - len(pa)) || pm
         |    ELSE acc || ' ' || s END) AS seq
         |  FROM v2 CROSS JOIN m3),

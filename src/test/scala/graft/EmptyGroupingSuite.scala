@@ -136,6 +136,28 @@ class EmptyGroupingSuite extends GraftSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("a rollup composed over an already-rewritten rollup gets its own row") {
+    ready
+    // r9 ADVICE regression: idempotence used to be a plan-GLOBAL marker
+    // scan, so a fresh rollup chained over a subtree the rule had already
+    // rewritten (here: the inner empty-input rollup) was silently left
+    // unrewritten and its grand-total row went missing. The per-node check
+    // (sentinel flag in the Expand's own output) rewrites the outer one.
+    val inner = spark.sql(
+      """SELECT l_returnflag rf, count(*) n FROM lineitem
+        |WHERE l_quantity < 0 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    assert(inner.collect().toSeq == Seq(Row(null, 0L)))
+    val outer = inner.filter(col("n") > 0)
+      .rollup("rf").agg(count(lit(1)).as("m"))
+    assert(outer.collect().toSeq == Seq(Row(null, 0L)))
+    // Same through a temp view holding the analyzed inner plan.
+    inner.createOrReplaceTempView("graft_inner_rollup")
+    val viaView = spark.sql(
+      """SELECT rf, count(*) m FROM graft_inner_rollup WHERE n > 0
+        |GROUP BY ROLLUP(rf)""".stripMargin)
+    assert(viaView.collect().toSeq == Seq(Row(null, 0L)))
+  }
+
   test("non-empty rollup results are unchanged and the rewrite is one-pass") {
     ready
     val df = spark.sql(

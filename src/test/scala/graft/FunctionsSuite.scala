@@ -464,4 +464,55 @@ class FunctionsSuite extends GraftSuite {
     assert(merge("x y z", "a", "b") == "x y z")
     assert(merge("q", "q", "q") == "q")
   }
+
+  test("json_array_contains: non-finite double probe is false pre-parse") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.functions.JsonArrayContains
+    import spark.implicits._
+    def probe(json: String, v: Double): Any =
+      Seq(json).toDF("j")
+        .select(toCol(JsonArrayContains(toExpr(col("j")),
+          toExpr(lit(v))))).collect()(0).get(0)
+    // reference (JsonFunctions.java double overload): NaN/Inf returns
+    // false BEFORE parsing — even on malformed or non-array input where
+    // the normal path answers NULL
+    assert(probe("not json at all", Double.NaN) == false)
+    assert(probe("{\"k\":1}", Double.PositiveInfinity) == false)
+    assert(probe("[1.5, 2.5]", Double.NaN) == false)
+    // sanity: the normal path still distinguishes malformed (NULL) from
+    // miss (false) from hit (true)
+    assert(probe("not json at all", 1.5) == null)
+    assert(probe("[1.5, 2.5]", 2.5) == true)
+    assert(probe("[1.5, 2.5]", 3.5) == false)
+  }
+
+  test("media_dimensions: BMP DIB header generations") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.operators.MediaDimensions
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def dims(b: Array[Byte]): Option[(Int, Int)] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(toCol(MediaDimensions(toExpr(col("b"))))).collect()(0)
+      if (r.isNullAt(0)) None
+      else Some((r.getStruct(0).getInt(1), r.getStruct(0).getInt(2)))
+    }
+    def bmp(dibSize: Int, body: Array[Byte]): Array[Byte] =
+      "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(dibSize) ++ body ++
+        Array.fill[Byte](16)(0)
+    // BITMAPINFOHEADER (40): int32 w/h at 18/22
+    assert(dims(bmp(40, le32(640) ++ le32(480))) == Some((640, 480)))
+    // top-down bitmap: negative height reported as magnitude
+    assert(dims(bmp(40, le32(640) ++ le32(-480))) == Some((640, 480)))
+    // BITMAPV5HEADER (124) uses the same field layout
+    assert(dims(bmp(124, le32(64) ++ le32(64))) == Some((64, 64)))
+    // BITMAPCOREHEADER (12): uint16 w/h at 18/20 — used to misparse as
+    // garbage int32 dimensions (r9 ADVICE)
+    assert(dims(bmp(12, le16(320) ++ le16(200) ++ Array.fill[Byte](4)(0))) ==
+      Some((320, 200)))
+    // unknown DIB size → NULL, not garbage
+    assert(dims(bmp(16, le32(640) ++ le32(480))) == None)
+  }
 }
