@@ -692,10 +692,12 @@ private[functions] object PrestoStatements {
         // this spelling is correct for the metadata-and-fixture-sized
         // schemas the statement governs. Persistent views fail loudly
         // (their definitions would need re-pointing — honest-loud beats
-        // silently broken views). Failure atomicity: sources are dropped
-        // only AFTER every copy lands, and a mid-copy failure drops the
-        // half-built target schema before rethrowing — no table is ever
-        // stranded across both schemas.
+        // silently broken views). Failure containment (not full
+        // atomicity): sources are dropped only AFTER every copy lands,
+        // and a mid-copy failure drops the half-built target schema
+        // before rethrowing — but a failure inside the post-copy drop
+        // loop can still leave a table visible in both schemas, and the
+        // CTAS copy does not carry partitioning/bucketing/options.
         val from = from0.toLowerCase; val to = to0.toLowerCase
         require(spark.catalog.databaseExists(from),
           s"Schema '$from' does not exist")
@@ -709,9 +711,12 @@ private[functions] object PrestoStatements {
               "recreate views against the new schema name")
         }
         def providerOf(t: String): String = try {
-          val row = spark.sql(s"DESCRIBE TABLE EXTENDED $from.$t")
-            .collect().find(_.getString(0) == "Provider")
-          row.map(_.getString(1)).filter(_.nonEmpty).getOrElse("parquet")
+          // Catalog metadata, not DESCRIBE output: a user column literally
+          // named "Provider" would collide with the DESCRIBE section row.
+          spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst
+              .TableIdentifier(t, Some(from)))
+            .provider.filter(_.nonEmpty).getOrElse("parquet")
         } catch { case _: Exception => "parquet" }
         spark.sql(s"CREATE DATABASE $to")
         try

@@ -166,8 +166,11 @@ case class MediaDimensions(
       val dib = le32(b, 14)
       if (dib >= 40) {
         val h = le32(b, 22)
-        if (h == Int.MinValue) null
-        else row("bmp", le32(b, 18), math.abs(h))
+        val w = le32(b, 18)
+        // BMP spec: width is strictly positive (only height may be
+        // negative, meaning top-down); a non-positive width is garbage
+        if (h == Int.MinValue || w <= 0) null
+        else row("bmp", w, math.abs(h))
       } else if (dib == 12) row("bmp", le16(b, 18), le16(b, 20))
       else null
     }

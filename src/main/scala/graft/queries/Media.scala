@@ -67,6 +67,27 @@ object Media extends QueryPack {
           |  END AS media FROM le),
           |p AS (SELECT doc_id, w, h, media_dimensions(media) AS dim,
           |      media_dimensions(unhex('DEADBEEF')) AS junk FROM blobs),
+          |-- r10 differential gates for the DIB-generation arms: a
+          |-- 12-byte BITMAPCOREHEADER blob (uint16 w/h at 18/20), a
+          |-- top-down BITMAPINFOHEADER blob (negative int32 height,
+          |-- reported as magnitude), and a garbage negative-width blob
+          |-- (must be NULL — BMP widths are strictly positive)
+          |edge AS (SELECT le.doc_id,
+          |  media_dimensions(unhex(concat('424D', repeat('00', 12),
+          |    '0C000000', substr(wl,1,4), substr(hl,1,4),
+          |    repeat('00', 8)))) AS core,
+          |  media_dimensions(unhex(concat('424D', repeat('00', 12),
+          |    '28000000', wl,
+          |    concat(substr(nh,7,2), substr(nh,5,2), substr(nh,3,2),
+          |           substr(nh,1,2)), '0100'))) AS td,
+          |  media_dimensions(unhex(concat('424D', repeat('00', 12),
+          |    '28000000',
+          |    concat(substr(nw,7,2), substr(nw,5,2), substr(nw,3,2),
+          |           substr(nw,1,2)), hl, '0100'))) AS negw
+          |  FROM le JOIN (SELECT doc_id,
+          |      lpad(hex(4294967296 - h), 8, '0') AS nh,
+          |      lpad(hex(4294967296 - w), 8, '0') AS nw
+          |    FROM d) n ON le.doc_id = n.doc_id),
           |wav AS (SELECT doc_id, unhex(concat(
           |    '52494646', '24000000', '57415645', '666D7420',
           |    '10000000', '0100',
@@ -83,8 +104,14 @@ object Media extends QueryPack {
           |  (junk IS NULL) AS junk_null,
           |  media_audio_info(wb).sample_rate AS rate,
           |  media_audio_info(wb).channels AS ch,
-          |  (media_audio_info(wb).bits = 16) AS bits_ok
+          |  (media_audio_info(wb).bits = 16) AS bits_ok,
+          |  (core.format = 'bmp' AND core.width = w AND core.height = h)
+          |    AS core_ok,
+          |  (td.format = 'bmp' AND td.width = w AND td.height = h)
+          |    AS topdown_ok,
+          |  (negw IS NULL) AS negw_null
           |FROM p JOIN wav ON p.doc_id = wav.doc_id
+          |JOIN edge ON p.doc_id = edge.doc_id
           |ORDER BY doc_id""".stripMargin)
     }),
 
@@ -117,7 +144,8 @@ object Media extends QueryPack {
         |  CAST(9 + doc_id % 512 AS INT) AS height,
         |  true AS dims_ok, true AS junk_null,
         |  CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
-        |  CAST(1 + doc_id % 2 AS INT) AS ch, true AS bits_ok
+        |  CAST(1 + doc_id % 2 AS INT) AS ch, true AS bits_ok,
+        |  true AS core_ok, true AS topdown_ok, true AS negw_null
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "qa4_media_frames" ->

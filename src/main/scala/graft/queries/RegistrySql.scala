@@ -767,7 +767,10 @@ object RegistrySql extends QueryPack {
         |  json_array_contains('[1.0]', 1) AS c_int_vs_float,
         |  json_array_contains('[1.5]', 1.5) AS c_float,
         |  json_array_contains('[2]', cast(2 as double)) AS c_float_vs_int,
-        |  json_array_contains('{"a":1}', 'x') AS c_nonarray
+        |  json_array_contains('{"a":1}', 'x') AS c_nonarray,
+        |  json_array_contains(nums, cast('nan' as double)) AS c_nan,
+        |  json_array_contains('not json', cast('nan' as double))
+        |    AS c_nan_malformed
         |FROM VALUES
         |  (1, '{"a": [1,2,3], "b": 1}', '["x","y","z"]', '[1,2,3]'),
         |  (2, '{"a": {"k": 1, "m": 2}}', '["p"]', '[4,5]'),
@@ -1867,7 +1870,10 @@ object RegistrySql extends QueryPack {
         |  '{"k":1}' AS el_obj, '1.50' AS el_raw,
         |  CAST(NULL AS VARCHAR) AS el_null, 'null' AS el_strnull,
         |  false AS c_int_vs_float, true AS c_float,
-        |  false AS c_float_vs_int, CAST(NULL AS BOOLEAN) AS c_nonarray
+        |  false AS c_float_vs_int, CAST(NULL AS BOOLEAN) AS c_nonarray,
+        |  -- reference JsonFunctions.java:288-292: a NaN/Inf double probe
+        |  -- answers false BEFORE parsing, even on malformed input
+        |  false AS c_nan, false AS c_nan_malformed
         |FROM t ORDER BY id""".stripMargin,
 
     "qh9_teradata_sql" ->

@@ -514,5 +514,9 @@ class FunctionsSuite extends GraftSuite {
       Some((320, 200)))
     // unknown DIB size → NULL, not garbage
     assert(dims(bmp(16, le32(640) ++ le32(480))) == None)
+    // garbage non-positive width → NULL (spec: width strictly positive;
+    // only height may be negative) — r10 ADVICE
+    assert(dims(bmp(40, le32(-640) ++ le32(480))) == None)
+    assert(dims(bmp(40, le32(0) ++ le32(480))) == None)
   }
 }
