@@ -325,6 +325,120 @@ object Connectors extends QueryPack {
         .orderBy(col("name"))
     }),
 
+    // Kafka end-to-end, batch half (reference:
+    // `presto-kafka/.../KafkaConnectorFactory.java:39` over the
+    // record-decoder layer; substitution documented in
+    // sources/KafkaLogConn.scala — no broker jar ships here, so the
+    // topic log is in-process while everything above the socket stays
+    // Kafka-shaped). Producer: the DSv2 sink with explicit key/value/
+    // partition/timestamp columns, RAW-framed lineitem messages
+    // (big-endian LONG@0, INT@8, varchar tail@12). Consumer:
+    // `format("graft-kafka")` scan — one split per partition offset
+    // range — decoded by the same RawField expressions q0k locks.
+    // The gate checks the decode AND the transport metadata: key bytes
+    // round-trip, the explicit partition is honored, the produce
+    // timestamp survives as CreateTime (timestampType 0).
+    "q1d_kafka_raw" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.RecordDecoders
+      graft.functions.Registry.install(s)
+      val topic = s"graft_q1d_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.KafkaLog.create(topic, 2)
+      graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          expr("to_big_endian_64(l_orderkey)").as("key"),
+          expr("""concat(to_big_endian_64(l_orderkey),
+                |  to_big_endian_32(l_linenumber),
+                |  encode(l_returnflag, 'UTF-8'))""".stripMargin).as("value"),
+          (col("l_orderkey") % 2).cast("int").as("partition"),
+          timestamp_millis(lit(1700000000000L) + col("l_orderkey") * 1000)
+            .as("timestamp"))
+        .write.mode("append").format("graft-kafka").option("topic", topic).save()
+      s.read.format("graft-kafka").option("subscribe", topic).load()
+        .select(
+          RecordDecoders.raw(col("key"), LongType, "LONG", "0").as("kk"),
+          RecordDecoders.raw(col("value"), LongType, "LONG", "0").as("k"),
+          RecordDecoders.raw(col("value"), IntegerType, "INT", "8").as("ln"),
+          RecordDecoders.raw(col("value"), StringType, "BYTE", "12").as("rf"),
+          col("partition"), col("timestamp"), col("timestampType"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          sum(col("ln")).as("ln_sum"),
+          bool_and(col("kk") === col("k")).as("key_ok"),
+          bool_and(col("partition") === (col("k") % 2).cast("int"))
+            .as("part_ok"),
+          bool_and(unix_millis(col("timestamp")) ===
+            lit(1700000000000L) + col("k") * 1000).as("ts_ok"),
+          bool_and(col("timestampType") === 0).as("tstype_ok"))
+        .orderBy(col("rf"))
+    }),
+
+    // Kafka end-to-end, offset-semantics half: JSON documents messages
+    // keyed by doc_id, partitioned doc_id % 2. The full read checks the
+    // log invariants per partition (offsets contiguous from 0, all
+    // distinct) plus the slash-path JSON field decode; a second scan
+    // with Kafka-JSON `startingOffsets` skipping 5 per partition proves
+    // the split planner honors explicit offset ranges (the
+    // `KafkaSplitManager` begin/end contract).
+    "q1e_kafka_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.RecordDecoders
+      val topic = s"graft_q1e_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.KafkaLog.create(topic, 2)
+      graft.Tables.view(s, dir, "documents")
+        .filter(col("doc_id") <= 50)
+        .select(
+          expr("encode(cast(doc_id AS string), 'UTF-8')").as("key"),
+          encode(to_json(struct(
+            struct(col("doc_id").as("id"), col("source").as("src"))
+              .as("meta"),
+            (col("doc_id") * 7).as("v"))), "UTF-8").as("value"),
+          (col("doc_id") % 2).cast("int").as("partition"))
+        .write.mode("append").format("graft-kafka").option("topic", topic).save()
+      val full = s.read.format("graft-kafka").option("subscribe", topic)
+        .load()
+        .select(col("partition").as("part"), col("offset"),
+          RecordDecoders.jsonField(col("value").cast("string"), "meta/id",
+            LongType).as("id"),
+          RecordDecoders.jsonField(col("value").cast("string"), "v",
+            LongType).as("v"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("min_off"),
+          max(col("offset")).as("max_off"),
+          countDistinct(col("offset")).as("n_off"),
+          sum(col("id")).as("id_sum"), sum(col("v")).as("v_sum"))
+      val tail = s.read.format("graft-kafka").option("subscribe", topic)
+        .option("startingOffsets", s"""{"$topic":{"0":5,"1":5}}""")
+        .load()
+        .groupBy(col("partition").as("part"))
+        .agg(count(lit(1)).as("n_tail"))
+      full.join(tail, "part").orderBy(col("part"))
+    }),
+
+    // Kafka end-to-end, Avro half: the q0o single-record
+    // object-container messages produced to a 1-partition topic (the
+    // driver-side test-producer shape), scanned back and decoded by
+    // AvroDecode — the exact aggregate q0o locks, now with the topic
+    // transport in the middle.
+    "q1f_kafka_avro" -> ((s, dir) => {
+      import graft.functions.RecordDecoders
+      val topic = s"graft_q1f_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.KafkaLog.create(topic, 1)
+      (1L to 100L).foreach(k => graft.sources.KafkaLog.produce(
+        topic, 0, null, q0oAvroMsg(k), 1700000000000L + k))
+      s.read.format("graft-kafka").option("subscribe", topic).load()
+        .select(RecordDecoders.avroRow(col("value"), Q0oSchema).as("r"))
+        .select(col("r.id").as("id"), col("r.name").as("name"),
+          col("r.score").as("score"), size(col("r.tags")).as("ntags"),
+          element_at(col("r.attrs"), "b").as("b"))
+        .groupBy(coalesce(col("name"), lit("<null>")).as("name"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          round(sum(col("score")), 2).as("score_sum"),
+          sum(col("ntags")).as("tags_total"), sum(col("b")).as("b_sum"))
+        .orderBy(col("name"))
+    }),
+
     // The local-file log connector (graft-localfile, the
     // presto-local-file analog): three deterministically-derived
     // rotation files (middle one GZIPPED — the connector sniffs the
@@ -531,6 +645,39 @@ object Connectors extends QueryPack {
         |  CAST(count_if(nul) AS BIGINT) AS n_null_trace,
         |  min(uri) AS min_uri
         |FROM r GROUP BY method ORDER BY method""".stripMargin,
+
+    "q1d_kafka_raw" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS k_sum,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS ln_sum,
+        |  true AS key_ok, true AS part_ok, true AS ts_ok,
+        |  true AS tstype_ok
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Offsets are arrival-order within a partition (contiguous from 0),
+    // so per-partition counts/min/max/distinct and the content sums are
+    // closed-form; the tail read drops exactly 5 per partition.
+    "q1e_kafka_json" ->
+      """SELECT CAST(doc_id % 2 AS INT) AS part, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS min_off,
+        |  CAST(count(*) - 1 AS BIGINT) AS max_off,
+        |  count(*) AS n_off,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(doc_id * 7) AS BIGINT) AS v_sum,
+        |  count(*) - 5 AS n_tail
+        |FROM documents WHERE doc_id <= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1f_kafka_avro" ->
+      """WITH ks AS (SELECT unnest(range(1, 101)) AS k),
+        |r AS (SELECT k, CASE WHEN k % 10 = 0 THEN '<null>'
+        |    ELSE 'n' || (k % 7) END AS name FROM ks)
+        |SELECT name, count(*) AS n, CAST(sum(k) AS BIGINT) AS id_sum,
+        |  round(sum(k * 0.5), 2) AS score_sum,
+        |  CAST(count(*) * 2 AS BIGINT) AS tags_total,
+        |  CAST(sum(k * 2) AS BIGINT) AS b_sum
+        |FROM r GROUP BY name ORDER BY name""".stripMargin,
 
     "q0k_raw_decoder" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
