@@ -598,19 +598,26 @@ case class HoledPolygon(child: Expression, mode: String)
     rings.foreach(r => require(r.length >= 6,
       s"$prettyName: every ring needs >= 3 vertices"))
     // Two readings, disambiguated structurally (r8c): when every ring
-    // after the first nests inside it, the input is a SINGLE polygon
-    // [exterior, holes...] and the read stays orientation-INSENSITIVE
-    // (|shoelace|, holes negative — the legacy hand-built contract).
-    // When some later ring is NOT nested in the first, the input is a
+    // after the first nests inside it AT DEPTH EXACTLY ONE (a flat
+    // [exterior, holes...] layout — no later ring nested inside
+    // another later ring), the input is a SINGLE polygon and the read
+    // stays orientation-INSENSITIVE (|shoelace|, holes negative — the
+    // legacy hand-built contract). Otherwise the input is a
     // MULTIPOLYGON (st_polygon_union / symdifference / splitting-bar
-    // difference outputs) and orientation decides: CCW rings are
+    // difference outputs, and — r10 — island-in-hole structures from
+    // the multi-ring clipper, whose islands ARE nested in ring 1 but
+    // sit under a hole) and orientation decides: CCW rings are
     // component exteriors (+), CW rings are their holes (−) — the
     // convention every holed boolean op emits and the WKB reader
-    // normalizes to. Before this, a 2-component multipolygon
-    // mis-subtracted its second component.
+    // normalizes to. A real polygon cannot carry a hole inside a hole,
+    // so depth >= 2 always means nested components, never a "deep
+    // hole". Before r8c a 2-component multipolygon mis-subtracted its
+    // second component; before r10 an island-in-hole did.
     val signed = rings.map(GeomBoolean.signedArea)
     val singlePoly = rings.tail.forall(r =>
-      GeomBoolean.inside(r(0), r(1), rings.head))
+      GeomBoolean.inside(r(0), r(1), rings.head)) &&
+      !rings.tail.exists(r => rings.tail.exists(r2 => (r2 ne r) &&
+        GeomBoolean.inside(r(0), r(1), r2)))
     val weightsSeq: Seq[Double] =
       if (singlePoly) signed.head.abs +: signed.tail.map(a => -a.abs)
       else {

@@ -604,6 +604,334 @@ object GeomBoolean {
       b0: Array[Double]): Seq[Array[Double]] =
     holedDifference(a0, b0) ++ holedDifference(b0, a0)
 
+  // ---- r10: Foster–Hormann multi-ring extension — HOLED INPUTS ----
+  // The single-ring GH clipper generalizes to polygons-with-holes by
+  // running the same machinery over ALL ring pairs at once (Foster &
+  // Hormann's multi-component formulation of Greiner–Hormann): even-odd
+  // point-in-polygon over the full ring set seeds the entry/exit flags,
+  // rings that never cross the other polygon are kept or dropped by the
+  // operation's truth table, and the result components nest-assemble by
+  // containment depth (even depth = exterior CCW, odd = hole CW).
+  // Reference: the Esri delegation accepts arbitrary polygons
+  // (GeoFunctions.java:581,921); this closes the holed-INPUT limit the
+  // r8c holed-RESULT layer documented.
+
+  /** Even-odd membership w.r.t. a polygon given as ALL its rings
+    * (orientation-independent: each ring crossing flips parity). */
+  private[graft] def insideMulti(px: Double, py: Double,
+      rings: Seq[Array[Double]]): Boolean =
+    rings.foldLeft(false)((in, r) => in ^ inside(px, py, r))
+
+  /** Normalize a polygon's ring orientations by nesting depth: even
+    * depth (exteriors) CCW, odd depth (holes) CW — the interior-left
+    * convention the traversal needs. Input order is preserved. */
+  private def orientPoly(rings: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val depth = rings.indices.map(i => rings.indices.count(j =>
+      j != i && inside(rings(i)(0), rings(i)(1), rings(j))))
+    rings.indices.map { i =>
+      val r = rings(i)
+      val wantCcw = depth(i) % 2 == 0
+      if ((signedArea(r) > 0) == wantCcw) r else reversePairs(r)
+    }
+  }
+
+  /** Nest-assemble result components into the structural form: each
+    * even-depth component is an exterior (CCW) followed by its
+    * immediate odd-depth holes (CW), blocks ordered lex by exterior;
+    * islands (depth 2) start their own block, recursively. Components
+    * of a valid boolean result never cross, so a single-vertex
+    * containment probe decides nesting. */
+  private def assemble(comps0: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val comps = comps0.map(r => canonical(ccw(r)))
+    val depth = comps.indices.map(i => comps.indices.count(j =>
+      j != i && inside(comps(i)(0), comps(i)(1), comps(j))))
+    val out = ArrayBuffer.empty[Array[Double]]
+    def emit(d: Int, within: Int => Boolean): Unit = {
+      val exts = comps.indices
+        .filter(i => depth(i) == d && within(i))
+        .sortBy(i => (comps(i)(0), comps(i)(1)))
+      exts.foreach { e =>
+        out += comps(e)
+        val holes = comps.indices.filter(h => depth(h) == d + 1 &&
+          inside(comps(h)(0), comps(h)(1), comps(e)))
+        holes.map(comps).sortBy(r => (r(0), r(1)))
+          .foreach(h => out += reversePairs(h))
+        // islands nested inside this exterior's holes
+        emit(d + 2, i => inside(comps(i)(0), comps(i)(1), comps(e)))
+      }
+    }
+    emit(0, _ => true)
+    out.toSeq
+  }
+
+  /** Multi-ring GH core: subject and clip are polygons-with-holes
+    * (interior-left oriented via [[orientPoly]]); `invS`/`invC` select
+    * the op exactly like the single-ring [[clip]]. Returns structural
+    * [exterior, holes...] blocks. */
+  private def clipMulti(subj: Seq[Array[Double]], clip: Seq[Array[Double]],
+      invS: Boolean, invC: Boolean): Seq[Array[Double]] = {
+    // degeneracy sweep: any vertex of either polygon on any ring of the
+    // other (vertex-on-edge / coincident vertices), recoverable by the
+    // perturbation wrapper
+    for (s <- subj; c <- clip) {
+      var i = 0
+      while (i < s.length) {
+        if (onBoundary(s(i), s(i + 1), c))
+          contactDegenerate("subject vertex on clip boundary")
+        i += 2
+      }
+      i = 0
+      while (i < c.length) {
+        if (onBoundary(c(i), c(i + 1), s))
+          contactDegenerate("clip vertex on subject boundary")
+        i += 2
+      }
+    }
+
+    // pure-geometry intersection pass over ORIGINAL edges of every
+    // (subject ring, clip ring) pair — insertion happens after, sorted
+    // by alpha, so multi-pair subdivision stays consistent
+    final case class Hit(si: Int, se: Int, tS: Double,
+        ci: Int, ce: Int, tC: Double, x: Double, y: Double)
+    val hits = ArrayBuffer.empty[Hit]
+    for (si <- subj.indices; ci <- clip.indices) {
+      val a = subj(si); val b = clip(ci)
+      val na = a.length / 2; val nb = b.length / 2
+      var i = 0
+      while (i < na) {
+        val i2 = (i + 1) % na
+        val d1x = a(2 * i2) - a(2 * i); val d1y = a(2 * i2 + 1) - a(2 * i + 1)
+        var j = 0
+        while (j < nb) {
+          val j2 = (j + 1) % nb
+          val d2x = b(2 * j2) - b(2 * j); val d2y = b(2 * j2 + 1) - b(2 * j + 1)
+          val denom = d1x * d2y - d1y * d2x
+          if (denom == 0) {
+            val c1 = d1x * (b(2 * j + 1) - a(2 * i + 1)) -
+              d1y * (b(2 * j) - a(2 * i))
+            if (c1 == 0) {
+              val (alo, ahi, blo, bhi) =
+                if (math.abs(d1x) >= math.abs(d1y))
+                  (math.min(a(2 * i), a(2 * i2)), math.max(a(2 * i), a(2 * i2)),
+                    math.min(b(2 * j), b(2 * j2)), math.max(b(2 * j), b(2 * j2)))
+                else
+                  (math.min(a(2 * i + 1), a(2 * i2 + 1)),
+                    math.max(a(2 * i + 1), a(2 * i2 + 1)),
+                    math.min(b(2 * j + 1), b(2 * j2 + 1)),
+                    math.max(b(2 * j + 1), b(2 * j2 + 1)))
+              if (math.min(ahi, bhi) - math.max(alo, blo) > 0)
+                contactDegenerate("collinear overlapping edges")
+            }
+          } else {
+            val tS = ((b(2 * j) - a(2 * i)) * d2y -
+              (b(2 * j + 1) - a(2 * i + 1)) * d2x) / denom
+            val tC = ((b(2 * j) - a(2 * i)) * d1y -
+              (b(2 * j + 1) - a(2 * i + 1)) * d1x) / denom
+            if (tS > 0 && tS < 1 && tC > 0 && tC < 1)
+              hits += Hit(si, i, tS, ci, j, tC,
+                a(2 * i) + tS * d1x, a(2 * i + 1) + tS * d1y)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    val crossedS = hits.map(_.si).toSet
+    val crossedC = hits.map(_.ci).toSet
+
+    // rings that never cross the other polygon: keep by the op table,
+    // sampled at a vertex (not on the other's boundary — swept above)
+    def keepSubj(r: Array[Double]): Boolean = {
+      val in = insideMulti(r(0), r(1), clip)
+      (invS, invC) match {
+        case (false, false) => in // intersection
+        case (true, true) => !in // union
+        case (true, false) => !in // difference
+        case other => throw new IllegalStateException(s"bad op $other")
+      }
+    }
+    def keepClip(r: Array[Double]): Boolean = {
+      val in = insideMulti(r(0), r(1), subj)
+      (invS, invC) match {
+        case (false, false) => in
+        case (true, true) => !in
+        case (true, false) => in // removed area's boundary inside S
+        case other => throw new IllegalStateException(s"bad op $other")
+      }
+    }
+    val kept = ArrayBuffer.empty[Array[Double]]
+    subj.indices.foreach(i =>
+      if (!crossedS(i) && keepSubj(subj(i))) kept += subj(i))
+    clip.indices.foreach(i =>
+      if (!crossedC(i) && keepClip(clip(i))) kept += clip(i))
+
+    if (hits.isEmpty) return assemble(kept.toSeq)
+
+    // node rings + intersection insertion (alpha-sorted per original edge)
+    def buildNodes(flat: Array[Double]): IndexedSeq[Node] = {
+      val n = flat.length / 2
+      val nodes = (0 until n).map(i => new Node(flat(2 * i), flat(2 * i + 1)))
+      nodes.indices.foreach { i =>
+        nodes(i).next = nodes((i + 1) % n)
+        nodes(i).prev = nodes((i + n - 1) % n)
+      }
+      nodes
+    }
+    val sNodes = subj.map(buildNodes)
+    val cNodes = clip.map(buildNodes)
+    def insertAfter(edgeStart: Node, node: Node, alpha: Double): Unit = {
+      var at = edgeStart
+      while (at.next.intersect && at.next.alpha < alpha) at = at.next
+      node.alpha = alpha
+      node.next = at.next
+      node.prev = at
+      at.next.prev = node
+      at.next = node
+    }
+    hits.foreach { h =>
+      val ns = new Node(h.x, h.y); ns.intersect = true
+      val nc = new Node(h.x, h.y); nc.intersect = true
+      ns.neighbor = nc; nc.neighbor = ns
+      insertAfter(sNodes(h.si)(h.se), ns, h.tS)
+      insertAfter(cNodes(h.ci)(h.ce), nc, h.tC)
+    }
+
+    // entry/exit flags per ring, seeded by even-odd membership in the
+    // WHOLE other polygon
+    def markEntries(head: Node, other: Seq[Array[Double]],
+        invert: Boolean): Unit = {
+      var status = !insideMulti(head.x, head.y, other)
+      if (invert) status = !status
+      var c = head
+      do {
+        if (c.intersect) { c.entry = status; status = !status }
+        c = c.next
+      } while (c ne head)
+    }
+    sNodes.foreach(ns => markEntries(ns.head, clip, invS))
+    cNodes.foreach(nc => markEntries(nc.head, subj, invC))
+
+    // traversal across ALL subject rings
+    val results = ArrayBuffer.empty[Array[Double]]
+    def firstUnvisited(): Node = {
+      sNodes.foreach { nodes =>
+        val head = nodes.head
+        var c = head
+        do {
+          if (c.intersect && !c.visited) return c
+          c = c.next
+        } while (c ne head)
+      }
+      null
+    }
+    var start = firstUnvisited()
+    var guard = 0
+    while (start != null) {
+      val out = ArrayBuffer.empty[Double]
+      var cur = start
+      do {
+        cur.visited = true; cur.neighbor.visited = true
+        if (cur.entry) {
+          do {
+            cur = cur.next
+            out += cur.x; out += cur.y
+            guard += 1
+            if (guard > 100000) degenerate("traversal did not terminate")
+          } while (!cur.intersect)
+        } else {
+          do {
+            cur = cur.prev
+            out += cur.x; out += cur.y
+            guard += 1
+            if (guard > 100000) degenerate("traversal did not terminate")
+          } while (!cur.intersect)
+        }
+        cur = cur.neighbor
+      } while ((cur ne start) && (cur.neighbor ne start))
+      var flat = out.toArray
+      val n = flat.length / 2
+      if (n >= 2 && flat(0) == flat(2 * n - 2) && flat(1) == flat(2 * n - 1))
+        flat = flat.dropRight(2)
+      if (flat.length >= 6) results += flat
+      start = firstUnvisited()
+    }
+    assemble(results.toSeq ++ kept)
+  }
+
+  /** Perturbation wrapper for the multi-ring clipper: boundary contact
+    * retries with ALL clip rings shifted together by the deterministic
+    * micro-offset (the polygon moves rigidly, so its hole structure is
+    * preserved). Same δ policy as [[clipRobust]]. */
+  private def clipMultiRobust(subj: Seq[Array[Double]],
+      clip: Seq[Array[Double]], invS: Boolean, invC: Boolean,
+      toward: Boolean): Seq[Array[Double]] = {
+    try clipMulti(subj, clip, invS, invC)
+    catch { case _: ContactDegeneracy =>
+      val (sx, sy) = centroidOf(subj.head)
+      val (cx, cy) = centroidOf(clip.head)
+      var dx = sx - cx; var dy = sy - cy
+      val len = math.hypot(dx, dy)
+      if (len < 1e-300) { dx = 0.7985357; dy = 0.6019477 }
+      else { dx /= len; dy /= len }
+      dx += 0.1370778 * -dy; dy += 0.1370778 * dx
+      val len2 = math.hypot(dx, dy)
+      dx /= len2; dy /= len2
+      if (!toward) { dx = -dx; dy = -dy }
+      var scale = 1.0
+      (subj ++ clip).foreach { r =>
+        var i = 0
+        while (i < r.length) { scale = math.max(scale, math.abs(r(i))); i += 1 }
+      }
+      var delta = scale * 1e-9
+      var attempt = 0
+      var out: Seq[Array[Double]] = null
+      while (out == null) {
+        val shifted = clip.map { r =>
+          val s = new Array[Double](r.length)
+          var i = 0
+          while (i < r.length) {
+            s(i) = r(i) + dx * delta
+            s(i + 1) = r(i + 1) + dy * delta
+            i += 2
+          }
+          s
+        }
+        try out = clipMulti(subj, shifted, invS, invC)
+        catch {
+          case _: ContactDegeneracy if attempt < 3 =>
+            attempt += 1; delta *= 1000
+        }
+      }
+      out
+    }
+  }
+
+  /** Polygon-level ops: single-ring inputs keep the r8c paths
+    * (byte-identical results); an input with interior rings routes
+    * through the multi-ring clipper. */
+  private[graft] def holedUnionPoly(a: Seq[Array[Double]],
+      b: Seq[Array[Double]]): Seq[Array[Double]] =
+    if (a.length == 1 && b.length == 1) holedUnion(a.head, b.head)
+    else clipMultiRobust(orientPoly(a), orientPoly(b),
+      invS = true, invC = true, toward = true)
+
+  private[graft] def holedDifferencePoly(a: Seq[Array[Double]],
+      b: Seq[Array[Double]]): Seq[Array[Double]] =
+    if (a.length == 1 && b.length == 1) holedDifference(a.head, b.head)
+    else clipMultiRobust(orientPoly(a), orientPoly(b),
+      invS = true, invC = false, toward = false)
+
+  private[graft] def holedSymDifferencePoly(a: Seq[Array[Double]],
+      b: Seq[Array[Double]]): Seq[Array[Double]] =
+    holedDifferencePoly(a, b) ++ holedDifferencePoly(b, a)
+
+  private[graft] def intersectionPoly(a: Seq[Array[Double]],
+      b: Seq[Array[Double]]): Seq[Array[Double]] =
+    if (a.length == 1 && b.length == 1) intersection(a.head, b.head)
+    else clipMultiRobust(orientPoly(a), orientPoly(b),
+      invS = false, invC = false, toward = false)
+
   /** Incremental union fold: merge one ring into an accumulator of
     * pairwise-DISJOINT components (fuse with every overlapping
     * component until a fixed point). The accumulator is bounded by the
@@ -710,6 +1038,31 @@ object GeomBoolean {
   private[functions] def flatOf(v: Any, xi: Int): Array[Double] =
     LineOps.coords(v, xi)
 
+  /** r10: the boolean expressions accept a RING (array<point>) or a
+    * POLYGON WITH HOLES (array<ring>, the structural [exterior,
+    * holes...] form their own results use) — so results compose back
+    * as inputs. */
+  private[functions] def checkRingOrPoly(prettyName: String,
+      dt: DataType): TypeCheckResult =
+    if (LineOps.isPointArray(dt)) TypeCheckResult.TypeCheckSuccess
+    else dt match {
+      case ArrayType(el, _) if LineOps.isPointArray(el) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a ring (array<struct<x,y>>) or a polygon " +
+          s"with holes (array<array<struct<x,y>>>), got ${dt.catalogString}")
+    }
+
+  /** Parse either accepted input shape to the polygon's ring list. */
+  private[functions] def polyOf(v: Any, dt: DataType): Seq[Array[Double]] =
+    dt match {
+      case ArrayType(el, _) if LineOps.isPointArray(el) =>
+        val arr = v.asInstanceOf[ArrayData]
+        val xi = LineOps.xIdx(el)
+        (0 until arr.numElements()).map(i => flatOf(arr.getArray(i), xi))
+      case _ => Seq(flatOf(v, LineOps.xIdx(dt)))
+    }
+
   private[functions] def multiOf(rings: Seq[Array[Double]]): GenericArrayData =
     toMulti(rings)
 }
@@ -731,31 +1084,29 @@ case class PolyBool(left: Expression, right: Expression, op: String)
   override def dataType: DataType = GeomBoolean.MultiType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    checkRing(prettyName, left.dataType) match {
+    GeomBoolean.checkRingOrPoly(prettyName, left.dataType) match {
       case TypeCheckResult.TypeCheckSuccess =>
-        checkRing(prettyName, right.dataType)
+        GeomBoolean.checkRingOrPoly(prettyName, right.dataType)
       case f => f
     }
 
-  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
-  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
-
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val fa = GeomBoolean.flatOf(a, xiL)
-    val fb = GeomBoolean.flatOf(b, xiR)
+    val fa = GeomBoolean.polyOf(a, left.dataType)
+    val fb = GeomBoolean.polyOf(b, right.dataType)
     // r8c: union/difference/symdifference route through the holed
     // implementations — hole-needing configurations (donut union,
-    // clip-inside-subject) now COMPUTE (interior rings CW, the
-    // structural convention st_polygon_area/centroid/contains read)
-    // instead of throwing, matching the reference's Esri delegation
-    // (GeoFunctions.java:581,921,1007). Hole-free results are
-    // byte-identical to before. Intersection of two simple rings is
-    // hole-free by construction and keeps the direct GH path.
+    // clip-inside-subject) COMPUTE (interior rings CW, the structural
+    // convention st_polygon_area/centroid/contains read) instead of
+    // throwing, matching the reference's Esri delegation
+    // (GeoFunctions.java:581,921,1007). r10: holed INPUTS route through
+    // the Foster–Hormann multi-ring clipper; single-ring inputs keep
+    // the r8c paths byte-identically (intersection of two simple rings
+    // is hole-free by construction and keeps the direct GH path).
     GeomBoolean.multiOf(op match {
-      case "union" => GeomBoolean.holedUnion(fa, fb)
-      case "difference" => GeomBoolean.holedDifference(fa, fb)
-      case "symdifference" => GeomBoolean.holedSymDifference(fa, fb)
-      case "intersection" => GeomBoolean.intersection(fa, fb)
+      case "union" => GeomBoolean.holedUnionPoly(fa, fb)
+      case "difference" => GeomBoolean.holedDifferencePoly(fa, fb)
+      case "symdifference" => GeomBoolean.holedSymDifferencePoly(fa, fb)
+      case "intersection" => GeomBoolean.intersectionPoly(fa, fb)
     })
   }
 
@@ -773,20 +1124,16 @@ case class PolyHoledDifference(left: Expression, right: Expression)
   override def dataType: DataType = GeomBoolean.MultiType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    checkRing(prettyName, left.dataType) match {
+    GeomBoolean.checkRingOrPoly(prettyName, left.dataType) match {
       case TypeCheckResult.TypeCheckSuccess =>
-        checkRing(prettyName, right.dataType)
+        GeomBoolean.checkRingOrPoly(prettyName, right.dataType)
       case f => f
     }
 
-  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
-  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val fa = GeomBoolean.flatOf(a, xiL)
-    val fb = GeomBoolean.flatOf(b, xiR)
-    GeomBoolean.multiOf(GeomBoolean.holedDifference(fa, fb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomBoolean.multiOf(GeomBoolean.holedDifferencePoly(
+      GeomBoolean.polyOf(a, left.dataType),
+      GeomBoolean.polyOf(b, right.dataType)))
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression =
@@ -802,20 +1149,16 @@ case class PolyHoledUnion(left: Expression, right: Expression)
   override def dataType: DataType = GeomBoolean.MultiType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    checkRing(prettyName, left.dataType) match {
+    GeomBoolean.checkRingOrPoly(prettyName, left.dataType) match {
       case TypeCheckResult.TypeCheckSuccess =>
-        checkRing(prettyName, right.dataType)
+        GeomBoolean.checkRingOrPoly(prettyName, right.dataType)
       case f => f
     }
 
-  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
-  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val fa = GeomBoolean.flatOf(a, xiL)
-    val fb = GeomBoolean.flatOf(b, xiR)
-    GeomBoolean.multiOf(GeomBoolean.holedUnion(fa, fb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomBoolean.multiOf(GeomBoolean.holedUnionPoly(
+      GeomBoolean.polyOf(a, left.dataType),
+      GeomBoolean.polyOf(b, right.dataType)))
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression =
@@ -831,20 +1174,16 @@ case class PolyHoledSymDifference(left: Expression, right: Expression)
   override def dataType: DataType = GeomBoolean.MultiType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    checkRing(prettyName, left.dataType) match {
+    GeomBoolean.checkRingOrPoly(prettyName, left.dataType) match {
       case TypeCheckResult.TypeCheckSuccess =>
-        checkRing(prettyName, right.dataType)
+        GeomBoolean.checkRingOrPoly(prettyName, right.dataType)
       case f => f
     }
 
-  @transient private lazy val xiL = LineOps.xIdx(left.dataType)
-  @transient private lazy val xiR = LineOps.xIdx(right.dataType)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val fa = GeomBoolean.flatOf(a, xiL)
-    val fb = GeomBoolean.flatOf(b, xiR)
-    GeomBoolean.multiOf(GeomBoolean.holedSymDifference(fa, fb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeomBoolean.multiOf(GeomBoolean.holedSymDifferencePoly(
+      GeomBoolean.polyOf(a, left.dataType),
+      GeomBoolean.polyOf(b, right.dataType)))
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression =

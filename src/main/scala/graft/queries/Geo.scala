@@ -432,6 +432,67 @@ object Geo extends QueryPack {
           |FROM g ORDER BY id""".stripMargin)
     }),
 
+    // r10: holed INPUTS to the polygon booleans — the Foster–Hormann
+    // multi-ring clipper behind st_polygon_union/difference/
+    // symdifference (and their ST_ spellings), closing the last
+    // geometry limit vs the reference's Esri delegation
+    // (GeoFunctions.java:581,921). Each row CONSTRUCTS a polygon with
+    // interior rings via st_polygon_difference and feeds it BACK as an
+    // input. Row 1: 10x10 with a [4,6]^2 hole (96) crossed by a bar
+    // [3,7]x[-2,5] that enters the hole — union 106 (pocket shrinks to
+    // [4,6]x[5,6]), difference 78, symdifference 88. Row 2:
+    // island-in-hole — B sits inside A's [2,8]^2 hole; union keeps all
+    // three rings (68), difference is A unchanged (64), intersection
+    // empty. Row 3: holed minus holed with nested holes — the hole
+    // structure cancels to ext-minus-ext (300 over 2 rings); union 396
+    // with B's hole the one surviving pocket. Hand-derived oracle, the
+    // q0x stance.
+    "q1g_holed_inputs" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      s.sql(
+        """WITH g AS (
+          |  SELECT 1 AS id,
+          |    st_polygon_difference(
+          |      array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |            st_point(0D,10D)),
+          |      array(st_point(4D,4D), st_point(6D,4D), st_point(6D,6D),
+          |            st_point(4D,6D))) AS a,
+          |    array(array(st_point(3D,-2D), st_point(7D,-2D),
+          |          st_point(7D,5D), st_point(3D,5D))) AS b
+          |  UNION ALL SELECT 2,
+          |    st_polygon_difference(
+          |      array(st_point(0D,0D), st_point(10D,0D), st_point(10D,10D),
+          |            st_point(0D,10D)),
+          |      array(st_point(2D,2D), st_point(8D,2D), st_point(8D,8D),
+          |            st_point(2D,8D))),
+          |    array(array(st_point(4D,4D), st_point(6D,4D),
+          |          st_point(6D,6D), st_point(4D,6D)))),
+          |h AS (
+          |  SELECT 3 AS id,
+          |    st_polygon_difference(
+          |      array(st_point(0D,0D), st_point(20D,0D), st_point(20D,20D),
+          |            st_point(0D,20D)),
+          |      array(st_point(8D,8D), st_point(12D,8D), st_point(12D,12D),
+          |            st_point(8D,12D))) AS a,
+          |    st_polygon_difference(
+          |      array(st_point(5D,5D), st_point(15D,5D), st_point(15D,15D),
+          |            st_point(5D,15D)),
+          |      array(st_point(9D,9D), st_point(11D,9D), st_point(11D,11D),
+          |            st_point(9D,11D))) AS b),
+          |all_rows AS (SELECT id, a, b FROM g
+          |             UNION ALL SELECT id, a, b FROM h)
+          |SELECT cast(id as bigint) AS id,
+          |  cast(size(a) as bigint) AS n_in,
+          |  round(st_polygon_area(st_polygon_union(a, b)), 4) AS u_area,
+          |  cast(size(st_polygon_union(a, b)) as bigint) AS n_u,
+          |  round(st_polygon_area(st_polygon_difference(a, b)), 4)
+          |    AS d_area,
+          |  round(st_polygon_area(st_polygon_symdifference(a, b)), 4)
+          |    AS sd_area
+          |FROM all_rows ORDER BY id""".stripMargin)
+    }),
+
     // r8c: hole-producing boolean configurations under the holed
     // structural spellings. Row 1 — the DONUT union: a U-shape (30x30
     // minus an upward 10x20 notch, area 700) bridged by a cap bar
@@ -1098,6 +1159,21 @@ object Geo extends QueryPack {
       // donut union = exterior + 100-area hole, net 750; U−cap = 650,
       // cap−U = 50 (sym 700); contained-B row: union = A alone,
       // sym/difference = [A, reversed B] = 1200.
+      // Hand-derived: row 1 bar-through-hole (union 106/2 rings, diff
+      // 78, sym 88); row 2 island-in-hole (union 68/3 rings, diff = A
+      // = 64, sym 64 + 4); row 3 nested-hole cancellation (union 396/2,
+      // diff 300, sym 300 + 12).
+      "q1g_holed_inputs" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 106.0,
+          |   CAST(2 AS BIGINT), 78.0, 88.0),
+          |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 68.0,
+          |   CAST(3 AS BIGINT), 64.0, 68.0),
+          |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 396.0,
+          |   CAST(2 AS BIGINT), 300.0, 312.0))
+          |  AS t(id, n_in, u_area, n_u, d_area, sd_area)
+          |ORDER BY id""".stripMargin,
+
       "q0x_holed_boolean" ->
         """SELECT * FROM (VALUES
           |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 750.0, 100.0,

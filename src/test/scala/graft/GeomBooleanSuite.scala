@@ -368,4 +368,112 @@ class GeomBooleanSuite extends GraftSuite {
     assert(sd2.size == 2)
     assert(math.abs(sd2.map(GeomBoolean.signedArea).sum - 150.0) < 1e-9)
   }
+
+  // ---- r10: holed INPUTS (Foster–Hormann multi-ring clipper) ----
+
+  private def polyArea(rings: Seq[Array[Double]]): Double =
+    rings.map(GeomBoolean.signedArea).sum
+
+  test("holed input crossed by a bar: union/difference/intersection") {
+    // A = 10x10 with hole [4,6]^2 (area 96); B = bar [3,7]x[-2,5]
+    // (area 28). B crosses A's exterior (bottom edge) AND the hole ring
+    // (at y=5) — the hole-crossing clip the r8c layer couldn't take.
+    val aExt = Array(0.0, 0, 10, 0, 10, 10, 0, 10)
+    val aHole = Array(4.0, 4, 6, 4, 6, 6, 4, 6) // any orientation
+    val a = Seq(aExt, aHole)
+    val b = Seq(Array(3.0, -2, 7, -2, 7, 5, 3, 5))
+    // B inside-A region = [3,7]x[0,5] minus hole part [4,6]x[4,5] = 18
+    val u = GeomBoolean.holedUnionPoly(a, b)
+    assert(math.abs(polyArea(u) - (96.0 + 28 - 18)) < 1e-9, u.map(vset))
+    // the hole shrinks to [4,6]x[5,6]: one CW ring of area 2 remains
+    val holes = u.filter(GeomBoolean.signedArea(_) < 0)
+    assert(holes.size == 1)
+    assert(math.abs(GeomBoolean.signedArea(holes.head) + 2.0) < 1e-9)
+    val d = GeomBoolean.holedDifferencePoly(a, b)
+    assert(math.abs(polyArea(d) - (96.0 - 18)) < 1e-9, d.map(vset))
+    val ix = GeomBoolean.intersectionPoly(a, b)
+    assert(math.abs(polyArea(ix) - 18.0) < 1e-9, ix.map(vset))
+    // symdifference = (A-B) + (B-A): 78 + (28-18) = 88
+    val sd = GeomBoolean.holedSymDifferencePoly(a, b)
+    assert(math.abs(polyArea(sd) - 88.0) < 1e-9)
+  }
+
+  test("island in a hole: no-crossing union keeps all three rings") {
+    val a = Seq(Array(0.0, 0, 10, 0, 10, 10, 0, 10),
+      Array(2.0, 2, 8, 2, 8, 8, 2, 8)) // area 100 - 36 = 64
+    val b = Seq(Array(4.0, 4, 6, 4, 6, 6, 4, 6)) // inside the hole
+    val u = GeomBoolean.holedUnionPoly(a, b)
+    assert(u.size == 3, u.map(vset))
+    assert(math.abs(polyArea(u) - 68.0) < 1e-9)
+    // nesting orientation: exterior CCW, hole CW, island CCW again
+    assert(u.count(GeomBoolean.signedArea(_) > 0) == 2)
+    assert(u.count(GeomBoolean.signedArea(_) < 0) == 1)
+    // intersection is empty (B sits in A's hole); difference = A
+    assert(GeomBoolean.intersectionPoly(a, b).isEmpty)
+    assert(math.abs(polyArea(GeomBoolean.holedDifferencePoly(a, b)) - 64.0)
+      < 1e-9)
+  }
+
+  test("holed minus holed: hole structure cancels to ext-minus-ext") {
+    // A = [0,20]^2 with hole [8,12]^2; B = [5,15]^2 with hole [9,11]^2
+    // (B's hole nests inside A's hole). A - B = [0,20]^2 - [5,15]^2:
+    // A's hole ring and B's hole ring both vanish from the boundary.
+    val a = Seq(Array(0.0, 0, 20, 0, 20, 20, 0, 20),
+      Array(8.0, 8, 12, 8, 12, 12, 8, 12))
+    val b = Seq(Array(5.0, 5, 15, 5, 15, 15, 5, 15),
+      Array(9.0, 9, 11, 9, 11, 11, 9, 11))
+    val d = GeomBoolean.holedDifferencePoly(a, b)
+    assert(d.size == 2, d.map(vset))
+    assert(math.abs(polyArea(d) - 300.0) < 1e-9)
+    // and a crossing variant: B2 = [15,25]x[5,15] crosses A's exterior;
+    // A - B2 = 384 - 50, A's hole survives as a result hole
+    val b2 = Seq(Array(15.0, 5, 25, 5, 25, 15, 15, 15))
+    val d2 = GeomBoolean.holedDifferencePoly(a, b2)
+    assert(math.abs(polyArea(d2) - 334.0) < 1e-9, d2.map(vset))
+    assert(d2.exists(r => math.abs(GeomBoolean.signedArea(r) + 16.0) < 1e-9))
+    // union of the two holed polygons: region(A) + region(B) - overlap;
+    // overlap = B_ext minus A_hole = 100 - 16 = 84 (B's hole is inside
+    // A's hole, so it subtracts nothing extra): 384 + 96 - 84 = 396.
+    // The surviving pocket is exactly B's hole (the only part of A's
+    // hole B doesn't cover): one CW ring of area 4.
+    val u = GeomBoolean.holedUnionPoly(a, b)
+    assert(math.abs(polyArea(u) - 396.0) < 1e-9, u.map(vset))
+    val uHoles = u.filter(GeomBoolean.signedArea(_) < 0)
+    assert(uHoles.size == 1 &&
+      math.abs(GeomBoolean.signedArea(uHoles.head) + 4.0) < 1e-9)
+  }
+
+  test("SQL surface: a holed RESULT feeds back as an INPUT") {
+    Registry.install(spark)
+    def ringSql(flat: Array[Double]) = flat.grouped(2)
+      .map(p => s"st_point(${p(0)}D, ${p(1)}D)").mkString("array(", ", ", ")")
+    val ext = Array(0.0, 0, 10, 0, 10, 10, 0, 10)
+    val hole = Array(4.0, 4, 6, 4, 6, 6, 4, 6)
+    val bar = Array(3.0, -2, 7, -2, 7, 5, 3, 5)
+    // st_polygon_difference makes the holed polygon; st_polygon_union
+    // then CONSUMES it — the chaining the ring-only inputs forbade
+    val row = spark.sql(
+      s"""WITH holed AS (SELECT st_polygon_difference(
+         |    ${ringSql(ext)}, ${ringSql(hole)}) AS p)
+         |SELECT round(st_polygon_area(
+         |    st_polygon_union(p, ${ringSql(bar)})), 4) AS u,
+         |  round(st_polygon_area(
+         |    st_polygon_difference(p, ${ringSql(bar)})), 4) AS d,
+         |  round(st_polygon_area(
+         |    st_polygon_symdifference(p, ${ringSql(bar)})), 4) AS sd
+         |FROM holed""".stripMargin).head()
+    assert(row.getDouble(0) == 106.0)
+    assert(row.getDouble(1) == 78.0)
+    assert(row.getDouble(2) == 88.0)
+  }
+
+  test("holed inputs with boundary contact resolve via perturbation") {
+    // B shares a full edge with A's hole boundary: filling the hole
+    // exactly from below — collinear overlap, the perturbation retry
+    val a = Seq(Array(0.0, 0, 10, 0, 10, 10, 0, 10),
+      Array(4.0, 4, 6, 4, 6, 6, 4, 6))
+    val b = Seq(Array(4.0, 4, 6, 4, 6, 5, 4, 5)) // lower half of the hole
+    val u = GeomBoolean.holedUnionPoly(a, b)
+    assert(math.abs(polyArea(u) - 98.0) < 1e-6, u.map(vset))
+  }
 }
