@@ -243,6 +243,53 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
   }
 
+  // ——— r10: plan guards for the next bench tier (the five >1.2 s
+  // queries the r9 verdict flagged as unguarded) ————————————————————————
+
+  guards("qy7_tpcds_q24") { (plan, n) =>
+    // store_sales ⋈ store_returns on (ticket, item) with every
+    // dimension broadcast; the customer/item aggregation never falls
+    // back to a shuffle join
+    assert(n("BroadcastHashJoin") >= 8, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+  }
+
+  guards("qr8_tpcds_q67") { (plan, n) =>
+    // 8-level ROLLUP over store_sales: ONE Expand into the aggregate,
+    // rank() computed once (no duplicated window subtrees), dims
+    // broadcast, no shuffle joins
+    assert(n("Expand") == 1, s"ROLLUP not a single Expand:\n$plan")
+    assert(n("Window") <= 3, s"window recomputed:\n$plan")
+    assert(n("BroadcastHashJoin") >= 2, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+  }
+
+  guards("qw7_tpcds_q64") { (plan, n) =>
+    // the cross_sales twice-joined monster: dims all broadcast; merge
+    // joins only where two fact-scale sides genuinely meet —
+    // store_sales ⋈ store_returns, the cs_ui catalog subquery, and the
+    // year-over-year self-join of the two aggregated branches
+    assert(n("BroadcastHashJoin") >= 14, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 3, s"fact join reshuffled:\n$plan")
+  }
+
+  guards("qv8_tpcds_q49") { (plan, n) =>
+    // three channel return-ratio branches: sales LEFT JOIN returns
+    // broadcast (returns are the 10%-of-sales side), two ranks per
+    // branch and nothing recomputed
+    assert(n("BroadcastHashJoin") >= 6, s"joins not broadcast:\n$plan")
+    assert(n("SortMergeJoin") == 0, s"unexpected shuffle join:\n$plan")
+    assert(n("Window") <= 6, s"rank windows recomputed:\n$plan")
+  }
+
+  guards("qs0_tpcds_q23") { (plan, n) =>
+    // frequent_ss_items / best_ss_customer feeding catalog+web branches:
+    // dims broadcast; merge joins only between aggregated (shrunk)
+    // sides, never a raw-fact reshuffle
+    assert(n("BroadcastHashJoin") >= 10, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 4, s"aggregated-side joins drifted:\n$plan")
+  }
+
   // ——— r8c: plan guards for the new pipeline operators ————————————————
   guards("q0w_dsir_resample") { (plan, n) =>
     // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
