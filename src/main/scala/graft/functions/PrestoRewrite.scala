@@ -95,6 +95,43 @@ private[functions] object PrestoRewrite {
   private val tablesampleRe =
     """(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
 
+  /** Character spans of `VALUES (...), (...)` tuple lists (inline
+    * tables), string-mask aware: balanced paren groups after each
+    * VALUES keyword, across comma-separated tuples. Used to keep
+    * non-foldable wrappers out of inline-table tuples, whose analysis
+    * evaluates every expression eagerly. */
+  private[functions] def valuesSpans(q: String): Seq[(Int, Int)] = {
+    val mask = stringMask(q)
+    val re = """(?i)\bVALUES\b""".r
+    re.findAllMatchIn(q).toSeq.filter(m => !mask(m.start)).flatMap { m =>
+      var i = m.end
+      var end = -1
+      var more = true
+      while (more) {
+        while (i < q.length && q.charAt(i).isWhitespace) i += 1
+        if (i < q.length && q.charAt(i) == '(') {
+          var depth = 0
+          var j = i
+          while (j < q.length && (depth > 0 || j == i)) {
+            if (!mask(j)) {
+              if (q.charAt(j) == '(') depth += 1
+              else if (q.charAt(j) == ')') depth -= 1
+            }
+            j += 1
+          }
+          end = j
+          i = j
+          // another tuple after a comma?
+          var k = i
+          while (k < q.length && q.charAt(k).isWhitespace) k += 1
+          if (k < q.length && q.charAt(k) == ',') i = k + 1
+          else more = false
+        } else more = false
+      }
+      if (end > m.start) Seq((m.start, end)) else Nil
+    }
+  }
+
   /** replaceAllIn with the shared string mask: a match starting inside
     * a literal is kept verbatim. Replacement text is taken literally
     * (no $-group interpretation). */
@@ -546,18 +583,33 @@ private[functions] object PrestoRewrite {
     val dated = maskedReplaceAll(fnned, prestoDateFnRe)(
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")
-    val tstz = maskedReplaceAll(dated, timestampTzLiteralRe) { m =>
-      val wall = m.group(1)
-      val zone = m.group(2)
-      s"named_struct('utc', to_utc_timestamp(" +
+    // presto_zoned_shield: non-foldable wrapper so a both-sides-literal
+    // zoned comparison survives ConstantFolding on driver-provided
+    // sessions until ZonedInstantComparison rewrites it (which then
+    // strips the shield) — see plans/ZonedComparison.scala (r10).
+    // NOT inside VALUES inline tables: their analysis requires every
+    // tuple expression foldable (and a tuple element is a value, not a
+    // predicate, so nothing is lost).
+    val datedValues = valuesSpans(dated)
+    def zonedCtor(at: Int, wall: String, zone: String): String = {
+      val ctor = s"named_struct('utc', to_utc_timestamp(" +
         s"cast('$wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
+      if (datedValues.exists(s => at >= s._1 && at < s._2)) ctor
+      else s"presto_zoned_shield($ctor)"
     }
-    val ttz = maskedReplaceAll(tstz, timeTzLiteralRe) { m =>
-      val wall = m.group(1)
-      val zone = m.group(2)
-      s"named_struct('utc', to_utc_timestamp(" +
-        s"cast('1970-01-01 $wall' as timestamp_ntz), '$zone'), 'tz', '$zone')"
-    }
+    val tstz = maskedReplaceAll(dated, timestampTzLiteralRe)(m =>
+      zonedCtor(m.start, m.group(1), m.group(2)))
+    val ttz = maskedReplaceAll(tstz, timeTzLiteralRe)(m =>
+      // positions shifted by the previous pass — recompute lazily only
+      // if a TIME WITH TIME ZONE literal is actually present
+      if (valuesSpans(tstz).exists(s => m.start >= s._1 && m.start < s._2))
+        s"named_struct('utc', to_utc_timestamp(" +
+          s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz), " +
+          s"'${m.group(2)}'), 'tz', '${m.group(2)}')"
+      else
+        s"presto_zoned_shield(named_struct('utc', to_utc_timestamp(" +
+          s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz), " +
+          s"'${m.group(2)}'), 'tz', '${m.group(2)}'))")
     val timed = maskedReplaceAll(ttz, timeLiteralRe)(
       m => s"cast('1970-01-01 ${m.group(1)}' as timestamp_ntz)")
     val decimaled = maskedReplaceAll(timed, decimalLiteralRe) { m =>

@@ -768,11 +768,25 @@ object Registry {
       // literal-sized plans).
       locally {
         val key = "spark.sql.optimizer.excludedRules"
-        val rule =
+        // On DRIVER-provided sessions (no GraftExtensions, so the
+        // grand-total rule runs only in the last optimizer batch),
+        // PropagateEmptyRelation would erase a provably-empty grouping
+        // aggregate before the rule can sentinel it — exclude it there
+        // (r10). Engine sessions keep the rule: their plans are
+        // sentineled at analysis time.
+        val driverSession = !spark.sessionState.analyzer
+          .postHocResolutionRules
+          .contains(graft.plans.EmptyGroupingSetsGrandTotal)
+        val rules = Seq(
           "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+        ) ++ (if (driverSession) Seq(
+          "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation"
+        ) else Nil)
         val cur = spark.conf.getOption(key).getOrElse("")
-        if (!cur.contains(rule))
-          spark.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
+        val missing = rules.filterNot(cur.contains)
+        if (missing.nonEmpty)
+          spark.conf.set(key,
+            (Seq(cur).filter(_.nonEmpty) ++ missing).mkString(","))
       }
       val registry = spark.sessionState.functionRegistry
       // Same-name templates with different arities are overloads (Presto
@@ -1184,6 +1198,13 @@ object Registry {
         case Seq(v) => graft.operators.MediaDimensions(v)
         case args =>
           sys.error(s"media_dimensions expects 1 arg, got ${args.length}")
+      }
+      // anti-folding wrapper for zoned literals (r10; see
+      // plans/ZonedComparison.scala ZonedShield)
+      colorPack("presto_zoned_shield") {
+        case Seq(v) => graft.plans.ZonedShield(v)
+        case args =>
+          sys.error(s"presto_zoned_shield expects 1 arg, got ${args.length}")
       }
       colorPack("media_audio_info") {
         case Seq(v) => graft.operators.MediaAudioInfo(v)

@@ -70,11 +70,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Idempotent via a node tag plus a per-node check (an already-rewritten
   * Aggregate's Expand output carries the sentinel flag — the optimizer
   * copy skips those nodes and ONLY those, so a new rollup composed over a
-  * rewritten subtree still gets its own grand-total row); on
-  * driver sessions a rollup containing DISTINCT aggregates may reach the
-  * optimizer already rewritten by RewriteDistinctAggregates into a shape
-  * this rule does not match — that residual applies only to sessions the
-  * engine did not build.
+  * rewritten subtree still gets its own grand-total row). On driver
+  * sessions a rollup containing MULTIPLE distinct aggregates reaches the
+  * optimizer already rewritten by RewriteDistinctAggregates — the
+  * dedicated post-RDA shape handler below sentinels that form too (r10,
+  * closing the former ledger residual); provably-empty inputs survive to
+  * the last batch because Registry.install excludes
+  * PropagateEmptyRelation on driver sessions.
   */
 object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
 
@@ -224,8 +226,114 @@ object EmptyGroupingSetsGrandTotal extends Rule[LogicalPlan] {
     result
   }
 
+  // ---- r10: the post-RewriteDistinctAggregates shape ----------------
+  // On driver-provided sessions this rule runs in the LAST optimizer
+  // batch, and an aggregate with MULTIPLE distinct groups reaches it
+  // already rewritten by RewriteDistinctAggregates into
+  //   Aggregate_outer(keys :+ sgid, aggs FILTER (gid=k),
+  //     Aggregate_inner(keys :+ sgid :+ dvals :+ gid, passthroughs+cnt,
+  //       Expand_rda(one projection per distinct group,
+  //         Expand_grouping(...))))     — the former ledger residual.
+  // The sentinel treatment generalizes: union the flagged all-null row
+  // under the GROUPING Expand, ride the flag through the RDA Expand,
+  // GROUP the inner aggregate by the flag (sentinel rows never mix into
+  // a real group's distinct-value sets), and on the outer aggregate
+  // filter every aggregate by NOT flag + keep `()` groups exactly as in
+  // the simple shape. (Engine sessions never get here: their plans are
+  // sentineled at analysis, so the grouping Expand already carries the
+  // flag and `eligibleRda` skips them.)
+
+  private def eligibleRda(aggO: Aggregate): Boolean =
+    aggO.getTagValue(Tag).isEmpty && (aggO.child match {
+      case aggI: Aggregate => aggI.child match {
+        case erda: Expand => erda.child match {
+          case eg: Expand if !eg.child.isStreaming &&
+              !eg.output.exists(_.name == FlagName) &&
+              !erda.output.exists(_.name == FlagName) =>
+            // the grouping gid must be a grouping attr of BOTH
+            // aggregates (RDA passes it through) and the global set
+            // must be spelled in the GROUPING Expand's projections
+            gidOf(aggO).exists { gid =>
+              aggI.groupingExpressions.exists {
+                case a: AttributeReference => a.exprId == gid.exprId
+                case _ => false
+              } && hasGlobalSet(aggO, eg, gid)
+            }
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    })
+
+  private def rewriteRda(aggO: Aggregate): LogicalPlan = {
+    val aggI = aggO.child.asInstanceOf[Aggregate]
+    val erda = aggI.child.asInstanceOf[Expand]
+    val eg = erda.child.asInstanceOf[Expand]
+    val child = eg.child
+    val gid = gidOf(aggO).get
+    val n = aggO.groupingExpressions.indexWhere {
+      case a: AttributeReference => a.exprId == gid.exprId
+      case _ => false
+    }
+    val maskLit = Literal.create(
+      if (gid.dataType == LongType) maskOf(n) else maskOf(n).toInt,
+      gid.dataType)
+
+    val flagAlias = Alias(Literal(false), FlagName)()
+    val realBranch = Project(child.output :+ flagAlias, child)
+    val sentinelBranch = Project(
+      child.output.map(a =>
+        Alias(Literal.create(null, a.dataType), a.name)()) :+
+        Alias(Literal(true), FlagName)(),
+      OneRowRelation())
+    val flag = flagAlias.toAttribute
+    val egNew = Expand(
+      eg.projections.map(_ :+ flag),
+      eg.output :+ flag,
+      Union(Seq(realBranch, sentinelBranch)))
+    val erdaNew = Expand(
+      erda.projections.map(_ :+ flag),
+      erda.output :+ flag,
+      egNew)
+    // inner aggregate: the flag joins the GROUPING (a sentinel row can
+    // never share a group with real rows) and passes through
+    val aggINew = aggI.copy(
+      groupingExpressions = aggI.groupingExpressions :+ flag,
+      aggregateExpressions = aggI.aggregateExpressions :+ flag,
+      child = erdaNew)
+    // outer aggregate: every aggregate skips sentinel-group rows; no
+    // null-argument shortcut here — the inner aggregate has already
+    // collapsed cardinality, so the extra conjunct costs nothing
+    val notFlag = Not(flag)
+    val filteredOuts: Seq[NamedExpression] =
+      aggO.aggregateExpressions.map { ne =>
+        ne.transform {
+          case ae: AggregateExpression =>
+            ae.copy(filter = Some(ae.filter.fold[Expression](notFlag)(
+              f => And(f, notFlag))))
+        }.asInstanceOf[NamedExpression]
+      }
+    val realCnt = Alias(
+      Count(Literal(1)).toAggregateExpression(isDistinct = false,
+        filter = Some(notFlag)),
+      RealCntName)()
+    val outIds = filteredOuts.map(_.exprId).toSet
+    val extras = (if (outIds.contains(gid.exprId)) Nil else Seq(gid)) :+
+      realCnt
+    val aggONew = Aggregate(aggO.groupingExpressions,
+      filteredOuts ++ extras, aggINew)
+    val keep = Or(EqualTo(gid, maskLit),
+      GreaterThan(realCnt.toAttribute, Literal(0L)))
+    val result = Project(aggO.aggregateExpressions.map(_.toAttribute),
+      Filter(keep, aggONew))
+    aggO.setTagValue(Tag, ())
+    result
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
       case agg: Aggregate if eligible(agg) => rewrite(agg)
+      case agg: Aggregate if eligibleRda(agg) => rewriteRda(agg)
     }
 }

@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * The rule is idempotent and ALSO stays installed via
   * `spark.experimental.extraOptimizations` (Registry.install), which is
   * the only hook available on driver-provided sessions; there the
-  * literal-literal edge remains (documented), while every
-  * column-bearing shape is covered by the optimizer pass.
+  * literal-literal edge is closed by the ZonedShield anti-folding
+  * wrapper (r10), and every column-bearing shape by the optimizer pass.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * fold it with struct pair semantics (r8, closing the former ledger
   * residual) — and through `spark.experimental.extraOptimizations`
   * (Registry.install), the only hook available on driver-provided
-  * sessions, where the literal-literal edge remains documented and
-  * `zoned_instant(x)` is the spelling.
+  * sessions. There the literal-literal edge is closed by [[ZonedShield]]
+  * (r10): the SQL rewrite layer wraps zoned literal constructors in a
+  * non-foldable identity, so the comparison survives ConstantFolding to
+  * this rule, which rewrites it and strips the shields.
   *
   * GROUP BY / DISTINCT over zoned values group by INSTANT (r7): a
   * zoned grouping key rewrites to its `utc` field and bare references
@@ -40,6 +42,31 @@ import org.apache.spark.sql.types._
   * PARTITION BY over zoned values partitions by instant likewise (no
   * representative needed — the key is not output).
   */
+/** Non-foldable identity wrapped around zoned-literal CONSTRUCTORS by
+  * the SQL rewrite layer (r10). Purpose: on driver-provided sessions
+  * the instant-semantics rule runs only in the LAST optimizer batch
+  * (`extraOptimizations`), after ConstantFolding — which used to fold a
+  * both-sides-literal zoned comparison with struct PAIR semantics
+  * before the rule could see it (the former ledger residual). The
+  * shield makes the literal non-foldable so the comparison survives to
+  * the rule, which rewrites it onto `utc` and then strips every shield
+  * (analysis-time on engine sessions, user-batch on driver sessions).
+  * Cost: a stripped shield is gone; an unstripped one (no install) is
+  * one virtual call over a literal-sized expression. */
+case class ZonedShield(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "presto_zoned_shield"
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = false
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ZonedInstantComparison extends Rule[LogicalPlan] {
 
   private[graft] def isZoned(dt: DataType): Boolean = dt match {
@@ -174,5 +201,10 @@ object ZonedInstantComparison extends Rule[LogicalPlan] {
           if r.children.exists(c => c.resolved && isZoned(c.dataType)) =>
         r.withNewChildren(r.children.map(c =>
           if (c.resolved && isZoned(c.dataType)) utcOf(c) else c))
+    }.transformAllExpressions {
+      // LAST within this apply: the comparison/sort/grouping rewrites
+      // above have already seen every shielded literal in this plan, so
+      // the shields have served their anti-folding purpose and drop out
+      case ZonedShield(c) => c
     }
 }
