@@ -109,6 +109,19 @@ object KafkaLog {
   def endOffsets(topic: String): Array[Long] =
     partitionsOf(topic).map(log => log.synchronized(log.length.toLong))
 
+  /** First offset whose record timestamp is >= `tsMs`, or the end
+    * offset when no such record exists — the Kafka
+    * `offsetsForTimes` contract the reference's split manager resolves
+    * begin/end offsets with (`KafkaSplitManager.findOffsetsByTimestamp`)
+    * and Spark's `startingOffsetsByTimestamp` option exposes. */
+  def offsetForTimestamp(topic: String, partition: Int, tsMs: Long): Long = {
+    val log = partitionsOf(topic)(partition)
+    log.synchronized {
+      val i = log.indexWhere(_.tsMs >= tsMs)
+      if (i < 0) log.length.toLong else i.toLong
+    }
+  }
+
   // ---- offset-map (de)serialization: Kafka-JSON {"topic":{"0":12}} ----
 
   def offsetsToJson(offsets: Map[String, Seq[Long]]): String =
@@ -179,9 +192,14 @@ object KafkaLogTable {
 
   /** Resolve a startingOffsets/endingOffsets option value to concrete
     * per-partition offsets. -2/-1 inside the JSON map mean
-    * earliest/latest (Spark's kafka grammar). */
+    * earliest/latest (Spark's kafka grammar). `byTimestamp` (the
+    * `...OffsetsByTimestamp` options) reads the JSON values as epoch
+    * millis and resolves each to the first offset at-or-after that
+    * record time — the `offsetsForTimes` path the reference's split
+    * manager uses (`KafkaSplitManager.findOffsetsByTimestamp`). */
   private[sources] def resolve(topicList: Seq[String], spec: String,
-      default: String): Map[String, Seq[Long]] = {
+      default: String, byTimestamp: Boolean = false)
+      : Map[String, Seq[Long]] = {
     val s = if (spec == null || spec.isEmpty) default else spec
     def ends(t: String) = KafkaLog.endOffsets(t)
     s match {
@@ -194,10 +212,12 @@ object KafkaLogTable {
           val e = ends(t)
           val given = m.getOrElse(t, Seq.empty)
           t -> e.indices.map { p =>
-            given.lift(p).getOrElse(-2L) match {
-              case -2L => 0L
-              case -1L => e(p)
-              case o => math.min(math.max(o, 0L), e(p))
+            given.lift(p) match {
+              case Some(ts) if byTimestamp =>
+                KafkaLog.offsetForTimestamp(t, p, ts)
+              case Some(-2L) | None => 0L
+              case Some(-1L) => e(p)
+              case Some(o) => math.min(math.max(o, 0L), e(p))
             }
           }
         }.toMap
@@ -238,12 +258,19 @@ class KafkaLogScan(topicList: Seq[String], options: CaseInsensitiveStringMap)
   override def description(): String =
     s"graft-kafka ${topicList.mkString(",")}"
 
+  private def pick(offsetKey: String, tsKey: String, default: String)
+      : Map[String, Seq[Long]] = {
+    val ts = options.get(tsKey)
+    require(ts == null || options.get(offsetKey) == null,
+      s"graft-kafka: set only one of '$offsetKey' and '$tsKey'")
+    if (ts != null)
+      KafkaLogTable.resolve(topicList, ts, default, byTimestamp = true)
+    else KafkaLogTable.resolve(topicList, options.get(offsetKey), default)
+  }
   private def startingOffsets: Map[String, Seq[Long]] =
-    KafkaLogTable.resolve(topicList,
-      options.get("startingoffsets"), "earliest")
+    pick("startingoffsets", "startingoffsetsbytimestamp", "earliest")
   private def endingOffsets: Map[String, Seq[Long]] =
-    KafkaLogTable.resolve(topicList,
-      options.get("endingoffsets"), "latest")
+    pick("endingoffsets", "endingoffsetsbytimestamp", "latest")
 
   private def ranges(from: Map[String, Seq[Long]],
       until: Map[String, Seq[Long]]): Array[InputPartition] =
@@ -277,17 +304,23 @@ class KafkaLogScan(topicList: Seq[String], options: CaseInsensitiveStringMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new KafkaLogMicroBatch(topicList, options.get("startingoffsets"))
+    new KafkaLogMicroBatch(topicList, options.get("startingoffsets"),
+      options.get("startingoffsetsbytimestamp"))
 }
 
 /** Micro-batch stream over the topic log: offsets are per-partition
   * next-to-read maps, checkpointed as Kafka-style JSON. Each batch reads
   * `(start, end]` ranges planned exactly like the batch path. */
-class KafkaLogMicroBatch(topicList: Seq[String], startingSpec: String)
+class KafkaLogMicroBatch(topicList: Seq[String], startingSpec: String,
+    startingTsSpec: String = null)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset =
-    KafkaLogOffset(KafkaLogTable.resolve(topicList, startingSpec, "earliest"))
+    KafkaLogOffset(
+      if (startingTsSpec != null)
+        KafkaLogTable.resolve(topicList, startingTsSpec, "earliest",
+          byTimestamp = true)
+      else KafkaLogTable.resolve(topicList, startingSpec, "earliest"))
 
   override def latestOffset(): Offset =
     KafkaLogOffset(topicList.map(t => t -> KafkaLog.endOffsets(t).toSeq).toMap)

@@ -102,6 +102,41 @@ class KafkaLogSuite extends GraftSuite {
     assert(KafkaLog.endOffsets("t_hash").sum == 8)
   }
 
+  test("timestamp-based offset resolution mirrors offsetsForTimes") {
+    // record timestamps 1000, 2000, ... per partition (driver-side
+    // produce: arrival order = timestamp order, the Kafka assumption)
+    KafkaLog.create("t_ts", 2)
+    (0 until 10).foreach(i => KafkaLog.produce("t_ts", i % 2, null,
+      bytes(s"m$i"), 1000L * (i / 2 + 1)))
+    // first offset at-or-after ts; past-the-end timestamp -> end offset
+    assert(KafkaLog.offsetForTimestamp("t_ts", 0, 3000L) == 2L)
+    assert(KafkaLog.offsetForTimestamp("t_ts", 0, 2500L) == 2L)
+    assert(KafkaLog.offsetForTimestamp("t_ts", 1, 99999L) == 5L)
+    assert(KafkaLog.offsetForTimestamp("t_ts", 1, 0L) == 0L)
+    def count(opts: (String, String)*): Long = {
+      var r = spark.read.format("graft-kafka").option("subscribe", "t_ts")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().count()
+    }
+    // skip everything before ts=3000 in both partitions: 3 remain each
+    assert(count("startingOffsetsByTimestamp" ->
+      """{"t_ts":{"0":3000,"1":3000}}""") == 6)
+    // bounded end by timestamp: records strictly before ts=4000
+    assert(count("endingOffsetsByTimestamp" ->
+      """{"t_ts":{"0":4000,"1":4000}}""") == 6)
+    // both bounds: ts in [2000, 5000)
+    assert(count(
+      "startingOffsetsByTimestamp" -> """{"t_ts":{"0":2000,"1":2000}}""",
+      "endingOffsetsByTimestamp" -> """{"t_ts":{"0":5000,"1":5000}}""") == 6)
+    // setting both an offset and a timestamp spec for the same bound
+    // fails loudly, like Spark's kafka source
+    val err = intercept[Exception] {
+      count("startingOffsets" -> "earliest",
+        "startingOffsetsByTimestamp" -> """{"t_ts":{"0":0,"1":0}}""")
+    }
+    assert(err.getMessage.contains("only one of"))
+  }
+
   test("offset json round-trips the per-partition map") {
     val offs = Map("topic_z" -> Seq(5L, 0L, 17L), "a" -> Seq(3L))
     val json = KafkaLog.offsetsToJson(offs)
