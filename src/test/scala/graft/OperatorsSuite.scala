@@ -255,4 +255,33 @@ class OperatorsSuite extends GraftSuite {
     // projections are centered
     assert(math.abs(vars.getDouble(2)) < 1e-9)
   }
+
+  test("compaction set planning follows the CompactionSetCreator rules") {
+    import graft.operators.Compaction
+    import graft.operators.Compaction.FileInfo
+    def f(name: String, bytes: Long, rows: Long) =
+      FileInfo(name, bytes, rows)
+    // rows bound: 4 near-equal files pack, a 5th would exceed
+    val files = (1 to 8).map(i => f(s"f$i", 100, 10))
+    val byRows = Compaction.planSets(files, maxBytes = Long.MaxValue,
+      maxRows = 40)
+    assert(byRows.size == 2 && byRows.forall(_.size == 4))
+    // bytes bound triggers independently
+    val byBytes = Compaction.planSets(files, maxBytes = 250, maxRows = 999)
+    assert(byBytes.forall(_.size == 2) && byBytes.size == 4)
+    // single-file sets never organize (reference: addToCompactionSets
+    // only takes sets with >1 shard) — a big file stands alone and
+    // DROPS OUT; idempotence on already-compacted output
+    val mixed = Seq(f("big", 1000, 100), f("s1", 10, 1), f("s2", 10, 1))
+    val sets = Compaction.planSets(mixed, maxBytes = 1001, maxRows = 101)
+    assert(sets.size == 1 && sets.head.map(_.path) == Seq("s1", "s2"))
+    assert(Compaction.planSets(Seq(f("only", 50, 5)), 100, 10).isEmpty)
+    // ascending-size order: smalls pack together first, like the
+    // reference's sorted shard stream
+    val skew = Seq(f("a", 90, 9), f("b", 10, 1), f("c", 10, 1),
+      f("d", 10, 1))
+    val packed = Compaction.planSets(skew, maxBytes = 100, maxRows = 100)
+    assert(packed.head.map(_.path).toSet == Set("b", "c", "d"),
+      s"smalls should pack together: $packed")
+  }
 }
