@@ -189,6 +189,93 @@ object Curation extends QueryPack {
             .as("contam_id_sum"))
     }),
 
+    // Temperature-weighted mixture sampling (the multi-source LM data
+    // recipe — GPT-3 / Llama style: sample source s with probability
+    // proportional to n_s^tau, tau=0.5, so small sources up-weight
+    // relative to their raw share without dominating). Deterministic
+    // fixed-point spelling: integerized weights w_s = round(sqrt(n_s)
+    // * 1000), target total T = n_tot/2, keep test h * n_s * W <
+    // w_s * T * 1e6 on the qi4 md5-millionths hash — all-integer
+    // cross-multiplication (int64-safe at any corpus scale: reduce
+    // modulo first, the SURVEY hash lesson), so DuckDB replays the
+    // exact membership. Plan shape is qi4's: per-source counts are
+    // metadata (broadcast), the data pass is a map-only filter.
+    "q1i_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.view(s, dir, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("w", round(sqrt(col("n_src")) * 1000).cast("long"))
+      val tot = counts.agg(sum(col("w")).as("w_tot"),
+        expr("sum(n_src) div 2").as("t_half"))
+      val rates = counts.crossJoin(tot)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 1000000L
+      docs.join(broadcast(rates), "source")
+        .withColumn("keep",
+          h * col("n_src") * col("w_tot") <
+            col("w") * col("t_half") * 1000000L)
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_src"), max(col("w")).as("w"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Bloom-filter decontamination — the AT-SCALE variant of qi3's
+    // exact n-gram screen (GPT-3's 13-gram recipe at the fixture's
+    // k=6): instead of broadcasting the eval n-gram SET, build one
+    // Bloom sketch over the eval grams (Spark's native
+    // BloomFilterAggregate — merge is bitwise OR, so the bits are
+    // partition-order-independent) and probe every train gram against
+    // the KB-sized sketch. At 100 TB the sketch is what you can
+    // actually ship to every executor when the eval suite is large.
+    // Gates: the mathematical no-false-negative guarantee (every
+    // exactly-contaminated doc is flagged — locks build/probe hash
+    // consistency), and a false-positive budget over the clean docs;
+    // the exact counts replay qi3's DuckDB recipe.
+    "q1j_bloom_decontam" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val docs = Tables.view(s, dir, "documents")
+      val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(MinHash.shingles(col("text"), 6)).as("g"))
+        .distinct()
+      val exact = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(MinHash.shingles(col("text"), 6)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .select(col("doc_id")).distinct()
+      // one KB-scale sketch: driver holds it like a trained model
+      val bloomBytes = evalGrams
+        .select(toCol(new BloomFilterAggregate(
+          toExpr(xxhash64(col("g"))), Literal(100000L), Literal(800000L))
+          .toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val flagged = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          explode(MinHash.shingles(col("text"), 6)).as("g"))
+        .filter(toCol(BloomFilterMightContain(
+          Literal.create(bloomBytes,
+            org.apache.spark.sql.types.BinaryType),
+          toExpr(xxhash64(col("g"))))))
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(exact.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+        .join(flagged.withColumn("fl", lit(1L)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_train"),
+          coalesce(sum(col("ex")), lit(0L)).as("n_contaminated"),
+          coalesce(sum(when(col("ex") === 1L, col("doc_id"))), lit(0L))
+            .as("contam_id_sum"),
+          coalesce(bool_and(!(col("ex") === 1L && col("fl").isNull)),
+            lit(true)).as("no_false_negatives"),
+          // clean docs wrongly flagged stay under 5% (the sketch is
+          // sized generously; the bound is the contract, not the
+          // typical rate)
+          (coalesce(sum(when(col("fl") === 1L && col("ex").isNull, 1L)),
+            lit(0L)) * 20 <=
+            sum(when(col("ex").isNull, 1L))).as("fp_budget_ok"))
+    }),
+
     // Domain-mixture resampling — balanced mixture by downsampling every
     // source to the smallest source's size, with DETERMINISTIC membership:
     // the accept test is an md5 threshold on doc_id (qd5's split trick),
@@ -409,6 +496,42 @@ object Curation extends QueryPack {
         |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_contaminated,
         |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM c)
         |         AS contam_id_sum""".stripMargin,
+
+    // Same shingle derivation as qi3; the Bloom flags are gated by
+    // their mathematical properties (no false negatives, bounded false
+    // positives), the exact counts replay in full.
+    "q1j_bloom_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |  [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]
+        |   for i in range(1, len(w) - 4)])) AS g FROM d),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (g)
+        |      WHERE doc_id % 50 <> 0)
+        |SELECT (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0)
+        |         AS n_train,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_contaminated,
+        |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM c)
+        |         AS contam_id_sum,
+        |       true AS no_false_negatives, true AS fp_budget_ok""".stripMargin,
+
+    // Integer fixed-point replay of the temperature weights: identical
+    // IEEE sqrt + round in both engines, then all-integer comparison.
+    "q1i_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_src,
+        |  CAST(round(sqrt(count(*)) * 1000) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+        |  CAST(sum(n_src) AS BIGINT) // 2 AS t_half FROM c),
+        |k AS (SELECT d.source, c.n_src, c.w,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000) * c.n_src * t.w_tot
+        |    < c.w * t.t_half * 1000000 AS keep
+        |  FROM documents d JOIN c USING (source) CROSS JOIN t)
+        |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+        |  CAST(max(w) AS BIGINT) AS w,
+        |  CAST(count_if(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q0w_dsir_resample" ->
       """WITH words AS (
