@@ -305,6 +305,45 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Aggregate pushdown INTO a connector — the SPI mechanic behind the
+    // reference's analytic-store connectors (druid/pinot push
+    // aggregations to the store; `presto-druid/.../
+    // DruidAggregationPushdown` family): Spark's DSv2 JDBC catalog over
+    // the same embedded Derby, with `pushDownAggregate` — the grouped
+    // count/sum/min/max COMPILE INTO the remote SQL and the scan
+    // returns pre-aggregated rows (QueriesSmokeSuite asserts
+    // PushedAggregates in the plan). At 100 TB against a real analytic
+    // store this is the difference between moving rows and moving
+    // groups. Sums stay over integer-valued columns so the remote
+    // engine's summation order cannot drift the hash.
+    "q1k_jdbc_agg_pushdown" -> ((s, dir) => {
+      val home = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_derby_home")
+      home.mkdirs()
+      System.setProperty("derby.system.home", home.getAbsolutePath)
+      val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby2;create=true"
+      graft.Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "li_rows")
+        .option("createTableColumnTypes", "l_returnflag VARCHAR(1)")
+        .save()
+      s.conf.set("spark.sql.catalog.graft_jdbc",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc.url", url)
+      s.conf.set("spark.sql.catalog.graft_jdbc.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  cast(sum(l_quantity) as bigint) AS qty,
+          |  min(l_extendedprice) AS min_price,
+          |  max(l_extendedprice) AS max_price
+          |FROM graft_jdbc.APP.LI_ROWS
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -477,6 +516,14 @@ object Storage extends QueryPack {
         |  CAST(32 AS BIGINT) AS files_before,
         |  CAST(8 AS BIGINT) AS files_after,
         |  true AS rows_preserved, true AS idempotent
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q1k_jdbc_agg_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

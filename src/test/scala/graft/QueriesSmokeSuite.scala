@@ -290,6 +290,18 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") <= 4, s"aggregated-side joins drifted:\n$plan")
   }
 
+  test("q1k aggregates are pushed INTO the JDBC source") {
+    // the druid/pinot-connector mechanic: the grouped count/sum/min/max
+    // must compile into the remote scan (PushedAggregates in the scan
+    // node), so the JDBC source returns groups, not rows
+    val plan = SparkEntry.queries("q1k_jdbc_agg_pushdown")(spark, SfDir)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregates not pushed into the JDBC scan:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions"),
+      s"group-by not pushed into the JDBC scan:\n$plan")
+  }
+
   // ——— r8c: plan guards for the new pipeline operators ————————————————
   guards("q0w_dsir_resample") { (plan, n) =>
     // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
