@@ -110,6 +110,13 @@ object Multimodal {
   *    uint16 width/height at 18/20; other DIB sizes → NULL
   *  - GIF (`GIF8`): logical-screen width/height as little-endian
   *    uint16 at offsets 6/8
+  *  - JPEG (`\xFF\xD8` SOI, r10): a real marker walk — segments are
+  *    `FF marker len16` (length includes itself); standalone markers
+  *    (TEM, RST0-7) carry no length; the first frame header in the SOF
+  *    family (C0-CF except DHT C4, JPG C8, DAC CC) carries precision,
+  *    then big-endian uint16 height/width. Walks past APPn/DQT/COM the
+  *    way every real file requires; malformed lengths, a missing SOF,
+  *    or truncation → NULL.
   *
   * Unrecognized or truncated bytes → NULL (a corrupt blob must not
   * kill a 100 TB scan). Returns struct<format, width, height> — the
@@ -177,6 +184,32 @@ case class MediaDimensions(
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8')
       row("gif", le16(b, 6), le16(b, 8))
+    else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+      // JPEG marker walk to the first SOF frame header
+      var i = 2
+      while (i + 3 < b.length) {
+        if (b(i) != 0xff.toByte) return null
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill bytes before a marker are legal
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else if (m == 0xd9) return null // EOI before any SOF
+        else {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > b.length) return null
+          val sof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (sof) {
+            if (len < 7) return null
+            val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+            val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+            if (w <= 0 || h <= 0) return null
+            return row("jpeg", w, h)
+          }
+          i += 2 + len
+        }
+      }
+      null
+    }
     else null
   }
 
@@ -230,6 +263,19 @@ case class MediaAudioInfo(
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
         b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
       InternalRow(le32(b, 24), le16(b, 22), le16(b, 34))
+    else if (b.length >= 22 &&
+        b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+        (b(4) & 0x7f) == 0) {
+      // FLAC (r10): the mandatory first metadata block is STREAMINFO
+      // (type 0 in the block header at offset 4); its packed bit
+      // layout puts sample rate (20 bits), channels-1 (3), bits-1 (5)
+      // at STREAMINFO offsets 10-12 — i.e. file offsets 18-21.
+      val rate = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) |
+        ((b(20) & 0xff) >> 4)
+      val channels = ((b(20) >> 1) & 0x7) + 1
+      val bits = (((b(20) & 1) << 4) | ((b(21) & 0xff) >> 4)) + 1
+      if (rate <= 0) null else InternalRow(rate, channels, bits)
+    }
     else null
   }
 

@@ -88,6 +88,25 @@ object Media extends QueryPack {
           |      lpad(hex(4294967296 - h), 8, '0') AS nh,
           |      lpad(hex(4294967296 - w), 8, '0') AS nw
           |    FROM d) n ON le.doc_id = n.doc_id),
+          |-- r10: a real JPEG (SOI + APP0 to prove the marker walk +
+          |-- SOF0 with big-endian uint16 height/width) and a FLAC
+          |-- STREAMINFO block (20-bit sample rate, 3-bit channels-1,
+          |-- 5-bit bits-1 packed at offsets 18-21)
+          |jp AS (SELECT doc_id, media_dimensions(unhex(concat(
+          |    'FFD8', 'FFE0', '0010', repeat('00', 14),
+          |    'FFC0', '0011', '08', substr(hb,5,4), substr(wb,5,4),
+          |    '03', repeat('00', 9)))) AS jdim
+          |  FROM hx),
+          |fl AS (SELECT doc_id, rate AS frate, ch AS fch,
+          |  media_audio_info(unhex(concat('664C6143', '00', '000022',
+          |    repeat('00', 10),
+          |    lpad(hex(rate div 4096), 2, '0'),
+          |    lpad(hex((rate div 16) % 256), 2, '0'),
+          |    lpad(hex((rate % 16) * 16 + (ch - 1) * 2), 2, '0'),
+          |    'F0', repeat('00', 20)))) AS fa
+          |  FROM (SELECT doc_id,
+          |          cast(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
+          |          cast(1 + doc_id % 2 AS INT) AS ch FROM d) z),
           |wav AS (SELECT doc_id, unhex(concat(
           |    '52494646', '24000000', '57415645', '666D7420',
           |    '10000000', '0100',
@@ -109,9 +128,15 @@ object Media extends QueryPack {
           |    AS core_ok,
           |  (td.format = 'bmp' AND td.width = w AND td.height = h)
           |    AS topdown_ok,
-          |  (negw IS NULL) AS negw_null
+          |  (negw IS NULL) AS negw_null,
+          |  (jdim.format = 'jpeg' AND jdim.width = w AND jdim.height = h)
+          |    AS jpeg_ok,
+          |  (fa.sample_rate = frate AND fa.channels = fch AND fa.bits = 16)
+          |    AS flac_ok
           |FROM p JOIN wav ON p.doc_id = wav.doc_id
           |JOIN edge ON p.doc_id = edge.doc_id
+          |JOIN jp ON p.doc_id = jp.doc_id
+          |JOIN fl ON p.doc_id = fl.doc_id
           |ORDER BY doc_id""".stripMargin)
     }),
 
@@ -145,7 +170,8 @@ object Media extends QueryPack {
         |  true AS dims_ok, true AS junk_null,
         |  CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
         |  CAST(1 + doc_id % 2 AS INT) AS ch, true AS bits_ok,
-        |  true AS core_ok, true AS topdown_ok, true AS negw_null
+        |  true AS core_ok, true AS topdown_ok, true AS negw_null,
+        |  true AS jpeg_ok, true AS flac_ok
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "qa4_media_frames" ->

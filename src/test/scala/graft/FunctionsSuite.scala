@@ -519,4 +519,66 @@ class FunctionsSuite extends GraftSuite {
     assert(dims(bmp(40, le32(-640) ++ le32(480))) == None)
     assert(dims(bmp(40, le32(0) ++ le32(480))) == None)
   }
+
+  test("media_dimensions: JPEG marker walk") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.operators.MediaDimensions
+    import spark.implicits._
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def dims(b: Array[Byte]): Option[(Int, Int)] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(toCol(MediaDimensions(toExpr(col("b"))))).collect()(0)
+      if (r.isNullAt(0)) None
+      else Some((r.getStruct(0).getInt(1), r.getStruct(0).getInt(2)))
+    }
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte) ++
+        be16(payload.length + 2) ++ payload
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    def sof(m: Int, w: Int, h: Int): Array[Byte] =
+      seg(m, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3) ++ Array.fill[Byte](9)(0))
+    // minimal SOI + SOF0
+    assert(dims(soi ++ sof(0xc0, 640, 480)) == Some((640, 480)))
+    // APPn/DQT/COM segments before the frame header must be walked
+    val app0 = seg(0xe0, Array.fill[Byte](14)(0))
+    val com = seg(0xfe, "hello".getBytes)
+    assert(dims(soi ++ app0 ++ com ++ sof(0xc2, 33, 17)) == Some((33, 17)))
+    // standalone RST/TEM markers carry no length field
+    val rst = Array[Byte](0xff.toByte, 0xd0.toByte)
+    assert(dims(soi ++ rst ++ sof(0xc1, 5, 7)) == Some((5, 7)))
+    // DHT (C4) is NOT a frame header even though it sits in C0-CF
+    val dht = seg(0xc4, Array.fill[Byte](5)(0))
+    assert(dims(soi ++ dht ++ sof(0xc0, 9, 9)) == Some((9, 9)))
+    // EOI before any SOF, truncation mid-segment, garbage length → NULL
+    assert(dims(soi ++ Array[Byte](0xff.toByte, 0xd9.toByte)) == None)
+    assert(dims(soi ++ app0.take(3)) == None)
+    assert(dims(soi ++ Array[Byte](0xff.toByte, 0xe0.toByte, 0, 1)) == None)
+  }
+
+  test("media_audio_info: FLAC STREAMINFO bit unpacking") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.operators.MediaAudioInfo
+    import spark.implicits._
+    def info(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(toCol(MediaAudioInfo(toExpr(col("b"))))).collect()(0)
+      if (r.isNullAt(0)) None
+      else Some((r.getStruct(0).getInt(0), r.getStruct(0).getInt(1),
+        r.getStruct(0).getInt(2)))
+    }
+    def flac(rate: Int, channels: Int, bits: Int): Array[Byte] =
+      "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++
+        Array.fill[Byte](10)(0) ++ Array[Byte](
+          (rate >> 12).toByte, ((rate >> 4) & 0xff).toByte,
+          (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+            ((bits - 1) >> 4)).toByte,
+          (((bits - 1) & 0xf) << 4).toByte) ++ Array.fill[Byte](20)(0)
+    assert(info(flac(44100, 2, 16)) == Some((44100, 2, 16)))
+    assert(info(flac(96000, 8, 24)) == Some((96000, 8, 24)))
+    assert(info(flac(8000, 1, 16)) == Some((8000, 1, 16)))
+    // truncated or wrong magic → NULL
+    assert(info(flac(44100, 2, 16).take(20)) == None)
+    assert(info("flaC".getBytes ++ Array.fill[Byte](30)(0)) == None)
+  }
 }
