@@ -117,6 +117,13 @@ object Multimodal {
   *    then big-endian uint16 height/width. Walks past APPn/DQT/COM the
   *    way every real file requires; malformed lengths, a missing SOF,
   *    or truncation → NULL.
+  *  - MP4 / ISO-BMFF video (`ftyp` at offset 4, r10): a nested box
+  *    walk — boxes are `size32 type4` — to `moov` → first `trak` →
+  *    `tkhd`, whose presentation width/height sit as 16.16 fixed-point
+  *    uint32s at version-dependent offsets (v0: 76/80; v1: 88/92 from
+  *    the box payload). The track-header walk every container tool
+  *    performs; size-0/size-1 (to-end / 64-bit) boxes and truncation →
+  *    NULL.
   *
   * Unrecognized or truncated bytes → NULL (a corrupt blob must not
   * kill a 100 TB scan). Returns struct<format, width, height> — the
@@ -184,6 +191,35 @@ case class MediaDimensions(
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8')
       row("gif", le16(b, 6), le16(b, 8))
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+      // ISO-BMFF box walk: top level → moov → first trak → tkhd
+      def findBox(name: String, from: Int, until: Int): Int = {
+        var i = from
+        while (i + 8 <= until) {
+          val size = be32(b, i)
+          if (size < 8 || i + size > until) return -1 // incl. size 0/1
+          if (b(i + 4) == name(0) && b(i + 5) == name(1) &&
+              b(i + 6) == name(2) && b(i + 7) == name(3)) return i
+          i += size
+        }
+        -1
+      }
+      val moov = findBox("moov", 0, b.length)
+      if (moov < 0) return null
+      val moovEnd = moov + be32(b, moov)
+      val trak = findBox("trak", moov + 8, moovEnd)
+      if (trak < 0) return null
+      val tkhd = findBox("tkhd", trak + 8, trak + be32(b, trak))
+      if (tkhd < 0) return null
+      val ver = b(tkhd + 8) & 0xff
+      val wOff = tkhd + 8 + (if (ver == 1) 88 else 76)
+      if (ver > 1 || wOff + 8 > tkhd + be32(b, tkhd)) return null
+      // 16.16 fixed point; integer part only
+      val w = be32(b, wOff) >>> 16
+      val h = be32(b, wOff + 4) >>> 16
+      if (w <= 0 || h <= 0) null else row("mp4", w, h)
+    }
     else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
       // JPEG marker walk to the first SOF frame header
       var i = 2

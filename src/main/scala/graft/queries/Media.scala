@@ -97,6 +97,16 @@ object Media extends QueryPack {
           |    'FFC0', '0011', '08', substr(hb,5,4), substr(wb,5,4),
           |    '03', repeat('00', 9)))) AS jdim
           |  FROM hx),
+          |-- r10: minimal ISO-BMFF video — ftyp, then moov>trak>tkhd
+          |-- with the 16.16 fixed-point presentation size (integer part
+          |-- in the high 16 bits)
+          |mp AS (SELECT doc_id, media_dimensions(unhex(concat(
+          |    '00000010', '66747970', '69736F6D', '00000000',
+          |    '0000006C', '6D6F6F76',
+          |    '00000064', '7472616B',
+          |    '0000005C', '746B6864', '00000000', repeat('00', 72),
+          |    substr(wb,5,4), '0000', substr(hb,5,4), '0000'))) AS mdim
+          |  FROM hx),
           |fl AS (SELECT doc_id, rate AS frate, ch AS fch,
           |  media_audio_info(unhex(concat('664C6143', '00', '000022',
           |    repeat('00', 10),
@@ -132,11 +142,14 @@ object Media extends QueryPack {
           |  (jdim.format = 'jpeg' AND jdim.width = w AND jdim.height = h)
           |    AS jpeg_ok,
           |  (fa.sample_rate = frate AND fa.channels = fch AND fa.bits = 16)
-          |    AS flac_ok
+          |    AS flac_ok,
+          |  (mdim.format = 'mp4' AND mdim.width = w AND mdim.height = h)
+          |    AS mp4_ok
           |FROM p JOIN wav ON p.doc_id = wav.doc_id
           |JOIN edge ON p.doc_id = edge.doc_id
           |JOIN jp ON p.doc_id = jp.doc_id
           |JOIN fl ON p.doc_id = fl.doc_id
+          |JOIN mp ON p.doc_id = mp.doc_id
           |ORDER BY doc_id""".stripMargin)
     }),
 
@@ -171,7 +184,7 @@ object Media extends QueryPack {
         |  CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
         |  CAST(1 + doc_id % 2 AS INT) AS ch, true AS bits_ok,
         |  true AS core_ok, true AS topdown_ok, true AS negw_null,
-        |  true AS jpeg_ok, true AS flac_ok
+        |  true AS jpeg_ok, true AS flac_ok, true AS mp4_ok
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "qa4_media_frames" ->

@@ -556,6 +556,39 @@ class FunctionsSuite extends GraftSuite {
     assert(dims(soi ++ Array[Byte](0xff.toByte, 0xe0.toByte, 0, 1)) == None)
   }
 
+  test("media_dimensions: MP4 box walk to tkhd") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.operators.MediaDimensions
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def dims(b: Array[Byte]): Option[(Int, Int)] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(toCol(MediaDimensions(toExpr(col("b"))))).collect()(0)
+      if (r.isNullAt(0)) None
+      else Some((r.getStruct(0).getInt(1), r.getStruct(0).getInt(2)))
+    }
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ name.getBytes ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    def tkhd(ver: Int, w: Int, h: Int): Array[Byte] = {
+      val fixed = if (ver == 1) 84 else 72 // fields between flags and w
+      box("tkhd", Array[Byte](ver.toByte, 0, 0, 0) ++
+        Array.fill[Byte](fixed)(0) ++ be32(w << 16) ++ be32(h << 16))
+    }
+    def mp4(ver: Int, w: Int, h: Int, pre: Array[Byte] = Array.empty) =
+      ftyp ++ pre ++ box("moov", box("trak", tkhd(ver, w, h)))
+    assert(dims(mp4(0, 1920, 1080)) == Some((1920, 1080)))
+    assert(dims(mp4(1, 640, 360)) == Some((640, 360)))
+    // moov after an interleaved free box; mdat-style boxes skipped
+    assert(dims(mp4(0, 12, 34, pre = box("free", Array.fill[Byte](6)(0))))
+      == Some((12, 34)))
+    // missing tkhd / truncated moov / zero-size box → NULL
+    assert(dims(ftyp ++ box("moov", box("trak", Array.empty[Byte]))) == None)
+    assert(dims(mp4(0, 8, 8).dropRight(4)) == None)
+    assert(dims(ftyp ++ be32(0) ++ "moov".getBytes) == None)
+  }
+
   test("media_audio_info: FLAC STREAMINFO bit unpacking") {
     import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
     import graft.operators.MediaAudioInfo
