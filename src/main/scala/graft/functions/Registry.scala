@@ -1211,6 +1211,16 @@ object Registry {
         case args =>
           sys.error(s"media_audio_info expects 1 arg, got ${args.length}")
       }
+      // compressed text-column storage (pipeline pack): deterministic
+      // GZIP round-trip; gunzip is NULL on corrupt bytes
+      colorPack("gzip") {
+        case Seq(v) => GzipCompress(v)
+        case args => sys.error(s"gzip expects 1 arg, got ${args.length}")
+      }
+      colorPack("gunzip") {
+        case Seq(v) => GzipDecompress(v)
+        case args => sys.error(s"gunzip expects 1 arg, got ${args.length}")
+      }
       colorPack("json_array_contains") {
         // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
         // coerce so the double overload arm binds like the reference

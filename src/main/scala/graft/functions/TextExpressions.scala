@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word k-shingles of a text column, as a single native
@@ -159,6 +160,57 @@ case class HammingDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `gzip(binary) -> binary` — deterministic GZIP compression (Java's
+  * writer emits a fixed header: MTIME 0, no OS/XFL variance), for the
+  * compressed-text-column storage pattern every corpus pipeline hits
+  * (store documents gzipped, decompress in the scan projection). */
+case class GzipCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "gzip"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(v.asInstanceOf[Array[Byte]]); gz.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `gunzip(binary) -> binary` — NULL on bytes that are not a valid
+  * GZIP stream (corrupt blobs must not kill a scan; wrap the NULL in
+  * a loud check when corruption should stop the job). */
+case class GzipDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "gunzip"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      bos.toByteArray
+    } catch { case _: java.io.IOException => null }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 object TextExpressions {

@@ -153,6 +153,33 @@ object Media extends QueryPack {
           |ORDER BY doc_id""".stripMargin)
     }),
 
+    // Compressed text-column storage (r10): gzip the document text,
+    // store the blob, decompress in the scan projection — the standard
+    // corpus layout. The gate proves the round-trip byte-lossless
+    // (md5 of the decompressed text equals md5 of the original, which
+    // DuckDB computes directly), corrupt bytes decode to NULL instead
+    // of killing the scan, and the repetitive fixture corpus genuinely
+    // compresses.
+    "q1l_gzip_text" -> ((s, dir) => {
+      graft.Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(
+        """WITH z AS (SELECT doc_id, source, text,
+          |    gzip(encode(text, 'UTF-8')) AS blob
+          |  FROM documents),
+          |r AS (SELECT source, text,
+          |    decode(gunzip(blob), 'UTF-8') AS back,
+          |    length(blob) AS z_bytes, length(text) AS t_bytes,
+          |    gunzip(unhex('DEADBEEF')) AS junk
+          |  FROM z)
+          |SELECT source, cast(count(*) as bigint) AS n,
+          |  cast(sum(t_bytes) as bigint) AS chars,
+          |  bool_and(md5(back) = md5(text)) AS roundtrip_ok,
+          |  (sum(z_bytes) < sum(t_bytes)) AS compresses,
+          |  bool_and(junk IS NULL) AS junk_null
+          |FROM r GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Typed mapPartitions path: one decoder per partition, fixed-width
     // feature vector out (the real-codec shape, deterministic fake body).
     "qa5_media_features" -> ((s, dir) => {
@@ -186,6 +213,12 @@ object Media extends QueryPack {
         |  true AS core_ok, true AS topdown_ok, true AS negw_null,
         |  true AS jpeg_ok, true AS flac_ok, true AS mp4_ok
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    "q1l_gzip_text" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  true AS roundtrip_ok, true AS compresses, true AS junk_null
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "qa4_media_frames" ->
       s"""WITH m AS (
