@@ -1221,6 +1221,14 @@ object Registry {
         case Seq(v) => GzipDecompress(v)
         case args => sys.error(s"gunzip expects 1 arg, got ${args.length}")
       }
+      colorPack("zstd") {
+        case Seq(v) => ZstdCompress(v)
+        case args => sys.error(s"zstd expects 1 arg, got ${args.length}")
+      }
+      colorPack("unzstd") {
+        case Seq(v) => ZstdDecompress(v)
+        case args => sys.error(s"unzstd expects 1 arg, got ${args.length}")
+      }
       colorPack("json_array_contains") {
         // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
         // coerce so the double overload arm binds like the reference

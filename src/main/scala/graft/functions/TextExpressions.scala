@@ -213,6 +213,52 @@ case class GzipDecompress(child: Expression)
     copy(child = c)
 }
 
+/** `zstd(binary) -> binary` — Zstandard compression via the zstd-jni
+  * that ships with Spark's own codecs (level 3, the library default;
+  * deterministic for a fixed level/library). The modern corpus-storage
+  * codec next to [[GzipCompress]]. */
+case class ZstdCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "zstd"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    com.github.luben.zstd.Zstd.compress(v.asInstanceOf[Array[Byte]], 3)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `unzstd(binary) -> binary` — NULL on invalid frames (streamed, so
+  * the original size need not be known). */
+case class ZstdDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "unzstd"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${dt.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      bos.toByteArray
+    } catch { case _: java.io.IOException => null }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.toCol(WordShingles(ColumnBridge.toExpr(text), k))

@@ -165,18 +165,25 @@ object Media extends QueryPack {
       graft.functions.Registry.install(s)
       s.sql(
         """WITH z AS (SELECT doc_id, source, text,
-          |    gzip(encode(text, 'UTF-8')) AS blob
+          |    gzip(encode(text, 'UTF-8')) AS blob,
+          |    zstd(encode(text, 'UTF-8')) AS zblob
           |  FROM documents),
           |r AS (SELECT source, text,
           |    decode(gunzip(blob), 'UTF-8') AS back,
-          |    length(blob) AS z_bytes, length(text) AS t_bytes,
-          |    gunzip(unhex('DEADBEEF')) AS junk
+          |    decode(unzstd(zblob), 'UTF-8') AS zback,
+          |    length(blob) AS z_bytes, length(zblob) AS zs_bytes,
+          |    length(text) AS t_bytes,
+          |    gunzip(unhex('DEADBEEF')) AS junk,
+          |    unzstd(unhex('DEADBEEF')) AS zjunk
           |  FROM z)
           |SELECT source, cast(count(*) as bigint) AS n,
           |  cast(sum(t_bytes) as bigint) AS chars,
           |  bool_and(md5(back) = md5(text)) AS roundtrip_ok,
           |  (sum(z_bytes) < sum(t_bytes)) AS compresses,
-          |  bool_and(junk IS NULL) AS junk_null
+          |  bool_and(junk IS NULL) AS junk_null,
+          |  bool_and(md5(zback) = md5(text)) AS z_roundtrip_ok,
+          |  (sum(zs_bytes) < sum(t_bytes)) AS z_compresses,
+          |  bool_and(zjunk IS NULL) AS z_junk_null
           |FROM r GROUP BY source ORDER BY source""".stripMargin)
     }),
 
@@ -217,7 +224,9 @@ object Media extends QueryPack {
     "q1l_gzip_text" ->
       """SELECT source, count(*) AS n,
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
-        |  true AS roundtrip_ok, true AS compresses, true AS junk_null
+        |  true AS roundtrip_ok, true AS compresses, true AS junk_null,
+        |  true AS z_roundtrip_ok, true AS z_compresses,
+        |  true AS z_junk_null
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "qa4_media_frames" ->
