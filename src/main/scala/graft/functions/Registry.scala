@@ -1221,6 +1221,14 @@ object Registry {
         case Seq(v) => GzipDecompress(v)
         case args => sys.error(s"gunzip expects 1 arg, got ${args.length}")
       }
+      // RAG-ingest chunking: word windows with overlap (literal sizes —
+      // they shape the output like a digest's accuracy parameter)
+      colorPack("chunk_text") {
+        case Seq(t, Literal(c: Int, IntegerType), Literal(o: Int, IntegerType)) =>
+          ChunkText(t, c, o)
+        case args => sys.error(
+          "chunk_text expects (text, chunk_literal, overlap_literal)")
+      }
       colorPack("zstd") {
         case Seq(v) => ZstdCompress(v)
         case args => sys.error(s"zstd expects 1 arg, got ${args.length}")

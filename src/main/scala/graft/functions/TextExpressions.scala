@@ -162,6 +162,49 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `chunk_text(text, chunk, overlap)` — token-bounded document
+  * chunking with overlap, the RAG-ingest sibling of sequence packing
+  * (packing concatenates documents into budgets; chunking SPLITS one
+  * document into retrieval units): word windows of `chunk` tokens
+  * starting every `chunk - overlap` words, so adjacent chunks share
+  * `overlap` words of context; the final window may run short, and a
+  * start past the end emits nothing. One compiled pass per row like
+  * [[WordShingles]]; deterministic, so the oracle replays chunk counts
+  * and word totals exactly. */
+case class ChunkText(child: Expression, chunk: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(chunk >= 1, s"chunk size must be >= 1, got $chunk")
+  require(overlap >= 0 && overlap < chunk,
+    s"overlap must be in [0, chunk), got $overlap")
+
+  override def prettyName: String = "chunk_text"
+  override def dataType: DataType = ArrayType(StringType)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val step = chunk - overlap
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < words.length) {
+      val n = math.min(chunk, words.length - i)
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words(i + j); j += 1 }
+      out += UTF8String.concatWs(space, parts: _*)
+      // a tail already fully covered by the previous chunk stops the
+      // walk (emitting it would duplicate pure-overlap content)
+      i = if (i + chunk >= words.length) words.length else i + step
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `gzip(binary) -> binary` — deterministic GZIP compression (Java's
   * writer emits a fixed header: MTIME 0, no OS/XFL variance), for the
   * compressed-text-column storage pattern every corpus pipeline hits

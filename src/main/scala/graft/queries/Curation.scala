@@ -189,6 +189,36 @@ object Curation extends QueryPack {
             .as("contam_id_sum"))
     }),
 
+    // RAG-ingest chunking (r10): split each document into 32-word
+    // retrieval chunks overlapping by 8 (adjacent chunks share context;
+    // the dual of qi5's packing, which concatenates). chunk_text is a
+    // native single-pass expression; counts and word totals are
+    // closed-form in the document length, so DuckDB replays them
+    // exactly: chunks = 1 + ceil((len-32)/24) (one when len <= 32),
+    // words = sum over starts of min(32, len - start).
+    "q1m_rag_chunking" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      s.sql(
+        """WITH c AS (SELECT doc_id, source,
+          |    chunk_text(text, 32, 8) AS chunks,
+          |    size(split(text, ' ')) AS n_words
+          |  FROM documents),
+          |x AS (SELECT source, doc_id, n_words,
+          |    size(chunks) AS n_chunks,
+          |    aggregate(transform(chunks, ch -> size(split(ch, ' '))),
+          |      0, (a, b) -> a + b) AS chunk_words,
+          |    aggregate(transform(chunks, ch -> size(split(ch, ' '))),
+          |      0, (a, b) -> greatest(a, b)) AS max_chunk
+          |  FROM c)
+          |SELECT source, cast(count(*) as bigint) AS n_docs,
+          |  cast(sum(n_chunks) as bigint) AS total_chunks,
+          |  cast(sum(chunk_words) as bigint) AS total_chunk_words,
+          |  cast(max(max_chunk) as bigint) AS max_chunk_words,
+          |  bool_and(max_chunk <= 32) AS bounded
+          |FROM x GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Temperature-weighted mixture sampling (the multi-source LM data
     // recipe — GPT-3 / Llama style: sample source s with probability
     // proportional to n_s^tau, tau=0.5, so small sources up-weight
@@ -514,6 +544,28 @@ object Curation extends QueryPack {
         |       (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM c)
         |         AS contam_id_sum,
         |       true AS no_false_negatives, true AS fp_budget_ok""".stripMargin,
+
+    // Closed-form replay of the chunk walk: starts at every 24 words,
+    // final window reaching the end stops the walk.
+    "q1m_rag_chunking" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |k AS (SELECT source, doc_id, n,
+        |    CASE WHEN n <= 32 THEN 1
+        |      ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT) END AS nc
+        |  FROM d),
+        |w AS (SELECT source, doc_id, nc,
+        |    list_sum([least(32, n - i * 24) for i in range(0, nc)])
+        |      AS cw,
+        |    list_max([least(32, n - i * 24) for i in range(0, nc)])
+        |      AS mx
+        |  FROM k)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chunks,
+        |  CAST(sum(cw) AS BIGINT) AS total_chunk_words,
+        |  CAST(max(mx) AS BIGINT) AS max_chunk_words,
+        |  true AS bounded
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     // Integer fixed-point replay of the temperature weights: identical
     // IEEE sqrt + round in both engines, then all-integer comparison.

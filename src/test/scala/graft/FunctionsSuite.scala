@@ -589,6 +589,26 @@ class FunctionsSuite extends GraftSuite {
     assert(dims(ftyp ++ be32(0) ++ "moov".getBytes) == None)
   }
 
+  test("chunk_text: overlap windows, boundary tails, short docs") {
+    import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+    import graft.functions.ChunkText
+    import spark.implicits._
+    def chunks(text: String, c: Int, o: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(toCol(ChunkText(toExpr(col("t")), c, o)))
+        .collect()(0).getSeq[String](0)
+    val words = (1 to 10).map("w" + _).mkString(" ")
+    // chunk 4, overlap 1 -> starts 0,3,6 (6+4 >= 10 stops the walk)
+    assert(chunks(words, 4, 1) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // exact boundary: the window reaching the end is the last
+    assert(chunks((1 to 8).map("w" + _).mkString(" "), 4, 2) == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8"))
+    // short document -> one chunk; no overlap -> disjoint windows
+    assert(chunks("a b c", 8, 2) == Seq("a b c"))
+    assert(chunks("a b c d e", 2, 0) == Seq("a b", "c d", "e"))
+  }
+
   test("media_audio_info: FLAC STREAMINFO bit unpacking") {
     import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
     import graft.operators.MediaAudioInfo
