@@ -290,6 +290,27 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") <= 4, s"aggregated-side joins drifted:\n$plan")
   }
 
+  test("bucketed table prunes to one bucket on an equality key") {
+    // the flip side of qk0's shuffle-free join: a point predicate on
+    // the bucketing key must read ONE bucket's files, not all 8 — at
+    // 100 TB that is 1/8th of the scan for free
+    SparkEntry.queries("qk0_bucketed_join")(spark, SfDir) // builds tables
+    val suffix = Integer.toHexString(SfDir.hashCode)
+    // auto-bucketed-scan turns bucketing off for filter-only plans (no
+    // shuffle to save); disable it so the scan stays bucketed and the
+    // point predicate can prune
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = spark.table(s"graft_li_b_$suffix")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+        .queryExecution.executedPlan.treeString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q1k aggregates are pushed INTO the JDBC source") {
     // the druid/pinot-connector mechanic: the grouped count/sum/min/max
     // must compile into the remote scan (PushedAggregates in the scan
