@@ -322,7 +322,10 @@ object Storage extends QueryPack {
       home.mkdirs()
       System.setProperty("derby.system.home", home.getAbsolutePath)
       val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby2;create=true"
+      // a deterministic 1/8th subset: the pushdown proof doesn't need
+      // the whole fact table paid into single-connection JDBC inserts
       graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
         .write.mode("overwrite").format("jdbc")
@@ -524,7 +527,8 @@ object Storage extends QueryPack {
         |  CAST(sum(l_quantity) AS BIGINT) AS qty,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
-        |FROM lineitem GROUP BY l_returnflag
+        |FROM lineitem WHERE l_orderkey % 8 = 0
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "qh6_jdbc_roundtrip" ->
