@@ -54,4 +54,52 @@ class CboSuite extends GraftSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t2")
     }
   }
+
+  test("AQE splits the skewed side of a shuffle join at runtime") {
+    // the runtime half of the skew story (Salt.scala is the manual
+    // half): a 90%-hot key would pin one reducer; with AQE skew-join
+    // handling the hot partition splits into slices, visible as
+    // `skew=true` on the merge join in the FINAL adaptive plan
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val prev = confs.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the join feeds a global aggregate, whose required distribution
+      // would normally veto the split (it adds a shuffle); force it —
+      // the production shape (join into a sink) needs no forcing
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val skewed = spark.range(200000)
+        .select((when(col("id") % 10 =!= 0, 0L).otherwise(col("id")))
+          .as("k"),
+          // fat incompressible-ish payload so the hot partition's
+          // shuffle bytes are unambiguously over the skew threshold
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(2000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      // keep the payload alive through the aggregate, or column pruning
+      // shrinks the hot partition below the skew threshold
+      val joined = skewed.join(dim, "k")
+        .groupBy().agg(count(lit(1)).as("n"), max(col("payload")))
+      joined.collect() // run it: skew handling is a RUNTIME re-plan
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
