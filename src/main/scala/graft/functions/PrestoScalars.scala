@@ -274,3 +274,84 @@ case class JsonArrayContains(
       : org.apache.spark.sql.catalyst.expressions.Expression =
     copy(left = l, right = r)
 }
+
+/** Mongo `objectid(varchar)` — the presto-mongodb constructor
+  * (`presto-mongodb/.../ObjectIdFunctions.java:48-54`): spaces removed
+  * (the reference's CharMatcher strip), then the 24-hex-char ObjectId
+  * parsed to its 12 bytes, loudly invalid otherwise (the reference's
+  * ObjectId constructor throws). Represented as VARBINARY: Spark's
+  * unsigned bytewise binary comparison IS ObjectId.compareTo
+  * (`:114-117`), so =, <, BETWEEN, ORDER BY and join keys come free
+  * with the reference's semantics. */
+case class ObjectIdFromString(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "objectid"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a varchar ObjectId, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString.replace(" ", "")
+    require(s.length == 24 && s.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')),
+      s"invalid ObjectId [$s]")
+    val out = new Array[Byte](12)
+    var i = 0
+    while (i < 12) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c)
+}
+
+/** Mongo `objectid()` — the generator overload
+  * (`ObjectIdFunctions.java:40-46`): 4-byte big-endian epoch seconds,
+  * then 8 bytes of per-row randomness (the reference delegates to the
+  * bson ObjectId generator: machine/process/counter). Nondeterministic
+  * by contract, like the reference. */
+case class ObjectIdGen()
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "objectid"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  @transient private var rng: java.util.Random = _
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new java.util.Random(partitionIndex.toLong * 0x9e3779b97f4a7c15L ^
+      System.nanoTime())
+
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Byte](12)
+    val secs = (System.currentTimeMillis() / 1000L).toInt
+    out(0) = (secs >> 24).toByte; out(1) = (secs >> 16).toByte
+    out(2) = (secs >> 8).toByte; out(3) = secs.toByte
+    val tail = new Array[Byte](8)
+    rng.nextBytes(tail)
+    System.arraycopy(tail, 0, out, 4, 8)
+    out
+  }
+}

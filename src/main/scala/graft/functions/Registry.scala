@@ -1237,6 +1237,15 @@ object Registry {
         case Seq(v) => ZstdDecompress(v)
         case args => sys.error(s"unzstd expects 1 arg, got ${args.length}")
       }
+      // mongo ObjectId constructors (presto-mongodb
+      // ObjectIdFunctions.java): varbinary representation rides Spark's
+      // unsigned bytewise comparison = ObjectId.compareTo
+      colorPack("objectid") {
+        case Seq() => ObjectIdGen()
+        case Seq(v) => ObjectIdFromString(v)
+        case args =>
+          sys.error(s"objectid expects 0 or 1 args, got ${args.length}")
+      }
       colorPack("json_array_contains") {
         // Spark parses 1.5 as DECIMAL where Presto's literal is DOUBLE —
         // coerce so the double overload arm binds like the reference

@@ -778,6 +778,30 @@ object RegistrySql extends QueryPack {
         |  AS t(id, j, arr, nums)
         |ORDER BY id""".stripMargin)),
 
+    // mongo ObjectId constructors (presto-mongodb
+    // ObjectIdFunctions.java:40-117 — closes the residual-ledger
+    // objectid entry): hex round-trip, the reference's space strip,
+    // and the full comparison-operator family riding the varbinary
+    // representation (unsigned bytewise = ObjectId.compareTo). The
+    // zero-arg generator is nondeterministic by contract, so only its
+    // SHAPE is gated (12 bytes).
+    "q1n_objectid" -> ((s, dir) => sql(s, dir,
+      """SELECT cast(id as bigint) AS id,
+        |  hex(objectid(oid)) AS oid_hex,
+        |  objectid(' ' || substr(oid, 1, 8) || ' ' || substr(oid, 9) || ' ')
+        |    = objectid(oid) AS space_strip,
+        |  objectid(oid) < objectid('ffffffffffffffffffffffff') AS lt_max,
+        |  objectid(oid) > objectid('000000000000000000000000') AS gt_min,
+        |  objectid(oid) BETWEEN objectid('000000000000000000000000')
+        |    AND objectid('ffffffffffffffffffffffff') AS between_ok,
+        |  length(objectid()) = 12 AS gen_len
+        |FROM VALUES
+        |  (1, '507f1f77bcf86cd799439011'),
+        |  (2, '0000000000000000000000ff'),
+        |  (3, 'FFFFFFFFFFFFFFFFFFFFFF00')
+        |  AS t(id, oid)
+        |ORDER BY id""".stripMargin)),
+
     // Teradata compat plugin (presto-teradata-functions): index,
     // char2hexint (uppercase UTF-16BE hex).
     "qh9_teradata_sql" -> ((s, dir) => sql(s, dir,
@@ -1875,6 +1899,18 @@ object RegistrySql extends QueryPack {
         |  -- answers false BEFORE parsing, even on malformed input
         |  false AS c_nan, false AS c_nan_malformed
         |FROM t ORDER BY id""".stripMargin,
+
+    "q1n_objectid" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '507F1F77BCF86CD799439011',
+        |   true, true, true, true, true),
+        |  (CAST(2 AS BIGINT), '0000000000000000000000FF',
+        |   true, true, true, true, true),
+        |  (CAST(3 AS BIGINT), 'FFFFFFFFFFFFFFFFFFFFFF00',
+        |   true, true, true, true, true))
+        |  AS t(id, oid_hex, space_strip, lt_max, gt_min, between_ok,
+        |       gen_len)
+        |ORDER BY id""".stripMargin,
 
     "qh9_teradata_sql" ->
       """WITH t(id, s) AS (VALUES (1, 'hello'), (2, 'world'), (3, 'Spark'))
