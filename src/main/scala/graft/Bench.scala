@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   * projection-only work the way it can under `count()`. The JSON line is
   * ALSO written to bench_out.json — stdout capture truncated 41 of 102
   * per-query timings in round 3.
+  *
+  * A suite-level contention canary (three pinned cheap queries timed
+  * before AND after the suite) stamps `contended`/`canary_end_over_start`
+  * /`wall_sec` into both artifacts: uniform machine load inflates every
+  * trial equally, which the per-query spread retry cannot see.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +57,30 @@ object Bench {
       else ok(1) / ok.head
     }
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Suite-level contention canary (round-11): the per-query retry
+    // guard only catches contention that VARIES between a query's own
+    // trials — a uniformly loaded machine inflates every trial equally
+    // and sails through (BENCH_r10 read 202 s where a clean isolated
+    // run measures 167 s). So: time three pinned cheap queries before
+    // the suite, re-time them after, and stamp the ratios + a
+    // `contended` flag into the artifact when either reading is >1.3x
+    // the other — a drifting environment can't produce a silently
+    // trusted number. Wall-clock of the whole suite section is emitted
+    // too (wall >> sum of timed minimums = retries burned on spread =
+    // another contention tell).
+    val canaryNames = Seq("q02_", "q06_", "q83_").flatMap(p =>
+      SparkEntry.queries.keys.find(_.startsWith(p)))
+    val fullSuite = prefixes == Seq("")
+    def timeCanaries(): Map[String, Double] =
+      if (!fullSuite) Map.empty
+      else canaryNames.map { n =>
+        val fn = SparkEntry.queries(n)
+        runOnce(fn) // warm
+        n -> Seq(runOnce(fn), runOnce(fn)).filter(_ >= 0).minOption
+          .getOrElse(-1.0)
+      }.toMap
+    val wallStart = System.nanoTime()
+    val canaryStart = timeCanaries()
     val results = SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
       .map { case (name, fn) =>
@@ -69,6 +98,15 @@ object Bench {
         if (valid.size < 2) -1.0 else math.min(spreadOf(trials), 99.0)
       name -> (if (valid.isEmpty) -1.0 else valid.min)
     }
+    val canaryEnd = timeCanaries()
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val canaryRatios = canaryStart.flatMap { case (n, t0) =>
+      canaryEnd.get(n).collect {
+        case t1 if t0 > 0 && t1 > 0 => n -> t1 / t0
+      }
+    }
+    val contended = canaryRatios.values
+      .exists(r => r > 1.3 || r < 1.0 / 1.3)
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -80,10 +118,11 @@ object Bench {
     // line must stay well under the capture window.
     val core = results.filter { case (k, _) => k.matches("q[0-2][0-9]_.*") }
     val rest = (results -- core.keys).toSeq.sortBy(-_._2).take(8)
+    val canaryJson = toJson(canaryRatios)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

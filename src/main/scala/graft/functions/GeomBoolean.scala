@@ -330,7 +330,15 @@ object GeomBoolean {
       null
     }
     var start = firstUnvisited()
-    var guard = 0
+    var guard = 0L
+    // terminate-check bound scaled to the actual node count (original
+    // vertices plus one inserted node per side per intersection): a
+    // healthy traversal emits each node at most once per result
+    // component, so a generous factor over the node count separates
+    // legitimately large inputs from a genuinely stuck walk — a fixed
+    // constant would spuriously trip on tens-of-thousands-vertex rings
+    val maxSteps = 16L * (subjF.length / 2 + clipF.length / 2 +
+      2 * inserted.length) + 4096L
     while (start != null) {
       val out = ArrayBuffer.empty[Double]
       var cur = start
@@ -341,14 +349,14 @@ object GeomBoolean {
             cur = cur.next
             out += cur.x; out += cur.y
             guard += 1
-            if (guard > 100000) degenerate("traversal did not terminate")
+            if (guard > maxSteps) degenerate("traversal did not terminate")
           } while (!cur.intersect)
         } else {
           do {
             cur = cur.prev
             out += cur.x; out += cur.y
             guard += 1
-            if (guard > 100000) degenerate("traversal did not terminate")
+            if (guard > maxSteps) degenerate("traversal did not terminate")
           } while (!cur.intersect)
         }
         cur = cur.neighbor
@@ -374,7 +382,9 @@ object GeomBoolean {
     // for two SIMPLE input rings nesting depth is at most 1 (a hole
     // cannot itself contain a result component: that component would be
     // a disconnected piece of a simple input).
-    val rs = results.toSeq
+    // IndexedSeq: the nested-component scan below indexes rs inside an
+    // O(n²) loop — a List here turns it cubic on many-component results
+    val rs = results.toIndexedSeq
     val nestedIn: Seq[Int] = rs.indices.map { i =>
       rs.indices.find(j => i != j && inside(rs(i)(0), rs(i)(1), rs(j)))
         .getOrElse(-1)
@@ -642,7 +652,9 @@ object GeomBoolean {
     * of a valid boolean result never cross, so a single-vertex
     * containment probe decides nesting. */
   private def assemble(comps0: Seq[Array[Double]]): Seq[Array[Double]] = {
-    val comps = comps0.map(r => canonical(ccw(r)))
+    // IndexedSeq: the depth/hole scans below index comps inside O(n²)
+    // loops — a List argument would turn them cubic
+    val comps = comps0.iterator.map(r => canonical(ccw(r))).toIndexedSeq
     val depth = comps.indices.map(i => comps.indices.count(j =>
       j != i && inside(comps(i)(0), comps(i)(1), comps(j))))
     val out = ArrayBuffer.empty[Array[Double]]
@@ -826,7 +838,14 @@ object GeomBoolean {
       null
     }
     var start = firstUnvisited()
-    var guard = 0
+    var guard = 0L
+    // same node-count-scaled termination bound as the single-ring
+    // clipper: the cap accumulates across ALL result components of one
+    // call, so it must grow with the input (subject + clip vertices
+    // plus both inserted nodes per intersection), not sit at a constant
+    // a legitimately large multi-ring input would spuriously trip
+    val maxSteps = 16L * (subj.map(_.length / 2).sum +
+      clip.map(_.length / 2).sum + 2 * hits.length) + 4096L
     while (start != null) {
       val out = ArrayBuffer.empty[Double]
       var cur = start
@@ -837,14 +856,14 @@ object GeomBoolean {
             cur = cur.next
             out += cur.x; out += cur.y
             guard += 1
-            if (guard > 100000) degenerate("traversal did not terminate")
+            if (guard > maxSteps) degenerate("traversal did not terminate")
           } while (!cur.intersect)
         } else {
           do {
             cur = cur.prev
             out += cur.x; out += cur.y
             guard += 1
-            if (guard > 100000) degenerate("traversal did not terminate")
+            if (guard > maxSteps) degenerate("traversal did not terminate")
           } while (!cur.intersect)
         }
         cur = cur.neighbor

@@ -774,12 +774,27 @@ object Registry {
         // aggregate before the rule can sentinel it — exclude it there
         // (r10). Engine sessions keep the rule: their plans are
         // sentineled at analysis time.
+        //
+        // TRADEOFF (session-wide, be aware when embedding): excluding
+        // PropagateEmptyRelation costs EVERY query on that session the
+        // empty-relation pruning optimization (provably-empty subtrees
+        // keep their physical operators instead of collapsing) in
+        // exchange for correct ROLLUP/CUBE grand-total rows over empty
+        // input. Plans stay correct either way; only the empty-input
+        // shortcut is lost, and only on sessions built without
+        // GraftExtensions. An embedding application that never runs
+        // grouping analytics over possibly-empty input can opt back in
+        // with spark.graft.emptyGroupingSets.protect=false (set BEFORE
+        // Registry.install).
         val driverSession = !spark.sessionState.analyzer
           .postHocResolutionRules
           .contains(graft.plans.EmptyGroupingSetsGrandTotal)
+        val protectEmptyGroupingSets = spark.conf
+          .getOption("spark.graft.emptyGroupingSets.protect")
+          .forall(_.toBoolean)
         val rules = Seq(
           "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
-        ) ++ (if (driverSession) Seq(
+        ) ++ (if (driverSession && protectEmptyGroupingSets) Seq(
           "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation"
         ) else Nil)
         val cur = spark.conf.getOption(key).getOrElse("")

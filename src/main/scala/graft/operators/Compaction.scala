@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for parquet directory tables — the Spark-native
   * re-expression of Raptor's shard organization
@@ -29,14 +28,15 @@ import org.apache.spark.sql.functions._
   *     operation, documented, exactly like `VACUUM`/`OPTIMIZE` on
   *     log-less tables).
   *
-  * Scale: per-file row counts come from one metadata-cheap aggregate
-  * over `input_file_name()` (parquet row-group stats serve the count —
-  * no data columns read); set planning is driver-side over the FILE
-  * list (thousands of entries, not rows); each set rewrite is a
-  * distributed job over just that set's files. At 100 TB the pass
-  * compacts a day's ingest partition-by-partition; the reference's
-  * temporal bucketing (`getShardsByDaysBuckets`) is the same idea — run
-  * this per partition directory.
+  * Scale: per-file row counts come straight from each parquet FOOTER
+  * (one O(KB) metadata read per file, no data pages touched, no Spark
+  * job) — the same place the reference's shard metadata keeps
+  * `row_count`; set planning is driver-side over the FILE list
+  * (thousands of entries, not rows), O(files log files); each set
+  * rewrite is a distributed job over just that set's files. At 100 TB
+  * the pass compacts a day's ingest partition-by-partition; the
+  * reference's temporal bucketing (`getShardsByDaysBuckets`) is the
+  * same idea — run this per partition directory.
   */
 object Compaction {
 
@@ -45,21 +45,20 @@ object Compaction {
   final case class Summary(filesBefore: Long, filesAfter: Long,
       setsCompacted: Long, rowsBefore: Long, rowsAfter: Long)
 
-  /** Per-file sizes and row counts of a parquet directory table. */
+  /** Per-file sizes and row counts of a parquet directory table.
+    * Row counts read from each file's parquet footer — a metadata-only
+    * O(KB) read per file, no data pages, no Spark job (the reference
+    * reads `row_count` off its shard-metadata table the same way). */
   def fileInfos(spark: SparkSession, dir: String): Seq[FileInfo] = {
-    val rowsByFile = spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map { s =>
-        val uri = s.getPath.toUri.toString
-        FileInfo(uri, s.getLen,
-          rowsByFile.collectFirst {
-            case (f, n) if f.endsWith(s.getPath.getName) => n
-          }.getOrElse(0L))
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        FileInfo(s.getPath.toUri.toString, s.getLen, rows)
       }
   }
 

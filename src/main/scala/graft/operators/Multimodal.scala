@@ -185,8 +185,12 @@ case class MediaDimensions(
         // negative, meaning top-down); a non-positive width is garbage
         if (h == Int.MinValue || w <= 0) null
         else row("bmp", w, math.abs(h))
-      } else if (dib == 12) row("bmp", le16(b, 18), le16(b, 20))
-      else null
+      } else if (dib == 12) {
+        // same strictly-positive validation as the 40-byte arm: a
+        // garbage core-header blob must NULL, not report width 0
+        val w = le16(b, 18); val h = le16(b, 20)
+        if (w <= 0 || h <= 0) null else row("bmp", w, h)
+      } else null
     }
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8')

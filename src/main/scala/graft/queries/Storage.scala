@@ -205,21 +205,23 @@ object Storage extends QueryPack {
     // Raptor-style storage maintenance (reference:
     // `presto-raptor/.../organization/CompactionSetCreator.java:60-96`
     // + `ShardCompactor.java` — the managed-storage compaction pass):
-    // 32 deliberately-small files compact into max-4-file sets (maxRows
+    // 16 deliberately-small files compact into max-4-file sets (maxRows
     // = 4 x per-file rows), every set rewritten as one file and its
-    // sources retired, so 32 -> 8 files with rows and aggregates
+    // sources retired, so 16 -> 4 files with rows and aggregates
     // untouched; a second pass finds nothing to do (idempotence — the
-    // reference only organizes sets holding >1 shard).
+    // reference only organizes sets holding >1 shard). Fixture kept
+    // deliberately small (16 files, footer-only metadata reads) so the
+    // gate times the compaction pass, not fixture construction.
     "q1h_compaction" -> ((s, dir) => {
       import graft.operators.Compaction
       val out = ctasPath(s, dir) + "_compact"
       graft.Tables.view(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_extendedprice"))
-        .repartition(32)
+        .repartition(16)
         .write.mode("overwrite").parquet(out)
       val n = s.read.parquet(out).count()
-      val maxRows = 4 * ((n + 31) / 32)
+      val maxRows = 4 * ((n + 15) / 16)
       val first = Compaction.compact(s, out, Long.MaxValue / 4, maxRows)
       val second = Compaction.compact(s, out, Long.MaxValue / 4, maxRows)
       s.read.parquet(out)
@@ -509,15 +511,15 @@ object Storage extends QueryPack {
         |WHERE NOT coalesce(l_discount > 0.05 AND l_quantity < 30, false)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    // 60175 sf0.01 rows round-robin over 32 files (1880-1881 each);
-    // maxRows = 4 x 1881 packs exactly 4 files per set (a 5th would
-    // exceed), so 8 sets -> 8 files; the aggregate is the lossless-ness
+    // 60175 sf0.01 rows round-robin over 16 files (3760-3761 each);
+    // maxRows = 4 x 3761 packs exactly 4 files per set (a 5th would
+    // exceed), so 4 sets -> 4 files; the aggregate is the lossless-ness
     // lock.
     "q1h_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 4) AS rev,
-        |  CAST(32 AS BIGINT) AS files_before,
-        |  CAST(8 AS BIGINT) AS files_after,
+        |  CAST(16 AS BIGINT) AS files_before,
+        |  CAST(4 AS BIGINT) AS files_after,
         |  true AS rows_preserved, true AS idempotent
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

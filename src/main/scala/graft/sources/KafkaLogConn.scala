@@ -132,16 +132,25 @@ object KafkaLog {
     }.mkString("{", ",", "}")
 
   def offsetsFromJson(json: String): Map[String, Seq[Long]] = {
+    offsetMapsFromJson(json).map { case (t, m) =>
+      val n = if (m.isEmpty) 0 else m.keys.max + 1
+      t -> (0 until n).map(p => m.getOrElse(p, 0L))
+    }
+  }
+
+  /** Sparse form of [[offsetsFromJson]]: partitions the JSON omits stay
+    * absent, so callers can tell "unspecified" from "offset 0" (the
+    * distinction [[KafkaLogTable.resolve]] needs — an ending-offsets map
+    * that omits a partition must default to latest, not to 0). */
+  def offsetMapsFromJson(json: String): Map[String, Map[Int, Long]] = {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(json) match {
       case JObject(fields) => fields.map { case (t, parts) =>
-        val m = parts.asInstanceOf[JObject].obj.map {
+        t -> parts.asInstanceOf[JObject].obj.map {
           case (p, JInt(o)) => p.toInt -> o.toLong
           case (p, JLong(o)) => p.toInt -> o
           case (p, v) => sys.error(s"kafka-log: bad offset $p=$v")
         }.toMap
-        val n = if (m.isEmpty) 0 else m.keys.max + 1
-        t -> (0 until n).map(p => m.getOrElse(p, 0L))
       }.toMap
       case other => sys.error(s"kafka-log: bad offset json: $other")
     }
@@ -196,27 +205,37 @@ object KafkaLogTable {
     * `...OffsetsByTimestamp` options) reads the JSON values as epoch
     * millis and resolves each to the first offset at-or-after that
     * record time — the `offsetsForTimes` path the reference's split
-    * manager uses (`KafkaSplitManager.findOffsetsByTimestamp`). */
+    * manager uses (`KafkaSplitManager.findOffsetsByTimestamp`).
+    *
+    * `default` carries the bound's polarity: partitions a JSON map omits
+    * resolve to earliest for a starting bound and to latest for an
+    * ending bound — omitting a partition from `endingOffsets` must never
+    * silently read nothing from it (an empty `[start, 0)` range), it
+    * means "up to the end", mirroring how Spark's kafka source reserves
+    * -1 for latest. */
   private[sources] def resolve(topicList: Seq[String], spec: String,
       default: String, byTimestamp: Boolean = false)
       : Map[String, Seq[Long]] = {
     val s = if (spec == null || spec.isEmpty) default else spec
     def ends(t: String) = KafkaLog.endOffsets(t)
+    def missing(t: String, p: Int): Long =
+      if (default == "latest") ends(t)(p) else 0L
     s match {
       case "earliest" =>
         topicList.map(t => t -> ends(t).map(_ => 0L).toSeq).toMap
       case "latest" => topicList.map(t => t -> ends(t).toSeq).toMap
       case json =>
-        val m = KafkaLog.offsetsFromJson(json)
+        val m = KafkaLog.offsetMapsFromJson(json)
         topicList.map { t =>
           val e = ends(t)
-          val given = m.getOrElse(t, Seq.empty)
+          val given = m.getOrElse(t, Map.empty[Int, Long])
           t -> e.indices.map { p =>
-            given.lift(p) match {
+            given.get(p) match {
               case Some(ts) if byTimestamp =>
                 KafkaLog.offsetForTimestamp(t, p, ts)
-              case Some(-2L) | None => 0L
+              case Some(-2L) => 0L
               case Some(-1L) => e(p)
+              case None => missing(t, p)
               case Some(o) => math.min(math.max(o, 0L), e(p))
             }
           }
@@ -239,8 +258,14 @@ class KafkaLogTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaLogScan(topicList, opts)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the sink produces to ONE topic — a multi-topic `subscribe`/`topic`
+    // list must not silently route every record to the first entry
+    require(topicList.size == 1,
+      s"graft-kafka sink requires exactly one topic, got: " +
+        topicList.mkString(","))
     new KafkaLogWriteBuilder(topicList.head, info.schema())
+  }
 }
 
 /** One split per (topic, partition, offset-range) —
@@ -383,8 +408,18 @@ class KafkaLogWriteBuilder(topic: String, schema: StructType)
     val vi = fieldIdx("value", required = true)
     require(schema(vi).dataType == BinaryType,
       "graft-kafka sink: 'value' must be binary")
+    // optional columns are type-checked here, at plan time — a mistyped
+    // key/partition/timestamp must fail the write's build, not surface
+    // as an executor-side ClassCastException mid-job
+    def checkType(i: Int, name: String, dt: DataType): Unit =
+      require(i < 0 || schema(i).dataType == dt,
+        s"graft-kafka sink: '$name' must be ${dt.simpleString}, got " +
+          schema(i).dataType.simpleString)
     val ki = fieldIdx("key"); val pi = fieldIdx("partition")
     val ti = fieldIdx("timestamp")
+    checkType(ki, "key", BinaryType)
+    checkType(pi, "partition", IntegerType)
+    checkType(ti, "timestamp", TimestampType)
     new Write {
       override def toBatch: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(

@@ -518,6 +518,12 @@ class FunctionsSuite extends GraftSuite {
     // only height may be negative) — r10 ADVICE
     assert(dims(bmp(40, le32(-640) ++ le32(480))) == None)
     assert(dims(bmp(40, le32(0) ++ le32(480))) == None)
+    // the core-header arm applies the same validation: zero/garbage
+    // uint16 dimensions → NULL, not width=0 — r11 ADVICE
+    assert(dims(bmp(12, le16(0) ++ le16(200) ++ Array.fill[Byte](4)(0))) ==
+      None)
+    assert(dims(bmp(12, le16(320) ++ le16(0) ++ Array.fill[Byte](4)(0))) ==
+      None)
   }
 
   test("media_dimensions: JPEG marker walk") {

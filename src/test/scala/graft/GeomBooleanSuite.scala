@@ -476,4 +476,39 @@ class GeomBooleanSuite extends GraftSuite {
     val u = GeomBoolean.holedUnionPoly(a, b)
     assert(math.abs(polyArea(u) - 98.0) < 1e-6, u.map(vset))
   }
+
+  test("traversal guard scales with input size (large square wave vs bar)") {
+    // A 4000-tooth square wave crossed by a long bar: 16k subject
+    // vertices, 16k intersections, 4000 result components. The
+    // termination guard accumulates across ALL components of one call,
+    // so it must scale with node count (r11 ADVICE) — a constant cap
+    // sized for typical parcels would spuriously throw
+    // "traversal did not terminate" on legitimately large inputs.
+    val T = 4000
+    val wave = {
+      val b = Array.newBuilder[Double]
+      b += 0.0; b += -5.0; b += 2.0 * T; b += -5.0 // bottom edge
+      b += 2.0 * T; b += 0.0 // right side up to the tooth baseline
+      var i = T - 1
+      while (i >= 0) { // teeth, right to left: up at [2i, 2i+1]
+        b += 2.0 * i + 1; b += 0.0
+        b += 2.0 * i + 1; b += 10.0
+        b += 2.0 * i; b += 10.0
+        b += 2.0 * i; b += 0.0
+        i -= 1
+      }
+      b.result()
+    }
+    val bar = Array(-1.0, 3.5, 2.0 * T + 1, 3.5, 2.0 * T + 1, 6.5, -1.0, 6.5)
+    val inter = GeomBoolean.intersection(wave, bar)
+    assert(inter.length == T) // one 1x3 rectangle per tooth
+    assert(math.abs(inter.map(GeomBoolean.signedArea).sum - 3.0 * T) < 1e-6)
+    // difference carves a 3-tall notch out of every tooth: the T cut-off
+    // tooth tops detach, the bases stay fused to the bottom slab
+    val diff = GeomBoolean.difference(wave, bar)
+    assert(diff.length == T + 1)
+    val waveArea = 10.0 * T + 10.0 * T // bottom slab 2T*5 + T teeth of 1*10
+    assert(math.abs(diff.map(GeomBoolean.signedArea).sum -
+      (waveArea - 3.0 * T)) < 1e-6)
+  }
 }

@@ -201,4 +201,62 @@ class KafkaLogSuite extends GraftSuite {
       assert(m == Map(0L -> 6.0, 1L -> 9.0)) // 2+4, 1+3+5
     } finally q.stop()
   }
+
+  test("offset json maps omitting a partition default by bound polarity") {
+    KafkaLog.create("t_sparse", 3)
+    (0 until 9).foreach(i => KafkaLog.produce("t_sparse", i % 3, null,
+      bytes(s"m$i"), 1000L * i))
+    def count(start: String = null, end: String = null): Long = {
+      var r = spark.read.format("graft-kafka").option("subscribe", "t_sparse")
+      if (start != null) r = r.option("startingOffsets", start)
+      if (end != null) r = r.option("endingOffsets", end)
+      r.load().count()
+    }
+    // endingOffsets omitting partitions 1 and 2 means "up to latest"
+    // for them — NOT a silent empty [start, 0) range (that would
+    // quietly drop their data; Spark's kafka source reserves -1 for
+    // latest and errors on unspecified partitions)
+    assert(count(end = """{"t_sparse":{"0":1}}""") == 1 + 3 + 3)
+    // startingOffsets omitting a partition still means earliest
+    assert(count(start = """{"t_sparse":{"0":2}}""") == 1 + 3 + 3)
+    // and the timestamp variants inherit the same polarity: an
+    // endingOffsetsByTimestamp map covering only partition 0 reads the
+    // other partitions in full
+    assert(spark.read.format("graft-kafka").option("subscribe", "t_sparse")
+      .option("endingOffsetsByTimestamp", """{"t_sparse":{"0":3000}}""")
+      .load().count() == 1 + 3 + 3)
+  }
+
+  test("sink rejects multi-topic writes and mistyped columns at plan time") {
+    import spark.implicits._
+    KafkaLog.create("t_w1", 1)
+    KafkaLog.create("t_w2", 1)
+    val df = Seq("x").toDF("v")
+      .select(encode(col("v"), "UTF-8").as("value"))
+    // a write with topic=a,b must not silently route everything to `a`
+    val multi = intercept[Exception] {
+      df.write.mode("append").format("graft-kafka")
+        .option("topic", "t_w1,t_w2").save()
+    }
+    assert(multi.getMessage.contains("exactly one topic"))
+    // mistyped optional columns fail at PLAN time (Spark's own
+    // table-schema cast check, with KafkaLogWriteBuilder.build() as the
+    // second line), not as an executor-side ClassCastException mid-job
+    def mistyped(colName: String, c: org.apache.spark.sql.Column): Exception =
+      intercept[Exception] {
+        Seq("x").toDF("v")
+          .select(encode(col("v"), "UTF-8").as("value"), c.as(colName))
+          .write.mode("append").format("graft-kafka")
+          .option("topic", "t_w1").save()
+      }
+    // (a long `partition` is NOT a mistype: ANSI store assignment
+    // inserts a checked narrowing cast — use genuinely incompatible
+    // types here)
+    assert(mistyped("key", lit("string-key")).getMessage.contains("key"))
+    assert(mistyped("partition", lit(true)).getMessage.contains("partition"))
+    assert(mistyped("timestamp", lit(true)).getMessage.contains("timestamp"))
+    // nothing was produced by any rejected write
+    assert(KafkaLog.endOffsets("t_w1").sum == 0)
+    assert(KafkaLog.endOffsets("t_w2").sum == 0)
+  }
 }

@@ -284,4 +284,17 @@ class OperatorsSuite extends GraftSuite {
     assert(packed.head.map(_.path).toSet == Set("b", "c", "d"),
       s"smalls should pack together: $packed")
   }
+
+  test("compaction fileInfos reads row counts from parquet footers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fileinfos").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val infos = graft.operators.Compaction.fileInfos(spark, dir)
+    assert(infos.size == 3)
+    assert(infos.map(_.rows).sum == 10L)
+    assert(infos.forall(f => f.rows > 0 && f.bytes > 0))
+    assert(infos.forall(_.path.endsWith(".parquet")))
+  }
 }
