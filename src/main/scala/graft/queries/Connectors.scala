@@ -457,6 +457,97 @@ object Connectors extends QueryPack {
           count(when(col("trace_token").isNull, 1)).as("n_null_trace"),
           min(col("request_uri")).as("min_uri"))
         .orderBy(col("method"))
+    }),
+
+    // Redis end-to-end, SCAN half (reference: `presto-redis/.../
+    // RedisConnectorFactory.java:39`; the in-process store substitution
+    // is documented in sources/RedisKvConn.scala — no server or client
+    // jar ships here, everything above the socket stays
+    // Redis-connector-shaped). String-keyed table discovered by the
+    // key-prefix match pattern `docs:*` (`RedisRecordCursor
+    // .setScanParms`): JSON string values decoded by the same
+    // record-decoder layer the kafka gates use. The keyspace is
+    // polluted with another table's keys (excluded by the match
+    // pattern) and a hash-typed key under the table prefix (skipped by
+    // the string-value fetch — the cursor's "data modified" arm), so
+    // the aggregate proves the table mapping, not just the decode.
+    "q1o_redis_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.RecordDecoders
+      graft.Tables.view(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .collect().foreach { r =>
+          graft.sources.RedisStore.set(
+            "docs:" + r.getLong(0),
+            s"""{"lang":"${r.getString(1)}","nc":${r.getLong(2)}}""")
+        }
+      // other-table keys and a re-typed key: both must be invisible
+      graft.sources.RedisStore.set("other:1", """{"lang":"xx","nc":1}""")
+      graft.sources.RedisStore.set("othertable:9", """{"lang":"xx","nc":1}""")
+      graft.sources.RedisStore.hset("docs:9999999",
+        Map("lang" -> "xx", "nc" -> "1"))
+      s.read.format("graft-redis").option("table", "docs").load()
+        .select(
+          RecordDecoders.jsonField(col("value"), "lang", StringType)
+            .as("lang"),
+          RecordDecoders.jsonField(col("value"), "nc", LongType).as("nc"),
+          col("key"), col("key_length"), col("value_length"),
+          col("value"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("nc")).as("nc_sum"),
+          sum(col("key_length")).as("klen_sum"),
+          bool_and(col("key_length") === length(col("key")))
+            .as("klen_ok"),
+          bool_and(col("value_length") === length(col("value")))
+            .as("vlen_ok"),
+          bool_and(col("key").startsWith("docs:")).as("prefix_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // Redis end-to-end, ZSET half: the table's keys live in a
+    // user-provided sorted set, chunked into stride-100 index-range
+    // splits (`RedisSplitManager.java:62-113` — zcount, stride, end=-1
+    // tail), values are redis HASHes surfaced as a field map
+    // (`RedisRecordCursor.java:343`). The gate pins the split contract
+    // (ceil(n/100) non-empty scan partitions, counted by
+    // spark_partition_id before any shuffle) alongside the hash-field
+    // arithmetic.
+    "q1p_redis_zset_hash" -> ((s, dir) => {
+      // orders, not lineitem: the key must identify a row, and
+      // o_orderkey is the testdata's unique key
+      val rows = graft.Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .collect()
+      rows.foreach { r =>
+        val key = "ord:" + r.getLong(0)
+        graft.sources.RedisStore.zadd("ord_index",
+          r.getLong(0).toDouble, key)
+        graft.sources.RedisStore.hset(key, Map(
+          "status" -> r.getString(1),
+          "price" -> r.getDouble(2).toString,
+          "prio" -> r.getString(3)))
+      }
+      val scan = s.read.format("graft-redis")
+        .option("table", "ord").option("key.format", "zset")
+        .option("key.name", "ord_index").option("value.format", "hash")
+        .load()
+        .withColumn("pid", spark_partition_id())
+      val nSplits = scan.select(col("pid")).distinct().count()
+      scan
+        .select(element_at(col("hash"), "status").as("status"),
+          element_at(col("hash"), "price").cast("double").as("price"),
+          element_at(col("hash"), "prio").as("prio"),
+          col("value").isNull.as("value_null"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price")), 2).as("price_sum"),
+          min(col("prio")).as("min_prio"),
+          bool_and(col("value_null")).as("string_arm_null"),
+          lit(nSplits).as("n_splits"))
+        .orderBy(col("status"))
     })
   )
 
@@ -678,6 +769,27 @@ object Connectors extends QueryPack {
         |  CAST(count(*) * 2 AS BIGINT) AS tags_total,
         |  CAST(sum(k * 2) AS BIGINT) AS b_sum
         |FROM r GROUP BY name ORDER BY name""".stripMargin,
+
+    // key_length = length('docs:' || doc_id) replayed arithmetically;
+    // the transport bools are identities on the Spark side
+    "q1o_redis_scan" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+        |  CAST(sum(5 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+        |    AS klen_sum,
+        |  true AS klen_ok, true AS vlen_ok, true AS prefix_ok
+        |FROM documents WHERE doc_id <= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q1p_redis_zset_hash" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  min(o_orderpriority) AS min_prio,
+        |  true AS string_arm_null,
+        |  (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) FROM sub)
+        |    AS n_splits
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q0k_raw_decoder" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
