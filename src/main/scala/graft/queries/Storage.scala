@@ -349,6 +349,51 @@ object Storage extends QueryPack {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Limit/TopN pushdown INTO a connector (reference: the
+    // analytic-store connectors compile a query's LIMIT into the store
+    // request, `presto-pinot/.../PinotQueryGenerator.java`; base-jdbc
+    // moves all rows). Spark's stock Derby dialect reports
+    // supportsLimit=false (Derby has no LIMIT clause), so the engine
+    // registers GraftDerbyDialect, which speaks Derby's SQL:2008
+    // `OFFSET n ROWS FETCH FIRST m ROWS ONLY` form — with it, the DSv2
+    // JDBC scan pushes both a bare LIMIT and ORDER-BY-LIMIT (TopN), so
+    // the remote engine sorts and caps before anything crosses the
+    // wire. Plan-locked by a QueriesSmokeSuite guard on
+    // PushedTopN/PushedLimit in the scan node.
+    "q1q_jdbc_topn_pushdown" -> ((s, dir) => {
+      org.apache.spark.sql.jdbc.GraftDerbyDialect.install()
+      val home = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_derby_home")
+      home.mkdirs()
+      System.setProperty("derby.system.home", home.getAbsolutePath)
+      val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby3;create=true"
+      Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "ord_rows")
+        .option("createTableColumnTypes", "o_orderstatus VARCHAR(1)")
+        .save()
+      s.conf.set("spark.sql.catalog.graft_jdbc3",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc3.url", url)
+      s.conf.set("spark.sql.catalog.graft_jdbc3.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.graft_jdbc3.pushDownLimit", "true")
+      // bare-LIMIT arm: a capped subquery's cardinality is deterministic
+      // even though its row set is not — the remote FETCH FIRST caps it
+      val limited = s.sql(
+        "SELECT * FROM graft_jdbc3.APP.ORD_ROWS LIMIT 700").count()
+      // TopN arm: deterministic rows (price desc, key tiebreak)
+      s.sql(
+        """SELECT o_orderkey AS k, o_orderstatus AS status,
+          |  o_totalprice AS price
+          |FROM graft_jdbc3.APP.ORD_ROWS
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        .withColumn("n_limited", lit(limited))
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -523,6 +568,12 @@ object Storage extends QueryPack {
         |  true AS rows_preserved, true AS idempotent
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q1q_jdbc_topn_pushdown" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  o_totalprice AS price, CAST(700 AS BIGINT) AS n_limited
+        |FROM orders WHERE o_orderkey <= 1200
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q1k_jdbc_agg_pushdown" ->
       """SELECT l_returnflag, count(*) AS n,

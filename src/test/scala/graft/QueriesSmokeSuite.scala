@@ -323,6 +323,25 @@ class QueriesSmokeSuite extends GraftSuite {
       s"group-by not pushed into the JDBC scan:\n$plan")
   }
 
+  test("q1q limit and TopN are pushed INTO the JDBC source") {
+    // the pinot/druid limit-into-scan mechanic via GraftDerbyDialect's
+    // FETCH FIRST support: ORDER BY + LIMIT compiles into the remote
+    // query (PushedTopN) and a bare LIMIT caps the remote scan — rows
+    // never cross the wire unsorted or uncapped
+    SparkEntry.queries("q1q_jdbc_topn_pushdown")(spark, SfDir) // fixture
+    val topn = spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_jdbc3.APP.ORD_ROWS
+        |ORDER BY o_totalprice DESC LIMIT 7""".stripMargin)
+      .queryExecution.executedPlan.treeString
+    assert(topn.toLowerCase.contains("pushedtopn"),
+      s"TopN not pushed into the JDBC scan:\n$topn")
+    val bare = spark.sql(
+      "SELECT o_orderkey FROM graft_jdbc3.APP.ORD_ROWS LIMIT 9")
+      .queryExecution.executedPlan.treeString
+    assert(bare.toLowerCase.contains("pushedlimit"),
+      s"LIMIT not pushed into the JDBC scan:\n$bare")
+  }
+
   // ——— r8c: plan guards for the new pipeline operators ————————————————
   guards("q0w_dsir_resample") { (plan, n) =>
     // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
