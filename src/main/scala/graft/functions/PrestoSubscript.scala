@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
 
@@ -92,23 +93,167 @@ case class PrestoTypeOf(child: Expression)
       c: Expression): Expression = copy(child = c)
 }
 
+/** Presto's `element_at` semantics (ArrayElementAtFunction.java:
+  * checkedIndexToBlockPosition, MapElementAtFunction.java), behind the
+  * `spark.graft.elementAt.strict` opt-in (the former ledger-item-7
+  * residual — bare element_at otherwise keeps Spark semantics):
+  *
+  *  - array: index 0 raises "SQL array indices start at 1"
+  *    (`:...index == 0` arm); an index past EITHER end returns NULL
+  *    (where ANSI Spark raises); negative indices count from the end.
+  *  - map: a missing key returns NULL (where ANSI Spark raises) —
+  *    element_at is the reference's soft spelling, `m[k]` the loud one
+  *    ([[PrestoSubscript]]).
+  *
+  * RuntimeReplaceable over codegen'd builtins, like the subscript. The
+  * map arm pays an O(keys) containment probe per lookup — the price of
+  * soft-miss semantics under ANSI; per-row maps are small by
+  * construction. */
+case class PrestoElementAt(base: Expression, index: Expression)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override def left: Expression = base
+  override def right: Expression = index
+  override def prettyName: String = "element_at"
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override lazy val replacement: Expression = base.dataType match {
+    case ArrayType(elem, _) =>
+      if (!integral(index.dataType)) throw new IllegalArgumentException(
+        s"element_at: array index must be an integer type, " +
+          s"got ${index.dataType.catalogString}")
+      val idx = Cast(index, LongType)
+      If(Or(IsNull(base), IsNull(idx)), Literal(null, elem),
+        If(EqualTo(idx, Literal(0L)),
+          Cast(new RaiseError(Literal("SQL array indices start at 1")), elem),
+          If(GreaterThan(Abs(idx), Cast(Size(base), LongType)),
+            Literal(null, elem),
+            // within bounds either way: ElementAt handles the
+            // negative (from-the-end) arm natively and cannot raise
+            ElementAt(base, Cast(index, IntegerType)))))
+    case MapType(kt, vt, _) =>
+      if (!(index.dataType == kt || Cast.canUpCast(index.dataType, kt) ||
+          (integral(index.dataType) && integral(kt))))
+        throw new IllegalArgumentException(
+          s"element_at: key type ${index.dataType.catalogString} is not " +
+            s"coercible to map key type ${kt.catalogString}")
+      val key = Cast(index, kt)
+      If(Or(IsNull(base), IsNull(key)), Literal(null, vt),
+        If(ArrayContains(MapKeys(base), key), ElementAt(base, key),
+          Literal(null, vt)))
+    case other => throw new IllegalArgumentException(
+      s"element_at: receiver must be array or map, " +
+        s"got ${other.catalogString}")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression): Expression = copy(base = a, index = b)
+}
+
 /** Presto's MAP constructor family (MapConstructor.java): `MAP()` empty,
   * `MAP(ARRAY[k...], ARRAY[v...])` zips key/value arrays, while Spark's
   * own varargs `map(k1, v1, ...)` spelling keeps working — dispatched on
   * the RESOLVED argument types (two array-typed args can only be the
-  * Presto zip form; Presto has no varargs constructor to collide with). */
+  * Presto zip form; Presto has no varargs constructor to collide with).
+  *
+  * Duplicate keys fail with the reference's exact text — `Duplicate map
+  * keys (<k>) are not allowed` (`DuplicateMapKeyException
+  * .getDetailedMessage`), closing the ledger-item-2 text residual. The
+  * happy path pays one array_distinct cardinality probe per row (the
+  * reference's constructor dup-checks every row too); the key rendering
+  * only evaluates on the error branch. Null keys keep Spark's own loud
+  * NULL_MAP_KEY error (same outcome as the reference's "map key cannot
+  * be null", different text — still documented). */
 case class PrestoMapConstructor(children: Seq[Expression])
     extends Expression with RuntimeReplaceable {
 
   override def prettyName: String = "map"
 
+  private def checkedMap(keys: Expression, mk: Expression): Expression = {
+    val mt = mk.dataType
+    if (keys.foldable) {
+      // literal keys: resolve the check at analysis so the constructor
+      // STAYS foldable — inline tables (VALUES) reject non-foldable
+      // cells, and a literal map must keep constant-folding. A found
+      // duplicate still fails at RUNTIME (RaiseError), so TRY composes
+      // exactly like the reference's INVALID_FUNCTION_ARGUMENT.
+      val arr = keys.eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = keys.dataType.asInstanceOf[ArrayType].elementType
+      PrestoDupMapKeyMessage.firstDuplicate(arr, et) match {
+        case None => mk
+        case Some(dup) =>
+          Cast(new RaiseError(Literal(
+            s"Duplicate map keys ($dup) are not allowed")), mt)
+      }
+    } else
+      If(Or(IsNull(keys),
+          EqualTo(Size(ArrayDistinct(keys)), Size(keys))),
+        mk,
+        Cast(new RaiseError(PrestoDupMapKeyMessage(keys)), mt))
+  }
+
   override lazy val replacement: Expression = children match {
     case Seq(k, v) if k.dataType.isInstanceOf[ArrayType] &&
         v.dataType.isInstanceOf[ArrayType] =>
-      MapFromArrays(k, v)
+      checkedMap(k, MapFromArrays(k, v))
+    case _ if children.nonEmpty =>
+      val keys = CreateArray(
+        children.grouped(2).map(_.head).toSeq)
+      checkedMap(keys, CreateMap(children))
     case _ => CreateMap(children)
   }
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(children = c)
+}
+
+/** Renders the reference's duplicate-key message for one keys array:
+  * `Duplicate map keys (<k>) are not allowed`, `<k>` being the first
+  * key seen twice in array order (the reference reports the key at the
+  * first duplicate position the block builder hits). Interpreted eval
+  * is fine here: the expression sits on [[PrestoMapConstructor]]'s
+  * ERROR branch and only ever evaluates on the failing row. */
+case class PrestoDupMapKeyMessage(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "presto_dup_map_key_message"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = child.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val dup = PrestoDupMapKeyMessage.firstDuplicate(arr, et).orNull
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      s"Duplicate map keys ($dup) are not allowed")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): Expression = copy(child = c)
+}
+
+object PrestoDupMapKeyMessage {
+  /** First key seen twice in array order, or None. */
+  def firstDuplicate(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      et: DataType): Option[Any] = {
+    if (arr == null) return None
+    val seen = scala.collection.mutable.HashSet.empty[Any]
+    var i = 0
+    while (i < arr.numElements()) {
+      val k = arr.get(i, et)
+      val key = k match {
+        case b: Array[Byte] => b.toSeq // value equality for binary keys
+        case other => other
+      }
+      if (!seen.add(key)) return Some(k)
+      i += 1
+    }
+    None
+  }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, DateFormatClass, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, DateFormatClass, ElementAt, Expression, ExpressionInfo, FormatString, Literal, RuntimeReplaceable, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType, TimestampType}
 
@@ -980,6 +980,22 @@ object Registry {
       registry.registerFunction(FunctionIdentifier("typeof"),
         new ExpressionInfo(getClass.getCanonicalName, "typeof"),
         (args: Seq[Expression]) => PrestoTypeOf(args.head))
+      // Bare element_at keeps Spark semantics (the documented ledger-7
+      // residual) UNLESS spark.graft.elementAt.strict=true routes it
+      // through the reference's semantics (PrestoElementAt: index 0
+      // loud, past-either-end NULL, map miss NULL). The conf reads at
+      // ANALYSIS time, so it can be flipped per query on one session.
+      registry.registerFunction(FunctionIdentifier("element_at"),
+        new ExpressionInfo(getClass.getCanonicalName, "element_at"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"element_at expects 2 arguments, got ${args.length}")
+          val strict = spark.conf
+            .getOption("spark.graft.elementAt.strict")
+            .exists(_.toBoolean)
+          if (strict) PrestoElementAt(args(0), args(1))
+          else ElementAt(args(0), args(1))
+        })
       // map_concat with Presto's LAST-MAP-WINS duplicate-key policy
       // (MapConcatFunction.java — "value from the last map") instead of
       // Spark's dedup-policy exception: fold left, dropping keys the

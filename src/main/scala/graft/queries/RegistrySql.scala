@@ -1043,7 +1043,36 @@ object RegistrySql extends QueryPack {
         |  element_at(a.fo_w, p.bk + 1) AS fo_w,
         |  element_at(a.mr, p.bk + 1) AS mr
         |FROM a LATERAL VIEW posexplode(a.th) p AS bk, t
-        |ORDER BY bk""".stripMargin))
+        |ORDER BY bk""".stripMargin)),
+
+    // Strict element_at (spark.graft.elementAt.strict — the former
+    // ledger-7 residual, now opt-in Presto semantics): past-either-end
+    // indices return NULL where ANSI Spark raises, negatives count from
+    // the end (ArrayElementAtFunction.checkedIndexToBlockPosition).
+    // DuckDB's list indexing natively has the same soft contract, so
+    // the oracle exercises the semantics directly. Conf set only around
+    // ANALYSIS (the builder reads it then), reset before returning so
+    // the shared driver session keeps the documented Spark default.
+    "q1r_strict_element_at" -> ((s, dir) => {
+      Tables.register(s, dir)
+      Registry.install(s)
+      val key = "spark.graft.elementAt.strict"
+      try {
+        s.conf.set(key, "true")
+        s.sql(Registry.rewritePrestoSql(
+          """SELECT l_orderkey AS k, l_linenumber AS ln,
+            |  element_at(ARRAY[l_orderkey, l_partkey, l_suppkey],
+            |    l_linenumber) AS in_bounds,
+            |  element_at(ARRAY[l_orderkey, l_partkey, l_suppkey], 4)
+            |    AS past_end,
+            |  element_at(ARRAY[l_orderkey, l_partkey, l_suppkey], -1)
+            |    AS from_end,
+            |  element_at(ARRAY[l_orderkey, l_partkey, l_suppkey], -4)
+            |    AS past_start
+            |FROM lineitem WHERE l_orderkey <= 60 AND l_linenumber <= 3
+            |ORDER BY k, ln""".stripMargin))
+      } finally s.conf.unset(key)
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1373,6 +1402,19 @@ object RegistrySql extends QueryPack {
     // reference's verbatim BucketResult ratios. All weights are
     // integer-valued so every double here is exact and the arrays
     // compare bitwise.
+    // DuckDB list indexing is natively 1-based with NULL past either
+    // end and negatives counting from the end — the exact contract
+    // strict element_at opts into
+    "q1r_strict_element_at" ->
+      """SELECT l_orderkey AS k, l_linenumber AS ln,
+        |  (list_value(l_orderkey, l_partkey, l_suppkey))[l_linenumber]
+        |    AS in_bounds,
+        |  (list_value(l_orderkey, l_partkey, l_suppkey))[4] AS past_end,
+        |  (list_value(l_orderkey, l_partkey, l_suppkey))[-1] AS from_end,
+        |  (list_value(l_orderkey, l_partkey, l_suppkey))[-4] AS past_start
+        |FROM lineitem WHERE l_orderkey <= 60 AND l_linenumber <= 3
+        |ORDER BY k, ln""".stripMargin,
+
     "qk4_classification_arrays" ->
       """WITH b AS (
         |  SELECT LEAST(CAST(floor(10 *

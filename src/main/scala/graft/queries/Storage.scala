@@ -216,6 +216,7 @@ object Storage extends QueryPack {
       import graft.operators.Compaction
       val out = ctasPath(s, dir) + "_compact"
       graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0) // half the rows: fixture cost
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_extendedprice"))
         .repartition(16)
@@ -325,13 +326,19 @@ object Storage extends QueryPack {
       System.setProperty("derby.system.home", home.getAbsolutePath)
       val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby2;create=true"
       // a deterministic 1/8th subset: the pushdown proof doesn't need
-      // the whole fact table paid into single-connection JDBC inserts
+      // the whole fact table paid into JDBC inserts. The write runs 8
+      // connections in parallel (one per partition) — single-connection
+      // insert is the connector-write anti-pattern at scale, and it
+      // showed: the r10 shape measured a 1.0 scaling exponent on the
+      // sf1 sweep, all of it serial insert time
       graft.Tables.view(s, dir, "lineitem")
         .filter(col("l_orderkey") % 8 === 0)
         .select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"))
+        .repartition(8)
         .write.mode("overwrite").format("jdbc")
         .option("url", url).option("dbtable", "li_rows")
+        .option("numPartitions", "8")
         .option("createTableColumnTypes", "l_returnflag VARCHAR(1)")
         .save()
       s.conf.set("spark.sql.catalog.graft_jdbc",
@@ -556,8 +563,8 @@ object Storage extends QueryPack {
         |WHERE NOT coalesce(l_discount > 0.05 AND l_quantity < 30, false)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    // 60175 sf0.01 rows round-robin over 16 files (3760-3761 each);
-    // maxRows = 4 x 3761 packs exactly 4 files per set (a 5th would
+    // even-orderkey rows round-robin over 16 files; maxRows = 4 x the
+    // per-file ceiling packs exactly 4 files per set (a 5th would
     // exceed), so 4 sets -> 4 files; the aggregate is the lossless-ness
     // lock.
     "q1h_compaction" ->
@@ -566,8 +573,8 @@ object Storage extends QueryPack {
         |  CAST(16 AS BIGINT) AS files_before,
         |  CAST(4 AS BIGINT) AS files_after,
         |  true AS rows_preserved, true AS idempotent
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q1q_jdbc_topn_pushdown" ->
       """SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -290,6 +290,69 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") <= 4, s"aggregated-side joins drifted:\n$plan")
   }
 
+  // ——— r11: guards for the next bench tier (qz0/qs3/qr7) ——————————————
+  guards("qz0_tpcds_q58") { (plan, n) =>
+    // three per-channel item revenues around a single-day date
+    // subquery: item/date_dim broadcast into every fact branch; the
+    // only merge joins tolerated are the two between aggregated
+    // (item_id-grain, small) channel results — a raw fact never
+    // reshuffles
+    assert(n("BroadcastHashJoin") >= 9, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 2, s"fact join reshuffled:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+  }
+
+  guards("qs3_tpcds_q31") { (plan, n) =>
+    // six county-quarter aggregates (3 store + 3 web quarters) chained
+    // on county: date_dim/customer_address broadcast under every
+    // branch; merge joins only between the aggregated county-grain
+    // sides (5 joins chain 6 branches)
+    assert(n("BroadcastHashJoin") >= 10, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 5, s"aggregated-side joins drifted:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+  }
+
+  guards("qr7_tpcds_q47") { (plan, n) =>
+    // v1 (monthly category/brand/store sales + yearly-avg and rank
+    // windows) self-joined against its rank±1 neighbors: dims broadcast
+    // under the fact aggregate; windows stay bounded (partition-local
+    // sort, no global sort); the self-joins run on the aggregated
+    // (category-grain) side only
+    assert(n("BroadcastHashJoin") >= 6, s"dims not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 2, s"self-join drifted to facts:\n$plan")
+    assert(n("Window") <= 4 && n("Window") >= 2,
+      s"window composition drifted:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0, s"nested loop join:\n$plan")
+  }
+
+  test("qj0 SHOW STATS per-column passes prune and pre-aggregate") {
+    // SHOW STATS costs one count + one aggregate pass per column (the
+    // §2.4 lesson: packing countDistincts into one aggregate plans an
+    // Expand of row x N — measured 4x slower). The returned statement
+    // result is a LocalRelation, so this guard locks the plan shape of
+    // the expensive work itself: a per-column NDV pass must (a) prune
+    // the scan to THAT column and (b) plan partial_count(distinct ...)
+    // map-side — the shape that scales to a 100 TB column.
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, SfDir)
+    val pass = spark.table("lineitem")
+      .agg(count(col("l_quantity")), countDistinct(col("l_quantity")),
+        min(col("l_quantity")).cast("string"),
+        max(col("l_quantity")).cast("string"))
+    val formatted = pass.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("ReadSchema: struct<l_quantity:double>"),
+      s"stats pass did not prune to the target column:\n$formatted")
+    val plan = pass.queryExecution.executedPlan.treeString
+    assert(plan.contains("partial_count(distinct"),
+      s"NDV not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"stats pass planned an Expand (the 4x-slower shape):\n$plan")
+    // and the statement itself stays green end-to-end
+    val rows = SparkEntry.queries("qj0_show_stats")(spark, SfDir).collect()
+    assert(rows.length == 5) // 4 columns + the row_count summary row
+  }
+
   test("bucketed table prunes to one bucket on an equality key") {
     // the flip side of qk0's shuffle-free join: a point predicate on
     // the bucketing key must read ONE bucket's files, not all 8 — at

@@ -443,6 +443,54 @@ class RegistrySuite extends GraftSuite {
     assert(tried.isNullAt(0))
   }
 
+  test("strict element_at opts into the reference's soft semantics") {
+    Registry.install(spark)
+    def run(sql: String) =
+      spark.sql(Registry.rewritePrestoSql(s"SELECT $sql AS v")).collect()
+    val key = "spark.graft.elementAt.strict"
+    try {
+      spark.conf.set(key, "true")
+      // ArrayElementAtFunction.checkedIndexToBlockPosition: past either
+      // end -> NULL (ANSI Spark raises), negative counts from the end,
+      // index 0 stays loud with the reference's text
+      assert(run("element_at(ARRAY[10, 20], 3)")(0).isNullAt(0))
+      assert(run("element_at(ARRAY[10, 20], -3)")(0).isNullAt(0))
+      assert(run("element_at(ARRAY[10, 20], -1)")(0).getInt(0) == 20)
+      val zero = intercept[Exception] { run("element_at(ARRAY[10, 20], 0)") }
+      assert(zero.getMessage.contains("SQL array indices start at 1"))
+      // MapElementAtFunction: missing key -> NULL (m[k] stays loud)
+      assert(run("element_at(map('k', 7), 'nope')")(0).isNullAt(0))
+      assert(run("element_at(map('k', 7), 'k')")(0).getInt(0) == 7)
+    } finally spark.conf.unset(key)
+    // conf off: bare element_at keeps Spark ANSI semantics (the
+    // documented residual default) — out of bounds raises
+    val ansi = intercept[Exception] { run("element_at(ARRAY[10, 20], 3)") }
+    assert(ansi.getMessage.toLowerCase.contains("index"))
+  }
+
+  test("map constructor duplicate keys carry the reference's error text") {
+    Registry.install(spark)
+    def run(sql: String) =
+      spark.sql(Registry.rewritePrestoSql(s"SELECT $sql AS v")).collect()
+    // DuplicateMapKeyException.getDetailedMessage: the exact text, with
+    // the first duplicated key rendered — both constructor spellings
+    val zip = intercept[Exception] {
+      run("MAP(ARRAY[1, 2, 1], ARRAY['a', 'b', 'c'])")
+    }
+    assert(zip.getMessage.contains("Duplicate map keys (1) are not allowed"),
+      zip.getMessage)
+    val varargs = intercept[Exception] { run("map('x', 1, 'x', 2)") }
+    assert(varargs.getMessage
+      .contains("Duplicate map keys (x) are not allowed"), varargs.getMessage)
+    // TRY composes, like every INVALID_FUNCTION_ARGUMENT in the
+    // reference
+    assert(run("TRY(map('x', 1, 'x', 2))")(0).isNullAt(0))
+    // distinct keys still construct fine through the checked path
+    assert(run("cardinality(MAP(ARRAY[1, 2], ARRAY['a', 'b']))")(0)
+      .getInt(0) == 2)
+    assert(run("cardinality(MAP())")(0).getInt(0) == 0)
+  }
+
   test("mistyped subscripts are rejected at analysis, not silently cast") {
     Registry.install(spark)
     def run(sql: String) =
