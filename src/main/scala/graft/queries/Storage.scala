@@ -356,6 +356,46 @@ object Storage extends QueryPack {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Statistical-aggregate pushdown INTO a connector — the other half
+    // of the reference's store-side aggregation surface (pinot/druid
+    // also convert variance-family aggregations into store queries,
+    // `presto-pinot/.../PinotAggregationProjectConverter.java`): Spark's
+    // Derby dialect declares VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP/
+    // AVG pushable, so the grouped statistics compile into the remote
+    // SQL and the scan returns one row per group. Rounded to 4 decimals
+    // on both sides: Derby and DuckDB each compute the moments from the
+    // same raw values, summation-order drift sits ~1e-10 relative.
+    "q1s_jdbc_stats_pushdown" -> ((s, dir) => {
+      val home = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_derby_home")
+      home.mkdirs()
+      System.setProperty("derby.system.home", home.getAbsolutePath)
+      val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby4;create=true"
+      graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .repartition(8)
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "li_stats")
+        .option("numPartitions", "8")
+        .option("createTableColumnTypes", "l_returnflag VARCHAR(1)")
+        .save()
+      s.conf.set("spark.sql.catalog.graft_jdbc4",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc4.url", url)
+      s.conf.set("spark.sql.catalog.graft_jdbc4.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.graft_jdbc4.pushDownAggregate", "true")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  round(avg(l_quantity), 4) AS qty_avg,
+          |  round(var_samp(l_quantity), 4) AS qty_var,
+          |  round(stddev_samp(l_quantity), 4) AS qty_sd,
+          |  round(var_pop(l_quantity), 4) AS qty_varp
+          |FROM graft_jdbc4.APP.LI_STATS
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Limit/TopN pushdown INTO a connector (reference: the
     // analytic-store connectors compile a query's LIMIT into the store
     // request, `presto-pinot/.../PinotQueryGenerator.java`; base-jdbc
@@ -574,6 +614,15 @@ object Storage extends QueryPack {
         |  CAST(4 AS BIGINT) AS files_after,
         |  true AS rows_preserved, true AS idempotent
         |FROM lineitem WHERE l_orderkey % 2 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q1s_jdbc_stats_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_quantity), 4) AS qty_avg,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(stddev_samp(l_quantity), 4) AS qty_sd,
+        |  round(var_pop(l_quantity), 4) AS qty_varp
+        |FROM lineitem WHERE l_orderkey % 8 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q1q_jdbc_topn_pushdown" ->

@@ -386,6 +386,18 @@ class QueriesSmokeSuite extends GraftSuite {
       s"group-by not pushed into the JDBC scan:\n$plan")
   }
 
+  test("q1s variance-family aggregates are pushed INTO the JDBC source") {
+    // the pinot/druid statistical-aggregation conversion: VAR/STDDEV
+    // compile into the remote scan alongside count/avg — the store
+    // returns one row per group, not rows
+    val plan = SparkEntry.queries("q1s_jdbc_stats_pushdown")(spark, SfDir)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregates not pushed into the JDBC scan:\n$plan")
+    assert(plan.contains("VAR_SAMP") && plan.contains("STDDEV_SAMP"),
+      s"variance family not in the pushed aggregate list:\n$plan")
+  }
+
   test("q1q limit and TopN are pushed INTO the JDBC source") {
     // the pinot/druid limit-into-scan mechanic via GraftDerbyDialect's
     // FETCH FIRST support: ORDER BY + LIMIT compiles into the remote
