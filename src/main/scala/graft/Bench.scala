@@ -105,8 +105,12 @@ object Bench {
         case t1 if t0 > 0 && t1 > 0 => n -> t1 / t0
       }
     }
-    val contended = canaryRatios.values
-      .exists(r => r > 1.3 || r < 1.0 / 1.3)
+    // one-sided: contended means the machine got BUSIER under the suite
+    // (end > 1.3x start). Ratios well below 1 are the expected JIT/
+    // codegen warm-up tail (a first measured run of 385 queries fully
+    // warms the stack; suite-end canaries read ~0.4x their suite-start
+    // times on a quiet machine) — stamped for transparency, not flagged.
+    val contended = canaryRatios.values.exists(_ > 1.3)
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
