@@ -548,6 +548,52 @@ object Connectors extends QueryPack {
           bool_and(col("value_null")).as("string_arm_null"),
           lit(nSplits).as("n_splits"))
         .orderBy(col("status"))
+    }),
+
+    // Elasticsearch end-to-end (reference: `presto-elasticsearch/.../
+    // ElasticsearchConnectorFactory.java:31`; in-process substitution
+    // documented in sources/EsIndexConn.scala — no server/client jar
+    // here, but the store builds REAL per-shard search structures:
+    // posting lists + value-sorted arrays). One split per shard
+    // (`ElasticsearchSplitManager`), predicates compiled onto the
+    // term/range/exists surface (`ElasticsearchQueryBuilder`) and
+    // answered from the index — only hits materialize. The gate runs a
+    // terms-IN + numeric-range query and an IS NULL (missing-field)
+    // query, joins the per-source aggregates, and pins the shard
+    // fan-out counted at runtime.
+    "q1t_es_search" -> ((s, dir) => {
+      import graft.sources.EsStore
+      import org.apache.spark.sql.types._
+      val ixName = s"docs_idx_${Integer.toHexString(dir.hashCode)}"
+      EsStore.drop(ixName)
+      EsStore.create(ixName, 5, Seq(
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType, "nc7" -> LongType))
+      graft.Tables.view(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          EsStore.indexDoc(ixName, s"doc$id", Map(
+            "lang" -> r.getString(1), "source" -> r.getString(2),
+            "n_chars" -> r.getLong(3),
+            "nc7" -> (if (id % 7 == 0) null else r.getLong(3))))
+        }
+      EsStore.refresh(ixName)
+      def scan = s.read.format("graft-es").option("index", ixName).load()
+      val nSplits = scan.select(spark_partition_id())
+        .distinct().count() // every shard non-empty at 500 docs
+      val hits = scan
+        .filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("nc_sum"))
+      val missing = scan.filter(col("nc7").isNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_missing"))
+      hits.join(missing, Seq("source"), "left")
+        .select(col("source"), col("n"), col("nc_sum"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+          lit(nSplits).as("n_shards"))
+        .orderBy(col("source"))
     })
   )
 
@@ -780,6 +826,24 @@ object Connectors extends QueryPack {
         |  true AS klen_ok, true AS vlen_ok, true AS prefix_ok
         |FROM documents WHERE doc_id <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // n_missing counts doc_id % 7 == 0 PER SOURCE among the hit
+    // sources; n_shards = 5 by construction (all shards non-empty)
+    "q1t_es_search" ->
+      """WITH hits AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS nc_sum
+        |  FROM documents
+        |  WHERE lang IN ('en', 'fr') AND n_chars > 100
+        |  GROUP BY source),
+        |miss AS (
+        |  SELECT source, count(*) AS n_missing FROM documents
+        |  WHERE doc_id % 7 = 0 GROUP BY source)
+        |SELECT h.source, h.n, h.nc_sum,
+        |  CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+        |  CAST(5 AS BIGINT) AS n_shards
+        |FROM hits h LEFT JOIN miss m ON h.source = m.source
+        |ORDER BY h.source""".stripMargin,
 
     "q1p_redis_zset_hash" ->
       """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200)

@@ -1,0 +1,423 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** An Elasticsearch-shaped search-index connector — the Spark-native
+  * re-expression of the reference's Elasticsearch connector
+  * (`presto-elasticsearch/src/main/java/com/facebook/presto/
+  * elasticsearch/ElasticsearchConnectorFactory.java:31`), third
+  * application of the documented in-process-substitution pattern
+  * ([[KafkaLog]], [[RedisStore]]).
+  *
+  * DOCUMENTED SUBSTITUTION: no Elasticsearch server or client jar
+  * exists in this zero-egress distribution, so the wire half (transport
+  * client, cluster state) is replaced by [[EsStore]], a JVM-wide index
+  * registry that actually BUILDS the per-shard search structures a
+  * Lucene segment would hold for this connector's query surface.
+  * EVERYTHING above the socket stays ES-connector-shaped:
+  *
+  *   - '''Split model''' mirrors `ElasticsearchSplitManager.getSplits`
+  *     (`:59-75`): one split per index SHARD (`getSearchShards`), each
+  *     carrying the pushed predicate — one task per shard on a cluster.
+  *     Documents route to shards by `hash(_id) % shards`, ES's own
+  *     routing default.
+  *   - '''Predicate pushdown''' carries the surface
+  *     `ElasticsearchQueryBuilder` compiles from the TupleDomain
+  *     (`:128-210`): a bool-MUST of TermQuery (point values, also IN
+  *     disjunctions), RangeQuery (gt/gte/lt/lte), ExistsQuery
+  *     (IS NULL / IS NOT NULL) over varchar/bigint/integer/double/
+  *     boolean columns — and NOTHING more (the reference's SQL surface
+  *     pushes no full-text queries). Everything else stays a residual
+  *     Spark filter, exactly like the reference re-filters outside the
+  *     domain.
+  *   - '''Execution is index-driven, not scan-driven''': each shard
+  *     holds posting lists per term (keyword fields) and value-sorted
+  *     offset arrays per numeric field, built at [[EsStore.refresh]]
+  *     (the Lucene inverted-index/BKD shapes this query surface
+  *     needs). A pushed query intersects posting lists / binary-
+  *     searches ranges, materializing ONLY matching documents —
+  *     [[EsStore.docsMaterialized]] counts them, and the suite locks
+  *     that a selective term query reads its hits, not the shard.
+  *   - '''Column pruning''': only requested fields materialize
+  *     (the `_source` field-extraction analog), `_id` available as a
+  *     column like the reference's `setFieldIfExists("_id", ...)`.
+  *
+  * Read-only (the reference's ES connector is scan-only). Index
+  * population via [[EsStore.indexDoc]] + [[EsStore.refresh]] — the
+  * index/refresh lifecycle ES itself has.
+  *
+  * Scale stance: the in-process store stands in for the cluster; the
+  * connector layer (shard splits carrying compiled queries, index-
+  * driven evaluation, exact statistics) is the real contract and fans
+  * out one task per shard.
+  */
+object EsStore {
+
+  final case class Mapping(fields: Seq[(String, DataType)])
+
+  final class Shard {
+    private[sources] val ids = mutable.ArrayBuffer.empty[String]
+    private[sources] val docs = mutable.ArrayBuffer.empty[Map[String, Any]]
+    // keyword field -> term -> ascending doc offsets (posting list)
+    private[sources] var terms
+      : Map[String, Map[String, Array[Int]]] = Map.empty
+    // numeric field -> (value, offset) sorted by value (BKD-lite)
+    private[sources] var sorted
+      : Map[String, Array[(Double, Int)]] = Map.empty
+    // field -> offsets where the field exists
+    private[sources] var exists: Map[String, Array[Int]] = Map.empty
+    private[sources] var fresh = false
+  }
+
+  final case class Index(name: String, shards: Array[Shard],
+      mapping: Mapping)
+
+  private[graft] val indexes = new ConcurrentHashMap[String, Index]()
+
+  /** Documents actually materialized into rows across all queries —
+    * the index-driven-execution proof the suite locks (a selective
+    * query's count rises by its hit count, not by shard sizes). */
+  val docsMaterialized = new AtomicLong(0L)
+
+  def create(name: String, shards: Int,
+      fields: Seq[(String, DataType)]): Unit = {
+    require(shards > 0, "graft-es: shards must be > 0")
+    fields.foreach { case (f, dt) =>
+      require(dt == StringType || dt == LongType || dt == IntegerType ||
+        dt == DoubleType || dt == BooleanType,
+        s"graft-es: unsupported field type ${dt.catalogString} for '$f' " +
+          "(the reference pushes varchar/bigint/integer/double/boolean)")
+    }
+    indexes.put(name,
+      Index(name, Array.fill(shards)(new Shard), Mapping(fields)))
+  }
+
+  def drop(name: String): Unit = indexes.remove(name)
+
+  private[sources] def index(name: String): Index = {
+    val ix = indexes.get(name)
+    require(ix != null, s"graft-es: unknown index '$name'")
+    ix
+  }
+
+  /** Route by hash(_id) % shards (ES's default routing) and append. */
+  def indexDoc(name: String, id: String, doc: Map[String, Any]): Unit = {
+    val ix = index(name)
+    val shard = ix.shards(
+      (id.hashCode & Int.MaxValue) % ix.shards.length)
+    shard.synchronized {
+      shard.ids += id
+      shard.docs += doc
+      shard.fresh = false
+    }
+  }
+
+  /** Build the per-shard search structures — the ES refresh that makes
+    * indexed documents searchable. */
+  def refresh(name: String): Unit = {
+    val ix = index(name)
+    ix.shards.foreach { s =>
+      s.synchronized {
+        if (!s.fresh) {
+          val terms = mutable.Map.empty[String,
+            mutable.Map[String, mutable.ArrayBuffer[Int]]]
+          val sorted = mutable.Map.empty[String,
+            mutable.ArrayBuffer[(Double, Int)]]
+          val exists = mutable.Map.empty[String, mutable.ArrayBuffer[Int]]
+          ix.mapping.fields.foreach { case (f, dt) =>
+            var i = 0
+            while (i < s.docs.length) {
+              s.docs(i).get(f).filter(_ != null).foreach { v =>
+                exists.getOrElseUpdate(f, mutable.ArrayBuffer.empty) += i
+                dt match {
+                  case StringType | BooleanType =>
+                    terms.getOrElseUpdate(f, mutable.Map.empty)
+                      .getOrElseUpdate(v.toString, mutable.ArrayBuffer.empty) += i
+                  case _ =>
+                    sorted.getOrElseUpdate(f, mutable.ArrayBuffer.empty) +=
+                      ((v match {
+                        case n: Number => n.doubleValue()
+                        case other => other.toString.toDouble
+                      }, i))
+                }
+              }
+              i += 1
+            }
+          }
+          s.terms = terms.view.mapValues(
+            _.view.mapValues(_.toArray).toMap).toMap
+          s.sorted = sorted.view.mapValues(
+            _.sortBy(_._1).toArray).toMap
+          s.exists = exists.view.mapValues(_.toArray).toMap
+          s.fresh = true
+        }
+      }
+    }
+  }
+
+  // ---- the query surface ElasticsearchQueryBuilder compiles ----
+
+  sealed trait Query
+  case object MatchAll extends Query
+  /** TermQuery; `values` > 1 is the IN disjunction (a terms query). */
+  final case class Terms(field: String, values: Seq[String]) extends Query
+  final case class RangeQ(field: String, lo: Option[Double],
+      loInc: Boolean, hi: Option[Double], hiInc: Boolean) extends Query
+  final case class ExistsQ(field: String) extends Query
+  final case class MissingQ(field: String) extends Query
+  final case class BoolMust(must: Seq[Query]) extends Query
+
+  /** Evaluate a query against one shard's index structures; ascending
+    * doc offsets. Never a full-shard scan for term/range/exists arms. */
+  private[graft] def search(s: Shard, q: Query): Array[Int] = q match {
+    case MatchAll => Array.range(0, s.docs.length)
+    case Terms(f, vs) =>
+      val lists = vs.flatMap(v =>
+        s.terms.getOrElse(f, Map.empty).get(v))
+      if (lists.isEmpty) Array.empty
+      else if (lists.size == 1) lists.head
+      else lists.flatten.distinct.sorted.toArray
+    case RangeQ(f, lo, loInc, hi, hiInc) =>
+      val arr = s.sorted.getOrElse(f, Array.empty)
+      // binary-search the bounds on the value-sorted array
+      def lower: Int = lo match {
+        case None => 0
+        case Some(v) =>
+          var l = 0; var r = arr.length
+          while (l < r) {
+            val m = (l + r) >>> 1
+            if (arr(m)._1 < v || (!loInc && arr(m)._1 == v)) l = m + 1
+            else r = m
+          }
+          l
+      }
+      def upper: Int = hi match {
+        case None => arr.length
+        case Some(v) =>
+          var l = 0; var r = arr.length
+          while (l < r) {
+            val m = (l + r) >>> 1
+            if (arr(m)._1 < v || (hiInc && arr(m)._1 == v)) l = m + 1
+            else r = m
+          }
+          l
+      }
+      val from = lower; val until = upper
+      if (from >= until) Array.empty
+      else arr.slice(from, until).map(_._2).sorted
+    case ExistsQ(f) => s.exists.getOrElse(f, Array.empty)
+    case MissingQ(f) =>
+      val has = s.exists.getOrElse(f, Array.empty).toSet
+      Array.range(0, s.docs.length).filterNot(has)
+    case BoolMust(Seq()) => Array.range(0, s.docs.length)
+    case BoolMust(must) =>
+      // intersect smallest-first (the standard conjunctive plan)
+      val lists = must.map(search(s, _)).sortBy(_.length)
+      lists.reduceLeft { (a, b) =>
+        val bs = b.toSet
+        a.filter(bs)
+      }
+  }
+}
+
+class EsIndexProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-es"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsIndexTable.schemaOf(options)
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new EsIndexTable(new CaseInsensitiveStringMap(properties))
+}
+
+object EsIndexTable {
+  /** `_id` + the mapped fields — `ElasticsearchRecordCursor`'s
+    * setFieldIfExists("_id", hit.getId()) plus the _source fields. */
+  def schemaOf(options: CaseInsensitiveStringMap): StructType = {
+    val name = options.get("index")
+    require(name != null && name.nonEmpty,
+      "graft-es requires option 'index'")
+    StructType(StructField("_id", StringType) +:
+      EsStore.index(name).mapping.fields.map { case (f, dt) =>
+        StructField(f, dt)
+      })
+  }
+}
+
+class EsIndexTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val indexName = options.get("index")
+
+  override def name(): String = s"graft-es.$indexName"
+  override def schema(): StructType = EsIndexTable.schemaOf(options)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new EsScanBuilder(indexName, schema())
+}
+
+/** Compiles Spark source filters onto the reference's query surface —
+  * the `ElasticsearchQueryBuilder.buildSearchQuery` analog. Filters
+  * that compile are FULLY handled by the index (exact term/range/exists
+  * evaluation, so Spark plans no re-filter); the rest stay residual. */
+class EsScanBuilder(indexName: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val fieldTypes: Map[String, DataType] =
+    EsStore.index(indexName).mapping.fields.toMap
+  private var pushed: Array[Filter] = Array.empty
+  private var queries: Seq[EsStore.Query] = Seq.empty
+  private var required: StructType = full
+
+  private def num(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  private def termable(f: String): Boolean =
+    fieldTypes.get(f).exists(dt => dt == StringType || dt == BooleanType)
+  private def rangeable(f: String): Boolean =
+    fieldTypes.get(f).exists(dt =>
+      dt == LongType || dt == IntegerType || dt == DoubleType)
+
+  /** One Spark filter -> one query, or None (stays residual). */
+  private def compile(f: Filter): Option[EsStore.Query] = f match {
+    case EqualTo(a, v) if termable(a) && v != null =>
+      Some(EsStore.Terms(a, Seq(v.toString)))
+    case In(a, vs) if termable(a) && vs.nonEmpty && !vs.contains(null) =>
+      Some(EsStore.Terms(a, vs.map(_.toString).toSeq))
+    case EqualTo(a, v) if rangeable(a) =>
+      num(v).map(d => EsStore.RangeQ(a, Some(d), true, Some(d), true))
+    case GreaterThan(a, v) if rangeable(a) =>
+      num(v).map(d => EsStore.RangeQ(a, Some(d), false, None, false))
+    case GreaterThanOrEqual(a, v) if rangeable(a) =>
+      num(v).map(d => EsStore.RangeQ(a, Some(d), true, None, false))
+    case LessThan(a, v) if rangeable(a) =>
+      num(v).map(d => EsStore.RangeQ(a, None, false, Some(d), false))
+    case LessThanOrEqual(a, v) if rangeable(a) =>
+      num(v).map(d => EsStore.RangeQ(a, None, false, Some(d), true))
+    case IsNotNull(a) if fieldTypes.contains(a) =>
+      Some(EsStore.ExistsQ(a))
+    case IsNull(a) if fieldTypes.contains(a) =>
+      Some(EsStore.MissingQ(a))
+    case And(l, r) =>
+      (compile(l), compile(r)) match {
+        case (Some(a), Some(b)) => Some(EsStore.BoolMust(Seq(a, b)))
+        case _ => None // partial AND stays residual as a whole
+      }
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => compile(f).isDefined)
+    pushed = ok
+    queries = ok.flatMap(compile(_)).toSeq
+    residual // Spark re-applies only what the index cannot answer
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new EsScan(indexName, EsStore.BoolMust(queries), required, pushed)
+}
+
+/** One split per shard (`ElasticsearchSplitManager.java:59-75`), each
+  * carrying the compiled query. */
+final case class EsShardSplit(index: String, shard: Int,
+    query: EsStore.Query) extends InputPartition
+
+class EsScan(indexName: String, query: EsStore.Query,
+    required: StructType, pushedFilters: Array[Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-es $indexName " +
+      s"PushedFilters: [${pushedFilters.mkString(", ")}] " +
+      s"query=$query cols=" + required.fieldNames.mkString(",")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EsStore.index(indexName).shards.indices
+      .map(i => EsShardSplit(indexName, i, query): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsReaderFactory(required)
+
+  // exact hit counts from the index (the search-shards count probe) —
+  // a selective control query can broadcast
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val ix = EsStore.index(indexName)
+    val rows = ix.shards.map(s =>
+      s.synchronized(EsStore.search(s, query).length.toLong)).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * 256L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+}
+
+class EsReaderFactory(required: StructType)
+    extends PartitionReaderFactory with Serializable {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val EsShardSplit(name, shardIdx, query) = p.asInstanceOf[EsShardSplit]
+    val ix = EsStore.index(name)
+    val shard = ix.shards(shardIdx)
+    require(shard.fresh,
+      s"graft-es: index '$name' has unrefreshed documents — call " +
+        "EsStore.refresh first (the ES index/refresh lifecycle)")
+    val fieldTypes = ix.mapping.fields.toMap
+    val hits = shard.synchronized(EsStore.search(shard, query))
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < hits.length }
+      override def get(): InternalRow = {
+        EsStore.docsMaterialized.incrementAndGet()
+        val off = hits(i)
+        val doc = shard.docs(off)
+        InternalRow.fromSeq(required.fields.map { f =>
+          if (f.name == "_id") UTF8String.fromString(shard.ids(off))
+          else doc.get(f.name).filter(_ != null).map { v =>
+            fieldTypes(f.name) match {
+              case StringType => UTF8String.fromString(v.toString)
+              case LongType => v.asInstanceOf[Number].longValue()
+              case IntegerType => v.asInstanceOf[Number].intValue()
+              case DoubleType => v.asInstanceOf[Number].doubleValue()
+              case BooleanType => v.asInstanceOf[Boolean]
+              case other => sys.error(s"graft-es: bad type $other")
+            }
+          }.orNull
+        }.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
