@@ -594,6 +594,49 @@ object Connectors extends QueryPack {
           coalesce(col("n_missing"), lit(0L)).as("n_missing"),
           lit(nSplits).as("n_shards"))
         .orderBy(col("source"))
+    }),
+
+    // Cassandra end-to-end (reference: `presto-cassandra/.../
+    // CassandraConnectorFactory.java:37`; in-process substitution
+    // documented in sources/CassandraRingConn.scala — rows live hashed
+    // by partition key on a token ring, clustering-sorted within each
+    // partition). The gate drives the full lifecycle: the DSv2 writer
+    // upserts an orders slice (wide rows per customer), a token-range
+    // scan aggregates per status (split count = the reference's
+    // max(partitions/splitSize, 1) formula, pinned), and a point lookup
+    // on one customer plans a single partition split with a
+    // clustering-range slice on top.
+    "q1v_cassandra_ring" -> ((s, dir) => {
+      import graft.sources.CassStore
+      import org.apache.spark.sql.types._
+      val tbl = s"orders_ring_${Integer.toHexString(dir.hashCode)}"
+      CassStore.drop(tbl)
+      CassStore.create(tbl,
+        partitionKeys = Seq("o_custkey"), clusteringKeys = Seq("o_orderkey"),
+        fields = Seq("o_custkey" -> LongType, "o_orderkey" -> LongType,
+          "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType))
+      val src = graft.Tables.view(s, dir, "orders")
+        .filter(col("o_custkey") <= 2000)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      src.write.mode("append").format("graft-cassandra")
+        .option("table", tbl).save()
+      def scan = s.read.format("graft-cassandra").option("table", tbl).load()
+      val nSplits = scan.rdd.getNumPartitions
+      val minCk = src.agg(min(col("o_custkey"))).head().getLong(0)
+      val mine = scan.filter(col("o_custkey") === minCk)
+      val nCust = mine.count()
+      val minOk = mine.agg(min(col("o_orderkey"))).head().getLong(0)
+      // clustering-range slice within the single pruned partition
+      val nTail = scan.filter(col("o_custkey") === minCk &&
+        col("o_orderkey") > minOk).count()
+      scan.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .withColumn("n_splits", lit(nSplits.toLong))
+        .withColumn("n_cust", lit(nCust))
+        .withColumn("n_cust_tail", lit(nTail))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -826,6 +869,22 @@ object Connectors extends QueryPack {
         |  true AS klen_ok, true AS vlen_ok, true AS prefix_ok
         |FROM documents WHERE doc_id <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // n_splits replays the reference's max(partitions/splitSize, 1)
+    // formula over the distinct-customer count; the point-lookup arms
+    // count one customer's wide row and its clustering tail
+    "q1v_cassandra_ring" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_custkey <= 2000),
+        |mk AS (SELECT min(o_custkey) AS m FROM sub),
+        |c AS (SELECT count(*) AS n FROM sub
+        |      WHERE o_custkey = (SELECT m FROM mk))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  (SELECT CAST(greatest(count(DISTINCT o_custkey) // 64, 1)
+        |     AS BIGINT) FROM sub) AS n_splits,
+        |  (SELECT n FROM c) AS n_cust,
+        |  (SELECT n - 1 FROM c) AS n_cust_tail
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // n_missing counts doc_id % 7 == 0 PER SOURCE among the hit
     // sources; n_shards = 5 by construction (all shards non-empty)
