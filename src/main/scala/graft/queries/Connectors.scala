@@ -637,6 +637,47 @@ object Connectors extends QueryPack {
         .withColumn("n_cust", lit(nCust))
         .withColumn("n_cust_tail", lit(nTail))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // MongoDB end-to-end (reference: `presto-mongodb/.../
+    // MongoConnectorFactory.java:32`; in-process substitution
+    // documented in sources/MongoDocConn.scala). The distinctive
+    // mechanics under test: the table schema is GUESSED from the
+    // collection's first document (`MongoSession.guessTableFields`) —
+    // including the NESTED user/metrics rows — and predicates compile
+    // to the query-document operators ($eq/$gt/$lte) applied before
+    // documents reach Spark, while the nested-field predicate stays a
+    // residual Spark filter. Events arrive as nested documents through
+    // the DSv2 INSERT path (`MongoPageSink`).
+    "q1w_mongo_docs" -> ((s, dir) => {
+      import graft.sources.MongoStore
+      val coll = s"events_docs_${Integer.toHexString(dir.hashCode)}"
+      MongoStore.drop(coll)
+      // seed the schema prototype doc (the "first document" the
+      // inference reads), matching the insert shape below
+      MongoStore.insert(coll, Map(
+        "event_id" -> -1L, "etype" -> "seed",
+        "user" -> Map("id" -> 0L, "bucket" -> 0L),
+        "metrics" -> Map("value" -> 0.0, "k" -> 0L)))
+      graft.Tables.view(s, dir, "events")
+        .filter(col("event_id") <= 4000)
+        .select(col("event_id"), col("event_type").as("etype"),
+          struct(col("user_id").as("id"),
+            (col("user_id") % 10).as("bucket")).as("user"),
+          struct(col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+            .as("metrics"))
+        .write.mode("append").format("graft-mongo")
+        .option("collection", coll).save()
+      s.read.format("graft-mongo").option("collection", coll).load()
+        .filter(col("etype") === "click" && col("event_id") > 100 &&
+          col("event_id") <= 3500)
+        .filter(col("user.bucket") < 5) // residual nested predicate
+        .groupBy(col("user.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("metrics.value")), 2).as("v_sum"),
+          sum(col("metrics.k")).as("k_sum"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -869,6 +910,15 @@ object Connectors extends QueryPack {
         |  true AS klen_ok, true AS vlen_ok, true AS prefix_ok
         |FROM documents WHERE doc_id <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q1w_mongo_docs" ->
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  round(sum(value), 2) AS v_sum,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |WHERE event_type = 'click' AND event_id > 100
+        |  AND event_id <= 3500 AND user_id % 10 < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // n_splits replays the reference's max(partitions/splitSize, 1)
     // formula over the distinct-customer count; the point-lookup arms
