@@ -678,6 +678,51 @@ object Connectors extends QueryPack {
           round(sum(col("metrics.value")), 2).as("v_sum"),
           sum(col("metrics.k")).as("k_sum"))
         .orderBy(col("bucket"))
+    }),
+
+    // Druid end-to-end (reference: `presto-druid/.../
+    // DruidConnectorFactory.java`; in-process substitution documented
+    // in sources/DruidSegmentConn.scala — a datasource IS a set of
+    // time-interval segments). The distinctive mechanics under test:
+    // events ingest into 6-hour segments; a `__time` range PRUNES
+    // segments at planning; the grouped count/sum/min/max pushes via
+    // SupportsPushDownAggregates so each segment answers with partial
+    // per-group aggregates and Spark performs the broker merge (the
+    // DruidSegmentSuite locks the partial-row cardinality; this gate
+    // locks the merged numbers against DuckDB).
+    "q1x_druid_rollup" -> ((s, dir) => {
+      import graft.sources.DruidStore
+      import org.apache.spark.sql.types._
+      val dsName = s"events_seg_${Integer.toHexString(dir.hashCode)}"
+      val SixH = 6L * 3600 * 1000
+      DruidStore.drop(dsName)
+      DruidStore.create(dsName, granularityMs = SixH,
+        dims = Seq("etype"), metrics = Seq("value" -> DoubleType,
+          "uid" -> LongType))
+      graft.Tables.view(s, dir, "events")
+        .select(unix_millis(col("ts")).as("tms"), col("event_type"),
+          col("value"), col("user_id"))
+        .collect().foreach { r =>
+          DruidStore.ingest(dsName, r.getLong(0),
+            Seq(r.getString(1)), Seq(r.getDouble(2), r.getLong(3)))
+        }
+      val scan = s.read.format("graft-druid")
+        .option("datasource", dsName).load()
+      val nSegs = scan.rdd.getNumPartitions
+      // time window: [epoch(2024-01-01 06:00), epoch(2024-01-02 00:00))
+      val lo = java.time.LocalDateTime.of(2024, 1, 1, 6, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val hi = java.time.LocalDateTime.of(2024, 1, 2, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val windowed = scan.filter(col("__time") >= lo && col("__time") < hi)
+      val nPruned = windowed.rdd.getNumPartitions
+      windowed.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("v_sum"),
+          min(col("uid")).as("uid_min"), max(col("uid")).as("uid_max"))
+        .withColumn("n_segments", lit(nSegs.toLong))
+        .withColumn("n_pruned", lit(nPruned.toLong))
+        .orderBy(col("etype"))
     })
   )
 
@@ -910,6 +955,21 @@ object Connectors extends QueryPack {
         |  true AS klen_ok, true AS vlen_ok, true AS prefix_ok
         |FROM documents WHERE doc_id <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // 6h-bucket arithmetic replayed in DuckDB: the window is
+    // bucket-aligned, so pruned segments == buckets with data inside it
+    "q1x_druid_rollup" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS tms, event_type AS etype,
+        |    value, user_id FROM events),
+        |w AS (SELECT * FROM e
+        |  WHERE tms >= 1704088800000 AND tms < 1704153600000)
+        |SELECT etype, count(*) AS n, round(sum(value), 2) AS v_sum,
+        |  min(user_id) AS uid_min, max(user_id) AS uid_max,
+        |  (SELECT CAST(count(DISTINCT tms // 21600000) AS BIGINT) FROM e)
+        |    AS n_segments,
+        |  (SELECT CAST(count(DISTINCT tms // 21600000) AS BIGINT) FROM w)
+        |    AS n_pruned
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1w_mongo_docs" ->
       """SELECT user_id % 10 AS bucket, count(*) AS n,
