@@ -723,6 +723,62 @@ object Connectors extends QueryPack {
         .withColumn("n_segments", lit(nSegs.toLong))
         .withColumn("n_pruned", lit(nPruned.toLong))
         .orderBy(col("etype"))
+    }),
+
+    // Accumulo end-to-end (reference: `presto-accumulo/.../
+    // AccumuloConnectorFactory.java`; in-process substitution
+    // documented in sources/AccumuloKvConn.scala — rows sorted by an
+    // order-preserving row-id encoding, secondary index + metrics
+    // tables fed by every mutation). The distinctive mechanics under
+    // test: orders arrive through the DSv2 mutation path (row id =
+    // o_orderkey, the first column, like `AccumuloClient
+    // .getRowIdColumn`); a selective indexed predicate (status 'P',
+    // ~4% of rows) rides the SECONDARY INDEX (`IndexLookup.applyIndex`
+    // — cardinality metrics say 4% < the 20% threshold); a broad
+    // 3-priority IN (~60%) ABANDONS the index for a tablet scan; and a
+    // row-id range chops on tablet boundaries. All three arms are
+    // re-counted against DuckDB; AccumuloKvSuite locks the plan
+    // decisions themselves.
+    "q1y_accumulo_table" -> ((s, dir) => {
+      import graft.sources.AccStore
+      import org.apache.spark.sql.types._
+      val tbl = s"orders_acc_${Integer.toHexString(dir.hashCode)}"
+      AccStore.drop(tbl)
+      AccStore.create(tbl, rowId = ("o_orderkey", LongType),
+        columns = Seq(
+          ("o_custkey", "m", LongType),
+          ("o_orderstatus", "m", StringType),
+          ("o_orderpriority", "m", StringType),
+          ("o_totalprice", "v", DoubleType)),
+        indexed = Set("o_orderstatus", "o_orderpriority"),
+        localityGroups = Map(
+          "keys" -> Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+          "vals" -> Seq("o_totalprice")))
+      AccStore.addSplits(tbl, Seq(1500L, 3000L, 4500L))
+      graft.Tables.view(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .write.mode("append").format("graft-accumulo")
+        .option("table", tbl).save()
+      def scan = s.read.format("graft-accumulo")
+        .option("table", tbl).load()
+      // index-path arm: rare status rides the secondary index
+      val p = scan.filter(col("o_orderstatus") === "P")
+        .agg(count(lit(1)), sum(col("o_custkey"))).head()
+      val (nP, custSumP) = (p.getLong(0), p.getLong(1))
+      // row-id-range arm: chopped on the tablet boundaries inside it
+      val nRange = scan.filter(col("o_orderkey") <= 6000L).count()
+      // tablet-scan arm: ~60% of rows — the index is abandoned
+      scan.filter(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .withColumn("n_p", lit(nP))
+        .withColumn("cust_sum_p", lit(custSumP))
+        .withColumn("n_range", lit(nRange))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1013,6 +1069,21 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // the three arms replay directly: status-'P' count/sum (the index
+    // path), the priority tablet scan, and the row-id range count
+    "q1y_accumulo_table" ->
+      """WITH p AS (SELECT count(*) AS n,
+        |    CAST(sum(o_custkey) AS BIGINT) AS sc
+        |  FROM orders WHERE o_orderstatus = 'P'),
+        |r AS (SELECT count(*) AS n FROM orders WHERE o_orderkey <= 6000)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  (SELECT n FROM p) AS n_p, (SELECT sc FROM p) AS cust_sum_p,
+        |  (SELECT n FROM r) AS n_range
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1p_redis_zset_hash" ->
       """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200)
