@@ -779,6 +779,59 @@ object Connectors extends QueryPack {
         .withColumn("cust_sum_p", lit(custSumP))
         .withColumn("n_range", lit(nRange))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Kudu end-to-end (reference: `presto-kudu/.../
+    // KuduConnectorFactory.java`; in-process substitution documented in
+    // sources/KuduTabletConn.scala — a table IS a tablet grid of
+    // hash buckets x range partitions, rows pk-sorted per tablet). The
+    // distinctive mechanics under test: events upsert twice through the
+    // DSv2 path (`KuduPageSink.newUpsert` — idempotent, counts don't
+    // double); a point lookup on the hash+range key hits ONE tablet; a
+    // range predicate prunes whole range partitions off the grid
+    // (`buildKuduSplits` scan tokens). All arms re-counted in DuckDB;
+    // KuduTabletSuite locks the split counts themselves.
+    "q1z_kudu_tablets" -> ((s, dir) => {
+      import graft.sources.KuduStore
+      import org.apache.spark.sql.types._
+      val tbl = s"events_kudu_${Integer.toHexString(dir.hashCode)}"
+      KuduStore.drop(tbl)
+      KuduStore.create(tbl,
+        columns = Seq(("event_id", LongType, false),
+          ("user_id", LongType, false), ("event_type", StringType, true),
+          ("value", DoubleType, true)),
+        pkCount = 1, hashCols = Seq("event_id"), hashBuckets = 4,
+        rangeCol = Some("event_id"),
+        rangeBounds = Seq((None, Some(2000L)), (Some(2000L), Some(4000L)),
+          (Some(4000L), None)))
+      val src = graft.Tables.view(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      // upsert twice: task-retry idempotence end-to-end
+      src.write.mode("append").format("graft-kudu")
+        .option("table", tbl).save()
+      src.write.mode("append").format("graft-kudu")
+        .option("table", tbl).save()
+      def scan = s.read.format("graft-kudu").option("table", tbl).load()
+      val nTablets = scan.rdd.getNumPartitions // 4 buckets x 3 ranges
+      // point lookup: hash + range pruning meet at one tablet
+      val point = scan.filter(col("event_id") === 123L)
+      val nPointSplits = point.rdd.getNumPartitions
+      val pointCnt = point.count()
+      // range arm: (2500, 5000] prunes the first range partition
+      val ranged = scan.filter(col("event_id") > 2500L &&
+        col("event_id") <= 5000L)
+      val nRangeSplits = ranged.rdd.getNumPartitions
+      val nRange = ranged.count()
+      scan.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("v_sum"))
+        .withColumn("n_tablets", lit(nTablets.toLong))
+        .withColumn("n_point_splits", lit(nPointSplits.toLong))
+        .withColumn("n_point", lit(pointCnt))
+        .withColumn("n_range_splits", lit(nRangeSplits.toLong))
+        .withColumn("n_range", lit(nRange))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1069,6 +1122,20 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // the grid is 4 buckets x 3 ranges = 12 tablets by construction;
+    // the point arm prunes to exactly 1 tablet, the range arm keeps 2
+    // of 3 range partitions (8 splits); upsert-twice must not double
+    // any count
+    "q1z_kudu_tablets" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum,
+        |  CAST(12 AS BIGINT) AS n_tablets,
+        |  CAST(1 AS BIGINT) AS n_point_splits,
+        |  (SELECT count(*) FROM events WHERE event_id = 123) AS n_point,
+        |  CAST(8 AS BIGINT) AS n_range_splits,
+        |  (SELECT count(*) FROM events WHERE event_id > 2500
+        |     AND event_id <= 5000) AS n_range
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the three arms replay directly: status-'P' count/sum (the index
     // path), the priority tablet scan, and the row-id range count
