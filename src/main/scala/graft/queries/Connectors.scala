@@ -832,6 +832,45 @@ object Connectors extends QueryPack {
         .withColumn("n_range_splits", lit(nRangeSplits.toLong))
         .withColumn("n_range", lit(nRange))
         .orderBy(col("event_type"))
+    }),
+
+    // Pinot end-to-end (reference: `presto-pinot-toolkit/.../
+    // PinotSplitManager.java`; in-process substitution documented in
+    // sources/PinotBrokerConn.scala). The distinctive mechanics under
+    // test: documents ingest into sealed 100-doc segments; the grouped
+    // count/sum/avg/min/max pushes COMPLETELY (supportCompletePushDown
+    // — the broker answers finals over one split, avg NOT decomposed;
+    // PinotBrokerSuite locks the no-HashAggregate plan) and a TopN
+    // (longest doc, doc_id tiebreak) executes store-side through the
+    // single broker split. Merged numbers re-counted in DuckDB.
+    "q2a_pinot_broker" -> ((s, dir) => {
+      import graft.sources.PinotStore
+      import org.apache.spark.sql.types._
+      val tbl = s"docs_pinot_${Integer.toHexString(dir.hashCode)}"
+      PinotStore.drop(tbl)
+      PinotStore.create(tbl, Seq(("doc_id", LongType),
+        ("lang", StringType), ("source", StringType),
+        ("n_chars", LongType)), servers = 3)
+      graft.Tables.view(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .collect().zipWithIndex.foreach { case (r, i) =>
+          PinotStore.ingest(tbl, Seq(r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+          if ((i + 1) % 100 == 0) PinotStore.seal(tbl)
+        }
+      def scan = s.read.format("graft-pinot").option("table", tbl).load()
+      val nSegments = scan.rdd.getNumPartitions.toLong
+      // store-side TopN through the broker split
+      val topDoc = scan.orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(1).select("doc_id").head().getLong(0)
+      scan.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("nc_sum"),
+          round(avg(col("n_chars")), 2).as("nc_avg"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+        .withColumn("top_doc", lit(topDoc))
+        .withColumn("n_segments", lit(nSegments))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1122,6 +1161,20 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // segments seal every 100 docs -> ceil(n/100); the TopN arm replays
+    // as ORDER BY n_chars DESC, doc_id LIMIT 1
+    "q2a_pinot_broker" ->
+      """WITH t AS (SELECT doc_id FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 1)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+        |  round(avg(n_chars), 2) AS nc_avg,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |  (SELECT doc_id FROM t) AS top_doc,
+        |  (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) FROM documents)
+        |    AS n_segments
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the grid is 4 buckets x 3 ranges = 12 tablets by construction;
     // the point arm prunes to exactly 1 tablet, the range arm keeps 2
