@@ -871,6 +871,49 @@ object Connectors extends QueryPack {
         .withColumn("top_doc", lit(topDoc))
         .withColumn("n_segments", lit(nSegments))
         .orderBy(col("lang"))
+    }),
+
+    // Thrift end-to-end (reference: `presto-thrift-connector/.../
+    // ThriftConnectorFactory.java` over the presto-thrift-connector-api
+    // service; in-process substitution documented in
+    // sources/ThriftSvcConn.scala). The distinctive mechanics under
+    // test: the connector owns NOTHING — schema, splits, and rows all
+    // come from a registered service implementing the five-method
+    // PrestoThriftService surface; split discovery drains 100-row
+    // splits in token-chained batches of 3, row retrieval pages by
+    // max_response_bytes, and the returnflag filter travels only as an
+    // ADVISORY hint (Spark refilters — exactness never depends on the
+    // service honoring it). Aggregates replayed in DuckDB.
+    "q2b_thrift_rows" -> ((s, dir) => {
+      import graft.sources.{InMemoryThriftService, ThriftRegistry}
+      import org.apache.spark.sql.types._
+      val svcName = s"th_li_${Integer.toHexString(dir.hashCode)}"
+      val svc = new InMemoryThriftService("g", rowsPerSplit = 100)
+      val schema = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      svc.putTable("lineitem", schema,
+        graft.Tables.view(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+          .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getString(1),
+            r.getDouble(2), r.getDouble(3))))
+      ThriftRegistry.register(svcName, svc)
+      def scan = s.read.format("graft-thrift").option("service", svcName)
+        .option("schema", "g").option("table", "lineitem")
+        .option("max_split_count", "3")
+        .option("max_response_bytes", "64000").load()
+      val nSplits = scan.rdd.getNumPartitions
+      val nReturned = scan.filter(col("l_returnflag") === "R").count()
+      scan.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+        .withColumn("n_splits", lit(nSplits.toLong))
+        .withColumn("n_returned", lit(nReturned))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -1161,6 +1204,19 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // splits are 100-row slices of the service's table -> ceil(n/100);
+    // the 'R' arm replays the advisory-hint filter exactly
+    "q2b_thrift_rows" ->
+      """WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  round(sum(l_extendedprice), 2) AS price_sum,
+        |  (SELECT CAST(ceil(count(*) / 100.0) AS BIGINT) FROM sub)
+        |    AS n_splits,
+        |  (SELECT count(*) FROM sub WHERE l_returnflag = 'R')
+        |    AS n_returned
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // segments seal every 100 docs -> ceil(n/100); the TopN arm replays
     // as ORDER BY n_chars DESC, doc_id LIMIT 1
