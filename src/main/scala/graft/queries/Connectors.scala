@@ -873,6 +873,36 @@ object Connectors extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Pinot distinct-count pushdown (reference: `presto-pinot-toolkit/
+    // .../PinotAggregationProjectConverter.java` — the converter that
+    // compiles COUNT(DISTINCT x)/approx_distinct(x) onto the store's
+    // DISTINCTCOUNT family so raw values never cross the broker
+    // boundary). Spark plans NO aggregate and NO distinct Expand: the
+    // broker split answers one final per group (PinotBrokerSuite locks
+    // the plan); replayed as DuckDB's exact count(DISTINCT).
+    "q2c_pinot_distinct" -> ((s, dir) => {
+      import graft.sources.PinotStore
+      import org.apache.spark.sql.types._
+      val tbl = s"docs_pndc_${Integer.toHexString(dir.hashCode)}"
+      PinotStore.drop(tbl)
+      PinotStore.create(tbl, Seq(("doc_id", LongType),
+        ("lang", StringType), ("source", StringType),
+        ("n_chars", LongType)), servers = 3)
+      graft.Tables.view(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .collect().zipWithIndex.foreach { case (r, i) =>
+          PinotStore.ingest(tbl, Seq(r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+          if ((i + 1) % 100 == 0) PinotStore.seal(tbl)
+        }
+      def scan = s.read.format("graft-pinot").option("table", tbl).load()
+      scan.groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("nd_source"),
+          countDistinct(col("n_chars")).as("nd_len"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // Thrift end-to-end (reference: `presto-thrift-connector/.../
     // ThriftConnectorFactory.java` over the presto-thrift-connector-api
     // service; in-process substitution documented in
@@ -1204,6 +1234,13 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // the store's DISTINCTCOUNT is exact — DuckDB's count(DISTINCT)
+    // replays it directly
+    "q2c_pinot_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS nd_source,
+        |  count(DISTINCT n_chars) AS nd_len, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // splits are 100-row slices of the service's table -> ceil(n/100);
     // the 'R' arm replays the advisory-hint filter exactly

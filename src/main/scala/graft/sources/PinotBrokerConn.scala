@@ -208,6 +208,15 @@ object PinotStore {
                 val inc = if (cv != null) 1L else 0L
                 slots(2 * i) = Option(slots(2 * i))
                   .map(_.asInstanceOf[Long]).getOrElse(0L) + inc
+              case "distinct_count" => if (cv != null) {
+                // Pinot's DISTINCTCOUNT: an exact value set per group
+                // (the segment-level set union the broker merges)
+                val set = Option(slots(2 * i))
+                  .map(_.asInstanceOf[mutable.HashSet[Any]])
+                  .getOrElse { val s0 = mutable.HashSet.empty[Any]
+                    slots(2 * i) = s0; s0 }
+                set += cv
+              }
               case "sum" => if (cv != null) {
                 slots(2 * i) =
                   if (dt == LongType)
@@ -252,6 +261,10 @@ object PinotStore {
                   slots(2 * i + 1).asInstanceOf[Long]
               case "count" | "count_star" =>
                 Option(slots(2 * i)).getOrElse(0L)
+              case "distinct_count" =>
+                Option(slots(2 * i))
+                  .map(_.asInstanceOf[mutable.HashSet[Any]].size.toLong)
+                  .getOrElse(0L)
               case _ => slots(2 * i)
             }
           }
@@ -427,6 +440,13 @@ class PinotScanBuilder(tableName: String)
     }
     val aggs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count_star", "", LongType))
+      case c: Count if c.isDistinct =>
+        // the reference compiles distinct counts store-side too:
+        // `PinotAggregationProjectConverter` maps COUNT(DISTINCT x) /
+        // approx_distinct(x) onto Pinot's DISTINCTCOUNT family — the
+        // broker answers one final per group, raw values never leave
+        fieldOf(c.column).filter(isCol)
+          .map(f => ("distinct_count", f, LongType))
       case c: Count if !c.isDistinct =>
         fieldOf(c.column).filter(isCol).map(f => ("count", f, LongType))
       case s: Sum if !s.isDistinct =>

@@ -63,6 +63,33 @@ class PinotBrokerSuite extends GraftSuite {
     assert(rows.map(_.getLong(5)).toSeq == Seq(300L, 298L, 299L))
   }
 
+  test("COUNT(DISTINCT) pushes whole: the store's DISTINCTCOUNT answers") {
+    // the reference compiles distinct counts store-side too
+    // (PinotAggregationProjectConverter's DISTINCTCOUNT family); with
+    // complete pushdown Spark plans neither the Expand nor the
+    // two-phase distinct rewrite — one final per group crosses the wire
+    val name = "pn_dcount"
+    mkTable(name)
+    val q = read(name).groupBy("kind")
+      .agg(countDistinct(col("score")).as("nd"),
+        count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.treeString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Expand"),
+      plan)
+    assert(plan.contains("mode=broker"), plan)
+    val before = PinotStore.rowsReturned.get()
+    val rows = q.collect().sortBy(_.getString(0))
+    assert(PinotStore.rowsReturned.get() - before == 3)
+    // scores are all distinct (i*1.0) -> nd == n per group
+    assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 100L, 100L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(100L, 100L, 100L))
+    // and a genuinely duplicated column: kind has 3 distinct values
+    val total = read(name).agg(countDistinct(col("kind")).as("k"))
+    assert(!total.queryExecution.executedPlan.treeString
+      .contains("HashAggregate"))
+    assert(total.head().getLong(0) == 3L)
+  }
+
   test("TopN pushes whole: store sorts and caps, Spark plans no sort") {
     val name = "pn_topn"
     mkTable(name)
