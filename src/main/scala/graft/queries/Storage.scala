@@ -238,6 +238,50 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-order layout (reference: Raptor organizes shards by sort
+    // columns and prunes on per-shard value ranges —
+    // `presto-raptor/.../organization/ShardOrganizerUtil.java:80-110`,
+    // `ShardRange.java`; z-ordering is the standard multi-dimensional
+    // generalization, Morton 1966). The engine writes lineitem
+    // range-partitioned + sorted by the interleaved (l_partkey,
+    // l_suppkey) z-value; footer min/max statistics then prune files
+    // for a slice predicate on EITHER dimension (the boolean lock —
+    // a single-column sort prunes only its own). The z-value itself is
+    // pure integer arithmetic, replayed bit-exactly by DuckDB's shift/
+    // mask operators over the same closed form.
+    "q2d_zorder_layout" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val src = graft.Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"))
+      val b = src.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val (pmin, pmax, smin, smax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val out = ctasPath(s, dir) + "_zorder"
+      ZOrder.write(src, Seq("l_partkey" -> (pmin, pmax),
+        "l_suppkey" -> (smin, smax)), nFiles = 8, out)
+      // the pruning proof, from footers alone: a 1/8 slice of either
+      // dimension must not need every file — the 2-d guarantee a
+      // single-column sort cannot give
+      val pr = ZOrder.fileRanges(s, out, "l_partkey")
+      val sr = ZOrder.fileRanges(s, out, "l_suppkey")
+      val pHit = ZOrder.filesOverlapping(pr, pmin,
+        pmin + (pmax - pmin) / 8)
+      val sHit = ZOrder.filesOverlapping(sr, smin,
+        smin + (smax - smin) / 8)
+      val zc = ZOrder.zvalue(ZOrder.cell(col("l_partkey"), pmin, pmax),
+        ZOrder.cell(col("l_suppkey"), smin, smax))
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(zc).as("z_sum"),
+          min(zc).as("z_min"), max(zc).as("z_max"))
+        .withColumn("files", lit(pr.size.toLong))
+        .withColumn("pruned_both_dims",
+          lit(pHit < pr.size && sHit < sr.size))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Second and third file formats (reference: the Hive connector's
     // multi-format scan, `presto-hive/.../HivePageSourceProvider.java:75`
     // — ORC and text are first-class storage formats there). The engine
@@ -615,6 +659,27 @@ object Storage extends QueryPack {
         |  true AS rows_preserved, true AS idempotent
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the z-value replays as pure integer shift/mask arithmetic over
+    // the same 16-bit cells; layout invariants (8 files, both-dims
+    // pruning) land as constants
+    "q2d_zorder_layout" -> {
+      val zTerms = (0 until 16).map(b =>
+        s"(((cp >> $b) & 1) << ${2 * b}) + (((cs >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |  min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         |c AS (SELECT l_returnflag,
+         |  ((l_partkey - pmin) * 65535) // (pmax - pmin) AS cp,
+         |  ((l_suppkey - smin) * 65535) // (smax - smin) AS cs
+         |  FROM lineitem, b),
+         |z AS (SELECT l_returnflag, $zTerms AS zv FROM c)
+         |SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(zv) AS BIGINT) AS z_sum, min(zv) AS z_min,
+         |  max(zv) AS z_max, CAST(8 AS BIGINT) AS files,
+         |  true AS pruned_both_dims
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q1s_jdbc_stats_pushdown" ->
       """SELECT l_returnflag, count(*) AS n,
