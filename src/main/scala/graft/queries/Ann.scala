@@ -215,6 +215,70 @@ object Ann extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
+    // Product-quantized ANN (Jégou et al. 2011 — the IVF-PQ scale
+    // path; operators/Pq.scala): 16 per-subspace codebooks trained by
+    // two deterministic Lloyd rounds, every vector encoded to 16
+    // codeword ids, probes answered by the REAL IVF-PQ query path —
+    // ADC table lookups over the code table produce a 50-candidate
+    // shortlist, the shortlist alone is exactly re-ranked. The gate's
+    // answer columns COME FROM that path: the re-ranked top-1 must
+    // equal DuckDB's exact nearest neighbor (so shortlist recall is
+    // the pass bar, not a soft boolean), and the exact d2 replays
+    // bitwise from the same dot-product composition. Codebook
+    // invariants (complete bounded codes, monotone Lloyd distortion)
+    // ride as constants.
+    "q2e_pq_ann" -> ((s, dir) => {
+      import graft.operators.Pq
+      val e = emb(s, dir)
+      val n = Tables.view(s, dir, "embeddings").count()
+      val m = 16
+      val stride = math.max(1L, n / 64) // ~64 codewords per subspace
+      val kEff = (n - 1) / stride // densest cid the seeds can take
+      val subs = Pq.subVectors(e, m, Dims).localCheckpoint()
+      val cb0 = Pq.seeds(subs, stride)
+      val a0 = Pq.assign(subs, cb0)
+      val cb1 = Pq.step(subs, cb0)
+      val a1 = Pq.assign(subs, cb1)
+      val cb2 = Pq.step(subs, cb1)
+      val a2 = Pq.assign(subs, cb2)
+      val mono = Pq.distortion(a0, "i0")
+        .crossJoin(Pq.distortion(a1, "i1"))
+        .crossJoin(Pq.distortion(a2, "i2"))
+        .select((col("i1") <= col("i0") + lit(1e-9) &&
+          col("i2") <= col("i1") + lit(1e-9)).as("distortion_ok"))
+      val codes = a2.select(col("vec_id"), col("j"), col("cid"))
+        .localCheckpoint()
+      val codesOk = codes.agg((count(lit(1)) === lit(n * m) &&
+        min(col("cid")) >= 0 &&
+        max(col("cid")) <= lit(kEff)).as("codes_ok"))
+      val dtab = Pq.adcTable(subs.filter(col("vec_id") < 10), cb2)
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val shortlist = Pq.adcDistances(codes, dtab)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50)
+        .select(col("probe_id"), col("vec_id"))
+      val pr = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val wExact = Window.partitionBy(col("probe_id"))
+        .orderBy(col("d2").asc, col("vec_id"))
+      val reranked = shortlist
+        .join(e, Seq("vec_id"))
+        .join(broadcast(pr), Seq("probe_id"))
+        .withColumn("d2", Pq.exactD2(col("pe"), col("e")))
+        .withColumn("rk", row_number().over(wExact))
+        .filter(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id").as("nn_id"),
+          round(col("d2"), 4).as("d2"))
+      reranked
+        .crossJoin(broadcast(mono))
+        .crossJoin(broadcast(codesOk))
+        .select(col("probe_id"), col("nn_id"), col("d2"),
+          col("codes_ok"), col("distortion_ok"))
+        .orderBy(col("probe_id"))
+    }),
+
     // k-NN label classification (the eval-pipeline operator): predict
     // each probe's label by majority vote of its 5 nearest neighbors
     // (ties -> smallest label), report a per-label accuracy table.
@@ -516,6 +580,25 @@ object Ann extends QueryPack {
         |  FROM s)
         |SELECT probe_id, vec_id AS nn_id, round(c, 4) AS cos,
         |  TRUE AS ivf_rank_ok, TRUE AS inertia_ok
+        |FROM r WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // the exact-top-1 columns replay from the identical dot-product
+    // composition; the PQ/codebook invariants land as constants
+    "q2e_pq_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, pv) + list_dot_product(v, v)
+        |      - 2 * list_dot_product(pv, v) AS d2
+        |  FROM p CROSS JOIN e WHERE vec_id <> probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, d2,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY d2 ASC, vec_id)
+        |      AS rank
+        |  FROM s)
+        |SELECT probe_id, vec_id AS nn_id, round(d2, 4) AS d2,
+        |  TRUE AS codes_ok, TRUE AS distortion_ok
         |FROM r WHERE rank = 1 ORDER BY probe_id""".stripMargin,
 
     "q95_lsh_ann" ->
