@@ -69,13 +69,19 @@ object Pq {
       .select(col("vec_id"), col("j"), col("m.sv").as("sv"),
         col("m.cid").as("cid"), col("m.d2").as("d2"))
 
-  /** One Lloyd round per subspace: assign, recompute means, truncate
-    * lineage. */
-  def step(subs: DataFrame, codebook: DataFrame): DataFrame =
-    assign(subs, codebook)
+  /** Codebook recompute from a MATERIALIZED assignment — callers that
+    * also read the assignment (distortion, codes) checkpoint it once
+    * and pay each Lloyd scan a single time. */
+  def stepFrom(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("j"), col("cid"))
       .agg(VectorAvg.agg(col("sv")).as("cv"))
       .localCheckpoint()
+
+  /** One Lloyd round per subspace: assign, recompute means, truncate
+    * lineage. */
+  def step(subs: DataFrame, codebook: DataFrame): DataFrame =
+    stepFrom(assign(subs, codebook))
 
   def train(subs: DataFrame, stride: Long, iters: Int): DataFrame =
     (1 to iters).foldLeft(seeds(subs, stride))((cb, _) => step(subs, cb))
