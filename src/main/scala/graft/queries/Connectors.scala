@@ -903,6 +903,63 @@ object Connectors extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Atop end-to-end (reference: `presto-atop/.../AtopSplitManager
+    // .java:68-84`; in-process substitution documented in
+    // sources/AtopLogConn.scala). The distinctive mechanics under test:
+    // host×day splits (3 hosts × 4 days = 12), planning-time DAY
+    // pruning (the start_time >= day-2 filter leaves 6 splits), the
+    // RESET/SEP stream protocol (disks drops the post-RESET "since
+    // boot" sample; reboots is built FROM that sample), and the
+    // field-index parsing contract incl. the rounded-and-capped
+    // utilization. The raw lines are generated from a closed form the
+    // oracle replays exactly (odd io values dodge round-half ties).
+    "q2f_atop_disks" -> ((s, dir) => {
+      import graft.sources.AtopLogStore
+      val store = s"at_li_${Integer.toHexString(dir.hashCode)}"
+      AtopLogStore.drop(store)
+      val E0 = 1700006400L
+      for (h <- 0 until 3; d <- 0 until 4) {
+        val lines = Seq.newBuilder[String]
+        for (sm <- 0 until 4) {
+          if (sm == 2 && ((h == 0 && d == 1) || (h == 2 && d == 3)))
+            lines += "RESET"
+          for ((dev, di) <- Seq(("sda", 0), ("sdb", 1))) {
+            val epoch = E0 + d * 86400 + (sm + 1) * 600
+            val io = ((h * 7 + d * 5 + sm * 3 + di * 11) % 700) * 1000 + 1
+            val rr = h * 100 + d * 10 + sm + di
+            lines += s"DSK h $epoch 2023/11/15 00:00:00 600 $dev " +
+              s"$io $rr ${rr * 2} ${rr + 5} ${rr * 3}"
+          }
+          lines += "SEP"
+        }
+        AtopLogStore.append(store, s"10.0.0.$h", E0 / 86400 + d,
+          lines.result())
+      }
+      def disks = s.read.format("graft-atop").option("store", store)
+        .option("table", "disks").load()
+      val nFull = disks.rdd.getNumPartitions
+      val pruned = disks.filter(col("start_time") >=
+        to_timestamp(lit((E0 + 2 * 86400).toDouble)))
+      val nPruned = pruned.rdd.getNumPartitions
+      val reboots = s.read.format("graft-atop").option("store", store)
+        .option("table", "reboots").load()
+        .groupBy(col("host_ip"))
+        .agg(count(lit(1)).as("n_reboots"),
+          min(unix_timestamp(col("power_on_time")))
+            .as("first_power_on"))
+      pruned.groupBy(col("host_ip"), col("device_name"))
+        .agg(count(lit(1)).as("n"), sum(col("io_millis")).as("io_sum"),
+          sum(col("read_requests")).as("rr_sum"),
+          sum(col("sectors_written")).as("sw_sum"),
+          round(avg(col("utilization_percent")), 4).as("util_avg"),
+          min(unix_timestamp(col("start_time"))).as("st_min"),
+          max(unix_timestamp(col("end_time"))).as("et_max"))
+        .join(reboots, Seq("host_ip"), "left")
+        .withColumn("n_splits_full", lit(nFull.toLong))
+        .withColumn("n_splits_pruned", lit(nPruned.toLong))
+        .orderBy(col("host_ip"), col("device_name"))
+    }),
+
     // Thrift end-to-end (reference: `presto-thrift-connector/.../
     // ThriftConnectorFactory.java` over the presto-thrift-connector-api
     // service; in-process substitution documented in
@@ -1234,6 +1291,46 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // the closed-form grid replays every parsed field; the two
+    // post-RESET drops leave the disks grid, the reboot rows come FROM
+    // them; split counts land as constants
+    "q2f_atop_disks" ->
+      """WITH g AS (
+        |  SELECT h.h, d.d, s.s, di.di,
+        |    CASE di.di WHEN 0 THEN 'sda' ELSE 'sdb' END AS dev,
+        |    1700006400 + d.d * 86400 + (s.s + 1) * 600 AS ep,
+        |    ((h.h * 7 + d.d * 5 + s.s * 3 + di.di * 11) % 700) * 1000 + 1
+        |      AS io,
+        |    h.h * 100 + d.d * 10 + s.s + di.di AS rr
+        |  FROM (SELECT unnest(range(3)) AS h) h,
+        |       (SELECT unnest(range(4)) AS d) d,
+        |       (SELECT unnest(range(4)) AS s) s,
+        |       (SELECT unnest(range(2)) AS di) di
+        |  WHERE NOT ((h.h = 0 AND d.d = 1 AND s.s = 2 AND di.di = 0)
+        |          OR (h.h = 2 AND d.d = 3 AND s.s = 2 AND di.di = 0))),
+        |w AS (SELECT *, least(round(100.0 * io / 600000.0), 100) AS util
+        |      FROM g WHERE d >= 2),
+        |a AS (SELECT '10.0.0.' || h AS host_ip, dev AS device_name,
+        |    count(*) AS n, CAST(sum(io) AS BIGINT) AS io_sum,
+        |    CAST(sum(rr) AS BIGINT) AS rr_sum,
+        |    CAST(sum(rr * 3) AS BIGINT) AS sw_sum,
+        |    round(avg(util), 4) AS util_avg,
+        |    CAST(min(ep - 600) AS BIGINT) AS st_min,
+        |    CAST(max(ep) AS BIGINT) AS et_max
+        |  FROM w GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT '10.0.0.0' AS host_ip, CAST(1 AS BIGINT) AS n_reboots,
+        |    CAST(1700006400 + 86400 + 1200 AS BIGINT) AS first_power_on
+        |  UNION ALL
+        |  SELECT '10.0.0.2', CAST(1 AS BIGINT),
+        |    CAST(1700006400 + 3 * 86400 + 1200 AS BIGINT))
+        |SELECT a.host_ip, a.device_name, a.n, a.io_sum, a.rr_sum,
+        |  a.sw_sum, a.util_avg, a.st_min, a.et_max, rb.n_reboots,
+        |  rb.first_power_on, CAST(12 AS BIGINT) AS n_splits_full,
+        |  CAST(6 AS BIGINT) AS n_splits_pruned
+        |FROM a LEFT JOIN rb ON a.host_ip = rb.host_ip
+        |ORDER BY a.host_ip, a.device_name""".stripMargin,
 
     // the store's DISTINCTCOUNT is exact — DuckDB's count(DISTINCT)
     // replays it directly
