@@ -903,6 +903,50 @@ object Connectors extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Example-HTTP end-to-end (reference: `presto-example-http/.../
+    // ExampleConnectorFactory.java`; in-process substitution documented
+    // in sources/ExampleHttpConn.scala). The distinctive mechanics
+    // under test: the whole catalog arrives as ONE JSON document at
+    // metadata_uri (schemas → tables → columns → source URIs), the
+    // table's data is 3 separate CSV documents each planned as its own
+    // split (n_splits pinned), rows parse comma-split-and-trimmed into
+    // the catalog's varchar/bigint/double types. Aggregates replayed
+    // from the same lineitem slice in DuckDB.
+    "q2g_example_http" -> ((s, dir) => {
+      import graft.sources.ExampleHttpStore
+      val tag = Integer.toHexString(dir.hashCode)
+      val meta = s"http://meta.example/cat_$tag.json"
+      val srcs = (1 to 3).map(i => s"http://data.example/li_${tag}_$i.csv")
+      val rows = graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .collect()
+      srcs.zipWithIndex.foreach { case (uri, i) =>
+        ExampleHttpStore.put(uri, rows.zipWithIndex
+          .filter(_._2 % 3 == i)
+          .map { case (r, _) =>
+            s"${r.getLong(0)}, ${r.getString(1)}, ${r.getDouble(2)}" }
+          .mkString("\n"))
+      }
+      ExampleHttpStore.put(meta,
+        s"""{"example": [{"name": "lineitem",
+           |  "columns": [{"name": "l_orderkey", "type": "bigint"},
+           |              {"name": "l_returnflag", "type": "varchar"},
+           |              {"name": "l_quantity", "type": "double"}],
+           |  "sources": [${srcs.map("\"" + _ + "\"").mkString(",")}]}]}"""
+          .stripMargin)
+      def scan = s.read.format("graft-example-http")
+        .option("metadata_uri", meta).option("schema", "example")
+        .option("table", "lineitem").load()
+      val nSplits = scan.rdd.getNumPartitions
+      scan.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"),
+          max(col("l_orderkey")).as("k_max"))
+        .withColumn("n_splits", lit(nSplits.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Atop end-to-end (reference: `presto-atop/.../AtopSplitManager
     // .java:68-84`; in-process substitution documented in
     // sources/AtopLogConn.scala). The distinctive mechanics under test:
@@ -1291,6 +1335,15 @@ object Connectors extends QueryPack {
         |  CAST(5 AS BIGINT) AS n_shards
         |FROM hits h LEFT JOIN miss m ON h.source = m.source
         |ORDER BY h.source""".stripMargin,
+
+    // the CSV shards partition the slice without loss; the double
+    // column round-trips through its text rendering exactly
+    "q2g_example_http" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  max(l_orderkey) AS k_max, CAST(3 AS BIGINT) AS n_splits
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the closed-form grid replays every parsed field; the two
     // post-RESET drops leave the disks grid, the reboot rows come FROM
