@@ -24,6 +24,73 @@ import graft.operators.MinHash
 object Curation extends QueryPack {
 
   override def defs: Map[String, Q] = Map(
+
+    // The WHOLE curation pipeline, composed end-to-end — the proof the
+    // stages a real corpus build chains (C4/Gopher/RefinedWeb recipes)
+    // compose in ONE engine pass-structure without driver round-trips:
+    // quality scoring (q98's signals) → quality+language gate → exact
+    // dedup keep-smallest (q90's shape) → 3-gram benchmark
+    // decontamination against the doc_id%97 eval slice (qi3's screen,
+    // native WordNgrams) → per-source top-50 cap (qz9's window) →
+    // deterministic multiplicative-hash sharding (qj8's spelling,
+    // modulo-the-prime BEFORE multiplying). Plan shape: two window
+    // shuffles (fingerprint, source), one broadcast anti-join for the
+    // screen, everything else map-side — the 100 TB pipeline skeleton.
+    // DuckDB replays the identical chain stage for stage.
+    "q2h_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+      def ngrams3(c: org.apache.spark.sql.Column) =
+        toCol(graft.functions.WordNgrams(toExpr(c), 3))
+      val d = Tables.view(s, dir, "documents")
+      val scored = d
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("ttr",
+          size(array_distinct(col("w"))).cast("double") / col("n_tok"))
+        .withColumn("mean_wlen",
+          (col("n_chars") - (col("n_tok") - 1)).cast("double")
+            / col("n_tok"))
+        .withColumn("dup_share",
+          size(filter(col("w"), x => x === "dup")).cast("double")
+            / col("n_tok"))
+        .withColumn("score",
+          col("ttr") * 0.5
+            + least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.3
+            + when(col("mean_wlen").between(3.0, 6.0), 0.2).otherwise(0.0)
+            - col("dup_share"))
+      val kept = scored.filter(col("score") >= 0.45 &&
+        col("lang").isin("en", "de"))
+      // the dedup survivors feed BOTH the contamination probe and the
+      // anti-join — materialize the stage once (the checkpoint a real
+      // pipeline places between stages; without it Catalyst recomputes
+      // the scoring+window subtree for each consumer, which the q2h
+      // plan guard counts)
+      val deduped = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .localCheckpoint()
+      val evalGrams = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(ngrams3(col("text"))).as("g")).distinct()
+      val contaminated = deduped
+        .select(col("doc_id"), explode(ngrams3(col("text"))).as("g"))
+        .join(broadcast(evalGrams), Seq("g")).select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val capped = clean
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rk") <= 50)
+      capped
+        .withColumn("h", ((col("doc_id") % 1000000007L) * 2654435761L
+          + 12345L) % 1000000007L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("h") % 8).as("n_shards"),
+          sum(col("n_chars")).as("chars_sum"),
+          round(avg(col("score")), 4).as("avg_score"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"))
+    }),
     // Stratified (per-class) Bernoulli sampling — class-balanced eval
     // subsets. The sampled set is engine-specific (seeded RNG), so like
     // q84 the output is deterministic invariants: per-class counts and a
@@ -433,6 +500,59 @@ object Curation extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+
+    // the identical chain, stage for stage: score -> gate -> dedup ->
+    // 3-gram screen -> cap -> shard
+    "q2h_curation_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT *, len(w) AS n_tok,
+        |    len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+        |    (n_chars - (len(w) - 1))::DOUBLE / len(w) AS mean_wlen,
+        |    len(list_filter(w, x -> x = 'dup'))::DOUBLE / len(w)
+        |      AS dup_share
+        |  FROM d),
+        |q AS (
+        |  SELECT *, ttr * 0.5 + least(n_tok::DOUBLE / 100.0, 1.0) * 0.3
+        |    + CASE WHEN mean_wlen BETWEEN 3.0 AND 6.0
+        |           THEN 0.2 ELSE 0.0 END
+        |    - dup_share AS score
+        |  FROM m),
+        |kept AS (
+        |  SELECT * FROM q WHERE score >= 0.45 AND lang IN ('en', 'de')),
+        |dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM kept),
+        |dd1 AS (SELECT * FROM dd WHERE rn = 1),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS g
+        |  FROM d WHERE doc_id % 97 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |      i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS g
+        |    FROM dd1) x JOIN eg USING (g)),
+        |clean AS (
+        |  SELECT * FROM dd1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rk FROM clean)
+        |  WHERE rk <= 50),
+        |sh AS (
+        |  SELECT *, ((doc_id % 1000000007) * 2654435761 + 12345)
+        |    % 1000000007 AS h FROM capped)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(count(DISTINCT h % 8) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  round(avg(score), 4) AS avg_score,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "qd4_stratified_sample" ->
       """SELECT lang, count(*) AS n_lang, true AS in_bounds
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -359,6 +359,18 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") == 0, s"vector-side shuffle join:\n$plan")
   }
 
+  guards("q2h_curation_pipeline") { (plan, n) =>
+    // the composed curation pipeline: scoring/gating/sharding are
+    // map-side; the dedup window sits behind the stage checkpoint, so
+    // the visible plan carries ONLY the per-source cap window; the
+    // decontamination screen joins the broadcast eval-gram table — no
+    // fact-scale shuffle join anywhere ("Window \\[" counts node
+    // headers, not expression mentions)
+    assert(n("Window \\[") == 1, s"extra window shuffle:\n$plan")
+    assert(n("BroadcastHashJoin") >= 1, s"gram screen not broadcast:\n$plan")
+    assert(n("SortMergeJoin") <= 1, s"pipeline join drifted:\n$plan")
+  }
+
   test("qj0 SHOW STATS per-column passes prune and pre-aggregate") {
     // SHOW STATS costs one count + one aggregate pass per column (the
     // §2.4 lesson: packing countDistincts into one aggregate plans an
