@@ -130,7 +130,10 @@ object ZOrder {
               }
             }
           }
-          (s.getPath.getName, lo, hi)
+          // a file with no usable statistics must count as
+          // always-overlapping (Spark reads it), never as prunable
+          if (lo > hi) (s.getPath.getName, Long.MinValue, Long.MaxValue)
+          else (s.getPath.getName, lo, hi)
         } finally reader.close()
       }
   }
