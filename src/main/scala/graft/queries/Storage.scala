@@ -485,6 +485,45 @@ object Storage extends QueryPack {
         .withColumn("n_limited", lit(limited))
     }),
 
+    // OFFSET pushdown INTO the JDBC source — the third leg of the
+    // analytic-store paging trio (q1k aggregates, q1q limit/TopN):
+    // GraftDerbyDialect's SQL:2008 `OFFSET n ROWS` clause lets Spark's
+    // DSv2 JDBC scan compile an ORDER BY + LIMIT + OFFSET page request
+    // entirely into the remote query — page 3 of the total order
+    // arrives pre-sorted, pre-skipped, and pre-capped; neither the
+    // skipped prefix nor the tail crosses the wire. Plan-locked by a
+    // QueriesSmokeSuite guard asserting PushedOffset alongside
+    // PushedTopN.
+    "q2i_jdbc_offset_pushdown" -> ((s, dir) => {
+      org.apache.spark.sql.jdbc.GraftDerbyDialect.install()
+      val home = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_derby_home")
+      home.mkdirs()
+      System.setProperty("derby.system.home", home.getAbsolutePath)
+      val url = "jdbc:derby:" + ctasPath(s, dir) + "_derby4;create=true"
+      Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "ord_off")
+        .option("createTableColumnTypes", "o_orderstatus VARCHAR(1)")
+        .save()
+      s.conf.set("spark.sql.catalog.graft_jdbc4",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc4.url", url)
+      s.conf.set("spark.sql.catalog.graft_jdbc4.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.graft_jdbc4.pushDownLimit", "true")
+      s.conf.set("spark.sql.catalog.graft_jdbc4.pushDownOffset", "true")
+      s.sql(
+        """SELECT o_orderkey AS k, o_orderstatus AS status,
+          |  o_totalprice AS price
+          |FROM graft_jdbc4.APP.ORD_OFF
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 10 OFFSET 20""".stripMargin)
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -689,6 +728,14 @@ object Storage extends QueryPack {
         |  round(var_pop(l_quantity), 4) AS qty_varp
         |FROM lineitem WHERE l_orderkey % 8 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the same page of the same total order, straight off the slice
+    "q2i_jdbc_offset_pushdown" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  o_totalprice AS price
+        |FROM orders WHERE o_orderkey <= 1200
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
 
     "q1q_jdbc_topn_pushdown" ->
       """SELECT o_orderkey AS k, o_orderstatus AS status,

@@ -463,6 +463,22 @@ class QueriesSmokeSuite extends GraftSuite {
       s"LIMIT not pushed into the JDBC scan:\n$bare")
   }
 
+  test("q2i OFFSET is pushed INTO the JDBC source with the TopN") {
+    // the paging trio's third leg: ORDER BY + LIMIT + OFFSET compiles
+    // whole into the remote query — the skipped prefix never crosses
+    // the wire
+    SparkEntry.queries("q2i_jdbc_offset_pushdown")(spark, SfDir) // fixture
+    val page = spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_jdbc4.APP.ORD_OFF
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 5 OFFSET 15""".stripMargin)
+      .queryExecution.executedPlan.treeString
+    assert(page.toLowerCase.contains("pushedoffset"),
+      s"OFFSET not pushed into the JDBC scan:\n$page")
+    assert(page.toLowerCase.contains("pushedtopn"),
+      s"TopN not pushed with the offset:\n$page")
+  }
+
   // ——— r8c: plan guards for the new pipeline operators ————————————————
   guards("q0w_dsir_resample") { (plan, n) =>
     // DSIR: the 256-row bucket-weight table joins back BROADCAST (never
