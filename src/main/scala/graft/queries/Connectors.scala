@@ -834,6 +834,49 @@ object Connectors extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Kudu runtime tablet pruning (Spark's dynamic-pruning hook for
+    // DSv2, SPARK-35779, on the q1z connector): a SELECTIVE dim join's
+    // build-side key values arrive at the scan as runtime In-filters
+    // and prune hash buckets at EXECUTION time — the dynamic
+    // counterpart of Kudu's scan-token pruning. The gate counts rows
+    // actually scanned: with 16 buckets and ~19 surviving keys, far
+    // fewer than the full table's rows may flow (the boolean lock);
+    // the join itself replays in DuckDB.
+    "q2j_kudu_runtime_pruning" -> ((s, dir) => {
+      import graft.sources.KuduStore
+      import org.apache.spark.sql.types._
+      val tbl = s"ev_kudu_rt_${Integer.toHexString(dir.hashCode)}"
+      KuduStore.drop(tbl)
+      KuduStore.create(tbl,
+        columns = Seq(("event_id", LongType, false),
+          ("event_type", StringType, true), ("value", DoubleType, true)),
+        pkCount = 1, hashCols = Seq("event_id"), hashBuckets = 16)
+      graft.Tables.view(s, dir, "events")
+        .filter(col("event_id") <= 4000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("append").format("graft-kudu")
+        .option("table", tbl).save()
+      val total = s.read.format("graft-kudu").option("table", tbl)
+        .load().count()
+      val dim = graft.Tables.view(s, dir, "events")
+        .select(col("event_id"))
+        .filter(col("event_id") <= 4000 && col("event_id") % 211 === 0)
+      val joined = s.read.format("graft-kudu").option("table", tbl)
+        .load()
+        .join(broadcast(dim), Seq("event_id"))
+      val before = KuduStore.rowsScanned.get()
+      val agg = joined
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+          .as("v_sum"),
+          min(col("event_id")).as("k_min"), max(col("event_id"))
+            .as("k_max")).collect()(0)
+      val scanned = KuduStore.rowsScanned.get() - before
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+        agg.getLong(3), scanned < total))
+        .toDF("n", "v_sum", "k_min", "k_max", "runtime_pruned")
+    }),
+
     // Pinot end-to-end (reference: `presto-pinot-toolkit/.../
     // PinotSplitManager.java`; in-process substitution documented in
     // sources/PinotBrokerConn.scala). The distinctive mechanics under
@@ -1423,6 +1466,15 @@ object Connectors extends QueryPack {
     // the point arm prunes to exactly 1 tablet, the range arm keeps 2
     // of 3 range partitions (8 splits); upsert-twice must not double
     // any count
+    // the join replays directly; the scanned-row reduction lands as a
+    // constant boolean (the suite pins the mechanics)
+    "q2j_kudu_runtime_pruning" ->
+      """SELECT count(*) AS n, round(sum(value), 2) AS v_sum,
+        |  min(event_id) AS k_min, max(event_id) AS k_max,
+        |  true AS runtime_pruned
+        |FROM events
+        |WHERE event_id <= 4000 AND event_id % 211 = 0""".stripMargin,
+
     "q1z_kudu_tablets" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum,
         |  CAST(12 AS BIGINT) AS n_tablets,

@@ -169,4 +169,30 @@ class KuduTabletSuite extends GraftSuite {
     }
     assert(e3.getMessage.contains("NULL in non-nullable column"))
   }
+
+  test("a selective dim join prunes tablets at RUNTIME (dynamic pruning)") {
+    import spark.implicits._
+    val name = "kd_runtime"
+    mkHashTable(name) // 400 rows hashed over 4 buckets on id
+    // the dim keeps two keys behind a SELECTIVE filter (the shape
+    // Spark's dynamic-pruning rule requires on the build side) -> the
+    // runtime In(id, ...) must prune the scan to those keys' buckets
+    val dim = spark.range(1, 101)
+      .select(col("id"), (col("id") % 50).as("tag"))
+      .filter(col("tag") === 7) // keeps ids 7 and 57
+    val joined = read(name).join(broadcast(dim), Seq("id"))
+    val before = KuduStore.rowsScanned.get()
+    val rows = joined.collect()
+    val scanned = KuduStore.rowsScanned.get() - before
+    assert(rows.length == 2)
+    // ids 7 and 57 land in at most 2 of the 4 buckets (~100 rows
+    // each): roughly half the table is scanned; without runtime
+    // pruning all 400 rows would be
+    assert(scanned <= 250, s"runtime filter did not prune: $scanned rows")
+    // and the executed plan carries the runtime filter on the scan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [id"),
+      s"no runtime filter on the scan:\n$plan")
+  }
 }
