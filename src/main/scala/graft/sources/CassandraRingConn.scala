@@ -66,6 +66,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CassStore {
 
+  /** Split-type counters — CI proof that runtime filtering converts a
+    * token scan into partition-key splits at execution. */
+  val tokenSplitsOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  val partitionSplitsOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class TableDef(partitionKeys: Seq[String],
       clusteringKeys: Seq[String], fields: Seq[(String, DataType)]) {
     val fieldMap: Map[String, DataType] = fields.toMap
@@ -402,7 +407,57 @@ class CassScan(tableName: String, splitSize: Int,
     pkValues: Option[Seq[Seq[Any]]], bound: ClusteringBound,
     required: StructType, pushedFilters: Array[Filter]) extends Scan
     with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME partition pruning (Spark's dynamic-pruning hook for DSv2
+    * scans, SPARK-35779): when a selective dim join's build side
+    * executes, its key values arrive as an In-filter and convert the
+    * planned token scan into partition-key splits — CQL's fully-bound
+    * pruning rule applied dynamically. Faithful to that rule, only a
+    * SINGLE-column partition key is declared (Spark hands over one
+    * join key's values; a partially-bound composite key cannot prune).
+    * Reading only the named partitions IS the equality filter, and the
+    * join re-applies exact semantics on top. */
+  @volatile private var runtimePks: Option[Seq[Seq[Any]]] = None
+
+  private def defn = CassStore.table(tableName).defn
+
+  private def normalize(col: String, v: Any): Option[Any] =
+    defn.fieldMap.get(col).flatMap {
+      case StringType => Some(String.valueOf(v))
+      case LongType => v match {
+        case n: Number => Some(n.longValue()); case _ => None
+      }
+      case IntegerType => v match {
+        case n: Number => Some(n.intValue()); case _ => None
+      }
+      case DoubleType => v match {
+        case n: Number => Some(n.doubleValue()); case _ => None
+      }
+      case BooleanType => v match {
+        case b: Boolean => Some(b); case _ => None
+      }
+      case _ => None
+    }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (defn.partitionKeys.size == 1 && pkValues.isEmpty)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(defn.partitionKeys.head))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val pk = defn.partitionKeys.head
+    runtimePks = filters.collectFirst {
+      case In(a, vs) if a == pk && vs.nonEmpty &&
+          vs.forall(v => v != null && normalize(pk, v).isDefined) =>
+        vs.toSeq.map(v => Seq(normalize(pk, v).get))
+      case EqualTo(a, v) if a == pk && normalize(pk, v).isDefined =>
+        Seq(Seq(normalize(pk, v).get))
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -413,7 +468,7 @@ class CassScan(tableName: String, splitSize: Int,
        else "tokenScan ") + "cols=" + required.fieldNames.mkString(",")
 
   override def planInputPartitions(): Array[InputPartition] =
-    pkValues match {
+    pkValues.orElse(runtimePks) match {
       case Some(pks) =>
         // getSplitsForPartitions: single-column keys batch into
         // IN-clause splits; composite keys keep one split per partition
@@ -459,6 +514,10 @@ class CassReaderFactory(required: StructType)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val split = p.asInstanceOf[CassSplit]
+    split match {
+      case _: TokenRangeSplit => CassStore.tokenSplitsOpened.incrementAndGet()
+      case _: PartitionsSplit => CassStore.partitionSplitsOpened.incrementAndGet()
+    }
     val t = CassStore.table(split.table)
     val idx = t.defn.fields.map(_._1).zipWithIndex.toMap
     val ckIdx = t.defn.clusteringKeys.map(idx)

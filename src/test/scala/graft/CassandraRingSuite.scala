@@ -143,4 +143,28 @@ class CassandraRingSuite extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"point lookup should broadcast:\n$plan")
   }
+
+  test("a selective dim join converts the token scan to partition " +
+      "splits at RUNTIME") {
+    // CQL's fully-bound pruning rule applied dynamically: the build
+    // side's user keys arrive as a runtime In-filter, and the scan
+    // that PLANNED as a ring scan executes as partition-key splits
+    mkTable("ct_runtime")
+    val dim = spark.range(1, 51)
+      .select(concat(lit("u"), col("id")).as("user"),
+        (col("id") % 25).as("tag"))
+      .filter(col("tag") === 3) // keeps u3 and u28
+    val joined = read("ct_runtime").join(broadcast(dim), Seq("user"))
+    val tokBefore = CassStore.tokenSplitsOpened.get()
+    val pkBefore = CassStore.partitionSplitsOpened.get()
+    assert(joined.count() == 12) // 2 users x 3 days x 2 seqs
+    assert(CassStore.tokenSplitsOpened.get() == tokBefore,
+      "runtime filter did not cancel the token scan")
+    assert(CassStore.partitionSplitsOpened.get() > pkBefore,
+      "no partition splits opened")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [user"),
+      s"no runtime filter on the scan:\n$plan")
+  }
 }
