@@ -61,6 +61,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DruidStore {
 
+  /** Segments actually opened by readers — the CI proof that runtime
+    * filtering pruned the historical fan-out at execution. */
+  val segmentsOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class DruidDef(granularityMs: Long,
       dims: Seq[String], metrics: Seq[(String, DataType)]) {
     def schema: StructType = StructType(
@@ -251,7 +255,32 @@ final case class DruidSegmentSplit(ds: String, segmentStart: Long,
 class DruidScan(dsName: String, spec: DruidQuerySpec,
     required: StructType, pushedFilters: Array[Filter]) extends Scan
     with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME segment pruning (Spark's dynamic-pruning hook for DSv2,
+    * SPARK-35779) — the time-dimension DPP every star-schema query
+    * wants: a date-dim join's build-side `__time` values arrive as a
+    * runtime In-filter, and only the segments whose interval holds at
+    * least one of them are read. The static `__time`-bound pruning is
+    * Druid's defining scan optimization; this is the same decision
+    * deferred to execution, when the join has revealed WHICH times
+    * matter. */
+  @volatile private var runtimeTimes: Option[Seq[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("__time"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeTimes = filters.collectFirst {
+      case In("__time", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Number]) =>
+        vs.toSeq.map(_.asInstanceOf[Number].longValue())
+      case EqualTo("__time", v: Number) => Seq(v.longValue())
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -268,6 +297,8 @@ class DruidScan(dsName: String, spec: DruidQuerySpec,
     import scala.jdk.CollectionConverters._
     ds.segments.keySet().asScala.toSeq.sorted
       .filter(start => start < spec.tsHi && start + g > spec.tsLo)
+      .filter(start => runtimeTimes.forall(_.exists(t =>
+        t >= start && t < start + g)))
       .map(start => DruidSegmentSplit(dsName, start, spec): InputPartition)
       .toArray
   }
@@ -299,6 +330,7 @@ class DruidReaderFactory(required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val DruidSegmentSplit(dsName, start, spec) =
       p.asInstanceOf[DruidSegmentSplit]
+    DruidStore.segmentsOpened.incrementAndGet()
     val ds = DruidStore.datasource(dsName)
     val defn = ds.defn
     val seg = ds.segments.get(start)

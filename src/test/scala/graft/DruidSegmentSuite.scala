@@ -129,4 +129,26 @@ class DruidSegmentSuite extends GraftSuite {
     assert(q.collect().map(_.getLong(2)).sum ==
       6L * (1 to 60).sum)
   }
+
+  test("a date-dim join prunes segments at RUNTIME (dynamic pruning)") {
+    // the time-dimension DPP: the build side keeps timestamps inside
+    // ONE hour — only that hour's segment is read at execution, though
+    // planning (no static __time bound) kept all 6
+    mkDs("dr_runtime")
+    val dim = spark.range(0, 360)
+      .select((col("id") * 60000L).as("__time"),
+        (col("id") % 120).as("tag"))
+      .filter(col("tag") === 65) // keeps ids 65, 185, 305
+    val joined = read("dr_runtime").join(broadcast(dim), Seq("__time"))
+    val before = DruidStore.segmentsOpened.get()
+    val n = joined.count()
+    val opened = DruidStore.segmentsOpened.get() - before
+    assert(n == 3) // ids 65 (h1), 185 (h3), 305 (h5) all exist
+    // three hours' segments read, not six
+    assert(opened <= 3, s"runtime filter did not prune: $opened segments")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [__time"),
+      s"no runtime filter on the scan:\n$plan")
+  }
 }
