@@ -84,6 +84,11 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
       .map { case (name, fn) =>
+      // release every in-process connector store before the timed
+      // region: gates recreate their own store, but the PRIOR query's
+      // fixture would otherwise sit in old-gen for the whole suite
+      // (the round-11 suite-wide drift)
+      sources.Stores.releaseAll()
       System.gc() // drain prior queries' garbage outside the timed region
       runOnce(fn) // prewarm: scan + codegen warm, untimed
       var trials = Seq(runOnce(fn), runOnce(fn))

@@ -569,16 +569,15 @@ object Connectors extends QueryPack {
       EsStore.create(ixName, 5, Seq(
         "lang" -> StringType, "source" -> StringType,
         "n_chars" -> LongType, "nc7" -> LongType))
-      graft.Tables.view(s, dir, "documents")
+      EsStore.bulk(ixName, graft.Tables.view(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .collect().foreach { r =>
+        .collect().toSeq.map { r =>
           val id = r.getLong(0)
-          EsStore.indexDoc(ixName, s"doc$id", Map(
+          (s"doc$id", Map[String, Any](
             "lang" -> r.getString(1), "source" -> r.getString(2),
             "n_chars" -> r.getLong(3),
             "nc7" -> (if (id % 7 == 0) null else r.getLong(3))))
-        }
-      EsStore.refresh(ixName)
+        })
       def scan = s.read.format("graft-es").option("index", ixName).load()
       val nSplits = scan.select(spark_partition_id())
         .distinct().count() // every shard non-empty at 500 docs
@@ -894,13 +893,10 @@ object Connectors extends QueryPack {
       PinotStore.create(tbl, Seq(("doc_id", LongType),
         ("lang", StringType), ("source", StringType),
         ("n_chars", LongType)), servers = 3)
-      graft.Tables.view(s, dir, "documents")
+      PinotStore.ingestBatch(tbl, graft.Tables.view(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .collect().zipWithIndex.foreach { case (r, i) =>
-          PinotStore.ingest(tbl, Seq(r.getLong(0), r.getString(1),
-            r.getString(2), r.getLong(3)))
-          if ((i + 1) % 100 == 0) PinotStore.seal(tbl)
-        }
+        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))), segmentRows = 100)
       def scan = s.read.format("graft-pinot").option("table", tbl).load()
       val nSegments = scan.rdd.getNumPartitions.toLong
       // store-side TopN through the broker split
@@ -931,13 +927,10 @@ object Connectors extends QueryPack {
       PinotStore.create(tbl, Seq(("doc_id", LongType),
         ("lang", StringType), ("source", StringType),
         ("n_chars", LongType)), servers = 3)
-      graft.Tables.view(s, dir, "documents")
+      PinotStore.ingestBatch(tbl, graft.Tables.view(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .collect().zipWithIndex.foreach { case (r, i) =>
-          PinotStore.ingest(tbl, Seq(r.getLong(0), r.getString(1),
-            r.getString(2), r.getLong(3)))
-          if ((i + 1) % 100 == 0) PinotStore.seal(tbl)
-        }
+        .collect().toSeq.map(r => Seq[Any](r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))), segmentRows = 100)
       def scan = s.read.format("graft-pinot").option("table", tbl).load()
       scan.groupBy(col("lang"))
         .agg(countDistinct(col("source")).as("nd_source"),

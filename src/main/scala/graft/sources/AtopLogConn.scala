@@ -62,6 +62,8 @@ object AtopLogStore {
 
   def drop(store: String): Unit = stores.remove(store)
 
+  private[sources] def clearAll(): Unit = stores.clear()
+
   def append(store: String, host: String, epochDay: Long,
       lines: Seq[String]): Unit = {
     val s = stores.computeIfAbsent(store,

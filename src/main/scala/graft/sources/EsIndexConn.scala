@@ -124,6 +124,15 @@ object EsStore {
     }
   }
 
+  /** The `_bulk` API analog: route and append a whole document batch in
+    * one call (gates make ONE call per fixture instead of a per-row
+    * driver loop), then refresh to make it searchable. */
+  def bulk(name: String, docs: Seq[(String, Map[String, Any])])
+      : Unit = {
+    docs.foreach { case (id, d) => indexDoc(name, id, d) }
+    refresh(name)
+  }
+
   /** Build the per-shard search structures — the ES refresh that makes
     * indexed documents searchable. */
   def refresh(name: String): Unit = {

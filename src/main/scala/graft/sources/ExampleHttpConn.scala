@@ -56,6 +56,7 @@ object ExampleHttpStore {
 
   def put(uri: String, content: String): Unit = docs.put(uri, content)
   def remove(uri: String): Unit = docs.remove(uri)
+  private[sources] def clearAll(): Unit = docs.clear()
 
   private[sources] def fetch(uri: String): String = {
     fetches.incrementAndGet()

@@ -126,6 +126,21 @@ object PinotStore {
     }
   }
 
+  /** Bulk ingest — the out-of-band segment-build path (the reference's
+    * Pinot tables are loaded by offline segment jobs, not row-at-a-time
+    * through the connector): appends the whole batch, sealing a segment
+    * every `segmentRows` rows. Gates make ONE call per fixture. */
+  def ingestBatch(name: String, rows: Seq[Seq[Any]],
+      segmentRows: Int = 100): Unit = {
+    require(segmentRows > 0, "graft-pinot: segmentRows must be > 0")
+    var i = 0
+    rows.foreach { r =>
+      ingest(name, r)
+      i += 1
+      if (i % segmentRows == 0) seal(name)
+    }
+  }
+
   /** Seal the open segment — the segment-build step; the next ingest
     * opens a new one (and the routing table assigns its server). */
   def seal(name: String): Unit = {
