@@ -279,6 +279,101 @@ object Ann extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
+    // Composed IVF-PQ — the actual billion-vector index shape
+    // (Jégou et al. 2011 §V; operators/Pq.scala:35-37 documents the
+    // composition): the IVF coarse quantizer (qb4/qk6's √n stride-seed
+    // cells) routes each probe to its nprobe=4 nearest cells (measured:
+    // nprobe=2 leaks one probe's best candidate to exact rank 17 at
+    // sf0.01; 4 holds worst best-rank ≤7 at every fixture SF incl. the
+    // 10× sweep), PQ's ADC table scores ONLY those cells' codes (never
+    // the corpus — the r11 q2e residual), and the ADC top-50 shortlist
+    // alone is exactly re-ranked. Candidate volume per probe is ~4·√n
+    // instead of n, so the per-probe cost CURVE flattens as the corpus
+    // grows — at 100 TB the cells are the partition grain and a probe
+    // touches nprobe partitions' codes, not the table. Pass bars: the
+    // cell-restriction is a counted fact (cells_ok: all 10 probes'
+    // candidates together stay under HALF the 10-probe × corpus
+    // cross), and recall is the qk6 stance (the IVF-PQ answer must sit
+    // within the exact top-10 of its probe — rank computed against the
+    // bitwise DuckDB-replayable brute force that also supplies the
+    // answer columns).
+    "q2k_ivf_pq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val e = emb(s, dir)
+      val n = Tables.view(s, dir, "embeddings").count()
+      val m = 16
+      // coarse quantizer: √n stride-seed cells (the qb4 contract)
+      val cellStride = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val cents = KMeans.seeds(e, cellStride)
+      val assigned = KMeans.assign(e, cents)
+        .select(col("vec_id"), col("cent_id"))
+      val byCd = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
+        .withColumn("cr", row_number().over(byCd))
+        .filter(col("cr") <= 4) // nprobe = 4
+        .select(col("vec_id").as("probe_id"), col("cent_id"))
+      // the cell filter — BEFORE any code/ADC join: per-probe candidate
+      // ids, ~nprobe·(n/√n) = 4√n rows per probe (checkpointed: it
+      // feeds both the counted proof and the code join)
+      val candidates = assigned.join(broadcast(probeCells), Seq("cent_id"))
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint()
+      val candTotal = candidates.count()
+      // PQ: ~64-codeword codebooks (seeds + one Lloyd round), whole
+      // corpus encoded — the index build, paid once per corpus
+      val codeStride = math.max(1L, n / 64)
+      val subs = Pq.subVectors(e, m, Dims).localCheckpoint()
+      val cb = Pq.stepFrom(
+        Pq.assign(subs, Pq.seeds(subs, codeStride)).localCheckpoint())
+      val codes = Pq.encode(subs, cb)
+      // ADC over the probed cells only: the code table joins the
+      // BROADCAST candidate list first, then the broadcast per-probe
+      // distance table — m lookups summed map-side per (probe, vec)
+      val candCodes = codes.join(broadcast(candidates), Seq("vec_id"))
+      val dtab = Pq.adcTable(subs.filter(col("vec_id") < 10), cb)
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      val shortlist = candCodes
+        .join(broadcast(dtab), Seq("probe_id", "j", "cid"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("pd2")).as("adc"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50)
+        .select(col("probe_id"), col("vec_id"))
+      val pr = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val wExact = Window.partitionBy(col("probe_id"))
+        .orderBy(col("d2").asc, col("vec_id"))
+      val ivfpq = shortlist
+        .join(e, Seq("vec_id"))
+        .join(broadcast(pr), Seq("probe_id"))
+        .withColumn("d2", Pq.exactD2(col("pe"), col("e")))
+        .withColumn("rk", row_number().over(wExact))
+        .filter(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id").as("ivfpq_nn"))
+      val brute = e.crossJoin(broadcast(pr))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", Pq.exactD2(col("pe"), col("e")))
+        .withColumn("rank", row_number().over(wExact))
+      val exact = brute.filter(col("rank") === 1)
+        .select(col("probe_id"), col("vec_id").as("nn_id"),
+          round(col("d2"), 4).as("d2"))
+      val rankOk = ivfpq
+        .join(brute.select(col("probe_id"), col("vec_id"), col("rank")),
+          Seq("probe_id"))
+        .filter(col("vec_id") === col("ivfpq_nn"))
+        .select(col("probe_id"), (col("rank") <= 10).as("ivfpq_rank_ok"))
+      exact.join(rankOk, Seq("probe_id"))
+        .withColumn("cells_ok", lit(candTotal * 2 < n * 10))
+        .select(col("probe_id"), col("nn_id"), col("d2"),
+          col("ivfpq_rank_ok"), col("cells_ok"))
+        .orderBy(col("probe_id"))
+    }),
+
     // k-NN label classification (the eval-pipeline operator): predict
     // each probe's label by majority vote of its 5 nearest neighbors
     // (ties -> smallest label), report a per-label accuracy table.
@@ -599,6 +694,26 @@ object Ann extends QueryPack {
         |  FROM s)
         |SELECT probe_id, vec_id AS nn_id, round(d2, 4) AS d2,
         |  TRUE AS codes_ok, TRUE AS distortion_ok
+        |FROM r WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // the exact-top-1 columns replay bitwise (same d2 composition as
+    // q2e); the cell-restriction count and the recall rank land as
+    // invariant booleans the oracle asserts came out TRUE
+    "q2k_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    list_dot_product(pv, pv) + list_dot_product(v, v)
+        |      - 2 * list_dot_product(pv, v) AS d2
+        |  FROM p CROSS JOIN e WHERE vec_id <> probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id, d2,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY d2 ASC, vec_id)
+        |      AS rank
+        |  FROM s)
+        |SELECT probe_id, vec_id AS nn_id, round(d2, 4) AS d2,
+        |  TRUE AS ivfpq_rank_ok, TRUE AS cells_ok
         |FROM r WHERE rank = 1 ORDER BY probe_id""".stripMargin,
 
     "q95_lsh_ann" ->

@@ -876,6 +876,101 @@ object Connectors extends QueryPack {
         .toDF("n", "v_sum", "k_min", "k_max", "runtime_pruned")
     }),
 
+    // ES runtime term pruning (SPARK-35779 on the q1t connector): a
+    // selective dim join's build-side keys arrive at the scan as
+    // runtime In-filters and compile onto the SAME posting-list
+    // surface planning-time predicates use — each shard answers the
+    // join probe from its term index, so only matching documents
+    // materialize (the search-index counterpart of Kudu's runtime
+    // tablet pruning, q2j; beyond the reference, which has no dynamic
+    // filtering in this snapshot). The gate counts materialized docs:
+    // with ~5 surviving keys of 500+ indexed docs, far fewer than the
+    // corpus may flow (the boolean lock); the join replays in DuckDB.
+    "q2l_es_runtime_pruning" -> ((s, dir) => {
+      import graft.sources.EsStore
+      import org.apache.spark.sql.types._
+      val ixName = s"docs_rt_${Integer.toHexString(dir.hashCode)}"
+      EsStore.drop(ixName)
+      EsStore.create(ixName, 5, Seq(
+        "dockey" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType))
+      EsStore.bulk(ixName, graft.Tables.view(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .collect().toSeq.map { r =>
+          val id = r.getLong(0)
+          (s"doc$id", Map[String, Any]("dockey" -> s"d$id",
+            "source" -> r.getString(1), "n_chars" -> r.getLong(2)))
+        })
+      val total = s.read.format("graft-es").option("index", ixName)
+        .load().count()
+      // a SELECTIVE parquet-side filter (the shape Spark's dynamic
+      // pruning rule requires of the build side)
+      val dim = graft.Tables.view(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("d"), col("doc_id")).as("dockey"))
+      val joined = s.read.format("graft-es").option("index", ixName)
+        .load()
+        .join(broadcast(dim), Seq("dockey"))
+      val before = EsStore.docsMaterialized.get()
+      val agg = joined
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("nc_sum"),
+          min(col("dockey")).as("k_min"), max(col("dockey")).as("k_max"))
+        .collect()(0)
+      val materialized = EsStore.docsMaterialized.get() - before
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getString(2),
+        agg.getString(3), materialized < total))
+        .toDF("n", "nc_sum", "k_min", "k_max", "runtime_pruned")
+    }),
+
+    // Accumulo runtime row-id pruning (SPARK-35779 on the q1y
+    // connector): the build-side keys arrive as a runtime In on the
+    // ROW ID and intersect the row-range set into point lookups
+    // chopped on tablet boundaries — the dynamic counterpart of the
+    // q1y range arm (runtime values on INDEXED columns ride the
+    // IndexLookup decision tree instead; AccumuloKvSuite locks both
+    // arms at the Scan level). The gate counts rows the store
+    // actually examined: with ~28 surviving keys of 6000 rows, far
+    // fewer than the table may flow; the join replays in DuckDB.
+    "q2m_accumulo_runtime_pruning" -> ((s, dir) => {
+      import graft.sources.AccStore
+      import org.apache.spark.sql.types._
+      val tbl = s"ord_accrt_${Integer.toHexString(dir.hashCode)}"
+      AccStore.drop(tbl)
+      AccStore.create(tbl, rowId = ("o_orderkey", LongType),
+        columns = Seq(
+          ("o_orderstatus", "m", StringType),
+          ("o_totalprice", "v", DoubleType)),
+        indexed = Set("o_orderstatus"),
+        localityGroups = Map("keys" -> Seq("o_orderstatus"),
+          "vals" -> Seq("o_totalprice")))
+      AccStore.addSplits(tbl, Seq(1500L, 3000L, 4500L))
+      graft.Tables.view(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("append").format("graft-accumulo")
+        .option("table", tbl).save()
+      val total = s.read.format("graft-accumulo").option("table", tbl)
+        .load().count()
+      val dim = graft.Tables.view(s, dir, "orders")
+        .select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 211 === 0)
+      val joined = s.read.format("graft-accumulo").option("table", tbl)
+        .load()
+        .join(broadcast(dim), Seq("o_orderkey"))
+      val before = AccStore.rowsMaterialized.get()
+      val agg = joined
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"),
+          min(col("o_orderkey")).as("k_min"),
+          max(col("o_orderkey")).as("k_max")).collect()(0)
+      val examined = AccStore.rowsMaterialized.get() - before
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+        agg.getLong(3), examined < total))
+        .toDF("n", "price_sum", "k_min", "k_max", "runtime_pruned")
+    }),
+
     // Pinot end-to-end (reference: `presto-pinot-toolkit/.../
     // PinotSplitManager.java`; in-process substitution documented in
     // sources/PinotBrokerConn.scala). The distinctive mechanics under
@@ -1467,6 +1562,22 @@ object Connectors extends QueryPack {
         |  true AS runtime_pruned
         |FROM events
         |WHERE event_id <= 4000 AND event_id % 211 = 0""".stripMargin,
+
+    // the join replays directly; the materialized-doc reduction lands
+    // as a constant boolean (EsIndexSuite pins the mechanics)
+    "q2l_es_runtime_pruning" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+        |  min('d' || doc_id) AS k_min, max('d' || doc_id) AS k_max,
+        |  true AS runtime_pruned
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // the join replays directly; the examined-row reduction lands as
+    // a constant boolean (AccumuloKvSuite pins the mechanics)
+    "q2m_accumulo_runtime_pruning" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
+        |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |  true AS runtime_pruned
+        |FROM orders WHERE o_orderkey % 211 = 0""".stripMargin,
 
     "q1z_kudu_tablets" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum,

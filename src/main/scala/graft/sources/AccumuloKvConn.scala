@@ -536,11 +536,72 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
     constraints: Seq[AccStore.Constraint], required: StructType,
     pushedFilters: Array[Filter], options: CaseInsensitiveStringMap)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   import AccStore._
 
   private val t = AccStore.table(tableName)
+
+  /** RUNTIME split pruning (Spark's dynamic-pruning hook for DSv2,
+    * SPARK-35779): a join's build-side key values arrive as In/EqualTo
+    * filters after the build side executes. Row-id values intersect
+    * the row-range set (point lookups chopped on tablet boundaries —
+    * the dynamic counterpart of the row-id-range arm); values on
+    * INDEXED columns join the constraint set and ride the SAME
+    * `IndexLookup.applyIndex` decision tree as planning-time
+    * predicates, so a selective join probes the secondary index's
+    * rowId sets instead of scanning tablets. Readers keep the STATIC
+    * constraint set — pruning is an I/O optimization, the join
+    * re-applies exact semantics ([[AccStore.rowsMaterialized]] counts
+    * the saved volume). */
+  @volatile private var runtimeRanges: Seq[KeyRange] = Seq.empty
+  @volatile private var runtimeConstraints: Seq[Constraint] = Seq.empty
+
+  private def normRt(col: String, v: Any): Any = {
+    val dt = if (col == t.rowIdCol) t.rowIdType else t.colByName(col).dt
+    (dt, v) match {
+      case (LongType, n: Number) => n.longValue()
+      case (DoubleType, n: Number) => n.doubleValue()
+      case (StringType, s) => s.toString
+      case _ => v
+    }
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (t.rowIdCol +: t.columns.filter(_.indexed).map(_.name))
+      .distinct
+      // only columns in the pruned read schema: Spark resolves these
+      // against the scan's OUTPUT and errors on a pruned-away column
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val rr = Seq.newBuilder[KeyRange]
+    val cs = Seq.newBuilder[Constraint]
+    filters.foreach {
+      case In(a, vs) if a == t.rowIdCol && vs.nonEmpty &&
+          !vs.contains(null) =>
+        vs.foreach { v =>
+          val k = encodeKey(normRt(a, v))
+          rr += KeyRange(Some(k), true, Some(k), true)
+        }
+      case EqualTo(a, v) if a == t.rowIdCol && v != null =>
+        val k = encodeKey(normRt(a, v))
+        rr += KeyRange(Some(k), true, Some(k), true)
+      case In(a, vs) if t.colByName.get(a).exists(_.indexed) &&
+          vs.nonEmpty && !vs.contains(null) =>
+        cs += Constraint(a, ValuesIn(vs.toSeq.map(normRt(a, _))))
+      case EqualTo(a, v) if t.colByName.get(a).exists(_.indexed) &&
+          v != null =>
+        cs += Constraint(a, ValuesIn(Seq(normRt(a, v))))
+      case _ => ()
+    }
+    runtimeRanges = rr.result()
+    runtimeConstraints = cs.result()
+  }
 
   // AccumuloSessionProperties names and defaults (`:55-110`)
   private def boolOpt(k: String, d: Boolean) =
@@ -566,8 +627,9 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
       required.fieldNames.mkString(",")
 
   /** The `AccumuloClient.getTabletSplits:652-715` decision tree. */
-  private lazy val planned: Array[InputPartition] = {
-    val indexed = constraints.filter(c => t.colByName(c.col).indexed &&
+  private def computePlanned(rr: Seq[KeyRange], cs: Seq[Constraint])
+      : Array[InputPartition] = {
+    val indexed = cs.filter(c => t.colByName(c.col).indexed &&
       (c.spec match {
         case _: ValuesIn | _: ValueRange => true
         case _ => false // exists/missing are not index lookups
@@ -577,7 +639,7 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
         (None, "tabletScan(noIndexedConstraint)")
       else if (!metricsEnabled) {
         // `IndexLookup.java:157-173`: no metrics — intersect and bin
-        val sets = indexed.map(indexRowIds(t, _, rowRanges))
+        val sets = indexed.map(indexRowIds(t, _, rr))
         val hits = sets.reduceLeft((a, b) => a.intersect(b))
         (Some(bin(hits)), s"index(noMetrics,${hits.size})")
       }
@@ -591,13 +653,13 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
         val hitsOpt: Option[(collection.SortedSet[String], String)] =
           if (lowestCard.toDouble / numRows <= smallCardThreshold)
             // under the lowest-cardinality threshold: that column ALONE
-            Some((indexRowIds(t, lowestC, rowRanges),
+            Some((indexRowIds(t, lowestC, rr),
               s"lowCard(${lowestC.col})"))
           else if (indexed.size == 1 &&
             lowestCard.toDouble / numRows >= indexThreshold)
             None // single column already over the threshold (`:240-247`)
           else {
-            val sets = indexed.map(indexRowIds(t, _, rowRanges))
+            val sets = indexed.map(indexRowIds(t, _, rr))
             Some((sets.reduceLeft((a, b) => a.intersect(b)), "intersect"))
           }
         hitsOpt match {
@@ -613,19 +675,24 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
         }
       }
     AccStore.lastPlan.put(tableName, decision)
-    viaIndex.getOrElse(tabletScan())
+    viaIndex.getOrElse(tabletScan(rr))
   }
+
+  // stats report the STATIC plan (runtime filters arrive later);
+  // execution re-plans with whatever runtime values Spark handed over
+  private lazy val planned: Array[InputPartition] =
+    computePlanned(rowRanges, constraints)
 
   private def bin(hits: collection.SortedSet[String])
       : Array[InputPartition] =
     hits.toArray.grouped(math.max(rowsPerSplit, 1))
       .map(g => AccIndexSplit(tableName, g): InputPartition).toArray
 
-  private def tabletScan(): Array[InputPartition] = {
+  private def tabletScan(rr: Seq[KeyRange]): Array[InputPartition] = {
     // split each row-id range on tablet boundaries (`:756`)
     val pieces =
-      if (!splitRangesEnabled) rowRanges
-      else rowRanges.flatMap { r =>
+      if (!splitRangesEnabled) rr
+      else rr.flatMap { r =>
         val cuts = t.splitPoints.filter(p =>
           r.lo.forall(l => p > l) && r.hi.forall(h => p < h))
         // walk [lo, cut1], (cut1, cut2], ..., (cutN, hi]
@@ -641,7 +708,14 @@ class AccScan(tableName: String, rowRanges: Seq[AccStore.KeyRange],
     pieces.map(p => AccRangeSplit(tableName, p): InputPartition).toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planned
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeRanges.isEmpty && runtimeConstraints.isEmpty) planned
+    else {
+      val rr =
+        if (runtimeRanges.isEmpty) rowRanges
+        else rowRanges.flatMap(a => runtimeRanges.flatMap(a.intersect))
+      computePlanned(rr, constraints ++ runtimeConstraints)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AccReaderFactory(required, constraints, rowRanges)

@@ -361,7 +361,45 @@ final case class EsShardSplit(index: String, shard: Int,
 class EsScan(indexName: String, query: EsStore.Query,
     required: StructType, pushedFilters: Array[Filter] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME term pruning (Spark's dynamic-pruning hook for DSv2,
+    * SPARK-35779): after a join's build side executes, Spark hands the
+    * scan the build side's key values as In/EqualTo filters on the
+    * declared attributes. They compile onto the SAME term/range query
+    * surface the planning-time pushdown uses, so each shard answers
+    * the join probe from its posting lists — only documents whose key
+    * appears on the build side materialize (the ES analog of Kudu's
+    * runtime tablet pruning; here the saved I/O is document
+    * materialization, counted by [[EsStore.docsMaterialized]]). Rows
+    * are NOT re-filtered with the runtime values: pruning is an I/O
+    * optimization, the join re-applies exact semantics. */
+  @volatile private var runtimeQs: Seq[EsStore.Query] = Seq.empty
+
+  private val fieldTypes: Map[String, DataType] =
+    EsStore.index(indexName).mapping.fields.toMap
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // term fields only (the posting-list surface a join-key In rides),
+    // restricted to the pruned read schema: Spark resolves these
+    // against the scan's OUTPUT and errors on a pruned-away column
+    fieldTypes.collect {
+      case (f, StringType | BooleanType)
+        if required.fieldNames.contains(f) => f
+    }.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeQs = filters.toSeq.flatMap {
+      case In(f, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Some(EsStore.Terms(f, vs.map(_.toString).toSeq))
+      case EqualTo(f, v) if v != null =>
+        Some(EsStore.Terms(f, Seq(v.toString)))
+      case _ => None
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -370,9 +408,13 @@ class EsScan(indexName: String, query: EsStore.Query,
       s"PushedFilters: [${pushedFilters.mkString(", ")}] " +
       s"query=$query cols=" + required.fieldNames.mkString(",")
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val q =
+      if (runtimeQs.isEmpty) query
+      else EsStore.BoolMust(query +: runtimeQs)
     EsStore.index(indexName).shards.indices
-      .map(i => EsShardSplit(indexName, i, query): InputPartition).toArray
+      .map(i => EsShardSplit(indexName, i, q): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsReaderFactory(required)

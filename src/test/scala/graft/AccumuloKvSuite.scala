@@ -208,4 +208,59 @@ class AccumuloKvSuite extends GraftSuite {
     // i%4==1 && i ends in 7: 17, 37, 57, 77, 97 pattern -> 50 rows
     assert(q.count() == 50)
   }
+
+  test("runtime In on the row id prunes to point-range splits") {
+    val name = "acc_rt_rowid"
+    mkTable(name)
+    val dim = spark.range(1, 1001)
+      .select(col("id"), (col("id") % 250).as("tag"))
+      .filter(col("tag") === 7) // keeps ids 7, 257, 507, 757
+    val joined = read(name).select(col("id"), col("score"))
+      .join(broadcast(dim.select(col("id"))), Seq("id"))
+    val before = AccStore.rowsMaterialized.get()
+    val rows = joined.collect()
+    val examined = AccStore.rowsMaterialized.get() - before
+    assert(rows.length == 4)
+    // point ranges examine exactly the 4 keys; a full tablet scan
+    // would walk all 1000 rows
+    assert(examined == 4,
+      s"runtime row-id filter did not prune: $examined rows of 1000")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [id"),
+      s"no runtime filter on the scan:\n$plan")
+  }
+
+  test("Scan.filter routes runtime indexed-column values via the index") {
+    val name = "acc_rt_index"
+    mkTable(name)
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // a bare scan (no planning-time predicate): static plan = tablet
+    // scan; a runtime In on the INDEXED `kind` column must flip the
+    // re-plan onto the secondary index's rowId sets
+    val scan = new graft.sources.AccScan(name, Seq(AccStore.FullRange),
+      Seq.empty, read(name).schema, Array.empty,
+      new CaseInsensitiveStringMap(java.util.Map.of()))
+    scan.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        In("kind", Array("k7"))))
+    // locked at the Scan level (df.rdd would re-plan under AQE)
+    val splits = scan.toBatch.planInputPartitions()
+    assert(splits.forall(_.isInstanceOf[graft.sources.AccIndexSplit]),
+      s"runtime indexed values did not ride the index: " +
+        splits.map(_.getClass.getSimpleName).mkString(","))
+    assert(AccStore.lastPlan.get(name).startsWith("index("),
+      AccStore.lastPlan.get(name))
+    val rf = scan.toBatch.createReaderFactory()
+    var n = 0
+    splits.foreach { sp =>
+      val r = rf.createReader(sp)
+      while (r.next()) { r.get(); n += 1 } // get() advances this reader
+    }
+    // kind k7 = 1% of 1000 = 10 rowIds fetched via the index; the
+    // reader keeps STATIC constraints (pruning only), so all 10 drain
+    assert(n == 10, s"index route should drain 10 rows, got $n")
+  }
 }

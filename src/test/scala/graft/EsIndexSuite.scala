@@ -140,4 +140,50 @@ class EsIndexSuite extends GraftSuite {
       Seq(2, 3))
     assert(EsStore.search(s, EsStore.Terms("k", Seq("zzz"))).isEmpty)
   }
+
+  test("runtime In-filter prunes materialization via posting lists") {
+    mkIndex("es_rt")
+    // SELECTIVE build-side filter (the shape Spark's dynamic-pruning
+    // rule requires): keeps cats c1 only -> runtime In(cat, [c1])
+    val dim = spark.range(0, 5)
+      .select(concat(lit("c"), col("id")).as("cat"), col("id"))
+      .filter(col("id") === 1)
+      .select(col("cat"))
+    val joined = read("es_rt").join(broadcast(dim), Seq("cat"))
+    val before = EsStore.docsMaterialized.get()
+    val rows = joined.collect()
+    val materialized = EsStore.docsMaterialized.get() - before
+    assert(rows.length == 60) // i % 5 == 1 of 300
+    // without runtime pruning every shard materializes all 300 docs
+    assert(materialized == 60,
+      s"runtime filter did not prune: $materialized docs of 300")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [cat"),
+      s"no runtime filter on the scan:\n$plan")
+  }
+
+  test("Scan.filter re-plans shard queries with runtime terms") {
+    mkIndex("es_rt_scan")
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    val scan = new graft.sources.EsScan("es_rt_scan",
+      EsStore.BoolMust(Seq.empty),
+      read("es_rt_scan").schema, Array.empty)
+    scan.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        In("cat", Array("c2", "c4"))))
+    // locked at the Scan level (df.rdd would re-plan under AQE): the
+    // re-planned splits carry the runtime terms and readers drain
+    // exactly the posting-list hits
+    val splits = scan.toBatch.planInputPartitions()
+    assert(splits.length == 3) // still one split per shard
+    val rf = scan.toBatch.createReaderFactory()
+    var n = 0
+    splits.foreach { sp =>
+      val r = rf.createReader(sp)
+      while (r.next()) n += 1
+    }
+    assert(n == 120, s"runtime terms should drain 120 hits, got $n")
+  }
 }

@@ -359,6 +359,21 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") == 0, s"vector-side shuffle join:\n$plan")
   }
 
+  guards("q2k_ivf_pq") { (plan, n) =>
+    // composed IVF-PQ: the cell filter (broadcast candidate-id join)
+    // must sit BEFORE the ADC lookup join — codes join the broadcast
+    // candidates and the broadcast distance table; vectors and codes
+    // never shuffle-join (the full-corpus-ADC regression would need
+    // either a shuffle join or a missing candidate join, and the
+    // gate's counted cells_ok bar catches the latter at runtime)
+    assert(n("BroadcastHashJoin") >= 4,
+      s"cell-filter/ADC joins not broadcast:\n$plan")
+    // the only merge joins tolerated are the probe-grain verification
+    // stitches (exact ⋈ rank-ok, answer ⋈ brute ranks — both keyed on
+    // the 10-row probe_id set); the index path itself is all-broadcast
+    assert(n("SortMergeJoin") <= 2, s"vector-side shuffle join:\n$plan")
+  }
+
   guards("q2h_curation_pipeline") { (plan, n) =>
     // the composed curation pipeline: scoring/gating/sharding are
     // map-side; the dedup window sits behind the stage checkpoint, so
