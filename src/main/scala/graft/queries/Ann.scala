@@ -473,9 +473,10 @@ object Ann extends QueryPack {
     // oracle replays assignment + the blocked pair join verbatim.
     "q0j_semdedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val stride = math.max(1L, math.floor(math.sqrt(
-        Tables.view(s, dir, "embeddings").count().toDouble)).toLong)
-      val assigned = KMeans.assign(e, KMeans.seeds(e, stride))
+      // k = ⌈√n⌉ is the OPERATOR's invariant (SemDeDup.sqrtStride),
+      // not a gate parameter — the gate just supplies n
+      val n = Tables.view(s, dir, "embeddings").count()
+      val assigned = graft.operators.SemDeDup.assignSqrt(e, n)
       val kept = graft.operators.SemDeDup.dedup(assigned, 0.4)
       assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_in"))
         .join(kept.groupBy(col("cent_id"))

@@ -305,6 +305,54 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-order pruning through SPARK'S OWN parquet scan (the r11 ask:
+    // q2d proves pruning by footer arithmetic; this gate proves the
+    // ENGINE skips). Same layout pair as ZOrderSuite: 16384 rows with
+    // two independent uniform dims, written 16-file z-ordered and
+    // 16-file single-column(x)-sorted. A y-only 1/8-slice predicate is
+    // the case a single sort cannot serve: the x-sorted layout's
+    // row-group stats on y never exclude anything (every file spans
+    // the full y domain) while each z file is a compact (x,y) tile.
+    // The scan node's numOutputRows metric counts rows the parquet
+    // reader actually materialized after row-group skipping — the
+    // boolean locks ≥2× fewer rows read on the z layout, and the agg
+    // columns replay the closed form in DuckDB.
+    "q2n_zorder_scan_pruning" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val data = s.range(0, 16384)
+        .select((col("id") * 37 % 65536).as("x"),
+          (col("id") * 101 % 65536).as("y"))
+      val zDir = ctasPath(s, dir) + "_zscan_z"
+      val xDir = ctasPath(s, dir) + "_zscan_x"
+      ZOrder.write(data, Seq("x" -> (0L, 65535L), "y" -> (0L, 65535L)),
+        nFiles = 16, zDir)
+      data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xDir)
+      // rows the parquet reader materialized (scan-node metric, after
+      // row-group statistics skipping), summed across files
+      def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        df.collect()
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      def probe(d: String) = s.read.parquet(d).filter(col("y") <= 8191)
+      val zRows = scannedRows(probe(zDir))
+      val xRows = scannedRows(probe(xDir))
+      probe(zDir)
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("x_sum"),
+          max(col("y")).as("y_max"))
+        .withColumn("z_skips_2x", lit(zRows * 2 <= xRows))
+        .withColumn("x_reads_all", lit(xRows == 16384L))
+    }),
+
     // Second and third file formats (reference: the Hive connector's
     // multi-format scan, `presto-hive/.../HivePageSourceProvider.java:75`
     // — ORC and text are first-class storage formats there). The engine
@@ -730,6 +778,17 @@ object Storage extends QueryPack {
          |  true AS pruned_both_dims
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the closed form replays the synthetic grid; the Spark-scan-metric
+    // booleans land as constants (the gate computed them from the
+    // engine's own numOutputRows)
+    "q2n_zorder_scan_pruning" ->
+      """WITH g AS (SELECT (i * 37) % 65536 AS x, (i * 101) % 65536 AS y
+        |  FROM range(16384) r(i))
+        |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS x_sum,
+        |  CAST(max(y) AS BIGINT) AS y_max,
+        |  true AS z_skips_2x, true AS x_reads_all
+        |FROM g WHERE y <= 8191""".stripMargin,
 
     "q1s_jdbc_stats_pushdown" ->
       """SELECT l_returnflag, count(*) AS n,

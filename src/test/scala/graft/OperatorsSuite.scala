@@ -223,6 +223,37 @@ class OperatorsSuite extends GraftSuite {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("semdedup √n invariant keeps pair work subquadratic at 10x") {
+    import graft.operators.SemDeDup
+    import spark.implicits._
+    // deterministic 8-dim embeddings (hash-derived, no RNG)
+    def emb(n: Int) = spark.range(0, n)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(d =>
+          (pmod(hash(col("id"), lit(d)).cast("long"), lit(1000)) / 500.0
+            - 1.0)): _*).as("e"))
+    def pairWork(n: Int): (Long, Long) = {
+      val sizes = SemDeDup.assignSqrt(emb(n), n.toLong)
+        .groupBy(col("cent_id")).count()
+        .agg(sum(col("count") * col("count")).as("pairs"),
+          count(lit(1)).as("k")).head()
+      (sizes.getLong(0), sizes.getLong(1))
+    }
+    val (p1, k1) = pairWork(1000)
+    val (p10, k10) = pairWork(10000)
+    // k tracks ⌈√n⌉ (stride seeds: k = ceil(n / ⌊√n⌋))
+    assert(math.abs(k1 - 32) <= 1, s"k(1000)=$k1, want ≈ √1000")
+    assert(math.abs(k10 - 100) <= 1, s"k(10000)=$k10, want ≈ √10000")
+    // the invariant's bound: Σ sizeᵢ² ≈ n²/k = n^1.5 — pair work grows
+    // ~10^1.5 ≈ 31.6× per 10× corpus, never 100× (quadratic). Slack 2x
+    // absorbs cluster-size imbalance of the stride seeding.
+    val growth = p10.toDouble / p1
+    assert(growth < math.pow(10, 1.5) * 2,
+      s"pair work grew ${growth}x per 10x corpus — quadratic regression")
+    assert(growth > 10.0,
+      s"pair growth ${growth}x implausibly sublinear — test premise broke")
+  }
+
   test("pca: Jacobi on a known matrix; fit/project variance identity") {
     import graft.operators.Pca
     // [[2,1],[1,2]] -> eigenvalues {3,1}, eigenvectors (1,1)/√2, (1,-1)/√2
