@@ -36,10 +36,28 @@ import graft.functions.Registry
   */
 object TpcdsSql extends QueryPack {
 
-  /** Derived TPC-DS views, registered once per (session, dir) — piggybacks
-    * on Tables.register's idempotence by always re-issuing CREATE OR
-    * REPLACE (cheap: lazy views, no action). */
-  private def registerTpcds(s: SparkSession, dir: String): Unit = {
+  /** Derived TPC-DS views, registered once per (session, dir).
+    *
+    * The guard is load-bearing for BENCH honesty (r12): re-issuing the
+    * ~25 CREATE OR REPLACE TEMPORARY VIEW statements costs 0.6-1.1 s of
+    * ANALYSIS per call (each view SQL re-analyzes against a function
+    * registry that grew every round), and every TPC-DS gate paid it
+    * inside its timed body — the bulk of the r11 "regressions" on
+    * q54/q80/q23/q67 was this re-registration tax, not execution. Like
+    * Tables.register: keyed per (session, dir), re-registers on a dir
+    * switch (temp views capture the analyzed plan of the dir they were
+    * created over). */
+  private val tpcdsRegistered =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  private def registerTpcds(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (tpcdsRegistered.get(s) == dir) return
+      registerTpcdsViews(s, dir)
+      tpcdsRegistered.put(s, dir)
+    }
+
+  private def registerTpcdsViews(s: SparkSession, dir: String): Unit = {
     Tables.register(s, dir)
     // 6 fixture years of calendar days; sk = days since 1995-01-01 at the
     // Julian-ish 2450000 base the real generator uses.
@@ -361,10 +379,14 @@ object TpcdsSql extends QueryPack {
       }
     }
 
-  /** Dev hook (ProbeTpcdsScale): forget materialized facts so the next
-    * registerTpcds re-derives from the CURRENT source views. */
+  /** Dev hook (ProbeTpcdsScale): forget materialized facts AND the
+    * registration guard so the next registerTpcds re-derives from the
+    * CURRENT source views. */
   private[graft] def invalidateMaterialized(s: SparkSession): Unit =
-    synchronized { materialized.remove(s) }
+    synchronized {
+      materialized.remove(s)
+      tpcdsRegistered.remove(s)
+    }
 
   private def sql(s: SparkSession, dir: String, q: String) = {
     registerTpcds(s, dir)
