@@ -353,6 +353,64 @@ object Storage extends QueryPack {
         .withColumn("x_reads_all", lit(xRows == 16384L))
     }),
 
+    // Fragment/file caching — the RaptorX warm-read path (reference:
+    // `presto-cache/.../filemerge/FileMergeCacheManager.java`,
+    // `CachingFileSystem.java`: repeated reads of hot fragments served
+    // from a local cache instead of remote storage). Spark's columnar
+    // in-memory cache is the engine-native analog: CACHE TABLE
+    // materializes the scan once (eager, like RaptorX's synchronous
+    // fill) and every later read plans an InMemoryTableScan — zero
+    // file I/O, proven here by the EXECUTED plan containing no
+    // FileSourceScan while cached and regaining it after UNCACHE. The
+    // aggregate is answered once cold and once warm; both must match
+    // the oracle (cache transparency — the RaptorX contract that
+    // cached bytes are indistinguishable from remote bytes).
+    "q2p_cache_warm_read" -> ((s, dir) => {
+      val out = ctasPath(s, dir) + "_cachewarm"
+      Tables.view(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").parquet(out)
+      val t = "graft_cache_li"
+      s.read.parquet(out).createOrReplaceTempView(t)
+      s.sql(s"UNCACHE TABLE IF EXISTS $t") // re-runnable (bench runs 3x)
+      def agg = s.table(t)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("rev"))
+      // node-level checks: InMemoryTableScan's STRING rendering embeds
+      // the cached relation's original FileScan, so walk actual nodes
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        // AQE leaf stages carry their subtree in `plan`, not `children`
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      def planNodes(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+        df.collect()
+        nodes(df.queryExecution.executedPlan)
+      }
+      def usesFiles(df: org.apache.spark.sql.DataFrame): Boolean =
+        planNodes(df).exists(_.isInstanceOf[FileSourceScanExec])
+      val coldUsesFiles = usesFiles(agg)
+      s.sql(s"CACHE TABLE $t") // eager fill, the synchronous RaptorX mode
+      val warmNodes = planNodes(agg)
+      val warmUsesFiles = warmNodes.exists(_.isInstanceOf[FileSourceScanExec])
+      val warmInMemory = warmNodes.exists(_.isInstanceOf[InMemoryTableScanExec])
+      s.sql(s"UNCACHE TABLE $t")
+      val afterUncache = usesFiles(agg)
+      agg
+        .withColumn("cold_reads_files", lit(coldUsesFiles))
+        .withColumn("warm_skips_files", lit(!warmUsesFiles && warmInMemory))
+        .withColumn("uncache_restores_files", lit(afterUncache))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Second and third file formats (reference: the Hive connector's
     // multi-format scan, `presto-hive/.../HivePageSourceProvider.java:75`
     // — ORC and text are first-class storage formats there). The engine
@@ -583,6 +641,126 @@ object Storage extends QueryPack {
           |LIMIT 10 OFFSET 20""".stripMargin)
     }),
 
+    // The SECOND JDBC dialect family — MySQL (reference:
+    // `presto-mysql/.../MySqlClientModule.java` over
+    // `presto-base-jdbc/.../JdbcClient.java`; the r11 audit's #1
+    // missing item, environment-blocked until the in-process shim in
+    // sources/MySqlShimConn.scala — a real java.sql.Driver on a
+    // genuine jdbc:mysql: URL, so Spark's OWN MySQLDialect is the code
+    // under test). This gate pins dialect DIVERGENCE, the surface
+    // Derby cannot exercise: write-side DDL mapping (string→LONGTEXT,
+    // boolean→BIT(1), double→DOUBLE PRECISION — asserted from the DDL
+    // text that actually crossed the wire), read-side type inference
+    // (BIT(1)→boolean, LONGTEXT→string, TINYINT→byte, plus the
+    // UNSIGNED family: INT UNSIGNED→bigint, BIGINT UNSIGNED→
+    // decimal(20,0), BIT(8)→binary — from a store-seeded table only a
+    // MySQL server could produce), and backtick quoting with remote
+    // LIKE/range evaluation. Aggregates replay from the same slice in
+    // DuckDB; every type/DDL observation lands as a boolean.
+    "q2q_mysql_dialect" -> ((s, dir) => {
+      import graft.sources.{GraftMySqlDriver, MySqlStore}
+      import org.apache.spark.sql.types._
+      GraftMySqlDriver.install()
+      val url = "jdbc:mysql://graft-shim/g"
+      val drv = "graft.sources.GraftMySqlDriver"
+      MySqlStore.drop("li_mysql")
+      Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 800)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          (col("l_orderkey") % 2 === 0).as("even"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "li_mysql").option("driver", drv)
+        .mode("overwrite").save()
+      val ddl = MySqlStore.ddlLog.get("li_mysql")
+      val ddlOk = ddl.contains("LONGTEXT") && ddl.contains("BIT(1)") &&
+        ddl.contains("DOUBLE PRECISION") && ddl.contains("BIGINT")
+      // the unsigned divergence needs a table MySQL itself created
+      MySqlStore.drop("unsig")
+      MySqlStore.create("unsig", Seq(
+        MySqlStore.ColDef("iu", "INT UNSIGNED", java.sql.Types.INTEGER,
+          10, 0, signed = false, nullable = true),
+        MySqlStore.ColDef("bu", "BIGINT UNSIGNED", java.sql.Types.BIGINT,
+          20, 0, signed = false, nullable = true),
+        MySqlStore.ColDef("b8", "BIT", java.sql.Types.BIT, 8, 0,
+          signed = true, nullable = true)))
+      MySqlStore.insert("unsig", Seq(3000000000L,
+        new java.math.BigDecimal("9223372036854775808"),
+        Array[Byte](1, 2)))
+      val unsig = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "unsig").option("driver", drv).load()
+      val unsignedOk = unsig.schema("iu").dataType == LongType &&
+        unsig.schema("bu").dataType == DecimalType(20, 0) &&
+        unsig.schema("b8").dataType == BinaryType
+      val back = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "li_mysql").option("driver", drv).load()
+      val inferredOk = back.schema("l_returnflag").dataType == StringType &&
+        back.schema("even").dataType == BooleanType &&
+        back.schema("l_quantity").dataType == DoubleType
+      back.filter(col("l_orderkey") > 100) // pushed remote-side
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("n_even"))
+        .withColumn("ddl_ok", lit(ddlOk))
+        .withColumn("unsigned_ok", lit(unsignedOk))
+        .withColumn("inferred_ok", lit(inferredOk))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // MySQL-dialect pushdown through the DSv2 JDBC catalog — the same
+    // aggregate/TopN compilation q1k/q1q pin on Derby, now through the
+    // SECOND dialect: grouped count/sum/min/max plus the variance
+    // family MySQLDialect declares pushable compile into
+    // backtick-quoted remote SQL with GROUP BY; the TopN arm compiles
+    // ORDER BY ... LIMIT whole. The shim's statement log proves the
+    // clauses arrived remote-side (booleans); QueriesSmokeSuite locks
+    // PushedAggregates/PushedTopN in the plan.
+    "q2r_mysql_pushdown" -> ((s, dir) => {
+      import graft.sources.{GraftMySqlDriver, MySqlStore}
+      GraftMySqlDriver.install()
+      val url = "jdbc:mysql://graft-shim/g"
+      val drv = "graft.sources.GraftMySqlDriver"
+      MySqlStore.drop("ord_mysql")
+      Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "ord_mysql").option("driver", drv)
+        .mode("overwrite").save()
+      s.conf.set("spark.sql.catalog.graft_mysql",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_mysql.url", url)
+      s.conf.set("spark.sql.catalog.graft_mysql.driver", drv)
+      s.conf.set("spark.sql.catalog.graft_mysql.pushDownAggregate", "true")
+      s.conf.set("spark.sql.catalog.graft_mysql.pushDownLimit", "true")
+      MySqlStore.statementLog.clear()
+      val agg = s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS price_sum,
+          |  round(var_samp(o_totalprice), 4) AS price_var,
+          |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+          |FROM graft_mysql.g.ord_mysql
+          |GROUP BY o_orderstatus""".stripMargin).collect()
+      val top = s.sql(
+        """SELECT o_orderkey AS k, o_totalprice AS price
+          |FROM graft_mysql.g.ord_mysql
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin)
+        .collect()
+      val log = MySqlStore.statementLog.toArray.map(_.toString)
+      val aggRemote = log.exists(q => q.contains("GROUP BY") &&
+        q.contains("VAR_SAMP") && q.contains("`o_orderstatus`"))
+      val topRemote = log.exists(q => q.contains("ORDER BY") &&
+        q.contains("LIMIT 5"))
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        top.map(_.getLong(0)).mkString(","), aggRemote, topRemote))
+        .sortBy(_._1)
+        .toDF("status", "n", "price_sum", "price_var", "k_min", "k_max",
+          "top_keys", "agg_remote", "topn_remote")
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -778,6 +956,41 @@ object Storage extends QueryPack {
          |  true AS pruned_both_dims
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the aggregates replay from the same slice; every DDL/type/clause
+    // observation landed as a boolean the oracle asserts TRUE
+    "q2q_mysql_dialect" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  CAST(count_if(l_orderkey % 2 = 0) AS BIGINT) AS n_even,
+        |  true AS ddl_ok, true AS unsigned_ok, true AS inferred_ok
+        |FROM lineitem WHERE l_orderkey <= 800 AND l_orderkey > 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouped stats + the deterministic TopN key list replay directly;
+    // the remote-clause booleans land as constants
+    "q2r_mysql_pushdown" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200),
+        |t AS (SELECT o_orderkey FROM sub
+        |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  round(var_samp(o_totalprice), 4) AS price_var,
+        |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
+        |   FROM t) AS top_keys,
+        |  true AS agg_remote, true AS topn_remote
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cache transparency: warm and cold reads both replay as the plain
+    // aggregate; the plan-shape booleans land as constants
+    "q2p_cache_warm_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS rev,
+        |  true AS cold_reads_files, true AS warm_skips_files,
+        |  true AS uncache_restores_files
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the closed form replays the synthetic grid; the Spark-scan-metric
     // booleans land as constants (the gate computed them from the

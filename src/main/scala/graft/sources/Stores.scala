@@ -31,5 +31,6 @@ object Stores {
     RedisStore.flushAll()
     ThriftRegistry.services.clear()
     MemoryConn.store.clear()
+    MySqlStore.clearAll()
   }
 }

@@ -359,6 +359,18 @@ class QueriesSmokeSuite extends GraftSuite {
     assert(n("SortMergeJoin") == 0, s"vector-side shuffle join:\n$plan")
   }
 
+  guards("q2q_mysql_dialect") { (plan, n) =>
+    // the read half scans the MySQL-shim JDBC relation with the range
+    // predicate compiled remote-side (the dialect's backtick SQL);
+    // q2r's agg/TopN pushdown is locked by its runtime booleans plus
+    // MySqlShimSuite's PushedAggregates assert (its gate returns
+    // literals, so there is no scan in ITS final plan to guard)
+    assert(plan.contains("JDBCRelation"), s"not a JDBC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [*GreaterThan(l_orderkey,100)") ||
+      (plan.contains("PushedFilters") && plan.contains("l_orderkey")),
+      s"range predicate not pushed:\n$plan")
+  }
+
   guards("q2k_ivf_pq") { (plan, n) =>
     // composed IVF-PQ: the cell filter (broadcast candidate-id join)
     // must sit BEFORE the ADC lookup join — codes join the broadcast
