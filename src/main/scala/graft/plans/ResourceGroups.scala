@@ -1,0 +1,235 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Resource groups / admission control — the Spark-native re-expression
+  * of the reference's file-based resource-group manager
+  * (`presto-resource-group-managers/.../
+  * FileResourceGroupConfigurationManager.java` over
+  * `presto-main/.../execution/resourceGroups/InternalResourceGroup
+  * .java`), the round-11 audit's missing item #3.
+  *
+  * What carries over 1:1 (all deterministic, all gated):
+  *   - '''The config format''': the reference's JSON — `rootGroups`
+  *     (nested specs with `name` templates like `adhoc_${USER}`,
+  *     `maxQueued`, `hardConcurrencyLimit`, `schedulingPolicy`,
+  *     `schedulingWeight`, `subGroups`) + ordered `selectors`
+  *     (`user`/`source` regexes, `clientTags`, `group` path).
+  *   - '''Selection''' (`StaticSelector.match:81-124`): selectors
+  *     evaluate IN ORDER, first match wins; a `user`/`source` regex
+  *     must match fully; named capture groups become template
+  *     variables alongside the standard `${USER}`/`${SOURCE}`;
+  *     `clientTags` must be a subset of the criteria's tags; template
+  *     expansion fails loudly on unresolved variables
+  *     (`ResourceGroupNameTemplate.expandTemplate:78-86`).
+  *   - '''Admission state machine''' (`InternalResourceGroup`): a leaf
+  *     group runs up to `hardConcurrencyLimit` queries (`canRunMore
+  *     :896`), queues up to `maxQueued` more (`canQueueMore:888`), and
+  *     rejects beyond that with the reference's exact error text
+  *     (`QueryQueueFullException`: `Too many queued queries for "g"`);
+  *     a finished query promotes the longest-queued one (FIFO).
+  *
+  * Spark-first binding: a resolved group maps onto a Spark FAIR
+  * scheduler pool — [[withGroup]] admits against the group's limits,
+  * pins `spark.scheduler.pool` to the group id for the body (so a
+  * multi-tenant driver gets per-group task scheduling, Spark's native
+  * mechanism for exactly this), and releases on the way out. On a
+  * cluster the pool name + weight feed the fair scheduler allocation
+  * file; the admission half is driver-side bookkeeping at any scale.
+  */
+object ResourceGroups {
+
+  final case class GroupSpec(
+      nameTemplate: String,
+      maxQueued: Int,
+      hardConcurrencyLimit: Int,
+      schedulingPolicy: Option[String],
+      schedulingWeight: Option[Int],
+      subGroups: Seq[GroupSpec])
+
+  final case class Selector(
+      userRegex: Option[String],
+      sourceRegex: Option[String],
+      clientTags: Set[String],
+      group: Seq[String]) // dotted template path segments
+
+  final case class Manager(rootGroups: Seq[GroupSpec],
+      selectors: Seq[Selector])
+
+  final case class Resolved(id: String, maxQueued: Int,
+      hardConcurrencyLimit: Int, schedulingPolicy: Option[String],
+      schedulingWeight: Option[Int])
+
+  /** Parse the reference's JSON config format (jackson rides in with
+    * Spark). Field names are the reference's own spellings. */
+  def parse(json: String): Manager = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(json)
+    def groups(n: com.fasterxml.jackson.databind.JsonNode): Seq[GroupSpec] =
+      if (n == null) Seq.empty
+      else n.elements().asScala.map { g =>
+        GroupSpec(
+          nameTemplate = g.get("name").asText(),
+          maxQueued = Option(g.get("maxQueued")).map(_.asInt())
+            .getOrElse(0),
+          hardConcurrencyLimit =
+            Option(g.get("hardConcurrencyLimit")).map(_.asInt())
+              .getOrElse(0),
+          schedulingPolicy =
+            Option(g.get("schedulingPolicy")).map(_.asText()),
+          schedulingWeight =
+            Option(g.get("schedulingWeight")).map(_.asInt()),
+          subGroups = groups(g.get("subGroups")))
+      }.toSeq
+    val selectors = Option(root.get("selectors")).map(_.elements().asScala
+      .map { s =>
+        Selector(
+          userRegex = Option(s.get("user")).map(_.asText()),
+          sourceRegex = Option(s.get("source")).map(_.asText()),
+          clientTags = Option(s.get("clientTags"))
+            .map(_.elements().asScala.map(_.asText()).toSet)
+            .getOrElse(Set.empty),
+          group = s.get("group").asText().split('.').toSeq)
+      }.toSeq).getOrElse(Seq.empty)
+    Manager(groups(root.get("rootGroups")), selectors)
+  }
+
+  private val VarPattern = """\$\{([a-zA-Z][a-zA-Z0-9]*)\}""".r
+  private val NamedGroupPattern = """\(\?<([a-zA-Z][a-zA-Z0-9]*)>""".r
+
+  /** First-match selection + template expansion → the resolved leaf
+    * group, or None when no selector matches (the reference then
+    * rejects the query: no group == not eligible to run). */
+  def select(mgr: Manager, user: String, source: Option[String],
+      tags: Set[String] = Set.empty): Option[Resolved] = {
+    mgr.selectors.iterator.flatMap { sel =>
+      val vars = mutable.Map.empty[String, String]
+      val userOk = sel.userRegex.forall { re =>
+        val p = java.util.regex.Pattern.compile(re)
+        val matcher = p.matcher(user)
+        val ok = matcher.matches()
+        if (ok) NamedGroupPattern.findAllMatchIn(re).foreach { g =>
+          val name = g.group(1)
+          Option(matcher.group(name)).foreach(vars(name) = _)
+        }
+        ok
+      }
+      val src = source.getOrElse("")
+      val sourceOk = userOk && sel.sourceRegex.forall { re =>
+        val p = java.util.regex.Pattern.compile(re)
+        val matcher = p.matcher(src)
+        val ok = matcher.matches()
+        if (ok) NamedGroupPattern.findAllMatchIn(re).foreach { g =>
+          val name = g.group(1)
+          Option(matcher.group(name)).foreach(vars(name) = _)
+        }
+        ok
+      }
+      val tagsOk = sel.clientTags.subsetOf(tags)
+      if (!userOk || !sourceOk || !tagsOk) None
+      else {
+        vars.getOrElseUpdate("USER", user)
+        vars.getOrElseUpdate("SOURCE", src)
+        Some(resolve(mgr, sel.group, vars.toMap))
+      }
+    }.nextOption()
+  }
+
+  /** Walk the spec tree along the selector's template path, expanding
+    * each segment (`ResourceGroupIdTemplate` + `expandTemplate`). */
+  private def resolve(mgr: Manager, path: Seq[String],
+      vars: Map[String, String]): Resolved = {
+    def expand(template: String): String =
+      VarPattern.replaceAllIn(template, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+            s"unresolved variable '${m.group(1)}' in resource group " +
+              s"'$template', available: ${vars.keys.mkString(",")}"))))
+    var specs = mgr.rootGroups
+    var spec: GroupSpec = null
+    val idParts = Seq.newBuilder[String]
+    path.foreach { segTemplate =>
+      spec = specs.find(_.nameTemplate == segTemplate).getOrElse(
+        throw new IllegalArgumentException(
+          s"no group spec '$segTemplate' under " +
+            s"'${idParts.result().mkString(".")}'"))
+      idParts += expand(segTemplate)
+      specs = spec.subGroups
+    }
+    Resolved(idParts.result().mkString("."), spec.maxQueued,
+      spec.hardConcurrencyLimit, spec.schedulingPolicy,
+      spec.schedulingWeight)
+  }
+
+  // ---- the InternalResourceGroup admission state machine ------------
+
+  final class GroupState(val resolved: Resolved) {
+    private[ResourceGroups] var running = 0
+    private[ResourceGroups] val queued = mutable.Queue.empty[Long]
+    private[ResourceGroups] var nextTicket = 0L
+    def runningCount: Int = synchronized(running)
+    def queuedCount: Int = synchronized(queued.size)
+  }
+
+  sealed trait Admission
+  case object Run extends Admission
+  final case class Queued(ticket: Long) extends Admission
+
+  private val states = new ConcurrentHashMap[String, GroupState]()
+
+  def stateOf(r: Resolved): GroupState =
+    states.computeIfAbsent(r.id, _ => new GroupState(r))
+
+  def clearAll(): Unit = states.clear()
+
+  /** `InternalResourceGroup.run:244-252`: run if under the hard
+    * concurrency limit, queue if under maxQueued, else the reference's
+    * QUERY_QUEUE_FULL rejection. */
+  def admit(g: GroupState): Admission = g.synchronized {
+    if (g.running < g.resolved.hardConcurrencyLimit) {
+      g.running += 1
+      Run
+    } else if (g.queued.size < g.resolved.maxQueued) {
+      val t = g.nextTicket
+      g.nextTicket += 1
+      g.queued.enqueue(t)
+      Queued(t)
+    } else throw new IllegalStateException(
+      s"""Too many queued queries for "${g.resolved.id}"""")
+  }
+
+  /** Query finished: free the slot and promote the longest-queued
+    * entry (FIFO — the default scheduling policy's dequeue order). */
+  def release(g: GroupState): Option[Long] = g.synchronized {
+    require(g.running > 0, s"release on idle group ${g.resolved.id}")
+    if (g.queued.nonEmpty) Some(g.queued.dequeue()) // slot handed over
+    else { g.running -= 1; None }
+  }
+
+  /** Admit against the group, pin the Spark FAIR scheduler pool to the
+    * group id for the body, release after. Throws the queue-full error
+    * when the group cannot even queue; a Queued admission waits its
+    * turn only in a real concurrent driver — here the caller decides
+    * (gates drive the state machine explicitly). */
+  def withGroup[T](s: SparkSession, r: Resolved)(body: => T): T = {
+    val g = stateOf(r)
+    admit(g) match {
+      case Run =>
+        val sc = s.sparkContext
+        val prev = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", r.id)
+        try body
+        finally {
+          sc.setLocalProperty("spark.scheduler.pool", prev)
+          release(g)
+        }
+      case Queued(_) => throw new IllegalStateException(
+        s"group ${r.id} is at its hard concurrency limit")
+    }
+  }
+}

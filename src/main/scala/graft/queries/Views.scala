@@ -554,6 +554,91 @@ object Views extends QueryPack {
     // the session query log (every routed statement lands there with
     // FINISHED/FAILED state), catalogs, and kill_query's
     // known-but-not-running vs not-found rejection paths.
+    // Resource groups / admission control (reference:
+    // `presto-resource-group-managers/.../
+    // FileResourceGroupConfigurationManager.java` + `presto-main/.../
+    // execution/resourceGroups/InternalResourceGroup.java`; the
+    // Spark-native re-expression is plans/ResourceGroups.scala — leaf
+    // groups map onto FAIR scheduler pools). The gate drives the WHOLE
+    // deterministic surface: the reference's JSON config parses, 20
+    // closed-form (user, source, tags) criteria resolve through
+    // ordered first-match selectors with named-capture and ${USER}
+    // template expansion (replayed as CASE arithmetic in DuckDB), and
+    // the admission state machine walks run→queue→reject with the
+    // reference's exact queue-full error, FIFO promotion on release,
+    // and the scheduler-pool pin observed inside withGroup.
+    "q2s_resource_groups" -> ((s, dir) => {
+      import graft.plans.ResourceGroups
+      ResourceGroups.clearAll()
+      val mgr = ResourceGroups.parse(
+        """{ "rootGroups": [
+          |  { "name": "global", "maxQueued": 100,
+          |    "hardConcurrencyLimit": 10,
+          |    "schedulingPolicy": "weighted_fair",
+          |    "subGroups": [
+          |      { "name": "adhoc_${USER}", "maxQueued": 2,
+          |        "hardConcurrencyLimit": 1, "schedulingWeight": 1 },
+          |      { "name": "etl_${pipeline}", "maxQueued": 5,
+          |        "hardConcurrencyLimit": 3, "schedulingWeight": 10 },
+          |      { "name": "dashboards", "maxQueued": 4,
+          |        "hardConcurrencyLimit": 2 } ] },
+          |  { "name": "admin", "maxQueued": 50,
+          |    "hardConcurrencyLimit": 50 } ],
+          |  "selectors": [
+          |    { "user": "bob", "group": "admin" },
+          |    { "source": "etl-(?<pipeline>[a-z]+)",
+          |      "clientTags": ["etl"], "group": "global.etl_${pipeline}" },
+          |    { "source": "dashboard-.*", "group": "global.dashboards" },
+          |    { "user": "(?<USER>.*)", "group": "global.adhoc_${USER}" }
+          |  ] }""".stripMargin)
+      val rows = (0 until 20).map { k =>
+        val user = if (k % 7 == 0) "bob" else s"u${k % 5}"
+        val (source, tags) = (k % 3) match {
+          case 0 => (Some("etl-" + (if (k % 2 == 0) "ingest" else "clean")),
+            Set("etl"))
+          case 1 => (Some(s"dashboard-$k"), Set.empty[String])
+          case _ => (Some("cli"), Set.empty[String])
+        }
+        val r = ResourceGroups.select(mgr, user, source, tags).get
+        (k.toLong, r.id, r.maxQueued.toLong,
+          r.hardConcurrencyLimit.toLong,
+          r.schedulingWeight.map(_.toLong))
+      }
+      // admission arc on global.dashboards (hard 2, queue 4)
+      val dash = ResourceGroups.select(mgr, "u1",
+        Some("dashboard-x"), Set.empty).get
+      val g = ResourceGroups.stateOf(dash)
+      val first2Run = (1 to 2).forall(_ =>
+        ResourceGroups.admit(g) == ResourceGroups.Run)
+      val next4Queue = (1 to 4).forall(_ => ResourceGroups.admit(g) match {
+        case ResourceGroups.Queued(_) => true
+        case _ => false
+      })
+      val rejected = try { ResourceGroups.admit(g); "" }
+        catch { case e: IllegalStateException => e.getMessage }
+      val queueFullOk =
+        rejected == "Too many queued queries for \"global.dashboards\""
+      // release promotes the LONGEST-queued ticket (FIFO)
+      val promoted = ResourceGroups.release(g)
+      val promoteOk = promoted.contains(0L) && g.queuedCount == 3
+      // the Spark binding: the FAIR pool is pinned to the group id
+      // inside withGroup and restored after
+      val admin = ResourceGroups.select(mgr, "bob", None).get
+      var pinned: String = null
+      ResourceGroups.withGroup(s, admin) {
+        pinned = s.sparkContext.getLocalProperty("spark.scheduler.pool")
+      }
+      val poolOk = pinned == "admin" &&
+        s.sparkContext.getLocalProperty("spark.scheduler.pool") == null
+      import s.implicits._
+      rows.toDF("k", "group_id", "max_queued", "hard_limit", "weight")
+        .withColumn("run_queue_ok", lit(first2Run && next4Queue))
+        .withColumn("queue_full_ok", lit(queueFullOk))
+        .withColumn("promote_ok", lit(promoteOk))
+        .withColumn("pool_ok", lit(poolOk))
+        .orderBy(col("k"))
+    }),
+
     "qn9_system_tables" -> ((s, dir) => {
       Tables.register(s, dir)
       graft.functions.Registry.install(s)
@@ -620,6 +705,30 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the selector logic replays as CASE arithmetic (the criteria are
+    // closed-form in k); the admission/pool booleans land as constants
+    "q2s_resource_groups" ->
+      """WITH ks AS (SELECT unnest(range(20)) AS k),
+        |r AS (SELECT k,
+        |  CASE WHEN k % 7 = 0 THEN 'admin'
+        |       WHEN k % 3 = 0 THEN 'global.etl_' ||
+        |         (CASE WHEN k % 2 = 0 THEN 'ingest' ELSE 'clean' END)
+        |       WHEN k % 3 = 1 THEN 'global.dashboards'
+        |       ELSE 'global.adhoc_u' || (k % 5) END AS group_id,
+        |  CASE WHEN k % 7 = 0 THEN 50 WHEN k % 3 = 0 THEN 5
+        |       WHEN k % 3 = 1 THEN 4 ELSE 2 END AS max_queued,
+        |  CASE WHEN k % 7 = 0 THEN 50 WHEN k % 3 = 0 THEN 3
+        |       WHEN k % 3 = 1 THEN 2 ELSE 1 END AS hard_limit,
+        |  CASE WHEN k % 7 = 0 THEN NULL WHEN k % 3 = 0 THEN 10
+        |       WHEN k % 3 = 1 THEN NULL ELSE 1 END AS weight
+        |  FROM ks)
+        |SELECT k, group_id, CAST(max_queued AS BIGINT) AS max_queued,
+        |  CAST(hard_limit AS BIGINT) AS hard_limit,
+        |  CAST(weight AS BIGINT) AS weight,
+        |  true AS run_queue_ok, true AS queue_full_ok,
+        |  true AS promote_ok, true AS pool_ok
+        |FROM r ORDER BY k""".stripMargin,
+
     // DuckDB's OWN information_schema over the identical fixture views —
     // a genuine two-engine agreement on names, 1-based ordinals, and
     // rendered types (lower(duckdb type) = presto spelling for this
