@@ -639,6 +639,59 @@ object Views extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Password authentication (reference: `presto-password-
+    // authenticators/.../LdapAuthenticator.java`; the Spark-native
+    // re-expression with an in-process DIT is
+    // plans/Authenticators.scala — the last row of the r11 missing
+    // list). 20 closed-form credentials walk all three outcome arms
+    // with the reference's exact semantics and error texts: bind-DN
+    // template expansion + simple bind (`Invalid credentials` on a
+    // wrong password), group authorization via the ${USER}-substituted
+    // subtree search (`User [u] not a member of the authorized
+    // group`), and success. The authenticated principal then drives
+    // resource-group selection — the reference's own
+    // authenticate→admit chain. The outcome table replays as CASE
+    // arithmetic in DuckDB.
+    "q2t_ldap_auth" -> ((s, dir) => {
+      import graft.plans.Authenticators._
+      import graft.plans.ResourceGroups
+      val dit = new LdapDirectory
+      (0 until 20).foreach { k =>
+        dit.add(s"uid=u$k,ou=people,dc=graft,dc=io", Map(
+          "userPassword" -> Set(s"pw$k"),
+          "uid" -> Set(s"u$k"),
+          "memberOf" ->
+            (if (k % 3 == 0)
+              Set("cn=analysts,ou=groups,dc=graft,dc=io")
+            else Set.empty[String])))
+      }
+      val auth = new LdapAuthenticator(dit, LdapConfig(
+        userBindSearchPattern = "uid=${USER},ou=people,dc=graft,dc=io",
+        userBaseDistinguishedName = Some("ou=people,dc=graft,dc=io"),
+        groupAuthorizationSearchPattern = Some(
+          "(&(uid=${USER})(memberOf=cn=analysts,ou=groups,dc=graft,dc=io))")))
+      val mgr = ResourceGroups.parse(
+        """{ "rootGroups": [
+          |  { "name": "analysts_${USER}", "maxQueued": 2,
+          |    "hardConcurrencyLimit": 1 } ],
+          |  "selectors": [
+          |    { "user": "u.*", "group": "analysts_${USER}" } ] }"""
+          .stripMargin)
+      val rows = (0 until 20).map { k =>
+        val user = s"u$k"
+        val password = if (k % 2 == 0) s"pw$k" else "wrong"
+        val outcome =
+          try {
+            val principal = auth.createAuthenticatedPrincipal(user, password)
+            // the authenticated principal IS the selection criterion
+            "ok:" + ResourceGroups.select(mgr, principal, None).get.id
+          } catch { case AccessDenied(m) => "denied:" + m }
+        (k.toLong, user, outcome)
+      }
+      import s.implicits._
+      rows.toDF("k", "user", "outcome").orderBy(col("k"))
+    }),
+
     "qn9_system_tables" -> ((s, dir) => {
       Tables.register(s, dir)
       graft.functions.Registry.install(s)
@@ -705,6 +758,17 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the three outcome arms replay as CASE arithmetic over k: odd k
+    // binds with a wrong password, k%3!=0 fails the group search,
+    // the rest authenticate and resolve their per-user group
+    "q2t_ldap_auth" ->
+      """SELECT k, 'u' || k AS "user",
+        |  CASE WHEN k % 2 = 1 THEN 'denied:Invalid credentials'
+        |       WHEN k % 3 <> 0 THEN 'denied:User [u' || k ||
+        |         '] not a member of the authorized group'
+        |       ELSE 'ok:analysts_u' || k END AS outcome
+        |FROM (SELECT unnest(range(20)) AS k) ORDER BY k""".stripMargin,
+
     // the selector logic replays as CASE arithmetic (the criteria are
     // closed-form in k); the admission/pool booleans land as constants
     "q2s_resource_groups" ->
