@@ -148,6 +148,49 @@ class MySqlShimSuite extends GraftSuite {
       s.contains("LIMIT 3")), remote2.mkString("\n"))
   }
 
+  test("temporal and decimal types round-trip through the dialect DDL") {
+    import spark.implicits._
+    MySqlStore.drop("t_temporal")
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+        new java.math.BigDecimal("12345.67")),
+      (2L, java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("2000-01-01 00:00:00"),
+        new java.math.BigDecimal("-0.01")))
+      .toDF("k", "d", "ts", "dec")
+      .withColumn("dec", col("dec").cast("decimal(10,2)"))
+    df.write.format("jdbc").option("url", url)
+      .option("dbtable", "t_temporal")
+      .option("driver", "graft.sources.GraftMySqlDriver")
+      .mode("overwrite").save()
+    val ddl = MySqlStore.ddlLog.get("t_temporal")
+    assert(ddl.contains("DATE") && ddl.contains("TIMESTAMP") &&
+      ddl.contains("DECIMAL(10,2)"), ddl)
+    val back = jdbc("t_temporal")
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("dec").dataType == DecimalType(10, 2))
+    val rows = back.orderBy("k").collect()
+    assert(rows(0).getDate(1).toString == "2024-03-01")
+    assert(rows(0).getTimestamp(2).toString == "2024-03-01 12:34:56.789")
+    assert(rows(0).getDecimal(3).toString == "12345.67")
+    assert(rows(1).getDecimal(3).toString == "-0.01")
+    // append mode: the exists probe finds the table, no re-create
+    MySqlStore.statementLog.clear()
+    Seq((3L, java.sql.Date.valueOf("2025-06-15"),
+      java.sql.Timestamp.valueOf("2025-06-15 01:02:03"),
+      new java.math.BigDecimal("9.99")))
+      .toDF("k", "d", "ts", "dec")
+      .withColumn("dec", col("dec").cast("decimal(10,2)"))
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "t_temporal")
+      .option("driver", "graft.sources.GraftMySqlDriver")
+      .mode("append").save()
+    val log = MySqlStore.statementLog.toArray.map(_.toString)
+    assert(!log.exists(_.startsWith("CREATE TABLE")), log.mkString("\n"))
+    assert(jdbc("t_temporal").count() == 3)
+  }
+
   test("table lifecycle: exists probe, truncate, drop all arrive remote") {
     import spark.implicits._
     MySqlStore.drop("t_life")
