@@ -971,6 +971,60 @@ object Connectors extends QueryPack {
         .toDF("n", "price_sum", "k_min", "k_max", "runtime_pruned")
     }),
 
+    // Storage-partitioned join on the Kudu analog (SPARK-37375 on the
+    // q1z connector; the reference models the same idea as
+    // bucket-compatible exchanges, `presto-hive/.../HiveBucketing
+    // .java`, and Kudu itself co-locates by hash bucket): two tables
+    // hash-bucketed the SAME way join with ZERO exchange — each
+    // catalog-loaded scan reports its bucket layout as a
+    // KeyGroupedPartitioning (sources/KuduCatalog.scala resolves the
+    // bucket transform; every split carries its bucket id), and
+    // EnsureRequirements recognizes the sides as co-partitioned. At
+    // 100 TB this deletes the largest shuffle a fact-fact join pays.
+    // The boolean locks that NO hash exchange on the join key exists
+    // in the executed plan (the post-join group-by's own exchange is
+    // on a different key); the join replays in DuckDB.
+    "q2u_kudu_spj" -> ((s, dir) => {
+      import graft.sources.KuduStore
+      import org.apache.spark.sql.types._
+      val tag = Integer.toHexString(dir.hashCode)
+      val fact = s"ev_spjf_$tag"
+      val dim = s"ev_spjd_$tag"
+      def mk(name: String, cols: Seq[(String, DataType, Boolean)]): Unit = {
+        KuduStore.drop(name)
+        KuduStore.create(name, cols, pkCount = 1,
+          hashCols = Seq("event_id"), hashBuckets = 8)
+      }
+      mk(fact, Seq(("event_id", LongType, false),
+        ("event_type", StringType, true), ("value", DoubleType, true)))
+      mk(dim, Seq(("event_id", LongType, false),
+        ("user_id", LongType, true)))
+      val src = graft.Tables.view(s, dir, "events")
+        .filter(col("event_id") <= 4000)
+      src.select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("append").format("graft-kudu")
+        .option("table", fact).save()
+      src.select(col("event_id"), col("user_id"))
+        .write.mode("append").format("graft-kudu")
+        .option("table", dim).save()
+      s.conf.set("spark.sql.catalog.graft_kudu_cat",
+        classOf[graft.sources.KuduCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = s.table(s"graft_kudu_cat.$fact")
+        .join(s.table(s"graft_kudu_cat.$dim").hint("merge"), "event_id")
+      val agg = joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"),
+          sum(col("user_id")).as("uid_sum"))
+      val out = agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      val spjOk = plan.contains("SortMergeJoin") &&
+        !plan.contains("hashpartitioning(event_id")
+      import s.implicits._
+      out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), spjOk)).sortBy(_._1)
+        .toDF("event_type", "n", "v_sum", "uid_sum", "spj_no_shuffle")
+    }),
+
     // Pinot end-to-end (reference: `presto-pinot-toolkit/.../
     // PinotSplitManager.java`; in-process substitution documented in
     // sources/PinotBrokerConn.scala). The distinctive mechanics under
@@ -1562,6 +1616,17 @@ object Connectors extends QueryPack {
         |  true AS runtime_pruned
         |FROM events
         |WHERE event_id <= 4000 AND event_id % 211 = 0""".stripMargin,
+
+    // the co-bucketed join replays directly; the no-shuffle plan
+    // observation lands as a constant boolean (KuduTabletSuite pins
+    // the plan shape incl. the negative control)
+    "q2u_kudu_spj" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS v_sum,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  true AS spj_no_shuffle
+        |FROM events WHERE event_id <= 4000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the join replays directly; the materialized-doc reduction lands
     // as a constant boolean (EsIndexSuite pins the mechanics)

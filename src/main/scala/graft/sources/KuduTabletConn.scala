@@ -114,14 +114,22 @@ object KuduStore {
     private[sources] val colIdx: Map[String, Int] =
       columns.map(_.name).zipWithIndex.toMap
 
-    private[sources] def bucketOf(values: Seq[Any]): Int = {
-      val key = hashCols.map(c => encode(values(colIdx(c)))).mkString("\u0000")
-      (MurmurHash3.stringHash(key) & Int.MaxValue) % hashBuckets
-    }
+    private[sources] def bucketOf(values: Seq[Any]): Int =
+      KuduStore.bucketIdOf(hashCols.map(c => values(colIdx(c))),
+        hashBuckets)
 
     private[sources] def pkOf(values: Seq[Any]): String =
       (0 until pkCount).map(i => encode(values(i))).mkString("\u0000")
   }
+
+  /** The hash-bucket arithmetic, shared by row placement AND the
+    * catalog's `bucket` V2 function (SPJ consistency: partition-key
+    * values a split reports must equal what the function computes). */
+  def bucketIdOf(vs: Seq[Any], n: Int): Int = {
+    val key = vs.map(encode).mkString("\u0000")
+    (MurmurHash3.stringHash(key) & Int.MaxValue) % n
+  }
+  def bucketIdOf(v: Any, n: Int): Int = bucketIdOf(Seq(v), n)
 
   private[graft] val tables = new ConcurrentHashMap[String, KuduTable]()
 
@@ -334,19 +342,49 @@ class KuduScanBuilder(tableName: String, full: StructType)
     new KuduScan(tableName, preds, required, pushed)
 }
 
-/** One scan token = one surviving tablet (`buildKuduSplits:188-193`). */
+/** One scan token = one surviving tablet (`buildKuduSplits:188-193`).
+  * Carries its hash-bucket id as the partition key so a scan that
+  * reports KeyGroupedPartitioning can group splits per bucket. */
 final case class KuduTokenSplit(table: String, bucket: Int,
     rangeLo: Option[Long], rangeHi: Option[Long]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 class KuduScan(tableName: String, preds: Seq[KuduStore.Pred],
     required: StructType, pushedFilters: Array[Filter])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import KuduStore._
 
   private val t = KuduStore.table(tableName)
+
+  /** STORAGE-PARTITIONED JOIN support (SPARK-37375): when the table is
+    * a pure hash grid (single full range partition), every split IS one
+    * bucket, so the scan reports `KeyGroupedPartitioning(bucket(n,
+    * hashCols), #splits)` and each split carries its bucket id as the
+    * partition key. Two co-bucketed tables then join with ZERO
+    * exchange — the shuffle-free co-located join (activated by
+    * `spark.sql.sources.v2.bucketing.enabled`; the transform resolves
+    * through [[KuduCatalog.loadFunction]], so only catalog-loaded
+    * scans participate). Range-partitioned grids would need per-key
+    * split grouping — reported as unknown for now. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (t.hashCols.nonEmpty && t.ranges.size == 1 &&
+        t.ranges.head == RangePart(None, None))
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(t.hashBuckets, t.hashCols: _*)),
+        planned.length)
+    else new UnknownPartitioning(planned.length)
+  }
 
   /** RUNTIME tablet pruning (Spark's dynamic-pruning hook for DSv2,
     * SPARK-35779): after a join's build side executes, Spark hands the

@@ -195,4 +195,47 @@ class KuduTabletSuite extends GraftSuite {
       plan.contains("RuntimeFilters: [id"),
       s"no runtime filter on the scan:\n$plan")
   }
+
+  test("storage-partitioned join: co-bucketed tables join shuffle-free") {
+    def mk(name: String, mul: Double): Unit = {
+      KuduStore.drop(name)
+      KuduStore.create(name,
+        columns = Seq(("id", LongType, false), ("v", DoubleType, true)),
+        pkCount = 1, hashCols = Seq("id"), hashBuckets = 8)
+      (1 to 400).foreach(i =>
+        KuduStore.upsert(name, Seq(i.toLong, i * mul)))
+    }
+    mk("spj_a", 1.0)
+    mk("spj_b", 2.0)
+    spark.conf.set("spark.sql.catalog.kudu_spj",
+      classOf[graft.sources.KuduCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.table("kudu_spj.spj_a")
+        .join(spark.table("kudu_spj.spj_b").hint("merge")
+          .withColumnRenamed("v", "w"), "id")
+      val rows = j.collect()
+      assert(rows.length == 400)
+      val plan = j.queryExecution.executedPlan.toString
+      // the co-located join: sort-merge with NO shuffle on either side
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join reshuffled:\n$plan")
+      // values correct through the keyed join
+      val r7 = rows.find(_.getLong(0) == 7L).get
+      assert(r7.getDouble(1) == 7.0 && r7.getDouble(2) == 14.0)
+      // negative control: with SPJ off the same join MUST shuffle —
+      // proving the assertion above discriminates
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j2 = spark.table("kudu_spj.spj_a")
+        .join(spark.table("kudu_spj.spj_b").hint("merge")
+          .withColumnRenamed("v", "w"), "id")
+      j2.collect()
+      assert(j2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "negative control failed: join did not shuffle with SPJ off")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    }
+  }
 }
