@@ -211,6 +211,15 @@ object ResourceGroups {
     else { g.running -= 1; None }
   }
 
+  /** Withdraw a queued ticket (caller cannot or will not wait): removes
+    * exactly that entry so a later release() never hands its slot to a
+    * phantom — without this, an abandoned ticket keeps `running`
+    * elevated forever and the group wedges at its concurrency limit. */
+  def cancelQueued(g: GroupState, ticket: Long): Unit = g.synchronized {
+    g.queued.dequeueAll(_ == ticket)
+    ()
+  }
+
   /** Admit against the group, pin the Spark FAIR scheduler pool to the
     * group id for the body, release after. Throws the queue-full error
     * when the group cannot even queue; a Queued admission waits its
@@ -228,8 +237,13 @@ object ResourceGroups {
           sc.setLocalProperty("spark.scheduler.pool", prev)
           release(g)
         }
-      case Queued(_) => throw new IllegalStateException(
-        s"group ${r.id} is at its hard concurrency limit")
+      case Queued(t) =>
+        // this synchronous wrapper cannot block-wait its turn, so the
+        // just-enqueued ticket must be withdrawn before throwing —
+        // otherwise release() would hand a slot to the phantom entry
+        cancelQueued(g, t)
+        throw new IllegalStateException(
+          s"group ${r.id} is at its hard concurrency limit")
     }
   }
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.functions._
 
 /** The generator-connector surface (graft.sources.TpchGen — the
@@ -477,11 +479,9 @@ object Connectors extends QueryPack {
       graft.Tables.view(s, dir, "documents")
         .filter(col("doc_id") <= 200)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .collect().foreach { r =>
-          graft.sources.RedisStore.set(
-            "docs:" + r.getLong(0),
-            s"""{"lang":"${r.getString(1)}","nc":${r.getLong(2)}}""")
-        }
+        .collect().toSeq.map(r => ("docs:" + r.getLong(0),
+          s"""{"lang":"${r.getString(1)}","nc":${r.getLong(2)}}"""))
+        .pipe(graft.sources.RedisStore.setBatch)
       // other-table keys and a re-typed key: both must be invisible
       graft.sources.RedisStore.set("other:1", """{"lang":"xx","nc":1}""")
       graft.sources.RedisStore.set("othertable:9", """{"lang":"xx","nc":1}""")
@@ -701,10 +701,9 @@ object Connectors extends QueryPack {
       graft.Tables.view(s, dir, "events")
         .select(unix_millis(col("ts")).as("tms"), col("event_type"),
           col("value"), col("user_id"))
-        .collect().foreach { r =>
-          DruidStore.ingest(dsName, r.getLong(0),
-            Seq(r.getString(1)), Seq(r.getDouble(2), r.getLong(3)))
-        }
+        .collect().toSeq.map(r => (r.getLong(0), Seq(r.getString(1)),
+          Seq[Any](r.getDouble(2), r.getLong(3))))
+        .pipe(DruidStore.ingestBatch(dsName, _))
       val scan = s.read.format("graft-druid")
         .option("datasource", dsName).load()
       val nSegs = scan.rdd.getNumPartitions
@@ -1009,20 +1008,31 @@ object Connectors extends QueryPack {
         .option("table", dim).save()
       s.conf.set("spark.sql.catalog.graft_kudu_cat",
         classOf[graft.sources.KuduCatalog].getName)
+      // v2 bucketing scoped to THIS gate: leaving it on session-wide
+      // would put every later Kudu scan on the SPJ partitioning path
+      // (and disable their runtime split pruning — see KuduScan
+      // .planInputPartitions)
+      val prevBucketing = s.conf
+        .getOption("spark.sql.sources.v2.bucketing.enabled")
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val joined = s.table(s"graft_kudu_cat.$fact")
-        .join(s.table(s"graft_kudu_cat.$dim").hint("merge"), "event_id")
-      val agg = joined.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"),
-          sum(col("user_id")).as("uid_sum"))
-      val out = agg.collect()
-      val plan = agg.queryExecution.executedPlan.toString
-      val spjOk = plan.contains("SortMergeJoin") &&
-        !plan.contains("hashpartitioning(event_id")
-      import s.implicits._
-      out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getLong(3), spjOk)).sortBy(_._1)
-        .toDF("event_type", "n", "v_sum", "uid_sum", "spj_no_shuffle")
+      try {
+        val joined = s.table(s"graft_kudu_cat.$fact")
+          .join(s.table(s"graft_kudu_cat.$dim").hint("merge"), "event_id")
+        val agg = joined.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"),
+            sum(col("user_id")).as("uid_sum"))
+        val out = agg.collect()
+        val plan = agg.queryExecution.executedPlan.toString
+        val spjOk = plan.contains("SortMergeJoin") &&
+          !plan.contains("hashpartitioning(event_id")
+        import s.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), spjOk)).sortBy(_._1)
+          .toDF("event_type", "n", "v_sum", "uid_sum", "spj_no_shuffle")
+      } finally prevBucketing match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }),
 
     // Pinot end-to-end (reference: `presto-pinot-toolkit/.../

@@ -735,10 +735,14 @@ object Storage extends QueryPack {
       s.conf.set("spark.sql.catalog.graft_mysql.pushDownAggregate", "true")
       s.conf.set("spark.sql.catalog.graft_mysql.pushDownLimit", "true")
       MySqlStore.statementLog.clear()
+      // var_samp over INTEGER-VALUED o_orderkey (magnitude <= 1200):
+      // accumulation error ~1e-11 vs the 4-dp rounding grid, so the
+      // shim's two-pass order and DuckDB's can never flip a digit (the
+      // q1k drift rule; o_totalprice at ~2e10 variance sat on the edge).
       val agg = s.sql(
         """SELECT o_orderstatus, count(*) AS n,
           |  round(sum(o_totalprice), 2) AS price_sum,
-          |  round(var_samp(o_totalprice), 4) AS price_var,
+          |  round(var_samp(o_orderkey), 4) AS key_var,
           |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
           |FROM graft_mysql.g.ord_mysql
           |GROUP BY o_orderstatus""".stripMargin).collect()
@@ -757,7 +761,7 @@ object Storage extends QueryPack {
         r.getDouble(3), r.getLong(4), r.getLong(5),
         top.map(_.getLong(0)).mkString(","), aggRemote, topRemote))
         .sortBy(_._1)
-        .toDF("status", "n", "price_sum", "price_var", "k_min", "k_max",
+        .toDF("status", "n", "price_sum", "key_var", "k_min", "k_max",
           "top_keys", "agg_remote", "topn_remote")
     }),
 
@@ -975,7 +979,7 @@ object Storage extends QueryPack {
         |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
         |SELECT o_orderstatus AS status, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS price_sum,
-        |  round(var_samp(o_totalprice), 4) AS price_var,
+        |  round(var_samp(o_orderkey), 4) AS key_var,
         |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
         |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
         |   FROM t) AS top_keys,

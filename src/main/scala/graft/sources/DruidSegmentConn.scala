@@ -117,6 +117,15 @@ object DruidStore {
     seg.synchronized { seg.rows += ((tsMs, dims, metrics)) }
   }
 
+  /** Batch-indexing-task shape — Druid loads rows through indexing
+    * tasks over batches, never row-at-a-time from a client loop; gate
+    * fixtures load with ONE call. */
+  def ingestBatch(name: String,
+      rows: Seq[(Long, Seq[String], Seq[Any])]): Unit =
+    rows.foreach { case (ts, dims, metrics) =>
+      ingest(name, ts, dims, metrics)
+    }
+
   def segmentCount(name: String): Int = datasource(name).segments.size()
 }
 

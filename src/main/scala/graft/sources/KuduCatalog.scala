@@ -52,8 +52,11 @@ class KuduCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier): Table = {
     if (KuduStore.tables.get(ident.name()) == null)
       throw new NoSuchTableException(ident)
+    // via-catalog marks the scan as SPJ-capable: only catalog-loaded
+    // scans have their reported KeyGroupedPartitioning honored, so only
+    // they must hold their split set stable under runtime filtering
     new KuduTabletTable(new CaseInsensitiveStringMap(
-      util.Map.of("table", ident.name())))
+      util.Map.of("table", ident.name(), "via-catalog", "true")))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -95,33 +98,41 @@ object KuduBucketFunction {
   object Unbound extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(numBuckets, col) — graft-kudu hash-bucket id"
+      "bucket(numBuckets, col...) — graft-kudu hash-bucket id"
+    // N hash columns bind too (Kudu grids routinely hash >1 PK column;
+    // the scan's reported transform lists ALL of t.hashCols, so a
+    // 2-arg-only bind would IllegalArgumentException at plan time on
+    // any multi-column catalog table under v2 bucketing)
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
-        s"bucket expects (numBuckets, col), got $inputType")
-      new Bound(inputType.fields(1).dataType)
+      require(inputType.fields.length >= 2,
+        s"bucket expects (numBuckets, col...), got $inputType")
+      new Bound(inputType.fields.drop(1).map(_.dataType).toSeq)
     }
   }
 
-  final class Bound(colType: DataType)
+  final class Bound(colTypes: Seq[DataType])
       extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] =
-      Array(IntegerType, colType)
+      (IntegerType +: colTypes).toArray
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft-kudu.bucket"
     override def isDeterministic: Boolean = true
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
-      val v: Any = colType match {
-        case LongType => input.getLong(1)
-        case IntegerType => input.getInt(1)
-        case StringType => input.getUTF8String(1).toString
-        case DoubleType => input.getDouble(1)
-        case other => throw new UnsupportedOperationException(
-          s"graft-kudu bucket over $other")
+      // same Seq-based hash as row placement (KuduStore.bucketIdOf) —
+      // the consistency SPJ relies on
+      val vs: Seq[Any] = colTypes.zipWithIndex.map { case (dt, i) =>
+        dt match {
+          case LongType => input.getLong(i + 1)
+          case IntegerType => input.getInt(i + 1)
+          case StringType => input.getUTF8String(i + 1).toString
+          case DoubleType => input.getDouble(i + 1)
+          case other => throw new UnsupportedOperationException(
+            s"graft-kudu bucket over $other")
+        }
       }
-      Integer.valueOf(KuduStore.bucketIdOf(v, n))
+      Integer.valueOf(KuduStore.bucketIdOf(vs, n))
     }
   }
 }

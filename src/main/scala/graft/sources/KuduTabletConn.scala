@@ -266,6 +266,11 @@ class KuduTabletTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
 
   private val tableName = options.get("table")
+  // set by KuduCatalog.loadTable: only catalog-loaded scans can have
+  // their reported partitioning honored (V2ScanPartitioning resolves
+  // the bucket transform through the owning catalog; bare format()
+  // reads carry no catalog, so theirs is always dropped)
+  private val viaCatalog = options.getBoolean("via-catalog", false)
 
   override def name(): String = s"graft-kudu.$tableName"
   override def schema(): StructType = KuduTabletTable.schemaOf(options)
@@ -274,7 +279,7 @@ class KuduTabletTable(options: CaseInsensitiveStringMap)
       TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new KuduScanBuilder(tableName, schema())
+    new KuduScanBuilder(tableName, schema(), viaCatalog)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KuduWriteBuilder(tableName, info.schema())
@@ -282,7 +287,8 @@ class KuduTabletTable(options: CaseInsensitiveStringMap)
 
 /** `addConstraintPredicates:468-532`: one Spark filter to one
   * KuduPredicate analog; non-translatable filters stay residual. */
-class KuduScanBuilder(tableName: String, full: StructType)
+class KuduScanBuilder(tableName: String, full: StructType,
+    viaCatalog: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -339,7 +345,7 @@ class KuduScanBuilder(tableName: String, full: StructType)
     required = requiredSchema
 
   override def build(): Scan =
-    new KuduScan(tableName, preds, required, pushed)
+    new KuduScan(tableName, preds, required, pushed, viaCatalog)
 }
 
 /** One scan token = one surviving tablet (`buildKuduSplits:188-193`).
@@ -354,7 +360,8 @@ final case class KuduTokenSplit(table: String, bucket: Int,
 }
 
 class KuduScan(tableName: String, preds: Seq[KuduStore.Pred],
-    required: StructType, pushedFilters: Array[Filter])
+    required: StructType, pushedFilters: Array[Filter],
+    viaCatalog: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -374,12 +381,15 @@ class KuduScan(tableName: String, preds: Seq[KuduStore.Pred],
     * through [[KuduCatalog.loadFunction]], so only catalog-loaded
     * scans participate). Range-partitioned grids would need per-key
     * split grouping — reported as unknown for now. */
+  private def spjEligible: Boolean =
+    viaCatalog && t.hashCols.nonEmpty && t.ranges.size == 1 &&
+      t.ranges.head == RangePart(None, None)
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning._
     import org.apache.spark.sql.connector.expressions.Expressions
-    if (t.hashCols.nonEmpty && t.ranges.size == 1 &&
-        t.ranges.head == RangePart(None, None))
+    if (spjEligible)
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(t.hashBuckets, t.hashCols: _*)),
         planned.length)
@@ -494,6 +504,15 @@ class KuduScan(tableName: String, preds: Seq[KuduStore.Pred],
 
   override def planInputPartitions(): Array[InputPartition] =
     if (runtimePreds.isEmpty) planned
+    else if (spjEligible)
+      // a catalog-loaded SPJ-layout scan may have had its reported
+      // KeyGroupedPartitioning honored — runtime In-filters must then
+      // NOT drop whole-bucket splits or Spark's post-runtime-filter
+      // partitioning check fails ("output partitioning changed").
+      // Forgo the split prune; the join re-applies exact semantics.
+      // Bare format() reads (viaCatalog=false) keep full pruning —
+      // their reported partitioning is always dropped by Spark.
+      planned
     else computePlanned(preds ++ runtimePreds)
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -218,6 +218,11 @@ private[sources] object MiniSql {
   final case class InE(e: Expr, vals: Seq[Expr], negated: Boolean) extends Expr
   final case class LikeE(e: Expr, pattern: Expr, escape: Option[String],
       negated: Boolean) extends Expr
+  /** CAST(e AS type) — Spark's V2ExpressionSQLBuilder wraps integral
+    * args of the variance/stddev family in CAST(... AS DOUBLE
+    * PRECISION), so the pushed aggregate grammar includes it. Only the
+    * numeric targets Spark generates are accepted (loud otherwise). */
+  final case class CastE(e: Expr, to: String) extends Expr
   final case class Agg(fn: String, arg: Option[Expr], distinct: Boolean)
       extends Expr
   case object Star extends Expr
@@ -425,7 +430,18 @@ private[sources] object MiniSql {
         else if (up == "CASE") parseCase()
         else if (atPunct("(")) {
           pos += 1 // (
-          if (AggFns.contains(up)) {
+          if (up == "CAST") {
+            val e = parseExpr()
+            eatKw("AS")
+            val parts = Seq.newBuilder[String]
+            var doneT = false
+            while (!doneT) peek match {
+              case Some(TIdent(s)) => pos += 1; parts += s.toUpperCase
+              case _ => doneT = true
+            }
+            eatPunct(")")
+            CastE(e, parts.result().mkString(" "))
+          } else if (AggFns.contains(up)) {
             if (tryPunct("*")) {
               eatPunct(")")
               Agg(up, None, distinct = false)
@@ -528,6 +544,18 @@ private[sources] object MiniSql {
             case "/" => x.divide(y, java.math.MathContext.DECIMAL64)
             case "%" => x.remainder(y)
           }
+        }
+      case CastE(inner, to) =>
+        val v = eval(inner, t, row, params)
+        if (v == null) null
+        else to match {
+          case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" =>
+            java.lang.Double.valueOf(num(v).doubleValue())
+          case "BIGINT" | "SIGNED" | "SIGNED INTEGER" =>
+            java.lang.Long.valueOf(num(v).longValue())
+          case other => throw new SQLException(
+            s"graft-mysql shim: unsupported CAST target '$other' — " +
+              "extend the shim if Spark's pushdown now generates it")
         }
       case Cmp(op, l, r) =>
         val (a, b) = (eval(l, t, row, params), eval(r, t, row, params))

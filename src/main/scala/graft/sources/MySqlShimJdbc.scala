@@ -67,7 +67,12 @@ private[sources] object ShimJdbc {
             case "close" | "clearWarnings" | "cancel" => null
             case "isWrapperFor" => java.lang.Boolean.FALSE
             case "getWarnings" => null
-            case n if n.startsWith("set") => null // fetch size, timeouts...
+            // config setters only (setFetchSize, setQueryTimeout,
+            // setAutoCommit...) take <=1 argument. A multi-arg set* is
+            // a POSITIONAL PARAMETER setter (setObject(i, v, sqlType),
+            // setTimestamp(i, ts, cal)); no-opping one would silently
+            // insert NULL — route it to the fail-loudly error instead.
+            case n if n.startsWith("set") && a.length <= 1 => null
             case _ => unsupported(clazz.getSimpleName, m)
           }
         }

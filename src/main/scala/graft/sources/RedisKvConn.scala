@@ -86,6 +86,12 @@ object RedisStore {
 
   def set(key: String, value: String): Unit = db.put(key, RString(value))
 
+  /** MSET shape — one batched call per fixture load (a real client
+    * pipelines SETs or issues MSET; gate setup must not drive one
+    * driver round-trip per row). */
+  def setBatch(pairs: Seq[(String, String)]): Unit =
+    pairs.foreach { case (k, v) => db.put(k, RString(v)) }
+
   def hset(key: String, fields: Map[String, String]): Unit = {
     val merged = db.get(key) match {
       case RHash(old) => old ++ fields
