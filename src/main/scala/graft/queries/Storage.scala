@@ -765,6 +765,174 @@ object Storage extends QueryPack {
           "top_keys", "agg_remote", "topn_remote")
     }),
 
+    // The THIRD JDBC dialect family — PostgreSQL (reference:
+    // `presto-postgresql/.../PostgreSqlClient.java` over
+    // `presto-base-jdbc/.../JdbcClient.java`; the r12 audit's #1
+    // missing item, unblocked by the MySQL shim pattern: a real
+    // java.sql.Driver on a genuine jdbc:postgresql: URL in
+    // sources/PgShimConn.scala, so Spark's OWN PostgresDialect is the
+    // code under test). Pins what Derby AND MySQL cannot: write-side
+    // DDL (string→TEXT, boolean→BOOLEAN, double→FLOAT8, float→FLOAT4,
+    // binary→BYTEA, byte/short→SMALLINT — from the DDL text that
+    // crossed the wire), read-side inference over pg-only types
+    // (float4→float, int2→short, bpchar→string, uuid→string,
+    // _int8→array<bigint>, bytea→binary — values materialized, the
+    // array summed through Spark), and double-quote identifier quoting
+    // with standard literal escaping. Aggregates replay from the same
+    // slice in DuckDB; every DDL/type/value/quoting observation lands
+    // as a boolean the oracle asserts TRUE.
+    "q2v_postgres_dialect" -> ((s, dir) => {
+      import graft.sources.{GraftPostgresDriver, PgStore}
+      import org.apache.spark.sql.types._
+      GraftPostgresDriver.install()
+      val url = "jdbc:postgresql://graft-shim/g"
+      val drv = "graft.sources.GraftPostgresDriver"
+      PgStore.drop("li_pg")
+      Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 800)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          (col("l_orderkey") % 2 === 0).as("even"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "li_pg").option("driver", drv)
+        .mode("overwrite").save()
+      val ddl = PgStore.ddlLog.get("li_pg")
+      val ddlOk = ddl.contains("TEXT") && ddl.contains("BOOLEAN") &&
+        ddl.contains("FLOAT8") && ddl.contains("BIGINT") &&
+        ddl.contains("\"l_returnflag\"") // double-quoted, not backticked
+      // pg-only read-side types need a table PostgreSQL itself created
+      PgStore.drop("pgtypes")
+      PgStore.create("pgtypes", Seq(
+        PgStore.ColDef("f4", "float4", java.sql.Types.REAL, 8, 8,
+          signed = true, nullable = true),
+        PgStore.ColDef("i2", "int2", java.sql.Types.SMALLINT, 5, 0,
+          signed = true, nullable = true),
+        PgStore.ColDef("bp", "bpchar", java.sql.Types.CHAR, 3, 0,
+          signed = true, nullable = true),
+        PgStore.ColDef("uid", "uuid", java.sql.Types.OTHER, 36, 0,
+          signed = true, nullable = true),
+        PgStore.ColDef("arr", "_int8", java.sql.Types.ARRAY, 19, 0,
+          signed = true, nullable = true),
+        PgStore.ColDef("byt", "bytea", java.sql.Types.BINARY,
+          Int.MaxValue, 0, signed = true, nullable = true)))
+      PgStore.insert("pgtypes", Seq(1.5f, 7.toShort, "ab ",
+        "123e4567-e89b-12d3-a456-426614174000",
+        Array[AnyRef](java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(2L), java.lang.Long.valueOf(3L)),
+        Array[Byte](1, 2, 3)))
+      val pgt = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "pgtypes").option("driver", drv).load()
+      val typesOk = pgt.schema("f4").dataType == FloatType &&
+        pgt.schema("i2").dataType == ShortType &&
+        pgt.schema("bp").dataType == StringType &&
+        pgt.schema("uid").dataType == StringType &&
+        pgt.schema("arr").dataType == ArrayType(LongType) &&
+        pgt.schema("byt").dataType == BinaryType
+      val first = pgt.select(col("f4"), col("i2"), col("bp"), col("uid"),
+        col("arr"), col("byt")).head()
+      val valuesOk = first.getFloat(0) == 1.5f &&
+        first.getShort(1) == 7.toShort && first.getString(2) == "ab " &&
+        first.getString(3).endsWith("174000") &&
+        first.getSeq[Long](4).sum == 6L &&
+        first.getAs[Array[Byte]](5).length == 3
+      val back = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "li_pg").option("driver", drv).load()
+      val inferredOk = back.schema("l_returnflag").dataType == StringType &&
+        back.schema("even").dataType == BooleanType &&
+        back.schema("l_quantity").dataType == DoubleType
+      PgStore.statementLog.clear()
+      back.filter(col("l_orderkey") > 100).agg(count(lit(1))).collect()
+      val quotedOk = PgStore.statementLog.toArray.map(_.toString)
+        .exists(q => q.contains("\"l_orderkey\"") && q.contains("> 100"))
+      back.filter(col("l_orderkey") > 100) // pushed remote-side
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("n_even"))
+        .withColumn("ddl_ok", lit(ddlOk))
+        .withColumn("types_ok", lit(typesOk))
+        .withColumn("values_ok", lit(valuesOk))
+        .withColumn("inferred_ok", lit(inferredOk))
+        .withColumn("quoted_ok", lit(quotedOk))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // PostgreSQL-dialect pushdown through the DSv2 JDBC catalog — the
+    // q1k/q2r aggregate/variance/TopN family on the THIRD dialect, plus
+    // the two arms only PostgresDialect offers: OFFSET paging compiled
+    // remote (LIMIT 3 OFFSET 2 in one statement) and TABLESAMPLE
+    // (supportsTableSample — `TABLESAMPLE BERNOULLI (100.0) REPEATABLE
+    // (42)` pushed whole; 100% keeps the arm deterministic while the
+    // statement log proves the clause went remote), and the dialect's
+    // TRUNCATE TABLE ONLY on truncate-mode overwrite. var_samp pushes
+    // over INTEGER-VALUED o_orderkey (the q1k/q2r drift rule).
+    "q2w_postgres_pushdown" -> ((s, dir) => {
+      import graft.sources.{GraftPostgresDriver, PgStore}
+      GraftPostgresDriver.install()
+      val url = "jdbc:postgresql://graft-shim/g"
+      val drv = "graft.sources.GraftPostgresDriver"
+      PgStore.drop("ord_pg")
+      val src = Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      src.write.format("jdbc").option("url", url)
+        .option("dbtable", "ord_pg").option("driver", drv)
+        .mode("overwrite").save()
+      // truncate-mode overwrite exercises the dialect's TRUNCATE TABLE
+      // ONLY (vs MySQL/Derby's plain TRUNCATE TABLE)
+      PgStore.statementLog.clear()
+      src.write.format("jdbc").option("url", url)
+        .option("dbtable", "ord_pg").option("driver", drv)
+        .option("truncate", "true").mode("overwrite").save()
+      val truncOnly = PgStore.statementLog.toArray.map(_.toString)
+        .exists(_.contains("TRUNCATE TABLE ONLY"))
+      s.conf.set("spark.sql.catalog.graft_pg",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_pg.url", url)
+      s.conf.set("spark.sql.catalog.graft_pg.driver", drv)
+      s.conf.set("spark.sql.catalog.graft_pg.pushDownAggregate", "true")
+      s.conf.set("spark.sql.catalog.graft_pg.pushDownLimit", "true")
+      s.conf.set("spark.sql.catalog.graft_pg.pushDownOffset", "true")
+      s.conf.set("spark.sql.catalog.graft_pg.pushDownTableSample", "true")
+      PgStore.statementLog.clear()
+      val agg = s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS price_sum,
+          |  round(var_samp(o_orderkey), 4) AS key_var,
+          |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+          |FROM graft_pg.g.ord_pg
+          |GROUP BY o_orderstatus""".stripMargin).collect()
+      val top = s.sql(
+        """SELECT o_orderkey AS k FROM graft_pg.g.ord_pg
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin)
+        .collect()
+      val page = s.sql(
+        """SELECT o_orderkey AS k FROM graft_pg.g.ord_pg
+          |ORDER BY o_orderkey LIMIT 3 OFFSET 2""".stripMargin).collect()
+      val total = s.table("graft_pg.g.ord_pg").count()
+      val sampled = s.table("graft_pg.g.ord_pg").sample(1.0, 42L).count()
+      val log = PgStore.statementLog.toArray.map(_.toString)
+      val aggRemote = log.exists(q => q.contains("GROUP BY") &&
+        q.contains("VAR_SAMP") && q.contains("\"o_orderstatus\""))
+      val topRemote = log.exists(q => q.contains("ORDER BY") &&
+        q.contains("LIMIT 5"))
+      val offsetRemote = log.exists(q => q.contains("LIMIT 3") &&
+        q.contains("OFFSET 2"))
+      val sampleRemote = log.exists(
+        _.contains("TABLESAMPLE BERNOULLI (100.0) REPEATABLE (42)"))
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        top.map(_.getLong(0)).mkString(","),
+        page.map(_.getLong(0)).mkString(","),
+        aggRemote, topRemote, offsetRemote,
+        sampleRemote && sampled == total, truncOnly))
+        .sortBy(_._1)
+        .toDF("status", "n", "price_sum", "key_var", "k_min", "k_max",
+          "top_keys", "page_keys", "agg_remote", "topn_remote",
+          "offset_remote", "sample_remote", "trunc_only")
+    }),
+
     // Row-level DML: DELETE FROM t WHERE pred (reference
     // `presto-main/.../operator/DeleteOperator.java:40`). Parquet files
     // are immutable, so the engine implements DELETE as copy-on-write —
@@ -984,6 +1152,39 @@ object Storage extends QueryPack {
         |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
         |   FROM t) AS top_keys,
         |  true AS agg_remote, true AS topn_remote
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same slice replay as q2q; the pg DDL/type/value/quoting
+    // observations landed as booleans the oracle asserts TRUE
+    "q2v_postgres_dialect" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  CAST(count_if(l_orderkey % 2 = 0) AS BIGINT) AS n_even,
+        |  true AS ddl_ok, true AS types_ok, true AS values_ok,
+        |  true AS inferred_ok, true AS quoted_ok
+        |FROM lineitem WHERE l_orderkey <= 800 AND l_orderkey > 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouped stats + the deterministic TopN and OFFSET-page key lists
+    // replay directly; the remote-clause booleans (incl. the
+    // TABLESAMPLE and TRUNCATE ONLY arms) land as constants
+    "q2w_postgres_pushdown" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200),
+        |t AS (SELECT o_orderkey FROM sub
+        |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5),
+        |p AS (SELECT o_orderkey FROM sub
+        |      ORDER BY o_orderkey LIMIT 3 OFFSET 2)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  round(var_samp(o_orderkey), 4) AS key_var,
+        |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
+        |   FROM t) AS top_keys,
+        |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
+        |   FROM p) AS page_keys,
+        |  true AS agg_remote, true AS topn_remote,
+        |  true AS offset_remote, true AS sample_remote,
+        |  true AS trunc_only
         |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cache transparency: warm and cold reads both replay as the plain

@@ -50,29 +50,33 @@ import scala.jdk.CollectionConverters._
   * half changes, nothing above it does — quoting, type mapping, and the
   * pushdown surface are exactly what these gates pin.
   */
-object MySqlStore {
+object MySqlStore extends ShimBackend {
 
-  /** One column as the remote engine models it (drives RSMD answers). */
-  final case class ColDef(name: String, typeName: String, jdbcType: Int,
-      precision: Int, scale: Int, signed: Boolean, nullable: Boolean)
+  /** One column as the remote engine models it (drives RSMD answers);
+    * shared with the Postgres shim ([[ShimModel]]). */
+  type ColDef = ShimModel.ColDef
+  val ColDef = ShimModel.ColDef
+  type MTable = ShimModel.MTable
 
-  final class MTable(val columns: Seq[ColDef]) {
-    private[sources] val rows = mutable.ArrayBuffer.empty[Array[Any]]
-    private[sources] val colIdx: Map[String, Int] =
-      columns.map(_.name.toLowerCase).zipWithIndex.toMap
-  }
+  override def who: String = "graft-mysql"
+  override def quote: Char = '`'
+  override def escapeBackslashInLiterals: Boolean = true
+  override def productName: String = "MySQL"
+  override def productVersion: String = "8.0.0-graft-shim"
+  override def majorVersion: Int = 8
+  override def minorVersion: Int = 0
 
   private[graft] val tables = new ConcurrentHashMap[String, MTable]()
 
   /** Every SQL text that crossed the shim boundary — the suite's lock
     * on what Spark's dialect actually generated (quoting, clauses). */
-  val statementLog = new ConcurrentLinkedQueue[String]()
+  override val statementLog = new ConcurrentLinkedQueue[String]()
 
   /** Recorded CREATE TABLE column DDL per table — the write-side
     * type-mapping proof (e.g. "l_comment LONGTEXT"). */
-  private[graft] val ddlLog = new ConcurrentHashMap[String, String]()
+  override val ddlLog = new ConcurrentHashMap[String, String]()
 
-  def drop(name: String): Unit = {
+  override def drop(name: String): Unit = {
     tables.remove(name.toLowerCase)
     ddlLog.remove(name.toLowerCase)
   }
@@ -84,16 +88,16 @@ object MySqlStore {
   /** Seed a table directly with MySQL-typed columns — the out-of-band
     * path for read-side inference gates (an UNSIGNED column can only
     * exist in a table MySQL itself created). */
-  def create(name: String, cols: Seq[ColDef]): Unit =
+  override def create(name: String, cols: Seq[ColDef]): Unit =
     tables.put(name.toLowerCase, new MTable(cols))
 
-  def insert(name: String, values: Seq[Any]): Unit = {
+  override def insert(name: String, values: Seq[Any]): Unit = {
     val t = table(name)
     require(values.length == t.columns.length, "graft-mysql: arity")
     t.synchronized { t.rows += values.toArray }
   }
 
-  private[sources] def table(name: String): MTable = {
+  override def table(name: String): MTable = {
     val t = tables.get(name.toLowerCase)
     if (t == null)
       throw new SQLException(s"Table '$name' doesn't exist", "42S02", 1146)
@@ -102,7 +106,7 @@ object MySqlStore {
 
   /** MySQL DDL type → column model; the inverse of what the dialect's
     * getJDBCType emitted (probed empirically against Spark 4.1). */
-  private[sources] def ddlType(name: String, ddl: String,
+  override def ddlType(name: String, ddl: String,
       nullable: Boolean): ColDef = {
     val up = ddl.trim.toUpperCase
     def c(tn: String, jt: Int, p: Int, s: Int = 0, signed: Boolean = true) =
@@ -134,21 +138,23 @@ object MySqlStore {
 }
 
 /** Evaluator for exactly the SQL Spark's JDBC source generates against
-  * a MySQL-dialect URL. Anything outside that grammar throws — the shim
-  * must never guess. */
+  * a shimmed dialect URL (MySQL or PostgreSQL — the [[ShimBackend]]
+  * supplies the per-dialect knobs). Anything outside that grammar
+  * throws — the shim must never guess. */
 private[sources] object MiniSql {
 
-  import MySqlStore._
+  import ShimModel._
 
   // ---------- tokenizer ----------
   sealed trait Tok
-  final case class TIdent(s: String) extends Tok // backtick or bare
+  final case class TIdent(s: String) extends Tok // quoted or bare
   final case class TNum(s: String) extends Tok
   final case class TStr(s: String) extends Tok
   final case class TPunct(s: String) extends Tok
   final case class TParam(idx: Int) extends Tok
 
-  def tokenize(sql: String): Vector[Tok] = {
+  def tokenize(sql: String,
+      escapeBackslash: Boolean = true): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     var params = 0
@@ -156,9 +162,9 @@ private[sources] object MiniSql {
     while (i < n) {
       val ch = sql.charAt(i)
       if (ch.isWhitespace) i += 1
-      else if (ch == '`') {
-        val j = sql.indexOf('`', i + 1)
-        if (j < 0) throw new SQLException(s"unterminated ` in: $sql")
+      else if (ch == '`' || ch == '"') { // MySQL vs standard ident quote
+        val j = sql.indexOf(ch, i + 1)
+        if (j < 0) throw new SQLException(s"unterminated $ch in: $sql")
         out += TIdent(sql.substring(i + 1, j)); i = j + 1
       }
       else if (ch == '\'') {
@@ -170,8 +176,8 @@ private[sources] object MiniSql {
           val c = sql.charAt(i)
           if (c == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
             sb += '\''; i += 2
-          } else if (c == '\\' && i + 1 < n) { // dialect escapes \ and '
-            sb += sql.charAt(i + 1); i += 2
+          } else if (c == '\\' && escapeBackslash && i + 1 < n) {
+            sb += sql.charAt(i + 1); i += 2 // MySQL escapes \ and '
           } else if (c == '\'') { done = true; i += 1 }
           else { sb += c; i += 1 }
         }
@@ -230,20 +236,25 @@ private[sources] object MiniSql {
       extends Expr
 
   final case class OrderKey(e: Expr, asc: Boolean, nullsFirst: Boolean)
+  /** `sample` = (percent, seed): the TABLESAMPLE BERNOULLI clause
+    * PostgresDialect pushes (`getTableSample`); applied to the base
+    * rows BEFORE the WHERE, as SQL defines it. */
   final case class Select(items: Seq[Expr], table: String,
       where: Option[Expr], groupBy: Seq[Expr], orderBy: Seq[OrderKey],
-      limit: Option[Int], offset: Option[Int])
+      limit: Option[Int], offset: Option[Int],
+      sample: Option[(Double, Option[Long])] = None)
 
   private val AggFns = Set("MIN", "MAX", "SUM", "COUNT", "AVG",
     "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP")
 
   // ---------- parser ----------
-  final class P(toks: Vector[Tok], sql: String) {
+  final class P(toks: Vector[Tok], sql: String,
+      who: String = "graft-mysql") {
     var pos = 0
     def peek: Option[Tok] = toks.lift(pos)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def fail(msg: String): Nothing =
-      throw new SQLException(s"graft-mysql shim cannot parse ($msg): $sql")
+      throw new SQLException(s"$who shim cannot parse ($msg): $sql")
     def isKw(t: Tok, kw: String): Boolean = t match {
       case TIdent(s) => s.equalsIgnoreCase(kw)
       case _ => false
@@ -266,6 +277,26 @@ private[sources] object MiniSql {
       while (tryPunct(",")) items += parseItem()
       eatKw("FROM")
       val table = parseTableRef()
+      val sample: Option[(Double, Option[Long])] =
+        if (tryKw("TABLESAMPLE")) {
+          eatKw("BERNOULLI")
+          eatPunct("(")
+          val pct = next() match {
+            case TNum(s) => s.toDouble
+            case other => fail(s"expected sample percent, got $other")
+          }
+          eatPunct(")")
+          val seed = if (tryKw("REPEATABLE")) {
+            eatPunct("(")
+            val v = next() match {
+              case TNum(s) => s.toLong
+              case other => fail(s"expected sample seed, got $other")
+            }
+            eatPunct(")")
+            Some(v)
+          } else None
+          Some((pct, seed))
+        } else None
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       val groupBy = Seq.newBuilder[Expr]
       if (tryKw("GROUP")) {
@@ -297,7 +328,7 @@ private[sources] object MiniSql {
       }
       if (pos != toks.length) fail(s"trailing tokens at $pos")
       Select(items.result(), table, where, groupBy.result(),
-        orderBy.result(), limit, offset)
+        orderBy.result(), limit, offset, sample)
     }
 
     private def intTok(): Int = next() match {
@@ -491,7 +522,7 @@ private[sources] object MiniSql {
     case n: Double => new java.math.BigDecimal(n)
     case n: Number => new java.math.BigDecimal(n.toString)
     case other =>
-      throw new SQLException(s"graft-mysql shim: not numeric: $other")
+      throw new SQLException(s"jdbc shim: not numeric: $other")
   }
 
   private def cmpVals(a: Any, b: Any): Int = (a, b) match {
@@ -549,12 +580,13 @@ private[sources] object MiniSql {
         val v = eval(inner, t, row, params)
         if (v == null) null
         else to match {
-          case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" =>
+          case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" |
+               "FLOAT8" | "FLOAT4" => // FLOAT8: the Postgres spelling
             java.lang.Double.valueOf(num(v).doubleValue())
           case "BIGINT" | "SIGNED" | "SIGNED INTEGER" =>
             java.lang.Long.valueOf(num(v).longValue())
           case other => throw new SQLException(
-            s"graft-mysql shim: unsupported CAST target '$other' — " +
+            s"jdbc shim: unsupported CAST target '$other' — " +
               "extend the shim if Spark's pushdown now generates it")
         }
       case Cmp(op, l, r) =>
@@ -627,23 +659,63 @@ private[sources] object MiniSql {
     }
 
   /** Execute a parsed SELECT; returns (columns, rows). */
-  def run(sel: Select, params: Array[Any]): (Seq[ColDef], Seq[Array[Any]]) = {
-    val t = MySqlStore.table(sel.table)
-    val base = t.synchronized(t.rows.toVector)
+  def run(sel: Select, params: Array[Any],
+      backend: ShimBackend = MySqlStore): (Seq[ColDef], Seq[Array[Any]]) = {
+    val t = backend.table(sel.table)
+    val base0 = t.synchronized(t.rows.toVector)
+    // TABLESAMPLE BERNOULLI: a seeded per-row coin flip, deterministic
+    // for a given (seed, row position) — REPEATABLE's contract. 100%
+    // keeps every row exactly ([0,1) * 100 < 100 always). splitmix64
+    // finalizer, NOT java.util.Random: sequential seeds' first draws
+    // are correlated enough to empty a 50% sample.
+    def mix01(z0: Long): Double = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val base = sel.sample match {
+      case None => base0
+      case Some((pct, seed)) =>
+        val s = seed.getOrElse(0L)
+        base0.zipWithIndex.collect {
+          case (r, i) if mix01(s * 0x5851F42D4C957F2DL + i) * 100 < pct => r
+        }
+    }
     val filtered = sel.where match {
       case None => base
       case Some(w) =>
         base.filter(r => eval(w, t, r, params) == java.lang.Boolean.TRUE)
     }
     val hasAgg = sel.groupBy.nonEmpty || sel.items.exists(containsAgg)
-    val (cols, rows0) =
+    def cmpKey(k: OrderKey, x: Any, y: Any): Int =
+      if (x == null && y == null) 0
+      else if (x == null) { if (k.nullsFirst) -1 else 1 }
+      else if (y == null) { if (k.nullsFirst) 1 else -1 }
+      else cmpVals(x, y) * (if (k.asc) 1 else -1)
+    val (cols, ordered) =
       if (!hasAgg) {
         val items = sel.items.flatMap {
           case Star => t.columns.map(c => (Col(c.name): Expr, c))
           case e => Seq((e, outCol(e, t)))
         }
+        // sort on SOURCE rows before projecting — a pushed TopN may
+        // order by a column outside the projection (SELECT k ...
+        // ORDER BY price), which is legal remote SQL
+        val sorted =
+          if (sel.orderBy.isEmpty) filtered
+          else filtered.sortWith { (ra, rb) =>
+            var r = 0
+            sel.orderBy.foreach { k =>
+              if (r == 0)
+                r = cmpKey(k, eval(k.e, t, ra, params),
+                  eval(k.e, t, rb, params))
+            }
+            r < 0
+          }
         (items.map(_._2),
-          filtered.map(r => items.map(i => eval(i._1, t, r, params)).toArray))
+          sorted.map(r => items.map(i => eval(i._1, t, r, params)).toArray))
       } else {
         val groups = filtered.groupBy(r =>
           sel.groupBy.map(g => normKey(eval(g, t, r, params))).toList)
@@ -655,35 +727,25 @@ private[sources] object MiniSql {
         val rows = groupSeq.map { case (_, rs) =>
           sel.items.map(i => evalAgg(i, t, rs, params)).toArray
         }
-        (cols, rows)
-      }
-    val ordered =
-      if (sel.orderBy.isEmpty) rows0
-      else {
-        // order keys evaluated against the OUTPUT when they match an
-        // output column, else against... Spark only orders by columns
-        // present in the projection for TopN pushes
-        val keyIdx = sel.orderBy.map { k =>
-          val i = sel.items.indexWhere(it => sameExpr(it, k.e))
-          (k, i, k.e)
-        }
-        rows0.sortWith { (a, b) =>
-          var r = 0
-          keyIdx.foreach { case (k, i, e) =>
-            if (r == 0) {
-              val (x, y) =
-                if (i >= 0) (a(i), b(i))
-                else throw new SQLException(
-                  s"ORDER BY key not in projection: $e")
-              r =
-                if (x == null && y == null) 0
-                else if (x == null) { if (k.nullsFirst) -1 else 1 }
-                else if (y == null) { if (k.nullsFirst) 1 else -1 }
-                else cmpVals(x, y) * (if (k.asc) 1 else -1)
+        val sorted =
+          if (sel.orderBy.isEmpty) rows
+          else {
+            // aggregate outputs: order keys must match projected items
+            val keyIdx = sel.orderBy.map { k =>
+              val i = sel.items.indexWhere(it => sameExpr(it, k.e))
+              if (i < 0) throw new SQLException(
+                s"ORDER BY key not in aggregate projection: ${k.e}")
+              (k, i)
+            }
+            rows.sortWith { (a, b) =>
+              var r = 0
+              keyIdx.foreach { case (k, i) =>
+                if (r == 0) r = cmpKey(k, a(i), b(i))
+              }
+              r < 0
             }
           }
-          r < 0
-        }
+        (cols, sorted)
       }
     val paged = ordered
       .drop(sel.offset.getOrElse(0))
@@ -785,6 +847,8 @@ private[sources] object MiniSql {
         nullable = true)
   }
 
-  def parse(sql: String): Select =
-    new P(tokenize(sql), sql).parseSelect()
+  def parse(sql: String,
+      backend: ShimBackend = MySqlStore): Select =
+    new P(tokenize(sql, backend.escapeBackslashInLiterals), sql,
+      backend.who).parseSelect()
 }

@@ -12,7 +12,9 @@ import scala.collection.mutable
   * (URL-keyed) is the code under test. The interfaces are implemented
   * with dynamic proxies answering exactly the calls Spark's JDBC source
   * makes and FAILING LOUDLY (method name in the error) on anything
-  * else — the shim must never silently misbehave. */
+  * else — the shim must never silently misbehave. The proxy/statement
+  * machinery itself is dialect-neutral ([[ShimJdbcCore]]); the MySQL
+  * and PostgreSQL drivers differ only in their [[ShimBackend]]. */
 object GraftMySqlDriver {
   @volatile private var installed = false
   def install(): Unit = synchronized {
@@ -29,7 +31,7 @@ class GraftMySqlDriver extends Driver {
     url != null && url.startsWith("jdbc:mysql://graft-shim")
 
   override def connect(url: String, info: Properties): Connection =
-    if (!acceptsURL(url)) null else ShimJdbc.connection()
+    if (!acceptsURL(url)) null else ShimJdbc.mysql.connection()
 
   override def getMajorVersion: Int = 8
   override def getMinorVersion: Int = 0
@@ -41,12 +43,21 @@ class GraftMySqlDriver extends Driver {
 }
 
 private[sources] object ShimJdbc {
+  val mysql = new ShimJdbcCore(MySqlStore)
+  lazy val postgres = new ShimJdbcCore(PgStore)
+}
 
-  import MySqlStore._
+/** Dialect-neutral `java.sql` implementation over a [[ShimBackend]]:
+  * dynamic proxies for Connection / DatabaseMetaData / Statement /
+  * ResultSet / RSMD answering exactly what Spark's JDBC source calls,
+  * loud on everything else. */
+private[sources] final class ShimJdbcCore(b: ShimBackend) {
+
+  import ShimModel._
 
   private def unsupported(iface: String, m: Method): Nothing =
     throw new SQLException(
-      s"graft-mysql shim: $iface.${m.getName} not implemented — " +
+      s"${b.who} shim: $iface.${m.getName} not implemented — " +
         "extend the shim if Spark's JDBC source now calls it")
 
   private def proxy[T](clazz: Class[T])(
@@ -60,7 +71,7 @@ private[sources] object ShimJdbc {
           if (handle.isDefinedAt(key)) handle(key)
           else m.getName match {
             // universal no-op/benign defaults
-            case "toString" => s"graft-mysql-shim ${clazz.getSimpleName}"
+            case "toString" => s"${b.who}-shim ${clazz.getSimpleName}"
             case "hashCode" => Integer.valueOf(System.identityHashCode(p))
             case "equals" => java.lang.Boolean.valueOf(p eq a(0))
             case "isClosed" => java.lang.Boolean.FALSE
@@ -92,29 +103,43 @@ private[sources] object ShimJdbc {
         Integer.valueOf(Connection.TRANSACTION_READ_COMMITTED)
       case ("getCatalog", _) => "graft"
       case ("getSchema", _) => null
+      // JdbcUtils' ArrayType setter: conn.createArrayOf(baseTypeName,
+      // elements) — the value travels as a java.sql.Array whose
+      // getArray() hands the elements back (the pgjdbc contract)
+      case ("createArrayOf", args) =>
+        sqlArray(args(0).asInstanceOf[String],
+          args(1).asInstanceOf[Array[AnyRef]])
     }
     conn
   }
+
+  /** Minimal java.sql.Array carrier (arrays are a PostgreSQL-family
+    * surface: `BIGINT[]` columns round-trip as these). */
+  private def sqlArray(baseType: String,
+      elems: Array[AnyRef]): java.sql.Array =
+    proxy(classOf[java.sql.Array]) {
+      case ("getArray", a) if a.isEmpty => elems
+      case ("getBaseTypeName", _) => baseType
+      case ("free", _) => null
+    }
 
   private def databaseMetaData(conn: Connection)
       : java.sql.DatabaseMetaData =
     proxy(classOf[java.sql.DatabaseMetaData]) {
       case ("supportsTransactions", _) => java.lang.Boolean.TRUE
-      case ("getDatabaseProductName", _) => "MySQL"
-      case ("getDatabaseProductVersion", _) => "8.0.0-graft-shim"
-      case ("getDatabaseMajorVersion", _) => Integer.valueOf(8)
-      case ("getDatabaseMinorVersion", _) => Integer.valueOf(0)
-      case ("getDriverVersion", _) => "8.0"
-      case ("getDriverMajorVersion", _) => Integer.valueOf(8)
-      case ("getDriverMinorVersion", _) => Integer.valueOf(0)
+      case ("getDatabaseProductName", _) => b.productName
+      case ("getDatabaseProductVersion", _) => b.productVersion
+      case ("getDatabaseMajorVersion", _) => Integer.valueOf(b.majorVersion)
+      case ("getDatabaseMinorVersion", _) => Integer.valueOf(b.minorVersion)
+      case ("getDriverVersion", _) => s"${b.majorVersion}.${b.minorVersion}"
+      case ("getDriverMajorVersion", _) => Integer.valueOf(b.majorVersion)
+      case ("getDriverMinorVersion", _) => Integer.valueOf(b.minorVersion)
       case ("getConnection", _) => conn
-      case ("getIdentifierQuoteString", _) => "`"
+      case ("getIdentifierQuoteString", _) => b.quote.toString
       case ("storesUpperCaseIdentifiers", _) => java.lang.Boolean.FALSE
       case ("getSQLKeywords", _) => ""
     }
 
-  /** One statement object serves both Statement and PreparedStatement
-    * (the proxy implements PreparedStatement, a Statement subtype). */
   private def statement(prepared: Option[String]): java.sql.PreparedStatement = {
     val params = mutable.ArrayBuffer.empty[Any]
     val batches = mutable.ArrayBuffer.empty[Array[Any]]
@@ -173,18 +198,21 @@ private[sources] object ShimJdbc {
   private val CreateRe =
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s*\((.*)\)\s*(.*?)\s*""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(\S+)\s*""".r
-  private val TruncateRe = """(?is)\s*TRUNCATE\s+TABLE\s+(\S+)\s*""".r
+  // PostgresDialect truncates with TRUNCATE TABLE ONLY <t>
+  private val TruncateRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+(?:ONLY\s+)?(\S+)\s*""".r
 
   private def unquoteName(raw: String): String = {
     val parts = raw.trim.split('.')
-    parts.last.stripPrefix("`").stripSuffix("`")
+    val q = b.quote.toString
+    parts.last.stripPrefix(q).stripSuffix(q)
   }
 
   private def executeUpdate(sql: String, params: Array[Any]): Int = {
-    statementLog.add(sql)
+    b.statementLog.add(sql)
     sql match {
       case InsertRe(rawName, _, _) =>
-        MySqlStore.insert(unquoteName(rawName), params.toSeq)
+        b.insert(unquoteName(rawName), params.toSeq)
         1
       case CreateRe(rawName, colsDdl, _) =>
         val name = unquoteName(rawName)
@@ -202,8 +230,8 @@ private[sources] object ShimJdbc {
         val cols = parts.result().map { p =>
           val s = p.trim
           val (colName, rest) =
-            if (s.startsWith("`")) {
-              val end = s.indexOf('`', 1)
+            if (s.charAt(0) == b.quote) {
+              val end = s.indexOf(b.quote, 1)
               (s.substring(1, end), s.substring(end + 1).trim)
             } else {
               val sp = s.indexOf(' ')
@@ -211,29 +239,29 @@ private[sources] object ShimJdbc {
             }
           val nullable = !rest.toUpperCase.endsWith("NOT NULL")
           val typeDdl = rest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*$", "")
-          MySqlStore.ddlType(colName, typeDdl, nullable)
+          b.ddlType(colName, typeDdl, nullable)
         }
-        MySqlStore.create(name, cols)
-        MySqlStore.ddlLog.put(name.toLowerCase, colsDdl.trim)
+        b.create(name, cols)
+        b.ddlLog.put(name.toLowerCase, colsDdl.trim)
         0
       case DropRe(rawName) =>
         val name = unquoteName(rawName)
-        MySqlStore.table(name) // throws 42S02 if absent, like MySQL
-        MySqlStore.drop(name)
+        b.table(name) // throws if absent, like the real engines
+        b.drop(name)
         0
       case TruncateRe(rawName) =>
-        val t = MySqlStore.table(unquoteName(rawName))
+        val t = b.table(unquoteName(rawName))
         t.synchronized(t.rows.clear())
         0
       case _ =>
-        throw new SQLException(s"graft-mysql shim: unsupported update: $sql")
+        throw new SQLException(s"${b.who} shim: unsupported update: $sql")
     }
   }
 
   private def executeQuery(sql: String, params: Array[Any]): ResultSet = {
-    statementLog.add(sql)
-    val sel = MiniSql.parse(sql)
-    val (cols, rows) = MiniSql.run(sel, params)
+    b.statementLog.add(sql)
+    val sel = MiniSql.parse(sql, b)
+    val (cols, rows) = MiniSql.run(sel, params, b)
     resultSet(cols, rows)
   }
 
@@ -300,6 +328,13 @@ private[sources] object ShimJdbc {
         cell(args(0).asInstanceOf[Int]).asInstanceOf[java.sql.Timestamp]
       case ("getDate", args) =>
         cell(args(0).asInstanceOf[Int]).asInstanceOf[java.sql.Date]
+      case ("getArray", args) =>
+        cell(args(0).asInstanceOf[Int]) match {
+          case null => null
+          case a: java.sql.Array => a
+          case a: Array[AnyRef] => sqlArray("", a)
+          case o => throw new SQLException(s"not an array: $o")
+        }
       case ("getObject", args) => cell(args(0).asInstanceOf[Int])
         .asInstanceOf[AnyRef]
       case ("isClosed", _) => java.lang.Boolean.FALSE
@@ -332,5 +367,8 @@ private[sources] object ShimJdbc {
       case ("isCaseSensitive", _) => java.lang.Boolean.TRUE
       case ("isCurrency", _) => java.lang.Boolean.FALSE
       case ("isAutoIncrement", _) => java.lang.Boolean.FALSE
+      // pgjdbc answers "" when the column's table is not resolvable;
+      // Spark's Postgres path asks during schema inference
+      case ("getTableName", _) => ""
     }
 }

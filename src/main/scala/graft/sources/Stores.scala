@@ -32,5 +32,6 @@ object Stores {
     ThriftRegistry.services.clear()
     MemoryConn.store.clear()
     MySqlStore.clearAll()
+    PgStore.clearAll()
   }
 }

@@ -371,6 +371,19 @@ class QueriesSmokeSuite extends GraftSuite {
       s"range predicate not pushed:\n$plan")
   }
 
+  guards("q2v_postgres_dialect") { (plan, n) =>
+    // same stance as q2q on the THIRD dialect: the read half scans the
+    // Postgres-shim JDBC relation with the range predicate compiled
+    // remote (the dialect's double-quoted SQL); q2w's agg/TopN/OFFSET/
+    // TABLESAMPLE pushdown is locked by its runtime booleans plus
+    // PgShimSuite's PushedAggregates assert (its gate returns literals,
+    // so there is no scan in ITS final plan to guard)
+    assert(plan.contains("JDBCRelation"), s"not a JDBC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [*GreaterThan(l_orderkey,100)") ||
+      (plan.contains("PushedFilters") && plan.contains("l_orderkey")),
+      s"range predicate not pushed:\n$plan")
+  }
+
   guards("q2k_ivf_pq") { (plan, n) =>
     // composed IVF-PQ: the cell filter (broadcast candidate-id join)
     // must sit BEFORE the ADC lookup join — codes join the broadcast
