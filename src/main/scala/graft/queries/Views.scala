@@ -692,6 +692,93 @@ object Views extends QueryPack {
       rows.toDF("k", "user", "outcome").orderBy(col("k"))
     }),
 
+    // Session property managers (reference: `presto-session-property-
+    // managers/.../FileSessionPropertyManager.java` +
+    // `SessionMatchSpec.java`; Spark-native re-expression in
+    // plans/SessionPropertyManagers.scala — the r12 missing list's #2).
+    // A JSON list of match specs (user/source full-match regexes,
+    // clientTags subset, case-insensitive queryType, resource-group
+    // regex) resolves per-query default session properties; EVERY
+    // matching spec contributes with later-overrides-earlier (the
+    // reference's documented combination, NOT first-match-wins). 20
+    // closed-form contexts replay the resolution as CASE arithmetic in
+    // DuckDB; the lifecycle booleans prove the properties apply
+    // through the engine's own SET SESSION registry (conf moves inside
+    // withProperties, restores after) and that unknown property names
+    // and unknown config fields both fail loudly.
+    "q2x_session_property_manager" -> ((s, dir) => {
+      import graft.plans.SessionPropertyManagers
+      import graft.plans.SessionPropertyManagers.Context
+      graft.functions.Registry.install(s)
+      val specs = SessionPropertyManagers.parse(
+        """[
+          |  { "user": "etl_.*",
+          |    "sessionProperties": { "hash_partition_count": "11" } },
+          |  { "source": "dashboard-.*", "clientTags": ["hipri"],
+          |    "sessionProperties": {
+          |      "join_distribution_type": "PARTITIONED",
+          |      "task_concurrency": "4" } },
+          |  { "user": "etl_nightly", "queryType": "insert",
+          |    "sessionProperties": { "hash_partition_count": "17" } },
+          |  { "group": "global\\..*",
+          |    "sessionProperties": {
+          |      "optimize_hash_generation": "false" } }
+          |]""".stripMargin)
+      def ctxOf(k: Int) = Context(
+        user = if (k % 4 == 0) "etl_nightly"
+          else if (k % 4 == 1) "etl_adhoc" else s"ana${k % 3}",
+        source = Some(if (k % 2 == 0) s"dashboard-$k" else "cli"),
+        clientTags = if (k % 2 == 0) Set("hipri") else Set.empty,
+        queryType = if (k % 5 == 0) Some("INSERT") else None,
+        resourceGroupId =
+          if (k % 3 == 0) Some("global.adhoc") else None)
+      val rows = (0 until 20).map { k =>
+        val p = SessionPropertyManagers.properties(specs, ctxOf(k)).toMap
+        (k.toLong, p.getOrElse("hash_partition_count", ""),
+          p.getOrElse("join_distribution_type", ""),
+          p.getOrElse("task_concurrency", ""),
+          p.getOrElse("optimize_hash_generation", ""))
+      }
+      // lifecycle: properties apply through the SET SESSION registry
+      // inside withProperties and restore after (query-scoped defaults)
+      val prior = s.conf.get("spark.sql.shuffle.partitions")
+      var inside: String = null
+      SessionPropertyManagers.withProperties(s, specs, ctxOf(1)) {
+        inside = s.conf.get("spark.sql.shuffle.partitions")
+      }
+      val appliedOk = inside == "11"
+      val restoredOk = s.conf.get("spark.sql.shuffle.partitions") == prior
+      // the later spec overrides the earlier for etl_nightly INSERT
+      val laterOverrides = SessionPropertyManagers
+        .properties(specs, ctxOf(0)).toMap
+        .get("hash_partition_count").contains("17")
+      // a spec naming a nonexistent property fails with the
+      // reference's error through the registry
+      val badSpec = SessionPropertyManagers.parse(
+        """[ { "sessionProperties": { "graft_no_such_prop": "1" } } ]""")
+      val unknownPropRejected =
+        try {
+          SessionPropertyManagers.withProperties(s, badSpec,
+            Context("u")) { () }
+          false
+        } catch { case _: Exception => true }
+      // an unknown config field fails at parse (the codec's
+      // FAIL_ON_UNKNOWN_PROPERTIES stance)
+      val unknownFieldRejected =
+        try {
+          SessionPropertyManagers.parse("""[ { "userz": "x" } ]""")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      import s.implicits._
+      rows.toDF("k", "hash_pc", "join_dist", "task_conc", "opt_hash")
+        .withColumn("applied_ok", lit(appliedOk))
+        .withColumn("restored_ok", lit(restoredOk))
+        .withColumn("later_overrides", lit(laterOverrides))
+        .withColumn("unknown_prop_rejected", lit(unknownPropRejected))
+        .withColumn("unknown_field_rejected", lit(unknownFieldRejected))
+        .orderBy(col("k"))
+    }),
+
     "qn9_system_tables" -> ((s, dir) => {
       Tables.register(s, dir)
       graft.functions.Registry.install(s)
@@ -767,6 +854,24 @@ object Views extends QueryPack {
         |       WHEN k % 3 <> 0 THEN 'denied:User [u' || k ||
         |         '] not a member of the authorized group'
         |       ELSE 'ok:analysts_u' || k END AS outcome
+        |FROM (SELECT unnest(range(20)) AS k) ORDER BY k""".stripMargin,
+
+    // the match-spec resolution replays as CASE arithmetic over k
+    // (spec1: user etl_* = k%4 in (0,1); spec2: dashboard source +
+    // hipri tag = k%2=0; spec3 overrides spec1 for etl_nightly INSERT
+    // = k%4=0 and k%5=0; spec4: group regex = k%3=0); the registry
+    // lifecycle booleans land as constants
+    "q2x_session_property_manager" ->
+      """SELECT k,
+        |  CASE WHEN k % 4 = 0 AND k % 5 = 0 THEN '17'
+        |       WHEN k % 4 IN (0, 1) THEN '11' ELSE '' END AS hash_pc,
+        |  CASE WHEN k % 2 = 0 THEN 'PARTITIONED' ELSE '' END
+        |    AS join_dist,
+        |  CASE WHEN k % 2 = 0 THEN '4' ELSE '' END AS task_conc,
+        |  CASE WHEN k % 3 = 0 THEN 'false' ELSE '' END AS opt_hash,
+        |  true AS applied_ok, true AS restored_ok,
+        |  true AS later_overrides, true AS unknown_prop_rejected,
+        |  true AS unknown_field_rejected
         |FROM (SELECT unnest(range(20)) AS k) ORDER BY k""".stripMargin,
 
     // the selector logic replays as CASE arithmetic (the criteria are

@@ -1,0 +1,132 @@
+package graft
+
+import graft.plans.SessionPropertyManagers._
+import graft.plans.{ResourceGroups, SessionPropertyManagers}
+
+/** The file session property manager's contract
+  * (`presto-session-property-managers/.../SessionMatchSpec.java`,
+  * `FileSessionPropertyManager.java`): full-match regexes, tag-subset
+  * and case-insensitive queryType criteria, the
+  * later-overrides-earlier combination, loud config parsing, and the
+  * apply/restore lifecycle through the SET SESSION registry. */
+class SessionPropertyManagersSuite extends GraftSuite {
+
+  private val specs = SessionPropertyManagers.parse(
+    """[
+      |  { "user": "etl", "sessionProperties":
+      |      { "hash_partition_count": "7" } },
+      |  { "user": "etl_.*", "sessionProperties":
+      |      { "hash_partition_count": "11", "task_concurrency": "2" } },
+      |  { "source": "bi-(tool|suite)", "clientTags": ["prod", "bi"],
+      |    "sessionProperties": { "task_concurrency": "8" } },
+      |  { "queryType": "insert", "sessionProperties":
+      |      { "optimize_hash_generation": "false" } },
+      |  { "group": "global\\.etl_.*", "sessionProperties":
+      |      { "query_max_run_time": "2.00h" } }
+      |]""".stripMargin)
+
+  test("regexes must match FULLY, not find()") {
+    // "etl" does not match user etl_nightly (matches(), not find())
+    val p = properties(specs, Context("etl_nightly")).toMap
+    assert(p.get("hash_partition_count").contains("11"))
+    assert(properties(specs, Context("etl")).toMap
+      .get("hash_partition_count").contains("7"))
+    // a user that only CONTAINS the pattern does not match
+    assert(properties(specs, Context("xetl")).isEmpty)
+  }
+
+  test("clientTags are a subset criterion; queryType case-insensitive") {
+    val base = Context("u", source = Some("bi-tool"))
+    // missing one required tag -> no match
+    assert(properties(specs,
+      base.copy(clientTags = Set("prod"))).isEmpty)
+    // superset of the required tags -> match
+    assert(properties(specs,
+      base.copy(clientTags = Set("prod", "bi", "extra"))).toMap
+      .get("task_concurrency").contains("8"))
+    // queryType compares case-insensitively against the spec's text
+    assert(properties(specs,
+      Context("u", queryType = Some("INSERT"))).toMap
+      .get("optimize_hash_generation").contains("false"))
+    assert(properties(specs,
+      Context("u", queryType = Some("select"))).isEmpty)
+    // absent context queryType does not match a spec that requires one
+    assert(properties(specs, Context("u")).isEmpty)
+  }
+
+  test("every matching spec contributes; later overrides earlier") {
+    // user "etl" matches BOTH spec1 (7) and... only spec1 (etl_.* does
+    // not match "etl" minus suffix? it does: etl_.* needs the
+    // underscore) — craft an overlapping pair instead
+    val overlap = SessionPropertyManagers.parse(
+      """[
+        |  { "user": "a.*", "sessionProperties":
+        |      { "hash_partition_count": "5", "task_concurrency": "1" } },
+        |  { "user": "ab.*", "sessionProperties":
+        |      { "hash_partition_count": "9" } }
+        |]""".stripMargin)
+    val p = properties(overlap, Context("abc")).toMap
+    // the later spec overrides the earlier for the shared key, the
+    // non-shared key survives from the earlier
+    assert(p("hash_partition_count") == "9")
+    assert(p("task_concurrency") == "1")
+    // the earlier-only match keeps its own values
+    val axe = properties(overlap, Context("axe")).toMap
+    assert(axe("hash_partition_count") == "5")
+  }
+
+  test("group regex matches the RESOLVED resource-group id") {
+    // compose with the resource-group manager: the selector resolves
+    // the group id, the session property manager matches against it —
+    // the reference's own configure chain
+    val mgr = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "global", "maxQueued": 10,
+        |    "hardConcurrencyLimit": 10, "subGroups": [
+        |      { "name": "etl_${pipeline}", "maxQueued": 5,
+        |        "hardConcurrencyLimit": 3 } ] } ],
+        |  "selectors": [
+        |    { "source": "etl-(?<pipeline>[a-z]+)",
+        |      "group": "global.etl_${pipeline}" } ] }""".stripMargin)
+    val resolved =
+      ResourceGroups.select(mgr, "u", Some("etl-ingest")).get
+    assert(resolved.id == "global.etl_ingest")
+    val p = properties(specs,
+      Context("u", resourceGroupId = Some(resolved.id))).toMap
+    assert(p.get("query_max_run_time").contains("2.00h"))
+    assert(properties(specs,
+      Context("u", resourceGroupId = Some("global.dashboards"))).isEmpty)
+  }
+
+  test("unknown config fields fail loudly at parse") {
+    val e = intercept[IllegalArgumentException] {
+      SessionPropertyManagers.parse("""[ { "userz": "x" } ]""")
+    }
+    assert(e.getMessage.contains("Unknown property"))
+  }
+
+  test("withProperties applies through SET SESSION and restores") {
+    graft.functions.Registry.install(spark)
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    var inside: String = null
+    withProperties(spark, specs, Context("etl_nightly")) {
+      inside = spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside == "11")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+    // restore runs even when the body throws
+    intercept[RuntimeException] {
+      withProperties(spark, specs, Context("etl_nightly")) {
+        sys.error("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+    // a nonexistent property name surfaces the registry's loud error
+    val bad = SessionPropertyManagers.parse(
+      """[ { "sessionProperties": { "graft_no_such_prop": "1" } } ]""")
+    val e = intercept[Exception] {
+      withProperties(spark, bad, Context("u")) { () }
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+}
