@@ -1035,6 +1035,82 @@ object Connectors extends QueryPack {
       }
     }),
 
+    // SPJ hardening, the two arms real clusters hit beyond q2u's pure
+    // grid. (1) FACT-FACT: the TPC-DS Q95 shape — a line-item-grain
+    // self-join on the order number finding orders shipped by more
+    // than one supplier; both sides are the same co-bucketed layout,
+    // so the join runs with ZERO exchange (at 100 TB this is the
+    // single largest shuffle a Q95-class query pays, deleted).
+    // (2) MISMATCHED BUCKET COUNTS: an 8-bucket fact joined to a
+    // 4-bucket copy reports incompatible KeyGroupedPartitionings —
+    // Spark must fall back to a correctness-preserving shuffle
+    // (the bucket function is not reducible, so no coalescing
+    // applies); the boolean locks that the Exchange REAPPEARS, the
+    // negative control proving q2u/arm-1's no-exchange assertion
+    // discriminates. Join results replay in DuckDB.
+    "q2y_kudu_spj_factfact" -> ((s, dir) => {
+      import graft.sources.KuduStore
+      import org.apache.spark.sql.types._
+      val tag = Integer.toHexString(dir.hashCode)
+      val fact = s"li_spjf_$tag"
+      val small = s"li_spjs_$tag"
+      def mk(name: String, buckets: Int): Unit = {
+        KuduStore.drop(name)
+        KuduStore.create(name, Seq(("l_orderkey", LongType, false),
+          ("l_suppkey", LongType, false), ("l_linenumber", LongType, false)),
+          pkCount = 3, hashCols = Seq("l_orderkey"), hashBuckets = buckets)
+      }
+      mk(fact, 8)
+      mk(small, 4)
+      // distinct-triple grain: the store upserts by PK, so duplicate
+      // (orderkey, suppkey, linenumber) rows would collapse — dedupe
+      // source-side so the oracle replays the same grain
+      val src = graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1500)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .distinct()
+      Seq(fact, small).foreach(t =>
+        src.write.mode("append").format("graft-kudu")
+          .option("table", t).save())
+      s.conf.set("spark.sql.catalog.graft_kudu_cat",
+        classOf[graft.sources.KuduCatalog].getName)
+      val prevBucketing = s.conf
+        .getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val a = s.table(s"graft_kudu_cat.$fact").as("a")
+        val b = s.table(s"graft_kudu_cat.$fact").as("b")
+        val pairs = a.join(b.hint("merge"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        val agg = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("a.l_orderkey")).as("n_multi_supp"))
+        val row = agg.collect()(0)
+        val plan = agg.queryExecution.executedPlan.toString
+        val spjOk = plan.contains("SortMergeJoin") &&
+          !plan.contains("hashpartitioning(l_orderkey")
+        // mismatched bucket counts: the exchange must REAPPEAR
+        val mis = s.table(s"graft_kudu_cat.$fact").as("a")
+          .join(s.table(s"graft_kudu_cat.$small").as("b").hint("merge"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .agg(count(lit(1)).as("n"))
+        val misRow = mis.collect()(0)
+        val misShuffles = mis.queryExecution.executedPlan.toString
+          .contains("hashpartitioning(l_orderkey")
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), misRow.getLong(0),
+          spjOk, misShuffles))
+          .toDF("n_pairs", "n_multi_supp", "n_pairs_mismatch",
+            "spj_no_shuffle", "mismatch_shuffles")
+      } finally prevBucketing match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }),
+
     // Pinot end-to-end (reference: `presto-pinot-toolkit/.../
     // PinotSplitManager.java`; in-process substitution documented in
     // sources/PinotBrokerConn.scala). The distinctive mechanics under
@@ -1637,6 +1713,19 @@ object Connectors extends QueryPack {
         |  true AS spj_no_shuffle
         |FROM events WHERE event_id <= 4000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Q95-shaped self-join replays at line-item grain; both plan
+    // observations (zero-exchange co-bucketed join, mismatched-bucket
+    // fallback shuffle) land as constant booleans
+    "q2y_kudu_spj_factfact" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey, l_linenumber
+        |            FROM lineitem WHERE l_orderkey <= 1500)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS n_multi_supp,
+        |  CAST(count(*) AS BIGINT) AS n_pairs_mismatch,
+        |  true AS spj_no_shuffle, true AS mismatch_shuffles
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_suppkey < b.l_suppkey""".stripMargin,
 
     // the join replays directly; the materialized-doc reduction lands
     // as a constant boolean (EsIndexSuite pins the mechanics)

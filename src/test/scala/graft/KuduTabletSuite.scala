@@ -238,4 +238,69 @@ class KuduTabletSuite extends GraftSuite {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     }
   }
+
+  test("SPJ mismatched bucket counts fall back to a shuffle") {
+    def mk(name: String, buckets: Int): Unit = {
+      KuduStore.drop(name)
+      KuduStore.create(name,
+        columns = Seq(("id", LongType, false), ("v", DoubleType, true)),
+        pkCount = 1, hashCols = Seq("id"), hashBuckets = buckets)
+      (1 to 200).foreach(i => KuduStore.upsert(name, Seq(i.toLong, i * 1.0)))
+    }
+    mk("spj_m8", 8)
+    mk("spj_m4", 4)
+    spark.conf.set("spark.sql.catalog.kudu_spj",
+      classOf[graft.sources.KuduCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // bucket(8, id) and bucket(4, id) are NOT compatible partitionings
+    // (the bucket function is not reducible) — Spark must insert the
+    // correctness-preserving shuffle, and the rows must still be right
+    val j = spark.table("kudu_spj.spj_m8")
+      .join(spark.table("kudu_spj.spj_m4").hint("merge")
+        .withColumnRenamed("v", "w"), "id")
+    val rows = j.collect()
+    assert(rows.length == 200)
+    assert(rows.find(_.getLong(0) == 9L).exists(r =>
+      r.getDouble(1) == 9.0 && r.getDouble(2) == 9.0))
+    assert(j.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "mismatched bucket counts did not fall back to a shuffle")
+  }
+
+  test("SPJ multi-hash-column grid binds and falls back safely") {
+    // bucket(n, id, g): the transform lists BOTH hash columns — the
+    // bucket V2 function must BIND (numBuckets, colN...) instead of
+    // failing the scan at plan time (the 2-arg-only bind regression).
+    // Spark's SPJ currently honors only single-column-leaf transforms
+    // (KeyGroupedPartitioning.satisfies requires one leaf per
+    // expression), so the jointly-hashed layout planwise falls back to
+    // a correctness-preserving shuffle — when Spark lifts that
+    // restriction, the zero-exchange join comes free here.
+    def mk(name: String): Unit = {
+      KuduStore.drop(name)
+      KuduStore.create(name,
+        columns = Seq(("id", LongType, false), ("g", StringType, false),
+          ("v", DoubleType, true)),
+        pkCount = 2, hashCols = Seq("id", "g"), hashBuckets = 8)
+      (1 to 200).foreach(i =>
+        KuduStore.upsert(name, Seq(i.toLong, s"g${i % 3}", i * 1.0)))
+    }
+    mk("spj_mc_a")
+    mk("spj_mc_b")
+    spark.conf.set("spark.sql.catalog.kudu_spj",
+      classOf[graft.sources.KuduCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val j = spark.table("kudu_spj.spj_mc_a")
+      .join(spark.table("kudu_spj.spj_mc_b").hint("merge")
+        .withColumnRenamed("v", "w"), Seq("id", "g"))
+    val rows = j.collect() // plan-time bind must not throw
+    assert(rows.length == 200)
+    assert(rows.find(_.getLong(0) == 9L).exists(r =>
+      r.getString(1) == "g0" && r.getDouble(2) == 9.0 &&
+        r.getDouble(3) == 9.0))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected the conservative shuffle fallback:\n$plan")
+  }
 }
