@@ -856,6 +856,150 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The FOURTH JDBC dialect family — SQL Server (reference:
+    // `presto-sqlserver/.../SqlServerClient.java`, completing the
+    // reference's mysql/postgresql/sqlserver set; in-process shim in
+    // sources/MsShimConn.scala, so Spark's OWN MsSqlServerDialect is
+    // the code under test). Pins what none of Derby/MySQL/Postgres
+    // can: write-side DDL (string→NVARCHAR(MAX), boolean→BIT,
+    // binary→VARBINARY(MAX), timestamp→DATETIME, byte AND short→
+    // SMALLINT), read-side inference divergence (T-SQL tinyint is
+    // UNSIGNED 0-255 so TINYINT→short — the same JDBC type code MySQL
+    // maps to byte), REAL→float, DATETIMEOFFSET→timestamp, and T-SQL's
+    // boolean-literal-free predicate compilation: a pushed boolean
+    // filter arrives as `"flag" = 1`. Aggregates replay in DuckDB;
+    // every observation lands as a boolean.
+    "q2z_sqlserver_dialect" -> ((s, dir) => {
+      import graft.sources.{GraftSqlServerDriver, MsStore}
+      import org.apache.spark.sql.types._
+      GraftSqlServerDriver.install()
+      val url = "jdbc:sqlserver://graft-shim;databaseName=g"
+      val drv = "graft.sources.GraftSqlServerDriver"
+      MsStore.drop("li_ms")
+      Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 800)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          (col("l_orderkey") % 2 === 0).as("even"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "li_ms").option("driver", drv)
+        .mode("overwrite").save()
+      val ddl = MsStore.ddlLog.get("li_ms")
+      val ddlOk = ddl.contains("NVARCHAR(MAX)") && ddl.contains("BIT") &&
+        !ddl.contains("BIT(") && ddl.contains("BIGINT")
+      // T-SQL-only read-side types need a table SQL Server created
+      MsStore.drop("mstypes")
+      MsStore.create("mstypes", Seq(
+        MsStore.ColDef("ti", "tinyint", java.sql.Types.TINYINT, 3, 0,
+          signed = false, nullable = true),
+        MsStore.ColDef("re", "real", java.sql.Types.REAL, 7, 0,
+          signed = true, nullable = true),
+        MsStore.ColDef("dto", "datetimeoffset", -155, 34, 7,
+          signed = true, nullable = true),
+        MsStore.ColDef("nv", "nvarchar", java.sql.Types.NVARCHAR,
+          Int.MaxValue, 0, signed = true, nullable = true)))
+      MsStore.insert("mstypes", Seq(200.toShort, 1.5f,
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56"), "abc"))
+      val mst = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "mstypes").option("driver", drv).load()
+      // tinyint widens to SHORT (unsigned 0-255) — the cross-dialect
+      // divergence: the same Types.TINYINT code maps to BYTE on MySQL
+      val typesOk = mst.schema("ti").dataType == ShortType &&
+        mst.schema("re").dataType == FloatType &&
+        mst.schema("dto").dataType == TimestampType &&
+        mst.schema("nv").dataType == StringType
+      val mr = mst.head()
+      val valuesOk = mr.getShort(0) == 200.toShort &&
+        mr.getFloat(1) == 1.5f &&
+        mr.getTimestamp(2).toString == "2024-03-01 12:34:56.0" &&
+        mr.getString(3) == "abc"
+      val back = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "li_ms").option("driver", drv).load()
+      val inferredOk = back.schema("l_returnflag").dataType == StringType &&
+        back.schema("even").dataType == BooleanType &&
+        back.schema("l_quantity").dataType == DoubleType
+      // boolean predicate: T-SQL has no true/false literals — the
+      // dialect compiles the pushed filter as "even" = 1
+      MsStore.statementLog.clear()
+      back.filter(col("even") === true && col("l_orderkey") > 100)
+        .agg(count(lit(1))).collect()
+      val boolAsOne = MsStore.statementLog.toArray.map(_.toString)
+        .exists(q => q.contains("\"even\" = 1") && !q.contains("true"))
+      back.filter(col("l_orderkey") > 100)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"),
+          sum(when(col("even"), 1L).otherwise(0L)).as("n_even"))
+        .withColumn("ddl_ok", lit(ddlOk))
+        .withColumn("types_ok", lit(typesOk))
+        .withColumn("values_ok", lit(valuesOk))
+        .withColumn("inferred_ok", lit(inferredOk))
+        .withColumn("bool_as_one", lit(boolAsOne))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // SQL-Server-dialect pushdown through the DSv2 JDBC catalog: the
+    // agg/variance family (over integer-valued o_orderkey, the q1k
+    // rule) plus the arm unique to this dialect — a pushed TopN
+    // compiles as `SELECT TOP (5) ... ORDER BY`, the only limit
+    // clause that PRECEDES the projection (getLimitClause probed
+    // "TOP (n)"; MiniSql parses it). supportsOffset is FALSE: the
+    // OFFSET page still answers (Spark applies it locally) and the
+    // statement log proves no OFFSET clause ever crossed the wire.
+    "q3a_sqlserver_pushdown" -> ((s, dir) => {
+      import graft.sources.{GraftSqlServerDriver, MsStore}
+      GraftSqlServerDriver.install()
+      val url = "jdbc:sqlserver://graft-shim;databaseName=g"
+      val drv = "graft.sources.GraftSqlServerDriver"
+      MsStore.drop("ord_ms")
+      Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "ord_ms").option("driver", drv)
+        .mode("overwrite").save()
+      s.conf.set("spark.sql.catalog.graft_ms",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_ms.url", url)
+      s.conf.set("spark.sql.catalog.graft_ms.driver", drv)
+      s.conf.set("spark.sql.catalog.graft_ms.pushDownAggregate", "true")
+      s.conf.set("spark.sql.catalog.graft_ms.pushDownLimit", "true")
+      s.conf.set("spark.sql.catalog.graft_ms.pushDownOffset", "true")
+      MsStore.statementLog.clear()
+      val agg = s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS price_sum,
+          |  round(var_samp(o_orderkey), 4) AS key_var,
+          |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+          |FROM graft_ms.g.ord_ms
+          |GROUP BY o_orderstatus""".stripMargin).collect()
+      val top = s.sql(
+        """SELECT o_orderkey AS k FROM graft_ms.g.ord_ms
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin)
+        .collect()
+      val page = s.sql(
+        """SELECT o_orderkey AS k FROM graft_ms.g.ord_ms
+          |ORDER BY o_orderkey LIMIT 3 OFFSET 2""".stripMargin).collect()
+      val log = MsStore.statementLog.toArray.map(_.toString)
+      // the dialect compiles var_samp into the T-SQL spelling VAR(...)
+      val aggRemote = log.exists(q => q.contains("GROUP BY") &&
+        q.contains("VAR(") && q.contains("\"o_orderstatus\""))
+      val topRemote = log.exists(q => q.contains("TOP (5)") &&
+        q.contains("ORDER BY"))
+      val noLimitClause = !log.exists(_.contains("LIMIT"))
+      val noOffsetRemote = !log.exists(_.contains("OFFSET"))
+      import s.implicits._
+      agg.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        top.map(_.getLong(0)).mkString(","),
+        page.map(_.getLong(0)).mkString(","),
+        aggRemote, topRemote && noLimitClause, noOffsetRemote))
+        .sortBy(_._1)
+        .toDF("status", "n", "price_sum", "key_var", "k_min", "k_max",
+          "top_keys", "page_keys", "agg_remote", "top_clause_remote",
+          "offset_stays_local")
+    }),
+
     // PostgreSQL-dialect pushdown through the DSv2 JDBC catalog — the
     // q1k/q2r aggregate/variance/TopN family on the THIRD dialect, plus
     // the two arms only PostgresDialect offers: OFFSET paging compiled
@@ -1152,6 +1296,37 @@ object Storage extends QueryPack {
         |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
         |   FROM t) AS top_keys,
         |  true AS agg_remote, true AS topn_remote
+        |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same slice replay as q2q; the T-SQL DDL/type/value/predicate
+    // observations landed as booleans the oracle asserts TRUE
+    "q2z_sqlserver_dialect" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  CAST(count_if(l_orderkey % 2 = 0) AS BIGINT) AS n_even,
+        |  true AS ddl_ok, true AS types_ok, true AS values_ok,
+        |  true AS inferred_ok, true AS bool_as_one
+        |FROM lineitem WHERE l_orderkey <= 800 AND l_orderkey > 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouped stats + the TOP-compiled TopN and the locally-applied
+    // OFFSET page replay directly; the clause booleans land constant
+    "q3a_sqlserver_pushdown" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_orderkey <= 1200),
+        |t AS (SELECT o_orderkey FROM sub
+        |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5),
+        |p AS (SELECT o_orderkey FROM sub
+        |      ORDER BY o_orderkey LIMIT 3 OFFSET 2)
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  round(var_samp(o_orderkey), 4) AS key_var,
+        |  min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
+        |   FROM t) AS top_keys,
+        |  (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',')
+        |   FROM p) AS page_keys,
+        |  true AS agg_remote, true AS top_clause_remote,
+        |  true AS offset_stays_local
         |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same slice replay as q2q; the pg DDL/type/value/quoting

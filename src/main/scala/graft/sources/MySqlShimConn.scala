@@ -244,8 +244,20 @@ private[sources] object MiniSql {
       limit: Option[Int], offset: Option[Int],
       sample: Option[(Double, Option[Long])] = None)
 
+  // incl. the T-SQL spellings MsSqlServerDialect compiles the variance
+  // family into (VAR/VARP/STDEV/STDEVP)
   private val AggFns = Set("MIN", "MAX", "SUM", "COUNT", "AVG",
-    "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP")
+    "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP",
+    "VAR", "VARP", "STDEV", "STDEVP")
+
+  /** Canonical aggregate name (T-SQL aliases fold in). */
+  private def canonAgg(fn: String): String = fn match {
+    case "VAR" => "VAR_SAMP"
+    case "VARP" => "VAR_POP"
+    case "STDEV" => "STDDEV_SAMP"
+    case "STDEVP" => "STDDEV_POP"
+    case other => other
+  }
 
   // ---------- parser ----------
   final class P(toks: Vector[Tok], sql: String,
@@ -272,6 +284,15 @@ private[sources] object MiniSql {
 
     def parseSelect(): Select = {
       eatKw("SELECT")
+      // T-SQL's limit precedes the projection: SELECT TOP (n) ...
+      // (MsSqlServerDialect.getLimitClause — the only shimmed dialect
+      // without a trailing LIMIT clause)
+      var topLimit: Option[Int] = None
+      if (tryKw("TOP")) {
+        eatPunct("(")
+        topLimit = Some(intTok())
+        eatPunct(")")
+      }
       val items = Seq.newBuilder[Expr]
       items += parseItem()
       while (tryPunct(",")) items += parseItem()
@@ -320,7 +341,7 @@ private[sources] object MiniSql {
         orderBy += key()
         while (tryPunct(",")) orderBy += key()
       }
-      var limit: Option[Int] = None
+      var limit: Option[Int] = topLimit
       var offset: Option[Int] = None
       while (atKw("LIMIT") || atKw("OFFSET")) {
         if (tryKw("LIMIT")) limit = Some(intTok())
@@ -774,7 +795,8 @@ private[sources] object MiniSql {
 
   private def evalAgg(e: Expr, t: MTable, rs: Seq[Array[Any]],
       params: Array[Any]): Any = e match {
-    case Agg(fn, argOpt, distinct) =>
+    case Agg(fn0, argOpt, distinct) =>
+      val fn = canonAgg(fn0)
       val raw = argOpt match {
         case None => rs.map(_ => java.lang.Long.valueOf(1L): Any)
         case Some(a) => rs.map(r => eval(a, t, r, params))

@@ -45,6 +45,7 @@ class GraftMySqlDriver extends Driver {
 private[sources] object ShimJdbc {
   val mysql = new ShimJdbcCore(MySqlStore)
   lazy val postgres = new ShimJdbcCore(PgStore)
+  lazy val sqlserver = new ShimJdbcCore(MsStore)
 }
 
 /** Dialect-neutral `java.sql` implementation over a [[ShimBackend]]:

@@ -33,5 +33,6 @@ object Stores {
     MemoryConn.store.clear()
     MySqlStore.clearAll()
     PgStore.clearAll()
+    MsStore.clearAll()
   }
 }

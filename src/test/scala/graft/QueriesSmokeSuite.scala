@@ -371,6 +371,17 @@ class QueriesSmokeSuite extends GraftSuite {
       s"range predicate not pushed:\n$plan")
   }
 
+  guards("q2z_sqlserver_dialect") { (plan, n) =>
+    // the read half scans the SQL-Server-shim JDBC relation with the
+    // range predicate compiled remote (the dialect's double-quoted
+    // T-SQL); q3a's agg/TOP pushdown is locked by its runtime booleans
+    // plus MsShimSuite's PushedAggregates assert
+    assert(plan.contains("JDBCRelation"), s"not a JDBC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [*GreaterThan(l_orderkey,100)") ||
+      (plan.contains("PushedFilters") && plan.contains("l_orderkey")),
+      s"range predicate not pushed:\n$plan")
+  }
+
   guards("q2v_postgres_dialect") { (plan, n) =>
     // same stance as q2q on the THIRD dialect: the read half scans the
     // Postgres-shim JDBC relation with the range predicate compiled
