@@ -779,6 +779,99 @@ object Views extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // SQL function namespace manager (reference: `presto-function-
+    // namespace-managers/.../mysql/MySqlFunctionNamespaceManager.java`;
+    // Spark-native re-expression in plans/FunctionNamespaces.scala).
+    // Function definitions persist VERSIONED in a MySQL store — the
+    // reference literally requires MySQL, so the manager composes with
+    // the r12 dialect shim the way the reference composes with a real
+    // server (every read/write is a real INSERT/SELECT/UPDATE through
+    // the jdbc:mysql driver). The walk: create v1 → duplicate create
+    // rejected → identical REPLACE inserts nothing → changed REPLACE =
+    // v2 → null-call alter = v3 → drop is LOGICAL (history retained) →
+    // identical re-create UNDELETES v3 in place → overloads coexist by
+    // parameter types, name-only drop on an overloaded name is loud. A
+    // SECOND manager over the same store then loads the live functions
+    // into the session through the engine's CREATE FUNCTION rewrite,
+    // and the output query computes THROUGH them — the v3 body
+    // (x*2+1, not v1's x*2) is the version proof in data, replayed
+    // inline by DuckDB.
+    "q3b_function_namespaces" -> ((s, dir) => {
+      import graft.plans.FunctionNamespaces._
+      import graft.plans.FunctionNamespaceManager
+      import graft.sources.{GraftMySqlDriver, MySqlStore}
+      Tables.register(s, dir)
+      GraftMySqlDriver.install()
+      val url = "jdbc:mysql://graft-shim/g"
+      val drv = "graft.sources.GraftMySqlDriver"
+      MySqlStore.drop("function_namespaces")
+      MySqlStore.drop("sql_functions")
+      val mgr = new FunctionNamespaceManager(url, drv)
+      mgr.initialize()
+      mgr.createNamespace("graft", "fn")
+      def scale(body: String, rnoni: Boolean = false) = SqlInvokedFunction(
+        "graft", "fn", "fnm_scale", Seq(SqlParam("x", "double")),
+        "double", returnsNullOnNullInput = rnoni, body = body)
+      val badNs =
+        try { mgr.createFunction(scale("x").copy(schema = "nope"),
+          replace = false); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("Function namespace not found") }
+      mgr.createFunction(scale("x * 2.0"), replace = false) // v1
+      val dupRejected =
+        try { mgr.createFunction(scale("x * 3.0"), replace = false); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.startsWith("Function already exists") }
+      mgr.createFunction(scale("x * 2.0"), replace = true) // identical
+      val noBump = mgr.listFunctions().head.version.contains(1L)
+      mgr.createFunction(scale("x * 2.0 + 1.0"), replace = true) // v2
+      val v2 = mgr.listFunctions().head.version.contains(2L)
+      mgr.alterFunction("graft", "fn", "fnm_scale", None,
+        returnsNullOnNullInput = true) // v3
+      val afterAlter = mgr.listFunctions().head
+      val v3 = afterAlter.version.contains(3L) &&
+        afterAlter.returnsNullOnNullInput
+      mgr.dropFunction("graft", "fn", "fnm_scale", None)
+      val dropped = mgr.listFunctions().isEmpty
+      // identical re-create after the drop: UNDELETE, version stays 3
+      mgr.createFunction(scale("x * 2.0 + 1.0", rnoni = true),
+        replace = false)
+      val undeleted = mgr.listFunctions().head.version.contains(3L)
+      // overloads: the id is (name, parameter TYPES)
+      mgr.createFunction(SqlInvokedFunction("graft", "fn", "fnm_pair",
+        Seq(SqlParam("x", "bigint")), "bigint", body = "x + 1"),
+        replace = false)
+      mgr.createFunction(SqlInvokedFunction("graft", "fn", "fnm_pair",
+        Seq(SqlParam("x", "bigint"), SqlParam("y", "bigint")), "bigint",
+        body = "x + y"), replace = false)
+      val overloads = mgr.listFunctions().count(_.name == "fnm_pair") == 2
+      val ambiguousLoud =
+        try { mgr.dropFunction("graft", "fn", "fnm_pair", None); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("multiple signatures") }
+      mgr.dropFunction("graft", "fn", "fnm_pair",
+        Some(Seq("bigint", "bigint")))
+      // a SECOND manager instance over the same store serves them
+      val loaded = new FunctionNamespaceManager(url, drv).loadInto(s)
+      s.sql(
+        """SELECT o_orderstatus AS status, count(*) AS n,
+          |  round(sum(fnm_scale(o_totalprice)), 2) AS scaled_sum,
+          |  cast(sum(fnm_pair(o_orderkey)) AS BIGINT) AS paired_sum
+          |FROM orders WHERE o_orderkey <= 1200
+          |GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("bad_ns_rejected", lit(badNs))
+        .withColumn("dup_rejected", lit(dupRejected))
+        .withColumn("same_def_no_bump", lit(noBump))
+        .withColumn("replaced_v2", lit(v2))
+        .withColumn("altered_v3", lit(v3))
+        .withColumn("drop_logical", lit(dropped))
+        .withColumn("undeleted_in_place", lit(undeleted))
+        .withColumn("overloads_coexist", lit(overloads))
+        .withColumn("ambiguous_loud", lit(ambiguousLoud))
+        .withColumn("loaded_n", lit(loaded.toLong))
+        .orderBy(col("status"))
+    }),
+
     "qn9_system_tables" -> ((s, dir) => {
       Tables.register(s, dir)
       graft.functions.Registry.install(s)
@@ -855,6 +948,21 @@ object Views extends QueryPack {
         |         '] not a member of the authorized group'
         |       ELSE 'ok:analysts_u' || k END AS outcome
         |FROM (SELECT unnest(range(20)) AS k) ORDER BY k""".stripMargin,
+
+    // the loaded functions' bodies replay INLINE (v3's x*2+1 — a v1
+    // leak would read x*2 and hash-mismatch); the lifecycle
+    // observations land as constant booleans
+    "q3b_function_namespaces" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(o_totalprice * 2.0 + 1.0), 2) AS scaled_sum,
+        |  CAST(sum(o_orderkey + 1) AS BIGINT) AS paired_sum,
+        |  true AS bad_ns_rejected, true AS dup_rejected,
+        |  true AS same_def_no_bump, true AS replaced_v2,
+        |  true AS altered_v3, true AS drop_logical,
+        |  true AS undeleted_in_place, true AS overloads_coexist,
+        |  true AS ambiguous_loud, CAST(2 AS BIGINT) AS loaded_n
+        |FROM orders WHERE o_orderkey <= 1200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the match-spec resolution replays as CASE arithmetic over k
     // (spec1: user etl_* = k%4 in (0,1); spec2: dashboard source +

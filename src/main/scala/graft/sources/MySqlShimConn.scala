@@ -263,6 +263,7 @@ private[sources] object MiniSql {
   final class P(toks: Vector[Tok], sql: String,
       who: String = "graft-mysql") {
     var pos = 0
+    def atEnd: Boolean = pos == toks.length
     def peek: Option[Tok] = toks.lift(pos)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def fail(msg: String): Nothing =
@@ -873,4 +874,57 @@ private[sources] object MiniSql {
       backend: ShimBackend = MySqlStore): Select =
     new P(tokenize(sql, backend.escapeBackslashInLiterals), sql,
       backend.who).parseSelect()
+
+  // ---------- UPDATE (the DAO surface: Spark's JDBC source never
+  // issues UPDATE, but the function-namespace manager's DAO does —
+  // `MySqlFunctionNamespaceManager` flips is_deleted in place) ----------
+  final case class Update(table: String, sets: Seq[(String, Expr)],
+      where: Option[Expr])
+
+  def parseUpdate(sql: String, backend: ShimBackend): Update = {
+    val p = new P(tokenize(sql, backend.escapeBackslashInLiterals), sql,
+      backend.who)
+    p.eatKw("UPDATE")
+    val table = p.next() match {
+      case TIdent(s) => s
+      case other => p.fail(s"bad table ref $other")
+    }
+    p.eatKw("SET")
+    val sets = Seq.newBuilder[(String, Expr)]
+    def one(): Unit = {
+      val col = p.next() match {
+        case TIdent(s) => s
+        case other => p.fail(s"bad SET column $other")
+      }
+      p.eatPunct("=")
+      sets += ((col, p.parseExpr()))
+    }
+    one()
+    while (p.tryPunct(",")) one()
+    val where = if (p.tryKw("WHERE")) Some(p.parseExpr()) else None
+    if (!p.atEnd) p.fail(s"trailing tokens at ${p.pos}")
+    Update(table, sets.result(), where)
+  }
+
+  def runUpdate(upd: Update, params: Array[Any],
+      backend: ShimBackend): Int = {
+    val t = backend.table(upd.table)
+    val setIdx = upd.sets.map { case (c, e) =>
+      (t.colIdx.getOrElse(c.toLowerCase,
+        throw new SQLException(s"Unknown column '$c'")), e)
+    }
+    t.synchronized {
+      var n = 0
+      t.rows.indices.foreach { i =>
+        val row = t.rows(i)
+        val hit = upd.where.forall(w =>
+          eval(w, t, row, params) == java.lang.Boolean.TRUE)
+        if (hit) {
+          setIdx.foreach { case (ci, e) => row(ci) = eval(e, t, row, params) }
+          n += 1
+        }
+      }
+      n
+    }
+  }
 }

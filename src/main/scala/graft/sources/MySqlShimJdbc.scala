@@ -199,6 +199,7 @@ private[sources] final class ShimJdbcCore(b: ShimBackend) {
   private val CreateRe =
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s*\((.*)\)\s*(.*?)\s*""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(\S+)\s*""".r
+  private val UpdateRe = """(?is)\s*UPDATE\s+.*""".r
   // PostgresDialect truncates with TRUNCATE TABLE ONLY <t>
   private val TruncateRe =
     """(?is)\s*TRUNCATE\s+TABLE\s+(?:ONLY\s+)?(\S+)\s*""".r
@@ -254,6 +255,10 @@ private[sources] final class ShimJdbcCore(b: ShimBackend) {
         val t = b.table(unquoteName(rawName))
         t.synchronized(t.rows.clear())
         0
+      case UpdateRe() =>
+        // the DAO surface (function-namespace manager's
+        // setDeletionStatus); Spark's JDBC source never issues UPDATE
+        MiniSql.runUpdate(MiniSql.parseUpdate(sql, b), params, b)
       case _ =>
         throw new SQLException(s"${b.who} shim: unsupported update: $sql")
     }
