@@ -185,6 +185,59 @@ object Dedup extends QueryPack {
     // instead of the text and aggregate min(doc_id, idx) in place of
     // the window (same plan shape, narrower rows). 175 of 3609 chunks
     // are duplicates at sf0.01 — the removal BINDS.
+    // ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better" §3 —
+    // the suffix-array ExactSubstr semantics, re-expressed distributed
+    // at word grain). q0p's fixed 8-word chunks are BLIND TO ALIGNMENT:
+    // the same passage duplicated at a different offset never lands on
+    // the same chunk boundary. Here every SLIDING 8-gram is a seed;
+    // seeds occurring >1 time across the corpus mark duplicated spans,
+    // the canonical (first by min(doc*100000+pos)) occurrence is kept,
+    // and every word position covered by a non-canonical duplicated
+    // seed counts removed — the paper's span-coverage, alignment-free.
+    // Scale: one equi-shuffle keyed by the gram (at 100 TB the shuffle
+    // key is the gram's 128-bit hash with in-group text verification —
+    // same plan, narrower rows), a keyed join back, a distinct on
+    // covered positions — linear in corpus, never all-pairs. Both
+    // sides replay the identical arithmetic (DuckDB computes the same
+    // seeds/coverage), so recall loss or a canonical-rule drift fails
+    // the hash.
+    "q3c_exactsubstr_dedup" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+      val totals = w.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).cast("bigint").as("total_words"))
+      val grams = w.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          """transform(sequence(0, size(ws) - 8),
+            |  i -> array_join(slice(ws, i + 1, 8), ' '))""".stripMargin)))
+        .withColumnRenamed("pos", "wpos")
+        .withColumnRenamed("col", "gram")
+        .withColumn("seed_key",
+          col("doc_id") * 100000L + col("wpos"))
+      val firsts = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("c"), min(col("seed_key")).as("canon"))
+        .filter(col("c") > 1)
+      val dupSeeds = grams.join(firsts, "gram")
+        .filter(col("seed_key") =!= col("canon"))
+      val seedCounts = dupSeeds.groupBy(col("source"))
+        .agg(count(lit(1)).as("dup_seeds"))
+      val covered = dupSeeds
+        .select(col("doc_id"), col("source"),
+          explode(sequence(col("wpos"), col("wpos") + 7)).as("cw"))
+        .distinct()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("words_removed"))
+      totals.join(seedCounts, Seq("source"), "left")
+        .join(covered, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_words"),
+          coalesce(col("dup_seeds"), lit(0L)).as("dup_seeds"),
+          coalesce(col("words_removed"), lit(0L)).as("words_removed"))
+        .orderBy(col("source"))
+    }),
+
     "q0p_chunk_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val chunks = t(s, dir, "documents")
@@ -227,6 +280,35 @@ object Dedup extends QueryPack {
        |ORDER BY a_id, b_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // identical seed/canon/coverage arithmetic: sliding 8-grams,
+    // duplicated ones keep min(doc*100000+pos), coverage = distinct
+    // positions under non-canonical duplicated seeds
+    "q3c_exactsubstr_dedup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(ws)) AS BIGINT) AS total_words
+        |      FROM w GROUP BY 1),
+        |g AS (SELECT doc_id, source, i AS wpos,
+        |        array_to_string(ws[(i+1):(i+8)], ' ') AS gram,
+        |        doc_id * 100000 + i AS seed_key
+        |      FROM w, (SELECT unnest(range(0, 10000)) AS i) ix
+        |      WHERE len(ws) >= 8 AND i <= len(ws) - 8),
+        |f AS (SELECT gram, count(*) AS c, min(seed_key) AS canon
+        |      FROM g GROUP BY 1 HAVING count(*) > 1),
+        |d AS (SELECT g.doc_id, g.source, g.wpos FROM g
+        |      JOIN f USING (gram) WHERE g.seed_key <> f.canon),
+        |sc AS (SELECT source, count(*) AS dup_seeds FROM d GROUP BY 1),
+        |cov AS (SELECT source, count(*) AS words_removed FROM (
+        |        SELECT DISTINCT doc_id, source, wpos + o AS cw
+        |        FROM d, (SELECT unnest(range(0, 8)) AS o) oo) GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.total_words,
+        |  CAST(coalesce(sc.dup_seeds, 0) AS BIGINT) AS dup_seeds,
+        |  CAST(coalesce(cov.words_removed, 0) AS BIGINT) AS words_removed
+        |FROM t LEFT JOIN sc ON t.source = sc.source
+        |       LEFT JOIN cov ON t.source = cov.source
+        |ORDER BY 1""".stripMargin,
+
     "q0p_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -371,6 +371,16 @@ class QueriesSmokeSuite extends GraftSuite {
       s"range predicate not pushed:\n$plan")
   }
 
+  guards("q3c_exactsubstr_dedup") { (plan, n) =>
+    // the seed join is keyed on the gram — an equi-join (SMJ/SHJ over
+    // the gram shuffle), NEVER a nested-loop; the tiny per-source
+    // aggregates at the top may broadcast
+    assert(n("SortMergeJoin") + n("ShuffledHashJoin") +
+      n("BroadcastHashJoin") >= 1, s"no equi-join planned:\n$plan")
+    assert(n("BroadcastNestedLoopJoin") == 0 &&
+      n("CartesianProduct") == 0, s"non-keyed join in seed path:\n$plan")
+  }
+
   guards("q2z_sqlserver_dialect") { (plan, n) =>
     // the read half scans the SQL-Server-shim JDBC relation with the
     // range predicate compiled remote (the dialect's double-quoted
