@@ -116,6 +116,25 @@ object Bench {
     // warms the stack; suite-end canaries read ~0.4x their suite-start
     // times on a quiet machine) — stamped for transparency, not flagged.
     val contended = canaryRatios.values.exists(_ > 1.3)
+    // ABSOLUTE canary baseline (round-13 lesson): the end/start ratio
+    // only sees load that changes DURING the suite — four same-code
+    // full runs in one day read 144-167 s with per-run canary values
+    // tracking the totals linearly (a uniformly slower machine sails
+    // through the ratio check). The suite-END canary times from the
+    // round-13 cleanest run are recorded here; `machine_slow` flags a
+    // run whose canaries read >1.3x that baseline, so a drifted
+    // environment can't produce a silently trusted number across RUNS
+    // either. Baselines are sf0.1-specific — other fixtures stamp null.
+    val canaryBaseline = Map("q02_" -> 0.217, "q06_" -> 0.226,
+      "q83_" -> 0.227)
+    val canaryVsBaseline =
+      if (!sfDir.endsWith("sf0.1")) Map.empty[String, Double]
+      else canaryEnd.flatMap { case (n, t1) =>
+        canaryBaseline.collectFirst {
+          case (p, b) if n.startsWith(p) && t1 > 0 => n -> t1 / b
+        }
+      }
+    val machineSlow = canaryVsBaseline.values.count(_ > 1.3) >= 2
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -128,10 +147,11 @@ object Bench {
     val core = results.filter { case (k, _) => k.matches("q[0-2][0-9]_.*") }
     val rest = (results -- core.keys).toSeq.sortBy(-_._2).take(8)
     val canaryJson = toJson(canaryRatios)
+    val canaryAbsJson = toJson(canaryVsBaseline)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
