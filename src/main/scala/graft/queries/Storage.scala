@@ -1000,6 +1000,83 @@ object Storage extends QueryPack {
           "offset_stays_local")
     }),
 
+    // JDBC JOIN pushdown (SupportsPushDownJoin, Spark 4's newest JDBC
+    // pushdown family; the reference direction is base-jdbc's remote
+    // query generation, `presto-base-jdbc/.../QueryBuilder.java` — the
+    // engine ships the whole relational subtree to the remote store).
+    // Two tables on the same shim URL join REMOTE-SIDE: the executed
+    // plan carries ONE scan with PushedJoins and NO Spark-side join
+    // operator, and the statement log shows the generated shape —
+    // derived tables per side (join_subquery_N, each with its own
+    // pushed predicates) joined INNER ... ON inside one statement,
+    // executed by MiniSql's recursive source grammar. At 100 TB this
+    // is the federated-join win: neither side's rows ever cross to
+    // Spark, only the joined/filtered result. Replayed in DuckDB.
+    "q3d_jdbc_join_pushdown" -> ((s, dir) => {
+      import graft.sources.{GraftMySqlDriver, MySqlStore}
+      GraftMySqlDriver.install()
+      val url = "jdbc:mysql://graft-shim/g"
+      val drv = "graft.sources.GraftMySqlDriver"
+      MySqlStore.drop("ord_jp")
+      MySqlStore.drop("li_jp")
+      Tables.view(s, dir, "orders")
+        .filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "ord_jp").option("driver", drv)
+        .mode("overwrite").save()
+      Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 600)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.format("jdbc").option("url", url)
+        .option("dbtable", "li_jp").option("driver", drv)
+        .mode("overwrite").save()
+      // a dedicated catalog so pushDownJoin never leaks to other gates
+      s.conf.set("spark.sql.catalog.graft_mysql_jp",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_mysql_jp.url", url)
+      s.conf.set("spark.sql.catalog.graft_mysql_jp.driver", drv)
+      s.conf.set("spark.sql.catalog.graft_mysql_jp.pushDownJoin", "true")
+      val prevOpt = s.conf
+        .getOption("spark.sql.optimizer.datasourceV2JoinPushdown")
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      try {
+        MySqlStore.statementLog.clear()
+        val j = s.table("graft_mysql_jp.g.ord_jp")
+          .join(s.table("graft_mysql_jp.g.li_jp"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_orderkey") <= 300)
+        val agg = j.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty_sum"),
+            min(col("o_orderkey")).as("k_min"),
+            max(col("l_orderkey")).as("k_max"))
+        val out = agg.collect()
+        val plan = agg.queryExecution.executedPlan.toString
+        val joinPushed = plan.contains("PushedJoins")
+        val noSparkJoin = !plan.contains("SortMergeJoin") &&
+          !plan.contains("BroadcastHashJoin") &&
+          !plan.contains("ShuffledHashJoin")
+        val log = MySqlStore.statementLog.toArray.map(_.toString)
+        val joinRemote = log.exists(q => q.contains("INNER JOIN") &&
+          q.contains("join_subquery"))
+        import s.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4),
+          joinPushed && noSparkJoin, joinRemote))
+          .sortBy(_._1)
+          .toDF("status", "n", "qty_sum", "k_min", "k_max",
+            "join_pushed", "join_remote")
+      } finally prevOpt match {
+        case Some(v) =>
+          s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", v)
+        case None =>
+          s.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      }
+    }),
+
     // PostgreSQL-dialect pushdown through the DSv2 JDBC catalog — the
     // q1k/q2r aggregate/variance/TopN family on the THIRD dialect, plus
     // the two arms only PostgresDialect offers: OFFSET paging compiled
@@ -1297,6 +1374,17 @@ object Storage extends QueryPack {
         |   FROM t) AS top_keys,
         |  true AS agg_remote, true AS topn_remote
         |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the remote join replays as a plain join; the plan/wire booleans
+    // land as constants
+    "q3d_jdbc_join_pushdown" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  min(o_orderkey) AS k_min, max(l_orderkey) AS k_max,
+        |  true AS join_pushed, true AS join_remote
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey <= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same slice replay as q2q; the T-SQL DDL/type/value/predicate
     // observations landed as booleans the oracle asserts TRUE

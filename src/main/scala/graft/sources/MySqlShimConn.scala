@@ -236,13 +236,36 @@ private[sources] object MiniSql {
       extends Expr
 
   final case class OrderKey(e: Expr, asc: Boolean, nullsFirst: Boolean)
+  /** One projection item: the expression plus its optional alias (the
+    * JOIN-pushdown builder aliases collision columns, `id AS id_1`). */
+  final case class Item(e: Expr, alias: Option[String])
+
+  /** FROM sources: a base table, a parenthesized derived table with an
+    * alias (`(SELECT ...) join_subquery_0`), or an equi/theta join of
+    * two sources — exactly the shapes Spark's JDBC join pushdown
+    * generates (JDBCScanBuilder.getJoinPushdownJdbcSQLBuilder). */
+  sealed trait Source
+  final case class TableRef(name: String) extends Source
+  final case class SubSelect(sel: Select, alias: Option[String])
+      extends Source
+  final case class JoinSrc(left: Source, right: Source, on: Expr,
+      joinType: String) extends Source
+
   /** `sample` = (percent, seed): the TABLESAMPLE BERNOULLI clause
     * PostgresDialect pushes (`getTableSample`); applied to the base
     * rows BEFORE the WHERE, as SQL defines it. */
-  final case class Select(items: Seq[Expr], table: String,
+  final case class Select(items: Seq[Item], from: Source,
       where: Option[Expr], groupBy: Seq[Expr], orderBy: Seq[OrderKey],
       limit: Option[Int], offset: Option[Int],
       sample: Option[(Double, Option[Long])] = None)
+
+  /** Column scope a row is evaluated against (a base table's columns
+    * or a derived/joined source's output). Duplicate names keep the
+    * FIRST index — the pushdown builder aliases collisions away. */
+  final class Scope(val columns: Seq[ColDef]) {
+    val colIdx: Map[String, Int] =
+      columns.map(_.name.toLowerCase).zipWithIndex.reverse.toMap
+  }
 
   // incl. the T-SQL spellings MsSqlServerDialect compiles the variance
   // family into (VAR/VARP/STDEV/STDEVP)
@@ -284,6 +307,50 @@ private[sources] object MiniSql {
       if (atPunct(p)) { pos += 1; true } else false
 
     def parseSelect(): Select = {
+      val s = parseSelectInner()
+      if (pos != toks.length) fail(s"trailing tokens at $pos")
+      s
+    }
+
+    // keywords that may follow a source — never its alias
+    private val PostSourceKws = Set("WHERE", "GROUP", "ORDER", "LIMIT",
+      "OFFSET", "INNER", "LEFT", "RIGHT", "JOIN", "ON", "TABLESAMPLE")
+
+    private def parseSourceUnit(): Source =
+      if (tryPunct("(")) {
+        val inner = parseSelectInner()
+        eatPunct(")")
+        val alias = peek match {
+          case Some(TIdent(a))
+            if !PostSourceKws.contains(a.toUpperCase) =>
+            pos += 1; Some(a)
+          case _ => None
+        }
+        SubSelect(inner, alias)
+      } else TableRef(parseTableRef())
+
+    private def parseSource(): Source = {
+      var left = parseSourceUnit()
+      var done = false
+      while (!done) {
+        if (tryKw("INNER")) {
+          eatKw("JOIN")
+          val r = parseSourceUnit(); eatKw("ON")
+          left = JoinSrc(left, r, parseExpr(), "INNER")
+        } else if (atKw("JOIN")) {
+          pos += 1
+          val r = parseSourceUnit(); eatKw("ON")
+          left = JoinSrc(left, r, parseExpr(), "INNER")
+        } else if (tryKw("LEFT")) {
+          tryKw("OUTER"); eatKw("JOIN")
+          val r = parseSourceUnit(); eatKw("ON")
+          left = JoinSrc(left, r, parseExpr(), "LEFT")
+        } else done = true
+      }
+      left
+    }
+
+    def parseSelectInner(): Select = {
       eatKw("SELECT")
       // T-SQL's limit precedes the projection: SELECT TOP (n) ...
       // (MsSqlServerDialect.getLimitClause — the only shimmed dialect
@@ -294,11 +361,11 @@ private[sources] object MiniSql {
         topLimit = Some(intTok())
         eatPunct(")")
       }
-      val items = Seq.newBuilder[Expr]
+      val items = Seq.newBuilder[Item]
       items += parseItem()
       while (tryPunct(",")) items += parseItem()
       eatKw("FROM")
-      val table = parseTableRef()
+      val from = parseSource()
       val sample: Option[(Double, Option[Long])] =
         if (tryKw("TABLESAMPLE")) {
           eatKw("BERNOULLI")
@@ -348,8 +415,7 @@ private[sources] object MiniSql {
         if (tryKw("LIMIT")) limit = Some(intTok())
         else { eatKw("OFFSET"); offset = Some(intTok()) }
       }
-      if (pos != toks.length) fail(s"trailing tokens at $pos")
-      Select(items.result(), table, where, groupBy.result(),
+      Select(items.result(), from, where, groupBy.result(),
         orderBy.result(), limit, offset, sample)
     }
 
@@ -371,8 +437,18 @@ private[sources] object MiniSql {
       last
     }
 
-    private def parseItem(): Expr =
-      if (tryPunct("*")) Star else parseExpr()
+    private def parseItem(): Item =
+      if (tryPunct("*")) Item(Star, None)
+      else {
+        val e = parseExpr()
+        val alias =
+          if (tryKw("AS")) next() match {
+            case TIdent(a) => Some(a)
+            case other => fail(s"bad alias $other")
+          }
+          else None
+        Item(e, alias)
+      }
 
     // precedence: OR < AND < NOT < cmp/IS/IN/LIKE < add < mul < unary
     def parseExpr(): Expr = parseOr()
@@ -577,7 +653,7 @@ private[sources] object MiniSql {
   }
 
   /** Three-valued eval: null propagates; predicates keep rows iff TRUE. */
-  def eval(e: Expr, t: MTable, row: Array[Any], params: Array[Any]): Any =
+  def eval(e: Expr, t: Scope, row: Array[Any], params: Array[Any]): Any =
     e match {
       case Lit(v) => v
       case Param(i) => params(i)
@@ -680,11 +756,44 @@ private[sources] object MiniSql {
         throw new SQLException(s"aggregate outside aggregation: $a")
     }
 
+  /** Resolve a FROM source to (scope, rows): base tables read the
+    * store; derived tables recurse; joins combine the two sides'
+    * columns and rows (INNER or NULL-padded LEFT; fixture-sized per
+    * the shim's documented scale stance — a real engine executes the
+    * same SQL with its own join machinery). */
+  private def evalSource(src: Source, params: Array[Any],
+      backend: ShimBackend): (Scope, Vector[Array[Any]]) = src match {
+    case TableRef(name) =>
+      val t = backend.table(name)
+      (new Scope(t.columns), t.synchronized(t.rows.toVector))
+    case SubSelect(inner, _) =>
+      val (cols, rows) = run(inner, params, backend)
+      (new Scope(cols), rows.toVector)
+    case JoinSrc(l, r, on, joinType) =>
+      val (ls, lrows) = evalSource(l, params, backend)
+      val (rs, rrows) = evalSource(r, params, backend)
+      val scope = new Scope(ls.columns ++ rs.columns)
+      val rWidth = rs.columns.length
+      val joined = Vector.newBuilder[Array[Any]]
+      lrows.foreach { lr =>
+        var matched = false
+        rrows.foreach { rr =>
+          val row = lr ++ rr
+          if (eval(on, scope, row, params) == java.lang.Boolean.TRUE) {
+            matched = true
+            joined += row
+          }
+        }
+        if (!matched && joinType == "LEFT")
+          joined += (lr ++ Array.fill[Any](rWidth)(null))
+      }
+      (scope, joined.result())
+  }
+
   /** Execute a parsed SELECT; returns (columns, rows). */
   def run(sel: Select, params: Array[Any],
       backend: ShimBackend = MySqlStore): (Seq[ColDef], Seq[Array[Any]]) = {
-    val t = backend.table(sel.table)
-    val base0 = t.synchronized(t.rows.toVector)
+    val (t, base0) = evalSource(sel.from, params, backend)
     // TABLESAMPLE BERNOULLI: a seeded per-row coin flip, deterministic
     // for a given (seed, row position) — REPEATABLE's contract. 100%
     // keeps every row exactly ([0,1) * 100 < 100 always). splitmix64
@@ -710,7 +819,8 @@ private[sources] object MiniSql {
       case Some(w) =>
         base.filter(r => eval(w, t, r, params) == java.lang.Boolean.TRUE)
     }
-    val hasAgg = sel.groupBy.nonEmpty || sel.items.exists(containsAgg)
+    val hasAgg = sel.groupBy.nonEmpty ||
+      sel.items.exists(it => containsAgg(it.e))
     def cmpKey(k: OrderKey, x: Any, y: Any): Int =
       if (x == null && y == null) 0
       else if (x == null) { if (k.nullsFirst) -1 else 1 }
@@ -719,8 +829,10 @@ private[sources] object MiniSql {
     val (cols, ordered) =
       if (!hasAgg) {
         val items = sel.items.flatMap {
-          case Star => t.columns.map(c => (Col(c.name): Expr, c))
-          case e => Seq((e, outCol(e, t)))
+          case Item(Star, _) => t.columns.map(c => (Col(c.name): Expr, c))
+          case Item(e, alias) =>
+            val c0 = outCol(e, t)
+            Seq((e, alias.fold(c0)(a => c0.copy(name = a))))
         }
         // sort on SOURCE rows before projecting — a pushed TopN may
         // order by a column outside the projection (SELECT k ...
@@ -745,16 +857,24 @@ private[sources] object MiniSql {
           if (groups.isEmpty && sel.groupBy.isEmpty)
             Seq(List.empty[Any] -> Vector.empty[Array[Any]])
           else groups.toSeq
-        val cols = sel.items.map(outCol(_, t))
+        val cols = sel.items.map { it =>
+          val c0 = outCol(it.e, t)
+          it.alias.fold(c0)(a => c0.copy(name = a))
+        }
         val rows = groupSeq.map { case (_, rs) =>
-          sel.items.map(i => evalAgg(i, t, rs, params)).toArray
+          sel.items.map(i => evalAgg(i.e, t, rs, params)).toArray
         }
         val sorted =
           if (sel.orderBy.isEmpty) rows
           else {
             // aggregate outputs: order keys must match projected items
+            // (by expression, or by the item's output alias)
             val keyIdx = sel.orderBy.map { k =>
-              val i = sel.items.indexWhere(it => sameExpr(it, k.e))
+              val i = sel.items.indexWhere(it => sameExpr(it.e, k.e) ||
+                (k.e match {
+                  case Col(n) => it.alias.exists(_.equalsIgnoreCase(n))
+                  case _ => false
+                }))
               if (i < 0) throw new SQLException(
                 s"ORDER BY key not in aggregate projection: ${k.e}")
               (k, i)
@@ -794,7 +914,7 @@ private[sources] object MiniSql {
     case _ => a == b
   }
 
-  private def evalAgg(e: Expr, t: MTable, rs: Seq[Array[Any]],
+  private def evalAgg(e: Expr, t: Scope, rs: Seq[Array[Any]],
       params: Array[Any]): Any = e match {
     case Agg(fn0, argOpt, distinct) =>
       val fn = canonAgg(fn0)
@@ -858,7 +978,7 @@ private[sources] object MiniSql {
 
   /** Output-column model for the RSMD (only the schema-probe query's
     * answers matter to Spark's type inference; reads go by position). */
-  private def outCol(e: Expr, t: MTable): ColDef = e match {
+  private def outCol(e: Expr, t: Scope): ColDef = e match {
     case Col(c) =>
       t.columns(t.colIdx.getOrElse(c.toLowerCase,
         throw new SQLException(s"Unknown column '$c'")))
@@ -909,8 +1029,9 @@ private[sources] object MiniSql {
   def runUpdate(upd: Update, params: Array[Any],
       backend: ShimBackend): Int = {
     val t = backend.table(upd.table)
+    val scope = new Scope(t.columns)
     val setIdx = upd.sets.map { case (c, e) =>
-      (t.colIdx.getOrElse(c.toLowerCase,
+      (scope.colIdx.getOrElse(c.toLowerCase,
         throw new SQLException(s"Unknown column '$c'")), e)
     }
     t.synchronized {
@@ -918,9 +1039,11 @@ private[sources] object MiniSql {
       t.rows.indices.foreach { i =>
         val row = t.rows(i)
         val hit = upd.where.forall(w =>
-          eval(w, t, row, params) == java.lang.Boolean.TRUE)
+          eval(w, scope, row, params) == java.lang.Boolean.TRUE)
         if (hit) {
-          setIdx.foreach { case (ci, e) => row(ci) = eval(e, t, row, params) }
+          setIdx.foreach { case (ci, e) =>
+            row(ci) = eval(e, scope, row, params)
+          }
           n += 1
         }
       }
