@@ -120,13 +120,14 @@ object Bench {
     // only sees load that changes DURING the suite — four same-code
     // full runs in one day read 144-167 s with per-run canary values
     // tracking the totals linearly (a uniformly slower machine sails
-    // through the ratio check). The suite-END canary times from the
-    // round-13 cleanest run are recorded here; `machine_slow` flags a
-    // run whose canaries read >1.3x that baseline, so a drifted
-    // environment can't produce a silently trusted number across RUNS
-    // either. Baselines are sf0.1-specific — other fixtures stamp null.
-    val canaryBaseline = Map("q02_" -> 0.217, "q06_" -> 0.226,
-      "q83_" -> 0.227)
+    // through the ratio check). The suite-END canary SECONDS from the
+    // round-13 cleanest run (138.7 s / 420) are recorded here;
+    // `machine_slow` flags a run whose end canaries read >1.3x that
+    // baseline, so a drifted environment can't produce a silently
+    // trusted number across RUNS either. Baselines are sf0.1-specific
+    // — other fixtures stamp null.
+    val canaryBaseline = Map("q02_" -> 0.085, "q06_" -> 0.086,
+      "q83_" -> 0.039)
     val canaryVsBaseline =
       if (!sfDir.endsWith("sf0.1")) Map.empty[String, Double]
       else canaryEnd.flatMap { case (n, t1) =>
