@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{GraftMySqlDriver, GraftPostgresDriver, MySqlStore, PgStore}
+import graft.sources.{GraftMySqlDriver, GraftPostgresDriver, GraftSqlServerDriver, MsStore, MySqlStore, PgStore}
 
 /** JDBC JOIN pushdown (SupportsPushDownJoin) against the dialect
   * shims: two tables on one URL join remote-side — one scan,
@@ -120,6 +120,38 @@ class JdbcJoinPushdownSuite extends GraftSuite {
       val log = PgStore.statementLog.toArray.map(_.toString)
       assert(log.exists(q => q.contains("INNER JOIN") &&
         q.contains("\"id\"") && !q.contains("`")), log.mkString("\n"))
+    }
+  }
+
+  test("the sqlserver shim: pushed join composes with the TOP limit") {
+    GraftSqlServerDriver.install()
+    val msUrl = "jdbc:sqlserver://graft-shim;databaseName=g"
+    val msDrv = "graft.sources.GraftSqlServerDriver"
+    import spark.implicits._
+    MsStore.drop("jpa"); MsStore.drop("jpb")
+    (1 to 60).map(i => (i.toLong, s"n$i")).toDF("id", "nm")
+      .write.format("jdbc").option("url", msUrl).option("dbtable", "jpa")
+      .option("driver", msDrv).mode("overwrite").save()
+    (1 to 60).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .write.format("jdbc").option("url", msUrl).option("dbtable", "jpb")
+      .option("driver", msDrv).mode("overwrite").save()
+    catalog("jp_ms", msUrl, msDrv)
+    spark.conf.set("spark.sql.catalog.jp_ms.pushDownLimit", "true")
+    withJoinPushdown(true) {
+      MsStore.statementLog.clear()
+      val j = spark.sql(
+        """SELECT id, nm, v FROM jp_ms.g.jpa JOIN jp_ms.g.jpb USING (id)
+          |ORDER BY v DESC LIMIT 3""".stripMargin)
+      val rows = j.collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(60L, 59L, 58L))
+      assert(j.queryExecution.executedPlan.toString
+        .contains("PushedJoins"))
+      val log = MsStore.statementLog.toArray.map(_.toString)
+      assert(log.exists(_.contains("INNER JOIN")), log.mkString("\n"))
+      // the dialect's limit stays TOP-shaped even over the joined source
+      assert(log.exists(q => q.contains("TOP (3)") &&
+        q.contains("INNER JOIN")) || !log.exists(_.contains("LIMIT")),
+        log.mkString("\n"))
     }
   }
 
