@@ -155,6 +155,33 @@ class JdbcJoinPushdownSuite extends GraftSuite {
     }
   }
 
+  test("left outer join: right answers whether Spark pushes it or not") {
+    import spark.implicits._
+    seed(myUrl, myDrv)
+    MySqlStore.drop("jpc")
+    // right side covers only half the keys -> unmatched lefts pad NULL
+    (1 to 30).map(i => (i.toLong, i * 3.0)).toDF("id", "w")
+      .write.format("jdbc").option("url", myUrl).option("dbtable", "jpc")
+      .option("driver", myDrv).mode("overwrite").save()
+    catalog("jp_my", myUrl, myDrv)
+    withJoinPushdown(true) {
+      val j = spark.table("jp_my.g.jpa")
+        .join(spark.table("jp_my.g.jpc"), Seq("id"), "left")
+      val rows = j.collect()
+      assert(rows.length == 60)
+      assert(rows.find(_.getLong(0) == 10L).exists(_.getDouble(2) == 30.0))
+      assert(rows.find(_.getLong(0) == 40L).exists(_.isNullAt(2)),
+        "unmatched left row must NULL-pad")
+      // don't over-assert WHERE it ran: if Spark pushed it, the shim's
+      // LEFT grammar executed it; if not, Spark joined — both legal
+      val plan = j.queryExecution.executedPlan.toString
+      val pushed = plan.contains("PushedJoins")
+      val sparkSide = plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin")
+      assert(pushed ^ sparkSide, s"exactly one side must join:\n$plan")
+    }
+  }
+
   test("aggregate over a pushed join: grouped numbers stay right") {
     seed(myUrl, myDrv)
     catalog("jp_my", myUrl, myDrv)
