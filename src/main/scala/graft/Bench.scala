@@ -121,13 +121,28 @@ object Bench {
     // full runs in one day read 144-167 s with per-run canary values
     // tracking the totals linearly (a uniformly slower machine sails
     // through the ratio check). The suite-END canary SECONDS from the
-    // round-13 cleanest run (138.7 s / 420) are recorded here;
-    // `machine_slow` flags a run whose end canaries read >1.3x that
-    // baseline, so a drifted environment can't produce a silently
-    // trusted number across RUNS either. Baselines are sf0.1-specific
-    // — other fixtures stamp null.
-    val canaryBaseline = Map("q02_" -> 0.085, "q06_" -> 0.086,
+    // round-13 cleanest run (138.7 s / 420) are the default baseline;
+    // `machine_slow` flags a run whose end canaries read above
+    // threshold x that, so a drifted environment can't produce a
+    // silently trusted number across RUNS either. The defaults are one
+    // HOST's numbers at sf0.1 (other fixtures stamp null), so a
+    // legitimately different machine overrides them via
+    // GRAFT_CANARY_BASELINE="q02=s,q06=s,q83=s" (and optionally
+    // GRAFT_CANARY_SLOW_X); the default threshold is 1.8x — wide
+    // enough that JIT/GC jitter at the ~40-90 ms canary scale (spread
+    // observed ~1.3x run-to-run on the SAME quiet host) does not trip
+    // it, and it takes 2 of 3 canaries over the bar to flag.
+    val defaultBaseline = Map("q02_" -> 0.085, "q06_" -> 0.086,
       "q83_" -> 0.039)
+    val canaryBaseline = sys.env.get("GRAFT_CANARY_BASELINE") match {
+      case Some(s) => s.split(',').map { kv =>
+        val Array(k, v) = kv.trim.split('=')
+        s"${k.trim}_" -> v.trim.toDouble
+      }.toMap
+      case None => defaultBaseline
+    }
+    val slowX = sys.env.get("GRAFT_CANARY_SLOW_X")
+      .map(_.toDouble).getOrElse(1.8)
     val canaryVsBaseline =
       if (!sfDir.endsWith("sf0.1")) Map.empty[String, Double]
       else canaryEnd.flatMap { case (n, t1) =>
@@ -135,7 +150,7 @@ object Bench {
           case (p, b) if n.startsWith(p) && t1 > 0 => n -> t1 / b
         }
       }
-    val machineSlow = canaryVsBaseline.values.count(_ > 1.3) >= 2
+    val machineSlow = canaryVsBaseline.values.count(_ > slowX) >= 2
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -119,6 +119,17 @@ private[functions] object PrestoStatements {
       store.computeIfAbsent(spark, _ => scala.collection.mutable.Map.empty)
     }
 
+  /** Property names this session has explicitly SET (and not yet
+    * RESET), lowercase. Session property managers consult this: the
+    * reference applies manager defaults at query-session creation with
+    * LOWER precedence than explicit session properties
+    * (`presto-session-property-managers/.../
+    * FileSessionPropertyManager.java` — defaults merge UNDER the
+    * session's own properties), so a manager must not touch a property
+    * the user has SET. */
+  def explicitSessionProps(spark: SparkSession): Set[String] =
+    sessionMap(sessionProps, spark).keySet.toSet
+
   /** Presto type-signature rendering of a Spark DataType
     * (presto-common TypeSignature display names: varchar, bigint,
     * varbinary, row(...), map(k, v)). */

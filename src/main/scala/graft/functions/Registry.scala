@@ -1844,6 +1844,11 @@ object Registry {
       sqlText: String): org.apache.spark.sql.DataFrame =
     PrestoStatements.prestoStatement(spark, sqlText)
 
+  /** Lowercase names the session has explicitly SET SESSION (and not
+    * RESET) — see [[PrestoStatements.explicitSessionProps]]. */
+  def explicitSessionProps(spark: SparkSession): Set[String] =
+    PrestoStatements.explicitSessionProps(spark)
+
   /** Forget session role/grant state so lifecycle gates replay
     * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
   def resetSecurityState(spark: SparkSession): Unit =

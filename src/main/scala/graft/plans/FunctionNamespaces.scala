@@ -75,6 +75,55 @@ object FunctionNamespaces {
   private[plans] val MaxFunctionName = 256
   private[plans] val MaxParameterCount = 100
   private[plans] val MaxParameterName = 100
+
+  // Parameters persist as "name type" joined by ", ". Names are
+  // identifiers (validated at create), so the FIRST space splits name
+  // from type even for multi-word types (double precision); commas
+  // split parameter boundaries only at paren depth 0, so parameterized
+  // types (decimal(10,2), map(varchar, bigint)) round-trip intact.
+  private[plans] val ParamNameRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Split on top-level commas only (commas inside parentheses belong
+    * to a parameterized type). */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => parts += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[plans] def parseStoredParam(p: String): SqlParam = {
+    val i = p.indexOf(' ')
+    require(i > 0, s"malformed stored parameter '$p'")
+    SqlParam(p.substring(0, i), p.substring(i + 1).trim)
+  }
+
+  /** Write-time validation so a parameter that cannot round-trip the
+    * "name type" store format is rejected at createFunction, not on a
+    * later read: the name must be an identifier; the type must be
+    * non-empty with balanced parentheses and no top-level comma. */
+  private[plans] def checkParamSerializable(p: SqlParam): Unit = {
+    require(ParamNameRe.matches(p.name),
+      s"Invalid parameter name (not an identifier): '${p.name}'")
+    require(p.typ.trim == p.typ && p.typ.nonEmpty,
+      s"Invalid parameter type: '${p.typ}'")
+    var depth = 0
+    p.typ.foreach { c =>
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1
+        require(depth >= 0, s"Unbalanced parameter type: '${p.typ}'") }
+      else require(c != ',' || depth > 0,
+        s"Invalid parameter type (top-level comma): '${p.typ}'")
+    }
+    require(depth == 0, s"Unbalanced parameter type: '${p.typ}'")
+  }
 }
 
 class FunctionNamespaceManager(url: String, driverClass: String,
@@ -139,11 +188,7 @@ class FunctionNamespaceManager(url: String, driverClass: String,
     SqlInvokedFunction(
       catalog = rs.getString(3), schema = rs.getString(4),
       name = rs.getString(5),
-      parameters = rs.getString(6).split(',').toSeq
-        .filter(_.nonEmpty).map { p =>
-          val Array(n, t) = p.trim.split(' ')
-          SqlParam(n, t)
-        },
+      parameters = splitTopLevel(rs.getString(6)).map(parseStoredParam),
       returnType = rs.getString(7),
       description = Option(rs.getString(8)).getOrElse(""),
       deterministic = rs.getBoolean(9),
@@ -217,8 +262,10 @@ class FunctionNamespaceManager(url: String, driverClass: String,
     require(fn.parameters.size <= MaxParameterCount,
       s"Function has more than $MaxParameterCount parameters: " +
         fn.parameters.size)
-    fn.parameters.foreach(p =>
-      len("Parameter name", p.name, MaxParameterName))
+    fn.parameters.foreach { p =>
+      len("Parameter name", p.name, MaxParameterName)
+      checkParamSerializable(p)
+    }
     if (!namespaceExists(fn.catalog, fn.schema))
       throw new IllegalArgumentException(
         s"Function namespace not found: ${fn.catalog}.${fn.schema}")

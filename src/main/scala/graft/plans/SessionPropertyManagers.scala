@@ -117,18 +117,27 @@ object SessionPropertyManagers {
   }
 
   /** Apply the context's resolved defaults through the SET SESSION
-    * registry, run the body, RESET each property after — the manager's
-    * query-scoped lifecycle. Throws the registry's loud error when a
-    * spec names a property that does not exist. */
+    * registry, run the body, RESET each applied property after — the
+    * manager's query-scoped lifecycle. Precedence matches the
+    * reference (`FileSessionPropertyManager` defaults merge UNDER the
+    * session's own properties at query-session creation): a property
+    * the user has explicitly SET is left untouched — not overridden,
+    * not RESET — so an explicit SET survives the block. Throws the
+    * registry's loud error when a spec names a property that does not
+    * exist (a skipped name is valid by construction — SET SESSION
+    * already validated it when the user set it). */
   def withProperties[T](s: SparkSession, specs: Seq[MatchSpec],
       ctx: Context)(body: => T): T = {
-    import graft.functions.Registry.prestoStatement
+    import graft.functions.Registry.{explicitSessionProps, prestoStatement}
     val props = properties(specs, ctx)
+    val explicit = explicitSessionProps(s)
     val applied = mutable.ArrayBuffer.empty[String]
     try {
       props.foreach { case (name, value) =>
-        prestoStatement(s, s"SET SESSION $name = '$value'")
-        applied += name
+        if (!explicit.contains(name.split('.').last.toLowerCase)) {
+          prestoStatement(s, s"SET SESSION $name = '$value'")
+          applied += name
+        }
       }
       body
     } finally applied.foreach(name =>

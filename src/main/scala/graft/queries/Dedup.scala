@@ -32,6 +32,10 @@ object Dedup extends QueryPack {
     Tables.view(s, dir, n)
 
   private val JacThreshold = 0.8
+  // q3c seed-key position stride: doc_id*stride+wpos must be unique
+  // across documents, so wpos must stay below it — guarded loudly in
+  // the query (raise_error) and mirrored literally in the oracle.
+  private val SeedStride = 100000L
 
   override def defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on content, keep the smallest doc_id.
@@ -215,8 +219,18 @@ object Dedup extends QueryPack {
             |  i -> array_join(slice(ws, i + 1, 8), ' '))""".stripMargin)))
         .withColumnRenamed("pos", "wpos")
         .withColumnRenamed("col", "gram")
+        // The seed key packs (doc, position) into one int64 with a
+        // position stride of 100000. The stride is an ASSUMPTION about
+        // document length, so it fails loudly instead of silently
+        // colliding keys across documents when a doc exceeds it —
+        // raise the stride (int64 holds doc_id*stride up to ~9e18) if
+        // a corpus with longer documents arrives.
         .withColumn("seed_key",
-          col("doc_id") * 100000L + col("wpos"))
+          when(col("wpos") < lit(SeedStride),
+            col("doc_id") * SeedStride + col("wpos"))
+            .otherwise(raise_error(concat(
+              lit(s"q3c: document position exceeds seed stride " +
+                s"$SeedStride; doc_id="), col("doc_id")))))
       val firsts = grams.groupBy(col("gram"))
         .agg(count(lit(1)).as("c"), min(col("seed_key")).as("canon"))
         .filter(col("c") > 1)
@@ -292,7 +306,8 @@ object Dedup extends QueryPack {
         |g AS (SELECT doc_id, source, i AS wpos,
         |        array_to_string(ws[(i+1):(i+8)], ' ') AS gram,
         |        doc_id * 100000 + i AS seed_key
-        |      FROM w, (SELECT unnest(range(0, 10000)) AS i) ix
+        |      FROM w, (SELECT unnest(range(0,
+        |               (SELECT max(len(ws)) FROM w))) AS i) ix
         |      WHERE len(ws) >= 8 AND i <= len(ws) - 8),
         |f AS (SELECT gram, count(*) AS c, min(seed_key) AS canon
         |      FROM g GROUP BY 1 HAVING count(*) > 1),
@@ -314,7 +329,8 @@ object Dedup extends QueryPack {
         |           FROM documents),
         |c AS (SELECT doc_id, source, i AS chunk_idx,
         |        array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
-        |      FROM w, (SELECT unnest(range(0, 1000)) AS i) g
+        |      FROM w, (SELECT unnest(range(0,
+        |               1 + (SELECT max(len(ws)) FROM w) // 8)) AS i) g
         |      WHERE i*8 < len(ws)),
         |r AS (SELECT source, chunk,
         |        row_number() OVER (PARTITION BY chunk

@@ -154,7 +154,8 @@ private[sources] object MiniSql {
   final case class TParam(idx: Int) extends Tok
 
   def tokenize(sql: String,
-      escapeBackslash: Boolean = true): Vector[Tok] = {
+      escapeBackslash: Boolean = true,
+      identQuote: Char = '`'): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     var params = 0
@@ -162,7 +163,11 @@ private[sources] object MiniSql {
     while (i < n) {
       val ch = sql.charAt(i)
       if (ch.isWhitespace) i += 1
-      else if (ch == '`' || ch == '"') { // MySQL vs standard ident quote
+      else if (ch == identQuote) { // the BACKEND's ident quote only:
+        // MySQL's default sql_mode reads double-quoted text as a STRING
+        // literal, so accepting `"` as an ident quote under the MySQL
+        // dialect would silently mis-parse; an off-dialect quote char
+        // falls through to TPunct and the parser rejects it loudly.
         val j = sql.indexOf(ch, i + 1)
         if (j < 0) throw new SQLException(s"unterminated $ch in: $sql")
         out += TIdent(sql.substring(i + 1, j)); i = j + 1
@@ -992,8 +997,8 @@ private[sources] object MiniSql {
 
   def parse(sql: String,
       backend: ShimBackend = MySqlStore): Select =
-    new P(tokenize(sql, backend.escapeBackslashInLiterals), sql,
-      backend.who).parseSelect()
+    new P(tokenize(sql, backend.escapeBackslashInLiterals, backend.quote),
+      sql, backend.who).parseSelect()
 
   // ---------- UPDATE (the DAO surface: Spark's JDBC source never
   // issues UPDATE, but the function-namespace manager's DAO does —
@@ -1002,8 +1007,8 @@ private[sources] object MiniSql {
       where: Option[Expr])
 
   def parseUpdate(sql: String, backend: ShimBackend): Update = {
-    val p = new P(tokenize(sql, backend.escapeBackslashInLiterals), sql,
-      backend.who)
+    val p = new P(tokenize(sql, backend.escapeBackslashInLiterals,
+      backend.quote), sql, backend.who)
     p.eatKw("UPDATE")
     val table = p.next() match {
       case TIdent(s) => s

@@ -130,6 +130,37 @@ class FunctionNamespacesSuite extends GraftSuite {
     assert(m2.listFunctions().size == 1)
   }
 
+  test("parameterized and multi-word types round-trip the store") {
+    val m = freshManager()
+    // the stored format is "name type" comma-joined — commas inside a
+    // parameterized type and spaces inside a multi-word type must not
+    // corrupt the split on read
+    val params = Seq(SqlParam("a", "decimal(10,2)"),
+      SqlParam("b", "double precision"),
+      SqlParam("c", "map(varchar, bigint)"))
+    m.createFunction(fn("f8", "a", params = params), replace = false)
+    val back = m.listFunctions().find(_.name == "f8").get
+    assert(back.parameters == params, back.parameters)
+    // write-time validation: a parameter whose NAME cannot round-trip
+    // fails at createFunction, not later on read
+    val e1 = intercept[IllegalArgumentException] {
+      m.createFunction(fn("f9", "x",
+        params = Seq(SqlParam("a b", "double"))), replace = false)
+    }
+    assert(e1.getMessage.contains("parameter name"), e1.getMessage)
+    // ...as does a type with a top-level comma or unbalanced parens
+    val e2 = intercept[IllegalArgumentException] {
+      m.createFunction(fn("f9", "x",
+        params = Seq(SqlParam("a", "double,double"))), replace = false)
+    }
+    assert(e2.getMessage.contains("top-level comma"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      m.createFunction(fn("f9", "x",
+        params = Seq(SqlParam("a", "decimal(10,2"))), replace = false)
+    }
+    assert(e3.getMessage.contains("Unbalanced"), e3.getMessage)
+  }
+
   test("loadInto registers live functions; RNONI guard is real") {
     val m = freshManager()
     // a body that would MASK a null input — only the RNONI guard makes

@@ -168,6 +168,32 @@ class MiniSqlSuite extends AnyFunSuite {
     assert(MiniSql.run(sel, Array.empty, PgStore)._2.map(_(0)) == Seq(9L))
   }
 
+  test("identifier quote is the BACKEND's, not both") {
+    mkTable("ms_q")
+    // MySQL: backtick quotes an identifier...
+    assert(run("SELECT `id` FROM ms_q WHERE id = 1").map(_(0)) ==
+      Seq(1L))
+    // ...but double-quote must NOT silently parse as one — MySQL's
+    // default sql_mode reads "..." as a string LITERAL, so the shim
+    // fails loudly rather than guess
+    intercept[java.sql.SQLException] {
+      run("""SELECT "id" FROM ms_q WHERE id = 1""")
+    }
+    // Postgres: the inverse — double-quote is the ident quote,
+    // backtick is rejected
+    PgStore.drop("pg_q")
+    PgStore.create("pg_q", Seq(
+      ColDef("id", "int8", Types.BIGINT, 19, 0, signed = true,
+        nullable = false)))
+    PgStore.insert("pg_q", Seq(5L))
+    val sel = MiniSql.parse("""SELECT "id" FROM "pg_q"""", PgStore)
+    assert(MiniSql.run(sel, Array.empty, PgStore)._2.map(_(0)) ==
+      Seq(5L))
+    intercept[java.sql.SQLException] {
+      MiniSql.parse("SELECT `id` FROM pg_q", PgStore)
+    }
+  }
+
   test("aggregate ORDER BY resolves projected expressions and aliases") {
     mkTable("ms_agg")
     val rows = run(

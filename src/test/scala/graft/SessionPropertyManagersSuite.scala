@@ -129,4 +129,36 @@ class SessionPropertyManagersSuite extends GraftSuite {
     }
     assert(e.getMessage.contains("does not exist"))
   }
+
+  test("explicit SET SESSION outranks manager defaults and survives") {
+    import graft.functions.Registry.{install, prestoStatement}
+    install(spark)
+    // the reference applies manager defaults at session creation with
+    // LOWER precedence than explicit session properties — an explicit
+    // SET must neither be overridden inside the block nor wiped by the
+    // block's restore (FileSessionPropertyManager defaults merge UNDER
+    // the session's own properties)
+    prestoStatement(spark, "SET SESSION hash_partition_count = '23'")
+    try {
+      var inside: String = null
+      var insideOther: String = null
+      withProperties(spark, specs, Context("etl_nightly")) {
+        inside = spark.conf.get("spark.sql.shuffle.partitions")
+        insideOther = prestoStatement(spark, "SHOW SESSION")
+          .filter("Name = 'task_concurrency'")
+          .collect()(0).getString(1)
+      }
+      // the manager's 11 did NOT override the explicit 23...
+      assert(inside == "23")
+      // ...while the not-explicitly-set sibling property DID apply
+      assert(insideOther == "2")
+      // and after the block the explicit SET is still in effect
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "23")
+      val shown = prestoStatement(spark, "SHOW SESSION")
+        .filter("Name = 'hash_partition_count'")
+        .collect()(0).getString(1)
+      assert(shown == "23")
+    } finally prestoStatement(spark,
+      "RESET SESSION hash_partition_count")
+  }
 }
