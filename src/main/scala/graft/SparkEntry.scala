@@ -14,8 +14,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     Relational, Windows, SetOps, Aggregates, Scalars, Json, Unnest, ApproxMaps,
     Dedup, Ann, TextAnalysis, RegistrySql, TpchSql, TpcdsSql, Media, Events,
-    Storage, Sketches, TrySemantics, StructOps, Views, Curation, Geo, Ml,
-    Connectors)
+    Storage, HiveLayout, Sketches, TrySemantics, StructOps, Views, Curation,
+    Geo, Ml, Connectors)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

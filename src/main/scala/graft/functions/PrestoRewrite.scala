@@ -144,6 +144,190 @@ private[functions] object PrestoRewrite {
         if (mask(m.start)) m.matched else f(m)))
   }
 
+  // ——— aggregate-internal ORDER BY (SqlBase.g4:356 #functionCall —
+  // `fn '(' args (ORDER BY sortItem...)? ')'`, a Presto grammar Spark
+  // lacks entirely) ———————————————————————————————————————————————————
+  //
+  // Semantics (presto-main AggregationAnalyzer + the accumulators'
+  // sorted-input path): rows feed the aggregate in sorted order. Only
+  // ORDER-SENSITIVE aggregates observe it — array_agg's output order is
+  // the CONTRACT; every other aggregate is either order-insensitive
+  // (sum/avg/min/max/count/...) or documented "arbitrary" under ties
+  // (map_agg's duplicate-key choice, arbitrary()), so for those the
+  // clause is result-identical to drop.
+  //
+  // Spark-first: array_agg(x ORDER BY k...) becomes
+  //   transform(array_sort(collect_list(named_struct(keys..., value)),
+  //     (l, r) -> <multi-key comparator>), s -> s._v)
+  // — one pass, the same per-group O(n log n) the reference pays, all
+  // codegen'd builtins, DISTINCT via array_distinct on the pairs (the
+  // reference's rule that ORDER BY must equal the argument is
+  // enforced). Presto's default null ordering is NULLS LAST for both
+  // directions (SortItem.NullOrdering default via
+  // ExpressionAnalyzer/OrderingScheme) — the comparator encodes that.
+  private val aggOrderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val aggOrderKeywords = Set("OVER", "GROUP", "AS", "IN", "ON",
+    "AND", "OR", "NOT", "WHERE", "FROM", "JOIN", "SELECT", "WHEN",
+    "THEN", "ELSE", "EXISTS", "VALUES", "ALL", "ANY", "SOME", "BY",
+    "UNION", "INTERSECT", "EXCEPT", "HAVING", "LIKE", "BETWEEN",
+    "CASE", "END", "WITH", "LATERAL", "USING", "FILTER", "PARTITION")
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; sb += c }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '(' | '[' => depth += 1; sb += c
+        case ')' | ']' => depth -= 1; sb += c
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case other => sb += other
+      }
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val sortItemRe =
+    """(?is)^(.*?)\s*(?:\b(ASC|DESC)\b)?\s*(?:\bNULLS\s+(FIRST|LAST)\b)?\s*$""".r
+
+  private def rewriteAggOrderBy(q0: String): String = {
+    var q = q0
+    var progress = true
+    while (progress) {
+      progress = false
+      val mask = stringMask(q)
+      @inline def identChar(c: Char): Boolean =
+        c.isLetterOrDigit || c == '_' || c == '.'
+      val hit = aggOrderByRe.findAllMatchIn(q)
+        .filter(m => !mask(m.start)).flatMap { m =>
+          // the unmatched '(' this ORDER BY sits inside
+          var depth = 0
+          var opener = -1
+          var i = m.start - 1
+          while (i >= 0 && opener < 0) {
+            if (!mask(i)) {
+              if (q.charAt(i) == ')') depth += 1
+              else if (q.charAt(i) == '(') {
+                if (depth == 0) opener = i else depth -= 1
+              }
+            }
+            i -= 1
+          }
+          if (opener < 0) None
+          else {
+            // the identifier immediately before the '(' — a function
+            // name if this is a call
+            var e = opener - 1
+            while (e >= 0 && q.charAt(e).isWhitespace) e -= 1
+            var b = e
+            while (b >= 0 && identChar(q.charAt(b))) b -= 1
+            val fn = if (e < 0 || b == e) "" else q.substring(b + 1, e + 1)
+            // first token after the opener: a subquery is not a call
+            var f = opener + 1
+            while (f < q.length && q.charAt(f).isWhitespace) f += 1
+            val sub = q.substring(f, math.min(q.length, f + 6))
+              .toUpperCase
+            val isCall = fn.nonEmpty &&
+              !aggOrderKeywords(fn.toUpperCase) &&
+              !sub.startsWith("SELECT") && !sub.startsWith("WITH")
+            if (isCall) Some((m, opener, fn, b + 1)) else None
+          }
+        }.toSeq.headOption
+      hit.foreach { case (m, opener, fn, nameStart) =>
+        // the call's closing ')'
+        var depth = 0
+        var closer = -1
+        var j = m.end
+        while (j < q.length && closer < 0) {
+          if (!mask(j)) {
+            if (q.charAt(j) == '(') depth += 1
+            else if (q.charAt(j) == ')') {
+              if (depth == 0) closer = j else depth -= 1
+            }
+          }
+          j += 1
+        }
+        require(closer > 0, s"unbalanced aggregate ORDER BY in: $q")
+        val argsText = q.substring(opener + 1, m.start).trim
+        val keysText = q.substring(m.end, closer).trim
+        // a trailing FILTER (WHERE ...) belongs to the AGGREGATE — it
+        // must ride the inner collect_list, not the transform wrapper
+        val filterRe = """(?is)^\s*FILTER\s*\(""".r
+        val (filterText, spanEnd) =
+          filterRe.findFirstMatchIn(q.substring(closer + 1)) match {
+            case Some(fm) =>
+              var d = 1
+              var k = closer + 1 + fm.end
+              while (k < q.length && d > 0) {
+                if (!mask(k)) {
+                  if (q.charAt(k) == '(') d += 1
+                  else if (q.charAt(k) == ')') d -= 1
+                }
+                k += 1
+              }
+              (" " + q.substring(closer + 1, k).trim, k - 1)
+            case None => ("", closer)
+          }
+        val replacement =
+          if (fn.equalsIgnoreCase("array_agg")) {
+            val distinct = argsText.toUpperCase.startsWith("DISTINCT")
+            val arg = if (distinct)
+              argsText.substring("DISTINCT".length).trim else argsText
+            val keys = splitTopLevel(keysText).map {
+              case sortItemRe(e, dir, no) =>
+                val asc = dir == null || dir.equalsIgnoreCase("ASC")
+                val nullsLast =
+                  if (no == null) true else no.equalsIgnoreCase("LAST")
+                (e.trim, asc, nullsLast)
+            }
+            require(keys.nonEmpty, "empty aggregate ORDER BY")
+            if (distinct)
+              // AggregationAnalyzer: DISTINCT restricts ORDER BY to the
+              // arguments themselves
+              require(keys.map(_._1.toLowerCase) ==
+                  Seq(arg.toLowerCase),
+                "For aggregate function with DISTINCT, ORDER BY " +
+                  "expressions must appear in arguments")
+            val fields = keys.zipWithIndex
+              .map { case ((e, _, _), i) => s"'_o${i + 1}', $e" }
+              .mkString(", ")
+            val cmp = keys.zipWithIndex.foldRight("0") {
+              case (((_, asc, nullsLast), i), inner) =>
+                val l = s"l._o${i + 1}"
+                val r = s"r._o${i + 1}"
+                val (lt, gt) = if (asc) (-1, 1) else (1, -1)
+                val (ln, rn) =
+                  if (nullsLast) (1, -1) else (-1, 1)
+                s"CASE WHEN $l IS NULL AND $r IS NULL THEN $inner " +
+                  s"WHEN $l IS NULL THEN $ln " +
+                  s"WHEN $r IS NULL THEN $rn " +
+                  s"WHEN $l < $r THEN $lt " +
+                  s"WHEN $l > $r THEN $gt ELSE $inner END"
+            }
+            val collected =
+              s"collect_list(named_struct($fields, '_v', $arg))" +
+                filterText
+            val deduped =
+              if (distinct) s"array_distinct($collected)" else collected
+            s"transform(array_sort($deduped, (l, r) -> $cmp), " +
+              "s -> s._v)"
+          } else {
+            // order-insensitive (or contractually arbitrary): drop the
+            // clause, keep the call (its own FILTER stays in place)
+            s"$fn($argsText)" + filterText
+          }
+        q = q.substring(0, nameStart) + replacement +
+          q.substring(spanEnd + 1)
+        progress = true
+      }
+    }
+    q
+  }
+
   /** Presto parametric TYPE spellings inside CAST targets →
     * Spark's angle-bracket grammar (TypeSignature.java vs Spark DDL):
     * `row(x bigint, y double)` → `struct<x: bigint, y: double>`,
@@ -579,7 +763,7 @@ private[functions] object PrestoRewrite {
     // inside a string literal is inert (the RewritePropertySuite
     // identity property; bareVarchar/TABLESAMPLE once rewrote literal
     // CONTENT because their patterns carry no quote anchor).
-    val fnned = rewriteCreateFunction(q)
+    val fnned = rewriteCreateFunction(rewriteAggOrderBy(q))
     val dated = maskedReplaceAll(fnned, prestoDateFnRe)(
       m => "presto_" + m.group(1).toLowerCase + "('" +
         m.group(2).toLowerCase + "'")

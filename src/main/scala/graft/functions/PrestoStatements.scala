@@ -96,7 +96,11 @@ private[functions] object PrestoStatements {
     PropDef("query_max_run_time", "100.00d", "varchar",
       "The maximum elapsed time a query may run"),
     PropDef("optimize_hash_generation", "true", "boolean",
-      "Compute hash codes for distribution, joins, and aggregations early in query plan"))
+      "Compute hash codes for distribution, joins, and aggregations early in query plan"),
+    // presto-hive HiveSessionProperties.java:48,106-117 — the write
+    // path reads it through sessionPropValue (HiveLayout.insertExisting)
+    PropDef("insert_existing_partitions_behavior", "APPEND", "varchar",
+      "Behavior on insert existing partitions; this session property doesn't control behavior on insert existing unpartitioned table"))
 
   private val sessionProps =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
@@ -129,6 +133,15 @@ private[functions] object PrestoStatements {
     * the user has SET. */
   def explicitSessionProps(spark: SparkSession): Set[String] =
     sessionMap(sessionProps, spark).keySet.toSet
+
+  /** The session's effective value for a registered property: the
+    * explicit SET value when one is in effect, the registry default
+    * otherwise. Loud on unknown names, like SET SESSION. */
+  def sessionPropValue(spark: SparkSession, name: String): String = {
+    val d = sessionPropDefs.find(_.name == name).getOrElse(
+      sys.error(s"Session property $name does not exist"))
+    sessionMap(sessionProps, spark).getOrElse(name, d.default)
+  }
 
   /** Presto type-signature rendering of a Spark DataType
     * (presto-common TypeSignature display names: varchar, bigint,
@@ -628,6 +641,12 @@ private[functions] object PrestoStatements {
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved(name))
               case other => sys.error(s"join_distribution_type: $other")
             }
+          case "insert_existing_partitions_behavior" =>
+            // HiveSessionProperties.InsertExistingPartitionsBehavior
+            // .valueOf — a value outside the enum fails at SET time
+            require(Seq("ERROR", "APPEND", "OVERWRITE")
+                .contains(value.toUpperCase),
+              "No enum constant InsertExistingPartitionsBehavior." + value)
           case _ => () // stored only; no engine knob behind it
         }
         sessionMap(sessionProps, spark)(name) = value

@@ -63,10 +63,79 @@ private[functions] object PrestoSystem {
     ("""(?i)\bsystem\s*\.\s*(?:(runtime)\s*\.\s*(nodes|queries)""" +
       """|(metadata)\s*\.\s*(catalogs))\b""").r
 
+  // Hive-connector table-suffix system tables ("t$partitions" /
+  // "t$properties", HiveMetadata.java:407-415 + SystemTableHandler:
+  // 2788-2811). The $ forces the quoted spelling, so the rewrite only
+  // needs the double-quoted form — exactly what the reference's
+  // grammar produces for these names.
+  private val hiveSysRe =
+    """"([A-Za-z_][A-Za-z0-9_]*)\$(partitions|properties)"""".r
+
+  /** Rewrite "t$partitions" / "t$properties" (outside string literals)
+    * to catalog-metadata temp views — the Hive connector's
+    * getSystemTable path: $partitions lists the table's partition
+    * VALUES typed per the table schema (getPartitionsSystemTable —
+    * metadata only, no data scan), $properties is one row of the
+    * table's parameters with columns sorted by key
+    * (getPropertiesSystemTable). A $partitions suffix on a
+    * non-partitioned table is unresolved, like the reference's
+    * Optional.empty(). */
+  private def rewriteHiveSystemTables(spark: SparkSession,
+      q: String): String = {
+    val mask = PrestoRewrite.stringMask(q)
+    val ms = hiveSysRe.findAllMatchIn(q).filter(m => !mask(m.start)).toList
+    if (ms.isEmpty) return q
+    val sb = new StringBuilder
+    var pos = 0
+    ms.foreach { m =>
+      val (table, kind) = (m.group(1), m.group(2))
+      val view = s"graft_hsys_${table.toLowerCase}_$kind"
+      if (kind == "partitions") {
+        val partCols = spark.catalog.listColumns(table).collect()
+          .filter(_.isPartition).map(_.name)
+        if (partCols.isEmpty)
+          sys.error(s"Table '$table$$partitions' does not exist")
+        val types = spark.table(table).schema
+          .filter(f => partCols.contains(f.name))
+          .map(f => f.name -> f.dataType.sql).toMap
+        // SHOW PARTITIONS is a catalog listing — zero file I/O, the
+        // reference's metastore-served system table
+        val rows = spark.sql(s"SHOW PARTITIONS $table").collect()
+          .map(_.getString(0))
+        import spark.implicits._
+        val parsed = rows.toSeq.toDF("p")
+        val cols = partCols.map { c =>
+          org.apache.spark.sql.functions.expr(
+            s"""CAST(url_decode(regexp_extract(p,
+               |  '(?:^|/)${c}=([^/]*)', 1)) AS ${types(c)})"""
+              .stripMargin.replace("\n", " ")).as(c)
+        }
+        parsed.select(cols.toSeq: _*).createOrReplaceTempView(view)
+      } else {
+        val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+          .sortBy(_._1)
+        val schema = org.apache.spark.sql.types.StructType(props.map {
+          case (k, _) => org.apache.spark.sql.types.StructField(
+            k, org.apache.spark.sql.types.StringType)
+        })
+        val row = org.apache.spark.sql.Row.fromSeq(props.map(_._2).toSeq)
+        spark.createDataFrame(
+          java.util.Collections.singletonList(row), schema)
+          .createOrReplaceTempView(view)
+      }
+      sb.append(q.substring(pos, m.start)).append(view)
+      pos = m.end
+    }
+    sb.append(q.substring(pos))
+    sb.toString
+  }
+
   /** Rewrite system.runtime.nodes / system.runtime.queries /
     * system.metadata.catalogs (outside string literals) to refreshed
     * temp views. No-op when the query never mentions them. */
-  def rewriteSystemTables(spark: SparkSession, q: String): String = {
+  def rewriteSystemTables(spark: SparkSession, q0: String): String = {
+    val q = rewriteHiveSystemTables(spark, q0)
     val mask = PrestoRewrite.stringMask(q)
     val ms = sysRe.findAllMatchIn(q).filter(m => !mask(m.start)).toList
     if (ms.isEmpty) q
@@ -122,6 +191,97 @@ private[functions] object PrestoSystem {
       """(?:\s*,\s*(?:message\s*=>\s*)?'([^']*)')?\s*\)\s*$""").r
   private val callOtherRe = """(?is)^\s*CALL\s+([\w.]+)\s*\(.*$""".r
 
+  // ——— CALL system.create_empty_partition ————————————————————————————
+  // presto-hive CreateEmptyPartitionProcedure.java:76-84 (signature:
+  // schema_name, table_name, partition_columns array(varchar),
+  // partition_values array(varchar)) and :95-117 (the two loud arms:
+  // column-name mismatch, partition already present). The Spark-native
+  // finishInsert of a zero-row partition is ALTER TABLE ADD PARTITION —
+  // a pure catalog registration, no files written, visible to
+  // $partitions and scans immediately.
+  private val callCepRe =
+    ("""(?is)^\s*CALL\s+system\s*\.\s*create_empty_partition\s*""" +
+      """\((.*)\)\s*$""").r
+
+  /** Parse the procedure's argument list: positional or `name =>`
+    * named, values 'string' or ARRAY['a', ...]. Loud outside that
+    * grammar. */
+  private def cepArgs(text: String):
+      (String, String, Seq[String], Seq[String]) = {
+    // split top-level commas (ARRAY[...] holds nested commas)
+    val parts = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    text.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; sb += c }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '[' | '(' => depth += 1; sb += c
+        case ']' | ')' => depth -= 1; sb += c
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+    }
+    if (sb.toString.trim.nonEmpty) parts += sb.toString
+    val namedRe = """(?is)^\s*(\w+)\s*=>\s*(.*)$""".r
+    val strRe = """(?is)^\s*'([^']*)'\s*$""".r
+    val arrRe = """(?is)^\s*ARRAY\s*\[(.*)\]\s*$""".r
+    val order = Seq("schema_name", "table_name",
+      "partition_columns", "partition_values")
+    val vals = mutable.Map.empty[String, String]
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p match {
+        case namedRe(n, v) => vals(n.toLowerCase) = v
+        case v => vals(order(i)) = v
+      }
+    }
+    def str(k: String): String = vals.getOrElse(k,
+      sys.error(s"Required procedure argument '$k' is missing")) match {
+      case strRe(s) => s
+      case other => sys.error(s"create_empty_partition: bad $k: $other")
+    }
+    def arr(k: String): Seq[String] = vals.getOrElse(k,
+      sys.error(s"Required procedure argument '$k' is missing")) match {
+      case arrRe(body) =>
+        if (body.trim.isEmpty) Seq.empty
+        else body.split(',').toSeq.map {
+          case strRe(s) => s
+          case other =>
+            sys.error(s"create_empty_partition: bad element: $other")
+        }
+      case other => sys.error(s"create_empty_partition: bad $k: $other")
+    }
+    (str("schema_name"), str("table_name"),
+      arr("partition_columns"), arr("partition_values"))
+  }
+
+  private def createEmptyPartition(spark: SparkSession,
+      argText: String): DataFrame = {
+    val (schema, table, pCols, pVals) = cepArgs(argText)
+    val qualified =
+      if (schema == spark.catalog.currentDatabase) table
+      else s"$schema.$table"
+    // beginInsert resolves the table first — unknown tables are loud
+    val actual = spark.catalog.listColumns(qualified).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    if (pCols != actual)
+      sys.error("input partition column names doesn't " +
+        "match actual partition column names")
+    if (pVals.size != pCols.size)
+      sys.error("input partition values doesn't match partition columns")
+    val already = spark.sql(s"SHOW PARTITIONS $qualified").collect()
+      .map(_.getString(0))
+      .contains(pCols.zip(pVals).map { case (c, v) => s"$c=$v" }
+        .mkString("/"))
+    if (already) sys.error("Partition already exists")
+    val spec = pCols.zip(pVals)
+      .map { case (c, v) => s"$c = '${v.replace("'", "''")}'" }
+      .mkString(", ")
+    spark.sql(s"ALTER TABLE $qualified ADD PARTITION ($spec)")
+    spark.sql("SELECT 'CALL' AS result")
+  }
+
   /** Route CALL statements; None when not a CALL. */
   def maybeCall(spark: SparkSession, sqlText: String): Option[DataFrame] =
     sqlText match {
@@ -131,6 +291,7 @@ private[functions] object PrestoSystem {
         // no longer running here; unknown ids are not found
         if (known) sys.error(s"Target query is not running: $queryId")
         else sys.error(s"Target query not found: $queryId")
+      case callCepRe(args) => Some(createEmptyPartition(spark, args))
       case callOtherRe(name) =>
         // the reference resolves procedures per connector
         // (ProcedureRegistry); nothing else is registered in this engine

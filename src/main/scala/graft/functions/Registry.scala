@@ -1849,6 +1849,11 @@ object Registry {
   def explicitSessionProps(spark: SparkSession): Set[String] =
     PrestoStatements.explicitSessionProps(spark)
 
+  /** The session's effective value for a registered session property —
+    * see [[PrestoStatements.sessionPropValue]]. */
+  def sessionPropValue(spark: SparkSession, name: String): String =
+    PrestoStatements.sessionPropValue(spark, name)
+
   /** Forget session role/grant state so lifecycle gates replay
     * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
   def resetSecurityState(spark: SparkSession): Unit =

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The Hive connector's partitioned-table OPERATIONS surface — the
+  * pieces around the scan that a 100 TB partition-laid-out warehouse
+  * actually drives every day:
+  *
+  *   - '''Hidden columns''' `$path` / `$bucket`
+  *     (`presto-hive/.../HiveColumnHandle.java:41-47,207-232` —
+  *     SYNTHESIZED columns served from the split, not the data).
+  *     Spark-first: the file source's own `_metadata` struct
+  *     (`file_path`/`file_name`/`file_size`) IS the split-synthesized
+  *     column — zero data-page cost, constant per file. `$bucket`
+  *     derives from the bucketed layout's file naming
+  *     (`part-N-uuid_BBBBB.c000`), the same file→bucket mapping the
+  *     reference reads off its split.
+  *   - '''Table-suffix system tables''' `"t$partitions"` /
+  *     `"t$properties"` (`HiveMetadata.java:407-415,2788-2811`) —
+  *     catalog metadata served as queryable relations, no file I/O.
+  *     Routed in [[graft.functions.PrestoSystem]].
+  *   - '''insert_existing_partitions_behavior''' session property
+  *     (`HiveSessionProperties.java:48,106-117`: ERROR / APPEND /
+  *     OVERWRITE) applied by [[insertExisting]]: APPEND lands new
+  *     files beside the old (`HiveMetadata.java:1619-1635`),
+  *     OVERWRITE drops only the partitions the insert touches
+  *     (`:1636-1648` dropPartition arm — Spark's DYNAMIC partition
+  *     overwrite, never the whole table), ERROR fails loudly on any
+  *     existing partition (`:1647`) while still admitting brand-new
+  *     partitions.
+  *   - '''CALL system.create_empty_partition'''
+  *     (`CreateEmptyPartitionProcedure.java:76-117`) — a catalog-only
+  *     partition registration (ALTER TABLE ADD PARTITION), with the
+  *     reference's two loud arms (column mismatch, already exists).
+  *
+  * Scale stance: everything here is metadata-sized driver work
+  * (partition listings, catalog ops) or a normal distributed write;
+  * the hidden-column reads stay file-constant and never widen the
+  * parquet projection.
+  */
+object HiveLayout extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.view(s, dir, n)
+
+  private def tbl(prefix: String, dir: String): String =
+    s"graft_${prefix}_${Integer.toHexString(dir.hashCode)}"
+
+  /** Apply the reference's insert-existing-partitions behavior for an
+    * insert of `df` into partitioned `table`. `behavior` defaults to
+    * the session's `insert_existing_partitions_behavior` property. */
+  def insertExisting(s: SparkSession, table: String, df: DataFrame,
+      partCol: String, behavior: Option[String] = None): Unit = {
+    val mode = behavior.getOrElse(graft.functions.Registry
+      .sessionPropValue(s, "insert_existing_partitions_behavior"))
+      .toUpperCase
+    // insertInto binds POSITIONALLY and a partitioned table's partition
+    // columns sit last in its schema — bind by name like the
+    // reference's column-handle mapping
+    val df0 = df.select(s.table(table).columns.map(col).toSeq: _*)
+    mode match {
+      case "APPEND" =>
+        df0.write.mode("append").insertInto(table)
+      case "OVERWRITE" =>
+        // the reference drops ONLY the partitions present in the
+        // insert (HiveMetadata.java:1643-1645) — Spark's dynamic
+        // partition overwrite is exactly that contract
+        val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try df0.write.mode("overwrite").insertInto(table)
+        finally s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", prior)
+      case "ERROR" =>
+        val existing = s.sql(s"SHOW PARTITIONS $table").collect()
+          .map(_.getString(0)).toSet
+        val incoming = df.select(col(partCol)).distinct().collect()
+          .map(r => s"$partCol=${r.get(0)}")
+        incoming.find(existing.contains).foreach(p =>
+          sys.error("Cannot insert into an existing partition of " +
+            s"Hive table: $p"))
+        df0.write.mode("append").insertInto(table)
+      case other =>
+        sys.error("No enum constant InsertExistingPartitionsBehavior." +
+          other)
+    }
+  }
+
+  override def defs: Map[String, Q] = Map(
+
+    // $path + $bucket hidden columns. The partitioned arm groups rows
+    // by the partition value EXTRACTED FROM $path (so the path's
+    // layout, not the column, drives the answer) with a controlled
+    // one-file-per-partition layout; the bucketed arm reads each row's
+    // bucket off the file name and asserts the bucket invariants
+    // (4 buckets present, each key in exactly one bucket).
+    "q3e_hidden_columns" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val out = Storage.ctasPath(s, dir) + "_hid"
+      // one task per flag -> exactly one file per partition directory
+      base.repartition(4, col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      val withMeta = s.read.parquet(out).select(
+        col("l_orderkey"),
+        col("l_returnflag"),
+        col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("fsize"))
+      val perFlag = withMeta
+        .withColumn("dir_flag",
+          regexp_extract(col("path"), "l_returnflag=([^/]+)/", 1))
+        .groupBy(col("dir_flag"))
+        .agg(count(lit(1)).as("nrows"),
+          countDistinct(col("path")).as("nfiles"),
+          min(col("dir_flag") === col("l_returnflag")).as("dirs_match"),
+          min(col("fsize") > 0).as("size_pos"))
+        .collect()
+      // bucketed arm: $bucket from the bucketed file layout
+      val bt = tbl("hid_bkt", dir)
+      s.sql(s"DROP TABLE IF EXISTS $bt")
+      base.repartition(1)
+        .write.mode("overwrite")
+        .option("path", out + "_bkt")
+        .bucketBy(4, "l_orderkey").saveAsTable(bt)
+      val bucketed = s.table(bt).select(
+        col("l_orderkey"),
+        regexp_extract(col("_metadata.file_name"), "_(\\d+)\\.c000", 1)
+          .cast("int").as("bucket"))
+      val nBuckets = bucketed.select(countDistinct(col("bucket")))
+        .as[Long].head()
+      val singleBucket = bucketed.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("bucket")).as("nb"))
+        .agg(max(col("nb")).as("m")).as[Long].head() == 1L
+      val rows =
+        perFlag.toSeq.flatMap { r =>
+          Seq(
+            (s"files_${r.getString(0)}", r.getLong(2).toString),
+            (s"rows_${r.getString(0)}", r.getLong(1).toString))
+        } ++ Seq(
+          ("x_bucket_count", nBuckets.toString),
+          ("x_dirs_match", perFlag.forall(_.getBoolean(3)).toString),
+          ("x_key_single_bucket", singleBucket.toString),
+          ("x_size_positive", perFlag.forall(_.getBoolean(4)).toString))
+      rows.toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // "t$partitions" / "t$properties" through the statement router:
+    // partition VALUES typed per the table schema from catalog
+    // metadata only (the plan must not touch a file), properties as
+    // one key-sorted row, and the reference's unresolved-table arm for
+    // a non-partitioned source.
+    "q3f_partitions_system_table" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val pt = tbl("psys", dir)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .filter(col("o_year").isin(1995, 1996, 1997))
+        .repartition(4, col("o_year"))
+        .write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_psys")
+        .partitionBy("o_year").saveAsTable(pt)
+      s.sql(s"ALTER TABLE $pt SET TBLPROPERTIES " +
+        "('graft.owner' = 'etl', 'graft.retention' = '30d')")
+      val parts = prestoStatement(s,
+        s"""SELECT * FROM "$pt$$partitions" ORDER BY o_year""")
+      val metadataOnly = !parts.queryExecution.executedPlan.toString
+        .contains("FileScan")
+      val typed = parts.schema.fields.head.dataType ==
+        org.apache.spark.sql.types.IntegerType
+      val partRows = parts.collect().map(_.getInt(0))
+      val props = prestoStatement(s, s"""SELECT * FROM "$pt$$properties"""")
+      val propCols = props.schema.fieldNames.toSeq
+      val sortedCols = propCols == propCols.sorted
+      val propRow = props.collect()(0)
+      val ownerOk =
+        propRow.getString(propCols.indexOf("graft.owner")) == "etl"
+      val retentionOk =
+        propRow.getString(propCols.indexOf("graft.retention")) == "30d"
+      val npt = tbl("psys_np", dir)
+      s.sql(s"DROP TABLE IF EXISTS $npt")
+      s.sql(s"CREATE TABLE $npt (k BIGINT) USING parquet")
+      val nonPartRejected =
+        try { prestoStatement(s, s"""SELECT * FROM "$npt$$partitions""""); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("does not exist") }
+      (partRows.toSeq.map(y => (s"part_$y", "listed")) ++ Seq(
+        ("x_metadata_only", metadataOnly.toString),
+        ("x_nonpartitioned_rejected", nonPartRejected.toString),
+        ("x_one_props_row", (props.count() == 1L).toString),
+        ("x_props_cols_sorted", sortedCols.toString),
+        ("x_props_values", (ownerOk && retentionOk).toString),
+        ("x_typed_int", typed.toString)))
+        .toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // insert_existing_partitions_behavior: ERROR refuses an existing
+    // partition (but admits a brand-new one), APPEND lands beside,
+    // OVERWRITE replaces only the touched partition. Final per-year
+    // counts replay as CASE arithmetic in the oracle.
+    "q3g_insert_existing_partitions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val pt = tbl("iep", dir)
+      val yearly = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      yearly.filter(col("o_year").isin(1995, 1996, 1997))
+        .repartition(4, col("o_year"))
+        .write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_iep")
+        .partitionBy("o_year").saveAsTable(pt)
+      // ERROR: the session default is APPEND; set ERROR explicitly
+      prestoStatement(s,
+        "SET SESSION insert_existing_partitions_behavior = 'ERROR'")
+      val errorRefused =
+        try {
+          insertExisting(s, pt,
+            yearly.filter(col("o_year") === 1996), "o_year")
+          false
+        } catch { case e: Exception => e.getMessage
+          .contains("Cannot insert into an existing partition") }
+      // ERROR still admits a partition that does not exist yet
+      insertExisting(s, pt,
+        yearly.filter(col("o_year") === 1998), "o_year")
+      prestoStatement(s,
+        "RESET SESSION insert_existing_partitions_behavior")
+      // APPEND (the session default): even keys of 1996 land beside
+      insertExisting(s, pt, yearly.filter(col("o_year") === 1996)
+        .filter(col("o_orderkey") % 2 === 0), "o_year")
+      // OVERWRITE: 1997 replaced by only its even keys; 1995 untouched
+      insertExisting(s, pt, yearly.filter(col("o_year") === 1997)
+        .filter(col("o_orderkey") % 2 === 0), "o_year",
+        behavior = Some("OVERWRITE"))
+      val counts = s.table(pt).groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (s"year_${r.getInt(0)}", r.getLong(1).toString)).toSeq
+      (counts :+ ("x_error_refused", errorRefused.toString))
+        .toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // CALL system.create_empty_partition: catalog-only registration
+    // visible to $partitions and scans (zero rows), plus the
+    // reference's loud arms.
+    "q3h_create_empty_partition" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val pt = tbl("cep", dir)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .filter(col("o_year").isin(1995, 1996))
+        .repartition(2, col("o_year"))
+        .write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_cep")
+        .partitionBy("o_year").saveAsTable(pt)
+      val db = s.catalog.currentDatabase
+      prestoStatement(s,
+        s"""CALL system.create_empty_partition(
+           |  schema_name => '$db', table_name => '$pt',
+           |  partition_columns => ARRAY['o_year'],
+           |  partition_values => ARRAY['2099'])""".stripMargin)
+      val parts = prestoStatement(s,
+        s"""SELECT * FROM "$pt$$partitions" ORDER BY o_year""")
+        .collect().map(_.getInt(0)).toSeq
+      val emptyCount =
+        s.table(pt).filter(col("o_year") === 2099).count()
+      val dupRejected =
+        try {
+          prestoStatement(s, s"CALL system.create_empty_partition(" +
+            s"'$db', '$pt', ARRAY['o_year'], ARRAY['2099'])")
+          false
+        } catch { case e: Exception =>
+          e.getMessage.contains("Partition already exists") }
+      val mismatchRejected =
+        try {
+          prestoStatement(s, s"CALL system.create_empty_partition(" +
+            s"'$db', '$pt', ARRAY['not_a_col'], ARRAY['1'])")
+          false
+        } catch { case e: Exception => e.getMessage
+          .contains("doesn't match actual partition column names") }
+      (parts.map(y => (s"part_$y", "listed")) ++ Seq(
+        ("x_duplicate_rejected", dupRejected.toString),
+        ("x_empty_scan_rows", emptyCount.toString),
+        ("x_mismatch_rejected", mismatchRejected.toString)))
+        .toDF("k", "v").orderBy(col("k"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q3e_hidden_columns" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag FROM lineitem
+        |  WHERE l_quantity >= 45)
+        |SELECT k, v FROM (
+        |  SELECT 'rows_' || l_returnflag AS k,
+        |    CAST(count(*) AS VARCHAR) AS v FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'files_' || l_returnflag, '1' FROM base GROUP BY 1
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_bucket_count', '4'),
+        |    ('x_dirs_match', 'true'),
+        |    ('x_key_single_bucket', 'true'),
+        |    ('x_size_positive', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    "q3f_partitions_system_table" ->
+      """SELECT k, v FROM (
+        |  SELECT DISTINCT 'part_' || CAST(year(o_orderdate) AS VARCHAR)
+        |      AS k, 'listed' AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_metadata_only', 'true'),
+        |    ('x_nonpartitioned_rejected', 'true'),
+        |    ('x_one_props_row', 'true'),
+        |    ('x_props_cols_sorted', 'true'),
+        |    ('x_props_values', 'true'),
+        |    ('x_typed_int', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    // year_1995 untouched; year_1996 = base + its even keys (APPEND);
+    // year_1997 = only its even keys (OVERWRITE); year_1998 = the
+    // full 1998 slice (ERROR admits brand-new partitions)
+    "q3g_insert_existing_partitions" ->
+      """WITH y AS (SELECT o_orderkey, year(o_orderdate) AS o_year
+        |           FROM orders)
+        |SELECT k, v FROM (
+        |  SELECT 'year_' || CAST(o_year AS VARCHAR) AS k,
+        |    CAST(count(*) FILTER (WHERE o_year = 1995)
+        |      + count(*) FILTER (WHERE o_year = 1996)
+        |      + count(*) FILTER (WHERE o_year = 1996
+        |                           AND o_orderkey % 2 = 0)
+        |      + count(*) FILTER (WHERE o_year = 1997
+        |                           AND o_orderkey % 2 = 0)
+        |      + count(*) FILTER (WHERE o_year = 1998) AS VARCHAR) AS v
+        |  FROM y WHERE o_year BETWEEN 1995 AND 1998 GROUP BY o_year
+        |  UNION ALL
+        |  SELECT 'x_error_refused', 'true')
+        |ORDER BY k""".stripMargin,
+
+    "q3h_create_empty_partition" ->
+      """SELECT k, v FROM (
+        |  SELECT DISTINCT 'part_' || CAST(year(o_orderdate) AS VARCHAR)
+        |      AS k, 'listed' AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('part_2099', 'listed'),
+        |    ('x_duplicate_rejected', 'true'),
+        |    ('x_empty_scan_rows', '0'),
+        |    ('x_mismatch_rejected', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin
+  )
+}

@@ -1072,10 +1072,78 @@ object RegistrySql extends QueryPack {
             |FROM lineitem WHERE l_orderkey <= 60 AND l_linenumber <= 3
             |ORDER BY k, ln""".stripMargin))
       } finally s.conf.unset(key)
-    })
+    }),
+
+    // Aggregate-internal ORDER BY (SqlBase.g4:356 #functionCall — a
+    // Presto grammar Spark lacks): array_agg carries the ordering
+    // CONTRACT (multi-key, mixed direction, explicit and default null
+    // ordering — Presto defaults NULLS LAST both ways), DISTINCT + its
+    // ORDER-BY-must-equal-argument rule, FILTER composition, and the
+    // clause DROPPING on order-insensitive aggregates (sum's result
+    // cannot depend on feed order). Rewritten to
+    // transform(array_sort(collect_list(struct), cmp)) — one pass,
+    // same per-group O(n log n), all codegen'd builtins. DuckDB runs
+    // the ordered aggregates NATIVELY, so the comparator's direction
+    // and null placement verify against another engine's
+    // implementation, not our own arithmetic. Tie-free keys
+    // (o_orderkey is unique) keep both engines deterministic.
+    "q3i_agg_order_by" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority,
+        |  array_join(array_agg(o_orderkey ORDER BY o_totalprice DESC,
+        |      o_orderkey), ',') AS by_price_desc,
+        |  array_join(array_agg(o_orderkey ORDER BY o_orderdate,
+        |      o_orderkey DESC), ',') AS by_date_then_key,
+        |  array_join(array_agg(CAST(o_orderkey AS VARCHAR)
+        |      ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |               ELSE o_orderkey END, o_orderkey), ',')
+        |    AS nulls_default_last,
+        |  array_join(array_agg(o_orderkey
+        |      ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |               ELSE o_orderkey END DESC NULLS FIRST,
+        |      o_orderkey), ',') AS nulls_first_desc,
+        |  array_join(array_agg(DISTINCT o_orderstatus
+        |      ORDER BY o_orderstatus), ',') AS distinct_sorted,
+        |  array_join(array_agg(o_orderkey ORDER BY o_orderkey)
+        |      FILTER (WHERE o_orderkey % 5 = 0), ',') AS filtered,
+        |  round(sum(o_totalprice ORDER BY o_orderdate), 4)
+        |    AS order_insensitive
+        |FROM orders
+        |WHERE o_orderkey % 53 = 0 AND o_orderkey <= 6000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
   )
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB runs the ordered aggregates NATIVELY (its own ORDER BY /
+    // DISTINCT / FILTER aggregate modifiers, its own NULLS LAST
+    // default) — a genuine two-engine agreement on feed order
+    "q3i_agg_order_by" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(array_agg(o_orderkey
+        |    ORDER BY o_totalprice DESC, o_orderkey), ',')
+        |    AS by_price_desc,
+        |  array_to_string(array_agg(o_orderkey
+        |    ORDER BY o_orderdate, o_orderkey DESC), ',')
+        |    AS by_date_then_key,
+        |  array_to_string(array_agg(CAST(o_orderkey AS VARCHAR)
+        |    ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_orderkey END, o_orderkey), ',')
+        |    AS nulls_default_last,
+        |  array_to_string(array_agg(o_orderkey
+        |    ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_orderkey END DESC NULLS FIRST,
+        |    o_orderkey), ',') AS nulls_first_desc,
+        |  array_to_string(array_agg(DISTINCT o_orderstatus
+        |    ORDER BY o_orderstatus), ',') AS distinct_sorted,
+        |  coalesce(array_to_string(array_agg(o_orderkey
+        |    ORDER BY o_orderkey) FILTER (WHERE o_orderkey % 5 = 0),
+        |    ','), '') AS filtered,
+        |  round(sum(o_totalprice), 4) AS order_insensitive
+        |FROM orders
+        |WHERE o_orderkey % 53 = 0 AND o_orderkey <= 6000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "qn2_presto_unnest" ->
       """SELECT w AS word, cast(count(*) as bigint) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS w

@@ -1096,7 +1096,7 @@ object Views extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('conf_applied', '7'),
         |  ('conf_restored', 'true'),
-        |  ('defaults_listed', '5'),
+        |  ('defaults_listed', '6'),
         |  ('partitioned_forces_shuffle', 'true'),
         |  ('reset_restores_bcast', 'true'),
         |  ('reset_shows_default', '100'),

@@ -40,6 +40,52 @@ class RegistrySuite extends GraftSuite {
       "date_diff('day', date '2020-03-01', date '2020-01-01')") == -60L)
   }
 
+  test("aggregate ORDER BY rewrites; window/subquery ORDER BY stay") {
+    import spark.implicits._
+    // the ordering contract end-to-end, multi-key mixed direction
+    val r = spark.sql(Registry.rewritePrestoSql(
+      """SELECT array_join(array_agg(v ORDER BY g DESC, v), ',') AS a
+        |FROM VALUES (1, 'x'), (2, 'x'), (1, 'y') AS t(v, g)"""
+        .stripMargin)).as[String].head()
+    assert(r == "1,1,2", r)
+    // default null ordering is the reference's NULLS LAST; explicit
+    // NULLS FIRST flips it
+    val n = spark.sql(Registry.rewritePrestoSql(
+      """SELECT array_join(array_agg(v ORDER BY k), ',') AS a,
+        |  array_join(array_agg(v ORDER BY k ASC NULLS FIRST), ',') AS b
+        |FROM VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 5) AS t(v, k)"""
+        .stripMargin)).collect()(0)
+    assert(n.getString(0) == "3,1,2", n)
+    assert(n.getString(1) == "2,3,1", n)
+    // order-insensitive aggregates drop the clause (result-identical)
+    assert(Registry.rewritePrestoSql("SELECT sum(x ORDER BY y) FROM t")
+      == "SELECT sum(x) FROM t")
+    // window ORDER BY and subquery ORDER BY are NOT aggregate-internal
+    val w = "SELECT rank() OVER (PARTITION BY a ORDER BY b) FROM t"
+    assert(Registry.rewritePrestoSql(w) == w)
+    val sub = "SELECT coalesce((SELECT x FROM u ORDER BY y LIMIT 1), 0)"
+    assert(Registry.rewritePrestoSql(sub) == sub)
+    // DISTINCT: ORDER BY must equal the argument (AggregationAnalyzer)
+    val e = intercept[Exception] {
+      Registry.rewritePrestoSql(
+        "SELECT array_agg(DISTINCT x ORDER BY y) FROM t")
+    }
+    assert(e.getMessage.contains(
+      "ORDER BY expressions must appear in arguments"))
+    val d = spark.sql(Registry.rewritePrestoSql(
+      """SELECT array_join(array_agg(DISTINCT v ORDER BY v), ',') AS a
+        |FROM VALUES (3), (1), (3), (2) AS t(v)""".stripMargin))
+      .as[String].head()
+    assert(d == "1,2,3", d)
+    // FILTER rides the aggregate through the rewrite
+    val f = spark.sql(Registry.rewritePrestoSql(
+      """SELECT array_join(array_agg(v ORDER BY v DESC)
+        |  FILTER (WHERE v % 2 = 0), ',') AS a
+        |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin))
+      .as[String].head()
+    assert(f == "4,2", f)
+  }
+
   test("rewrite only touches the literal-unit Presto spelling") {
     assert(Registry.rewritePrestoSql("date_add('day', 1, x)") ==
       "presto_date_add('day', 1, x)")

@@ -34,7 +34,8 @@ class RewritePropertySuite extends GraftSuite {
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 1, d)",
     "information_schema.columns", "system.runtime.queries",
     "cast(x as varchar)", "CAST(x AS row(a bigint))",
-    "CAST(m AS map(varchar, bigint))", "it's doubled", "")
+    "CAST(m AS map(varchar, bigint))", "array_agg(x ORDER BY y)",
+    "it's doubled", "")
 
   private val benignTokens = Seq(
     "SELECT", "a", "b", "col_1", "+", "-", ",", "(", ")", "42", "1.5",
@@ -61,6 +62,7 @@ class RewritePropertySuite extends GraftSuite {
     "date_diff('hour', a, b)", "cast(x as varchar)",
     "CAST(r AS ROW(x BIGINT, y DOUBLE))",
     "CAST(a AS array(row(k bigint, v varchar)))",
+    "array_agg(x ORDER BY y DESC)", "sum(v ORDER BY k)",
     "TRY_CAST(m AS map(varchar, bigint))")
 
   private val mixedQueryGen: Gen[String] = for {
