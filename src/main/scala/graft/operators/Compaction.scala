@@ -110,4 +110,143 @@ object Compaction {
     Summary(before.size.toLong, after.size.toLong, sets.size.toLong,
       before.map(_.rows).sum, after.map(_.rows).sum)
   }
+
+  // ——— temporal organization (the reference's other planning arm) ————
+  //
+  // A table with a temporal column never compacts across day
+  // boundaries: shards group into DAY buckets first
+  // (`ShardOrganizerUtil.getShardsByDaysBuckets:149-183`), each
+  // bucket's shards sort by their temporal RANGE instead of size
+  // (`CompactionSetCreator.getShardIndexInfoComparator:110-118`), and
+  // the same greedy bounds apply per bucket. A shard's day comes from
+  // its range (`TemporalFunction.getDayFromRange/determineDay:83-100`):
+  // same-day ranges keep their day, a range spanning more than two
+  // days takes the first FULL day, a two-day straddle takes the day
+  // holding the larger share (ties to the start day). Day arithmetic
+  // is UTC here (the reference's shardDayBoundaryTimeZone defaults
+  // likewise). At 100 TB this is what keeps time-partition pruning
+  // sharp through maintenance: compaction can never smear a file's
+  // time range across days, so per-day scans keep skipping.
+
+  final case class TemporalFileInfo(path: String, bytes: Long,
+      rows: Long, minMillis: Long, maxMillis: Long) {
+    def day: Int = determineDay(minMillis, maxMillis)
+  }
+
+  private val DayMillis = 86400000L
+
+  /** `TemporalFunction.determineDay:83-100`, verbatim arithmetic. */
+  def determineDay(rangeStartMillis: Long, rangeEndMillis: Long): Int = {
+    val startDay = (rangeStartMillis / DayMillis).toInt
+    val endDay = (rangeEndMillis / DayMillis).toInt
+    if (startDay == endDay) startDay
+    else if (endDay - startDay > 1) startDay + 1 // first full day
+    else {
+      val millisInStartDay = endDay.toLong * DayMillis - rangeStartMillis
+      val millisInEndDay = rangeEndMillis - endDay.toLong * DayMillis
+      if (millisInStartDay >= millisInEndDay) startDay else endDay
+    }
+  }
+
+  /** Per-file temporal ranges from parquet FOOTER column statistics —
+    * the same metadata-only read as [[fileInfos]] (the reference keeps
+    * shard ranges in its metadata table, `ShardRange`). The column
+    * must be a timestamp (INT64 micros in the footer, converted to
+    * millis). Files without usable statistics are EXCLUDED, mirroring
+    * the reference's `temporalRange.isPresent` filter — a file whose
+    * range is unknown is never organized. */
+  def temporalFileInfos(spark: SparkSession, dir: String,
+      column: String): Seq[TemporalFileInfo] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap { s =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+        try {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var rows = 0L
+          reader.getFooter.getBlocks.forEach { block =>
+            rows += block.getRowCount
+            block.getColumns.forEach { cc =>
+              if (cc.getPath.toDotString == column) {
+                val st = cc.getStatistics
+                // INT96 timestamps carry no min/max — such a file has
+                // no usable range and is excluded below (write with
+                // spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS
+                // to organize temporally)
+                if (st != null && !st.isEmpty &&
+                    st.genericGetMin != null && st.genericGetMax != null) {
+                  lo = math.min(lo,
+                    st.genericGetMin.asInstanceOf[Number].longValue())
+                  hi = math.max(hi,
+                    st.genericGetMax.asInstanceOf[Number].longValue())
+                }
+              }
+            }
+          }
+          if (lo > hi) None
+          else Some(TemporalFileInfo(s.getPath.toUri.toString, s.getLen,
+            rows, lo / 1000L, hi / 1000L)) // footer micros → millis
+        } finally reader.close()
+      }
+  }
+
+  /** Temporal compaction-set planning: day buckets first, the
+    * range comparator within a bucket, the same greedy bounds; sets
+    * never cross a day boundary and single-file sets never rewrite. */
+  def planSetsTemporal(files: Seq[TemporalFileInfo], maxBytes: Long,
+      maxRows: Long): Seq[Seq[TemporalFileInfo]] = {
+    require(maxBytes > 0 && maxRows > 0,
+      "compaction bounds must be positive")
+    files.groupBy(_.day).toSeq.sortBy(_._1).flatMap {
+      case (_, dayFiles) =>
+        val sorted = dayFiles.sortBy(f =>
+          (f.minMillis, f.maxMillis, f.path))
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Seq[TemporalFileInfo]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[TemporalFileInfo]
+        var bytes = 0L; var rows = 0L
+        sorted.foreach { f =>
+          if (cur.nonEmpty &&
+              (bytes + f.bytes > maxBytes || rows + f.rows > maxRows)) {
+            sets += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[TemporalFileInfo]
+            bytes = 0L; rows = 0L
+          }
+          cur += f; bytes += f.bytes; rows += f.rows
+        }
+        if (cur.nonEmpty) sets += cur.toSeq
+        sets.filter(_.size > 1).toSeq
+    }
+  }
+
+  /** Compact a time-ranged parquet directory in place, day-bucketed —
+    * same write-then-retire execution as [[compact]]. */
+  def compactTemporal(spark: SparkSession, dir: String, column: String,
+      maxBytes: Long, maxRows: Long): Summary = {
+    val before = temporalFileInfos(spark, dir, column)
+    val sets = planSetsTemporal(before, maxBytes, maxRows)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // rewrites must stay ORGANIZABLE: INT96 output would lose the
+    // footer range the next maintenance pass reads (the reference's
+    // compactor preserves shard ranges in its metadata the same way)
+    val tsType = "spark.sql.parquet.outputTimestampType"
+    val priorTs = spark.conf.get(tsType)
+    try {
+      spark.conf.set(tsType, "TIMESTAMP_MICROS")
+      sets.foreach { set =>
+        spark.read.parquet(set.map(_.path): _*)
+          .coalesce(1)
+          .write.mode("append").parquet(dir)
+        set.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f.path), false))
+      }
+    } finally spark.conf.set(tsType, priorTs)
+    val after = temporalFileInfos(spark, dir, column)
+    Summary(before.size.toLong, after.size.toLong, sets.size.toLong,
+      before.map(_.rows).sum, after.map(_.rows).sum)
+  }
 }

@@ -261,6 +261,101 @@ object Storage extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Temporal compaction (reference: the day-bucketed arm of shard
+    // organization — `ShardOrganizerUtil.getShardsByDaysBuckets:149-183`
+    // + `TemporalFunction.determineDay:83-100` + the range comparator
+    // `CompactionSetCreator:110-118`): compaction sets NEVER cross a
+    // day boundary, so per-day time pruning stays sharp through
+    // maintenance. Nine deliberately-small files with engineered time
+    // windows exercise all three determineDay arms: same-day ranges,
+    // a two-day straddle on each side of the larger-share rule, and a
+    // multi-day span taking its first FULL day. Per-day row/quantity
+    // sums replay in DuckDB from the same slice arithmetic; the file
+    // facts (one file per day, no file mixing days, idempotence) are
+    // in-gate booleans from footer metadata.
+    "q3j_temporal_compaction" -> ((s, dir) => {
+      import graft.operators.Compaction
+      import s.implicits._
+      val out = ctasPath(s, dir) + "_tcompact"
+      val base = graft.Tables.view(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val d0 = 801964800000L // 1995-06-01 00:00 UTC, epoch day 9282
+      val h = 3600000L
+      // (startMillis, windowMillis, designed epoch day)
+      val slices = Seq(
+        (d0 + 1 * h, 3 * h, 9282), (d0 + 5 * h, 3 * h, 9282),
+        (d0 + 9 * h, 3 * h, 9282),
+        (d0 + 21 * h, 4 * h, 9282), // straddle, larger share BEFORE
+        (d0 + 23 * h, 7 * h, 9283), // straddle, larger share AFTER
+        (d0 + 32 * h, 3 * h, 9283), (d0 + 36 * h, 3 * h, 9283),
+        (d0 + 84 * h, 48 * h, 9286), // spans 3 days -> first FULL day
+        (d0 + 98 * h, 3 * h, 9286))
+      // INT96 (the legacy default) has no footer min/max; the range
+      // reader needs INT64 micros stats
+      val tsType = "spark.sql.parquet.outputTimestampType"
+      val priorTs = s.conf.get(tsType)
+      try {
+        s.conf.set(tsType, "TIMESTAMP_MICROS")
+        slices.zipWithIndex.foreach { case ((st, w, _), i) =>
+          // multiplier large enough that k*M wraps even the 48h window
+          // at the SMALLEST fixture's keys — otherwise a slice's actual
+          // range never reaches its designed end and the multi-day arm
+          // degenerates to same-day
+          base.filter(col("k") % 9 === i)
+            .withColumn("ts", timestamp_millis(
+              lit(st) + pmod(col("k") * 2654435761L, lit(w))))
+            .coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+        }
+      } finally s.conf.set(tsType, priorTs)
+      val n = s.read.parquet(out).count()
+      // the operator's day assignment, file-matched to its slice by
+      // footer min (windows are disjoint at their starts)
+      val beforeInfos = Compaction.temporalFileInfos(s, out, "ts")
+      val assignmentOk = beforeInfos.size == 9 && beforeInfos.forall {
+        f =>
+          val slice = slices.zipWithIndex
+            .filter(_._1._1 <= f.minMillis).maxBy(_._1._1)
+          f.day == slice._1._3
+      }
+      val first = Compaction.compactTemporal(s, out, "ts",
+        Long.MaxValue / 4, Long.MaxValue / 4)
+      val second = Compaction.compactTemporal(s, out, "ts",
+        Long.MaxValue / 4, Long.MaxValue / 4)
+      val afterInfos = Compaction.temporalFileInfos(s, out, "ts")
+      val perDay = afterInfos.groupBy(_.day)
+      val filesPerDayOne =
+        perDay.keySet == Set(9282, 9283, 9286) &&
+          perDay.values.forall(_.size == 1)
+      // no output file holds rows of two different assigned days
+      val designedDay = when(pmod(col("k"), lit(9)) <= 3, 9282)
+        .when(pmod(col("k"), lit(9)) <= 6, 9283).otherwise(9286)
+      val neverMixed = s.read.parquet(out)
+        .select(col("_metadata.file_name").as("f"),
+          designedDay.as("dday"))
+        .groupBy(col("f"))
+        .agg(countDistinct(col("dday")).as("nd"))
+        .agg(max(col("nd"))).as[Long].head() == 1L
+      val dayRows = s.read.parquet(out)
+        .groupBy(designedDay.as("dday"))
+        .agg(count(lit(1)).as("nrows"),
+          sum(col("l_quantity")).cast("bigint").as("qty"))
+        .collect()
+      (dayRows.toSeq.flatMap { r =>
+        Seq((s"qty_day_${r.getInt(0)}", r.getLong(2).toString),
+          (s"rows_day_${r.getInt(0)}", r.getLong(1).toString))
+      } ++ Seq(
+        ("x_assignment_as_designed", assignmentOk.toString),
+        ("x_files_per_day_one", filesPerDayOne.toString),
+        ("x_idempotent", (second.setsCompacted == 0L &&
+          second.filesAfter == first.filesAfter).toString),
+        ("x_never_mixed", neverMixed.toString),
+        ("x_rows_preserved", (first.rowsBefore == n &&
+          first.rowsAfter == n).toString)))
+        .toDF("k", "v").orderBy(col("k"))
+    }),
+
     // Z-order layout (reference: Raptor organizes shards by sort
     // columns and prunes on per-shard value ranges —
     // `presto-raptor/.../organization/ShardOrganizerUtil.java:80-110`,
@@ -1328,6 +1423,31 @@ object Storage extends QueryPack {
         |  true AS rows_preserved, true AS idempotent
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // per-day rows/quantity replay from the same slice arithmetic
+    // (k % 9 -> designed day); the file-layout facts are in-gate
+    // booleans from footer metadata
+    "q3j_temporal_compaction" ->
+      """WITH b AS (SELECT l_orderkey AS k, l_quantity FROM lineitem
+        |           WHERE l_orderkey % 4 = 0),
+        |d AS (SELECT CASE WHEN k % 9 <= 3 THEN '9282'
+        |             WHEN k % 9 <= 6 THEN '9283'
+        |             ELSE '9286' END AS dday, l_quantity FROM b)
+        |SELECT k, v FROM (
+        |  SELECT 'rows_day_' || dday AS k,
+        |    CAST(count(*) AS VARCHAR) AS v FROM d GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'qty_day_' || dday,
+        |    CAST(CAST(sum(l_quantity) AS BIGINT) AS VARCHAR)
+        |  FROM d GROUP BY 1
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_assignment_as_designed', 'true'),
+        |    ('x_files_per_day_one', 'true'),
+        |    ('x_idempotent', 'true'),
+        |    ('x_never_mixed', 'true'),
+        |    ('x_rows_preserved', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
 
     // the z-value replays as pure integer shift/mask arithmetic over
     // the same 16-bit cells; layout invariants (8 files, both-dims

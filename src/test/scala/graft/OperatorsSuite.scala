@@ -316,6 +316,48 @@ class OperatorsSuite extends GraftSuite {
       s"smalls should pack together: $packed")
   }
 
+  test("temporal compaction: determineDay arms and day-bucketed sets") {
+    import graft.operators.Compaction
+    import graft.operators.Compaction.TemporalFileInfo
+    val day = 86400000L
+    // TemporalFunction.determineDay:83-100 — all three arms
+    assert(Compaction.determineDay(10 * day + 1, 10 * day + 100) == 10)
+    // spans >1 day -> the first FULL day
+    assert(Compaction.determineDay(10 * day + 100, 13 * day - 1) == 11)
+    // two-day straddle -> the larger share; ties go to the start day
+    assert(Compaction.determineDay(10 * day + 20 * 3600000L,
+      11 * day + 3600000L) == 10) // 4h before vs 1h after
+    assert(Compaction.determineDay(10 * day + 23 * 3600000L,
+      11 * day + 6 * 3600000L) == 11) // 1h before vs 6h after
+    assert(Compaction.determineDay(10 * day + 23 * 3600000L,
+      11 * day + 3600000L) == 10) // exact tie -> start (>=)
+    // sets form per day bucket and never cross the boundary even when
+    // the combined size would fit
+    def tf(name: String, d: Long, off: Long, rows: Long = 10) =
+      TemporalFileInfo(name, 100, rows, d * day + off,
+        d * day + off + 1000)
+    val files = Seq(tf("a1", 10, 1000), tf("a2", 10, 2000),
+      tf("b1", 11, 1000), tf("b2", 11, 2000))
+    val sets = Compaction.planSetsTemporal(files,
+      maxBytes = Long.MaxValue, maxRows = Long.MaxValue)
+    assert(sets.size == 2)
+    assert(sets.map(_.map(_.path)) ==
+      Seq(Seq("a1", "a2"), Seq("b1", "b2")), sets)
+    // within a day the RANGE comparator orders (min, max), not size —
+    // getShardIndexInfoComparator:110-118
+    val ranged = Seq(
+      TemporalFileInfo("late", 1, 1, 10 * day + 9000, 10 * day + 9900),
+      TemporalFileInfo("early", 999, 1, 10 * day + 100, 10 * day + 200),
+      TemporalFileInfo("mid", 500, 1, 10 * day + 5000, 10 * day + 5100))
+    val ordered = Compaction.planSetsTemporal(ranged,
+      maxBytes = Long.MaxValue, maxRows = Long.MaxValue)
+    assert(ordered.head.map(_.path) == Seq("early", "mid", "late"))
+    // a single-file day bucket never rewrites
+    val single = Compaction.planSetsTemporal(
+      Seq(tf("solo", 12, 0)), Long.MaxValue, Long.MaxValue)
+    assert(single.isEmpty)
+  }
+
   test("compaction fileInfos reads row counts from parquet footers") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -381,6 +381,15 @@ class QueriesSmokeSuite extends GraftSuite {
       n("CartesianProduct") == 0, s"non-keyed join in seed path:\n$plan")
   }
 
+  guards("q3i_agg_order_by") { (plan, n) =>
+    // ordered aggregates rewrite to sorted-struct transforms INSIDE the
+    // existing aggregation — no join, no window, no extra exchange
+    // beyond the one grouping shuffle
+    assert(n("Join") == 0, s"ordered agg planned a join:\n$plan")
+    assert(n("Window") == 0, s"ordered agg planned a window:\n$plan")
+    assert(n("Exchange") <= 2, s"extra shuffles:\n$plan")
+  }
+
   guards("q2z_sqlserver_dialect") { (plan, n) =>
     // the read half scans the SQL-Server-shim JDBC relation with the
     // range predicate compiled remote (the dialect's double-quoted
