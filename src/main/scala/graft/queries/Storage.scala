@@ -301,10 +301,12 @@ object Storage extends QueryPack {
           // multiplier large enough that k*M wraps even the 48h window
           // at the SMALLEST fixture's keys — otherwise a slice's actual
           // range never reaches its designed end and the multi-day arm
-          // degenerates to same-day
+          // degenerates to same-day. k reduces modulo a prime BEFORE
+          // the multiply: shifted large-SF keys overflow int64
+          // otherwise (ANSI-loud).
           base.filter(col("k") % 9 === i)
-            .withColumn("ts", timestamp_millis(
-              lit(st) + pmod(col("k") * 2654435761L, lit(w))))
+            .withColumn("ts", timestamp_millis(lit(st) +
+              pmod(pmod(col("k"), lit(1000003L)) * 2654435761L, lit(w))))
             .coalesce(1)
             .write.mode(if (i == 0) "overwrite" else "append").parquet(out)
         }
