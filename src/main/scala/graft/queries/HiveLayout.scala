@@ -88,6 +88,85 @@ object HiveLayout extends QueryPack {
     }
   }
 
+  /** DELETE with the reference's metadata-delete optimization
+    * (`presto-main/.../optimizations/MetadataDeleteOptimizer.java`:
+    * a DELETE whose predicate the connector handles wholly — for Hive,
+    * partition-column-only — becomes a MetadataDeleteNode, and
+    * `HiveMetadata` drops whole partitions without touching a row).
+    *
+    * Spark-first: when `cond` references ONLY partition columns, the
+    * predicate evaluates against the CATALOG's partition listing (the
+    * `$partitions` machinery — zero data-file reads) and matches drop
+    * via ALTER TABLE DROP PARTITION. Otherwise the copy-on-write
+    * fallback is PARTITION-SCOPED: only partitions holding matching
+    * rows rewrite (dynamic overwrite of kept rows; a partition left
+    * with zero rows drops), untouched partitions' files stay
+    * byte-identical — at 100 TB that is the difference between
+    * rewriting a day and rewriting the table.
+    *
+    * Returns the number of whole partitions dropped by the metadata
+    * path (0 for the row path, like the reference's MetadataDelete
+    * rows-affected accounting being connector metadata). */
+  def delete(s: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val partCols = s.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    // resolve the predicate's referenced columns through ANALYSIS
+    // (plan-only, zero data reads — Spark 4 Columns are opaque nodes
+    // until bound to a plan)
+    val refs = s.table(table).filter(cond).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name.toLowerCase).toSet
+      }.getOrElse(Set.empty[String])
+    val partSet = partCols.map(_.toLowerCase).toSet
+    if (refs.nonEmpty && refs.subsetOf(partSet)) {
+      // metadata path: filter the partition LISTING, never the data
+      import graft.functions.Registry.prestoStatement
+      val matches = prestoStatement(s,
+        s"""SELECT * FROM "$table$$partitions"""")
+        .filter(cond).collect()
+      matches.foreach { row =>
+        val spec = partCols.zipWithIndex.map { case (c, i) =>
+          s"$c = '${String.valueOf(row.get(i)).replace("'", "''")}'"
+        }.mkString(", ")
+        s.sql(s"ALTER TABLE $table DROP PARTITION ($spec)")
+      }
+      matches.length.toLong
+    } else {
+      // partition-scoped copy-on-write: rewrite ONLY the partitions
+      // holding matching rows
+      require(partCols.size == 1,
+        "row-path delete supports single-partition-column tables")
+      val pc = partCols.head
+      val t = s.table(table)
+      val touched = t.filter(cond).select(col(pc)).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        val kept = t.filter(col(pc).isin(touched: _*))
+          .filter(!coalesce(cond, lit(false)))
+          .localCheckpoint() // materialize BEFORE overwriting the source
+        val keptParts = kept.select(col(pc)).distinct()
+          .collect().map(_.get(0)).toSet
+        if (keptParts.nonEmpty) {
+          val prior =
+            s.conf.get("spark.sql.sources.partitionOverwriteMode")
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try kept.select(t.columns.map(col).toSeq: _*)
+            .write.mode("overwrite").insertInto(table)
+          finally s.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prior)
+        }
+        // a partition whose rows ALL matched has nothing to rewrite —
+        // it drops, like the reference's whole-partition arm
+        touched.filterNot(keptParts.contains).foreach(v =>
+          s.sql(s"ALTER TABLE $table DROP PARTITION " +
+            s"($pc = '${String.valueOf(v).replace("'", "''")}')"))
+      }
+      0L
+    }
+  }
+
   override def defs: Map[String, Q] = Map(
 
     // $path + $bucket hidden columns. The partitioned arm groups rows
@@ -295,6 +374,60 @@ object HiveLayout extends QueryPack {
         ("x_empty_scan_rows", emptyCount.toString),
         ("x_mismatch_rejected", mismatchRejected.toString)))
         .toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // DELETE with the MetadataDeleteOptimizer arm: a partition-only
+    // predicate drops whole partitions from the CATALOG (the 1996
+    // files stay byte-identical on disk — zero data I/O, proven);
+    // mixed predicates take the PARTITION-SCOPED copy-on-write (only
+    // 1997 rewrites; 1998's files stay byte-identical); a partition
+    // whose rows all match drops like the whole-partition arm.
+    "q3k_metadata_delete" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      val pt = tbl("mdel", dir)
+      val path = Storage.ctasPath(s, dir) + "_mdel"
+      val yearly = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      yearly.filter(col("o_year").isin(1995, 1996, 1997, 1998))
+        .repartition(4, col("o_year"))
+        .write.mode("overwrite").option("path", path)
+        .partitionBy("o_year").saveAsTable(pt)
+      def dirFiles(y: Int): Set[String] = {
+        val d = new java.io.File(new java.net.URI(
+          if (path.startsWith("file:")) path else "file:" + path)
+          .getPath, s"o_year=$y")
+        Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+      }
+      val f1996 = dirFiles(1996)
+      val f1998 = dirFiles(1998)
+      // 1) partition-only predicate -> the metadata path
+      val dropped = HiveLayout.delete(s, pt, col("o_year") === 1996)
+      val metaScanZero =
+        s.table(pt).filter(col("o_year") === 1996).count() == 0L
+      val metaFilesUntouched = f1996.nonEmpty && dirFiles(1996) == f1996
+      // 2) mixed predicate -> partition-scoped copy-on-write (1997)
+      HiveLayout.delete(s, pt,
+        col("o_orderkey") % 2 === 0 && col("o_year") === 1997)
+      // 3) a row-path delete matching a WHOLE partition drops it
+      HiveLayout.delete(s, pt,
+        col("o_orderkey") > 0 && col("o_year") === 1995)
+      val scopedUntouched = f1998.nonEmpty && dirFiles(1998) == f1998
+      val partsLeft = s.sql(s"SHOW PARTITIONS $pt").collect()
+        .map(_.getString(0)).toSet
+      val counts = s.table(pt).groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (s"year_${r.getInt(0)}", r.getLong(1).toString)).toSeq
+      (counts ++ Seq(
+        ("x_empty_partition_dropped",
+          (!partsLeft.contains("o_year=1995")).toString),
+        ("x_meta_dropped", dropped.toString),
+        ("x_meta_files_untouched", metaFilesUntouched.toString),
+        ("x_meta_scan_zero", metaScanZero.toString),
+        ("x_scoped_files_untouched", scopedUntouched.toString)))
+        .toDF("k", "v").orderBy(col("k"))
     })
   )
 
@@ -362,6 +495,27 @@ object HiveLayout extends QueryPack {
         |    ('x_duplicate_rejected', 'true'),
         |    ('x_empty_scan_rows', '0'),
         |    ('x_mismatch_rejected', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    // after the three deletes: 1996 dropped whole (metadata), 1997
+    // keeps its odd keys (scoped rewrite), 1995 emptied and dropped,
+    // 1998 untouched
+    "q3k_metadata_delete" ->
+      """WITH y AS (SELECT o_orderkey, year(o_orderdate) AS o_year
+        |           FROM orders)
+        |SELECT k, v FROM (
+        |  SELECT 'year_' || CAST(o_year AS VARCHAR) AS k,
+        |    CAST(count(*) AS VARCHAR) AS v
+        |  FROM y
+        |  WHERE (o_year = 1997 AND o_orderkey % 2 = 1) OR o_year = 1998
+        |  GROUP BY o_year
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_empty_partition_dropped', 'true'),
+        |    ('x_meta_dropped', '1'),
+        |    ('x_meta_files_untouched', 'true'),
+        |    ('x_meta_scan_zero', 'true'),
+        |    ('x_scoped_files_untouched', 'true')) t(k, v))
         |ORDER BY k""".stripMargin
   )
 }

@@ -277,9 +277,12 @@ object Storage extends QueryPack {
       import graft.operators.Compaction
       import s.implicits._
       val out = ctasPath(s, dir) + "_tcompact"
+      // materialize the slim projection ONCE — nine per-slice writes
+      // otherwise re-scan the lineitem parquet nine times
       val base = graft.Tables.view(s, dir, "lineitem")
         .filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey").as("k"), col("l_quantity"))
+        .localCheckpoint()
       val d0 = 801964800000L // 1995-06-01 00:00 UTC, epoch day 9282
       val h = 3600000L
       // (startMillis, windowMillis, designed epoch day)

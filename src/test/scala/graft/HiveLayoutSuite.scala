@@ -137,6 +137,48 @@ class HiveLayoutSuite extends GraftSuite {
     assert(badArm.getMessage.contains("No enum constant"))
   }
 
+  test("metadata delete drops whole partitions without touching data") {
+    import spark.implicits._
+    mkPartitioned("hls_d")
+    val dataDir = new java.io.File(tmp("graft_hls_d"), "yr=1996")
+    val before = dataDir.list().toSet
+    // partition-only predicate -> MetadataDeleteOptimizer arm: catalog
+    // drop, zero data I/O (the files stay byte-identical)
+    val dropped = HiveLayout.delete(spark, "hls_d", col("yr") === 1996)
+    assert(dropped == 1L)
+    assert(spark.table("hls_d").filter($"yr" === 1996).count() == 0L)
+    assert(dataDir.list().toSet == before && before.nonEmpty)
+    assert(!spark.sql("SHOW PARTITIONS hls_d").collect()
+      .map(_.getString(0)).contains("yr=1996"))
+    // deleting an already-dropped partition matches nothing
+    assert(HiveLayout.delete(spark, "hls_d", col("yr") === 1996) == 0L)
+  }
+
+  test("row-path delete rewrites ONLY the touched partitions") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS hls_r")
+    Seq((1L, 1995, "a"), (2L, 1995, "b"), (3L, 1996, "c"),
+      (4L, 1996, "d"), (5L, 1997, "e"))
+      .toDF("k", "yr", "v")
+      .write.mode("overwrite").option("path", tmp("graft_hls_r"))
+      .partitionBy("yr").saveAsTable("hls_r")
+    val dir1995 = new java.io.File(tmp("graft_hls_r"), "yr=1995")
+    val before1995 = dir1995.list().toSet
+    // mixed predicate -> copy-on-write, scoped to 1996
+    val dropped = HiveLayout.delete(spark, "hls_r",
+      col("k") % 2 === 0 && col("yr") === 1996)
+    assert(dropped == 0L)
+    assert(spark.table("hls_r").filter($"yr" === 1996)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the untouched partition's files are byte-identical
+    assert(dir1995.list().toSet == before1995)
+    // a row delete matching a WHOLE partition drops it
+    HiveLayout.delete(spark, "hls_r", col("k") > 0 && col("yr") === 1997)
+    assert(!spark.sql("SHOW PARTITIONS hls_r").collect()
+      .map(_.getString(0)).contains("yr=1997"))
+    assert(spark.table("hls_r").count() == 3L)
+  }
+
   test("behavior defaults from the SET SESSION registry") {
     import spark.implicits._
     mkPartitioned("hls_s")
