@@ -166,6 +166,21 @@ private[functions] object PrestoRewrite {
   // directions (SortItem.NullOrdering default via
   // ExpressionAnalyzer/OrderingScheme) — the comparator encodes that.
   private val aggOrderByRe = """(?i)\bORDER\s+BY\b""".r
+  // Aggregates whose RESULT cannot depend on feed order, plus the ones
+  // whose order-dependent choice the reference documents as arbitrary
+  // (map_agg duplicate keys, arbitrary(), any_value): ORDER BY is
+  // result-identical to drop for these. Anything else order-sensitive
+  // fails loudly rather than silently diverging.
+  private val OrderInsensitiveAggs = Set(
+    "sum", "avg", "count", "count_if", "min", "max", "min_by", "max_by",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+    "var_samp", "skewness", "kurtosis", "corr", "covar_pop",
+    "covar_samp", "regr_intercept", "regr_slope", "geometric_mean",
+    "bool_and", "bool_or", "every", "bitwise_and_agg", "bitwise_or_agg",
+    "approx_distinct", "approx_percentile", "approx_set", "merge",
+    "checksum", "histogram", "map_agg", "map_union", "set_agg",
+    "set_union", "arbitrary", "any_value", "collect_set")
+
   private val aggOrderKeywords = Set("OVER", "GROUP", "AS", "IN", "ON",
     "AND", "OR", "NOT", "WHERE", "FROM", "JOIN", "SELECT", "WHEN",
     "THEN", "ELSE", "EXISTS", "VALUES", "ALL", "ANY", "SOME", "BY",
@@ -272,19 +287,41 @@ private[functions] object PrestoRewrite {
               (" " + q.substring(closer + 1, k).trim, k - 1)
             case None => ("", closer)
           }
+        def parsedKeys: Seq[(String, Boolean, Boolean)] = {
+          val keys = splitTopLevel(keysText).map {
+            case sortItemRe(e, dir, no) =>
+              val asc = dir == null || dir.equalsIgnoreCase("ASC")
+              val nullsLast =
+                if (no == null) true else no.equalsIgnoreCase("LAST")
+              (e.trim, asc, nullsLast)
+          }
+          require(keys.nonEmpty, "empty aggregate ORDER BY")
+          keys
+        }
+        def comparator(keys: Seq[(String, Boolean, Boolean)]): String =
+          keys.zipWithIndex.foldRight("0") {
+            case (((_, asc, nullsLast), i), inner) =>
+              val l = s"l._o${i + 1}"
+              val r = s"r._o${i + 1}"
+              val (lt, gt) = if (asc) (-1, 1) else (1, -1)
+              val (ln, rn) =
+                if (nullsLast) (1, -1) else (-1, 1)
+              s"CASE WHEN $l IS NULL AND $r IS NULL THEN $inner " +
+                s"WHEN $l IS NULL THEN $ln " +
+                s"WHEN $r IS NULL THEN $rn " +
+                s"WHEN $l < $r THEN $lt " +
+                s"WHEN $l > $r THEN $gt ELSE $inner END"
+          }
+        def keyFields(keys: Seq[(String, Boolean, Boolean)]): String =
+          keys.zipWithIndex
+            .map { case ((e, _, _), i) => s"'_o${i + 1}', $e" }
+            .mkString(", ")
         val replacement =
           if (fn.equalsIgnoreCase("array_agg")) {
             val distinct = argsText.toUpperCase.startsWith("DISTINCT")
             val arg = if (distinct)
               argsText.substring("DISTINCT".length).trim else argsText
-            val keys = splitTopLevel(keysText).map {
-              case sortItemRe(e, dir, no) =>
-                val asc = dir == null || dir.equalsIgnoreCase("ASC")
-                val nullsLast =
-                  if (no == null) true else no.equalsIgnoreCase("LAST")
-                (e.trim, asc, nullsLast)
-            }
-            require(keys.nonEmpty, "empty aggregate ORDER BY")
+            val keys = parsedKeys
             if (distinct)
               // AggregationAnalyzer: DISTINCT restricts ORDER BY to the
               // arguments themselves
@@ -292,33 +329,46 @@ private[functions] object PrestoRewrite {
                   Seq(arg.toLowerCase),
                 "For aggregate function with DISTINCT, ORDER BY " +
                   "expressions must appear in arguments")
-            val fields = keys.zipWithIndex
-              .map { case ((e, _, _), i) => s"'_o${i + 1}', $e" }
-              .mkString(", ")
-            val cmp = keys.zipWithIndex.foldRight("0") {
-              case (((_, asc, nullsLast), i), inner) =>
-                val l = s"l._o${i + 1}"
-                val r = s"r._o${i + 1}"
-                val (lt, gt) = if (asc) (-1, 1) else (1, -1)
-                val (ln, rn) =
-                  if (nullsLast) (1, -1) else (-1, 1)
-                s"CASE WHEN $l IS NULL AND $r IS NULL THEN $inner " +
-                  s"WHEN $l IS NULL THEN $ln " +
-                  s"WHEN $r IS NULL THEN $rn " +
-                  s"WHEN $l < $r THEN $lt " +
-                  s"WHEN $l > $r THEN $gt ELSE $inner END"
-            }
             val collected =
-              s"collect_list(named_struct($fields, '_v', $arg))" +
-                filterText
+              s"collect_list(named_struct(${keyFields(keys)}, " +
+                s"'_v', $arg))" + filterText
             val deduped =
               if (distinct) s"array_distinct($collected)" else collected
-            s"transform(array_sort($deduped, (l, r) -> $cmp), " +
-              "s -> s._v)"
-          } else {
-            // order-insensitive (or contractually arbitrary): drop the
-            // clause, keep the call (its own FILTER stays in place)
+            s"transform(array_sort($deduped, " +
+              s"(l, r) -> ${comparator(keys)}), s -> s._v)"
+          } else if (fn.equalsIgnoreCase("multimap_agg")) {
+            // multimap_agg(k, v ORDER BY ...) — the VALUE ORDER per key
+            // is observable, so the ordering must be real: sort the
+            // (keys, k, v) structs once, then build map<k, array<v>>
+            // from the sorted pairs. The sorted aggregate text repeats,
+            // but Spark dedups identical aggregate expressions, so the
+            // collect runs once; the per-group rebuild is
+            // O(distinct_keys × n) post-aggregation — same group-local
+            // materialization the reference's ordered accumulator pays.
+            val args = splitTopLevel(argsText)
+            require(args.size == 2,
+              s"multimap_agg takes (key, value), got: $argsText")
+            val keys = parsedKeys
+            val sorted = s"array_sort(collect_list(named_struct(" +
+              s"${keyFields(keys)}, '_k', ${args(0)}, '_v', ${args(1)}))" +
+              s"$filterText, (l, r) -> ${comparator(keys)})"
+            s"map_from_entries(transform(" +
+              s"array_distinct(transform($sorted, p -> p._k)), " +
+              s"kk -> struct(kk, transform(" +
+              s"filter($sorted, p -> p._k <=> kk), p -> p._v))))"
+          } else if (OrderInsensitiveAggs(fn.toLowerCase)) {
+            // order-insensitive, or the reference documents the
+            // order-dependent choice as arbitrary (map_agg's duplicate
+            // key, arbitrary()): the clause is result-identical to
+            // drop; the call's own FILTER stays in place
             s"$fn($argsText)" + filterText
+          } else {
+            // an order-SENSITIVE aggregate we have not re-expressed:
+            // silently dropping the clause would change observable
+            // results — fail loudly instead
+            sys.error(s"aggregate ORDER BY is not supported for " +
+              s"$fn (supported: array_agg, multimap_agg; " +
+              "order-insensitive aggregates ignore the clause)")
           }
         q = q.substring(0, nameStart) + replacement +
           q.substring(spanEnd + 1)

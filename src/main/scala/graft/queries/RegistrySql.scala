@@ -1105,6 +1105,12 @@ object RegistrySql extends QueryPack {
         |      ORDER BY o_orderstatus), ',') AS distinct_sorted,
         |  array_join(array_agg(o_orderkey ORDER BY o_orderkey)
         |      FILTER (WHERE o_orderkey % 5 = 0), ',') AS filtered,
+        |  array_join(transform(array_sort(map_entries(
+        |      multimap_agg(o_orderstatus, o_orderkey
+        |        ORDER BY o_orderkey))),
+        |    e -> concat(e.key, ':', array_join(
+        |      transform(e.value, x -> CAST(x AS VARCHAR)), ' '))), ',')
+        |    AS by_status,
         |  round(sum(o_totalprice ORDER BY o_orderdate), 4)
         |    AS order_insensitive
         |FROM orders
@@ -1118,7 +1124,16 @@ object RegistrySql extends QueryPack {
     // DISTINCT / FILTER aggregate modifiers, its own NULLS LAST
     // default) — a genuine two-engine agreement on feed order
     "q3i_agg_order_by" ->
-      """SELECT o_orderpriority,
+      """WITH f AS (SELECT * FROM orders
+        |           WHERE o_orderkey % 53 = 0 AND o_orderkey <= 6000),
+        |mm AS (SELECT o_orderpriority, o_orderstatus || ':' ||
+        |         array_to_string(array_agg(CAST(o_orderkey AS VARCHAR)
+        |           ORDER BY o_orderkey), ' ') AS s
+        |       FROM f GROUP BY o_orderpriority, o_orderstatus),
+        |mmj AS (SELECT o_orderpriority,
+        |          string_agg(s, ',' ORDER BY s) AS by_status
+        |        FROM mm GROUP BY 1)
+        |SELECT o_orderpriority,
         |  array_to_string(array_agg(o_orderkey
         |    ORDER BY o_totalprice DESC, o_orderkey), ',')
         |    AS by_price_desc,
@@ -1138,9 +1153,9 @@ object RegistrySql extends QueryPack {
         |  coalesce(array_to_string(array_agg(o_orderkey
         |    ORDER BY o_orderkey) FILTER (WHERE o_orderkey % 5 = 0),
         |    ','), '') AS filtered,
+        |  min(mmj.by_status) AS by_status,
         |  round(sum(o_totalprice), 4) AS order_insensitive
-        |FROM orders
-        |WHERE o_orderkey % 53 = 0 AND o_orderkey <= 6000
+        |FROM f JOIN mmj USING (o_orderpriority)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

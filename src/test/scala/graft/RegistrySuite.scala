@@ -84,6 +84,26 @@ class RegistrySuite extends GraftSuite {
         |FROM VALUES (1), (2), (3), (4) AS t(v)""".stripMargin))
       .as[String].head()
     assert(f == "4,2", f)
+    // multimap_agg's VALUE ORDER is observable — the rewrite sorts the
+    // pairs and rebuilds map<k, array<v>> in that order
+    val m = spark.sql(Registry.rewritePrestoSql(
+      """SELECT array_join(transform(array_sort(map_entries(
+        |    multimap_agg(g, v ORDER BY s DESC))),
+        |  e -> concat(e.key, ':', array_join(
+        |    transform(e.value, x -> CAST(x AS STRING)), ' '))), ',') AS a
+        |FROM VALUES ('a', 1, 10), ('a', 2, 20), ('b', 3, 5),
+        |  ('a', 4, 30) AS t(g, v, s)""".stripMargin))
+      .as[String].head()
+    assert(m == "a:4 2 1,b:3", m)
+    // an order-SENSITIVE aggregate without a re-expression is LOUD —
+    // dropping the clause would silently change observable results
+    val loud = intercept[Exception] {
+      Registry.rewritePrestoSql(
+        "SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b " +
+          "ORDER BY y) FROM t")
+    }
+    assert(loud.getMessage.contains("not supported for reduce_agg"),
+      loud.getMessage)
   }
 
   test("rewrite only touches the literal-unit Presto spelling") {
