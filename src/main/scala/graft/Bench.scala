@@ -30,6 +30,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Previous committed run (round-14 lesson): the end-canary check
+    // only sees a machine slow AT suite end — a mid-suite load burst
+    // that subsides reads clean. The per-query MEDIAN ratio against
+    // the last committed artifact catches exactly that; read it BEFORE
+    // this run overwrites the file.
+    val prevQueries: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_out.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"(q[0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val spark = Sessions.local(cpus)
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -151,6 +164,17 @@ object Bench {
         }
       }
     val machineSlow = canaryVsBaseline.values.count(_ > slowX) >= 2
+    // per-query median vs the previous committed artifact — the drift
+    // signal the canaries can't see (mid-suite bursts). 1.0 = same
+    // machine weather as the last committed run; read it alongside
+    // machine_slow before trusting a total.
+    val medianVsPrev: Option[Double] = {
+      val rs = results.collect {
+        case (k, v) if v > 0 && prevQueries.getOrElse(k, 0.0) > 0.02 =>
+          v / prevQueries(k)
+      }.toSeq.sorted
+      if (rs.size < 50) None else Some(rs(rs.size / 2))
+    }
     def toJson(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -165,9 +189,9 @@ object Bench {
     val canaryJson = toJson(canaryRatios)
     val canaryAbsJson = toJson(canaryVsBaseline)
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
