@@ -287,6 +287,13 @@ private[functions] object PrestoRewrite {
               (" " + q.substring(closer + 1, k).trim, k - 1)
             case None => ("", closer)
           }
+        // the reference REJECTS the windowed form outright
+        // (StatementAnalyzer.java:1484) — raise its exact text instead
+        // of letting the rewritten call hit Spark's parser with a
+        // dangling OVER
+        if ("""(?is)^\s*(?:(?:IGNORE|RESPECT)\s+NULLS\s+)?OVER\b""".r
+            .findFirstIn(q.substring(spanEnd + 1)).isDefined)
+          sys.error("Window function with ORDER BY is not supported")
         def parsedKeys: Seq[(String, Boolean, Boolean)] = {
           val keys = splitTopLevel(keysText).map {
             case sortItemRe(e, dir, no) =>

@@ -104,6 +104,14 @@ class RegistrySuite extends GraftSuite {
     }
     assert(loud.getMessage.contains("not supported for reduce_agg"),
       loud.getMessage)
+    // the reference rejects the WINDOWED form outright
+    // (StatementAnalyzer.java:1484) — same text here
+    val win = intercept[Exception] {
+      Registry.rewritePrestoSql(
+        "SELECT array_agg(x ORDER BY y) OVER (PARTITION BY g) FROM t")
+    }
+    assert(win.getMessage.contains(
+      "Window function with ORDER BY is not supported"), win.getMessage)
   }
 
   test("rewrite only touches the literal-unit Presto spelling") {
