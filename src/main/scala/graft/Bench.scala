@@ -40,7 +40,14 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_out.json")),
           java.nio.charset.StandardCharsets.UTF_8)
-        """"(q[0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        // ONLY the "queries" object — "trial_spread" carries the same
+        // query-name keys with ratio values, and a whole-file regex
+        // would let those overwrite the seconds
+        val start = txt.indexOf("\"queries\":{")
+        val end = if (start < 0) -1 else txt.indexOf("}", start)
+        val qs = if (start < 0 || end < 0) ""
+          else txt.substring(start, end)
+        """"(q[0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(qs)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val spark = Sessions.local(cpus)

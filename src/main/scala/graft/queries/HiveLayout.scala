@@ -299,20 +299,25 @@ object HiveLayout extends QueryPack {
         .option("path", Storage.ctasPath(s, dir) + "_iep")
         .partitionBy("o_year").saveAsTable(pt)
       // ERROR: the session default is APPEND; set ERROR explicitly
+      // (RESET in a finally so a failure can't leak the property into
+      // the shared driver session)
       prestoStatement(s,
         "SET SESSION insert_existing_partitions_behavior = 'ERROR'")
       val errorRefused =
         try {
+          val refused =
+            try {
+              insertExisting(s, pt,
+                yearly.filter(col("o_year") === 1996), "o_year")
+              false
+            } catch { case e: Exception => e.getMessage
+              .contains("Cannot insert into an existing partition") }
+          // ERROR still admits a partition that does not exist yet
           insertExisting(s, pt,
-            yearly.filter(col("o_year") === 1996), "o_year")
-          false
-        } catch { case e: Exception => e.getMessage
-          .contains("Cannot insert into an existing partition") }
-      // ERROR still admits a partition that does not exist yet
-      insertExisting(s, pt,
-        yearly.filter(col("o_year") === 1998), "o_year")
-      prestoStatement(s,
-        "RESET SESSION insert_existing_partitions_behavior")
+            yearly.filter(col("o_year") === 1998), "o_year")
+          refused
+        } finally prestoStatement(s,
+          "RESET SESSION insert_existing_partitions_behavior")
       // APPEND (the session default): even keys of 1996 land beside
       insertExisting(s, pt, yearly.filter(col("o_year") === 1996)
         .filter(col("o_orderkey") % 2 === 0), "o_year")
