@@ -594,8 +594,23 @@ private[functions] object PrestoRewrite {
     * zoned_at_timezone; INTERVAL-literal zones stay unsupported (loud
     * parse failure, not a wrong answer). */
   private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\s+('[^']*')""".r
+  // the grammar's OTHER zone spelling (SqlBase.g4:393-395
+  // #timeZoneInterval): `AT TIME ZONE INTERVAL '[-]H[:MM]' HOUR [TO
+  // MINUTE]` — a fixed-offset zone (DateTimeFunctions resolves the
+  // interval to a TimeZoneKey offset). Normalized here to the string
+  // form and handled by the machinery below.
+  private val atTzIntervalRe =
+    ("""(?is)\bAT\s+TIME\s+ZONE\s+INTERVAL\s+(-)?\s*'(-)?""" +
+      """(\d{1,2})(?::(\d{2}))?'\s+HOUR(?:\s+TO\s+MINUTE)?\b""").r
   private def rewriteAtTimeZone(q0: String): String = {
-    var q = q0
+    var q = maskedReplaceAll(q0, atTzIntervalRe) { m =>
+      val neg = m.group(1) != null ^ m.group(2) != null
+      val h = m.group(3).toInt
+      val mi = Option(m.group(4)).map(_.toInt).getOrElse(0)
+      require(h <= 14 && mi <= 59,
+        s"invalid time zone offset interval: ${m.matched}")
+      f"AT TIME ZONE '${if (neg) "-" else "+"}$h%02d:$mi%02d'"
+    }
     var changed = true
     while (changed) {
       changed = false

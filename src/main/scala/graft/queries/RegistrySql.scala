@@ -356,7 +356,11 @@ object RegistrySql extends QueryPack {
         |  cast(zoned_local(timestamp '2020-06-10 10:00:00'
         |    AT TIME ZONE '+02:00') as string) AS lit_wall,
         |  cast(hour(zoned_local(date_trunc('hour', ts)
-        |    AT TIME ZONE '+05:30')) as bigint) AS call_recv_hour
+        |    AT TIME ZONE '+05:30')) as bigint) AS call_recv_hour,
+        |  zoned_to_iso8601(ts AT TIME ZONE
+        |    INTERVAL '05:30' HOUR TO MINUTE) AS ivl_pos,
+        |  zoned_to_iso8601(ts AT TIME ZONE
+        |    INTERVAL -'03:30' HOUR TO MINUTE) AS ivl_neg
         |FROM (SELECT 1 AS id, timestamp '2020-06-10 10:00:00' AS ts
         |      UNION ALL SELECT 2, timestamp '2020-12-31 23:45:00')
         |ORDER BY id""".stripMargin)),
@@ -1279,11 +1283,14 @@ object RegistrySql extends QueryPack {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), '2020-06-10T15:30:00+05:30',
         |   '2020-06-10T06:30:00-03:30', CAST(-3 AS BIGINT),
-        |   '2020-06-10 12:00:00', CAST(15 AS BIGINT)),
+        |   '2020-06-10 12:00:00', CAST(15 AS BIGINT),
+        |   '2020-06-10T15:30:00+05:30', '2020-06-10T06:30:00-03:30'),
         |  (CAST(2 AS BIGINT), '2021-01-01T05:15:00+05:30',
         |   '2020-12-31T20:15:00-03:30', CAST(-3 AS BIGINT),
-        |   '2020-06-10 12:00:00', CAST(4 AS BIGINT)))
-        |  AS t(id, kolkata, nst, tzh, lit_wall, call_recv_hour)
+        |   '2020-06-10 12:00:00', CAST(4 AS BIGINT),
+        |   '2021-01-01T05:15:00+05:30', '2020-12-31T20:15:00-03:30'))
+        |  AS t(id, kolkata, nst, tzh, lit_wall, call_recv_hour,
+        |       ivl_pos, ivl_neg)
         |ORDER BY id""".stripMargin,
 
     // hand-derived: the casts/zip are deterministic arithmetic

@@ -29,6 +29,7 @@ class RewritePropertySuite extends GraftSuite {
   private val triggerTexts = Seq(
     "ARRAY[1, 2]", "x[1]", "arr[idx]", "CROSS JOIN UNNEST(a)",
     "ts AT TIME ZONE 'UTC'", "TIME '12:34:56'", "DECIMAL '1.23'",
+    "ts AT TIME ZONE INTERVAL '05:30' HOUR TO MINUTE",
     "TIME '08:30:15 +05:30'",
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 1, d)",
@@ -63,6 +64,7 @@ class RewritePropertySuite extends GraftSuite {
     "CAST(r AS ROW(x BIGINT, y DOUBLE))",
     "CAST(a AS array(row(k bigint, v varchar)))",
     "array_agg(x ORDER BY y DESC)", "sum(v ORDER BY k)",
+    "ts AT TIME ZONE INTERVAL -'03:30' HOUR TO MINUTE",
     "TRY_CAST(m AS map(varchar, bigint))")
 
   private val mixedQueryGen: Gen[String] = for {
