@@ -105,9 +105,13 @@ private[functions] object PrestoSystem {
         import spark.implicits._
         val parsed = rows.toSeq.toDF("p")
         val cols = partCols.map { c =>
+          // Hive path escaping is %xx only; url_decode ALSO folds '+'
+          // to space, so a literal '+' in a partition value (a zone
+          // offset, a version tag) must be shielded first
           org.apache.spark.sql.functions.expr(
-            s"""CAST(url_decode(regexp_extract(p,
-               |  '(?:^|/)${c}=([^/]*)', 1)) AS ${types(c)})"""
+            s"""CAST(url_decode(replace(regexp_extract(p,
+               |  '(?:^|/)${c}=([^/]*)', 1), '+', '%2B'))
+               |  AS ${types(c)})"""
               .stripMargin.replace("\n", " ")).as(c)
         }
         parsed.select(cols.toSeq: _*).createOrReplaceTempView(view)
@@ -230,6 +234,9 @@ private[functions] object PrestoSystem {
     val order = Seq("schema_name", "table_name",
       "partition_columns", "partition_values")
     val vals = mutable.Map.empty[String, String]
+    require(parts.size <= order.size,
+      s"create_empty_partition takes ${order.size} arguments, " +
+        s"got ${parts.size}")
     parts.zipWithIndex.foreach { case (p, i) =>
       p match {
         case namedRe(n, v) => vals(n.toLowerCase) = v

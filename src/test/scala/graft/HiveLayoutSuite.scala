@@ -46,6 +46,21 @@ class HiveLayoutSuite extends GraftSuite {
     assert(n == 3L)
   }
 
+  test("t$partitions decodes escaped values; '+' survives") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS hls_esc")
+    // a partition value with a literal '+' and one with an escaped
+    // character: Hive path escaping is %xx, and '+' must NOT fold to
+    // space on read-back
+    Seq((1L, "+05:30"), (2L, "a b")).toDF("k", "zone")
+      .write.mode("overwrite").option("path", tmp("graft_hls_esc"))
+      .partitionBy("zone").saveAsTable("hls_esc")
+    val vals = prestoStatement(spark,
+      """SELECT * FROM "hls_esc$partitions"""")
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("+05:30", "a b"), vals)
+  }
+
   test("t$partitions on a non-partitioned table is unresolved") {
     spark.sql("DROP TABLE IF EXISTS hls_np")
     spark.sql("CREATE TABLE hls_np (k BIGINT) USING parquet")
