@@ -116,6 +116,12 @@ private[functions] object PrestoSystem {
         }
         parsed.select(cols.toSeq: _*).createOrReplaceTempView(view)
       } else {
+        // the reference rejects views here
+        // (getPropertiesSystemTable:421-423 — absent table OR
+        // VIRTUAL_VIEW throws TableNotFoundException)
+        if (spark.catalog.tableExists(table) &&
+            spark.catalog.getTable(table).tableType == "VIEW")
+          sys.error(s"Table '$table$$properties' does not exist")
         val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
           .map(r => r.getString(0) -> r.getString(1))
           .sortBy(_._1)

@@ -85,6 +85,19 @@ class HiveLayoutSuite extends GraftSuite {
     assert(row.getString(cols.indexOf("zz.last")) == "2")
   }
 
+  test("t$properties on a view is unresolved like the reference") {
+    spark.sql("DROP VIEW IF EXISTS hls_v")
+    mkPartitioned("hls_vbase")
+    spark.sql("CREATE VIEW hls_v AS SELECT * FROM hls_vbase")
+    try {
+      val e = intercept[Exception] {
+        prestoStatement(spark, """SELECT * FROM "hls_v$properties"""")
+      }
+      assert(e.getMessage.contains("'hls_v$properties' does not exist"),
+        e.getMessage)
+    } finally spark.sql("DROP VIEW IF EXISTS hls_v")
+  }
+
   test("create_empty_partition registers a zero-row partition") {
     mkPartitioned("hls_c")
     val db = spark.catalog.currentDatabase
