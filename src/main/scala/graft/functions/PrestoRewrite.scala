@@ -394,7 +394,7 @@ private[functions] object PrestoRewrite {
     * Non-parametric names and `decimal(p,s)`/`varchar(n)` (same spelling
     * in both grammars) pass through. Unnamed ROW fields are left as-is
     * (loud downstream — Spark structs need field names). */
-  private def transformPrestoType(t0: String): String = {
+  private[functions] def transformPrestoType(t0: String): String = {
     val t = t0.trim
     val m = """(?is)^(row|array|map)\s*\((.*)\)$""".r.findFirstMatchIn(t)
     m match {

@@ -229,6 +229,362 @@ private[functions] object PrestoStatements {
   private def statusDf(spark: SparkSession, v: String): org.apache.spark.sql.DataFrame =
     spark.sql(s"SELECT '${v.replace("'", "''")}' AS result")
 
+  // ── CREATE TABLE ... WITH (properties) ────────────────────────────
+  // The Hive connector's table-layout DDL surface
+  // (`presto-hive/.../HiveTableProperties.java:42-51` — format,
+  // partitioned_by, bucketed_by, bucket_count, sorted_by,
+  // external_location, orc_bloom_filter_columns/_fpp,
+  // preferred_ordering_columns, avro_schema_url), translated onto
+  // Spark's own CREATE TABLE grammar: format → USING (ORC is the
+  // reference's default, `HiveClientConfig.java:86`), external_location
+  // → LOCATION, partitioned_by → PARTITIONED BY (with
+  // `HiveMetadata.java:2668`'s partition-keys-last rule),
+  // bucketed_by/bucket_count/sorted_by → CLUSTERED BY ... SORTED BY ...
+  // INTO n BUCKETS, orc bloom properties → the ORC writer's own
+  // options, preferred_ordering_columns → a per-writer SORT BY (the
+  // unbucketed SortingFileWriter arm). Property validation replays
+  // `getBucketProperty:173-195` / `getPreferredOrderingColumns:219-231`
+  // text-for-text; an unknown property fails with the property
+  // manager's message (`AbstractPropertyManager.java:92`).
+  //
+  // Bucketed CTAS additionally carries the reference's ONE-WRITER-PER-
+  // BUCKET write contract (HiveWriterFactory — each bucket of each
+  // partition is exactly one file): the source query repartitions by
+  // the bucket columns into bucket_count tasks. Spark's bucket-id
+  // function and HashPartitioning share murmur3(seed 42), so every
+  // task holds exactly one bucket and writes exactly one file — which
+  // is what makes the sorted-bucket layout serve SORT-FREE merge joins
+  // downstream (FileSourceScanExec exposes the per-bucket ordering
+  // only over single-file buckets).
+  private val createTableHeadRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("?[A-Za-z_][\w.]*"?)\s*""".r
+
+  private case class SortCol(name: String, desc: Boolean) {
+    def ddl: String = s"$name ${if (desc) "DESC" else "ASC"}"
+  }
+
+  /** Index of the ')' matching the '(' at `open` (string-masked). */
+  private def balancedClose(s: String, open: Int,
+      mask: Array[Boolean]): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      }
+      i += 1
+    }
+    sys.error("CREATE TABLE: unbalanced parentheses")
+  }
+
+  private[functions] def maybeCreateTableWith(spark: SparkSession,
+      sql: String): Option[org.apache.spark.sql.DataFrame] = {
+    val head = createTableHeadRe.findPrefixMatchOf(sql).getOrElse(return None)
+    val ifNotExists = head.group(1) != null
+    // a 3-part name's catalog qualifier collapses (one Spark catalog),
+    // the USE-statement convention
+    val name = head.group(2).replace("\"", "").split('.').takeRight(2)
+      .mkString(".")
+    val mask = PrestoRewrite.stringMask(sql)
+    var cur = head.end
+    def skipWs(): Unit =
+      while (cur < sql.length && sql.charAt(cur).isWhitespace) cur += 1
+    skipWs()
+    // optional column definitions (plain form) / column aliases (CTAS)
+    var colList: Option[String] = None
+    if (cur < sql.length && sql.charAt(cur) == '(') {
+      val close = balancedClose(sql, cur, mask)
+      colList = Some(sql.substring(cur + 1, close))
+      cur = close + 1; skipWs()
+    }
+    // optional COMMENT 'text' — carried onto the Spark DDL verbatim
+    var comment: Option[String] = None
+    """(?is)^COMMENT\s+('(?:[^']|'')*')""".r
+      .findPrefixMatchOf(sql.substring(cur)).foreach { m =>
+        comment = Some(m.group(1)); cur += m.end; skipWs()
+      }
+    // the WITH (...) property list is what routes here; absent → the
+    // default pipeline keeps handling plain CREATE TABLE [AS]
+    val wm = """(?is)^WITH\s*\(""".r.findPrefixMatchOf(sql.substring(cur))
+      .getOrElse(return None)
+    val parenAt = cur + wm.end - 1
+    val closeAt = balancedClose(sql, parenAt, mask)
+    val propsText = sql.substring(parenAt + 1, closeAt)
+    cur = closeAt + 1; skipWs()
+    // optional AS query [WITH [NO] DATA]
+    var query: Option[String] = None
+    var noData = false
+    if (cur < sql.length) {
+      if ("""(?is)^AS\b""".r.findPrefixMatchOf(sql.substring(cur)).isEmpty)
+        sys.error("CREATE TABLE: unexpected trailing text: " +
+          sql.substring(cur).take(40))
+      var body = sql.substring(cur + 2).trim
+      val bodyMask = PrestoRewrite.stringMask(body)
+      """(?is)\bWITH\s+(NO\s+)?DATA\s*$""".r.findFirstMatchIn(body)
+        .filter(m => !bodyMask(m.start)).foreach { m =>
+          noData = m.group(1) != null
+          body = body.substring(0, m.start).trim
+        }
+      query = Some(body)
+    }
+    if (colList.isEmpty && query.isEmpty)
+      sys.error("CREATE TABLE requires a column list or an AS query")
+
+    // property parse: name = 'string' | integer | double | ARRAY['a',..]
+    val strRe = """(?s)^'((?:[^']|'')*)'$""".r
+    def parseEntry(e: String): (String, Any) = {
+      val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r.findFirstMatchIn(e)
+        .getOrElse(sys.error(s"Invalid table property assignment: $e"))
+      val key = m.group(1).toLowerCase
+      val v = m.group(2).trim
+      val value: Any = v match {
+        case strRe(inner) => inner.replace("''", "'")
+        case arr if arr.toUpperCase.startsWith("ARRAY") =>
+          val items = """(?is)^ARRAY\s*\[(.*)\]$""".r.findFirstMatchIn(arr)
+            .getOrElse(sys.error(
+              s"Invalid value for table property '$key': Cannot convert '$v'"))
+            .group(1)
+          splitTopLevel(items).filter(_.nonEmpty).map {
+            case strRe(inner) => inner.replace("''", "'")
+            case other => sys.error(
+              s"Invalid value for table property '$key': Cannot convert '$other' to varchar")
+          }
+        case iv if iv.matches("-?\\d+") => iv.toLong
+        case nv if nv.matches("-?\\d+\\.\\d+") => nv.toDouble
+        case other => sys.error(
+          s"Invalid value for table property '$key': Cannot convert '$other'")
+      }
+      key -> value
+    }
+    val entries = splitTopLevel(propsText).filter(_.nonEmpty).map(parseEntry)
+    val known = Set("format", "partitioned_by", "bucketed_by",
+      "bucket_count", "sorted_by", "external_location",
+      "orc_bloom_filter_columns", "orc_bloom_filter_fpp",
+      "avro_schema_url", "preferred_ordering_columns")
+    entries.map(_._1).find(!known.contains(_)).foreach(k => sys.error(
+      s"Catalog 'hive' does not support table property '$k'"))
+    val props = entries.toMap
+    def strArr(k: String): Seq[String] = props.get(k) match {
+      case None => Seq.empty
+      case Some(s: Seq[_]) => s.map(String.valueOf)
+      case Some(other) => sys.error(
+        s"Invalid value for table property '$k': Cannot convert '$other' to array(varchar)")
+    }
+    // SortingColumn.sortingColumnFromString:101-113 — a trailing
+    // bare ASC/DESC word, default ascending
+    def sortingCols(k: String): Seq[SortCol] = strArr(k).map { s0 =>
+      val up = s0.toUpperCase(java.util.Locale.ENGLISH)
+      if (up.endsWith(" ASC"))
+        SortCol(s0.substring(0, s0.length - 4).trim.toLowerCase, desc = false)
+      else if (up.endsWith(" DESC"))
+        SortCol(s0.substring(0, s0.length - 5).trim.toLowerCase, desc = true)
+      else SortCol(s0.trim.toLowerCase, desc = false)
+    }
+
+    // format: HiveStorageFormat.valueOf with the reference's member
+    // list; the legacy/serde members are a documented descope
+    // (SURVEY §2.3, the RCFile rationale)
+    val hiveFormats = Set("ORC", "DWRF", "PARQUET", "AVRO", "RCBINARY",
+      "RCTEXT", "SEQUENCEFILE", "JSON", "TEXTFILE", "PAGEFILE")
+    val format = props.get("format").map(String.valueOf)
+      .map(_.toUpperCase(java.util.Locale.ENGLISH)).getOrElse("ORC")
+    if (!hiveFormats(format)) sys.error(
+      s"Invalid value for table property 'format': Cannot convert '$format' to HiveStorageFormat")
+    val sparkFmt = format match {
+      case "PARQUET" => "parquet"
+      case "ORC" => "orc"
+      case "JSON" => "json"
+      case "TEXTFILE" => "csv" // LazySimpleSerDe line format, \u0001 sep
+      case other => sys.error(s"graft: Hive storage format $other is a " +
+        "documented descope (legacy serde formats — SURVEY §2.3); use " +
+        "PARQUET, ORC, JSON or TEXTFILE")
+    }
+    props.get("avro_schema_url").foreach(_ => sys.error(
+      s"Cannot specify avro_schema_url table property for storage format: $format"))
+
+    val partitionedBy = strArr("partitioned_by").map(_.toLowerCase)
+    val bucketedBy = strArr("bucketed_by").map(_.toLowerCase)
+    val sortedBy = sortingCols("sorted_by")
+    val bucketCount = props.get("bucket_count") match {
+      case None => 0
+      case Some(l: Long) => l.toInt
+      case Some(other) => sys.error(
+        s"Invalid value for table property 'bucket_count': Cannot convert '$other' to integer")
+    }
+    // getBucketProperty:173-195, validation arms in the reference's order
+    val bucketProp: Option[(Seq[String], Int, Seq[SortCol])] =
+      if (bucketedBy.isEmpty && bucketCount == 0) {
+        if (sortedBy.nonEmpty) sys.error(
+          "sorted_by may be specified only when bucketed_by is specified")
+        None
+      } else if (bucketCount < 0)
+        sys.error("bucket_count must be greater than zero")
+      else if (bucketCount > 1000000)
+        sys.error("bucket_count should be no more than 1000000")
+      else if (bucketedBy.isEmpty || bucketCount == 0)
+        sys.error("bucketed_by and bucket_count must be specified together")
+      else Some((bucketedBy, bucketCount, sortedBy))
+    // getPreferredOrderingColumns:219-231
+    val preferredOrdering = sortingCols("preferred_ordering_columns")
+    if (preferredOrdering.nonEmpty && bucketProp.isDefined) sys.error(
+      "preferred_ordering_columns must not be specified when bucketed_by is specified")
+
+    // the partition-keys-last rule (HiveMetadata.java:2668) needs the
+    // target schema: the analyzed query output for CTAS, the column
+    // definitions for the plain form
+    def checkPartitionsLast(colNames: Seq[String]): Unit =
+      if (partitionedBy.nonEmpty &&
+        colNames.takeRight(partitionedBy.length)
+          .map(_.toLowerCase) != partitionedBy)
+        sys.error("Partition keys must be the last columns in the table " +
+          "and in the same order as the table properties: " +
+          partitionedBy.mkString("[", ", ", "]"))
+
+    val orcBloomCols = strArr("orc_bloom_filter_columns").map(_.toLowerCase)
+    val opts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (format == "TEXTFILE") opts += s"'sep' = '${1.toChar}'"
+    if (sparkFmt == "orc" && orcBloomCols.nonEmpty) {
+      opts += s"'orc.bloom.filter.columns' = '${orcBloomCols.mkString(",")}'"
+      props.get("orc_bloom_filter_fpp").foreach {
+        case d: Double => opts += s"'orc.bloom.filter.fpp' = '$d'"
+        case other => sys.error(
+          s"Invalid value for table property 'orc_bloom_filter_fpp': Cannot convert '$other' to double")
+      }
+    }
+
+    val ddl = new StringBuilder("CREATE TABLE ")
+    if (ifNotExists) ddl ++= "IF NOT EXISTS "
+    ddl ++= name
+    // a query-side SORT BY under a bucketed write needs EliminateSorts
+    // held off: the writer layers its own ordering node on top and the
+    // rule then removes the inner (descending) sort as "redundant"
+    var guardSorts = false
+
+    query match {
+      case Some(q) =>
+        // CTAS: rewrite the inner Presto query through the same
+        // pipeline the fallback applies, then layer the write contract
+        val inner = rewritePrestoSql(PrestoSystem.rewriteSystemTables(
+          spark, PrestoSecurity.rewriteInfoSchema(spark, q)))
+        // optional column ALIASES (names only) rename positionally
+        val projection = colList match {
+          case None => "*"
+          case Some(aliases) =>
+            val names = splitTopLevel(aliases).map(_.trim)
+            if (names.exists(n => !n.matches("\"?[A-Za-z_]\\w*\"?")))
+              sys.error("CREATE TABLE AS column list takes aliases only " +
+                "(no types); got: " + aliases.trim.take(60))
+            val srcCols = spark.sql(inner).schema.fieldNames
+            if (srcCols.length != names.length) sys.error(
+              s"CREATE TABLE AS: ${names.length} aliases for ${srcCols.length} query columns")
+            srcCols.zip(names.map(_.replace("\"", "")))
+              .map { case (c, a) => s"`$c` AS $a" }.mkString(", ")
+        }
+        val outNames = colList match {
+          case None => spark.sql(inner).schema.fieldNames.toSeq
+          case Some(aliases) =>
+            splitTopLevel(aliases).map(_.trim.replace("\"", ""))
+        }
+        checkPartitionsLast(outNames)
+        val repartHint = bucketProp.map { case (cols, n, _) =>
+          s"/*+ REPARTITION($n, ${cols.mkString(", ")}) */ "
+        }.getOrElse("")
+        // Spark's bucket-sort METADATA is ASC-only (AstBuilder's
+        // visitBucketSpec rejects DESC); a descending sorted_by rides
+        // an explicit per-writer SORT BY instead — the files come out
+        // in the reference's order, the catalog just can't advertise
+        // it (so DESC layouts don't serve the sort-free merge join,
+        // which wants ASC anyway)
+        val descSorted = bucketProp.exists(_._3.exists(_.desc))
+        val sortSuffix =
+          if (bucketProp.isEmpty && preferredOrdering.nonEmpty)
+            " SORT BY " + preferredOrdering.map(_.ddl).mkString(", ")
+          else if (descSorted) {
+            // lead with Spark's own bucket-id expression
+            // (pmod(murmur3, n) — canonically equal to the writer's
+            // requiredOrdering head) so the file committer sees its
+            // ordering already satisfied and does not re-sort above
+            // the descending keys
+            val (cols, n, sort) = bucketProp.get
+            s" SORT BY pmod(hash(${cols.mkString(", ")}), $n), " +
+              sort.map(_.ddl).mkString(", ")
+          } else ""
+        val limitSuffix = if (noData) " LIMIT 0" else ""
+        ddl ++= s" USING $sparkFmt"
+        if (opts.nonEmpty) ddl ++= s" OPTIONS (${opts.mkString(", ")})"
+        if (partitionedBy.nonEmpty)
+          ddl ++= s" PARTITIONED BY (${partitionedBy.mkString(", ")})"
+        bucketProp.foreach { case (cols, n, sort) =>
+          ddl ++= s" CLUSTERED BY (${cols.mkString(", ")})"
+          if (sort.nonEmpty && !descSorted)
+            ddl ++= s" SORTED BY (${sort.map(_.ddl).mkString(", ")})"
+          ddl ++= s" INTO $n BUCKETS"
+        }
+        props.get("external_location").foreach(loc =>
+          ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
+        comment.foreach(c => ddl ++= s" COMMENT $c")
+        // the per-writer sort must sit ABOVE the repartition (a SORT BY
+        // in the same SELECT would sort before the hint's shuffle and
+        // lose the order), so the sorted form nests one level deeper
+        val src0 = s"SELECT $repartHint$projection FROM ( $inner )" +
+          " graft_ctas_src"
+        guardSorts = sortSuffix.nonEmpty
+        ddl ++= " AS " + (if (sortSuffix.nonEmpty)
+          s"SELECT * FROM ( $src0 ) graft_ctas_sorted$sortSuffix$limitSuffix"
+        else src0 + limitSuffix)
+
+      case None =>
+        // plain form: column definitions with Presto type spellings
+        val colsSpark = splitTopLevel(colList.get).map { cd0 =>
+          val cd = cd0.trim
+          val m = """(?s)^("[^"]+"|[A-Za-z_]\w*)\s+(.+)$""".r
+            .findFirstMatchIn(cd).getOrElse(sys.error(
+              s"CREATE TABLE: cannot parse column definition '$cd'"))
+          val cname = m.group(1).replace("\"", "`").replace("``", "`")
+          var typ = m.group(2).trim
+          var suffix = ""
+          """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
+            .foreach { nn => typ = nn.group(1).trim; suffix = " NOT NULL" }
+          s"$cname ${PrestoRewrite.transformPrestoType(typ)}$suffix"
+        }
+        val colNames = splitTopLevel(colList.get).map(
+          _.trim.split("\\s+")(0).replace("\"", "").toLowerCase)
+        checkPartitionsLast(colNames)
+        ddl ++= s" (${colsSpark.mkString(", ")}) USING $sparkFmt"
+        if (opts.nonEmpty) ddl ++= s" OPTIONS (${opts.mkString(", ")})"
+        if (partitionedBy.nonEmpty)
+          ddl ++= s" PARTITIONED BY (${partitionedBy.mkString(", ")})"
+        bucketProp.foreach { case (cols, n, sort) =>
+          ddl ++= s" CLUSTERED BY (${cols.mkString(", ")})"
+          // ASC-only in Spark's bucket metadata; a DESC spec is
+          // accepted (SortingColumn grammar) but not advertised
+          val asc = sort.filter(!_.desc)
+          if (asc.nonEmpty && asc.length == sort.length)
+            ddl ++= s" SORTED BY (${asc.map(_.ddl).mkString(", ")})"
+          ddl ++= s" INTO $n BUCKETS"
+        }
+        props.get("external_location").foreach(loc =>
+          ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
+        comment.foreach(c => ddl ++= s" COMMENT $c")
+    }
+
+    if (guardSorts) {
+      val key = "spark.sql.optimizer.excludedRules"
+      val prior = spark.conf.getOption(key)
+      val rule = "org.apache.spark.sql.catalyst.optimizer.EliminateSorts"
+      spark.conf.set(key,
+        prior.filter(_.nonEmpty).map(_ + "," + rule).getOrElse(rule))
+      try spark.sql(ddl.toString())
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else spark.sql(ddl.toString())
+    Some(statusDf(spark, "CREATE TABLE"))
+  }
+
   /** Session-created view text, if recorded (for
     * information_schema.views.view_definition). */
   private[functions] def viewText(spark: SparkSession,
@@ -804,6 +1160,7 @@ private[functions] object PrestoStatements {
         // ROLES/GRANTS — SqlBase.g4:71-94).
         PrestoSystem.maybeCall(spark, other)
           .orElse(PrestoSecurity.maybeStatement(spark, other))
+          .orElse(maybeCreateTableWith(spark, other))
           .getOrElse {
             // Record original texts for SHOW CREATE VIEW / FUNCTION
             // before the rewrite pipeline consumes them.

@@ -433,6 +433,119 @@ object HiveLayout extends QueryPack {
         ("x_meta_scan_zero", metaScanZero.toString),
         ("x_scoped_files_untouched", scopedUntouched.toString)))
         .toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // CREATE TABLE ... WITH (properties) — the Hive table-layout DDL
+    // (HiveTableProperties.java:42-51) through the statement router,
+    // and the sorted_by WRITE CONTRACT it exists for
+    // (SortingFileWriter: every bucket file is internally sorted;
+    // HiveWriterFactory: one file per bucket): with both join sides
+    // laid out sorted-bucketed on the key, the merge join plans with
+    // ZERO Sort operators AND zero exchanges — at 100 TB that deletes
+    // both the shuffle and the per-task sort from every co-bucketed
+    // fact-fact join, the whole point of paying the sorted write once.
+    // Booleans lock: one file per bucket, files internally sorted
+    // (distributed per-file monotonicity check), the sort-free plan,
+    // the negative control (the UNSORTED bucketed layout re-plans its
+    // sorts — proving the assertion discriminates), and the
+    // sorted_by-without-bucketed_by rejection with the reference's
+    // text (HiveTableProperties.java:180). Join aggregates replay in
+    // DuckDB over integer-valued quantities (the q1k/q2r drift rule).
+    "q3l_sorted_table_properties" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val base = Storage.ctasPath(s, dir)
+      val li = tbl("ctw_li", dir)
+      val ord = tbl("ctw_ord", dir)
+      val liU = tbl("ctw_liu", dir)
+      Seq(li, ord, liU).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("_ctw_li", "_ctw_ord", "_ctw_liu").foreach(sfx =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base + sfx)))
+      prestoStatement(s, s"""
+        CREATE TABLE $li WITH (
+          format = 'PARQUET', external_location = '${base}_ctw_li',
+          bucketed_by = ARRAY['l_orderkey'], bucket_count = 8,
+          sorted_by = ARRAY['l_orderkey'])
+        AS SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem""")
+      prestoStatement(s, s"""
+        CREATE TABLE $ord WITH (
+          format = 'PARQUET', external_location = '${base}_ctw_ord',
+          bucketed_by = ARRAY['o_orderkey'], bucket_count = 8,
+          sorted_by = ARRAY['o_orderkey'])
+        AS SELECT o_orderkey, o_orderstatus FROM orders""")
+      prestoStatement(s, s"""
+        CREATE TABLE $liU WITH (
+          format = 'PARQUET', external_location = '${base}_ctw_liu',
+          bucketed_by = ARRAY['l_orderkey'], bucket_count = 8)
+        AS SELECT l_orderkey, l_returnflag FROM lineitem""")
+      // one file per bucket: the HiveWriterFactory contract, and the
+      // precondition for Spark exposing the per-bucket sort order
+      val nFiles = new java.io.File(base + "_ctw_li").listFiles()
+        .count(_.getName.startsWith("part-"))
+      // files internally sorted: distributed per-file monotonicity
+      // (scan partitions concatenate whole files; reset at boundaries)
+      val filesSorted = s.table(li)
+        .select(col("l_orderkey"), col("_metadata.file_path"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          var ok = true; var pf: String = null; var pk = Long.MinValue
+          it.foreach { case (k, fp) =>
+            if (fp != pf) { pf = fp; pk = Long.MinValue }
+            if (k < pk) ok = false
+            pk = k
+          }
+          Iterator.single(ok)
+        }.reduce(_ && _)
+      def joinPlan(left: String): (DataFrame, String) = {
+        val j = s.table(left).hint("merge")
+          .join(s.table(ord).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("qty"))
+        (j, j.queryExecution.executedPlan.toString)
+      }
+      def sorts(plan: String): Int =
+        """(?m)\bSort \[""".r.findAllIn(plan).size
+      val confKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val prior = s.conf.get(confKey, "false")
+      val (rows, sortFree, sortsReappear) =
+        try {
+          s.conf.set(confKey, "true")
+          val (j, plan) = joinPlan(li)
+          val out = j.collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+          val free = plan.contains("SortMergeJoin") && sorts(plan) == 0
+          // negative control, asymmetric by design: joining the
+          // UNSORTED bucketed layout against the sorted one re-plans
+          // exactly ONE Sort — the unsorted side pays it, the sorted
+          // side still doesn't — proving the sort-free assertion
+          // discriminates per layout, not per conf
+          val planU = s.table(liU).hint("merge")
+            .join(s.table(ord).hint("merge"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"))
+            .queryExecution.executedPlan.toString
+          (out, free, sorts(planU) == 1)
+        } finally s.conf.set(confKey, prior)
+      // the reference's own rejection text for a sorted unbucketed spec
+      val loudSorted = scala.util.Try(prestoStatement(s,
+        "CREATE TABLE graft_ctw_reject WITH (sorted_by = ARRAY['x']) " +
+          "AS SELECT 1 AS x")).failed.toOption.exists(_.getMessage
+        .contains("sorted_by may be specified only when bucketed_by is specified"))
+      val kv = rows.toSeq.flatMap { case (f, st, n, qty) =>
+        Seq((s"n_${f}_$st", n.toString), (s"qty_${f}_$st", qty.toString))
+      } ++ Seq(
+        ("x_files_sorted", filesSorted.toString),
+        ("x_one_file_per_bucket", (nFiles == 8).toString),
+        ("x_sort_free_join", sortFree.toString),
+        ("x_sorted_requires_bucketed", loudSorted.toString),
+        ("x_unsorted_side_resorts", sortsReappear.toString))
+      kv.toDF("k", "v").orderBy(col("k"))
     })
   )
 
@@ -521,6 +634,26 @@ object HiveLayout extends QueryPack {
         |    ('x_meta_files_untouched', 'true'),
         |    ('x_meta_scan_zero', 'true'),
         |    ('x_scoped_files_untouched', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    "q3l_sorted_table_properties" ->
+      """WITH j AS (
+        |  SELECT l.l_returnflag AS f, o.o_orderstatus AS st,
+        |         l.l_quantity AS q
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT k, v FROM (
+        |  SELECT 'n_' || f || '_' || st AS k,
+        |    CAST(count(*) AS VARCHAR) AS v FROM j GROUP BY f, st
+        |  UNION ALL
+        |  SELECT 'qty_' || f || '_' || st,
+        |    CAST(CAST(sum(q) AS BIGINT) AS VARCHAR) FROM j GROUP BY f, st
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_files_sorted', 'true'),
+        |    ('x_one_file_per_bucket', 'true'),
+        |    ('x_sort_free_join', 'true'),
+        |    ('x_sorted_requires_bucketed', 'true'),
+        |    ('x_unsorted_side_resorts', 'true')) t(k, v))
         |ORDER BY k""".stripMargin
   )
 }

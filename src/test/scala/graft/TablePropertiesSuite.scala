@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Registry
+
+/** CREATE TABLE ... WITH (properties) — the Hive table-layout DDL
+  * surface (`presto-hive/.../HiveTableProperties.java:42-51`) through
+  * the statement router: format/partitioned_by/bucketed_by/
+  * bucket_count/sorted_by/external_location/preferred_ordering_columns/
+  * orc bloom properties, the reference's validation arms
+  * (`getBucketProperty:173-195`, `getPreferredOrderingColumns:219-231`,
+  * `HiveMetadata.java:2668`, `AbstractPropertyManager.java:92`), and
+  * the sorted write contract (`SortingFileWriter`). */
+class TablePropertiesSuite extends GraftSuite {
+
+  Registry.install(spark)
+  import Registry.prestoStatement
+
+  // wiped once per name per suite run (CTAS refuses a non-empty
+  // location); later calls return the path without touching it
+  private val wiped = scala.collection.mutable.Set.empty[String]
+  private def tmp(n: String): String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_tps_$n")
+    if (wiped.add(n)) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    f.getAbsolutePath
+  }
+
+  private def errorOf(sql: String): String =
+    intercept[Exception](prestoStatement(spark, sql)).getMessage
+
+  /** Per-file monotonicity over a parquet directory (ascending unless
+    * `desc`); scan partitions concatenate whole files, so the check
+    * resets at each file boundary. */
+  private def filesSorted(path: String, column: String,
+      desc: Boolean = false): Boolean = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col(column).cast("long"), col("_metadata.file_path"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        var ok = true
+        var pf: String = null
+        var pk = if (desc) Long.MaxValue else Long.MinValue
+        it.foreach { case (k, fp) =>
+          if (fp != pf) {
+            pf = fp; pk = if (desc) Long.MaxValue else Long.MinValue
+          }
+          if (if (desc) k > pk else k < pk) ok = false
+          pk = k
+        }
+        Iterator.single(ok)
+      }.reduce(_ && _)
+  }
+
+  test("plain column-definition form translates Presto type spellings") {
+    spark.sql("DROP TABLE IF EXISTS tps_plain")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_plain (id bigint NOT NULL, name varchar,
+         |  tags array(varchar), price decimal(10,2),
+         |  meta map(varchar, bigint))
+         |WITH (format = 'PARQUET',
+         |      external_location = '${tmp("plain")}')""".stripMargin)
+    val schema = spark.table("tps_plain").schema
+    assert(schema.simpleString == "struct<id:bigint,name:string," +
+      "tags:array<string>,price:decimal(10,2),meta:map<string,bigint>>")
+    // NOT NULL is accepted through the DDL; Spark's v1 file-source
+    // catalog normalizes file-backed columns to nullable (its own
+    // parquet stance), so acceptance — not retention — is the contract
+    spark.sql("INSERT INTO tps_plain VALUES " +
+      "(1, 'a', array('x'), 1.50, map('k', 2))")
+    assert(spark.table("tps_plain").count() == 1)
+  }
+
+  test("the reference's default storage format is ORC") {
+    // HiveClientConfig.java:86 — hiveStorageFormat defaults to ORC
+    spark.sql("DROP TABLE IF EXISTS tps_orc")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_orc WITH (
+         |  external_location = '${tmp("orc")}',
+         |  orc_bloom_filter_columns = ARRAY['k'],
+         |  orc_bloom_filter_fpp = 0.02)
+         |AS SELECT 1 AS k""".stripMargin)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_orc"))
+    assert(meta.provider.contains("orc"))
+    // the bloom properties ride as the ORC writer's own options
+    assert(meta.storage.properties.get("orc.bloom.filter.columns")
+      .contains("k"))
+    assert(meta.storage.properties.get("orc.bloom.filter.fpp")
+      .contains("0.02"))
+    assert(spark.table("tps_orc").count() == 1)
+  }
+
+  test("JSON and TEXTFILE formats round-trip values") {
+    spark.sql("DROP TABLE IF EXISTS tps_json")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_json WITH (format = 'JSON',
+         |  external_location = '${tmp("json")}')
+         |AS SELECT 7 AS k, 'seven' AS v""".stripMargin)
+    assert(spark.table("tps_json").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq == Seq((7, "seven")))
+    spark.sql("DROP TABLE IF EXISTS tps_text")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_text WITH (format = 'TEXTFILE',
+         |  external_location = '${tmp("text")}')
+         |AS SELECT 'a' AS x, 'b' AS y""".stripMargin)
+    assert(spark.table("tps_text").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+    // LazySimpleSerDe's  field delimiter, not a comma
+    val raw = spark.read.text(tmp("text"))
+    assert(raw.collect().head.getString(0).contains('\u0001'))
+  }
+
+  test("CTAS column aliases rename positionally; WITH NO DATA keeps schema only") {
+    spark.sql("DROP TABLE IF EXISTS tps_alias")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_alias (first_key, flag)
+         |WITH (format = 'PARQUET', external_location = '${tmp("alias")}')
+         |AS SELECT 42 AS a, 'Y' AS b""".stripMargin)
+    assert(spark.table("tps_alias").columns.toSeq ==
+      Seq("first_key", "flag"))
+    spark.sql("DROP TABLE IF EXISTS tps_nodata")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_nodata WITH (format = 'PARQUET',
+         |  external_location = '${tmp("nodata")}')
+         |AS SELECT 1 AS k, 'v' AS v WITH NO DATA""".stripMargin)
+    assert(spark.table("tps_nodata").columns.toSeq == Seq("k", "v"))
+    assert(spark.table("tps_nodata").count() == 0)
+  }
+
+  test("partitioned_by CTAS registers real partitions") {
+    spark.sql("DROP TABLE IF EXISTS tps_part")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_part WITH (format = 'PARQUET',
+         |  external_location = '${tmp("part")}',
+         |  partitioned_by = ARRAY['yr'])
+         |AS SELECT o_orderkey, year(o_orderdate) AS yr
+         |   FROM parquet.`$SfDir/orders.parquet`
+         |   WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin)
+    assert(spark.sql("SHOW PARTITIONS tps_part").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("yr=1995", "yr=1996"))
+  }
+
+  test("sorted_by DESC writes descending bucket files") {
+    spark.sql("DROP TABLE IF EXISTS tps_desc")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_desc WITH (format = 'PARQUET',
+         |  external_location = '${tmp("desc")}',
+         |  bucketed_by = ARRAY['o_orderkey'], bucket_count = 4,
+         |  sorted_by = ARRAY['o_orderkey DESC'])
+         |AS SELECT o_orderkey, o_orderstatus
+         |   FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    assert(filesSorted(tmp("desc"), "o_orderkey", desc = true))
+    // one writer per bucket (HiveWriterFactory): exactly 4 data files
+    assert(new java.io.File(tmp("desc")).listFiles()
+      .count(_.getName.startsWith("part-")) == 4)
+  }
+
+  test("preferred_ordering_columns sorts unbucketed writer output") {
+    spark.sql("DROP TABLE IF EXISTS tps_pref")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_pref WITH (format = 'PARQUET',
+         |  external_location = '${tmp("pref")}',
+         |  preferred_ordering_columns = ARRAY['o_orderkey'])
+         |AS SELECT o_orderkey, o_orderstatus
+         |   FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    assert(filesSorted(tmp("pref"), "o_orderkey"))
+  }
+
+  test("property validation replays the reference's texts and order") {
+    // getBucketProperty:173-195
+    assert(errorOf("CREATE TABLE tps_e1 WITH (sorted_by = ARRAY['x']) " +
+      "AS SELECT 1 AS x").contains(
+      "sorted_by may be specified only when bucketed_by is specified"))
+    assert(errorOf("CREATE TABLE tps_e2 WITH (bucketed_by = ARRAY['x']) " +
+      "AS SELECT 1 AS x").contains(
+      "bucketed_by and bucket_count must be specified together"))
+    assert(errorOf("CREATE TABLE tps_e3 WITH (bucket_count = 4) " +
+      "AS SELECT 1 AS x").contains(
+      "bucketed_by and bucket_count must be specified together"))
+    assert(errorOf("CREATE TABLE tps_e4 WITH (bucketed_by = ARRAY['x'], " +
+      "bucket_count = -2) AS SELECT 1 AS x").contains(
+      "bucket_count must be greater than zero"))
+    assert(errorOf("CREATE TABLE tps_e5 WITH (bucketed_by = ARRAY['x'], " +
+      "bucket_count = 1000001) AS SELECT 1 AS x").contains(
+      "bucket_count should be no more than 1000000"))
+    // AbstractPropertyManager.java:92
+    assert(errorOf("CREATE TABLE tps_e6 WITH (shiny = 'yes') " +
+      "AS SELECT 1 AS x").contains(
+      "Catalog 'hive' does not support table property 'shiny'"))
+    // format is HiveStorageFormat.valueOf; serde members are a
+    // documented descope (the RCFile rationale)
+    assert(errorOf("CREATE TABLE tps_e7 WITH (format = 'EXCEL') " +
+      "AS SELECT 1 AS x").contains(
+      "Cannot convert 'EXCEL' to HiveStorageFormat"))
+    assert(errorOf("CREATE TABLE tps_e8 WITH (format = 'RCBINARY') " +
+      "AS SELECT 1 AS x").contains("documented descope"))
+    // HiveMetadata.java:2668
+    assert(errorOf("CREATE TABLE tps_e9 WITH (partitioned_by = " +
+      "ARRAY['a']) AS SELECT 1 AS a, 2 AS b").contains(
+      "Partition keys must be the last columns in the table and in the " +
+        "same order as the table properties: [a]"))
+    // getPreferredOrderingColumns:219-231
+    assert(errorOf("CREATE TABLE tps_ea WITH (bucketed_by = ARRAY['a'], " +
+      "bucket_count = 2, preferred_ordering_columns = ARRAY['b']) " +
+      "AS SELECT 1 AS a, 2 AS b").contains(
+      "preferred_ordering_columns must not be specified when bucketed_by" +
+        " is specified"))
+    // HiveMetadata.java:958
+    assert(errorOf("CREATE TABLE tps_eb WITH (avro_schema_url = 'u') " +
+      "AS SELECT 1 AS a").contains(
+      "Cannot specify avro_schema_url table property for storage " +
+        "format: ORC"))
+  }
+
+  test("IF NOT EXISTS is a no-op on an existing table") {
+    spark.sql("DROP TABLE IF EXISTS tps_ine")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_ine WITH (format = 'PARQUET',
+         |  external_location = '${tmp("ine")}')
+         |AS SELECT 1 AS k""".stripMargin)
+    prestoStatement(spark,
+      s"""CREATE TABLE IF NOT EXISTS tps_ine WITH (format = 'PARQUET',
+         |  external_location = '${tmp("ine2")}')
+         |AS SELECT 2 AS k""".stripMargin)
+    assert(spark.table("tps_ine").collect().map(_.getInt(0)).toSeq ==
+      Seq(1))
+  }
+
+  test("a CREATE TABLE without a WITH list stays on the default pipeline") {
+    // the property router must not intercept plain statements: a bare
+    // CTAS still lands through the rewrite pipeline untouched
+    spark.sql("DROP TABLE IF EXISTS tps_noprops")
+    prestoStatement(spark, "CREATE TABLE tps_noprops AS SELECT 1 AS x")
+    assert(spark.table("tps_noprops").collect().map(_.getInt(0)).toSeq ==
+      Seq(1))
+    spark.sql("DROP TABLE tps_noprops")
+  }
+}
