@@ -365,7 +365,57 @@ private[functions] object PrestoStatements {
       "avro_schema_url", "preferred_ordering_columns")
     entries.map(_._1).find(!known.contains(_)).foreach(k => sys.error(
       s"Catalog 'hive' does not support table property '$k'"))
-    val props = entries.toMap
+
+    // LIKE table elements (SqlBase.g4:143-145; CreateTableTask.java:
+    // 143-175): a LIKE expands the source's columns at its position;
+    // at most ONE may say INCLUDING PROPERTIES, whose inherited
+    // properties sit UNDER explicit WITH keys and OVER defaults
+    // (combineProperties:205-215). external_location never inherits —
+    // it is per-table physical placement (two tables on one directory
+    // would collide on write; the reference hits the same wall as a
+    // create-time failure).
+    val likeRe = ("""(?is)^LIKE\s+("?[A-Za-z_][\w.]*"?)""" +
+      """(?:\s+(INCLUDING|EXCLUDING)\s+PROPERTIES)?$""").r
+    val colElems = colList.map(splitTopLevel(_).filter(_.nonEmpty))
+      .getOrElse(Seq.empty).map(_.trim)
+    val likeMatches = colElems.flatMap(el =>
+      likeRe.findFirstMatchIn(el).map(el -> _)).toMap
+    def likeSrc(m: scala.util.matching.Regex.Match): String = {
+      val raw = m.group(1).replace("\"", "")
+      val base = raw.split('.').last
+      if (!spark.catalog.tableExists(base))
+        sys.error(s"LIKE table '$raw' does not exist")
+      base
+    }
+    val includers = colElems.flatMap(likeMatches.get).filter(m =>
+      Option(m.group(2)).exists(_.equalsIgnoreCase("INCLUDING")))
+    if (includers.length > 1)
+      sys.error("Only one LIKE clause can specify INCLUDING PROPERTIES")
+    val inherited: Seq[(String, Any)] = includers.headOption.map { m =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(likeSrc(m)))
+      meta.provider.map(_.toLowerCase).collect {
+        case "parquet" => "PARQUET"
+        case "orc" => "ORC"
+        case "json" => "JSON"
+        case "csv" => "TEXTFILE"
+      }.map("format" -> (_: Any)).toSeq ++
+        (if (meta.partitionColumnNames.nonEmpty)
+          Seq("partitioned_by" -> meta.partitionColumnNames)
+        else Seq.empty) ++
+        meta.bucketSpec.toSeq.flatMap(b =>
+          Seq("bucketed_by" -> b.bucketColumnNames,
+            "bucket_count" -> b.numBuckets.toLong) ++
+            (if (b.sortColumnNames.nonEmpty)
+              Seq("sorted_by" -> b.sortColumnNames)
+            else Seq.empty)) ++
+        meta.storage.properties.get("orc.bloom.filter.columns").toSeq
+          .map(cs => "orc_bloom_filter_columns" -> cs.split(',').toSeq) ++
+        meta.storage.properties.get("orc.bloom.filter.fpp").toSeq
+          .map(f => "orc_bloom_filter_fpp" -> f.toDouble)
+    }.getOrElse(Seq.empty)
+    // explicit keys win over inherited; defaults only fill the rest
+    val props = (inherited ++ entries).toMap
     def strArr(k: String): Seq[String] = props.get(k) match {
       case None => Seq.empty
       case Some(s: Seq[_]) => s.map(String.valueOf)
@@ -536,21 +586,34 @@ private[functions] object PrestoStatements {
         else src0 + limitSuffix)
 
       case None =>
-        // plain form: column definitions with Presto type spellings
-        val colsSpark = splitTopLevel(colList.get).map { cd0 =>
-          val cd = cd0.trim
-          val m = """(?s)^("[^"]+"|[A-Za-z_]\w*)\s+(.+)$""".r
-            .findFirstMatchIn(cd).getOrElse(sys.error(
-              s"CREATE TABLE: cannot parse column definition '$cd'"))
-          val cname = m.group(1).replace("\"", "`").replace("``", "`")
-          var typ = m.group(2).trim
-          var suffix = ""
-          """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
-            .foreach { nn => typ = nn.group(1).trim; suffix = " NOT NULL" }
-          s"$cname ${PrestoRewrite.transformPrestoType(typ)}$suffix"
+        // plain form: column definitions with Presto type spellings;
+        // a LIKE element expands the source's columns at its position
+        // (CreateTableTask.java:166-175 — duplicates against explicit
+        // or other expanded columns are the reference's loud arm)
+        val expanded: Seq[(String, String)] = colElems.flatMap { cd =>
+          likeMatches.get(cd) match {
+            case Some(m) =>
+              spark.table(likeSrc(m)).schema.fields.toSeq.map(f =>
+                f.name.toLowerCase -> s"`${f.name}` ${f.dataType.sql}")
+            case None =>
+              val m = """(?s)^("[^"]+"|[A-Za-z_]\w*)\s+(.+)$""".r
+                .findFirstMatchIn(cd).getOrElse(sys.error(
+                  s"CREATE TABLE: cannot parse column definition '$cd'"))
+              val cname = m.group(1).replace("\"", "`").replace("``", "`")
+              var typ = m.group(2).trim
+              var suffix = ""
+              """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
+                .foreach { nn =>
+                  typ = nn.group(1).trim; suffix = " NOT NULL" }
+              Seq((m.group(1).replace("\"", "").toLowerCase,
+                s"$cname ${PrestoRewrite.transformPrestoType(typ)}$suffix"))
+          }
         }
-        val colNames = splitTopLevel(colList.get).map(
-          _.trim.split("\\s+")(0).replace("\"", "").toLowerCase)
+        expanded.map(_._1).diff(expanded.map(_._1).distinct).headOption
+          .foreach(d => sys.error(
+            s"Column name '$d' specified more than once"))
+        val colsSpark = expanded.map(_._2)
+        val colNames = expanded.map(_._1)
         checkPartitionsLast(colNames)
         ddl ++= s" (${colsSpark.mkString(", ")}) USING $sparkFmt"
         if (opts.nonEmpty) ddl ++= s" OPTIONS (${opts.mkString(", ")})"
@@ -937,12 +1000,58 @@ private[functions] object PrestoStatements {
 
       case showCreateTableRe(name) =>
         // ShowQueriesRewrite visitShowCreateTable: reconstructed DDL
-        // from catalog metadata (columns + types), Presto's layout.
+        // from catalog metadata — columns + types, and (for catalog
+        // tables) the WITH property block in SqlFormatter's layout,
+        // reconstructed from the SAME metadata the CREATE TABLE ...
+        // WITH surface wrote: provider → format, external location,
+        // partition columns, bucket spec (ASC sort columns render
+        // bare, per SortingColumn.sortingColumnToString), orc bloom
+        // options. Temp views render columns only (no catalog entry).
         val base = name.split('.').last
         val cols = spark.table(base).schema.fields
           .map(f => s"""   "${f.name}" ${prestoTypeName(f.dataType)}""")
           .mkString(",\n")
-        statusDf(spark, s"CREATE TABLE $base (\n$cols\n)")
+        val props: Seq[String] = scala.util.Try {
+          val m = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(base))
+          def arr(xs: Seq[String]) =
+            xs.map(x => s"'$x'").mkString("ARRAY[", ",", "]")
+          val fmt = m.provider.map(_.toLowerCase) match {
+            case Some("parquet") => Seq("format = 'PARQUET'")
+            case Some("orc") => Seq("format = 'ORC'")
+            case Some("json") => Seq("format = 'JSON'")
+            case Some("csv") => Seq("format = 'TEXTFILE'")
+            case _ => Seq.empty
+          }
+          val loc =
+            if (m.tableType ==
+              org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+              m.storage.locationUri.map(u =>
+                s"external_location = '${u.toString}'").toSeq
+            else Seq.empty
+          val parts =
+            if (m.partitionColumnNames.nonEmpty)
+              Seq(s"partitioned_by = ${arr(m.partitionColumnNames)}")
+            else Seq.empty
+          val bucket = m.bucketSpec.toSeq.flatMap { b =>
+            Seq(s"bucketed_by = ${arr(b.bucketColumnNames)}",
+              s"bucket_count = ${b.numBuckets}") ++
+              (if (b.sortColumnNames.nonEmpty)
+                Seq(s"sorted_by = ${arr(b.sortColumnNames)}")
+              else Seq.empty)
+          }
+          val bloom =
+            m.storage.properties.get("orc.bloom.filter.columns").toSeq
+              .map(cs => s"orc_bloom_filter_columns = ${arr(
+                cs.split(',').toSeq)}") ++
+              m.storage.properties.get("orc.bloom.filter.fpp").toSeq
+                .map(f => s"orc_bloom_filter_fpp = $f")
+          fmt ++ loc ++ parts ++ bucket ++ bloom
+        }.getOrElse(Seq.empty)
+        val withBlock =
+          if (props.isEmpty) ""
+          else props.map("   " + _).mkString("\nWITH (\n", ",\n", "\n)")
+        statusDf(spark, s"CREATE TABLE $base (\n$cols\n)$withBlock")
           .withColumnRenamed("result", "Create Table")
 
       case showCreateViewRe(name) =>

@@ -61,7 +61,8 @@ private[functions] object PrestoSystem {
 
   private val sysRe =
     ("""(?i)\bsystem\s*\.\s*(?:(runtime)\s*\.\s*(nodes|queries)""" +
-      """|(metadata)\s*\.\s*(catalogs))\b""").r
+      """|(metadata)\s*\.\s*(catalogs|table_properties""" +
+      """|schema_properties|column_properties|analyze_properties))\b""").r
 
   // Hive-connector table-suffix system tables ("t$partitions" /
   // "t$properties", HiveMetadata.java:407-415 + SystemTableHandler:
@@ -191,6 +192,56 @@ private[functions] object PrestoSystem {
       Seq((cat, cat)).toDF("catalog_name", "connector_id")
         .createOrReplaceTempView("graft_system_metadata_catalogs")
     }
+    // system.metadata.{table,schema,column,analyze}_properties
+    // (AbstractPropertiesSystemTable.java:35-41,78-92: catalog_name/
+    // property_name/default_value/type/description, catalogs and
+    // properties each in sorted order, null defaults rendered "").
+    // The rows ARE the engine's live registries: table properties are
+    // what maybeCreateTableWith accepts (HiveTableProperties.java:
+    // 42-51 with the reference's defaults — ORC storage format per
+    // HiveClientConfig.java:86, fpp 0.05 per :109), schema properties
+    // the CREATE SCHEMA location (HiveSchemaProperties.java:29-34),
+    // analyze properties ANALYZE's partitions list
+    // (HiveAnalyzeProperties.java:45-48), and hive registers no column
+    // properties — an empty relation, not a missing table.
+    def propsView(name: String,
+        rows: Seq[(String, String, String, String)]): Unit = {
+      val cat = spark.catalog.currentCatalog()
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("catalog_name", "property_name", "default_value", "type",
+          "description").map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+      val data = rows.sortBy(_._1).map { case (n, d, t, desc) =>
+        org.apache.spark.sql.Row(cat, n, d, t, desc) }
+      spark.createDataFrame(
+        java.util.Arrays.asList(data: _*), schema)
+        .createOrReplaceTempView(s"graft_system_metadata_$name")
+    }
+    if (which("metadata_table_properties")) propsView("table_properties",
+      Seq(
+        ("avro_schema_url", "", "varchar",
+          "URI pointing to Avro schema for the table"),
+        ("bucket_count", "0", "integer", "Number of buckets"),
+        ("bucketed_by", "[]", "array(varchar)", "Bucketing columns"),
+        ("external_location", "", "varchar",
+          "File system location URI for external table"),
+        ("format", "ORC", "varchar", "Hive storage format for the table"),
+        ("orc_bloom_filter_columns", "[]", "array(varchar)",
+          "ORC Bloom filter index columns"),
+        ("orc_bloom_filter_fpp", "0.05", "double",
+          "ORC Bloom filter false positive probability"),
+        ("partitioned_by", "[]", "array(varchar)", "Partition columns"),
+        ("preferred_ordering_columns", "[]", "array(varchar)",
+          "Preferred ordering columns for unbucketed table"),
+        ("sorted_by", "[]", "array(varchar)", "Bucket sorting columns")))
+    if (which("metadata_schema_properties")) propsView("schema_properties",
+      Seq(("location", "", "varchar", "Base file system location URI")))
+    if (which("metadata_column_properties"))
+      propsView("column_properties", Seq.empty)
+    if (which("metadata_analyze_properties"))
+      propsView("analyze_properties",
+        Seq(("partitions", "", "array(array(varchar))",
+          "Partitions to be analyzed")))
   }
 
   // ——— CALL system.runtime.kill_query ————————————————————————————————

@@ -546,6 +546,35 @@ object HiveLayout extends QueryPack {
         ("x_sorted_requires_bucketed", loudSorted.toString),
         ("x_unsorted_side_resorts", sortsReappear.toString))
       kv.toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // system.metadata.{table,schema,column,analyze}_properties — the
+    // property-registry system tables (AbstractPropertiesSystemTable
+    // .java:35-41,78-92), rendered per the reference (catalog_name/
+    // property_name/default_value/type/description, sorted, null
+    // defaults as ""). The rows are the engine's LIVE registries: the
+    // table listing is exactly what CREATE TABLE ... WITH (...)
+    // accepts (TablePropertiesSuite locks the tie behaviorally), and
+    // hive's empty column-property registry answers as an empty
+    // relation, not a missing table.
+    "q3m_property_listings" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SELECT k, v FROM (
+          |  SELECT 'tp_' || property_name AS k,
+          |         type || '|' || default_value AS v
+          |  FROM system.metadata.table_properties
+          |  UNION ALL
+          |  SELECT 'sp_' || property_name, type || '|' || default_value
+          |  FROM system.metadata.schema_properties
+          |  UNION ALL
+          |  SELECT 'ap_' || property_name, type || '|' || default_value
+          |  FROM system.metadata.analyze_properties
+          |  UNION ALL
+          |  SELECT 'x_column_props', CAST(count(*) AS VARCHAR)
+          |  FROM system.metadata.column_properties)
+          |ORDER BY k""".stripMargin)
     })
   )
 
@@ -654,6 +683,24 @@ object HiveLayout extends QueryPack {
         |    ('x_sort_free_join', 'true'),
         |    ('x_sorted_requires_bucketed', 'true'),
         |    ('x_unsorted_side_resorts', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    // the reference's fixed registries ARE the contract — literal replay
+    "q3m_property_listings" ->
+      """SELECT k, v FROM (VALUES
+        |  ('ap_partitions', 'array(array(varchar))|'),
+        |  ('sp_location', 'varchar|'),
+        |  ('tp_avro_schema_url', 'varchar|'),
+        |  ('tp_bucket_count', 'integer|0'),
+        |  ('tp_bucketed_by', 'array(varchar)|[]'),
+        |  ('tp_external_location', 'varchar|'),
+        |  ('tp_format', 'varchar|ORC'),
+        |  ('tp_orc_bloom_filter_columns', 'array(varchar)|[]'),
+        |  ('tp_orc_bloom_filter_fpp', 'double|0.05'),
+        |  ('tp_partitioned_by', 'array(varchar)|[]'),
+        |  ('tp_preferred_ordering_columns', 'array(varchar)|[]'),
+        |  ('tp_sorted_by', 'array(varchar)|[]'),
+        |  ('x_column_props', '0')) t(k, v)
         |ORDER BY k""".stripMargin
   )
 }

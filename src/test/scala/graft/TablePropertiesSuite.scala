@@ -229,6 +229,124 @@ class TablePropertiesSuite extends GraftSuite {
       Seq(1))
   }
 
+  test("LIKE expands source columns; INCLUDING PROPERTIES inherits layout") {
+    spark.sql("DROP TABLE IF EXISTS tps_like_src")
+    spark.sql("DROP TABLE IF EXISTS tps_like1")
+    spark.sql("DROP TABLE IF EXISTS tps_like2")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_like_src WITH (format = 'PARQUET',
+         |  external_location = '${tmp("likesrc")}',
+         |  bucketed_by = ARRAY['k'], bucket_count = 4,
+         |  sorted_by = ARRAY['k'])
+         |AS SELECT 1 AS k, 'a' AS v""".stripMargin)
+    // EXCLUDING (the default): columns at position, no layout carried
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_like1 (id bigint, LIKE tps_like_src,
+         |  extra varchar)
+         |WITH (format = 'PARQUET',
+         |      external_location = '${tmp("like1")}')""".stripMargin)
+    assert(spark.table("tps_like1").columns.toSeq ==
+      Seq("id", "k", "v", "extra"))
+    val m1 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_like1"))
+    assert(m1.bucketSpec.isEmpty)
+    // INCLUDING PROPERTIES: bucket layout inherits; the explicit WITH
+    // key overrides the inherited one (combineProperties:205-215)
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_like2 (LIKE tps_like_src INCLUDING PROPERTIES)
+         |WITH (bucket_count = 8,
+         |      external_location = '${tmp("like2")}')""".stripMargin)
+    val m2 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_like2"))
+    assert(m2.provider.exists(_.equalsIgnoreCase("parquet")))
+    assert(m2.bucketSpec.exists(b => b.numBuckets == 8 &&
+      b.bucketColumnNames == Seq("k") && b.sortColumnNames == Seq("k")))
+    // the reference's loud arms
+    assert(errorOf("CREATE TABLE tps_le1 (k bigint, LIKE tps_like_src) " +
+      s"WITH (format = 'PARQUET')").contains(
+      "Column name 'k' specified more than once"))
+    assert(errorOf("CREATE TABLE tps_le2 (LIKE tps_like_src INCLUDING " +
+      "PROPERTIES, LIKE tps_like1 INCLUDING PROPERTIES) " +
+      "WITH (format = 'PARQUET')").contains(
+      "Only one LIKE clause can specify INCLUDING PROPERTIES"))
+    assert(errorOf("CREATE TABLE tps_le3 (LIKE tps_no_such_table) " +
+      "WITH (format = 'PARQUET')").contains(
+      "LIKE table 'tps_no_such_table' does not exist"))
+  }
+
+  test("SHOW CREATE TABLE round-trips the property surface") {
+    // create via WITH (...) -> SHOW CREATE renders the same properties
+    // -> the rendered text re-executes and reproduces the layout
+    spark.sql("DROP TABLE IF EXISTS tps_rt")
+    spark.sql("DROP TABLE IF EXISTS tps_rt2")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_rt WITH (format = 'PARQUET',
+         |  external_location = '${tmp("rt")}',
+         |  partitioned_by = ARRAY['flag'],
+         |  bucketed_by = ARRAY['k'], bucket_count = 4,
+         |  sorted_by = ARRAY['k'])
+         |AS SELECT o_orderkey AS k, o_totalprice AS price,
+         |          o_orderstatus AS flag
+         |   FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    val ddl = prestoStatement(spark, "SHOW CREATE TABLE tps_rt")
+      .collect()(0).getString(0)
+    assert(ddl.contains("format = 'PARQUET'"), ddl)
+    assert(ddl.contains("partitioned_by = ARRAY['flag']"), ddl)
+    assert(ddl.contains("bucketed_by = ARRAY['k']"), ddl)
+    assert(ddl.contains("bucket_count = 4"), ddl)
+    assert(ddl.contains("sorted_by = ARRAY['k']"), ddl)
+    assert(ddl.contains("external_location ="), ddl)
+    // re-execute against a new name/location; Presto's SHOW CREATE is
+    // a runnable statement, so the clone must carry the whole layout
+    val clone = ddl
+      .replace("tps_rt", "tps_rt2")
+      .replaceAll("external_location = '[^']*'",
+        s"external_location = '${tmp("rt2")}'")
+    prestoStatement(spark, clone)
+    val m = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_rt2"))
+    assert(m.partitionColumnNames == Seq("flag"))
+    assert(m.bucketSpec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("k") && b.sortColumnNames == Seq("k")))
+    assert(m.provider.exists(_.equalsIgnoreCase("parquet")))
+  }
+
+  test("the property listing is the live CREATE TABLE registry") {
+    // system.metadata.table_properties rows must be exactly what the
+    // WITH (...) surface accepts: probing each listed name must never
+    // produce the unknown-property rejection (a wrong VALUE may be
+    // loud, a wrong NAME means the listing lies)
+    val listed = prestoStatement(spark,
+      "SELECT property_name, type FROM system.metadata.table_properties")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(listed.length == 10)
+    listed.foreach { case (name, typ) =>
+      val dummy = typ match {
+        case "integer" => "4"
+        case "double" => "0.5"
+        case t if t.startsWith("array") => "ARRAY['x']"
+        case _ => "'x'"
+      }
+      val got = try {
+        prestoStatement(spark,
+          s"CREATE TABLE tps_probe WITH ($name = $dummy) AS SELECT 1 AS x")
+        spark.sql("DROP TABLE IF EXISTS tps_probe")
+        ""
+      } catch { case e: Exception => e.getMessage }
+      assert(!got.contains("does not support table property"),
+        s"listed property '$name' rejected as unknown")
+    }
+    // schema/analyze listings and the empty column registry
+    assert(prestoStatement(spark,
+      "SELECT property_name FROM system.metadata.schema_properties")
+      .collect().map(_.getString(0)).toSeq == Seq("location"))
+    assert(prestoStatement(spark,
+      "SELECT property_name FROM system.metadata.analyze_properties")
+      .collect().map(_.getString(0)).toSeq == Seq("partitions"))
+    assert(prestoStatement(spark,
+      "SELECT * FROM system.metadata.column_properties").count() == 0)
+  }
+
   test("a CREATE TABLE without a WITH list stays on the default pipeline") {
     // the property router must not intercept plain statements: a bare
     // CTAS still lands through the rewrite pipeline untouched
