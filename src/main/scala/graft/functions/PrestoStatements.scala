@@ -602,9 +602,15 @@ private[functions] object PrestoStatements {
               val cname = m.group(1).replace("\"", "`").replace("``", "`")
               var typ = m.group(2).trim
               var suffix = ""
+              // grammar order (SqlBase.g4:140): type (NOT NULL)?
+              // (COMMENT string)? — both carry onto the Spark coldef
+              """(?is)^(.*?)\s+(COMMENT\s+'(?:[^']|'')*')\s*$""".r
+                .findFirstMatchIn(typ).foreach { cm =>
+                  typ = cm.group(1).trim
+                  suffix = " " + cm.group(2) + suffix }
               """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r.findFirstMatchIn(typ)
                 .foreach { nn =>
-                  typ = nn.group(1).trim; suffix = " NOT NULL" }
+                  typ = nn.group(1).trim; suffix = " NOT NULL" + suffix }
               Seq((m.group(1).replace("\"", "").toLowerCase,
                 s"$cname ${PrestoRewrite.transformPrestoType(typ)}$suffix"))
           }

@@ -229,6 +229,43 @@ class TablePropertiesSuite extends GraftSuite {
       Seq(1))
   }
 
+  test("column COMMENT rides the definition; partition x bucket pruning compose") {
+    spark.sql("DROP TABLE IF EXISTS tps_cc")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_cc (k bigint NOT NULL COMMENT 'the key',
+         |  flag varchar COMMENT 'status flag', v double)
+         |WITH (format = 'PARQUET',
+         |      external_location = '${tmp("cc")}',
+         |      partitioned_by = ARRAY['v'])""".stripMargin)
+    val byName = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_cc"))
+      .schema.map(f => f.name -> f.getComment()).toMap
+    assert(byName("k").contains("the key"))
+    assert(byName("flag").contains("status flag"))
+    // the 100 TB read path: a statement-created partitioned+bucketed
+    // layout prunes on BOTH axes at once — the scan reads one
+    // partition directory AND one bucket file of it
+    spark.sql("DROP TABLE IF EXISTS tps_px")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_px WITH (format = 'PARQUET',
+         |  external_location = '${tmp("px")}',
+         |  partitioned_by = ARRAY['yr'],
+         |  bucketed_by = ARRAY['o_orderkey'], bucket_count = 8)
+         |AS SELECT o_orderkey, o_totalprice, year(o_orderdate) AS yr
+         |   FROM parquet.`$SfDir/orders.parquet`
+         |   WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = spark.table("tps_px")
+        .filter(col("yr") === 1995 && col("o_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("LIKE expands source columns; INCLUDING PROPERTIES inherits layout") {
     spark.sql("DROP TABLE IF EXISTS tps_like_src")
     spark.sql("DROP TABLE IF EXISTS tps_like1")
