@@ -215,7 +215,16 @@ private[functions] object PrestoStatements {
   private val dropFnRe =
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
   private val analyzeTableRe =
-    """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\([^)]*\))?\s*$""".r
+    """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\((.*)\))?\s*$""".r
+  // CREATE SCHEMA ... WITH (properties) — the hive connector's one
+  // schema property is `location` (HiveSchemaProperties.java:29-34);
+  // unknown names fail with the property manager's message. Spark's
+  // CREATE DATABASE ... LOCATION is the exact analog: managed tables
+  // in the schema land under that base URI.
+  private val createSchemaWithRe =
+    ("""(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([A-Za-z_][\w.]*)\s+WITH\s*\((.*)\)\s*$""").r
+
   private val useRe =
     """(?is)^\s*USE\s+([A-Za-z_][\w.]*)\s*$""".r
   private val renameSchemaRe =
@@ -1156,15 +1165,105 @@ private[functions] object PrestoStatements {
           if (stmt.trim.toUpperCase.startsWith("START")) "START TRANSACTION"
           else stmt.trim.split("\\s+")(0).toUpperCase)
 
-      case analyzeTableRe(name) =>
+      case createSchemaWithRe(ine, name0, propsText) =>
+        val name = name0.split('.').last
+        val strRe = """(?s)^'((?:[^']|'')*)'$""".r
+        var location: Option[String] = None
+        splitTopLevel(propsText).filter(_.nonEmpty).foreach { e =>
+          val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
+            .findFirstMatchIn(e).getOrElse(sys.error(
+              s"Invalid schema property assignment: $e"))
+          m.group(1).toLowerCase match {
+            case "location" => m.group(2).trim match {
+              case strRe(x) => location = Some(x.replace("''", "'"))
+              case other => sys.error(
+                s"Invalid value for schema property 'location': Cannot convert '$other' to varchar")
+            }
+            case other => sys.error(
+              s"Catalog 'hive' does not support schema property '$other'")
+          }
+        }
+        spark.sql(s"CREATE DATABASE ${
+          if (ine != null) "IF NOT EXISTS " else ""}$name" +
+          location.map(l => s" LOCATION '${l.replace("'", "''")}'")
+            .getOrElse(""))
+        statusDf(spark, "CREATE SCHEMA")
+
+      case analyzeTableRe(name, propsOrNull) =>
         // ANALYZE (SqlBase.g4 #analyze; presto-main AnalyzeTask →
         // connector stats collection): Spark's catalog-stats ANALYZE —
         // row count + per-column ndv/min/max/nulls into the catalog,
         // feeding the CBO the way Presto's stats feed its optimizer.
-        // WITH (...) properties are connector-specific; accepted and
-        // dropped (Spark's stats have no equivalent knobs).
-        spark.sql(s"ANALYZE TABLE ${name.split('.').last} " +
-          "COMPUTE STATISTICS FOR ALL COLUMNS")
+        // The hive connector's one analyze property is `partitions`
+        // (HiveAnalyzeProperties.java:44-53: array(array(varchar)),
+        // whole-entry nulls loud, null VALUES map to hive's default
+        // partition token, entries dedup as a set) — scoping stats
+        // collection to the listed partitions
+        // (HiveMetadata.java:394-403: a partition list on an
+        // unpartitioned table is loud; HivePartitionManager:295-299:
+        // every listed partition must exist). Spark analog:
+        // ANALYZE TABLE ... PARTITION (spec) per listed entry —
+        // partition-scoped stats, never the whole table.
+        val base = name.split('.').last
+        val partitionLists: Option[Seq[Seq[String]]] =
+          Option(propsOrNull).map { txt =>
+            val entries = splitTopLevel(txt).filter(_.nonEmpty)
+            val parsed = entries.map { e =>
+              val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
+                .findFirstMatchIn(e).getOrElse(sys.error(
+                  s"Invalid analyze property assignment: $e"))
+              if (m.group(1).toLowerCase != "partitions") sys.error(
+                s"Catalog 'hive' does not support analyze property '${m.group(1).toLowerCase}'")
+              m.group(2).trim
+            }
+            val strRe = """(?s)^'((?:[^']|'')*)'$""".r
+            def outerErr(v: String) = sys.error(
+              "Invalid value for analyze property 'partitions': " +
+                s"Cannot convert '$v' to array(array(varchar))")
+            parsed.flatMap { v =>
+              val outer = """(?is)^ARRAY\s*\[(.*)\]$""".r
+                .findFirstMatchIn(v).getOrElse(outerErr(v)).group(1)
+              splitTopLevel(outer).filter(_.nonEmpty).map { inner0 =>
+                val inner = inner0.trim
+                if (inner.equalsIgnoreCase("NULL")) sys.error(
+                  "Invalid null value in analyze partitions property")
+                val items = """(?is)^ARRAY\s*\[(.*)\]$""".r
+                  .findFirstMatchIn(inner).getOrElse(outerErr(inner))
+                  .group(1)
+                splitTopLevel(items).filter(_.nonEmpty).map { it0 =>
+                  it0.trim match {
+                    case n if n.equalsIgnoreCase("NULL") =>
+                      "__HIVE_DEFAULT_PARTITION__"
+                    case strRe(x) => x.replace("''", "'")
+                    case other => sys.error(
+                      s"Invalid value for analyze property 'partitions': Cannot convert '$other' to varchar")
+                  }
+                }
+              }.distinct // decodePartitionLists collects to a SET
+            }
+          }
+        partitionLists match {
+          case None =>
+            spark.sql(
+              s"ANALYZE TABLE $base COMPUTE STATISTICS FOR ALL COLUMNS")
+          case Some(lists) =>
+            val partCols = spark.catalog.listColumns(base).collect()
+              .filter(_.isPartition).map(_.name).toSeq
+            if (partCols.isEmpty) sys.error(
+              "Only partitioned table can be analyzed with a partition list")
+            lists.foreach { vals =>
+              if (vals.length != partCols.length) sys.error(
+                s"Partition value count ${vals.length} does not match " +
+                  s"partition column count ${partCols.length}")
+              val spec = partCols.zip(vals).map { case (c, v) =>
+                s"$c = '${v.replace("'", "''")}'" }.mkString(", ")
+              // a listed partition that does not exist fails through
+              // Spark's own NoSuchPartitionException — the reference's
+              // "partition must exist" arm
+              spark.sql(
+                s"ANALYZE TABLE $base PARTITION ($spec) COMPUTE STATISTICS")
+            }
+        }
         statusDf(spark, "ANALYZE")
 
       case dropFnRe(ifExists, name) =>

@@ -575,6 +575,62 @@ object HiveLayout extends QueryPack {
           |  SELECT 'x_column_props', CAST(count(*) AS VARCHAR)
           |  FROM system.metadata.column_properties)
           |ORDER BY k""".stripMargin)
+    }),
+
+    // ANALYZE ... WITH (partitions = ARRAY[ARRAY[...]]) — the hive
+    // connector's partition-scoped statistics collection
+    // (HiveAnalyzeProperties.java:44-53 decode rules;
+    // HiveMetadata.java:394-403 unpartitioned rejection;
+    // HivePartitionManager:295-299 every listed partition must
+    // exist). The listed partitions get catalog stats whose row
+    // counts replay against DuckDB counting the same years — the
+    // stats are DATA facts, not just booleans — and the unlisted
+    // partition stays stat-free (the scoping proof). At 100 TB this
+    // is incremental stats maintenance: analyze yesterday's
+    // partition, never re-scan the table.
+    "q3n_analyze_partitions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val pt = tbl("anp", dir)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .filter(col("o_year").isin(1995, 1996, 1997))
+        .repartition(3, col("o_year"))
+        .write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_anp")
+        .partitionBy("o_year").saveAsTable(pt)
+      prestoStatement(s,
+        s"ANALYZE $pt WITH (partitions = ARRAY[ARRAY['1995'], ARRAY['1996']])")
+      val stats = s.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(pt))
+        .map(p => p.spec("o_year") ->
+          p.stats.flatMap(_.rowCount).map(_.toLong))
+        .toMap
+      def loud(sql: String, want: String): Boolean =
+        scala.util.Try(prestoStatement(s, sql)).failed.toOption
+          .exists(_.getMessage.contains(want))
+      val rows =
+        Seq("1995", "1996").map(y =>
+          (s"stats_$y", stats(y).map(_.toString).getOrElse("absent"))) ++
+        Seq(
+          ("x_mismatch_loud", loud(
+            s"ANALYZE $pt WITH (partitions = ARRAY[ARRAY['1995','x']])",
+            "does not match partition column count").toString),
+          ("x_nonexistent_loud", scala.util.Try(prestoStatement(s,
+            s"ANALYZE $pt WITH (partitions = ARRAY[ARRAY['2099']])"))
+            .isFailure.toString),
+          ("x_null_loud", loud(
+            s"ANALYZE $pt WITH (partitions = ARRAY[NULL])",
+            "Invalid null value in analyze partitions property").toString),
+          ("x_unanalyzed_1997", stats("1997").isEmpty.toString),
+          ("x_unpartitioned_loud", loud(
+            "ANALYZE nation WITH (partitions = ARRAY[ARRAY['1']])",
+            "Only partitioned table can be analyzed with a partition list")
+            .toString))
+      rows.toDF("k", "v").orderBy(col("k"))
     })
   )
 
@@ -701,6 +757,23 @@ object HiveLayout extends QueryPack {
         |  ('tp_preferred_ordering_columns', 'array(varchar)|[]'),
         |  ('tp_sorted_by', 'array(varchar)|[]'),
         |  ('x_column_props', '0')) t(k, v)
+        |ORDER BY k""".stripMargin,
+
+    // catalog stats row counts for the two analyzed partitions are
+    // DATA facts — DuckDB counts the same years from the raw table
+    "q3n_analyze_partitions" ->
+      """SELECT k, v FROM (
+        |  SELECT 'stats_' || CAST(year(o_orderdate) AS VARCHAR) AS k,
+        |    CAST(count(*) AS VARCHAR) AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY year(o_orderdate)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_mismatch_loud', 'true'),
+        |    ('x_nonexistent_loud', 'true'),
+        |    ('x_null_loud', 'true'),
+        |    ('x_unanalyzed_1997', 'true'),
+        |    ('x_unpartitioned_loud', 'true')) t(k, v))
         |ORDER BY k""".stripMargin
   )
 }

@@ -384,6 +384,43 @@ class TablePropertiesSuite extends GraftSuite {
       "SELECT * FROM system.metadata.column_properties").count() == 0)
   }
 
+  test("CREATE SCHEMA WITH (location) places managed tables under it") {
+    // HiveSchemaProperties.java:29-34 — the schema's base URI; a
+    // managed table created inside lands under it
+    val loc = tmp("schloc")
+    spark.sql("DROP DATABASE IF EXISTS tps_sch CASCADE")
+    prestoStatement(spark,
+      s"CREATE SCHEMA tps_sch WITH (location = '$loc')")
+    spark.sql("CREATE TABLE tps_sch.inner_t USING parquet AS SELECT 1 AS x")
+    val m = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "inner_t", Some("tps_sch")))
+    assert(m.storage.locationUri.exists(_.toString.contains("schloc")))
+    assert(errorOf("CREATE SCHEMA tps_sch2 WITH (owner = 'bob')")
+      .contains("Catalog 'hive' does not support schema property 'owner'"))
+    spark.sql("DROP DATABASE tps_sch CASCADE")
+  }
+
+  test("bucketed groupBy on the bucket key plans no exchange") {
+    // the aggregation half of the bucketing dividend: grouping by the
+    // bucket key over the statement-created layout reuses the scan's
+    // hash placement — zero exchanges (at 100 TB the agg shuffle is
+    // gone, the same way qk0 deletes the join shuffle)
+    spark.sql("DROP TABLE IF EXISTS tps_agg")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_agg WITH (format = 'PARQUET',
+         |  external_location = '${tmp("agg")}',
+         |  bucketed_by = ARRAY['o_orderkey'], bucket_count = 4)
+         |AS SELECT o_orderkey, o_totalprice
+         |   FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    val agg = spark.table("tps_agg")
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
+  }
+
   test("a CREATE TABLE without a WITH list stays on the default pipeline") {
     // the property router must not intercept plain statements: a bare
     // CTAS still lands through the rewrite pipeline untouched
