@@ -476,11 +476,14 @@ object HiveLayout extends QueryPack {
           bucketed_by = ARRAY['o_orderkey'], bucket_count = 8,
           sorted_by = ARRAY['o_orderkey'])
         AS SELECT o_orderkey, o_orderstatus FROM orders""")
+      // the unsorted control is only ever PLANNED (never executed), so
+      // a slim slice keeps the gate's write cost on the real layouts
       prestoStatement(s, s"""
         CREATE TABLE $liU WITH (
           format = 'PARQUET', external_location = '${base}_ctw_liu',
           bucketed_by = ARRAY['l_orderkey'], bucket_count = 8)
-        AS SELECT l_orderkey, l_returnflag FROM lineitem""")
+        AS SELECT l_orderkey, l_returnflag FROM lineitem
+           WHERE l_orderkey <= 1000""")
       // one file per bucket: the HiveWriterFactory contract, and the
       // precondition for Spark exposing the per-bucket sort order
       val nFiles = new java.io.File(base + "_ctw_li").listFiles()
