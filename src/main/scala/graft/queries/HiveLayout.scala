@@ -634,6 +634,52 @@ object HiveLayout extends QueryPack {
             "Only partitioned table can be analyzed with a partition list")
             .toString))
       rows.toDF("k", "v").orderBy(col("k"))
+    }),
+
+    // Metadata-only aggregation over partition keys (reference:
+    // `presto-main/.../optimizations/MetadataQueryOptimizer.java:66` —
+    // min/max/approx_distinct/DISTINCT over partition columns answer
+    // from the metastore's partition listing, zero data reads). Spark
+    // ships the same rewrite as OptimizeMetadataOnlyQuery behind
+    // `spark.sql.optimizer.metadataOnly` (off by default upstream
+    // because empty partition DIRECTORIES would over-report — this
+    // gate's layout writes every partition through the engine, so the
+    // precondition holds and is locked by the equality arm). Booleans:
+    // the optimized plan reads NO file source (LocalRelation from the
+    // catalog listing), and both paths agree value-for-value with the
+    // conf off. At 100 TB this answers "what days do we have?" from
+    // the metastore instead of listing a million files.
+    "q3o_metadata_only_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.register(s, dir)
+      val pt = tbl("moq", dir)
+      s.sql(s"DROP TABLE IF EXISTS $pt")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .repartition(4, col("o_year"))
+        .write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_moq")
+        .partitionBy("o_year").saveAsTable(pt)
+      val q = s"""SELECT min(o_year) AS y_min, max(o_year) AS y_max,
+        count(DISTINCT o_year) AS y_cnt FROM $pt"""
+      val key = "spark.sql.optimizer.metadataOnly"
+      val prior = s.conf.get(key, "false")
+      val (metaRow, metaPlanClean) =
+        try {
+          s.conf.set(key, "true")
+          val df = s.sql(q)
+          val plan = df.queryExecution.optimizedPlan.toString
+          (df.collect()(0),
+            !plan.contains("Relation") || plan.contains("LocalRelation"))
+        } finally s.conf.set(key, prior)
+      val dataRow = s.sql(q).collect()(0)
+      Seq(
+        ("x_metadata_plan_local", metaPlanClean.toString),
+        ("x_paths_agree", (metaRow == dataRow).toString),
+        ("y_cnt", metaRow.getLong(2).toString),
+        ("y_max", metaRow.getInt(1).toString),
+        ("y_min", metaRow.getInt(0).toString))
+        .toDF("k", "v").orderBy(col("k"))
     })
   )
 
@@ -777,6 +823,23 @@ object HiveLayout extends QueryPack {
         |    ('x_null_loud', 'true'),
         |    ('x_unanalyzed_1997', 'true'),
         |    ('x_unpartitioned_loud', 'true')) t(k, v))
+        |ORDER BY k""".stripMargin,
+
+    "q3o_metadata_only_agg" ->
+      """SELECT k, v FROM (
+        |  SELECT 'y_min' AS k,
+        |    CAST(min(year(o_orderdate)) AS VARCHAR) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'y_max', CAST(max(year(o_orderdate)) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'y_cnt',
+        |    CAST(count(DISTINCT year(o_orderdate)) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('x_metadata_plan_local', 'true'),
+        |    ('x_paths_agree', 'true')) t(k, v))
         |ORDER BY k""".stripMargin
   )
 }
