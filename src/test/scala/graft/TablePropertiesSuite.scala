@@ -421,6 +421,45 @@ class TablePropertiesSuite extends GraftSuite {
     assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
   }
 
+  test("the parser is string-masked against adversarial property values") {
+    // quote escapes, trigger-looking text inside values, and nested
+    // parens in types must not derail the scanner
+    spark.sql("DROP TABLE IF EXISTS tps_adv")
+    val loc = tmp("adv")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_adv (a decimal(10,2), b varchar)
+         |WITH (format = 'PARQUET', external_location = '$loc')""".stripMargin)
+    assert(spark.table("tps_adv").schema.simpleString ==
+      "struct<a:decimal(10,2),b:string>")
+    // a WITH ( that lives inside a string literal is data, not grammar:
+    // the bare CTAS must reach the default pipeline untouched
+    spark.sql("DROP TABLE IF EXISTS tps_adv2")
+    prestoStatement(spark,
+      "CREATE TABLE tps_adv2 AS SELECT 'WITH (format = 1)' AS s, " +
+        "'it''s (nested [deep])' AS t")
+    assert(spark.table("tps_adv2").collect()(0).getString(0) ==
+      "WITH (format = 1)")
+    spark.sql("DROP TABLE tps_adv2")
+    // doubled-quote escape inside a property value round-trips
+    spark.sql("DROP TABLE IF EXISTS tps_adv3")
+    val weird = tmp("it''s adv3")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_adv3 WITH (format = 'PARQUET',
+         |  external_location = '${weird.replace("'", "''")}')
+         |AS SELECT 1 AS x""".stripMargin)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_adv3"))
+      .storage.locationUri.exists(_.toString.contains("adv3")))
+    // an AS SELECT whose body CONTAINS 'WITH DATA' in a literal keeps it
+    spark.sql("DROP TABLE IF EXISTS tps_adv4")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_adv4 WITH (format = 'PARQUET',
+         |  external_location = '${tmp("adv4")}')
+         |AS SELECT 'ends WITH DATA' AS s""".stripMargin)
+    assert(spark.table("tps_adv4").collect()(0).getString(0) ==
+      "ends WITH DATA")
+  }
+
   test("a CREATE TABLE without a WITH list stays on the default pipeline") {
     // the property router must not intercept plain statements: a bare
     // CTAS still lands through the rewrite pipeline untouched
