@@ -53,6 +53,25 @@ private[functions] object PrestoStatements {
     out.map(_.trim).toSeq
   }
 
+  /** One string-literal value pattern shared by every property arm. */
+  private[functions] val propStrRe = """(?s)^'((?:[^']|'')*)'$""".r
+
+  /** Split a WITH (...) body into lowercase (name, rawValue) pairs.
+    * Duplicate names are the reference's loud arm
+    * (StatementAnalyzer.java:759 "Duplicate property: %s"). */
+  private def propertyAssignments(text: String,
+      what: String): Seq[(String, String)] = {
+    val out = splitTopLevel(text).filter(_.nonEmpty).map { e =>
+      val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
+        .findFirstMatchIn(e).getOrElse(sys.error(
+          s"Invalid $what property assignment: $e"))
+      m.group(1).toLowerCase -> m.group(2).trim
+    }
+    out.map(_._1).diff(out.map(_._1).distinct).headOption.foreach(d =>
+      sys.error(s"Duplicate property: $d"))
+    out
+  }
+
   /** Replace every unmasked `?` placeholder with f(its 0-based index) —
     * shared by EXECUTE ... USING and DESCRIBE OUTPUT. */
   private def substPlaceholders(body: String)(f: Int => String): String = {
@@ -216,6 +235,68 @@ private[functions] object PrestoStatements {
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
   private val analyzeTableRe =
     """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\((.*)\))?\s*$""".r
+  // INSERT INTO a preferred-ordering table: the reference's
+  // SortingFileWriter sorts EVERY write to a sorted table, not only the
+  // create. Bucketed sorted_by tables ride Spark's own bucketSpec
+  // ordering on insert; unbucketed preferred_ordering_columns has no
+  // Spark metadata, so the engine stores it as a table parameter (the
+  // reference stores it in table parameters too, HiveMetadata.java:
+  // 1076) and wraps the insert source with a per-writer SORT BY here.
+  private val insertIntoRe =
+    """(?is)^\s*INSERT\s+INTO\s+("?[A-Za-z_][\w.]*"?)\s*(\([^()]*\))?\s*(.+)$""".r
+  private val identListRe =
+    """^\(\s*"?[A-Za-z_]\w*"?(\s*,\s*"?[A-Za-z_]\w*"?)*\s*\)$""".r
+
+  private def maybeSortedInsert(spark: SparkSession,
+      sql: String): Option[org.apache.spark.sql.DataFrame] = {
+    val m = insertIntoRe.findFirstMatchIn(sql).getOrElse(return None)
+    val base = m.group(1).replace("\"", "").split('.').last
+    val pref = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(base))
+      .properties.get("graft.preferred_ordering_columns"))
+      .toOption.flatten.getOrElse(return None)
+    // a parenthesized group is a column list only when it is one —
+    // otherwise it is part of the query body (e.g. a bare subquery)
+    val (colsTxt, body0) = Option(m.group(2)) match {
+      case Some(g) if identListRe.findFirstIn(g.trim).isDefined =>
+        (Some(g.trim), m.group(3))
+      case Some(g) => (None, g + " " + m.group(3))
+      case None => (None, m.group(3))
+    }
+    val prepared = scala.util.Try {
+      val body = rewritePrestoSql(PrestoSystem.rewriteSystemTables(spark,
+        PrestoSecurity.rewriteInfoSchema(spark, body0)))
+      val targetCols = colsTxt
+        .map(_.stripPrefix("(").stripSuffix(")").split(',')
+          .map(_.trim.replace("\"", "")).toSeq)
+        .getOrElse(spark.table(base).columns.toSeq)
+      val srcFields =
+        spark.sql(s"SELECT * FROM ( $body ) graft_ins_probe")
+          .schema.fieldNames.toSeq
+      require(srcFields.length == targetCols.length)
+      // sort keys name TARGET columns; alias the source positionally
+      val aliased = srcFields.zip(targetCols)
+        .map { case (f, t) => s"`$f` AS `$t`" }.mkString(", ")
+      val targetSet = targetCols.map(_.toLowerCase).toSet
+      val sortKeys = pref.split(',').map(_.trim).toSeq.flatMap { c =>
+        val (nm, dir) =
+          if (c.toUpperCase.endsWith(" DESC"))
+            (c.dropRight(5).trim, "DESC") else (c.trim, "ASC")
+        // a sort column the insert does not supply reads its default
+        // (NULL) — constant per write, order irrelevant, skip it
+        if (targetSet(nm.toLowerCase)) Some(s"`$nm` $dir") else None
+      }
+      if (sortKeys.isEmpty) None
+      else Some(s"INSERT INTO $base ${colsTxt.getOrElse("")} " +
+        s"SELECT * FROM (SELECT $aliased FROM ( $body ) graft_ins_src)" +
+        s" graft_ins_sorted SORT BY ${sortKeys.mkString(", ")}")
+    }.toOption.flatten
+    prepared.map { stmt =>
+      spark.sql(stmt)
+      statusDf(spark, "INSERT")
+    }
+  }
+
   // CREATE SCHEMA ... WITH (properties) — the hive connector's one
   // schema property is `location` (HiveSchemaProperties.java:29-34);
   // unknown names fail with the property manager's message. Spark's
@@ -342,12 +423,9 @@ private[functions] object PrestoStatements {
       sys.error("CREATE TABLE requires a column list or an AS query")
 
     // property parse: name = 'string' | integer | double | ARRAY['a',..]
-    val strRe = """(?s)^'((?:[^']|'')*)'$""".r
-    def parseEntry(e: String): (String, Any) = {
-      val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r.findFirstMatchIn(e)
-        .getOrElse(sys.error(s"Invalid table property assignment: $e"))
-      val key = m.group(1).toLowerCase
-      val v = m.group(2).trim
+    val strRe = propStrRe
+    def parseEntry(kv: (String, String)): (String, Any) = {
+      val (key, v) = kv
       val value: Any = v match {
         case strRe(inner) => inner.replace("''", "'")
         case arr if arr.toUpperCase.startsWith("ARRAY") =>
@@ -367,7 +445,7 @@ private[functions] object PrestoStatements {
       }
       key -> value
     }
-    val entries = splitTopLevel(propsText).filter(_.nonEmpty).map(parseEntry)
+    val entries = propertyAssignments(propsText, "table").map(parseEntry)
     val known = Set("format", "partitioned_by", "bucketed_by",
       "bucket_count", "sorted_by", "external_location",
       "orc_bloom_filter_columns", "orc_bloom_filter_fpp",
@@ -468,7 +546,11 @@ private[functions] object PrestoStatements {
     val sortedBy = sortingCols("sorted_by")
     val bucketCount = props.get("bucket_count") match {
       case None => 0
-      case Some(l: Long) => l.toInt
+      case Some(l: Long) =>
+        // the decode rejects out-of-int-range before any bucket checks
+        if (l > Int.MaxValue || l < Int.MinValue) sys.error(
+          s"Invalid value for table property 'bucket_count': Cannot convert '$l' to integer")
+        l.toInt
       case Some(other) => sys.error(
         s"Invalid value for table property 'bucket_count': Cannot convert '$other' to integer")
     }
@@ -583,6 +665,10 @@ private[functions] object PrestoStatements {
         }
         props.get("external_location").foreach(loc =>
           ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
+        if (preferredOrdering.nonEmpty)
+          ddl ++= " TBLPROPERTIES ('graft.preferred_ordering_columns'" +
+            s" = '${preferredOrdering.map(c =>
+              if (c.desc) c.name + " DESC" else c.name).mkString(",")}')"
         comment.foreach(c => ddl ++= s" COMMENT $c")
         // the per-writer sort must sit ABOVE the repartition (a SORT BY
         // in the same SELECT would sort before the hint's shuffle and
@@ -645,6 +731,10 @@ private[functions] object PrestoStatements {
         }
         props.get("external_location").foreach(loc =>
           ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
+        if (preferredOrdering.nonEmpty)
+          ddl ++= " TBLPROPERTIES ('graft.preferred_ordering_columns'" +
+            s" = '${preferredOrdering.map(c =>
+              if (c.desc) c.name + " DESC" else c.name).mkString(",")}')"
         comment.foreach(c => ddl ++= s" COMMENT $c")
     }
 
@@ -1030,7 +1120,8 @@ private[functions] object PrestoStatements {
           val m = spark.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(base))
           def arr(xs: Seq[String]) =
-            xs.map(x => s"'$x'").mkString("ARRAY[", ",", "]")
+            xs.map(x => s"'${x.replace("'", "''")}'")
+              .mkString("ARRAY[", ",", "]")
           val fmt = m.provider.map(_.toLowerCase) match {
             case Some("parquet") => Seq("format = 'PARQUET'")
             case Some("orc") => Seq("format = 'ORC'")
@@ -1042,7 +1133,8 @@ private[functions] object PrestoStatements {
             if (m.tableType ==
               org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
               m.storage.locationUri.map(u =>
-                s"external_location = '${u.toString}'").toSeq
+                s"external_location = '${u.toString.replace("'", "''")}'")
+                .toSeq
             else Seq.empty
           val parts =
             if (m.partitionColumnNames.nonEmpty)
@@ -1061,7 +1153,11 @@ private[functions] object PrestoStatements {
                 cs.split(',').toSeq)}") ++
               m.storage.properties.get("orc.bloom.filter.fpp").toSeq
                 .map(f => s"orc_bloom_filter_fpp = $f")
-          fmt ++ loc ++ parts ++ bucket ++ bloom
+          val pref =
+            m.properties.get("graft.preferred_ordering_columns").toSeq
+              .map(cs =>
+                s"preferred_ordering_columns = ${arr(cs.split(',').toSeq)}")
+          fmt ++ loc ++ parts ++ bucket ++ bloom ++ pref
         }.getOrElse(Seq.empty)
         val withBlock =
           if (props.isEmpty) ""
@@ -1167,21 +1263,15 @@ private[functions] object PrestoStatements {
 
       case createSchemaWithRe(ine, name0, propsText) =>
         val name = name0.split('.').last
-        val strRe = """(?s)^'((?:[^']|'')*)'$""".r
         var location: Option[String] = None
-        splitTopLevel(propsText).filter(_.nonEmpty).foreach { e =>
-          val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
-            .findFirstMatchIn(e).getOrElse(sys.error(
-              s"Invalid schema property assignment: $e"))
-          m.group(1).toLowerCase match {
-            case "location" => m.group(2).trim match {
-              case strRe(x) => location = Some(x.replace("''", "'"))
-              case other => sys.error(
-                s"Invalid value for schema property 'location': Cannot convert '$other' to varchar")
-            }
+        propertyAssignments(propsText, "schema").foreach {
+          case ("location", v) => v match {
+            case propStrRe(x) => location = Some(x.replace("''", "'"))
             case other => sys.error(
-              s"Catalog 'hive' does not support schema property '$other'")
+              s"Invalid value for schema property 'location': Cannot convert '$other' to varchar")
           }
+          case (other, _) => sys.error(
+            s"Catalog 'hive' does not support schema property '$other'")
         }
         spark.sql(s"CREATE DATABASE ${
           if (ine != null) "IF NOT EXISTS " else ""}$name" +
@@ -1203,20 +1293,23 @@ private[functions] object PrestoStatements {
         // unpartitioned table is loud; HivePartitionManager:295-299:
         // every listed partition must exist). Spark analog:
         // ANALYZE TABLE ... PARTITION (spec) per listed entry —
-        // partition-scoped stats, never the whole table.
+        // PARTITION-LEVEL stats (row count/size), never a whole-table
+        // scan; column-level ndv/min/max stay the whole-table ANALYZE's
+        // job (Spark collects column stats only table-wide — documented
+        // divergence from the reference's per-partition column stats).
         val base = name.split('.').last
         val partitionLists: Option[Seq[Seq[String]]] =
-          Option(propsOrNull).map { txt =>
-            val entries = splitTopLevel(txt).filter(_.nonEmpty)
-            val parsed = entries.map { e =>
-              val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
-                .findFirstMatchIn(e).getOrElse(sys.error(
-                  s"Invalid analyze property assignment: $e"))
-              if (m.group(1).toLowerCase != "partitions") sys.error(
-                s"Catalog 'hive' does not support analyze property '${m.group(1).toLowerCase}'")
-              m.group(2).trim
+          Option(propsOrNull).flatMap { txt =>
+            val assigns = propertyAssignments(txt, "analyze")
+            assigns.find(_._1 != "partitions").foreach { case (k, _) =>
+              sys.error(
+                s"Catalog 'hive' does not support analyze property '$k'")
             }
-            val strRe = """(?s)^'((?:[^']|'')*)'$""".r
+            // WITH () or no partitions key = a whole-table analyze,
+            // exactly the pre-r14 accepted-and-dropped reading
+            val parsed = assigns.map(_._2)
+            if (parsed.isEmpty) None else Some {
+            val strRe = propStrRe
             def outerErr(v: String) = sys.error(
               "Invalid value for analyze property 'partitions': " +
                 s"Cannot convert '$v' to array(array(varchar))")
@@ -1240,6 +1333,7 @@ private[functions] object PrestoStatements {
                   }
                 }
               }.distinct // decodePartitionLists collects to a SET
+            }
             }
           }
         partitionLists match {
@@ -1375,6 +1469,7 @@ private[functions] object PrestoStatements {
         PrestoSystem.maybeCall(spark, other)
           .orElse(PrestoSecurity.maybeStatement(spark, other))
           .orElse(maybeCreateTableWith(spark, other))
+          .orElse(maybeSortedInsert(spark, other))
           .getOrElse {
             // Record original texts for SHOW CREATE VIEW / FUNCTION
             // before the rewrite pipeline consumes them.

@@ -151,15 +151,17 @@ private[functions] object PrestoSystem {
     val ms = sysRe.findAllMatchIn(q).filter(m => !mask(m.start)).toList
     if (ms.isEmpty) q
     else {
+      // the (?i) match preserves the query's case; keys and view names
+      // are lowercase (the reference's identifiers are case-insensitive)
       val names = ms.map(m =>
-        Option(m.group(2)).map("runtime_" + _)
-          .getOrElse("metadata_" + m.group(4))).toSet
+        Option(m.group(2)).map("runtime_" + _.toLowerCase)
+          .getOrElse("metadata_" + m.group(4).toLowerCase)).toSet
       refresh(spark, names)
       val sb = new StringBuilder
       var pos = 0
       ms.foreach { m =>
-        val t = Option(m.group(2)).map("runtime_" + _)
-          .getOrElse("metadata_" + m.group(4))
+        val t = Option(m.group(2)).map("runtime_" + _.toLowerCase)
+          .getOrElse("metadata_" + m.group(4).toLowerCase)
         sb.append(q.substring(pos, m.start))
         sb.append("graft_system_").append(t)
         pos = m.end

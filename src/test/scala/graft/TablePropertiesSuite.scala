@@ -421,6 +421,62 @@ class TablePropertiesSuite extends GraftSuite {
     assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
   }
 
+  test("review arms: empty WITH, duplicate keys, huge bucket_count, case") {
+    // ANALYZE t WITH () is a whole-table analyze, not a partition list
+    prestoStatement(spark, "CREATE OR REPLACE TEMPORARY VIEW tps_unpart " +
+      s"AS SELECT * FROM parquet.`$SfDir/nation.parquet`")
+    spark.sql("DROP TABLE IF EXISTS tps_wt")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_wt WITH (format = 'PARQUET',
+         |  external_location = '${tmp("wt")}')
+         |AS SELECT n_nationkey FROM tps_unpart""".stripMargin)
+    prestoStatement(spark, "ANALYZE tps_wt WITH ()")
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("tps_wt"))
+      .stats.flatMap(_.rowCount).exists(_.toLong > 0))
+    // duplicate property names are the reference's loud arm
+    assert(errorOf("CREATE TABLE tps_dup WITH (format = 'PARQUET', " +
+      "format = 'ORC') AS SELECT 1 AS x")
+      .contains("Duplicate property: format"))
+    // out-of-int-range bucket_count fails at decode, never truncates
+    assert(errorOf("CREATE TABLE tps_big WITH (bucketed_by = ARRAY['x']," +
+      " bucket_count = 4294967297) AS SELECT 1 AS x").contains(
+      "Cannot convert '4294967297' to integer"))
+    // system-table spellings are case-insensitive
+    assert(prestoStatement(spark,
+      "SELECT property_name FROM SYSTEM.METADATA.TABLE_PROPERTIES")
+      .count() == 10)
+  }
+
+  test("preferred ordering persists and sorts later INSERTs") {
+    // the reference stores preferred_ordering_columns in table
+    // parameters (HiveMetadata.java:1076) and SortingFileWriter sorts
+    // EVERY write; here the plain-form table carries the parameter,
+    // SHOW CREATE renders it back, and an INSERT through the router
+    // lands per-writer-sorted files
+    spark.sql("DROP TABLE IF EXISTS tps_po")
+    val loc = tmp("po")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_po (k bigint, v varchar)
+         |WITH (format = 'PARQUET', external_location = '$loc',
+         |      preferred_ordering_columns = ARRAY['k DESC'])""".stripMargin)
+    val ddl = prestoStatement(spark, "SHOW CREATE TABLE tps_po")
+      .collect()(0).getString(0)
+    assert(ddl.contains("preferred_ordering_columns = ARRAY['k DESC']"),
+      ddl)
+    prestoStatement(spark,
+      s"""INSERT INTO tps_po
+         |SELECT o_orderkey, o_orderstatus
+         |FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    assert(spark.table("tps_po").count() > 0)
+    assert(filesSorted(loc, "k", desc = true))
+    // a column-list insert sorts too (aliases bind positionally)
+    prestoStatement(spark,
+      "INSERT INTO tps_po (k, v) SELECT o_orderkey * 10, o_orderstatus " +
+        s"FROM parquet.`$SfDir/orders.parquet`")
+    assert(filesSorted(loc, "k", desc = true))
+  }
+
   test("the parser is string-masked against adversarial property values") {
     // quote escapes, trigger-looking text inside values, and nested
     // parens in types must not derail the scanner
@@ -450,6 +506,10 @@ class TablePropertiesSuite extends GraftSuite {
     assert(spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("tps_adv3"))
       .storage.locationUri.exists(_.toString.contains("adv3")))
+    // SHOW CREATE re-escapes the quote so its output stays runnable
+    val advDdl = prestoStatement(spark, "SHOW CREATE TABLE tps_adv3")
+      .collect()(0).getString(0)
+    assert(advDdl.contains("it''s") || !advDdl.contains("it's"), advDdl)
     // an AS SELECT whose body CONTAINS 'WITH DATA' in a literal keeps it
     spark.sql("DROP TABLE IF EXISTS tps_adv4")
     prestoStatement(spark,
