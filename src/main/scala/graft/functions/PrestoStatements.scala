@@ -235,13 +235,21 @@ private[functions] object PrestoStatements {
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*$""".r
   private val analyzeTableRe =
     """(?is)^\s*ANALYZE\s+([A-Za-z_][\w.]*)(?:\s+WITH\s*\((.*)\))?\s*$""".r
-  // INSERT INTO a preferred-ordering table: the reference's
+  // INSERT INTO a sorted-layout table: the reference's
   // SortingFileWriter sorts EVERY write to a sorted table, not only the
-  // create. Bucketed sorted_by tables ride Spark's own bucketSpec
-  // ordering on insert; unbucketed preferred_ordering_columns has no
-  // Spark metadata, so the engine stores it as a table parameter (the
-  // reference stores it in table parameters too, HiveMetadata.java:
-  // 1076) and wraps the insert source with a per-writer SORT BY here.
+  // create. ASC bucketed sorted_by tables ride Spark's own bucketSpec
+  // ordering on insert; the two layouts Spark's metadata cannot carry —
+  // unbucketed preferred_ordering_columns and DESC bucketed sorted_by —
+  // persist as table parameters (the reference stores them in table
+  // parameters too, HiveMetadata.java:1076), and the router wraps their
+  // INSERT sources with the same per-writer placement the CTAS path
+  // uses: subquery column aliases bind the source POSITIONALLY to the
+  // target names (so duplicate source names never go ambiguous), the
+  // sort leads with the table's partition columns (the writer's own
+  // required ordering — otherwise its dynamic-partition sort would
+  // re-sort and destroy the key order), bucketed targets repartition
+  // one-task-per-bucket and lead with the bucket-id expression, and
+  // the EliminateSorts guard holds for the write.
   private val insertIntoRe =
     """(?is)^\s*INSERT\s+INTO\s+("?[A-Za-z_][\w.]*"?)\s*(\([^()]*\))?\s*(.+)$""".r
   private val identListRe =
@@ -250,49 +258,88 @@ private[functions] object PrestoStatements {
   private def maybeSortedInsert(spark: SparkSession,
       sql: String): Option[org.apache.spark.sql.DataFrame] = {
     val m = insertIntoRe.findFirstMatchIn(sql).getOrElse(return None)
-    val base = m.group(1).replace("\"", "").split('.').last
-    val pref = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(base))
-      .properties.get("graft.preferred_ordering_columns"))
-      .toOption.flatten.getOrElse(return None)
+    val parts = m.group(1).replace("\"", "").split('.').takeRight(2)
+    val (dbOpt, tbl) =
+      if (parts.length == 2) (Some(parts(0)), parts(1))
+      else (None, parts(0))
+    val fullName = (dbOpt.toSeq :+ tbl).map(p => s"`$p`").mkString(".")
+    val meta = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl, dbOpt)))
+      .getOrElse(return None)
+    val pref = meta.properties.get("graft.preferred_ordering_columns")
+    val descSort = meta.properties.get("graft.sorted_by")
+    if (pref.isEmpty && descSort.isEmpty) return None
     // a parenthesized group is a column list only when it is one —
     // otherwise it is part of the query body (e.g. a bare subquery)
-    val (colsTxt, body0) = Option(m.group(2)) match {
+    val (colsOpt, body0) = Option(m.group(2)) match {
       case Some(g) if identListRe.findFirstIn(g.trim).isDefined =>
-        (Some(g.trim), m.group(3))
+        (Some(g.trim.stripPrefix("(").stripSuffix(")").split(',')
+          .map(_.trim.replace("\"", "")).toSeq), m.group(3))
       case Some(g) => (None, g + " " + m.group(3))
       case None => (None, m.group(3))
     }
     val prepared = scala.util.Try {
       val body = rewritePrestoSql(PrestoSystem.rewriteSystemTables(spark,
         PrestoSecurity.rewriteInfoSchema(spark, body0)))
-      val targetCols = colsTxt
-        .map(_.stripPrefix("(").stripSuffix(")").split(',')
-          .map(_.trim.replace("\"", "")).toSeq)
-        .getOrElse(spark.table(base).columns.toSeq)
-      val srcFields =
+      val targetCols = colsOpt.getOrElse(meta.schema.fieldNames.toSeq)
+      val srcArity =
         spark.sql(s"SELECT * FROM ( $body ) graft_ins_probe")
-          .schema.fieldNames.toSeq
-      require(srcFields.length == targetCols.length)
-      // sort keys name TARGET columns; alias the source positionally
-      val aliased = srcFields.zip(targetCols)
-        .map { case (f, t) => s"`$f` AS `$t`" }.mkString(", ")
+          .schema.length
+      require(srcArity == targetCols.length)
       val targetSet = targetCols.map(_.toLowerCase).toSet
-      val sortKeys = pref.split(',').map(_.trim).toSeq.flatMap { c =>
-        val (nm, dir) =
-          if (c.toUpperCase.endsWith(" DESC"))
-            (c.dropRight(5).trim, "DESC") else (c.trim, "ASC")
-        // a sort column the insert does not supply reads its default
-        // (NULL) — constant per write, order irrelevant, skip it
-        if (targetSet(nm.toLowerCase)) Some(s"`$nm` $dir") else None
+      def keysOf(spec: String): Seq[String] =
+        spec.split(',').map(_.trim).toSeq.flatMap { c =>
+          val (nm, dir) =
+            if (c.toUpperCase.endsWith(" DESC"))
+              (c.dropRight(5).trim, "DESC") else (c.trim, "ASC")
+          // a sort column the insert does not supply reads its default
+          // (NULL) — constant per write, order irrelevant, skip it
+          if (targetSet(nm.toLowerCase)) Some(s"`$nm` $dir") else None
+        }
+      // the writer's required ordering leads: partition columns, then
+      // (for bucketed targets) the bucket-id expression
+      val partLead = meta.partitionColumnNames
+        .filter(c => targetSet(c.toLowerCase)).map(c => s"`$c` ASC")
+      val bucketSpec = meta.bucketSpec.filter(_ => descSort.isDefined)
+      val bucketLead = bucketSpec.toSeq.flatMap { b =>
+        if (b.bucketColumnNames.forall(c => targetSet(c.toLowerCase)))
+          Seq("pmod(hash(" +
+            b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
+            s"), ${b.numBuckets}) ASC")
+        else Seq.empty
       }
-      if (sortKeys.isEmpty) None
-      else Some(s"INSERT INTO $base ${colsTxt.getOrElse("")} " +
-        s"SELECT * FROM (SELECT $aliased FROM ( $body ) graft_ins_src)" +
-        s" graft_ins_sorted SORT BY ${sortKeys.mkString(", ")}")
+      val dataKeys = keysOf(descSort.orElse(pref).get)
+      val sortKeys = partLead ++ bucketLead ++ dataKeys
+      if (dataKeys.isEmpty) None
+      else {
+        val repartHint = bucketSpec.map(b =>
+          s"/*+ REPARTITION(${b.numBuckets}, " +
+            b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
+            ") */ ").getOrElse("")
+        val colListTxt = colsOpt
+          .map(_.map(c => s"`$c`").mkString("(", ", ", ") ")).getOrElse("")
+        // subquery COLUMN aliases rename positionally — never
+        // ambiguous; the repartition hint nests INSIDE the sorted
+        // select (a same-SELECT hint would shuffle above the sort and
+        // destroy the order — the CTAS arm's lesson)
+        val aliasList = targetCols.map(c => s"`$c`").mkString(", ")
+        Some(s"INSERT INTO $fullName $colListTxt" +
+          s"SELECT * FROM (SELECT $repartHint* FROM ( $body ) " +
+          s"graft_ins_src($aliasList)) graft_ins_sorted" +
+          s" SORT BY ${sortKeys.mkString(", ")}")
+      }
     }.toOption.flatten
     prepared.map { stmt =>
-      spark.sql(stmt)
+      val key = "spark.sql.optimizer.excludedRules"
+      val prior = spark.conf.getOption(key)
+      val rule = "org.apache.spark.sql.catalyst.optimizer.EliminateSorts"
+      spark.conf.set(key,
+        prior.filter(_.nonEmpty).map(_ + "," + rule).getOrElse(rule))
+      try spark.sql(stmt)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
       statusDf(spark, "INSERT")
     }
   }
@@ -602,6 +649,26 @@ private[functions] object PrestoStatements {
     // held off: the writer layers its own ordering node on top and the
     // rule then removes the inner (descending) sort as "redundant"
     var guardSorts = false
+    // Spark's bucket-sort metadata is ASC-only, so a DESC sorted_by
+    // persists as a table parameter instead (the reference stores its
+    // sorting columns in table parameters too, HiveMetadata.java:1076);
+    // maybeSortedInsert reads both parameters so later INSERTs keep
+    // the layout contract
+    val descSortedLayout = bucketProp.exists(_._3.exists(_.desc))
+    def renderSortCols(cols: Seq[SortCol]): String = cols.map(c =>
+      if (c.desc) c.name + " DESC" else c.name).mkString(",")
+      .replace("'", "''")
+    def layoutParamsClause: String = {
+      val kvs =
+        (if (preferredOrdering.nonEmpty)
+          Seq("'graft.preferred_ordering_columns' = " +
+            s"'${renderSortCols(preferredOrdering)}'")
+        else Seq.empty) ++
+          (if (descSortedLayout)
+            Seq(s"'graft.sorted_by' = '${renderSortCols(bucketProp.get._3)}'")
+          else Seq.empty)
+      if (kvs.isEmpty) "" else s" TBLPROPERTIES (${kvs.mkString(", ")})"
+    }
 
     query match {
       case Some(q) =>
@@ -638,7 +705,7 @@ private[functions] object PrestoStatements {
         // in the reference's order, the catalog just can't advertise
         // it (so DESC layouts don't serve the sort-free merge join,
         // which wants ASC anyway)
-        val descSorted = bucketProp.exists(_._3.exists(_.desc))
+        val descSorted = descSortedLayout
         val sortSuffix =
           if (bucketProp.isEmpty && preferredOrdering.nonEmpty)
             " SORT BY " + preferredOrdering.map(_.ddl).mkString(", ")
@@ -665,10 +732,7 @@ private[functions] object PrestoStatements {
         }
         props.get("external_location").foreach(loc =>
           ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
-        if (preferredOrdering.nonEmpty)
-          ddl ++= " TBLPROPERTIES ('graft.preferred_ordering_columns'" +
-            s" = '${preferredOrdering.map(c =>
-              if (c.desc) c.name + " DESC" else c.name).mkString(",")}')"
+        ddl ++= layoutParamsClause
         comment.foreach(c => ddl ++= s" COMMENT $c")
         // the per-writer sort must sit ABOVE the repartition (a SORT BY
         // in the same SELECT would sort before the hint's shuffle and
@@ -731,10 +795,7 @@ private[functions] object PrestoStatements {
         }
         props.get("external_location").foreach(loc =>
           ddl ++= s" LOCATION '${String.valueOf(loc).replace("'", "''")}'")
-        if (preferredOrdering.nonEmpty)
-          ddl ++= " TBLPROPERTIES ('graft.preferred_ordering_columns'" +
-            s" = '${preferredOrdering.map(c =>
-              if (c.desc) c.name + " DESC" else c.name).mkString(",")}')"
+        ddl ++= layoutParamsClause
         comment.foreach(c => ddl ++= s" COMMENT $c")
     }
 
@@ -1141,11 +1202,15 @@ private[functions] object PrestoStatements {
               Seq(s"partitioned_by = ${arr(m.partitionColumnNames)}")
             else Seq.empty
           val bucket = m.bucketSpec.toSeq.flatMap { b =>
-            Seq(s"bucketed_by = ${arr(b.bucketColumnNames)}",
-              s"bucket_count = ${b.numBuckets}") ++
-              (if (b.sortColumnNames.nonEmpty)
+            // DESC sort specs live in the graft.sorted_by parameter
+            // (Spark's bucket metadata is ASC-only)
+            val sortedBy =
+              if (b.sortColumnNames.nonEmpty)
                 Seq(s"sorted_by = ${arr(b.sortColumnNames)}")
-              else Seq.empty)
+              else m.properties.get("graft.sorted_by").toSeq
+                .map(cs => s"sorted_by = ${arr(cs.split(',').toSeq)}")
+            Seq(s"bucketed_by = ${arr(b.bucketColumnNames)}",
+              s"bucket_count = ${b.numBuckets}") ++ sortedBy
           }
           val bloom =
             m.storage.properties.get("orc.bloom.filter.columns").toSeq

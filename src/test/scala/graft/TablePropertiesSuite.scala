@@ -156,6 +156,19 @@ class TablePropertiesSuite extends GraftSuite {
     // one writer per bucket (HiveWriterFactory): exactly 4 data files
     assert(new java.io.File(tmp("desc")).listFiles()
       .count(_.getName.startsWith("part-")) == 4)
+    // the DESC spec survives the catalog via the graft.sorted_by
+    // parameter: SHOW CREATE renders it and a later INSERT through the
+    // router keeps every new bucket file descending
+    val ddl = prestoStatement(spark, "SHOW CREATE TABLE tps_desc")
+      .collect()(0).getString(0)
+    assert(ddl.contains("sorted_by = ARRAY['o_orderkey DESC']"), ddl)
+    prestoStatement(spark,
+      s"""INSERT INTO tps_desc
+         |SELECT o_orderkey + 1000000, o_orderstatus
+         |FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    assert(filesSorted(tmp("desc"), "o_orderkey", desc = true))
+    assert(new java.io.File(tmp("desc")).listFiles()
+      .count(_.getName.startsWith("part-")) == 8)
   }
 
   test("preferred_ordering_columns sorts unbucketed writer output") {
@@ -470,11 +483,49 @@ class TablePropertiesSuite extends GraftSuite {
          |FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
     assert(spark.table("tps_po").count() > 0)
     assert(filesSorted(loc, "k", desc = true))
-    // a column-list insert sorts too (aliases bind positionally)
+    // a column-list insert sorts too (aliases bind positionally);
+    // the Presto-quoted spelling rebuilds with backticks, and duplicate
+    // SOURCE names never go ambiguous (positional subquery aliases)
     prestoStatement(spark,
-      "INSERT INTO tps_po (k, v) SELECT o_orderkey * 10, o_orderstatus " +
+      "INSERT INTO tps_po (\"k\", \"v\") SELECT o_orderkey * 10, " +
+        "CAST(o_orderkey AS VARCHAR) AS o_orderkey " +
         s"FROM parquet.`$SfDir/orders.parquet`")
     assert(filesSorted(loc, "k", desc = true))
+  }
+
+  test("sorted inserts respect qualified names and partition columns") {
+    // a schema-qualified INSERT must land in THAT schema's table, not a
+    // same-named table in the current database
+    spark.sql("DROP DATABASE IF EXISTS tps_qdb CASCADE")
+    spark.sql("CREATE DATABASE tps_qdb")
+    spark.sql("DROP TABLE IF EXISTS tps_qt")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_qt (k bigint)
+         |WITH (format = 'PARQUET', external_location = '${tmp("qt0")}',
+         |      preferred_ordering_columns = ARRAY['k'])""".stripMargin)
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_qdb.tps_qt (k bigint)
+         |WITH (format = 'PARQUET', external_location = '${tmp("qt1")}',
+         |      preferred_ordering_columns = ARRAY['k'])""".stripMargin)
+    prestoStatement(spark, "INSERT INTO tps_qdb.tps_qt VALUES (3), (1)")
+    assert(spark.table("tps_qdb.tps_qt").count() == 2)
+    assert(spark.table("tps_qt").count() == 0)
+    // a PARTITIONED preferred-ordering table sorts within each
+    // partition: the writer's own partition ordering leads the sort
+    spark.sql("DROP TABLE IF EXISTS tps_pp")
+    val ploc = tmp("pp")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_pp (k bigint, flag varchar)
+         |WITH (format = 'PARQUET', external_location = '$ploc',
+         |      partitioned_by = ARRAY['flag'],
+         |      preferred_ordering_columns = ARRAY['k'])""".stripMargin)
+    prestoStatement(spark,
+      s"""INSERT INTO tps_pp
+         |SELECT o_orderkey, o_orderstatus
+         |FROM parquet.`$SfDir/orders.parquet`""".stripMargin)
+    assert(spark.table("tps_pp").count() > 0)
+    assert(filesSorted(ploc, "k"))
+    spark.sql("DROP DATABASE tps_qdb CASCADE")
   }
 
   test("the parser is string-masked against adversarial property values") {
