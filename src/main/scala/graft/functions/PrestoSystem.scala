@@ -60,7 +60,7 @@ private[functions] object PrestoSystem {
   // ——— queryable system tables ————————————————————————————————————————
 
   private val sysRe =
-    ("""(?i)\bsystem\s*\.\s*(?:(runtime)\s*\.\s*(nodes|queries)""" +
+    ("""(?i)\bsystem\s*\.\s*(?:(runtime)\s*\.\s*(nodes|queries|tasks)""" +
       """|(metadata)\s*\.\s*(catalogs|table_properties""" +
       """|schema_properties|column_properties|analyze_properties))\b""").r
 
@@ -188,6 +188,39 @@ private[functions] object PrestoSystem {
           else new java.sql.Timestamp(r.endMs))) }
       rows.toDF("query_id", "state", "user", "query", "created", "end")
         .createOrReplaceTempView("graft_system_runtime_queries")
+    }
+    if (which("runtime_tasks")) {
+      // TaskSystemTable.java:47-78 — per-task rows with split counts,
+      // scheduled/cpu time and I/O aggregates. Library rendering: one
+      // row per Spark STAGE ATTEMPT from Spark's own status store (a
+      // Presto task's operator pipeline maps onto a Spark stage; the
+      // store is what the UI/REST API serve). The listener bus drains
+      // first so a just-finished query's stages are visible.
+      org.apache.spark.graft.StatusBridge.flush(spark.sparkContext)
+      val rows = org.apache.spark.graft.StatusBridge
+        .stages(spark.sparkContext).map { st =>
+          val queued =
+            math.max(0, st.numTasks - st.numActiveTasks -
+              st.numCompleteTasks - st.numFailedTasks).toLong
+          (("local", s"${st.stageId}.${st.attemptId}",
+            st.stageId.toLong, String.valueOf(st.status),
+            st.numTasks.toLong, queued, st.numActiveTasks.toLong,
+            st.numCompleteTasks.toLong),
+            (st.executorRunTime, st.executorCpuTime / 1000000L,
+              st.inputBytes, st.inputRecords, st.outputBytes,
+              st.outputRecords,
+              st.submissionTime
+                .map(d => new java.sql.Timestamp(d.getTime)).orNull))
+        }
+      rows.map { case ((a, b, c, d, e, f, g, h),
+          (i, j, k, l, m, n, o)) => (a, b, c, d, e, f, g, h, i, j, k,
+            l, m, n, o) }
+        .toDF("node_id", "task_id", "stage_id", "state", "splits",
+          "queued_splits", "running_splits", "completed_splits",
+          "split_scheduled_time_ms", "split_cpu_time_ms",
+          "raw_input_bytes", "raw_input_rows", "output_bytes",
+          "output_rows", "created")
+        .createOrReplaceTempView("graft_system_runtime_tasks")
     }
     if (which("metadata_catalogs")) {
       val cat = spark.catalog.currentCatalog()

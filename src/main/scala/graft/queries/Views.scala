@@ -924,6 +924,49 @@ object Views extends QueryPack {
         .toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // system.runtime.tasks (TaskSystemTable.java:47-78): per-task rows
+    // with split counts, scheduled/cpu time, I/O aggregates. Library
+    // rendering: one row per Spark STAGE ATTEMPT from Spark's own
+    // status store (the data its UI/REST serve) — a Presto task's
+    // operator pipeline maps onto a Spark stage, and split counts are
+    // Spark task counts. The gate runs a real scan first, drains the
+    // listener bus (inside the rewrite), and locks the invariants that
+    // are deterministic under any scheduling: rows exist, every split
+    // is accounted (splits = queued+running+completed on settled
+    // stages), a completed stage carries positive input rows, and
+    // timings are non-negative.
+    "q3p_runtime_tasks" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      // a real distributed action so the store holds finished stages
+      Tables.view(s, dir, "lineitem").count()
+      prestoStatement(s,
+        """SELECT k, v FROM (
+          |  SELECT 'x_has_rows' AS k,
+          |    CAST(count(*) > 0 AS VARCHAR) AS v
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_local_node',
+          |    CAST(count_if(node_id <> 'local') = 0 AS VARCHAR)
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_splits_accounted',
+          |    CAST(count_if(splits <> queued_splits + running_splits
+          |      + completed_splits AND state = 'COMPLETE') = 0 AS VARCHAR)
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_scan_read_rows',
+          |    CAST(max(raw_input_rows) > 0 AS VARCHAR)
+          |  FROM system.runtime.tasks WHERE state = 'COMPLETE'
+          |  UNION ALL
+          |  SELECT 'x_timings_nonneg',
+          |    CAST(count_if(split_scheduled_time_ms < 0
+          |      OR split_cpu_time_ms < 0) = 0 AS VARCHAR)
+          |  FROM system.runtime.tasks)
+          |ORDER BY k""".stripMargin)
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -938,6 +981,14 @@ object Views extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q3p_runtime_tasks" ->
+      """SELECT k, v FROM (VALUES
+        |  ('x_has_rows', 'true'),
+        |  ('x_local_node', 'true'),
+        |  ('x_scan_read_rows', 'true'),
+        |  ('x_splits_accounted', 'true'),
+        |  ('x_timings_nonneg', 'true')) t(k, v)
+        |ORDER BY k""".stripMargin,
     // the three outcome arms replay as CASE arithmetic over k: odd k
     // binds with a wrong password, k%3!=0 fails the group search,
     // the rest authenticate and resolve their per-user group
