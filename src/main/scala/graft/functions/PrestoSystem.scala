@@ -60,7 +60,8 @@ private[functions] object PrestoSystem {
   // ——— queryable system tables ————————————————————————————————————————
 
   private val sysRe =
-    ("""(?i)\bsystem\s*\.\s*(?:(runtime)\s*\.\s*(nodes|queries|tasks)""" +
+    ("""(?i)\bsystem\s*\.\s*""" +
+      """(?:(runtime)\s*\.\s*(nodes|queries|tasks|transactions)""" +
       """|(metadata)\s*\.\s*(catalogs|table_properties""" +
       """|schema_properties|column_properties|analyze_properties))\b""").r
 
@@ -221,6 +222,37 @@ private[functions] object PrestoSystem {
           "raw_input_bytes", "raw_input_rows", "output_bytes",
           "output_rows", "created")
         .createOrReplaceTempView("graft_system_runtime_tasks")
+    }
+    if (which("runtime_transactions")) {
+      // TransactionsSystemTable.java:60-69 — the active-transaction
+      // registry. The engine's documented transaction stance is
+      // autocommit no-ops (qq0: every statement commits on success, the
+      // reference's non-transactional-connector behavior), so between
+      // statements there is never an open transaction to list: the
+      // honest rendering is the EMPTY relation with the reference's
+      // schema, not a missing table (the column_properties stance).
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("transaction_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("isolation_level",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("read_only",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("auto_commit_context",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("create_time",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("idle_time_secs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("written_catalog",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("catalogs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+        .createOrReplaceTempView("graft_system_runtime_transactions")
     }
     if (which("metadata_catalogs")) {
       val cat = spark.catalog.currentCatalog()

@@ -963,7 +963,11 @@ object Views extends QueryPack {
           |  SELECT 'x_timings_nonneg',
           |    CAST(count_if(split_scheduled_time_ms < 0
           |      OR split_cpu_time_ms < 0) = 0 AS VARCHAR)
-          |  FROM system.runtime.tasks)
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_transactions_empty',
+          |    CAST(count(*) = 0 AS VARCHAR)
+          |  FROM system.runtime.transactions)
           |ORDER BY k""".stripMargin)
     }),
 
@@ -987,7 +991,8 @@ object Views extends QueryPack {
         |  ('x_local_node', 'true'),
         |  ('x_scan_read_rows', 'true'),
         |  ('x_splits_accounted', 'true'),
-        |  ('x_timings_nonneg', 'true')) t(k, v)
+        |  ('x_timings_nonneg', 'true'),
+        |  ('x_transactions_empty', 'true')) t(k, v)
         |ORDER BY k""".stripMargin,
     // the three outcome arms replay as CASE arithmetic over k: odd k
     // binds with a wrong password, k%3!=0 fails the group search,
