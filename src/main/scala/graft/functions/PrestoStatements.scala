@@ -1062,7 +1062,7 @@ private[functions] object PrestoStatements {
       case e: Throwable =>
         PrestoSystem.finish(rec, failed = true)
         throw e
-    }
+    } finally PrestoSystem.clearGroup(spark)
   }
 
   private def routeStatement(spark: SparkSession,

@@ -48,6 +48,10 @@ private[functions] object PrestoSystem {
       spark.sparkContext.sparkUser, sqlText.trim,
       System.currentTimeMillis(), 0L)
     log(spark) += rec
+    // job-group the statement so system.runtime.tasks can correlate
+    // its stage rows back to this query id (the reference's query_id
+    // column; Spark's own grouping mechanism)
+    spark.sparkContext.setJobGroup(rec.queryId, sqlText.trim.take(120))
     rec
   }
 
@@ -56,6 +60,10 @@ private[functions] object PrestoSystem {
     r.state = if (failed) "FAILED" else "FINISHED"
     r.endMs = System.currentTimeMillis()
   }
+
+  /** Clear the statement's job group (paired with [[record]]). */
+  def clearGroup(spark: SparkSession): Unit =
+    spark.sparkContext.clearJobGroup()
 
   // ——— queryable system tables ————————————————————————————————————————
 
@@ -196,31 +204,73 @@ private[functions] object PrestoSystem {
       // row per Spark STAGE ATTEMPT from Spark's own status store (a
       // Presto task's operator pipeline maps onto a Spark stage; the
       // store is what the UI/REST API serve). The listener bus drains
-      // first so a just-finished query's stages are visible.
+      // first (timeout-tolerant — the table serves a snapshot, never
+      // errors) so a just-finished query's stages are visible.
+      // query_id correlates through the job group the statement router
+      // sets per routed statement (stages run outside the router read
+      // NULL); states render in the reference's TaskState vocabulary.
       org.apache.spark.graft.StatusBridge.flush(spark.sparkContext)
+      val groups =
+        org.apache.spark.graft.StatusBridge.stageGroups(spark.sparkContext)
+      def ts(d: Option[java.util.Date]): java.sql.Timestamp =
+        d.map(x => new java.sql.Timestamp(x.getTime)).orNull
       val rows = org.apache.spark.graft.StatusBridge
         .stages(spark.sparkContext).map { st =>
-          val queued =
-            math.max(0, st.numTasks - st.numActiveTasks -
-              st.numCompleteTasks - st.numFailedTasks).toLong
-          (("local", s"${st.stageId}.${st.attemptId}",
-            st.stageId.toLong, String.valueOf(st.status),
+          val queued = math.max(0, st.numTasks - st.numActiveTasks -
+            st.numCompleteTasks - st.numFailedTasks -
+            st.numKilledTasks).toLong
+          val qid = groups.get(st.stageId).orNull
+          // Spark StageStatus → the reference's TaskState names
+          // (TaskState.java): a SKIPPED stage's work was avoided and
+          // will never run — CANCELED is the closest member
+          val state = String.valueOf(st.status) match {
+            case "ACTIVE" => "RUNNING"
+            case "COMPLETE" => "FINISHED"
+            case "PENDING" => "PLANNED"
+            case "SKIPPED" => "CANCELED"
+            case other => other // FAILED
+          }
+          org.apache.spark.sql.Row(
+            "local",
+            (Option(qid).toSeq :+ s"${st.stageId}.${st.attemptId}")
+              .mkString("."),
+            s"${st.stageId}.${st.attemptId}",
+            st.stageId.toString,
+            qid,
+            state,
             st.numTasks.toLong, queued, st.numActiveTasks.toLong,
-            st.numCompleteTasks.toLong),
-            (st.executorRunTime, st.executorCpuTime / 1000000L,
-              st.inputBytes, st.inputRecords, st.outputBytes,
-              st.outputRecords,
-              st.submissionTime
-                .map(d => new java.sql.Timestamp(d.getTime)).orNull))
+            st.numCompleteTasks.toLong,
+            st.executorRunTime, st.executorCpuTime / 1000000L,
+            st.inputBytes, st.inputRecords,
+            st.outputBytes, st.outputRecords,
+            ts(st.submissionTime), ts(st.firstTaskLaunchedTime),
+            ts(st.completionTime))
         }
-      rows.map { case ((a, b, c, d, e, f, g, h),
-          (i, j, k, l, m, n, o)) => (a, b, c, d, e, f, g, h, i, j, k,
-            l, m, n, o) }
-        .toDF("node_id", "task_id", "stage_id", "state", "splits",
-          "queued_splits", "running_splits", "completed_splits",
-          "split_scheduled_time_ms", "split_cpu_time_ms",
-          "raw_input_bytes", "raw_input_rows", "output_bytes",
-          "output_rows", "created")
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(Seq(
+          StructField("node_id", StringType),
+          StructField("task_id", StringType),
+          StructField("stage_execution_id", StringType),
+          StructField("stage_id", StringType),
+          StructField("query_id", StringType),
+          StructField("state", StringType),
+          StructField("splits", LongType),
+          StructField("queued_splits", LongType),
+          StructField("running_splits", LongType),
+          StructField("completed_splits", LongType),
+          StructField("split_scheduled_time_ms", LongType),
+          StructField("split_cpu_time_ms", LongType),
+          StructField("raw_input_bytes", LongType),
+          StructField("raw_input_rows", LongType),
+          StructField("output_bytes", LongType),
+          StructField("output_rows", LongType),
+          StructField("created", TimestampType),
+          StructField("start", TimestampType),
+          StructField("last_heartbeat", TimestampType)))
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
         .createOrReplaceTempView("graft_system_runtime_tasks")
     }
     if (which("runtime_transactions")) {

@@ -941,6 +941,15 @@ object Views extends QueryPack {
       import graft.functions.Registry.prestoStatement
       // a real distributed action so the store holds finished stages
       Tables.view(s, dir, "lineitem").count()
+      // an eagerly-executing ROUTED statement: its Spark jobs run inside
+      // the statement's job group, so its stage rows carry the query id
+      // (the correlation arm below joins tasks back to the query log)
+      val at = s"graft_tasks_an_${Integer.toHexString(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $at")
+      Tables.view(s, dir, "nation").write.mode("overwrite")
+        .option("path", Storage.ctasPath(s, dir) + "_tasks_an")
+        .saveAsTable(at)
+      prestoStatement(s, s"ANALYZE $at")
       prestoStatement(s,
         """SELECT k, v FROM (
           |  SELECT 'x_has_rows' AS k,
@@ -953,12 +962,18 @@ object Views extends QueryPack {
           |  UNION ALL
           |  SELECT 'x_splits_accounted',
           |    CAST(count_if(splits <> queued_splits + running_splits
-          |      + completed_splits AND state = 'COMPLETE') = 0 AS VARCHAR)
+          |      + completed_splits AND state = 'FINISHED') = 0 AS VARCHAR)
           |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_query_correlates',
+          |    CAST(count(*) > 0 AS VARCHAR)
+          |  FROM system.runtime.tasks t
+          |  JOIN system.runtime.queries q ON t.query_id = q.query_id
+          |  WHERE q.query LIKE 'ANALYZE%'
           |  UNION ALL
           |  SELECT 'x_scan_read_rows',
           |    CAST(max(raw_input_rows) > 0 AS VARCHAR)
-          |  FROM system.runtime.tasks WHERE state = 'COMPLETE'
+          |  FROM system.runtime.tasks WHERE state = 'FINISHED'
           |  UNION ALL
           |  SELECT 'x_timings_nonneg',
           |    CAST(count_if(split_scheduled_time_ms < 0
@@ -989,6 +1004,7 @@ object Views extends QueryPack {
       """SELECT k, v FROM (VALUES
         |  ('x_has_rows', 'true'),
         |  ('x_local_node', 'true'),
+        |  ('x_query_correlates', 'true'),
         |  ('x_scan_read_rows', 'true'),
         |  ('x_splits_accounted', 'true'),
         |  ('x_timings_nonneg', 'true'),

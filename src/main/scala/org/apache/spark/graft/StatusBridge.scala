@@ -15,6 +15,17 @@ object StatusBridge {
   def stages(sc: SparkContext): Seq[StageData] =
     sc.statusStore.stageList(null)
 
+  /** stageId → owning job's group id (the engine's query id — the
+    * statement router sets a job group per routed statement). */
+  def stageGroups(sc: SparkContext): Map[Int, String] =
+    sc.statusStore.jobsList(null).flatMap { j =>
+      j.jobGroup.toSeq.flatMap(g =>
+        j.stageIds.map(sid => sid.asInstanceOf[Int] -> g))
+    }.toMap
+
   def flush(sc: SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty(10000L)
+    // serve the current snapshot even if the bus is backed up — the
+    // reference's table never errors, it reads whatever state exists
+    try sc.listenerBus.waitUntilEmpty(10000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
