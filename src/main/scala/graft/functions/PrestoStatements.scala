@@ -57,15 +57,19 @@ private[functions] object PrestoStatements {
   private[functions] val propStrRe = """(?s)^'((?:[^']|'')*)'$""".r
 
   /** Split a WITH (...) body into lowercase (name, rawValue) pairs.
-    * Duplicate names are the reference's loud arm
+    * Property names take the bare or double-quoted spelling — the
+    * reference's grammar treats `"p1" = ...` as the same identifier as
+    * `p1` (TestAnalyzer.java:1156 flags it a duplicate). Duplicate
+    * names are the reference's loud arm
     * (StatementAnalyzer.java:759 "Duplicate property: %s"). */
   private def propertyAssignments(text: String,
       what: String): Seq[(String, String)] = {
     val out = splitTopLevel(text).filter(_.nonEmpty).map { e =>
-      val m = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
+      val m = """(?is)^(?:"([A-Za-z_]\w*)"|([A-Za-z_]\w*))\s*=\s*(.+)$""".r
         .findFirstMatchIn(e).getOrElse(sys.error(
           s"Invalid $what property assignment: $e"))
-      m.group(1).toLowerCase -> m.group(2).trim
+      Option(m.group(1)).getOrElse(m.group(2)).toLowerCase ->
+        m.group(3).trim
     }
     out.map(_._1).diff(out.map(_._1).distinct).headOption.foreach(d =>
       sys.error(s"Duplicate property: $d"))
@@ -278,14 +282,26 @@ private[functions] object PrestoStatements {
       case Some(g) => (None, g + " " + m.group(3))
       case None => (None, m.group(3))
     }
-    val prepared = scala.util.Try {
+    // Fall-through to the default (unsorted) pipeline is INTENTIONAL in
+    // exactly two cases, where Spark's own INSERT surfaces the better
+    // error or handles the write fine without a data sort: (a) the
+    // source body does not analyze as a standalone SELECT, (b) the
+    // source arity mismatches the target. Anything else that fails
+    // during preparation is a real bug in the sorted-write path and
+    // must THROW — a silent fall-through would degrade the sorted-
+    // layout write contract (graft.sorted_by still advertises a sorted
+    // layout) with no signal.
+    val prepared: Option[String] = {
       val body = rewritePrestoSql(PrestoSystem.rewriteSystemTables(spark,
         PrestoSecurity.rewriteInfoSchema(spark, body0)))
       val targetCols = colsOpt.getOrElse(meta.schema.fieldNames.toSeq)
       val srcArity =
-        spark.sql(s"SELECT * FROM ( $body ) graft_ins_probe")
+        try spark.sql(s"SELECT * FROM ( $body ) graft_ins_probe")
           .schema.length
-      require(srcArity == targetCols.length)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          -1 // not SELECT-probe-able: the default pipeline's error wins
+        }
+      if (srcArity != targetCols.length) None else {
       val targetSet = targetCols.map(_.toLowerCase).toSet
       def keysOf(spec: String): Seq[String] =
         spec.split(',').map(_.trim).toSeq.flatMap { c =>
@@ -312,7 +328,12 @@ private[functions] object PrestoStatements {
       val sortKeys = partLead ++ bucketLead ++ dataKeys
       if (dataKeys.isEmpty) None
       else {
-        val repartHint = bucketSpec.map(b =>
+        // same guard as bucketLead: a bucket column absent from the
+        // insert's column list fills NULL in the default pipeline — a
+        // hint referencing it would fail analysis on an unresolved name
+        val repartHint = bucketSpec.filter(b =>
+          b.bucketColumnNames.forall(c => targetSet(c.toLowerCase)))
+          .map(b =>
           s"/*+ REPARTITION(${b.numBuckets}, " +
             b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
             ") */ ").getOrElse("")
@@ -328,7 +349,8 @@ private[functions] object PrestoStatements {
           s"graft_ins_src($aliasList)) graft_ins_sorted" +
           s" SORT BY ${sortKeys.mkString(", ")}")
       }
-    }.toOption.flatten
+      }
+    }
     prepared.map { stmt =>
       val key = "spark.sql.optimizer.excludedRules"
       val prior = spark.conf.getOption(key)

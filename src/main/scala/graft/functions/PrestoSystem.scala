@@ -36,6 +36,13 @@ private[functions] object PrestoSystem {
       logs.computeIfAbsent(spark, _ => mutable.ArrayBuffer.empty)
     }
 
+  // Per-session stack of pre-statement job-group properties, so the
+  // router RESTORES a caller-set group (or an outer routed statement's)
+  // instead of clearing it — clearing would break the caller's
+  // tasks-to-query correlation and any cancellation by group id.
+  private val priorGroups = new java.util.WeakHashMap[SparkSession,
+    mutable.Stack[(String, String, String)]]()
+
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
     * yyyyMMdd_HHmmss_index_suffix shape. */
@@ -50,8 +57,14 @@ private[functions] object PrestoSystem {
     log(spark) += rec
     // job-group the statement so system.runtime.tasks can correlate
     // its stage rows back to this query id (the reference's query_id
-    // column; Spark's own grouping mechanism)
-    spark.sparkContext.setJobGroup(rec.queryId, sqlText.trim.take(120))
+    // column; Spark's own grouping mechanism). The pre-existing group
+    // properties are captured for [[clearGroup]] to restore.
+    val sc = spark.sparkContext
+    priorGroups.computeIfAbsent(spark, _ => mutable.Stack.empty).push((
+      sc.getLocalProperty("spark.jobGroup.id"),
+      sc.getLocalProperty("spark.job.description"),
+      sc.getLocalProperty("spark.job.interruptOnCancel")))
+    sc.setJobGroup(rec.queryId, sqlText.trim.take(120))
     rec
   }
 
@@ -61,9 +74,20 @@ private[functions] object PrestoSystem {
     r.endMs = System.currentTimeMillis()
   }
 
-  /** Clear the statement's job group (paired with [[record]]). */
-  def clearGroup(spark: SparkSession): Unit =
-    spark.sparkContext.clearJobGroup()
+  /** Restore the pre-statement job group (paired with [[record]]): a
+    * caller-set group — or an outer routed statement's — survives the
+    * inner statement instead of being cleared mid-flight. */
+  def clearGroup(spark: SparkSession): Unit = synchronized {
+    val sc = spark.sparkContext
+    priorGroups.get(spark) match {
+      case st if st != null && st.nonEmpty =>
+        val (gid, desc, interrupt) = st.pop()
+        sc.setLocalProperty("spark.jobGroup.id", gid)
+        sc.setLocalProperty("spark.job.description", desc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
+      case _ => sc.clearJobGroup()
+    }
+  }
 
   // ——— queryable system tables ————————————————————————————————————————
 
@@ -71,7 +95,10 @@ private[functions] object PrestoSystem {
     ("""(?i)\bsystem\s*\.\s*""" +
       """(?:(runtime)\s*\.\s*(nodes|queries|tasks|transactions)""" +
       """|(metadata)\s*\.\s*(catalogs|table_properties""" +
-      """|schema_properties|column_properties|analyze_properties))\b""").r
+      """|schema_properties|column_properties|analyze_properties)""" +
+      """|(jdbc)\s*\.\s*(catalogs|schemas|tables|columns|types""" +
+      """|table_types|procedures|procedure_columns|pseudo_columns""" +
+      """|super_tables|super_types|udts|attributes))\b""").r
 
   // Hive-connector table-suffix system tables ("t$partitions" /
   // "t$properties", HiveMetadata.java:407-415 + SystemTableHandler:
@@ -162,17 +189,16 @@ private[functions] object PrestoSystem {
     else {
       // the (?i) match preserves the query's case; keys and view names
       // are lowercase (the reference's identifiers are case-insensitive)
-      val names = ms.map(m =>
+      def key(m: scala.util.matching.Regex.Match): String =
         Option(m.group(2)).map("runtime_" + _.toLowerCase)
-          .getOrElse("metadata_" + m.group(4).toLowerCase)).toSet
-      refresh(spark, names)
+          .orElse(Option(m.group(4)).map("metadata_" + _.toLowerCase))
+          .getOrElse("jdbc_" + m.group(6).toLowerCase)
+      refresh(spark, ms.map(key).toSet)
       val sb = new StringBuilder
       var pos = 0
       ms.foreach { m =>
-        val t = Option(m.group(2)).map("runtime_" + _.toLowerCase)
-          .getOrElse("metadata_" + m.group(4).toLowerCase)
         sb.append(q.substring(pos, m.start))
-        sb.append("graft_system_").append(t)
+        sb.append("graft_system_").append(key(m))
         pos = m.end
       }
       sb.append(q.substring(pos))
@@ -199,16 +225,28 @@ private[functions] object PrestoSystem {
         .createOrReplaceTempView("graft_system_runtime_queries")
     }
     if (which("runtime_tasks")) {
-      // TaskSystemTable.java:47-78 — per-task rows with split counts,
-      // scheduled/cpu time and I/O aggregates. Library rendering: one
-      // row per Spark STAGE ATTEMPT from Spark's own status store (a
-      // Presto task's operator pipeline maps onto a Spark stage; the
-      // store is what the UI/REST API serve). The listener bus drains
-      // first (timeout-tolerant — the table serves a snapshot, never
-      // errors) so a just-finished query's stages are visible.
-      // query_id correlates through the job group the statement router
-      // sets per routed statement (stages run outside the router read
-      // NULL); states render in the reference's TaskState vocabulary.
+      // TaskSystemTable.java:47-80 — the reference's FULL 24-column
+      // layout, in its column order. Library rendering: one row per
+      // Spark STAGE ATTEMPT from Spark's own status store (a Presto
+      // task's operator pipeline maps onto a Spark stage; the store is
+      // what the UI/REST API serve). The listener bus drains first
+      // (timeout-tolerant — the table serves a snapshot, never errors)
+      // so a just-finished query's stages are visible. query_id
+      // correlates through the job group the statement router sets per
+      // routed statement (stages run outside the router read NULL);
+      // states render in the reference's TaskState vocabulary. I/O
+      // mappings: raw input = the stage's source-scan volume
+      // (TaskStats.rawInputDataSize — what the connector handed over);
+      // processed input = everything the pipeline consumed, scans plus
+      // exchange reads (processedInputDataSize); output = what the task
+      // handed downstream (shuffle write) plus final storage writes;
+      // physical written = storage bytes alone (physicalWrittenDataSize);
+      // blocked time = the one blocking Spark meters per stage, shuffle
+      // fetch wait. completionTime is the task's END (the reference's
+      // endTime); last_heartbeat renders the newest status-store
+      // update we hold for the stage — end when finished, else launch/
+      // submission (the reference's lastHeartbeat is likewise "most
+      // recent status update").
       org.apache.spark.graft.StatusBridge.flush(spark.sparkContext)
       val groups =
         org.apache.spark.graft.StatusBridge.stageGroups(spark.sparkContext)
@@ -230,6 +268,10 @@ private[functions] object PrestoSystem {
             case "SKIPPED" => "CANCELED"
             case other => other // FAILED
           }
+          val end = ts(st.completionTime)
+          val heartbeat = Option(end)
+            .getOrElse(Option(ts(st.firstTaskLaunchedTime))
+              .getOrElse(ts(st.submissionTime)))
           org.apache.spark.sql.Row(
             "local",
             (Option(qid).toSeq :+ s"${st.stageId}.${st.attemptId}")
@@ -241,10 +283,15 @@ private[functions] object PrestoSystem {
             st.numTasks.toLong, queued, st.numActiveTasks.toLong,
             st.numCompleteTasks.toLong,
             st.executorRunTime, st.executorCpuTime / 1000000L,
+            st.shuffleFetchWaitTime,
             st.inputBytes, st.inputRecords,
-            st.outputBytes, st.outputRecords,
+            st.inputBytes + st.shuffleReadBytes,
+            st.inputRecords + st.shuffleReadRecords,
+            st.shuffleWriteBytes + st.outputBytes,
+            st.shuffleWriteRecords + st.outputRecords,
+            st.outputBytes,
             ts(st.submissionTime), ts(st.firstTaskLaunchedTime),
-            ts(st.completionTime))
+            heartbeat, end)
         }
       val schema = {
         import org.apache.spark.sql.types._
@@ -261,13 +308,18 @@ private[functions] object PrestoSystem {
           StructField("completed_splits", LongType),
           StructField("split_scheduled_time_ms", LongType),
           StructField("split_cpu_time_ms", LongType),
+          StructField("split_blocked_time_ms", LongType),
           StructField("raw_input_bytes", LongType),
           StructField("raw_input_rows", LongType),
+          StructField("processed_input_bytes", LongType),
+          StructField("processed_input_rows", LongType),
           StructField("output_bytes", LongType),
           StructField("output_rows", LongType),
+          StructField("physical_written_bytes", LongType),
           StructField("created", TimestampType),
           StructField("start", TimestampType),
-          StructField("last_heartbeat", TimestampType)))
+          StructField("last_heartbeat", TimestampType),
+          StructField("end", TimestampType)))
       }
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
@@ -359,6 +411,262 @@ private[functions] object PrestoSystem {
       propsView("analyze_properties",
         Seq(("partitions", "", "array(array(varchar))",
           "Partitions to be analyzed")))
+    refreshJdbc(spark, which)
+  }
+
+  // ——— system.jdbc.* — the java.sql.DatabaseMetaData surface —————————
+  //
+  // presto-main/.../connector/system/jdbc/ — the table set a JDBC
+  // driver's getCatalogs/getSchemas/getTables/getColumns/getTypeInfo
+  // calls read. Column sets replay the reference's builders verbatim
+  // (CatalogJdbcTable.java:42, SchemaJdbcTable.java:46-47,
+  // TableJdbcTable.java:50-59, ColumnJdbcTable.java:74-97,
+  // TypesJdbcTable.java:49-66, TableTypeJdbcTable.java:33 and the five
+  // always-empty tables Presto serves for completeness:
+  // ProcedureJdbcTable/ProcedureColumnJdbcTable/PseudoColumnJdbcTable/
+  // SuperTableJdbcTable/SuperTypeJdbcTable/UdtJdbcTable/
+  // AttributeJdbcTable — their cursors add no rows). The reference's
+  // FilterUtil pushes single-value catalog/schema/table constraints
+  // into the cursor; here the views are metadata-sized snapshots and
+  // Spark's own filter pushdown does the pruning over them — same
+  // effect, no data scan either way.
+
+  /** Spark type → the reference's JDBC metadata five-tuple:
+    * (java.sql.Types code, column_size, decimal_digits, num_prec_radix,
+    * char_octet_length) — `ColumnJdbcTable.java:169-310` verbatim,
+    * through the engine's Spark↔Presto type mapping (TIMESTAMP rides
+    * NTZ, TIMESTAMP WITH TIME ZONE rides session-TZ TimestampType). */
+  private def jdbcTypeInfo(dt: org.apache.spark.sql.types.DataType):
+      (Int, Option[Int], Option[Int], Option[Int], Option[Int]) = {
+    import org.apache.spark.sql.types._
+    import java.sql.Types
+    dt match {
+      case BooleanType => (Types.BOOLEAN, None, None, None, None)
+      case LongType => (Types.BIGINT, Some(19), None, Some(10), None)
+      case IntegerType => (Types.INTEGER, Some(10), None, Some(10), None)
+      case ShortType => (Types.SMALLINT, Some(5), None, Some(10), None)
+      case ByteType => (Types.TINYINT, Some(3), None, Some(10), None)
+      case FloatType => (Types.REAL, Some(24), None, Some(2), None)
+      case DoubleType => (Types.DOUBLE, Some(53), None, Some(2), None)
+      case d: DecimalType =>
+        (Types.DECIMAL, Some(d.precision), Some(d.scale), Some(10), None)
+      case StringType => // unbounded varchar: VarcharType.UNBOUNDED_LENGTH
+        (Types.VARCHAR, Some(Int.MaxValue), None, None, Some(Int.MaxValue))
+      case c: CharType =>
+        (Types.CHAR, Some(c.length), None, None, Some(c.length))
+      case v: VarcharType =>
+        (Types.VARCHAR, Some(v.length), None, None, Some(v.length))
+      case BinaryType =>
+        (Types.VARBINARY, Some(Int.MaxValue), None, None, Some(Int.MaxValue))
+      case DateType => (Types.DATE, Some(14), None, None, None)
+      case TimestampNTZType => (Types.TIMESTAMP, Some(23), None, None, None)
+      case TimestampType =>
+        (Types.TIMESTAMP_WITH_TIMEZONE, Some(29), None, None, None)
+      case _: ArrayType => (Types.ARRAY, None, None, None, None)
+      case _ => (Types.JAVA_OBJECT, None, None, None, None)
+    }
+  }
+
+  private def rowsDf(spark: SparkSession, cols: Seq[(String,
+      org.apache.spark.sql.types.DataType)],
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(cols.map {
+      case (n, t) => org.apache.spark.sql.types.StructField(n, t) })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private def refreshJdbc(spark: SparkSession, which: Set[String]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType => BoolT,
+      LongType => LongT, StringType => StrT}
+    val S = StrT; val L = LongT
+    val cat = spark.catalog.currentCatalog()
+    val curDb = spark.catalog.currentDatabase
+    def view(name: String, df: DataFrame): Unit =
+      df.createOrReplaceTempView(s"graft_system_jdbc_$name")
+    // (db, table name, "TABLE"|"VIEW", isTemp) across every schema —
+    // catalog listings only, metadata-sized at any corpus (the
+    // reference's MetadataListing.listTables walks connector metadata
+    // the same way)
+    lazy val allTables: Seq[(String, String, String, Boolean)] = {
+      val perDb = spark.catalog.listDatabases().collect().toSeq
+        .flatMap(d => spark.catalog.listTables(d.name).collect())
+      val temps = spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+      (perDb ++ temps).map { t =>
+        val db = Option(t.database).filter(_.nonEmpty).getOrElse(curDb)
+        val typ =
+          if (t.tableType == "VIEW" || t.isTemporary) "VIEW" else "TABLE"
+        (db, t.name, typ, t.isTemporary)
+      }.distinct.sortBy(r => (r._1, r._2))
+    }
+    if (which("jdbc_catalogs"))
+      view("catalogs", rowsDf(spark, Seq("table_cat" -> S),
+        Seq(Row(cat))))
+    if (which("jdbc_schemas"))
+      view("schemas", rowsDf(spark,
+        Seq("table_schem" -> S, "table_catalog" -> S),
+        (spark.catalog.listDatabases().collect().map(_.name).toSeq
+          :+ "information_schema").distinct.sorted.map(Row(_, cat))))
+    if (which("jdbc_tables"))
+      view("tables", rowsDf(spark,
+        Seq("table_cat" -> S, "table_schem" -> S, "table_name" -> S,
+          "table_type" -> S, "remarks" -> S, "type_cat" -> S,
+          "type_schem" -> S, "type_name" -> S,
+          "self_referencing_col_name" -> S, "ref_generation" -> S),
+        allTables.map { case (db, n, typ, _) =>
+          Row(cat, db, n, typ, null, null, null, null, null, null) }))
+    if (which("jdbc_columns")) {
+      val rows = allTables.flatMap { case (db, n, _, isTemp) =>
+        val ident = if (isTemp) s"`$n`" else s"`$db`.`$n`"
+        // a table whose storage is gone still lists in jdbc.tables;
+        // its columns are simply absent (the reference skips tables
+        // listTableColumns cannot resolve the same way)
+        scala.util.Try(spark.table(ident).schema).toOption.toSeq
+          .flatMap(_.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            val (jt, size, digits, radix, octets) = jdbcTypeInfo(f.dataType)
+            def l(o: Option[Int]): Any =
+              o.map(v => java.lang.Long.valueOf(v.toLong)).orNull
+            Row(cat, db, n, f.name, jt.toLong,
+              PrestoStatements.prestoTypeName(f.dataType),
+              l(size), 0L, l(digits), l(radix),
+              java.sql.DatabaseMetaData.columnNullableUnknown.toLong,
+              f.getComment().orNull, null, null, null, l(octets),
+              (i + 1).toLong, "", null, null, null, null, null, null)
+          })
+      }
+      view("columns", rowsDf(spark,
+        Seq("table_cat" -> S, "table_schem" -> S, "table_name" -> S,
+          "column_name" -> S, "data_type" -> L, "type_name" -> S,
+          "column_size" -> L, "buffer_length" -> L,
+          "decimal_digits" -> L, "num_prec_radix" -> L,
+          "nullable" -> L, "remarks" -> S, "column_def" -> S,
+          "sql_data_type" -> L, "sql_datetime_sub" -> L,
+          "char_octet_length" -> L, "ordinal_position" -> L,
+          "is_nullable" -> S, "scope_catalog" -> S,
+          "scope_schema" -> S, "scope_table" -> S,
+          "source_data_type" -> L, "is_autoincrement" -> S,
+          "is_generatedcolumn" -> S), rows))
+    }
+    if (which("jdbc_table_types"))
+      view("table_types", rowsDf(spark, Seq("table_type" -> S),
+        Seq(Row("TABLE"), Row("VIEW"))))
+    if (which("jdbc_types")) {
+      import java.sql.Types._
+      // the engine's live scalar-type inventory (SURVEY §1.2's mapping,
+      // each carried by a gated surface) with the reference's own
+      // (jdbcDataType, columnSize, numPrecRadix) facts per name —
+      // intervals and sketch/JSON types take its JAVA_OBJECT fall-
+      // through, sketch types its non-comparable arm (typePredNone).
+      // Parametric constructors follow addParametricTypeRows:
+      // array → ARRAY, everything else JAVA_OBJECT, no size facts.
+      val J = JAVA_OBJECT
+      def s(v: Int) = Some(v)
+      val concrete: Seq[(String, Int, Option[Int], Option[Int], Boolean)] =
+        Seq(
+          ("boolean", BOOLEAN, None, None, true),
+          ("tinyint", TINYINT, s(3), s(10), true),
+          ("smallint", SMALLINT, s(5), s(10), true),
+          ("integer", INTEGER, s(10), s(10), true),
+          ("bigint", BIGINT, s(19), s(10), true),
+          ("real", REAL, s(24), s(2), true),
+          ("double", DOUBLE, s(53), s(2), true),
+          ("varchar", VARCHAR, s(Int.MaxValue), None, true),
+          ("varbinary", VARBINARY, s(Int.MaxValue), None, true),
+          ("json", J, None, None, true),
+          ("date", DATE, s(14), None, true),
+          ("time", TIME, s(8), None, true),
+          ("time with time zone", TIME_WITH_TIMEZONE, s(14), None, true),
+          ("timestamp", TIMESTAMP, s(23), None, true),
+          ("timestamp with time zone", TIMESTAMP_WITH_TIMEZONE, s(29),
+            None, true),
+          ("interval year to month", J, None, None, true),
+          ("interval day to second", J, None, None, true),
+          ("HyperLogLog", J, None, None, false),
+          ("P4HyperLogLog", J, None, None, false),
+          ("SetDigest", J, None, None, false),
+          ("KHyperLogLog", J, None, None, false),
+          ("qdigest", J, None, None, false),
+          ("tdigest", J, None, None, false))
+      val searchable = java.sql.DatabaseMetaData.typeSearchable.toLong
+      val predNone = java.sql.DatabaseMetaData.typePredNone.toLong
+      val nullable = java.sql.DatabaseMetaData.typeNullable.toLong
+      val concreteRows = concrete.map {
+        case (name, jt, size, radix, comparable) =>
+          def l(o: Option[Int]): Any =
+            o.map(v => java.lang.Long.valueOf(v.toLong)).orNull
+          Row(name, jt.toLong, l(size), null, null, null, nullable,
+            false, if (comparable) searchable else predNone, null,
+            false, null, null, 0L, 0L, null, null, l(radix))
+      }
+      val parametricRows = Seq("array", "map", "row", "decimal", "char",
+        "function").map { name =>
+        Row(name,
+          if (name == "array") java.sql.Types.ARRAY.toLong
+          else java.sql.Types.JAVA_OBJECT.toLong,
+          null, null, null, null, nullable, false, predNone, null,
+          false, null, null, 0L, 0L, null, null, null)
+      }
+      view("types", rowsDf(spark,
+        Seq("type_name" -> S, "data_type" -> L, "precision" -> L,
+          "literal_prefix" -> S, "literal_suffix" -> S,
+          "create_params" -> S, "nullable" -> L,
+          "case_sensitive" -> BoolT, "searchable" -> L,
+          "unsigned_attribute" -> BoolT, "fixed_prec_scale" -> BoolT,
+          "auto_increment" -> BoolT, "local_type_name" -> S,
+          "minimum_scale" -> L, "maximum_scale" -> L,
+          "sql_data_type" -> L, "sql_datetime_sub" -> L,
+          "num_prec_radix" -> L), concreteRows ++ parametricRows))
+    }
+    // the five always-empty metadata tables (their reference cursors
+    // add no rows) — present with exact schemas, never missing
+    if (which("jdbc_procedures"))
+      view("procedures", rowsDf(spark,
+        Seq("procedure_cat" -> S, "procedure_schem" -> S,
+          "procedure_name" -> S, "remarks" -> S, "procedure_type" -> L,
+          "specific_name" -> S), Seq.empty))
+    if (which("jdbc_procedure_columns"))
+      view("procedure_columns", rowsDf(spark,
+        Seq("procedure_cat" -> S, "procedure_schem" -> S,
+          "procedure_name" -> S, "column_name" -> S, "column_type" -> L,
+          "data_type" -> L, "type_name" -> S, "precision" -> L,
+          "length" -> L, "scale" -> L, "radix" -> L, "nullable" -> L,
+          "remarks" -> S, "column_def" -> S, "sql_data_type" -> L,
+          "sql_datetime_sub" -> L, "char_octet_length" -> L,
+          "ordinal_position" -> L, "is_nullable" -> S,
+          "specific_name" -> S), Seq.empty))
+    if (which("jdbc_pseudo_columns"))
+      view("pseudo_columns", rowsDf(spark,
+        Seq("table_cat" -> S, "table_schem" -> S, "table_name" -> S,
+          "column_name" -> S, "data_type" -> L, "column_size" -> L,
+          "decimal_digits" -> L, "num_prec_radix" -> L,
+          "column_usage" -> S, "remarks" -> S,
+          "char_octet_length" -> L, "is_nullable" -> L), Seq.empty))
+    if (which("jdbc_super_tables"))
+      view("super_tables", rowsDf(spark,
+        Seq("table_cat" -> S, "table_schem" -> S, "table_name" -> S,
+          "supertable_name" -> S), Seq.empty))
+    if (which("jdbc_super_types"))
+      view("super_types", rowsDf(spark,
+        Seq("type_cat" -> S, "type_schem" -> S, "type_name" -> S,
+          "supertype_cat" -> S, "supertype_schem" -> S,
+          "supertype_name" -> S), Seq.empty))
+    if (which("jdbc_udts"))
+      view("udts", rowsDf(spark,
+        Seq("type_cat" -> S, "type_schem" -> S, "type_name" -> S,
+          "class_name" -> S, "data_type" -> S, "remarks" -> S,
+          "base_type" -> S), Seq.empty))
+    if (which("jdbc_attributes"))
+      view("attributes", rowsDf(spark,
+        Seq("type_cat" -> S, "type_schem" -> S, "type_name" -> S,
+          "attr_name" -> S, "data_type" -> L, "attr_type_name" -> S,
+          "attr_size" -> L, "decimal_digits" -> L,
+          "num_prec_radix" -> L, "nullable" -> L, "remarks" -> S,
+          "attr_def" -> S, "sql_data_type" -> L,
+          "sql_datetime_sub" -> L, "char_octet_length" -> L,
+          "ordinal_position" -> L, "is_nullable" -> S,
+          "scope_catalog" -> S, "scope_schema" -> S,
+          "scope_table" -> S, "source_data_type" -> L), Seq.empty))
   }
 
   // ——— CALL system.runtime.kill_query ————————————————————————————————

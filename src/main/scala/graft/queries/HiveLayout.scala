@@ -74,6 +74,10 @@ object HiveLayout extends QueryPack {
         finally s.conf.set(
           "spark.sql.sources.partitionOverwriteMode", prior)
       case "ERROR" =>
+        // check-then-act: correct under this engine's single-writer-
+        // per-table contract; a concurrent writer could land a
+        // partition between the listing and the append (the reference
+        // closes that window with its metastore commit transaction)
         val existing = s.sql(s"SHOW PARTITIONS $table").collect()
           .map(_.getString(0)).toSet
         val incoming = df.select(col(partCol)).distinct().collect()

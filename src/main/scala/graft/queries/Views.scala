@@ -977,13 +977,115 @@ object Views extends QueryPack {
           |  UNION ALL
           |  SELECT 'x_timings_nonneg',
           |    CAST(count_if(split_scheduled_time_ms < 0
-          |      OR split_cpu_time_ms < 0) = 0 AS VARCHAR)
+          |      OR split_cpu_time_ms < 0
+          |      OR split_blocked_time_ms < 0
+          |      OR physical_written_bytes < 0) = 0 AS VARCHAR)
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_end_on_finished',
+          |    CAST(count_if(state = 'FINISHED' AND `end` IS NULL) = 0
+          |      AS VARCHAR)
+          |  FROM system.runtime.tasks
+          |  UNION ALL
+          |  SELECT 'x_processed_covers_raw',
+          |    CAST(count_if(processed_input_bytes < raw_input_bytes
+          |      OR processed_input_rows < raw_input_rows) = 0 AS VARCHAR)
           |  FROM system.runtime.tasks
           |  UNION ALL
           |  SELECT 'x_transactions_empty',
           |    CAST(count(*) = 0 AS VARCHAR)
           |  FROM system.runtime.transactions)
           |ORDER BY k""".stripMargin)
+    }),
+
+    // system.jdbc.* — the DatabaseMetaData surface a JDBC driver reads
+    // (presto-main/.../connector/system/jdbc/*.java; served here
+    // through the PrestoSystem masked-rewrite machinery). This gate
+    // pins the catalog-shaped tables: catalogs/schemas/table_types,
+    // the types inventory's reference facts (TypesJdbcTable.java:94-111
+    // + ColumnJdbcTable's jdbcDataType/columnSize), and the five
+    // always-empty tables' exact column arity — present, not missing.
+    "q3q_jdbc_metadata" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SELECT k, v FROM (
+          |  SELECT 'a_catalogs_current' AS k,
+          |    CAST(count(*) = 1 AND min(table_cat) = 'spark_catalog'
+          |      AS VARCHAR) AS v
+          |  FROM system.jdbc.catalogs
+          |  UNION ALL
+          |  SELECT 'b_schemas_has_default',
+          |    CAST(count_if(table_schem = 'default') = 1
+          |      AND count_if(table_schem = 'information_schema') = 1
+          |      AND count_if(table_catalog <> 'spark_catalog') = 0
+          |      AS VARCHAR)
+          |  FROM system.jdbc.schemas
+          |  UNION ALL
+          |  SELECT 'c_table_types_exact',
+          |    CAST(count(*) = 2 AND min(table_type) = 'TABLE'
+          |      AND max(table_type) = 'VIEW' AS VARCHAR)
+          |  FROM system.jdbc.table_types
+          |  UNION ALL
+          |  SELECT 'd_types_bigint_facts',
+          |    CAST(count(*) = 1 AND min(data_type) = -5
+          |      AND min(precision) = 19 AND min(num_prec_radix) = 10
+          |      AND min(searchable) = 3 AND min(nullable) = 1
+          |      AS VARCHAR)
+          |  FROM system.jdbc.types WHERE type_name = 'bigint'
+          |  UNION ALL
+          |  SELECT 'e_types_array_parametric',
+          |    CAST(count(*) = 1 AND min(data_type) = 2003 AS VARCHAR)
+          |  FROM system.jdbc.types WHERE type_name = 'array'
+          |  UNION ALL
+          |  SELECT 'f_types_sketch_not_searchable',
+          |    CAST(count(*) = 1 AND min(data_type) = 2000
+          |      AND min(searchable) = 0 AS VARCHAR)
+          |  FROM system.jdbc.types WHERE type_name = 'HyperLogLog'
+          |  UNION ALL
+          |  SELECT 'g_fixture_is_view',
+          |    CAST(count(*) = 1 AS VARCHAR)
+          |  FROM system.jdbc.tables
+          |  WHERE table_schem = 'default' AND table_name = 'region'
+          |    AND table_type = 'VIEW'
+          |  UNION ALL
+          |  SELECT 'h_empty_tables_arity', CAST(
+          |    (SELECT count(*) FROM system.jdbc.procedures) = 0 AND
+          |    (SELECT count(*) FROM system.jdbc.procedure_columns) = 0
+          |    AND
+          |    (SELECT count(*) FROM system.jdbc.pseudo_columns) = 0 AND
+          |    (SELECT count(*) FROM system.jdbc.super_tables) = 0 AND
+          |    (SELECT count(*) FROM system.jdbc.super_types) = 0 AND
+          |    (SELECT count(*) FROM system.jdbc.udts) = 0 AND
+          |    (SELECT count(*) FROM system.jdbc.attributes) = 0
+          |    AS VARCHAR)
+          |)
+          |ORDER BY k""".stripMargin)
+    }),
+
+    // system.jdbc.tables ⋈ system.jdbc.columns over the fixtures, with
+    // the reference's per-type metadata facts (ColumnJdbcTable.java:
+    // 133-310: jdbcDataType / columnSize / numPrecRadix /
+    // charOctetLength / columnNullableUnknown / 1-based ordinals).
+    // The oracle is DuckDB's OWN information_schema over the identical
+    // fixture views (the qz5 stance), CASE-mapped to the same
+    // java.sql.Types facts — a genuine two-engine agreement.
+    "q3r_jdbc_tables_columns" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      graft.functions.Registry.prestoStatement(s,
+        """SELECT t.table_name, c.column_name, c.ordinal_position,
+          |  c.data_type, c.type_name, c.column_size, c.num_prec_radix,
+          |  c.char_octet_length, c.nullable, c.is_nullable
+          |FROM system.jdbc.tables t
+          |JOIN system.jdbc.columns c
+          |  ON c.table_cat = t.table_cat
+          | AND c.table_schem = t.table_schem
+          | AND c.table_name = t.table_name
+          |WHERE t.table_name IN
+          |  ('region', 'nation', 'customer', 'orders', 'lineitem')
+          |  AND t.table_type = 'VIEW'
+          |ORDER BY t.table_name, c.ordinal_position""".stripMargin)
     }),
 
     // testViewMetadata analog: created views appear in catalog listings
@@ -1002,8 +1104,10 @@ object Views extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q3p_runtime_tasks" ->
       """SELECT k, v FROM (VALUES
+        |  ('x_end_on_finished', 'true'),
         |  ('x_has_rows', 'true'),
         |  ('x_local_node', 'true'),
+        |  ('x_processed_covers_raw', 'true'),
         |  ('x_query_correlates', 'true'),
         |  ('x_scan_read_rows', 'true'),
         |  ('x_splits_accounted', 'true'),
@@ -1077,6 +1181,48 @@ object Views extends QueryPack {
         |  true AS run_queue_ok, true AS queue_full_ok,
         |  true AS promote_ok, true AS pool_ok
         |FROM r ORDER BY k""".stripMargin,
+
+    "q3q_jdbc_metadata" ->
+      """SELECT k, v FROM (VALUES
+        |  ('a_catalogs_current', 'true'),
+        |  ('b_schemas_has_default', 'true'),
+        |  ('c_table_types_exact', 'true'),
+        |  ('d_types_bigint_facts', 'true'),
+        |  ('e_types_array_parametric', 'true'),
+        |  ('f_types_sketch_not_searchable', 'true'),
+        |  ('g_fixture_is_view', 'true'),
+        |  ('h_empty_tables_arity', 'true')) t(k, v)
+        |ORDER BY k""".stripMargin,
+
+    // DuckDB's OWN metadata over the identical fixture views, CASE-
+    // mapped to the java.sql.Types facts the reference's
+    // ColumnJdbcTable derives per type — a genuine two-engine
+    // agreement on names, ordinals, JDBC type codes, and size facts.
+    "q3r_jdbc_tables_columns" ->
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS BIGINT) AS ordinal_position,
+        |  CAST(CASE lower(data_type)
+        |    WHEN 'bigint' THEN -5 WHEN 'integer' THEN 4
+        |    WHEN 'double' THEN 8 WHEN 'varchar' THEN 12
+        |    WHEN 'date' THEN 91 WHEN 'timestamp' THEN 93
+        |  END AS BIGINT) AS data_type,
+        |  lower(data_type) AS type_name,
+        |  CAST(CASE lower(data_type)
+        |    WHEN 'bigint' THEN 19 WHEN 'integer' THEN 10
+        |    WHEN 'double' THEN 53 WHEN 'varchar' THEN 2147483647
+        |    WHEN 'date' THEN 14 WHEN 'timestamp' THEN 23
+        |  END AS BIGINT) AS column_size,
+        |  CAST(CASE lower(data_type)
+        |    WHEN 'bigint' THEN 10 WHEN 'integer' THEN 10
+        |    WHEN 'double' THEN 2
+        |  END AS BIGINT) AS num_prec_radix,
+        |  CAST(CASE WHEN lower(data_type) = 'varchar'
+        |    THEN 2147483647 END AS BIGINT) AS char_octet_length,
+        |  CAST(2 AS BIGINT) AS nullable, '' AS is_nullable
+        |FROM information_schema.columns
+        |WHERE table_name IN
+        |  ('region', 'nation', 'customer', 'orders', 'lineitem')
+        |ORDER BY table_name, ordinal_position""".stripMargin,
 
     // DuckDB's OWN information_schema over the identical fixture views —
     // a genuine two-engine agreement on names, 1-based ordinals, and

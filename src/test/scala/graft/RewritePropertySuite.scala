@@ -34,6 +34,7 @@ class RewritePropertySuite extends GraftSuite {
     "TIMESTAMP '2020-06-10 15:30:00 +05:30'",
     "TABLESAMPLE BERNOULLI (10)", "date_add('day', 1, d)",
     "information_schema.columns", "system.runtime.queries",
+    "system.jdbc.columns", "system.jdbc.table_types",
     "cast(x as varchar)", "CAST(x AS row(a bigint))",
     "CAST(m AS map(varchar, bigint))", "array_agg(x ORDER BY y)",
     "it's doubled", "")

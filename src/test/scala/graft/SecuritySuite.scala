@@ -142,6 +142,77 @@ class SecuritySuite extends GraftSuite {
     assert(unknown.getMessage.contains("Target query not found: nope_123"))
   }
 
+  test("a routed statement restores the caller's job group") {
+    Tables.register(spark, SfDir)
+    val sc = spark.sparkContext
+    sc.setJobGroup("caller_group_17", "outer work")
+    try {
+      stmt("SELECT count(*) AS n FROM region").collect()
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "caller_group_17")
+      assert(sc.getLocalProperty("spark.job.description") == "outer work")
+    } finally sc.clearJobGroup()
+    // with no caller group, the router leaves the group unset
+    stmt("SELECT 1 AS x").collect()
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+  }
+
+  test("system.runtime.tasks serves the reference's 24-column layout") {
+    Tables.register(spark, SfDir)
+    spark.read.parquet(s"$SfDir/region.parquet").count()
+    val df = stmt("SELECT * FROM system.runtime.tasks")
+    // TaskSystemTable.java:47-80, exact names in exact order
+    assert(df.columns.toSeq == Seq("node_id", "task_id",
+      "stage_execution_id", "stage_id", "query_id", "state", "splits",
+      "queued_splits", "running_splits", "completed_splits",
+      "split_scheduled_time_ms", "split_cpu_time_ms",
+      "split_blocked_time_ms", "raw_input_bytes", "raw_input_rows",
+      "processed_input_bytes", "processed_input_rows", "output_bytes",
+      "output_rows", "physical_written_bytes", "created", "start",
+      "last_heartbeat", "end"))
+    val finished = df.filter("state = 'FINISHED'").collect()
+    assert(finished.nonEmpty)
+    // end is set on finished tasks; processed input covers raw input
+    assert(finished.forall(r => !r.isNullAt(23)))
+    assert(finished.forall(r => r.getLong(15) >= r.getLong(13) &&
+      r.getLong(16) >= r.getLong(14)))
+  }
+
+  test("system.jdbc tables carry the reference's exact column sets") {
+    Tables.register(spark, SfDir)
+    // ColumnJdbcTable.java:74-97 — 24 columns, exact names and order
+    assert(stmt("SELECT * FROM system.jdbc.columns WHERE 1=0")
+      .columns.toSeq == Seq("table_cat", "table_schem", "table_name",
+      "column_name", "data_type", "type_name", "column_size",
+      "buffer_length", "decimal_digits", "num_prec_radix", "nullable",
+      "remarks", "column_def", "sql_data_type", "sql_datetime_sub",
+      "char_octet_length", "ordinal_position", "is_nullable",
+      "scope_catalog", "scope_schema", "scope_table",
+      "source_data_type", "is_autoincrement", "is_generatedcolumn"))
+    // TableJdbcTable.java:50-59 — 10 columns
+    assert(stmt("SELECT * FROM system.jdbc.tables WHERE 1=0")
+      .columns.length == 10)
+    // the empty tables still carry full schemas
+    assert(stmt("SELECT * FROM system.jdbc.procedure_columns")
+      .columns.length == 20)
+    assert(stmt("SELECT * FROM system.jdbc.attributes")
+      .columns.length == 21)
+    assert(stmt("SELECT * FROM system.jdbc.pseudo_columns")
+      .columns.length == 12)
+    // a catalog prefix filter prunes to nothing, like FilterUtil
+    assert(stmt("SELECT * FROM system.jdbc.tables " +
+      "WHERE table_cat = 'nope'").count() == 0)
+    // decimal columns carry precision/scale facts
+    spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+      .createOrReplaceTempView("jdbc_dec_probe")
+    val d = stmt("SELECT data_type, type_name, column_size, " +
+      "decimal_digits, num_prec_radix FROM system.jdbc.columns " +
+      "WHERE table_name = 'jdbc_dec_probe'").collect()(0)
+    assert(d.getLong(0) == java.sql.Types.DECIMAL.toLong)
+    assert(d.getString(1) == "decimal(10,2)")
+    assert((d.getLong(2), d.getLong(3), d.getLong(4)) == ((10L, 2L, 10L)))
+    spark.catalog.dropTempView("jdbc_dec_probe")
+  }
+
   test("EXPLAIN FORMAT JSON / GRAPHVIZ render the plan tree") {
     Tables.register(spark, SfDir)
     val json = stmt(

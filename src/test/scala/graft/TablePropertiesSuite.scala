@@ -580,4 +580,49 @@ class TablePropertiesSuite extends GraftSuite {
       Seq(1))
     spark.sql("DROP TABLE tps_noprops")
   }
+
+  test("double-quoted property names are the same identifier") {
+    // the reference's grammar accepts "p1" = ... and treats it as p1
+    // (TestAnalyzer.java:1156 flags the pair a duplicate)
+    spark.sql("DROP TABLE IF EXISTS tps_qp")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_qp WITH ("format" = 'PARQUET',
+         |  "external_location" = '${tmp("qp")}')
+         |AS SELECT 1 AS x""".stripMargin)
+    assert(spark.table("tps_qp").count() == 1)
+    assert(errorOf("CREATE TABLE tps_qp2 WITH (\"format\" = 'PARQUET', " +
+      "format = 'ORC') AS SELECT 1 AS x")
+      .contains("Duplicate property: format"))
+  }
+
+  test("a DESC-bucketed insert missing a bucket column still lands") {
+    // the repartition hint must skip (like the bucket-id sort lead)
+    // when the insert's column list omits a bucket column — the write
+    // then follows the default placement and the column fills NULL
+    spark.sql("DROP TABLE IF EXISTS tps_pbi")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_pbi (k bigint, v varchar)
+         |WITH (format = 'PARQUET', external_location = '${tmp("pbi")}',
+         |      bucketed_by = ARRAY['k'], bucket_count = 2,
+         |      sorted_by = ARRAY['v DESC'])""".stripMargin)
+    prestoStatement(spark,
+      "INSERT INTO tps_pbi (v) VALUES ('b'), ('a'), ('c')")
+    val rows = spark.table("tps_pbi").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(0)))
+  }
+
+  test("sorted-insert arity mismatch surfaces Spark's own error") {
+    // preparation falls through to the default pipeline ONLY for the
+    // intended cases (unanalyzable body, arity mismatch) — the default
+    // pipeline then raises its own analysis error instead of the
+    // sorted path silently mis-binding columns
+    spark.sql("DROP TABLE IF EXISTS tps_ar")
+    prestoStatement(spark,
+      s"""CREATE TABLE tps_ar (k bigint, v varchar)
+         |WITH (format = 'PARQUET', external_location = '${tmp("ar")}',
+         |      preferred_ordering_columns = ARRAY['k'])""".stripMargin)
+    intercept[Exception](prestoStatement(spark,
+      "INSERT INTO tps_ar SELECT 1"))
+    assert(spark.table("tps_ar").count() == 0)
+  }
 }
