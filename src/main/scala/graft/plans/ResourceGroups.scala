@@ -106,7 +106,16 @@ object ResourceGroups {
     * group, or None when no selector matches (the reference then
     * rejects the query: no group == not eligible to run). */
   def select(mgr: Manager, user: String, source: Option[String],
-      tags: Set[String] = Set.empty): Option[Resolved] = {
+      tags: Set[String] = Set.empty): Option[Resolved] =
+    selectWithTemplate(mgr, user, source, tags).map(_._1)
+
+  /** [[select]] plus the matched selector's TEMPLATE path — what the
+    * DB-backed manager records so a later spec change can find the
+    * live groups configured from that template
+    * (DbResourceGroupConfigurationManager's configuredGroups map). */
+  def selectWithTemplate(mgr: Manager, user: String,
+      source: Option[String],
+      tags: Set[String] = Set.empty): Option[(Resolved, Seq[String])] = {
     mgr.selectors.iterator.flatMap { sel =>
       val vars = mutable.Map.empty[String, String]
       val userOk = sel.userRegex.forall { re =>
@@ -135,7 +144,7 @@ object ResourceGroups {
       else {
         vars.getOrElseUpdate("USER", user)
         vars.getOrElseUpdate("SOURCE", src)
-        Some(resolve(mgr, sel.group, vars.toMap))
+        Some((resolve(mgr, sel.group, vars.toMap), sel.group))
       }
     }.nextOption()
   }
@@ -168,10 +177,15 @@ object ResourceGroups {
 
   // ---- the InternalResourceGroup admission state machine ------------
 
-  final class GroupState(val resolved: Resolved) {
+  final class GroupState(initial: Resolved) {
+    // limits re-read on every admit/release, so a reconfigure() takes
+    // effect on the NEXT admission — the reference's
+    // InternalResourceGroup.setHardConcurrencyLimit contract
+    @volatile private[ResourceGroups] var current: Resolved = initial
     private[ResourceGroups] var running = 0
     private[ResourceGroups] val queued = mutable.Queue.empty[Long]
     private[ResourceGroups] var nextTicket = 0L
+    def resolved: Resolved = current
     def runningCount: Int = synchronized(running)
     def queuedCount: Int = synchronized(queued.size)
   }
@@ -186,6 +200,15 @@ object ResourceGroups {
     states.computeIfAbsent(r.id, _ => new GroupState(r))
 
   def clearAll(): Unit = states.clear()
+
+  /** Re-limit a LIVE group in place (the reference's
+    * configureChangedGroups → InternalResourceGroup setters): running
+    * and queued entries are untouched, the new limits govern from the
+    * next admit/release. No-op when the group was never admitted to. */
+  def reconfigure(r: Resolved): Unit = {
+    val g = states.get(r.id)
+    if (g != null) g.synchronized { g.current = r }
+  }
 
   /** `InternalResourceGroup.run:244-252`: run if under the hard
     * concurrency limit, queue if under maxQueued, else the reference's

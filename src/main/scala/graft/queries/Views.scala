@@ -1088,6 +1088,161 @@ object Views extends QueryPack {
           |ORDER BY t.table_name, c.ordinal_position""".stripMargin)
     }),
 
+    // DB-backed resource groups (reference: `presto-resource-group-
+    // managers/.../db/DbResourceGroupConfigurationManager.java` +
+    // `ResourceGroupsDao.java`; Spark-native re-expression in
+    // plans/DbResourceGroups.scala). Specs and selectors live in the
+    // MySQL shim through the real jdbc:mysql driver; the walk proves
+    // the reference's operational semantics: template expansion from
+    // DB rows, priority-DESC selector order, queue-full admission, a
+    // config UPDATE + load() re-limiting a LIVE group without any
+    // restart, a new group appearing on reload, a spec leaving the
+    // environment disabling its live group, the exact-match source
+    // selector's most-specific-row rule, and a failed refresh keeping
+    // the last good configuration.
+    "q3s_db_resource_groups" -> ((s, dir) => {
+      import graft.plans.{DbResourceGroupManager, ResourceGroups}
+      import graft.sources.{GraftMySqlDriver, MySqlStore}
+      Tables.register(s, dir)
+      GraftMySqlDriver.install()
+      val url = "jdbc:mysql://graft-shim/g"
+      val drv = "graft.sources.GraftMySqlDriver"
+      Seq("resource_groups_global_properties", "resource_groups",
+        "selectors", "exact_match_source_selectors")
+        .foreach(MySqlStore.drop)
+      ResourceGroups.clearAll()
+      val mgr = new DbResourceGroupManager(url, drv, "test",
+        exactMatchSelectorEnabled = true)
+      mgr.initialize()
+      val conn = java.sql.DriverManager.getConnection(url)
+      def addGroup(id: Long, name: String, maxQueued: Int, hard: Int,
+          parent: Option[Long]): Unit = {
+        val ps = conn.prepareStatement(
+          """INSERT INTO resource_groups (resource_group_id, name,
+            | soft_memory_limit, max_queued, soft_concurrency_limit,
+            | hard_concurrency_limit, scheduling_policy,
+            | scheduling_weight, jmx_export, soft_cpu_limit,
+            | hard_cpu_limit, parent, environment)
+            |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"""
+            .stripMargin)
+        ps.setLong(1, id); ps.setString(2, name)
+        ps.setString(3, "1GB"); ps.setInt(4, maxQueued)
+        ps.setObject(5, null); ps.setInt(6, hard)
+        ps.setObject(7, null); ps.setObject(8, null)
+        ps.setObject(9, null); ps.setObject(10, null)
+        ps.setObject(11, null)
+        parent.fold(ps.setObject(12, null))(ps.setLong(12, _))
+        ps.setString(13, "test")
+        ps.executeUpdate()
+      }
+      def addSelector(gid: Long, priority: Long, userRe: String,
+          srcRe: String): Unit = {
+        val ps = conn.prepareStatement(
+          """INSERT INTO selectors (resource_group_id, priority,
+            | user_regex, source_regex, query_type, client_tags,
+            | selector_resource_estimate)
+            |VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin)
+        ps.setLong(1, gid); ps.setLong(2, priority)
+        ps.setObject(3, userRe); ps.setObject(4, srcRe)
+        ps.setObject(5, null); ps.setObject(6, null)
+        ps.setObject(7, null)
+        ps.executeUpdate()
+      }
+      addGroup(1, "global", 40, 10, None)
+      addGroup(2, "adhoc_${USER}", 2, 1, Some(1))
+      addGroup(3, "pipeline", 3, 1, Some(1))
+      addSelector(3, 10, null, ".*pipeline.*")
+      addSelector(2, 1, ".*", null)
+      mgr.load()
+      val phases = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String)]
+      def phase(k: String, ok: Boolean): Unit =
+        phases += ((k, ok.toString))
+      val alice = mgr.select("alice", Some("cli")).get
+      phase("a_template_expanded", alice.id == "global.adhoc_alice" &&
+        alice.hardConcurrencyLimit == 1 && alice.maxQueued == 2)
+      phase("b_priority_desc", mgr.select("bob",
+        Some("nightly-pipeline-7")).exists(_.id == "global.pipeline"))
+      val g = ResourceGroups.stateOf(alice)
+      val ran = ResourceGroups.admit(g) == ResourceGroups.Run
+      val q2 = (1 to 2).forall(_ => ResourceGroups.admit(g) match {
+        case ResourceGroups.Queued(_) => true
+        case _ => false
+      })
+      val full = try { ResourceGroups.admit(g); "" }
+        catch { case e: IllegalStateException => e.getMessage }
+      phase("c_queue_full", ran && q2 && full ==
+        "Too many queued queries for \"global.adhoc_alice\"")
+      // a config UPDATE + load() re-limits the LIVE group: the same
+      // state object (1 running, 2 queued) starts admitting again
+      val up = conn.prepareStatement("UPDATE resource_groups SET " +
+        "hard_concurrency_limit = ? WHERE resource_group_id = ?")
+      up.setInt(1, 3); up.setLong(2, 2L)
+      up.executeUpdate()
+      mgr.load()
+      val reAdmitted = (1 to 2).forall(_ =>
+        ResourceGroups.admit(g) == ResourceGroups.Run)
+      phase("d_reload_relimits_live_group",
+        reAdmitted && g.runningCount == 3 &&
+          mgr.select("alice", Some("cli"))
+            .exists(_.hardConcurrencyLimit == 3))
+      // a NEW group + selector appear on reload, no restart
+      addGroup(4, "reports", 1, 2, Some(1))
+      addGroup(5, "batch", 2, 2, Some(1))
+      addSelector(4, 20, null, "^report-.*$")
+      mgr.load()
+      val carol = mgr.select("carol", Some("report-weekly"))
+      phase("e_new_group_on_reload",
+        carol.exists(_.id == "global.reports"))
+      // exact-match source selectors: most-specific row wins (non-NULL
+      // environment first, then non-NULL query_type); evaluated BEFORE
+      // the regex selectors
+      def addExact(env: String, qt: String, idJson: String): Unit = {
+        val ps = conn.prepareStatement(
+          """INSERT INTO exact_match_source_selectors (environment,
+            | source, query_type, update_time, resource_group_id)
+            |VALUES (?, ?, ?, ?, ?)""".stripMargin)
+        ps.setObject(1, env); ps.setString(2, "s1")
+        ps.setObject(3, qt)
+        ps.setTimestamp(4, new java.sql.Timestamp(0L))
+        ps.setString(5, idJson)
+        ps.executeUpdate()
+      }
+      addExact(null, null, """["global","pipeline"]""")
+      addExact("test", null, """["global","batch"]""")
+      addExact("test", "INSERT", """["global","pipeline"]""")
+      val exactPlain = mgr.select("dave", Some("s1"))
+      val exactTyped = mgr.select("dave", Some("s1"),
+        queryType = Some("INSERT"))
+      phase("f_exact_match_specificity",
+        exactPlain.exists(_.id == "global.batch") &&
+          exactTyped.exists(_.id == "global.pipeline"))
+      // a spec leaving the environment disables its live group and
+      // drops its selector
+      val carolState = ResourceGroups.stateOf(carol.get)
+      assert(ResourceGroups.admit(carolState) == ResourceGroups.Run)
+      val out = conn.prepareStatement("UPDATE resource_groups SET " +
+        "environment = ? WHERE resource_group_id = ?")
+      out.setString(1, "retired"); out.setLong(2, 4L)
+      out.executeUpdate()
+      mgr.load()
+      val disabledLoud = try { ResourceGroups.admit(carolState); "" }
+        catch { case e: IllegalStateException => e.getMessage }
+      phase("g_deleted_spec_disables",
+        disabledLoud == "Too many queued queries for \"global.reports\""
+          && mgr.select("carol", Some("report-weekly"))
+            .exists(_.id == "global.adhoc_carol"))
+      // a failed refresh keeps the last good configuration
+      MySqlStore.drop("selectors")
+      mgr.load()
+      phase("h_failed_refresh_keeps_config",
+        mgr.refreshFailures == 1L &&
+          mgr.select("alice", Some("cli"))
+            .exists(_.id == "global.adhoc_alice"))
+      import s.implicits._
+      phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -1181,6 +1336,18 @@ object Views extends QueryPack {
         |  true AS run_queue_ok, true AS queue_full_ok,
         |  true AS promote_ok, true AS pool_ok
         |FROM r ORDER BY k""".stripMargin,
+
+    "q3s_db_resource_groups" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('a_template_expanded', 'true'),
+        |  ('b_priority_desc', 'true'),
+        |  ('c_queue_full', 'true'),
+        |  ('d_reload_relimits_live_group', 'true'),
+        |  ('e_new_group_on_reload', 'true'),
+        |  ('f_exact_match_specificity', 'true'),
+        |  ('g_deleted_spec_disables', 'true'),
+        |  ('h_failed_refresh_keeps_config', 'true')) t(phase, observed)
+        |ORDER BY phase""".stripMargin,
 
     "q3q_jdbc_metadata" ->
       """SELECT k, v FROM (VALUES

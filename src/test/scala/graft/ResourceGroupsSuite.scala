@@ -94,4 +94,94 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(ResourceGroups.release(g).isDefined)
     assert(g.runningCount == 1 && g.queuedCount == 0)
   }
+
+  test("reconfigure re-limits a live group without touching its queue") {
+    // DbResourceGroupConfigurationManager.configureChangedGroups: the
+    // new limits govern the NEXT admission; running/queued survive
+    ResourceGroups.clearAll()
+    val r = Resolved("rc", maxQueued = 1, hardConcurrencyLimit = 1,
+      schedulingPolicy = None, schedulingWeight = None)
+    val g = ResourceGroups.stateOf(r)
+    assert(ResourceGroups.admit(g) == Run)
+    assert(ResourceGroups.admit(g).isInstanceOf[Queued])
+    intercept[IllegalStateException](ResourceGroups.admit(g))
+    ResourceGroups.reconfigure(r.copy(hardConcurrencyLimit = 3,
+      maxQueued = 5))
+    assert(ResourceGroups.admit(g) == Run)
+    assert(g.runningCount == 2 && g.queuedCount == 1)
+    // disable (the deleted-spec arm): zero limits reject immediately
+    ResourceGroups.reconfigure(r.copy(hardConcurrencyLimit = 0,
+      maxQueued = 0))
+    intercept[IllegalStateException](ResourceGroups.admit(g))
+    // reconfigure of a never-admitted group id is a no-op
+    ResourceGroups.reconfigure(Resolved("ghost", 1, 1, None, None))
+  }
+
+  test("db manager: load populates, reload diffs, failure keeps config") {
+    import graft.plans.DbResourceGroupManager
+    import graft.sources.{GraftMySqlDriver, MySqlStore}
+    GraftMySqlDriver.install()
+    val url = "jdbc:mysql://graft-shim/g"
+    Seq("resource_groups_global_properties", "resource_groups",
+      "selectors", "exact_match_source_selectors")
+      .foreach(MySqlStore.drop)
+    ResourceGroups.clearAll()
+    val mgr = new DbResourceGroupManager(url,
+      "graft.sources.GraftMySqlDriver", "suite")
+    mgr.initialize()
+    // initialize is idempotent (probed, never resets)
+    mgr.initialize()
+    val c = java.sql.DriverManager.getConnection(url)
+    val ins = c.prepareStatement(
+      """INSERT INTO resource_groups (resource_group_id, name,
+        | soft_memory_limit, max_queued, soft_concurrency_limit,
+        | hard_concurrency_limit, scheduling_policy, scheduling_weight,
+        | jmx_export, soft_cpu_limit, hard_cpu_limit, parent,
+        | environment) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"""
+        .stripMargin)
+    def grp(id: Long, name: String, mq: Int, hc: Int,
+        parent: Option[Long], env: String): Unit = {
+      ins.setLong(1, id); ins.setString(2, name); ins.setString(3, "1GB")
+      ins.setInt(4, mq); ins.setObject(5, null); ins.setInt(6, hc)
+      ins.setObject(7, null); ins.setObject(8, null)
+      ins.setObject(9, null); ins.setObject(10, null)
+      ins.setObject(11, null)
+      parent.fold(ins.setObject(12, null))(ins.setLong(12, _))
+      ins.setString(13, env); ins.executeUpdate()
+    }
+    grp(1, "root", 5, 2, None, "suite")
+    grp(2, "kid_${USER}", 1, 1, Some(1), "suite")
+    grp(3, "other_env", 9, 9, None, "elsewhere") // filtered out
+    val sel = c.prepareStatement(
+      """INSERT INTO selectors (resource_group_id, priority, user_regex,
+        | source_regex, query_type, client_tags,
+        | selector_resource_estimate) VALUES (?, ?, ?, ?, ?, ?, ?)"""
+        .stripMargin)
+    sel.setLong(1, 2L); sel.setLong(2, 1L); sel.setString(3, ".*")
+    sel.setObject(4, null); sel.setObject(5, null)
+    sel.setObject(6, null); sel.setObject(7, null)
+    sel.executeUpdate()
+    mgr.load()
+    // the other environment's group never loads (the DAO's WHERE)
+    assert(mgr.select("pat", None).map(_.id).contains("root.kid_pat"))
+    // change detection: an identical reload reconfigures nothing and
+    // keeps serving; a real change shows on the next select
+    mgr.load()
+    assert(mgr.select("pat", None).exists(_.hardConcurrencyLimit == 1))
+    val up = c.prepareStatement("UPDATE resource_groups SET " +
+      "max_queued = ? WHERE resource_group_id = ?")
+    up.setInt(1, 4); up.setLong(2, 2L); up.executeUpdate()
+    mgr.load()
+    assert(mgr.select("pat", None).exists(_.maxQueued == 4))
+    // a broken store keeps the last good configuration, loudly counted
+    MySqlStore.drop("resource_groups")
+    mgr.load()
+    assert(mgr.refreshFailures == 1L)
+    assert(mgr.select("pat", None).map(_.id).contains("root.kid_pat"))
+    // a manager that NEVER loaded successfully propagates the failure
+    ResourceGroups.clearAll()
+    val broken = new DbResourceGroupManager(url,
+      "graft.sources.GraftMySqlDriver", "suite")
+    intercept[Exception](broken.load())
+  }
 }
