@@ -87,25 +87,62 @@ object Compaction {
     sets.filter(_.size > 1).toSeq
   }
 
-  /** Compact a parquet directory in place: plan sets, rewrite each as
-    * one file appended to the directory, then delete that set's source
-    * files (write-then-delete order). Returns the before/after facts
-    * the caller's gate pins. */
-  def compact(spark: SparkSession, dir: String, maxBytes: Long,
-      maxRows: Long): Summary = {
-    val before = fileInfos(spark, dir)
-    val sets = planSets(before, maxBytes, maxRows)
+  /** Execute compaction sets CONCURRENTLY on a bounded pool — the
+    * reference runs one OrganizationJob per set on its organizer
+    * executor (`ShardOrganizer`'s thread pool), never serially. Each
+    * set writes its replacement into a private scratch directory (so
+    * concurrent jobs never share an output committer's _temporary
+    * state), RENAMES the finished file into the table directory — the
+    * commit point — and only then retires that set's sources: the
+    * write-then-retire order holds per set regardless of interleaving.
+    * Scratch directories are `_`-prefixed, which every parquet reader
+    * ignores, so a crash mid-set leaves the table readable and the
+    * pass re-runnable. Failures propagate after all sets settle. */
+  private def executeSets(spark: SparkSession, dir: String,
+      sets: Seq[Seq[String]], maxConcurrentSets: Int): Unit = {
+    if (sets.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    sets.foreach { set =>
-      spark.read.parquet(set.map(_.path): _*)
-        .coalesce(1)
-        .write.mode("append").parquet(dir)
-      // replacement committed — now retire the sources (the reference
-      // deletes old shards inside the same metadata transaction)
-      set.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f.path), false))
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(1, maxConcurrentSets), sets.size))
+    try {
+      val jobs = sets.zipWithIndex.map { case (paths, i) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val tmp = new org.apache.hadoop.fs.Path(dir,
+              s"_graft_compact_$i")
+            spark.read.parquet(paths: _*).coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = fs.listStatus(tmp).find { s =>
+              s.isFile && s.getPath.getName.startsWith("part-") &&
+                s.getPath.getName.endsWith(".parquet")
+            }.getOrElse(sys.error(s"compaction set $i wrote no file"))
+            // job-scoped UUIDs keep renamed names collision-free
+            fs.rename(part.getPath,
+              new org.apache.hadoop.fs.Path(dir, part.getPath.getName))
+            fs.delete(tmp, true)
+            // replacement committed — now retire the sources (the
+            // reference deletes old shards inside the same metadata
+            // transaction)
+            paths.foreach(p =>
+              fs.delete(new org.apache.hadoop.fs.Path(p), false))
+          }
+        })
+      }
+      jobs.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Compact a parquet directory in place: plan sets, rewrite each as
+    * one file landed in the directory, then delete that set's source
+    * files (write-then-delete order per set; sets run concurrently on
+    * a bounded pool). Returns the before/after facts the caller's
+    * gate pins. */
+  def compact(spark: SparkSession, dir: String, maxBytes: Long,
+      maxRows: Long, maxConcurrentSets: Int = 4): Summary = {
+    val before = fileInfos(spark, dir)
+    val sets = planSets(before, maxBytes, maxRows)
+    executeSets(spark, dir, sets.map(_.map(_.path)), maxConcurrentSets)
     val after = fileInfos(spark, dir)
     Summary(before.size.toLong, after.size.toLong, sets.size.toLong,
       before.map(_.rows).sum, after.map(_.rows).sum)
@@ -223,13 +260,13 @@ object Compaction {
   }
 
   /** Compact a time-ranged parquet directory in place, day-bucketed —
-    * same write-then-retire execution as [[compact]]. */
+    * same bounded-concurrent write-then-retire execution as
+    * [[compact]]. */
   def compactTemporal(spark: SparkSession, dir: String, column: String,
-      maxBytes: Long, maxRows: Long): Summary = {
+      maxBytes: Long, maxRows: Long,
+      maxConcurrentSets: Int = 4): Summary = {
     val before = temporalFileInfos(spark, dir, column)
     val sets = planSetsTemporal(before, maxBytes, maxRows)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     // rewrites must stay ORGANIZABLE: INT96 output would lose the
     // footer range the next maintenance pass reads (the reference's
     // compactor preserves shard ranges in its metadata the same way)
@@ -237,13 +274,7 @@ object Compaction {
     val priorTs = spark.conf.get(tsType)
     try {
       spark.conf.set(tsType, "TIMESTAMP_MICROS")
-      sets.foreach { set =>
-        spark.read.parquet(set.map(_.path): _*)
-          .coalesce(1)
-          .write.mode("append").parquet(dir)
-        set.foreach(f =>
-          fs.delete(new org.apache.hadoop.fs.Path(f.path), false))
-      }
+      executeSets(spark, dir, sets.map(_.map(_.path)), maxConcurrentSets)
     } finally spark.conf.set(tsType, priorTs)
     val after = temporalFileInfos(spark, dir, column)
     Summary(before.size.toLong, after.size.toLong, sets.size.toLong,

@@ -316,6 +316,69 @@ class OperatorsSuite extends GraftSuite {
       s"smalls should pack together: $packed")
   }
 
+  test("concurrent set execution matches the serial path, both arms") {
+    import graft.operators.Compaction
+    // two identical 9-small-file directories: one compacts with the
+    // bounded pool, one serially (pool of 1) — summaries and data must
+    // be identical, and more than one set must have compacted
+    def mkDir(tag: String): String = {
+      val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cmpc_$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      (0 until 9).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+          .write.mode("append").parquet(d.getAbsolutePath)
+      }
+      d.getAbsolutePath
+    }
+    val (parDir, serDir) = (mkDir("par"), mkDir("ser"))
+    val expected = spark.read.parquet(parDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val planned = Compaction.planSets(
+      Compaction.fileInfos(spark, parDir), maxBytes = Long.MaxValue,
+      maxRows = 3)
+    assert(planned.size == 3) // 9 files, 3 rows/set bound
+    val par = Compaction.compact(spark, parDir, Long.MaxValue, 3,
+      maxConcurrentSets = 4)
+    val ser = Compaction.compact(spark, serDir, Long.MaxValue, 3,
+      maxConcurrentSets = 1)
+    assert(par == ser && par.setsCompacted == 3)
+    assert(par.filesAfter == 3 && par.rowsAfter == 9)
+    def data(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(data(parDir) == expected && data(serDir) == expected)
+    // no scratch directories survive
+    assert(!new java.io.File(parDir).listFiles()
+      .exists(_.getName.startsWith("_graft_compact_")))
+    // idempotence: a second pass finds only single-file sets... which
+    // re-pack under the same bound? No: 3 files of 3 rows each cannot
+    // pack under maxRows = 3, so nothing rewrites
+    val again = Compaction.compact(spark, parDir, Long.MaxValue, 3,
+      maxConcurrentSets = 4)
+    assert(again.setsCompacted == 0 && again.filesAfter == 3)
+    // temporal arm through the same concurrent executor
+    val td = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cmpc_temporal")
+    org.apache.commons.io.FileUtils.deleteQuietly(td)
+    val priorTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try (0 until 6).foreach { i =>
+      val day = i % 2 // two day buckets, three files each
+      Seq((java.sql.Timestamp.valueOf(
+        s"2024-01-0${day + 1} 0$i:00:00"), i.toLong))
+        .toDF("ts", "n").coalesce(1)
+        .write.mode("append").parquet(td.getAbsolutePath)
+    } finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", priorTs)
+    val t = Compaction.compactTemporal(spark, td.getAbsolutePath, "ts",
+      Long.MaxValue, Long.MaxValue, maxConcurrentSets = 4)
+    assert(t.setsCompacted == 2 && t.filesAfter == 2 &&
+      t.rowsBefore == 6 && t.rowsAfter == 6)
+    assert(spark.read.parquet(td.getAbsolutePath)
+      .agg(sum(col("n"))).head().getLong(0) == 15L)
+  }
+
   test("temporal compaction: determineDay arms and day-bucketed sets") {
     import graft.operators.Compaction
     import graft.operators.Compaction.TemporalFileInfo
