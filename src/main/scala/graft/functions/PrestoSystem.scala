@@ -25,6 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[functions] object PrestoSystem {
 
   private case class QRec(queryId: String, var state: String, user: String,
+      source: String, resourceGroup: Option[Seq[String]],
       query: String, createdMs: Long, var endMs: Long)
 
   private val logs =
@@ -51,8 +52,16 @@ private[functions] object PrestoSystem {
     n(0) += 1
     val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
+    // source is the client-provided tag (Session.getSource — NULL when
+    // the client sent none); a statement running inside
+    // ResourceGroups.withGroup logs its group id (the FAIR pool the
+    // wrapper pinned carries exactly the dotted segments)
+    val source = spark.conf.getOption("graft.source").orNull
+    val group = Option(
+      spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
+      .map(_.split('.').toSeq)
     val rec = QRec(f"${ts}_${n(0)}%05d_graft", "RUNNING",
-      spark.sparkContext.sparkUser, sqlText.trim,
+      spark.sparkContext.sparkUser, source, group, sqlText.trim,
       System.currentTimeMillis(), 0L)
     log(spark) += rec
     // job-group the statement so system.runtime.tasks can correlate
@@ -216,12 +225,43 @@ private[functions] object PrestoSystem {
         .createOrReplaceTempView("graft_system_runtime_nodes")
     }
     if (which("runtime_queries")) {
-      val rows = synchronized { log(spark).toSeq.map(r =>
-        (r.queryId, r.state, r.user, r.query,
-          new java.sql.Timestamp(r.createdMs),
-          if (r.endMs == 0L) null
-          else new java.sql.Timestamp(r.endMs))) }
-      rows.toDF("query_id", "state", "user", "query", "created", "end")
+      // QuerySystemTable.java:56-71 — the reference's FULL 12-column
+      // layout in its column order. Synchronous-library renderings:
+      // started == created (no admission queue → queued_time_ms 0);
+      // analysis_time_ms is the router's record→finish span (the
+      // statement's parse/rewrite/plan work — execution is lazy in
+      // Spark and lands on the reader); last_heartbeat is the newest
+      // update we hold (end when settled).
+      val rows = synchronized { log(spark).toSeq.map { r =>
+        def t(ms: Long): java.sql.Timestamp =
+          if (ms == 0L) null else new java.sql.Timestamp(ms)
+        org.apache.spark.sql.Row(
+          r.queryId, r.state, r.user, r.source, r.query,
+          r.resourceGroup.orNull,
+          0L,
+          if (r.endMs == 0L) null else
+            java.lang.Long.valueOf(r.endMs - r.createdMs),
+          t(r.createdMs), t(r.createdMs),
+          if (r.endMs == 0L) t(r.createdMs) else t(r.endMs),
+          t(r.endMs))
+      }}
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(Seq(
+          StructField("query_id", StringType),
+          StructField("state", StringType),
+          StructField("user", StringType),
+          StructField("source", StringType),
+          StructField("query", StringType),
+          StructField("resource_group_id", ArrayType(StringType)),
+          StructField("queued_time_ms", LongType),
+          StructField("analysis_time_ms", LongType),
+          StructField("created", TimestampType),
+          StructField("started", TimestampType),
+          StructField("last_heartbeat", TimestampType),
+          StructField("end", TimestampType)))
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .createOrReplaceTempView("graft_system_runtime_queries")
     }
     if (which("runtime_tasks")) {

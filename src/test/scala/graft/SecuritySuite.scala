@@ -142,6 +142,38 @@ class SecuritySuite extends GraftSuite {
     assert(unknown.getMessage.contains("Target query not found: nope_123"))
   }
 
+  test("system.runtime.queries serves the reference's 12-column layout") {
+    Tables.register(spark, SfDir)
+    val df = stmt("SELECT * FROM system.runtime.queries")
+    // QuerySystemTable.java:56-71, exact names in exact order
+    assert(df.columns.toSeq == Seq("query_id", "state", "user",
+      "source", "query", "resource_group_id", "queued_time_ms",
+      "analysis_time_ms", "created", "started", "last_heartbeat",
+      "end"))
+    // source rides the client tag; a statement under a resource group
+    // logs the group's segments (the pinned FAIR pool)
+    spark.conf.set("graft.source", "suite-cli")
+    try {
+      graft.plans.ResourceGroups.clearAll()
+      val r = graft.plans.ResourceGroups.Resolved("global.suite", 5, 5,
+        None, None)
+      graft.plans.ResourceGroups.withGroup(spark, r) {
+        stmt("SELECT 41 AS tagged_probe").collect()
+      }
+    } finally spark.conf.unset("graft.source")
+    val row = stmt(
+      """SELECT source, resource_group_id, queued_time_ms,
+        |  analysis_time_ms, started, `end`
+        |FROM system.runtime.queries
+        |WHERE query LIKE 'SELECT 41 AS tagged_probe%'""".stripMargin)
+      .collect().last
+    assert(row.getString(0) == "suite-cli")
+    assert(row.getSeq[String](1) == Seq("global", "suite"))
+    assert(row.getLong(2) == 0L) // no admission queue: never queued
+    assert(!row.isNullAt(3) && row.getLong(3) >= 0L)
+    assert(!row.isNullAt(4) && !row.isNullAt(5)) // started + end settled
+  }
+
   test("a routed statement restores the caller's job group") {
     Tables.register(spark, SfDir)
     val sc = spark.sparkContext
