@@ -317,23 +317,22 @@ private[functions] object PrestoStatements {
       val partLead = meta.partitionColumnNames
         .filter(c => targetSet(c.toLowerCase)).map(c => s"`$c` ASC")
       val bucketSpec = meta.bucketSpec.filter(_ => descSort.isDefined)
-      val bucketLead = bucketSpec.toSeq.flatMap { b =>
-        if (b.bucketColumnNames.forall(c => targetSet(c.toLowerCase)))
-          Seq("pmod(hash(" +
-            b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
-            s"), ${b.numBuckets}) ASC")
-        else Seq.empty
+      // one usability predicate shared by the bucket-id sort lead AND
+      // the repartition hint: a bucket column absent from the insert's
+      // column list fills NULL in the default pipeline, and either
+      // construct referencing it would fail analysis unresolved
+      val bucketUsable = bucketSpec.filter(b =>
+        b.bucketColumnNames.forall(c => targetSet(c.toLowerCase)))
+      val bucketLead = bucketUsable.toSeq.map { b =>
+        "pmod(hash(" +
+          b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
+          s"), ${b.numBuckets}) ASC"
       }
       val dataKeys = keysOf(descSort.orElse(pref).get)
       val sortKeys = partLead ++ bucketLead ++ dataKeys
       if (dataKeys.isEmpty) None
       else {
-        // same guard as bucketLead: a bucket column absent from the
-        // insert's column list fills NULL in the default pipeline — a
-        // hint referencing it would fail analysis on an unresolved name
-        val repartHint = bucketSpec.filter(b =>
-          b.bucketColumnNames.forall(c => targetSet(c.toLowerCase)))
-          .map(b =>
+        val repartHint = bucketUsable.map(b =>
           s"/*+ REPARTITION(${b.numBuckets}, " +
             b.bucketColumnNames.map(c => s"`$c`").mkString(", ") +
             ") */ ").getOrElse("")

@@ -37,12 +37,15 @@ private[functions] object PrestoSystem {
       logs.computeIfAbsent(spark, _ => mutable.ArrayBuffer.empty)
     }
 
-  // Per-session stack of pre-statement job-group properties, so the
-  // router RESTORES a caller-set group (or an outer routed statement's)
-  // instead of clearing it — clearing would break the caller's
-  // tasks-to-query correlation and any cancellation by group id.
-  private val priorGroups = new java.util.WeakHashMap[SparkSession,
-    mutable.Stack[(String, String, String)]]()
+  // Per-THREAD stack of pre-statement job-group properties (Spark job
+  // groups are thread-local state), so the router RESTORES a
+  // caller-set group (or an outer routed statement's) instead of
+  // clearing it — clearing would break the caller's tasks-to-query
+  // correlation and any cancellation by group id. A per-session map
+  // would cross-wire concurrent statements on different threads.
+  private val priorGroups =
+    ThreadLocal.withInitial[mutable.Stack[(String, String, String)]](
+      () => mutable.Stack.empty)
 
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
@@ -55,10 +58,14 @@ private[functions] object PrestoSystem {
     // source is the client-provided tag (Session.getSource — NULL when
     // the client sent none); a statement running inside
     // ResourceGroups.withGroup logs its group id (the FAIR pool the
-    // wrapper pinned carries exactly the dotted segments)
+    // wrapper pinned carries exactly the dotted segments). A pool the
+    // CALLER set for ordinary fair scheduling is not a resource group
+    // — only ids the admission machinery knows render (the reference
+    // reports NULL for a query never admitted to a group).
     val source = spark.conf.getOption("graft.source").orNull
     val group = Option(
       spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
+      .filter(graft.plans.ResourceGroups.isKnownGroup)
       .map(_.split('.').toSeq)
     val rec = QRec(f"${ts}_${n(0)}%05d_graft", "RUNNING",
       spark.sparkContext.sparkUser, source, group, sqlText.trim,
@@ -69,7 +76,7 @@ private[functions] object PrestoSystem {
     // column; Spark's own grouping mechanism). The pre-existing group
     // properties are captured for [[clearGroup]] to restore.
     val sc = spark.sparkContext
-    priorGroups.computeIfAbsent(spark, _ => mutable.Stack.empty).push((
+    priorGroups.get().push((
       sc.getLocalProperty("spark.jobGroup.id"),
       sc.getLocalProperty("spark.job.description"),
       sc.getLocalProperty("spark.job.interruptOnCancel")))
@@ -83,19 +90,19 @@ private[functions] object PrestoSystem {
     r.endMs = System.currentTimeMillis()
   }
 
-  /** Restore the pre-statement job group (paired with [[record]]): a
-    * caller-set group — or an outer routed statement's — survives the
-    * inner statement instead of being cleared mid-flight. */
-  def clearGroup(spark: SparkSession): Unit = synchronized {
+  /** Restore the pre-statement job group (paired with [[record]], on
+    * the SAME thread): a caller-set group — or an outer routed
+    * statement's — survives the inner statement instead of being
+    * cleared mid-flight. */
+  def clearGroup(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
-    priorGroups.get(spark) match {
-      case st if st != null && st.nonEmpty =>
-        val (gid, desc, interrupt) = st.pop()
-        sc.setLocalProperty("spark.jobGroup.id", gid)
-        sc.setLocalProperty("spark.job.description", desc)
-        sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
-      case _ => sc.clearJobGroup()
-    }
+    val st = priorGroups.get()
+    if (st.nonEmpty) {
+      val (gid, desc, interrupt) = st.pop()
+      sc.setLocalProperty("spark.jobGroup.id", gid)
+      sc.setLocalProperty("spark.job.description", desc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
+    } else sc.clearJobGroup()
   }
 
   // ——— queryable system tables ————————————————————————————————————————

@@ -117,9 +117,15 @@ object Compaction {
               s.isFile && s.getPath.getName.startsWith("part-") &&
                 s.getPath.getName.endsWith(".parquet")
             }.getOrElse(sys.error(s"compaction set $i wrote no file"))
-            // job-scoped UUIDs keep renamed names collision-free
-            fs.rename(part.getPath,
-              new org.apache.hadoop.fs.Path(dir, part.getPath.getName))
+            // job-scoped UUIDs keep renamed names collision-free; a
+            // rename that reports false (name collision with a stale
+            // crashed-run file, transient FS refusal) must abort the
+            // set BEFORE any delete — sources outlive every failure
+            val dst =
+              new org.apache.hadoop.fs.Path(dir, part.getPath.getName)
+            if (!fs.rename(part.getPath, dst))
+              sys.error(s"compaction set $i: rename to $dst failed; " +
+                "sources retained")
             fs.delete(tmp, true)
             // replacement committed — now retire the sources (the
             // reference deletes old shards inside the same metadata
@@ -129,7 +135,12 @@ object Compaction {
           }
         })
       }
-      jobs.foreach(_.get())
+      // every set SETTLES (completes or fails) before any failure
+      // propagates — no orphaned job keeps mutating the directory
+      // after compact() has returned control to the caller
+      val failures = jobs.flatMap(j =>
+        scala.util.Try(j.get()).failed.toOption)
+      failures.headOption.foreach(throw _)
     } finally pool.shutdown()
   }
 

@@ -55,13 +55,17 @@ class DbResourceGroupManager(url: String, driverClass: String,
 
   Class.forName(driverClass)
 
-  private def withConn[T](f: java.sql.Connection => T): T =
-    f(DriverManager.getConnection(url))
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close() // exactMatch runs per-select: never leak
+  }
 
   @volatile private var manager: Manager = Manager(Seq.empty, Seq.empty)
   // dotted TEMPLATE path → the spec facts that drive admission; the
-  // diff between loads is what reconfigures live groups
-  private var specs = Map.empty[String, (Int, Int, Option[String], Option[Int])]
+  // diff between loads is what reconfigures live groups (volatile:
+  // select() reads it outside load()'s lock)
+  @volatile private var specs =
+    Map.empty[String, (Int, Int, Option[String], Option[Int])]
   // TEMPLATE path → resolved (expanded) group ids configured from it
   private val configured =
     mutable.Map.empty[String, mutable.Set[String]]
@@ -132,8 +136,12 @@ class DbResourceGroupManager(url: String, driverClass: String,
           spec.hardConcurrencyLimit, spec.schedulingPolicy,
           spec.schedulingWeight))
       }.toMap
+      // a template is "changed" when its facts differ OR it was absent
+      // last load (a group whose environment flipped away and BACK must
+      // re-enable its live states — the reference reconfigures
+      // re-appearing groups the same way)
       val changed = newSpecs.collect {
-        case (k, v) if specs.get(k).exists(_ != v) => k }.toSet
+        case (k, v) if !specs.get(k).contains(v) => k }.toSet
       val deleted = specs.keySet -- newSpecs.keySet
       manager = Manager(roots, selectors)
       specs = newSpecs

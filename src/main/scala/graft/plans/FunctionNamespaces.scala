@@ -133,8 +133,10 @@ class FunctionNamespaceManager(url: String, driverClass: String,
 
   Class.forName(driverClass)
 
-  private def withConn[T](f: java.sql.Connection => T): T =
-    f(DriverManager.getConnection(url))
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close() // never leak against a real server
+  }
 
   private val NsTable = "function_namespaces"
   private val FnTable = "sql_functions"

@@ -201,6 +201,11 @@ object ResourceGroups {
 
   def clearAll(): Unit = states.clear()
 
+  /** Whether `id` names a group this engine has admitted to — lets the
+    * query log distinguish a resource-group-pinned FAIR pool from an
+    * unrelated caller-set pool name. */
+  def isKnownGroup(id: String): Boolean = states.containsKey(id)
+
   /** Re-limit a LIVE group in place (the reference's
     * configureChangedGroups → InternalResourceGroup setters): running
     * and queued entries are untouched, the new limits govern from the

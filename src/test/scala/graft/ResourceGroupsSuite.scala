@@ -173,6 +173,21 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     up.setInt(1, 4); up.setLong(2, 2L); up.executeUpdate()
     mgr.load()
     assert(mgr.select("pat", None).exists(_.maxQueued == 4))
+    // a group whose environment flips AWAY disables its live state;
+    // flipping BACK must re-enable it (absent-then-present counts as
+    // changed — the reference reconfigures re-appearing groups)
+    val live = ResourceGroups.stateOf(mgr.select("pat", None).get)
+    assert(ResourceGroups.admit(live) == Run)
+    ResourceGroups.release(live)
+    val flip = c.prepareStatement("UPDATE resource_groups SET " +
+      "environment = ? WHERE resource_group_id = ?")
+    flip.setString(1, "away"); flip.setLong(2, 2L); flip.executeUpdate()
+    mgr.load()
+    intercept[IllegalStateException](ResourceGroups.admit(live))
+    flip.setString(1, "suite"); flip.setLong(2, 2L); flip.executeUpdate()
+    mgr.load()
+    assert(ResourceGroups.admit(live) == Run)
+    ResourceGroups.release(live)
     // a broken store keeps the last good configuration, loudly counted
     MySqlStore.drop("resource_groups")
     mgr.load()
