@@ -208,16 +208,17 @@ class DbResourceGroupManager(url: String, driverClass: String,
     withConn { c =>
       val rs = c.createStatement().executeQuery(
         """SELECT resource_group_id, priority, user_regex, source_regex,
-          | client_tags FROM selectors""".stripMargin)
+          | query_type, client_tags FROM selectors""".stripMargin)
       Iterator.continually(rs).takeWhile(_.next()).flatMap { r =>
         val gid = r.getLong(1)
         pathById.get(gid).map { case (path, _) =>
           (r.getLong(2), Selector(
             userRegex = Option(r.getString(3)),
             sourceRegex = Option(r.getString(4)),
-            clientTags = Option(r.getString(5)).map(parseJsonTags)
+            clientTags = Option(r.getString(6)).map(parseJsonTags)
               .getOrElse(Set.empty),
-            group = path))
+            group = path,
+            queryType = Option(r.getString(5))))
         }
       }.toVector.sortBy(-_._1).map(_._2)
     }
@@ -279,7 +280,8 @@ class DbResourceGroupManager(url: String, driverClass: String,
         (Resolved(r, spec._1, spec._2, spec._3, spec._4), segments)
       }
     val hit = viaExact.orElse(
-      ResourceGroups.selectWithTemplate(manager, user, source, tags))
+      ResourceGroups.selectWithTemplate(manager, user, source, tags,
+        queryType))
     hit.foreach { case (r, tpl) =>
       synchronized {
         configured.getOrElseUpdate(tpl.mkString("."),

@@ -56,7 +56,10 @@ object ResourceGroups {
       userRegex: Option[String],
       sourceRegex: Option[String],
       clientTags: Set[String],
-      group: Seq[String]) // dotted template path segments
+      group: Seq[String], // dotted template path segments
+      // StaticSelector.java:108-112 — case-insensitive equality against
+      // the criteria's query type (absent criteria reads "")
+      queryType: Option[String] = None)
 
   final case class Manager(rootGroups: Seq[GroupSpec],
       selectors: Seq[Selector])
@@ -94,7 +97,8 @@ object ResourceGroups {
           clientTags = Option(s.get("clientTags"))
             .map(_.elements().asScala.map(_.asText()).toSet)
             .getOrElse(Set.empty),
-          group = s.get("group").asText().split('.').toSeq)
+          group = s.get("group").asText().split('.').toSeq,
+          queryType = Option(s.get("queryType")).map(_.asText()))
       }.toSeq).getOrElse(Seq.empty)
     Manager(groups(root.get("rootGroups")), selectors)
   }
@@ -106,8 +110,9 @@ object ResourceGroups {
     * group, or None when no selector matches (the reference then
     * rejects the query: no group == not eligible to run). */
   def select(mgr: Manager, user: String, source: Option[String],
-      tags: Set[String] = Set.empty): Option[Resolved] =
-    selectWithTemplate(mgr, user, source, tags).map(_._1)
+      tags: Set[String] = Set.empty,
+      queryType: Option[String] = None): Option[Resolved] =
+    selectWithTemplate(mgr, user, source, tags, queryType).map(_._1)
 
   /** [[select]] plus the matched selector's TEMPLATE path — what the
     * DB-backed manager records so a later spec change can find the
@@ -115,7 +120,8 @@ object ResourceGroups {
     * (DbResourceGroupConfigurationManager's configuredGroups map). */
   def selectWithTemplate(mgr: Manager, user: String,
       source: Option[String],
-      tags: Set[String] = Set.empty): Option[(Resolved, Seq[String])] = {
+      tags: Set[String] = Set.empty,
+      queryType: Option[String] = None): Option[(Resolved, Seq[String])] = {
     mgr.selectors.iterator.flatMap { sel =>
       val vars = mutable.Map.empty[String, String]
       val userOk = sel.userRegex.forall { re =>
@@ -140,7 +146,9 @@ object ResourceGroups {
         ok
       }
       val tagsOk = sel.clientTags.subsetOf(tags)
-      if (!userOk || !sourceOk || !tagsOk) None
+      val typeOk = sel.queryType.forall(
+        _.equalsIgnoreCase(queryType.getOrElse("")))
+      if (!userOk || !sourceOk || !tagsOk || !typeOk) None
       else {
         vars.getOrElseUpdate("USER", user)
         vars.getOrElseUpdate("SOURCE", src)

@@ -1136,7 +1136,7 @@ object Views extends QueryPack {
         ps.executeUpdate()
       }
       def addSelector(gid: Long, priority: Long, userRe: String,
-          srcRe: String): Unit = {
+          srcRe: String, queryType: String = null): Unit = {
         val ps = conn.prepareStatement(
           """INSERT INTO selectors (resource_group_id, priority,
             | user_regex, source_regex, query_type, client_tags,
@@ -1144,14 +1144,16 @@ object Views extends QueryPack {
             |VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin)
         ps.setLong(1, gid); ps.setLong(2, priority)
         ps.setObject(3, userRe); ps.setObject(4, srcRe)
-        ps.setObject(5, null); ps.setObject(6, null)
+        ps.setObject(5, queryType); ps.setObject(6, null)
         ps.setObject(7, null)
         ps.executeUpdate()
       }
       addGroup(1, "global", 40, 10, None)
       addGroup(2, "adhoc_${USER}", 2, 1, Some(1))
       addGroup(3, "pipeline", 3, 1, Some(1))
+      addGroup(6, "ddl", 2, 2, Some(1))
       addSelector(3, 10, null, ".*pipeline.*")
+      addSelector(6, 30, null, null, "DATA_DEFINITION")
       addSelector(2, 1, ".*", null)
       mgr.load()
       val phases = scala.collection.mutable.ArrayBuffer
@@ -1163,6 +1165,14 @@ object Views extends QueryPack {
         alice.hardConcurrencyLimit == 1 && alice.maxQueued == 2)
       phase("b_priority_desc", mgr.select("bob",
         Some("nightly-pipeline-7")).exists(_.id == "global.pipeline"))
+      // query_type binds case-insensitively (StaticSelector:108-112);
+      // an untyped query falls past the typed selector
+      phase("b2_query_type_selector",
+        mgr.select("bob", Some("cli"),
+          queryType = Some("data_definition"))
+          .exists(_.id == "global.ddl") &&
+          mgr.select("bob", Some("cli"))
+            .exists(_.id == "global.adhoc_bob"))
       val g = ResourceGroups.stateOf(alice)
       val ran = ResourceGroups.admit(g) == ResourceGroups.Run
       val q2 = (1 to 2).forall(_ => ResourceGroups.admit(g) match {
@@ -1340,6 +1350,7 @@ object Views extends QueryPack {
     "q3s_db_resource_groups" ->
       """SELECT phase, observed FROM (VALUES
         |  ('a_template_expanded', 'true'),
+        |  ('b2_query_type_selector', 'true'),
         |  ('b_priority_desc', 'true'),
         |  ('c_queue_full', 'true'),
         |  ('d_reload_relimits_live_group', 'true'),

@@ -44,6 +44,22 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
       assert(r.maxQueued == 7 && r.hardConcurrencyLimit == 3)
   }
 
+  test("selector queryType matches case-insensitively; absent reads ''") {
+    // StaticSelector.java:108-112
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "etl", "maxQueued": 1, "hardConcurrencyLimit": 1 },
+        |  { "name": "rest", "maxQueued": 1, "hardConcurrencyLimit": 1 } ],
+        |  "selectors": [
+        |    { "user": ".*", "queryType": "INSERT", "group": "etl" },
+        |    { "user": ".*", "group": "rest" } ] }""".stripMargin)
+    assert(ResourceGroups.select(m, "u", None,
+      queryType = Some("insert")).get.id == "etl")
+    assert(ResourceGroups.select(m, "u", None,
+      queryType = Some("SELECT")).get.id == "rest")
+    assert(ResourceGroups.select(m, "u", None).get.id == "rest")
+  }
+
   test("clientTags must be a subset of the criteria tags") {
     val m2 = ResourceGroups.parse(
       """{ "rootGroups": [
