@@ -208,7 +208,8 @@ class DbResourceGroupManager(url: String, driverClass: String,
     withConn { c =>
       val rs = c.createStatement().executeQuery(
         """SELECT resource_group_id, priority, user_regex, source_regex,
-          | query_type, client_tags FROM selectors""".stripMargin)
+          | query_type, client_tags, selector_resource_estimate
+          |FROM selectors""".stripMargin)
       Iterator.continually(rs).takeWhile(_.next()).flatMap { r =>
         val gid = r.getLong(1)
         pathById.get(gid).map { case (path, _) =>
@@ -218,7 +219,12 @@ class DbResourceGroupManager(url: String, driverClass: String,
             clientTags = Option(r.getString(6)).map(parseJsonTags)
               .getOrElse(Set.empty),
             group = path,
-            queryType = Option(r.getString(5))))
+            queryType = Option(r.getString(5)),
+            resourceEstimate = Option(r.getString(7)).map { json =>
+              ResourceGroups.parseSelectorEstimate(
+                new com.fasterxml.jackson.databind.ObjectMapper()
+                  .readTree(json))
+            }))
         }
       }.toVector.sortBy(-_._1).map(_._2)
     }
@@ -268,7 +274,8 @@ class DbResourceGroupManager(url: String, driverClass: String,
     * can reconfigure it. */
   def select(user: String, source: Option[String],
       tags: Set[String] = Set.empty,
-      queryType: Option[String] = None): Option[Resolved] = {
+      queryType: Option[String] = None,
+      estimates: QueryEstimates = QueryEstimates()): Option[Resolved] = {
     val viaExact =
       if (!exactMatchSelectorEnabled) None
       else exactMatch(source, queryType).map { segments =>
@@ -281,7 +288,7 @@ class DbResourceGroupManager(url: String, driverClass: String,
       }
     val hit = viaExact.orElse(
       ResourceGroups.selectWithTemplate(manager, user, source, tags,
-        queryType))
+        queryType, estimates))
     hit.foreach { case (r, tpl) =>
       synchronized {
         configured.getOrElseUpdate(tpl.mkString("."),

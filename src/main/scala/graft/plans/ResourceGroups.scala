@@ -52,6 +52,83 @@ object ResourceGroups {
       schedulingWeight: Option[Int],
       subGroups: Seq[GroupSpec])
 
+  // ——— selector resource estimates (SelectorResourceEstimate.java) ——
+  // Each present dimension requires the query's estimate PRESENT and
+  // inside [min, max] (both inclusive — Range.contains:140-144); a
+  // query that supplied no estimate for a constrained dimension never
+  // matches. Durations/data sizes use airlift's spellings
+  // ("5m", "30s", "500MB").
+
+  final case class EstimateRange(min: Option[Double], max: Option[Double]) {
+    def contains(v: Double): Boolean =
+      min.forall(_ <= v) && max.forall(_ >= v)
+  }
+
+  final case class SelectorEstimate(
+      executionTime: Option[EstimateRange],
+      cpuTime: Option[EstimateRange],
+      peakMemory: Option[EstimateRange]) {
+    def matches(e: QueryEstimates): Boolean =
+      executionTime.forall(r => e.executionTimeSecs.exists(r.contains)) &&
+        cpuTime.forall(r => e.cpuTimeSecs.exists(r.contains)) &&
+        peakMemory.forall(r => e.peakMemoryBytes.exists(r.contains))
+  }
+
+  /** The query side of the estimate match (the client-supplied
+    * ResourceEstimates session values). */
+  final case class QueryEstimates(
+      executionTimeSecs: Option[Double] = None,
+      cpuTimeSecs: Option[Double] = None,
+      peakMemoryBytes: Option[Double] = None)
+
+  private val NumUnitRe = """^\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*$""".r
+
+  /** airlift Duration.valueOf grammar → seconds. */
+  private[graft] def parseDurationSecs(s: String): Double = s match {
+    case NumUnitRe(n, u) =>
+      val f = u match {
+        case "ns" => 1e-9; case "us" => 1e-6; case "ms" => 1e-3
+        case "s" => 1.0; case "m" => 60.0; case "h" => 3600.0
+        case "d" => 86400.0
+        case other => throw new IllegalArgumentException(
+          s"Unknown duration unit: $other")
+      }
+      n.toDouble * f
+    case other =>
+      throw new IllegalArgumentException(s"duration is not valid: $other")
+  }
+
+  /** airlift DataSize.valueOf grammar → bytes. */
+  private[graft] def parseDataSizeBytes(s: String): Double = s match {
+    case NumUnitRe(n, u) =>
+      val f = u match {
+        case "B" => 1d; case "kB" => 1024d; case "MB" => 1024d * 1024
+        case "GB" => math.pow(1024, 3); case "TB" => math.pow(1024, 4)
+        case "PB" => math.pow(1024, 5)
+        case other => throw new IllegalArgumentException(
+          s"Unknown unit: $other")
+      }
+      n.toDouble * f
+    case other =>
+      throw new IllegalArgumentException(s"size is not valid: $other")
+  }
+
+  /** Parse the JSON shape `{"executionTime": {"min": "5m", "max":
+    * "10m"}, "cpuTime": ..., "peakMemory": {"max": "500MB"}}`. */
+  private[graft] def parseSelectorEstimate(
+      node: com.fasterxml.jackson.databind.JsonNode): SelectorEstimate = {
+    def range(name: String, conv: String => Double): Option[EstimateRange] =
+      Option(node.get(name)).map { r =>
+        EstimateRange(
+          Option(r.get("min")).map(v => conv(v.asText())),
+          Option(r.get("max")).map(v => conv(v.asText())))
+      }
+    SelectorEstimate(
+      range("executionTime", parseDurationSecs),
+      range("cpuTime", parseDurationSecs),
+      range("peakMemory", parseDataSizeBytes))
+  }
+
   final case class Selector(
       userRegex: Option[String],
       sourceRegex: Option[String],
@@ -59,7 +136,9 @@ object ResourceGroups {
       group: Seq[String], // dotted template path segments
       // StaticSelector.java:108-112 — case-insensitive equality against
       // the criteria's query type (absent criteria reads "")
-      queryType: Option[String] = None)
+      queryType: Option[String] = None,
+      // StaticSelector.java:103-105 — estimate ranges must all hold
+      resourceEstimate: Option[SelectorEstimate] = None)
 
   final case class Manager(rootGroups: Seq[GroupSpec],
       selectors: Seq[Selector])
@@ -98,7 +177,9 @@ object ResourceGroups {
             .map(_.elements().asScala.map(_.asText()).toSet)
             .getOrElse(Set.empty),
           group = s.get("group").asText().split('.').toSeq,
-          queryType = Option(s.get("queryType")).map(_.asText()))
+          queryType = Option(s.get("queryType")).map(_.asText()),
+          resourceEstimate = Option(s.get("selectorResourceEstimate"))
+            .map(parseSelectorEstimate))
       }.toSeq).getOrElse(Seq.empty)
     Manager(groups(root.get("rootGroups")), selectors)
   }
@@ -111,8 +192,10 @@ object ResourceGroups {
     * rejects the query: no group == not eligible to run). */
   def select(mgr: Manager, user: String, source: Option[String],
       tags: Set[String] = Set.empty,
-      queryType: Option[String] = None): Option[Resolved] =
-    selectWithTemplate(mgr, user, source, tags, queryType).map(_._1)
+      queryType: Option[String] = None,
+      estimates: QueryEstimates = QueryEstimates()): Option[Resolved] =
+    selectWithTemplate(mgr, user, source, tags, queryType, estimates)
+      .map(_._1)
 
   /** [[select]] plus the matched selector's TEMPLATE path — what the
     * DB-backed manager records so a later spec change can find the
@@ -121,7 +204,9 @@ object ResourceGroups {
   def selectWithTemplate(mgr: Manager, user: String,
       source: Option[String],
       tags: Set[String] = Set.empty,
-      queryType: Option[String] = None): Option[(Resolved, Seq[String])] = {
+      queryType: Option[String] = None,
+      estimates: QueryEstimates = QueryEstimates())
+      : Option[(Resolved, Seq[String])] = {
     mgr.selectors.iterator.flatMap { sel =>
       val vars = mutable.Map.empty[String, String]
       val userOk = sel.userRegex.forall { re =>
@@ -148,7 +233,8 @@ object ResourceGroups {
       val tagsOk = sel.clientTags.subsetOf(tags)
       val typeOk = sel.queryType.forall(
         _.equalsIgnoreCase(queryType.getOrElse("")))
-      if (!userOk || !sourceOk || !tagsOk || !typeOk) None
+      val estOk = sel.resourceEstimate.forall(_.matches(estimates))
+      if (!userOk || !sourceOk || !tagsOk || !typeOk || !estOk) None
       else {
         vars.getOrElseUpdate("USER", user)
         vars.getOrElseUpdate("SOURCE", src)

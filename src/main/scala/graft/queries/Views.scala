@@ -1136,7 +1136,8 @@ object Views extends QueryPack {
         ps.executeUpdate()
       }
       def addSelector(gid: Long, priority: Long, userRe: String,
-          srcRe: String, queryType: String = null): Unit = {
+          srcRe: String, queryType: String = null,
+          estimate: String = null): Unit = {
         val ps = conn.prepareStatement(
           """INSERT INTO selectors (resource_group_id, priority,
             | user_regex, source_regex, query_type, client_tags,
@@ -1145,15 +1146,19 @@ object Views extends QueryPack {
         ps.setLong(1, gid); ps.setLong(2, priority)
         ps.setObject(3, userRe); ps.setObject(4, srcRe)
         ps.setObject(5, queryType); ps.setObject(6, null)
-        ps.setObject(7, null)
+        ps.setObject(7, estimate)
         ps.executeUpdate()
       }
       addGroup(1, "global", 40, 10, None)
       addGroup(2, "adhoc_${USER}", 2, 1, Some(1))
       addGroup(3, "pipeline", 3, 1, Some(1))
       addGroup(6, "ddl", 2, 2, Some(1))
+      addGroup(7, "tiny", 2, 2, Some(1))
       addSelector(3, 10, null, ".*pipeline.*")
       addSelector(6, 30, null, null, "DATA_DEFINITION")
+      addSelector(7, 25, null, null, null,
+        """{"executionTime": {"max": "1m"},
+          | "peakMemory": {"max": "100MB"}}""".stripMargin)
       addSelector(2, 1, ".*", null)
       mgr.load()
       val phases = scala.collection.mutable.ArrayBuffer
@@ -1172,6 +1177,19 @@ object Views extends QueryPack {
           queryType = Some("data_definition"))
           .exists(_.id == "global.ddl") &&
           mgr.select("bob", Some("cli"))
+            .exists(_.id == "global.adhoc_bob"))
+      // a query whose client estimates fit the ranges lands in the
+      // estimate-gated group; estimates missing or out of range fall
+      // through (SelectorResourceEstimate.match)
+      import graft.plans.ResourceGroups.QueryEstimates
+      phase("b3_resource_estimate_selector",
+        mgr.select("bob", Some("cli"), estimates = QueryEstimates(
+          executionTimeSecs = Some(30.0),
+          peakMemoryBytes = Some(50.0 * 1024 * 1024)))
+          .exists(_.id == "global.tiny") &&
+          mgr.select("bob", Some("cli"), estimates = QueryEstimates(
+            executionTimeSecs = Some(600.0),
+            peakMemoryBytes = Some(50.0 * 1024 * 1024)))
             .exists(_.id == "global.adhoc_bob"))
       val g = ResourceGroups.stateOf(alice)
       val ran = ResourceGroups.admit(g) == ResourceGroups.Run
@@ -1351,6 +1369,7 @@ object Views extends QueryPack {
       """SELECT phase, observed FROM (VALUES
         |  ('a_template_expanded', 'true'),
         |  ('b2_query_type_selector', 'true'),
+        |  ('b3_resource_estimate_selector', 'true'),
         |  ('b_priority_desc', 'true'),
         |  ('c_queue_full', 'true'),
         |  ('d_reload_relimits_live_group', 'true'),

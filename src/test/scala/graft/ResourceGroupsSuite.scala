@@ -60,6 +60,43 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(ResourceGroups.select(m, "u", None).get.id == "rest")
   }
 
+  test("selector resource estimates gate on inclusive ranges") {
+    // SelectorResourceEstimate.match: a constrained dimension requires
+    // the query's estimate PRESENT and inside [min, max]; units ride
+    // airlift's duration/datasize spellings
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "small", "maxQueued": 1, "hardConcurrencyLimit": 1 },
+        |  { "name": "rest", "maxQueued": 1, "hardConcurrencyLimit": 1 } ],
+        |  "selectors": [
+        |    { "selectorResourceEstimate": {
+        |        "executionTime": { "min": "30s", "max": "5m" },
+        |        "peakMemory": { "max": "500MB" } },
+        |      "group": "small" },
+        |    { "user": ".*", "group": "rest" } ] }""".stripMargin)
+    def est(secs: Double, mb: Double) = QueryEstimates(
+      executionTimeSecs = Some(secs),
+      peakMemoryBytes = Some(mb * 1024 * 1024))
+    assert(ResourceGroups.select(m, "u", None,
+      estimates = est(60, 100)).get.id == "small")
+    // bounds are inclusive both ends
+    assert(ResourceGroups.select(m, "u", None,
+      estimates = est(300, 500)).get.id == "small")
+    assert(ResourceGroups.select(m, "u", None,
+      estimates = est(29, 100)).get.id == "rest") // under min
+    assert(ResourceGroups.select(m, "u", None,
+      estimates = est(60, 501)).get.id == "rest") // over max
+    // missing estimate for a constrained dimension never matches
+    assert(ResourceGroups.select(m, "u", None, estimates =
+      QueryEstimates(executionTimeSecs = Some(60.0))).get.id == "rest")
+    assert(ResourceGroups.select(m, "u", None).get.id == "rest")
+    // unit parsing
+    assert(ResourceGroups.parseDurationSecs("1.5h") == 5400.0)
+    assert(ResourceGroups.parseDataSizeBytes("2kB") == 2048.0)
+    intercept[IllegalArgumentException](
+      ResourceGroups.parseDurationSecs("5 parsecs"))
+  }
+
   test("clientTags must be a subset of the criteria tags") {
     val m2 = ResourceGroups.parse(
       """{ "rootGroups": [
