@@ -61,11 +61,11 @@ class DbResourceGroupManager(url: String, driverClass: String,
   }
 
   @volatile private var manager: Manager = Manager(Seq.empty, Seq.empty)
-  // dotted TEMPLATE path → the spec facts that drive admission; the
-  // diff between loads is what reconfigures live groups (volatile:
-  // select() reads it outside load()'s lock)
-  @volatile private var specs =
-    Map.empty[String, (Int, Int, Option[String], Option[Int])]
+  // dotted TEMPLATE path → the spec's admission facts (a Resolved whose
+  // id is the template path); the diff between loads is what
+  // reconfigures live groups (volatile: select() reads it outside
+  // load()'s lock)
+  @volatile private var specs = Map.empty[String, Resolved]
   // TEMPLATE path → resolved (expanded) group ids configured from it
   private val configured =
     mutable.Map.empty[String, mutable.Set[String]]
@@ -123,18 +123,20 @@ class DbResourceGroupManager(url: String, driverClass: String,
 
   private case class GroupRow(id: Long, name: String, maxQueued: Int,
       hardConcurrencyLimit: Int, schedulingPolicy: Option[String],
-      schedulingWeight: Option[Int], parent: Option[Long])
+      schedulingWeight: Option[Int], parent: Option[Long],
+      softCpuLimit: Option[String], hardCpuLimit: Option[String])
 
   /** `load():192-246`. Synchronized like the reference's; failures keep
     * the last good configuration. */
   def load(): Unit = synchronized {
     try {
+      val quotaPeriod = readCpuQuotaPeriod()
       val (roots, pathById) = buildSpecsFromDb()
       val selectors = readSelectors(pathById)
+      val mgr = Manager(roots, selectors, quotaPeriod)
       val newSpecs = pathById.values.map { case (path, spec) =>
-        path.mkString(".") -> ((spec.maxQueued,
-          spec.hardConcurrencyLimit, spec.schedulingPolicy,
-          spec.schedulingWeight))
+        val tpl = path.mkString(".")
+        tpl -> ResourceGroups.resolvedFacts(spec, mgr, tpl)
       }.toMap
       // a template is "changed" when its facts differ OR it was absent
       // last load (a group whose environment flipped away and BACK must
@@ -143,14 +145,13 @@ class DbResourceGroupManager(url: String, driverClass: String,
       val changed = newSpecs.collect {
         case (k, v) if !specs.get(k).contains(v) => k }.toSet
       val deleted = specs.keySet -- newSpecs.keySet
-      manager = Manager(roots, selectors)
+      manager = mgr
       specs = newSpecs
       // reconfigure the LIVE groups resolved from each changed
       // template; deleted templates disable theirs (zero limits)
       changed.foreach { tpl =>
-        val (mq, hc, pol, w) = newSpecs(tpl)
         configured.getOrElse(tpl, Set.empty).foreach(id =>
-          ResourceGroups.reconfigure(Resolved(id, mq, hc, pol, w)))
+          ResourceGroups.reconfigure(newSpecs(tpl).copy(id = id)))
       }
       deleted.foreach { tpl =>
         configured.getOrElse(tpl, Set.empty).foreach(id =>
@@ -164,6 +165,19 @@ class DbResourceGroupManager(url: String, driverClass: String,
     }
   }
 
+  /** The one global property (`resource_groups_global_properties`,
+    * CHECK name in ('cpu_quota_period')) — duration string → millis. */
+  private def readCpuQuotaPeriod(): Option[Long] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      "SELECT name, value FROM resource_groups_global_properties")
+    Iterator.continually(rs).takeWhile(_.next())
+      .flatMap { r =>
+        if (r.getString(1) != "cpu_quota_period") None
+        else Option(r.getString(2))
+      }.toSeq.headOption
+      .map(v => (ResourceGroups.parseDurationSecs(v) * 1000).toLong)
+  }
+
   /** The reference's buildSpecsFromDb: rows → spec tree via parent
     * links. Returns the root specs plus (template path, spec) per id. */
   private def buildSpecsFromDb():
@@ -171,7 +185,7 @@ class DbResourceGroupManager(url: String, driverClass: String,
     val ps = c.prepareStatement(
       """SELECT resource_group_id, name, max_queued,
         | hard_concurrency_limit, scheduling_policy, scheduling_weight,
-        | parent
+        | parent, soft_cpu_limit, hard_cpu_limit
         |FROM resource_groups WHERE environment = ?""".stripMargin)
     ps.setString(1, environment)
     val rs = ps.executeQuery()
@@ -180,9 +194,11 @@ class DbResourceGroupManager(url: String, driverClass: String,
       val w = { val v = r.getInt(6); if (r.wasNull()) None else Some(v) }
       val p = { val v = r.getLong(7); if (r.wasNull()) None else Some(v) }
       GroupRow(r.getLong(1), r.getString(2), r.getInt(3), r.getInt(4),
-        pol, w, p)
+        pol, w, p, Option(r.getString(8)), Option(r.getString(9)))
     }.toVector
     val byParent = rows.groupBy(_.parent)
+    def millis(d: Option[String]): Option[Long] =
+      d.map(v => (ResourceGroups.parseDurationSecs(v) * 1000).toLong)
     def build(row: GroupRow, path: Seq[String],
         acc: mutable.Map[Long, (Seq[String], GroupSpec)]): GroupSpec = {
       val myPath = path :+ row.name
@@ -190,7 +206,9 @@ class DbResourceGroupManager(url: String, driverClass: String,
         .sortBy(_.id).map(build(_, myPath, acc))
       val spec = GroupSpec(row.name, row.maxQueued,
         row.hardConcurrencyLimit, row.schedulingPolicy,
-        row.schedulingWeight, subs)
+        row.schedulingWeight, subs,
+        softCpuLimitMillis = millis(row.softCpuLimit),
+        hardCpuLimitMillis = millis(row.hardCpuLimit))
       acc(row.id) = (myPath, spec)
       spec
     }
@@ -284,7 +302,7 @@ class DbResourceGroupManager(url: String, driverClass: String,
         val r = segments.mkString(".")
         val spec = specs.getOrElse(r, throw new IllegalArgumentException(
           s"exact-match selector points at unknown group: $r"))
-        (Resolved(r, spec._1, spec._2, spec._3, spec._4), segments)
+        (spec.copy(id = r), segments)
       }
     val hit = viaExact.orElse(
       ResourceGroups.selectWithTemplate(manager, user, source, tags,

@@ -50,7 +50,11 @@ object ResourceGroups {
       hardConcurrencyLimit: Int,
       schedulingPolicy: Option[String],
       schedulingWeight: Option[Int],
-      subGroups: Seq[GroupSpec])
+      subGroups: Seq[GroupSpec],
+      // CPU quota limits (InternalResourceGroup:103-107), duration
+      // strings in the config/store, millis here
+      softCpuLimitMillis: Option[Long] = None,
+      hardCpuLimitMillis: Option[Long] = None)
 
   // ——— selector resource estimates (SelectorResourceEstimate.java) ——
   // Each present dimension requires the query's estimate PRESENT and
@@ -141,11 +145,50 @@ object ResourceGroups {
       resourceEstimate: Option[SelectorEstimate] = None)
 
   final case class Manager(rootGroups: Seq[GroupSpec],
-      selectors: Seq[Selector])
+      selectors: Seq[Selector],
+      // the one global property (`cpu_quota_period`) — required
+      // whenever any group carries a CPU limit
+      cpuQuotaPeriodMillis: Option[Long] = None)
 
   final case class Resolved(id: String, maxQueued: Int,
       hardConcurrencyLimit: Int, schedulingPolicy: Option[String],
-      schedulingWeight: Option[Int])
+      schedulingWeight: Option[Int],
+      softCpuLimitMillis: Long = Long.MaxValue,
+      hardCpuLimitMillis: Long = Long.MaxValue,
+      // quota regenerated per elapsed second
+      // (AbstractResourceConfigurationManager.configureGroup:225 —
+      // 1000 * hardCpuLimit / cpuQuotaPeriod)
+      cpuQuotaGenerationMillisPerSecond: Long = Long.MaxValue)
+
+  /** The reference's configureGroup CPU arm: soft clamps to hard
+    * (InternalResourceGroup.setHardCpuLimit), the generation rate
+    * derives from the quota period, and a CPU limit without a
+    * cpuQuotaPeriod is the loud precondition
+    * (AbstractResourceConfigurationManager:63). */
+  /** All of a spec's admission facts as a [[Resolved]] carrying `id` —
+    * shared by [[resolve]] and the DB manager's change tracking. */
+  private[plans] def resolvedFacts(spec: GroupSpec, mgr: Manager,
+      id: String): Resolved = {
+    val (soft, hard, rate) = cpuFields(spec, mgr, id)
+    Resolved(id, spec.maxQueued, spec.hardConcurrencyLimit,
+      spec.schedulingPolicy, spec.schedulingWeight, soft, hard, rate)
+  }
+
+  private def cpuFields(spec: GroupSpec, mgr: Manager,
+      id: String): (Long, Long, Long) = {
+    if (spec.softCpuLimitMillis.isEmpty && spec.hardCpuLimitMillis.isEmpty)
+      return (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+    val period = mgr.cpuQuotaPeriodMillis.getOrElse(
+      throw new IllegalArgumentException(
+        s"cpuQuotaPeriod must be specified to use cpu limits on group: $id"))
+    val hard = spec.hardCpuLimitMillis
+      .orElse(spec.softCpuLimitMillis).get
+    val soft = math.min(spec.softCpuLimitMillis.getOrElse(Long.MaxValue),
+      hard)
+    val rate = math.min(1000.0 * hard / period.toDouble,
+      Long.MaxValue.toDouble).toLong
+    (soft, hard, rate)
+  }
 
   /** Parse the reference's JSON config format (jackson rides in with
     * Spark). Field names are the reference's own spellings. */
@@ -166,7 +209,11 @@ object ResourceGroups {
             Option(g.get("schedulingPolicy")).map(_.asText()),
           schedulingWeight =
             Option(g.get("schedulingWeight")).map(_.asInt()),
-          subGroups = groups(g.get("subGroups")))
+          subGroups = groups(g.get("subGroups")),
+          softCpuLimitMillis = Option(g.get("softCpuLimit"))
+            .map(v => (parseDurationSecs(v.asText()) * 1000).toLong),
+          hardCpuLimitMillis = Option(g.get("hardCpuLimit"))
+            .map(v => (parseDurationSecs(v.asText()) * 1000).toLong))
       }.toSeq
     val selectors = Option(root.get("selectors")).map(_.elements().asScala
       .map { s =>
@@ -181,7 +228,9 @@ object ResourceGroups {
           resourceEstimate = Option(s.get("selectorResourceEstimate"))
             .map(parseSelectorEstimate))
       }.toSeq).getOrElse(Seq.empty)
-    Manager(groups(root.get("rootGroups")), selectors)
+    Manager(groups(root.get("rootGroups")), selectors,
+      cpuQuotaPeriodMillis = Option(root.get("cpuQuotaPeriod"))
+        .map(v => (parseDurationSecs(v.asText()) * 1000).toLong))
   }
 
   private val VarPattern = """\$\{([a-zA-Z][a-zA-Z0-9]*)\}""".r
@@ -264,9 +313,7 @@ object ResourceGroups {
       idParts += expand(segTemplate)
       specs = spec.subGroups
     }
-    Resolved(idParts.result().mkString("."), spec.maxQueued,
-      spec.hardConcurrencyLimit, spec.schedulingPolicy,
-      spec.schedulingWeight)
+    resolvedFacts(spec, mgr, idParts.result().mkString("."))
   }
 
   // ---- the InternalResourceGroup admission state machine ------------
@@ -279,9 +326,11 @@ object ResourceGroups {
     private[ResourceGroups] var running = 0
     private[ResourceGroups] val queued = mutable.Queue.empty[Long]
     private[ResourceGroups] var nextTicket = 0L
+    private[ResourceGroups] var cpuUsageMillis = 0L
     def resolved: Resolved = current
     def runningCount: Int = synchronized(running)
     def queuedCount: Int = synchronized(queued.size)
+    def cpuUsage: Long = synchronized(cpuUsageMillis)
   }
 
   sealed trait Admission
@@ -309,11 +358,29 @@ object ResourceGroups {
     if (g != null) g.synchronized { g.current = r }
   }
 
-  /** `InternalResourceGroup.run:244-252`: run if under the hard
-    * concurrency limit, queue if under maxQueued, else the reference's
-    * QUERY_QUEUE_FULL rejection. */
+  /** `InternalResourceGroup.canRunMore:896-921`: blocked outright at
+    * the hard CPU limit; between soft and hard, the concurrency limit
+    * shrinks linearly (floor, at least one below the configured limit,
+    * never below one running query). Caller holds g's lock. */
+  private def canRunMore(g: GroupState): Boolean = {
+    val r = g.resolved
+    if (g.cpuUsageMillis >= r.hardCpuLimitMillis) return false
+    var limit = r.hardConcurrencyLimit
+    if (g.cpuUsageMillis >= r.softCpuLimitMillis) {
+      val penalty = (g.cpuUsageMillis - r.softCpuLimitMillis).toDouble /
+        (r.hardCpuLimitMillis - r.softCpuLimitMillis).toDouble
+      limit = math.floor(r.hardConcurrencyLimit * (1 - penalty)).toInt
+      limit = math.min(r.hardConcurrencyLimit - 1, limit)
+      limit = math.max(1, limit)
+    }
+    g.running < limit
+  }
+
+  /** `InternalResourceGroup.run:244-252`: run while [[canRunMore]]
+    * (concurrency + CPU quota), queue if under maxQueued, else the
+    * reference's QUERY_QUEUE_FULL rejection. */
   def admit(g: GroupState): Admission = g.synchronized {
-    if (g.running < g.resolved.hardConcurrencyLimit) {
+    if (canRunMore(g)) {
       g.running += 1
       Run
     } else if (g.queued.size < g.resolved.maxQueued) {
@@ -325,13 +392,39 @@ object ResourceGroups {
       s"""Too many queued queries for "${g.resolved.id}"""")
   }
 
-  /** Query finished: free the slot and promote the longest-queued
-    * entry (FIFO — the default scheduling policy's dequeue order). */
-  def release(g: GroupState): Option[Long] = g.synchronized {
-    require(g.running > 0, s"release on idle group ${g.resolved.id}")
-    if (g.queued.nonEmpty) Some(g.queued.dequeue()) // slot handed over
-    else { g.running -= 1; None }
-  }
+  /** Query finished: account its CPU time against the group's quota
+    * (internalRefreshStats accumulates per-query CPU into
+    * cpuUsageMillis), free the slot, and promote the longest-queued
+    * entry (FIFO — the default scheduling policy's dequeue order)
+    * ONLY while the group can still run one (internalStartNext gates
+    * on canRunMore — a CPU-throttled group parks its queue until
+    * quota regenerates). */
+  def release(g: GroupState, cpuMillis: Long = 0L): Option[Long] =
+    g.synchronized {
+      require(g.running > 0, s"release on idle group ${g.resolved.id}")
+      require(cpuMillis >= 0, "cpuMillis must be non-negative")
+      g.cpuUsageMillis =
+        if (g.cpuUsageMillis > Long.MaxValue - cpuMillis) Long.MaxValue
+        else g.cpuUsageMillis + cpuMillis
+      g.running -= 1
+      if (g.queued.nonEmpty && canRunMore(g)) {
+        g.running += 1
+        Some(g.queued.dequeue()) // slot handed over
+      } else None
+    }
+
+  /** `internalGenerateCpuQuota:772-786`: regenerate quota for elapsed
+    * wall seconds at the group's configured rate, floored at zero. */
+  def generateCpuQuota(g: GroupState, elapsedSeconds: Long): Unit =
+    g.synchronized {
+      val rate = g.resolved.cpuQuotaGenerationMillisPerSecond
+      val newQuota =
+        if (rate == Long.MaxValue ||
+            elapsedSeconds > Long.MaxValue / math.max(1L, rate))
+          Long.MaxValue
+        else elapsedSeconds * rate
+      g.cpuUsageMillis = math.max(0L, g.cpuUsageMillis - newQuota)
+    }
 
   /** Withdraw a queued ticket (caller cannot or will not wait): removes
     * exactly that entry so a later release() never hands its slot to a

@@ -1116,7 +1116,8 @@ object Views extends QueryPack {
       mgr.initialize()
       val conn = java.sql.DriverManager.getConnection(url)
       def addGroup(id: Long, name: String, maxQueued: Int, hard: Int,
-          parent: Option[Long]): Unit = {
+          parent: Option[Long], softCpu: String = null,
+          hardCpu: String = null): Unit = {
         val ps = conn.prepareStatement(
           """INSERT INTO resource_groups (resource_group_id, name,
             | soft_memory_limit, max_queued, soft_concurrency_limit,
@@ -1129,8 +1130,8 @@ object Views extends QueryPack {
         ps.setString(3, "1GB"); ps.setInt(4, maxQueued)
         ps.setObject(5, null); ps.setInt(6, hard)
         ps.setObject(7, null); ps.setObject(8, null)
-        ps.setObject(9, null); ps.setObject(10, null)
-        ps.setObject(11, null)
+        ps.setObject(9, null); ps.setObject(10, softCpu)
+        ps.setObject(11, hardCpu)
         parent.fold(ps.setObject(12, null))(ps.setLong(12, _))
         ps.setString(13, "test")
         ps.executeUpdate()
@@ -1154,6 +1155,12 @@ object Views extends QueryPack {
       addGroup(3, "pipeline", 3, 1, Some(1))
       addGroup(6, "ddl", 2, 2, Some(1))
       addGroup(7, "tiny", 2, 2, Some(1))
+      addGroup(8, "cpu", 10, 2, Some(1), "1s", "2s")
+      val gp = conn.prepareStatement("INSERT INTO " +
+        "resource_groups_global_properties (name, value) VALUES (?, ?)")
+      gp.setString(1, "cpu_quota_period"); gp.setString(2, "10s")
+      gp.executeUpdate()
+      addSelector(8, 35, null, "^cpu-.*$")
       addSelector(3, 10, null, ".*pipeline.*")
       addSelector(6, 30, null, null, "DATA_DEFINITION")
       addSelector(7, 25, null, null, null,
@@ -1178,6 +1185,21 @@ object Views extends QueryPack {
           .exists(_.id == "global.ddl") &&
           mgr.select("bob", Some("cli"))
             .exists(_.id == "global.adhoc_bob"))
+      // CPU quota from the store (soft/hard_cpu_limit columns + the
+      // cpu_quota_period global property): burning the hard quota
+      // blocks admission on an IDLE group, regenerated quota admits
+      // again (canRunMore + internalGenerateCpuQuota)
+      val cpuG = ResourceGroups.stateOf(
+        mgr.select("eve", Some("cpu-job")).get)
+      val cpuRan = ResourceGroups.admit(cpuG) == ResourceGroups.Run
+      ResourceGroups.release(cpuG, cpuMillis = 2000L)
+      val cpuBlocked =
+        ResourceGroups.admit(cpuG).isInstanceOf[ResourceGroups.Queued]
+      ResourceGroups.generateCpuQuota(cpuG, 100L)
+      val cpuRecovered = ResourceGroups.admit(cpuG) == ResourceGroups.Run
+      phase("b4_cpu_quota",
+        cpuRan && cpuBlocked && cpuRecovered &&
+          cpuG.resolved.cpuQuotaGenerationMillisPerSecond == 200L)
       // a query whose client estimates fit the ranges lands in the
       // estimate-gated group; estimates missing or out of range fall
       // through (SelectorResourceEstimate.match)
@@ -1370,6 +1392,7 @@ object Views extends QueryPack {
         |  ('a_template_expanded', 'true'),
         |  ('b2_query_type_selector', 'true'),
         |  ('b3_resource_estimate_selector', 'true'),
+        |  ('b4_cpu_quota', 'true'),
         |  ('b_priority_desc', 'true'),
         |  ('c_queue_full', 'true'),
         |  ('d_reload_relimits_live_group', 'true'),

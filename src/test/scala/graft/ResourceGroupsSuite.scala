@@ -170,6 +170,62 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     ResourceGroups.reconfigure(Resolved("ghost", 1, 1, None, None))
   }
 
+  test("cpu quota: hard limit blocks, soft limit penalizes, quota regenerates") {
+    // InternalResourceGroup.canRunMore:896-921 +
+    // internalGenerateCpuQuota:772-786
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "cpuQuotaPeriod": "10s",
+        |  "rootGroups": [
+        |    { "name": "cg", "maxQueued": 10, "hardConcurrencyLimit": 4,
+        |      "softCpuLimit": "1s", "hardCpuLimit": "2s" } ],
+        |  "selectors": [ { "user": ".*", "group": "cg" } ] }"""
+        .stripMargin)
+    val r = ResourceGroups.select(m, "u", None).get
+    assert(r.softCpuLimitMillis == 1000L && r.hardCpuLimitMillis == 2000L)
+    // rate = 1000 * hard / period = 1000 * 2000 / 10000 = 200 ms/s
+    assert(r.cpuQuotaGenerationMillisPerSecond == 200L)
+    val g = ResourceGroups.stateOf(r)
+    // burn the full hard quota: even an idle group admits nothing
+    assert(ResourceGroups.admit(g) == Run)
+    assert(ResourceGroups.release(g, cpuMillis = 2000L).isEmpty)
+    assert(g.cpuUsage == 2000L && g.runningCount == 0)
+    assert(ResourceGroups.admit(g).isInstanceOf[Queued])
+    // 5 s of quota (1000 ms) lands usage at the soft limit: the linear
+    // penalty is 0 but the always-penalize-by-one floor applies —
+    // min(hard-1, floor(hard*1)) = 3... and running<3 admits
+    ResourceGroups.generateCpuQuota(g, 5L)
+    assert(g.cpuUsage == 1000L)
+    assert(ResourceGroups.admit(g) == Run)
+    // usage 1500: penalty 0.5 → floor(4*0.5)=2 → min(3,2)=2: with 2
+    // running the group is at its penalized limit
+    assert(ResourceGroups.release(g, cpuMillis = 500L).isDefined)
+    assert(ResourceGroups.admit(g) == Run)
+    assert(ResourceGroups.admit(g).isInstanceOf[Queued])
+    // full regeneration restores the configured concurrency
+    ResourceGroups.generateCpuQuota(g, 100L)
+    assert(g.cpuUsage == 0L)
+    assert(ResourceGroups.admit(g) == Run)
+    assert(ResourceGroups.admit(g) == Run)
+    assert(g.runningCount == 4)
+    // a release under CPU throttle does NOT hand the slot over: burn
+    // quota past hard, release leaves the queue parked
+    ResourceGroups.release(g, cpuMillis = 2500L)
+    assert(ResourceGroups.admit(g).isInstanceOf[Queued])
+    assert(ResourceGroups.release(g).isEmpty && g.queuedCount >= 1)
+    // cpu limits without a cpuQuotaPeriod are the reference's loud arm
+    val bad = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |    { "name": "b", "maxQueued": 1, "hardConcurrencyLimit": 1,
+        |      "hardCpuLimit": "1h" } ],
+        |  "selectors": [ { "user": ".*", "group": "b" } ] }"""
+        .stripMargin)
+    val e = intercept[IllegalArgumentException](
+      ResourceGroups.select(bad, "u", None))
+    assert(e.getMessage.contains(
+      "cpuQuotaPeriod must be specified to use cpu limits"))
+  }
+
   test("db manager: load populates, reload diffs, failure keeps config") {
     import graft.plans.DbResourceGroupManager
     import graft.sources.{GraftMySqlDriver, MySqlStore}
