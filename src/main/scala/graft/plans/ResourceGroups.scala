@@ -158,7 +158,11 @@ object ResourceGroups {
       // quota regenerated per elapsed second
       // (AbstractResourceConfigurationManager.configureGroup:225 —
       // 1000 * hardCpuLimit / cpuQuotaPeriod)
-      cpuQuotaGenerationMillisPerSecond: Long = Long.MaxValue)
+      cpuQuotaGenerationMillisPerSecond: Long = Long.MaxValue,
+      // ancestor chain root-first (InternalResourceGroup.run:507-516 —
+      // every ancestor's capacity gates a leaf admission; counts and
+      // CPU usage propagate up as descendant totals)
+      parents: Seq[Resolved] = Nil)
 
   /** The reference's configureGroup CPU arm: soft clamps to hard
     * (InternalResourceGroup.setHardCpuLimit), the generation rate
@@ -303,34 +307,48 @@ object ResourceGroups {
             s"unresolved variable '${m.group(1)}' in resource group " +
               s"'$template', available: ${vars.keys.mkString(",")}"))))
     var specs = mgr.rootGroups
-    var spec: GroupSpec = null
     val idParts = Seq.newBuilder[String]
+    // each prefix of the path resolves too: ancestors carry their own
+    // limits and an admission must clear every level
+    val chain = mutable.ArrayBuffer.empty[Resolved]
     path.foreach { segTemplate =>
-      spec = specs.find(_.nameTemplate == segTemplate).getOrElse(
+      val spec = specs.find(_.nameTemplate == segTemplate).getOrElse(
         throw new IllegalArgumentException(
           s"no group spec '$segTemplate' under " +
             s"'${idParts.result().mkString(".")}'"))
       idParts += expand(segTemplate)
+      chain += resolvedFacts(spec, mgr, idParts.result().mkString("."))
+        .copy(parents = chain.toSeq)
       specs = spec.subGroups
     }
-    resolvedFacts(spec, mgr, idParts.result().mkString("."))
+    chain.last
   }
 
   // ---- the InternalResourceGroup admission state machine ------------
+
+  // One lock for the whole admission machinery — the reference
+  // synchronizes every group operation on the ROOT group's monitor
+  // (checkState(Thread.holdsLock(root)) throughout
+  // InternalResourceGroup); a single module lock is that same
+  // discipline without needing per-tree lock objects.
+  private val gate = new Object
 
   final class GroupState(initial: Resolved) {
     // limits re-read on every admit/release, so a reconfigure() takes
     // effect on the NEXT admission — the reference's
     // InternalResourceGroup.setHardConcurrencyLimit contract
     @volatile private[ResourceGroups] var current: Resolved = initial
+    // running/queuedTotal INCLUDE descendants at non-leaf levels (the
+    // reference's runningQueries + descendantRunningQueries view)
     private[ResourceGroups] var running = 0
+    private[ResourceGroups] var queuedTotal = 0
     private[ResourceGroups] val queued = mutable.Queue.empty[Long]
     private[ResourceGroups] var nextTicket = 0L
     private[ResourceGroups] var cpuUsageMillis = 0L
     def resolved: Resolved = current
-    def runningCount: Int = synchronized(running)
-    def queuedCount: Int = synchronized(queued.size)
-    def cpuUsage: Long = synchronized(cpuUsageMillis)
+    def runningCount: Int = gate.synchronized(running)
+    def queuedCount: Int = gate.synchronized(queuedTotal)
+    def cpuUsage: Long = gate.synchronized(cpuUsageMillis)
   }
 
   sealed trait Admission
@@ -351,17 +369,26 @@ object ResourceGroups {
 
   /** Re-limit a LIVE group in place (the reference's
     * configureChangedGroups → InternalResourceGroup setters): running
-    * and queued entries are untouched, the new limits govern from the
-    * next admit/release. No-op when the group was never admitted to. */
-  def reconfigure(r: Resolved): Unit = {
+    * and queued entries are untouched (so is the state's ancestor
+    * chain — a reconfigure carries LIMITS, not lineage), the new
+    * limits govern from the next admit/release. No-op when the group
+    * was never admitted to. */
+  def reconfigure(r: Resolved): Unit = gate.synchronized {
     val g = states.get(r.id)
-    if (g != null) g.synchronized { g.current = r }
+    if (g != null) g.current = r.copy(parents = g.current.parents)
   }
+
+  /** The leaf-to-root chain of live states (root first) — the walk
+    * `InternalResourceGroup.run:507-516` performs. Caller holds
+    * [[gate]]. */
+  private def chainOf(g: GroupState): Seq[GroupState] =
+    g.resolved.parents.map(stateOf) :+ g
 
   /** `InternalResourceGroup.canRunMore:896-921`: blocked outright at
     * the hard CPU limit; between soft and hard, the concurrency limit
     * shrinks linearly (floor, at least one below the configured limit,
-    * never below one running query). Caller holds g's lock. */
+    * never below one running query). `running` includes descendants
+    * at non-leaf levels. Caller holds [[gate]]. */
   private def canRunMore(g: GroupState): Boolean = {
     val r = g.resolved
     if (g.cpuUsageMillis >= r.hardCpuLimitMillis) return false
@@ -376,39 +403,52 @@ object ResourceGroups {
     g.running < limit
   }
 
-  /** `InternalResourceGroup.run:244-252`: run while [[canRunMore]]
-    * (concurrency + CPU quota), queue if under maxQueued, else the
-    * reference's QUERY_QUEUE_FULL rejection. */
-  def admit(g: GroupState): Admission = g.synchronized {
-    if (canRunMore(g)) {
-      g.running += 1
+  /** `canQueueMore:888-894`: queued (incl. descendants) under the
+    * level's maxQueued. Caller holds [[gate]]. */
+  private def canQueueMore(g: GroupState): Boolean =
+    g.queuedTotal < g.resolved.maxQueued
+
+  /** `InternalResourceGroup.run:505-535`: EVERY level of the ancestor
+    * chain must clear — run while all levels [[canRunMore]]
+    * (concurrency + CPU quota), queue at the LEAF while all levels
+    * [[canQueueMore]], else the reference's QUERY_QUEUE_FULL rejection
+    * carrying the leaf's id. */
+  def admit(g: GroupState): Admission = gate.synchronized {
+    val chain = chainOf(g)
+    val canRun = chain.forall(canRunMore)
+    val canQueue = chain.forall(canQueueMore)
+    if (canRun) {
+      chain.foreach(_.running += 1)
       Run
-    } else if (g.queued.size < g.resolved.maxQueued) {
+    } else if (canQueue) {
       val t = g.nextTicket
       g.nextTicket += 1
       g.queued.enqueue(t)
+      chain.foreach(_.queuedTotal += 1)
       Queued(t)
     } else throw new IllegalStateException(
       s"""Too many queued queries for "${g.resolved.id}"""")
   }
 
-  /** Query finished: account its CPU time against the group's quota
-    * (internalRefreshStats accumulates per-query CPU into
-    * cpuUsageMillis), free the slot, and promote the longest-queued
-    * entry (FIFO — the default scheduling policy's dequeue order)
-    * ONLY while the group can still run one (internalStartNext gates
-    * on canRunMore — a CPU-throttled group parks its queue until
-    * quota regenerates). */
+  /** Query finished: account its CPU time against EVERY level's quota
+    * (internalRefreshStats sums subtree usage into each group), free
+    * the slot chain-wide, and promote the longest-queued entry (FIFO —
+    * the default scheduling policy's dequeue order) ONLY while every
+    * level can still run one (internalStartNext gates on canRunMore —
+    * a CPU-throttled group parks its queue until quota regenerates). */
   def release(g: GroupState, cpuMillis: Long = 0L): Option[Long] =
-    g.synchronized {
+    gate.synchronized {
       require(g.running > 0, s"release on idle group ${g.resolved.id}")
       require(cpuMillis >= 0, "cpuMillis must be non-negative")
-      g.cpuUsageMillis =
-        if (g.cpuUsageMillis > Long.MaxValue - cpuMillis) Long.MaxValue
-        else g.cpuUsageMillis + cpuMillis
-      g.running -= 1
-      if (g.queued.nonEmpty && canRunMore(g)) {
-        g.running += 1
+      val chain = chainOf(g)
+      chain.foreach { s =>
+        s.cpuUsageMillis =
+          if (s.cpuUsageMillis > Long.MaxValue - cpuMillis) Long.MaxValue
+          else s.cpuUsageMillis + cpuMillis
+        s.running -= 1
+      }
+      if (g.queued.nonEmpty && chain.forall(canRunMore)) {
+        chain.foreach { s => s.running += 1; s.queuedTotal -= 1 }
         Some(g.queued.dequeue()) // slot handed over
       } else None
     }
@@ -416,7 +456,7 @@ object ResourceGroups {
   /** `internalGenerateCpuQuota:772-786`: regenerate quota for elapsed
     * wall seconds at the group's configured rate, floored at zero. */
   def generateCpuQuota(g: GroupState, elapsedSeconds: Long): Unit =
-    g.synchronized {
+    gate.synchronized {
       val rate = g.resolved.cpuQuotaGenerationMillisPerSecond
       val newQuota =
         if (rate == Long.MaxValue ||
@@ -430,10 +470,11 @@ object ResourceGroups {
     * exactly that entry so a later release() never hands its slot to a
     * phantom — without this, an abandoned ticket keeps `running`
     * elevated forever and the group wedges at its concurrency limit. */
-  def cancelQueued(g: GroupState, ticket: Long): Unit = g.synchronized {
-    g.queued.dequeueAll(_ == ticket)
-    ()
-  }
+  def cancelQueued(g: GroupState, ticket: Long): Unit =
+    gate.synchronized {
+      val removed = g.queued.dequeueAll(_ == ticket).size
+      chainOf(g).foreach(_.queuedTotal -= removed)
+    }
 
   /** Admit against the group, pin the Spark FAIR scheduler pool to the
     * group id for the body, release after. Throws the queue-full error

@@ -170,6 +170,52 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     ResourceGroups.reconfigure(Resolved("ghost", 1, 1, None, None))
   }
 
+  test("ancestor capacity gates every leaf admission") {
+    // InternalResourceGroup.run:505-535 — the whole chain must clear:
+    // a root at its hard limit parks leaf admissions even when the
+    // leaf has capacity; queue-full can fire at an ancestor's
+    // maxQueued; counts propagate as descendant totals
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "root", "maxQueued": 3, "hardConcurrencyLimit": 2,
+        |    "subGroups": [
+        |      { "name": "a", "maxQueued": 10, "hardConcurrencyLimit": 2 },
+        |      { "name": "b", "maxQueued": 10, "hardConcurrencyLimit": 2 }
+        |    ] } ],
+        |  "selectors": [
+        |    { "source": "a", "group": "root.a" },
+        |    { "source": "b", "group": "root.b" } ] }""".stripMargin)
+    val ga = ResourceGroups.stateOf(
+      ResourceGroups.select(m, "u", Some("a")).get)
+    val gb = ResourceGroups.stateOf(
+      ResourceGroups.select(m, "u", Some("b")).get)
+    assert(ResourceGroups.admit(ga) == Run)
+    assert(ResourceGroups.admit(gb) == Run)
+    // both leaves have a free slot, but root (hard 2) is full
+    assert(ResourceGroups.admit(ga).isInstanceOf[Queued])
+    assert(ResourceGroups.admit(gb).isInstanceOf[Queued])
+    val root = ResourceGroups.stateOf(
+      ResourceGroups.select(m, "u", Some("a")).get.parents.head)
+    assert(root.runningCount == 2 && root.queuedCount == 2)
+    // root maxQueued 3: the fourth queued query overflows AT THE ROOT,
+    // reported with the leaf's id
+    assert(ResourceGroups.admit(gb).isInstanceOf[Queued])
+    val e = intercept[IllegalStateException](ResourceGroups.admit(ga))
+    assert(e.getMessage == "Too many queued queries for \"root.a\"")
+    // a release hands the slot to the SAME leaf's queue and keeps the
+    // root total constant
+    assert(ResourceGroups.release(ga).isDefined)
+    assert(root.runningCount == 2 && root.queuedCount == 2)
+    assert(ga.runningCount == 1 && ga.queuedCount == 0)
+    // releasing without a queued entry at that leaf frees root
+    // capacity; the OTHER leaf's parked query does not auto-start
+    // (promotion is release-driven at the leaf, as before)
+    assert(ResourceGroups.release(ga).isEmpty)
+    assert(root.runningCount == 1)
+    assert(ResourceGroups.admit(gb) == Run) // root has room again
+  }
+
   test("cpu quota: hard limit blocks, soft limit penalizes, quota regenerates") {
     // InternalResourceGroup.canRunMore:896-921 +
     // internalGenerateCpuQuota:772-786
