@@ -343,7 +343,6 @@ object ResourceGroups {
     private[ResourceGroups] var running = 0
     private[ResourceGroups] var queuedTotal = 0
     private[ResourceGroups] val queued = mutable.Queue.empty[Long]
-    private[ResourceGroups] var nextTicket = 0L
     private[ResourceGroups] var cpuUsageMillis = 0L
     def resolved: Resolved = current
     def runningCount: Int = gate.synchronized(running)
@@ -356,11 +355,17 @@ object ResourceGroups {
   final case class Queued(ticket: Long) extends Admission
 
   private val states = new ConcurrentHashMap[String, GroupState]()
+  // GLOBAL arrival order — tickets order enqueue time across the whole
+  // tree, which is what the fair policy's queued-time dequeue reads
+  private var arrivals = 0L
 
   def stateOf(r: Resolved): GroupState =
     states.computeIfAbsent(r.id, _ => new GroupState(r))
 
-  def clearAll(): Unit = states.clear()
+  def clearAll(): Unit = gate.synchronized {
+    states.clear()
+    arrivals = 0L
+  }
 
   /** Whether `id` names a group this engine has admitted to — lets the
     * query log distinguish a resource-group-pinned FAIR pool from an
@@ -421,8 +426,8 @@ object ResourceGroups {
       chain.foreach(_.running += 1)
       Run
     } else if (canQueue) {
-      val t = g.nextTicket
-      g.nextTicket += 1
+      val t = arrivals
+      arrivals += 1
       g.queued.enqueue(t)
       chain.foreach(_.queuedTotal += 1)
       Queued(t)
@@ -430,13 +435,37 @@ object ResourceGroups {
       s"""Too many queued queries for "${g.resolved.id}"""")
   }
 
+  /** One pass of the reference's `internalStartNext`: the earliest-
+    * queued query ANYWHERE under `rootId` whose whole chain clears
+    * canRunMore starts (global arrival order = the fair policy's
+    * queued-time dequeue). Caller holds [[gate]]. */
+  private def startNextEligible(rootId: String): Option[Long] = {
+    var best: GroupState = null
+    states.values().forEach { s =>
+      val sRoot = s.resolved.parents.headOption
+        .map(_.id).getOrElse(s.resolved.id)
+      if (sRoot == rootId && s.queued.nonEmpty &&
+          chainOf(s).forall(canRunMore) &&
+          (best == null || s.queued.head < best.queued.head))
+        best = s
+    }
+    Option(best).map { s =>
+      chainOf(s).foreach { lvl => lvl.running += 1; lvl.queuedTotal -= 1 }
+      s.queued.dequeue()
+    }
+  }
+
   /** Query finished: account its CPU time against EVERY level's quota
     * (internalRefreshStats sums subtree usage into each group), free
-    * the slot chain-wide, and promote the longest-queued entry (FIFO —
-    * the default scheduling policy's dequeue order) ONLY while every
-    * level can still run one (internalStartNext gates on canRunMore —
-    * a CPU-throttled group parks its queue until quota regenerates). */
-  def release(g: GroupState, cpuMillis: Long = 0L): Option[Long] =
+    * the slot chain-wide, then start queued queries TREE-WIDE while
+    * capacity holds (`queryFinished` → root.processQueuedQueries —
+    * promotion is not confined to the releasing leaf), earliest
+    * arrival first. Returns the started tickets, possibly from other
+    * leaves. A CPU-throttled group parks its queue until quota
+    * regenerates; regeneration itself does not auto-start (the
+    * reference's refresh daemon does — this library is caller-driven,
+    * so the next admit/release cycle picks the parked work up). */
+  def release(g: GroupState, cpuMillis: Long = 0L): Seq[Long] =
     gate.synchronized {
       require(g.running > 0, s"release on idle group ${g.resolved.id}")
       require(cpuMillis >= 0, "cpuMillis must be non-negative")
@@ -447,10 +476,9 @@ object ResourceGroups {
           else s.cpuUsageMillis + cpuMillis
         s.running -= 1
       }
-      if (g.queued.nonEmpty && chain.forall(canRunMore)) {
-        chain.foreach { s => s.running += 1; s.queuedTotal -= 1 }
-        Some(g.queued.dequeue()) // slot handed over
-      } else None
+      val rootId = chain.head.resolved.id
+      Iterator.continually(startNextEligible(rootId))
+        .takeWhile(_.isDefined).flatten.toSeq
     }
 
   /** `internalGenerateCpuQuota:772-786`: regenerate quota for elapsed

@@ -144,7 +144,7 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     val q = ResourceGroups.admit(g)
     assert(q.isInstanceOf[Queued])
     // the released slot is handed to the queued query: running stays 1
-    assert(ResourceGroups.release(g).isDefined)
+    assert(ResourceGroups.release(g).nonEmpty)
     assert(g.runningCount == 1 && g.queuedCount == 0)
   }
 
@@ -203,17 +203,19 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(ResourceGroups.admit(gb).isInstanceOf[Queued])
     val e = intercept[IllegalStateException](ResourceGroups.admit(ga))
     assert(e.getMessage == "Too many queued queries for \"root.a\"")
-    // a release hands the slot to the SAME leaf's queue and keeps the
-    // root total constant
-    assert(ResourceGroups.release(ga).isDefined)
+    // a release starts the EARLIEST-queued query tree-wide (ticket 0,
+    // ga's) and keeps the root total constant
+    assert(ResourceGroups.release(ga) == Seq(0L))
     assert(root.runningCount == 2 && root.queuedCount == 2)
     assert(ga.runningCount == 1 && ga.queuedCount == 0)
-    // releasing without a queued entry at that leaf frees root
-    // capacity; the OTHER leaf's parked query does not auto-start
-    // (promotion is release-driven at the leaf, as before)
-    assert(ResourceGroups.release(ga).isEmpty)
-    assert(root.runningCount == 1)
-    assert(ResourceGroups.admit(gb) == Run) // root has room again
+    // releasing a leaf with an empty queue hands the freed capacity to
+    // the OTHER leaf's parked query (queryFinished →
+    // root.processQueuedQueries promotes across the whole tree)
+    assert(ResourceGroups.release(ga) == Seq(1L))
+    assert(root.runningCount == 2 && gb.runningCount == 2)
+    assert(gb.queuedCount == 1)
+    assert(ResourceGroups.release(gb) == Seq(2L))
+    assert(gb.queuedCount == 0 && root.queuedCount == 0)
   }
 
   test("cpu quota: hard limit blocks, soft limit penalizes, quota regenerates") {
@@ -245,7 +247,7 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(ResourceGroups.admit(g) == Run)
     // usage 1500: penalty 0.5 → floor(4*0.5)=2 → min(3,2)=2: with 2
     // running the group is at its penalized limit
-    assert(ResourceGroups.release(g, cpuMillis = 500L).isDefined)
+    assert(ResourceGroups.release(g, cpuMillis = 500L).nonEmpty)
     assert(ResourceGroups.admit(g) == Run)
     assert(ResourceGroups.admit(g).isInstanceOf[Queued])
     // full regeneration restores the configured concurrency
