@@ -435,25 +435,69 @@ object ResourceGroups {
       s"""Too many queued queries for "${g.resolved.id}"""")
   }
 
-  /** One pass of the reference's `internalStartNext`: the earliest-
-    * queued query ANYWHERE under `rootId` whose whole chain clears
-    * canRunMore starts (global arrival order = the fair policy's
-    * queued-time dequeue). Caller holds [[gate]]. */
-  private def startNextEligible(rootId: String): Option[Long] = {
-    var best: GroupState = null
-    states.values().forEach { s =>
-      val sRoot = s.resolved.parents.headOption
-        .map(_.id).getOrElse(s.resolved.id)
-      if (sRoot == rootId && s.queued.nonEmpty &&
-          chainOf(s).forall(canRunMore) &&
-          (best == null || s.queued.head < best.queued.head))
-        best = s
+  /** Live child states of `s` (states registry scan — groups a query
+    * ever touched; metadata-sized). Caller holds [[gate]]. */
+  private def childrenOf(s: GroupState): Seq[GroupState] = {
+    val depth = s.resolved.parents.size
+    val out = mutable.ArrayBuffer.empty[GroupState]
+    states.values().forEach { c =>
+      val ps = c.resolved.parents
+      if (ps.size == depth + 1 && ps.last.id == s.resolved.id) out += c
     }
-    Option(best).map { s =>
-      chainOf(s).foreach { lvl => lvl.running += 1; lvl.queuedTotal -= 1 }
-      s.queued.dequeue()
-    }
+    out.toSeq
   }
+
+  /** Earliest queued arrival anywhere in s's subtree (ties and the
+    * fair policy read queued time). Caller holds [[gate]]. */
+  private def earliestArrival(s: GroupState): Long =
+    (s.queued.headOption.toSeq ++ childrenOf(s)
+      .filter(_.queuedTotal > 0).map(earliestArrival)).min
+
+  /** The reference's `internalStartNext` descent: at each level the
+    * group must clear canRunMore; a leaf with queued work starts; an
+    * inner group picks among eligible children by ITS scheduling
+    * policy — `weighted_fair` minimizes utilization-vs-share delta
+    * (WeightedFairQueue.poll:67-99, Usage = (schedulingWeight,
+    * running)); `weighted` prefers the highest weight (the reference's
+    * stochastic weighted pick made deterministic — documented);
+    * fair/default dequeues by earliest arrival. Ties break on queued
+    * time rather than the reference's starvation-avoiding coin flip.
+    * Caller holds [[gate]]. */
+  private def pickLeaf(s: GroupState): Option[GroupState] = {
+    if (!canRunMore(s)) return None
+    if (s.queued.nonEmpty) return Some(s) // queues live at leaves
+    val eligible = childrenOf(s).filter(_.queuedTotal > 0)
+      .flatMap(c => pickLeaf(c).map(leaf => (c, leaf)))
+    if (eligible.isEmpty) return None
+    def share(c: GroupState): Double =
+      math.max(1, c.resolved.schedulingWeight.getOrElse(1)).toDouble
+    val policy = s.resolved.schedulingPolicy
+      .map(_.toLowerCase).getOrElse("fair")
+    val chosen = policy match {
+      case "weighted_fair" =>
+        val totalShare = eligible.map(e => share(e._1)).sum
+        val totalUtil = 1.0 + eligible.map(_._1.running).sum
+        eligible.minBy { case (c, _) =>
+          ((c.running / totalUtil) / (share(c) / totalShare),
+            earliestArrival(c))
+        }
+      case "weighted" =>
+        eligible.minBy { case (c, _) =>
+          (-share(c), earliestArrival(c)) }
+      case _ =>
+        eligible.minBy { case (c, _) => (0.0, earliestArrival(c)) }
+    }
+    Some(chosen._2)
+  }
+
+  /** One pass of tree-wide promotion from `root`. Caller holds
+    * [[gate]]. */
+  private def startNextEligible(root: GroupState): Option[Long] =
+    pickLeaf(root).map { leaf =>
+      chainOf(leaf).foreach { lvl =>
+        lvl.running += 1; lvl.queuedTotal -= 1 }
+      leaf.queued.dequeue()
+    }
 
   /** Query finished: account its CPU time against EVERY level's quota
     * (internalRefreshStats sums subtree usage into each group), free
@@ -476,8 +520,8 @@ object ResourceGroups {
           else s.cpuUsageMillis + cpuMillis
         s.running -= 1
       }
-      val rootId = chain.head.resolved.id
-      Iterator.continually(startNextEligible(rootId))
+      val root = chain.head
+      Iterator.continually(startNextEligible(root))
         .takeWhile(_.isDefined).flatten.toSeq
     }
 

@@ -218,6 +218,52 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(gb.queuedCount == 0 && root.queuedCount == 0)
   }
 
+  test("weighted_fair and weighted policies pick children by share") {
+    // WeightedFairQueue.poll:67-99 (delta = utilization share over
+    // weight share, minimum wins) and the weighted policy's
+    // share-proportional pick (deterministic here; the reference
+    // flips a weighted coin — documented)
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "wf", "maxQueued": 10, "hardConcurrencyLimit": 2,
+        |    "schedulingPolicy": "weighted_fair",
+        |    "subGroups": [
+        |      { "name": "a", "maxQueued": 5, "hardConcurrencyLimit": 2,
+        |        "schedulingWeight": 1 },
+        |      { "name": "b", "maxQueued": 5, "hardConcurrencyLimit": 2,
+        |        "schedulingWeight": 3 } ] },
+        |  { "name": "w", "maxQueued": 10, "hardConcurrencyLimit": 1,
+        |    "schedulingPolicy": "weighted",
+        |    "subGroups": [
+        |      { "name": "c", "maxQueued": 5, "hardConcurrencyLimit": 1,
+        |        "schedulingWeight": 1 },
+        |      { "name": "d", "maxQueued": 5, "hardConcurrencyLimit": 1,
+        |        "schedulingWeight": 5 } ] } ],
+        |  "selectors": [
+        |    { "source": "a", "group": "wf.a" },
+        |    { "source": "b", "group": "wf.b" },
+        |    { "source": "c", "group": "w.c" },
+        |    { "source": "d", "group": "w.d" } ] }""".stripMargin)
+    def st(src: String) = ResourceGroups.stateOf(
+      ResourceGroups.select(m, "u", Some(src)).get)
+    val (ga, gb) = (st("a"), st("b"))
+    assert(ResourceGroups.admit(ga) == Run)
+    assert(ResourceGroups.admit(gb) == Run) // root full
+    assert(ResourceGroups.admit(ga).isInstanceOf[Queued]) // ticket 0
+    assert(ResourceGroups.admit(gb).isInstanceOf[Queued]) // ticket 1
+    // b finishes: utilization a=1, b=0 — weighted_fair hands the slot
+    // to UNDER-SERVED b (delta 0 beats 2) though a queued earlier
+    assert(ResourceGroups.release(gb) == Seq(1L))
+    assert(gb.runningCount == 1 && ga.queuedCount == 1)
+    // weighted: the heavier share wins regardless of arrival order
+    val (gc, gd) = (st("c"), st("d"))
+    assert(ResourceGroups.admit(gc) == Run)
+    assert(ResourceGroups.admit(gc).isInstanceOf[Queued]) // ticket 2
+    assert(ResourceGroups.admit(gd).isInstanceOf[Queued]) // ticket 3
+    assert(ResourceGroups.release(gc) == Seq(3L))
+  }
+
   test("cpu quota: hard limit blocks, soft limit penalizes, quota regenerates") {
     // InternalResourceGroup.canRunMore:896-921 +
     // internalGenerateCpuQuota:772-786
