@@ -60,6 +60,10 @@ class DbResourceGroupManager(url: String, driverClass: String,
     try f(c) finally c.close() // exactMatch runs per-select: never leak
   }
 
+  // one shared, thread-safe-for-read mapper (construction is Jackson's
+  // expensive operation; exactMatch runs per-select)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   @volatile private var manager: Manager = Manager(Seq.empty, Seq.empty)
   // dotted TEMPLATE path → the spec's admission facts (a Resolved whose
   // id is the template path); the diff between loads is what
@@ -238,11 +242,9 @@ class DbResourceGroupManager(url: String, driverClass: String,
               .getOrElse(Set.empty),
             group = path,
             queryType = Option(r.getString(5)),
-            resourceEstimate = Option(r.getString(7)).map { json =>
+            resourceEstimate = Option(r.getString(7)).map(json =>
               ResourceGroups.parseSelectorEstimate(
-                new com.fasterxml.jackson.databind.ObjectMapper()
-                  .readTree(json))
-            }))
+                mapper.readTree(json)))))
         }
       }.toVector.sortBy(-_._1).map(_._2)
     }
@@ -250,8 +252,7 @@ class DbResourceGroupManager(url: String, driverClass: String,
   /** client_tags rides as a JSON string list (SelectorRecord.Mapper's
     * listJsonCodec). */
   private def parseJsonTags(json: String): Set[String] = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = m.readTree(json)
+    val n = mapper.readTree(json)
     import scala.jdk.CollectionConverters._
     n.elements().asScala.map(_.asText()).toSet
   }
@@ -279,9 +280,9 @@ class DbResourceGroupManager(url: String, driverClass: String,
           env.forall(_ == environment) && t.forall(_ == qt) }
           .sortBy { case (env, t, _) => (env.isEmpty, t.isEmpty) }
           .headOption.map { case (_, _, idJson) =>
-            val m = new com.fasterxml.jackson.databind.ObjectMapper()
             import scala.jdk.CollectionConverters._
-            m.readTree(idJson).elements().asScala.map(_.asText()).toSeq
+            mapper.readTree(idJson).elements().asScala.map(_.asText())
+              .toSeq
           }
       }
   }
@@ -298,19 +299,34 @@ class DbResourceGroupManager(url: String, driverClass: String,
       if (!exactMatchSelectorEnabled) None
       else exactMatch(source, queryType).map { segments =>
         // the stored id is already expanded; its spec is the literal
-        // template walk (exact-match ids point at literal specs)
-        val r = segments.mkString(".")
-        val spec = specs.getOrElse(r, throw new IllegalArgumentException(
-          s"exact-match selector points at unknown group: $r"))
-        (spec.copy(id = r), segments)
+        // template walk (exact-match ids point at literal specs) —
+        // rebuilt WITH its ancestor chain so exact-match admissions
+        // gate on the same hierarchy as selector-matched ones
+        def facts(path: Seq[String]): Resolved = {
+          val id = path.mkString(".")
+          specs.getOrElse(id, throw new IllegalArgumentException(
+            s"exact-match selector points at unknown group: $id"))
+            .copy(id = id)
+        }
+        val chain = segments.indices.map(i => facts(segments.take(i + 1)))
+          .foldLeft(Vector.empty[Resolved])((acc, r) =>
+            acc :+ r.copy(parents = acc))
+        (chain.last, segments)
       }
     val hit = viaExact.orElse(
       ResourceGroups.selectWithTemplate(manager, user, source, tags,
         queryType, estimates))
     hit.foreach { case (r, tpl) =>
       synchronized {
+        // record EVERY level: a reload that changes or deletes an
+        // ANCESTOR spec (the root's limits!) must find the live ids
+        // configured under that template too
         configured.getOrElseUpdate(tpl.mkString("."),
           mutable.Set.empty) += r.id
+        r.parents.zipWithIndex.foreach { case (p, i) =>
+          configured.getOrElseUpdate(tpl.take(i + 1).mkString("."),
+            mutable.Set.empty) += p.id
+        }
       }
     }
     hit.map(_._1)

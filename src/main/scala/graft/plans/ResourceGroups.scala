@@ -185,11 +185,17 @@ object ResourceGroups {
     val period = mgr.cpuQuotaPeriodMillis.getOrElse(
       throw new IllegalArgumentException(
         s"cpuQuotaPeriod must be specified to use cpu limits on group: $id"))
-    val hard = spec.hardCpuLimitMillis
-      .orElse(spec.softCpuLimitMillis).get
+    // a soft-only configuration leaves the HARD limit unlimited (the
+    // reference's setSoftCpuLimit never lowers hard) — the group
+    // degrades through the penalty band, it never parks; only the
+    // quota-generation RATE falls back to the soft limit
+    // (configureGroup:223-225)
+    val hard = spec.hardCpuLimitMillis.getOrElse(Long.MaxValue)
     val soft = math.min(spec.softCpuLimitMillis.getOrElse(Long.MaxValue),
       hard)
-    val rate = math.min(1000.0 * hard / period.toDouble,
+    val rateBase = spec.hardCpuLimitMillis
+      .orElse(spec.softCpuLimitMillis).get
+    val rate = math.min(1000.0 * rateBase / period.toDouble,
       Long.MaxValue.toDouble).toLong
     (soft, hard, rate)
   }
@@ -355,15 +361,26 @@ object ResourceGroups {
   final case class Queued(ticket: Long) extends Admission
 
   private val states = new ConcurrentHashMap[String, GroupState]()
+  // parent id → child states (the reference's real child pointers) —
+  // promotion walks this instead of scanning the whole registry
+  private val childIndex =
+    new ConcurrentHashMap[String, mutable.LinkedHashSet[GroupState]]()
   // GLOBAL arrival order — tickets order enqueue time across the whole
   // tree, which is what the fair policy's queued-time dequeue reads
   private var arrivals = 0L
 
   def stateOf(r: Resolved): GroupState =
-    states.computeIfAbsent(r.id, _ => new GroupState(r))
+    states.computeIfAbsent(r.id, _ => {
+      val s = new GroupState(r)
+      r.parents.lastOption.foreach(p =>
+        childIndex.computeIfAbsent(p.id,
+          _ => mutable.LinkedHashSet.empty).add(s))
+      s
+    })
 
   def clearAll(): Unit = gate.synchronized {
     states.clear()
+    childIndex.clear()
     arrivals = 0L
   }
 
@@ -435,16 +452,11 @@ object ResourceGroups {
       s"""Too many queued queries for "${g.resolved.id}"""")
   }
 
-  /** Live child states of `s` (states registry scan — groups a query
-    * ever touched; metadata-sized). Caller holds [[gate]]. */
+  /** Live child states of `s` (groups a query ever touched), from the
+    * maintained parent→children index. Caller holds [[gate]]. */
   private def childrenOf(s: GroupState): Seq[GroupState] = {
-    val depth = s.resolved.parents.size
-    val out = mutable.ArrayBuffer.empty[GroupState]
-    states.values().forEach { c =>
-      val ps = c.resolved.parents
-      if (ps.size == depth + 1 && ps.last.id == s.resolved.id) out += c
-    }
-    out.toSeq
+    val set = childIndex.get(s.resolved.id)
+    if (set == null) Seq.empty else set.toSeq
   }
 
   /** Earliest queued arrival anywhere in s's subtree (ties and the
@@ -541,11 +553,16 @@ object ResourceGroups {
   /** Withdraw a queued ticket (caller cannot or will not wait): removes
     * exactly that entry so a later release() never hands its slot to a
     * phantom — without this, an abandoned ticket keeps `running`
-    * elevated forever and the group wedges at its concurrency limit. */
-  def cancelQueued(g: GroupState, ticket: Long): Unit =
+    * elevated forever and the group wedges at its concurrency limit.
+    * Returns false when the ticket was NOT in the queue — a concurrent
+    * release() promoted it in the window between Queued and this call,
+    * so the slot now belongs to the caller, who must release(g) it
+    * (the withGroup wrapper does exactly that). */
+  def cancelQueued(g: GroupState, ticket: Long): Boolean =
     gate.synchronized {
       val removed = g.queued.dequeueAll(_ == ticket).size
       chainOf(g).foreach(_.queuedTotal -= removed)
+      removed > 0
     }
 
   /** Admit against the group, pin the Spark FAIR scheduler pool to the
@@ -568,8 +585,10 @@ object ResourceGroups {
       case Queued(t) =>
         // this synchronous wrapper cannot block-wait its turn, so the
         // just-enqueued ticket must be withdrawn before throwing —
-        // otherwise release() would hand a slot to the phantom entry
-        cancelQueued(g, t)
+        // otherwise release() would hand a slot to the phantom entry.
+        // If a concurrent release already promoted the ticket, the
+        // slot is OURS and must go back (it would leak chain-wide)
+        if (!cancelQueued(g, t)) release(g)
         throw new IllegalStateException(
           s"group ${r.id} is at its hard concurrency limit")
     }

@@ -1193,10 +1193,18 @@ object Views extends QueryPack {
         mgr.select("eve", Some("cpu-job")).get)
       val cpuRan = ResourceGroups.admit(cpuG) == ResourceGroups.Run
       ResourceGroups.release(cpuG, cpuMillis = 2000L)
-      val cpuBlocked =
-        ResourceGroups.admit(cpuG).isInstanceOf[ResourceGroups.Queued]
+      val cpuAdm = ResourceGroups.admit(cpuG)
+      val cpuBlocked = cpuAdm.isInstanceOf[ResourceGroups.Queued]
       ResourceGroups.generateCpuQuota(cpuG, 100L)
       val cpuRecovered = ResourceGroups.admit(cpuG) == ResourceGroups.Run
+      // retire this phase's parked ticket and held slot so no later
+      // phase inherits a stale earliest-arrival entry
+      cpuAdm match {
+        case ResourceGroups.Queued(t) =>
+          ResourceGroups.cancelQueued(cpuG, t)
+        case _ =>
+      }
+      ResourceGroups.release(cpuG)
       phase("b4_cpu_quota",
         cpuRan && cpuBlocked && cpuRecovered &&
           cpuG.resolved.cpuQuotaGenerationMillisPerSecond == 200L)
@@ -1265,7 +1273,8 @@ object Views extends QueryPack {
       val exactTyped = mgr.select("dave", Some("s1"),
         queryType = Some("INSERT"))
       phase("f_exact_match_specificity",
-        exactPlain.exists(_.id == "global.batch") &&
+        exactPlain.exists(r => r.id == "global.batch" &&
+          r.parents.map(_.id) == Seq("global")) &&
           exactTyped.exists(_.id == "global.pipeline"))
       // a spec leaving the environment disables its live group and
       // drops its selector

@@ -307,6 +307,29 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     ResourceGroups.release(g, cpuMillis = 2500L)
     assert(ResourceGroups.admit(g).isInstanceOf[Queued])
     assert(ResourceGroups.release(g).isEmpty && g.queuedCount >= 1)
+    // a SOFT-only configuration leaves the hard limit unlimited: the
+    // group degrades through the penalty band but NEVER parks (the
+    // reference's setSoftCpuLimit never lowers hard); the generation
+    // rate falls back to the soft limit
+    val ms = ResourceGroups.parse(
+      """{ "cpuQuotaPeriod": "10s",
+        |  "rootGroups": [
+        |    { "name": "sg", "maxQueued": 10, "hardConcurrencyLimit": 4,
+        |      "softCpuLimit": "1s" } ],
+        |  "selectors": [ { "user": ".*", "group": "sg" } ] }"""
+        .stripMargin)
+    val rs = ResourceGroups.select(ms, "u", None).get
+    assert(rs.hardCpuLimitMillis == Long.MaxValue &&
+      rs.softCpuLimitMillis == 1000L &&
+      rs.cpuQuotaGenerationMillisPerSecond == 100L)
+    val gs = ResourceGroups.stateOf(rs)
+    assert(ResourceGroups.admit(gs) == Run)
+    ResourceGroups.release(gs, cpuMillis = 3600000L) // an hour of CPU
+    // usage far past soft: penalized to hard-1=3, still admitting
+    assert(ResourceGroups.admit(gs) == Run)
+    assert(ResourceGroups.admit(gs) == Run)
+    assert(ResourceGroups.admit(gs) == Run)
+    assert(ResourceGroups.admit(gs).isInstanceOf[Queued])
     // cpu limits without a cpuQuotaPeriod are the reference's loud arm
     val bad = ResourceGroups.parse(
       """{ "rootGroups": [
@@ -391,6 +414,23 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     mgr.load()
     assert(ResourceGroups.admit(live) == Run)
     ResourceGroups.release(live)
+    // an ANCESTOR spec change re-limits its LIVE state on reload too
+    // (selection records every level, not just the leaf): root drops
+    // to hard 1 while the kid widens to 5 — the root becomes binding
+    val up2 = c.prepareStatement("UPDATE resource_groups SET " +
+      "hard_concurrency_limit = ? WHERE resource_group_id = ?")
+    up2.setInt(1, 1); up2.setLong(2, 1L); up2.executeUpdate()
+    up2.setInt(1, 5); up2.setLong(2, 2L); up2.executeUpdate()
+    mgr.load()
+    val kid = ResourceGroups.stateOf(mgr.select("pat", None).get)
+    assert(ResourceGroups.admit(kid) == Run)
+    val parked = ResourceGroups.admit(kid) // root 1/1 blocks
+    assert(parked.isInstanceOf[Queued])
+    parked match {
+      case Queued(t) => ResourceGroups.cancelQueued(kid, t)
+      case _ =>
+    }
+    ResourceGroups.release(kid)
     // a broken store keeps the last good configuration, loudly counted
     MySqlStore.drop("resource_groups")
     mgr.load()
