@@ -218,6 +218,39 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(gb.queuedCount == 0 && root.queuedCount == 0)
   }
 
+  test("cancel and reconfigure keep the ancestor bookkeeping exact") {
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "r", "maxQueued": 4, "hardConcurrencyLimit": 1,
+        |    "subGroups": [
+        |      { "name": "x", "maxQueued": 4, "hardConcurrencyLimit": 1 }
+        |    ] } ],
+        |  "selectors": [ { "user": ".*", "group": "r.x" } ] }"""
+        .stripMargin)
+    val gx = ResourceGroups.stateOf(ResourceGroups.select(m, "u", None).get)
+    val gr = ResourceGroups.stateOf(
+      ResourceGroups.select(m, "u", None).get.parents.head)
+    assert(ResourceGroups.admit(gx) == Run)
+    val Queued(t1) = ResourceGroups.admit(gx): @unchecked
+    val Queued(t2) = ResourceGroups.admit(gx): @unchecked
+    assert(gr.queuedCount == 2 && gx.queuedCount == 2)
+    // cancel decrements the WHOLE chain's queued totals, exactly once
+    assert(ResourceGroups.cancelQueued(gx, t1))
+    assert(gr.queuedCount == 1 && gx.queuedCount == 1)
+    assert(!ResourceGroups.cancelQueued(gx, t1)) // already gone: false
+    assert(gr.queuedCount == 1)
+    // a reconfigure (which preserves lineage) still promotes through
+    // the chain: widening the leaf alone is NOT enough (root binds)…
+    ResourceGroups.reconfigure(gx.resolved.copy(hardConcurrencyLimit = 5))
+    assert(ResourceGroups.release(gx) == Seq(t2)) // root slot handed on
+    assert(gr.runningCount == 1 && gx.runningCount == 1)
+    // …and the promoted query still counts at every level
+    assert(ResourceGroups.release(gx).isEmpty)
+    assert(gr.runningCount == 0 && gx.runningCount == 0 &&
+      gr.queuedCount == 0)
+  }
+
   test("weighted_fair and weighted policies pick children by share") {
     // WeightedFairQueue.poll:67-99 (delta = utilization share over
     // weight share, minimum wins) and the weighted policy's
