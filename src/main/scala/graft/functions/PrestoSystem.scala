@@ -57,16 +57,18 @@ private[functions] object PrestoSystem {
       .format(new java.util.Date())
     // source is the client-provided tag (Session.getSource — NULL when
     // the client sent none); a statement running inside
-    // ResourceGroups.withGroup logs its group id (the FAIR pool the
-    // wrapper pinned carries exactly the dotted segments). A pool the
-    // CALLER set for ordinary fair scheduling is not a resource group
-    // — only ids the admission machinery knows render (the reference
-    // reports NULL for a query never admitted to a group).
+    // ResourceGroups.withGroup logs the group's SEGMENT LIST from the
+    // wrapper's own local property (set only by the admission
+    // machinery, so a pool the CALLER set for ordinary fair scheduling
+    // never renders as a group — the reference reports NULL for a
+    // query never admitted to one; segments carried as a list, never
+    // re-split from the dotted pool name, so an expanded template
+    // segment containing a dot survives — ResourceGroupId.java carries
+    // segment lists too).
     val source = spark.conf.getOption("graft.source").orNull
-    val group = Option(
-      spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
-      .filter(graft.plans.ResourceGroups.isKnownGroup)
-      .map(_.split('.').toSeq)
+    val group = Option(spark.sparkContext.getLocalProperty(
+      graft.plans.ResourceGroups.segmentsProperty))
+      .map(_.split("\u0000").toSeq)
     val rec = QRec(f"${ts}_${n(0)}%05d_graft", "RUNNING",
       spark.sparkContext.sparkUser, source, group, sqlText.trim,
       System.currentTimeMillis(), 0L)

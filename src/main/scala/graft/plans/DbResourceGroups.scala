@@ -70,9 +70,10 @@ class DbResourceGroupManager(url: String, driverClass: String,
   // reconfigures live groups (volatile: select() reads it outside
   // load()'s lock)
   @volatile private var specs = Map.empty[String, Resolved]
-  // TEMPLATE path → resolved (expanded) group ids configured from it
+  // TEMPLATE path → resolved (expanded) group segment lists configured
+  // from it
   private val configured =
-    mutable.Map.empty[String, mutable.Set[String]]
+    mutable.Map.empty[String, mutable.Set[Seq[String]]]
   @volatile private var refreshFailureCount = 0L
   @volatile private var loadedOnce = false
 
@@ -136,11 +137,13 @@ class DbResourceGroupManager(url: String, driverClass: String,
     try {
       val quotaPeriod = readCpuQuotaPeriod()
       val (roots, pathById) = buildSpecsFromDb()
+      // the same load-time validation the file-based manager applies
+      // (AbstractResourceConfigurationManager.validateRootGroups)
+      ResourceGroups.validateSpecs(roots)
       val selectors = readSelectors(pathById)
       val mgr = Manager(roots, selectors, quotaPeriod)
       val newSpecs = pathById.values.map { case (path, spec) =>
-        val tpl = path.mkString(".")
-        tpl -> ResourceGroups.resolvedFacts(spec, mgr, tpl)
+        path.mkString(".") -> ResourceGroups.resolvedFacts(spec, mgr, path)
       }.toMap
       // a template is "changed" when its facts differ OR it was absent
       // last load (a group whose environment flipped away and BACK must
@@ -154,12 +157,12 @@ class DbResourceGroupManager(url: String, driverClass: String,
       // reconfigure the LIVE groups resolved from each changed
       // template; deleted templates disable theirs (zero limits)
       changed.foreach { tpl =>
-        configured.getOrElse(tpl, Set.empty).foreach(id =>
-          ResourceGroups.reconfigure(newSpecs(tpl).copy(id = id)))
+        configured.getOrElse(tpl, Set.empty).foreach(segs =>
+          ResourceGroups.reconfigure(newSpecs(tpl).copy(segments = segs)))
       }
       deleted.foreach { tpl =>
-        configured.getOrElse(tpl, Set.empty).foreach(id =>
-          ResourceGroups.reconfigure(Resolved(id, 0, 0, None, None)))
+        configured.getOrElse(tpl, Set.empty).foreach(segs =>
+          ResourceGroups.reconfigure(Resolved(segs, 0, 0, None, None)))
       }
       loadedOnce = true
     } catch {
@@ -287,6 +290,59 @@ class DbResourceGroupManager(url: String, driverClass: String,
       }
   }
 
+  private val TplVarRe = """\$\{[a-zA-Z][a-zA-Z0-9]*\}""".r
+
+  /** Whether an EXPANDED segment matches a spec's name template:
+    * literal equality, or — when the template carries `${...}`
+    * variables — a segment-wise bind of each variable to non-empty
+    * text (the reference matches expanded ids against templates the
+    * same way: `ResourceGroupIdTemplate` via
+    * `DbResourceGroupConfigurationManager.getMatchingSpec:145-153`). */
+  private def segmentMatches(template: String, segment: String): Boolean =
+    if (!template.contains("${")) template == segment
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      TplVarRe.findAllMatchIn(template).foreach { m =>
+        sb.append(java.util.regex.Pattern.quote(
+          template.substring(last, m.start)))
+        sb.append("(.+)")
+        last = m.end
+      }
+      sb.append(java.util.regex.Pattern.quote(template.substring(last)))
+      segment.matches(sb.toString)
+    }
+
+  /** Resolve a STORED (already-expanded) group id against the loaded
+    * spec tree, with its full ancestor chain: at each level a literal
+    * template match is preferred, then the first templated spec whose
+    * variables bind the segment (spec order — the reference's
+    * candidate walk). A stored id like `global.adhoc_alice` under spec
+    * `global.adhoc_${USER}` resolves to that spec's limits. Returns
+    * the resolved leaf plus the matched TEMPLATE path for change
+    * tracking. */
+  private def resolveStoredId(
+      segments: Seq[String]): (Resolved, Seq[String]) = {
+    val mgr = manager
+    var level = mgr.rootGroups
+    var tplPath = Vector.empty[String]
+    var chain = Vector.empty[Resolved]
+    segments.zipWithIndex.foreach { case (seg, i) =>
+      val spec = level.find(_.nameTemplate == seg)
+        .orElse(level.find(s => s.nameTemplate.contains("${") &&
+          segmentMatches(s.nameTemplate, seg)))
+        .getOrElse(throw new IllegalArgumentException(
+          "exact-match selector points at unknown group: " +
+            segments.take(i + 1).mkString(".")))
+      tplPath :+= spec.nameTemplate
+      chain :+= ResourceGroups
+        .resolvedFacts(spec, mgr, segments.take(i + 1))
+        .copy(parents = chain)
+      level = spec.subGroups
+    }
+    (chain.last, tplPath)
+  }
+
   /** Match a query to its resolved group: the exact-match selector
     * first (when enabled), then the priority-ordered regex selectors.
     * Records which template produced which live id so a later reload
@@ -297,22 +353,7 @@ class DbResourceGroupManager(url: String, driverClass: String,
       estimates: QueryEstimates = QueryEstimates()): Option[Resolved] = {
     val viaExact =
       if (!exactMatchSelectorEnabled) None
-      else exactMatch(source, queryType).map { segments =>
-        // the stored id is already expanded; its spec is the literal
-        // template walk (exact-match ids point at literal specs) —
-        // rebuilt WITH its ancestor chain so exact-match admissions
-        // gate on the same hierarchy as selector-matched ones
-        def facts(path: Seq[String]): Resolved = {
-          val id = path.mkString(".")
-          specs.getOrElse(id, throw new IllegalArgumentException(
-            s"exact-match selector points at unknown group: $id"))
-            .copy(id = id)
-        }
-        val chain = segments.indices.map(i => facts(segments.take(i + 1)))
-          .foldLeft(Vector.empty[Resolved])((acc, r) =>
-            acc :+ r.copy(parents = acc))
-        (chain.last, segments)
-      }
+      else exactMatch(source, queryType).map(resolveStoredId)
     val hit = viaExact.orElse(
       ResourceGroups.selectWithTemplate(manager, user, source, tags,
         queryType, estimates))
@@ -322,10 +363,10 @@ class DbResourceGroupManager(url: String, driverClass: String,
         // ANCESTOR spec (the root's limits!) must find the live ids
         // configured under that template too
         configured.getOrElseUpdate(tpl.mkString("."),
-          mutable.Set.empty) += r.id
+          mutable.Set.empty) += r.segments
         r.parents.zipWithIndex.foreach { case (p, i) =>
           configured.getOrElseUpdate(tpl.take(i + 1).mkString("."),
-            mutable.Set.empty) += p.id
+            mutable.Set.empty) += p.segments
         }
       }
     }

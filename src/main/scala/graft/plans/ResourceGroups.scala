@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -150,7 +148,13 @@ object ResourceGroups {
       // whenever any group carries a CPU limit
       cpuQuotaPeriodMillis: Option[Long] = None)
 
-  final case class Resolved(id: String, maxQueued: Int,
+  /** A resolved group, identified by its SEGMENT LIST — the reference
+    * carries `ResourceGroupId` as segments, never a joined string
+    * (ResourceGroupId.java), so an expanded template segment containing
+    * a dot (user "john.doe" under `adhoc_${USER}`) stays one segment
+    * and distinct paths never collide in the live-state registry.
+    * [[id]] is the dotted DISPLAY form (pool names, error texts). */
+  final case class Resolved(segments: Seq[String], maxQueued: Int,
       hardConcurrencyLimit: Int, schedulingPolicy: Option[String],
       schedulingWeight: Option[Int],
       softCpuLimitMillis: Long = Long.MaxValue,
@@ -162,7 +166,9 @@ object ResourceGroups {
       // ancestor chain root-first (InternalResourceGroup.run:507-516 —
       // every ancestor's capacity gates a leaf admission; counts and
       // CPU usage propagate up as descendant totals)
-      parents: Seq[Resolved] = Nil)
+      parents: Seq[Resolved] = Nil) {
+    def id: String = segments.mkString(".")
+  }
 
   /** The reference's configureGroup CPU arm: soft clamps to hard
     * (InternalResourceGroup.setHardCpuLimit), the generation rate
@@ -172,9 +178,9 @@ object ResourceGroups {
   /** All of a spec's admission facts as a [[Resolved]] carrying `id` —
     * shared by [[resolve]] and the DB manager's change tracking. */
   private[plans] def resolvedFacts(spec: GroupSpec, mgr: Manager,
-      id: String): Resolved = {
-    val (soft, hard, rate) = cpuFields(spec, mgr, id)
-    Resolved(id, spec.maxQueued, spec.hardConcurrencyLimit,
+      segments: Seq[String]): Resolved = {
+    val (soft, hard, rate) = cpuFields(spec, mgr, segments.mkString("."))
+    Resolved(segments, spec.maxQueued, spec.hardConcurrencyLimit,
       spec.schedulingPolicy, spec.schedulingWeight, soft, hard, rate)
   }
 
@@ -185,19 +191,52 @@ object ResourceGroups {
     val period = mgr.cpuQuotaPeriodMillis.getOrElse(
       throw new IllegalArgumentException(
         s"cpuQuotaPeriod must be specified to use cpu limits on group: $id"))
-    // a soft-only configuration leaves the HARD limit unlimited (the
-    // reference's setSoftCpuLimit never lowers hard) — the group
-    // degrades through the penalty band, it never parks; only the
-    // quota-generation RATE falls back to the soft limit
-    // (configureGroup:223-225)
+    // [[validateSpecs]] has already rejected soft-without-hard and
+    // soft > hard (the reference's validateRootGroups), so hard is
+    // present whenever soft is
     val hard = spec.hardCpuLimitMillis.getOrElse(Long.MaxValue)
     val soft = math.min(spec.softCpuLimitMillis.getOrElse(Long.MaxValue),
       hard)
     val rateBase = spec.hardCpuLimitMillis
       .orElse(spec.softCpuLimitMillis).get
-    val rate = math.min(1000.0 * rateBase / period.toDouble,
-      Long.MaxValue.toDouble).toLong
+    // rate floor (AbstractResourceConfigurationManager:224
+    // Math.max(1, rate)) — without it a hard limit smaller than
+    // period/1000 truncates to rate 0 and the group, once at its hard
+    // CPU limit, never regenerates quota and is parked forever
+    val rate = math.max(1L,
+      math.min(1000.0 * rateBase / period.toDouble,
+        Long.MaxValue.toDouble).toLong)
     (soft, hard, rate)
+  }
+
+  /** The reference's load-time validation over the whole spec tree:
+    * `AbstractResourceConfigurationManager.validateRootGroups:66-67`
+    * (soft CPU limit requires a hard one, and must not exceed it) and
+    * `InternalResourceGroup.setSchedulingPolicy:519-520` (every child
+    * of a query_priority group must itself use query_priority, so
+    * priority ordering is preserved down the tree). Error texts are
+    * the reference's own. */
+  private[plans] def validateSpecs(roots: Seq[GroupSpec]): Unit = {
+    def walk(spec: GroupSpec, path: Seq[String]): Unit = {
+      val id = (path :+ spec.nameTemplate).mkString(".")
+      if (spec.softCpuLimitMillis.isDefined) {
+        require(spec.hardCpuLimitMillis.isDefined,
+          "Must specify hard CPU limit in addition to soft limit")
+        require(spec.softCpuLimitMillis.get <= spec.hardCpuLimitMillis.get,
+          "Soft CPU limit cannot be greater than hard CPU limit")
+      }
+      if (spec.schedulingPolicy.exists(_.equalsIgnoreCase("query_priority")))
+        spec.subGroups.foreach { sub =>
+          val subId = s"$id.${sub.nameTemplate}"
+          require(
+            sub.schedulingPolicy.exists(
+              _.equalsIgnoreCase("query_priority")),
+            s"Parent of $subId uses query priority scheduling, " +
+              s"so $subId must also")
+        }
+      spec.subGroups.foreach(walk(_, path :+ spec.nameTemplate))
+    }
+    roots.foreach(walk(_, Nil))
   }
 
   /** Parse the reference's JSON config format (jackson rides in with
@@ -238,7 +277,9 @@ object ResourceGroups {
           resourceEstimate = Option(s.get("selectorResourceEstimate"))
             .map(parseSelectorEstimate))
       }.toSeq).getOrElse(Seq.empty)
-    Manager(groups(root.get("rootGroups")), selectors,
+    val rootGroups = groups(root.get("rootGroups"))
+    validateSpecs(rootGroups)
+    Manager(rootGroups, selectors,
       cpuQuotaPeriodMillis = Option(root.get("cpuQuotaPeriod"))
         .map(v => (parseDurationSecs(v.asText()) * 1000).toLong))
   }
@@ -313,7 +354,7 @@ object ResourceGroups {
             s"unresolved variable '${m.group(1)}' in resource group " +
               s"'$template', available: ${vars.keys.mkString(",")}"))))
     var specs = mgr.rootGroups
-    val idParts = Seq.newBuilder[String]
+    var segments = Vector.empty[String]
     // each prefix of the path resolves too: ancestors carry their own
     // limits and an admission must clear every level
     val chain = mutable.ArrayBuffer.empty[Resolved]
@@ -321,9 +362,9 @@ object ResourceGroups {
       val spec = specs.find(_.nameTemplate == segTemplate).getOrElse(
         throw new IllegalArgumentException(
           s"no group spec '$segTemplate' under " +
-            s"'${idParts.result().mkString(".")}'"))
-      idParts += expand(segTemplate)
-      chain += resolvedFacts(spec, mgr, idParts.result().mkString("."))
+            s"'${segments.mkString(".")}'"))
+      segments :+= expand(segTemplate)
+      chain += resolvedFacts(spec, mgr, segments)
         .copy(parents = chain.toSeq)
       specs = spec.subGroups
     }
@@ -339,6 +380,11 @@ object ResourceGroups {
   // discipline without needing per-tree lock objects.
   private val gate = new Object
 
+  /** One queued admission: global-arrival ticket + the query's
+    * priority (the `query_priority` session property, default 1 —
+    * `SystemSessionProperties.getQueryPriority`). */
+  private[plans] final case class QEntry(ticket: Long, priority: Int)
+
   final class GroupState(initial: Resolved) {
     // limits re-read on every admit/release, so a reconfigure() takes
     // effect on the NEXT admission — the reference's
@@ -348,7 +394,7 @@ object ResourceGroups {
     // reference's runningQueries + descendantRunningQueries view)
     private[ResourceGroups] var running = 0
     private[ResourceGroups] var queuedTotal = 0
-    private[ResourceGroups] val queued = mutable.Queue.empty[Long]
+    private[ResourceGroups] val queued = mutable.Queue.empty[QEntry]
     private[ResourceGroups] var cpuUsageMillis = 0L
     def resolved: Resolved = current
     def runningCount: Int = gate.synchronized(running)
@@ -360,34 +406,42 @@ object ResourceGroups {
   case object Run extends Admission
   final case class Queued(ticket: Long) extends Admission
 
-  private val states = new ConcurrentHashMap[String, GroupState]()
-  // parent id → child states (the reference's real child pointers) —
-  // promotion walks this instead of scanning the whole registry
+  // All registry state lives under [[gate]] (the module's documented
+  // single-lock discipline — the reference synchronizes every group
+  // operation on the ROOT group's monitor): plain maps, every access
+  // from a gate.synchronized block. Keys are SEGMENT LISTS, so two
+  // distinct paths whose dotted renderings collide stay distinct.
+  private val states = mutable.HashMap.empty[Seq[String], GroupState]
+  // parent segments → child states (the reference's real child
+  // pointers) — promotion walks this instead of scanning the registry
   private val childIndex =
-    new ConcurrentHashMap[String, mutable.LinkedHashSet[GroupState]]()
+    mutable.HashMap.empty[Seq[String], mutable.LinkedHashSet[GroupState]]
   // GLOBAL arrival order — tickets order enqueue time across the whole
   // tree, which is what the fair policy's queued-time dequeue reads
   private var arrivals = 0L
+  // tickets with a live [[awaitAdmission]] waiter, and the subset a
+  // promotion has granted a slot to (bounded by the waiter count:
+  // entries are removed on the waiter's way out, granted or not)
+  private val waiting = mutable.Set.empty[Long]
+  private val grantedToWaiter = mutable.Set.empty[Long]
 
-  def stateOf(r: Resolved): GroupState =
-    states.computeIfAbsent(r.id, _ => {
+  def stateOf(r: Resolved): GroupState = gate.synchronized {
+    states.getOrElseUpdate(r.segments, {
       val s = new GroupState(r)
       r.parents.lastOption.foreach(p =>
-        childIndex.computeIfAbsent(p.id,
-          _ => mutable.LinkedHashSet.empty).add(s))
+        childIndex.getOrElseUpdate(p.segments,
+          mutable.LinkedHashSet.empty).add(s))
       s
     })
+  }
 
   def clearAll(): Unit = gate.synchronized {
     states.clear()
     childIndex.clear()
+    waiting.clear()
+    grantedToWaiter.clear()
     arrivals = 0L
   }
-
-  /** Whether `id` names a group this engine has admitted to — lets the
-    * query log distinguish a resource-group-pinned FAIR pool from an
-    * unrelated caller-set pool name. */
-  def isKnownGroup(id: String): Boolean = states.containsKey(id)
 
   /** Re-limit a LIVE group in place (the reference's
     * configureChangedGroups → InternalResourceGroup setters): running
@@ -396,8 +450,8 @@ object ResourceGroups {
     * limits govern from the next admit/release. No-op when the group
     * was never admitted to. */
   def reconfigure(r: Resolved): Unit = gate.synchronized {
-    val g = states.get(r.id)
-    if (g != null) g.current = r.copy(parents = g.current.parents)
+    states.get(r.segments).foreach(g =>
+      g.current = r.copy(parents = g.current.parents))
   }
 
   /** The leaf-to-root chain of live states (root first) — the walk
@@ -434,36 +488,45 @@ object ResourceGroups {
     * chain must clear — run while all levels [[canRunMore]]
     * (concurrency + CPU quota), queue at the LEAF while all levels
     * [[canQueueMore]], else the reference's QUERY_QUEUE_FULL rejection
-    * carrying the leaf's id. */
-  def admit(g: GroupState): Admission = gate.synchronized {
-    val chain = chainOf(g)
-    val canRun = chain.forall(canRunMore)
-    val canQueue = chain.forall(canQueueMore)
-    if (canRun) {
-      chain.foreach(_.running += 1)
-      Run
-    } else if (canQueue) {
-      val t = arrivals
-      arrivals += 1
-      g.queued.enqueue(t)
-      chain.foreach(_.queuedTotal += 1)
-      Queued(t)
-    } else throw new IllegalStateException(
-      s"""Too many queued queries for "${g.resolved.id}"""")
-  }
+    * carrying the leaf's id. `priority` is the query_priority session
+    * value — it orders the queue under the query_priority policy. */
+  def admit(g: GroupState, priority: Int = 1): Admission =
+    gate.synchronized {
+      val chain = chainOf(g)
+      val canRun = chain.forall(canRunMore)
+      val canQueue = chain.forall(canQueueMore)
+      if (canRun) {
+        chain.foreach(_.running += 1)
+        Run
+      } else if (canQueue) {
+        val t = arrivals
+        arrivals += 1
+        g.queued.enqueue(QEntry(t, priority))
+        chain.foreach(_.queuedTotal += 1)
+        Queued(t)
+      } else throw new IllegalStateException(
+        s"""Too many queued queries for "${g.resolved.id}"""")
+    }
 
   /** Live child states of `s` (groups a query ever touched), from the
     * maintained parent→children index. Caller holds [[gate]]. */
-  private def childrenOf(s: GroupState): Seq[GroupState] = {
-    val set = childIndex.get(s.resolved.id)
-    if (set == null) Seq.empty else set.toSeq
-  }
+  private def childrenOf(s: GroupState): Seq[GroupState] =
+    childIndex.get(s.resolved.segments).map(_.toSeq).getOrElse(Seq.empty)
 
   /** Earliest queued arrival anywhere in s's subtree (ties and the
     * fair policy read queued time). Caller holds [[gate]]. */
   private def earliestArrival(s: GroupState): Long =
-    (s.queued.headOption.toSeq ++ childrenOf(s)
+    (s.queued.headOption.map(_.ticket).toSeq ++ childrenOf(s)
       .filter(_.queuedTotal > 0).map(earliestArrival)).min
+
+  /** Highest queued query priority anywhere in s's subtree — the
+    * reference's `getHighestQueryPriority`, the sort key a
+    * query_priority parent uses to pick among children
+    * (`getSubGroupSchedulingPriority:840-843`). Caller holds
+    * [[gate]]. */
+  private def highestPriority(s: GroupState): Int =
+    (s.queued.map(_.priority) ++ childrenOf(s)
+      .filter(_.queuedTotal > 0).map(highestPriority)).max
 
   /** The reference's `internalStartNext` descent: at each level the
     * group must clear canRunMore; a leaf with queued work starts; an
@@ -496,19 +559,45 @@ object ResourceGroups {
       case "weighted" =>
         eligible.minBy { case (c, _) =>
           (-share(c), earliestArrival(c)) }
+      case "query_priority" =>
+        // IndexedPriorityQueue semantics: highest queued priority
+        // wins, insertion (arrival) order breaks ties
+        eligible.minBy { case (c, _) =>
+          (-highestPriority(c), earliestArrival(c)) }
       case _ =>
         eligible.minBy { case (c, _) => (0.0, earliestArrival(c)) }
     }
     Some(chosen._2)
   }
 
-  /** One pass of tree-wide promotion from `root`. Caller holds
-    * [[gate]]. */
+  /** Dequeue the leaf's next entry by ITS policy: query_priority takes
+    * the highest-priority entry (earliest arrival among ties — the
+    * reference's IndexedPriorityQueue), everything else FIFO. Caller
+    * holds [[gate]]. */
+  private def dequeueNext(leaf: GroupState): QEntry = {
+    val byPriority = leaf.resolved.schedulingPolicy
+      .exists(_.equalsIgnoreCase("query_priority"))
+    if (!byPriority) leaf.queued.dequeue()
+    else {
+      val e = leaf.queued.minBy(q => (-q.priority, q.ticket))
+      leaf.queued.dequeueAll(_.ticket == e.ticket)
+      e
+    }
+  }
+
+  /** One pass of tree-wide promotion from `root`; a promoted ticket
+    * with a blocked [[awaitAdmission]] waiter is handed its slot and
+    * woken. Caller holds [[gate]]. */
   private def startNextEligible(root: GroupState): Option[Long] =
     pickLeaf(root).map { leaf =>
       chainOf(leaf).foreach { lvl =>
         lvl.running += 1; lvl.queuedTotal -= 1 }
-      leaf.queued.dequeue()
+      val t = dequeueNext(leaf).ticket
+      if (waiting.contains(t)) {
+        grantedToWaiter += t
+        gate.notifyAll()
+      }
+      t
     }
 
   /** Query finished: account its CPU time against EVERY level's quota
@@ -560,28 +649,81 @@ object ResourceGroups {
     * (the withGroup wrapper does exactly that). */
   def cancelQueued(g: GroupState, ticket: Long): Boolean =
     gate.synchronized {
-      val removed = g.queued.dequeueAll(_ == ticket).size
+      val removed = g.queued.dequeueAll(_.ticket == ticket).size
       chainOf(g).foreach(_.queuedTotal -= removed)
       removed > 0
     }
+
+  /** Block until a Queued admission is promoted — the reference's
+    * dispatcher semantics (a queued query PARKS and starts on
+    * promotion) on a concurrent driver. Returns true when the slot was
+    * granted (by the initial admit or a later promotion), throws the
+    * queue-full rejection when the group cannot even queue, and false
+    * on timeout (the ticket is withdrawn — nothing leaks). Promotion
+    * order is the group's scheduling policy's, exactly as release()
+    * applies it. */
+  def awaitAdmission(g: GroupState, timeoutMillis: Long,
+      priority: Int = 1): Boolean = {
+    admit(g, priority) match {
+      case Run => true
+      case Queued(t) => gate.synchronized {
+        // promotion happens under [[gate]], so inside this block the
+        // ticket is either granted (grantedToWaiter) or still queued —
+        // no third state, no lost wakeup
+        waiting += t
+        try {
+          val deadline = System.nanoTime() + timeoutMillis * 1000000L
+          var granted = grantedToWaiter.contains(t)
+          var remaining = timeoutMillis
+          while (!granted && remaining > 0) {
+            gate.wait(remaining)
+            granted = grantedToWaiter.contains(t)
+            remaining = (deadline - System.nanoTime()) / 1000000L
+          }
+          if (!granted) cancelQueued(g, t)
+          granted
+        } finally {
+          waiting -= t
+          grantedToWaiter -= t
+        }
+      }
+    }
+  }
+
+  private def pinPool[T](s: SparkSession, r: Resolved)(body: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    val prevSeg = sc.getLocalProperty(segmentsProperty)
+    sc.setLocalProperty("spark.scheduler.pool", r.id)
+    // the query log reads the SEGMENT LIST from its own property (NUL
+    // joined — group names never contain NUL) rather than re-splitting
+    // the dotted pool name, so an expanded segment containing a dot
+    // survives; it also marks the pool as a resource group, not a
+    // caller-set fair-scheduler pool
+    sc.setLocalProperty(segmentsProperty, r.segments.mkString("\u0000"))
+    try body
+    finally {
+      sc.setLocalProperty("spark.scheduler.pool", prev)
+      sc.setLocalProperty(segmentsProperty, prevSeg)
+    }
+  }
+
+  /** The local property [[withGroup]] stashes the admitted group's
+    * segment list under (NUL-joined), for the query log. */
+  val segmentsProperty = "graft.resource_group.segments"
 
   /** Admit against the group, pin the Spark FAIR scheduler pool to the
     * group id for the body, release after. Throws the queue-full error
     * when the group cannot even queue; a Queued admission waits its
     * turn only in a real concurrent driver — here the caller decides
-    * (gates drive the state machine explicitly). */
-  def withGroup[T](s: SparkSession, r: Resolved)(body: => T): T = {
+    * (gates drive the state machine explicitly; [[withGroupAwait]] is
+    * the blocking variant). */
+  def withGroup[T](s: SparkSession, r: Resolved, priority: Int = 1)(
+      body: => T): T = {
     val g = stateOf(r)
-    admit(g) match {
+    admit(g, priority) match {
       case Run =>
-        val sc = s.sparkContext
-        val prev = sc.getLocalProperty("spark.scheduler.pool")
-        sc.setLocalProperty("spark.scheduler.pool", r.id)
-        try body
-        finally {
-          sc.setLocalProperty("spark.scheduler.pool", prev)
-          release(g)
-        }
+        try pinPool(s, r)(body) finally release(g)
       case Queued(t) =>
         // this synchronous wrapper cannot block-wait its turn, so the
         // just-enqueued ticket must be withdrawn before throwing —
@@ -592,5 +734,18 @@ object ResourceGroups {
         throw new IllegalStateException(
           s"group ${r.id} is at its hard concurrency limit")
     }
+  }
+
+  /** [[withGroup]] that WAITS for its turn when queued (the
+    * reference's real queue semantics): the body runs on admission or
+    * promotion; a timeout errs with the queue-wait text. */
+  def withGroupAwait[T](s: SparkSession, r: Resolved,
+      timeoutMillis: Long, priority: Int = 1)(body: => T): T = {
+    val g = stateOf(r)
+    if (!awaitAdmission(g, timeoutMillis, priority))
+      throw new IllegalStateException(
+        s"query did not start within $timeoutMillis ms queued on " +
+          s"group ${r.id}")
+    try pinPool(s, r)(body) finally release(g)
   }
 }

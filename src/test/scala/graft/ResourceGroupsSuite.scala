@@ -133,7 +133,7 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
 
   test("release without queue frees the slot; with queue hands it over") {
     ResourceGroups.clearAll()
-    val r = Resolved("t", maxQueued = 1, hardConcurrencyLimit = 1,
+    val r = Resolved(Seq("t"), maxQueued = 1, hardConcurrencyLimit = 1,
       schedulingPolicy = None, schedulingWeight = None)
     val g = ResourceGroups.stateOf(r)
     assert(ResourceGroups.admit(g) == Run)
@@ -152,7 +152,7 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     // DbResourceGroupConfigurationManager.configureChangedGroups: the
     // new limits govern the NEXT admission; running/queued survive
     ResourceGroups.clearAll()
-    val r = Resolved("rc", maxQueued = 1, hardConcurrencyLimit = 1,
+    val r = Resolved(Seq("rc"), maxQueued = 1, hardConcurrencyLimit = 1,
       schedulingPolicy = None, schedulingWeight = None)
     val g = ResourceGroups.stateOf(r)
     assert(ResourceGroups.admit(g) == Run)
@@ -167,7 +167,7 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
       maxQueued = 0))
     intercept[IllegalStateException](ResourceGroups.admit(g))
     // reconfigure of a never-admitted group id is a no-op
-    ResourceGroups.reconfigure(Resolved("ghost", 1, 1, None, None))
+    ResourceGroups.reconfigure(Resolved(Seq("ghost"), 1, 1, None, None))
   }
 
   test("ancestor capacity gates every leaf admission") {
@@ -340,29 +340,39 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     ResourceGroups.release(g, cpuMillis = 2500L)
     assert(ResourceGroups.admit(g).isInstanceOf[Queued])
     assert(ResourceGroups.release(g).isEmpty && g.queuedCount >= 1)
-    // a SOFT-only configuration leaves the hard limit unlimited: the
-    // group degrades through the penalty band but NEVER parks (the
-    // reference's setSoftCpuLimit never lowers hard); the generation
-    // rate falls back to the soft limit
-    val ms = ResourceGroups.parse(
+    // a SOFT-only configuration is rejected at parse with the
+    // reference's own text (validateRootGroups:66 — soft requires
+    // hard), as is soft > hard (:67)
+    val eSoft = intercept[IllegalArgumentException](ResourceGroups.parse(
       """{ "cpuQuotaPeriod": "10s",
         |  "rootGroups": [
         |    { "name": "sg", "maxQueued": 10, "hardConcurrencyLimit": 4,
         |      "softCpuLimit": "1s" } ],
         |  "selectors": [ { "user": ".*", "group": "sg" } ] }"""
+        .stripMargin))
+    assert(eSoft.getMessage.contains(
+      "Must specify hard CPU limit in addition to soft limit"))
+    val eOrder = intercept[IllegalArgumentException](ResourceGroups.parse(
+      """{ "cpuQuotaPeriod": "10s",
+        |  "rootGroups": [
+        |    { "name": "sg", "maxQueued": 10, "hardConcurrencyLimit": 4,
+        |      "softCpuLimit": "2h", "hardCpuLimit": "1h" } ],
+        |  "selectors": [ { "user": ".*", "group": "sg" } ] }"""
+        .stripMargin))
+    assert(eOrder.getMessage.contains(
+      "Soft CPU limit cannot be greater than hard CPU limit"))
+    // generation-rate floor (AbstractResourceConfigurationManager:224
+    // Math.max(1, rate)): a hard limit under period/1000 must still
+    // regenerate — rate 0 would park a hard-capped group forever
+    val msFloor = ResourceGroups.parse(
+      """{ "cpuQuotaPeriod": "10s",
+        |  "rootGroups": [
+        |    { "name": "fl", "maxQueued": 10, "hardConcurrencyLimit": 4,
+        |      "hardCpuLimit": "5ms" } ],
+        |  "selectors": [ { "user": ".*", "group": "fl" } ] }"""
         .stripMargin)
-    val rs = ResourceGroups.select(ms, "u", None).get
-    assert(rs.hardCpuLimitMillis == Long.MaxValue &&
-      rs.softCpuLimitMillis == 1000L &&
-      rs.cpuQuotaGenerationMillisPerSecond == 100L)
-    val gs = ResourceGroups.stateOf(rs)
-    assert(ResourceGroups.admit(gs) == Run)
-    ResourceGroups.release(gs, cpuMillis = 3600000L) // an hour of CPU
-    // usage far past soft: penalized to hard-1=3, still admitting
-    assert(ResourceGroups.admit(gs) == Run)
-    assert(ResourceGroups.admit(gs) == Run)
-    assert(ResourceGroups.admit(gs) == Run)
-    assert(ResourceGroups.admit(gs).isInstanceOf[Queued])
+    val rFloor = ResourceGroups.select(msFloor, "u", None).get
+    assert(rFloor.cpuQuotaGenerationMillisPerSecond == 1L)
     // cpu limits without a cpuQuotaPeriod are the reference's loud arm
     val bad = ResourceGroups.parse(
       """{ "rootGroups": [
@@ -474,5 +484,156 @@ class ResourceGroupsSuite extends org.scalatest.funsuite.AnyFunSuite {
     val broken = new DbResourceGroupManager(url,
       "graft.sources.GraftMySqlDriver", "suite")
     intercept[Exception](broken.load())
+  }
+
+  test("expanded segments containing dots stay distinct live states") {
+    // ResourceGroupId is a SEGMENT LIST in the reference — user
+    // "john.doe" under adhoc_${USER} must not collide with a sibling
+    // path whose dotted rendering is identical
+    ResourceGroups.clearAll()
+    val g1 = ResourceGroups.stateOf(
+      Resolved(Seq("g", "adhoc_john.doe"), 5, 5, None, None))
+    val g2 = ResourceGroups.stateOf(
+      Resolved(Seq("g", "adhoc_john", "doe"), 5, 5, None, None))
+    assert(g1.resolved.id == g2.resolved.id) // display form collides
+    assert(!(g1 eq g2)) // live state does not
+    assert(ResourceGroups.admit(g1) == Run)
+    assert(g1.runningCount == 1 && g2.runningCount == 0)
+    ResourceGroups.release(g1)
+  }
+
+  test("awaitAdmission parks queued queries; promotion wakes them FIFO") {
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "aw", "maxQueued": 5, "hardConcurrencyLimit": 1 } ],
+        |  "selectors": [ { "user": ".*", "group": "aw" } ] }"""
+        .stripMargin)
+    val g = ResourceGroups.stateOf(ResourceGroups.select(m, "u", None).get)
+    assert(ResourceGroups.admit(g) == Run) // saturate the one slot
+    val started = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val done = new java.util.concurrent.CountDownLatch(3)
+    // spawn one waiter at a time so arrival order is deterministic
+    (1 to 3).foreach { i =>
+      val before = g.queuedCount
+      val t = new Thread(() => {
+        assert(ResourceGroups.awaitAdmission(g, 30000L))
+        started.add(i)
+        ResourceGroups.release(g) // chain-promotes the next waiter
+        done.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+      val deadline = System.currentTimeMillis() + 10000
+      while (g.queuedCount == before &&
+        System.currentTimeMillis() < deadline) Thread.sleep(1)
+      assert(g.queuedCount == before + 1)
+    }
+    ResourceGroups.release(g) // kick off the promotion chain
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    assert(started.asScala.toList == List(1, 2, 3)) // fair = FIFO
+    assert(g.runningCount == 0 && g.queuedCount == 0)
+    // a waiter that times out withdraws its ticket — nothing leaks
+    assert(ResourceGroups.admit(g) == Run)
+    assert(!ResourceGroups.awaitAdmission(g, 50L))
+    assert(g.queuedCount == 0)
+    ResourceGroups.release(g)
+  }
+
+  test("query_priority policy: highest priority dequeues first") {
+    // InternalResourceGroup QUERY_PRIORITY: the leaf's queue orders by
+    // the query_priority session value, arrival breaking ties
+    ResourceGroups.clearAll()
+    val m = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "qp", "maxQueued": 5, "hardConcurrencyLimit": 1,
+        |    "schedulingPolicy": "query_priority" } ],
+        |  "selectors": [ { "user": ".*", "group": "qp" } ] }"""
+        .stripMargin)
+    val g = ResourceGroups.stateOf(ResourceGroups.select(m, "u", None).get)
+    assert(ResourceGroups.admit(g, priority = 1) == Run)
+    val t1 = ResourceGroups.admit(g, priority = 1)
+      .asInstanceOf[Queued].ticket
+    val t5 = ResourceGroups.admit(g, priority = 5)
+      .asInstanceOf[Queued].ticket
+    val t3 = ResourceGroups.admit(g, priority = 3)
+      .asInstanceOf[Queued].ticket
+    assert(ResourceGroups.release(g) == Seq(t5)) // highest priority
+    assert(ResourceGroups.release(g) == Seq(t3))
+    assert(ResourceGroups.release(g) == Seq(t1))
+    ResourceGroups.release(g)
+    // a query_priority parent requires query_priority children
+    // (setSchedulingPolicy:519-520, enforced at parse)
+    val e = intercept[IllegalArgumentException](ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "p", "maxQueued": 1, "hardConcurrencyLimit": 1,
+        |    "schedulingPolicy": "query_priority",
+        |    "subGroups": [
+        |      { "name": "c", "maxQueued": 1,
+        |        "hardConcurrencyLimit": 1 } ] } ],
+        |  "selectors": [] }""".stripMargin))
+    assert(e.getMessage.contains("uses query priority scheduling"))
+  }
+
+  test("db exact-match selector resolves stored ids via templates") {
+    // DbResourceGroupConfigurationManager.configure matches EXPANDED
+    // ids against templated specs (getMatchingSpec /
+    // ResourceGroupIdTemplate) — a stored id global.adhoc_alice under
+    // spec global.adhoc_${USER} resolves to that spec's limits
+    import graft.plans.DbResourceGroupManager
+    import graft.sources.{GraftMySqlDriver, MySqlStore}
+    GraftMySqlDriver.install()
+    val url = "jdbc:mysql://graft-shim/g"
+    Seq("resource_groups_global_properties", "resource_groups",
+      "selectors", "exact_match_source_selectors")
+      .foreach(MySqlStore.drop)
+    ResourceGroups.clearAll()
+    val mgr = new DbResourceGroupManager(url,
+      "graft.sources.GraftMySqlDriver", "suite",
+      exactMatchSelectorEnabled = true)
+    mgr.initialize()
+    val c = java.sql.DriverManager.getConnection(url)
+    val ins = c.prepareStatement(
+      """INSERT INTO resource_groups (resource_group_id, name,
+        | soft_memory_limit, max_queued, soft_concurrency_limit,
+        | hard_concurrency_limit, scheduling_policy, scheduling_weight,
+        | jmx_export, soft_cpu_limit, hard_cpu_limit, parent,
+        | environment) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"""
+        .stripMargin)
+    def grp(id: Long, name: String, mq: Int, hc: Int,
+        parent: Option[Long]): Unit = {
+      ins.setLong(1, id); ins.setString(2, name); ins.setString(3, "1GB")
+      ins.setInt(4, mq); ins.setObject(5, null); ins.setInt(6, hc)
+      ins.setObject(7, null); ins.setObject(8, null)
+      ins.setObject(9, null); ins.setObject(10, null)
+      ins.setObject(11, null)
+      parent.fold(ins.setObject(12, null))(ins.setLong(12, _))
+      ins.setString(13, "suite"); ins.executeUpdate()
+    }
+    grp(1, "global", 10, 4, None)
+    grp(2, "adhoc_${USER}", 3, 2, Some(1))
+    val ex = c.prepareStatement(
+      """INSERT INTO exact_match_source_selectors (environment, source,
+        | query_type, update_time, resource_group_id)
+        | VALUES (?, ?, ?, ?, ?)""".stripMargin)
+    ex.setString(1, "suite"); ex.setString(2, "nightly-etl")
+    ex.setObject(3, null)
+    ex.setTimestamp(4, new java.sql.Timestamp(0L))
+    ex.setString(5, """["global", "adhoc_alice"]""")
+    ex.executeUpdate()
+    mgr.load()
+    val hit = mgr.select("whoever", Some("nightly-etl")).get
+    assert(hit.id == "global.adhoc_alice")
+    assert(hit.maxQueued == 3 && hit.hardConcurrencyLimit == 2)
+    // the ancestor chain rides along (admissions gate on global too)
+    assert(hit.parents.map(_.id) == Seq("global"))
+    assert(hit.parents.head.hardConcurrencyLimit == 4)
+    // an id no template can bind still throws the loud arm
+    ex.setString(2, "bogus-src")
+    ex.setString(5, """["global", "nosuch", "deep"]""")
+    ex.executeUpdate()
+    intercept[IllegalArgumentException](
+      mgr.select("whoever", Some("bogus-src")))
   }
 }

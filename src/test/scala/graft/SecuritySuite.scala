@@ -155,7 +155,7 @@ class SecuritySuite extends GraftSuite {
     spark.conf.set("graft.source", "suite-cli")
     try {
       graft.plans.ResourceGroups.clearAll()
-      val r = graft.plans.ResourceGroups.Resolved("global.suite", 5, 5,
+      val r = graft.plans.ResourceGroups.Resolved(Seq("global", "suite"), 5, 5,
         None, None)
       graft.plans.ResourceGroups.withGroup(spark, r) {
         stmt("SELECT 41 AS tagged_probe").collect()
