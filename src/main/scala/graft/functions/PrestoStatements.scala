@@ -99,31 +99,96 @@ private[functions] object PrestoStatements {
   // metadata; this engine does the same, producing DataFrames straight
   // from catalog/session state — no data scan in any of them.
 
-  /** Session-property store (SystemSessionProperties.java). Curated
-    * defs mirror the reference's names; the two that map onto real
-    * engine behavior are wired through to Spark confs —
+  /** Session-property store over the COMPLETE reference inventory
+    * ([[SessionProperties.defs]] — all 92 SystemSessionProperties.java
+    * registrations plus the hive connector property the write path
+    * consumes). The names with a real engine knob behind them wire
+    * through to Spark confs in the SET arm —
     * `hash_partition_count` → `spark.sql.shuffle.partitions` (both are
-    * the shuffle fan-out knob) and `join_distribution_type=PARTITIONED`
+    * the shuffle fan-out knob), `join_distribution_type=PARTITIONED`
     * → broadcast threshold -1 (forces shuffle joins, exactly Presto's
-    * semantics). SET on an unknown name fails loudly like the
-    * reference's "Session property %s does not exist". */
-  private case class PropDef(name: String, default: String, typ: String,
-      desc: String)
-  private val sessionPropDefs = Seq(
-    PropDef("hash_partition_count", "100", "integer",
-      "Number of partitions for distributed joins and aggregations"),
-    PropDef("join_distribution_type", "AUTOMATIC", "varchar",
-      "The join method to use. Options are BROADCAST, PARTITIONED, AUTOMATIC"),
-    PropDef("task_concurrency", "16", "integer",
-      "Default number of local parallel jobs per worker"),
-    PropDef("query_max_run_time", "100.00d", "varchar",
-      "The maximum elapsed time a query may run"),
-    PropDef("optimize_hash_generation", "true", "boolean",
-      "Compute hash codes for distribution, joins, and aggregations early in query plan"),
-    // presto-hive HiveSessionProperties.java:48,106-117 — the write
-    // path reads it through sessionPropValue (HiveLayout.insertExisting)
-    PropDef("insert_existing_partitions_behavior", "APPEND", "varchar",
-      "Behavior on insert existing partitions; this session property doesn't control behavior on insert existing unpartitioned table"))
+    * semantics), `join_max_broadcast_table_size` → the broadcast
+    * threshold's VALUE, `join_reordering_strategy=AUTOMATIC` → the
+    * CBO join-reorder rule, `query_max_execution_time` → the router's
+    * cancellation watchdog; the rest accept-and-record (most are
+    * knobs for machinery Spark subsumes — spill_enabled is always-on
+    * operator spilling, task_concurrency is executor cores). SET on
+    * an unknown name fails loudly like the reference's "Session
+    * property %s does not exist". */
+  private type PropDef = SessionProperties.PropDef
+  private def sessionPropDefs: Seq[PropDef] = SessionProperties.defs
+
+  // enum-typed varchar properties and their constants (the reference's
+  // decoders — `X.valueOf(value.toUpperCase())`, so the rejection text
+  // is the JVM's own "No enum constant")
+  private val enumProps: Map[String, (String, Set[String])] = Map(
+    "join_distribution_type" -> (("JoinDistributionType",
+      Set("BROADCAST", "PARTITIONED", "AUTOMATIC"))),
+    "join_reordering_strategy" -> (("JoinReorderingStrategy",
+      Set("NONE", "ELIMINATE_CROSS_JOINS", "AUTOMATIC"))),
+    "exchange_materialization_strategy" ->
+      (("ExchangeMaterializationStrategy", Set("NONE", "ALL"))),
+    "partial_merge_pushdown_strategy" ->
+      (("PartialMergePushdownStrategy",
+        Set("NONE", "PUSH_THROUGH_LOW_MEMORY_OPERATORS"))),
+    "aggregation_partitioning_merging_strategy" ->
+      (("AggregationPartitioningMergingStrategy",
+        Set("LEGACY", "TOP_DOWN", "BOTTOM_UP"))),
+    "partitioning_precision_strategy" ->
+      (("PartitioningPrecisionStrategy",
+        Set("AUTOMATIC", "PREFER_EXACT_PARTITIONING"))),
+    "insert_existing_partitions_behavior" ->
+      (("InsertExistingPartitionsBehavior",
+        Set("ERROR", "APPEND", "OVERWRITE"))))
+
+  // Duration-/DataSize-valued varchar properties (decoders
+  // Duration.valueOf / DataSize.valueOf — loud on bad grammar) and the
+  // validateValueIsPowerOfTwo targets
+  private val durationProps = Set("query_max_run_time",
+    "query_max_execution_time", "query_max_cpu_time",
+    "split_concurrency_adjustment_interval",
+    "iterative_optimizer_timeout", "index_loader_timeout")
+  private val dataSizeProps = Set("join_max_broadcast_table_size",
+    "writer_min_size", "query_max_memory", "query_max_memory_per_node",
+    "query_max_total_memory", "query_max_total_memory_per_node",
+    "aggregation_operator_unspill_memory_limit",
+    "filter_and_project_min_output_page_size")
+  private val powerOfTwoProps = Set("task_writer_count",
+    "task_partitioned_writer_count", "task_concurrency")
+
+  /** Decode-time validation, at SET like the reference's property
+    * decoders. One documented deviation: booleans reject anything but
+    * true/false (the reference's Boolean::valueOf silently maps junk
+    * to false — a footgun, not a feature). */
+  private def validateSessionValue(d: PropDef, value: String): Unit = {
+    d.typ match {
+      case "integer" | "bigint" =>
+        val n =
+          try value.toLong
+          catch { case _: NumberFormatException =>
+            sys.error(s"${d.name} is invalid: $value") }
+        if (powerOfTwoProps(d.name))
+          require(n > 0 && (n & (n - 1)) == 0,
+            s"${d.name} must be a power of 2: $n")
+      case "double" =>
+        try value.toDouble
+        catch { case _: NumberFormatException =>
+          sys.error(s"${d.name} is invalid: $value") }
+      case "boolean" =>
+        require(value.equalsIgnoreCase("true") ||
+          value.equalsIgnoreCase("false"),
+          s"${d.name} is invalid: $value")
+      case _ => ()
+    }
+    enumProps.get(d.name).foreach { case (enumName, values) =>
+      require(values.contains(value.toUpperCase),
+        s"No enum constant $enumName.$value")
+    }
+    if (durationProps(d.name))
+      graft.plans.ResourceGroups.parseDurationSecs(value)
+    if (dataSizeProps(d.name))
+      graft.plans.ResourceGroups.parseDataSizeBytes(value)
+  }
 
   private val sessionProps =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
@@ -1284,9 +1349,10 @@ private[functions] object PrestoStatements {
 
       case setSessionRe(name0, rawValue) =>
         val name = name0.split('.').last.toLowerCase
-        require(sessionPropDefs.exists(_.name == name),
-          s"Session property $name does not exist")
+        val d = sessionPropDefs.find(_.name == name).getOrElse(
+          sys.error(s"Session property $name does not exist"))
         val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+        validateSessionValue(d, value)
         val saved = sessionMap(sessionPropSaved, spark)
         name match {
           case "hash_partition_count" =>
@@ -1299,17 +1365,31 @@ private[functions] object PrestoStatements {
             value.toUpperCase match {
               case "PARTITIONED" =>
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-              case "BROADCAST" | "AUTOMATIC" =>
+              case _ => // BROADCAST / AUTOMATIC
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved(name))
-              case other => sys.error(s"join_distribution_type: $other")
             }
-          case "insert_existing_partitions_behavior" =>
-            // HiveSessionProperties.InsertExistingPartitionsBehavior
-            // .valueOf — a value outside the enum fails at SET time
-            require(Seq("ERROR", "APPEND", "OVERWRITE")
-                .contains(value.toUpperCase),
-              "No enum constant InsertExistingPartitionsBehavior." + value)
-          case _ => () // stored only; no engine knob behind it
+          case "join_max_broadcast_table_size" =>
+            // the broadcast-eligibility CAP — Spark's
+            // autoBroadcastJoinThreshold is the same knob's value side
+            if (!saved.contains(name))
+              saved(name) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              graft.plans.ResourceGroups.parseDataSizeBytes(value)
+                .toLong.toString)
+          case "join_reordering_strategy" =>
+            // AUTOMATIC is the cost-based reorder (Spark's CBO
+            // joinReorder rule); NONE/ELIMINATE_CROSS_JOINS leave it
+            // off (Catalyst's default planning already refuses to
+            // plan a cross product unless written as one)
+            if (!saved.contains(name))
+              saved(name) = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled",
+              (value.toUpperCase == "AUTOMATIC").toString)
+          case _ => () // recorded; consumed via sessionPropValue
+            // (insert_existing_partitions_behavior by the write path,
+            // query_max_execution_time by the router's watchdog) or a
+            // Spark-subsumed no-op (spill_enabled: operator spilling
+            // is always on in Spark)
         }
         sessionMap(sessionProps, spark)(name) = value
         statusDf(spark, "SET SESSION")
@@ -1321,9 +1401,12 @@ private[functions] object PrestoStatements {
           case "hash_partition_count" =>
             saved.remove(name).foreach(v =>
               spark.conf.set("spark.sql.shuffle.partitions", v))
-          case "join_distribution_type" =>
+          case "join_distribution_type" | "join_max_broadcast_table_size" =>
             saved.remove(name).foreach(v =>
               spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+          case "join_reordering_strategy" =>
+            saved.remove(name).foreach(v =>
+              spark.conf.set("spark.sql.cbo.joinReorder.enabled", v))
           case _ => ()
         }
         sessionMap(sessionProps, spark).remove(name)
@@ -1332,11 +1415,20 @@ private[functions] object PrestoStatements {
       case showSessionRe() =>
         // ShowQueriesRewrite visitShowSession: Name/Value/Default/Type/
         // Description over the property registry; Value reflects SET.
+        // System properties sort by name (the TreeMap in
+        // getAllSessionProperties:131), hidden ones are skipped
+        // (:670-672), catalog sections follow with qualified names.
         import spark.implicits._
         val set = sessionMap(sessionProps, spark)
-        sessionPropDefs.map { d =>
-          (d.name, set.getOrElse(d.name, d.default), d.default, d.typ, d.desc)
-        }.toDF("Name", "Value", "Default", "Type", "Description")
+        sessionPropDefs.filterNot(_.hidden)
+          .sortBy(d => (d.catalog.isDefined, d.catalog.getOrElse(""),
+            d.name))
+          .map { d =>
+            val shown = d.catalog.map(c => s"$c.${d.name}")
+              .getOrElse(d.name)
+            (shown, set.getOrElse(d.name, d.default), d.default, d.typ,
+              d.desc)
+          }.toDF("Name", "Value", "Default", "Type", "Description")
 
       case txRe(stmt) =>
         // START TRANSACTION / COMMIT / ROLLBACK accepted as autocommit

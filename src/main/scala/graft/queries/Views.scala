@@ -1302,6 +1302,114 @@ object Views extends QueryPack {
       phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // The COMPLETE SystemSessionProperties inventory served through
+    // SET/RESET/SHOW SESSION (functions/SessionProperties.scala — all
+    // 92 reference registrations, 11 hidden, + the hive connector
+    // property): row count and verbatim defaults lock; a dozen
+    // migrating-runbook names SET and read back; the reference's
+    // decode arms reject (power-of-two, enum, duration grammar,
+    // unknown name); the newly-wired join_max_broadcast_table_size is
+    // proven at the PLAN level (a 1B cap forces the dimension join to
+    // SortMergeJoin, RESET restores broadcast) and
+    // join_reordering_strategy drives the CBO join-reorder rule.
+    "q3t_session_registry" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.prestoStatement
+      val phases =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def phase(k: String, v: Boolean): Unit = phases += ((k, v.toString))
+      def shown(): Map[String, (String, String, String)] =
+        prestoStatement(s, "SHOW SESSION").collect()
+          .map(r => r.getString(0) ->
+            ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      val all = shown()
+      phase("a_row_count_82", all.size == 82)
+      // verbatim defaults: config-derived values through the
+      // reference's Duration/DataSize/enum toString renderings
+      phase("b_defaults_verbatim",
+        all("query_max_run_time") ==
+          (("100.00d", "100.00d", "varchar")) &&
+          all("writer_min_size")._2 == "32MB" &&
+          all("max_tasks_per_stage")._2 == "2147483647" &&
+          all("join_distribution_type")._2 == "PARTITIONED" &&
+          all("join_reordering_strategy")._2 == "ELIMINATE_CROSS_JOINS" &&
+          all("execution_policy")._2 == "all-at-once" &&
+          all("aggregation_operator_unspill_memory_limit")._2 == "4MB" &&
+          all("task_concurrency")._3 == "bigint" &&
+          all("hive.insert_existing_partitions_behavior")._2 == "APPEND")
+      // hidden properties are settable but not listed
+      // (visitShowSession:670 skips them; query_max_memory is hidden
+      // in this snapshot)
+      phase("c_hidden_settable_not_listed",
+        !all.contains("query_max_memory") && {
+          prestoStatement(s, "SET SESSION query_max_memory = '4GB'")
+          !shown().contains("query_max_memory")
+        })
+      // a dozen runbook names SET and read back; defaults untouched
+      val dozen = Seq(
+        "spill_enabled" -> "true",
+        "query_max_execution_time" -> "2h",
+        "query_priority" -> "7",
+        "task_writer_count" -> "8",
+        "resource_overcommit" -> "true",
+        "exchange_compression" -> "true",
+        "optimize_metadata_queries" -> "true",
+        "distributed_sort" -> "false",
+        "use_mark_distinct" -> "false",
+        "max_reordered_joins" -> "5",
+        "colocated_join" -> "false",
+        "writer_min_size" -> "64MB")
+      dozen.foreach { case (k, v) =>
+        prestoStatement(s, s"SET SESSION $k = '$v'") }
+      val after = shown()
+      phase("d_dozen_set_visible",
+        dozen.forall { case (k, v) => after(k)._1 == v } &&
+          after("writer_min_size")._2 == "32MB")
+      dozen.foreach { case (k, _) =>
+        prestoStatement(s, s"RESET SESSION $k") }
+      prestoStatement(s, "RESET SESSION query_max_memory")
+      phase("e_reset_restores", shown() == all)
+      def rejects(sql: String, frag: String): Boolean =
+        try { prestoStatement(s, sql); false }
+        catch { case e: Exception =>
+          (Option(e.getMessage) ++
+            Option(e.getCause).flatMap(c => Option(c.getMessage)))
+            .exists(_.contains(frag)) }
+      phase("f_power_of_two_rejected", rejects(
+        "SET SESSION task_concurrency = '3'", "must be a power of 2"))
+      phase("g_enum_rejected", rejects(
+        "SET SESSION join_reordering_strategy = 'SIDEWAYS'",
+        "No enum constant"))
+      phase("h_duration_rejected", rejects(
+        "SET SESSION query_max_run_time = 'fast'", "not valid"))
+      phase("i_unknown_rejected", rejects(
+        "SET SESSION query_max_memry = '1GB'", "does not exist"))
+      // newly-wired knob, proven on the plan: a 1-byte broadcast cap
+      // forces the dimension join to shuffle
+      val joinSql =
+        """SELECT n_name FROM nation JOIN region
+          |ON n_regionkey = r_regionkey
+          |WHERE r_name = 'AFRICA'""".stripMargin
+      prestoStatement(s,
+        "SET SESSION join_max_broadcast_table_size = '1B'")
+      val capped = s.sql(joinSql).queryExecution.executedPlan.toString
+      prestoStatement(s, "RESET SESSION join_max_broadcast_table_size")
+      val restored = s.sql(joinSql).queryExecution.executedPlan.toString
+      phase("j_broadcast_cap_wired",
+        !capped.contains("BroadcastHashJoin") &&
+          capped.contains("SortMergeJoin") &&
+          restored.contains("BroadcastHashJoin"))
+      prestoStatement(s,
+        "SET SESSION join_reordering_strategy = 'AUTOMATIC'")
+      val cboOn = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+      prestoStatement(s, "RESET SESSION join_reordering_strategy")
+      val cboOff = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+      phase("k_join_reorder_wired", cboOn == "true" && cboOff == "false")
+      import s.implicits._
+      phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -1395,6 +1503,21 @@ object Views extends QueryPack {
         |  true AS run_queue_ok, true AS queue_full_ok,
         |  true AS promote_ok, true AS pool_ok
         |FROM r ORDER BY k""".stripMargin,
+
+    "q3t_session_registry" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('a_row_count_82', 'true'),
+        |  ('b_defaults_verbatim', 'true'),
+        |  ('c_hidden_settable_not_listed', 'true'),
+        |  ('d_dozen_set_visible', 'true'),
+        |  ('e_reset_restores', 'true'),
+        |  ('f_power_of_two_rejected', 'true'),
+        |  ('g_enum_rejected', 'true'),
+        |  ('h_duration_rejected', 'true'),
+        |  ('i_unknown_rejected', 'true'),
+        |  ('j_broadcast_cap_wired', 'true'),
+        |  ('k_join_reorder_wired', 'true')) t(phase, observed)
+        |ORDER BY phase""".stripMargin,
 
     "q3s_db_resource_groups" ->
       """SELECT phase, observed FROM (VALUES
@@ -1543,7 +1666,7 @@ object Views extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('conf_applied', '7'),
         |  ('conf_restored', 'true'),
-        |  ('defaults_listed', '6'),
+        |  ('defaults_listed', '82'),
         |  ('partitioned_forces_shuffle', 'true'),
         |  ('reset_restores_bcast', 'true'),
         |  ('reset_shows_default', '100'),

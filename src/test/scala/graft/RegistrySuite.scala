@@ -773,6 +773,32 @@ class RegistrySuite extends GraftSuite {
     }
   }
 
+  test("session-property registry carries the full reference inventory") {
+    import graft.functions.SessionProperties.defs
+    // 92 SystemSessionProperties registrations (11 hidden) + the hive
+    // connector property — tools/extract_session_props.py is the
+    // extraction; these counts lock the inventory against drift
+    assert(defs.size == 93)
+    assert(defs.count(_.hidden) == 11)
+    assert(defs.map(_.name).distinct.size == defs.size)
+    assert(defs.forall(d => d.name == d.name.toLowerCase))
+    assert(defs.forall(d =>
+      Set("varchar", "boolean", "integer", "bigint", "double")(d.typ)))
+    assert(defs.forall(_.desc.nonEmpty))
+    // machine-dependent defaults computed, never the RUNTIME marker
+    assert(defs.forall(_.default != "RUNTIME"))
+    val byName = defs.map(d => d.name -> d).toMap
+    assert(byName("initial_splits_per_node").default ==
+      (Runtime.getRuntime.availableProcessors * 2).toString)
+    // SHOW SESSION sorts system properties by name, skips hidden,
+    // renders the hive property catalog-qualified and last
+    val names = Registry.prestoStatement(spark, "SHOW SESSION")
+      .collect().map(_.getString(0)).toSeq
+    assert(names.size == 82)
+    assert(names.last == "hive.insert_existing_partitions_behavior")
+    assert(names.init == names.init.sorted)
+  }
+
   test("SHOW CREATE FUNCTION replays the created text; DROP FUNCTION removes it") {
     Registry.prestoStatement(spark,
       "CREATE OR REPLACE FUNCTION graft.default.t_scf(x BIGINT) RETURNS BIGINT RETURN x + 1")
