@@ -1147,7 +1147,9 @@ private[functions] object PrestoStatements {
     } catch {
       case e: Throwable =>
         PrestoSystem.finish(rec, failed = true)
-        throw e
+        // a kill (kill_query / execution-time limit) rethrows as the
+        // reference's error text, not Spark's cancellation message
+        throw PrestoSystem.failureFor(rec, e)
     } finally PrestoSystem.clearGroup(spark)
   }
 

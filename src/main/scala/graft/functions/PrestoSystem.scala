@@ -15,18 +15,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * error texts: "Target query is not running: <id>" for any query that
   * is not actively executing, "Target query not found: <id>" otherwise).
   *
-  * In a synchronous library every recorded query has already finished by
-  * the time any later statement can observe it, so the query log's
-  * states are FINISHED/FAILED — which makes kill_query's "not running"
-  * rejection the honest behavior for every known id, exactly the
-  * reference's race-checked path. Metadata-sized driver assembly
-  * throughout (the coordinator-local SystemPageSourceProvider stance).
+  * On a single-threaded driver every recorded query has already
+  * finished by the time any later statement can observe it, so
+  * kill_query's "not running" rejection is the common arm — exactly
+  * the reference's race-checked path. On a MULTI-threaded driver the
+  * kill is real: the router job-groups every routed statement
+  * (interrupt-on-cancel), so `CALL system.runtime.kill_query` on a
+  * RUNNING record cancels that job group from the calling thread and
+  * the victim errs with the reference's `Query killed. Message: ...`
+  * text (KillQueryProcedure.createKillQueryException:89-93). The same
+  * cancellation path enforces an explicitly-SET
+  * `query_max_execution_time` (QueryTracker.enforceTimeLimits:215).
+  * Metadata-sized driver assembly throughout (the coordinator-local
+  * SystemPageSourceProvider stance).
   */
 private[functions] object PrestoSystem {
 
   private case class QRec(queryId: String, var state: String, user: String,
       source: String, resourceGroup: Option[Seq[String]],
-      query: String, createdMs: Long, var endMs: Long)
+      query: String, createdMs: Long, var endMs: Long,
+      // set by kill_query / the execution-time watchdog BEFORE the job
+      // group is cancelled; the router rethrows the victim's
+      // cancellation as this text (volatile: written by the killer
+      // thread, read by the victim's catch)
+      @volatile var killMessage: String = null,
+      var watchdog: Option[java.util.concurrent.ScheduledFuture[_]] = None)
+
+  // one daemon timer arms execution-time limits for all sessions;
+  // per-statement tasks are cancelled in finish(), so the queue stays
+  // bounded by in-flight statements
+  private lazy val watchdogTimer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-query-watchdog")
+        t.setDaemon(true)
+        t
+      })
 
   private val logs =
     new java.util.WeakHashMap[SparkSession, mutable.ArrayBuffer[QRec]]()
@@ -82,14 +106,59 @@ private[functions] object PrestoSystem {
       sc.getLocalProperty("spark.jobGroup.id"),
       sc.getLocalProperty("spark.job.description"),
       sc.getLocalProperty("spark.job.interruptOnCancel")))
-    sc.setJobGroup(rec.queryId, sqlText.trim.take(120))
+    // interruptOnCancel so a kill reaches task threads mid-compute —
+    // the reference's failQuery aborts the victim's tasks the same way
+    sc.setJobGroup(rec.queryId, sqlText.trim.take(120),
+      interruptOnCancel = true)
+    // arm the execution-time limit ONLY when the session explicitly
+    // SET it (the 100-day default never needs a timer per statement)
+    armExecutionTimeLimit(spark, rec)
     rec
+  }
+
+  /** QueryTracker.enforceTimeLimits:215 for an explicitly-SET
+    * query_max_execution_time: a daemon timer cancels the statement's
+    * job group at the limit with the reference's text. */
+  private def armExecutionTimeLimit(spark: SparkSession, rec: QRec): Unit = {
+    if (!PrestoStatements.explicitSessionProps(spark)
+        .contains("query_max_execution_time")) return
+    val value = PrestoStatements.sessionPropValue(spark,
+      "query_max_execution_time")
+    val millis = (graft.plans.ResourceGroups
+      .parseDurationSecs(value) * 1000).toLong
+    // airlift Duration.toString of the session value ("2s" → "2.00s")
+    val rendered = """^\s*([\d.]+)\s*([a-zA-Z]+)\s*$""".r
+      .findFirstMatchIn(value)
+      .map(m => f"${m.group(1).toDouble}%.2f${m.group(2)}")
+      .getOrElse(value)
+    val task = watchdogTimer.schedule(new Runnable {
+      override def run(): Unit = {
+        val running = PrestoSystem.synchronized(rec.state == "RUNNING")
+        if (running) {
+          rec.killMessage = "Query exceeded the maximum execution " +
+            s"time limit of $rendered"
+          spark.sparkContext.cancelJobGroup(rec.queryId)
+        }
+      }
+    }, millis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    rec.watchdog = Some(task)
   }
 
   def finish(rec: AnyRef, failed: Boolean): Unit = synchronized {
     val r = rec.asInstanceOf[QRec]
     r.state = if (failed) "FAILED" else "FINISHED"
     r.endMs = System.currentTimeMillis()
+    r.watchdog.foreach(_.cancel(false))
+    r.watchdog = None
+  }
+
+  /** The victim side of a kill: when this statement's record carries a
+    * kill message (kill_query or the execution-time watchdog set it
+    * before cancelling the job group), the raised error is the
+    * reference's text, carrying Spark's cancellation as cause. */
+  def failureFor(rec: AnyRef, e: Throwable): Throwable = {
+    val msg = rec.asInstanceOf[QRec].killMessage
+    if (msg == null) e else new RuntimeException(msg, e)
   }
 
   /** Restore the pre-statement job group (paired with [[record]], on
@@ -823,12 +892,23 @@ private[functions] object PrestoSystem {
   /** Route CALL statements; None when not a CALL. */
   def maybeCall(spark: SparkSession, sqlText: String): Option[DataFrame] =
     sqlText match {
-      case callKillRe(queryId, _) =>
-        val known = synchronized { log(spark).exists(_.queryId == queryId) }
-        // KillQueryProcedure.java:62/69/73 — a known id is by definition
-        // no longer running here; unknown ids are not found
-        if (known) sys.error(s"Target query is not running: $queryId")
-        else sys.error(s"Target query not found: $queryId")
+      case callKillRe(queryId, message) =>
+        // KillQueryProcedure.java:53-75 — unknown ids are not found;
+        // done ids are "not running" (the racy pre-check); a RUNNING
+        // id is failed with createKillQueryException's text and its
+        // job group cancelled (the router tagged it at record time)
+        val victim = synchronized {
+          val rec = log(spark).find(_.queryId == queryId).getOrElse(
+            sys.error(s"Target query not found: $queryId"))
+          if (rec.state != "RUNNING")
+            sys.error(s"Target query is not running: $queryId")
+          rec.killMessage = "Query killed. " +
+            (if (message == null || message.isEmpty) "No message provided."
+             else s"Message: $message")
+          rec
+        }
+        spark.sparkContext.cancelJobGroup(victim.queryId)
+        Some(spark.sql("SELECT 'CALL' AS result"))
       case callCepRe(args) => Some(createEmptyPartition(spark, args))
       case callOtherRe(name) =>
         // the reference resolves procedures per connector

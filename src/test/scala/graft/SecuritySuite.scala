@@ -142,6 +142,96 @@ class SecuritySuite extends GraftSuite {
     assert(unknown.getMessage.contains("Target query not found: nope_123"))
   }
 
+  test("kill_query cancels a RUNNING statement with the reference text") {
+    // KillQueryProcedure.java:66-70 on a multi-threaded driver: the
+    // victim thread runs an eager statement (CTAS — its jobs execute
+    // inside the router's record/finish bracket under the query's job
+    // group); the killer finds the RUNNING record, kills it, and the
+    // victim errs with createKillQueryException's exact text.
+    Tables.register(spark, SfDir)
+    spark.sql("DROP TABLE IF EXISTS graft_kill_victim")
+    @volatile var victimError: Throwable = null
+    val victim = new Thread(() => {
+      try {
+        stmt("""CREATE TABLE graft_kill_victim AS
+               |SELECT max(hash(concat(cast(id AS string), 'xyz'))) AS h
+               |FROM range(0, 30000000000, 1, 2)""".stripMargin)
+      } catch { case e: Throwable => victimError = e }
+    })
+    victim.setDaemon(true)
+    victim.start()
+    // wait until the victim's record is RUNNING (the CREATE prefix
+    // keeps this poll's own record — whose text also carries the
+    // victim marker inside the LIKE literal — out of the match)
+    def runningId(): Option[String] =
+      stmt("""SELECT query_id FROM system.runtime.queries
+             |WHERE state = 'RUNNING'
+             |  AND query LIKE 'CREATE TABLE graft_kill_victim%'"""
+        .stripMargin)
+        .collect().headOption.map(_.getString(0))
+    val deadline = System.currentTimeMillis() + 60000
+    var id: Option[String] = None
+    while (id.isEmpty && System.currentTimeMillis() < deadline) {
+      id = runningId()
+      if (id.isEmpty) Thread.sleep(50)
+    }
+    assert(id.nonEmpty, "victim never reached RUNNING")
+    // cancelJobGroup only reaches SUBMITTED jobs — wait for the
+    // victim's first job to exist before killing
+    while (spark.sparkContext.statusTracker
+        .getJobIdsForGroup(id.get).isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup(id.get).nonEmpty, "victim never submitted jobs")
+    val out = stmt(
+      s"CALL system.runtime.kill_query('${id.get}', 'runaway scan')")
+    assert(out.collect()(0).getString(0) == "CALL")
+    victim.join(60000)
+    assert(!victim.isAlive, "victim did not die after kill")
+    assert(victimError != null, "victim finished instead of dying")
+    assert(victimError.getMessage ==
+      "Query killed. Message: runaway scan")
+    // the record reads FAILED afterward
+    val state = stmt(
+      s"""SELECT state FROM system.runtime.queries
+         |WHERE query_id = '${id.get}'""".stripMargin)
+      .collect()(0).getString(0)
+    assert(state == "FAILED")
+    // killing it AGAIN is the reference's "not running" arm
+    val again = intercept[Exception] {
+      stmt(s"CALL system.runtime.kill_query('${id.get}')")
+    }
+    assert(again.getMessage.contains(
+      s"Target query is not running: ${id.get}"))
+    spark.sql("DROP TABLE IF EXISTS graft_kill_victim")
+  }
+
+  test("query_max_execution_time cancels at the limit with the reference text") {
+    // QueryTracker.enforceTimeLimits:215 — only an explicitly-SET
+    // limit arms the watchdog; the victim errs with the reference's
+    // "Query exceeded the maximum execution time limit of <duration>"
+    Tables.register(spark, SfDir)
+    spark.sql("DROP TABLE IF EXISTS graft_timeout_victim")
+    stmt("SET SESSION query_max_execution_time = '2s'")
+    try {
+      val e = intercept[Exception] {
+        stmt("""CREATE TABLE graft_timeout_victim AS
+               |SELECT max(hash(concat(cast(id AS string), 'xyz'))) AS h
+               |FROM range(0, 30000000000, 1, 2)""".stripMargin)
+      }
+      assert(e.getMessage ==
+        "Query exceeded the maximum execution time limit of 2.00s")
+    } finally {
+      stmt("RESET SESSION query_max_execution_time")
+      spark.sql("DROP TABLE IF EXISTS graft_timeout_victim")
+    }
+    // a fast statement under the same limit is untouched
+    stmt("SET SESSION query_max_execution_time = '30s'")
+    try {
+      assert(stmt("SELECT 1 AS one").collect()(0).getInt(0) == 1)
+    } finally stmt("RESET SESSION query_max_execution_time")
+  }
+
   test("system.runtime.queries serves the reference's 12-column layout") {
     Tables.register(spark, SfDir)
     val df = stmt("SELECT * FROM system.runtime.queries")
