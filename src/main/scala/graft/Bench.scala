@@ -170,7 +170,19 @@ object Bench {
           case (p, b) if n.startsWith(p) && t1 > 0 => n -> t1 / b
         }
       }
-    val machineSlow = canaryVsBaseline.values.count(_ > slowX) >= 2
+    // r16 (r15 adjudication): the 2-of-3 over-1.8x trip missed the r15
+    // drifted series — a 215 s run carried canaries 1.38-1.72x,
+    // uniformly inflated yet each under the bar. A UNIFORM inflation
+    // shows in the median, so the flag also trips when the median
+    // canary_vs_baseline reads >= 1.3: an environment-inflated
+    // artifact self-labels instead of entering the record as a
+    // regression.
+    val canaryMedian: Option[Double] = {
+      val vs = canaryVsBaseline.values.toSeq.sorted
+      if (vs.isEmpty) None else Some(vs(vs.size / 2))
+    }
+    val machineSlow = canaryVsBaseline.values.count(_ > slowX) >= 2 ||
+      canaryMedian.exists(_ >= 1.3)
     // per-query median vs the previous committed artifact — the drift
     // signal the canaries can't see (mid-suite bursts). 1.0 = same
     // machine weather as the last committed run; read it alongside
@@ -195,10 +207,12 @@ object Bench {
     val rest = (results -- core.keys).toSeq.sortBy(-_._2).take(8)
     val canaryJson = toJson(canaryRatios)
     val canaryAbsJson = toJson(canaryVsBaseline)
+    val canaryMedianJson =
+      canaryMedian.map(v => f"$v%.3f").getOrElse("null")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${toJson(results)},"trial_spread":${toJson(spreads)},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"canary_median":$canaryMedianJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"contended":$contended,"canary_end_over_start":$canaryJson,"canary_vs_baseline":$canaryAbsJson,"canary_median":$canaryMedianJson,"machine_slow":$machineSlow,"median_vs_prev":${medianVsPrev.map(v => f"$v%.3f").getOrElse("null")},"wall_sec":${f"$wallSec%.1f"},"queries":${toJson(core ++ rest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),

@@ -225,6 +225,13 @@ private[functions] object PrestoStatements {
   /** The session's effective value for a registered property: the
     * explicit SET value when one is in effect, the registry default
     * otherwise. Loud on unknown names, like SET SESSION. */
+  /** The session's query_priority as an admission priority — the
+    * reference's `getQueryPriority(Session)` bridge for
+    * `ResourceGroups.withGroup`/`awaitAdmission` callers (a
+    * query_priority-policy group orders its queue by this value). */
+  def queryPriority(spark: SparkSession): Int =
+    sessionPropValue(spark, "query_priority").toInt
+
   def sessionPropValue(spark: SparkSession, name: String): String = {
     val d = sessionPropDefs.find(_.name == name).getOrElse(
       sys.error(s"Session property $name does not exist"))

@@ -1854,6 +1854,11 @@ object Registry {
   def sessionPropValue(spark: SparkSession, name: String): String =
     PrestoStatements.sessionPropValue(spark, name)
 
+  /** The session's query_priority as an admission priority — see
+    * [[PrestoStatements.queryPriority]]. */
+  def queryPriority(spark: SparkSession): Int =
+    PrestoStatements.queryPriority(spark)
+
   /** Forget session role/grant state so lifecycle gates replay
     * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
   def resetSecurityState(spark: SparkSession): Unit =

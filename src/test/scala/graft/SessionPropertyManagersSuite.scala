@@ -130,6 +130,36 @@ class SessionPropertyManagersSuite extends GraftSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("query_priority bridges the session into admission ordering") {
+    import graft.functions.Registry.{install, prestoStatement}
+    import graft.plans.ResourceGroups
+    install(spark)
+    assert(graft.functions.Registry.queryPriority(spark) == 1)
+    prestoStatement(spark, "SET SESSION query_priority = '5'")
+    try {
+      assert(graft.functions.Registry.queryPriority(spark) == 5)
+      // the bridge value orders a query_priority group's queue
+      ResourceGroups.clearAll()
+      val m = ResourceGroups.parse(
+        """{ "rootGroups": [
+          |  { "name": "qb", "maxQueued": 5, "hardConcurrencyLimit": 1,
+          |    "schedulingPolicy": "query_priority" } ],
+          |  "selectors": [ { "user": ".*", "group": "qb" } ] }"""
+          .stripMargin)
+      val g = ResourceGroups.stateOf(
+        ResourceGroups.select(m, "u", None).get)
+      assert(ResourceGroups.admit(g) == ResourceGroups.Run)
+      val low = ResourceGroups.admit(g, priority = 1)
+        .asInstanceOf[ResourceGroups.Queued].ticket
+      val mine = ResourceGroups.admit(g,
+        priority = graft.functions.Registry.queryPriority(spark))
+        .asInstanceOf[ResourceGroups.Queued].ticket
+      assert(ResourceGroups.release(g) == Seq(mine))
+      assert(ResourceGroups.release(g) == Seq(low))
+      ResourceGroups.release(g)
+    } finally prestoStatement(spark, "RESET SESSION query_priority")
+  }
+
   test("explicit SET SESSION outranks manager defaults and survives") {
     import graft.functions.Registry.{install, prestoStatement}
     install(spark)
