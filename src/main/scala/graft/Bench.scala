@@ -179,7 +179,9 @@ object Bench {
     // regression.
     val canaryMedian: Option[Double] = {
       val vs = canaryVsBaseline.values.toSeq.sorted
-      if (vs.isEmpty) None else Some(vs(vs.size / 2))
+      if (vs.isEmpty) None
+      else if (vs.size % 2 == 1) Some(vs(vs.size / 2))
+      else Some((vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2)
     }
     val machineSlow = canaryVsBaseline.values.count(_ > slowX) >= 2 ||
       canaryMedian.exists(_ >= 1.3)

@@ -156,6 +156,35 @@ private[functions] object PrestoStatements {
   private val powerOfTwoProps = Set("task_writer_count",
     "task_partitioned_writer_count", "task_concurrency")
 
+  /** join_distribution_type and join_max_broadcast_table_size both
+    * land on ONE Spark conf (the broadcast threshold: the former's
+    * PARTITIONED disables broadcast outright, the latter caps the
+    * eligible size), so the effective value is recomputed from the
+    * COMBINED session state on every SET/RESET of either — independent
+    * per-name save slots would let interleavings defeat PARTITIONED or
+    * restore a stale cap. Presto's own precedence: PARTITIONED means
+    * no broadcasts regardless of the cap. The pre-wire conf is saved
+    * once and restored when BOTH are reset. */
+  private def syncBroadcastConf(spark: SparkSession): Unit = {
+    val props = sessionMap(sessionProps, spark)
+    val saved = sessionMap(sessionPropSaved, spark)
+    val key = "graft_broadcast_threshold_orig"
+    val jdt = props.get("join_distribution_type").map(_.toUpperCase)
+    val cap = props.get("join_max_broadcast_table_size")
+    if (jdt.isEmpty && cap.isEmpty)
+      saved.remove(key).foreach(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    else {
+      if (!saved.contains(key))
+        saved(key) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val effective =
+        if (jdt.contains("PARTITIONED")) "-1"
+        else cap.map(v => graft.plans.ResourceGroups
+          .parseDataSizeBytes(v).toLong.toString).getOrElse(saved(key))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", effective)
+    }
+  }
+
   /** Decode-time validation, at SET like the reference's property
     * decoders. One documented deviation: booleans reject anything but
     * true/false (the reference's Boolean::valueOf silently maps junk
@@ -222,9 +251,6 @@ private[functions] object PrestoStatements {
   def explicitSessionProps(spark: SparkSession): Set[String] =
     sessionMap(sessionProps, spark).keySet.toSet
 
-  /** The session's effective value for a registered property: the
-    * explicit SET value when one is in effect, the registry default
-    * otherwise. Loud on unknown names, like SET SESSION. */
   /** The session's query_priority as an admission priority — the
     * reference's `getQueryPriority(Session)` bridge for
     * `ResourceGroups.withGroup`/`awaitAdmission` callers (a
@@ -232,6 +258,9 @@ private[functions] object PrestoStatements {
   def queryPriority(spark: SparkSession): Int =
     sessionPropValue(spark, "query_priority").toInt
 
+  /** The session's effective value for a registered property: the
+    * explicit SET value when one is in effect, the registry default
+    * otherwise. Loud on unknown names, like SET SESSION. */
   def sessionPropValue(spark: SparkSession, name: String): String = {
     val d = sessionPropDefs.find(_.name == name).getOrElse(
       sys.error(s"Session property $name does not exist"))
@@ -1149,7 +1178,9 @@ private[functions] object PrestoStatements {
     val rec = PrestoSystem.record(spark, sqlText)
     try {
       val out = routeStatement(spark, sqlText)
-      PrestoSystem.finish(rec, failed = false)
+      // atomic with any concurrent kill: a kill that landed wins here
+      // (FAILED + the kill text) even if the jobs outran cancellation
+      PrestoSystem.finishSuccess(rec)
       out
     } catch {
       case e: Throwable =>
@@ -1368,23 +1399,9 @@ private[functions] object PrestoStatements {
             if (!saved.contains(name))
               saved(name) = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", value.toInt.toString)
-          case "join_distribution_type" =>
-            if (!saved.contains(name))
-              saved(name) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            value.toUpperCase match {
-              case "PARTITIONED" =>
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-              case _ => // BROADCAST / AUTOMATIC
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved(name))
-            }
-          case "join_max_broadcast_table_size" =>
-            // the broadcast-eligibility CAP — Spark's
-            // autoBroadcastJoinThreshold is the same knob's value side
-            if (!saved.contains(name))
-              saved(name) = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-              graft.plans.ResourceGroups.parseDataSizeBytes(value)
-                .toLong.toString)
+          case "join_distribution_type" | "join_max_broadcast_table_size" =>
+            () // both feed ONE Spark conf (the broadcast threshold) —
+               // recomputed from the combined session state below
           case "join_reordering_strategy" =>
             // AUTOMATIC is the cost-based reorder (Spark's CBO
             // joinReorder rule); NONE/ELIMINATE_CROSS_JOINS leave it
@@ -1401,6 +1418,9 @@ private[functions] object PrestoStatements {
             // is always on in Spark)
         }
         sessionMap(sessionProps, spark)(name) = value
+        if (name == "join_distribution_type" ||
+          name == "join_max_broadcast_table_size")
+          syncBroadcastConf(spark)
         statusDf(spark, "SET SESSION")
 
       case resetSessionRe(name0) =>
@@ -1410,15 +1430,15 @@ private[functions] object PrestoStatements {
           case "hash_partition_count" =>
             saved.remove(name).foreach(v =>
               spark.conf.set("spark.sql.shuffle.partitions", v))
-          case "join_distribution_type" | "join_max_broadcast_table_size" =>
-            saved.remove(name).foreach(v =>
-              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
           case "join_reordering_strategy" =>
             saved.remove(name).foreach(v =>
               spark.conf.set("spark.sql.cbo.joinReorder.enabled", v))
           case _ => ()
         }
         sessionMap(sessionProps, spark).remove(name)
+        if (name == "join_distribution_type" ||
+          name == "join_max_broadcast_table_size")
+          syncBroadcastConf(spark)
         statusDf(spark, "RESET SESSION")
 
       case showSessionRe() =>

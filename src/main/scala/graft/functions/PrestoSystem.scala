@@ -42,15 +42,20 @@ private[functions] object PrestoSystem {
       var watchdog: Option[java.util.concurrent.ScheduledFuture[_]] = None)
 
   // one daemon timer arms execution-time limits for all sessions;
-  // per-statement tasks are cancelled in finish(), so the queue stays
-  // bounded by in-flight statements
-  private lazy val watchdogTimer =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+  // per-statement tasks are cancelled in finish() AND removed from the
+  // queue on cancel (removeOnCancelPolicy — without it a cancelled
+  // task sits in the queue pinning its SparkSession until the full
+  // limit elapses), so the queue stays bounded by in-flight statements
+  private lazy val watchdogTimer = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
         val t = new Thread(r, "graft-query-watchdog")
         t.setDaemon(true)
         t
       })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
 
   private val logs =
     new java.util.WeakHashMap[SparkSession, mutable.ArrayBuffer[QRec]]()
@@ -118,7 +123,14 @@ private[functions] object PrestoSystem {
 
   /** QueryTracker.enforceTimeLimits:215 for an explicitly-SET
     * query_max_execution_time: a daemon timer cancels the statement's
-    * job group at the limit with the reference's text. */
+    * job group at the limit with the reference's text. Scope: the
+    * limit governs work executed INSIDE the statement bracket — eager
+    * statements (CTAS/INSERT/DDL, every gate's internal collect). A
+    * plain SELECT returns a LAZY DataFrame whose jobs run at the
+    * caller's action, outside the bracket; a library has no dispatcher
+    * owning that lifecycle, so those jobs are the caller's to cancel
+    * (the job group id is the query id — `cancelJobGroup` reaches them
+    * too if the caller acts within its own action). */
   private def armExecutionTimeLimit(spark: SparkSession, rec: QRec): Unit = {
     if (!PrestoStatements.explicitSessionProps(spark)
         .contains("query_max_execution_time")) return
@@ -146,10 +158,28 @@ private[functions] object PrestoSystem {
 
   def finish(rec: AnyRef, failed: Boolean): Unit = synchronized {
     val r = rec.asInstanceOf[QRec]
-    r.state = if (failed) "FAILED" else "FINISHED"
+    // a kill that landed is authoritative even on the success path —
+    // never downgrade FAILED back to FINISHED
+    r.state = if (failed || r.killMessage != null) "FAILED" else "FINISHED"
     r.endMs = System.currentTimeMillis()
     r.watchdog.foreach(_.cancel(false))
     r.watchdog = None
+  }
+
+  /** The success-path completion: kill_query sets killMessage under
+    * THIS lock after verifying the record is RUNNING, and this
+    * transition runs under the same lock — so a kill either finds the
+    * statement still RUNNING and wins (the victim then throws HERE,
+    * even when its jobs dodged the job-group cancellation by finishing
+    * first or never being submitted) or loses cleanly to a completed
+    * statement (kill_query then reports "not running"). No third
+    * interleaving exists; the reference's failQuery is authoritative
+    * the same way. */
+  def finishSuccess(rec: AnyRef): Unit = synchronized {
+    val r = rec.asInstanceOf[QRec]
+    val msg = r.killMessage
+    finish(rec, failed = msg != null)
+    if (msg != null) throw new RuntimeException(msg)
   }
 
   /** The victim side of a kill: when this statement's record carries a

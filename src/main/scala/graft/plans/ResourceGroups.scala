@@ -663,13 +663,15 @@ object ResourceGroups {
     * order is the group's scheduling policy's, exactly as release()
     * applies it. */
   def awaitAdmission(g: GroupState, timeoutMillis: Long,
-      priority: Int = 1): Boolean = {
+      priority: Int = 1): Boolean = gate.synchronized {
+    // the whole admit→register-waiter sequence holds [[gate]] (admit's
+    // own synchronized is reentrant), so a promotion can never land in
+    // between: while this thread owns the lock — everywhere except
+    // inside wait() — the ticket is either granted (grantedToWaiter)
+    // or still queued, no third state, no lost wakeup
     admit(g, priority) match {
       case Run => true
-      case Queued(t) => gate.synchronized {
-        // promotion happens under [[gate]], so inside this block the
-        // ticket is either granted (grantedToWaiter) or still queued —
-        // no third state, no lost wakeup
+      case Queued(t) =>
         waiting += t
         try {
           val deadline = System.nanoTime() + timeoutMillis * 1000000L
@@ -680,13 +682,17 @@ object ResourceGroups {
             granted = grantedToWaiter.contains(t)
             remaining = (deadline - System.nanoTime()) / 1000000L
           }
-          if (!granted) cancelQueued(g, t)
+          if (!granted && !cancelQueued(g, t)) {
+            // unreachable while the lock discipline holds (a promotion
+            // needs gate, and we hold it at both checks) — but a slot
+            // must never leak, so give it back rather than trust that
+            release(g)
+          }
           granted
         } finally {
           waiting -= t
           grantedToWaiter -= t
         }
-      }
     }
   }
 
