@@ -1171,6 +1171,14 @@ private[functions] object PrestoStatements {
     * no-ops, USE, SHOW STATS, and DROP FUNCTION; everything else falls
     * through to `spark.sql(rewritePrestoSql(...))`. */
   def prestoStatement(spark: SparkSession,
+      sqlText: String): org.apache.spark.sql.DataFrame =
+    // resource-group admission first when a manager is installed
+    // (selection → queue/park → run), the reference's dispatch order
+    StatementAdmission.admitted(spark, sqlText) {
+      prestoStatementInner(spark, sqlText)
+    }
+
+  private def prestoStatementInner(spark: SparkSession,
       sqlText: String): org.apache.spark.sql.DataFrame = {
     // every routed statement lands in system.runtime.queries
     // (QuerySystemTable.java); nested re-entries (ALTER FUNCTION's

@@ -76,6 +76,12 @@ private[functions] object PrestoSystem {
     ThreadLocal.withInitial[mutable.Stack[(String, String, String)]](
       () => mutable.Stack.empty)
 
+  /** Whether THIS thread is already inside a routed statement (the
+    * per-thread job-group stack is non-empty between record and
+    * clearGroup) — statement admission consults this so nested router
+    * re-entries are not re-admitted. */
+  def inStatement: Boolean = priorGroups.get().nonEmpty
+
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
     * yyyyMMdd_HHmmss_index_suffix shape. */

@@ -1859,6 +1859,22 @@ object Registry {
   def queryPriority(spark: SparkSession): Int =
     PrestoStatements.queryPriority(spark)
 
+  /** Route every subsequent prestoStatement on this session through
+    * resource-group selection + admission — see [[StatementAdmission]]
+    * (the reference's dispatch chain). */
+  def installResourceGroups(spark: SparkSession,
+      mgr: graft.plans.ResourceGroups.Manager): Unit =
+    StatementAdmission.install(spark, mgr)
+
+  /** DB-backed variant of [[installResourceGroups]]. */
+  def installResourceGroups(spark: SparkSession,
+      mgr: graft.plans.DbResourceGroupManager): Unit =
+    StatementAdmission.install(spark, mgr)
+
+  /** Statements stop admitting through resource groups. */
+  def uninstallResourceGroups(spark: SparkSession): Unit =
+    StatementAdmission.uninstall(spark)
+
   /** Forget session role/grant state so lifecycle gates replay
     * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
   def resetSecurityState(spark: SparkSession): Unit =

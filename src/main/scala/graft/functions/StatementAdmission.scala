@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{DbResourceGroupManager, ResourceGroups}
+
+/** Automatic resource-group admission on the statement path — the
+  * reference's dispatch chain (`DispatchManager.createQueryInternal` →
+  * `InternalResourceGroupManager.selectGroup` → `ResourceGroupManager
+  * .submit`): once a manager is INSTALLED on a session, every routed
+  * statement is classified (`StatementUtils.getQueryType:77-136`),
+  * matched through the selector chain (user/source/clientTags/
+  * queryType/resource-estimates), and admitted against the selected
+  * group's limits before it runs. Queued statements PARK and start on
+  * promotion ([[ResourceGroups.awaitAdmission]]); a statement no
+  * selector matches rejects with the reference's exact text
+  * (`InternalResourceGroupManager.selectGroup:132` — "Query did not
+  * match any selection rule"); a full queue rejects with
+  * QueryQueueFullException's text.
+  *
+  * Session criteria ride on Spark confs the way `graft.source` already
+  * does: `graft.source` (Session.getSource), `graft.client_tags`
+  * (comma-separated — Session.getClientTags), and the three estimate
+  * values `graft.resource_estimates.{execution_time,cpu_time,
+  * peak_memory}` (airlift spellings — Session.getResourceEstimates).
+  * The admission priority is the session's query_priority property.
+  * How long a queued statement waits is
+  * `graft.resource_groups.queue_timeout` (duration, default 5m — the
+  * reference parks until query_max_queued_time; a synchronous library
+  * bounds the park so a saturated group surfaces as an error, not a
+  * silent hang).
+  *
+  * Scope notes, both deliberate: (1) NESTED routed statements (ALTER
+  * FUNCTION's re-registration) are not re-admitted — the reference
+  * dispatches client-submitted statements only, and re-admitting
+  * against a saturated hard-limit-1 leaf would deadlock a synchronous
+  * driver; (2) admission precedes the query-log record, so a
+  * rejected/timed-out statement never reaches system.runtime.queries —
+  * the reference's dispatcher registers queued queries first, a
+  * library surfaces the rejection to the caller directly.
+  */
+object StatementAdmission {
+
+  /** user, source, clientTags, queryType, estimates → resolved group */
+  type Select = (String, Option[String], Set[String], Option[String],
+    ResourceGroups.QueryEstimates) => Option[ResourceGroups.Resolved]
+
+  private val managers =
+    new java.util.WeakHashMap[SparkSession, Select]()
+
+  /** Install a file-manager configuration: statements on this session
+    * now admit through its selectors. */
+  def install(spark: SparkSession, mgr: ResourceGroups.Manager): Unit =
+    synchronized {
+      managers.put(spark,
+        (u, s, t, qt, est) => ResourceGroups.select(mgr, u, s, t, qt, est))
+    }
+
+  /** Install a DB-backed manager (its own exact-match + priority
+    * selector chain). */
+  def install(spark: SparkSession, mgr: DbResourceGroupManager): Unit =
+    synchronized {
+      managers.put(spark, (u, s, t, qt, est) => mgr.select(u, s, t, qt, est))
+    }
+
+  def uninstall(spark: SparkSession): Unit =
+    synchronized { managers.remove(spark) }
+
+  private def selectorOf(spark: SparkSession): Option[Select] =
+    synchronized { Option(managers.get(spark)) }
+
+  /** The reference's statement → QueryType table
+    * (StatementUtils.java:81-135), keyed here on the routed text's
+    * leading keyword(s): queries are SELECT; EXPLAIN and ANALYZE their
+    * own kinds; INSERT and CTAS are INSERT; DELETE is DELETE; the SHOW/
+    * DESCRIBE family is DESCRIBE; every other routed statement form
+    * (DDL, session/role/grant/transaction control, CALL, PREPARE) is
+    * DATA_DEFINITION. */
+  private[graft] def queryTypeOf(sql: String): Option[String] = {
+    val t = sql.trim
+    def is(re: String): Boolean = t.matches("(?is)" + re + "\\b.*")
+    if (is("(SELECT|WITH|VALUES|TABLE)")) Some("SELECT")
+    else if (is("EXPLAIN")) Some("EXPLAIN")
+    else if (is("ANALYZE")) Some("ANALYZE")
+    else if (is("""CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[^\s(]+\s+.*?\bAS\b"""))
+      Some("INSERT") // CTAS (WITH-properties form included)
+    else if (is("INSERT")) Some("INSERT")
+    else if (is("DELETE")) Some("DELETE")
+    else if (is("(SHOW|DESC|DESCRIBE)")) Some("DESCRIBE")
+    else if (t.nonEmpty) Some("DATA_DEFINITION")
+    else None
+  }
+
+  private def estimates(spark: SparkSession): ResourceGroups.QueryEstimates =
+    ResourceGroups.QueryEstimates(
+      spark.conf.getOption("graft.resource_estimates.execution_time")
+        .map(ResourceGroups.parseDurationSecs),
+      spark.conf.getOption("graft.resource_estimates.cpu_time")
+        .map(ResourceGroups.parseDurationSecs),
+      spark.conf.getOption("graft.resource_estimates.peak_memory")
+        .map(ResourceGroups.parseDataSizeBytes))
+
+  /** Wrap a routed statement in selection + admission when a manager
+    * is installed (and this is not a nested re-entry); pass through
+    * untouched otherwise. */
+  def admitted[T](spark: SparkSession, sqlText: String)(body: => T): T =
+    selectorOf(spark) match {
+      case None => body
+      case Some(_) if PrestoSystem.inStatement => body
+      case Some(select) =>
+        val user = spark.sparkContext.sparkUser
+        val source = spark.conf.getOption("graft.source")
+        val tags = spark.conf.getOption("graft.client_tags")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val resolved = select(user, source, tags, queryTypeOf(sqlText),
+          estimates(spark)).getOrElse(throw new IllegalStateException(
+          "Query did not match any selection rule"))
+        val timeoutMillis = (ResourceGroups.parseDurationSecs(
+          spark.conf.getOption("graft.resource_groups.queue_timeout")
+            .getOrElse("5m")) * 1000).toLong
+        ResourceGroups.withGroupAwait(spark, resolved, timeoutMillis,
+          PrestoStatements.queryPriority(spark))(body)
+    }
+}

@@ -1410,6 +1410,147 @@ object Views extends QueryPack {
       phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // Automatic resource-group admission on the statement path
+    // (functions/StatementAdmission.scala — the reference's
+    // DispatchManager → InternalResourceGroupManager.selectGroup →
+    // submit chain): once a manager is installed, every routed
+    // statement classifies (StatementUtils.getQueryType), selects
+    // (user/source/queryType selectors), admits, and logs its group's
+    // SEGMENT LIST in system.runtime.queries; selector misses and full
+    // queues reject with the reference texts; a saturated group parks
+    // the statement until the queue timeout; nested router re-entries
+    // (ALTER FUNCTION) are not re-admitted.
+    "q3u_statement_admission" -> ((s, dir) => {
+      import graft.plans.ResourceGroups
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.{installResourceGroups,
+        prestoStatement, uninstallResourceGroups}
+      val phases =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def phase(k: String, v: Boolean): Unit = phases += ((k, v.toString))
+      val user = s.sparkContext.sparkUser
+      def groupOf(queryText: String): Seq[String] =
+        prestoStatement(s,
+          s"""SELECT resource_group_id FROM system.runtime.queries
+             |WHERE query = '$queryText' ORDER BY query_id DESC LIMIT 1"""
+            .stripMargin).collect().headOption
+          .map(r => Option(r.getSeq[String](0)).getOrElse(Seq.empty))
+          .getOrElse(Seq.empty)
+      val mgr = ResourceGroups.parse(
+        s"""{ "rootGroups": [
+           |  { "name": "global", "maxQueued": 10,
+           |    "hardConcurrencyLimit": 10, "subGroups": [
+           |      { "name": "adhoc_$${USER}", "maxQueued": 2,
+           |        "hardConcurrencyLimit": 2 },
+           |      { "name": "bi", "maxQueued": 1,
+           |        "hardConcurrencyLimit": 1 },
+           |      { "name": "ddl", "maxQueued": 1,
+           |        "hardConcurrencyLimit": 1 },
+           |      { "name": "blocked", "maxQueued": 0,
+           |        "hardConcurrencyLimit": 0 } ] } ],
+           |  "selectors": [
+           |    { "source": "overload", "group": "global.blocked" },
+           |    { "source": "bi-.*", "group": "global.bi" },
+           |    { "queryType": "DATA_DEFINITION", "group": "global.ddl" },
+           |    { "user": ".*", "group": "global.adhoc_$${USER}" } ] }"""
+          .stripMargin)
+      ResourceGroups.clearAll()
+      installResourceGroups(s, mgr)
+      try {
+        // a) SELECT routes through the user template; the queries
+        // table carries the expanded SEGMENT LIST
+        prestoStatement(s, "SELECT 1 AS adm_probe_a").collect()
+        phase("a_select_routes_user_group",
+          groupOf("SELECT 1 AS adm_probe_a") ==
+            Seq("global", s"adhoc_$user"))
+        // b) a DATA_DEFINITION statement hits the queryType selector
+        // FIRST (selector order; SET SESSION is DATA_DEFINITION in
+        // StatementUtils' table)
+        prestoStatement(s,
+          "SET SESSION optimize_metadata_queries = 'true'")
+        prestoStatement(s, "RESET SESSION optimize_metadata_queries")
+        phase("b_query_type_selector",
+          groupOf("SET SESSION optimize_metadata_queries = ''true''")
+            == Seq("global", "ddl"))
+        // c) the client source criterion (Session.getSource rides on
+        // graft.source)
+        s.conf.set("graft.source", "bi-dashboard")
+        prestoStatement(s, "SELECT 2 AS adm_probe_c").collect()
+        s.conf.unset("graft.source")
+        phase("c_source_selector",
+          groupOf("SELECT 2 AS adm_probe_c") == Seq("global", "bi"))
+        // d) a zero-capacity group rejects with the reference's
+        // queue-full text through the SQL surface
+        val eFull = try { prestoStatement(s, "SELECT 3") ; "" }
+          catch { case e: Exception => e.getMessage }
+        phase("d_queue_full_rejected", {
+          s.conf.set("graft.source", "overload")
+          val msg = try { prestoStatement(s, "SELECT 3"); "" }
+            catch { case e: Exception => e.getMessage }
+          s.conf.unset("graft.source")
+          eFull == "" &&
+            msg.contains("""Too many queued queries for "global.blocked"""")
+        })
+        // e) a saturated group PARKS the statement; the bounded park
+        // surfaces as the queue-timeout error, and capacity returning
+        // lets the same statement run
+        val r = ResourceGroups.select(mgr, user, None).get
+        val g = ResourceGroups.stateOf(r)
+        assert(ResourceGroups.admit(g) == ResourceGroups.Run)
+        assert(ResourceGroups.admit(g) == ResourceGroups.Run)
+        s.conf.set("graft.resource_groups.queue_timeout", "1s")
+        val eParked = try { prestoStatement(s, "SELECT 4"); "" }
+          catch { case e: Exception => e.getMessage }
+        s.conf.unset("graft.resource_groups.queue_timeout")
+        ResourceGroups.release(g)
+        ResourceGroups.release(g)
+        prestoStatement(s, "SELECT 4 AS adm_probe_e").collect()
+        phase("e_park_times_out_then_runs",
+          eParked.contains("did not start within") &&
+            groupOf("SELECT 4 AS adm_probe_e") ==
+              Seq("global", s"adhoc_$user"))
+        // f) nested router re-entries are NOT re-admitted: ALTER
+        // FUNCTION re-registers through a nested prestoStatement while
+        // its own DDL admission holds global.ddl's single slot — a
+        // re-admission would park and time out; completing proves the
+        // skip
+        s.conf.set("graft.resource_groups.queue_timeout", "1s")
+        prestoStatement(s,
+          "CREATE OR REPLACE FUNCTION graft.default.adm_fn(x BIGINT) " +
+            "RETURNS BIGINT RETURN x + 1")
+        prestoStatement(s,
+          "ALTER FUNCTION graft.default.adm_fn CALLED ON NULL INPUT")
+        s.conf.unset("graft.resource_groups.queue_timeout")
+        phase("f_nested_not_readmitted", true)
+        // g) no selector match is the reference's loud rejection
+        uninstallResourceGroups(s)
+        installResourceGroups(s, ResourceGroups.parse(
+          """{ "rootGroups": [
+            |  { "name": "etl", "maxQueued": 1,
+            |    "hardConcurrencyLimit": 1 } ],
+            |  "selectors": [
+            |    { "source": "etl-.*", "group": "etl" } ] }"""
+            .stripMargin))
+        val eNoMatch = try { prestoStatement(s, "SELECT 5"); "" }
+          catch { case e: Exception => e.getMessage }
+        phase("g_no_match_rejected",
+          eNoMatch.contains("Query did not match any selection rule"))
+        // h) uninstalled = back to unadmitted statements, NULL group
+        uninstallResourceGroups(s)
+        prestoStatement(s, "SELECT 6 AS adm_probe_h").collect()
+        phase("h_uninstall_restores",
+          groupOf("SELECT 6 AS adm_probe_h") == Seq.empty)
+      } finally {
+        uninstallResourceGroups(s)
+        ResourceGroups.clearAll()
+        Seq("graft.source", "graft.resource_groups.queue_timeout")
+          .foreach(k => if (s.conf.getOption(k).isDefined) s.conf.unset(k))
+      }
+      import s.implicits._
+      phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -1503,6 +1644,18 @@ object Views extends QueryPack {
         |  true AS run_queue_ok, true AS queue_full_ok,
         |  true AS promote_ok, true AS pool_ok
         |FROM r ORDER BY k""".stripMargin,
+
+    "q3u_statement_admission" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('a_select_routes_user_group', 'true'),
+        |  ('b_query_type_selector', 'true'),
+        |  ('c_source_selector', 'true'),
+        |  ('d_queue_full_rejected', 'true'),
+        |  ('e_park_times_out_then_runs', 'true'),
+        |  ('f_nested_not_readmitted', 'true'),
+        |  ('g_no_match_rejected', 'true'),
+        |  ('h_uninstall_restores', 'true')) t(phase, observed)
+        |ORDER BY phase""".stripMargin,
 
     "q3t_session_registry" ->
       """SELECT phase, observed FROM (VALUES

@@ -160,6 +160,31 @@ class SessionPropertyManagersSuite extends GraftSuite {
     } finally prestoStatement(spark, "RESET SESSION query_priority")
   }
 
+  test("statement classification follows the reference's QueryType table") {
+    import graft.functions.StatementAdmission.queryTypeOf
+    // StatementUtils.java:81-135
+    assert(queryTypeOf("SELECT 1") == Some("SELECT"))
+    assert(queryTypeOf(" WITH t AS (SELECT 1) SELECT * FROM t")
+      == Some("SELECT"))
+    assert(queryTypeOf("EXPLAIN SELECT 1") == Some("EXPLAIN"))
+    assert(queryTypeOf("ANALYZE nation") == Some("ANALYZE"))
+    assert(queryTypeOf("CREATE TABLE t AS SELECT 1 AS x")
+      == Some("INSERT"))
+    assert(queryTypeOf("CREATE TABLE t (x BIGINT)")
+      == Some("DATA_DEFINITION"))
+    assert(queryTypeOf("INSERT INTO t VALUES (1)") == Some("INSERT"))
+    assert(queryTypeOf("DELETE FROM t WHERE x = 1") == Some("DELETE"))
+    assert(queryTypeOf("SHOW SESSION") == Some("DESCRIBE"))
+    assert(queryTypeOf("DESCRIBE nation") == Some("DESCRIBE"))
+    assert(queryTypeOf("SET SESSION query_priority = '2'")
+      == Some("DATA_DEFINITION"))
+    assert(queryTypeOf("CALL system.runtime.kill_query('x')")
+      == Some("DATA_DEFINITION"))
+    assert(queryTypeOf("GRANT SELECT ON t TO USER u")
+      == Some("DATA_DEFINITION"))
+    assert(queryTypeOf("   ") == None)
+  }
+
   test("explicit SET SESSION outranks manager defaults and survives") {
     import graft.functions.Registry.{install, prestoStatement}
     install(spark)
