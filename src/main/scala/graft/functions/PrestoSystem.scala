@@ -34,6 +34,9 @@ private[functions] object PrestoSystem {
   private case class QRec(queryId: String, var state: String, user: String,
       source: String, resourceGroup: Option[Seq[String]],
       query: String, createdMs: Long, var endMs: Long,
+      // real park time when StatementAdmission queued this statement
+      // (QueryStats.getQueuedTime); 0 for unadmitted statements
+      queuedMs: Long = 0L,
       // set by kill_query / the execution-time watchdog BEFORE the job
       // group is cancelled; the router rethrows the victim's
       // cancellation as this text (volatile: written by the killer
@@ -82,6 +85,18 @@ private[functions] object PrestoSystem {
     * re-entries are not re-admitted. */
   def inStatement: Boolean = priorGroups.get().nonEmpty
 
+  // Set by StatementAdmission around the admitted body: (dispatch
+  // wall-clock ms, park duration ms). record() reads it so the query
+  // log carries the REAL queued time and the run-time clock starts at
+  // dispatch, the reference's QueryStateMachine accounting.
+  private val dispatchInfo =
+    ThreadLocal.withInitial[(Long, Long)](() => null)
+
+  def setDispatch(startMs: Long, queuedMs: Long): Unit =
+    dispatchInfo.set((startMs, queuedMs))
+
+  def clearDispatch(): Unit = dispatchInfo.remove()
+
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
     * yyyyMMdd_HHmmss_index_suffix shape. */
@@ -104,9 +119,10 @@ private[functions] object PrestoSystem {
     val group = Option(spark.sparkContext.getLocalProperty(
       graft.plans.ResourceGroups.segmentsProperty))
       .map(_.split("\u0000").toSeq)
+    val queuedMs = Option(dispatchInfo.get()).map(_._2).getOrElse(0L)
     val rec = QRec(f"${ts}_${n(0)}%05d_graft", "RUNNING",
       spark.sparkContext.sparkUser, source, group, sqlText.trim,
-      System.currentTimeMillis(), 0L)
+      System.currentTimeMillis(), 0L, queuedMs = queuedMs)
     log(spark) += rec
     // job-group the statement so system.runtime.tasks can correlate
     // its stage rows back to this query id (the reference's query_id
@@ -121,45 +137,65 @@ private[functions] object PrestoSystem {
     // the reference's failQuery aborts the victim's tasks the same way
     sc.setJobGroup(rec.queryId, sqlText.trim.take(120),
       interruptOnCancel = true)
-    // arm the execution-time limit ONLY when the session explicitly
-    // SET it (the 100-day default never needs a timer per statement)
-    armExecutionTimeLimit(spark, rec)
+    // arm the time limits ONLY when the session explicitly SET them
+    // (the 100-day defaults never need a timer per statement)
+    armTimeLimits(spark, rec)
     rec
   }
 
-  /** QueryTracker.enforceTimeLimits:215 for an explicitly-SET
-    * query_max_execution_time: a daemon timer cancels the statement's
-    * job group at the limit with the reference's text. Scope: the
-    * limit governs work executed INSIDE the statement bracket — eager
-    * statements (CTAS/INSERT/DDL, every gate's internal collect). A
-    * plain SELECT returns a LAZY DataFrame whose jobs run at the
-    * caller's action, outside the bracket; a library has no dispatcher
-    * owning that lifecycle, so those jobs are the caller's to cancel
-    * (the job group id is the query id — `cancelJobGroup` reaches them
-    * too if the caller acts within its own action). */
-  private def armExecutionTimeLimit(spark: SparkSession, rec: QRec): Unit = {
-    if (!PrestoStatements.explicitSessionProps(spark)
-        .contains("query_max_execution_time")) return
-    val value = PrestoStatements.sessionPropValue(spark,
-      "query_max_execution_time")
-    val millis = (graft.plans.ResourceGroups
-      .parseDurationSecs(value) * 1000).toLong
-    // airlift Duration.toString of the session value ("2s" → "2.00s")
-    val rendered = """^\s*([\d.]+)\s*([a-zA-Z]+)\s*$""".r
-      .findFirstMatchIn(value)
-      .map(m => f"${m.group(1).toDouble}%.2f${m.group(2)}")
-      .getOrElse(value)
-    val task = watchdogTimer.schedule(new Runnable {
-      override def run(): Unit = {
-        val running = PrestoSystem.synchronized(rec.state == "RUNNING")
-        if (running) {
-          rec.killMessage = "Query exceeded the maximum execution " +
-            s"time limit of $rendered"
-          spark.sparkContext.cancelJobGroup(rec.queryId)
+  /** QueryTracker.enforceTimeLimits:213-219 for explicitly-SET limits:
+    * a daemon timer cancels the statement's job group with the
+    * reference's text — query_max_execution_time counts from the
+    * statement entering the router, query_max_run_time from DISPATCH
+    * (it "includes the queueing time": an admission park already
+    * consumed part of the budget, so its delay is shortened by the
+    * queued duration — a statement that out-queued its run-time limit
+    * is killed immediately). Scope: the limits govern work executed
+    * INSIDE the statement bracket — eager statements (CTAS/INSERT/DDL,
+    * every gate's internal collect). A plain SELECT returns a LAZY
+    * DataFrame whose jobs run at the caller's action, outside the
+    * bracket; a library has no dispatcher owning that lifecycle, so
+    * those jobs are the caller's to cancel (the job group id is the
+    * query id — `cancelJobGroup` reaches them too). */
+  private def armTimeLimits(spark: SparkSession, rec: QRec): Unit = {
+    val explicit = PrestoStatements.explicitSessionProps(spark)
+    def arm(prop: String, alreadySpentMs: Long, text: String => String):
+        Option[java.util.concurrent.ScheduledFuture[_]] = {
+      if (!explicit.contains(prop)) return None
+      val value = PrestoStatements.sessionPropValue(spark, prop)
+      val millis = (graft.plans.ResourceGroups
+        .parseDurationSecs(value) * 1000).toLong
+      // airlift Duration.toString of the session value ("2s" → "2.00s")
+      val rendered = """^\s*([\d.]+)\s*([a-zA-Z]+)\s*$""".r
+        .findFirstMatchIn(value)
+        .map(m => f"${m.group(1).toDouble}%.2f${m.group(2)}")
+        .getOrElse(value)
+      Some(watchdogTimer.schedule(new Runnable {
+        override def run(): Unit = {
+          val running = PrestoSystem.synchronized(rec.state == "RUNNING")
+          if (running) {
+            rec.killMessage = text(rendered)
+            spark.sparkContext.cancelJobGroup(rec.queryId)
+          }
         }
-      }
-    }, millis, java.util.concurrent.TimeUnit.MILLISECONDS)
-    rec.watchdog = Some(task)
+      }, math.max(0L, millis - alreadySpentMs),
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    }
+    val exec = arm("query_max_execution_time", 0L,
+      d => s"Query exceeded the maximum execution time limit of $d")
+    val run = arm("query_max_run_time", rec.queuedMs,
+      d => s"Query exceeded maximum time limit of $d")
+    // one watchdog slot suffices: keep the one that fires FIRST (both
+    // kill the same statement with their own text)
+    rec.watchdog = (exec.toSeq ++ run.toSeq)
+      .sortBy(_.getDelay(java.util.concurrent.TimeUnit.MILLISECONDS))
+      .headOption match {
+      case Some(first) =>
+        (exec.toSeq ++ run.toSeq).filter(_ ne first)
+          .foreach(_.cancel(false))
+        Some(first)
+      case None => None
+    }
   }
 
   def finish(rec: AnyRef, failed: Boolean): Unit = synchronized {
@@ -340,22 +376,24 @@ private[functions] object PrestoSystem {
     }
     if (which("runtime_queries")) {
       // QuerySystemTable.java:56-71 — the reference's FULL 12-column
-      // layout in its column order. Synchronous-library renderings:
-      // started == created (no admission queue → queued_time_ms 0);
-      // analysis_time_ms is the router's record→finish span (the
-      // statement's parse/rewrite/plan work — execution is lazy in
-      // Spark and lands on the reader); last_heartbeat is the newest
-      // update we hold (end when settled).
+      // layout in its column order. Library renderings: queued_time_ms
+      // is the REAL admission park when StatementAdmission queued the
+      // statement (0 for unadmitted ones), created = dispatch (record
+      // minus the park), started = record; analysis_time_ms is the
+      // router's record→finish span (the statement's parse/rewrite/
+      // plan work — execution is lazy in Spark and lands on the
+      // reader); last_heartbeat is the newest update we hold (end when
+      // settled).
       val rows = synchronized { log(spark).toSeq.map { r =>
         def t(ms: Long): java.sql.Timestamp =
           if (ms == 0L) null else new java.sql.Timestamp(ms)
         org.apache.spark.sql.Row(
           r.queryId, r.state, r.user, r.source, r.query,
           r.resourceGroup.orNull,
-          0L,
+          r.queuedMs,
           if (r.endMs == 0L) null else
             java.lang.Long.valueOf(r.endMs - r.createdMs),
-          t(r.createdMs), t(r.createdMs),
+          t(r.createdMs - r.queuedMs), t(r.createdMs),
           if (r.endMs == 0L) t(r.createdMs) else t(r.endMs),
           t(r.endMs))
       }}

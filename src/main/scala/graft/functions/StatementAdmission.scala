@@ -119,7 +119,14 @@ object StatementAdmission {
         val timeoutMillis = (ResourceGroups.parseDurationSecs(
           spark.conf.getOption("graft.resource_groups.queue_timeout")
             .getOrElse("5m")) * 1000).toLong
+        val dispatchMs = System.currentTimeMillis()
         ResourceGroups.withGroupAwait(spark, resolved, timeoutMillis,
-          PrestoStatements.queryPriority(spark))(body)
+          PrestoStatements.queryPriority(spark)) {
+          // the park is over once the body runs: hand the query log the
+          // dispatch time + real queued duration (QueryStats.queuedTime)
+          PrestoSystem.setDispatch(dispatchMs,
+            System.currentTimeMillis() - dispatchMs)
+          try body finally PrestoSystem.clearDispatch()
+        }
     }
 }

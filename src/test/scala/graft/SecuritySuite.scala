@@ -232,6 +232,73 @@ class SecuritySuite extends GraftSuite {
     } finally stmt("RESET SESSION query_max_execution_time")
   }
 
+  test("query_max_run_time kills with its own reference text") {
+    // QueryTracker.enforceTimeLimits:218 — run time includes queueing,
+    // and the text differs from the execution-time arm
+    Tables.register(spark, SfDir)
+    spark.sql("DROP TABLE IF EXISTS graft_runtime_victim")
+    stmt("SET SESSION query_max_run_time = '2s'")
+    try {
+      val e = intercept[Exception] {
+        stmt("""CREATE TABLE graft_runtime_victim AS
+               |SELECT max(hash(concat(cast(id AS string), 'xyz'))) AS h
+               |FROM range(0, 30000000000, 1, 2)""".stripMargin)
+      }
+      assert(e.getMessage == "Query exceeded maximum time limit of 2.00s")
+    } finally {
+      stmt("RESET SESSION query_max_run_time")
+      spark.sql("DROP TABLE IF EXISTS graft_runtime_victim")
+    }
+  }
+
+  test("admission park is the query log's real queued_time_ms") {
+    // With StatementAdmission installed, a parked statement's record
+    // carries its actual queue wait (QueryStats.getQueuedTime) and
+    // created = dispatch, started = created + queued
+    import graft.plans.ResourceGroups
+    import graft.functions.Registry.{installResourceGroups,
+      uninstallResourceGroups}
+    Tables.register(spark, SfDir)
+    val mgr = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "parked", "maxQueued": 5,
+        |    "hardConcurrencyLimit": 1 } ],
+        |  "selectors": [ { "user": ".*", "group": "parked" } ] }"""
+        .stripMargin)
+    ResourceGroups.clearAll()
+    val g = ResourceGroups.stateOf(
+      ResourceGroups.select(mgr, spark.sparkContext.sparkUser, None).get)
+    assert(ResourceGroups.admit(g) == ResourceGroups.Run) // saturate
+    installResourceGroups(spark, mgr)
+    try {
+      @volatile var err: Throwable = null
+      val runner = new Thread(() => {
+        try stmt("SELECT 42 AS parked_probe").collect()
+        catch { case e: Throwable => err = e }
+      })
+      runner.setDaemon(true)
+      runner.start()
+      Thread.sleep(400) // let it park
+      ResourceGroups.release(g) // promote the parked statement
+      runner.join(30000)
+      assert(!runner.isAlive && err == null)
+      uninstallResourceGroups(spark)
+      val row = stmt(
+        """SELECT queued_time_ms,
+          |  cast(started AS long) - cast(created AS long) AS gap_s
+          |FROM system.runtime.queries
+          |WHERE query = 'SELECT 42 AS parked_probe'""".stripMargin)
+        .collect()(0)
+      assert(row.getLong(0) >= 300L,
+        s"queued_time_ms = ${row.getLong(0)}")
+      // created + queued = started (timestamps carry the park)
+      assert(row.getLong(1) >= 0L)
+    } finally {
+      uninstallResourceGroups(spark)
+      ResourceGroups.clearAll()
+    }
+  }
+
   test("system.runtime.queries serves the reference's 12-column layout") {
     Tables.register(spark, SfDir)
     val df = stmt("SELECT * FROM system.runtime.queries")
