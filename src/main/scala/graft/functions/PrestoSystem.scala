@@ -36,7 +36,7 @@ private[functions] object PrestoSystem {
       query: String, createdMs: Long, var endMs: Long,
       // real park time when StatementAdmission queued this statement
       // (QueryStats.getQueuedTime); 0 for unadmitted statements
-      queuedMs: Long = 0L,
+      var queuedMs: Long = 0L,
       // set by kill_query / the execution-time watchdog BEFORE the job
       // group is cancelled; the router rethrows the victim's
       // cancellation as this text (volatile: written by the killer
@@ -85,45 +85,102 @@ private[functions] object PrestoSystem {
     * re-entries are not re-admitted. */
   def inStatement: Boolean = priorGroups.get().nonEmpty
 
-  // Set by StatementAdmission around the admitted body: (dispatch
-  // wall-clock ms, park duration ms). record() reads it so the query
-  // log carries the REAL queued time and the run-time clock starts at
-  // dispatch, the reference's QueryStateMachine accounting.
-  private val dispatchInfo =
-    ThreadLocal.withInitial[(Long, Long)](() => null)
+  // The record StatementAdmission created at DISPATCH on this thread
+  // (state QUEUED, visible in system.runtime.queries, killable);
+  // record() transitions it to RUNNING instead of creating a second
+  // entry — the reference's dispatcher registers a query once and
+  // walks it through states the same way.
+  private val pendingRec = ThreadLocal.withInitial[QRec](() => null)
 
-  def setDispatch(startMs: Long, queuedMs: Long): Unit =
-    dispatchInfo.set((startMs, queuedMs))
+  // QUEUED queryId → its parked (group state, ticket), so kill_query
+  // can revoke the park (ResourceGroups.cancelWaiter). Guarded by this
+  // object's lock, like the log.
+  private val parked = mutable.Map.empty[String,
+    (graft.plans.ResourceGroups.GroupState, Long)]
 
-  def clearDispatch(): Unit = dispatchInfo.remove()
+  private def newRec(spark: SparkSession, sqlText: String, state: String,
+      group: Option[Seq[String]]): QRec = {
+    val n = counters.computeIfAbsent(spark, _ => Array(0))
+    n(0) += 1
+    val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    val source = spark.conf.getOption("graft.source").orNull
+    QRec(f"${ts}_${n(0)}%05d_graft", state,
+      spark.sparkContext.sparkUser, source, group, sqlText.trim,
+      System.currentTimeMillis(), 0L)
+  }
+
+  /** Register a dispatched-but-not-yet-admitted statement: a QUEUED
+    * row in system.runtime.queries (the reference's dispatcher
+    * registers queued queries before they run — QueryState.QUEUED),
+    * carrying its resolved group's segments. record() on this thread
+    * transitions it to RUNNING. */
+  def beginQueued(spark: SparkSession, sqlText: String,
+      segments: Seq[String]): AnyRef = synchronized {
+    val rec = newRec(spark, sqlText, "QUEUED", Some(segments))
+    log(spark) += rec
+    pendingRec.set(rec)
+    rec
+  }
+
+  def registerParked(rec: AnyRef,
+      g: graft.plans.ResourceGroups.GroupState, ticket: Long): Unit =
+    synchronized {
+      parked(rec.asInstanceOf[QRec].queryId) = (g, ticket)
+    }
+
+  def unregisterParked(rec: AnyRef): Unit = synchronized {
+    parked -= rec.asInstanceOf[QRec].queryId
+  }
+
+  /** Defensive cleanup: drop the thread's pending record if it is
+    * still `rec` (record() normally consumed it — this only matters if
+    * the body failed before reaching record()). */
+  def dropPending(rec: AnyRef): Unit =
+    if (pendingRec.get() eq rec) pendingRec.remove()
+
+  /** Settle a QUEUED record that never reached RUNNING (queue-full,
+    * park timeout, or a kill while parked): FAILED, the park charged
+    * as queued time. Returns the kill text when a kill caused it. */
+  def failQueued(rec: AnyRef): Option[String] = synchronized {
+    val r = rec.asInstanceOf[QRec]
+    pendingRec.remove()
+    r.endMs = System.currentTimeMillis()
+    r.queuedMs = r.endMs - r.createdMs
+    r.state = "FAILED"
+    Option(r.killMessage)
+  }
 
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
     * yyyyMMdd_HHmmss_index_suffix shape. */
   def record(spark: SparkSession, sqlText: String): AnyRef = synchronized {
-    val n = counters.computeIfAbsent(spark, _ => Array(0))
-    n(0) += 1
-    val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-      .format(new java.util.Date())
-    // source is the client-provided tag (Session.getSource — NULL when
-    // the client sent none); a statement running inside
-    // ResourceGroups.withGroup logs the group's SEGMENT LIST from the
-    // wrapper's own local property (set only by the admission
-    // machinery, so a pool the CALLER set for ordinary fair scheduling
-    // never renders as a group — the reference reports NULL for a
-    // query never admitted to one; segments carried as a list, never
-    // re-split from the dotted pool name, so an expanded template
-    // segment containing a dot survives — ResourceGroupId.java carries
-    // segment lists too).
-    val source = spark.conf.getOption("graft.source").orNull
-    val group = Option(spark.sparkContext.getLocalProperty(
-      graft.plans.ResourceGroups.segmentsProperty))
-      .map(_.split("\u0000").toSeq)
-    val queuedMs = Option(dispatchInfo.get()).map(_._2).getOrElse(0L)
-    val rec = QRec(f"${ts}_${n(0)}%05d_graft", "RUNNING",
-      spark.sparkContext.sparkUser, source, group, sqlText.trim,
-      System.currentTimeMillis(), 0L, queuedMs = queuedMs)
-    log(spark) += rec
+    // a record StatementAdmission dispatched on this thread transitions
+    // QUEUED → RUNNING (its park becomes the queued time); otherwise a
+    // fresh RUNNING record. Fresh path: source is the client-provided
+    // tag (Session.getSource — NULL when the client sent none); a
+    // statement running inside ResourceGroups.withGroup logs the
+    // group's SEGMENT LIST from the wrapper's own local property (set
+    // only by the admission machinery, so a pool the CALLER set for
+    // ordinary fair scheduling never renders as a group — the
+    // reference reports NULL for a query never admitted to one;
+    // segments carried as a list, never re-split from the dotted pool
+    // name, so an expanded template segment containing a dot survives
+    // — ResourceGroupId.java carries segment lists too).
+    val pending = pendingRec.get()
+    val rec = if (pending != null) {
+      pendingRec.remove()
+      pending.queuedMs = System.currentTimeMillis() - pending.createdMs
+      pending.state = "RUNNING"
+      pending
+    } else {
+      val group = Option(spark.sparkContext.getLocalProperty(
+        graft.plans.ResourceGroups.segmentsProperty))
+        .map(_.split("\u0000").toSeq)
+      val r = newRec(spark, sqlText, "RUNNING", group)
+      log(spark) += r
+      r
+    }
     // job-group the statement so system.runtime.tasks can correlate
     // its stage rows back to this query id (the reference's query_id
     // column; Spark's own grouping mechanism). The pre-existing group
@@ -376,24 +433,29 @@ private[functions] object PrestoSystem {
     }
     if (which("runtime_queries")) {
       // QuerySystemTable.java:56-71 — the reference's FULL 12-column
-      // layout in its column order. Library renderings: queued_time_ms
-      // is the REAL admission park when StatementAdmission queued the
-      // statement (0 for unadmitted ones), created = dispatch (record
-      // minus the park), started = record; analysis_time_ms is the
-      // router's record→finish span (the statement's parse/rewrite/
-      // plan work — execution is lazy in Spark and lands on the
-      // reader); last_heartbeat is the newest update we hold (end when
-      // settled).
+      // layout in its column order. Library renderings: created is
+      // DISPATCH time; queued_time_ms is the REAL admission park (live
+      // and growing for a still-QUEUED row, 0 for unadmitted
+      // statements); started = created + queued (NULL while queued);
+      // analysis_time_ms is the router's record→finish span (the
+      // statement's parse/rewrite/plan work — execution is lazy in
+      // Spark and lands on the reader); last_heartbeat is the newest
+      // update we hold (end when settled).
       val rows = synchronized { log(spark).toSeq.map { r =>
         def t(ms: Long): java.sql.Timestamp =
           if (ms == 0L) null else new java.sql.Timestamp(ms)
+        val queuedNow =
+          if (r.state == "QUEUED")
+            System.currentTimeMillis() - r.createdMs
+          else r.queuedMs
         org.apache.spark.sql.Row(
           r.queryId, r.state, r.user, r.source, r.query,
           r.resourceGroup.orNull,
-          r.queuedMs,
-          if (r.endMs == 0L) null else
-            java.lang.Long.valueOf(r.endMs - r.createdMs),
-          t(r.createdMs - r.queuedMs), t(r.createdMs),
+          queuedNow,
+          if (r.endMs == 0L || r.state == "QUEUED") null else
+            java.lang.Long.valueOf(r.endMs - r.createdMs - r.queuedMs),
+          t(r.createdMs),
+          if (r.state == "QUEUED") null else t(r.createdMs + r.queuedMs),
           if (r.endMs == 0L) t(r.createdMs) else t(r.endMs),
           t(r.endMs))
       }}
@@ -970,18 +1032,32 @@ private[functions] object PrestoSystem {
         // KillQueryProcedure.java:53-75 — unknown ids are not found;
         // done ids are "not running" (the racy pre-check); a RUNNING
         // id is failed with createKillQueryException's text and its
-        // job group cancelled (the router tagged it at record time)
-        val victim = synchronized {
+        // job group cancelled (the router tagged it at record time); a
+        // QUEUED id (parked in admission) has its park REVOKED — the
+        // waiter wakes ungranted and the statement fails with the kill
+        // text (the reference fails queued queries the same way:
+        // failQuery reaches any non-done state)
+        val parkedInfo = synchronized {
           val rec = log(spark).find(_.queryId == queryId).getOrElse(
             sys.error(s"Target query not found: $queryId"))
-          if (rec.state != "RUNNING")
+          if (rec.state != "RUNNING" && rec.state != "QUEUED")
             sys.error(s"Target query is not running: $queryId")
           rec.killMessage = "Query killed. " +
             (if (message == null || message.isEmpty) "No message provided."
              else s"Message: $message")
-          rec
+          if (rec.state == "QUEUED") Some(parked.get(queryId)) else None
         }
-        spark.sparkContext.cancelJobGroup(victim.queryId)
+        parkedInfo match {
+          case None => // RUNNING: cancel its tagged jobs; completion
+            // settles the kill even if they outran the cancellation
+            spark.sparkContext.cancelJobGroup(queryId)
+          case Some(Some((g, ticket))) =>
+            // parked: revoke the wait (false = promotion won the race;
+            // the statement then runs and finishSuccess settles it)
+            graft.plans.ResourceGroups.cancelWaiter(g, ticket)
+          case Some(None) => () // QUEUED but not yet/no longer parked:
+            // the dispatch path checks killMessage at every transition
+        }
         Some(spark.sql("SELECT 'CALL' AS result"))
       case callCepRe(args) => Some(createEmptyPartition(spark, args))
       case callOtherRe(name) =>

@@ -30,14 +30,18 @@ import graft.plans.{DbResourceGroupManager, ResourceGroups}
   * bounds the park so a saturated group surfaces as an error, not a
   * silent hang).
   *
-  * Scope notes, both deliberate: (1) NESTED routed statements (ALTER
-  * FUNCTION's re-registration) are not re-admitted — the reference
-  * dispatches client-submitted statements only, and re-admitting
-  * against a saturated hard-limit-1 leaf would deadlock a synchronous
-  * driver; (2) admission precedes the query-log record, so a
-  * rejected/timed-out statement never reaches system.runtime.queries —
-  * the reference's dispatcher registers queued queries first, a
-  * library surfaces the rejection to the caller directly.
+  * The dispatch registers the statement as a QUEUED row in
+  * system.runtime.queries BEFORE admission (the reference's dispatcher
+  * registers queued queries — QueryState.QUEUED): while parked it
+  * renders with a live queued_time_ms and NULL started, and
+  * kill_query reaches it (the park is revoked, the statement fails
+  * with the kill text); a queue-full rejection or park timeout settles
+  * the same record FAILED with the park charged as queued time.
+  *
+  * Scope note, deliberate: NESTED routed statements (ALTER FUNCTION's
+  * re-registration) are not re-admitted — the reference dispatches
+  * client-submitted statements only, and re-admitting against a
+  * saturated hard-limit-1 leaf would deadlock a synchronous driver.
   */
 object StatementAdmission {
 
@@ -119,14 +123,35 @@ object StatementAdmission {
         val timeoutMillis = (ResourceGroups.parseDurationSecs(
           spark.conf.getOption("graft.resource_groups.queue_timeout")
             .getOrElse("5m")) * 1000).toLong
-        val dispatchMs = System.currentTimeMillis()
-        ResourceGroups.withGroupAwait(spark, resolved, timeoutMillis,
-          PrestoStatements.queryPriority(spark)) {
-          // the park is over once the body runs: hand the query log the
-          // dispatch time + real queued duration (QueryStats.queuedTime)
-          PrestoSystem.setDispatch(dispatchMs,
-            System.currentTimeMillis() - dispatchMs)
-          try body finally PrestoSystem.clearDispatch()
+        // register the dispatched statement as a QUEUED row first —
+        // visible in system.runtime.queries while parked, and killable
+        // (kill_query revokes the park); record() inside the body then
+        // transitions it to RUNNING with the real queued time
+        val g = ResourceGroups.stateOf(resolved)
+        val rec = PrestoSystem.beginQueued(spark, sqlText,
+          resolved.segments)
+        def failPark(default: String): Nothing = {
+          val killText = PrestoSystem.failQueued(rec)
+          throw new IllegalStateException(killText.getOrElse(default))
         }
+        val admission =
+          try ResourceGroups.admitWithWaiter(g,
+            PrestoStatements.queryPriority(spark)) { t =>
+            PrestoSystem.registerParked(rec, g, t)
+          } catch { case e: Throwable => // queue-full rejection
+            PrestoSystem.failQueued(rec)
+            throw e
+          }
+        admission match {
+          case ResourceGroups.Run => ()
+          case ResourceGroups.Queued(t) =>
+            val granted =
+              try ResourceGroups.awaitTicket(g, t, timeoutMillis)
+              finally PrestoSystem.unregisterParked(rec)
+            if (!granted) failPark("query did not start within " +
+              s"$timeoutMillis ms queued on group ${resolved.id}")
+        }
+        try ResourceGroups.runGranted(spark, resolved)(body)
+        finally PrestoSystem.dropPending(rec)
     }
 }

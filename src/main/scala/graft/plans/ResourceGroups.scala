@@ -419,11 +419,13 @@ object ResourceGroups {
   // GLOBAL arrival order — tickets order enqueue time across the whole
   // tree, which is what the fair policy's queued-time dequeue reads
   private var arrivals = 0L
-  // tickets with a live [[awaitAdmission]] waiter, and the subset a
-  // promotion has granted a slot to (bounded by the waiter count:
-  // entries are removed on the waiter's way out, granted or not)
+  // tickets with a live [[awaitTicket]] waiter, the subset a promotion
+  // has granted a slot to, and the subset an external
+  // [[cancelWaiter]] revoked (all bounded by the waiter count: entries
+  // are removed on the waiter's way out, whatever the outcome)
   private val waiting = mutable.Set.empty[Long]
   private val grantedToWaiter = mutable.Set.empty[Long]
+  private val revokedTickets = mutable.Set.empty[Long]
 
   def stateOf(r: Resolved): GroupState = gate.synchronized {
     states.getOrElseUpdate(r.segments, {
@@ -440,6 +442,7 @@ object ResourceGroups {
     childIndex.clear()
     waiting.clear()
     grantedToWaiter.clear()
+    revokedTickets.clear()
     arrivals = 0L
   }
 
@@ -663,37 +666,85 @@ object ResourceGroups {
     * order is the group's scheduling policy's, exactly as release()
     * applies it. */
   def awaitAdmission(g: GroupState, timeoutMillis: Long,
-      priority: Int = 1): Boolean = gate.synchronized {
-    // the whole admit→register-waiter sequence holds [[gate]] (admit's
-    // own synchronized is reentrant), so a promotion can never land in
-    // between: while this thread owns the lock — everywhere except
-    // inside wait() — the ticket is either granted (grantedToWaiter)
-    // or still queued, no third state, no lost wakeup
-    admit(g, priority) match {
+      priority: Int = 1): Boolean =
+    admitWithWaiter(g, priority)() match {
       case Run => true
-      case Queued(t) =>
-        waiting += t
-        try {
-          val deadline = System.nanoTime() + timeoutMillis * 1000000L
-          var granted = grantedToWaiter.contains(t)
-          var remaining = timeoutMillis
-          while (!granted && remaining > 0) {
-            gate.wait(remaining)
-            granted = grantedToWaiter.contains(t)
-            remaining = (deadline - System.nanoTime()) / 1000000L
-          }
-          if (!granted && !cancelQueued(g, t)) {
-            // unreachable while the lock discipline holds (a promotion
-            // needs gate, and we hold it at both checks) — but a slot
-            // must never leak, so give it back rather than trust that
-            release(g)
-          }
-          granted
-        } finally {
-          waiting -= t
-          grantedToWaiter -= t
-        }
+      case Queued(t) => awaitTicket(g, t, timeoutMillis)
     }
+
+  /** [[admit]] that — atomically, under the same [[gate]] hold —
+    * registers a Queued ticket as having a waiter and hands it to
+    * `onQueued` (callers record it for external cancellation). The
+    * atomicity matters: a promotion between admit and registration
+    * would grant a slot no waiter ever claims; while this thread owns
+    * the lock that window does not exist. The caller MUST then park on
+    * [[awaitTicket]] (which owns the registration's cleanup). */
+  def admitWithWaiter(g: GroupState, priority: Int = 1)(
+      onQueued: Long => Unit = _ => ()): Admission = gate.synchronized {
+    admit(g, priority) match {
+      case Run => Run
+      case q @ Queued(t) =>
+        waiting += t
+        onQueued(t)
+        q
+    }
+  }
+
+  /** Park on a ticket [[admitWithWaiter]] queued: true when a
+    * promotion grants the slot, false on timeout (ticket withdrawn —
+    * nothing leaks) or external revocation ([[cancelWaiter]] — a kill
+    * reached the queued query). While this thread owns the lock —
+    * everywhere except inside wait() — the ticket is granted, revoked,
+    * or still queued: no fourth state, no lost wakeup. */
+  def awaitTicket(g: GroupState, t: Long,
+      timeoutMillis: Long): Boolean = gate.synchronized {
+    try {
+      val deadline = System.nanoTime() + timeoutMillis * 1000000L
+      var granted = grantedToWaiter.contains(t)
+      var remaining = timeoutMillis
+      while (!granted && !revokedTickets.contains(t) && remaining > 0) {
+        gate.wait(remaining)
+        granted = grantedToWaiter.contains(t)
+        remaining = (deadline - System.nanoTime()) / 1000000L
+      }
+      if (!granted && !revokedTickets.contains(t) &&
+          !cancelQueued(g, t)) {
+        // unreachable while the lock discipline holds (grant and
+        // revocation both need gate, and we hold it at every check) —
+        // but a slot must never leak, so give it back rather than
+        // trust that
+        release(g)
+      }
+      granted
+    } finally {
+      waiting -= t
+      grantedToWaiter -= t
+      revokedTickets -= t
+    }
+  }
+
+  /** Revoke a PARKED ticket from outside (kill_query reaching a
+    * QUEUED query): withdraws the queue entry and wakes its waiter,
+    * which reports not-granted. False when the ticket was already
+    * granted — the kill lost the promotion race and the statement is
+    * now running (its completion path settles the kill). */
+  def cancelWaiter(g: GroupState, t: Long): Boolean = gate.synchronized {
+    if (grantedToWaiter.contains(t)) false
+    else {
+      cancelQueued(g, t)
+      revokedTickets += t
+      gate.notifyAll()
+      true
+    }
+  }
+
+  /** Run `body` on an ALREADY-GRANTED slot of `r` (an
+    * [[admitWithWaiter]] Run or a granted [[awaitTicket]]): FAIR pool
+    * pinned for the body, slot released after — the execution half of
+    * [[withGroup]] for callers that drive admission themselves. */
+  def runGranted[T](s: SparkSession, r: Resolved)(body: => T): T = {
+    val g = stateOf(r)
+    try pinPool(s, r)(body) finally release(g)
   }
 
   private def pinPool[T](s: SparkSession, r: Resolved)(body: => T): T = {

@@ -251,6 +251,79 @@ class SecuritySuite extends GraftSuite {
     }
   }
 
+  test("a QUEUED statement is visible and killable while parked") {
+    // the reference's dispatcher registers queued queries
+    // (QueryState.QUEUED in system.runtime.queries) and failQuery
+    // reaches them; here: a parked statement renders QUEUED with a
+    // live queued_time_ms and NULL started, kill_query revokes the
+    // park, and the victim fails with the kill text
+    import graft.plans.ResourceGroups
+    import graft.functions.Registry.{installResourceGroups,
+      uninstallResourceGroups}
+    Tables.register(spark, SfDir)
+    val mgr = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "kq", "maxQueued": 5,
+        |    "hardConcurrencyLimit": 1 } ],
+        |  "selectors": [ { "user": ".*", "group": "kq" } ] }"""
+        .stripMargin)
+    ResourceGroups.clearAll()
+    val g = ResourceGroups.stateOf(
+      ResourceGroups.select(mgr, spark.sparkContext.sparkUser, None).get)
+    assert(ResourceGroups.admit(g) == ResourceGroups.Run) // saturate
+    installResourceGroups(spark, mgr)
+    try {
+      @volatile var err: Throwable = null
+      val runner = new Thread(() => {
+        try stmt("SELECT 43 AS queued_kill_probe").collect()
+        catch { case e: Throwable => err = e }
+      })
+      runner.setDaemon(true)
+      runner.start()
+      // wait until the runner is actually PARKED (group state), THEN
+      // uninstall so the observation polls don't route through the
+      // saturated group themselves — the already-parked runner is
+      // unaffected (its wait is inside awaitTicket)
+      val parkDeadline = System.currentTimeMillis() + 30000
+      while (g.queuedCount == 0 &&
+        System.currentTimeMillis() < parkDeadline) Thread.sleep(10)
+      assert(g.queuedCount == 1, "runner never parked")
+      uninstallResourceGroups(spark)
+      def queuedRow(): Option[org.apache.spark.sql.Row] =
+        stmt("""SELECT query_id, queued_time_ms, started
+               |FROM system.runtime.queries
+               |WHERE state = 'QUEUED'
+               |  AND query = 'SELECT 43 AS queued_kill_probe'"""
+          .stripMargin).collect().headOption
+      val deadline = System.currentTimeMillis() + 30000
+      var row: Option[org.apache.spark.sql.Row] = None
+      while (row.isEmpty && System.currentTimeMillis() < deadline) {
+        row = queuedRow()
+        if (row.isEmpty) Thread.sleep(20)
+      }
+      assert(row.nonEmpty, "statement never surfaced as QUEUED")
+      assert(row.get.getLong(1) >= 0L && row.get.isNullAt(2),
+        "QUEUED row must carry live queued time and NULL started")
+      val id = row.get.getString(0)
+      val out = stmt(
+        s"CALL system.runtime.kill_query('$id', 'queue jumped')")
+      assert(out.collect()(0).getString(0) == "CALL")
+      runner.join(30000)
+      assert(!runner.isAlive, "victim did not die")
+      assert(err != null &&
+        err.getMessage == "Query killed. Message: queue jumped")
+      val state = stmt(
+        s"""SELECT state, queued_time_ms FROM system.runtime.queries
+           |WHERE query_id = '$id'""".stripMargin).collect()(0)
+      assert(state.getString(0) == "FAILED")
+      assert(state.getLong(1) > 0L) // the park charged as queued time
+    } finally {
+      uninstallResourceGroups(spark)
+      ResourceGroups.release(g)
+      ResourceGroups.clearAll()
+    }
+  }
+
   test("admission park is the query log's real queued_time_ms") {
     // With StatementAdmission installed, a parked statement's record
     // carries its actual queue wait (QueryStats.getQueuedTime) and
