@@ -37,6 +37,10 @@ private[functions] object PrestoSystem {
       // real park time when StatementAdmission queued this statement
       // (QueryStats.getQueuedTime); 0 for unadmitted statements
       var queuedMs: Long = 0L,
+      // failed straight out of the queue (kill/timeout/rejection):
+      // started and analysis_time_ms render NULL — the reference's
+      // executionStartTime for a never-started query
+      var neverStarted: Boolean = false,
       // set by kill_query / the execution-time watchdog BEFORE the job
       // group is cancelled; the router rethrows the victim's
       // cancellation as this text (volatile: written by the killer
@@ -124,10 +128,17 @@ private[functions] object PrestoSystem {
   }
 
   def registerParked(rec: AnyRef,
-      g: graft.plans.ResourceGroups.GroupState, ticket: Long): Unit =
-    synchronized {
+      g: graft.plans.ResourceGroups.GroupState, ticket: Long): Unit = {
+    val killedAlready = synchronized {
       parked(rec.asInstanceOf[QRec].queryId) = (g, ticket)
+      rec.asInstanceOf[QRec].killMessage != null
     }
+    // a kill that landed in the beginQueued→park window found no park
+    // to revoke — revoke it NOW so the waiter wakes immediately
+    // instead of sitting out the whole queue timeout
+    if (killedAlready)
+      graft.plans.ResourceGroups.cancelWaiter(g, ticket)
+  }
 
   def unregisterParked(rec: AnyRef): Unit = synchronized {
     parked -= rec.asInstanceOf[QRec].queryId
@@ -147,6 +158,7 @@ private[functions] object PrestoSystem {
     pendingRec.remove()
     r.endMs = System.currentTimeMillis()
     r.queuedMs = r.endMs - r.createdMs
+    r.neverStarted = true
     r.state = "FAILED"
     Option(r.killMessage)
   }
@@ -452,10 +464,13 @@ private[functions] object PrestoSystem {
           r.queryId, r.state, r.user, r.source, r.query,
           r.resourceGroup.orNull,
           queuedNow,
-          if (r.endMs == 0L || r.state == "QUEUED") null else
+          if (r.endMs == 0L || r.state == "QUEUED" || r.neverStarted)
+            null
+          else
             java.lang.Long.valueOf(r.endMs - r.createdMs - r.queuedMs),
           t(r.createdMs),
-          if (r.state == "QUEUED") null else t(r.createdMs + r.queuedMs),
+          if (r.state == "QUEUED" || r.neverStarted) null
+          else t(r.createdMs + r.queuedMs),
           if (r.endMs == 0L) t(r.createdMs) else t(r.endMs),
           t(r.endMs))
       }}

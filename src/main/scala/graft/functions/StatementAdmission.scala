@@ -80,17 +80,39 @@ object StatementAdmission {
     * DESCRIBE family is DESCRIBE; every other routed statement form
     * (DDL, session/role/grant/transaction control, CALL, PREPARE) is
     * DATA_DEFINITION. */
+  // precompiled probes — this runs on the per-statement hot path
+  private val SelectRe =
+    java.util.regex.Pattern.compile("(?is)(SELECT|WITH|VALUES|TABLE)\\b.*")
+  private val ExplainRe =
+    java.util.regex.Pattern.compile("(?is)EXPLAIN\\b.*")
+  private val AnalyzeRe =
+    java.util.regex.Pattern.compile("(?is)ANALYZE\\b.*")
+  private val CtasRe = java.util.regex.Pattern.compile(
+    """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[^\s(]+\s+.*?\bAS\b.*""")
+  private val InsertRe =
+    java.util.regex.Pattern.compile("(?is)INSERT\\b.*")
+  private val DeleteRe =
+    java.util.regex.Pattern.compile("(?is)DELETE\\b.*")
+  private val DescribeRe =
+    java.util.regex.Pattern.compile("(?is)(SHOW|DESC|DESCRIBE)\\b.*")
+
   private[graft] def queryTypeOf(sql: String): Option[String] = {
     val t = sql.trim
-    def is(re: String): Boolean = t.matches("(?is)" + re + "\\b.*")
-    if (is("(SELECT|WITH|VALUES|TABLE)")) Some("SELECT")
-    else if (is("EXPLAIN")) Some("EXPLAIN")
-    else if (is("ANALYZE")) Some("ANALYZE")
-    else if (is("""CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[^\s(]+\s+.*?\bAS\b"""))
-      Some("INSERT") // CTAS (WITH-properties form included)
-    else if (is("INSERT")) Some("INSERT")
-    else if (is("DELETE")) Some("DELETE")
-    else if (is("(SHOW|DESC|DESCRIBE)")) Some("DESCRIBE")
+    if (SelectRe.matcher(t).matches()) Some("SELECT")
+    else if (ExplainRe.matcher(t).matches()) Some("EXPLAIN")
+    else if (AnalyzeRe.matcher(t).matches()) Some("ANALYZE")
+    else if ({
+      // the CTAS probe's AS must not match inside a string literal
+      // (CREATE TABLE t (c VARCHAR) COMMENT 'as is' is DDL, not CTAS)
+      val mask = PrestoRewrite.stringMask(t)
+      val blanked = new StringBuilder(t)
+      var i = 0
+      while (i < t.length) { if (mask(i)) blanked.setCharAt(i, ' '); i += 1 }
+      CtasRe.matcher(blanked.toString).matches()
+    }) Some("INSERT") // CTAS (WITH-properties form included)
+    else if (InsertRe.matcher(t).matches()) Some("INSERT")
+    else if (DeleteRe.matcher(t).matches()) Some("DELETE")
+    else if (DescribeRe.matcher(t).matches()) Some("DESCRIBE")
     else if (t.nonEmpty) Some("DATA_DEFINITION")
     else None
   }
@@ -147,11 +169,16 @@ object StatementAdmission {
           case ResourceGroups.Queued(t) =>
             val granted =
               try ResourceGroups.awaitTicket(g, t, timeoutMillis)
-              finally PrestoSystem.unregisterParked(rec)
+              catch { case e: Throwable =>
+                // interruption etc. — the ticket bookkeeping is
+                // awaitTicket's, the record settling is ours
+                PrestoSystem.failQueued(rec)
+                throw e
+              } finally PrestoSystem.unregisterParked(rec)
             if (!granted) failPark("query did not start within " +
               s"$timeoutMillis ms queued on group ${resolved.id}")
         }
-        try ResourceGroups.runGranted(spark, resolved)(body)
+        try ResourceGroups.runGranted(spark, resolved, g)(body)
         finally PrestoSystem.dropPending(rec)
     }
 }

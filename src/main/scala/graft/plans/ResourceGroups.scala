@@ -716,6 +716,16 @@ object ResourceGroups {
         release(g)
       }
       granted
+    } catch {
+      case ie: InterruptedException =>
+        // an interrupted waiter must not strand its bookkeeping: a
+        // granted slot goes back (it will never run the body), a
+        // still-queued entry is withdrawn (a later release() would
+        // otherwise promote a phantom and wedge the group one slot
+        // below its limit forever)
+        if (grantedToWaiter.contains(t)) release(g)
+        else cancelQueued(g, t)
+        throw ie
     } finally {
       waiting -= t
       grantedToWaiter -= t
@@ -732,20 +742,28 @@ object ResourceGroups {
     if (grantedToWaiter.contains(t)) false
     else {
       cancelQueued(g, t)
-      revokedTickets += t
-      gate.notifyAll()
+      // mark revoked only for a LIVE waiter — its exit path owns the
+      // entry's removal; a waiter already gone (timed out between the
+      // caller's snapshot and this call) must not leave a permanent
+      // entry behind
+      if (waiting.contains(t)) {
+        revokedTickets += t
+        gate.notifyAll()
+      }
       true
     }
   }
 
-  /** Run `body` on an ALREADY-GRANTED slot of `r` (an
+  /** Run `body` on an ALREADY-GRANTED slot of `g` (an
     * [[admitWithWaiter]] Run or a granted [[awaitTicket]]): FAIR pool
     * pinned for the body, slot released after — the execution half of
-    * [[withGroup]] for callers that drive admission themselves. */
-  def runGranted[T](s: SparkSession, r: Resolved)(body: => T): T = {
-    val g = stateOf(r)
+    * [[withGroup]] for callers that drive admission themselves. Takes
+    * the SAME state object the caller admitted against (a fresh
+    * [[stateOf]] lookup could mint a different one across a concurrent
+    * clearAll/reconfigure and release the wrong counters). */
+  def runGranted[T](s: SparkSession, r: Resolved, g: GroupState)(
+      body: => T): T =
     try pinPool(s, r)(body) finally release(g)
-  }
 
   private def pinPool[T](s: SparkSession, r: Resolved)(body: => T): T = {
     val sc = s.sparkContext

@@ -351,7 +351,13 @@ class SecuritySuite extends GraftSuite {
       })
       runner.setDaemon(true)
       runner.start()
-      Thread.sleep(400) // let it park
+      // wait until it is actually PARKED, then hold it parked long
+      // enough that the recorded queued time is unambiguous
+      val parkDeadline = System.currentTimeMillis() + 30000
+      while (g.queuedCount == 0 &&
+        System.currentTimeMillis() < parkDeadline) Thread.sleep(10)
+      assert(g.queuedCount == 1, "runner never parked")
+      Thread.sleep(300)
       ResourceGroups.release(g) // promote the parked statement
       runner.join(30000)
       assert(!runner.isAlive && err == null)
