@@ -1188,11 +1188,11 @@ private[functions] object PrestoStatements {
       val out = routeStatement(spark, sqlText)
       // atomic with any concurrent kill: a kill that landed wins here
       // (FAILED + the kill text) even if the jobs outran cancellation
-      PrestoSystem.finishSuccess(rec)
+      PrestoSystem.finishSuccess(spark, rec)
       out
     } catch {
       case e: Throwable =>
-        PrestoSystem.finish(rec, failed = true)
+        PrestoSystem.finish(spark, rec, failed = true, failure = Some(e))
         // a kill (kill_query / execution-time limit) rethrows as the
         // reference's error text, not Spark's cancellation message
         throw PrestoSystem.failureFor(rec, e)

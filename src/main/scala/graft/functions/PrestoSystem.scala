@@ -120,10 +120,14 @@ private[functions] object PrestoSystem {
     * carrying its resolved group's segments. record() on this thread
     * transitions it to RUNNING. */
   def beginQueued(spark: SparkSession, sqlText: String,
-      segments: Seq[String]): AnyRef = synchronized {
-    val rec = newRec(spark, sqlText, "QUEUED", Some(segments))
-    log(spark) += rec
-    pendingRec.set(rec)
+      segments: Seq[String]): AnyRef = {
+    val rec = synchronized {
+      val r = newRec(spark, sqlText, "QUEUED", Some(segments))
+      log(spark) += r
+      pendingRec.set(r)
+      r
+    }
+    maybeFireCreated(spark, rec) // outside the lock: plugin code
     rec
   }
 
@@ -152,21 +156,35 @@ private[functions] object PrestoSystem {
 
   /** Settle a QUEUED record that never reached RUNNING (queue-full,
     * park timeout, or a kill while parked): FAILED, the park charged
-    * as queued time. Returns the kill text when a kill caused it. */
-  def failQueued(rec: AnyRef): Option[String] = synchronized {
-    val r = rec.asInstanceOf[QRec]
-    pendingRec.remove()
-    r.endMs = System.currentTimeMillis()
-    r.queuedMs = r.endMs - r.createdMs
-    r.neverStarted = true
-    r.state = "FAILED"
-    Option(r.killMessage)
+    * as queued time. Returns the effective failure text — the kill
+    * text when a kill caused it, `default` otherwise — after firing
+    * queryCompleted with it. */
+  def failQueued(spark: SparkSession, rec: AnyRef,
+      default: => String): String = {
+    val (r, text) = synchronized {
+      val r = rec.asInstanceOf[QRec]
+      pendingRec.remove()
+      r.endMs = System.currentTimeMillis()
+      r.queuedMs = r.endMs - r.createdMs
+      r.neverStarted = true
+      r.state = "FAILED"
+      (r, Option(r.killMessage).getOrElse(default))
+    }
+    maybeFireCompleted(spark, r, Some(text), failureType = None)
+    text
   }
 
   /** Record a statement entering the router; returns the record for
     * completion marking. Query ids follow the reference's
     * yyyyMMdd_HHmmss_index_suffix shape. */
-  def record(spark: SparkSession, sqlText: String): AnyRef = synchronized {
+  def record(spark: SparkSession, sqlText: String): AnyRef = {
+    val (rec, fresh) = recordSync(spark, sqlText)
+    if (fresh) maybeFireCreated(spark, rec) // outside the lock
+    rec
+  }
+
+  private def recordSync(spark: SparkSession,
+      sqlText: String): (QRec, Boolean) = synchronized {
     // a record StatementAdmission dispatched on this thread transitions
     // QUEUED → RUNNING (its park becomes the queued time); otherwise a
     // fresh RUNNING record. Fresh path: source is the client-provided
@@ -209,7 +227,7 @@ private[functions] object PrestoSystem {
     // arm the time limits ONLY when the session explicitly SET them
     // (the 100-day defaults never need a timer per statement)
     armTimeLimits(spark, rec)
-    rec
+    (rec, pending == null)
   }
 
   /** QueryTracker.enforceTimeLimits:213-219 for explicitly-SET limits:
@@ -267,14 +285,23 @@ private[functions] object PrestoSystem {
     }
   }
 
-  def finish(rec: AnyRef, failed: Boolean): Unit = synchronized {
+  def finish(spark: SparkSession, rec: AnyRef, failed: Boolean,
+      failure: Option[Throwable] = None): Unit = {
     val r = rec.asInstanceOf[QRec]
-    // a kill that landed is authoritative even on the success path —
-    // never downgrade FAILED back to FINISHED
-    r.state = if (failed || r.killMessage != null) "FAILED" else "FINISHED"
-    r.endMs = System.currentTimeMillis()
-    r.watchdog.foreach(_.cancel(false))
-    r.watchdog = None
+    synchronized {
+      // a kill that landed is authoritative even on the success path —
+      // never downgrade FAILED back to FINISHED
+      r.state =
+        if (failed || r.killMessage != null) "FAILED" else "FINISHED"
+      r.endMs = System.currentTimeMillis()
+      r.watchdog.foreach(_.cancel(false))
+      r.watchdog = None
+    }
+    // outside the lock: plugin code + a status-store read
+    maybeFireCompleted(spark, r,
+      Option(r.killMessage).orElse(failure.flatMap(e =>
+        Option(e.getMessage))),
+      failureType = failure.map(_.getClass.getSimpleName))
   }
 
   /** The success-path completion: kill_query sets killMessage under
@@ -286,12 +313,92 @@ private[functions] object PrestoSystem {
     * statement (kill_query then reports "not running"). No third
     * interleaving exists; the reference's failQuery is authoritative
     * the same way. */
-  def finishSuccess(rec: AnyRef): Unit = synchronized {
+  def finishSuccess(spark: SparkSession, rec: AnyRef): Unit = {
     val r = rec.asInstanceOf[QRec]
-    val msg = r.killMessage
-    finish(rec, failed = msg != null)
+    val msg = synchronized {
+      // kill check and state transition under ONE lock hold — a kill
+      // landing between them could otherwise slip a FINISHED through
+      val m = r.killMessage
+      r.state = if (m != null) "FAILED" else "FINISHED"
+      r.endMs = System.currentTimeMillis()
+      r.watchdog.foreach(_.cancel(false))
+      r.watchdog = None
+      m
+    }
+    maybeFireCompleted(spark, r, Option(msg), failureType = None)
     if (msg != null) throw new RuntimeException(msg)
   }
+
+  // ——— EventListener SPI feed (plans/QueryEvents.scala) ———————————————
+  // Every assembly is guarded by hasListeners: sessions with no
+  // registered listener pay nothing — no catalog reads, no status-store
+  // flush. Dispatch isolates plugin failures (QueryEvents.isolate).
+
+  import graft.plans.QueryEvents
+
+  private def contextOf(spark: SparkSession,
+      r: QRec): QueryEvents.QueryContext = {
+    val tags = spark.conf.getOption("graft.client_tags")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val props = PrestoStatements.explicitSessionProps(spark)
+      .map(n => n -> PrestoStatements.sessionPropValue(spark, n)).toMap
+    QueryEvents.QueryContext(
+      user = r.user,
+      principal = None,
+      source = Option(r.source),
+      clientTags = tags,
+      catalog = Some(spark.catalog.currentCatalog()),
+      schema = Some(spark.catalog.currentDatabase),
+      resourceGroupId = r.resourceGroup,
+      sessionProperties = props,
+      serverVersion = spark.version,
+      environment = spark.conf.getOption("graft.environment")
+        .getOrElse("production"))
+  }
+
+  private def maybeFireCreated(spark: SparkSession, r: QRec): Unit =
+    if (QueryEvents.hasListeners(spark))
+      QueryEvents.fireCreated(spark, QueryEvents.QueryCreatedEvent(
+        java.time.Instant.ofEpochMilli(r.createdMs),
+        contextOf(spark, r),
+        QueryEvents.QueryMetadata(r.queryId, r.query, r.state)))
+
+  private def maybeFireCompleted(spark: SparkSession, r: QRec,
+      failure: Option[String], failureType: Option[String]): Unit =
+    if (QueryEvents.hasListeners(spark)) {
+      // REAL stage aggregates for this statement's job group — the
+      // same status-store correlation system.runtime.tasks serves
+      val sc = spark.sparkContext
+      org.apache.spark.graft.StatusBridge.flush(sc)
+      val groups = org.apache.spark.graft.StatusBridge.stageGroups(sc)
+      val mine = org.apache.spark.graft.StatusBridge.stages(sc)
+        .filter(s => groups.get(s.stageId).contains(r.queryId))
+      val stats = QueryEvents.QueryStatistics(
+        cpuTimeMillis = mine.map(_.executorCpuTime).sum / 1000000L,
+        wallTimeMillis = math.max(0L, r.endMs - r.createdMs),
+        queuedTimeMillis = r.queuedMs,
+        analysisTimeMillis =
+          if (r.neverStarted) None
+          else Some(math.max(0L, r.endMs - r.createdMs - r.queuedMs)),
+        totalRows = mine.map(_.inputRecords).sum,
+        totalBytes = mine.map(_.inputBytes).sum,
+        outputRows = mine.map(_.outputRecords).sum,
+        outputBytes = mine.map(_.outputBytes).sum,
+        completedSplits = mine.map(_.numCompleteTasks).sum,
+        complete = r.state == "FINISHED")
+      QueryEvents.fireCompleted(spark, QueryEvents.QueryCompletedEvent(
+        QueryEvents.QueryMetadata(r.queryId, r.query, r.state),
+        stats,
+        contextOf(spark, r),
+        failure.map(m =>
+          QueryEvents.QueryFailureInfo(failureType, Some(m))),
+        java.time.Instant.ofEpochMilli(r.createdMs),
+        if (r.neverStarted) None
+        else Some(java.time.Instant.ofEpochMilli(
+          r.createdMs + r.queuedMs)),
+        java.time.Instant.ofEpochMilli(r.endMs)))
+    }
 
   /** The victim side of a kill: when this statement's record carries a
     * kill message (kill_query or the execution-time watchdog set it

@@ -1875,6 +1875,17 @@ object Registry {
   def uninstallResourceGroups(spark: SparkSession): Unit =
     StatementAdmission.uninstall(spark)
 
+  /** Register an EventListener-SPI plugin (queryCreated/queryCompleted
+    * per routed statement, splitCompleted per Spark task) — see
+    * [[graft.plans.QueryEvents]]. */
+  def addQueryEventListener(spark: SparkSession,
+      l: graft.plans.QueryEvents.EventListener): Unit =
+    graft.plans.QueryEvents.addListener(spark, l)
+
+  def removeQueryEventListener(spark: SparkSession,
+      l: graft.plans.QueryEvents.EventListener): Unit =
+    graft.plans.QueryEvents.removeListener(spark, l)
+
   /** Forget session role/grant state so lifecycle gates replay
     * idempotently — see [[PrestoSecurity.resetSecurityState]]. */
   def resetSecurityState(spark: SparkSession): Unit =

@@ -152,16 +152,13 @@ object StatementAdmission {
         val g = ResourceGroups.stateOf(resolved)
         val rec = PrestoSystem.beginQueued(spark, sqlText,
           resolved.segments)
-        def failPark(default: String): Nothing = {
-          val killText = PrestoSystem.failQueued(rec)
-          throw new IllegalStateException(killText.getOrElse(default))
-        }
         val admission =
           try ResourceGroups.admitWithWaiter(g,
             PrestoStatements.queryPriority(spark)) { t =>
             PrestoSystem.registerParked(rec, g, t)
           } catch { case e: Throwable => // queue-full rejection
-            PrestoSystem.failQueued(rec)
+            PrestoSystem.failQueued(spark, rec,
+              Option(e.getMessage).getOrElse("admission rejected"))
             throw e
           }
         admission match {
@@ -172,11 +169,15 @@ object StatementAdmission {
               catch { case e: Throwable =>
                 // interruption etc. — the ticket bookkeeping is
                 // awaitTicket's, the record settling is ours
-                PrestoSystem.failQueued(rec)
+                PrestoSystem.failQueued(spark, rec,
+                  Option(e.getMessage).getOrElse("park interrupted"))
                 throw e
               } finally PrestoSystem.unregisterParked(rec)
-            if (!granted) failPark("query did not start within " +
-              s"$timeoutMillis ms queued on group ${resolved.id}")
+            if (!granted)
+              throw new IllegalStateException(
+                PrestoSystem.failQueued(spark, rec,
+                  "query did not start within " +
+                    s"$timeoutMillis ms queued on group ${resolved.id}"))
         }
         try ResourceGroups.runGranted(spark, resolved, g)(body)
         finally PrestoSystem.dropPending(rec)

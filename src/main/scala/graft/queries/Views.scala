@@ -1551,6 +1551,95 @@ object Views extends QueryPack {
       phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
     }),
 
+    // The EventListener SPI (plans/QueryEvents.scala — the reference's
+    // presto-spi eventlistener surface audit/telemetry plugins hang
+    // off): queryCreated/queryCompleted fire per routed statement with
+    // REAL stage-aggregate statistics (the status-store correlation
+    // system.runtime.tasks serves), splitCompleted fires per Spark
+    // task through a real SparkListener, failures carry
+    // QueryFailureInfo, session properties/catalog/schema ride in the
+    // QueryContext, and a removed listener hears nothing.
+    "q3v_event_listeners" -> ((s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.Registry.install(s)
+      import graft.functions.Registry.{addQueryEventListener,
+        prestoStatement, removeQueryEventListener}
+      import graft.plans.QueryEvents._
+      import scala.jdk.CollectionConverters._
+      val phases =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def phase(k: String, v: Boolean): Unit = phases += ((k, v.toString))
+      val created = new java.util.concurrent
+        .CopyOnWriteArrayList[QueryCreatedEvent]()
+      val completed = new java.util.concurrent
+        .CopyOnWriteArrayList[QueryCompletedEvent]()
+      val splits = new java.util.concurrent
+        .CopyOnWriteArrayList[SplitCompletedEvent]()
+      val listener = new EventListener {
+        override def queryCreated(e: QueryCreatedEvent): Unit =
+          created.add(e)
+        override def queryCompleted(e: QueryCompletedEvent): Unit =
+          completed.add(e)
+        override def splitCompleted(e: SplitCompletedEvent): Unit =
+          splits.add(e)
+      }
+      s.sql("DROP TABLE IF EXISTS graft_ev_t")
+      addQueryEventListener(s, listener)
+      try {
+        prestoStatement(s,
+          "SET SESSION optimize_metadata_queries = 'true'")
+        prestoStatement(s,
+          """CREATE TABLE graft_ev_t AS
+            |SELECT l_orderkey, l_quantity FROM lineitem""".stripMargin)
+        val failedLoudly =
+          try { prestoStatement(s, "SELECT * FROM graft_ev_no_such")
+            false }
+          catch { case _: Exception => true }
+        prestoStatement(s, "RESET SESSION optimize_metadata_queries")
+        val cs = created.asScala.toList
+        val ds = completed.asScala.toList
+        val ctas = ds.find(
+          _.metadata.query.startsWith("CREATE TABLE graft_ev_t"))
+        val failEv = ds.find(_.metadata.query.contains("graft_ev_no_such"))
+        phase("a_created_per_statement",
+          cs.exists(_.metadata.query.startsWith("CREATE TABLE graft_ev_t"))
+            && cs.forall(e => e.metadata.queryId.endsWith("_graft") &&
+              e.context.user.nonEmpty))
+        phase("b_ctas_completed_stats", ctas.exists { e =>
+          e.metadata.queryState == "FINISHED" && e.statistics.complete &&
+            e.statistics.totalRows >= 1000L &&
+            e.statistics.completedSplits >= 1 &&
+            e.statistics.wallTimeMillis >= 0 &&
+            !e.endTime.isBefore(e.createTime) && e.failureInfo.isEmpty
+        })
+        phase("c_failure_event", failedLoudly && failEv.exists { e =>
+          e.metadata.queryState == "FAILED" && !e.statistics.complete &&
+            e.failureInfo.exists(_.failureMessage.exists(_.nonEmpty))
+        })
+        phase("d_session_props_in_context", ctas.exists(
+          _.context.sessionProperties.get("optimize_metadata_queries")
+            .contains("true")))
+        phase("e_split_events_per_task", {
+          val ctasId = ctas.map(_.metadata.queryId).toSet
+          val mine = splits.asScala.filter(sp => ctasId(sp.queryId))
+          mine.nonEmpty && mine.forall(_.failureMessage.isEmpty) &&
+            mine.map(_.statistics.completedPositions).sum >= 1000L
+        })
+        phase("f_context_facts", ctas.exists(e =>
+          e.context.serverVersion == s.version &&
+            e.context.catalog.nonEmpty && e.context.schema.nonEmpty))
+        removeQueryEventListener(s, listener)
+        val before = created.size
+        prestoStatement(s, "SELECT 1 AS ev_probe").collect()
+        phase("g_removed_listener_silent", created.size == before)
+      } finally {
+        removeQueryEventListener(s, listener)
+        s.sql("DROP TABLE IF EXISTS graft_ev_t")
+      }
+      import s.implicits._
+      phases.toSeq.toDF("phase", "observed").orderBy(col("phase"))
+    }),
+
     // testViewMetadata analog: created views appear in catalog listings
     // with their temporary-ness, without scanning any data.
     "qc3_view_metadata" -> ((s, dir) => {
@@ -1644,6 +1733,17 @@ object Views extends QueryPack {
         |  true AS run_queue_ok, true AS queue_full_ok,
         |  true AS promote_ok, true AS pool_ok
         |FROM r ORDER BY k""".stripMargin,
+
+    "q3v_event_listeners" ->
+      """SELECT phase, observed FROM (VALUES
+        |  ('a_created_per_statement', 'true'),
+        |  ('b_ctas_completed_stats', 'true'),
+        |  ('c_failure_event', 'true'),
+        |  ('d_session_props_in_context', 'true'),
+        |  ('e_split_events_per_task', 'true'),
+        |  ('f_context_facts', 'true'),
+        |  ('g_removed_listener_silent', 'true')) t(phase, observed)
+        |ORDER BY phase""".stripMargin,
 
     "q3u_statement_admission" ->
       """SELECT phase, observed FROM (VALUES
