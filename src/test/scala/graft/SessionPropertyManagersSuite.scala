@@ -185,6 +185,51 @@ class SessionPropertyManagersSuite extends GraftSuite {
     assert(queryTypeOf("   ") == None)
   }
 
+  test("query events compose with statement admission") {
+    // an admitted statement's created event fires at DISPATCH with the
+    // reference's QUEUED state, and its completed event carries the
+    // resolved group's segments + the queued time
+    import graft.functions.Registry._
+    import graft.plans.QueryEvents._
+    install(spark)
+    val mgr = ResourceGroups.parse(
+      """{ "rootGroups": [
+        |  { "name": "ev", "maxQueued": 5, "hardConcurrencyLimit": 4 } ],
+        |  "selectors": [ { "user": ".*", "group": "ev" } ] }"""
+        .stripMargin)
+    ResourceGroups.clearAll()
+    val created = new java.util.concurrent
+      .CopyOnWriteArrayList[QueryCreatedEvent]()
+    val completed = new java.util.concurrent
+      .CopyOnWriteArrayList[QueryCompletedEvent]()
+    val l = new EventListener {
+      override def queryCreated(e: QueryCreatedEvent): Unit = created.add(e)
+      override def queryCompleted(e: QueryCompletedEvent): Unit =
+        completed.add(e)
+    }
+    addQueryEventListener(spark, l)
+    installResourceGroups(spark, mgr)
+    try {
+      prestoStatement(spark, "SELECT 7 AS ev_adm_probe").collect()
+      import scala.jdk.CollectionConverters._
+      val c = created.asScala.find(_.metadata.query.contains("ev_adm_probe"))
+      assert(c.nonEmpty)
+      assert(c.get.metadata.queryState == "QUEUED") // dispatch state
+      assert(c.get.context.resourceGroupId.contains(Seq("ev")))
+      val d = completed.asScala
+        .find(_.metadata.query.contains("ev_adm_probe"))
+      assert(d.nonEmpty)
+      assert(d.get.metadata.queryState == "FINISHED")
+      assert(d.get.statistics.queuedTimeMillis >= 0L)
+      assert(d.get.context.resourceGroupId.contains(Seq("ev")))
+      assert(d.get.executionStartTime.nonEmpty)
+    } finally {
+      uninstallResourceGroups(spark)
+      removeQueryEventListener(spark, l)
+      ResourceGroups.clearAll()
+    }
+  }
+
   test("explicit SET SESSION outranks manager defaults and survives") {
     import graft.functions.Registry.{install, prestoStatement}
     install(spark)
