@@ -80,6 +80,24 @@ object Events extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming first-arrival dedup, batch twin (the SAME deterministic
+    // semantics an ordered replay of StreamingDedup.firstArrival
+    // emits — per (user_id, event_type) the smallest (ts, event_id)
+    // row survives; the streaming arms run in StreamingSuite against
+    // this twin). Summarized per event type so the oracle compares a
+    // stable aggregate of the 10000→750-row dedup.
+    "q3w_streaming_dedup" -> ((s, dir) => {
+      val deduped = graft.streaming.StreamingDedup.firstArrivalBatch(
+        Tables.view(s, dir, "events"),
+        Seq("user_id", "event_type"), "ts", "event_id")
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")), 4).as("kept_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Stream-static enrichment, batch twin of EventStream.enrich (the
     // SAME function — the gate runs the streaming code path's join
     // against the differential oracle): events left-joined to the
@@ -144,6 +162,18 @@ object Events extends QueryPack {
         |  round(avg((s_end - s_start) / 1e6), 2) AS avg_session_sec
         |FROM sess WHERE user_id < 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q3w_streaming_dedup" ->
+      """SELECT event_type, count(*) AS n_kept,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(event_id) AS id_sum,
+        |  round(sum(value), 4) AS kept_value
+        |FROM (
+        |  SELECT * FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "qn8_event_enrichment" ->
       """SELECT coalesce(n_name, 'UNKNOWN') AS n_name,

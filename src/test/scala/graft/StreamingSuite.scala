@@ -314,6 +314,60 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("StreamingDedup.firstArrival matches its batch twin under ordered replay") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0), // dup -> dropped
+      Event(3, ts(2), 2, "click", 3.0),
+      Event(4, ts(3), 1, "view", 4.0),
+      Event(5, ts(4), 2, "click", 5.0), // dup -> dropped
+      Event(6, ts(5), 2, "view", 6.0))
+    val in = MemoryStream[Event]
+    val q = StreamingDedup.firstArrival(in.toDF(),
+      Seq("user_id", "event_type"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sd_first")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sd_first")
+        .select("event_id").as[Long].collect().toSet
+      val twin = StreamingDedup.firstArrivalBatch(data.toDF(),
+        Seq("user_id", "event_type"), "ts", "event_id")
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == twin && twin == Set(1L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+
+  test("StreamingDedup.firstArrivalWithin re-admits past the horizon") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingDedup.firstArrivalWithin(in.toDF(),
+      Seq("user_id", "event_type"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sd_within")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0)) // within horizon -> dropped
+      q.processAllAvailable()
+      // advance the watermark far past the first sighting's horizon:
+      // the same key is then a FRESH document (re-crawl semantics)
+      in.addData(Event(3, ts(60), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(65), 1, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(200), 9, "view", 5.0)) // close event 4's window
+      q.processAllAvailable()
+      val ids = spark.table("sd_within")
+        .select("event_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && !ids.contains(2L) && ids.contains(4L))
+    } finally q.stop()
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.
