@@ -102,6 +102,20 @@ private[functions] object PrestoSystem {
   private val parked = mutable.Map.empty[String,
     (graft.plans.ResourceGroups.GroupState, Long)]
 
+  // query ids recorded on each session — the split tap's ownership
+  // probe (a shared SparkContext can host several sessions; one
+  // session's listeners must not hear another session's splits).
+  // Grows with the log, which already holds every id.
+  private val queryIdIndex =
+    new java.util.WeakHashMap[SparkSession, mutable.Set[String]]()
+
+  /** Whether `queryId` was recorded on THIS session. O(1), called per
+    * task end by the split tap. */
+  def ownsQuery(spark: SparkSession, queryId: String): Boolean =
+    synchronized {
+      Option(queryIdIndex.get(spark)).exists(_.contains(queryId))
+    }
+
   private def newRec(spark: SparkSession, sqlText: String, state: String,
       group: Option[Seq[String]]): QRec = {
     val n = counters.computeIfAbsent(spark, _ => Array(0))
@@ -109,9 +123,12 @@ private[functions] object PrestoSystem {
     val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
     val source = spark.conf.getOption("graft.source").orNull
-    QRec(f"${ts}_${n(0)}%05d_graft", state,
+    val rec = QRec(f"${ts}_${n(0)}%05d_graft", state,
       spark.sparkContext.sparkUser, source, group, sqlText.trim,
       System.currentTimeMillis(), 0L)
+    queryIdIndex.computeIfAbsent(spark, _ => mutable.Set.empty)
+      .add(rec.queryId)
+    rec
   }
 
   /** Register a dispatched-but-not-yet-admitted statement: a QUEUED
@@ -288,20 +305,29 @@ private[functions] object PrestoSystem {
   def finish(spark: SparkSession, rec: AnyRef, failed: Boolean,
       failure: Option[Throwable] = None): Unit = {
     val r = rec.asInstanceOf[QRec]
-    synchronized {
-      // a kill that landed is authoritative even on the success path —
-      // never downgrade FAILED back to FINISHED
-      r.state =
-        if (failed || r.killMessage != null) "FAILED" else "FINISHED"
-      r.endMs = System.currentTimeMillis()
-      r.watchdog.foreach(_.cancel(false))
-      r.watchdog = None
+    val settledNow = synchronized {
+      // idempotent on an already-settled record (finishSuccess settles
+      // then THROWS the kill text, and the router's catch finishes
+      // again — without this guard that path would double-fire the
+      // queryCompleted plugin event and move endMs)
+      if (r.state != "RUNNING" && r.state != "QUEUED") false
+      else {
+        // a kill that landed is authoritative even on the success
+        // path — never downgrade FAILED back to FINISHED
+        r.state =
+          if (failed || r.killMessage != null) "FAILED" else "FINISHED"
+        r.endMs = System.currentTimeMillis()
+        r.watchdog.foreach(_.cancel(false))
+        r.watchdog = None
+        true
+      }
     }
     // outside the lock: plugin code + a status-store read
-    maybeFireCompleted(spark, r,
-      Option(r.killMessage).orElse(failure.flatMap(e =>
-        Option(e.getMessage))),
-      failureType = failure.map(_.getClass.getSimpleName))
+    if (settledNow)
+      maybeFireCompleted(spark, r,
+        Option(r.killMessage).orElse(failure.flatMap(e =>
+          Option(e.getMessage))),
+        failureType = failure.map(_.getClass.getSimpleName))
   }
 
   /** The success-path completion: kill_query sets killMessage under
@@ -338,9 +364,7 @@ private[functions] object PrestoSystem {
 
   private def contextOf(spark: SparkSession,
       r: QRec): QueryEvents.QueryContext = {
-    val tags = spark.conf.getOption("graft.client_tags")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
+    val tags = StatementAdmission.clientTags(spark)
     val props = PrestoStatements.explicitSessionProps(spark)
       .map(n => n -> PrestoStatements.sessionPropValue(spark, n)).toMap
     QueryEvents.QueryContext(
@@ -368,12 +392,19 @@ private[functions] object PrestoSystem {
       failure: Option[String], failureType: Option[String]): Unit =
     if (QueryEvents.hasListeners(spark)) {
       // REAL stage aggregates for this statement's job group — the
-      // same status-store correlation system.runtime.tasks serves
-      val sc = spark.sparkContext
-      org.apache.spark.graft.StatusBridge.flush(sc)
-      val groups = org.apache.spark.graft.StatusBridge.stageGroups(sc)
-      val mine = org.apache.spark.graft.StatusBridge.stages(sc)
-        .filter(s => groups.get(s.stageId).contains(r.queryId))
+      // same status-store correlation system.runtime.tasks serves. A
+      // never-started record (queue-full/park-timeout/queued-kill)
+      // provably has no stages: skip the bus drain + store scan.
+      val mine =
+        if (r.neverStarted)
+          Seq.empty[org.apache.spark.status.api.v1.StageData]
+        else {
+          val sc = spark.sparkContext
+          org.apache.spark.graft.StatusBridge.flush(sc)
+          val groups = org.apache.spark.graft.StatusBridge.stageGroups(sc)
+          org.apache.spark.graft.StatusBridge.stages(sc)
+            .filter(s => groups.get(s.stageId).contains(r.queryId))
+        }
       val stats = QueryEvents.QueryStatistics(
         cpuTimeMillis = mine.map(_.executorCpuTime).sum / 1000000L,
         wallTimeMillis = math.max(0L, r.endMs - r.createdMs),
@@ -391,8 +422,8 @@ private[functions] object PrestoSystem {
         QueryEvents.QueryMetadata(r.queryId, r.query, r.state),
         stats,
         contextOf(spark, r),
-        failure.map(m =>
-          QueryEvents.QueryFailureInfo(failureType, Some(m))),
+        if (failure.isEmpty && failureType.isEmpty) None
+        else Some(QueryEvents.QueryFailureInfo(failureType, failure)),
         java.time.Instant.ofEpochMilli(r.createdMs),
         if (r.neverStarted) None
         else Some(java.time.Instant.ofEpochMilli(

@@ -1880,7 +1880,9 @@ object Registry {
     * [[graft.plans.QueryEvents]]. */
   def addQueryEventListener(spark: SparkSession,
       l: graft.plans.QueryEvents.EventListener): Unit =
-    graft.plans.QueryEvents.addListener(spark, l)
+    graft.plans.QueryEvents.addListener(spark, l,
+      // split events scoped to queries this session's router recorded
+      (s, qid) => PrestoSystem.ownsQuery(s, qid))
 
   def removeQueryEventListener(spark: SparkSession,
       l: graft.plans.QueryEvents.EventListener): Unit =

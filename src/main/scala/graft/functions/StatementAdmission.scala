@@ -117,6 +117,14 @@ object StatementAdmission {
     else None
   }
 
+  /** The session's client tags (`graft.client_tags`, comma-separated —
+    * Session.getClientTags): the ONE parse admission and the event
+    * SPI's QueryContext both consume. */
+  private[functions] def clientTags(spark: SparkSession): Set[String] =
+    spark.conf.getOption("graft.client_tags")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+
   private def estimates(spark: SparkSession): ResourceGroups.QueryEstimates =
     ResourceGroups.QueryEstimates(
       spark.conf.getOption("graft.resource_estimates.execution_time")
@@ -136,9 +144,7 @@ object StatementAdmission {
       case Some(select) =>
         val user = spark.sparkContext.sparkUser
         val source = spark.conf.getOption("graft.source")
-        val tags = spark.conf.getOption("graft.client_tags")
-          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-          .getOrElse(Set.empty[String])
+        val tags = clientTags(spark)
         val resolved = select(user, source, tags, queryTypeOf(sqlText),
           estimates(spark)).getOrElse(throw new IllegalStateException(
           "Query did not match any selection rule"))

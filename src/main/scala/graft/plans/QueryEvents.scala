@@ -3,8 +3,8 @@ package graft.plans
 import java.time.Instant
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
-  SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** The reference's EventListener SPI — the plugin surface audit/
@@ -121,20 +121,28 @@ object QueryEvents {
   private val splitTaps =
     new java.util.WeakHashMap[SparkSession, SplitTap]()
 
-  def addListener(spark: SparkSession, l: EventListener): Unit =
-    synchronized {
-      listeners.computeIfAbsent(spark,
-        _ => new java.util.concurrent.CopyOnWriteArrayList[EventListener]())
-        .add(l)
-      // split events need a real SparkListener — installed once per
-      // session on first registration, kept (it is inert without
-      // listeners)
-      if (!splitTaps.containsKey(spark)) {
-        val tap = new SplitTap(spark)
-        spark.sparkContext.addSparkListener(tap)
-        splitTaps.put(spark, tap)
-      }
+  /** Register a listener. `ownsQuery` scopes split events to queries
+    * recorded on THIS session (a shared SparkContext can host several
+    * sessions — one session's listeners must not hear another's
+    * splits); the Registry facade wires the query log's probe in. */
+  def addListener(spark: SparkSession, l: EventListener,
+      ownsQuery: (SparkSession, String) => Boolean = (_, _) => true):
+      Unit = synchronized {
+    listeners.computeIfAbsent(spark,
+      _ => new java.util.concurrent.CopyOnWriteArrayList[EventListener]())
+      .add(l)
+    // split events need a real SparkListener — installed once per
+    // session on first registration; it holds the session WEAKLY (so
+    // a dropped session stays collectable) and removes itself from
+    // the bus once the session is gone
+    if (!splitTaps.containsKey(spark)) {
+      val tap = new SplitTap(
+        new java.lang.ref.WeakReference(spark),
+        spark.sparkContext, ownsQuery)
+      spark.sparkContext.addSparkListener(tap)
+      splitTaps.put(spark, tap)
     }
+  }
 
   def removeListener(spark: SparkSession, l: EventListener): Unit =
     synchronized {
@@ -169,21 +177,41 @@ object QueryEvents {
   /** Correlates task ends to query ids via the job group the router
     * set (the same join system.runtime.tasks performs) and fires one
     * SplitCompletedEvent per task with its REAL metrics. Stage→group
-    * entries retire when the stage completes. */
-  private final class SplitTap(spark: SparkSession) extends SparkListener {
+    * entries retire when their JOB ends (not per stage attempt — a
+    * retried attempt's tasks must still correlate, and stages a job
+    * SKIPS never get a completion event to clean on). The session
+    * rides as a weak reference: a dropped session is collectable, and
+    * the tap removes itself from the bus on the next event after. */
+  private final class SplitTap(
+      sessionRef: java.lang.ref.WeakReference[SparkSession],
+      sc: org.apache.spark.SparkContext,
+      ownsQuery: (SparkSession, String) => Boolean) extends SparkListener {
     private val stageToGroup = new ConcurrentHashMap[Int, String]()
+    private val jobToStages = new ConcurrentHashMap[Int, Seq[Int]]()
 
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val group = Option(js.properties)
         .map(_.getProperty("spark.jobGroup.id")).orNull
       // only statements the router tagged (query-id shaped groups)
-      if (group != null && group.endsWith("_graft"))
-        js.stageIds.foreach(sid => stageToGroup.put(sid, group))
+      if (group != null && group.endsWith("_graft")) {
+        val sids = js.stageIds.map(_.asInstanceOf[Int])
+        sids.foreach(sid => stageToGroup.put(sid, group))
+        jobToStages.put(js.jobId, sids)
+      }
     }
 
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val session = sessionRef.get()
+      if (session == null) {
+        // the session is gone: unhook and drop the correlation state
+        sc.removeSparkListener(this)
+        stageToGroup.clear()
+        jobToStages.clear()
+        return
+      }
       val qid = stageToGroup.get(te.stageId)
-      if (qid != null && te.taskInfo != null) {
+      if (qid != null && te.taskInfo != null &&
+          ownsQuery(session, qid)) {
         val m = Option(te.taskMetrics)
         val stats = SplitStatistics(
           cpuTimeMillis = m.map(_.executorCpuTime / 1000000L).getOrElse(0L),
@@ -196,7 +224,7 @@ object QueryEvents {
           case org.apache.spark.Success => None
           case other => Some(other.toString)
         }
-        fireSplit(spark, SplitCompletedEvent(
+        fireSplit(session, SplitCompletedEvent(
           queryId = qid,
           stageId = s"${te.stageId}.${te.stageAttemptId}",
           taskId = te.taskInfo.taskId.toString,
@@ -209,8 +237,9 @@ object QueryEvents {
       }
     }
 
-    override def onStageCompleted(
-        sc: SparkListenerStageCompleted): Unit =
-      stageToGroup.remove(sc.stageInfo.stageId)
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val sids = jobToStages.remove(je.jobId)
+      if (sids != null) sids.foreach(stageToGroup.remove(_))
+    }
   }
 }
