@@ -152,7 +152,16 @@ private[functions] object PrestoStatements {
     "writer_min_size", "query_max_memory", "query_max_memory_per_node",
     "query_max_total_memory", "query_max_total_memory_per_node",
     "aggregation_operator_unspill_memory_limit",
-    "filter_and_project_min_output_page_size")
+    "filter_and_project_min_output_page_size",
+    // the hive catalog's dataSizeSessionProperty registrations
+    "max_initial_split_size", "max_split_size", "orc_max_buffer_size",
+    "orc_max_merge_distance", "orc_max_read_block_size",
+    "orc_optimized_writer_max_dictionary_memory",
+    "orc_optimized_writer_max_stripe_size",
+    "orc_optimized_writer_min_stripe_size", "orc_stream_buffer_size",
+    "orc_string_statistics_limit", "orc_tiny_stripe_threshold",
+    "pagefile_writer_max_stripe_size", "parquet_max_read_block_size",
+    "parquet_writer_block_size", "parquet_writer_page_size")
   private val powerOfTwoProps = Set("task_writer_count",
     "task_partitioned_writer_count", "task_concurrency")
 

@@ -1324,7 +1324,7 @@ object Views extends QueryPack {
           .map(r => r.getString(0) ->
             ((r.getString(1), r.getString(2), r.getString(3)))).toMap
       val all = shown()
-      phase("a_row_count_82", all.size == 82)
+      phase("a_row_count_135", all.size == 135)
       // verbatim defaults: config-derived values through the
       // reference's Duration/DataSize/enum toString renderings
       phase("b_defaults_verbatim",
@@ -1337,7 +1337,9 @@ object Views extends QueryPack {
           all("execution_policy")._2 == "all-at-once" &&
           all("aggregation_operator_unspill_memory_limit")._2 == "4MB" &&
           all("task_concurrency")._3 == "bigint" &&
-          all("hive.insert_existing_partitions_behavior")._2 == "APPEND")
+          all("hive.insert_existing_partitions_behavior")._2 == "APPEND" &&
+          all("hive.hive_storage_format")._2 == "ORC" &&
+          all("hive.orc_optimized_writer_max_stripe_size")._2 == "64MB")
       // hidden properties are settable but not listed
       // (visitShowSession:670 skips them; query_max_memory is hidden
       // in this snapshot)
@@ -1759,7 +1761,7 @@ object Views extends QueryPack {
 
     "q3t_session_registry" ->
       """SELECT phase, observed FROM (VALUES
-        |  ('a_row_count_82', 'true'),
+        |  ('a_row_count_135', 'true'),
         |  ('b_defaults_verbatim', 'true'),
         |  ('c_hidden_settable_not_listed', 'true'),
         |  ('d_dozen_set_visible', 'true'),
@@ -1919,7 +1921,7 @@ object Views extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('conf_applied', '7'),
         |  ('conf_restored', 'true'),
-        |  ('defaults_listed', '82'),
+        |  ('defaults_listed', '135'),
         |  ('partitioned_forces_shuffle', 'true'),
         |  ('reset_restores_bcast', 'true'),
         |  ('reset_shows_default', '100'),

@@ -776,10 +776,12 @@ class RegistrySuite extends GraftSuite {
   test("session-property registry carries the full reference inventory") {
     import graft.functions.SessionProperties.defs
     // 92 SystemSessionProperties registrations (11 hidden) + the hive
-    // connector property — tools/extract_session_props.py is the
-    // extraction; these counts lock the inventory against drift
-    assert(defs.size == 93)
-    assert(defs.count(_.hidden) == 11)
+    // catalog's complete 58-property inventory (4 hidden) —
+    // tools/extract_session_props.py + extract_hive_session_props.py
+    // are the extractions; these counts lock against drift
+    assert(defs.size == 150)
+    assert(defs.count(_.hidden) == 15)
+    assert(defs.count(_.catalog.contains("hive")) == 58)
     assert(defs.map(_.name).distinct.size == defs.size)
     assert(defs.forall(d => d.name == d.name.toLowerCase))
     assert(defs.forall(d =>
@@ -794,9 +796,11 @@ class RegistrySuite extends GraftSuite {
     // renders the hive property catalog-qualified and last
     val names = Registry.prestoStatement(spark, "SHOW SESSION")
       .collect().map(_.getString(0)).toSeq
-    assert(names.size == 82)
-    assert(names.last == "hive.insert_existing_partitions_behavior")
-    assert(names.init == names.init.sorted)
+    assert(names.size == 135)
+    val (sys, hive) = names.partition(!_.startsWith("hive."))
+    assert(sys.size == 81 && hive.size == 54)
+    assert(names == sys ++ hive) // system section first
+    assert(sys == sys.sorted && hive == hive.sorted)
   }
 
   test("SHOW CREATE FUNCTION replays the created text; DROP FUNCTION removes it") {
