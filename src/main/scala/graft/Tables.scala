@@ -23,6 +23,28 @@ object Tables {
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalizes events.ts to a session TimestampType (µs) column
+    * whatever the fixture's physical type: int64 nanos (a ns-typed
+    * parquet read under the legacy nanosAsLong conf) is truncated to
+    * µs via integer division — nanos-since-2024 exceed double
+    * precision — and TIMESTAMP_NTZ is cast. Every downstream query AND
+    * every DuckDB oracle compares at this µs resolution (oracles rank/
+    * group by `epoch_us(ts)`, never raw ts — see Events.scala's qa7 /
+    * q3w notes); StreamingSuite locks the convention with a planted
+    * sub-µs tie. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
   // Temp views are session-global, so track the single sfDir currently
   // registered per session and re-register on any change — a Set of
   // (session, dir) pairs would let a stale dir hit the cache and silently
@@ -44,19 +66,7 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       names.foreach { n =>
         val raw = df(spark, sfDir, n)
-        val v =
-          if (n == "events") {
-            import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-            raw.schema("ts").dataType match {
-              case LongType =>
-                // int64 nanos; integer division — nanos-since-2024 exceed
-                // double precision.
-                raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-              case TimestampNTZType =>
-                raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-              case _ => raw
-            }
-          } else raw
+        val v = if (n == "events") normalizeEventsTs(raw) else raw
         v.createOrReplaceTempView(n)
       }
       // partsupp: the slim fixture omits TPC-H's partsupp table; derive it

@@ -259,8 +259,11 @@ private[functions] object PrestoSystem {
     * every gate's internal collect). A plain SELECT returns a LAZY
     * DataFrame whose jobs run at the caller's action, outside the
     * bracket; a library has no dispatcher owning that lifecycle, so
-    * those jobs are the caller's to cancel (the job group id is the
-    * query id — `cancelJobGroup` reaches them too). */
+    * those jobs are the caller's to cancel. Within the bracket the
+    * kill IS final: `cancelJobGroupAndFutureJobs` both cancels active
+    * jobs and fails any later submission under the query's group, so
+    * a killed multi-job statement never computes its next stage —
+    * the reference's failQuery finality. */
   private def armTimeLimits(spark: SparkSession, rec: QRec): Unit = {
     val explicit = PrestoStatements.explicitSessionProps(spark)
     def arm(prop: String, alreadySpentMs: Long, text: String => String):
@@ -279,7 +282,10 @@ private[functions] object PrestoSystem {
           val running = PrestoSystem.synchronized(rec.state == "RUNNING")
           if (running) {
             rec.killMessage = text(rendered)
-            spark.sparkContext.cancelJobGroup(rec.queryId)
+            // AndFutureJobs: the limit is final like the reference's
+            // failQuery — a multi-job statement's NEXT submission under
+            // this group fails immediately instead of computing
+            spark.sparkContext.cancelJobGroupAndFutureJobs(rec.queryId)
           }
         }
       }, math.max(0L, millis - alreadySpentMs),
@@ -405,6 +411,27 @@ private[functions] object PrestoSystem {
           org.apache.spark.graft.StatusBridge.stages(sc)
             .filter(s => groups.get(s.stageId).contains(r.queryId))
         }
+      // task-granular gauges (QueryStatistics.java:35,:46): per-task
+      // metrics for the statement's stage attempts, read once each
+      val stageTasks = mine.map(s => (s,
+        org.apache.spark.graft.StatusBridge.taskMetrics(
+          spark.sparkContext, s.stageId, s.attemptId)))
+      // one GC row per stage attempt that actually RAN tasks — a
+      // skipped stage (AQE exchange reuse) has none, and the reference
+      // only aggregates executed stages
+      val gcStats = stageTasks.filter(_._2.nonEmpty).map { case (s, tms) =>
+        val secs = tms.map(tm => (tm.jvmGcTime / 1000L).toInt)
+        QueryEvents.StageGcStatistics(
+          stageId = s.stageId,
+          stageExecutionId = s.attemptId,
+          tasks = tms.size,
+          fullGcTasks = tms.count(_.jvmGcTime > 0L),
+          minFullGcSec = if (secs.isEmpty) 0 else secs.min,
+          maxFullGcSec = if (secs.isEmpty) 0 else secs.max,
+          totalFullGcSec = secs.sum,
+          averageFullGcSec =
+            if (secs.isEmpty) 0 else secs.sum / secs.size)
+      }
       val stats = QueryEvents.QueryStatistics(
         cpuTimeMillis = mine.map(_.executorCpuTime).sum / 1000000L,
         wallTimeMillis = math.max(0L, r.endMs - r.createdMs),
@@ -412,10 +439,13 @@ private[functions] object PrestoSystem {
         analysisTimeMillis =
           if (r.neverStarted) None
           else Some(math.max(0L, r.endMs - r.createdMs - r.queuedMs)),
+        peakTaskTotalMemory = stageTasks.flatMap(_._2)
+          .map(_.peakExecutionMemory).foldLeft(0L)(math.max),
         totalRows = mine.map(_.inputRecords).sum,
         totalBytes = mine.map(_.inputBytes).sum,
         outputRows = mine.map(_.outputRecords).sum,
         outputBytes = mine.map(_.outputBytes).sum,
+        stageGcStatistics = gcStats,
         completedSplits = mine.map(_.numCompleteTasks).sum,
         complete = r.state == "FINISHED")
       QueryEvents.fireCompleted(spark, QueryEvents.QueryCompletedEvent(
@@ -1201,9 +1231,14 @@ private[functions] object PrestoSystem {
           if (rec.state == "QUEUED") Some(parked.get(queryId)) else None
         }
         parkedInfo match {
-          case None => // RUNNING: cancel its tagged jobs; completion
-            // settles the kill even if they outran the cancellation
-            spark.sparkContext.cancelJobGroup(queryId)
+          case None => // RUNNING: cancel its tagged jobs AND bar future
+            // submissions under the group — the reference's failQuery
+            // fails the query object outright, so nothing further runs
+            // (KillQueryProcedure.java:66-70); a statement whose next
+            // job had not yet been submitted when the kill landed dies
+            // at that submission instead of computing it. Completion
+            // still settles the kill even if every job outran this.
+            spark.sparkContext.cancelJobGroupAndFutureJobs(queryId)
           case Some(Some((g, ticket))) =>
             // parked: revoke the wait (false = promotion won the race;
             // the statement then runs and finishSuccess settles it)

@@ -1875,6 +1875,27 @@ object Registry {
   def uninstallResourceGroups(spark: SparkSession): Unit =
     StatementAdmission.uninstall(spark)
 
+  /** The statement-lifecycle bracket the router wraps every routed
+    * statement in (the reference's QueryTracker registration) — public
+    * for embedders owning their own statement lifecycle: [[recordStatement]]
+    * logs a RUNNING record in system.runtime.queries and job-groups the
+    * thread under the new query id; [[finishStatement]] settles it;
+    * [[statementFailure]] maps a cancellation raised under a killed
+    * record to the reference's kill text; [[clearStatementGroup]]
+    * restores the thread's prior job group (pair it with every record). */
+  def recordStatement(spark: SparkSession, sqlText: String): AnyRef =
+    PrestoSystem.record(spark, sqlText)
+
+  def finishStatement(spark: SparkSession, rec: AnyRef, failed: Boolean,
+      failure: Option[Throwable] = None): Unit =
+    PrestoSystem.finish(spark, rec, failed, failure)
+
+  def statementFailure(rec: AnyRef, e: Throwable): Throwable =
+    PrestoSystem.failureFor(rec, e)
+
+  def clearStatementGroup(spark: SparkSession): Unit =
+    PrestoSystem.clearGroup(spark)
+
   /** Register an EventListener-SPI plugin (queryCreated/queryCompleted
     * per routed statement, splitCompleted per Spark task) — see
     * [[graft.plans.QueryEvents]]. */

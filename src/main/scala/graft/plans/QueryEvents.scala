@@ -26,12 +26,18 @@ import org.apache.spark.sql.SparkSession
   *     engine's split) through a real `SparkListener`, correlated to
   *     its query by job group — exactly how the tasks table joins.
   *
-  * Honest-subset note (documented, not stubbed): the reference's
-  *  executor-internal gauges (peak memory fields, GC statistics,
-  *  operator summaries, resource distributions) have no faithful
-  *  driver-side source in local mode and are OMITTED from the event
-  *  shape rather than reported as zeros; `uri`/`remoteClientAddress`/
-  *  `userAgent` are wire-protocol fields a library has none of.
+  * Honest-subset note (documented, not stubbed): of the reference's
+  *  executor-internal gauges, the two with faithful driver-side
+  *  sources in Spark's status store ARE served — `peakTaskTotalMemory`
+  *  (max over the statement's tasks of per-task peakExecutionMemory)
+  *  and `stageGcStatistics` (per-stage aggregates of per-task
+  *  jvmGcTime; Spark reports total GC, not a full-vs-minor split —
+  *  see [[StageGcStatistics]]). The rest (user-vs-revocable memory
+  *  split, operator summaries, resource distributions, cumulative
+  *  memory) have no faithful driver-side source in local mode and are
+  *  OMITTED from the event shape rather than reported as zeros;
+  *  `uri`/`remoteClientAddress`/`userAgent` are wire-protocol fields
+  *  a library has none of.
   *
   * Listener failures never fail the query: dispatch isolates each
   * listener call (the reference's event framework is fire-and-forget
@@ -60,15 +66,38 @@ object QueryEvents {
       transactionId: Option[String] = None,
       plan: Option[String] = None)
 
+  /** Per-stage GC aggregate (StageGcStatistics.java:20-52, field
+    * names preserved). Spark's task metrics expose TOTAL JVM GC time
+    * per task, not a full-vs-minor split, so the *FullGc* fields here
+    * carry total-GC figures — faithful per-task aggregates of
+    * `jvmGcTime`, documented rather than zero-filled: `fullGcTasks`
+    * counts tasks that paused for GC at all, and min/max/total/average
+    * are over per-task GC seconds. */
+  final case class StageGcStatistics(
+      stageId: Int,
+      stageExecutionId: Int,
+      tasks: Int,
+      fullGcTasks: Int,
+      minFullGcSec: Int,
+      maxFullGcSec: Int,
+      totalFullGcSec: Int,
+      averageFullGcSec: Int)
+
   final case class QueryStatistics(
       cpuTimeMillis: Long,
       wallTimeMillis: Long,
       queuedTimeMillis: Long,
       analysisTimeMillis: Option[Long],
+      // QueryStatistics.java:35 — the peak of a single task's memory;
+      // Spark's per-task peakExecutionMemory is the faithful source
+      // (max over the statement's tasks)
+      peakTaskTotalMemory: Long,
       totalRows: Long,
       totalBytes: Long,
       outputRows: Long,
       outputBytes: Long,
+      // QueryStatistics.java:46 — one row per stage attempt
+      stageGcStatistics: Seq[StageGcStatistics],
       completedSplits: Int,
       complete: Boolean)
 

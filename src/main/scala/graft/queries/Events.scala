@@ -85,7 +85,12 @@ object Events extends QueryPack {
     // emits — per (user_id, event_type) the smallest (ts, event_id)
     // row survives; the streaming arms run in StreamingSuite against
     // this twin). Summarized per event type so the oracle compares a
-    // stable aggregate of the 10000→750-row dedup.
+    // stable aggregate of the 10000→750-row dedup. The oracle ranks
+    // survivors by epoch_us(ts) — the qa7 convention above — so both
+    // engines pick the SAME survivor regardless of the fixture's
+    // physical ts resolution (Spark truncates a ns-typed fixture to
+    // µs; ranking by raw ts in DuckDB could pick a different survivor
+    // for keys tied at µs but distinct at ns).
     "q3w_streaming_dedup" -> ((s, dir) => {
       val deduped = graft.streaming.StreamingDedup.firstArrivalBatch(
         Tables.view(s, dir, "events"),
@@ -172,7 +177,7 @@ object Events extends QueryPack {
         |  SELECT * FROM events
         |  QUALIFY row_number() OVER (
         |    PARTITION BY user_id, event_type
-        |    ORDER BY ts, event_id) = 1)
+        |    ORDER BY epoch_us(ts), event_id) = 1)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "qn8_event_enrichment" ->

@@ -1591,8 +1591,12 @@ object Views extends QueryPack {
         prestoStatement(s,
           "SET SESSION optimize_metadata_queries = 'true'")
         prestoStatement(s,
+          // an aggregating CTAS: the hash aggregation + exchange give
+          // the tasks REAL execution memory, so the per-task peak
+          // gauge (phase b2) is provably nonzero, not a zero-fill
           """CREATE TABLE graft_ev_t AS
-            |SELECT l_orderkey, l_quantity FROM lineitem""".stripMargin)
+            |SELECT l_orderkey, sum(l_quantity) AS q
+            |FROM lineitem GROUP BY l_orderkey""".stripMargin)
         val failedLoudly =
           try { prestoStatement(s, "SELECT * FROM graft_ev_no_such")
             false }
@@ -1613,6 +1617,22 @@ object Views extends QueryPack {
             e.statistics.completedSplits >= 1 &&
             e.statistics.wallTimeMillis >= 0 &&
             !e.endTime.isBefore(e.createTime) && e.failureInfo.isEmpty
+        })
+        // task-granular gauges (QueryStatistics.java:35,:46): a CTAS
+        // with real stages serves a nonzero per-task memory peak and
+        // one GC row per stage attempt with internally-consistent
+        // task aggregates (total GC may legitimately be 0 on a small
+        // statement — the ROWS and task counts must be real)
+        phase("b2_task_gauges", ctas.exists { e =>
+          val gc = e.statistics.stageGcStatistics
+          e.statistics.peakTaskTotalMemory > 0L &&
+            gc.nonEmpty &&
+            gc.map(_.tasks).sum >= e.statistics.completedSplits &&
+            gc.forall(g => g.tasks >= 1 &&
+              g.fullGcTasks <= g.tasks &&
+              g.minFullGcSec <= g.maxFullGcSec &&
+              g.totalFullGcSec >= g.maxFullGcSec &&
+              g.averageFullGcSec <= g.maxFullGcSec)
         })
         phase("c_failure_event", failedLoudly && failEv.exists { e =>
           e.metadata.queryState == "FAILED" && !e.statistics.complete &&
@@ -1739,6 +1759,7 @@ object Views extends QueryPack {
     "q3v_event_listeners" ->
       """SELECT phase, observed FROM (VALUES
         |  ('a_created_per_statement', 'true'),
+        |  ('b2_task_gauges', 'true'),
         |  ('b_ctas_completed_stats', 'true'),
         |  ('c_failure_event', 'true'),
         |  ('d_session_props_in_context', 'true'),

@@ -23,6 +23,15 @@ object StatusBridge {
         j.stageIds.map(sid => sid.asInstanceOf[Int] -> g))
     }.toMap
 
+  /** Per-task metrics for one stage attempt (the UI/REST task table) —
+    * feeds the event SPI's task-granular gauges (peak task memory, GC
+    * aggregates). Only called on listener-bearing sessions. */
+  def taskMetrics(sc: SparkContext, stageId: Int, attemptId: Int):
+      Seq[org.apache.spark.status.api.v1.TaskMetrics] =
+    try sc.statusStore.taskList(stageId, attemptId, Int.MaxValue)
+      .flatMap(_.taskMetrics)
+    catch { case _: NoSuchElementException => Seq.empty }
+
   def flush(sc: SparkContext): Unit =
     // serve the current snapshot even if the bus is backed up — the
     // reference's table never errors, it reads whatever state exists

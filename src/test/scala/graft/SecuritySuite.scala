@@ -206,6 +206,54 @@ class SecuritySuite extends GraftSuite {
     spark.sql("DROP TABLE IF EXISTS graft_kill_victim")
   }
 
+  test("kill bars the killed query's FUTURE jobs (failQuery finality)") {
+    // KillQueryProcedure.java:66-70 fails the query OBJECT — nothing
+    // further runs. Spark twin: cancelJobGroupAndFutureJobs. Here the
+    // victim statement is mid-bracket (RUNNING, job group = query id),
+    // has finished one job, is killed, then acts on a lazy DataFrame it
+    // built earlier — the submission must FAIL, not compute a result.
+    val rec = Registry.recordStatement(spark,
+      "SELECT /* graft_future_kill_victim */ 1")
+    val killOut = try {
+      val queryId =
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+      assert(queryId != null && queryId.nonEmpty)
+      // job 1 under the victim's group computes normally
+      assert(spark.range(0, 100, 1, 4).count() == 100L)
+      // a lazy DataFrame built BEFORE the kill — nothing submitted yet
+      val lazyDf = spark.range(0, 1000, 1, 4).selectExpr("sum(id) AS s")
+      // the kill routes on this same thread; the router stacks its own
+      // job group and restores the victim's on exit (clearGroup)
+      // (the CALL's result is collected after the bracket clears — ANY
+      // job on this thread now dies, including the CALL output's own)
+      val out = stmt(
+        s"CALL system.runtime.kill_query('$queryId', 'no more work')")
+      assert(spark.sparkContext
+        .getLocalProperty("spark.jobGroup.id") == queryId)
+      // acting on the lazy DataFrame AFTER the kill fails at submission
+      val e = intercept[Exception] { lazyDf.collect() }
+      // the victim's bracket maps the cancellation to the kill text
+      assert(Registry.statementFailure(rec, e).getMessage ==
+        "Query killed. Message: no more work")
+      Registry.finishStatement(spark, rec, failed = true,
+        failure = Some(e))
+      out
+    } finally Registry.clearStatementGroup(spark)
+    // the thread's group is restored — jobs compute again, and the
+    // CALL's own result collects normally
+    assert(spark.range(0, 10).count() == 10L)
+    assert(killOut.collect()(0).getString(0) == "CALL")
+    val queryId =
+      stmt("""SELECT query_id FROM system.runtime.queries
+             |WHERE query LIKE 'SELECT /* graft_future_kill_victim%'"""
+        .stripMargin).collect()(0).getString(0)
+    val state = stmt(
+      s"""SELECT state FROM system.runtime.queries
+         |WHERE query_id = '$queryId'""".stripMargin)
+      .collect()(0).getString(0)
+    assert(state == "FAILED")
+  }
+
   test("query_max_execution_time cancels at the limit with the reference text") {
     // QueryTracker.enforceTimeLimits:215 — only an explicitly-SET
     // limit arms the watchdog; the victim errs with the reference's
@@ -321,6 +369,105 @@ class SecuritySuite extends GraftSuite {
       uninstallResourceGroups(spark)
       ResourceGroups.release(g)
       ResourceGroups.clearAll()
+    }
+  }
+
+  test("a DB-backed-manager park renders QUEUED with live queued_time_ms") {
+    // the file-manager arm above locks the QUEUED rendering; the
+    // DB-backed manager rides the SAME admission path
+    // (StatementAdmission.admitted → awaitTicket), so a statement
+    // parked by a DbResourceGroupManager must render identically: a
+    // QUEUED row with NULL started and a queued_time_ms that GROWS
+    // while parked, settling into the record once promoted
+    import graft.plans.{DbResourceGroupManager, ResourceGroups}
+    import graft.sources.{GraftMySqlDriver, MySqlStore}
+    import graft.functions.Registry.{installResourceGroups,
+      uninstallResourceGroups}
+    Tables.register(spark, SfDir)
+    GraftMySqlDriver.install()
+    val url = "jdbc:mysql://graft-shim/g"
+    Seq("resource_groups_global_properties", "resource_groups",
+      "selectors", "exact_match_source_selectors")
+      .foreach(MySqlStore.drop)
+    ResourceGroups.clearAll()
+    val mgr = new DbResourceGroupManager(url,
+      "graft.sources.GraftMySqlDriver", "suite")
+    mgr.initialize()
+    val c = java.sql.DriverManager.getConnection(url)
+    val ins = c.prepareStatement(
+      """INSERT INTO resource_groups (resource_group_id, name,
+        | soft_memory_limit, max_queued, soft_concurrency_limit,
+        | hard_concurrency_limit, scheduling_policy, scheduling_weight,
+        | jmx_export, soft_cpu_limit, hard_cpu_limit, parent,
+        | environment) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"""
+        .stripMargin)
+    ins.setLong(1, 1L); ins.setString(2, "dbq"); ins.setString(3, "1GB")
+    ins.setInt(4, 5); ins.setObject(5, null); ins.setInt(6, 1)
+    ins.setObject(7, null); ins.setObject(8, null); ins.setObject(9, null)
+    ins.setObject(10, null); ins.setObject(11, null)
+    ins.setObject(12, null); ins.setString(13, "suite")
+    ins.executeUpdate()
+    val sel = c.prepareStatement(
+      """INSERT INTO selectors (resource_group_id, priority, user_regex,
+        | source_regex, query_type, client_tags,
+        | selector_resource_estimate) VALUES (?, ?, ?, ?, ?, ?, ?)"""
+        .stripMargin)
+    sel.setLong(1, 1L); sel.setLong(2, 1L); sel.setString(3, ".*")
+    sel.setObject(4, null); sel.setObject(5, null)
+    sel.setObject(6, null); sel.setObject(7, null)
+    sel.executeUpdate()
+    mgr.load()
+    val g = ResourceGroups.stateOf(
+      mgr.select(spark.sparkContext.sparkUser, None).get)
+    assert(ResourceGroups.admit(g) == ResourceGroups.Run) // saturate
+    installResourceGroups(spark, mgr)
+    try {
+      @volatile var err: Throwable = null
+      val runner = new Thread(() => {
+        try stmt("SELECT 44 AS db_queued_probe").collect()
+        catch { case e: Throwable => err = e }
+      })
+      runner.setDaemon(true)
+      runner.start()
+      val parkDeadline = System.currentTimeMillis() + 30000
+      while (g.queuedCount == 0 &&
+        System.currentTimeMillis() < parkDeadline) Thread.sleep(10)
+      assert(g.queuedCount == 1, "runner never parked")
+      // uninstall so the observation polls don't route through the
+      // saturated group (the parked runner's wait is unaffected)
+      uninstallResourceGroups(spark)
+      def queuedMs(): Option[(String, Long, Boolean)] =
+        stmt("""SELECT query_id, queued_time_ms, started IS NULL AS ns
+               |FROM system.runtime.queries
+               |WHERE state = 'QUEUED'
+               |  AND query = 'SELECT 44 AS db_queued_probe'"""
+          .stripMargin).collect().headOption
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val deadline = System.currentTimeMillis() + 30000
+      var first: Option[(String, Long, Boolean)] = None
+      while (first.isEmpty && System.currentTimeMillis() < deadline) {
+        first = queuedMs()
+        if (first.isEmpty) Thread.sleep(20)
+      }
+      assert(first.nonEmpty, "statement never surfaced as QUEUED")
+      assert(first.get._3, "QUEUED row must carry NULL started")
+      Thread.sleep(150)
+      val second = queuedMs()
+      assert(second.nonEmpty && second.get._2 > first.get._2,
+        s"queued_time_ms must grow while parked: $first -> $second")
+      ResourceGroups.release(g) // promote the parked statement
+      runner.join(30000)
+      assert(!runner.isAlive && err == null)
+      val row = stmt(
+        s"""SELECT state, queued_time_ms FROM system.runtime.queries
+           |WHERE query_id = '${first.get._1}'""".stripMargin)
+        .collect()(0)
+      assert(row.getString(0) == "FINISHED")
+      assert(row.getLong(1) >= 150L) // the park charged as queued time
+    } finally {
+      uninstallResourceGroups(spark)
+      ResourceGroups.clearAll()
+      c.close()
     }
   }
 

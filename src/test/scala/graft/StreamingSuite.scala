@@ -368,6 +368,54 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("planted sub-µs tie: twin keeps the µs-resolution survivor (q3w oracle convention)") {
+    // Two same-key rows distinct ONLY at ns resolution: on a ns-typed
+    // fixture Spark truncates ts to µs (Tables.normalizeEventsTs), so the
+    // twin tiebreaks by event_id; a DuckDB oracle ranking by RAW ts would
+    // pick the other survivor (the r16 q3w hash mismatch). The shipped
+    // oracle ranks by epoch_us(ts) — this lock proves the µs-normalized
+    // path picks the event_id-tiebreak survivor, and that raw-ns ordering
+    // genuinely disagrees (i.e. the planted tie is real).
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ns_tie")
+    val path = dir.resolve("events.parquet").toString
+    try {
+      // int64 ns since epoch — the exact shape a TIMESTAMP(NANOS) fixture
+      // reads as under spark.sql.legacy.parquet.nanosAsLong.
+      Seq(
+        (1L, 1000000700L, 1L, "click", 1.0), // µs 1000000, later at ns
+        (2L, 1000000500L, 1L, "click", 2.0), // µs 1000000, earlier at ns
+        (3L, 2000000000L, 2L, "view", 3.0), // control: distinct at µs too
+        (4L, 3000000000L, 2L, "view", 4.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(path)
+      val raw = spark.read.parquet(path)
+      val norm = Tables.normalizeEventsTs(raw)
+      val kept = StreamingDedup.firstArrivalBatch(
+        norm, Seq("user_id", "event_type"), "ts", "event_id")
+        .select("event_id").as[Long].collect().toSet
+      // µs tie -> event_id tiebreak keeps 1; control key keeps 3.
+      assert(kept == Set(1L, 3L))
+      // Sanity: ranking by the RAW ns value keeps event 2 instead — the
+      // divergence the epoch_us(ts) oracle convention eliminates.
+      val rawKept = StreamingDedup.firstArrivalBatch(
+        raw, Seq("user_id", "event_type"), "ts", "event_id")
+        .select("event_id").as[Long].collect().toSet
+      assert(rawKept == Set(2L, 3L))
+      // And the normalized ts is exactly the ns value DIV 1000 in µs —
+      // both tied rows land on the same µs instant.
+      val us = norm.filter(col("user_id") === 1)
+        .select(expr("unix_micros(ts)")).as[Long].collect().toSet
+      assert(us == Set(1000000L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.
