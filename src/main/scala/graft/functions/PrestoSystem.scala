@@ -419,18 +419,26 @@ private[functions] object PrestoSystem {
       // one GC row per stage attempt that actually RAN tasks — a
       // skipped stage (AQE exchange reuse) has none, and the reference
       // only aggregates executed stages
+      // the reference's exact aggregation arithmetic
+      // (StageExecutionStateMachine.java:372-437): per-task seconds
+      // ROUNDED (airlift roundTo), min/max fold from an initial 0 (so
+      // min never exceeds 0 — replicated verbatim, not "fixed"), the
+      // task count is GC-occurrence-based; the average divides by the
+      // GC-ing task count (Spark serves GC TIME, not GC counts — the
+      // closest analog of the reference's fullGcCount divisor)
       val gcStats = stageTasks.filter(_._2.nonEmpty).map { case (s, tms) =>
-        val secs = tms.map(tm => (tm.jvmGcTime / 1000L).toInt)
+        val secs = tms.map(tm => ((tm.jvmGcTime + 500L) / 1000L).toInt)
+        val gcTasks = tms.count(_.jvmGcTime > 0L)
         QueryEvents.StageGcStatistics(
           stageId = s.stageId,
           stageExecutionId = s.attemptId,
           tasks = tms.size,
-          fullGcTasks = tms.count(_.jvmGcTime > 0L),
-          minFullGcSec = if (secs.isEmpty) 0 else secs.min,
-          maxFullGcSec = if (secs.isEmpty) 0 else secs.max,
+          fullGcTasks = gcTasks,
+          minFullGcSec = math.min(0, secs.min),
+          maxFullGcSec = math.max(0, secs.max),
           totalFullGcSec = secs.sum,
           averageFullGcSec =
-            if (secs.isEmpty) 0 else secs.sum / secs.size)
+            if (gcTasks == 0) 0 else secs.sum / gcTasks)
       }
       val stats = QueryEvents.QueryStatistics(
         cpuTimeMillis = mine.map(_.executorCpuTime).sum / 1000000L,

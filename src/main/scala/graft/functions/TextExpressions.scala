@@ -302,9 +302,117 @@ case class ZstdDecompress(child: Expression)
     copy(child = c)
 }
 
+/** MinHash LSH band keys of a text column in ONE native pass — the
+  * row-local hash pipeline of the online near-dup operator
+  * (`streaming/StreamingNearDup.scala`). For each distinct word
+  * k-shingle: one md5, its first 60 bits reduced mod P = 2^31-1; seed
+  * i's hash is the universal-family remix `(a_i·base + b_i) mod P`
+  * with a_i = (i+1)·2654435761 mod P, b_i = i·2654435789 mod P
+  * (Fibonacci-hash constants — the multipliers must be LARGE: small
+  * a_i mostly preserve the base ordering, collapsing a band's seeds
+  * into one effective hash and dropping unrelated documents; measured
+  * 20 of 44 drops at best-Jaccard < 0.1 with a_i = 2i+1, zero below
+  * 0.9 with the spread constants. a_i, base < P < 2^31 keeps every
+  * product inside 62 bits — replayable in DuckDB BIGINT arithmetic,
+  * which ERRORS on overflow rather than wrapping); the signature is
+  * the per-seed minimum, and bands of `numHashes / bands` consecutive
+  * signature slots concatenate with ':' into the key strings.
+  *
+  * Why native: the composed form (12 × `transform(shingles, s ->
+  * conv(substr(md5(concat(i,':',s)),1,15),16,10))` + array_min) is
+  * CodegenFallback — an interpreted tree per seed per row that
+  * re-evaluates the shingle array AND re-digests every shingle 12
+  * times (measured 14.3 s on the 5000-doc fixture, single parquet
+  * partition); this expression digests each shingle ONCE and does 12
+  * long remixes (sub-second, same plan). NULL when the text has fewer
+  * than k words — no shingles, no near-dup evidence. */
+case class MinHashBandKeys(child: Expression, k: Int, numHashes: Int,
+    bands: Int) extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  require(bands >= 1 && numHashes % bands == 0,
+    s"numHashes ($numHashes) must split evenly into bands ($bands)")
+
+  private val rowsPerBand = numHashes / bands
+  private val P = 2147483647L // 2^31 - 1, prime
+  private val aSeed = Array.tabulate(numHashes)(i => ((i + 1) * 2654435761L) % P)
+  private val bSeed = Array.tabulate(numHashes)(i => (i * 2654435789L) % P)
+
+  override def prettyName: String = "minhash_band_keys"
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+
+  // MessageDigest is stateful (not thread-safe) and getInstance is a
+  // synchronized JCA provider lookup — once per task thread, not per
+  // row; the distinct-shingle set is likewise reused and cleared.
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  @transient private lazy val shingleSet =
+    ThreadLocal.withInitial[java.util.HashSet[UTF8String]](() =>
+      new java.util.HashSet[UTF8String]())
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    if (words.length < k) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = shingleSet.get()
+    seen.clear()
+    val md = digest.get()
+    var i = 0
+    while (i + k <= words.length) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words(i + j); j += 1 }
+      val sh = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(sh)) {
+        md.reset()
+        val d = md.digest(sh.getBytes)
+        // first 15 hex chars of md5 = the top 60 bits of the first 8
+        // bytes (DuckDB: ('0x'||substr(md5(f),1,15))::BIGINT)
+        var big = 0L
+        var b = 0
+        while (b < 8) { big = (big << 8) | (d(b) & 0xffL); b += 1 }
+        val base = (big >>> 4) % P
+        var h = 0
+        while (h < numHashes) {
+          val v = (aSeed(h) * base + bSeed(h)) % P
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[AnyRef](bands)
+    var band = 0
+    while (band < bands) {
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(':')
+        sb.append(mins(band * rowsPerBand + r))
+        r += 1
+      }
+      keys(band) = UTF8String.fromString(sb.toString)
+      band += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.toCol(WordShingles(ColumnBridge.toExpr(text), k))
+
+  def minHashBandKeys(text: Column, k: Int, numHashes: Int,
+      bands: Int): Column =
+    ColumnBridge.toCol(
+      MinHashBandKeys(ColumnBridge.toExpr(text), k, numHashes, bands))
 
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.toCol(

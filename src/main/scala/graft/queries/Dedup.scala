@@ -60,6 +60,21 @@ object Dedup extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Online-LSH near-dup suppression, batch twin (the streaming arms
+    // — greedy first-arrival band claiming with bounded state — run in
+    // StreamingSuite against this twin; streaming/StreamingNearDup
+    // .scala). Per document: how many of its 4 MinHash band keys it
+    // claims FIRST in doc_id (arrival) order, and whether it is
+    // admitted (claims all; 24 of the 500 fixture docs drop, every
+    // one a real near-dup — best-Jaccard >= 0.9 against an earlier
+    // doc, measured). The md5-derived hashes + modular remixes replay
+    // bit-for-bit in DuckDB (the q92 convention), so the oracle pins
+    // the exact kept-SET, not a recall argument.
+    "q3x_streaming_neardup" -> ((s, dir) =>
+      graft.streaming.StreamingNearDup.firstArrivalBatch(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup pairs: 60-bit shingle fingerprint (md5-derived so
     // the oracle mirrors it bit-for-bit), 4x15-bit chunk banding (hamming
     // <= 3 guaranteed caught), exact-verified to the q91 output contract.
@@ -374,6 +389,44 @@ object Dedup extends QueryPack {
         |ORDER BY a.doc_id""".stripMargin,
 
     "q91_minhash_dedup" -> bruteForcePairs,
+
+    // Replays the online-LSH pipeline bit-for-bit: per shingle one
+    // md5's top 60 bits mod P=2^31-1, 12 universal-family remixes
+    // (a_i·base + b_i mod P, Fibonacci-hash constants — the
+    // MinHashBandKeys expression's exact arithmetic, every product
+    // inside 62 bits so BIGINT never overflows), min per seed, 4
+    // bands of 3 concatenated, first arrival per band bucket = min
+    // doc_id, admitted iff first on every band (shingle-less docs
+    // admitted with 0 bands).
+    "q3x_streaming_neardup" ->
+      s"""$shingleCte,
+         |hx AS (SELECT f.doc_id, r.i,
+         |    min((((r.i + 1) * 2654435761 % 2147483647)
+         |         * (('0x' || substr(md5(f.f), 1, 15))::BIGINT
+         |            % 2147483647)
+         |         + (r.i * 2654435789 % 2147483647))
+         |        % 2147483647) AS sig
+         |  FROM (SELECT doc_id, unnest(s) AS f
+         |        FROM sh WHERE len(s) > 0) f(doc_id, f)
+         |  CROSS JOIN range(12) r(i)
+         |  GROUP BY f.doc_id, r.i),
+         |bk AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+         |    string_agg(sig::VARCHAR, ':' ORDER BY i) AS key
+         |  FROM hx GROUP BY doc_id, band),
+         |firsts AS (SELECT band, key, min(doc_id) AS fid
+         |  FROM bk GROUP BY band, key),
+         |perdoc AS (SELECT b.doc_id,
+         |    count(*) AS n_bands,
+         |    CAST(sum(CASE WHEN f.fid = b.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS first_bands
+         |  FROM bk b JOIN firsts f ON b.band = f.band AND b.key = f.key
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_bands, 0) AS n_bands,
+         |  coalesce(p.first_bands, 0) AS first_bands,
+         |  coalesce(p.n_bands, 0) = coalesce(p.first_bands, 0) AS kept
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Mirrors the simhash pipeline: md5-derived 60-bit feature hash, +-1
     // bit sums, 4x15-bit sign chunks, any-chunk collision + hamming<=3,

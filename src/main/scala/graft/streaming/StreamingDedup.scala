@@ -12,21 +12,29 @@ import org.apache.spark.sql.functions._
   * survives an unbounded 100 TB stream at all.
   *
   * Spark-native throughout (no custom state machinery): both arms ride
-  * Structured Streaming's own stateful dedup operators, whose state
-  * store is keyed by the dedup columns and EVICTED by the watermark —
-  * state size is O(keys inside the horizon), not O(stream).
+  * Structured Streaming's own stateful dedup operators. The two arms
+  * trade exactness against state growth — the honest physics of
+  * streaming dedup, not an implementation accident:
   *
   *   - [[firstArrival]]: `dropDuplicates(keys)` under a watermark —
   *     the first arrival of a key is emitted, every later duplicate is
-  *     dropped; events older than the watermark are late data and
-  *     dropped outright (so the state horizon is also the correctness
-  *     horizon — the reference semantics of a keyed first-wins dedup).
+  *     dropped FOREVER; events older than the watermark are late data
+  *     and dropped outright. Exact global first-wins necessarily
+  *     remembers every admitted key, and Spark only watermark-evicts
+  *     dedup state when the event-time column is part of the key set —
+  *     so this arm's state is O(distinct keys admitted), keyed state
+  *     that grows with key cardinality (never O(stream rows)). Right
+  *     when the key universe is bounded (entity ids) or the stream is
+  *     a finite replay; on an unbounded 100 TB firehose, use the
+  *     bounded arm below.
   *   - [[firstArrivalWithin]]: `dropDuplicatesWithinWatermark(keys)` —
   *     duplicates are suppressed only while they arrive WITHIN the
   *     horizon of the first sighting; a key re-appearing later than
   *     the horizon is re-admitted (the re-crawl / reprocessing-window
   *     semantics a training-data firehose wants when "the same URL a
-  *     month later" counts as a fresh document).
+  *     month later" counts as a fresh document). State IS
+  *     watermark-evicted here — O(keys inside the horizon) — making
+  *     this the production arm for unbounded streams.
   *
   * [[firstArrivalBatch]] is the deterministic batch twin the
   * differential gate checks: the exact rows an ordered replay (arrival
@@ -36,8 +44,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** First-arrival exact dedup on a STREAM: one state entry per key
-    * inside the watermark horizon, evicted as the watermark passes. */
+  /** First-arrival exact dedup on a STREAM: one state entry per
+    * DISTINCT KEY EVER ADMITTED (exact-forever suppression cannot
+    * forget; the watermark bounds late DATA, not this operator's
+    * state — see the class note). Bounded-state variant:
+    * [[firstArrivalWithin]]. */
   def firstArrival(stream: DataFrame, keys: Seq[String], tsCol: String,
       horizon: String): DataFrame =
     stream.withWatermark(tsCol, horizon).dropDuplicates(keys)

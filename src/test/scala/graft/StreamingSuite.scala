@@ -416,6 +416,67 @@ class StreamingSuite extends GraftSuite {
     }
   }
 
+  test("StreamingNearDup.firstArrival matches its batch twin under ordered replay") {
+    import graft.streaming.StreamingNearDup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      NdDoc(1, ts(0), base),
+      NdDoc(2, ts(1), base), // exact copy -> every band collides -> dropped
+      NdDoc(3, ts(2), "entirely different words describe another topic here"),
+      NdDoc(4, ts(3), base + " bank")) // near copy: twin decides its fate
+    val in = MemoryStream[NdDoc]
+    val q = StreamingNearDup.firstArrival(in.toDF(),
+      "doc_id", "text", "ts", "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("snd_first")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one batch per doc: replay order == doc_id order, like the twin
+      docs.foreach { d => in.addData(d); q.processAllAvailable() }
+      // a far-future sentinel advances the watermark past every window
+      in.addData(NdDoc(99, ts(600), "sentinel closes all open windows"))
+      q.processAllAvailable()
+      val streamed = spark.table("snd_first")
+        .filter(col("doc_id") < 90)
+        .select("doc_id").as[Long].collect().toSet
+      val twin = StreamingNearDup.firstArrivalBatch(
+        docs.toDF(), "doc_id", "text")
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.contains(1L) && !streamed.contains(2L) &&
+        streamed.contains(3L))
+    } finally q.stop()
+  }
+
+  test("StreamingNearDup.firstArrivalWithin re-admits boilerplate past the horizon") {
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "standard license header text appears on every page of this corpus"
+    val in = MemoryStream[NdDoc]
+    val q = StreamingNearDup.firstArrivalWithin(in.toDF(),
+      "doc_id", "text", "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("snd_within")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(NdDoc(1, ts(0), boiler))
+      q.processAllAvailable()
+      in.addData(NdDoc(2, ts(1), boiler)) // within horizon -> dropped
+      q.processAllAvailable()
+      // advance the watermark far past the claim's horizon
+      in.addData(NdDoc(3, ts(60), "unrelated fresh document about other things"))
+      q.processAllAvailable()
+      in.addData(NdDoc(4, ts(65), boiler)) // re-crawl: admitted again
+      q.processAllAvailable()
+      in.addData(NdDoc(99, ts(600), "sentinel closes all open windows"))
+      q.processAllAvailable()
+      val ids = spark.table("snd_within")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && !ids.contains(2L) &&
+        ids.contains(3L) && ids.contains(4L))
+    } finally q.stop()
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.
@@ -443,3 +504,7 @@ class StreamingSuite extends GraftSuite {
     assert(diff == 0)
   }
 }
+
+/** Top-level so Spark derives an Encoder (method-local case classes
+  * cannot get one) — the StreamingNearDup locks' document shape. */
+case class NdDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
