@@ -477,6 +477,46 @@ class StreamingSuite extends GraftSuite {
     } finally q.stop()
   }
 
+  test("dedup state physics: Within arm evicts by watermark, strict arm cannot forget") {
+    // The documented state contract, PROVEN from the engine's own state
+    // store metrics (StreamingQueryProgress.stateOperators): feeding
+    // batches of fresh keys with advancing event time, the strict
+    // first-arrival arm's dedup state grows with every distinct key
+    // ever admitted (exact-forever suppression cannot forget), while
+    // dropDuplicatesWithinWatermark's state is EVICTED as the
+    // watermark passes — bounded by the horizon, not the stream.
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    def stateRowsAfter(arm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Seq[Long] = {
+      val in = MemoryStream[Event]
+      val q = arm(in.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val readings = (0 until 6).map { batch =>
+          // 50 fresh keys per batch, batches 60 min apart (horizon 10)
+          in.addData((0 until 50).map(i => Event(
+            batch * 50L + i, ts(batch * 60L), batch * 50L + i,
+            "click", 1.0)): _*)
+          q.processAllAvailable()
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        }
+        readings
+      } finally q.stop()
+    }
+    val strict = stateRowsAfter(df => StreamingDedup.firstArrival(
+      df, Seq("user_id", "event_type"), "ts", "10 minutes"), "sp_strict")
+    val within = stateRowsAfter(df => StreamingDedup.firstArrivalWithin(
+      df, Seq("user_id", "event_type"), "ts", "10 minutes"), "sp_within")
+    // strict: every admitted key still in state at the end (300 keys)
+    assert(strict.last == 300L, s"strict state: $strict")
+    // within: old claims evicted as the watermark passed — the final
+    // state holds at most the last horizon's keys, far below the total
+    assert(within.last <= 100L, s"within state: $within")
+    assert(within.max < strict.last, s"within never accumulates: $within")
+  }
+
   test("batch twin qa7 agrees with streaming sessionize on the fixture") {
     // Run the stateful sessionizer in a single batch over sf0.001 events
     // and compare per-user session counts with the window-function twin.
