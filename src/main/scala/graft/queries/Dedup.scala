@@ -75,6 +75,43 @@ object Dedup extends QueryPack {
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Incremental (cross-run) dedup against a PERSISTED fingerprint
+    // index (operators/IncrementalDedup.scala — the dedup family's
+    // third leg: state as a TABLE outliving any single job). Three
+    // ingest runs against a fresh index: yesterday's crawl (ids
+    // below 250), today's FULL dump (overlap suppressed by the index,
+    // new docs first-wins within the delta), and an at-least-once
+    // RETRY of the same dump (admits zero — idempotent replay). The
+    // oracle replays the same admission algebra in SQL.
+    "q3y_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_inc_idx").resolve("fp_index").toString
+      // each run's result materializes before the union: the three
+      // index scans share one PATH with different listing snapshots,
+      // and exchange reuse would canonicalize them equal and reuse
+      // ONE snapshot for all three (the operator's documented
+      // composition hazard — without this, the replay arm re-admits)
+      val a1 = IncrementalDedup.ingest(s, idx,
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .localCheckpoint()
+      val a2 = IncrementalDedup.ingest(s, idx, docs, "doc_id", "text")
+        .localCheckpoint()
+      val a3 = IncrementalDedup.ingest(s, idx, docs, "doc_id", "text")
+        .localCheckpoint()
+      def summary(phase: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_admitted"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+          .select(lit(phase).as("phase"), col("n_admitted"),
+            col("id_sum"))
+      summary("r1_initial", a1)
+        .union(summary("r2_delta", a2))
+        .union(summary("r3_replay", a3))
+        .orderBy(col("phase"))
+    }),
+
     // SimHash near-dup pairs: 60-bit shingle fingerprint (md5-derived so
     // the oracle mirrors it bit-for-bit), 4x15-bit chunk banding (hamming
     // <= 3 guaranteed caught), exact-verified to the q91 output contract.
@@ -389,6 +426,31 @@ object Dedup extends QueryPack {
         |ORDER BY a.doc_id""".stripMargin,
 
     "q91_minhash_dedup" -> bruteForcePairs,
+
+    // Replays the ingest admission algebra: run 1 admits first-per-
+    // fingerprint among ids < 250; run 2 admits full-dump docs whose
+    // fingerprint is not yet indexed, first-wins within the delta;
+    // run 3 is the idempotent replay (zero).
+    "q3y_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |r1 AS (SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f WHERE doc_id < 250) WHERE rn = 1),
+        |r2 AS (SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1
+        |  AND fp NOT IN (SELECT fp FROM r1))
+        |SELECT 'r1_initial' AS phase,
+        |  count(*) AS n_admitted,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM r1
+        |UNION ALL
+        |SELECT 'r2_delta', count(*),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM r2
+        |UNION ALL
+        |SELECT 'r3_replay', 0, CAST(0 AS BIGINT)
+        |ORDER BY phase""".stripMargin,
 
     // Replays the online-LSH pipeline bit-for-bit: per shingle one
     // md5's top 60 bits mod P=2^31-1, 12 universal-family remixes

@@ -433,4 +433,36 @@ class OperatorsSuite extends GraftSuite {
     assert(infos.forall(f => f.rows > 0 && f.bytes > 0))
     assert(infos.forall(_.path.endsWith(".parquet")))
   }
+
+  test("IncrementalDedup: index suppression, within-delta first-wins, idempotent replay") {
+    import graft.operators.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_test")
+    val idx = dir.resolve("idx").toString
+    try {
+      // run 1 on a MISSING index path (first run): dup text within the
+      // delta -> first id wins
+      val d1 = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+        .toDF("doc_id", "text")
+      val a1 = IncrementalDedup.ingest(spark, idx, d1, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(a1 == Set(1L, 3L)) // 2 is a within-delta dup of 1
+      // run 2: overlap with the index ("beta") suppressed, a new
+      // within-delta dup pair resolves first-wins, fresh text admits
+      val d2 = Seq((4L, "beta"), (5L, "gamma"), (6L, "gamma"),
+        (7L, "delta")).toDF("doc_id", "text")
+      val a2 = IncrementalDedup.ingest(spark, idx, d2, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(a2 == Set(5L, 7L))
+      // run 3: replaying run 2 admits nothing (idempotent retry)
+      val a3 = IncrementalDedup.ingest(spark, idx, d2, "doc_id", "text")
+      assert(a3.count() == 0L)
+      // the index accumulated exactly the admitted fingerprints
+      assert(spark.read.parquet(idx).count() == 4L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
