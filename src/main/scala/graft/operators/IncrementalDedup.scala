@@ -60,6 +60,78 @@ object IncrementalDedup {
       .select(col(idCol), col("fp"))
   }
 
+  /** NEAR-dup admission against a persisted band-claim index — the
+    * incremental leg of the online-LSH family (completing the dedup
+    * matrix: exact and near-dup, each batch / streaming / cross-run).
+    * `index` holds previously claimed (band, band_key) rows. A delta
+    * document is admitted iff NONE of its band keys is indexed AND it
+    * claims every one of its bands first within the delta (min id) —
+    * the same insert-all-bands algebra as
+    * [[graft.streaming.StreamingNearDup]], against table state.
+    * Shingle-less documents carry no bands and are admitted. Returns
+    * (idCol, n_bands, first_bands, kept). Scale: |delta|×bands small
+    * rows, one anti-join + one window on (band, band_key). */
+  def admitNearDup(delta: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 12, bands: Int = 4,
+      k: Int = 3): DataFrame = {
+    val keys = graft.streaming.StreamingNearDup.bandKeys(
+      delta.select(col(idCol), col(textCol)), textCol,
+      numHashes, bands, k)
+    val fresh = keys.join(index.select(col("band"), col("band_key")),
+      Seq("band", "band_key"), "left_anti")
+    val wB = Window.partitionBy(col("band"), col("band_key"))
+    // per doc: bands surviving the index (fresh) that it also claims
+    // first within the delta; kept iff ALL its bands qualify
+    val perDoc = fresh
+      .withColumn("graft_nd_fid", min(col(idCol)).over(wB))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("graft_nd_fid") === col(idCol), 1L)
+        .otherwise(0L)).as("first_bands"))
+    val nBands = keys.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bands"))
+    delta.select(col(idCol))
+      .join(nBands, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        coalesce(col("first_bands"), lit(0L)).as("first_bands"),
+        (coalesce(col("n_bands"), lit(0L)) ===
+          coalesce(col("first_bands"), lit(0L))).as("kept"))
+  }
+
+  /** One near-dup ingest run against the band-claim index at
+    * `indexPath`: admit, then APPEND the admitted documents' band
+    * claims. Same idempotent-replay property and same composition
+    * hazard as [[ingest]] (consume each run's result before
+    * combining runs in one plan). */
+  def ingestNearDup(spark: SparkSession, indexPath: String,
+      delta: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 12, bands: Int = 4, k: Int = 3): DataFrame = {
+    val index =
+      try spark.read.parquet(indexPath)
+        .select(col("band"), col("band_key"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          import spark.implicits._
+          Seq.empty[(Int, String)].toDF("band", "band_key")
+      }
+    val admitted = admitNearDup(delta, index, idCol, textCol,
+      numHashes, bands, k)
+    // insert-all: EVERY fresh (band, band_key) becomes claimed — a
+    // dropped document's other bands claim too, exactly like the
+    // streaming arm's dropDuplicates state and the q3x batch algebra
+    // (a later delta near-dupping a dropped doc must still drop)
+    val claims = graft.streaming.StreamingNearDup.bandKeys(
+      delta.select(col(idCol), col(textCol)), textCol,
+      numHashes, bands, k)
+      .join(index, Seq("band", "band_key"), "left_anti")
+      .select(col("band"), col("band_key")).distinct()
+    claims.write.mode("append").parquet(indexPath)
+    admitted
+  }
+
   /** One ingest run: admit `delta` against the parquet index at
     * `indexPath` (an absent path = empty index, the first run), then
     * APPEND the admitted fingerprints. Returns the admitted (idCol,

@@ -112,6 +112,38 @@ object Dedup extends QueryPack {
         .orderBy(col("phase"))
     }),
 
+    // NEAR-dup incremental ingest against a persisted band-claim
+    // index (IncrementalDedup.ingestNearDup — completes the dedup
+    // matrix: exact AND near-dup, each batch / streaming /
+    // cross-run). Insert-all band claiming against TABLE state: run 1
+    // indexes yesterday's claims, run 2's full dump drops docs whose
+    // any band is already claimed (by an admitted OR dropped earlier
+    // doc), run 3 replays idempotently. The oracle replays the whole
+    // algebra over the q3x hash arithmetic.
+    "q3z_incremental_neardup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_nd_idx").resolve("claims").toString
+      def run(delta: org.apache.spark.sql.DataFrame) =
+        IncrementalDedup.ingestNearDup(s, idx, delta, "doc_id", "text")
+          .localCheckpoint() // same-path snapshot hazard (see q3y)
+      val a1 = run(docs.filter(col("doc_id") < 250))
+      val a2 = run(docs)
+      val a3 = run(docs)
+      def summary(phase: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("kept"))
+          .agg(count(lit(1)).as("n_admitted"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+          .select(lit(phase).as("phase"), col("n_admitted"),
+            col("id_sum"))
+      summary("r1_initial", a1)
+        .union(summary("r2_delta", a2))
+        .union(summary("r3_replay", a3))
+        .orderBy(col("phase"))
+    }),
+
     // SimHash near-dup pairs: 60-bit shingle fingerprint (md5-derived so
     // the oracle mirrors it bit-for-bit), 4x15-bit chunk banding (hamming
     // <= 3 guaranteed caught), exact-verified to the q91 output contract.
@@ -333,6 +365,24 @@ object Dedup extends QueryPack {
       |                 for i in range(1, len(w) - 1)]) AS s
       |  FROM docs)""".stripMargin
 
+  // The online-LSH hash pipeline shared by the q3x / q3z oracles —
+  // replays functions/TextExpressions.MinHashBandKeys bit-for-bit.
+  private val bandKeyCtes =
+    s"""$shingleCte,
+       |hx AS (SELECT f.doc_id, r.i,
+       |    min((((r.i + 1) * 2654435761 % 2147483647)
+       |         * (('0x' || substr(md5(f.f), 1, 15))::BIGINT
+       |            % 2147483647)
+       |         + (r.i * 2654435789 % 2147483647))
+       |        % 2147483647) AS sig
+       |  FROM (SELECT doc_id, unnest(s) AS f
+       |        FROM sh WHERE len(s) > 0) f(doc_id, f)
+       |  CROSS JOIN range(12) r(i)
+       |  GROUP BY f.doc_id, r.i),
+       |bk AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+       |    string_agg(sig::VARCHAR, ':' ORDER BY i) AS key
+       |  FROM hx GROUP BY doc_id, band)""".stripMargin
+
   private val bruteForcePairs =
     s"""$shingleCte
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -452,29 +502,16 @@ object Dedup extends QueryPack {
         |SELECT 'r3_replay', 0, CAST(0 AS BIGINT)
         |ORDER BY phase""".stripMargin,
 
-    // Replays the online-LSH pipeline bit-for-bit: per shingle one
-    // md5's top 60 bits mod P=2^31-1, 12 universal-family remixes
-    // (a_i·base + b_i mod P, Fibonacci-hash constants — the
+    // Replays the online-LSH pipeline bit-for-bit (bandKeyCtes): per
+    // shingle one md5's top 60 bits mod P=2^31-1, 12 universal-family
+    // remixes (a_i·base + b_i mod P, Fibonacci-hash constants — the
     // MinHashBandKeys expression's exact arithmetic, every product
     // inside 62 bits so BIGINT never overflows), min per seed, 4
     // bands of 3 concatenated, first arrival per band bucket = min
     // doc_id, admitted iff first on every band (shingle-less docs
     // admitted with 0 bands).
     "q3x_streaming_neardup" ->
-      s"""$shingleCte,
-         |hx AS (SELECT f.doc_id, r.i,
-         |    min((((r.i + 1) * 2654435761 % 2147483647)
-         |         * (('0x' || substr(md5(f.f), 1, 15))::BIGINT
-         |            % 2147483647)
-         |         + (r.i * 2654435789 % 2147483647))
-         |        % 2147483647) AS sig
-         |  FROM (SELECT doc_id, unnest(s) AS f
-         |        FROM sh WHERE len(s) > 0) f(doc_id, f)
-         |  CROSS JOIN range(12) r(i)
-         |  GROUP BY f.doc_id, r.i),
-         |bk AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
-         |    string_agg(sig::VARCHAR, ':' ORDER BY i) AS key
-         |  FROM hx GROUP BY doc_id, band),
+      s"""$bandKeyCtes,
          |firsts AS (SELECT band, key, min(doc_id) AS fid
          |  FROM bk GROUP BY band, key),
          |perdoc AS (SELECT b.doc_id,
@@ -489,6 +526,48 @@ object Dedup extends QueryPack {
          |  coalesce(p.n_bands, 0) = coalesce(p.first_bands, 0) AS kept
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the cross-run band-claim algebra over the same hash
+    // arithmetic: run 1's claims are ALL band keys of ids < 250
+    // (insert-all — dropped docs claim too); run 2 admits docs whose
+    // every band is unclaimed AND first among run-2's fresh rows;
+    // run 3 finds every key claimed (zero, absent shingle-less docs).
+    "q3z_incremental_neardup" ->
+      s"""$bandKeyCtes,
+         |c1 AS (SELECT DISTINCT band, key FROM bk WHERE doc_id < 250),
+         |f1 AS (SELECT band, key, min(doc_id) AS fid
+         |  FROM bk WHERE doc_id < 250 GROUP BY band, key),
+         |p1 AS (SELECT b.doc_id, count(*) AS nb,
+         |    CAST(sum(CASE WHEN f.fid = b.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fb
+         |  FROM bk b JOIN f1 f ON b.band = f.band AND b.key = f.key
+         |  WHERE b.doc_id < 250 GROUP BY b.doc_id),
+         |k1 AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN p1 USING (doc_id)
+         |  WHERE d.doc_id < 250
+         |    AND coalesce(p1.nb, 0) = coalesce(p1.fb, 0)),
+         |fr2 AS (SELECT b.doc_id, b.band, b.key FROM bk b
+         |  LEFT JOIN c1 ON b.band = c1.band AND b.key = c1.key
+         |  WHERE c1.band IS NULL),
+         |f2 AS (SELECT band, key, min(doc_id) AS fid
+         |  FROM fr2 GROUP BY band, key),
+         |nb2 AS (SELECT doc_id, count(*) AS nb FROM bk GROUP BY doc_id),
+         |fb2 AS (SELECT b.doc_id,
+         |    CAST(sum(CASE WHEN f.fid = b.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fb
+         |  FROM fr2 b JOIN f2 f ON b.band = f.band AND b.key = f.key
+         |  GROUP BY b.doc_id),
+         |k2 AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN nb2 USING (doc_id) LEFT JOIN fb2 USING (doc_id)
+         |  WHERE coalesce(nb2.nb, 0) = coalesce(fb2.fb, 0))
+         |SELECT 'r1_initial' AS phase, count(*) AS n_admitted,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM k1
+         |UNION ALL
+         |SELECT 'r2_delta', count(*),
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM k2
+         |UNION ALL
+         |SELECT 'r3_replay', 0, CAST(0 AS BIGINT)
+         |ORDER BY phase""".stripMargin,
 
     // Mirrors the simhash pipeline: md5-derived 60-bit feature hash, +-1
     // bit sums, 4x15-bit sign chunks, any-chunk collision + hamming<=3,

@@ -465,4 +465,42 @@ class OperatorsSuite extends GraftSuite {
       rm(dir.toFile)
     }
   }
+
+  test("ingestNearDup composes: incremental runs equal the batch twin on the union") {
+    // The cross-run leg's defining property (no planted texts needed):
+    // with deltas ordered by id, claims persisted by run 1 (including
+    // DROPPED docs' bands — insert-all) suppress exactly what the
+    // batch algebra's global first-per-band would, so the union of
+    // per-run kept sets equals StreamingNearDup.firstArrivalBatch
+    // over all docs. A full replay then admits nothing.
+    import graft.operators.IncrementalDedup
+    import graft.streaming.StreamingNearDup
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndinc")
+    val idx = dir.resolve("claims").toString
+    try {
+      val docs = Tables.view(spark, SfDir, "documents")
+        .filter(col("doc_id") < 40)
+      val batchKept = StreamingNearDup
+        .firstArrivalBatch(docs, "doc_id", "text")
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      val k1 = IncrementalDedup.ingestNearDup(spark, idx,
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      val k2 = IncrementalDedup.ingestNearDup(spark, idx,
+        docs.filter(col("doc_id") >= 20), "doc_id", "text")
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      assert((k1 ++ k2) == batchKept)
+      assert(k1.forall(_ < 20) && k2.forall(_ >= 20))
+      // idempotent replay: every band of every doc is now claimed
+      // (the fixture has no shingle-less docs below id 40)
+      val k3 = IncrementalDedup.ingestNearDup(spark, idx,
+        docs, "doc_id", "text").filter(col("kept")).count()
+      assert(k3 == 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
