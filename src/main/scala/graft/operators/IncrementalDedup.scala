@@ -28,9 +28,8 @@ import org.apache.spark.sql.functions._
   * pre-filter of the index (the decontamination gates' map-side
   * pattern, `queries/Curation.scala`) cuts the shuffle further; both
   * sides partition by the same key, so the join co-locates under
-  * bucketing. Near-dup variant: feed
-  * [[graft.streaming.StreamingNearDup.bandKeys]] rows through the
-  * same anti-join (band keys are the fingerprints).
+  * bucketing. The near-dup leg ([[admitNearDup]]/[[ingestNearDup]])
+  * runs the same algebra over MinHash band keys.
   *
   * Reference grounding: the reference ships the primitives (md5/
   * checksum scalars, INSERT-append tables); the composed
@@ -39,10 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** (idCol, fp) — the content fingerprint relation of a batch. */
+  /** (idCol, fp) — the content fingerprint relation of a batch. NULL
+    * text fingerprints as empty content (coalesce): a NULL fp would
+    * never match the anti-join, so a NULL-text doc would be
+    * re-admitted on every replay and grow the index unboundedly. */
   def fingerprints(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol), md5(col(textCol)).as("fp"))
+    docs.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("fp"))
 
   /** Admitted subset of `delta`: fingerprint absent from `index`
     * (left-anti join on fp) and first-by-id within the delta. `index`
@@ -60,20 +63,25 @@ object IncrementalDedup {
       .select(col(idCol), col("fp"))
   }
 
-  /** NEAR-dup admission against a persisted band-claim index — the
-    * incremental leg of the online-LSH family (completing the dedup
-    * matrix: exact and near-dup, each batch / streaming / cross-run).
-    * `index` holds previously claimed (band, band_key) rows. A delta
-    * document is admitted iff NONE of its band keys is indexed AND it
-    * claims every one of its bands first within the delta (min id) —
-    * the same insert-all-bands algebra as
-    * [[graft.streaming.StreamingNearDup]], against table state.
-    * Shingle-less documents carry no bands and are admitted. Returns
-    * (idCol, n_bands, first_bands, kept). Scale: |delta|×bands small
-    * rows, one anti-join + one window on (band, band_key). */
-  def admitNearDup(delta: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, numHashes: Int = 12, bands: Int = 4,
-      k: Int = 3): DataFrame = {
+  /** The index read both ingest legs share: an absent path (the first
+    * run) is an empty index. Message-matched in ONE place so the two
+    * legs cannot silently diverge on a Spark error-text change. */
+  private def readIndexOrEmpty(spark: SparkSession, indexPath: String)(
+      empty: => DataFrame): DataFrame =
+    try spark.read.parquet(indexPath)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.toLowerCase.contains("path does not exist") =>
+        empty
+    }
+
+  // near-dup admission core: (per-doc admission verdicts, the fresh
+  // band rows) — ingestNearDup derives its claims from `fresh` instead
+  // of rebuilding the banding pipeline a second time
+  private def nearDupCore(delta: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      k: Int): (DataFrame, DataFrame) = {
     val keys = graft.streaming.StreamingNearDup.bandKeys(
       delta.select(col(idCol), col(textCol)), textCol,
       numHashes, bands, k)
@@ -89,7 +97,7 @@ object IncrementalDedup {
         .otherwise(0L)).as("first_bands"))
     val nBands = keys.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bands"))
-    delta.select(col(idCol))
+    val admitted = delta.select(col(idCol))
       .join(nBands, Seq(idCol), "left")
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -97,45 +105,63 @@ object IncrementalDedup {
         coalesce(col("first_bands"), lit(0L)).as("first_bands"),
         (coalesce(col("n_bands"), lit(0L)) ===
           coalesce(col("first_bands"), lit(0L))).as("kept"))
+    (admitted, fresh)
   }
 
+  /** NEAR-dup admission against a persisted band-claim index — the
+    * incremental leg of the online-LSH family (completing the dedup
+    * matrix: exact and near-dup, each batch / streaming / cross-run).
+    * `index` holds previously claimed (band, band_key) rows. A delta
+    * document is admitted iff NONE of its band keys is indexed AND it
+    * claims every one of its bands first within the delta (min id) —
+    * the same insert-all-bands algebra as
+    * [[graft.streaming.StreamingNearDup]], against table state.
+    * Documents with no shingles (NULL or < k-word text) carry no
+    * bands and are admitted. Returns (idCol, n_bands, first_bands,
+    * kept). Scale: |delta|×bands small rows, one anti-join + one
+    * window on (band, band_key). */
+  def admitNearDup(delta: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 12, bands: Int = 4,
+      k: Int = 3): DataFrame =
+    nearDupCore(delta, index, idCol, textCol, numHashes, bands, k)._1
+
   /** One near-dup ingest run against the band-claim index at
-    * `indexPath`: admit, then APPEND the admitted documents' band
-    * claims. Same idempotent-replay property and same composition
-    * hazard as [[ingest]] (consume each run's result before
-    * combining runs in one plan). */
+    * `indexPath`: admit, then APPEND the fresh claims. Replay of a
+    * delta re-admits nothing EXCEPT shingle-less documents — they
+    * have no bands for the index to remember and are admitted every
+    * run by the documented no-near-dup-evidence convention (a caller
+    * needing exact-once on those routes them through [[ingest]]'s
+    * fingerprint leg instead). Same composition hazard as [[ingest]]
+    * (consume each run's result before combining runs in one plan);
+    * the banding pipeline is built once per run (claims derive from
+    * the admission pass's fresh rows), though Spark still EXECUTES it
+    * for the claims write and again when the caller acts on the
+    * returned plan — a production run persists the band-key relation
+    * if the double execution matters. */
   def ingestNearDup(spark: SparkSession, indexPath: String,
       delta: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 12, bands: Int = 4, k: Int = 3): DataFrame = {
-    val index =
-      try spark.read.parquet(indexPath)
-        .select(col("band"), col("band_key"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.toLowerCase.contains("path does not exist") =>
-          import spark.implicits._
-          Seq.empty[(Int, String)].toDF("band", "band_key")
-      }
-    val admitted = admitNearDup(delta, index, idCol, textCol,
+    val index = readIndexOrEmpty(spark, indexPath) {
+      import spark.implicits._
+      Seq.empty[(Int, String)].toDF("band", "band_key")
+    }.select(col("band"), col("band_key"))
+    val (admitted, fresh) = nearDupCore(delta, index, idCol, textCol,
       numHashes, bands, k)
     // insert-all: EVERY fresh (band, band_key) becomes claimed — a
     // dropped document's other bands claim too, exactly like the
     // streaming arm's dropDuplicates state and the q3x batch algebra
     // (a later delta near-dupping a dropped doc must still drop)
-    val claims = graft.streaming.StreamingNearDup.bandKeys(
-      delta.select(col(idCol), col(textCol)), textCol,
-      numHashes, bands, k)
-      .join(index, Seq("band", "band_key"), "left_anti")
-      .select(col("band"), col("band_key")).distinct()
-    claims.write.mode("append").parquet(indexPath)
+    fresh.select(col("band"), col("band_key")).distinct()
+      .write.mode("append").parquet(indexPath)
     admitted
   }
 
   /** One ingest run: admit `delta` against the parquet index at
     * `indexPath` (an absent path = empty index, the first run), then
     * APPEND the admitted fingerprints. Returns the admitted (idCol,
-    * fp) rows. Idempotent: replaying a delta admits nothing new.
+    * fp) rows. Idempotent: replaying a delta admits nothing new
+    * (every document has a non-NULL fingerprint — see
+    * [[fingerprints]]).
     *
     * Composition hazard (real, observed): the returned DataFrame's
     * index scan holds a file-listing SNAPSHOT, but Spark's exchange
@@ -147,15 +173,10 @@ object IncrementalDedup {
     * composing it with a later run's in one plan. */
   def ingest(spark: SparkSession, indexPath: String, delta: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val index =
-      try spark.read.parquet(indexPath).select(col("fp"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.toLowerCase.contains("path does not exist") =>
-          import spark.implicits._
-          Seq.empty[String].toDF("fp")
-      }
+    val index = readIndexOrEmpty(spark, indexPath) {
+      import spark.implicits._
+      Seq.empty[String].toDF("fp")
+    }.select(col("fp"))
     val admitted = admit(delta, index, idCol, textCol)
     // a parquet read snapshots its file listing when the DataFrame is
     // created, so the append below is invisible to THIS plan: both the
