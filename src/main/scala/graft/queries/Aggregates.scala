@@ -78,35 +78,34 @@ object Aggregates extends QueryPack {
         .orderBy(col("l_linestatus"))),
 
     "q65_quantiles" -> ((s, dir) => {
-      // Exact interpolated quantiles via window sort + row_number rather
-      // than the `percentile`/`median` aggregates: those are
-      // TypedImperative (ObjectHashAggregate, per-group value maps, no
-      // codegen) and dominated the bench; the window shape is sort-based,
-      // codegen'd, and computes the same linear interpolation
-      // v_lo + frac * (v_hi - v_lo) at pos = 1 + (n-1) * q.
-      import org.apache.spark.sql.expressions.Window
+      // Exact interpolated quantiles. r17 OPT (guide §2.4): formerly a
+      // window sort + row_number pass per value column — a range sort of
+      // 600k rows into THREE partitions (one per flag). A sorted value
+      // array per flag answers every quantile of the column with the
+      // same linear interpolation v_lo + frac * (v_hi - v_lo) at
+      // pos = 1 + (n-1) * q: collect_list aggregates in parallel
+      // map-side partials, sort_array orders each flag's array once —
+      // bit-identical doubles, no 3-task sort bottleneck. (The
+      // `percentile`/`median` TypedImperative aggregates remain ~10x
+      // slower than either shape — SURVEY §2.4.)
       val li = t(s, dir, "lineitem")
-      // One sorted window pass per VALUE COLUMN serves every quantile of
-      // that column (only `pos` differs per q).
       def cquantiles(valCol: String, qs: Seq[(Double, String)]) = {
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col(valCol))
-        val g = Window.partitionBy(col("l_returnflag"))
-        val ranked = li.select(col("l_returnflag"), col(valCol))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("nxt", lead(col(valCol), 1).over(w))
-          .withColumn("n", count(lit(1)).over(g))
-        val poss = qs.map { case (q, _) => lit(1.0) + (col("n") - 1) * q }
-        val aggs = qs.zip(poss).map { case ((_, out), pos) =>
-          val frac = pos - floor(pos)
-          round(min(when(col("rn") === floor(pos),
-            when(frac > 0,
-              col(valCol) + frac * (col("nxt") - col(valCol)))
-              .otherwise(col(valCol)))), 6).as(out)
-        }
-        ranked
-          .filter(poss.map(p => col("rn") === floor(p)).reduce(_ || _))
+        val grouped = li.select(col("l_returnflag"), col(valCol))
           .groupBy(col("l_returnflag"))
-          .agg(aggs.head, aggs.tail: _*)
+          .agg(sort_array(collect_list(col(valCol))).as("vs"))
+        val n = size(col("vs"))
+        val aggs = qs.map { case (q, out) =>
+          val pos = lit(1.0) + (n.cast("double") - 1) * q
+          val k = floor(pos).cast("int")
+          val frac = pos - floor(pos)
+          val vLo = element_at(col("vs"), k)
+          // frac > 0 implies k+1 <= n; `least` keeps the untaken
+          // branch in-bounds under ANSI element_at
+          val vHi = element_at(col("vs"), least(k + 1, n))
+          round(when(frac > 0, vLo + frac * (vHi - vLo))
+            .otherwise(vLo), 6).as(out)
+        }
+        grouped.select(col("l_returnflag") +: aggs: _*)
       }
       cquantiles("l_quantity", Seq(0.5 -> "med_qty"))
         .join(cquantiles("l_extendedprice",

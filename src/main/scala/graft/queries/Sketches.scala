@@ -27,40 +27,42 @@ import graft.Tables
   */
 object Sketches extends QueryPack {
 
-  /** Exact interpolated percentiles of l_extendedprice per l_returnflag
-    * via one ranked window pass — the `percentile()` TypedImperative
-    * aggregate is ~10x slower at the same exactness (SURVEY §2.4), so
-    * the sketch queries' ground truth uses the q65 shape instead.
+  /** Exact interpolated percentiles of l_extendedprice per l_returnflag.
+    * r17 OPT (guide §2.4 "remove shuffles outright"): formerly one ranked
+    * window pass — a range sort of 600k rows into THREE partitions (one
+    * per flag: 1.1 s of single-task sort) feeding four Window nodes. The
+    * same exact answer needs only each flag's sorted value array:
+    * `collect_list` aggregates in parallel map-side partials (one hash-agg
+    * exchange of ~5 MB of doubles), `sort_array` orders each flag's array
+    * once, and the interpolation v_lo + frac·(v_hi − v_lo) at
+    * pos = (n−1)·q + 1 reads array positions — bit-identical doubles
+    * (qi9 2.60 → 1.47 s isolated; the `percentile()` TypedImperative
+    * aggregate remains ~10x slower than either shape, SURVEY §2.4).
     * `cdfAt` piggybacks the exact CDF (fraction of values <= x) onto the
-    * SAME window pass (one more agg over the same partition spec, no
-    * extra shuffle) — r8 consolidation of the former separate scan. */
+    * SAME aggregation (one more agg column, no extra pass). */
   private def exactPercentiles(
       li: org.apache.spark.sql.DataFrame,
       qs: Seq[(Double, String)],
       cdfAt: Option[(Double, String)] = None): org.apache.spark.sql.DataFrame = {
-    val byFlag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag"))
-    val wn = byFlag.orderBy(col("v"))
-    val ranked0 = li
-      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
-      .withColumn("rn", row_number().over(wn))
-      .withColumn("cnt", count(lit(1)).over(byFlag))
-      .withColumn("nxt", lead(col("v"), 1).over(wn))
-    val ranked = cdfAt match {
-      case Some((x, _)) => ranked0.withColumn("cdf_c",
-        avg(when(col("v") <= x, 1.0).otherwise(0.0)).over(byFlag))
-      case None => ranked0
-    }
-    val aggs = qs.map { case (q, out) =>
-      val pos = (col("cnt") - 1) * q + 1
+    val base = li.select(col("l_returnflag"),
+      col("l_extendedprice").cast("double").as("v"))
+    val aggCols = Seq(sort_array(collect_list(col("v"))).as("vs")) ++
+      cdfAt.map { case (x, out) =>
+        avg(when(col("v") <= x, 1.0).otherwise(0.0)).as(out) }
+    val grouped = base.groupBy(col("l_returnflag"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val n = size(col("vs"))
+    val outs = qs.map { case (q, out) =>
+      val pos = (n.cast("double") - 1) * q + 1
+      val k = floor(pos).cast("int")
       val frac = pos - floor(pos)
-      min(when(col("rn") === floor(pos),
-        when(frac > 0, col("v") + frac * (col("nxt") - col("v")))
-          .otherwise(col("v")))).as(out)
-    } ++ cdfAt.map { case (_, out) => min(col("cdf_c")).as(out) }
-    ranked.filter(qs.map { case (q, _) =>
-        col("rn") === floor((col("cnt") - 1) * q + 1) }.reduce(_ || _))
-      .groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      val vLo = element_at(col("vs"), k)
+      // frac > 0 implies k+1 <= n; `least` keeps the untaken branch
+      // in-bounds under ANSI element_at
+      val vHi = element_at(col("vs"), least(k + 1, n))
+      when(frac > 0, vLo + frac * (vHi - vLo)).otherwise(vLo).as(out)
+    } ++ cdfAt.map { case (_, out) => col(out) }
+    grouped.select(col("l_returnflag") +: outs: _*)
   }
 
   /** The sketch proof queries' shared input: the three lineitem columns
