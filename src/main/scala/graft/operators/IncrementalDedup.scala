@@ -81,10 +81,12 @@ object IncrementalDedup {
   // of rebuilding the banding pipeline a second time
   private def nearDupCore(delta: DataFrame, index: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
-      k: Int): (DataFrame, DataFrame) = {
-    val keys = graft.streaming.StreamingNearDup.bandKeys(
-      delta.select(col(idCol), col(textCol)), textCol,
-      numHashes, bands, k)
+      k: Int, precomputedKeys: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val keys = precomputedKeys.getOrElse(
+      graft.streaming.StreamingNearDup.bandKeys(
+        delta.select(col(idCol), col(textCol)), textCol,
+        numHashes, bands, k))
     val fresh = keys.join(index.select(col("band"), col("band_key")),
       Seq("band", "band_key"), "left_anti")
     val wB = Window.partitionBy(col("band"), col("band_key"))
@@ -134,19 +136,28 @@ object IncrementalDedup {
     * fingerprint leg instead). Same composition hazard as [[ingest]]
     * (consume each run's result before combining runs in one plan);
     * the banding pipeline is built once per run (claims derive from
-    * the admission pass's fresh rows), though Spark still EXECUTES it
-    * for the claims write and again when the caller acts on the
-    * returned plan — a production run persists the band-key relation
-    * if the double execution matters. */
+    * the admission pass's fresh rows), and the band-key relation is
+    * MATERIALIZED (localCheckpoint — |delta|×bands small rows) so the
+    * claims write and the caller's later action on the returned plan
+    * hash each shingle once, not twice (r17: the double execution was
+    * real, ~0.4 s/run at sf0.1). Callers ingesting several deltas
+    * derived from one corpus can go further and pass
+    * `precomputedKeys` (= [[graft.streaming.StreamingNearDup.bandKeys]]
+    * of the delta, row-local hence filterable from a shared pass). */
   def ingestNearDup(spark: SparkSession, indexPath: String,
       delta: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 12, bands: Int = 4, k: Int = 3): DataFrame = {
+      numHashes: Int = 12, bands: Int = 4, k: Int = 3,
+      precomputedKeys: Option[DataFrame] = None): DataFrame = {
     val index = readIndexOrEmpty(spark, indexPath) {
       import spark.implicits._
       Seq.empty[(Int, String)].toDF("band", "band_key")
     }.select(col("band"), col("band_key"))
+    val keys = precomputedKeys.getOrElse(
+      graft.streaming.StreamingNearDup.bandKeys(
+        delta.select(col(idCol), col(textCol)), textCol,
+        numHashes, bands, k).localCheckpoint())
     val (admitted, fresh) = nearDupCore(delta, index, idCol, textCol,
-      numHashes, bands, k)
+      numHashes, bands, k, Some(keys))
     // insert-all: EVERY fresh (band, band_key) becomes claimed — a
     // dropped document's other bands claim too, exactly like the
     // streaming arm's dropDuplicates state and the q3x batch algebra

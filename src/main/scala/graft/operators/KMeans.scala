@@ -47,21 +47,28 @@ object KMeans {
 
   /** Nearest-centroid assignment: (vec_id, e, cent_id, cd).
     *
-    * The argmax is a `max(struct(cd, -cent_id, …))` aggregation, NOT a
-    * window: all k candidate rows for a vector sit in the broadcast-join
-    * output partition that produced them, so the map-side partial max
-    * collapses k→1 in place and the exchange moves ONE compact row per
-    * vector — a window (partitionBy vec_id, row_number) would shuffle
-    * and sort the full n×k cross product instead. Ties break to the
-    * smallest cent_id via the negated key, same contract as qb4. */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("cd", PrestoScalars.cosineSimilarity(col("e"), col("ce")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cd"), (-col("cent_id")).as("neg_cent"),
-        col("cent_id"), col("e"))).as("m"))
-      .select(col("vec_id"), col("m.e").as("e"),
-        col("m.cent_id").as("cent_id"), col("m.cd").as("cd"))
+    * r17 OPT (guide §1.2/§2.4): centroids are √n rows — MODEL-SIZED —
+    * so the argmax runs ROW-LOCALLY against the collected centroid set
+    * ([[graft.functions.NearestCentroid]] — the same fused cosine fold
+    * and the same smallest-cent_id tie contract as qb4) instead of the
+    * former broadcast cross join + `max(struct(...))` re-aggregation,
+    * which pushed n·k joined rows (with the full embedding payload in
+    * the aggregation buffer) through a hash aggregate per round. No
+    * join, no exchange: one fused cosine loop per vector row — the
+    * assignment kernel a production Lloyd iteration ships to workers. */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.{NearestAssign, NearestAssignColumns}
+    val model: Array[NearestAssign.Entry] = NearestAssign.entriesOf(
+      cents.select(col("cent_id").cast("long"), col("ce")).collect()
+        .toSeq.map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]](1).toSeq)))
+    e.withColumn("graft_km_asn",
+        NearestAssignColumns.nearestCentroid(col("e"), model))
+      .filter(col("graft_km_asn").isNotNull) // join form: empty cents
+      .select(col("vec_id"), col("e"),
+        col("graft_km_asn.id").as("cent_id"),
+        col("graft_km_asn.score").as("cd"))
+  }
 
   /** Σ(1−cos) of an assignment, as a single-row frame. */
   def inertia(assigned: DataFrame, name: String): DataFrame =

@@ -192,12 +192,16 @@ class OperatorsSuite extends GraftSuite {
     assert(Set(got(0L), got(1L), got(2L)).size == 1)
     assert(Set(got(3L), got(4L), got(5L)).size == 1)
     assert(got(0L) != got(3L))
-    // plan shape: broadcast join + aggregate argmax; NO window sort of
-    // the n*k cross product, no shuffled join
+    // plan shape (r17): the argmax is ROW-LOCAL against the collected
+    // model-sized centroid set — no join of any kind, no window sort of
+    // an n*k cross product, no exchange; the assignment scan is one pass
+    // (on this LocalRelation input Catalyst folds the projection into a
+    // LocalTableScan — the row-local form is constant-foldable where the
+    // old join form planned a BroadcastNestedLoopJoin + HashAggregate)
     val plan = KMeans.assign(e, trained).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("semdedup: drops the high-centroid-similarity twin, keeps across clusters") {
