@@ -43,8 +43,7 @@ object PrestoAggregates {
     * (commutative, associative, drop-in for distributed merge).
     */
   def checksum(c: Column): Column =
-    bit_xor(conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long"))
+    bit_xor(TextExpressions.md5Prefix60(c.cast("string")))
 
   /** Presto count_if / bool_and / bool_or (Spark has these since 3.5;
     * aliased here under the Presto names for registry completeness). */

@@ -343,9 +343,9 @@ object Registry {
     // the same multiset collides; nulls skipped), different bytes: the
     // reference XORs its block hashes into varbinary, here it's the
     // md5-derived 60-bit int so the DuckDB oracle can replay it exactly.
-    ("checksum", 1,
-      "bit_xor(cast(conv(substring(md5(cast(__a as string)), 1, 15), 16, 10) " +
-        "as bigint))"),
+    // (registered as a NATIVE builder after the template loop — r17 OPT:
+    // the composed md5/conv chain paid a synchronized per-row
+    // MessageDigest lookup; Md5Prefix60 is the bit-identical native form)
     // --- IP functions (IpPrefixFunctions.java; IPv4 over varchar —
     // Presto's IPADDRESS/IPPREFIX types carry the same dotted-quad
     // text form). Pure integer bit math, fully codegen'd; the repeated
@@ -845,6 +845,22 @@ object Registry {
         registry.registerFunction(FunctionIdentifier(name),
           new ExpressionInfo(getClass.getCanonicalName, name), builder)
       }
+      // checksum (ChecksumAggregationFunction.java): order-independent
+      // digest via XOR of per-row hashes. Same contract as the reference
+      // (any permutation of the same multiset collides; nulls skipped),
+      // different bytes: the md5-derived 60-bit long so the DuckDB oracle
+      // replays it exactly. Registered as a native builder (r17 OPT): the
+      // former `bit_xor(conv(substring(md5(...),1,15),16,10))` template
+      // paid a synchronized per-row MessageDigest lookup plus a hex
+      // round-trip; Md5Prefix60 is the bit-identical native form.
+      registry.registerFunction(FunctionIdentifier("checksum"),
+        new ExpressionInfo(getClass.getCanonicalName, "checksum"),
+        { args =>
+          require(args.length == 1, s"checksum expects 1 arg, got ${args.length}")
+          org.apache.spark.sql.catalyst.expressions.aggregate.BitXorAgg(
+            Md5Prefix60(org.apache.spark.sql.catalyst.expressions.Cast(
+              args.head, StringType)))
+        })
       // date_parse / date_format translate the (literal) MySQL pattern at
       // plan time, then delegate to Spark's java.time expressions.
       // date_format shadows a Spark builtin of the same name, so its

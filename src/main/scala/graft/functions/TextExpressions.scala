@@ -302,6 +302,50 @@ case class ZstdDecompress(child: Expression)
     copy(child = c)
 }
 
+/** First 60 bits of md5 as a non-negative long — bit-identical to the
+  * composed `conv(substring(md5(x), 1, 15), 16, 10)` (DuckDB:
+  * `('0x'||substr(md5(x),1,15))::BIGINT`), without the per-row
+  * `MessageDigest.getInstance` (a synchronized JCA provider lookup inside
+  * commons-codec's DigestUtils, which Spark's `Md5` pays per call — 32
+  * executor threads contend on it), the 32-char hex-string intermediate,
+  * or the base-16 reparse. r17 OPT: the checksum aggregate and the
+  * simhash feature hash spend their per-row time here (qe3's main
+  * aggregation job measured 0.92 s with the composed chain). The 15 hex
+  * chars are the top 60 bits of the first 8 digest bytes — the same
+  * `(big >>> 4)` read [[MinHashBandKeys]] uses, differentially proven
+  * against DuckDB since the q3x round. */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "md5_prefix60"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string or binary, got ${t.catalogString}")
+  }
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var big = 0L
+    var i = 0
+    while (i < 8) { big = (big << 8) | (d(i) & 0xffL); i += 1 }
+    big >>> 4
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** MinHash LSH band keys of a text column in ONE native pass — the
   * row-local hash pipeline of the online near-dup operator
   * (`streaming/StreamingNearDup.scala`). For each distinct word
@@ -408,6 +452,9 @@ case class MinHashBandKeys(child: Expression, k: Int, numHashes: Int,
 object TextExpressions {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.toCol(WordShingles(ColumnBridge.toExpr(text), k))
+
+  def md5Prefix60(c: Column): Column =
+    ColumnBridge.toCol(Md5Prefix60(ColumnBridge.toExpr(c)))
 
   def minHashBandKeys(text: Column, k: Int, numHashes: Int,
       bands: Int): Column =

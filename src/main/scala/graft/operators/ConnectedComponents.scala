@@ -32,9 +32,15 @@ object ConnectedComponents {
     * vertices appearing in an edge are returned — left-join and coalesce
     * for isolated-vertex semantics at the call site. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // r17 OPT: materialize the symmetrized edge set ONCE — every round
+    // joins against it, and an un-truncated `sym` re-derived the
+    // caller's whole edge pipeline (qf2: two window passes + distinct)
+    // per round (guide §1.2: don't recompute what a pass already
+    // produced; same lineage-truncation stance as the per-round labels)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("c", col("v"))
       .localCheckpoint()
@@ -42,13 +48,19 @@ object ConnectedComponents {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val prop = sym.join(labels, sym("dst") === labels("v"))
-        .select(sym("src").as("v"), col("c"))
-      val next = labels.union(prop)
-        .groupBy(col("v")).agg(min(col("c")).as("c"))
+        .select(sym("src").as("v"), col("c"), lit(false).as("o"))
+      // r17 OPT: carry the PREVIOUS label through the same aggregation
+      // (each vertex's single self-row is tagged, so min(c where o) is
+      // exactly the old label) — the convergence probe is then a scan
+      // of the just-checkpointed result instead of a second
+      // join+shuffle action per round (qf2 ran 58 jobs; ~2 fewer
+      // stages per round).
+      val next = labels.withColumn("o", lit(true)).union(prop)
+        .groupBy(col("v")).agg(min(col("c")).as("c"),
+          min(when(col("o"), col("c"))).as("c0"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("v"), col("c").as("c0")), "v")
-        .filter(col("c") =!= col("c0")).count()
-      labels = next
+      changed = next.filter(col("c") =!= col("c0")).limit(1).count()
+      labels = next.select(col("v"), col("c"))
       iter += 1
     }
     labels

@@ -130,7 +130,7 @@ object MinHash {
   def simhashChunks(withShingles: DataFrame, idCol: String): DataFrame = {
     val perFeature = withShingles
       .select(col(idCol), explode(col("sh")).as("f"))
-      .withColumn("h", conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.TextExpressions.md5Prefix60(col("f")))
     // 60 signed-sum aggregates; weight 1 per distinct shingle.
     val bitSums = (0 until 60).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))

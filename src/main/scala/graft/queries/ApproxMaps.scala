@@ -34,9 +34,11 @@ object ApproxMaps extends QueryPack {
       // countDistinct (Expand-based) with the TypedImperative
       // percentile_approx in ONE agg forces the whole input through an
       // ObjectHashAggregate over expanded rows (~20x slower, measured).
-      // The exact median uses a window row_number instead of `percentile`
-      // — sort-based and codegen'd rather than a per-group value map.
-      import org.apache.spark.sql.expressions.Window
+      // The exact median reads the two middle positions of each flag's
+      // sorted value array (r17 OPT — collect_list partials aggregate in
+      // parallel; the former window pass range-sorted 600k rows into
+      // three single-task partitions; (a+b)/2 is bit-equal to avg of
+      // the one or two middle rows).
       val li = t(s, dir, "lineitem")
       val counts = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
@@ -45,16 +47,13 @@ object ApproxMaps extends QueryPack {
       val papprox = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("p50_approx"))
-      val byPrice = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"))
-      val grp = Window.partitionBy(col("l_returnflag"))
       val median = li.select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(byPrice))
-        .withColumn("n", count(lit(1)).over(grp))
-        .filter(col("rn") === ((col("n") + 1) / 2).cast("long") ||
-          col("rn") === ((col("n") + 2) / 2).cast("long"))
         .groupBy(col("l_returnflag"))
-        .agg(avg(col("l_extendedprice")).as("p50_exact"))
+        .agg(sort_array(collect_list(col("l_extendedprice"))).as("vs"))
+        .select(col("l_returnflag"),
+          ((element_at(col("vs"), ((size(col("vs")) + 1) / 2).cast("int")) +
+            element_at(col("vs"), ((size(col("vs")) + 2) / 2).cast("int")))
+            / 2.0).as("p50_exact"))
       counts.join(acd, "l_returnflag").join(papprox, "l_returnflag")
         .join(median, "l_returnflag")
         .select(
