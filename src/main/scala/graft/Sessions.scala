@@ -33,6 +33,18 @@ object Sessions {
       // queries x several stages); the 100-entry default thrashes when a
       // session runs the full pack and re-pays janino compilation.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // r17 OPT: ObjectHashAggregate falls back to SORT-based
+      // aggregation past 128 in-memory keys per task — the
+      // per-(flag,suppkey) partial sketch passes (3000 groups: qc7/qi9
+      // qdigest/tdigest partials, qb1 HLL partials) each paid a full
+      // input sort in that fallback (~1.0 s of a 1.9 s gate at sf0.1).
+      // Graft's sketch states are KB-bounded by construction (buffered
+      // inserts compress at fixed limits), so thousands of in-memory
+      // states per task are safe at any scale — group count per task,
+      // not data volume, is what this bounds; the sort fallback still
+      // engages beyond it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       // analysis-time zoned-instant rewrite (literal-literal
       // comparisons must rewrite BEFORE constant folding; the
       // optimizer-rule installation covers driver-built sessions)

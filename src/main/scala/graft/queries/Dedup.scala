@@ -339,6 +339,11 @@ object Dedup extends QueryPack {
             .otherwise(raise_error(concat(
               lit(s"q3c: document position exceeds seed stride " +
                 s"$SeedStride; doc_id="), col("doc_id")))))
+        // r17 OPT (guide §1.2): three consumers (first-occurrence
+        // groupBy, the duplicated-seed join probe, coverage) otherwise
+        // each re-run the split+slice+array_join gram materialization —
+        // the query's dominant per-row cost (3 overlapping ~0.6 s jobs)
+        .localCheckpoint()
       val firsts = grams.groupBy(col("gram"))
         .agg(count(lit(1)).as("c"), min(col("seed_key")).as("canon"))
         .filter(col("c") > 1)
