@@ -468,26 +468,46 @@ object HiveLayout extends QueryPack {
       Seq("_ctw_li", "_ctw_ord", "_ctw_liu").foreach(sfx =>
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(base + sfx)))
-      prestoStatement(s, s"""
+      // r17 OPT (guide §2.6): the three CTAS writes target disjoint
+      // tables/directories and share no state — submitting them from a
+      // small thread pool overlaps each sorted-bucketed write's 8-task
+      // tail with the next write's scan instead of paying the three
+      // tails sequentially. Statement semantics are unchanged (each
+      // still routes through prestoStatement; property validation and
+      // the written layouts are per-table).
+      locally {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = Seq(
+            s"""
         CREATE TABLE $li WITH (
           format = 'PARQUET', external_location = '${base}_ctw_li',
           bucketed_by = ARRAY['l_orderkey'], bucket_count = 8,
           sorted_by = ARRAY['l_orderkey'])
-        AS SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem""")
-      prestoStatement(s, s"""
+        AS SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem""",
+            s"""
         CREATE TABLE $ord WITH (
           format = 'PARQUET', external_location = '${base}_ctw_ord',
           bucketed_by = ARRAY['o_orderkey'], bucket_count = 8,
           sorted_by = ARRAY['o_orderkey'])
-        AS SELECT o_orderkey, o_orderstatus FROM orders""")
-      // the unsorted control is only ever PLANNED (never executed), so
-      // a slim slice keeps the gate's write cost on the real layouts
-      prestoStatement(s, s"""
+        AS SELECT o_orderkey, o_orderstatus FROM orders""",
+            // the unsorted control is only ever PLANNED (never
+            // executed), so a slim slice keeps the gate's write cost
+            // on the real layouts
+            s"""
         CREATE TABLE $liU WITH (
           format = 'PARQUET', external_location = '${base}_ctw_liu',
           bucketed_by = ARRAY['l_orderkey'], bucket_count = 8)
         AS SELECT l_orderkey, l_returnflag FROM lineitem
-           WHERE l_orderkey <= 1000""")
+           WHERE l_orderkey <= 1000""").map(sql =>
+            Future(prestoStatement(s, sql)))
+          fs.foreach(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
       // one file per bucket: the HiveWriterFactory contract, and the
       // precondition for Spark exposing the per-bucket sort order
       val nFiles = new java.io.File(base + "_ctw_li").listFiles()

@@ -1309,13 +1309,16 @@ object Storage extends QueryPack {
     // SQL DELETE semantics: only WHERE-true rows go; NULL predicates keep
     // the row (hence the coalesce).
     "qd1_delete_rows" -> ((s, dir) => {
-      val base = ctasPath(s, dir) + "_delbase"
+      // r17 OPT (guide §1.2, the q2p lesson): the versioned COW rewrite
+      // is the DELETE semantics under test; the extra "base" parquet
+      // copy it used to read from was pure setup — the source parquet
+      // already IS an immutable file-backed table. Reading the projected
+      // view directly deletes one full write+scan pass of the 5-column
+      // slice; v2's row set (and the locked aggregate) is unchanged.
       val v2 = ctasPath(s, dir) + "_delv2"
-      Tables.view(s, dir, "lineitem")
+      val t = Tables.view(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_discount"), col("l_extendedprice"))
-        .write.mode("overwrite").parquet(base)
-      val t = s.read.parquet(base)
       val pred = col("l_discount") > 0.05 && col("l_quantity") < 30
       t.filter(coalesce(pred, lit(false)) === false)
         .write.mode("overwrite").parquet(v2)
@@ -1335,13 +1338,13 @@ object Storage extends QueryPack {
     // l_discount + 0.01, l_extendedprice = l_extendedprice * 0.9 WHERE
     // l_quantity > 40; the post-image aggregate is the lock.
     "qp2_update_rows" -> ((s, dir) => {
-      val base = ctasPath(s, dir) + "_updbase"
+      // r17 OPT (guide §1.2, same shape as qd1): drop the setup-only
+      // "base" copy; the COW rewrite applying the SET expressions is
+      // the UPDATE semantics, and it reads the projected view directly.
       val v2 = ctasPath(s, dir) + "_updv2"
-      Tables.view(s, dir, "lineitem")
+      val t = Tables.view(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_discount"), col("l_extendedprice"))
-        .write.mode("overwrite").parquet(base)
-      val t = s.read.parquet(base)
       val hit = coalesce(col("l_quantity") > 40, lit(false))
       t.withColumn("l_discount",
           when(hit, col("l_discount") + 0.01).otherwise(col("l_discount")))
