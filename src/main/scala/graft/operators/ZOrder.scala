@@ -105,26 +105,37 @@ object ZOrder {
     * the ShardRange analog, read metadata-only like Compaction's row
     * counts (one O(KB) footer per file, no data pages, no Spark job). */
   def fileRanges(spark: SparkSession, dir: String, column: String)
-      : Seq[(String, Long, Long)] = {
+      : Seq[(String, Long, Long)] =
+    fileRangesMulti(spark, dir, Seq(column))(column)
+
+  /** One footer pass serving SEVERAL columns' per-file ranges (r17 OPT,
+    * guide §1.2: q2d walked the same 8 footers once per pruning
+    * dimension — the footer open/parse, not the statistics lookup, is
+    * the cost, so read every dimension's min/max from a single open). */
+  def fileRangesMulti(spark: SparkSession, dir: String,
+      columns: Seq[String]): Map[String, Seq[(String, Long, Long)]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
+    val perFile = fs.listStatus(p).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map { s =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
         try {
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
+          val lo = scala.collection.mutable.Map(
+            columns.map(_ -> Long.MaxValue): _*)
+          val hi = scala.collection.mutable.Map(
+            columns.map(_ -> Long.MinValue): _*)
           reader.getFooter.getBlocks.forEach { block =>
             block.getColumns.forEach { cc =>
-              if (cc.getPath.toDotString == column) {
+              val name = cc.getPath.toDotString
+              if (lo.contains(name)) {
                 val st = cc.getStatistics
                 if (st != null && !st.isEmpty) {
-                  lo = math.min(lo,
+                  lo(name) = math.min(lo(name),
                     st.genericGetMin.asInstanceOf[Number].longValue())
-                  hi = math.max(hi,
+                  hi(name) = math.max(hi(name),
                     st.genericGetMax.asInstanceOf[Number].longValue())
                 }
               }
@@ -132,10 +143,15 @@ object ZOrder {
           }
           // a file with no usable statistics must count as
           // always-overlapping (Spark reads it), never as prunable
-          if (lo > hi) (s.getPath.getName, Long.MinValue, Long.MaxValue)
-          else (s.getPath.getName, lo, hi)
+          (s.getPath.getName, columns.map { c =>
+            if (lo(c) > hi(c)) c -> (Long.MinValue, Long.MaxValue)
+            else c -> (lo(c), hi(c))
+          }.toMap)
         } finally reader.close()
       }
+    columns.map(c => c -> perFile.map { case (f, m) =>
+      (f, m(c)._1, m(c)._2)
+    }).toMap
   }
 
   /** How many files a [lo, hi] predicate on `column` must read — the

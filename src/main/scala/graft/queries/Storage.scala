@@ -430,8 +430,11 @@ object Storage extends QueryPack {
       // the pruning proof, from footers alone: a 1/8 slice of either
       // dimension must not need every file — the 2-d guarantee a
       // single-column sort cannot give
-      val pr = ZOrder.fileRanges(s, out, "l_partkey")
-      val sr = ZOrder.fileRanges(s, out, "l_suppkey")
+      // r17 OPT: one footer pass serves both pruning dimensions
+      val ranges = ZOrder.fileRangesMulti(s, out,
+        Seq("l_partkey", "l_suppkey"))
+      val pr = ranges("l_partkey")
+      val sr = ranges("l_suppkey")
       val pHit = ZOrder.filesOverlapping(pr, pmin,
         pmin + (pmax - pmin) / 8)
       val sHit = ZOrder.filesOverlapping(sr, smin,
