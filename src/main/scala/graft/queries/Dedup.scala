@@ -339,16 +339,22 @@ object Dedup extends QueryPack {
             .otherwise(raise_error(concat(
               lit(s"q3c: document position exceeds seed stride " +
                 s"$SeedStride; doc_id="), col("doc_id")))))
-        // r17 OPT (guide §1.2): three consumers (first-occurrence
-        // groupBy, the duplicated-seed join probe, coverage) otherwise
-        // each re-run the split+slice+array_join gram materialization —
-        // the query's dominant per-row cost (3 overlapping ~0.6 s jobs)
+      // r17 OPT (guide §2.4 "two operations keyed the same way share
+      // one exchange"): the duplicated-seed probe used to aggregate
+      // per-gram firsts and JOIN them back — two full shuffles of the
+      // 6M-row gram-string relation at sf1 (plus a full-relation
+      // checkpoint so three consumers shared the materialization). A
+      // count/min window over the gram partition computes the same
+      // (c, canon) pair with ONE shuffle and no join — bit-identical
+      // filter semantics — and only the small duplicated-seed relation
+      // (consumed twice: seed counts + coverage) needs materializing.
+      val byGram = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))
+      val dupSeeds = grams
+        .withColumn("c", count(lit(1)).over(byGram))
+        .withColumn("canon", min(col("seed_key")).over(byGram))
+        .filter(col("c") > 1 && col("seed_key") =!= col("canon"))
         .localCheckpoint()
-      val firsts = grams.groupBy(col("gram"))
-        .agg(count(lit(1)).as("c"), min(col("seed_key")).as("canon"))
-        .filter(col("c") > 1)
-      val dupSeeds = grams.join(firsts, "gram")
-        .filter(col("seed_key") =!= col("canon"))
       val seedCounts = dupSeeds.groupBy(col("source"))
         .agg(count(lit(1)).as("dup_seeds"))
       val covered = dupSeeds
